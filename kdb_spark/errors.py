@@ -1,0 +1,44 @@
+"""Error taxonomy mirroring the reference's sentinel errors.
+
+Reference errors (all in Go):
+- ``ErrFuture``      — write/read beyond virtual now   (`dbase/dbase.go:129-132`)
+- ``ErrInvValues``   — wrong tag arity / empty tag      (`dbase/dbase.go:134-142`)
+- ``ErrInvPayload``  — wrong payload size               (`dbase/dbase.go:144-146`)
+- ``ErrInvTime``     — bad range (end < start, future)  (`dbase/dbase.go:166-170`)
+- ``ErrReadOnly``    — write to a cold (read-only) bucket (`dbucket/dbucket.go:120-122`)
+- ``ErrCantRmHot``   — retention touching hot buckets   (`dbase/dbase.go:326-330`)
+"""
+
+
+class KdbSparkError(Exception):
+    """Base class for engine errors."""
+
+
+class ValidationError(KdbSparkError):
+    """Invalid input row(s): tag arity, empty tag, payload size.
+
+    Reference: `dbase/dbase.go:134-146`.
+    """
+
+
+class FutureTimestampError(ValidationError):
+    """Timestamp beyond the virtual ``now``. Reference: `dbase/dbase.go:129-132`."""
+
+
+class ColdWriteError(KdbSparkError):
+    """Write routed to a read-only (cold) bucket.
+
+    Reference: `dbucket/dbucket.go:120-122`; hot/cold routing
+    `dbase/dbase.go:403-424`.
+    """
+
+
+class RangeError(KdbSparkError):
+    """Invalid query range. Reference: `dbase/dbase.go:166-170`, `:238-241`."""
+
+
+class HotBucketRemoveError(KdbSparkError):
+    """Retention cutoff would delete a hot bucket.
+
+    Reference: `dbase/dbase.go:326-330`.
+    """

@@ -1,0 +1,78 @@
+"""SparkSession construction and runtime tuning.
+
+Two entry points:
+
+- :func:`get_spark` — build a session for local runs (tests, bench). Local
+  mode = one JVM; ``spark.driver.memory`` is the only memory knob that
+  matters.
+- :func:`tune` — apply the *runtime-settable* confs to an externally-created
+  session (the driver harness passes its own ``SparkSession`` into
+  ``queries()`` callables, so static builder confs never reach it).
+
+Scale posture (100 TB, ~1000 executors): every conf here is either
+runtime-safe or a local-mode default; on a real cluster the same code runs
+with cluster-level memory/executor sizing, and correctness never depends on
+these values — AQE adapts shuffle partitioning at runtime.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs applied to any session we touch.
+_RUNTIME_CONF: dict[str, str] = {
+    # deterministic timestamp semantics vs the DuckDB oracle (naive/UTC)
+    "spark.sql.session.timeZone": "UTC",
+    # AQE: runtime shuffle-partition coalescing, skew-join splitting,
+    # empty-relation propagation — the reference's storage-layout tricks
+    # (SURVEY.md §4) are all subsumed by these + partition pruning.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for any pandas-UDF path (LLM-data operators)
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # dimension tables (region/nation/customer/supplier/part at these SFs)
+    # should always broadcast; AQE also converts at runtime when post-shuffle
+    # sizes allow.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+}
+
+
+def tune(spark: SparkSession, shuffle_partitions: int | None = None) -> SparkSession:
+    """Apply runtime confs; safe to call repeatedly on a borrowed session."""
+    for k, v in _RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # non-settable in this deployment — keep going
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    except Exception:
+        pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "kdb_spark",
+    cpus: int | None = None,
+    driver_memory: str | None = None,
+) -> SparkSession:
+    """Build (or reuse) a local session sized from ``SPARK_GRAFT_CPUS``."""
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.driver.memory", driver_memory or os.environ.get("KDB_SPARK_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+    )
+    for k, v in _RUNTIME_CONF.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return tune(spark, shuffle_partitions=cpus)

@@ -1,0 +1,305 @@
+"""TimeSeriesStore — the reference's four verbs, Spark-first.
+
+Reference surface (`kdb.go:6-15`): ``Put``, ``Get``, ``Find``,
+``RemoveBefore``, ``Close``. Storage here is parquet partitioned by
+``bucket_ts`` (one partition per reference bucket, `kdb.go:17-19`,
+`dbase/dbase.go:386-434`); rows are ``(ts, tag1..tagN, payload, ingest_seq,
+bucket_ts)``. The tag index (`mindex/mindex.go`) has no materialized
+equivalent: Catalyst predicate pushdown + partition pruning + parquet
+row-group stats provide the same skipping (SURVEY.md §4).
+
+Semantics reproduced exactly (golden-tested in tests/test_store.py):
+- ts floored to resolution on ingest (`dbase/dbase.go:127`)
+- future-ts rejection vs a *virtual now* (`dbase/dbase.go:129-132`;
+  ``now`` is an explicit parameter — the clock analog, `clock/clock.go:24-46`)
+- tag arity / empty-tag / payload-size validation (`dbase/dbase.go:134-146`)
+- cold-bucket write rejection (`dbucket/dbucket.go:120-122`,
+  hot window = last ``max_hot_buckets`` buckets, `dbase/dbase.go:403-424`)
+- end-exclusive dense reads, ``(end-start)/resolution`` slots, zero-byte
+  gap fill (`dbase/dbase.go:183-184`, `:75-81`)
+- ``get`` of an absent series → all-zero slots, not an error
+  (`dbase/dbase.go:216-225`)
+- ``find`` wildcard tags (``""``), returns only series present in a scanned
+  bucket, each densified over the whole range (`dbase/dbase.go:256-320`,
+  `mindex/mindex.go:126-168`)
+- last-write-wins per (series, slot) (`dblock/dblock.go:198-205`) via
+  ``max_by(payload, ingest_seq)``
+- retention drops whole buckets, refuses hot ones (`dbase/dbase.go:323-364`)
+
+Scale posture: reads never collect; the dense grid is produced by a
+distributed spine (see densify.py); writes append partitioned parquet (on a
+cluster this would be exactly the same code against object storage, with the
+hot path fed by Structured Streaming — kdb_spark/streaming.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from collections.abc import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kdb_spark.config import StoreConfig
+from kdb_spark.densify import densify, time_spine
+from kdb_spark.errors import (
+    ColdWriteError,
+    FutureTimestampError,
+    HotBucketRemoveError,
+    RangeError,
+    ValidationError,
+)
+
+WILDCARD = ""  # `mindex/mindex.go:133-142`: "" matches any tag at that depth
+
+
+class TimeSeriesStore:
+    def __init__(self, spark: SparkSession, config: StoreConfig):
+        self.spark = spark
+        self.config = config
+        self.path = os.path.join(config.data_path, config.database_name)
+        os.makedirs(self.path, exist_ok=True)
+
+    # ------------------------------------------------------------------ schema
+
+    @property
+    def schema(self) -> T.StructType:
+        fields = [T.StructField("ts", T.LongType(), False)]
+        fields += [T.StructField(c, T.StringType(), False) for c in self.config.tag_cols]
+        fields += [
+            T.StructField("payload", T.BinaryType(), False),
+            T.StructField("ingest_seq", T.LongType(), False),
+            T.StructField("bucket_ts", T.LongType(), False),
+        ]
+        return T.StructType(fields)
+
+    def _data_dir_nonempty(self) -> bool:
+        return any(e.startswith("bucket_ts=") for e in os.listdir(self.path))
+
+    def _read(self) -> DataFrame:
+        if not self._data_dir_nonempty():
+            return self.spark.createDataFrame([], self.schema)
+        # basePath keeps bucket_ts as a real (pruning) partition column
+        return self.spark.read.option("basePath", self.path).parquet(self.path)
+
+    # ------------------------------------------------------------------ ingest
+
+    def _seq_file(self) -> str:
+        return os.path.join(self.path, "_ingest_seq.json")
+
+    def _next_batch_seq(self) -> int:
+        f = self._seq_file()
+        cur = 0
+        if os.path.exists(f):
+            with open(f) as fh:
+                cur = json.load(fh)["next"]
+        with open(f, "w") as fh:
+            json.dump({"next": cur + 1}, fh)
+        return cur
+
+    def put_batch(
+        self,
+        rows: DataFrame | Iterable[tuple],
+        now: int,
+    ) -> int:
+        """Validated batch ingest — the reference's ``Put`` loop (O1).
+
+        ``rows``: DataFrame (or iterable of tuples) with columns
+        ``(ts, tag1..tagN, payload)``. Raises on ANY invalid row, mirroring
+        the per-call errors of `dbase/dbase.go:125-159`. Returns rows written.
+        """
+        cfg = self.config
+        if not isinstance(rows, DataFrame):
+            base = T.StructType(
+                [T.StructField("ts", T.LongType(), False)]
+                + [T.StructField(c, T.StringType(), True) for c in cfg.tag_cols]
+                + [T.StructField("payload", T.BinaryType(), True)]
+            )
+            rows = self.spark.createDataFrame(list(rows), base)
+
+        expected = ["ts", *cfg.tag_cols, "payload"]
+        missing = [c for c in expected if c not in rows.columns]
+        if missing:
+            raise ValidationError(f"missing columns: {missing} (tag arity is fixed, dbase.go:134-136)")
+
+        df = rows.select(*expected).withColumn(
+            "ts", F.col("ts") - F.col("ts") % F.lit(cfg.resolution)  # dbase.go:127
+        )
+
+        # one distributed pass computing every violation count (no collect of data)
+        bad_tag = F.lit(False)
+        for c in cfg.tag_cols:
+            bad_tag = bad_tag | F.col(c).isNull() | (F.col(c) == "")  # dbase.go:138-142
+        hot_min = cfg.hot_min_base(now)
+        counts = df.select(
+            F.sum(F.when(F.col("ts") > F.lit(now), 1).otherwise(0)).alias("future"),
+            F.sum(F.when(bad_tag, 1).otherwise(0)).alias("bad_tag"),
+            F.sum(
+                F.when(
+                    F.col("payload").isNull()
+                    | (F.length(F.col("payload")) != cfg.payload_size),
+                    1,
+                ).otherwise(0)
+            ).alias("bad_payload"),
+            F.sum(
+                F.when(
+                    (F.col("ts") - F.col("ts") % F.lit(cfg.bucket_duration))
+                    < F.lit(hot_min),
+                    1,
+                ).otherwise(0)
+            ).alias("cold"),
+            F.count(F.lit(1)).alias("n"),
+        ).first()
+        if counts["future"]:
+            raise FutureTimestampError(
+                f"{counts['future']} rows with ts > now={now} (dbase.go:129-132)"
+            )
+        if counts["bad_tag"]:
+            raise ValidationError(
+                f"{counts['bad_tag']} rows with null/empty tags (dbase.go:138-142)"
+            )
+        if counts["bad_payload"]:
+            raise ValidationError(
+                f"{counts['bad_payload']} rows with payload size != {cfg.payload_size} (dbase.go:144-146)"
+            )
+        if counts["cold"]:
+            raise ColdWriteError(
+                f"{counts['cold']} rows route to read-only buckets older than {hot_min} "
+                "(dbucket.go:120-122)"
+            )
+
+        batch = self._next_batch_seq()
+        out = (
+            df.withColumn(
+                "ingest_seq",
+                # monotonic: batch-major, row-minor (last Put wins, dblock.go:198-205)
+                F.lit(int(batch) << 40) + F.monotonically_increasing_id() % F.lit(1 << 40),
+            )
+            .withColumn(
+                "bucket_ts", F.col("ts") - F.col("ts") % F.lit(cfg.bucket_duration)
+            )
+        )
+        out.write.mode("append").partitionBy("bucket_ts").parquet(self.path)
+        return int(counts["n"])
+
+    # ------------------------------------------------------------------- reads
+
+    def _check_tags(self, tags: list[str], allow_wildcard: bool) -> None:
+        if len(tags) != self.config.index_depth:
+            raise ValidationError(
+                f"tag arity {len(tags)} != index_depth {self.config.index_depth}"
+            )
+        if not allow_wildcard and any(t == WILDCARD or t is None for t in tags):
+            # Get with an empty tag descends to a non-existent index node in
+            # the reference → all-zero result; we mirror by just not matching.
+            pass
+
+    def _pruned(self, start: int, end: int) -> DataFrame:
+        """Rows of buckets overlapping [start, end) — the bucket loop
+        (`dbase/dbase.go:177-188`) as a partition-pruning filter."""
+        cfg = self.config
+        b0 = cfg.floor_to_bucket(start)
+        b1 = cfg.floor_to_bucket(max(start, end - 1))
+        return self._read().filter(
+            (F.col("bucket_ts") >= F.lit(b0)) & (F.col("bucket_ts") <= F.lit(b1))
+        )
+
+    def _lww(self, df: DataFrame) -> DataFrame:
+        """Last-write-wins visibility per (series, slot) (`dblock/dblock.go:198-205`)."""
+        tag_cols = list(self.config.tag_cols)
+        return df.groupBy(*tag_cols, "ts").agg(
+            F.max_by("payload", "ingest_seq").alias("payload")
+        )
+
+    def get(self, start: int, end: int, tags: list[str], now: int) -> DataFrame:
+        """Exact-series dense range read (O2, `dbase/dbase.go:161-231`).
+
+        Returns DataFrame (ts LONG, payload BINARY) with exactly
+        ``(end-start)/resolution`` rows after flooring, end-exclusive,
+        zero-filled. Never an error for absent series/buckets.
+        """
+        cfg = self.config
+        start = cfg.floor_to_resolution(start)  # dbase.go:163-164
+        end = cfg.floor_to_resolution(end)
+        if end < start or start > now or end - cfg.resolution > now:
+            raise RangeError(f"invalid range [{start},{end}) vs now={now} (dbase.go:166-170)")
+        self._check_tags(tags, allow_wildcard=False)
+
+        cond = F.lit(True)
+        for c, v in zip(cfg.tag_cols, tags):
+            cond = cond & (F.col(c) == F.lit(v))
+        data = (
+            self._pruned(start, end)
+            .filter(cond & (F.col("ts") >= start) & (F.col("ts") < end))
+        )
+        lww = self._lww(data).select("ts", "payload")
+        spine = time_spine(self.spark, start, end, cfg.resolution)
+        return densify(
+            spine, lww, on=["ts"], value_col="payload",
+            fill=F.lit(cfg.zero_payload),
+        ).orderBy("ts")
+
+    def find(self, start: int, end: int, tags: list[str], now: int) -> DataFrame:
+        """Wildcard multi-series dense read (O3, `dbase/dbase.go:233-321`).
+
+        ``""`` (or None) in ``tags`` matches any value at that position
+        (`mindex/mindex.go:133-142`). Returns (tag1..tagN, ts, payload),
+        dense per returned series. Only series present in a scanned bucket
+        appear (`dbase/dbase.go:256-262`) — presence means *any* point in an
+        overlapping bucket, even outside the clamped range, because the
+        reference consults the bucket's index, not the slot contents.
+        """
+        cfg = self.config
+        start = cfg.floor_to_resolution(start)
+        end = cfg.floor_to_resolution(end)
+        if end < start or start > now or end > now:
+            raise RangeError(f"invalid range [{start},{end}) vs now={now} (dbase.go:238-241)")
+        self._check_tags(tags, allow_wildcard=True)
+
+        cond = F.lit(True)
+        for c, v in zip(cfg.tag_cols, tags):
+            if v not in (WILDCARD, None):
+                cond = cond & (F.col(c) == F.lit(v))
+
+        tag_cols = list(cfg.tag_cols)
+        scanned = self._pruned(start, end).filter(cond)
+        series = scanned.select(*tag_cols).distinct()
+        data = scanned.filter((F.col("ts") >= start) & (F.col("ts") < end))
+        lww = self._lww(data)
+        spine = time_spine(self.spark, start, end, cfg.resolution)
+        return densify(
+            spine, lww, on=[*tag_cols, "ts"], value_col="payload",
+            fill=F.lit(cfg.zero_payload), series=series,
+        ).orderBy(*tag_cols, "ts")
+
+    # --------------------------------------------------------------- retention
+
+    def remove_before(self, cutoff: int, now: int) -> int:
+        """Drop whole buckets with base < cutoff (O4, `dbase/dbase.go:323-364`).
+
+        Refuses if any hot bucket qualifies (`dbase/dbase.go:326-330`). This
+        is the parquet-partition analog of Delta ``DELETE WHERE bucket_ts <
+        cutoff`` — whole-partition drops, no row rewrites. Returns the number
+        of buckets dropped.
+        """
+        hot_min = self.config.hot_min_base(now)
+        if cutoff > hot_min:
+            raise HotBucketRemoveError(
+                f"cutoff {cutoff} would remove hot bucket(s) (oldest hot base {hot_min}, "
+                "dbase.go:326-330)"
+            )
+        dropped = 0
+        for entry in sorted(os.listdir(self.path)):
+            if not entry.startswith("bucket_ts="):
+                continue
+            base = int(entry.split("=", 1)[1])
+            if base < cutoff:
+                shutil.rmtree(os.path.join(self.path, entry))
+                dropped += 1
+        return dropped
+
+    def close(self) -> None:
+        """O5 — nothing to flush: parquet commits are atomic per batch."""

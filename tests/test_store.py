@@ -1,0 +1,206 @@
+"""Golden-semantics tests ported from the reference test suite.
+
+Canonical config (`dbase/dbase_test.go:28-36`): IndexDepth 4, PayloadSize 4,
+BucketDuration 1000, Resolution 10; virtual clock pinned at 11999 → hot range
+[10000, 12000), cold below 10000, future ≥ 12000
+(`dbase/dbase_test.go:13-21`). See FIXTURES.md §A.
+"""
+
+import pytest
+
+from kdb_spark import (
+    ColdWriteError,
+    FutureTimestampError,
+    HotBucketRemoveError,
+    RangeError,
+    StoreConfig,
+    TimeSeriesStore,
+    ValidationError,
+)
+
+NOW = 11999
+P0 = bytes(4)
+PA = bytes([1, 2, 3, 4])
+PB = bytes([5, 6, 7, 8])
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    cfg = StoreConfig(
+        database_name="golden",
+        data_path=str(tmp_path),
+        index_depth=4,
+        payload_size=4,
+        bucket_duration=1000,
+        resolution=10,
+    )
+    return TimeSeriesStore(spark, cfg)
+
+
+def seeded(store):
+    # cold epochs written while they were hot (virtual clock, dbase_test.go:44-57)
+    store.put_batch([(3030, "a", "b", "c", "d", bytes([3, 0, 3, 0]))], now=3999)
+    store.put_batch([(6060, "a", "b", "c", "d", bytes([6, 0, 6, 0]))], now=6999)
+    store.put_batch(
+        [
+            (10990, "a", "b", "c", "d", PA),
+            (11000, "a", "b", "c", "e", PB),
+        ],
+        now=NOW,
+    )
+    return store
+
+
+def payloads(df):
+    return [bytes(r["payload"]) for r in df.collect()]
+
+
+# ---------------------------------------------------------------- get
+
+def test_get_dense_end_exclusive(store):
+    """`dbase/dbase_test.go:170-179`: exactly (end-start)/res slots."""
+    seeded(store)
+    out = store.get(10990, 11010, ["a", "b", "c", "d"], now=NOW)
+    assert payloads(out) == [PA, P0]
+
+
+def test_get_zero_fill_between_points(store):
+    seeded(store)
+    out = store.get(10980, 11010, ["a", "b", "c", "e"], now=NOW)
+    assert payloads(out) == [P0, P0, PB]
+
+
+def test_get_absent_series_is_zeros_not_error(store):
+    """`dbase/dbase.go:216-225`."""
+    seeded(store)
+    out = store.get(10990, 11010, ["x", "y", "z", "w"], now=NOW)
+    assert payloads(out) == [P0, P0]
+
+
+def test_get_spans_missing_buckets(store):
+    """bucket 4000..9999 has no data → zeros (`dbase/dbase.go:208-225`)."""
+    seeded(store)
+    out = store.get(3020, 3050, ["a", "b", "c", "d"], now=NOW)
+    assert payloads(out) == [P0, bytes([3, 0, 3, 0]), P0]
+
+
+def test_get_floors_to_resolution(store):
+    seeded(store)
+    out = store.get(10993, 11013, ["a", "b", "c", "d"], now=NOW)
+    # floors to [10990, 11010) → 2 slots
+    assert payloads(out) == [PA, P0]
+
+
+def test_get_validation(store):
+    seeded(store)
+    with pytest.raises(RangeError):
+        store.get(11010, 10990, ["a", "b", "c", "d"], now=NOW)  # end < start
+    with pytest.raises(RangeError):
+        store.get(12500, 12600, ["a", "b", "c", "d"], now=NOW)  # start > now
+    with pytest.raises(RangeError):
+        store.get(11000, 13000, ["a", "b", "c", "d"], now=NOW)  # end-res > now
+    with pytest.raises(ValidationError):
+        store.get(10990, 11010, ["a", "b", "c"], now=NOW)  # arity
+
+
+# ---------------------------------------------------------------- put
+
+def test_put_future_rejected(store):
+    with pytest.raises(FutureTimestampError):
+        store.put_batch([(12000, "a", "b", "c", "d", PA)], now=NOW)
+
+
+def test_put_cold_rejected(store):
+    """ts 9999 at now 11999 → bucket 9000 is cold (`dbase_test.go:188-191`)."""
+    with pytest.raises(ColdWriteError):
+        store.put_batch([(9999, "a", "b", "c", "d", PA)], now=NOW)
+
+
+def test_put_empty_tag_rejected(store):
+    with pytest.raises(ValidationError):
+        store.put_batch([(11000, "a", "", "c", "d", PA)], now=NOW)
+
+
+def test_put_bad_payload_rejected(store):
+    with pytest.raises(ValidationError):
+        store.put_batch([(11000, "a", "b", "c", "d", bytes(3))], now=NOW)
+
+
+def test_put_floors_ts(store):
+    store.put_batch([(11004, "a", "b", "c", "d", PA)], now=NOW)
+    out = store.get(11000, 11010, ["a", "b", "c", "d"], now=NOW)
+    assert payloads(out) == [PA]
+
+
+def test_last_write_wins(store):
+    """`dblock/dblock.go:198-205`: in-place overwrite per (series, slot)."""
+    store.put_batch([(11000, "a", "b", "c", "d", PA)], now=NOW)
+    store.put_batch([(11000, "a", "b", "c", "d", PB)], now=NOW)
+    out = store.get(11000, 11010, ["a", "b", "c", "d"], now=NOW)
+    assert payloads(out) == [PB]
+
+
+# ---------------------------------------------------------------- find
+
+def test_find_wildcard_tail(store):
+    """`dbase/dbase_test.go:304-341`: both series, zero-filled."""
+    seeded(store)
+    out = store.find(10990, 11010, ["a", "b", "c", ""], now=NOW)
+    rows = out.collect()
+    by_series = {}
+    for r in rows:
+        by_series.setdefault(tuple(r[t] for t in ("tag1", "tag2", "tag3", "tag4")), []).append(
+            (r["ts"], bytes(r["payload"]))
+        )
+    assert set(by_series) == {("a", "b", "c", "d"), ("a", "b", "c", "e")}
+    assert by_series[("a", "b", "c", "d")] == [(10990, PA), (11000, P0)]
+    assert by_series[("a", "b", "c", "e")] == [(10990, P0), (11000, PB)]
+
+
+def test_find_wildcard_middle(store):
+    """`mindex/mindex_test.go:175-199`: [a,b,"",d] matches exactly 2 of 3."""
+    store.put_batch(
+        [
+            (11000, "a", "b", "c", "d", PA),
+            (11000, "a", "b", "c", "e", PB),
+            (11000, "a", "b", "f", "d", PB),
+        ],
+        now=NOW,
+    )
+    out = store.find(11000, 11010, ["a", "b", "", "d"], now=NOW)
+    series = {tuple(r[t] for t in ("tag1", "tag2", "tag3", "tag4")) for r in out.collect()}
+    assert series == {("a", "b", "c", "d"), ("a", "b", "f", "d")}
+
+
+def test_find_only_existing_series(store):
+    """series with no point in any scanned bucket are absent
+    (`dbase/dbase.go:256-262`)."""
+    seeded(store)
+    out = store.find(3000, 3050, ["a", "b", "c", ""], now=NOW)
+    series = {tuple(r[t] for t in ("tag1", "tag2", "tag3", "tag4")) for r in out.collect()}
+    assert series == {("a", "b", "c", "d")}  # only the cold-epoch writer
+
+
+def test_find_validation(store):
+    seeded(store)
+    with pytest.raises(RangeError):
+        store.find(11000, 13000, ["a", "b", "c", ""], now=NOW)  # end > now
+
+
+# ---------------------------------------------------------------- retention
+
+def test_remove_before_hot_refused(store):
+    """`dbase/dbase_test.go:343-389`: 10001 > oldest hot base 10000 → error."""
+    seeded(store)
+    with pytest.raises(HotBucketRemoveError):
+        store.remove_before(10001, now=NOW)
+
+
+def test_remove_before_cold_then_zeros(store):
+    seeded(store)
+    assert store.remove_before(4000, now=NOW) == 1
+    out = store.get(3030, 3040, ["a", "b", "c", "d"], now=NOW)
+    assert payloads(out) == [P0]
+    # untouched buckets still intact
+    out = store.get(6060, 6070, ["a", "b", "c", "d"], now=NOW)
+    assert payloads(out) == [bytes([6, 0, 6, 0])]
