@@ -1,10 +1,17 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the flagship query at sf0.001; each `queries()[name]`
+runs at sf0.01 and is hash-compared against `oracle_sql()[name]` via DuckDB.
+
+Cross-engine conventions (see kdb_spark/tables.py):
+- event timestamps are compared at µs epoch (`ts div 1000` == `epoch_us(ts)`;
+  DuckDB truncates the parquet TIMESTAMP(NANOS) to µs, Spark reads ns longs
+  via spark.sql.legacy.parquet.nanosAsLong);
+- money sums are bigint cents (per-row round(x*100) is bit-deterministic in
+  both engines; bigint sums are order-independent, double sums are not);
+- averages/cosines are ROUND()ed identically on both sides;
+- computed integers are cast to BIGINT on both sides (DuckDB SUM(BIGINT)
+  would otherwise surface as HUGEINT).
 """
 
 from __future__ import annotations
@@ -13,26 +20,631 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from kdb_spark.analytics import aggregations as agg
+from kdb_spark.analytics import joins as jn
+from kdb_spark.analytics import kernel as kn
+from kdb_spark.analytics import scalars as sc
+from kdb_spark.analytics import setops as so
+from kdb_spark.analytics import sorts as st
+from kdb_spark.analytics import windows as wn
+from kdb_spark.llm import dedup as dd
+from kdb_spark.llm import multimodal as mm
+from kdb_spark.llm import similarity as sim
+from kdb_spark.llm import textstats as tx
+from kdb_spark.tables import DAY_US, HOUR_US, events_us, load
+
+# epoch-µs constants (UTC), events span 2024-01-01 .. 2024-01-30
+T_JAN10 = 1_704_844_800_000_000
+T_JAN12 = 1_705_017_600_000_000
+T_JAN17 = 1_705_449_600_000_000
+NOW_JAN20 = 1_705_708_800_000_000
+CUT_JAN08 = 1_704_672_000_000_000
+MIN_PRICE = 300_000.0
+
+_Q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_ORACLE: dict[str, str] = {}
+
+
+def _reg(name: str, fn: Callable[[SparkSession, str], DataFrame], sql: str | None) -> None:
+    _Q[name] = fn
+    if sql is not None:
+        _ORACLE[name] = sql
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: per-event-type hourly resample (count/sum/avg/min/max) —
+    the rollup the reference's dense slot grid exists to feed."""
+    return agg.agg_resample(events_us(spark, "/root/testdata/sf0.001"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(_Q)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    return dict(_ORACLE)
+
+
+# --------------------------------------------------------------------- kernel
+
+_reg(
+    "kernel_get_dense",
+    lambda s, d: kn.get_dense(events_us(s, d), s, 7, "view", T_JAN10, T_JAN12),
+    f"""
+    WITH spine AS (SELECT range AS slot_us FROM range({T_JAN10}, {T_JAN12}, 60000000)),
+    d AS (
+      SELECT epoch_us(ts) - epoch_us(ts) % 60000000 AS slot_us,
+             arg_max(value, event_id) AS v
+      FROM events
+      WHERE user_id = 7 AND event_type = 'view'
+        AND epoch_us(ts) >= {T_JAN10} AND epoch_us(ts) < {T_JAN12}
+      GROUP BY 1)
+    SELECT s.slot_us, coalesce(d.v, 0.0) AS value
+    FROM spine s LEFT JOIN d USING (slot_us)
+    """,
+)
+
+_reg(
+    "kernel_find_dense",
+    lambda s, d: kn.find_dense(
+        events_us(s, d), s, 7, None, T_JAN10, T_JAN17, res=HOUR_US
+    ),
+    f"""
+    WITH data AS (
+      SELECT user_id, event_type, epoch_us(ts) AS ts_us, value, event_id
+      FROM events
+      WHERE user_id = 7 AND epoch_us(ts) >= {T_JAN10} AND epoch_us(ts) < {T_JAN17}),
+    series AS (SELECT DISTINCT user_id, event_type FROM data),
+    spine AS (SELECT range AS slot_us FROM range({T_JAN10}, {T_JAN17}, 3600000000)),
+    lww AS (
+      SELECT user_id, event_type, ts_us - ts_us % 3600000000 AS slot_us,
+             arg_max(value, event_id) AS v
+      FROM data GROUP BY 1, 2, 3)
+    SELECT s.user_id, s.event_type, p.slot_us, coalesce(l.v, 0.0) AS value
+    FROM series s CROSS JOIN spine p
+    LEFT JOIN lww l ON l.user_id = s.user_id AND l.event_type = s.event_type
+                   AND l.slot_us = p.slot_us
+    """,
+)
+
+_reg(
+    "kernel_ingest_validate",
+    lambda s, d: kn.ingest_validate(events_us(s, d), NOW_JAN20),
+    f"""
+    SELECT epoch_us(ts) - epoch_us(ts) % {DAY_US} AS bucket_us,
+           CASE WHEN epoch_us(ts) > {NOW_JAN20} THEN 'future' ELSE 'ok' END AS status,
+           count(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+
+_reg(
+    "kernel_retention",
+    lambda s, d: kn.retention_filter(events_us(s, d), CUT_JAN08),
+    f"""
+    SELECT bucket_us, count(*) AS n FROM (
+      SELECT epoch_us(ts) - epoch_us(ts) % {DAY_US} AS bucket_us FROM events)
+    WHERE bucket_us >= {CUT_JAN08} GROUP BY 1
+    """,
+)
+
+_reg(
+    "series_filter",
+    lambda s, d: kn.series_filter(events_us(s, d), 7, "click", T_JAN10, T_JAN17),
+    f"""
+    SELECT event_id, epoch_us(ts) AS ts_us, value FROM events
+    WHERE user_id = 7 AND event_type = 'click'
+      AND epoch_us(ts) >= {T_JAN10} AND epoch_us(ts) < {T_JAN17}
+    """,
+)
+
+_reg(
+    "payload_project",
+    lambda s, d: kn.payload_project(load(s, d, "events")),
     """
-    return {}
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, value
+    FROM events
+    """,
+)
+
+# --------------------------------------------------------------- aggregations
+
+_reg(
+    "agg_resample",
+    lambda s, d: agg.agg_resample(events_us(s, d)),
+    """
+    SELECT event_type,
+           epoch_us(ts) - epoch_us(ts) % 3600000000 AS hour_us,
+           count(*) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c,
+           round(avg(value), 4) AS avg_value,
+           min(value) AS min_value,
+           max(value) AS max_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+
+_reg(
+    "agg_distinct",
+    lambda s, d: agg.agg_distinct(load(s, d, "lineitem")),
+    """
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_part,
+           count(*) AS n_rows
+    FROM lineitem GROUP BY 1
+    """,
+)
+
+# engine-specific HLL estimates — rows-only check by design
+_reg("agg_approx_distinct", lambda s, d: agg.agg_approx_distinct(events_us(s, d)), None)
+
+_reg(
+    "agg_rollup",
+    lambda s, d: agg.agg_rollup(load(s, d, "lineitem")),
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS g
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+
+_reg(
+    "agg_cube",
+    lambda s, d: agg.agg_cube(load(s, d, "orders")),
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS g
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+
+# ------------------------------------------------------------------- windows
+
+_reg(
+    "win_moving_avg",
+    lambda s, d: wn.win_moving_avg(events_us(s, d)),
+    """
+    SELECT event_id, user_id,
+           round(avg(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                                  ROWS BETWEEN 5 PRECEDING AND CURRENT ROW), 4) AS mavg
+    FROM events
+    """,
+)
+
+_reg(
+    "win_rank",
+    lambda s, d: wn.win_rank(load(s, d, "orders")),
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           CAST(row_number() OVER w AS BIGINT) AS rn
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+
+_reg(
+    "win_lag_delta",
+    lambda s, d: wn.win_lag_delta(events_us(s, d)),
+    """
+    SELECT event_id, user_id, event_type,
+           value - lag(value) OVER (PARTITION BY user_id, event_type
+                                    ORDER BY epoch_us(ts), event_id) AS delta
+    FROM events
+    """,
+)
+
+_reg(
+    "win_range_frame",
+    lambda s, d: wn.win_range_frame(events_us(s, d)),
+    """
+    SELECT event_id, user_id,
+           CAST(sum(CAST(round(value * 100) AS BIGINT))
+                OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS trail_sum_c
+    FROM events
+    """,
+)
+
+# --------------------------------------------------------------------- joins
+
+_reg(
+    "join_enrich_broadcast",
+    lambda s, d: jn.join_enrich_broadcast(
+        load(s, d, "orders"), load(s, d, "customer"), load(s, d, "nation"), load(s, d, "region")
+    ),
+    """
+    SELECT r_name, n_name, count(*) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY 1, 2
+    """,
+)
+
+_reg(
+    "join_equi_shuffle",
+    lambda s, d: jn.join_equi_shuffle(load(s, d, "lineitem"), load(s, d, "orders")),
+    """
+    SELECT o_orderpriority, count(*) AS n_items,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_c
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1
+    """,
+)
+
+_reg(
+    "join_asof",
+    lambda s, d: jn.join_asof(events_us(s, d)),
+    """
+    WITH err AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, arg_max(value, event_id) AS err_value
+      FROM events WHERE event_type = 'error' GROUP BY 1, 2),
+    clk AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us
+      FROM events WHERE event_type = 'click')
+    SELECT c.event_id, c.user_id, e.err_value AS asof_value
+    FROM clk c ASOF JOIN err e
+      ON c.user_id = e.user_id AND c.ts_us >= e.ts_us
+    """,
+)
+
+_reg(
+    "join_interval",
+    lambda s, d: jn.join_interval(events_us(s, d)),
+    """
+    SELECT e.event_id, e.user_id, count(*) AS n_clicks
+    FROM events e JOIN events c
+      ON c.user_id = e.user_id AND c.event_type = 'click'
+     AND epoch_us(c.ts) >= epoch_us(e.ts)
+     AND epoch_us(c.ts) < epoch_us(e.ts) + 600000000
+    WHERE e.event_type = 'error'
+    GROUP BY 1, 2
+    """,
+)
+
+_reg(
+    "join_semi",
+    lambda s, d: jn.join_semi(load(s, d, "customer"), load(s, d, "orders"), MIN_PRICE),
+    f"""
+    SELECT c_custkey, c_name, c_acctbal FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > {MIN_PRICE})
+    """,
+)
+
+_reg(
+    "join_anti",
+    lambda s, d: jn.join_anti(load(s, d, "customer"), load(s, d, "orders"), MIN_PRICE),
+    f"""
+    SELECT c_custkey, c_mktsegment FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > {MIN_PRICE})
+    """,
+)
+
+# -------------------------------------------------------------- sorts / top-k
+
+_reg(
+    "sort_series",
+    lambda s, d: st.sort_series(events_us(s, d), 7),
+    """
+    SELECT CAST(row_number() OVER (ORDER BY epoch_us(ts), event_id) AS BIGINT) AS pos,
+           event_id, epoch_us(ts) AS ts_us, value
+    FROM events WHERE user_id = 7
+    """,
+)
+
+_reg(
+    "topk_per_group",
+    lambda s, d: st.topk_per_group(load(s, d, "orders")),
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           CAST(row_number() OVER (PARTITION BY o_custkey
+                ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+    FROM orders QUALIFY rn <= 3
+    """,
+)
+
+_reg(
+    "topk_global",
+    lambda s, d: st.topk_global(load(s, d, "orders")),
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+)
+
+# ------------------------------------------------------------------- set ops
+
+_reg(
+    "set_union",
+    lambda s, d: so.set_union(load(s, d, "customer"), "BUILDING", "AUTOMOBILE"),
+    """
+    SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION
+    SELECT c_nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+    """,
+)
+
+_reg(
+    "set_intersect",
+    lambda s, d: so.set_intersect(load(s, d, "part")),
+    """
+    SELECT p_brand FROM part WHERE p_size > 40
+    INTERSECT
+    SELECT p_brand FROM part WHERE p_type = 'ECONOMY'
+    """,
+)
+
+_reg(
+    "set_except",
+    lambda s, d: so.set_except(load(s, d, "customer"), load(s, d, "orders"), MIN_PRICE),
+    f"""
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > {MIN_PRICE}
+    """,
+)
+
+# ------------------------------------------------------------------- scalars
+
+_reg(
+    "scalar_datetime",
+    lambda s, d: sc.scalar_datetime(load(s, d, "orders")),
+    """
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+           CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+           CAST(month(o_orderdate) AS BIGINT) AS mo,
+           count(*) AS n
+    FROM orders GROUP BY 1, 2, 3
+    """,
+)
+
+_reg(
+    "scalar_string",
+    lambda s, d: sc.scalar_string(load(s, d, "part")),
+    """
+    SELECT p_partkey,
+           lower(p_name) AS lname,
+           CAST(length(p_name) AS BIGINT) AS name_len,
+           substr(p_name, 1, 5) AS prefix5,
+           CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_words,
+           regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+           concat_ws('|', p_brand, p_type) AS brand_type
+    FROM part
+    """,
+)
+
+_reg(
+    "scalar_math",
+    lambda s, d: sc.scalar_math(load(s, d, "lineitem")),
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(floor(l_extendedprice) AS BIGINT) AS fl,
+           CAST(ceil(l_extendedprice) AS BIGINT) AS ce,
+           round(l_extendedprice, 1) AS rnd1,
+           abs(l_discount - 0.05) AS adiff,
+           sqrt(l_quantity) AS sq,
+           CAST(l_orderkey % 7 AS BIGINT) AS m7
+    FROM lineitem WHERE l_orderkey < 100
+    """,
+)
+
+_reg(
+    "scalar_array",
+    lambda s, d: sc.scalar_array(load(s, d, "embeddings")),
+    """
+    WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings)
+    SELECT vec_id,
+           CAST(len(v) AS BIGINT) AS dim,
+           v[1] AS first_el,
+           round(list_sum(v), 5) AS el_sum,
+           round(list_sum(v[1:8]), 5) AS head8_sum
+    FROM e
+    """,
+)
+
+_reg(
+    "scalar_json",
+    lambda s, d: sc.scalar_json(load(s, d, "events")),
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+           event_type, count(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+
+# ------------------------------------------------------------------- LLM ops
+
+_reg(
+    "dedup_exact",
+    lambda s, d: dd.dedup_exact(load(s, d, "documents")),
+    """
+    SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+    FROM documents GROUP BY text
+    """,
+)
+
+_NGRAM_JACCARD_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]) AS sh
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents)),
+flat AS (SELECT doc_id, unnest(sh) AS s FROM d),
+sizes AS (SELECT doc_id, len(sh) AS n_sh FROM d),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM flat a JOIN flat b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       n_inter / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+"""
+
+_reg(
+    "dedup_ngram_jaccard",
+    lambda s, d: dd.dedup_ngram_jaccard(load(s, d, "documents")),
+    _NGRAM_JACCARD_SQL,
+)
+
+# MinHash-LSH: probabilistic candidates, exact verify. The oracle is the
+# exact-jaccard ground truth; at 16 bands × 2 rows recall at j>=0.5 is ~0.99
+# (≈1 at the j>=0.9 pairs this corpus contains) — verified equal at sf0.01.
+_reg(
+    "dedup_near_minhash",
+    lambda s, d: dd.dedup_near_minhash(load(s, d, "documents")),
+    _NGRAM_JACCARD_SQL,
+)
+
+# engine-specific 64-bit hashes — rows-only check by design
+_reg("dedup_simhash", lambda s, d: dd.dedup_simhash(load(s, d, "documents")), None)
+
+_reg(
+    "text_stats",
+    lambda s, d: tx.text_stats(load(s, d, "documents")),
+    """
+    WITH t AS (SELECT doc_id, text,
+                      regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+               FROM documents)
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_m,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
+           round(list_sum([CAST(length(t) AS DOUBLE) FOR t IN toks])
+                 / greatest(len(toks), 1), 4) AS avg_tok_len,
+           CAST(len([t FOR t IN toks IF list_contains(['the','a','of','and','to','in','is'], t)]) AS BIGINT) AS n_stop,
+           CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digits
+    FROM t
+    """,
+)
+
+_reg(
+    "lang_id",
+    lambda s, d: tx.lang_id(load(s, d, "documents")),
+    """
+    WITH t AS (SELECT doc_id, lang,
+                      regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+               FROM documents),
+    r AS (SELECT doc_id, lang,
+                 len([t FOR t IN toks IF list_contains(['the','a','of','and','to','in','is'], t)])
+                   / greatest(len(toks), 1) AS ratio
+          FROM t)
+    SELECT doc_id, lang, round(ratio, 6) AS stop_ratio,
+           CASE WHEN ratio >= 0.05 THEN 'en' ELSE 'unk' END AS pred
+    FROM r
+    """,
+)
+
+_reg(
+    "token_count_bpe",
+    lambda s, d: tx.token_count_bpe(load(s, d, "documents")),
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
+           CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_word_tokens
+    FROM documents
+    """,
+)
+
+_reg(
+    "doc_fingerprint",
+    lambda s, d: tx.doc_fingerprint(load(s, d, "documents")),
+    """
+    WITH t AS (SELECT doc_id,
+                      [17 * CAST(length(t) AS BIGINT) + ascii(t)
+                       FOR t IN regexp_extract_all(lower(text), '[a-z0-9]+')] AS codes
+               FROM documents)
+    SELECT doc_id,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), codes),
+                            (a, b) -> (a * 31 + b) % 2147483647) AS BIGINT) AS fingerprint
+    FROM t
+    """,
+)
+
+_reg(
+    "sim_search_topk",
+    lambda s, d: sim.sim_search_topk(load(s, d, "embeddings")),
+    """
+    WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_sum([x * x FOR x IN v])) AS nrm FROM e),
+    q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 5),
+    s AS (SELECT q.query_id, n.vec_id AS match_id,
+                 list_sum([qv[i] * v[i] FOR i IN range(1, len(v) + 1)]) / (qn * nrm) AS raw
+          FROM n CROSS JOIN q WHERE n.vec_id != q.query_id)
+    SELECT query_id, match_id, round(raw, 6) AS cos,
+           CAST(row_number() OVER (PARTITION BY query_id ORDER BY raw DESC, match_id) AS BIGINT) AS rn
+    FROM s QUALIFY rn <= 5
+    """,
+)
+
+_reg(
+    "emb_near_dup",
+    lambda s, d: sim.emb_near_dup(load(s, d, "embeddings")),
+    """
+    WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_sum([x * x FOR x IN v])) AS nrm FROM e)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_sum([a.v[i] * b.v[i] FOR i IN range(1, len(a.v) + 1)])
+                 / (a.nrm * b.nrm), 6) AS cos
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE list_sum([a.v[i] * b.v[i] FOR i IN range(1, len(a.v) + 1)]) / (a.nrm * b.nrm) >= 0.4
+    """,
+)
+
+# approximate by construction (sign-LSH buckets) — rows-only check
+_reg("ann_search_topk", lambda s, d: sim.ann_search_topk(load(s, d, "embeddings")), None)
+
+def _mm_summary(s: SparkSession, d: str) -> DataFrame:
+    """multimodal_table projected to its oracle-comparable summary (the
+    binary payload itself is checked via byte length)."""
+    from pyspark.sql import functions as F
+
+    t = mm.multimodal_table(load(s, d, "documents"), load(s, d, "embeddings"))
+    return t.select(
+        "doc_id",
+        F.length("payload").cast("long").alias("byte_len"),
+        F.col("meta.lang").alias("lang"),
+        F.size("embedding").cast("long").alias("dim"),
+        F.col("meta.label").alias("label"),
+    )
+
+
+_reg(
+    "multimodal_table",
+    _mm_summary,
+    """
+    SELECT d.doc_id,
+           CAST(octet_length(encode(d.text)) AS BIGINT) AS byte_len,
+           d.lang,
+           CAST(len(e.embedding) AS BIGINT) AS dim,
+           CAST(e.label AS BIGINT) AS label
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    """,
+)
+
+_reg(
+    "mm_features",
+    lambda s, d: mm.mm_features(
+        mm.multimodal_table(load(s, d, "documents"), load(s, d, "embeddings"))
+    ),
+    """
+    SELECT d.doc_id,
+           CAST(octet_length(encode(d.text)) AS BIGINT) AS byte_len,
+           CAST(ascii(substr(d.text, 1, 1)) AS BIGINT) AS first_byte,
+           d.lang
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    """,
+)

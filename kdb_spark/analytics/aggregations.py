@@ -1,0 +1,73 @@
+"""Aggregations (SURVEY.md §2.B) — partial+final hash aggregation built-in.
+
+The reference has none of these (aggregation lives downstream of the dense
+grid, SURVEY.md §2.B); these are the rollups the grid exists to feed.
+Money sums use bigint cents (see kdb_spark.tables.cents) so results are
+order-independent and oracle-exact at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kdb_spark.tables import HOUR_US, cents
+
+
+def agg_resample(events: DataFrame, width_us: int = HOUR_US) -> DataFrame:
+    """Per-series time rollup: groupBy(tags, time bucket) + multi-agg.
+
+    One shuffle on (event_type, hour); map-side combine makes this scan-bound
+    at 100 TB. The time bucket is plain long arithmetic → stays inside
+    whole-stage codegen.
+    """
+    hour = (F.col("ts_us") - F.col("ts_us") % F.lit(width_us)).alias("hour_us")
+    return (
+        events.groupBy("event_type", hour)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents("value")).alias("sum_value_c"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+
+
+def agg_distinct(lineitem: DataFrame) -> DataFrame:
+    """Exact distinct counts per group — expand+two-phase agg under AQE."""
+    return lineitem.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def agg_approx_distinct(events: DataFrame) -> DataFrame:
+    """HLL++ approximate distinct — sketches merge associatively, so this is
+    one pass + tiny shuffle at any scale (the 100 TB answer to exact
+    distinct's expand). Engine-specific estimates → rows-only check."""
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def agg_rollup(lineitem: DataFrame) -> DataFrame:
+    """ROLLUP(l_returnflag, l_linestatus) with GROUPING id — one expand +
+    one hash agg; Catalyst plans grouping sets natively."""
+    return lineitem.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents("l_quantity")).alias("sum_qty_c"),
+        F.sum(cents("l_extendedprice")).alias("sum_price_c"),
+        F.grouping_id().cast("long").alias("g"),
+    )
+
+
+def agg_cube(orders: DataFrame) -> DataFrame:
+    """CUBE(o_orderstatus, o_orderpriority) — all 4 grouping sets."""
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents("o_totalprice")).alias("sum_price_c"),
+        F.grouping_id().cast("long").alias("g"),
+    )

@@ -1,0 +1,141 @@
+"""Joins (SURVEY.md §2.B) — the reference has no cross-series joins; the only
+join-like behavior is the spine join inside Get/Find (`dbase/dbase.go:209-227`).
+
+Strategy notes (100 TB posture):
+- dimension joins broadcast explicitly (`F.broadcast`) — no shuffle of the fact;
+- fact-fact equi joins shuffle on the key and rely on AQE for skew;
+- as-of is a union + running last() — ONE shuffle on the series key, never a
+  per-row subquery;
+- interval joins are bucketized into equi joins (explode the probe into the
+  O(interval/bucket) covering buckets) — never a broadcast-nested-loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from kdb_spark.tables import MIN_US, cents
+
+
+def join_enrich_broadcast(
+    orders: DataFrame, customer: DataFrame, nation: DataFrame, region: DataFrame
+) -> DataFrame:
+    """Fact ⋈ broadcast dims: orders enriched with customer→nation→region.
+
+    The dims (1.5k / 25 / 5 rows; a few MB even at 100 TB fact scale) are
+    broadcast — the fact table is never shuffled.
+    """
+    dims = (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "n_name", "r_name")
+    )
+    return (
+        orders.join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents("o_totalprice")).alias("sum_price_c"),
+        )
+    )
+
+
+def join_equi_shuffle(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """Fact ⋈ fact on l_orderkey — shuffle (sort-merge / shuffled-hash by
+    AQE's choice), revenue per order priority."""
+    revenue = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(revenue).alias("revenue_c"),
+        )
+    )
+
+
+def join_asof(events: DataFrame) -> DataFrame:
+    """As-of join: for each 'click', the latest 'error' value of the same
+    user at-or-before the click (`SURVEY.md §2.B Joins`).
+
+    Union-and-carry: tag both sides, sort within user by (ts, side), carry
+    the last error value forward with last(ignorenulls). One shuffle on
+    user_id; no per-probe scan — this is how an as-of stays O(n log n) at
+    100 TB. Errors are pre-deduped per (user, µs) by last event_id so ties
+    are deterministic.
+    """
+    errors = (
+        events.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts_us")
+        .agg(F.max_by("value", "event_id").alias("err_value"))
+        .select("user_id", "ts_us", "err_value", F.lit(0).alias("side"),
+                F.lit(None).cast("long").alias("event_id"))
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts_us",
+        F.lit(None).cast("double").alias("err_value"),
+        F.lit(1).alias("side"), "event_id",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        errors.unionByName(clicks)
+        .withColumn("asof_value", F.last("err_value", ignorenulls=True).over(w))
+        .filter((F.col("side") == 1) & F.col("asof_value").isNotNull())
+        .select("event_id", "user_id", "asof_value")
+    )
+
+
+def join_interval(events: DataFrame, width_us: int = 10 * MIN_US) -> DataFrame:
+    """Interval join: clicks within [error_ts, error_ts + width) of the same
+    user, counted per error event.
+
+    Bucketized: probe intervals explode into their ≤2 covering buckets and
+    the join is a plain equi join on (user, bucket) + residual range filter —
+    the scalable alternative to a nested-loop range join (bucket width =
+    interval width bounds the blow-up to 2×).
+    """
+    bkt = lambda c: (c - c % F.lit(width_us)).cast("long")  # noqa: E731
+    errors = (
+        events.filter(F.col("event_type") == "error")
+        .select("event_id", "user_id", F.col("ts_us").alias("err_us"))
+        .withColumn(
+            "bucket",
+            F.explode(
+                F.array(bkt(F.col("err_us")), bkt(F.col("err_us")) + F.lit(width_us))
+            ),
+        )
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts_us").alias("click_us")
+    ).withColumn("bucket", bkt(F.col("click_us")))
+    return (
+        errors.join(clicks, ["user_id", "bucket"])
+        .filter(
+            (F.col("click_us") >= F.col("err_us"))
+            & (F.col("click_us") < F.col("err_us") + F.lit(width_us))
+        )
+        .groupBy("event_id", "user_id")
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+    )
+
+
+def join_semi(customer: DataFrame, orders: DataFrame, min_price: float) -> DataFrame:
+    """Left-semi: customers having ≥1 order above min_price. Semi joins
+    short-circuit (no fanout, no dedup pass)."""
+    big = orders.filter(F.col("o_totalprice") > min_price)
+    return customer.join(
+        big, customer.c_custkey == big.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+def join_anti(customer: DataFrame, orders: DataFrame, min_price: float) -> DataFrame:
+    """Left-anti: customers with NO order above min_price."""
+    big = orders.filter(F.col("o_totalprice") > min_price)
+    return customer.join(
+        big, customer.c_custkey == big.o_custkey, "left_anti"
+    ).select("c_custkey", "c_mktsegment")

@@ -1,0 +1,85 @@
+"""Scalar function coverage (SURVEY.md §2.B) — date/time, string, math,
+array, map, JSON. The reference's only scalar math is ts flooring
+(`dbase/dbase.go:127,163-164`) and a string join (`dbase/dbase.go:292`);
+this is the standard library an analytics user expects.
+
+All expressions are JVM built-ins inside whole-stage codegen — no UDFs.
+Derivations that must match the DuckDB oracle avoid engine-divergent
+functions (locale-dependent formats, libm transcendentals other than sqrt).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def scalar_datetime(orders: DataFrame) -> DataFrame:
+    """date_trunc / extract family over o_orderdate (timestamp_ntz)."""
+    return (
+        orders.select(
+            F.year("o_orderdate").cast("long").alias("yr"),
+            F.quarter("o_orderdate").cast("long").alias("qtr"),
+            F.month("o_orderdate").cast("long").alias("mo"),
+        )
+        .groupBy("yr", "qtr", "mo")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def scalar_string(part: DataFrame) -> DataFrame:
+    """lower / length / substring / split / concat_ws / regexp_extract."""
+    return part.select(
+        "p_partkey",
+        F.lower("p_name").alias("lname"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.substring("p_name", 1, 5).alias("prefix5"),
+        F.size(F.split("p_name", " ")).cast("long").alias("n_words"),
+        F.regexp_extract("p_name", "^([a-z]+)", 1).alias("first_word"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+    )
+
+
+def scalar_math(lineitem: DataFrame) -> DataFrame:
+    """floor/ceil/round/abs/sqrt/mod — all IEEE-exact per row (sqrt is
+    correctly rounded, so it matches across engines; exp/ln would not)."""
+    return lineitem.filter(F.col("l_orderkey") < 100).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.floor("l_extendedprice").cast("long").alias("fl"),
+        F.ceil("l_extendedprice").cast("long").alias("ce"),
+        F.round("l_extendedprice", 1).alias("rnd1"),
+        F.abs(F.col("l_discount") - 0.05).alias("adiff"),
+        F.sqrt("l_quantity").alias("sq"),
+        (F.col("l_orderkey") % 7).cast("long").alias("m7"),
+    )
+
+
+def scalar_array(embeddings: DataFrame) -> DataFrame:
+    """size / element_at / slice / aggregate (sequential double fold —
+    order-deterministic, matches DuckDB's list_sum over the same transform)."""
+    vec_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return embeddings.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.element_at("embedding", 1).cast("double").alias("first_el"),
+        F.round(
+            F.aggregate(vec_d, F.lit(0.0), lambda acc, x: acc + x), 5
+        ).alias("el_sum"),
+        F.round(
+            F.aggregate(
+                F.slice(vec_d, 1, 8), F.lit(0.0), lambda acc, x: acc + x
+            ),
+            5,
+        ).alias("head8_sum"),
+    )
+
+
+def scalar_json(events: DataFrame) -> DataFrame:
+    """JSON path extraction over the props payload + map building."""
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        events.select(k.alias("k"), "event_type")
+        .groupBy((F.col("k") % 10).alias("k_mod"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

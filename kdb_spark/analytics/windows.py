@@ -1,0 +1,75 @@
+"""Window functions (SURVEY.md §2.B) — the canonical TSDB derivations the
+reference's dense grid feeds (counter deltas, moving averages, ranks).
+
+Every window partitions by a series key — at 100 TB the single shuffle is on
+(series), never a global single-partition window. Order keys always include
+a unique tiebreaker (event_id / o_orderkey) so results are deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from kdb_spark.tables import HOUR_US, cents
+
+
+def win_moving_avg(events: DataFrame, k: int = 5) -> DataFrame:
+    """Trailing k+1-row moving average per user series."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(-k, 0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w), 4).alias("mavg"),
+    )
+
+
+def win_rank(orders: DataFrame) -> DataFrame:
+    """rank / dense_rank / row_number per customer by price desc."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), "o_orderkey"
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.row_number().over(w).cast("long").alias("rn"),
+    )
+
+
+def win_lag_delta(events: DataFrame) -> DataFrame:
+    """Counter delta — lag(value) per (user, type) series ordered by time.
+
+    The canonical TSDB derivative (SURVEY.md §2.B "Window functions").
+    Exact doubles: delta subtracts two stored values, no accumulation.
+    """
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+    return events.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+    )
+
+
+def win_range_frame(events: DataFrame, width_us: int = HOUR_US) -> DataFrame:
+    """Sliding time-range frame: sum over the trailing hour per user.
+
+    rangeBetween on the µs epoch long — a true value-range frame, not a row
+    count. Cents keep the running sum order-independent.
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-width_us, 0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.sum(cents("value")).over(w).alias("trail_sum_c"),
+    )

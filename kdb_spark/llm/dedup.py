@@ -1,0 +1,242 @@
+"""Deduplication operators (SURVEY.md §2.K).
+
+- exact:   content-hash groupBy (sha2) — one shuffle on the hash.
+- n-gram Jaccard: exact near-dup via shared-shingle candidate join — any pair
+  with jaccard > 0 shares a shingle, so candidate generation by shingle
+  equi-join is *exact* (no recall loss) while doing |pairs-sharing-a-shingle|
+  work instead of |docs|².
+- MinHash-LSH: banded signatures — the 100 TB path where even
+  shared-shingle joins blow up; candidates then verified with exact jaccard.
+- SimHash: 64-bit sign fingerprint + banded hamming blocking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tokens(col: F.Column | str = "text") -> F.Column:
+    """Lowercase word tokens — the shared tokenizer for all text ops."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(F.lower(c), F.lit("[a-z0-9]+"), 0)
+
+
+def shingles(col: F.Column, n: int = 3) -> F.Column:
+    """Distinct word n-grams (default 3) joined by single spaces.
+
+    Guarded for short docs: Spark's sequence(1, 0) would count DOWN, so
+    docs with < n tokens get an explicit empty array.
+    """
+    toks = tokens(col)
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+        )
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def dedup_exact(documents: DataFrame) -> DataFrame:
+    """Exact dedup on sha2(text): keep the lowest doc_id per content hash.
+
+    The hash (32B) stands in for arbitrarily large documents, so the shuffle
+    carries fixed-width keys at any scale.
+    """
+    return (
+        documents.select(F.sha2("text", 256).alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("doc_id", "n_copies")
+    )
+
+
+def _doc_shingles(documents: DataFrame, n: int = 3) -> DataFrame:
+    return documents.select("doc_id", shingles(F.col("text"), n).alias("sh"))
+
+
+def dedup_ngram_jaccard(
+    documents: DataFrame, threshold: float = 0.5, n: int = 3
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (jaccard >= threshold, a < b).
+
+    Candidates via shared-shingle equi-join (exact: jaccard>0 ⇒ ≥1 shared
+    shingle). |intersection| falls out of the join group count; |union| from
+    per-doc distinct counts. jaccard = int/int division — bit-identical
+    across engines.
+    """
+    docs = _doc_shingles(documents, n).persist()
+    sizes = docs.select("doc_id", F.size("sh").alias("n_sh"))
+    flat = docs.select("doc_id", F.explode("sh").alias("s"))
+    a, b = flat.alias("a"), flat.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signature(sh_col: F.Column, num_perm: int, seed: int = 42) -> F.Column:
+    """Array of num_perm minhash values over a shingle array.
+
+    The i-th "permutation" is xxhash64(shingle, seed+i) — an independent
+    64-bit hash per slot; each signature slot is an array_min. All
+    expression-level (JVM xxhash64 + array lambdas), whole-stage codegen,
+    no UDF, no per-row Python.
+    """
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(sh_col, lambda s, i=i: F.xxhash64(s, F.lit(seed + i)))
+            )
+            for i in range(num_perm)
+        ]
+    )
+
+
+def dedup_near_minhash(
+    documents: DataFrame,
+    threshold: float = 0.5,
+    num_perm: int = 32,
+    bands: int = 16,
+    n: int = 3,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs, verified with exact jaccard.
+
+    Banded LSH (bands × rows = num_perm): docs sharing any band bucket become
+    candidates (equi-join on (band, bucket-hash) — never all-pairs,
+    SURVEY.md:285-286), then exact jaccard filters false positives. With
+    16 bands × 2 rows, P(candidate | j) = 1-(1-j²)^16: ≥ 0.99 at j = 0.5 and
+    1-2e-12 at j = 0.9 — misses are possible in principle (LSH is
+    probabilistic) but the verify step means any emitted pair is exact.
+    """
+    rows = num_perm // bands
+    docs = _doc_shingles(documents, n).filter(F.size("sh") > 0)
+    sig = docs.select(
+        "doc_id", minhash_signature(F.col("sh"), num_perm).alias("sig")
+    )
+    band_cols = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(*[F.col("sig")[b * rows + r] for r in range(rows)]).alias("bh"),
+                )
+                for b in range(bands)
+            ]
+        )
+    ).alias("bb")
+    buckets = sig.select("doc_id", band_cols).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # exact-jaccard verification of candidates only
+    sh_a = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sh_b = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash64(documents: DataFrame) -> DataFrame:
+    """64-bit SimHash per doc: sign of per-bit ±1 sums over token hashes.
+
+    explode(tokens) → 64 conditional sums in ONE hash aggregate → bit
+    reassembly. One shuffle on doc_id; the 64 sums are a single combine-able
+    aggregate row per doc.
+    """
+    tok = documents.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("t")
+    ).withColumn("h", F.xxhash64("t"))
+    aggs = [
+        F.sum(
+            (F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    sums = tok.groupBy("doc_id").agg(*aggs)
+    sim = F.lit(0).cast("long")
+    for i in range(64):
+        # 1 << 63 wraps to long-min — the sign bit, still a valid bit flag
+        bit = (1 << i) - (1 << 64 if i == 63 else 0)
+        sim = sim + F.when(F.col(f"b{i}") > 0, F.lit(bit)).otherwise(0)
+    return sums.select("doc_id", sim.alias("simhash"))
+
+
+def dedup_simhash(documents: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """SimHash near-dup pairs: 4×16-bit band blocking + exact hamming verify.
+
+    Any pair with hamming ≤ 3 shares at least one exact 16-bit band
+    (pigeonhole); wider thresholds trade recall, like all SimHash blocking.
+    """
+    sh = simhash64(documents)
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("simhash"), i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("bits"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bits").alias("bits"))
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bits") == F.col("b.bits"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).cast("long").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,83 @@
+"""Text analysis operators (SURVEY.md §2.K): stats, language ID heuristic,
+BPE-ish token counting, rolling-hash fingerprinting. All JVM expressions
+(regexp_extract_all + array lambdas) — one scan, no shuffle, no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kdb_spark.llm.dedup import tokens
+
+EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+
+
+def text_stats(documents: DataFrame) -> DataFrame:
+    """Per-doc quality stats: lengths, token counts, ratios."""
+    toks = tokens("text")
+    stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    return documents.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_m"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_uniq"),
+        F.round(
+            F.aggregate(
+                toks, F.lit(0.0), lambda acc, t: acc + F.length(t)
+            )
+            / F.greatest(F.size(toks), F.lit(1)),
+            4,
+        ).alias("avg_tok_len"),
+        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+        .cast("long")
+        .alias("n_stop"),
+        F.size(F.regexp_extract_all("text", F.lit("[0-9]"), 0))
+        .cast("long")
+        .alias("n_digits"),
+    )
+
+
+def lang_id(documents: DataFrame, min_ratio: float = 0.05) -> DataFrame:
+    """Stopword-ratio language heuristic: flag docs whose English-stopword
+    token fraction clears the threshold. (ratio = int/int division —
+    bit-identical across engines, so the threshold compare is stable.)"""
+    toks = tokens("text")
+    stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    ratio = hits / F.greatest(F.size(toks), F.lit(1))
+    return documents.select(
+        "doc_id",
+        "lang",
+        F.round(ratio, 6).alias("stop_ratio"),
+        F.when(ratio >= min_ratio, F.lit("en")).otherwise(F.lit("unk")).alias("pred"),
+    )
+
+
+def token_count_bpe(documents: DataFrame) -> DataFrame:
+    """BPE-ish token counting: letter runs, digit runs, and single
+    non-alnum-non-space marks each count as one token."""
+    pat = F.lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")
+    return documents.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.lower("text"), pat, 0))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+        F.size(tokens("text")).cast("long").alias("n_word_tokens"),
+    )
+
+
+def doc_fingerprint(documents: DataFrame) -> DataFrame:
+    """Order-sensitive rolling-hash fingerprint over the token stream:
+    h = fold(codes, 0, (h,c) -> (h*31 + c) mod (2^31-1)) where
+    code = 17*len(token) + unicode(first char). Detects reordering that
+    bag-of-shingles misses; pure integer arithmetic → engine-exact."""
+    codes = F.transform(
+        tokens("text"), lambda t: F.length(t).cast("long") * 17 + F.ascii(t)
+    )
+    fp = F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + c) % F.lit(2147483647),
+    )
+    return documents.select("doc_id", fp.alias("fingerprint"))

@@ -1,0 +1,138 @@
+#!/usr/bin/env python
+"""Local stand-in for the driver's t2 correctness gate.
+
+Runs every `queries()` entry at sf0.01 (or --sf) alongside its
+`oracle_sql()` DuckDB query and compares: row count, sorted column names,
+and order-insensitive values (exact for ints/strings; floats must match to
+1e-9 after the in-query rounding both sides already apply).
+
+Usage: python tools/check_oracle.py [--sf /root/testdata/sf0.01] [names...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import sys
+import time
+import traceback
+
+sys.path.insert(0, ".")
+
+
+def normalize(df, cols):
+    """pandas frame → list of row tuples, column-name sorted, row sorted."""
+    df = df[cols]
+    rows = []
+    for t in df.itertuples(index=False):
+        row = []
+        for v in t:
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                row.append(None)
+            elif isinstance(v, float):
+                row.append(v)
+            elif hasattr(v, "item"):  # numpy scalar
+                x = v.item()
+                row.append(x)
+            else:
+                row.append(v)
+        rows.append(tuple(row))
+    return sorted(rows, key=lambda r: tuple((x is None, str(x)) for x in r))
+
+
+def values_equal(a, b):
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) and isinstance(b, (float, int)):
+        if math.isnan(a) and isinstance(b, float) and math.isnan(b):
+            return True
+        return abs(a - float(b)) <= 1e-9 * max(1.0, abs(a))
+    if isinstance(b, float) and isinstance(a, int):
+        return values_equal(float(a), b)
+    return a == b
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entry
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "8g")
+        .appName("check_oracle")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf}/{t}.parquet')"
+        )
+
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    names = args.names or list(qs)
+    n_pass = n_fail = n_rowsonly = 0
+    for name in names:
+        t0 = time.time()
+        try:
+            sdf = qs[name](spark, args.sf)
+            spdf = sdf.toPandas()
+        except Exception:
+            print(f"FAIL {name}: spark error")
+            traceback.print_exc()
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"ROWS-ONLY {name}: {len(spdf)} rows, cols={sorted(spdf.columns)} "
+                  f"({time.time()-t0:.1f}s)")
+            n_rowsonly += 1
+            continue
+        try:
+            odf = con.execute(oracles[name]).fetchdf()
+        except Exception:
+            print(f"FAIL {name}: duckdb error")
+            traceback.print_exc()
+            n_fail += 1
+            continue
+        scols, ocols = sorted(spdf.columns), sorted(odf.columns)
+        if scols != ocols:
+            print(f"FAIL {name}: columns {scols} != {ocols}")
+            n_fail += 1
+            continue
+        if len(spdf) != len(odf):
+            print(f"FAIL {name}: rows {len(spdf)} != {len(odf)}")
+            n_fail += 1
+            continue
+        srows = normalize(spdf, scols)
+        orows = normalize(odf, ocols)
+        bad = None
+        for i, (r1, r2) in enumerate(zip(srows, orows)):
+            if len(r1) != len(r2) or not all(values_equal(a, b) for a, b in zip(r1, r2)):
+                bad = (i, r1, r2)
+                break
+        if bad:
+            print(f"FAIL {name}: first diff at sorted row {bad[0]}:\n  spark: {bad[1]}\n  duck : {bad[2]}")
+            n_fail += 1
+        else:
+            print(f"PASS {name}: {len(spdf)} rows ({time.time()-t0:.1f}s)")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_rowsonly} rows-only, {n_fail} fail / {len(names)}")
+    spark.stop()
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
