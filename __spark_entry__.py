@@ -27,6 +27,7 @@ from kdb_spark.analytics import scalars as sc
 from kdb_spark.analytics import setops as so
 from kdb_spark.analytics import sorts as st
 from kdb_spark.analytics import windows as wn
+from kdb_spark import streaming as sm
 from kdb_spark.llm import dedup as dd
 from kdb_spark.llm import multimodal as mm
 from kdb_spark.llm import similarity as sim
@@ -461,6 +462,96 @@ _reg(
     SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
            event_type, count(*) AS n
     FROM events GROUP BY 1, 2
+    """,
+)
+
+# ----------------------------------------------------------------- streaming
+# Each op is a Structured Streaming program run in batch-equivalence mode
+# (AvailableNow trigger drained to a sink; see kdb_spark/streaming.py). The
+# oracle is the equivalent batch SQL — the standard streaming correctness
+# contract, so these get full value-hash checks, not rows-only.
+
+_reg(
+    "ingest_stream",
+    lambda s, d: sm.ingest_stream(s, d, NOW_JAN20),
+    f"""
+    SELECT epoch_us(ts) - epoch_us(ts) % {DAY_US} AS bucket_us,
+           CASE WHEN epoch_us(ts) > {NOW_JAN20} THEN 'future' ELSE 'ok' END AS status,
+           count(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+
+_reg(
+    "stream_tumbling_agg",
+    sm.stream_tumbling_agg,
+    """
+    SELECT event_type,
+           epoch_us(ts) - epoch_us(ts) % 3600000000 AS hour_us,
+           count(*) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c,
+           min(value) AS min_value,
+           max(value) AS max_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+
+_reg(
+    "stream_sliding_agg",
+    sm.stream_sliding_agg,
+    """
+    WITH e AS (SELECT event_type, epoch_us(ts) AS ts_us, value FROM events),
+    x AS (
+      SELECT event_type, ts_us - ts_us % 3600000000 AS w, value FROM e
+      UNION ALL
+      SELECT event_type, ts_us - ts_us % 3600000000 - 3600000000 AS w, value FROM e)
+    SELECT event_type, w AS win_start_us, count(*) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
+    FROM x GROUP BY 1, 2
+    """,
+)
+
+_reg(
+    "stream_session_agg",
+    sm.stream_session_agg,
+    """
+    WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),
+    o AS (SELECT user_id, ts_us, value,
+                 CASE WHEN lag(ts_us) OVER w IS NULL
+                       OR ts_us - lag(ts_us) OVER w >= 1800000000
+                      THEN 1 ELSE 0 END AS ns
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+    s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts_us
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+          FROM o)
+    SELECT user_id,
+           min(ts_us) AS session_start_us,
+           max(ts_us) + 1800000000 AS session_end_us,
+           count(*) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
+    FROM s GROUP BY user_id, sid
+    """,
+)
+
+_reg(
+    "stream_dedup",
+    sm.stream_dedup,
+    f"""
+    SELECT DISTINCT user_id, event_type,
+           epoch_us(ts) - epoch_us(ts) % {DAY_US} AS day_us
+    FROM events
+    """,
+)
+
+_reg(
+    "stream_latest_state",
+    sm.stream_latest_state,
+    """
+    SELECT user_id, event_type, ts_us AS last_ts_us, value AS last_value FROM (
+      SELECT user_id, event_type, epoch_us(ts) AS ts_us, value,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+      FROM events) WHERE rn = 1
     """,
 )
 

@@ -34,6 +34,7 @@ hot path fed by Structured Streaming — kdb_spark/streaming.py).
 
 from __future__ import annotations
 
+import fcntl
 import json
 import os
 import shutil
@@ -72,6 +73,7 @@ class TimeSeriesStore:
         fields += [
             T.StructField("payload", T.BinaryType(), False),
             T.StructField("ingest_seq", T.LongType(), False),
+            T.StructField("row_seq", T.LongType(), False),
             T.StructField("bucket_ts", T.LongType(), False),
         ]
         return T.StructType(fields)
@@ -91,13 +93,28 @@ class TimeSeriesStore:
         return os.path.join(self.path, "_ingest_seq.json")
 
     def _next_batch_seq(self) -> int:
+        """Atomically allocate the next batch sequence number.
+
+        fcntl-locked read-modify-write with a tmp-file + ``os.replace``
+        publish, so two concurrent ``put_batch`` calls (or two store
+        instances on the same path) can never read the same counter. On a
+        real cluster this would be a commit-log/Delta table version; the
+        locked counter is its single-node analog.
+        """
         f = self._seq_file()
-        cur = 0
-        if os.path.exists(f):
-            with open(f) as fh:
-                cur = json.load(fh)["next"]
-        with open(f, "w") as fh:
-            json.dump({"next": cur + 1}, fh)
+        lock = f + ".lock"
+        with open(lock, "w") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            cur = 0
+            if os.path.exists(f):
+                with open(f) as fh:
+                    cur = json.load(fh)["next"]
+            tmp = f + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump({"next": cur + 1}, fh)
+                fh.flush()
+                os.fsync(fh.fileno())
+            os.replace(tmp, f)
         return cur
 
     def put_batch(
@@ -129,12 +146,35 @@ class TimeSeriesStore:
             "ts", F.col("ts") - F.col("ts") % F.lit(cfg.resolution)  # dbase.go:127
         )
 
-        # one distributed pass computing every violation count (no collect of data)
+        # Single-pass validate-and-write: the write job carries an
+        # `observe()` metric counting every violation class, landing in a
+        # staging dir that is committed (renamed into place) only if all
+        # counts are zero. One scan of the input, all-or-nothing semantics
+        # mirroring the per-call rejections of `dbase/dbase.go:125-159`,
+        # and no validate-then-write double evaluation of a possibly
+        # nondeterministic source.
+        from pyspark.sql import Observation
+
         bad_tag = F.lit(False)
         for c in cfg.tag_cols:
             bad_tag = bad_tag | F.col(c).isNull() | (F.col(c) == "")  # dbase.go:138-142
         hot_min = cfg.hot_min_base(now)
-        counts = df.select(
+
+        batch = self._next_batch_seq()
+        out = (
+            df.withColumn("ingest_seq", F.lit(int(batch)))
+            # Intra-batch tiebreak: full 64-bit monotonically_increasing_id
+            # (partition-major, row-minor — the batch's row order). No modulo,
+            # so no aliasing at >=128 partitions; LWW ranks by
+            # struct(ingest_seq, row_seq), see `_lww`.
+            .withColumn("row_seq", F.monotonically_increasing_id())
+            .withColumn(
+                "bucket_ts", F.col("ts") - F.col("ts") % F.lit(cfg.bucket_duration)
+            )
+        )
+        obs = Observation()
+        out = out.observe(
+            obs,
             F.sum(F.when(F.col("ts") > F.lit(now), 1).otherwise(0)).alias("future"),
             F.sum(F.when(bad_tag, 1).otherwise(0)).alias("bad_tag"),
             F.sum(
@@ -145,73 +185,89 @@ class TimeSeriesStore:
                 ).otherwise(0)
             ).alias("bad_payload"),
             F.sum(
-                F.when(
-                    (F.col("ts") - F.col("ts") % F.lit(cfg.bucket_duration))
-                    < F.lit(hot_min),
-                    1,
-                ).otherwise(0)
+                F.when(F.col("bucket_ts") < F.lit(hot_min), 1).otherwise(0)
             ).alias("cold"),
             F.count(F.lit(1)).alias("n"),
-        ).first()
-        if counts["future"]:
-            raise FutureTimestampError(
-                f"{counts['future']} rows with ts > now={now} (dbase.go:129-132)"
-            )
-        if counts["bad_tag"]:
-            raise ValidationError(
-                f"{counts['bad_tag']} rows with null/empty tags (dbase.go:138-142)"
-            )
-        if counts["bad_payload"]:
-            raise ValidationError(
-                f"{counts['bad_payload']} rows with payload size != {cfg.payload_size} (dbase.go:144-146)"
-            )
-        if counts["cold"]:
-            raise ColdWriteError(
-                f"{counts['cold']} rows route to read-only buckets older than {hot_min} "
-                "(dbucket.go:120-122)"
-            )
-
-        batch = self._next_batch_seq()
-        out = (
-            df.withColumn(
-                "ingest_seq",
-                # monotonic: batch-major, row-minor (last Put wins, dblock.go:198-205)
-                F.lit(int(batch) << 40) + F.monotonically_increasing_id() % F.lit(1 << 40),
-            )
-            .withColumn(
-                "bucket_ts", F.col("ts") - F.col("ts") % F.lit(cfg.bucket_duration)
-            )
         )
-        out.write.mode("append").partitionBy("bucket_ts").parquet(self.path)
-        return int(counts["n"])
+
+        staging = os.path.join(self.path, f"_staging_batch_{batch}")
+        out.write.mode("overwrite").partitionBy("bucket_ts").parquet(staging)
+        counts = obs.get
+        try:
+            if counts["future"]:
+                raise FutureTimestampError(
+                    f"{counts['future']} rows with ts > now={now} (dbase.go:129-132)"
+                )
+            if counts["bad_tag"]:
+                raise ValidationError(
+                    f"{counts['bad_tag']} rows with null/empty tags (dbase.go:138-142)"
+                )
+            if counts["bad_payload"]:
+                raise ValidationError(
+                    f"{counts['bad_payload']} rows with payload size != {cfg.payload_size} (dbase.go:144-146)"
+                )
+            if counts["cold"]:
+                raise ColdWriteError(
+                    f"{counts['cold']} rows route to read-only buckets older than {hot_min} "
+                    "(dbucket.go:120-122)"
+                )
+            self._commit_staging(staging)
+        finally:
+            if os.path.exists(staging):
+                shutil.rmtree(staging)
+        return int(counts["n"] or 0)
+
+    def _commit_staging(self, staging: str) -> None:
+        """Publish a validated staging write: rename each part file into its
+        bucket partition. Local-FS analog of a Delta/Iceberg manifest commit
+        (atomic per file; the batch is made visible only after validation)."""
+        for entry in os.listdir(staging):
+            if not entry.startswith("bucket_ts="):
+                continue
+            dest = os.path.join(self.path, entry)
+            os.makedirs(dest, exist_ok=True)
+            src = os.path.join(staging, entry)
+            for part in os.listdir(src):
+                if part.startswith(("part-", "part.")):
+                    os.replace(os.path.join(src, part), os.path.join(dest, part))
 
     # ------------------------------------------------------------------- reads
 
-    def _check_tags(self, tags: list[str], allow_wildcard: bool) -> None:
+    def _check_tags(self, tags: list[str]) -> None:
         if len(tags) != self.config.index_depth:
             raise ValidationError(
                 f"tag arity {len(tags)} != index_depth {self.config.index_depth}"
             )
-        if not allow_wildcard and any(t == WILDCARD or t is None for t in tags):
-            # Get with an empty tag descends to a non-existent index node in
-            # the reference → all-zero result; we mirror by just not matching.
-            pass
 
-    def _pruned(self, start: int, end: int) -> DataFrame:
+    def _pruned(self, start: int, end: int, *, include_end_bucket: bool = False) -> DataFrame:
         """Rows of buckets overlapping [start, end) — the bucket loop
-        (`dbase/dbase.go:177-188`) as a partition-pruning filter."""
+        (`dbase/dbase.go:177-188`) as a partition-pruning filter.
+
+        ``include_end_bucket`` mirrors the reference's ``find`` loop bound
+        ``t <= end - end%BucketDuration`` (`dbase/dbase.go:247,256`): when
+        ``end`` falls exactly on a bucket boundary the bucket *starting at*
+        ``end`` is still consulted for series presence (its data rows are
+        excluded by the caller's ``ts < end`` filter).
+        """
         cfg = self.config
         b0 = cfg.floor_to_bucket(start)
-        b1 = cfg.floor_to_bucket(max(start, end - 1))
+        b1 = cfg.floor_to_bucket(end) if include_end_bucket else cfg.floor_to_bucket(
+            max(start, end - 1)
+        )
         return self._read().filter(
             (F.col("bucket_ts") >= F.lit(b0)) & (F.col("bucket_ts") <= F.lit(b1))
         )
 
     def _lww(self, df: DataFrame) -> DataFrame:
-        """Last-write-wins visibility per (series, slot) (`dblock/dblock.go:198-205`)."""
+        """Last-write-wins visibility per (series, slot) (`dblock/dblock.go:198-205`).
+
+        Rank = (batch seq, intra-batch row seq): later ``put_batch`` beats
+        earlier; within a batch the later row (partition-major order) wins,
+        matching the reference's sequential ``Put`` loop.
+        """
         tag_cols = list(self.config.tag_cols)
         return df.groupBy(*tag_cols, "ts").agg(
-            F.max_by("payload", "ingest_seq").alias("payload")
+            F.max_by("payload", F.struct("ingest_seq", "row_seq")).alias("payload")
         )
 
     def get(self, start: int, end: int, tags: list[str], now: int) -> DataFrame:
@@ -226,7 +282,10 @@ class TimeSeriesStore:
         end = cfg.floor_to_resolution(end)
         if end < start or start > now or end - cfg.resolution > now:
             raise RangeError(f"invalid range [{start},{end}) vs now={now} (dbase.go:166-170)")
-        self._check_tags(tags, allow_wildcard=False)
+        # A WILDCARD ("") tag in get() is not an error: the reference descends
+        # to a nonexistent index node → all-zero result; the equality filter
+        # below matches nothing, producing the same dense zero grid.
+        self._check_tags(tags)
 
         cond = F.lit(True)
         for c, v in zip(cfg.tag_cols, tags):
@@ -257,7 +316,7 @@ class TimeSeriesStore:
         end = cfg.floor_to_resolution(end)
         if end < start or start > now or end > now:
             raise RangeError(f"invalid range [{start},{end}) vs now={now} (dbase.go:238-241)")
-        self._check_tags(tags, allow_wildcard=True)
+        self._check_tags(tags)
 
         cond = F.lit(True)
         for c, v in zip(cfg.tag_cols, tags):
@@ -265,7 +324,9 @@ class TimeSeriesStore:
                 cond = cond & (F.col(c) == F.lit(v))
 
         tag_cols = list(cfg.tag_cols)
-        scanned = self._pruned(start, end).filter(cond)
+        # Presence consults every bucket the reference's loop touches —
+        # including the one whose base == end (dbase.go:247,256).
+        scanned = self._pruned(start, end, include_end_bucket=True).filter(cond)
         series = scanned.select(*tag_cols).distinct()
         data = scanned.filter((F.col("ts") >= start) & (F.col("ts") < end))
         lww = self._lww(data)

@@ -1,0 +1,285 @@
+"""Structured Streaming layer — the reference's hot-bucket write path and the
+engine's streaming operators (SURVEY.md §2.B "Streaming-only").
+
+Reference analogs:
+- hot window = last 2 buckets (`dbase/dbase.go:17-20,403-406`): here the
+  **watermark** is the hot/cold boundary — late data beyond it is dropped
+  exactly as kdb rejects cold writes (`dbucket/dbucket.go:120-122`).
+- future-data rejection (`dbase/dbase.go:129-132`): per-row status column in
+  `ingest_stream`, same classification as the batch kernel.
+- retention / bucket close on eviction (`dbase/dbase.go:323-364,436-451`):
+  partitioned streaming parquet sink; dropping a bucket is a partition drop.
+
+Every operator is a *streaming* DataFrame program (readStream → transform →
+writeStream). For the driver's oracle gate each op also runs in
+**batch-equivalence mode**: a `Trigger.AvailableNow` run over the test
+parquet, drained into a memory/parquet sink, whose final table must equal the
+equivalent batch SQL — the standard Structured Streaming correctness
+contract (the engine guarantees the incremental plan converges to the batch
+answer). At 100 TB the same code runs continuously: the source becomes
+Kafka/files-on-arrival, the sinks keep their checkpoints, and state cleanup
+is bounded by the watermark instead of the test corpus size.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from kdb_spark.tables import DAY_US, cents
+
+MIN30_US = 30 * 60 * 1_000_000
+
+# The streaming file source monitors a *directory* for arriving files; the
+# driver's tables are single parquet files, so stage a symlink dir per file
+# (on a cluster the source would already be a landing directory / Kafka).
+_STAGED: dict[str, str] = {}
+
+
+def _staged_dir(path: str) -> str:
+    import os
+
+    d = _STAGED.get(path)
+    if d is None or not os.path.isdir(d):
+        d = tempfile.mkdtemp(prefix="kdbs_src_")
+        os.symlink(path, os.path.join(d, os.path.basename(path)))
+        _STAGED[path] = d
+    return d
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming view of the events table: file source, explicit schema
+    (streaming sources never infer), µs epoch + event-time timestamp cols."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir.rstrip('/')}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    return (
+        spark.readStream.schema(schema)
+        .parquet(_staged_dir(path))
+        .withColumn("ts_us", F.expr("ts div 1000"))
+        .withColumn("ets", F.timestamp_micros(F.col("ts_us")))
+    )
+
+
+def _drain(df: DataFrame, output_mode: str) -> DataFrame:
+    """Run a streaming DataFrame to completion (AvailableNow) into a memory
+    sink; return the final in-memory table. Batch-equivalence harness only —
+    production sinks are parquet/Kafka with the same checkpoint contract."""
+    name = "strm_" + uuid.uuid4().hex[:12]
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="kdbs_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+# --------------------------------------------------------------------- ingest
+
+def ingest_stream(spark: SparkSession, sf_dir: str, now_us: int) -> DataFrame:
+    """O1 `Put` as a continuous ingest pipeline (`dbase/dbase.go:125-159`).
+
+    readStream → per-row admission status (future vs ok, floored bucket) →
+    exactly-once parquet sink partitioned by bucket (checkpointed file sink:
+    the streaming analog of the batch staging commit in store.py). Returns
+    per-bucket admission counts read back from the *sink*, so the oracle
+    checks what was actually persisted.
+    """
+    s = events_stream(spark, sf_dir)
+    validated = s.select(
+        "event_id",
+        (F.col("ts_us") - F.col("ts_us") % F.lit(DAY_US)).alias("bucket_us"),
+        F.when(F.col("ts_us") > F.lit(now_us), F.lit("future"))
+        .otherwise(F.lit("ok"))
+        .alias("status"),
+    )
+    outdir = tempfile.mkdtemp(prefix="kdbs_ingest_")
+    q = (
+        validated.writeStream.format("parquet")
+        .option("path", outdir)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="kdbs_ck_"))
+        .partitionBy("bucket_us")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.option("basePath", outdir).parquet(outdir)
+    return back.groupBy("bucket_us", "status").agg(F.count(F.lit(1)).alias("n"))
+
+
+# ----------------------------------------------------------------- windowing
+
+def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly tumbling rollup per event_type with a 1-day watermark (the
+    hot/cold boundary). State per open window only; watermark bounds it."""
+    s = events_stream(spark, sf_dir)
+    agg = (
+        s.withWatermark("ets", "1 day")
+        .groupBy("event_type", F.window("ets", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents("value")).alias("sum_value_c"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+    out = _drain(agg, "complete")
+    return out.select(
+        "event_type",
+        F.unix_micros("w.start").alias("hour_us"),
+        "n",
+        "sum_value_c",
+        "min_value",
+        "max_value",
+    )
+
+
+def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hour windows sliding by 1 hour per event_type — each event feeds
+    two windows; Spark expands window assignment map-side (no self-join)."""
+    s = events_stream(spark, sf_dir)
+    agg = (
+        s.withWatermark("ets", "1 day")
+        .groupBy("event_type", F.window("ets", "2 hours", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(cents("value")).alias("sum_value_c"))
+    )
+    out = _drain(agg, "complete")
+    return out.select(
+        "event_type",
+        F.unix_micros("w.start").alias("win_start_us"),
+        "n",
+        "sum_value_c",
+    )
+
+
+def stream_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows (30-minute inactivity gap) — dynamic-length
+    windows merged in the state store (`F.session_window`); session end =
+    last event + gap, matching the SQL lag/cumsum reconstruction."""
+    s = events_stream(spark, sf_dir)
+    agg = (
+        s.withWatermark("ets", "1 day")
+        .groupBy("user_id", F.session_window("ets", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(cents("value")).alias("sum_value_c"))
+    )
+    out = _drain(agg, "complete")
+    return out.select(
+        "user_id",
+        F.unix_micros("w.start").alias("session_start_us"),
+        F.unix_micros("w.end").alias("session_end_us"),
+        "n",
+        "sum_value_c",
+    )
+
+
+# --------------------------------------------------------------------- dedup
+
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`dropDuplicatesWithinWatermark` on (user_id, event_type, day): emits
+    the first occurrence of each key; dedup state for a day is dropped once
+    the watermark passes it (bounded state — the 100 TB requirement).
+
+    Projected to exactly the key columns so the emitted row set is
+    deterministic (first-seen values of non-key columns are not)."""
+    s = events_stream(spark, sf_dir)
+    keyed = s.select(
+        "user_id",
+        "event_type",
+        F.timestamp_micros(
+            (F.col("ts_us") - F.col("ts_us") % F.lit(DAY_US))
+        ).alias("eday"),
+    )
+    deduped = keyed.withWatermark("eday", "2 days").dropDuplicatesWithinWatermark()
+    out = _drain(deduped, "append")
+    return out.select(
+        "user_id", "event_type", F.unix_micros("eday").alias("day_us")
+    )
+
+
+# -------------------------------------------------------------- latest state
+
+_LATEST_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("last_ts_us", T.LongType()),
+        T.StructField("last_value", T.DoubleType()),
+    ]
+)
+_LATEST_STATE = T.StructType(
+    [
+        T.StructField("ts_us", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def _latest_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Keep the max-(ts_us, event_id) row per series — the streaming analog
+    of the kernel's last-write-wins slot visibility (`dblock/dblock.go:198-205`).
+    Arrow-batched; state is one scalar triple per series."""
+    best = tuple(state.get) if state.exists else None
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        row = pdf.sort_values(["ts_us", "event_id"]).iloc[-1]
+        cand = (int(row["ts_us"]), int(row["event_id"]), float(row["value"]))
+        if best is None or (cand[0], cand[1]) > (best[0], best[1]):
+            best = cand
+    if best is not None:
+        state.update(best)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "event_type": [key[1]],
+                "last_ts_us": [best[0]],
+                "last_value": [best[2]],
+            }
+        )
+
+
+def stream_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator: latest value per series via
+    `applyInPandasWithState` (SURVEY.md §2.B `stream_latest_state`).
+
+    Update-mode memory sink appends one row per (key, batch); the final
+    view compacts to the max-(ts_us) row per key — the same read path a
+    state-store-backed serving layer exposes.
+    """
+    s = events_stream(spark, sf_dir)
+    latest = (
+        s.select("user_id", "event_type", "ts_us", "event_id", "value")
+        .groupBy("user_id", "event_type")
+        .applyInPandasWithState(
+            _latest_fn,
+            outputStructType=_LATEST_OUT,
+            stateStructType=_LATEST_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    out = _drain(latest, "update")
+    return (
+        out.groupBy("user_id", "event_type")
+        .agg(
+            F.max_by(
+                F.struct("last_ts_us", "last_value"), "last_ts_us"
+            ).alias("s")
+        )
+        .select("user_id", "event_type", "s.last_ts_us", "s.last_value")
+    )

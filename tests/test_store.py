@@ -181,6 +181,55 @@ def test_find_only_existing_series(store):
     assert series == {("a", "b", "c", "d")}  # only the cold-epoch writer
 
 
+def test_find_boundary_bucket_presence(store):
+    """When `end` is exactly a bucket base, the reference's find loop still
+    consults that bucket (`t <= be`, `dbase/dbase.go:247,256`) and registers
+    its series with all-zero payloads within the clamped range."""
+    seeded(store)
+    # end=11000 == base of the bucket holding ("a","b","c","e")'s only point;
+    # its data row (ts=11000) is excluded by ts < end but the series appears.
+    out = store.find(10980, 11000, ["a", "b", "c", ""], now=NOW)
+    by_series = {}
+    for r in out.collect():
+        by_series.setdefault(
+            tuple(r[t] for t in ("tag1", "tag2", "tag3", "tag4")), []
+        ).append((r["ts"], bytes(r["payload"])))
+    assert set(by_series) == {("a", "b", "c", "d"), ("a", "b", "c", "e")}
+    assert by_series[("a", "b", "c", "e")] == [(10980, P0), (10990, P0)]
+    assert by_series[("a", "b", "c", "d")] == [(10980, P0), (10990, PA)]
+
+
+def test_intra_batch_last_write_wins_row_order(store):
+    """Two same-(series, slot) writes in ONE batch: the later row wins,
+    matching the reference's sequential Put loop (`dblock/dblock.go:198-205`).
+    Rank = struct(ingest_seq, row_seq) — full 64-bit monotonic id, no modulo
+    aliasing (partition-major == input row order)."""
+    store.put_batch(
+        [
+            (11000, "a", "b", "c", "d", PA),
+            (11000, "a", "b", "c", "d", PB),
+        ],
+        now=NOW,
+    )
+    out = store.get(11000, 11010, ["a", "b", "c", "d"], now=NOW)
+    assert payloads(out) == [PB]
+
+
+def test_put_invalid_batch_writes_nothing(store):
+    """All-or-nothing ingest: a batch with one bad row publishes zero rows
+    (staging commit only after validation passes)."""
+    with pytest.raises(ValidationError):
+        store.put_batch(
+            [
+                (11000, "a", "b", "c", "d", PA),
+                (11010, "a", "", "c", "d", PB),
+            ],
+            now=NOW,
+        )
+    out = store.get(11000, 11020, ["a", "b", "c", "d"], now=NOW)
+    assert payloads(out) == [P0, P0]
+
+
 def test_find_validation(store):
     seeded(store)
     with pytest.raises(RangeError):

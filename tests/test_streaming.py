@@ -1,0 +1,68 @@
+"""Batch-equivalence tests for the Structured Streaming layer.
+
+The correctness contract (kdb_spark/streaming.py): an AvailableNow run over
+the test corpus must converge to the equivalent batch answer. Reference
+semantics being modeled: hot-bucket ingest + watermark as the hot/cold
+boundary (`dbase/dbase.go:17-20,403-424`), LWW visibility
+(`dblock/dblock.go:198-205`).
+"""
+
+from pyspark.sql import functions as F
+
+from kdb_spark import streaming as sm
+from kdb_spark.tables import DAY_US, cents, events_us
+from tests.conftest import SF_DIR
+
+
+def rows(df, *cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_stream_tumbling_equals_batch(spark):
+    got = sm.stream_tumbling_agg(spark, SF_DIR)
+    want = (
+        events_us(spark, SF_DIR)
+        .groupBy(
+            "event_type",
+            (F.col("ts_us") - F.col("ts_us") % F.lit(3_600_000_000)).alias("hour_us"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents("value")).alias("sum_value_c"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+    cols = ["event_type", "hour_us", "n", "sum_value_c", "min_value", "max_value"]
+    assert rows(got, *cols) == rows(want, *cols)
+
+
+def test_stream_dedup_equals_distinct(spark):
+    got = sm.stream_dedup(spark, SF_DIR)
+    want = events_us(spark, SF_DIR).select(
+        "user_id",
+        "event_type",
+        (F.col("ts_us") - F.col("ts_us") % F.lit(DAY_US)).alias("day_us"),
+    ).distinct()
+    cols = ["user_id", "event_type", "day_us"]
+    assert rows(got, *cols) == rows(want, *cols)
+
+
+def test_stream_latest_state_equals_batch_argmax(spark):
+    got = sm.stream_latest_state(spark, SF_DIR)
+    want = (
+        events_us(spark, SF_DIR)
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.max_by(
+                F.struct(
+                    F.col("ts_us").alias("last_ts_us"),
+                    F.col("value").alias("last_value"),
+                ),
+                F.struct("ts_us", "event_id"),
+            ).alias("s")
+        )
+        .select("user_id", "event_type", "s.last_ts_us", "s.last_value")
+    )
+    cols = ["user_id", "event_type", "last_ts_us", "last_value"]
+    assert rows(got, *cols) == rows(want, *cols)
