@@ -203,6 +203,17 @@ _reg(
     """,
 )
 
+_reg(
+    "agg_grouping_sets",
+    lambda s, d: agg.agg_grouping_sets(load(s, d, "lineitem")),
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS g
+    FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+)
+
 # ------------------------------------------------------------------- windows
 
 _reg(
@@ -333,6 +344,27 @@ _reg(
     """,
 )
 
+_reg(
+    "join_multiway",
+    lambda s, d: jn.join_multiway(
+        load(s, d, "customer"), load(s, d, "orders"), load(s, d, "lineitem"),
+        load(s, d, "supplier"), load(s, d, "nation"), load(s, d, "region"),
+    ),
+    """
+    SELECT n_name,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_c
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA' AND c_nationkey = s_nationkey
+    GROUP BY n_name
+    """,
+)
+
 # -------------------------------------------------------------- sorts / top-k
 
 _reg(
@@ -452,6 +484,23 @@ _reg(
            round(list_sum(v), 5) AS el_sum,
            round(list_sum(v[1:8]), 5) AS head8_sum
     FROM e
+    """,
+)
+
+_reg(
+    "scalar_map",
+    lambda s, d: sc.scalar_map(load(s, d, "events")),
+    """
+    WITH kv AS (
+      SELECT len(json_keys(props)) AS n_keys,
+             unnest(json_keys(props)) AS key, props
+      FROM events)
+    SELECT key, count(*) AS n,
+           CAST(sum(CAST(json_extract(props, '$.' || key) AS BIGINT)) AS BIGINT) AS sum_val,
+           CAST(min(CAST(json_extract(props, '$.' || key) AS BIGINT)) AS BIGINT) AS min_val,
+           CAST(max(CAST(json_extract(props, '$.' || key) AS BIGINT)) AS BIGINT) AS max_val,
+           CAST(sum(n_keys) AS BIGINT) AS sum_keys
+    FROM kv GROUP BY key
     """,
 )
 

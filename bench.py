@@ -39,6 +39,14 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    # warmup: JVM/codegen spin-up and table file listing, so the first
+    # timed query doesn't absorb session startup cost
+    from kdb_spark.tables import TABLE_NAMES, load
+
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    for t in TABLE_NAMES:
+        load(spark, sf_dir, t).count()
+
     qs = entry.queries()
     timings: dict[str, float] = {}
     for name, fn in qs.items():

@@ -64,6 +64,19 @@ def agg_rollup(lineitem: DataFrame) -> DataFrame:
     )
 
 
+def agg_grouping_sets(lineitem: DataFrame) -> DataFrame:
+    """Explicit GROUPING SETS ((l_returnflag), (l_linestatus)) — the general
+    form rollup/cube specialize; one expand + one hash agg, no union of
+    scans."""
+    return lineitem.groupingSets(
+        [["l_returnflag"], ["l_linestatus"]], "l_returnflag", "l_linestatus"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents("l_quantity")).alias("sum_qty_c"),
+        F.grouping_id().cast("long").alias("g"),
+    )
+
+
 def agg_cube(orders: DataFrame) -> DataFrame:
     """CUBE(o_orderstatus, o_orderpriority) — all 4 grouping sets."""
     return orders.cube("o_orderstatus", "o_orderpriority").agg(

@@ -124,6 +124,44 @@ def join_interval(events: DataFrame, width_us: int = 10 * MIN_US) -> DataFrame:
     )
 
 
+def join_multiway(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    region_name: str = "ASIA",
+) -> DataFrame:
+    """TPC-H Q5-shaped 6-table join: local-supplier revenue per nation in one
+    region (customer and supplier in the same nation).
+
+    Plan shape for 100 TB: the two facts (lineitem, orders) meet in ONE
+    shuffle join on orderkey; every dimension path (supplier→nation→region,
+    customer) is broadcast, so neither fact is shuffled more than once and
+    the region filter prunes before anything widens.
+    """
+    revenue = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    nr = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == region_name)),
+        nation.n_regionkey == region.r_regionkey,
+    ).select("n_nationkey", "n_name")
+    sup = supplier.join(
+        F.broadcast(nr), supplier.s_nationkey == nr.n_nationkey
+    ).select("s_suppkey", "n_name", "s_nationkey")
+    co = orders.join(
+        F.broadcast(customer.select("c_custkey", "c_nationkey")),
+        orders.o_custkey == F.col("c_custkey"),
+    ).select("o_orderkey", "c_nationkey")
+    return (
+        lineitem.join(F.broadcast(sup), lineitem.l_suppkey == sup.s_suppkey)
+        .join(co, F.col("l_orderkey") == co.o_orderkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(revenue).alias("revenue_c"))
+    )
+
+
 def join_semi(customer: DataFrame, orders: DataFrame, min_price: float) -> DataFrame:
     """Left-semi: customers having ≥1 order above min_price. Semi joins
     short-circuit (no fanout, no dedup pass)."""

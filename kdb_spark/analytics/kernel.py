@@ -28,6 +28,20 @@ def _slot(col: str = "ts_us", res: int = MIN_US) -> F.Column:
     return (F.col(col) - F.col(col) % F.lit(res)).alias("slot_us")
 
 
+def _ts_range(start_us: int, end_us: int) -> F.Column:
+    """Time-range predicate stated on BOTH the derived µs column and the raw
+    ns column: a filter on `ts_us = ts div 1000` cannot reach the parquet
+    scan, but the equivalent `ts ∈ [start*1000, end*1000)` does (exact for
+    nonnegative ts), so row-group stats skip cold time ranges — the
+    Catalyst analog of the reference's bucket loop."""
+    return (
+        (F.col("ts_us") >= start_us)
+        & (F.col("ts_us") < end_us)
+        & (F.col("ts") >= start_us * 1000)
+        & (F.col("ts") < end_us * 1000)
+    )
+
+
 def lww(df: DataFrame, keys: list[str], res: int = MIN_US) -> DataFrame:
     """Last-write-wins visibility per (series, slot) (`dblock/dblock.go:198-205`).
 
@@ -63,8 +77,7 @@ def get_dense(
     data = events.filter(
         (F.col("user_id") == user_id)
         & (F.col("event_type") == event_type)
-        & (F.col("ts_us") >= start_us)
-        & (F.col("ts_us") < end_us)
+        & _ts_range(start_us, end_us)
     )
     series_lww = lww(data, [], res).select("slot_us", "value")
     spine = time_spine(spark, start_us, end_us, res, ts_col="slot_us")
@@ -92,7 +105,7 @@ def find_dense(
     Plan: one shuffle (LWW agg by series+slot); series×spine cross join is
     |series| × |slots| — the exact output size the semantics require.
     """
-    cond = (F.col("ts_us") >= start_us) & (F.col("ts_us") < end_us)
+    cond = _ts_range(start_us, end_us)
     if user_id is not None:
         cond = cond & (F.col("user_id") == user_id)
     if event_type is not None:
@@ -152,8 +165,7 @@ def series_filter(
     return events.filter(
         (F.col("user_id") == user_id)
         & (F.col("event_type") == event_type)
-        & (F.col("ts_us") >= start_us)
-        & (F.col("ts_us") < end_us)
+        & _ts_range(start_us, end_us)
     ).select("event_id", "ts_us", "value")
 
 

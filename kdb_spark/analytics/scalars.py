@@ -75,6 +75,23 @@ def scalar_array(embeddings: DataFrame) -> DataFrame:
     )
 
 
+def scalar_map(events: DataFrame) -> DataFrame:
+    """Map functions: from_json → map<string,bigint>, map_keys, explode(map)
+    → per-key stats. The map never leaves the JVM."""
+    m = F.from_json("props", "map<string,bigint>")
+    kv = events.select(
+        F.size(F.map_keys(m)).cast("long").alias("n_keys"),
+        F.explode(m).alias("key", "val"),
+    )
+    return kv.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("val").alias("sum_val"),
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+        F.sum("n_keys").alias("sum_keys"),
+    )
+
+
 def scalar_json(events: DataFrame) -> DataFrame:
     """JSON path extraction over the props payload + map building."""
     k = F.get_json_object("props", "$.k").cast("long")

@@ -22,13 +22,17 @@ def tokens(col: F.Column | str = "text") -> F.Column:
     return F.regexp_extract_all(F.lower(c), F.lit("[a-z0-9]+"), 0)
 
 
-def shingles(col: F.Column, n: int = 3) -> F.Column:
+def shingles(toks: F.Column, n: int = 3) -> F.Column:
     """Distinct word n-grams (default 3) joined by single spaces.
+
+    ``toks`` MUST be a materialized token-array *column* (not an inline
+    `tokens()` expression): every `element_at` re-evaluates its array
+    argument, so an embedded regexp tokenizer would rerun per shingle
+    position — a quadratic-in-doc-length trap (measured 15× on sf0.1).
 
     Guarded for short docs: Spark's sequence(1, 0) would count DOWN, so
     docs with < n tokens get an explicit empty array.
     """
-    toks = tokens(col)
     grams = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.size(toks) - (n - 1)),
@@ -55,7 +59,10 @@ def dedup_exact(documents: DataFrame) -> DataFrame:
 
 
 def _doc_shingles(documents: DataFrame, n: int = 3) -> DataFrame:
-    return documents.select("doc_id", shingles(F.col("text"), n).alias("sh"))
+    # two-step select: tokenize once into a column, THEN shingle over it
+    return documents.select("doc_id", tokens("text").alias("toks")).select(
+        "doc_id", shingles(F.col("toks"), n).alias("sh")
+    )
 
 
 def dedup_ngram_jaccard(
@@ -70,7 +77,20 @@ def dedup_ngram_jaccard(
     """
     docs = _doc_shingles(documents, n).persist()
     sizes = docs.select("doc_id", F.size("sh").alias("n_sh"))
-    flat = docs.select("doc_id", F.explode("sh").alias("s"))
+    # 8-byte hashed shingle keys through the shuffle instead of ~30-byte
+    # strings (exact up to xxhash64 collisions); shingles present in only
+    # one document cannot contribute to any intersection, so drop them
+    # before the self-join — typically the long tail of the corpus.
+    flat = docs.select(
+        "doc_id", F.explode("sh").alias("s")
+    ).select("doc_id", F.xxhash64("s").alias("s"))
+    shared = (
+        flat.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("s")
+    )
+    flat = flat.join(shared, "s")
     a, b = flat.alias("a"), flat.alias("b")
     inter = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))

@@ -69,25 +69,74 @@ def sim_search_topk(
     )
 
 
-def emb_near_dup(embeddings: DataFrame, tau: float = 0.4) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (cos >= tau, a < b).
+def emb_near_dup(embeddings: DataFrame, tau: float = 0.4, n_blocks: int = 8) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos >= tau, a < b) — exact,
+    via distributed block-GEMM.
 
-    sf-scale impl is a blocked self-join; at 100 TB swap the candidate
-    generator for ann_buckets() below (same verify step).
+    All-pairs cosine is inherently O(n²) *flops*, but it does not have to be
+    O(n²) *rows*: vectors are split into ``n_blocks`` row-blocks; each vector
+    is replicated to the ``n_blocks`` block-pairs it participates in
+    (shuffle volume n × n_blocks rows, never n² pairs), and each block-pair
+    group computes one vectorized numpy matmul in ``applyInPandas``
+    (Arrow-batched), emitting only qualifying pairs. Scale by setting
+    ``n_blocks ≈ sqrt(cluster parallelism)``; for approximate-but-linear,
+    use ann_buckets() as the candidate generator instead.
     """
-    n = with_norm(embeddings).select("vec_id", "embedding", "nrm")
-    a = n.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), F.col("nrm").alias("na")
+    import numpy as np
+    import pandas as pd
+
+    n = with_norm(embeddings).select(
+        "vec_id", _vec_d("embedding").alias("v"), "nrm"
     )
-    b = n.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), F.col("nrm").alias("nb")
+    # replicate each row to every block-pair (min(blk,j), max(blk,j))
+    blk = F.pmod(F.col("vec_id"), F.lit(n_blocks))
+    pairs = F.array_distinct(
+        F.array(
+            *[
+                F.struct(
+                    F.least(blk, F.lit(j)).alias("ba"),
+                    F.greatest(blk, F.lit(j)).alias("bb"),
+                )
+                for j in range(n_blocks)
+            ]
+        )
     )
-    return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cos", _dot(_vec_d("ea"), _vec_d("eb")) / (F.col("na") * F.col("nb")))
-        .filter(F.col("cos") >= tau)
-        .select("vec_a", "vec_b", F.round("cos", 6).alias("cos"))
+    rep = (
+        n.withColumn("blk", blk)
+        .withColumn("bp", F.explode(pairs))
+        .select(
+            "vec_id", "v", "nrm", "blk",
+            F.col("bp.ba").alias("ba"), F.col("bp.bb").alias("bb"),
+        )
     )
+
+    def gemm(key: tuple, pdf) -> "pd.DataFrame":
+        ba, bb = key
+        left = pdf[pdf["blk"] == ba]
+        right = pdf[pdf["blk"] == bb] if bb != ba else left
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cos": []}).astype(
+                {"vec_a": "int64", "vec_b": "int64", "cos": "float64"}
+            )
+        A = np.stack(left["v"].to_numpy()) / left["nrm"].to_numpy()[:, None]
+        B = np.stack(right["v"].to_numpy()) / right["nrm"].to_numpy()[:, None]
+        S = A @ B.T
+        ia, ib = np.nonzero(S >= tau)
+        va = left["vec_id"].to_numpy()[ia]
+        vb = right["vec_id"].to_numpy()[ib]
+        lo, hi = np.minimum(va, vb), np.maximum(va, vb)
+        if ba == bb:
+            keep = va < vb  # diagonal block: each pair appears twice + self
+        else:
+            keep = lo < hi  # cross block: once; just orient (a < b)
+        return pd.DataFrame(
+            {"vec_a": lo[keep], "vec_b": hi[keep], "cos": S[ia, ib][keep]}
+        )
+
+    out = rep.groupBy("ba", "bb").applyInPandas(
+        gemm, "vec_a long, vec_b long, cos double"
+    )
+    return out.select("vec_a", "vec_b", F.round("cos", 6).alias("cos"))
 
 
 def hyperplanes(dim: int, n_planes: int = 8, seed: int = 42) -> list[list[float]]:

@@ -15,9 +15,13 @@ EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
 
 def text_stats(documents: DataFrame) -> DataFrame:
     """Per-doc quality stats: lengths, token counts, ratios."""
-    toks = tokens("text")
+    # materialize the token array once — each reference below would
+    # otherwise re-run the regexp tokenizer (see kdb_spark/llm/dedup.py)
+    toks = F.col("toks")
     stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
     return documents.select(
+        "doc_id", "text", tokens("text").alias("toks")
+    ).select(
         "doc_id",
         F.length("text").cast("long").alias("n_chars_m"),
         F.size(toks).cast("long").alias("n_tokens"),
@@ -42,11 +46,13 @@ def lang_id(documents: DataFrame, min_ratio: float = 0.05) -> DataFrame:
     """Stopword-ratio language heuristic: flag docs whose English-stopword
     token fraction clears the threshold. (ratio = int/int division —
     bit-identical across engines, so the threshold compare is stable.)"""
-    toks = tokens("text")
+    toks = F.col("toks")
     stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
     hits = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
     ratio = hits / F.greatest(F.size(toks), F.lit(1))
     return documents.select(
+        "doc_id", "lang", tokens("text").alias("toks")
+    ).select(
         "doc_id",
         "lang",
         F.round(ratio, 6).alias("stop_ratio"),

