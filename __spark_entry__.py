@@ -776,6 +776,27 @@ _reg(
 )
 
 _reg(
+    "mm_frame_sample",
+    lambda s, d: mm.mm_frame_sample(
+        mm.multimodal_table(load(s, d, "documents"), load(s, d, "embeddings"))
+    ),
+    """
+    WITH b AS (
+      SELECT d.doc_id, CAST(octet_length(encode(d.text)) AS BIGINT) AS blen
+      FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+    f AS (
+      SELECT doc_id, blen,
+             unnest(range(0, CAST(ceil(blen / 64.0) AS BIGINT), 4)) AS frame_idx
+      FROM b)
+    SELECT doc_id,
+           CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST(frame_idx * 64 AS BIGINT) AS off_bytes,
+           CAST(least(64, blen - frame_idx * 64) AS BIGINT) AS frame_len
+    FROM f
+    """,
+)
+
+_reg(
     "mm_features",
     lambda s, d: mm.mm_features(
         mm.multimodal_table(load(s, d, "documents"), load(s, d, "embeddings"))

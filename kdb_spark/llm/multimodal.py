@@ -72,6 +72,61 @@ def _fake_features(payload: bytes) -> tuple[int, int]:
     return (len(payload), payload[0] if payload else -1)
 
 
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("off_bytes", T.LongType()),
+        T.StructField("frame_len", T.LongType()),
+    ]
+)
+
+
+def decode_video(payload: bytes) -> object:
+    """Real frame decode needs a video codec (ffmpeg/pyav), absent from this
+    container — STUB. mm_frame_sample exercises the distributed shape
+    (binary column → per-batch frame explosion) with deterministic
+    fixed-size frame geometry instead."""
+    raise NotImplementedError("video decode requires a codec library")
+
+
+def mm_frame_sample(mm: DataFrame, frame_bytes: int = 64, every: int = 4) -> DataFrame:
+    """Sample every ``every``-th fixed-size frame from each binary payload.
+
+    The 100 TB shape for video/audio frame extraction: one input row fans
+    out to O(payload/frame) rows *inside* the Arrow batch (never a driver
+    loop, never per-row Python calls into Spark). Frame geometry is
+    deterministic arithmetic over byte length, so the op is fully
+    oracle-checkable; a real decoder would replace the chunk rule only.
+    """
+
+    def sample(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            lens = pdf["payload"].map(len).to_numpy()
+            n_frames = -(-lens // frame_bytes)  # ceil
+            n_keep = -(-n_frames // every)
+            doc = np.repeat(pdf["doc_id"].to_numpy(), n_keep)
+            # frame indices 0, every, 2*every, ... per doc
+            idx = (
+                np.arange(n_keep.sum()) - np.repeat(np.cumsum(n_keep) - n_keep, n_keep)
+            ) * every
+            off = idx * frame_bytes
+            total = np.repeat(lens, n_keep)
+            yield pd.DataFrame(
+                {
+                    "doc_id": doc,
+                    "frame_idx": idx,
+                    "off_bytes": off,
+                    "frame_len": np.minimum(frame_bytes, total - off),
+                }
+            )
+
+    return mm.select("doc_id", "payload").mapInPandas(sample, FRAME_SCHEMA)
+
+
 def mm_features(mm: DataFrame) -> DataFrame:
     """Feature-extract over the binary column via mapInPandas.
 
