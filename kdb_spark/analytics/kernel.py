@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kdb_spark.densify import time_spine
+from kdb_spark.densify import dense_grid, time_spine
 from kdb_spark.tables import DAY_US, MIN_US
 
 
@@ -102,8 +102,10 @@ def find_dense(
     Only series with ≥1 point in range appear (`dbase/dbase.go:256-262`),
     each densified over the whole [start,end) grid, zero-filled.
 
-    Plan: one shuffle (LWW agg by series+slot); series×spine cross join is
-    |series| × |slots| — the exact output size the semantics require.
+    Plan: one shuffle (LWW agg by series+slot); the |series| × |slots| grid
+    — the exact output size the semantics require — is generated map-side
+    via chunked explode(sequence) per series (densify.dense_grid), never a
+    cross join, so the range width is not bounded by a broadcast.
     """
     cond = _ts_range(start_us, end_us)
     if user_id is not None:
@@ -114,8 +116,7 @@ def find_dense(
     keys = ["user_id", "event_type"]
     series = data.select(*keys).distinct()
     series_lww = lww(data, keys, res)
-    spine = time_spine(spark, start_us, end_us, res, ts_col="slot_us")
-    grid = series.crossJoin(spine)
+    grid = dense_grid(series, start_us, end_us, res, ts_col="slot_us")
     return grid.join(series_lww, [*keys, "slot_us"], "left").select(
         *keys, "slot_us", F.coalesce("value", F.lit(0.0)).alias("value")
     )

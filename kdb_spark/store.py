@@ -45,7 +45,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from kdb_spark.config import StoreConfig
-from kdb_spark.densify import densify, time_spine
+from kdb_spark.densify import dense_grid, densify, time_spine
 from kdb_spark.errors import (
     ColdWriteError,
     FutureTimestampError,
@@ -330,10 +330,10 @@ class TimeSeriesStore:
         series = scanned.select(*tag_cols).distinct()
         data = scanned.filter((F.col("ts") >= start) & (F.col("ts") < end))
         lww = self._lww(data)
-        spine = time_spine(self.spark, start, end, cfg.resolution)
+        grid = dense_grid(series, start, end, cfg.resolution)
         return densify(
-            spine, lww, on=[*tag_cols, "ts"], value_col="payload",
-            fill=F.lit(cfg.zero_payload), series=series,
+            grid, lww, on=[*tag_cols, "ts"], value_col="payload",
+            fill=F.lit(cfg.zero_payload),
         ).orderBy(*tag_cols, "ts")
 
     # --------------------------------------------------------------- retention
