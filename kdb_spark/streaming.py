@@ -87,6 +87,37 @@ def _drain(df: DataFrame, output_mode: str) -> DataFrame:
 
 # --------------------------------------------------------------------- ingest
 
+def put_stream(
+    store,
+    rows: DataFrame,
+    now_fn,
+    checkpoint: str | None = None,
+):
+    """Continuous `Put` into a TimeSeriesStore — the reference's hot-bucket
+    write path (`dbase/dbase.go:403-424`) as a Structured Streaming sink.
+
+    ``foreachBatch`` routes every micro-batch through the SAME validated
+    staging-commit path as batch ingest (store.put_batch): checkpoint +
+    all-or-nothing batch publish gives effectively-once visibility; an
+    invalid row fails its micro-batch exactly as kdb rejects the write.
+    ``now_fn()`` supplies the virtual clock per batch (`clock/clock.go`).
+
+    Returns the started StreamingQuery (caller stops/awaits).
+    """
+    ck = checkpoint or tempfile.mkdtemp(prefix="kdbs_ck_put_")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        store.put_batch(batch_df, now=now_fn())
+
+    return (
+        rows.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+
 def ingest_stream(spark: SparkSession, sf_dir: str, now_us: int) -> DataFrame:
     """O1 `Put` as a continuous ingest pipeline (`dbase/dbase.go:125-159`).
 

@@ -8,7 +8,9 @@ boundary (`dbase/dbase.go:17-20,403-424`), LWW visibility
 """
 
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
+from kdb_spark import StoreConfig, TimeSeriesStore
 from kdb_spark import streaming as sm
 from kdb_spark.tables import DAY_US, cents, events_us
 from tests.conftest import SF_DIR
@@ -46,6 +48,43 @@ def test_stream_dedup_equals_distinct(spark):
     ).distinct()
     cols = ["user_id", "event_type", "day_us"]
     assert rows(got, *cols) == rows(want, *cols)
+
+
+def test_put_stream_into_store(spark, tmp_path):
+    """Hot-path ingest: micro-batches route through the same validated
+    staging commit as batch Put; the store then serves dense reads."""
+    cfg = StoreConfig(
+        database_name="hot",
+        data_path=str(tmp_path / "db"),
+        index_depth=2,
+        payload_size=4,
+        bucket_duration=1000,
+        resolution=10,
+    )
+    st = TimeSeriesStore(spark, cfg)
+    src = str(tmp_path / "src")
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.LongType()),
+            T.StructField("tag1", T.StringType()),
+            T.StructField("tag2", T.StringType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    PA, PB = bytes([1, 2, 3, 4]), bytes([5, 6, 7, 8])
+    spark.createDataFrame(
+        [(11000, "a", "b", PA), (11010, "a", "c", PB)], schema
+    ).write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = sm.put_stream(st, stream, lambda: 11999)
+    q.awaitTermination()
+    out = st.get(11000, 11020, ["a", "b"], now=11999).collect()
+    assert [bytes(r["payload"]) for r in out] == [PA, bytes(4)]
+    series = {
+        (r["tag1"], r["tag2"])
+        for r in st.find(11000, 11020, ["a", ""], now=11999).collect()
+    }
+    assert series == {("a", "b"), ("a", "c")}
 
 
 def test_stream_latest_state_equals_batch_argmax(spark):
