@@ -181,6 +181,31 @@ _reg(
 _reg("agg_approx_distinct", lambda s, d: agg.agg_approx_distinct(events_us(s, d)), None)
 
 _reg(
+    "agg_percentile",
+    lambda s, d: agg.agg_percentile(events_us(s, d)),
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.95), 4) AS p95,
+           count(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+
+_reg(
+    "agg_stats",
+    lambda s, d: agg.agg_stats(events_us(s, d)),
+    """
+    SELECT event_type,
+           round(stddev_samp(value), 4) AS sd,
+           round(var_samp(value), 4) AS vr,
+           round(max(value) - min(value), 4) AS spread,
+           count(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+
+_reg(
     "agg_rollup",
     lambda s, d: agg.agg_rollup(load(s, d, "lineitem")),
     """
@@ -248,6 +273,20 @@ _reg(
            value - lag(value) OVER (PARTITION BY user_id, event_type
                                     ORDER BY epoch_us(ts), event_id) AS delta
     FROM events
+    """,
+)
+
+_reg(
+    "win_first_last",
+    lambda s, d: wn.win_first_last(events_us(s, d)),
+    """
+    SELECT event_id, user_id, event_type,
+           first_value(value) OVER w AS first_value,
+           last_value(value) OVER w AS last_value,
+           nth_value(value, 2) OVER w AS second_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id, event_type ORDER BY epoch_us(ts), event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
     """,
 )
 
@@ -696,6 +735,19 @@ _reg(
            CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
            CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_word_tokens
     FROM documents
+    """,
+)
+
+_reg(
+    "udtf_tokenize",
+    lambda s, d: tx.udtf_tokenize(load(s, d, "documents")),
+    """
+    WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+               FROM documents)
+    SELECT doc_id,
+           CAST(unnest(range(len(toks))) AS BIGINT) AS pos,
+           unnest(toks) AS token
+    FROM t
     """,
 )
 

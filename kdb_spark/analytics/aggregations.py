@@ -53,6 +53,34 @@ def agg_approx_distinct(events: DataFrame) -> DataFrame:
     )
 
 
+def agg_percentile(events: DataFrame) -> DataFrame:
+    """Exact interpolated percentiles (median / p95) per event_type.
+
+    `percentile` is exact (sort-based within the aggregate); the approximate
+    sketch path for 100 TB is `approx_percentile`, which merges like HLL —
+    this op is the exact baseline the sketch is judged against. Rounded to
+    4dp: both engines interpolate linearly on identical doubles, differing
+    only in low-order float bits.
+    """
+    return events.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.95)), 4).alias("p95"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def agg_stats(events: DataFrame) -> DataFrame:
+    """Second-moment statistics per event_type: stddev/variance (sample),
+    min/max spread. Rounded to 4dp — engines use different but numerically
+    stable accumulation orders."""
+    return events.groupBy("event_type").agg(
+        F.round(F.stddev_samp("value"), 4).alias("sd"),
+        F.round(F.var_samp("value"), 4).alias("vr"),
+        F.round(F.max("value") - F.min("value"), 4).alias("spread"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def agg_rollup(lineitem: DataFrame) -> DataFrame:
     """ROLLUP(l_returnflag, l_linestatus) with GROUPING id — one expand +
     one hash agg; Catalyst plans grouping sets natively."""

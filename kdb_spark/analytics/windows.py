@@ -57,6 +57,24 @@ def win_lag_delta(events: DataFrame) -> DataFrame:
     )
 
 
+def win_first_last(events: DataFrame) -> DataFrame:
+    """first_value / last_value / nth_value over the full series frame —
+    session-open vs session-close style derivations."""
+    w = (
+        Window.partitionBy("user_id", "event_type")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.first("value").over(w).alias("first_value"),
+        F.last("value").over(w).alias("last_value"),
+        F.nth_value("value", 2).over(w).alias("second_value"),
+    )
+
+
 def win_range_frame(events: DataFrame, width_us: int = HOUR_US) -> DataFrame:
     """Sliding time-range frame: sum over the trailing hour per user.
 

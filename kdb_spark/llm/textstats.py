@@ -73,6 +73,35 @@ def token_count_bpe(documents: DataFrame) -> DataFrame:
     )
 
 
+def udtf_tokenize(documents: DataFrame) -> DataFrame:
+    """Tokenizer as a Python UDTF (lateral table function) — the §2.B
+    "UDF/UDAF/UDTF surface" row.
+
+    Deliberately the *surface* demo, not a hot-path op: UDTFs are
+    row-at-a-time Python. The engine's production tokenizer is the JVM
+    expression `tokens()`; Python in hot paths is always Arrow-batched
+    (pandas_udf / applyInPandas / mapInPandas — see llm/similarity.py,
+    llm/multimodal.py).
+    """
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos: bigint, token: string")
+    class TokenizeUDTF:
+        def eval(self, text: str):
+            for i, t in enumerate(re.findall(r"[a-z0-9]+", (text or "").lower())):
+                yield i, t
+
+    spark = documents.sparkSession
+    spark.udtf.register("kdbs_tokenize", TokenizeUDTF)
+    documents.select("doc_id", "text").createOrReplaceTempView("kdbs_docs_udtf")
+    return spark.sql(
+        "SELECT doc_id, t.pos, t.token "
+        "FROM kdbs_docs_udtf, LATERAL kdbs_tokenize(text) t"
+    )
+
+
 def doc_fingerprint(documents: DataFrame) -> DataFrame:
     """Order-sensitive rolling-hash fingerprint over the token stream:
     h = fold(codes, 0, (h,c) -> (h*31 + c) mod (2^31-1)) where
