@@ -280,7 +280,13 @@ class TimeSeriesStore:
         cfg = self.config
         start = cfg.floor_to_resolution(start)  # dbase.go:163-164
         end = cfg.floor_to_resolution(end)
-        if end < start or start > now or end - cfg.resolution > now:
+        # Range rule: end must not pass `now` — the rule Find uses
+        # (dbase.go:239-241) and the one Get's OWN test pins
+        # (dbase_test.go:268-276 expects Get(now-9, now+1) to error).
+        # Get's source checks only `end - resolution > now` (dbase.go:166-170),
+        # which would admit that call — a source/test inconsistency upstream;
+        # we follow the asserted contract (the stricter rule).
+        if end < start or start > now or end > now:
             raise RangeError(f"invalid range [{start},{end}) vs now={now} (dbase.go:166-170)")
         # A WILDCARD ("") tag in get() is not an error: the reference descends
         # to a nonexistent index node → all-zero result; the equality filter

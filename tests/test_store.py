@@ -99,6 +99,11 @@ def test_get_validation(store):
         store.get(12500, 12600, ["a", "b", "c", "d"], now=NOW)  # start > now
     with pytest.raises(RangeError):
         store.get(11000, 13000, ["a", "b", "c", "d"], now=NOW)  # end-res > now
+    with pytest.raises(RangeError):
+        # `dbase_test.go:268-276`: Get(now-9, now+1) must error — end passes
+        # now (the open slot is not readable); Get's source check would admit
+        # this, its test does not; we follow the test.
+        store.get(NOW - 9, NOW + 1, ["a", "b", "c", "d"], now=NOW)
     with pytest.raises(ValidationError):
         store.get(10990, 11010, ["a", "b", "c"], now=NOW)  # arity
 
@@ -108,6 +113,14 @@ def test_get_validation(store):
 def test_put_future_rejected(store):
     with pytest.raises(FutureTimestampError):
         store.put_batch([(12000, "a", "b", "c", "d", PA)], now=NOW)
+
+
+def test_put_at_now_allowed(store):
+    """ts floors to the open slot; only ts > now (post-floor) is future
+    (`dbase/dbase.go:127-132` — floor happens before the future check)."""
+    store.put_batch([(NOW, "a", "b", "c", "d", PA)], now=NOW)
+    out = store.get(11980, 11990, ["a", "b", "c", "d"], now=NOW)
+    assert payloads(out) == [P0]  # written slot [11990,12000) not readable yet
 
 
 def test_put_cold_rejected(store):
