@@ -1,0 +1,58 @@
+"""Source / sink adapters (SURVEY.md §2.B "Scans / sources / sinks").
+
+The reference reads exactly one format — its own mmap'd segment files
+(`dblock/dblock.go:343-382`, `rblock/rblock.go:138-157`). The engine's
+native format is parquet (vectorized scan, predicate pushdown, row-group
+stats); CSV and JSON-lines adapters exist for interchange. All readers take
+an explicit schema when given (never sample-infer in production paths —
+inference is a full extra pass at 100 TB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def scan_parquet(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.parquet(path)
+
+
+def scan_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    header: bool = True,
+) -> DataFrame:
+    r = spark.read.option("header", header)
+    r = r.schema(schema) if schema is not None else r.option("inferSchema", True)
+    return r.csv(path)
+
+
+def scan_json(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """JSON-lines scan. With an explicit schema this is one pass; without,
+    Spark samples to infer (fine for exploration, not for the 100 TB path)."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.json(path)
+
+
+def sink_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def sink_csv(df: DataFrame, path: str, header: bool = True) -> None:
+    df.write.mode("overwrite").option("header", header).csv(path)
+
+
+def sink_json(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").json(path)

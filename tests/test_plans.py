@@ -69,3 +69,15 @@ def test_get_dense_spine_join_is_broadcast(spark):
     plan = plan_of(df)
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
     assert "InMemoryTableScan" not in plan  # no driver materialization
+
+
+def test_find_dense_grid_has_no_nested_loop(spark):
+    """The |series| x |slots| grid is explode-generated map-side —
+    no BroadcastNestedLoopJoin / CartesianProduct anywhere in the plan."""
+    df = kn.find_dense(
+        events_us(spark, SF_DIR), spark, 7, None, T_JAN10, T_JAN12
+    )
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Generate" in plan  # the explode(sequence(...)) grid

@@ -41,6 +41,18 @@ def simulate(batches, start, end, tags):
     ]
 
 
+def _store(spark):
+    cfg = StoreConfig(
+        database_name="prop",
+        data_path=tempfile.mkdtemp(prefix="kdbs_prop_"),
+        index_depth=2,
+        payload_size=4,
+        bucket_duration=1000,
+        resolution=RES,
+    )
+    return TimeSeriesStore(spark, cfg)
+
+
 @settings(
     max_examples=8,
     deadline=None,
@@ -54,15 +66,7 @@ def simulate(batches, start, end, tags):
     t2=tag_strategy,
 )
 def test_get_matches_sequential_put_simulation(spark, batches, start, width, t1, t2):
-    cfg = StoreConfig(
-        database_name="prop",
-        data_path=tempfile.mkdtemp(prefix="kdbs_prop_"),
-        index_depth=2,
-        payload_size=4,
-        bucket_duration=1000,
-        resolution=RES,
-    )
-    store = TimeSeriesStore(spark, cfg)
+    store = _store(spark)
     for batch in batches:
         store.put_batch(batch, now=NOW)
     end = min(start + width, NOW)  # end may not pass now (dbase_test.go:268-276)
@@ -71,3 +75,58 @@ def test_get_matches_sequential_put_simulation(spark, batches, start, width, t1,
         for r in store.get(start, end, [t1, t2], now=NOW).collect()
     ]
     assert got == simulate(batches, start, end, [t1, t2])
+
+
+def simulate_find(batches, start, end, tags):
+    """Reference find: presence = any point in a bucket the loop scans
+    (floor(start) .. floor(end) INCLUSIVE, `dbase/dbase.go:247,256`), each
+    present series densified over the floored range."""
+    BUCKET = 1000
+    state = {}
+    for batch in batches:
+        for ts, t1, t2, pld in batch:
+            state[(t1, t2, ts - ts % RES)] = pld
+    start -= start % RES
+    end -= end % RES
+    b0, b1 = start - start % BUCKET, end - end % BUCKET
+    if start >= end:
+        # The reference returns present series with EMPTY payload slices for
+        # a zero-width range (the bucket loop still runs); a row-based output
+        # cannot represent a zero-row series, so find() yields no rows — the
+        # one deliberate representational deviation.
+        return {}
+    present = set()
+    for (t1, t2, slot), _ in state.items():
+        if tags[0] not in ("", t1) or tags[1] not in ("", t2):
+            continue
+        if b0 <= slot - slot % BUCKET <= b1:
+            present.add((t1, t2))
+    return {
+        (t1, t2): [
+            state.get((t1, t2, slot), ZERO) for slot in range(start, end, RES)
+        ]
+        for (t1, t2) in present
+    }
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    batches=batches_strategy,
+    start=ts_strategy,
+    width=st.integers(0, 40),
+    t1=st.sampled_from(["a", "b", ""]),
+    t2=st.sampled_from(["a", "b", ""]),
+)
+def test_find_matches_presence_simulation(spark, batches, start, width, t1, t2):
+    store = _store(spark)
+    for batch in batches:
+        store.put_batch(batch, now=NOW)
+    end = min(start + width, NOW)
+    got = {}
+    for r in store.find(start, end, [t1, t2], now=NOW).collect():
+        got.setdefault((r["tag1"], r["tag2"]), []).append(bytes(r["payload"]))
+    assert got == simulate_find(batches, start, end, [t1, t2])

@@ -1,0 +1,51 @@
+"""Round-trip tests for the source/sink adapters."""
+
+from pyspark.sql import types as T
+
+from kdb_spark import sources as src
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("x", T.DoubleType()),
+    ]
+)
+ROWS = [(1, "a", 1.5), (2, "b", -2.25), (3, "c", 0.0)]
+
+
+def _df(spark):
+    return spark.createDataFrame(ROWS, SCHEMA)
+
+
+def _back(df):
+    return sorted(tuple(r) for r in df.select("k", "name", "x").collect())
+
+
+def test_parquet_roundtrip(spark, tmp_path):
+    p = str(tmp_path / "t.parquet")
+    src.sink_parquet(_df(spark), p)
+    assert _back(src.scan_parquet(spark, p, SCHEMA)) == sorted(ROWS)
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    p = str(tmp_path / "t.csv")
+    src.sink_csv(_df(spark), p)
+    assert _back(src.scan_csv(spark, p, SCHEMA)) == sorted(ROWS)
+
+
+def test_json_roundtrip(spark, tmp_path):
+    p = str(tmp_path / "t.json")
+    src.sink_json(_df(spark), p)
+    assert _back(src.scan_json(spark, p, SCHEMA)) == sorted(ROWS)
+
+
+def test_partitioned_parquet_prunes(spark, tmp_path):
+    p = str(tmp_path / "part.parquet")
+    src.sink_parquet(_df(spark), p, partition_by=["name"])
+    got = src.scan_parquet(spark, p).filter("name = 'b'")
+    assert [r["k"] for r in got.collect()] == [2]
+    plan = got._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PartitionFilters" in plan
