@@ -206,6 +206,20 @@ _reg(
 )
 
 _reg(
+    "agg_pivot",
+    lambda s, d: agg.agg_pivot(events_us(s, d)),
+    """
+    SELECT user_id,
+           CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+           CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view,
+           CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+           CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+           CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup
+    FROM events GROUP BY user_id
+    """,
+)
+
+_reg(
     "agg_rollup",
     lambda s, d: agg.agg_rollup(load(s, d, "lineitem")),
     """
@@ -273,6 +287,23 @@ _reg(
            value - lag(value) OVER (PARTITION BY user_id, event_type
                                     ORDER BY epoch_us(ts), event_id) AS delta
     FROM events
+    """,
+)
+
+_reg(
+    "sessionize",
+    lambda s, d: wn.sessionize(events_us(s, d)),
+    """
+    WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
+    o AS (SELECT event_id, user_id, ts_us,
+                 CASE WHEN lag(ts_us) OVER w IS NULL
+                       OR ts_us - lag(ts_us) OVER w >= 1800000000
+                      THEN 1 ELSE 0 END AS ns
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+    SELECT event_id, user_id, ts_us,
+           CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+    FROM o
     """,
 )
 
@@ -739,6 +770,20 @@ _reg(
 )
 
 _reg(
+    "ngram_topk",
+    lambda s, d: tx.ngram_topk(load(s, d, "documents")),
+    """
+    WITH g AS (
+      SELECT unnest(list_distinct(
+               [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]
+             )) AS gram
+      FROM (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents))
+    SELECT gram, count(*) AS n FROM g
+    GROUP BY gram ORDER BY n DESC, gram LIMIT 20
+    """,
+)
+
+_reg(
     "udtf_tokenize",
     lambda s, d: tx.udtf_tokenize(load(s, d, "documents")),
     """
@@ -798,6 +843,9 @@ _reg(
 
 # approximate by construction (sign-LSH buckets) — rows-only check
 _reg("ann_search_topk", lambda s, d: sim.ann_search_topk(load(s, d, "embeddings")), None)
+
+# approximate by construction (IVF probes a subset of lists) — rows-only check
+_reg("ivf_search_topk", lambda s, d: sim.ivf_search_topk(load(s, d, "embeddings")), None)
 
 def _mm_summary(s: SparkSession, d: str) -> DataFrame:
     """multimodal_table projected to its oracle-comparable summary (the

@@ -81,6 +81,25 @@ def agg_stats(events: DataFrame) -> DataFrame:
     )
 
 
+def agg_pivot(events: DataFrame, event_types: tuple[str, ...] | None = None) -> DataFrame:
+    """Pivot event_type into per-user count columns.
+
+    The pivot value list is EXPLICIT — without it Spark runs an extra
+    distinct-collect job over the full table to discover columns, which is
+    both a second scan and a nondeterministic column order at 100 TB.
+    """
+    types = list(event_types or ("click", "view", "purchase", "error", "signup"))
+    return (
+        events.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "user_id",
+            *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types],
+        )
+    )
+
+
 def agg_rollup(lineitem: DataFrame) -> DataFrame:
     """ROLLUP(l_returnflag, l_linestatus) with GROUPING id — one expand +
     one hash agg; Catalyst plans grouping sets natively."""

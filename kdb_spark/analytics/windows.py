@@ -75,6 +75,29 @@ def win_first_last(events: DataFrame) -> DataFrame:
     )
 
 
+def sessionize(events: DataFrame, gap_us: int = 30 * 60 * 1_000_000) -> DataFrame:
+    """Batch sessionization: assign a session id per user from inactivity
+    gaps (lag + running sum — one shuffle on user_id). The batch twin of
+    streaming `session_window`; session ids are 1-based per user in time
+    order, deterministic via the event_id tiebreaker."""
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    new_session = F.when(
+        F.col("ts_us") - F.lag("ts_us").over(w) >= gap_us, 1
+    ).otherwise(0)
+    # first row of each user: lag is null -> when() falls to otherwise(0);
+    # make it open session 1 explicitly
+    new_session = F.when(F.lag("ts_us").over(w).isNull(), 1).otherwise(new_session)
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.sum(new_session)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("session_id"),
+    )
+
+
 def win_range_frame(events: DataFrame, width_us: int = HOUR_US) -> DataFrame:
     """Sliding time-range frame: sum over the trailing hour per user.
 

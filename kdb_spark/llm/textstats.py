@@ -73,6 +73,28 @@ def token_count_bpe(documents: DataFrame) -> DataFrame:
     )
 
 
+def ngram_topk(documents: DataFrame, n: int = 3, k: int = 20) -> DataFrame:
+    """Corpus-wide top-k most frequent word n-grams — the heavy-hitter scan
+    a dedup/quality pipeline runs to find boilerplate.
+
+    explode → hash-agg count (map-side combine) → global top-k via ONE
+    ordered limit (Spark implements orderBy().limit(k) as per-partition
+    top-k + single merge — no full sort, no single-partition shuffle of the
+    whole count table). Ties broken by the gram text for determinism.
+    """
+    from kdb_spark.llm.dedup import shingles, tokens
+
+    grams = documents.select(
+        tokens("text").alias("toks")
+    ).select(F.explode(shingles(F.col("toks"), n)).alias("gram"))
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "gram")
+        .limit(k)
+    )
+
+
 def udtf_tokenize(documents: DataFrame) -> DataFrame:
     """Tokenizer as a Python UDTF (lateral table function) — the §2.B
     "UDF/UDAF/UDTF surface" row.
