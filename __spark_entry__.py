@@ -723,6 +723,24 @@ _reg(
 _reg("dedup_simhash", lambda s, d: dd.dedup_simhash(load(s, d, "documents")), None)
 
 _reg(
+    "dedup_cluster",
+    lambda s, d: dd.dedup_cluster(load(s, d, "documents")),
+    f"""
+    WITH RECURSIVE pairs AS ({_NGRAM_JACCARD_SQL.replace("SELECT doc_a", "SELECT doc_a").strip()}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs),
+    reach(a, b) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
+    SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS canonical_id
+    FROM reach GROUP BY a
+    """,
+)
+
+_reg(
     "text_stats",
     lambda s, d: tx.text_stats(load(s, d, "documents")),
     """
@@ -766,6 +784,32 @@ _reg(
            CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
            CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_word_tokens
     FROM documents
+    """,
+)
+
+_reg(
+    "quality_score",
+    lambda s, d: tx.quality_score(load(s, d, "documents")),
+    """
+    WITH t AS (SELECT doc_id, text,
+                      regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+               FROM documents),
+    r AS (SELECT doc_id,
+                 len(toks) AS n_toks,
+                 len([x FOR x IN toks IF list_contains(['the','a','of','and','to','in','is'], x)])
+                   / greatest(len(toks), 1) AS stop_ratio,
+                 len(regexp_extract_all(text, '[0-9]')) / greatest(length(text), 1) AS digit_ratio,
+                 list_sum([CAST(length(x) AS DOUBLE) FOR x IN toks]) / greatest(len(toks), 1) AS avg_tok
+          FROM t),
+    s AS (SELECT doc_id,
+                 (CASE WHEN n_toks >= 10 THEN 1 ELSE 0 END
+                + CASE WHEN stop_ratio >= 0.05 THEN 1 ELSE 0 END
+                + CASE WHEN digit_ratio <= 0.3 THEN 1 ELSE 0 END
+                + CASE WHEN avg_tok >= 3.0 AND avg_tok <= 12.0 THEN 1 ELSE 0 END) AS score
+          FROM r)
+    SELECT doc_id, CAST(score AS BIGINT) AS score,
+           CASE WHEN score >= 3 THEN 'keep' ELSE 'drop' END AS verdict
+    FROM s
     """,
 )
 

@@ -193,6 +193,51 @@ def dedup_near_minhash(
     )
 
 
+def dedup_cluster(documents: DataFrame, threshold: float = 0.5, n: int = 3) -> DataFrame:
+    """Near-dup clustering: connected components over the exact-Jaccard pair
+    graph, canonical doc = min doc_id per component (the row a pipeline
+    keeps; everything else is dropped as a duplicate).
+
+    Iterative min-label propagation — the Pregel pattern in plain DataFrame
+    ops: each round every doc takes min(own label, neighbors' labels); the
+    driver loop stops at fixpoint (an aggregate per round, not data
+    collection). Near-dup components are dense and tiny, so rounds ≈
+    component diameter ≈ 2-4; each round is one shuffle on doc_id. The
+    fixpoint (min reachable id) is unique, hence oracle-exact.
+    """
+    pairs = dedup_ngram_jaccard(documents, threshold, n).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).persist()
+    labels = documents.select("doc_id", F.col("doc_id").alias("lbl")).persist()
+    for _ in range(32):  # diameter bound; real components converge in 2-4
+        neigh = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy("doc_a")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.doc_id == neigh.doc_a, "left")
+            .select(
+                "doc_id",
+                F.least(F.col("lbl"), F.coalesce("nlbl", F.col("lbl"))).alias("lbl"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("lbl").alias("canonical_id"))
+
+
 def simhash64(documents: DataFrame) -> DataFrame:
     """64-bit SimHash per doc: sign of per-bit ±1 sums over token hashes.
 

@@ -73,6 +73,30 @@ def token_count_bpe(documents: DataFrame) -> DataFrame:
     )
 
 
+def quality_score(documents: DataFrame) -> DataFrame:
+    """Composite document quality gate: length / stopword / digit / token
+    signals → 0-4 score → keep/drop verdict (the filter step of a
+    training-data pipeline). All integer/ratio arithmetic → engine-exact.
+    """
+    toks = F.col("toks")
+    stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    n_toks = F.size(toks)
+    stop_ratio = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))) / F.greatest(n_toks, F.lit(1))
+    digit_ratio = F.size(F.regexp_extract_all("text", F.lit("[0-9]"), 0)) / F.greatest(F.length("text"), F.lit(1))
+    avg_tok = F.aggregate(toks, F.lit(0.0), lambda a, t: a + F.length(t)) / F.greatest(n_toks, F.lit(1))
+    score = (
+        F.when(n_toks >= 10, 1).otherwise(0)
+        + F.when(stop_ratio >= 0.05, 1).otherwise(0)
+        + F.when(digit_ratio <= 0.3, 1).otherwise(0)
+        + F.when((avg_tok >= 3.0) & (avg_tok <= 12.0), 1).otherwise(0)
+    )
+    return documents.select("doc_id", "text", tokens("text").alias("toks")).select(
+        "doc_id",
+        score.cast("long").alias("score"),
+        F.when(score >= 3, F.lit("keep")).otherwise(F.lit("drop")).alias("verdict"),
+    )
+
+
 def ngram_topk(documents: DataFrame, n: int = 3, k: int = 20) -> DataFrame:
     """Corpus-wide top-k most frequent word n-grams — the heavy-hitter scan
     a dedup/quality pipeline runs to find boilerplate.
