@@ -291,6 +291,19 @@ _reg(
 )
 
 _reg(
+    "win_ntile",
+    lambda s, d: wn.win_ntile(load(s, d, "orders")),
+    """
+    SELECT o_orderkey, o_orderpriority,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           round(percent_rank() OVER w, 6) AS prk,
+           round(cume_dist() OVER w, 6) AS cd
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+
+_reg(
     "sessionize",
     lambda s, d: wn.sessionize(events_us(s, d)),
     """
@@ -649,6 +662,20 @@ _reg(
            count(*) AS n,
            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
     FROM s GROUP BY user_id, sid
+    """,
+)
+
+_reg(
+    "stream_stream_join",
+    sm.stream_stream_join,
+    """
+    SELECT e.event_id, e.user_id, count(*) AS n_clicks
+    FROM events e JOIN events c
+      ON c.user_id = e.user_id AND c.event_type = 'click'
+     AND epoch_us(c.ts) >= epoch_us(e.ts)
+     AND epoch_us(c.ts) < epoch_us(e.ts) + 600000000
+    WHERE e.event_type = 'error'
+    GROUP BY 1, 2
     """,
 )
 

@@ -75,6 +75,19 @@ def win_first_last(events: DataFrame) -> DataFrame:
     )
 
 
+def win_ntile(orders: DataFrame, n: int = 4) -> DataFrame:
+    """ntile / percent_rank / cume_dist — distribution ranks per customer
+    spend; one shuffle on the partition key like every window here."""
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(n).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("prk"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+
+
 def sessionize(events: DataFrame, gap_us: int = 30 * 60 * 1_000_000) -> DataFrame:
     """Batch sessionization: assign a session id per user from inactivity
     gaps (lag + running sum — one shuffle on user_id). The batch twin of

@@ -368,5 +368,38 @@ class TimeSeriesStore:
                 dropped += 1
         return dropped
 
+    def compact(self, bucket_ts: int) -> int:
+        """Rewrite one bucket partition into a single file.
+
+        Each ``put_batch`` appends files, so long-lived buckets accrue one
+        small file per batch — the classic small-files problem. Compaction
+        rewrites the partition (preserving ``ingest_seq``/``row_seq``, so
+        LWW visibility is unchanged) and swaps it in with the same
+        staging-rename publish as ingest. The reference has no analog (mmap
+        segments are preallocated); on a table format this is OPTIMIZE /
+        rewriteDataFiles. Returns the number of files before compaction.
+        """
+        part_dir = os.path.join(self.path, f"bucket_ts={bucket_ts}")
+        if not os.path.isdir(part_dir):
+            return 0
+        n_files = sum(1 for f in os.listdir(part_dir) if f.startswith(("part-", "part.")))
+        if n_files <= 1:
+            return n_files
+        rows = self.spark.read.parquet(part_dir)
+        staging = os.path.join(self.path, f"_compact_{bucket_ts}")
+        rows.coalesce(1).write.mode("overwrite").parquet(staging)
+        try:
+            tmp_old = part_dir + ".old"
+            os.replace(part_dir, tmp_old)
+            os.makedirs(part_dir)
+            for part in os.listdir(staging):
+                if part.startswith(("part-", "part.")):
+                    os.replace(os.path.join(staging, part), os.path.join(part_dir, part))
+            shutil.rmtree(tmp_old)
+        finally:
+            if os.path.exists(staging):
+                shutil.rmtree(staging)
+        return n_files
+
     def close(self) -> None:
         """O5 — nothing to flush: parquet commits are atomic per batch."""

@@ -215,6 +215,45 @@ def stream_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: each error joined to the same user's
+    clicks within the following 10 minutes — both sides unbounded streams.
+
+    The state-retention contract: with watermarks on BOTH sides and the
+    time-bound condition, Spark evicts join state past
+    watermark - interval; without them a stream-stream join buffers forever.
+    Batch-equivalent to join_interval (the oracle).
+    """
+    s = events_stream(spark, sf_dir)
+    errors = (
+        s.filter(F.col("event_type") == "error")
+        .select(
+            "event_id", F.col("user_id").alias("e_user"),
+            F.col("ts_us").alias("err_us"), F.col("ets").alias("e_ets"),
+        )
+        .withWatermark("e_ets", "1 hour")
+    )
+    clicks = (
+        s.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts_us").alias("click_us"), F.col("ets").alias("c_ets"),
+        )
+        .withWatermark("c_ets", "1 hour")
+    )
+    joined = errors.join(
+        clicks,
+        (F.col("e_user") == F.col("c_user"))
+        & (F.col("c_ets") >= F.col("e_ets"))
+        & (F.col("c_ets") < F.col("e_ets") + F.expr("INTERVAL 10 MINUTES")),
+    )
+    out = _drain(joined, "append")
+    return (
+        out.groupBy("event_id", F.col("e_user").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+    )
+
+
 # --------------------------------------------------------------------- dedup
 
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -249,6 +249,19 @@ def test_find_validation(store):
         store.find(11000, 13000, ["a", "b", "c", ""], now=NOW)  # end > now
 
 
+def test_compact_preserves_lww(store):
+    """Compaction rewrites a bucket's files without changing visibility:
+    the LWW winner and zero-fill are identical before and after."""
+    store.put_batch([(11000, "a", "b", "c", "d", PA)], now=NOW)
+    store.put_batch([(11000, "a", "b", "c", "d", PB)], now=NOW)
+    store.put_batch([(11010, "a", "b", "c", "e", PA)], now=NOW)
+    assert store.compact(11000) >= 2  # one file per batch before compaction
+    out = store.get(11000, 11020, ["a", "b", "c", "d"], now=NOW)
+    assert payloads(out) == [PB, P0]
+    out = store.get(11000, 11020, ["a", "b", "c", "e"], now=NOW)
+    assert payloads(out) == [P0, PA]
+
+
 # ---------------------------------------------------------------- retention
 
 def test_remove_before_hot_refused(store):
