@@ -28,6 +28,7 @@ from kdb_spark.analytics import setops as so
 from kdb_spark.analytics import sorts as st
 from kdb_spark.analytics import windows as wn
 from kdb_spark import streaming as sm
+from kdb_spark.llm import curation as cu
 from kdb_spark.llm import dedup as dd
 from kdb_spark.llm import multimodal as mm
 from kdb_spark.llm import similarity as sim
@@ -980,3 +981,43 @@ _reg(
     FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
     """,
 )
+
+_reg(
+    "dataset_split",
+    lambda s, d: cu.dataset_split(load(s, d, "documents")),
+    """
+    WITH b AS (SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+               FROM documents)
+    SELECT doc_id, bucket,
+           CASE WHEN bucket < 'c0' THEN 'train'
+                WHEN bucket < 'e0' THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+)
+
+_reg(
+    "sample_hash",
+    lambda s, d: cu.sample_hash(load(s, d, "documents"), pct=10),
+    """
+    SELECT doc_id, text, lang, source, n_chars FROM documents
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 < 10
+    """,
+)
+
+_reg(
+    "pii_redact",
+    lambda s, d: cu.pii_redact(load(s, d, "documents")),
+    r"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '[0-9]{10,}', '<NUM>', 'g') AS clean_text,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '[0-9]{10,}')) AS BIGINT) AS n_longnums
+    FROM documents
+    """,
+)
+
+# iterative (Lloyd refinement) — not SQL-expressible; rows-only check
+_reg("emb_kmeans", lambda s, d: sim.emb_kmeans(load(s, d, "embeddings")), None)

@@ -1,0 +1,77 @@
+"""Dataset-curation operators (SURVEY.md §2.K extensions): deterministic
+train/val/test splitting, hash-bucket sampling, and PII redaction — the
+bookkeeping steps of a training-data pipeline between dedup and export.
+
+All JVM expressions (md5 + string compare + regexp_replace): one scan, no
+shuffle, no UDF — a 100 TB split/redact is a single map-only pass whose
+filters Catalyst pushes into the parquet scan of downstream readers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# 256 md5-prefix buckets, split by lexicographic range of the first two hex
+# chars: ["00","c0") = 192/256 = 75% train, ["c0","e0") = 12.5% val,
+# ["e0","ff"] = 12.5% test. The md5 of the *stringified* key is identical
+# in every engine (lowercase hex), so the assignment is reproducible
+# anywhere — the property a split column must have so that re-running the
+# pipeline (or running it in another engine) never migrates a document
+# across splits.
+TRAIN_UPPER = "c0"
+VAL_UPPER = "e0"
+
+
+def dataset_split(documents: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Deterministic train/val/test assignment by md5(key) prefix bucket.
+
+    Content-independent (keyed on the id, not the text) so near-duplicate
+    mitigation stays the dedup ops' job; hash-keyed so the split is stable
+    under repartitioning, insertion order, and engine choice — unlike
+    `df.randomSplit`, which reshuffles membership per run/plan.
+    """
+    bucket = F.substring(F.md5(F.col(key).cast("string")), 1, 2)
+    return documents.select(
+        F.col(key),
+        bucket.alias("bucket"),
+        F.when(bucket < TRAIN_UPPER, F.lit("train"))
+        .when(bucket < VAL_UPPER, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+def sample_hash(documents: DataFrame, pct: int, key: str = "doc_id") -> DataFrame:
+    """Deterministic pct% sample: keep rows whose md5-prefix bucket falls in
+    the first `pct` of 100 equal-ish slices. Same stability contract as
+    `dataset_split`; used to carve repeatable eval subsets from a corpus."""
+    slot = F.conv(F.substring(F.md5(F.col(key).cast("string")), 1, 4), 16, 10)
+    return documents.where(slot.cast("long") % 100 < pct)
+
+
+# RE2-safe (and Java-regex-safe) patterns — no backrefs, no lookaround, so
+# the same pattern string runs on Spark (Java regex), DuckDB (RE2), and any
+# other RE2-family engine.
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+LONGNUM_RE = "[0-9]{10,}"
+
+
+def pii_redact(documents: DataFrame) -> DataFrame:
+    """Redact emails and 10+-digit numbers (card/phone/SSN-shaped runs) from
+    the text column, counting each redaction class per document.
+
+    `regexp_replace` / `regexp_count` are JVM expressions — the whole op is
+    one map-only pass over the corpus with no shuffle; at 100 TB it
+    pipelines into whatever scan feeds it.
+    """
+    return documents.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace("text", EMAIL_RE, "<EMAIL>"),
+            LONGNUM_RE,
+            "<NUM>",
+        ).alias("clean_text"),
+        F.regexp_count("text", F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count("text", F.lit(LONGNUM_RE)).cast("long").alias("n_longnums"),
+    )

@@ -16,6 +16,8 @@ from __future__ import annotations
 
 import random
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -142,21 +144,35 @@ def emb_near_dup(embeddings: DataFrame, tau: float = 0.4, n_blocks: int = 8) -> 
 def ivf_assign(embeddings: DataFrame, centroids: DataFrame, nprobe: int = 1) -> DataFrame:
     """Assign each vector to its ``nprobe`` nearest centroids (by cosine).
 
-    Centroids are broadcast (there are √n-ish of them); distance evaluation
-    is one pass over the vectors — the IVF partition step. Output has one
-    row per (vector, probed centroid).
+    Map-only: the centroid table (√n-ish rows, driver-bounded) is collected
+    and closed over by an Arrow-batched pandas UDF that evaluates all k
+    cosines per batch as ONE numpy matmul and takes the top-``nprobe``
+    stable argsort (ties → lowest cid, matching the SQL
+    `ORDER BY sim DESC, cid` convention). No shuffle of the corpus —
+    the earlier formulation (crossJoin + row_number window) re-shuffled
+    every vector per assignment round, which at 100 TB is k extra
+    full-corpus shuffles per Lloyd iteration. Output has one row per
+    (vector, probed centroid).
     """
-    c = centroids.select(
-        F.col("cid"), F.col("cv"), _norm(F.col("cv")).alias("cn")
-    )
-    scored = embeddings.crossJoin(F.broadcast(c)).withColumn(
-        "sim", _dot(_vec_d("embedding"), F.col("cv")) / (F.col("cn") * _norm(_vec_d("embedding")))
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), "cid")
-    return (
-        scored.withColumn("prb", F.row_number().over(w))
-        .filter(F.col("prb") <= nprobe)
-        .drop("cv", "cn", "sim", "prb")
+    from pyspark.sql.functions import pandas_udf
+
+    rows = sorted(centroids.select("cid", "cv").collect(), key=lambda r: r.cid)
+    cids = [int(r.cid) for r in rows]
+    C = np.stack([np.asarray(r.cv, dtype="float64") for r in rows])
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-30)
+    np_ = min(nprobe, len(cids))
+
+    @pandas_udf("array<long>")
+    def probe(emb: pd.Series) -> pd.Series:
+        E = np.stack(emb.to_numpy()).astype("float64")
+        E /= np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-30)
+        # stable sort on -sim keeps centroid-index (== cid) order on ties
+        top = np.argsort(-(E @ Cn.T), axis=1, kind="stable")[:, :np_]
+        lut = np.asarray(cids, dtype="int64")
+        return pd.Series(list(lut[top]))
+
+    return embeddings.withColumn("_prbs", probe("embedding")).select(
+        *embeddings.columns, F.explode("_prbs").alias("cid")
     )
 
 
@@ -226,6 +242,80 @@ def ivf_search_topk(
         .filter(F.col("rn") <= k)
         .select("query_id", F.col("vec_id").alias("match_id"),
                 F.round("cos", 6).alias("cos"), "rn")
+    )
+
+
+def emb_kmeans(
+    embeddings: DataFrame, n_clusters: int = 8, iters: int = 3
+) -> DataFrame:
+    """Distributed Lloyd k-means over the embedding column — the clustering
+    step of corpus curation (topic balancing, stratified dedup, coreset
+    selection). Iterative, so no SQL oracle (rows-only check).
+
+    Classic scale shape — ONE map-only job per iteration: every partition
+    computes its local (count, sum-vector) per cluster against the closed-
+    over centroids (one numpy matmul per Arrow batch), and only k rows per
+    partition come back to the driver, which finishes the mean. No corpus
+    shuffle at any point; driver state is k·dim floats. Assignment is by
+    cosine (stable argsort, ties → lowest cluster id); means are of the raw
+    vectors, as in `ivf_centroids`. Empty clusters keep their previous
+    centroid. Init = the ``n_clusters`` lowest vec_ids (deterministic).
+
+    Output: each vector's final cluster + the cluster population
+    (broadcast-joined back — k rows).
+    """
+    init = sorted(
+        embeddings.filter(F.col("vec_id") < n_clusters)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    C = np.stack([np.asarray(r.embedding, dtype="float64") for r in init])
+    k, dim = C.shape
+
+    def _normed(M: "np.ndarray") -> "np.ndarray":
+        return M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
+
+    emb_only = embeddings.select("embedding")
+    for _ in range(iters):
+        Cn = _normed(C)
+
+        def partials(batches, Cn=Cn):
+            counts = np.zeros(k, dtype="int64")
+            sums = np.zeros((k, dim), dtype="float64")
+            for pdf in batches:
+                E = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+                a = np.argsort(-(_normed(E) @ Cn.T), axis=1, kind="stable")[:, 0]
+                np.add.at(sums, a, E)
+                counts += np.bincount(a, minlength=k)
+            nz = np.nonzero(counts)[0]
+            yield pd.DataFrame(
+                {"cluster": nz, "n": counts[nz], "s": list(sums[nz])}
+            )
+
+        agg = emb_only.mapInPandas(
+            partials, "cluster long, n long, s array<double>"
+        ).collect()
+        counts = np.zeros(k, dtype="int64")
+        sums = np.zeros((k, dim), dtype="float64")
+        for r in agg:
+            counts[r.cluster] += r.n
+            sums[r.cluster] += np.asarray(r.s)
+        nz = counts > 0
+        C[nz] = sums[nz] / counts[nz, None]
+
+    cents = embeddings.sparkSession.createDataFrame(
+        [(int(i), [float(x) for x in C[i]]) for i in range(k)], "cid long, cv array<double>"
+    )
+    assigned = ivf_assign(embeddings, cents, nprobe=1).select(
+        "vec_id", F.col("cid").alias("cluster")
+    )
+    sizes = assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return assigned.join(F.broadcast(sizes), "cluster").select(
+        "vec_id", F.col("cluster").cast("long").alias("cluster"),
+        F.col("n_members").cast("long").alias("n_members"),
     )
 
 

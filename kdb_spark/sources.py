@@ -56,3 +56,18 @@ def sink_csv(df: DataFrame, path: str, header: bool = True) -> None:
 
 def sink_json(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").json(path)
+
+
+def scan_orc(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    """ORC scan — vectorized + predicate pushdown, same contract as parquet."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.orc(path)
+
+
+def sink_orc(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)

@@ -40,6 +40,12 @@ def test_json_roundtrip(spark, tmp_path):
     assert _back(src.scan_json(spark, p, SCHEMA)) == sorted(ROWS)
 
 
+def test_orc_roundtrip(spark, tmp_path):
+    p = str(tmp_path / "t.orc")
+    src.sink_orc(_df(spark), p)
+    assert _back(src.scan_orc(spark, p, SCHEMA)) == sorted(ROWS)
+
+
 def test_partitioned_parquet_prunes(spark, tmp_path):
     p = str(tmp_path / "part.parquet")
     src.sink_parquet(_df(spark), p, partition_by=["name"])
