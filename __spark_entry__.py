@@ -221,6 +221,21 @@ _reg(
 )
 
 _reg(
+    "agg_unpivot",
+    lambda s, d: agg.agg_unpivot(events_us(s, d)),
+    """
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    t(event_type) AS (SELECT * FROM (VALUES ('click'), ('view'), ('purchase'),
+                                            ('error'), ('signup'))),
+    c AS (SELECT user_id, event_type, count(*) AS n
+          FROM events GROUP BY user_id, event_type)
+    SELECT u.user_id, t.event_type, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+    FROM u CROSS JOIN t
+    LEFT JOIN c ON c.user_id = u.user_id AND c.event_type = t.event_type
+    """,
+)
+
+_reg(
     "agg_rollup",
     lambda s, d: agg.agg_rollup(load(s, d, "lineitem")),
     """

@@ -100,6 +100,23 @@ def agg_pivot(events: DataFrame, event_types: tuple[str, ...] | None = None) -> 
     )
 
 
+def agg_unpivot(events: DataFrame, event_types: tuple[str, ...] | None = None) -> DataFrame:
+    """Wide→long melt of the pivoted per-user counts — `DataFrame.unpivot`
+    (native UNPIVOT: a generate over the already-aggregated wide table, no
+    extra shuffle). Emits one row per (user, type) including zero counts —
+    the dense form a model-feature export wants."""
+    types = list(event_types or ("click", "view", "purchase", "error", "signup"))
+    wide = agg_pivot(events, tuple(types))
+    return (
+        wide.unpivot("user_id", [f"n_{t}" for t in types], "event_type", "n")
+        .select(
+            "user_id",
+            F.expr("substring(event_type, 3)").alias("event_type"),
+            F.col("n").cast("long").alias("n"),
+        )
+    )
+
+
 def agg_rollup(lineitem: DataFrame) -> DataFrame:
     """ROLLUP(l_returnflag, l_linestatus) with GROUPING id — one expand +
     one hash agg; Catalyst plans grouping sets natively."""

@@ -81,3 +81,32 @@ def test_find_dense_grid_has_no_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "Generate" in plan  # the explode(sequence(...)) grid
+
+
+def test_curation_ops_are_map_only(spark):
+    """dataset_split / pii_redact are single-pass JVM expressions: no
+    shuffle (Exchange), no Python worker (ArrowEvalPython/BatchEvalPython)
+    anywhere in the plan — at 100 TB they pipeline into the scan."""
+    from kdb_spark.llm import curation as cu
+
+    docs = load(spark, SF_DIR, "documents")
+    for df in (cu.dataset_split(docs), cu.pii_redact(docs), cu.sample_hash(docs, 10)):
+        plan = plan_of(df)
+        assert "Exchange" not in plan, plan
+        assert "EvalPython" not in plan, plan
+
+
+def test_dataset_split_is_partitioning_invariant(spark):
+    """The split must not move documents when the input is repartitioned —
+    the property that makes an md5-keyed split safe to recompute anywhere
+    (unlike randomSplit)."""
+    from kdb_spark.llm import curation as cu
+
+    docs = load(spark, SF_DIR, "documents").limit(200)
+    a = {r.doc_id: r.split for r in cu.dataset_split(docs).collect()}
+    b = {
+        r.doc_id: r.split
+        for r in cu.dataset_split(docs.repartition(7)).collect()
+    }
+    assert a == b and len(a) == 200
+    assert {"train", "val", "test"} >= set(a.values())
