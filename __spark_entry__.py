@@ -181,6 +181,9 @@ _reg(
 # engine-specific HLL estimates — rows-only check by design
 _reg("agg_approx_distinct", lambda s, d: agg.agg_approx_distinct(events_us(s, d)), None)
 
+# Datasketches HLL estimates are engine-specific — rows-only by design
+_reg("agg_hll_merge", lambda s, d: agg.agg_hll_merge(events_us(s, d)), None)
+
 _reg(
     "agg_percentile",
     lambda s, d: agg.agg_percentile(events_us(s, d)),
@@ -384,6 +387,20 @@ _reg(
 _reg(
     "join_equi_shuffle",
     lambda s, d: jn.join_equi_shuffle(load(s, d, "lineitem"), load(s, d, "orders")),
+    """
+    SELECT o_orderpriority, count(*) AS n_items,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_c
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1
+    """,
+)
+
+# identical result contract to join_equi_shuffle — the salt must not change
+# the answer, only the shuffle layout; hence the same oracle SQL
+_reg(
+    "join_skew_salted",
+    lambda s, d: jn.join_skew_salted(load(s, d, "lineitem"), load(s, d, "orders")),
     """
     SELECT o_orderpriority, count(*) AS n_items,
            CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
@@ -1031,6 +1048,24 @@ _reg(
            CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
            CAST(len(regexp_extract_all(text, '[0-9]{10,}')) AS BIGINT) AS n_longnums
     FROM documents
+    """,
+)
+
+_reg(
+    "decontaminate",
+    lambda s, d: cu.decontaminate(load(s, d, "documents")),
+    """
+    WITH d AS (
+      SELECT doc_id,
+             substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) >= 'e0' AS is_test,
+             list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]) AS sh
+      FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents)),
+    flat AS (SELECT doc_id, is_test, unnest(sh) AS s FROM d),
+    ev AS (SELECT DISTINCT s FROM flat WHERE is_test)
+    SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+    FROM flat f JOIN ev ON f.s = ev.s
+    WHERE NOT f.is_test
+    GROUP BY f.doc_id
     """,
 )
 

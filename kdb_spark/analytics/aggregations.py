@@ -53,6 +53,29 @@ def agg_approx_distinct(events: DataFrame) -> DataFrame:
     )
 
 
+def agg_hll_merge(events: DataFrame) -> DataFrame:
+    """Re-aggregatable distinct counting: build a Datasketches HLL sketch per
+    (event_type, day) shard, then union the binary sketches per event_type
+    and estimate.
+
+    This is the materialized-rollup pattern a 100 TB pipeline needs: daily
+    partitions each persist a few-KB sketch once, and any later rollup
+    (weekly, all-time, cross-table) merges sketches instead of rescanning
+    raw data. `hll_sketch_agg`/`hll_union_agg` are JVM aggregates with
+    map-side partials. Estimates are engine-specific → rows-only check.
+    """
+    per_day = events.groupBy(
+        "event_type", F.date_trunc("day", F.timestamp_micros(F.col("ts_us"))).alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    return (
+        per_day.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+            F.count(F.lit(1)).alias("n_day_sketches"),
+        )
+    )
+
+
 def agg_percentile(events: DataFrame) -> DataFrame:
     """Exact interpolated percentiles (median / p95) per event_type.
 

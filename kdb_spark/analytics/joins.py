@@ -55,6 +55,42 @@ def join_equi_shuffle(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
     )
 
 
+def join_skew_salted(
+    lineitem: DataFrame, orders: DataFrame, salts: int = 8
+) -> DataFrame:
+    """Skew-hardened fact ⋈ fact: same result as `join_equi_shuffle`, but the
+    join key is salted so one hot orderkey spreads over `salts` reducers.
+
+    Pattern: the probe side picks a deterministic salt per row
+    (`pmod(xxhash64(row-cols), salts)`); the build side replicates each row
+    across all salts via `explode(sequence(...))` — map-side fan-out, no
+    extra shuffle of the build side beyond the (still key-partitioned)
+    join exchange. Cost: build side ×salts through the shuffle; win: the
+    hottest key's reducer shrinks by ×salts. AQE's skew-join split does
+    this adaptively post-shuffle; explicit salting is the plan-time form
+    that also works for shuffled-hash and bucketed joins.
+    """
+    salted_li = lineitem.withColumn(
+        "salt", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(salts))
+    )
+    salted_ord = orders.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1)))
+    )
+    revenue = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        salted_li.join(
+            salted_ord,
+            (salted_li.l_orderkey == salted_ord.o_orderkey)
+            & (salted_li.salt == salted_ord.salt),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(revenue).alias("revenue_c"),
+        )
+    )
+
+
 def join_asof(events: DataFrame) -> DataFrame:
     """As-of join: for each 'click', the latest 'error' value of the same
     user at-or-before the click (`SURVEY.md §2.B Joins`).

@@ -57,6 +57,45 @@ EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 LONGNUM_RE = "[0-9]{10,}"
 
 
+def decontaminate(documents: DataFrame, n: int = 3) -> DataFrame:
+    """Benchmark decontamination: count, per train/val document, the distinct
+    word n-grams it shares with the held-out test split — the standard
+    "is my training set contaminated with eval data" check run before
+    every model train.
+
+    Test membership comes from the same md5 split as `dataset_split`, so
+    the op is self-contained and engine-reproducible. The test split's
+    distinct-gram set is built once and equi-joined on an 8-byte xxhash64
+    of the gram — at 100 TB the eval side is tiny relative to the corpus
+    (AQE broadcasts it), and the train side streams through map-side;
+    nothing ever materializes all-pairs. Emits only contaminated docs.
+    """
+    from kdb_spark.llm.dedup import shingles, tokens
+
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    docs = (
+        documents.select(
+            "doc_id",
+            (bucket >= VAL_UPPER).alias("is_test"),
+            tokens("text").alias("toks"),
+        )
+        .select("doc_id", "is_test", shingles(F.col("toks"), n).alias("sh"))
+    )
+    # persist: the exploded gram frame feeds both the eval-set build and the
+    # train-side probe — without it the tokenizer+shingler runs twice
+    flat = docs.select(
+        "doc_id", "is_test", F.explode("sh").alias("s")
+    ).select("doc_id", "is_test", F.xxhash64("s").alias("s")).persist()
+    eval_grams = flat.filter("is_test").select("s").distinct()
+    return (
+        flat.filter(~F.col("is_test"))
+        .join(eval_grams, "s")
+        # shingles() is per-doc distinct, so the count IS distinct grams hit
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+
+
 def pii_redact(documents: DataFrame) -> DataFrame:
     """Redact emails and 10+-digit numbers (card/phone/SSN-shaped runs) from
     the text column, counting each redaction class per document.
