@@ -1052,6 +1052,66 @@ _reg(
 )
 
 _reg(
+    "pack_sequences",
+    lambda s, d: cu.pack_sequences(load(s, d, "documents")),
+    """
+    WITH t AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 64 AS bucket,
+             CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tok
+      FROM documents),
+    c AS (
+      SELECT doc_id, bucket, n_tok,
+             sum(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id) - n_tok AS start_off
+      FROM t)
+    SELECT doc_id, bucket, n_tok,
+           CAST(bucket * 1000000000 + start_off // 256 AS BIGINT) AS pack_id,
+           CAST(start_off % 256 AS BIGINT) AS pack_offset
+    FROM c
+    """,
+)
+
+_reg(
+    "stratified_sample",
+    lambda s, d: cu.stratified_sample(load(s, d, "documents")),
+    """
+    SELECT doc_id, lang, source FROM documents
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 <
+          CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 50 WHEN 'fr' THEN 25 ELSE 0 END
+    """,
+)
+
+_reg(
+    "token_histogram",
+    lambda s, d: tx.token_histogram(load(s, d, "documents")),
+    """
+    WITH t AS (
+      SELECT CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tok
+      FROM documents)
+    SELECT CAST(pow(2, floor(log2(greatest(n_tok, 1)))) AS BIGINT) AS bin_lo,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens
+    FROM t GROUP BY 1
+    """,
+)
+
+_reg(
+    "text_normalize",
+    lambda s, d: tx.text_normalize(load(s, d, "documents")),
+    r"""
+    WITH c AS (
+      SELECT doc_id, text,
+             lower(trim(regexp_replace(
+               regexp_replace(text, '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', ' ', 'g'),
+               '[\s]+', ' ', 'g'))) AS norm_text
+      FROM documents)
+    SELECT doc_id, norm_text,
+           CAST(length(text) - length(norm_text) AS BIGINT) AS chars_removed
+    FROM c
+    """,
+)
+
+_reg(
     "decontaminate",
     lambda s, d: cu.decontaminate(load(s, d, "documents")),
     """

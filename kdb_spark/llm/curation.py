@@ -9,8 +9,10 @@ filters Catalyst pushes into the parquet scan of downstream readers.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from kdb_spark.llm.dedup import tokens
 
 # 256 md5-prefix buckets, split by lexicographic range of the first two hex
 # chars: ["00","c0") = 192/256 = 75% train, ["c0","e0") = 12.5% val,
@@ -95,6 +97,67 @@ def decontaminate(documents: DataFrame, n: int = 3) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
     )
+
+
+def pack_sequences(
+    documents: DataFrame, budget: int = 256, n_buckets: int = 64
+) -> DataFrame:
+    """Sequence packing: assign every document to a fixed-token-budget pack
+    for LLM pre-training (concatenate-and-chunk semantics — a doc belongs
+    to the pack where its first token lands).
+
+    Scale shape: a single GLOBAL concat order would serialize the corpus
+    through one window partition, so docs are first routed to one of
+    `n_buckets` md5 buckets (deterministic, engine-portable — same contract
+    as `dataset_split`) and packed independently per bucket: the window
+    cumsum runs as `n_buckets` parallel partitions, each a bounded slice of
+    the corpus. pack_id is globally unique via (bucket, within-bucket id).
+    """
+    n_tok = F.size(tokens("text")).cast("long")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % n_buckets
+    )
+    w = Window.partitionBy("bucket").orderBy("doc_id")
+    return (
+        documents.select(
+            "doc_id", bucket.alias("bucket"), n_tok.alias("n_tok")
+        )
+        .withColumn("start_off", F.sum("n_tok").over(w) - F.col("n_tok"))
+        .select(
+            "doc_id",
+            "bucket",
+            "n_tok",
+            (F.col("bucket") * 1_000_000_000 + F.floor(F.col("start_off") / budget))
+            .cast("long")
+            .alias("pack_id"),
+            (F.col("start_off") % budget).cast("long").alias("pack_offset"),
+        )
+    )
+
+
+def stratified_sample(
+    documents: DataFrame, rates: dict[str, int] | None = None, key: str = "doc_id"
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the "data mixing" primitive:
+    keep `rates[lang]` percent of each language's docs (md5-hash slot, same
+    stability contract as `sample_hash`, so membership never migrates under
+    repartitioning or engine choice).
+
+    The rate table is plan-time literal (a `when` chain, not a join): the
+    whole op is one map-only scan whose predicate pushes into the read.
+    """
+    rates = rates or {"en": 100, "de": 50, "fr": 25}
+    slot = (
+        F.conv(F.substring(F.md5(F.col(key).cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 100
+    )
+    rate = F.lit(0)
+    for lang, pct in rates.items():
+        rate = F.when(F.col("lang") == lang, F.lit(pct)).otherwise(rate)
+    return documents.select("doc_id", "lang", "source").where(slot < rate)
 
 
 def pii_redact(documents: DataFrame) -> DataFrame:

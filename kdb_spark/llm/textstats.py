@@ -119,6 +119,56 @@ def ngram_topk(documents: DataFrame, n: int = 3, k: int = 20) -> DataFrame:
     )
 
 
+def token_histogram(documents: DataFrame) -> DataFrame:
+    """Corpus length distribution: docs and tokens per power-of-two
+    token-count bin — the first chart anyone draws over a new pre-training
+    corpus (and the input to length-balanced batch sizing).
+
+    One scan + one tiny hash-agg (≤ ~40 bins regardless of corpus size);
+    partial aggregation makes the shuffle a few rows per executor.
+    """
+    n_tok = F.size(tokens("text")).cast("long")
+    bin_lo = F.pow(F.lit(2.0), F.floor(F.log2(F.greatest(n_tok, F.lit(1))))).cast(
+        "long"
+    )
+    return (
+        documents.select(n_tok.alias("n_tok"), bin_lo.alias("bin_lo"))
+        .groupBy("bin_lo")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+    )
+
+
+# RE2-safe; see curation.py for the cross-engine regex contract.
+_WS_RE = "[\\s]+"
+_CTRL_RE = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]"
+
+
+def text_normalize(documents: DataFrame) -> DataFrame:
+    """Pre-tokenization text cleanup: strip control characters, collapse
+    whitespace runs to single spaces, trim, lowercase. Emits the cleaned
+    text plus the per-doc shrinkage so a pipeline can gate on "how much
+    garbage did normalization remove".
+
+    All JVM `regexp_replace`/`lower` expressions — map-only, no shuffle,
+    pipelines into whatever scan feeds it at any scale.
+    """
+    clean = F.lower(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace("text", _CTRL_RE, " "), _WS_RE, " "
+            )
+        )
+    )
+    return documents.select(
+        "doc_id",
+        clean.alias("norm_text"),
+        (F.length("text") - F.length(clean)).cast("long").alias("chars_removed"),
+    )
+
+
 def udtf_tokenize(documents: DataFrame) -> DataFrame:
     """Tokenizer as a Python UDTF (lateral table function) — the §2.B
     "UDF/UDAF/UDTF surface" row.

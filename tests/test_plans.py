@@ -110,3 +110,48 @@ def test_dataset_split_is_partitioning_invariant(spark):
     }
     assert a == b and len(a) == 200
     assert {"train", "val", "test"} >= set(a.values())
+
+
+def test_text_normalize_and_sample_are_map_only(spark):
+    """text_normalize / stratified_sample are single-pass JVM expressions —
+    same no-shuffle/no-Python contract as the other curation ops."""
+    from kdb_spark.llm import curation as cu
+    from kdb_spark.llm import textstats as tx
+
+    docs = load(spark, SF_DIR, "documents")
+    for df in (tx.text_normalize(docs), cu.stratified_sample(docs)):
+        plan = plan_of(df)
+        assert "Exchange" not in plan, plan
+        assert "EvalPython" not in plan, plan
+
+
+def test_pack_sequences_contract(spark):
+    """Packing is deterministic under repartitioning, packs never start
+    past the budget boundary mid-doc (concatenate-and-chunk: each doc's
+    start offset is its bucket-cumsum), and offsets stay below budget."""
+    from kdb_spark.llm import curation as cu
+
+    docs = load(spark, SF_DIR, "documents").limit(300)
+    a = {r.doc_id: (r.pack_id, r.pack_offset) for r in cu.pack_sequences(docs).collect()}
+    b = {
+        r.doc_id: (r.pack_id, r.pack_offset)
+        for r in cu.pack_sequences(docs.repartition(5)).collect()
+    }
+    assert a == b and len(a) == 300
+    assert all(0 <= off < 256 for _, off in a.values())
+    # exactly one window shuffle (the per-bucket cumsum), nothing else
+    plan = plan_of(cu.pack_sequences(docs))
+    assert plan.count("Exchange") <= 2, plan  # hashpartition + AQE read at most
+    assert "EvalPython" not in plan, plan
+
+
+def test_token_histogram_bins_are_powers_of_two(spark):
+    from kdb_spark.llm import textstats as tx
+
+    docs = load(spark, SF_DIR, "documents")
+    rows = tx.token_histogram(docs).collect()
+    assert rows
+    total_docs = sum(r.n_docs for r in rows)
+    assert total_docs == docs.count()
+    for r in rows:
+        assert r.bin_lo >= 1 and (r.bin_lo & (r.bin_lo - 1)) == 0, r
