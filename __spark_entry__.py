@@ -779,8 +779,50 @@ _reg(
     _NGRAM_JACCARD_SQL,
 )
 
-# engine-specific 64-bit hashes — rows-only check by design
-_reg("dedup_simhash", lambda s, d: dd.dedup_simhash(load(s, d, "documents")), None)
+def _simhash_oracle() -> str:
+    """DuckDB mirror of simhash64 + band blocking: md5 token hashes are
+    byte-identical across engines, so the 64 ±1 sums, the assembled
+    signature, and the hamming verify all value-match exactly."""
+    sums = ",\n             ".join(
+        f"sum(CASE WHEN ({'h1' if i < 32 else 'h2'} >> {i % 32}) & 1 = 1"
+        f" THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(64)
+    )
+    consts = [(1 << i) if i < 63 else -(1 << 63) for i in range(64)]
+    sim = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN {'(-9223372036854775807 - 1)' if i == 63 else consts[i]}::BIGINT ELSE 0 END)"
+        for i in range(64)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+      FROM documents),
+    h AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(t), 1, 8))::BIGINT AS h1,
+             ('0x' || substr(md5(t), 9, 8))::BIGINT AS h2
+      FROM tok),
+    sums AS (
+      SELECT doc_id,
+             {sums}
+      FROM h GROUP BY doc_id),
+    sh AS (SELECT doc_id, {sim} AS simhash FROM sums),
+    bands AS (
+      SELECT doc_id, simhash, t.band, (simhash >> (t.band * 16)) & 65535 AS bits
+      FROM sh, (VALUES (0), (1), (2), (3)) t(band))
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bits = b.bits AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+    """
+
+
+_reg(
+    "dedup_simhash",
+    lambda s, d: dd.dedup_simhash(load(s, d, "documents")),
+    _simhash_oracle(),
+)
 
 _reg(
     "dedup_cluster",
@@ -945,8 +987,50 @@ _reg(
     """,
 )
 
-# approximate by construction (sign-LSH buckets) — rows-only check
-_reg("ann_search_topk", lambda s, d: sim.ann_search_topk(load(s, d, "embeddings")), None)
+def _ann_oracle(n_queries: int = 5, k: int = 5, n_tables: int = 4, n_bits: int = 4) -> str:
+    """DuckDB mirror of multi-table sign-LSH ANN. Approximate vs brute
+    force, but DETERMINISTIC given the hyperplanes — which are plan-time
+    literals from a seeded PRNG, so the oracle inlines the exact same
+    floats (repr round-trips to the identical double) and reproduces
+    buckets, candidates, and scores value-for-value."""
+    from kdb_spark.llm.similarity import hyperplanes
+
+    selects = []
+    for t in range(n_tables):
+        planes = hyperplanes(64, n_bits, seed=42 + 1000 * t)
+        bits = " + ".join(
+            "(CASE WHEN list_sum([v[i] * ("
+            + "[" + ", ".join(repr(x) for x in p) + "]"
+            + f")[i] FOR i IN range(1, 65)]) > 0 THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        )
+        selects.append(f"SELECT vec_id, v, nrm, {t} AS tbl, {bits} AS bkt FROM n")
+    union = "\n      UNION ALL ".join(selects)
+    return f"""
+    WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_sum([x * x FOR x IN v])) AS nrm FROM e),
+    b AS ({union}),
+    q AS (SELECT vec_id AS query_id, tbl, bkt FROM b WHERE vec_id < {n_queries}),
+    cand AS (
+      SELECT DISTINCT q.query_id, b.vec_id AS match_id
+      FROM b JOIN q USING (tbl, bkt) WHERE b.vec_id <> q.query_id),
+    scored AS (
+      SELECT c.query_id, c.match_id,
+             list_sum([a.v[i] * m.v[i] FOR i IN range(1, 65)]) / (a.nrm * m.nrm) AS raw
+      FROM cand c
+      JOIN n a ON a.vec_id = c.query_id
+      JOIN n m ON m.vec_id = c.match_id)
+    SELECT query_id, match_id, round(raw, 6) AS cos,
+           CAST(row_number() OVER (PARTITION BY query_id ORDER BY raw DESC, match_id) AS BIGINT) AS rn
+    FROM scored QUALIFY rn <= {k}
+    """
+
+
+_reg(
+    "ann_search_topk",
+    lambda s, d: sim.ann_search_topk(load(s, d, "embeddings")),
+    _ann_oracle(),
+)
 
 # approximate by construction (IVF probes a subset of lists) — rows-only check
 _reg("ivf_search_topk", lambda s, d: sim.ivf_search_topk(load(s, d, "embeddings")), None)

@@ -267,13 +267,26 @@ def simhash64(documents: DataFrame) -> DataFrame:
     explode(tokens) → 64 conditional sums in ONE hash aggregate → bit
     reassembly. One shuffle on doc_id; the 64 sums are a single combine-able
     aggregate row per doc.
+
+    Token bits come from md5 (two 32-bit halves of the hex digest) rather
+    than xxhash64: md5 hex is byte-identical in every engine, which is what
+    lets the DuckDB oracle value-check the signatures — xxhash64 exists
+    only in Spark. Still one JVM expression per token, no UDF.
     """
-    tok = documents.select(
-        "doc_id", F.explode(tokens(F.col("text"))).alias("t")
-    ).withColumn("h", F.xxhash64("t"))
+    tok = (
+        documents.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
+        .withColumn("m", F.md5("t"))
+        .withColumn("h1", F.conv(F.substring("m", 1, 8), 16, 10).cast("long"))
+        .withColumn("h2", F.conv(F.substring("m", 9, 8), 16, 10).cast("long"))
+    )
     aggs = [
         F.sum(
-            (F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1)
+            (
+                F.shiftright(F.col("h1" if i < 32 else "h2"), i % 32)
+                .bitwiseAND(F.lit(1))
+                * 2
+                - 1
+            )
         ).alias(f"b{i}")
         for i in range(64)
     ]

@@ -112,7 +112,9 @@ def emb_near_dup(embeddings: DataFrame, tau: float = 0.4, n_blocks: int = 8) -> 
         )
     )
 
-    def gemm(key: tuple, pdf) -> "pd.DataFrame":
+    # no annotations: partial hints make applyInPandas warn while inferring
+    # the (key, pdf) -> pdf eval type
+    def gemm(key, pdf):
         ba, bb = key
         left = pdf[pdf["blk"] == ba]
         right = pdf[pdf["blk"] == bb] if bb != ba else left
@@ -379,7 +381,8 @@ def ann_search_topk(
     p ≈ 0.6) measured recall@5 is ~0.5 at the defaults — that is the
     information-theoretic regime where no sub-linear index does well; on
     clustered real embeddings (cos ≥ 0.7, p ≥ 0.75) the same defaults give
-    ≥ 0.9. Approximate by construction → rows-only check.
+    ≥ 0.9. Approximate vs brute force but deterministic given the seeded
+    plane literals, so the DuckDB oracle value-checks it exactly.
     """
     b = _lsh_tables(with_norm(embeddings), dim, n_tables, n_bits)
     q = b.filter(F.col("vec_id") < n_queries).select(
