@@ -1032,8 +1032,64 @@ _reg(
     _ann_oracle(),
 )
 
-# approximate by construction (IVF probes a subset of lists) — rows-only check
-_reg("ivf_search_topk", lambda s, d: sim.ivf_search_topk(load(s, d, "embeddings")), None)
+# IVF probes a subset of lists (approximate vs brute force) but every step —
+# deterministic init, one Lloyd refinement, stable nearest-centroid ties —
+# is reproducible, so the unrolled CTE chain value-checks it exactly.
+_IVF_DOT = "list_sum([{a}[i] * {b}[i] FOR i IN range(1, 65)])"
+
+
+def _ivf_oracle(n_queries: int = 5, k: int = 5, n_clusters: int = 16, nprobe: int = 2) -> str:
+    dot_nc = _IVF_DOT.format(a="n.v", b="c.cv")
+    dot_qm = _IVF_DOT.format(a="q.v", b="m.v")
+    return f"""
+    WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_sum([x * x FOR x IN v])) AS nrm FROM e),
+    c0 AS (SELECT vec_id AS cid, v AS cv,
+                  sqrt(list_sum([x * x FOR x IN v])) AS cnrm
+           FROM e WHERE vec_id < {n_clusters}),
+    a0 AS (
+      SELECT n.vec_id, c.cid,
+             row_number() OVER (PARTITION BY n.vec_id
+               ORDER BY {dot_nc} / (n.nrm * c.cnrm) DESC, c.cid) AS rk
+      FROM n CROSS JOIN c0 c),
+    asg0 AS (SELECT vec_id, cid FROM a0 WHERE rk = 1),
+    mdim AS (
+      SELECT a.cid, t.i AS pos, avg(e.v[t.i]) AS x
+      FROM asg0 a JOIN e ON e.vec_id = a.vec_id
+      CROSS JOIN range(1, 65) t(i)
+      GROUP BY a.cid, t.i),
+    c1l AS (SELECT cid, list(x ORDER BY pos) AS cv FROM mdim GROUP BY cid),
+    c1 AS (SELECT cid, cv, sqrt(list_sum([y * y FOR y IN cv])) AS cnrm FROM c1l),
+    corpus AS (
+      SELECT vec_id, cid FROM (
+        SELECT n.vec_id, c.cid,
+               row_number() OVER (PARTITION BY n.vec_id
+                 ORDER BY {dot_nc} / (n.nrm * c.cnrm) DESC, c.cid) AS rk
+        FROM n CROSS JOIN c1 c) WHERE rk = 1),
+    qprobe AS (
+      SELECT vec_id AS query_id, cid FROM (
+        SELECT n.vec_id, c.cid,
+               row_number() OVER (PARTITION BY n.vec_id
+                 ORDER BY {dot_nc} / (n.nrm * c.cnrm) DESC, c.cid) AS rk
+        FROM n CROSS JOIN c1 c WHERE n.vec_id < {n_queries}) WHERE rk <= {nprobe}),
+    scored AS (
+      SELECT p.query_id, x.vec_id AS match_id,
+             {dot_qm} / (q.nrm * m.nrm) AS raw
+      FROM qprobe p
+      JOIN corpus x ON x.cid = p.cid AND x.vec_id <> p.query_id
+      JOIN n q ON q.vec_id = p.query_id
+      JOIN n m ON m.vec_id = x.vec_id)
+    SELECT query_id, match_id, round(raw, 6) AS cos,
+           CAST(row_number() OVER (PARTITION BY query_id ORDER BY raw DESC, match_id) AS BIGINT) AS rn
+    FROM scored QUALIFY rn <= {k}
+    """
+
+
+_reg(
+    "ivf_search_topk",
+    lambda s, d: sim.ivf_search_topk(load(s, d, "embeddings")),
+    _ivf_oracle(),
+)
 
 def _mm_summary(s: SparkSession, d: str) -> DataFrame:
     """multimodal_table projected to its oracle-comparable summary (the

@@ -218,8 +218,9 @@ def ivf_search_topk(
 
     The 100 TB shape: the corpus is scanned once at index-build (assignment),
     and each query touches nprobe/n_clusters of the data instead of all of
-    it. Approximate by construction (a true neighbor can live in an
-    unprobed list) → rows-only check, like ann_search_topk.
+    it. Approximate vs brute force (a true neighbor can live in an unprobed
+    list) but deterministic end-to-end — seeded init, one Lloyd step,
+    stable ties — so the DuckDB oracle value-checks it exactly.
     """
     cents = ivf_centroids(embeddings, n_clusters)
     corpus = ivf_assign(with_norm(embeddings), cents, nprobe=1)
