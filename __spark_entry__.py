@@ -1269,5 +1269,57 @@ _reg(
     """,
 )
 
-# iterative (Lloyd refinement) — not SQL-expressible; rows-only check
-_reg("emb_kmeans", lambda s, d: sim.emb_kmeans(load(s, d, "embeddings")), None)
+def _kmeans_oracle(n_clusters: int = 8, iters: int = 3) -> str:
+    """DuckDB mirror of emb_kmeans: the fixed ``iters`` Lloyd rounds unroll
+    into a generated CTE chain (assign → per-dim means → coalesce empty
+    clusters with their previous centroid), so even the "iterative" op gets
+    an exact value check. Same assignment convention as ivf: cosine,
+    ties → lowest cluster id."""
+    dot = "list_sum([n.v[i] * c.cv[i] FOR i IN range(1, 65)])"
+    parts = [
+        "e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings)",
+        "n AS (SELECT vec_id, v, sqrt(list_sum([x * x FOR x IN v])) AS nrm FROM e)",
+        f"c0l AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {n_clusters})",
+        "c0 AS (SELECT cid, cv, sqrt(list_sum([y * y FOR y IN cv])) AS cnrm FROM c0l)",
+    ]
+    for j in range(iters):
+        parts += [
+            f"""a{j} AS (
+      SELECT vec_id, cid FROM (
+        SELECT n.vec_id, c.cid,
+               row_number() OVER (PARTITION BY n.vec_id
+                 ORDER BY {dot} / (n.nrm * c.cnrm) DESC, c.cid) AS rk
+        FROM n CROSS JOIN c{j} c) WHERE rk = 1)""",
+            f"""md{j} AS (
+      SELECT a.cid, t.i AS pos, avg(e.v[t.i]) AS x
+      FROM a{j} a JOIN e ON e.vec_id = a.vec_id
+      CROSS JOIN range(1, 65) t(i)
+      GROUP BY a.cid, t.i)""",
+            f"cl{j} AS (SELECT cid, list(x ORDER BY pos) AS cv FROM md{j} GROUP BY cid)",
+            f"""c{j + 1} AS (
+      SELECT p.cid, COALESCE(f.cv, p.cv) AS cv,
+             sqrt(list_sum([y * y FOR y IN COALESCE(f.cv, p.cv)])) AS cnrm
+      FROM c{j} p LEFT JOIN cl{j} f ON f.cid = p.cid)""",
+        ]
+    parts.append(
+        f"""final AS (
+      SELECT vec_id, cid AS cluster FROM (
+        SELECT n.vec_id, c.cid,
+               row_number() OVER (PARTITION BY n.vec_id
+                 ORDER BY {dot} / (n.nrm * c.cnrm) DESC, c.cid) AS rk
+        FROM n CROSS JOIN c{iters} c) WHERE rk = 1)"""
+    )
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH {ctes}
+    SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,
+           CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT) AS n_members
+    FROM final
+    """
+
+
+_reg(
+    "emb_kmeans",
+    lambda s, d: sim.emb_kmeans(load(s, d, "embeddings")),
+    _kmeans_oracle(),
+)

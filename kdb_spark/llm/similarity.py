@@ -253,7 +253,8 @@ def emb_kmeans(
 ) -> DataFrame:
     """Distributed Lloyd k-means over the embedding column — the clustering
     step of corpus curation (topic balancing, stratified dedup, coreset
-    selection). Iterative, so no SQL oracle (rows-only check).
+    selection). The fixed iteration count unrolls into a generated CTE
+    chain, so even this op gets an exact DuckDB value check.
 
     Classic scale shape — ONE map-only job per iteration: every partition
     computes its local (count, sum-vector) per cluster against the closed-
