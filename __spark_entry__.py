@@ -723,6 +723,18 @@ _reg(
 )
 
 _reg(
+    "stream_counter_delta",
+    sm.stream_counter_delta,
+    """
+    SELECT user_id, event_type, ts_us, event_id, delta FROM (
+      SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+             value - lag(value) OVER (PARTITION BY user_id, event_type
+                                      ORDER BY epoch_us(ts), event_id) AS delta
+      FROM events) WHERE delta IS NOT NULL
+    """,
+)
+
+_reg(
     "stream_latest_state",
     sm.stream_latest_state,
     """

@@ -71,3 +71,22 @@ def sink_orc(df: DataFrame, path: str, partition_by: list[str] | None = None) ->
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.orc(path)
+
+
+def scan_binary(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Raw-asset scan via the `binaryFile` source — the ingest edge of the
+    multimodal pipeline (images/audio/video land as files; this yields
+    (path, modificationTime, length, content BINARY) rows that
+    `multimodal_table` / `mm_features` consume as opaque payloads).
+
+    Spark parallelizes the listing and reads each file as one row — fine
+    for the typical many-small-assets layout; giant single files should be
+    chunked upstream. `pathGlobFilter` prunes by extension at listing time
+    (no data read for skipped files).
+    """
+    r = spark.read.format("binaryFile")
+    if glob is not None:
+        r = r.option("pathGlobFilter", glob)
+    return r.load(path)

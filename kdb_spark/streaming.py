@@ -353,3 +353,83 @@ def stream_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "event_type", "s.last_ts_us", "s.last_value")
     )
+
+
+# ------------------------------------------- transformWithState counter delta
+
+_DELTA_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("ts_us", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("delta", T.DoubleType()),
+    ]
+)
+
+
+_DELTA_STATE = T.StructType(
+    [
+        T.StructField("ts_us", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def _delta_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Chain the stored last sample in front of each micro-batch, emit
+    consecutive diffs in (ts_us, event_id) order, persist the new tail."""
+    pdf = pd.concat(list(pdfs), ignore_index=True)
+    if len(pdf) == 0:
+        return
+    pdf = pdf.sort_values(["ts_us", "event_id"], ignore_index=True)
+    prev = tuple(state.get) if state.exists else None
+    deltas = pdf["value"].diff()
+    if prev is not None:
+        deltas.iloc[0] = pdf["value"].iloc[0] - prev[2]
+    tail = pdf.iloc[-1]
+    state.update((int(tail["ts_us"]), int(tail["event_id"]), float(tail["value"])))
+    out = pd.DataFrame(
+        {
+            "user_id": pdf["user_id"].astype("int64"),
+            "event_type": pdf["event_type"],
+            "ts_us": pdf["ts_us"].astype("int64"),
+            "event_id": pdf["event_id"].astype("int64"),
+            "delta": deltas,
+        }
+    )
+    yield out.dropna(subset=["delta"])
+
+
+def stream_counter_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series counter derivative as a custom stateful operator: for each
+    (user_id, event_type) series, emit value - previous value in
+    (ts_us, event_id) order — the canonical TSDB rate() building block,
+    streamed (the batch analog is `win_lag_delta`).
+
+    State per series is one (ts_us, event_id, value) triple: each
+    micro-batch sorts its own rows, chains the stored last sample in front,
+    and persists the new tail — deltas stay correct across micro-batch
+    boundaries as long as the source delivers each series in event order
+    (the file/Kafka-per-key contract). Built on `applyInPandasWithState`;
+    the same processor maps 1:1 onto Spark 4's
+    `transformWithStateInPandas` ValueState API (unavailable here: its
+    state-server protocol needs protobuf, absent from this container).
+    The batch oracle is the window `lag` over the same data.
+    """
+    s = events_stream(spark, sf_dir)
+    out = (
+        s.select("user_id", "event_type", "ts_us", "event_id", "value")
+        .groupBy("user_id", "event_type")
+        .applyInPandasWithState(
+            _delta_fn,
+            outputStructType=_DELTA_OUT,
+            stateStructType=_DELTA_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return _drain(out, "append")

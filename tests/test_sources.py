@@ -55,3 +55,14 @@ def test_partitioned_parquet_prunes(spark, tmp_path):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     assert "PartitionFilters" in plan
+
+
+def test_binary_scan_reads_raw_assets(spark, tmp_path):
+    (tmp_path / "a.img").write_bytes(b"\x89fake-image-bytes")
+    (tmp_path / "b.img").write_bytes(b"\x00" * 64)
+    (tmp_path / "skip.txt").write_text("not an asset")
+    got = src.scan_binary(spark, str(tmp_path), glob="*.img").collect()
+    by_name = {r.path.rsplit("/", 1)[-1]: r for r in got}
+    assert set(by_name) == {"a.img", "b.img"}
+    assert bytes(by_name["a.img"].content) == b"\x89fake-image-bytes"
+    assert by_name["b.img"].length == 64

@@ -105,3 +105,17 @@ def test_stream_latest_state_equals_batch_argmax(spark):
     )
     cols = ["user_id", "event_type", "last_ts_us", "last_value"]
     assert rows(got, *cols) == rows(want, *cols)
+
+
+def test_stream_counter_delta_equals_batch_lag(spark):
+    from pyspark.sql import Window
+
+    got = sm.stream_counter_delta(spark, SF_DIR)
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+    want = (
+        events_us(spark, SF_DIR)
+        .withColumn("delta", F.col("value") - F.lag("value").over(w))
+        .filter(F.col("delta").isNotNull())
+    )
+    cols = ["user_id", "event_type", "ts_us", "event_id", "delta"]
+    assert rows(got, *cols) == rows(want, *cols)
