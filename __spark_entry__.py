@@ -1224,6 +1224,24 @@ _reg(
 )
 
 _reg(
+    "chunk_documents",
+    lambda s, d: cu.chunk_documents(load(s, d, "documents")),
+    """
+    WITH t AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      FROM documents),
+    c AS (
+      SELECT doc_id, toks,
+             unnest(range(0, greatest(1, CAST(ceil((len(toks) - 8) / 56.0) AS INT)))) AS chunk_id
+      FROM t)
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           array_to_string(toks[chunk_id * 56 + 1 : chunk_id * 56 + 64], ' ') AS chunk_text,
+           CAST(least(len(toks) - chunk_id * 56, 64) AS BIGINT) AS n_tok_chunk
+    FROM c
+    """,
+)
+
+_reg(
     "stratified_sample",
     lambda s, d: cu.stratified_sample(load(s, d, "documents")),
     """

@@ -137,6 +137,43 @@ def pack_sequences(
     )
 
 
+def chunk_documents(
+    documents: DataFrame, size: int = 64, overlap: int = 8
+) -> DataFrame:
+    """Split long documents into fixed-size token chunks with overlap — the
+    context-window prep step (pack_sequences' complement: packing fills a
+    budget with whole short docs; chunking cuts docs that exceed it).
+
+    Chunk starts stride by (size - overlap); the last chunk is the
+    remainder (never empty unless the doc is). Map-only: tokenize once,
+    explode a per-doc `sequence` of chunk indices, slice the token array —
+    no shuffle, no UDF; at 100 TB this pipelines into the corpus scan.
+    """
+    stride = size - overlap
+    n_tok = F.size("toks")
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil((n_tok - F.lit(overlap)) / F.lit(stride)).cast("int")
+    )
+    return (
+        documents.select("doc_id", tokens("text").alias("toks"))
+        .select(
+            "doc_id",
+            "toks",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.concat_ws(
+                " ", F.slice("toks", F.col("chunk_id") * stride + 1, size)
+            ).alias("chunk_text"),
+            F.least(
+                F.size("toks") - F.col("chunk_id") * stride, F.lit(size)
+            ).cast("long").alias("n_tok_chunk"),
+        )
+    )
+
+
 def stratified_sample(
     documents: DataFrame, rates: dict[str, int] | None = None, key: str = "doc_id"
 ) -> DataFrame:

@@ -155,3 +155,34 @@ def test_token_histogram_bins_are_powers_of_two(spark):
     assert total_docs == docs.count()
     for r in rows:
         assert r.bin_lo >= 1 and (r.bin_lo & (r.bin_lo - 1)) == 0, r
+
+
+def test_chunk_documents_is_map_only_and_covers_all_tokens(spark):
+    """Chunking is explode-over-sequence map-side (no shuffle, no Python);
+    strided chunks with overlap reconstruct every token position."""
+    from kdb_spark.llm import curation as cu
+    from kdb_spark.llm.dedup import tokens as tok_expr
+
+    docs = load(spark, SF_DIR, "documents")
+    df = cu.chunk_documents(docs)
+    plan = plan_of(df)
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "Generate" in plan  # the explode(sequence(...)) chunk fan-out
+
+    import pyspark.sql.functions as F
+
+    sample = docs.limit(50)
+    n_tok = {r.doc_id: r.n for r in sample.select("doc_id", F.size(tok_expr("text")).alias("n")).collect()}
+    got = cu.chunk_documents(sample).collect()
+    by_doc: dict = {}
+    for r in got:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_id)
+        # strides of 56, last chunk is the remainder, sizes match the doc
+        assert chunks[0].chunk_id == 0
+        for i, c in enumerate(chunks):
+            assert c.chunk_id == i
+            assert c.n_tok_chunk == min(n_tok[doc_id] - i * 56, 64)
+        assert sum(1 for _ in chunks) == max(1, -(-(n_tok[doc_id] - 8) // 56))
