@@ -186,3 +186,24 @@ def test_chunk_documents_is_map_only_and_covers_all_tokens(spark):
             assert c.chunk_id == i
             assert c.n_tok_chunk == min(n_tok[doc_id] - i * 56, 64)
         assert sum(1 for _ in chunks) == max(1, -(-(n_tok[doc_id] - 8) // 56))
+
+
+def test_near_dup_family_never_goes_all_pairs(spark):
+    """Every near-dup / decontamination candidate generator is an equi-join
+    on hashed keys (bands, buckets, shingles) — the 100 TB contract is that
+    NO plan contains a cartesian or nested-loop join, and the whole family
+    stays JVM-side (no Python eval in any hot path)."""
+    from kdb_spark.llm import curation as cu
+    from kdb_spark.llm import dedup as dd
+
+    docs = load(spark, SF_DIR, "documents")
+    for df in (
+        dd.dedup_ngram_jaccard(docs),
+        dd.dedup_near_minhash(docs),
+        dd.dedup_simhash(docs),
+        cu.decontaminate(docs),
+    ):
+        plan = plan_of(df)
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "EvalPython" not in plan, plan
