@@ -90,3 +90,23 @@ def scan_binary(
     if glob is not None:
         r = r.option("pathGlobFilter", glob)
     return r.load(path)
+
+
+def sink_bucketed(
+    df: DataFrame, table: str, key: str, n_buckets: int = 32
+) -> None:
+    """Persist as a bucketed+sorted managed table — the storage-layout half
+    of a shuffle-free equi join. Two fact tables bucketed on the same key
+    with the same bucket count co-locate matching keys in matching files,
+    so a later join needs NO Exchange on either side (plan-asserted in
+    tests): at 100 TB that converts every recurring fact-fact join from a
+    full-corpus shuffle into a per-bucket merge. The write itself shuffles
+    once (hash into buckets) — you pay it one time, not per query.
+    """
+    (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .saveAsTable(table)
+    )

@@ -66,3 +66,42 @@ def test_binary_scan_reads_raw_assets(spark, tmp_path):
     assert set(by_name) == {"a.img", "b.img"}
     assert bytes(by_name["a.img"].content) == b"\x89fake-image-bytes"
     assert by_name["b.img"].length == 64
+
+
+def test_bucketed_tables_join_without_shuffle(spark):
+    """Both sides bucketed on the join key -> SortMergeJoin with NO
+    Exchange on either side (co-located join, the recurring-join layout)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from kdb_spark.tables import load
+    from tests.conftest import SF_DIR
+
+    for t in ("bk_orders", "bk_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        loc = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        shutil.rmtree(f"{loc}/{t}", ignore_errors=True)
+    src.sink_bucketed(
+        load(spark, SF_DIR, "orders").select("o_orderkey", "o_totalprice"),
+        "bk_orders", "o_orderkey", n_buckets=8,
+    )
+    src.sink_bucketed(
+        load(spark, SF_DIR, "lineitem")
+        .select(F.col("l_orderkey").alias("o_orderkey"), "l_quantity"),
+        "bk_lineitem", "o_orderkey", n_buckets=8,
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("bk_orders").join(spark.table("bk_lineitem"), "o_orderkey")
+        plan = joined._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bk_orders")
+        spark.sql("DROP TABLE IF EXISTS bk_lineitem")
