@@ -130,3 +130,84 @@ def test_find_matches_presence_simulation(spark, batches, start, width, t1, t2):
     for r in store.find(start, end, [t1, t2], now=NOW).collect():
         got.setdefault((r["tag1"], r["tag2"]), []).append(bytes(r["payload"]))
     assert got == simulate_find(batches, start, end, [t1, t2])
+
+
+# --------------------------- curation-op laws over arbitrary tiny corpora
+
+doc_strategy = st.lists(
+    st.text(
+        alphabet="abc xyz 019 \n\t.",
+        min_size=0,
+        max_size=120,
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+def _docs_df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=doc_strategy)
+def test_chunking_reconstructs_every_token(spark, texts):
+    """Law: concatenating each doc's chunks with overlaps removed yields
+    exactly the doc's token stream — no token lost or duplicated."""
+    import pyspark.sql.functions as F
+
+    from kdb_spark.llm import curation as cu
+    from kdb_spark.llm.dedup import tokens
+
+    SIZE, OVERLAP = 7, 2
+    df = _docs_df(spark, texts)
+    want = {
+        r.doc_id: list(r.toks)
+        for r in df.select("doc_id", tokens("text").alias("toks")).collect()
+    }
+    chunks = {}
+    for r in cu.chunk_documents(df, size=SIZE, overlap=OVERLAP).collect():
+        chunks.setdefault(r.doc_id, []).append(r)
+    for doc_id, toks in want.items():
+        got = sorted(chunks[doc_id], key=lambda r: r.chunk_id)
+        rebuilt = list((got[0].chunk_text or "").split())
+        for c in got[1:]:
+            rebuilt.extend((c.chunk_text or "").split()[OVERLAP:])
+        assert rebuilt == toks, (doc_id, rebuilt, toks)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=doc_strategy, budget=st.integers(2, 40))
+def test_pack_sequences_offsets_follow_bucket_cumsum(spark, texts, budget):
+    """Law: within an md5 bucket, pack offsets are the running token count
+    mod budget, pack ids never decrease in doc_id order, and every doc
+    appears exactly once."""
+    from kdb_spark.llm import curation as cu
+
+    df = _docs_df(spark, texts)
+    rows = cu.pack_sequences(df, budget=budget).collect()
+    assert sorted(r.doc_id for r in rows) == list(range(len(texts)))
+    by_bucket: dict = {}
+    for r in rows:
+        by_bucket.setdefault(r.bucket, []).append(r)
+    for _, rs in by_bucket.items():
+        rs.sort(key=lambda r: r.doc_id)
+        cum = 0
+        prev_pack = None
+        for r in rs:
+            assert r.pack_offset == cum % budget, r
+            assert r.pack_id == r.bucket * 1_000_000_000 + cum // budget, r
+            if prev_pack is not None:
+                assert r.pack_id >= prev_pack
+            prev_pack = r.pack_id
+            cum += r.n_tok
