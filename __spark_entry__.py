@@ -197,6 +197,20 @@ _reg(
 )
 
 _reg(
+    "agg_mode",
+    lambda s, d: agg.agg_mode(events_us(s, d)),
+    """
+    SELECT user_id, event_type AS mode_event_type, CAST(n AS BIGINT) AS n_events
+    FROM (
+      SELECT user_id, event_type, count(*) AS n,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY count(*) DESC, event_type) AS rk
+      FROM events GROUP BY user_id, event_type)
+    WHERE rk = 1
+    """,
+)
+
+_reg(
     "agg_stats",
     lambda s, d: agg.agg_stats(events_us(s, d)),
     """

@@ -171,3 +171,32 @@ def agg_cube(orders: DataFrame) -> DataFrame:
         F.sum(cents("o_totalprice")).alias("sum_price_c"),
         F.grouping_id().cast("long").alias("g"),
     )
+
+
+def agg_mode(events: DataFrame) -> DataFrame:
+    """Deterministic per-group mode: each user's most frequent event_type
+    (ties → lexicographically lowest). Two hash aggregates — counts, then
+    `max_by` on (count, reversed-key) — no window, no sort of the fact:
+    shuffle bytes are |groups|, not |rows|. Built-in `F.mode` is avoided:
+    its tie choice is accumulation-order-dependent, which breaks the
+    engine's determinism-at-any-parallelism contract.
+    """
+    counts = events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # min_by on (-count, key): higher count wins, exact lexicographic
+    # low-key tie-break — struct comparison, no string-encoding tricks
+    return (
+        counts.groupBy("user_id")
+        .agg(
+            F.min_by(
+                F.struct(F.col("event_type"), F.col("n")),
+                F.struct((-F.col("n")).alias("nn"), F.col("event_type")),
+            ).alias("m")
+        )
+        .select(
+            "user_id",
+            F.col("m.event_type").alias("mode_event_type"),
+            F.col("m.n").cast("long").alias("n_events"),
+        )
+    )
