@@ -23,9 +23,11 @@ is bounded by the watermark instead of the test corpus size.
 
 from __future__ import annotations
 
+import os
 import tempfile
 import uuid
 from collections.abc import Iterator
+from contextlib import contextmanager
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -68,20 +70,40 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@contextmanager
+def _stream_shuffle(spark: SparkSession):
+    """Cap shuffle partitions for the duration of a streaming drain.
+
+    Stateful streaming operators materialize one state-store instance per
+    shuffle partition, and each instance pays per-microbatch maintenance
+    (delta files, snapshots) regardless of data volume — at test scale that
+    fixed cost dominates. 8 partitions is a local-mode sizing choice; on a
+    real cluster the same knob scales with executor count (state partitions
+    are sized to data/parallelism, not hardcoded — see SPARK_GRAFT env)."""
+    n = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8")
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n)
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def _drain(df: DataFrame, output_mode: str) -> DataFrame:
     """Run a streaming DataFrame to completion (AvailableNow) into a memory
     sink; return the final in-memory table. Batch-equivalence harness only —
     production sinks are parquet/Kafka with the same checkpoint contract."""
     name = "strm_" + uuid.uuid4().hex[:12]
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="kdbs_ck_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_shuffle(df.sparkSession):
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="kdbs_ck_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return df.sparkSession.table(name)
 
 
