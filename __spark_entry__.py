@@ -27,6 +27,7 @@ from kdb_spark.analytics import scalars as sc
 from kdb_spark.analytics import setops as so
 from kdb_spark.analytics import sorts as st
 from kdb_spark.analytics import windows as wn
+from kdb_spark import sources as src
 from kdb_spark import streaming as sm
 from kdb_spark.llm import curation as cu
 from kdb_spark.llm import dedup as dd
@@ -146,6 +147,67 @@ _reg(
     """
     SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, value
     FROM events
+    """,
+)
+
+# ------------------------------------------------------------ sources / sinks
+# Adapters in kdb_spark/sources.py; round-trips normalize to exact integer
+# types before the write so format transit is bit-exact (see module note).
+
+_reg(
+    "scan_parquet",
+    src.q_scan_parquet,
+    """
+    SELECT p_partkey, p_brand, CAST(round(p_retailprice * 100) AS BIGINT) AS price_c
+    FROM part WHERE p_size = 15
+    """,
+)
+
+_reg(
+    "scan_csv",
+    src.q_scan_csv,
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+
+_reg(
+    "scan_json",
+    src.q_scan_json,
+    """
+    SELECT o_orderkey, o_custkey, epoch_us(o_orderdate) AS date_us,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS total_c
+    FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+
+_reg(
+    "scan_orc",
+    src.q_scan_orc,
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+           CAST(round(l_quantity * 100) AS BIGINT) AS qty_c
+    FROM lineitem WHERE l_returnflag = 'R'
+    """,
+)
+
+_reg(
+    "scan_binary",
+    src.q_scan_binary,
+    """
+    SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents ORDER BY doc_id LIMIT 50
+    """,
+)
+
+_reg(
+    "sink_bucketed",
+    src.q_sink_bucketed,
+    """
+    SELECT c_mktsegment, count(*) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_c
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1
     """,
 )
 

@@ -92,6 +92,24 @@ def scan_binary(
     return r.load(path)
 
 
+def sink_delta_like(
+    df: DataFrame, path: str, partition_by: list[str] | None = None
+) -> None:
+    """Partition-overwrite sink (`replaceWhere`-style semantics via dynamic
+    partition overwrite) — the idempotent-reingest half of the retention
+    story: re-writing one bucket replaces only that bucket's files."""
+    w = df.sparkSession.conf
+    old = w.get("spark.sql.sources.partitionOverwriteMode", "static")
+    w.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
+    finally:
+        w.set("spark.sql.sources.partitionOverwriteMode", old)
+
+
 def sink_bucketed(
     df: DataFrame, table: str, key: str, n_buckets: int = 32
 ) -> None:
@@ -109,4 +127,155 @@ def sink_bucketed(
         .bucketBy(n_buckets, key)
         .sortBy(key)
         .saveAsTable(table)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Driver-registrable source/sink demos ((spark, sf_dir) -> DataFrame).
+#
+# Each exercises one adapter end-to-end with deterministic output so the
+# DuckDB oracle can hash-compare it. Round-trips go through a temp dir; the
+# values returned are normalized to exact types (epoch-µs longs, bigint
+# cents) BEFORE the write so the round-trip itself is bit-exact in any
+# format. At scale the same adapters run against object-store paths; the
+# temp dir stands in for that.
+
+
+def _tmp(prefix: str) -> str:
+    import tempfile
+
+    return tempfile.mkdtemp(prefix=f"kdbs_{prefix}_")
+
+
+def q_scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pushdown-verified parquet scan: the p_size filter and 3-column
+    projection both reach the scan node (PushedFilters/ReadSchema —
+    asserted in tests/test_sources.py)."""
+    from pyspark.sql import functions as F
+
+    df = scan_parquet(spark, f"{sf_dir.rstrip('/')}/part.parquet")
+    return df.filter(F.col("p_size") == 15).select(
+        "p_partkey", "p_brand", F.round(F.col("p_retailprice") * 100).cast("long").alias("price_c")
+    )
+
+
+def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nation → CSV → scan_csv with explicit schema (no inference pass)."""
+    df = scan_parquet(spark, f"{sf_dir.rstrip('/')}/nation.parquet")
+    path = _tmp("csv")
+    sink_csv(df, path)
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    )
+    return scan_csv(spark, path, schema=schema)
+
+
+def q_scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders → JSON-lines → scan_json with explicit schema. Timestamps and
+    money normalized to (µs long, bigint cents) pre-write: JSON carries them
+    losslessly and the oracle compares exact integers."""
+    from pyspark.sql import functions as F
+
+    df = (
+        scan_parquet(spark, f"{sf_dir.rstrip('/')}/orders.parquet")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            # o_orderdate reads as TIMESTAMP_NTZ; session tz is UTC so the
+            # cast matches DuckDB's epoch_us(naive-as-UTC)
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("date_us"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("total_c"),
+        )
+    )
+    path = _tmp("json")
+    sink_json(df, path)
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("date_us", T.LongType()),
+            T.StructField("total_c", T.LongType()),
+        ]
+    )
+    return scan_json(spark, path, schema=schema)
+
+
+def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem subset → ORC → scan_orc; ORC is the second columnar format
+    (same vectorized-scan + pushdown contract as parquet)."""
+    from pyspark.sql import functions as F
+
+    df = (
+        scan_parquet(spark, f"{sf_dir.rstrip('/')}/lineitem.parquet")
+        .filter(F.col("l_returnflag") == "R")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_c"),
+            F.round(F.col("l_quantity") * 100).cast("long").alias("qty_c"),
+        )
+    )
+    path = _tmp("orc")
+    sink_orc(df, path)
+    return scan_orc(spark, path)
+
+
+def q_scan_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-asset ingest edge: 50 documents written as standalone UTF-8 files,
+    re-read via the binaryFile source, identity-checked by md5 over the raw
+    bytes. The local file fan-out is the test fixture (assets originate
+    outside any engine); scan_binary is the engine path — at scale the same
+    call lists an object-store prefix with pathGlobFilter pruning."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    docs = (
+        scan_parquet(spark, f"{sf_dir.rstrip('/')}/documents.parquet")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(50)
+        .collect()
+    )
+    path = _tmp("bin")
+    for r in docs:
+        with open(os.path.join(path, f"{r['doc_id']}.txt"), "wb") as f:
+            f.write(r["text"].encode("utf-8"))
+    raw = scan_binary(spark, path, glob="*.txt")
+    return raw.select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.txt$", 1).cast("long").alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.md5(F.col("content")).alias("content_md5"),
+    )
+
+
+def q_sink_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-layout co-located join: orders and customer both bucketed on
+    the customer key (same bucket count) → the join plan has NO Exchange on
+    either side (asserted in tests/test_sources.py). At 100 TB this converts
+    every recurring fact-fact join into a per-bucket merge; the one-time
+    bucketing write is the only shuffle paid."""
+    from pyspark.sql import functions as F
+
+    d = sf_dir.rstrip("/")
+    sink_bucketed(
+        scan_parquet(spark, f"{d}/orders.parquet"), "kdbs_orders_b", "o_custkey", 8
+    )
+    sink_bucketed(
+        scan_parquet(spark, f"{d}/customer.parquet"), "kdbs_customer_b", "c_custkey", 8
+    )
+    o = spark.table("kdbs_orders_b")
+    c = spark.table("kdbs_customer_b")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("total_c"),
+        )
     )

@@ -105,3 +105,28 @@ def test_bucketed_tables_join_without_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bk_orders")
         spark.sql("DROP TABLE IF EXISTS bk_lineitem")
+
+
+def test_sink_delta_like_overwrites_only_touched_partitions(spark, tmp_path):
+    """Dynamic partition overwrite: re-writing partition name='b' must leave
+    name='a'/'c' files intact (replaceWhere-style idempotent re-ingest)."""
+    p = str(tmp_path / "dyn.parquet")
+    src.sink_delta_like(_df(spark), p, partition_by=["name"])
+    fixed = spark.createDataFrame([(20, "b", 9.75)], SCHEMA)
+    src.sink_delta_like(fixed, p, partition_by=["name"])
+    got = _back(src.scan_parquet(spark, p))
+    assert got == sorted([(1, "a", 1.5), (20, "b", 9.75), (3, "c", 0.0)])
+    # and the session conf was restored
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode") != "dynamic"
+
+
+def test_q_scan_parquet_pushes_filter(spark):
+    from tests.conftest import SF_DIR
+
+    got = src.q_scan_parquet(spark, SF_DIR)
+    plan = got._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PushedFilters: [IsNotNull(p_size), EqualTo(p_size,15)]" in plan
+    # projection pruned to the 3 referenced columns
+    assert "p_name" not in plan.split("ReadSchema")[1].splitlines()[0]
