@@ -207,3 +207,21 @@ def test_near_dup_family_never_goes_all_pairs(spark):
         assert "CartesianProduct" not in plan, plan
         assert "BroadcastNestedLoopJoin" not in plan, plan
         assert "EvalPython" not in plan, plan
+
+
+def test_ngram_jaccard_is_single_shuffle(spark):
+    """The pair generator's only Exchange is the one groupBy(shingle-hash);
+    pair combinations explode map-side and re-aggregate on the already-
+    produced (small) pair stream. Three-shuffle self-join shapes are the
+    regression this pins against."""
+    from kdb_spark.llm import dedup as dd
+
+    docs = load(spark, SF_DIR, "documents")
+    import re
+
+    plan = plan_of(dd.dedup_ngram_jaccard(docs))
+    # one exchange for groupBy(s), one for groupBy(doc_a, doc_b, ...) over
+    # the exploded pairs — and no join at all (formatted plans print each
+    # node twice: tree + detail; count the "(n) Exchange" detail entries)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2, plan
+    assert "Join" not in plan, plan
