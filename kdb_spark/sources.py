@@ -260,7 +260,17 @@ def q_sink_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     either side (asserted in tests/test_sources.py). At 100 TB this converts
     every recurring fact-fact join into a per-bucket merge; the one-time
     bucketing write is the only shuffle paid."""
+    import shutil
+
     from pyspark.sql import functions as F
+
+    # A fresh session's in-memory catalog doesn't know tables a previous
+    # process left in the warehouse dir, and saveAsTable refuses to claim an
+    # existing location it has no catalog entry for — drop both first.
+    for t in ("kdbs_orders_b", "kdbs_customer_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        loc = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        shutil.rmtree(f"{loc}/{t}", ignore_errors=True)
 
     d = sf_dir.rstrip("/")
     sink_bucketed(
