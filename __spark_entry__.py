@@ -442,6 +442,77 @@ _reg(
     """,
 )
 
+_reg(
+    "win_cumsum",
+    lambda s, d: wn.win_cumsum(events_us(s, d)),
+    """
+    SELECT event_id, user_id,
+           CAST(sum(CAST(round(value * 100) AS BIGINT))
+                OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_c
+    FROM events
+    """,
+)
+
+_reg(
+    "win_interpolate",
+    lambda s, d: wn.win_interpolate(events_us(s, d), T_JAN10, T_JAN12),
+    f"""
+    WITH slots AS (
+      SELECT user_id,
+             epoch_us(ts) - epoch_us(ts) % 3600000000 AS slot_us,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               / count(*) AS v
+      FROM events
+      WHERE epoch_us(ts) >= {T_JAN10} AND epoch_us(ts) < {T_JAN12}
+      GROUP BY 1, 2),
+    grid AS (
+      SELECT u.user_id, s.slot_us
+      FROM (SELECT DISTINCT user_id FROM slots) u
+      CROSS JOIN (SELECT range AS slot_us
+                  FROM range({T_JAN10}, {T_JAN12}, 3600000000)) s),
+    sparse AS (
+      SELECT g.user_id, g.slot_us, t.v FROM grid g
+      LEFT JOIN slots t USING (user_id, slot_us)),
+    carried AS (
+      SELECT user_id, slot_us, v,
+        last_value(v IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY slot_us
+           ROWS UNBOUNDED PRECEDING) AS pv,
+        last_value(CASE WHEN v IS NOT NULL THEN slot_us END IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY slot_us
+           ROWS UNBOUNDED PRECEDING) AS pt,
+        first_value(v IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY slot_us
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        first_value(CASE WHEN v IS NOT NULL THEN slot_us END IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY slot_us
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+      FROM sparse)
+    SELECT user_id, slot_us,
+           CASE WHEN v IS NOT NULL THEN round(v, 4)
+                WHEN pv IS NOT NULL AND nv IS NOT NULL
+                THEN round(pv + (nv - pv) * (slot_us - pt) / (nt - pt), 4)
+           END AS value_c
+    FROM carried
+    """,
+)
+
+_reg(
+    "agg_ohlc",
+    lambda s, d: agg.agg_ohlc(events_us(s, d)),
+    """
+    SELECT event_type,
+           epoch_us(ts) - epoch_us(ts) % 3600000000 AS hour_us,
+           first(value ORDER BY epoch_us(ts), event_id) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           last(value ORDER BY epoch_us(ts), event_id) AS close,
+           count(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+
 # --------------------------------------------------------------------- joins
 
 _reg(
@@ -499,6 +570,24 @@ _reg(
     SELECT c.event_id, c.user_id, e.err_value AS asof_value
     FROM clk c ASOF JOIN err e
       ON c.user_id = e.user_id AND c.ts_us >= e.ts_us
+    """,
+)
+
+_reg(
+    "join_asof_tolerance",
+    lambda s, d: jn.join_asof_tolerance(events_us(s, d)),
+    """
+    WITH err AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, arg_max(value, event_id) AS err_value
+      FROM events WHERE event_type = 'error' GROUP BY 1, 2),
+    clk AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us
+      FROM events WHERE event_type = 'click')
+    SELECT c.event_id, c.user_id, e.err_value AS asof_value,
+           c.ts_us - e.ts_us AS staleness_us
+    FROM clk c ASOF JOIN err e
+      ON c.user_id = e.user_id AND c.ts_us >= e.ts_us
+    WHERE c.ts_us - e.ts_us <= 1800000000
     """,
 )
 

@@ -200,3 +200,27 @@ def agg_mode(events: DataFrame) -> DataFrame:
             F.col("m.n").cast("long").alias("n_events"),
         )
     )
+
+
+def agg_ohlc(events: DataFrame) -> DataFrame:
+    """Candlestick rollup: open/high/low/close per (event_type, hour).
+
+    open/close are min_by/max_by on the (ts, event_id) struct — exact picks
+    of stored values (no accumulation), deterministic under ties by the
+    unique event_id. One partial+final hash agg, same shape as
+    `agg_resample`.
+    """
+    key = F.struct("ts_us", "event_id")
+    return (
+        events.groupBy(
+            "event_type",
+            (F.col("ts_us") - F.col("ts_us") % F.lit(3_600_000_000)).alias("hour_us"),
+        )
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

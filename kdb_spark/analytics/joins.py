@@ -213,3 +213,48 @@ def join_anti(customer: DataFrame, orders: DataFrame, min_price: float) -> DataF
     return customer.join(
         big, customer.c_custkey == big.o_custkey, "left_anti"
     ).select("c_custkey", "c_mktsegment")
+
+
+def join_asof_tolerance(events: DataFrame, tol_us: int = 30 * MIN_US) -> DataFrame:
+    """As-of join with max staleness: latest same-user 'error' at-or-before
+    each 'click', but only if it is at most ``tol_us`` old — the kdb-style
+    `aj` with a tolerance window.
+
+    Same union-and-carry shape as `join_asof` (one shuffle on user_id, no
+    per-probe scan); the carried value is a (ts, value) struct so the
+    staleness test is a plain filter afterwards.
+    """
+    errors = (
+        events.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts_us")
+        .agg(F.max_by("value", "event_id").alias("err_value"))
+        .select(
+            "user_id", "ts_us",
+            F.struct(F.col("ts_us").alias("ets"), F.col("err_value").alias("ev")).alias("err"),
+            F.lit(0).alias("side"), F.lit(None).cast("long").alias("event_id"),
+        )
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts_us",
+        F.lit(None).cast("struct<ets:long,ev:double>").alias("err"),
+        F.lit(1).alias("side"), "event_id",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        errors.unionByName(clicks)
+        .withColumn("carried", F.last("err", ignorenulls=True).over(w))
+        .filter(
+            (F.col("side") == 1)
+            & F.col("carried").isNotNull()
+            & (F.col("ts_us") - F.col("carried.ets") <= tol_us)
+        )
+        .select(
+            "event_id", "user_id",
+            F.col("carried.ev").alias("asof_value"),
+            (F.col("ts_us") - F.col("carried.ets")).alias("staleness_us"),
+        )
+    )

@@ -127,3 +127,87 @@ def win_range_frame(events: DataFrame, width_us: int = HOUR_US) -> DataFrame:
         "user_id",
         F.sum(cents("value")).over(w).alias("trail_sum_c"),
     )
+
+
+def win_cumsum(events: DataFrame) -> DataFrame:
+    """Running total per user series — the cumulative counter view.
+
+    Cents keep the running sum exact and order-independent within the
+    deterministic (ts, event_id) ordering; one shuffle on user_id.
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.sum(cents("value")).over(w).alias("cum_c"),
+    )
+
+
+def win_interpolate(
+    events: DataFrame, start_us: int, end_us: int, res: int = HOUR_US
+) -> DataFrame:
+    """Linear interpolation of gaps on the per-user hourly grid — the
+    gap-fill a dense TSDB grid feeds (the reference zero-fills,
+    `dbase/dbase.go:75-81`; interpolation is the analytics-grade upgrade).
+    Values are cent-scaled slot averages (`value_c`).
+
+    Plan shape: one hash agg onto the slot grid, spine left-join
+    (`densify`-style, spine generated distributed), then two windows on the
+    SAME (user) partitioning — Catalyst reuses one Exchange for both frame
+    directions. Edge slots with no point on one side stay NULL (strict
+    interpolation, no extrapolation).
+    """
+    from kdb_spark.densify import dense_grid
+
+    slots = (
+        events.filter(
+            (F.col("ts_us") >= start_us) & (F.col("ts_us") < end_us)
+        )
+        .groupBy(
+            "user_id",
+            (F.col("ts_us") - F.col("ts_us") % F.lit(res)).alias("slot_us"),
+        )
+        # cent-scaled average from an exact bigint sum: bigint/bigint double
+        # division is bit-identical in any engine, unlike avg(double) whose
+        # accumulation order flips round() boundary cases
+        .agg((F.sum(cents("value")) / F.count(F.lit(1))).alias("v"))
+    )
+    series = slots.select("user_id").distinct()
+    grid = dense_grid(series, start_us, end_us, res, ts_col="slot_us")
+    sparse = grid.join(slots, ["user_id", "slot_us"], "left")
+
+    back = (
+        Window.partitionBy("user_id")
+        .orderBy("slot_us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("slot_us")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    known_ts = F.when(F.col("v").isNotNull(), F.col("slot_us"))
+    d = (
+        sparse.withColumn("pv", F.last("v", ignorenulls=True).over(back))
+        .withColumn("pt", F.last(known_ts, ignorenulls=True).over(back))
+        .withColumn("nv", F.first("v", ignorenulls=True).over(fwd))
+        .withColumn("nt", F.first(known_ts, ignorenulls=True).over(fwd))
+    )
+    interp = F.round(
+        F.col("pv")
+        + (F.col("nv") - F.col("pv"))
+        * (F.col("slot_us") - F.col("pt"))
+        / (F.col("nt") - F.col("pt")),
+        4,
+    )
+    return d.select(
+        "user_id",
+        "slot_us",
+        F.when(F.col("v").isNotNull(), F.round(F.col("v"), 4))
+        .when(F.col("pv").isNotNull() & F.col("nv").isNotNull(), interp)
+        .alias("value_c"),
+    )

@@ -59,9 +59,20 @@ def dedup_exact(documents: DataFrame) -> DataFrame:
 
 
 def _doc_shingles(documents: DataFrame, n: int = 3) -> DataFrame:
-    # two-step select: tokenize once into a column, THEN shingle over it
-    return documents.select("doc_id", tokens("text").alias("toks")).select(
-        "doc_id", shingles(F.col("toks"), n).alias("sh")
+    """(doc_id, sh: array<string>) with each stage materialized ONCE per row.
+
+    Stacked selects are NOT enough to pin evaluation: CollapseProject merges
+    them and inlines the shingle expression into every downstream reference
+    (minhash's 32 signature slots each re-tokenized + re-shingled the doc —
+    measured 10× end-to-end). ``explode(array(e))`` is a Generate node,
+    which the optimizer does not collapse through: its output is an
+    attribute, so any number of downstream references cost zero recompute.
+    """
+    tok = documents.select(
+        "doc_id", F.explode(F.array(tokens("text"))).alias("toks")
+    )
+    return tok.select(
+        "doc_id", F.explode(F.array(shingles(F.col("toks"), n))).alias("sh")
     )
 
 
