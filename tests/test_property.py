@@ -211,3 +211,88 @@ def test_pack_sequences_offsets_follow_bucket_cumsum(spark, texts, budget):
                 assert r.pack_id >= prev_pack
             prev_pack = r.pack_id
             cum += r.n_tok
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=doc_strategy)
+def test_jaccard_pairs_match_bruteforce(spark, texts):
+    """Law: the single-shuffle pair generator emits exactly the (a < b)
+    pairs whose true shingle-set jaccard clears the threshold — identical
+    to a brute-force all-pairs python computation."""
+    import re
+
+    from kdb_spark.llm import dedup as dd
+
+    def sh(t, n=3):
+        toks = re.findall(r"[a-z0-9]+", t.lower())
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    sets = {i: sh(t) for i, t in enumerate(texts)}
+    expect = {}
+    ids = sorted(sets)
+    for i in ids:
+        for j in ids:
+            if i < j and (sets[i] or sets[j]):
+                inter = len(sets[i] & sets[j])
+                union = len(sets[i] | sets[j])
+                if union and inter / union >= 0.5:
+                    expect[(i, j)] = inter / union
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dd.dedup_ngram_jaccard(_docs_df(spark, texts)).collect()
+    }
+    assert got.keys() == expect.keys()
+    for k, v in expect.items():
+        assert abs(got[k] - v) < 1e-12, (k, got[k], v)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    points=st.lists(
+        st.tuples(st.integers(0, 23), st.integers(0, 10_000)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_interpolate_laws(spark, points):
+    """Laws: observed slots pass through exactly; interior gaps are convex
+    combinations of (and bounded by) their neighbors; slots outside the
+    observed span stay NULL; output is exactly one row per grid slot."""
+    HOUR = 3_600_000_000
+    from kdb_spark.analytics.windows import win_interpolate
+
+    rows = [
+        (i, h * HOUR + 7, 1, float(c) / 100, "x")
+        for i, (h, c) in enumerate(points)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts_us long, user_id long, value double, event_type string"
+    )
+    out = {
+        r["slot_us"]: r["value_c"]
+        for r in win_interpolate(df, 0, 24 * HOUR, HOUR).collect()
+    }
+    assert len(out) == 24
+    by_slot = {}
+    for h, c in points:
+        by_slot.setdefault(h * HOUR, []).append(c)
+    known = {s: sum(cs) / len(cs) for s, cs in by_slot.items()}
+    lo, hi = min(known), max(known)
+    for s, v in known.items():
+        assert abs(out[s] - round(v, 4)) < 1e-9, (s, out[s], v)
+    for s, v in out.items():
+        if s < lo or s > hi:
+            assert v is None, (s, v)
+        elif s not in known:
+            prev = max(k for k in known if k < s)
+            nxt = min(k for k in known if k > s)
+            lo_v, hi_v = sorted((known[prev], known[nxt]))
+            assert lo_v - 1e-6 <= v <= hi_v + 1e-6, (s, v)
