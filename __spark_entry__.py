@@ -499,6 +499,42 @@ _reg(
 )
 
 _reg(
+    "win_ffill",
+    lambda s, d: wn.win_ffill(events_us(s, d), T_JAN10, T_JAN12),
+    f"""
+    WITH slots AS (
+      SELECT user_id,
+             epoch_us(ts) - epoch_us(ts) % 3600000000 AS slot_us,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               / count(*) AS v
+      FROM events
+      WHERE epoch_us(ts) >= {T_JAN10} AND epoch_us(ts) < {T_JAN12}
+      GROUP BY 1, 2),
+    grid AS (
+      SELECT u.user_id, s.slot_us
+      FROM (SELECT DISTINCT user_id FROM slots) u
+      CROSS JOIN (SELECT range AS slot_us
+                  FROM range({T_JAN10}, {T_JAN12}, 3600000000)) s)
+    SELECT g.user_id, g.slot_us,
+           round(last_value(t.v IGNORE NULLS) OVER
+             (PARTITION BY g.user_id ORDER BY g.slot_us
+              ROWS UNBOUNDED PRECEDING), 4) AS value_c
+    FROM grid g LEFT JOIN slots t USING (user_id, slot_us)
+    """,
+)
+
+_reg(
+    "agg_histogram",
+    lambda s, d: agg.agg_histogram(events_us(s, d)),
+    """
+    SELECT CAST(floor(value / 10.0) AS BIGINT) AS bin,
+           CAST(floor(value / 10.0) AS BIGINT) * 10.0 AS bin_start,
+           count(*) AS n, min(value) AS lo, max(value) AS hi
+    FROM events GROUP BY 1, 2
+    """,
+)
+
+_reg(
     "agg_ohlc",
     lambda s, d: agg.agg_ohlc(events_us(s, d)),
     """

@@ -224,3 +224,22 @@ def agg_ohlc(events: DataFrame) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+def agg_histogram(events: DataFrame, width: float = 10.0) -> DataFrame:
+    """Fixed-width numeric histogram of `value` — one partial+final hash agg
+    whose shuffle carries |bins| rows, the classic distribution profile.
+
+    Bin edges from floor(value / width): floats divided by an exact literal
+    and floored are engine-deterministic (no accumulation).
+    """
+    return (
+        events.groupBy(F.floor(F.col("value") / F.lit(width)).alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+        .withColumn("bin_start", F.col("bin") * F.lit(width))
+        .select("bin", "bin_start", "n", "lo", "hi")
+    )

@@ -211,3 +211,42 @@ def win_interpolate(
         .when(F.col("pv").isNotNull() & F.col("nv").isNotNull(), interp)
         .alias("value_c"),
     )
+
+
+def win_ffill(
+    events: DataFrame, start_us: int, end_us: int, res: int = HOUR_US
+) -> DataFrame:
+    """Forward fill on the per-user hourly grid — kdb's `fills`, the other
+    canonical dense-grid repair next to `win_interpolate` (tick data: carry
+    the last observation until the next one). Leading slots before the
+    first observation stay NULL.
+
+    Same plan shape as interpolation minus the forward window: one hash agg
+    onto the slot grid, spine left-join, ONE backward window per user.
+    """
+    from kdb_spark.densify import dense_grid
+
+    slots = (
+        events.filter(
+            (F.col("ts_us") >= start_us) & (F.col("ts_us") < end_us)
+        )
+        .groupBy(
+            "user_id",
+            (F.col("ts_us") - F.col("ts_us") % F.lit(res)).alias("slot_us"),
+        )
+        .agg((F.sum(cents("value")) / F.count(F.lit(1))).alias("v"))
+    )
+    series = slots.select("user_id").distinct()
+    grid = dense_grid(series, start_us, end_us, res, ts_col="slot_us")
+    back = (
+        Window.partitionBy("user_id")
+        .orderBy("slot_us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(slots, ["user_id", "slot_us"], "left")
+        .withColumn("filled", F.last("v", ignorenulls=True).over(back))
+        .select(
+            "user_id", "slot_us", F.round(F.col("filled"), 4).alias("value_c")
+        )
+    )
