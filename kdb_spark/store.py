@@ -191,7 +191,16 @@ class TimeSeriesStore:
         )
 
         staging = os.path.join(self.path, f"_staging_batch_{batch}")
-        out.write.mode("overwrite").partitionBy("bucket_ts").parquet(staging)
+        # Layout: cluster each bucket's files by (tags, ts) so parquet
+        # row-group min/max stats make tag-equality + ts-range reads
+        # skippable — the stats-level analog of the reference's prefix-tree
+        # descent (SURVEY §7.6). Local sort only, no extra shuffle.
+        (
+            out.sortWithinPartitions(*cfg.tag_cols, "ts")
+            .write.mode("overwrite")
+            .partitionBy("bucket_ts")
+            .parquet(staging)
+        )
         counts = obs.get
         try:
             if counts["future"]:
