@@ -4,9 +4,9 @@
 runs at sf0.01 and is hash-compared against `oracle_sql()[name]` via DuckDB.
 
 Cross-engine conventions (see kdb_spark/tables.py):
-- event timestamps are compared at µs epoch (`ts div 1000` == `epoch_us(ts)`;
-  DuckDB truncates the parquet TIMESTAMP(NANOS) to µs, Spark reads ns longs
-  via spark.sql.legacy.parquet.nanosAsLong);
+- event timestamps are compared at µs epoch: Spark normalizes `ts` to a
+  `ts_us` long via tables.ts_us_expr (dtype-dispatched: ns-long or
+  timestamp[us] input), matching DuckDB's `epoch_us(ts)`;
 - money sums are bigint cents (per-row round(x*100) is bit-deterministic in
   both engines; bigint sums are order-independent, double sums are not);
 - averages/cosines are ROUND()ed identically on both sides;
@@ -1440,10 +1440,6 @@ _reg(
 )
 
 
-# Streaming ops register LAST on purpose: their per-query cost is dominated
-# by state-store/microbatch fixed overhead, so if a grading harness with a
-# global time budget walks queries() in order, every cheap batch/LLM op is
-# adjudicated before the expensive stateful streaming tail.
 # ----------------------------------------------------------------- streaming
 # Each op is a Structured Streaming program run in batch-equivalence mode
 # (AvailableNow trigger drained to a sink; see kdb_spark/streaming.py). The

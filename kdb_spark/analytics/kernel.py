@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kdb_spark.densify import dense_grid, time_spine
-from kdb_spark.tables import DAY_US, MIN_US
+from kdb_spark.tables import DAY_US, MIN_US, ts_raw_range
 
 
 def _slot(col: str = "ts_us", res: int = MIN_US) -> F.Column:
@@ -28,17 +28,16 @@ def _slot(col: str = "ts_us", res: int = MIN_US) -> F.Column:
     return (F.col(col) - F.col(col) % F.lit(res)).alias("slot_us")
 
 
-def _ts_range(start_us: int, end_us: int) -> F.Column:
+def _ts_range(events: DataFrame, start_us: int, end_us: int) -> F.Column:
     """Time-range predicate stated on BOTH the derived µs column and the raw
-    ns column: a filter on `ts_us = ts div 1000` cannot reach the parquet
-    scan, but the equivalent `ts ∈ [start*1000, end*1000)` does (exact for
-    nonnegative ts), so row-group stats skip cold time ranges — the
-    Catalyst analog of the reference's bucket loop."""
+    ``ts`` column: a filter on the derived ``ts_us`` cannot reach the parquet
+    scan, but the equivalent range on raw ``ts`` — stated in the column's own
+    physical type (tables.ts_raw_range) — does, so row-group stats skip cold
+    time ranges: the Catalyst analog of the reference's bucket loop."""
     return (
         (F.col("ts_us") >= start_us)
         & (F.col("ts_us") < end_us)
-        & (F.col("ts") >= start_us * 1000)
-        & (F.col("ts") < end_us * 1000)
+        & ts_raw_range(events, start_us, end_us)
     )
 
 
@@ -77,7 +76,7 @@ def get_dense(
     data = events.filter(
         (F.col("user_id") == user_id)
         & (F.col("event_type") == event_type)
-        & _ts_range(start_us, end_us)
+        & _ts_range(events, start_us, end_us)
     )
     series_lww = lww(data, [], res).select("slot_us", "value")
     spine = time_spine(spark, start_us, end_us, res, ts_col="slot_us")
@@ -107,7 +106,7 @@ def find_dense(
     via chunked explode(sequence) per series (densify.dense_grid), never a
     cross join, so the range width is not bounded by a broadcast.
     """
-    cond = _ts_range(start_us, end_us)
+    cond = _ts_range(events, start_us, end_us)
     if user_id is not None:
         cond = cond & (F.col("user_id") == user_id)
     if event_type is not None:
@@ -166,7 +165,7 @@ def series_filter(
     return events.filter(
         (F.col("user_id") == user_id)
         & (F.col("event_type") == event_type)
-        & _ts_range(start_us, end_us)
+        & _ts_range(events, start_us, end_us)
     ).select("event_id", "ts_us", "value")
 
 

@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from kdb_spark.tables import DAY_US, cents
+from kdb_spark.tables import DAY_US, cents, ts_us_expr
 
 MIN30_US = 30 * 60 * 1_000_000
 
@@ -62,11 +62,9 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = f"{sf_dir.rstrip('/')}/events.parquet"
     schema = spark.read.parquet(path).schema
-    return (
-        spark.readStream.schema(schema)
-        .parquet(_staged_dir(path))
-        .withColumn("ts_us", F.expr("ts div 1000"))
-        .withColumn("ets", F.timestamp_micros(F.col("ts_us")))
+    sdf = spark.readStream.schema(schema).parquet(_staged_dir(path))
+    return sdf.withColumn("ts_us", ts_us_expr(sdf)).withColumn(
+        "ets", F.timestamp_micros(F.col("ts_us"))
     )
 
 

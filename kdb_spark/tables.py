@@ -1,21 +1,28 @@
 """Loaders for the driver's synthetic parquet tables (TESTDATA.md).
 
-The driver's ``events.parquet`` stores ``ts`` as parquet TIMESTAMP(NANOS),
-which Spark's vectorized reader rejects. ``spark.sql.legacy.parquet
-.nanosAsLong`` reads it as LongType nanoseconds — which is exactly the
-engine's core convention anyway (SURVEY.md §1.4: kdb timestamps are int64 ns,
-`clock/clock.go:20-22`; we carry ns longs and expose timestamp views).
+The physical type of ``events.ts`` has drifted across driver testdata
+generations — parquet TIMESTAMP(NANOS) (read as LongType ns via
+``spark.sql.legacy.parquet.nanosAsLong``) and plain ``timestamp[us]``
+(read as TimestampNTZ). The engine's internal clock is a µs epoch long
+(SURVEY.md §1.4: kdb timestamps are int64 ns, `clock/clock.go:20-22`; µs is
+the finest granularity both engines agree on), so the loaders dispatch on
+the *observed* schema and normalize to ``ts_us``:
 
-Cross-engine note (oracle parity): DuckDB truncates TIMESTAMP(NANOS) to
+- LongType (ns)            → ``ts div 1000``  (truncation toward zero)
+- Timestamp / TimestampNTZ → ``unix_micros(cast(ts as timestamp))`` with the
+  session timezone pinned to UTC (kdb_spark/session.py), which reproduces
+  DuckDB's ``epoch_us(ts)`` exactly.
+
+Cross-engine note (oracle parity): DuckDB truncates sub-µs input to
 microseconds on read, so every time comparison in the oracle-checked queries
-is defined at microsecond (or coarser) granularity: ``ts_us = ts div 1000``
-here == ``epoch_us(ts)`` in DuckDB.
+is defined at microsecond (or coarser) granularity.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 TABLE_NAMES = (
     "region",
@@ -38,20 +45,40 @@ DAY_US = 86_400 * SEC_US
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one synthetic table; ns timestamps surface as LongType ns."""
+    """Read one synthetic table; ns timestamps (if any) surface as LongType."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
 
 
-def events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with ``ts_us`` (µs epoch long) — the oracle-comparable clock.
+def ts_us_expr(df: DataFrame, col: str = "ts") -> Column:
+    """µs-epoch long view of a timestamp column, whatever its physical type."""
+    dt = df.schema[col].dataType
+    if isinstance(dt, T.LongType):  # ns-long (legacy nanosAsLong read)
+        return F.expr(f"{col} div 1000")
+    return F.unix_micros(F.col(col).cast("timestamp"))
 
-    ``div`` truncates toward zero (ts is positive), matching DuckDB's
-    ns→µs truncation.
-    """
-    return load(spark, sf_dir, "events").withColumn(
-        "ts_us", F.expr("ts div 1000")
-    )
+
+def ts_raw_range(
+    df: DataFrame, start_us: int, end_us: int, col: str = "ts"
+) -> Column:
+    """[start,end) predicate stated in the raw column's OWN type, so it can
+    reach the parquet scan (PushedFilters → row-group stat skipping). A
+    filter on the derived ``ts_us`` column never pushes down; this one does.
+    The boundary literals are constant-folded casts — the scan side stays a
+    bare column reference."""
+    dt = df.schema[col].dataType
+    c = F.col(col)
+    if isinstance(dt, T.LongType):  # ns-long: exact for nonnegative ts
+        return (c >= start_us * 1000) & (c < end_us * 1000)
+    lo = F.timestamp_micros(F.lit(start_us)).cast(dt)
+    hi = F.timestamp_micros(F.lit(end_us)).cast(dt)
+    return (c >= lo) & (c < hi)
+
+
+def events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ``ts_us`` (µs epoch long) — the oracle-comparable clock."""
+    df = load(spark, sf_dir, "events")
+    return df.withColumn("ts_us", ts_us_expr(df))
 
 
 def cents(col: str | F.Column) -> F.Column:
