@@ -77,7 +77,10 @@ def _doc_shingles(documents: DataFrame, n: int = 3) -> DataFrame:
 
 
 def dedup_ngram_jaccard(
-    documents: DataFrame, threshold: float = 0.5, n: int = 3
+    documents: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    df_cap: int = 8192,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (jaccard >= threshold, a < b).
 
@@ -85,6 +88,18 @@ def dedup_ngram_jaccard(
     shingle). |intersection| falls out of the join group count; |union| from
     per-doc distinct counts. jaccard = int/int division — bit-identical
     across engines.
+
+    ``df_cap`` bounds the pair blow-up of stop-shingles: a shingle present in
+    d documents emits d(d-1)/2 candidate pairs, so one boilerplate phrase in
+    10^6 docs would emit 5·10^11 pairs from a single group. Shingle groups
+    with df > df_cap are dropped before pair generation — at most
+    df_cap(df_cap-1)/2 pairs per shingle, making worst-case output linear in
+    input shingles instead of quadratic in corpus size. A dropped shingle no
+    longer contributes to |intersection| for pairs that share it, so jaccard
+    is *under*-estimated for pairs glued by corpus-wide boilerplate — the
+    standard (and usually desirable) trade: such shingles carry no dedup
+    signal. With the default cap far above any real shingle's df in the test
+    corpora (max observed df: 25 at sf0.1), results are exact.
     """
     docs = _doc_shingles(documents, n)
     # ONE scan + ONE shuffle: explode to (shingle-hash, struct(doc_id, n_sh))
@@ -93,23 +108,35 @@ def dedup_ngram_jaccard(
     # later join back to per-doc sizes. Group docs per shingle, then emit
     # each group's (a < b) pair combinations map-side with array lambdas.
     # The equivalent self-join shuffles the exploded table three times
-    # (df>=2 prune + both join sides) and hits the same per-key skew — a
-    # shingle in d docs yields d(d-1)/2 pairs either way; corpora with
-    # stop-shingle skew should prune by document frequency upstream.
+    # (df>=2 prune + both join sides) and hits the same per-key skew; the
+    # df_cap filter below is the skew guard for both shapes.
     # (doc_id, n_sh) packed into one LONG — doc_id in the high 32 bits so
     # sort_array orders by doc_id; n_sh (shingle count ≤ doc length) in the
     # low 32. Primitive-long aggregation buffers: the corpus has millions of
     # singleton shingle groups and per-element struct boxing in collect_list
-    # measured ~4× slower end-to-end. 32-bit doc keys cover 4B docs; wider
+    # measured ~4× slower end-to-end. 32-bit doc keys cover 4B docs; a
+    # doc_id outside [0, 2^32) would silently collide in the pack (or wrap
+    # under non-ANSI arithmetic), so the pack input is range-guarded per-row
+    # and raises a labeled error BEFORE the multiply can overflow. Wider
     # corpora would shard the key space.
-    packed = (F.col("doc_id").cast("long") * F.lit(1 << 32)) + F.size("sh")
+    doc_ok = F.when(
+        F.col("doc_id").between(0, (1 << 32) - 1), F.col("doc_id")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("dedup_ngram_jaccard: doc_id outside 32-bit pack range: "),
+                F.col("doc_id").cast("string"),
+            )
+        )
+    )
+    packed = (doc_ok.cast("long") * F.lit(1 << 32)) + F.size("sh")
     flat = docs.select(
         packed.alias("d"), F.explode("sh").alias("s")
     ).select(F.xxhash64("s").alias("s"), "d")
     grouped = (
         flat.groupBy("s")
         .agg(F.sort_array(F.collect_list("d")).alias("ids"))
-        .filter(F.size("ids") >= 2)
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= df_cap))
     )
     combos = F.flatten(
         F.transform(
@@ -218,7 +245,12 @@ def dedup_near_minhash(
     )
 
 
-def dedup_cluster(documents: DataFrame, threshold: float = 0.5, n: int = 3) -> DataFrame:
+def dedup_cluster(
+    documents: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    df_cap: int = 8192,
+) -> DataFrame:
     """Near-dup clustering: connected components over the exact-Jaccard pair
     graph, canonical doc = min doc_id per component (the row a pipeline
     keeps; everything else is dropped as a duplicate).
@@ -232,7 +264,9 @@ def dedup_cluster(documents: DataFrame, threshold: float = 0.5, n: int = 3) -> D
     """
     from pyspark.sql import Observation
 
-    pairs = dedup_ngram_jaccard(documents, threshold, n).select("doc_a", "doc_b")
+    pairs = dedup_ngram_jaccard(documents, threshold, n, df_cap).select(
+        "doc_a", "doc_b"
+    )
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).persist()

@@ -250,6 +250,44 @@ def test_jaccard_pairs_match_bruteforce(spark, texts):
         assert abs(got[k] - v) < 1e-12, (k, got[k], v)
 
 
+def test_jaccard_df_cap_bounds_pairs_per_shingle(spark):
+    """Law: with df_cap=c, a shingle shared by d > c documents generates
+    zero pairs (the group is dropped), so worst-case pair output is bounded
+    by c(c-1)/2 per shingle instead of d(d-1)/2 — the 100 TB stop-shingle
+    guard. Docs glued ONLY by the capped shingle must vanish from the
+    output; docs whose similarity survives on other shingles must not."""
+    from kdb_spark.llm import dedup as dd
+
+    stop = "the quick brown"  # one shared 3-gram across every doc
+    texts = [f"{stop} fox {i} jumps high" for i in range(6)]
+    # identical twin pair: similar far beyond the stop shingle
+    texts += ["alpha beta gamma delta epsilon zeta", "alpha beta gamma delta epsilon zeta"]
+    df = _docs_df(spark, texts)
+    uncapped = dd.dedup_ngram_jaccard(df, threshold=0.01)
+    capped = dd.dedup_ngram_jaccard(df, threshold=0.01, df_cap=3)
+    # stop-shingle df=6 > 3: the 15 stop-glued pairs disappear...
+    got = {(r.doc_a, r.doc_b) for r in capped.collect()}
+    assert (6, 7) in got  # ...but the twins (glued by df=1 shingles) remain
+    assert all(a >= 6 for a, b in got), got
+    # and without the cap the stop-glued pairs do exist (sanity of setup)
+    assert {(r.doc_a, r.doc_b) for r in uncapped.collect()} > got
+
+
+def test_jaccard_rejects_doc_id_beyond_32bit_pack(spark):
+    """A doc_id >= 2^32 cannot be packed into the high 32 bits without
+    collision — the job must fail loudly, not corrupt pairs silently."""
+    import pytest
+
+    from kdb_spark.llm import dedup as dd
+
+    df = spark.createDataFrame(
+        [(1 << 32, "alpha beta gamma delta"), (3, "alpha beta gamma delta")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(Exception, match="32-bit pack range"):
+        dd.dedup_ngram_jaccard(df, threshold=0.01).collect()
+
+
 @settings(
     max_examples=6,
     deadline=None,
