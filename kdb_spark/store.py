@@ -63,6 +63,7 @@ class TimeSeriesStore:
         self.config = config
         self.path = os.path.join(config.data_path, config.database_name)
         os.makedirs(self.path, exist_ok=True)
+        self._recover()
 
     # ------------------------------------------------------------------ schema
 
@@ -79,9 +80,20 @@ class TimeSeriesStore:
         return T.StructType(fields)
 
     def _data_dir_nonempty(self) -> bool:
-        return any(e.startswith("bucket_ts=") for e in os.listdir(self.path))
+        # a bucket dir holding only hidden (un-committed / mid-publish) parts
+        # does not count — Spark's file index ignores `_`/`.` files and would
+        # fail schema inference on an all-hidden tree
+        for e in os.scandir(self.path):
+            if e.name.startswith("bucket_ts="):
+                for p in os.scandir(e.path):
+                    if not p.name.startswith(("_", ".")):
+                        return True
+        return False
 
     def _read(self) -> DataFrame:
+        # finish any committed-but-unpublished batch first, so a reader never
+        # observes a torn batch after a mid-publish crash (see _commit_staging)
+        self._replay_pending_manifests()
         if not self._data_dir_nonempty():
             return self.spark.createDataFrame([], self.schema)
         # basePath keeps bucket_ts as a real (pruning) partition column
@@ -220,25 +232,95 @@ class TimeSeriesStore:
                     f"{counts['cold']} rows route to read-only buckets older than {hot_min} "
                     "(dbucket.go:120-122)"
                 )
-            self._commit_staging(staging)
+            self._commit_staging(staging, batch)
         finally:
             if os.path.exists(staging):
                 shutil.rmtree(staging)
         return int(counts["n"] or 0)
 
-    def _commit_staging(self, staging: str) -> None:
-        """Publish a validated staging write: rename each part file into its
-        bucket partition. Local-FS analog of a Delta/Iceberg manifest commit
-        (atomic per file; the batch is made visible only after validation)."""
-        for entry in os.listdir(staging):
+    def _manifest_path(self, batch: int) -> str:
+        return os.path.join(self.path, f"_batch_{batch}.manifest.json")
+
+    def _commit_staging(self, staging: str, batch: int) -> None:
+        """Crash-safe all-or-nothing publish of a validated staging write —
+        the local-FS analog of the reference's append-log commit-and-replay
+        (`mindex/mindex.go:187-240`: a record is visible iff fully logged;
+        torn tails are truncated on open).
+
+        Phase 1 (invisible): move each part file into its bucket partition
+        under a leading-underscore name. Hadoop/Spark file indexes skip
+        `_`/`.` files, so no reader can observe the batch while it is
+        partially moved; a crash here leaves only hidden orphans, GC'd by
+        :meth:`_recover` on next open — the batch never existed.
+
+        Phase 2 (commit record): fsync + atomically ``os.replace`` a manifest
+        listing every (bucket, hidden, final) rename. The manifest IS the
+        commit point.
+
+        Phase 3 (publish): unhide each file. A crash mid-unhide is repaired
+        forward — :meth:`_replay_pending_manifests` (run on open and before
+        every read) finishes the renames idempotently, so a reader sees the
+        whole batch or none of it, never a prefix.
+
+        On a cluster the same protocol runs against a transactional table
+        format (Delta/Iceberg commit log); this is its single-writer local
+        analog, serialized by the fcntl-locked batch counter.
+        """
+        moved: list[list[str]] = []  # [bucket entry, hidden name, final name]
+        for entry in sorted(os.listdir(staging)):
             if not entry.startswith("bucket_ts="):
                 continue
             dest = os.path.join(self.path, entry)
             os.makedirs(dest, exist_ok=True)
             src = os.path.join(staging, entry)
-            for part in os.listdir(src):
+            for part in sorted(os.listdir(src)):
                 if part.startswith(("part-", "part.")):
-                    os.replace(os.path.join(src, part), os.path.join(dest, part))
+                    final = f"b{batch}-{part}"
+                    os.replace(
+                        os.path.join(src, part), os.path.join(dest, "_" + final)
+                    )
+                    moved.append([entry, "_" + final, final])
+        manifest = self._manifest_path(batch)
+        tmp = manifest + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"batch": batch, "files": moved}, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, manifest)  # <-- commit point
+        self._replay_manifest(manifest)
+
+    def _replay_manifest(self, manifest: str) -> None:
+        """Idempotently finish (or re-finish) a committed batch's renames."""
+        with open(manifest) as fh:
+            m = json.load(fh)
+        for entry, hidden, final in m["files"]:
+            hp = os.path.join(self.path, entry, hidden)
+            if os.path.exists(hp):
+                os.replace(hp, os.path.join(self.path, entry, final))
+        os.remove(manifest)
+
+    def _replay_pending_manifests(self) -> None:
+        for e in sorted(os.listdir(self.path)):
+            if e.startswith("_batch_") and e.endswith(".manifest.json"):
+                self._replay_manifest(os.path.join(self.path, e))
+
+    def _recover(self) -> None:
+        """Store-open recovery (`mindex/mindex.go:187-240` analog): replay
+        committed batches forward, then GC everything from batches that
+        never reached their commit record — stale staging dirs, manifest
+        tmps, and hidden part-file orphans. Runs under the single-writer
+        assumption (same as the reference's per-database file lock)."""
+        self._replay_pending_manifests()
+        for e in os.listdir(self.path):
+            p = os.path.join(self.path, e)
+            if e.startswith("_staging_batch_"):
+                shutil.rmtree(p, ignore_errors=True)
+            elif e.endswith(".manifest.json.tmp"):
+                os.remove(p)
+            elif e.startswith("bucket_ts="):
+                for part in os.listdir(p):
+                    if part.startswith("_b"):
+                        os.remove(os.path.join(p, part))
 
     # ------------------------------------------------------------------- reads
 
@@ -377,26 +459,41 @@ class TimeSeriesStore:
                 dropped += 1
         return dropped
 
-    def compact(self, bucket_ts: int) -> int:
-        """Rewrite one bucket partition into a single file.
+    def compact(
+        self, bucket_ts: int, target_file_bytes: int = 128 * 1024 * 1024
+    ) -> int:
+        """Rewrite one bucket partition into ~target-sized files.
 
         Each ``put_batch`` appends files, so long-lived buckets accrue one
         small file per batch — the classic small-files problem. Compaction
         rewrites the partition (preserving ``ingest_seq``/``row_seq``, so
-        LWW visibility is unchanged) and swaps it in with the same
-        staging-rename publish as ingest. The reference has no analog (mmap
-        segments are preallocated); on a table format this is OPTIMIZE /
-        rewriteDataFiles. Returns the number of files before compaction.
+        LWW visibility is unchanged) and swaps it in. The output file count
+        is sized from the bucket's actual bytes (never ``coalesce(1)``: at
+        100 TB a single bucket exceeds one task/file), and
+        ``repartitionByRange(tags, ts)`` both balances the output files and
+        re-clusters rows so parquet row-group stats keep tag/ts reads
+        skippable — the same layout the ingest path writes. The reference
+        has no analog (mmap segments are preallocated); on a table format
+        this is OPTIMIZE / rewriteDataFiles. Returns the number of files
+        before compaction.
         """
         part_dir = os.path.join(self.path, f"bucket_ts={bucket_ts}")
         if not os.path.isdir(part_dir):
             return 0
-        n_files = sum(1 for f in os.listdir(part_dir) if f.startswith(("part-", "part.")))
+        vis = [f for f in os.listdir(part_dir) if not f.startswith(("_", "."))]
+        n_files = len(vis)
         if n_files <= 1:
             return n_files
+        total = sum(os.path.getsize(os.path.join(part_dir, f)) for f in vis)
+        n_out = max(1, -(-total // target_file_bytes))
         rows = self.spark.read.parquet(part_dir)
         staging = os.path.join(self.path, f"_compact_{bucket_ts}")
-        rows.coalesce(1).write.mode("overwrite").parquet(staging)
+        (
+            rows.repartitionByRange(n_out, *self.config.tag_cols, "ts")
+            .sortWithinPartitions(*self.config.tag_cols, "ts")
+            .write.mode("overwrite")
+            .parquet(staging)
+        )
         try:
             tmp_old = part_dir + ".old"
             os.replace(part_dir, tmp_old)

@@ -279,3 +279,80 @@ def test_remove_before_cold_then_zeros(store):
     # untouched buckets still intact
     out = store.get(6060, 6070, ["a", "b", "c", "d"], now=NOW)
     assert payloads(out) == [bytes([6, 0, 6, 0])]
+
+
+# ---------------------------------------------------------------- crash safety
+
+def _crashing_replace(monkeypatch, fail_on_call: int):
+    """Make kdb_spark.store's os.replace raise on its Nth call (1-based)."""
+    import kdb_spark.store as storemod
+
+    real = storemod.os.replace
+    calls = {"n": 0}
+
+    def boom(src, dst):
+        calls["n"] += 1
+        if calls["n"] == fail_on_call:
+            raise OSError("injected crash")
+        return real(src, dst)
+
+    monkeypatch.setattr(storemod.os, "replace", boom)
+    return calls
+
+
+def test_crash_before_commit_record_leaves_batch_invisible(store, monkeypatch):
+    """A crash during the hidden-move phase (before the manifest exists) must
+    leave the batch completely invisible — not a torn prefix — and recovery
+    on reopen GCs the orphans (`mindex/mindex.go:187-240`: un-logged tail
+    never existed)."""
+    store.put_batch([(11000, "a", "b", "c", "d", PA)], now=NOW)
+    with pytest.raises(OSError, match="injected crash"):
+        # batch spans two buckets -> >=2 hidden moves; fail the second
+        _crashing_replace(monkeypatch, 2)
+        store.put_batch(
+            [(10990, "a", "b", "c", "d", PB), (11000, "a", "b", "c", "e", PB)],
+            now=NOW,
+        )
+    monkeypatch.undo()
+    # the crashed batch is invisible; the earlier batch is intact
+    out = store.get(10990, 11010, ["a", "b", "c", "d"], now=NOW)
+    assert payloads(out) == [P0, PA]
+    out = store.get(10990, 11010, ["a", "b", "c", "e"], now=NOW)
+    assert payloads(out) == [P0, P0]
+    # reopen: recovery removes the hidden orphans
+    reopened = TimeSeriesStore(store.spark, store.config)
+    import os as _os
+
+    for entry in _os.listdir(reopened.path):
+        if entry.startswith("bucket_ts="):
+            parts = _os.listdir(_os.path.join(reopened.path, entry))
+            assert not any(p.startswith("_b") for p in parts), parts
+
+
+def test_crash_after_commit_record_is_replayed_forward(store, monkeypatch):
+    """A crash during the unhide phase (manifest already fsynced) must not
+    tear the batch: the next read replays the manifest and sees ALL rows."""
+    import kdb_spark.store as storemod
+
+    with pytest.raises(OSError, match="injected crash"):
+        # calls: 2 hidden moves, manifest publish (3), then unhides (4, 5);
+        # fail the LAST unhide -> one file visible, one still hidden
+        _crashing_replace(monkeypatch, 5)
+        store.put_batch(
+            [(10990, "a", "b", "c", "d", PA), (11000, "a", "b", "c", "e", PB)],
+            now=NOW,
+        )
+    monkeypatch.undo()
+    import os as _os
+
+    assert any(
+        e.endswith(".manifest.json") for e in _os.listdir(store.path)
+    ), "commit record must survive the crash"
+    # first read after the crash: forward replay -> the whole batch visible
+    out = store.get(10990, 11010, ["a", "b", "c", "d"], now=NOW)
+    assert payloads(out) == [PA, P0]
+    out = store.get(10990, 11010, ["a", "b", "c", "e"], now=NOW)
+    assert payloads(out) == [P0, PB]
+    assert not any(
+        e.endswith(".manifest.json") for e in _os.listdir(store.path)
+    )
