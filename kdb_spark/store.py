@@ -58,11 +58,18 @@ WILDCARD = ""  # `mindex/mindex.go:133-142`: "" matches any tag at that depth
 
 
 class TimeSeriesStore:
-    def __init__(self, spark: SparkSession, config: StoreConfig):
+    def __init__(
+        self, spark: SparkSession, config: StoreConfig, hot_cache: bool = True
+    ):
         self.spark = spark
         self.config = config
         self.path = os.path.join(config.data_path, config.database_name)
         os.makedirs(self.path, exist_ok=True)
+        # two-tier read cache (`dbase/dbase.go:83-114`): hot buckets pinned,
+        # cold buckets streamed. Built lazily on the first hot-range read.
+        self.hot_cache_enabled = hot_cache
+        self._hot_df: DataFrame | None = None
+        self._hot_min: int | None = None
         self._recover()
 
     # ------------------------------------------------------------------ schema
@@ -233,6 +240,7 @@ class TimeSeriesStore:
                     "(dbucket.go:120-122)"
                 )
             self._commit_staging(staging, batch)
+            self._invalidate_hot_cache()  # file set changed under the pin
         finally:
             if os.path.exists(staging):
                 shutil.rmtree(staging)
@@ -330,9 +338,52 @@ class TimeSeriesStore:
                 f"tag arity {len(tags)} != index_depth {self.config.index_depth}"
             )
 
-    def _pruned(self, start: int, end: int, *, include_end_bucket: bool = False) -> DataFrame:
+    def _invalidate_hot_cache(self) -> None:
+        if self._hot_df is not None:
+            try:
+                self._hot_df.unpersist()
+            except Exception:
+                pass  # session already stopped — nothing to release
+            self._hot_df = None
+        self._hot_min = None
+
+    def _hot_window_df(self, now: int) -> DataFrame | None:
+        """Pinned hot window — the cache tier the reference mmaps+mlocks
+        (`dblock/dblock.go:283-293`; two-tier policy `dbase/dbase.go:83-114`).
+
+        The last ``max_hot_buckets`` bucket partitions are persisted
+        (memory, spilling to local disk) so the write-hot range — which
+        serves most point reads in a live store — is re-read from executor
+        memory instead of parquet. Invalidated on ingest/retention/compact
+        (file set changed) and rebuilt when the hot window slides. Returns
+        None when caching is off or the store is empty.
+        """
+        if not self.hot_cache_enabled:
+            return None
+        hot_min = self.config.hot_min_base(now)
+        if self._hot_df is None or self._hot_min != hot_min:
+            self._invalidate_hot_cache()
+            self._replay_pending_manifests()
+            if not self._data_dir_nonempty():
+                return None
+            from pyspark import StorageLevel
+
+            df = (
+                self.spark.read.option("basePath", self.path)
+                .parquet(self.path)
+                .filter(F.col("bucket_ts") >= F.lit(hot_min))
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            self._hot_df = df
+            self._hot_min = hot_min
+        return self._hot_df
+
+    def _pruned(
+        self, start: int, end: int, now: int, *, include_end_bucket: bool = False
+    ) -> DataFrame:
         """Rows of buckets overlapping [start, end) — the bucket loop
-        (`dbase/dbase.go:177-188`) as a partition-pruning filter.
+        (`dbase/dbase.go:177-188`) as a partition-pruning filter, served
+        from the pinned hot tier where the range overlaps it.
 
         ``include_end_bucket`` mirrors the reference's ``find`` loop bound
         ``t <= end - end%BucketDuration`` (`dbase/dbase.go:247,256`): when
@@ -345,9 +396,14 @@ class TimeSeriesStore:
         b1 = cfg.floor_to_bucket(end) if include_end_bucket else cfg.floor_to_bucket(
             max(start, end - 1)
         )
-        return self._read().filter(
-            (F.col("bucket_ts") >= F.lit(b0)) & (F.col("bucket_ts") <= F.lit(b1))
-        )
+        in_range = (F.col("bucket_ts") >= F.lit(b0)) & (F.col("bucket_ts") <= F.lit(b1))
+        hot = self._hot_window_df(now) if b1 >= cfg.hot_min_base(now) else None
+        if hot is None:
+            return self._read().filter(in_range)
+        # cold tier from parquet, hot tier from the pinned cache; the two
+        # partition sets are disjoint by construction
+        cold = self._read().filter(F.col("bucket_ts") < F.lit(self._hot_min))
+        return cold.unionByName(hot).filter(in_range)
 
     def _lww(self, df: DataFrame) -> DataFrame:
         """Last-write-wins visibility per (series, slot) (`dblock/dblock.go:198-205`).
@@ -388,7 +444,7 @@ class TimeSeriesStore:
         for c, v in zip(cfg.tag_cols, tags):
             cond = cond & (F.col(c) == F.lit(v))
         data = (
-            self._pruned(start, end)
+            self._pruned(start, end, now)
             .filter(cond & (F.col("ts") >= start) & (F.col("ts") < end))
         )
         lww = self._lww(data).select("ts", "payload")
@@ -423,7 +479,7 @@ class TimeSeriesStore:
         tag_cols = list(cfg.tag_cols)
         # Presence consults every bucket the reference's loop touches —
         # including the one whose base == end (dbase.go:247,256).
-        scanned = self._pruned(start, end, include_end_bucket=True).filter(cond)
+        scanned = self._pruned(start, end, now, include_end_bucket=True).filter(cond)
         series = scanned.select(*tag_cols).distinct()
         data = scanned.filter((F.col("ts") >= start) & (F.col("ts") < end))
         lww = self._lww(data)
@@ -457,6 +513,8 @@ class TimeSeriesStore:
             if base < cutoff:
                 shutil.rmtree(os.path.join(self.path, entry))
                 dropped += 1
+        if dropped:
+            self._invalidate_hot_cache()
         return dropped
 
     def compact(
@@ -502,10 +560,14 @@ class TimeSeriesStore:
                 if part.startswith(("part-", "part.")):
                     os.replace(os.path.join(staging, part), os.path.join(part_dir, part))
             shutil.rmtree(tmp_old)
+            self._invalidate_hot_cache()
         finally:
             if os.path.exists(staging):
                 shutil.rmtree(staging)
         return n_files
 
     def close(self) -> None:
-        """O5 — nothing to flush: parquet commits are atomic per batch."""
+        """O5 — release the pinned hot tier; parquet commits are already
+        durable per batch (`dbase/dbase.go:436-451` closes mmaps; the cache
+        is our only held resource)."""
+        self._invalidate_hot_cache()

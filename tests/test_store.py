@@ -356,3 +356,28 @@ def test_crash_after_commit_record_is_replayed_forward(store, monkeypatch):
     assert not any(
         e.endswith(".manifest.json") for e in _os.listdir(store.path)
     )
+
+
+# ---------------------------------------------------------------- hot cache
+
+def test_hot_range_get_uses_pinned_cache(store):
+    """SURVEY §7.6: the hot window (last max_hot_buckets partitions) is
+    served from a persisted tier on repeated reads — the `persist()` analog
+    of the reference's mmap+mlock hot buckets (`dblock/dblock.go:283-293`)
+    — and the pin is dropped (plan reverts to a parquet scan) after
+    retention invalidates it."""
+    seeded(store)
+    store.get(10980, 11000, ["a", "b", "c", "d"], now=NOW).collect()  # warm
+    df = store.get(10980, 11000, ["a", "b", "c", "d"], now=NOW)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan, plan
+    # correctness through the cached tier
+    assert payloads(df) == [P0, PA]
+    # cold-only reads don't touch the hot tier's pin requirement
+    out = store.get(3030, 3040, ["a", "b", "c", "d"], now=NOW)
+    assert payloads(out) == [bytes([3, 0, 3, 0])]
+    # retention invalidates the pin; next read rebuilds against the new file set
+    store.remove_before(4000, now=NOW)
+    assert store._hot_df is None
+    out = store.get(10980, 11000, ["a", "b", "c", "d"], now=NOW)
+    assert payloads(out) == [P0, PA]
