@@ -286,6 +286,18 @@ _reg(
 )
 
 _reg(
+    "agg_corr",
+    lambda s, d: agg.agg_corr(events_us(s, d)),
+    f"""
+    SELECT event_type,
+           round(corr(value, (epoch_us(ts) % {DAY_US}) / 3600000000.0), 4) AS corr_vh,
+           round(covar_samp(value, (epoch_us(ts) % {DAY_US}) / 3600000000.0), 4) AS cov_vh,
+           count(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+
+_reg(
     "agg_pivot",
     lambda s, d: agg.agg_pivot(events_us(s, d)),
     """
@@ -357,6 +369,17 @@ _reg(
     SELECT event_id, user_id,
            round(avg(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
                                   ROWS BETWEEN 5 PRECEDING AND CURRENT ROW), 4) AS mavg
+    FROM events
+    """,
+)
+
+_reg(
+    "win_moving_median",
+    lambda s, d: wn.win_moving_median(events_us(s, d)),
+    """
+    SELECT event_id, user_id,
+           round(median(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                                     ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 4) AS mmed
     FROM events
     """,
 )
@@ -606,6 +629,22 @@ _reg(
     SELECT c.event_id, c.user_id, e.err_value AS asof_value
     FROM clk c ASOF JOIN err e
       ON c.user_id = e.user_id AND c.ts_us >= e.ts_us
+    """,
+)
+
+_reg(
+    "join_asof_forward",
+    lambda s, d: jn.join_asof_forward(events_us(s, d)),
+    """
+    WITH err AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, arg_max(value, event_id) AS err_value
+      FROM events WHERE event_type = 'error' GROUP BY 1, 2),
+    clk AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us
+      FROM events WHERE event_type = 'click')
+    SELECT c.event_id, c.user_id, e.err_value AS next_value
+    FROM clk c ASOF JOIN err e
+      ON c.user_id = e.user_id AND c.ts_us <= e.ts_us
     """,
 )
 
@@ -1081,6 +1120,22 @@ _reg(
                  / (a.nrm * b.nrm), 6) AS cos
     FROM n a JOIN n b ON a.vec_id < b.vec_id
     WHERE list_sum([a.v[i] * b.v[i] FOR i IN range(1, len(a.v) + 1)]) / (a.nrm * b.nrm) >= 0.4
+    """,
+)
+
+_reg(
+    "emb_normalize",
+    lambda s, d: sim.emb_normalize(load(s, d, "embeddings")),
+    """
+    WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_sum([x * x FOR x IN v])) AS nrm,
+                 list_max([abs(x) FOR x IN v]) AS amax FROM e)
+    SELECT vec_id,
+           round(nrm, 4) AS l2_norm,
+           round(CASE WHEN nrm > 0 THEN v[1] / nrm ELSE 0.0 END, 4) AS u0,
+           [CASE WHEN amax > 0 THEN CAST(round(127.0 * x / amax) AS INT) ELSE 0 END
+            FOR x IN v] AS q8
+    FROM n
     """,
 )
 

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from kdb_spark.tables import HOUR_US, cents
+from kdb_spark.tables import DAY_US, HOUR_US, cents
 
 
 def agg_resample(events: DataFrame, width_us: int = HOUR_US) -> DataFrame:
@@ -242,4 +242,27 @@ def agg_histogram(events: DataFrame, width: float = 10.0) -> DataFrame:
         )
         .withColumn("bin_start", F.col("bin") * F.lit(width))
         .select("bin", "bin_start", "n", "lo", "hi")
+    )
+
+
+def agg_corr(events: DataFrame) -> DataFrame:
+    """Pearson correlation / sample covariance of (value, hour-of-day) per
+    event_type — the per-group bivariate statistics family.
+
+    The time coordinate is centered to small magnitudes (hour-of-day as a
+    double) before the co-moment accumulation: correlating against a raw
+    µs epoch (~1.7e15) loses the co-moment in catastrophic cancellation and
+    the two engines would diverge in the lost bits. Rounded to 4dp — both
+    engines run numerically stable single-pass co-moment updates, differing
+    only in low-order accumulation order.
+    """
+    hod = ((F.col("ts_us") % F.lit(DAY_US)) / F.lit(HOUR_US)).alias("hod")
+    return (
+        events.select("event_type", "value", hod)
+        .groupBy("event_type")
+        .agg(
+            F.round(F.corr("value", "hod"), 4).alias("corr_vh"),
+            F.round(F.covar_samp("value", "hod"), 4).alias("cov_vh"),
+            F.count(F.lit(1)).alias("n"),
+        )
     )

@@ -258,3 +258,40 @@ def join_asof_tolerance(events: DataFrame, tol_us: int = 30 * MIN_US) -> DataFra
             (F.col("ts_us") - F.col("carried.ets")).alias("staleness_us"),
         )
     )
+
+
+def join_asof_forward(events: DataFrame) -> DataFrame:
+    """Forward as-of join: for each 'click', the EARLIEST 'error' value of
+    the same user at-or-after the click — the time-reversed twin of
+    :func:`join_asof` (reaction lookup instead of cause lookup).
+
+    Same union-and-carry shape, mirrored: tag both sides, sort within user
+    by (ts, side) with errors *after* clicks at equal ts (at-or-after
+    includes same-µs errors), and pull the next error value backward with
+    ``first(ignorenulls)`` over [current, unbounded following). One shuffle
+    on user_id; O(n log n) at any scale, no per-probe scan. Errors are
+    pre-deduped per (user, µs) by last event_id so ties are deterministic.
+    """
+    errors = (
+        events.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts_us")
+        .agg(F.max_by("value", "event_id").alias("err_value"))
+        .select("user_id", "ts_us", "err_value", F.lit(2).alias("side"),
+                F.lit(None).cast("long").alias("event_id"))
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts_us",
+        F.lit(None).cast("double").alias("err_value"),
+        F.lit(1).alias("side"), "event_id",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "side")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    return (
+        errors.unionByName(clicks)
+        .withColumn("next_value", F.first("err_value", ignorenulls=True).over(w))
+        .filter((F.col("side") == 1) & F.col("next_value").isNotNull())
+        .select("event_id", "user_id", "next_value")
+    )

@@ -250,3 +250,25 @@ def win_ffill(
             "user_id", "slot_us", F.round(F.col("filled"), 4).alias("value_c")
         )
     )
+
+
+def win_moving_median(events: DataFrame, k: int = 9) -> DataFrame:
+    """Trailing (k+1)-row moving median per user series — the
+    outlier-robust counterpart of :func:`win_moving_avg` (a spike pulls the
+    mean for k rows but leaves the median untouched).
+
+    ``percentile`` is an ordinary aggregate, so it evaluates directly over
+    the row frame; exact interpolated median, same linear-interpolation
+    formula DuckDB's ``median()`` uses. One shuffle on user_id (the window
+    partition) — same scale shape as every other windowed op here.
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(-k, 0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.round(F.percentile("value", F.lit(0.5)).over(w), 4).alias("mmed"),
+    )

@@ -409,3 +409,36 @@ def ann_search_topk(
         .select("query_id", F.col("vec_id").alias("match_id"),
                 F.round("cos", 6).alias("cos"), "rn")
     )
+
+
+def emb_normalize(embeddings: DataFrame) -> DataFrame:
+    """L2-normalize + symmetric int8 quantization — the embedding
+    preprocessing every ANN/dedup pipeline runs before indexing (unit
+    vectors make cosine = dot; int8 shrinks the index 4×).
+
+    Map-only JVM expressions: ``aggregate`` for the squared sum (sequential
+    fold, deterministic order), ``transform`` for the per-component ops.
+    Everything is cast to double FIRST so both engines run identical IEEE
+    arithmetic on the float32 input. Zero vectors pass through as zeros
+    (guarded divisions). At 100 TB this pipelines into the scan: no
+    shuffle, no Python.
+    """
+    dvec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    ss = F.aggregate(
+        dvec, F.lit(0.0), lambda acc, x: acc + x * x
+    )
+    nrm = F.sqrt(ss)
+    amax = F.array_max(F.transform(dvec, lambda x: F.abs(x)))
+    return embeddings.select(
+        "vec_id",
+        F.round(nrm, 4).alias("l2_norm"),
+        F.round(
+            F.when(nrm > 0, F.element_at(dvec, 1) / nrm).otherwise(0.0), 4
+        ).alias("u0"),
+        F.transform(
+            dvec,
+            lambda x: F.when(
+                amax > 0, F.round(F.lit(127.0) * x / amax).cast("int")
+            ).otherwise(F.lit(0)),
+        ).alias("q8"),
+    )

@@ -20,29 +20,36 @@ import traceback
 sys.path.insert(0, ".")
 
 
+def _norm_val(v):
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return None
+    if isinstance(v, float):
+        return v
+    # array columns: Spark → list, DuckDB → numpy ndarray; normalize both
+    # to plain tuples so they sort and compare element-wise
+    if isinstance(v, (list, tuple)) or (
+        hasattr(v, "__len__") and hasattr(v, "dtype")
+    ):
+        return tuple(_norm_val(x) for x in v)
+    if hasattr(v, "item"):  # numpy scalar
+        return v.item()
+    return v
+
+
 def normalize(df, cols):
     """pandas frame → list of row tuples, column-name sorted, row sorted."""
     df = df[cols]
-    rows = []
-    for t in df.itertuples(index=False):
-        row = []
-        for v in t:
-            if v is None or (isinstance(v, float) and math.isnan(v)):
-                row.append(None)
-            elif isinstance(v, float):
-                row.append(v)
-            elif hasattr(v, "item"):  # numpy scalar
-                x = v.item()
-                row.append(x)
-            else:
-                row.append(v)
-        rows.append(tuple(row))
+    rows = [tuple(_norm_val(v) for v in t) for t in df.itertuples(index=False)]
     return sorted(rows, key=lambda r: tuple((x is None, str(x)) for x in r))
 
 
 def values_equal(a, b):
     if a is None and b is None:
         return True
+    if isinstance(a, tuple) and isinstance(b, tuple):
+        return len(a) == len(b) and all(
+            values_equal(x, y) for x, y in zip(a, b)
+        )
     if isinstance(a, float) and isinstance(b, (float, int)):
         if math.isnan(a) and isinstance(b, float) and math.isnan(b):
             return True
