@@ -298,6 +298,19 @@ _reg(
 )
 
 _reg(
+    "agg_wavg",
+    lambda s, d: agg.agg_wavg(load(s, d, "lineitem")),
+    """
+    SELECT l_returnflag,
+           round(CAST(sum(CAST(l_quantity AS BIGINT)
+                          * CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+                 / CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE), 4) AS wavg_price_c,
+           count(*) AS n
+    FROM lineitem GROUP BY 1
+    """,
+)
+
+_reg(
     "agg_pivot",
     lambda s, d: agg.agg_pivot(events_us(s, d)),
     """
@@ -676,6 +689,26 @@ _reg(
      AND epoch_us(c.ts) >= epoch_us(e.ts)
      AND epoch_us(c.ts) < epoch_us(e.ts) + 600000000
     WHERE e.event_type = 'error'
+    GROUP BY 1, 2
+    """,
+)
+
+_reg(
+    "join_window",
+    lambda s, d: jn.join_window(events_us(s, d)),
+    """
+    WITH err AS (
+      SELECT event_id, user_id, epoch_us(ts) AS err_us
+      FROM events WHERE event_type = 'error'),
+    clk AS (
+      SELECT user_id, epoch_us(ts) AS c_us, value
+      FROM events WHERE event_type = 'click')
+    SELECT e.event_id, e.user_id,
+           CAST(count(c.c_us) AS BIGINT) AS n_in_win,
+           round(avg(c.value), 4) AS avg_in_win
+    FROM err e LEFT JOIN clk c
+      ON e.user_id = c.user_id
+     AND c.c_us >= e.err_us - 600000000 AND c.c_us < e.err_us + 600000000
     GROUP BY 1, 2
     """,
 )

@@ -266,3 +266,23 @@ def agg_corr(events: DataFrame) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+def agg_wavg(lineitem: DataFrame) -> DataFrame:
+    """Weighted average — kdb's ``wavg``: quantity-weighted mean price (in
+    cents) per return flag.
+
+    Both the numerator and denominator are exact bigint sums (quantity is
+    integral in this schema; price goes through the cents convention), so
+    the final division runs on identical integers in both engines and the
+    result is bit-deterministic — no accumulation-order float noise.
+    """
+    qty = F.col("l_quantity").cast("long")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.round(
+            F.sum(qty * cents("l_extendedprice")).cast("double")
+            / F.sum(qty).cast("double"),
+            4,
+        ).alias("wavg_price_c"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -295,3 +295,55 @@ def join_asof_forward(events: DataFrame) -> DataFrame:
         .filter((F.col("side") == 1) & F.col("next_value").isNotNull())
         .select("event_id", "user_id", "next_value")
     )
+
+
+def join_window(events: DataFrame, width_us: int = 10 * MIN_US) -> DataFrame:
+    """Window join — kdb's ``wj``: for each 'error' probe, aggregate the
+    'click' values of the same user inside [probe-w, probe+w). Every probe
+    appears in the output (zero matches → count 0, null avg), matching wj's
+    row-per-probe contract.
+
+    Same bucketization as :func:`join_interval`: probes explode into the ≤3
+    w-width buckets covering their 2w window, clicks land in their single
+    bucket, and the join is a plain equi join on (user, bucket) with a
+    residual range filter — never a nested-loop range join. A click matches
+    a probe at most once (the click's one bucket meets at most one of the
+    probe's bucket rows), so the count needs no dedup. One shuffle for the
+    join, one for the per-probe aggregate.
+    """
+    w = F.lit(width_us)
+    bkt = lambda c: (c - c % w).cast("long")  # noqa: E731
+    probes = (
+        events.filter(F.col("event_type") == "error")
+        .select("event_id", "user_id", F.col("ts_us").alias("err_us"))
+        .withColumn(
+            "bucket",
+            F.explode(
+                F.sequence(
+                    bkt(F.col("err_us") - w), bkt(F.col("err_us") + w), w
+                )
+            ),
+        )
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("ts_us").alias("click_us"),
+            F.col("value").alias("click_v"),
+        )
+        .withColumn("bucket", bkt(F.col("click_us")))
+    )
+    in_win = (
+        (F.col("click_us") >= F.col("err_us") - w)
+        & (F.col("click_us") < F.col("err_us") + w)
+    )
+    return (
+        probes.join(clicks, ["user_id", "bucket"], "left")
+        .withColumn("hit_v", F.when(in_win, F.col("click_v")))
+        .groupBy("event_id", "user_id")
+        .agg(
+            F.count("hit_v").alias("n_in_win"),
+            F.round(F.avg("hit_v"), 4).alias("avg_in_win"),
+        )
+    )
