@@ -334,3 +334,95 @@ def test_interpolate_laws(spark, points):
             nxt = min(k for k in known if k > s)
             lo_v, hi_v = sorted((known[prev], known[nxt]))
             assert lo_v - 1e-6 <= v <= hi_v + 1e-6, (s, v)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(0, 50),          # ts slot
+            st.integers(0, 3),           # user
+            st.integers(-100, 100),      # value
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_moving_median_matches_bruteforce(spark, pts):
+    """Law: win_moving_median over (user, ts, event_id) row frames equals a
+    per-row numpy median of the trailing k+1 rows in the same order."""
+    import statistics
+
+    from kdb_spark.analytics import windows as wn
+
+    rows = [
+        (i, int(u), int(t) * 1_000_000, float(v))
+        for i, (t, u, v) in enumerate(pts)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_us long, value double"
+    )
+    got = {
+        r.event_id: r.mmed
+        for r in wn.win_moving_median(df, k=4).collect()
+    }
+    series: dict[int, list] = {}
+    for eid, u, ts, v in sorted(rows, key=lambda r: (r[1], r[2], r[0])):
+        hist = series.setdefault(u, [])
+        hist.append(v)
+        expect = round(statistics.median(hist[-5:]), 4)
+        assert abs(got[eid] - expect) < 1e-9, (eid, got[eid], expect)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(0, 100),                  # ts slot
+            st.integers(0, 2),                    # user
+            st.sampled_from(["error", "click"]),
+            st.integers(-50, 50),                 # value
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_window_join_matches_bruteforce(spark, pts):
+    """Law: join_window(w) returns one row per error probe with the exact
+    count/avg of same-user clicks in [t-w, t+w) — including count 0 —
+    identical to an all-pairs python computation."""
+    from kdb_spark.analytics import joins as jn
+
+    W = 10 * 1_000_000
+    rows = [
+        (i, int(u), et, int(t) * 1_000_000, float(v))
+        for i, (t, u, et, v) in enumerate(pts)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts_us long, value double"
+    )
+    got = {
+        r.event_id: (r.n_in_win, r.avg_in_win)
+        for r in jn.join_window(df, width_us=W).collect()
+    }
+    probes = [r for r in rows if r[2] == "error"]
+    assert set(got) == {r[0] for r in probes}
+    for eid, u, _, ts, _ in probes:
+        hits = [
+            v for (_, cu, cet, cts, v) in rows
+            if cet == "click" and cu == u and ts - W <= cts < ts + W
+        ]
+        n, avg = got[eid]
+        assert n == len(hits), (eid, n, len(hits))
+        if hits:
+            assert abs(avg - round(sum(hits) / len(hits), 4)) < 1e-9
+        else:
+            assert avg is None
