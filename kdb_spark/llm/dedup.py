@@ -200,7 +200,17 @@ def dedup_near_minhash(
     probabilistic) but the verify step means any emitted pair is exact.
     """
     rows = num_perm // bands
-    docs = _doc_shingles(documents, n).filter(F.size("sh") > 0)
+    # Hash every shingle to an 8-byte long up front: signatures hash longs
+    # instead of ~30-byte strings (cheaper × 32 permutations), and the
+    # verify join below shuffles long arrays instead of string arrays
+    # (~4× fewer bytes through the exchange — measured to be what drives
+    # GC/spill variance at larger corpora). Set semantics are unchanged:
+    # xxhash64 collisions across a doc pair's shingle sets are ~2^-64.
+    docs = (
+        _doc_shingles(documents, n)
+        .filter(F.size("sh") > 0)
+        .select("doc_id", F.transform("sh", lambda s: F.xxhash64(s)).alias("sh"))
+    )
     sig = docs.select(
         "doc_id", minhash_signature(F.col("sh"), num_perm).alias("sig")
     )

@@ -1,0 +1,148 @@
+#!/usr/bin/env python
+"""Empirical scaling audit: does each operator's runtime grow like its plan
+says it should when the data grows KxK?
+
+Generates salted replicas of the sf0.1 tables at /tmp (never touches
+/root/testdata): documents get a per-replica token woven into every 3rd
+position, so cross-replica docs share no 3-gram shingle and the TRUE
+near-dup pair count scales linearly (exact copies would make output —
+and any correct engine's work — grow quadratically in K, which would
+measure semantics, not the engine). Embeddings get a deterministic
+per-replica component scaling; events shift user_id/event_id so series
+count scales with K while the probed time range keeps constant selectivity.
+
+Usage: python tools/scale_probe.py [--scales 1,8,32] [ops...]
+Prints per-op wall times and the growth ratio vs the K=1 run; flags
+ratios > 1.5x K as super-linear. Fixed per-query overhead (codegen,
+job scheduling — a second or so at these sizes) makes sub-K ratios
+normal; the audit hunts blow-ups, not constants.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# ops worth auditing: the shuffle/join/iteration-heavy ones plus one
+# representative per map-only family
+DEFAULT_OPS = [
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_near_minhash",
+    "dedup_simhash",
+    "dedup_cluster",
+    "text_stats",
+    "token_count_bpe",
+    "sim_search_topk",
+    "ann_search_topk",
+    "ivf_search_topk",
+    "emb_kmeans",
+    "agg_resample",
+    "kernel_get_dense",
+    "join_asof",
+    "join_window",
+    "win_moving_avg",
+    "sessionize",
+]
+
+
+def gen_scaled(k: int) -> str:
+    import duckdb
+
+    out = f"/tmp/kdbs_scale_k{k}"
+    if os.path.isdir(out):
+        return out
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(f"""
+      COPY (
+        SELECT d.doc_id + r.i * 1000000 AS doc_id,
+               CASE WHEN r.i = 0 THEN d.text ELSE
+                 list_aggregate(
+                   list_transform(string_split(d.text, ' '),
+                     (t, j) -> CASE WHEN j % 3 = 0 THEN t || '~r' || r.i
+                               ELSE t END),
+                   'string_agg', ' ')
+               END AS text,
+               d.lang, d.source, d.n_chars
+        FROM read_parquet('{BASE}/documents.parquet') d, range({k}) r(i)
+      ) TO '{out}/documents.parquet' (FORMAT PARQUET)
+    """)
+    con.execute(f"""
+      COPY (
+        SELECT e.vec_id + r.i * 1000000 AS vec_id,
+               list_transform(e.embedding,
+                 (x, j) -> CAST(x * (1.0 + 0.01 * ((r.i * 7 + j) % 5)) AS FLOAT)
+               ) AS embedding,
+               e.label
+        FROM read_parquet('{BASE}/embeddings.parquet') e, range({k}) r(i)
+      ) TO '{out}/embeddings.parquet' (FORMAT PARQUET)
+    """)
+    con.execute(f"""
+      COPY (
+        SELECT e.event_id + r.i * 100000000 AS event_id, e.ts,
+               e.user_id + r.i * 1000000 AS user_id,
+               e.event_type, e.value, e.props
+        FROM read_parquet('{BASE}/events.parquet') e, range({k}) r(i)
+      ) TO '{out}/events.parquet' (FORMAT PARQUET)
+    """)
+    return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scales", default="1,8,32")
+    ap.add_argument("--keep", action="store_true", help="keep generated dirs")
+    ap.add_argument("ops", nargs="*", default=None)
+    args = ap.parse_args()
+    scales = [int(x) for x in args.scales.split(",")]
+    ops = args.ops or DEFAULT_OPS
+
+    import __spark_entry__ as entry
+    from kdb_spark.session import get_spark
+
+    spark = get_spark("scale_probe")
+    qs = entry.queries()
+    dirs = {k: gen_scaled(k) for k in scales}
+
+    # warm the session so K=1 doesn't absorb startup
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    k0, kmax = scales[0], scales[-1]
+    print(f"{'op':26s} " + " ".join(f"K={k:<3d}s" for k in scales)
+          + f"  growth(K={kmax}/K={k0})  verdict", flush=True)
+    flagged = []
+    for name in ops:
+        if name not in qs:
+            print(f"skip {name}: not registered", file=sys.stderr, flush=True)
+            continue
+        ts: dict[int, float] = {}
+        for k in scales:
+            t0 = time.time()
+            qs[name](spark, dirs[k]).write.format("noop").mode("overwrite").save()
+            ts[k] = time.time() - t0
+        ratio = ts[kmax] / max(ts[k0], 1e-9)
+        verdict = "OK"
+        if ratio > 1.5 * (kmax / k0):
+            verdict = "SUPER-LINEAR"
+            flagged.append(name)
+        elif ratio < 0.6 * (kmax / k0):
+            verdict = "sub-linear"
+        cols = " ".join(f"{ts[k]:6.2f}" for k in scales)
+        print(f"{name:26s} {cols}  {ratio:6.2f}x            {verdict}", flush=True)
+    if not args.keep:
+        for d in dirs.values():
+            shutil.rmtree(d, ignore_errors=True)
+    print(f"\nflagged super-linear: {flagged or 'none'}")
+    return 1 if flagged else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
