@@ -298,13 +298,22 @@ class TimeSeriesStore:
         self._replay_manifest(manifest)
 
     def _replay_manifest(self, manifest: str) -> None:
-        """Idempotently finish (or re-finish) a committed batch's renames."""
+        """Idempotently finish (or re-finish) a committed batch's renames,
+        then its deletes (compaction swaps list the replaced files there).
+        Unhide-before-delete: a crash mid-replay can at worst briefly
+        double-count with the manifest still present, and the very next
+        replay converges; delete-first could instead hide data behind a
+        crash window."""
         with open(manifest) as fh:
             m = json.load(fh)
         for entry, hidden, final in m["files"]:
             hp = os.path.join(self.path, entry, hidden)
             if os.path.exists(hp):
                 os.replace(hp, os.path.join(self.path, entry, final))
+        for entry, name in m.get("deletes", []):
+            p = os.path.join(self.path, entry, name)
+            if os.path.exists(p):
+                os.remove(p)
         os.remove(manifest)
 
     def _replay_pending_manifests(self) -> None:
@@ -321,13 +330,13 @@ class TimeSeriesStore:
         self._replay_pending_manifests()
         for e in os.listdir(self.path):
             p = os.path.join(self.path, e)
-            if e.startswith("_staging_batch_"):
+            if e.startswith(("_staging_batch_", "_compact_")) or e.endswith(".old"):
                 shutil.rmtree(p, ignore_errors=True)
             elif e.endswith(".manifest.json.tmp"):
                 os.remove(p)
             elif e.startswith("bucket_ts="):
                 for part in os.listdir(p):
-                    if part.startswith("_b"):
+                    if part.startswith(("_b", "_c")):
                         os.remove(os.path.join(p, part))
 
     # ------------------------------------------------------------------- reads
@@ -544,7 +553,7 @@ class TimeSeriesStore:
             return n_files
         total = sum(os.path.getsize(os.path.join(part_dir, f)) for f in vis)
         n_out = max(1, -(-total // target_file_bytes))
-        rows = self.spark.read.parquet(part_dir)
+        rows = self.spark.read.parquet(part_dir)  # file index skips _/. names
         staging = os.path.join(self.path, f"_compact_{bucket_ts}")
         (
             rows.repartitionByRange(n_out, *self.config.tag_cols, "ts")
@@ -552,14 +561,36 @@ class TimeSeriesStore:
             .write.mode("overwrite")
             .parquet(staging)
         )
+        # Publish with the same hidden+manifest protocol as put_batch — the
+        # manifest additionally lists the replaced files as deletes, so the
+        # swap is one atomic commit record instead of a directory rename
+        # (whose crash window could lose the whole bucket). Crash before the
+        # manifest: hidden orphans GC'd on open, old files untouched. Crash
+        # after: replay (on open / before every read) finishes the swap.
+        entry = f"bucket_ts={bucket_ts}"
+        tag = f"c{self._next_batch_seq()}"
+        moved: list[list[str]] = []
         try:
-            tmp_old = part_dir + ".old"
-            os.replace(part_dir, tmp_old)
-            os.makedirs(part_dir)
-            for part in os.listdir(staging):
+            for part in sorted(os.listdir(staging)):
                 if part.startswith(("part-", "part.")):
-                    os.replace(os.path.join(staging, part), os.path.join(part_dir, part))
-            shutil.rmtree(tmp_old)
+                    final = f"{tag}-{part}"
+                    os.replace(
+                        os.path.join(staging, part),
+                        os.path.join(part_dir, "_" + final),
+                    )
+                    moved.append([entry, "_" + final, final])
+            manifest = os.path.join(self.path, f"_batch_{tag}.manifest.json")
+            tmp = manifest + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(
+                    {"batch": tag, "files": moved,
+                     "deletes": [[entry, f] for f in vis]},
+                    fh,
+                )
+                fh.flush()
+                os.fsync(fh.fileno())
+            os.replace(tmp, manifest)  # <-- commit point
+            self._replay_manifest(manifest)
             self._invalidate_hot_cache()
         finally:
             if os.path.exists(staging):

@@ -381,3 +381,54 @@ def test_hot_range_get_uses_pinned_cache(store):
     assert store._hot_df is None
     out = store.get(10980, 11000, ["a", "b", "c", "d"], now=NOW)
     assert payloads(out) == [P0, PA]
+
+
+def test_compact_crash_before_manifest_keeps_old_files(store, monkeypatch):
+    """A crash while moving compacted files (before the commit record) must
+    leave the bucket exactly as it was; reopen GCs the hidden orphans."""
+    store.put_batch([(11000, "a", "b", "c", "d", PA)], now=NOW)
+    store.put_batch([(11000, "a", "b", "c", "d", PB)], now=NOW)
+    with pytest.raises(OSError, match="injected crash"):
+        # compact: _next_batch_seq uses 1 os.replace (seq publish), then the
+        # first hidden move is call 2 — fail there
+        _crashing_replace(monkeypatch, 2)
+        store.compact(11000)
+    monkeypatch.undo()
+    out = store.get(11000, 11010, ["a", "b", "c", "d"], now=NOW)
+    assert payloads(out) == [PB]  # LWW intact, nothing lost
+    reopened = TimeSeriesStore(store.spark, store.config)
+    import os as _os
+
+    bucket = _os.path.join(reopened.path, "bucket_ts=11000")
+    assert not any(p.startswith("_c") for p in _os.listdir(bucket))
+    out = reopened.get(11000, 11010, ["a", "b", "c", "d"], now=NOW)
+    assert payloads(out) == [PB]
+
+
+def test_compact_crash_after_manifest_converges_without_duplicates(
+    store, monkeypatch
+):
+    """A crash mid-swap (manifest fsynced, unhide/delete unfinished) must
+    converge on the next read: compacted data visible exactly once."""
+    store.put_batch([(11000, "a", "b", "c", "d", PA)], now=NOW)
+    store.put_batch([(11000, "a", "b", "c", "d", PB)], now=NOW)
+    import os as _os
+
+    bucket = _os.path.join(store.path, "bucket_ts=11000")
+    n_old = len([f for f in _os.listdir(bucket) if not f.startswith(("_", "."))])
+    assert n_old >= 2
+    # calls: seq publish (1), hidden moves (2..k), manifest publish, then
+    # replay renames — fail on the LAST replay rename/delete boundary by
+    # failing the first post-manifest unhide
+    with pytest.raises(OSError, match="injected crash"):
+        _crashing_replace(monkeypatch, 4)
+        store.compact(11000)
+    monkeypatch.undo()
+    assert any(
+        e.endswith(".manifest.json") for e in _os.listdir(store.path)
+    ), "commit record must survive"
+    # next read replays: compacted bucket, no duplicate rows, LWW preserved
+    out = store.get(11000, 11010, ["a", "b", "c", "d"], now=NOW)
+    assert payloads(out) == [PB]
+    files = [f for f in _os.listdir(bucket) if not f.startswith(("_", "."))]
+    assert len(files) < n_old or all(f.startswith("c") for f in files)
