@@ -166,6 +166,8 @@ def ivf_assign(embeddings: DataFrame, centroids: DataFrame, nprobe: int = 1) -> 
 
     @pandas_udf("array<long>")
     def probe(emb: pd.Series) -> pd.Series:
+        if not len(emb):  # empty Arrow batch (empty file split at scale)
+            return pd.Series([], dtype=object)
         E = np.stack(emb.to_numpy()).astype("float64")
         E /= np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-30)
         # stable sort on -sim keeps centroid-index (== cid) order on ties
@@ -288,14 +290,19 @@ def emb_kmeans(
             counts = np.zeros(k, dtype="int64")
             sums = np.zeros((k, dim), dtype="float64")
             for pdf in batches:
+                if not len(pdf):  # empty Arrow batch (empty split at scale)
+                    continue
                 E = np.stack(pdf["embedding"].to_numpy()).astype("float64")
                 a = np.argsort(-(_normed(E) @ Cn.T), axis=1, kind="stable")[:, 0]
                 np.add.at(sums, a, E)
                 counts += np.bincount(a, minlength=k)
             nz = np.nonzero(counts)[0]
-            yield pd.DataFrame(
-                {"cluster": nz, "n": counts[nz], "s": list(sums[nz])}
-            )
+            if len(nz):  # an all-empty partition yields nothing — an empty
+                # frame's untyped float64 "s" column breaks Arrow's
+                # list<double> conversion, and contributes no partial anyway
+                yield pd.DataFrame(
+                    {"cluster": nz, "n": counts[nz], "s": list(sums[nz])}
+                )
 
         agg = emb_only.mapInPandas(
             partials, "cluster long, n long, s array<double>"
