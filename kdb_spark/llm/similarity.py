@@ -430,20 +430,33 @@ def emb_normalize(embeddings: DataFrame) -> DataFrame:
     (guarded divisions). At 100 TB this pipelines into the scan: no
     shuffle, no Python.
     """
+    # Pin each stage behind a Generate barrier (explode(array(e)) — same
+    # trick as dedup._doc_shingles): CollapseProject would otherwise inline
+    # the cast vector into every reference and the nrm/amax aggregates into
+    # every q8 LAMBDA ELEMENT, making per-row work O(d²) (measured 4×
+    # end-to-end on 64-dim vectors).
     dvec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    ss = F.aggregate(
-        dvec, F.lit(0.0), lambda acc, x: acc + x * x
+    pinned = embeddings.select(
+        "vec_id", F.explode(F.array(dvec)).alias("v")
     )
-    nrm = F.sqrt(ss)
-    amax = F.array_max(F.transform(dvec, lambda x: F.abs(x)))
-    return embeddings.select(
+    stats = F.struct(
+        F.sqrt(
+            F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x)
+        ).alias("nrm"),
+        F.array_max(F.transform(F.col("v"), lambda x: F.abs(x))).alias("amax"),
+    )
+    with_stats = pinned.select(
+        "vec_id", "v", F.explode(F.array(stats)).alias("st")
+    )
+    nrm, amax = F.col("st.nrm"), F.col("st.amax")
+    return with_stats.select(
         "vec_id",
         F.round(nrm, 4).alias("l2_norm"),
         F.round(
-            F.when(nrm > 0, F.element_at(dvec, 1) / nrm).otherwise(0.0), 4
+            F.when(nrm > 0, F.element_at(F.col("v"), 1) / nrm).otherwise(0.0), 4
         ).alias("u0"),
         F.transform(
-            dvec,
+            F.col("v"),
             lambda x: F.when(
                 amax > 0, F.round(F.lit(127.0) * x / amax).cast("int")
             ).otherwise(F.lit(0)),
