@@ -56,37 +56,73 @@ def join_equi_shuffle(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
 
 
 def join_skew_salted(
-    lineitem: DataFrame, orders: DataFrame, salts: int = 8
+    lineitem: DataFrame,
+    orders: DataFrame,
+    salts: int = 8,
+    hot_threshold: int = 2_000_000,
 ) -> DataFrame:
-    """Skew-hardened fact ⋈ fact: same result as `join_equi_shuffle`, but the
-    join key is salted so one hot orderkey spreads over `salts` reducers.
+    """Skew-hardened fact ⋈ fact, two-path: same result as
+    `join_equi_shuffle`, but keys whose probe-side row count would
+    overwhelm one reducer take a salted join (probe picks a deterministic
+    `pmod(xxhash64(row-cols), salts)`, build replicates across all salts
+    via `explode(sequence)`), while everything else takes the plain equi
+    join.
 
-    Pattern: the probe side picks a deterministic salt per row
-    (`pmod(xxhash64(row-cols), salts)`); the build side replicates each row
-    across all salts via `explode(sequence(...))` — map-side fan-out, no
-    extra shuffle of the build side beyond the (still key-partitioned)
-    join exchange. Cost: build side ×salts through the shuffle; win: the
-    hottest key's reducer shrinks by ×salts. AQE's skew-join split does
-    this adaptively post-shuffle; explicit salting is the plan-time form
-    that also works for shuffled-hash and bucketed joins.
+    A blanket salt pays build-side ×salts shuffle volume on EVERY key —
+    measured super-linear under the scale probe once the inflated sort
+    spills — so salting is priced only where it buys anything (the
+    production pattern). Hot detection is an exact per-key count: one
+    map-side-combined shuffle of |keys| rows, deterministic at any
+    parallelism (sampling is not — its output depends on partition
+    layout). The hot set is broadcast: keys over the threshold are at most
+    n/threshold, tiny by construction. AQE's skew-join split is the
+    runtime complement; this is the plan-time form that also covers
+    shuffled-hash and bucketed joins.
     """
-    salted_li = lineitem.withColumn(
-        "salt", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(salts))
+    hot_keys = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= hot_threshold)
+        .select("l_orderkey", F.lit(True).alias("_hot"))
     )
-    salted_ord = orders.withColumn(
-        "salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1)))
+    li = lineitem.join(F.broadcast(hot_keys), "l_orderkey", "left")
+    od = orders.join(
+        F.broadcast(hot_keys.withColumnRenamed("l_orderkey", "o_orderkey")),
+        "o_orderkey",
+        "left",
     )
     revenue = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-    return (
-        salted_li.join(
-            salted_ord,
-            (salted_li.l_orderkey == salted_ord.o_orderkey)
-            & (salted_li.salt == salted_ord.salt),
+
+    def slim(joined: DataFrame) -> DataFrame:
+        return joined.select(
+            F.col("o_orderpriority"), revenue.alias("_rev_c")
         )
+
+    cold = slim(
+        li.filter(F.col("_hot").isNull()).join(
+            od.filter(F.col("_hot").isNull()),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+    )
+    hot_li = li.filter(F.col("_hot")).withColumn(
+        "salt", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(salts))
+    )
+    hot_od = od.filter(F.col("_hot")).withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1)))
+    )
+    hot = slim(
+        hot_li.join(
+            hot_od,
+            (hot_li.l_orderkey == hot_od.o_orderkey)
+            & (hot_li.salt == hot_od.salt),
+        )
+    )
+    return (
+        cold.unionByName(hot)
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.sum(revenue).alias("revenue_c"),
+            F.sum("_rev_c").alias("revenue_c"),
         )
     )
 

@@ -226,3 +226,24 @@ def test_ngram_jaccard_is_single_shuffle(spark):
     # node twice: tree + detail; count the "(n) Exchange" detail entries)
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2, plan
     assert "Join" not in plan, plan
+
+
+def test_skew_salted_two_path(spark):
+    """Two-path salting: with no hot keys the plan replicates nothing (no
+    Generate from explode(sequence)); with the threshold forced to 1 every
+    key takes the salted path and the result still equals the plain equi
+    join — the salting machinery changes the plan, never the answer."""
+    import kdb_spark.analytics.joins as jn
+
+    li = load(spark, SF_DIR, "lineitem")
+    od = load(spark, SF_DIR, "orders")
+    forced = jn.join_skew_salted(li, od, hot_threshold=1)
+    assert "Generate" in plan_of(forced)  # build-side replication present
+    want = {
+        r.o_orderpriority: (r.n_items, r.revenue_c)
+        for r in jn.join_equi_shuffle(li, od).collect()
+    }
+    got = {
+        r.o_orderpriority: (r.n_items, r.revenue_c) for r in forced.collect()
+    }
+    assert got == want

@@ -93,6 +93,47 @@ def gen_scaled(k: int) -> str:
         FROM read_parquet('{BASE}/events.parquet') e, range({k}) r(i)
       ) TO '{out}/events.parquet' (FORMAT PARQUET)
     """)
+    # TPC-H side: shift every key by the same replica offset so joins still
+    # resolve (orders→customer, lineitem→orders/part/supplier); dims
+    # nation/region stay fixed (broadcast side shouldn't grow with the fact)
+    S = 10_000_000
+    con.execute(f"""
+      COPY (
+        SELECT l.l_orderkey + r.i*{S} AS l_orderkey,
+               l.l_partkey + r.i*{S} AS l_partkey,
+               l.l_suppkey + r.i*{S} AS l_suppkey,
+               l.l_linenumber, l.l_quantity, l.l_extendedprice, l.l_discount,
+               l.l_tax, l.l_returnflag, l.l_linestatus, l.l_shipdate
+        FROM read_parquet('{BASE}/lineitem.parquet') l, range({k}) r(i)
+      ) TO '{out}/lineitem.parquet' (FORMAT PARQUET)
+    """)
+    con.execute(f"""
+      COPY (
+        SELECT o.o_orderkey + r.i*{S} AS o_orderkey,
+               o.o_custkey + r.i*{S} AS o_custkey,
+               o.o_orderstatus, o.o_totalprice, o.o_orderdate, o.o_orderpriority
+        FROM read_parquet('{BASE}/orders.parquet') o, range({k}) r(i)
+      ) TO '{out}/orders.parquet' (FORMAT PARQUET)
+    """)
+    for t, key in (("customer", "c_custkey"), ("part", "p_partkey"),
+                   ("supplier", "s_suppkey")):
+        cols = [c for c in con.execute(
+            f"SELECT * FROM read_parquet('{BASE}/{t}.parquet') LIMIT 0"
+        ).description]
+        names = [c[0] for c in cols]
+        sel = ", ".join(
+            f"t.{c} + r.i*{S} AS {c}" if c == key else f"t.{c}" for c in names
+        )
+        con.execute(f"""
+          COPY (SELECT {sel}
+                FROM read_parquet('{BASE}/{t}.parquet') t, range({k}) r(i))
+          TO '{out}/{t}.parquet' (FORMAT PARQUET)
+        """)
+    for t in ("nation", "region"):
+        con.execute(f"""
+          COPY (SELECT * FROM read_parquet('{BASE}/{t}.parquet'))
+          TO '{out}/{t}.parquet' (FORMAT PARQUET)
+        """)
     return out
 
 
