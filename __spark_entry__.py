@@ -19,6 +19,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from kdb_spark.analytics import aggregations as agg
 from kdb_spark.analytics import joins as jn
@@ -201,6 +202,18 @@ _reg(
 )
 
 _reg(
+    "sink_delta_like",
+    src.q_sink_delta_like,
+    """
+    SELECT o_orderpriority, count(*) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_c
+    FROM orders
+    WHERE o_orderpriority <> '1-URGENT' OR o_orderkey % 2 = 0
+    GROUP BY 1
+    """,
+)
+
+_reg(
     "sink_bucketed",
     src.q_sink_bucketed,
     """
@@ -240,11 +253,76 @@ _reg(
     """,
 )
 
-# engine-specific HLL estimates — rows-only check by design
-_reg("agg_approx_distinct", lambda s, d: agg.agg_approx_distinct(events_us(s, d)), None)
+# Sketch audits: HLL estimates are engine-specific, so a byte-exact oracle is
+# impossible — instead the adjudicated query joins the sketch estimate against
+# the exact distinct computed on the same data and emits a deterministic
+# `est_within_tol` boolean (|est - exact| <= max(1, 5% * exact); rsd=0.02 /
+# lgK=12 sit well inside 5%). The oracle asserts TRUE, so the driver
+# value-checks the estimate every round instead of recording rows-only. The
+# same envelope is pytest-asserted in tests/test_sketches.py. At 100 TB this
+# audit shape runs on a sample; the production op is the sketch alone
+# (kdb_spark/analytics/aggregations.py:46,56).
+_EST_TOL = "abs(approx_users - exact_users) <= greatest(1.0, 0.05 * exact_users)"
 
-# Datasketches HLL estimates are engine-specific — rows-only by design
-_reg("agg_hll_merge", lambda s, d: agg.agg_hll_merge(events_us(s, d)), None)
+
+def _q_approx_distinct(s: SparkSession, d: str) -> DataFrame:
+    ev = events_us(s, d)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return (
+        agg.agg_approx_distinct(ev)
+        .join(exact, "event_type")
+        .select(
+            "event_type",
+            "n",
+            F.col("exact_users").cast("long").alias("exact_users"),
+            F.expr(_EST_TOL).alias("est_within_tol"),
+        )
+    )
+
+
+_reg(
+    "agg_approx_distinct",
+    _q_approx_distinct,
+    """
+    SELECT event_type, count(*) AS n,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS est_within_tol
+    FROM events GROUP BY 1
+    """,
+)
+
+
+def _q_hll_merge(s: SparkSession, d: str) -> DataFrame:
+    ev = events_us(s, d)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return (
+        agg.agg_hll_merge(ev)
+        .join(exact, "event_type")
+        .select(
+            "event_type",
+            F.col("n_day_sketches").cast("long").alias("n_day_sketches"),
+            F.col("exact_users").cast("long").alias("exact_users"),
+            F.expr(_EST_TOL).alias("est_within_tol"),
+        )
+    )
+
+
+_reg(
+    "agg_hll_merge",
+    _q_hll_merge,
+    f"""
+    SELECT event_type,
+           CAST(count(DISTINCT epoch_us(ts) - epoch_us(ts) % {DAY_US}) AS BIGINT)
+             AS n_day_sketches,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS est_within_tol
+    FROM events GROUP BY 1
+    """,
+)
 
 _reg(
     "agg_percentile",
@@ -903,6 +981,123 @@ _reg(
     """,
 )
 
+# ----------------------------------------------------------------- streaming
+# Each op is a Structured Streaming program run in batch-equivalence mode
+# (AvailableNow trigger drained to a sink; see kdb_spark/streaming.py). The
+# oracle is the equivalent batch SQL — the standard streaming correctness
+# contract, so these get full value-hash checks, not rows-only.
+
+_reg(
+    "ingest_stream",
+    lambda s, d: sm.ingest_stream(s, d, NOW_JAN20),
+    f"""
+    SELECT epoch_us(ts) - epoch_us(ts) % {DAY_US} AS bucket_us,
+           CASE WHEN epoch_us(ts) > {NOW_JAN20} THEN 'future' ELSE 'ok' END AS status,
+           count(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+
+_reg(
+    "stream_tumbling_agg",
+    sm.stream_tumbling_agg,
+    """
+    SELECT event_type,
+           epoch_us(ts) - epoch_us(ts) % 3600000000 AS hour_us,
+           count(*) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c,
+           min(value) AS min_value,
+           max(value) AS max_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+
+_reg(
+    "stream_sliding_agg",
+    sm.stream_sliding_agg,
+    """
+    WITH e AS (SELECT event_type, epoch_us(ts) AS ts_us, value FROM events),
+    x AS (
+      SELECT event_type, ts_us - ts_us % 3600000000 AS w, value FROM e
+      UNION ALL
+      SELECT event_type, ts_us - ts_us % 3600000000 - 3600000000 AS w, value FROM e)
+    SELECT event_type, w AS win_start_us, count(*) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
+    FROM x GROUP BY 1, 2
+    """,
+)
+
+_reg(
+    "stream_session_agg",
+    sm.stream_session_agg,
+    """
+    WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),
+    o AS (SELECT user_id, ts_us, value,
+                 CASE WHEN lag(ts_us) OVER w IS NULL
+                       OR ts_us - lag(ts_us) OVER w >= 1800000000
+                      THEN 1 ELSE 0 END AS ns
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+    s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts_us
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+          FROM o)
+    SELECT user_id,
+           min(ts_us) AS session_start_us,
+           max(ts_us) + 1800000000 AS session_end_us,
+           count(*) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
+    FROM s GROUP BY user_id, sid
+    """,
+)
+
+_reg(
+    "stream_stream_join",
+    sm.stream_stream_join,
+    """
+    SELECT e.event_id, e.user_id, count(*) AS n_clicks
+    FROM events e JOIN events c
+      ON c.user_id = e.user_id AND c.event_type = 'click'
+     AND epoch_us(c.ts) >= epoch_us(e.ts)
+     AND epoch_us(c.ts) < epoch_us(e.ts) + 600000000
+    WHERE e.event_type = 'error'
+    GROUP BY 1, 2
+    """,
+)
+
+_reg(
+    "stream_dedup",
+    sm.stream_dedup,
+    f"""
+    SELECT DISTINCT user_id, event_type,
+           epoch_us(ts) - epoch_us(ts) % {DAY_US} AS day_us
+    FROM events
+    """,
+)
+
+_reg(
+    "stream_counter_delta",
+    sm.stream_counter_delta,
+    """
+    SELECT user_id, event_type, ts_us, event_id, delta FROM (
+      SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+             value - lag(value) OVER (PARTITION BY user_id, event_type
+                                      ORDER BY epoch_us(ts), event_id) AS delta
+      FROM events) WHERE delta IS NOT NULL
+    """,
+)
+
+_reg(
+    "stream_latest_state",
+    sm.stream_latest_state,
+    """
+    SELECT user_id, event_type, ts_us AS last_ts_us, value AS last_value FROM (
+      SELECT user_id, event_type, epoch_us(ts) AS ts_us, value,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+      FROM events) WHERE rn = 1
+    """,
+)
+
+
 # ------------------------------------------------------------------- LLM ops
 
 _reg(
@@ -1527,119 +1722,3 @@ _reg(
     _kmeans_oracle(),
 )
 
-
-# ----------------------------------------------------------------- streaming
-# Each op is a Structured Streaming program run in batch-equivalence mode
-# (AvailableNow trigger drained to a sink; see kdb_spark/streaming.py). The
-# oracle is the equivalent batch SQL — the standard streaming correctness
-# contract, so these get full value-hash checks, not rows-only.
-
-_reg(
-    "ingest_stream",
-    lambda s, d: sm.ingest_stream(s, d, NOW_JAN20),
-    f"""
-    SELECT epoch_us(ts) - epoch_us(ts) % {DAY_US} AS bucket_us,
-           CASE WHEN epoch_us(ts) > {NOW_JAN20} THEN 'future' ELSE 'ok' END AS status,
-           count(*) AS n
-    FROM events GROUP BY 1, 2
-    """,
-)
-
-_reg(
-    "stream_tumbling_agg",
-    sm.stream_tumbling_agg,
-    """
-    SELECT event_type,
-           epoch_us(ts) - epoch_us(ts) % 3600000000 AS hour_us,
-           count(*) AS n,
-           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c,
-           min(value) AS min_value,
-           max(value) AS max_value
-    FROM events GROUP BY 1, 2
-    """,
-)
-
-_reg(
-    "stream_sliding_agg",
-    sm.stream_sliding_agg,
-    """
-    WITH e AS (SELECT event_type, epoch_us(ts) AS ts_us, value FROM events),
-    x AS (
-      SELECT event_type, ts_us - ts_us % 3600000000 AS w, value FROM e
-      UNION ALL
-      SELECT event_type, ts_us - ts_us % 3600000000 - 3600000000 AS w, value FROM e)
-    SELECT event_type, w AS win_start_us, count(*) AS n,
-           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
-    FROM x GROUP BY 1, 2
-    """,
-)
-
-_reg(
-    "stream_session_agg",
-    sm.stream_session_agg,
-    """
-    WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),
-    o AS (SELECT user_id, ts_us, value,
-                 CASE WHEN lag(ts_us) OVER w IS NULL
-                       OR ts_us - lag(ts_us) OVER w >= 1800000000
-                      THEN 1 ELSE 0 END AS ns
-          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
-    s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts_us
-                                  ROWS UNBOUNDED PRECEDING) AS sid
-          FROM o)
-    SELECT user_id,
-           min(ts_us) AS session_start_us,
-           max(ts_us) + 1800000000 AS session_end_us,
-           count(*) AS n,
-           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
-    FROM s GROUP BY user_id, sid
-    """,
-)
-
-_reg(
-    "stream_stream_join",
-    sm.stream_stream_join,
-    """
-    SELECT e.event_id, e.user_id, count(*) AS n_clicks
-    FROM events e JOIN events c
-      ON c.user_id = e.user_id AND c.event_type = 'click'
-     AND epoch_us(c.ts) >= epoch_us(e.ts)
-     AND epoch_us(c.ts) < epoch_us(e.ts) + 600000000
-    WHERE e.event_type = 'error'
-    GROUP BY 1, 2
-    """,
-)
-
-_reg(
-    "stream_dedup",
-    sm.stream_dedup,
-    f"""
-    SELECT DISTINCT user_id, event_type,
-           epoch_us(ts) - epoch_us(ts) % {DAY_US} AS day_us
-    FROM events
-    """,
-)
-
-_reg(
-    "stream_counter_delta",
-    sm.stream_counter_delta,
-    """
-    SELECT user_id, event_type, ts_us, event_id, delta FROM (
-      SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
-             value - lag(value) OVER (PARTITION BY user_id, event_type
-                                      ORDER BY epoch_us(ts), event_id) AS delta
-      FROM events) WHERE delta IS NOT NULL
-    """,
-)
-
-_reg(
-    "stream_latest_state",
-    sm.stream_latest_state,
-    """
-    SELECT user_id, event_type, ts_us AS last_ts_us, value AS last_value FROM (
-      SELECT user_id, event_type, epoch_us(ts) AS ts_us, value,
-             row_number() OVER (PARTITION BY user_id, event_type
-                                ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
-      FROM events) WHERE rn = 1
-    """,
-)

@@ -374,12 +374,16 @@ def join_window(events: DataFrame, width_us: int = 10 * MIN_US) -> DataFrame:
         (F.col("click_us") >= F.col("err_us") - w)
         & (F.col("click_us") < F.col("err_us") + w)
     )
+    # n_in_win counts rows gated ONLY by the window predicate (click_us is
+    # never null for a matched click), so an in-window click whose value is
+    # NULL still counts; avg_in_win averages the values that exist.
     return (
         probes.join(clicks, ["user_id", "bucket"], "left")
+        .withColumn("hit", F.when(in_win, F.col("click_us")))
         .withColumn("hit_v", F.when(in_win, F.col("click_v")))
         .groupBy("event_id", "user_id")
         .agg(
-            F.count("hit_v").alias("n_in_win"),
+            F.count("hit").alias("n_in_win"),
             F.round(F.avg("hit_v"), 4).alias("avg_in_win"),
         )
     )

@@ -254,6 +254,40 @@ def q_scan_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sink_delta_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-partition-overwrite round-trip: write orders partitioned by
+    priority, then re-ingest ONE partition (only even order keys survive in
+    '1-URGENT') — the overwrite must replace that partition's files and leave
+    every other partition untouched. This is the idempotent-reingest /
+    partition-replacement half of the reference's RemoveBefore
+    (/root/reference/dbase/dbase.go:323-364) expressed as a table sink.
+
+    Prices are normalized to bigint cents BEFORE the write so the round-trip
+    is bit-exact; the read-back aggregates per partition so a stale or
+    double-written partition shows up as a wrong count/sum, not just a
+    wrong file listing.
+    """
+    from pyspark.sql import functions as F
+
+    d = sf_dir.rstrip("/")
+    path = _tmp("delta_like")
+    base = scan_parquet(spark, f"{d}/orders.parquet").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_c"),
+    )
+    sink_delta_like(base, path, partition_by=["o_orderpriority"])
+    fixed = base.filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_orderkey") % 2 == 0)
+    )
+    sink_delta_like(fixed, path, partition_by=["o_orderpriority"])
+    return (
+        scan_parquet(spark, path)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("price_c").alias("total_c"))
+    )
+
+
 def q_sink_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed-layout co-located join: orders and customer both bucketed on
     the customer key (same bucket count) → the join plan has NO Exchange on

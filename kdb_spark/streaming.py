@@ -393,6 +393,7 @@ _DELTA_STATE = T.StructType(
         T.StructField("ts_us", T.LongType()),
         T.StructField("event_id", T.LongType()),
         T.StructField("value", T.DoubleType()),
+        T.StructField("n_late", T.LongType()),
     ]
 )
 
@@ -401,17 +402,39 @@ def _delta_fn(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     """Chain the stored last sample in front of each micro-batch, emit
-    consecutive diffs in (ts_us, event_id) order, persist the new tail."""
+    consecutive diffs in (ts_us, event_id) order, persist the new tail.
+
+    Out-of-order contract: a row at or before the series' stored tail
+    (lexicographic (ts_us, event_id)) arrived late across a micro-batch
+    boundary — chaining it would corrupt both its own delta and the next
+    in-order one, so it is DROPPED and counted in the per-series `n_late`
+    state (the streaming analog of the store's cold-write rejection,
+    /root/reference/dbucket/dbucket.go:120-122). Re-deliveries of the tail
+    row itself hit the same guard, so the diff chain is also idempotent
+    under at-least-once sources.
+    """
     pdf = pd.concat(list(pdfs), ignore_index=True)
     if len(pdf) == 0:
         return
     pdf = pdf.sort_values(["ts_us", "event_id"], ignore_index=True)
     prev = tuple(state.get) if state.exists else None
+    n_late = int(prev[3]) if prev is not None else 0
+    if prev is not None:
+        on_time = (pdf["ts_us"] > prev[0]) | (
+            (pdf["ts_us"] == prev[0]) & (pdf["event_id"] > prev[1])
+        )
+        n_late += int((~on_time).sum())
+        pdf = pdf[on_time].reset_index(drop=True)
+        if len(pdf) == 0:
+            state.update((prev[0], prev[1], prev[2], n_late))
+            return
     deltas = pdf["value"].diff()
     if prev is not None:
         deltas.iloc[0] = pdf["value"].iloc[0] - prev[2]
     tail = pdf.iloc[-1]
-    state.update((int(tail["ts_us"]), int(tail["event_id"]), float(tail["value"])))
+    state.update(
+        (int(tail["ts_us"]), int(tail["event_id"]), float(tail["value"]), n_late)
+    )
     out = pd.DataFrame(
         {
             "user_id": pdf["user_id"].astype("int64"),
@@ -430,11 +453,12 @@ def stream_counter_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ts_us, event_id) order — the canonical TSDB rate() building block,
     streamed (the batch analog is `win_lag_delta`).
 
-    State per series is one (ts_us, event_id, value) triple: each
+    State per series is one (ts_us, event_id, value, n_late) tuple: each
     micro-batch sorts its own rows, chains the stored last sample in front,
-    and persists the new tail — deltas stay correct across micro-batch
-    boundaries as long as the source delivers each series in event order
-    (the file/Kafka-per-key contract). Built on `applyInPandasWithState`;
+    and persists the new tail. Rows that arrive at or before the stored
+    tail in a LATER micro-batch are explicitly dropped and counted in the
+    per-series `n_late` state (see `_delta_fn`) — never silently chained
+    into a wrong delta. Built on `applyInPandasWithState`;
     the same processor maps 1:1 onto Spark 4's
     `transformWithStateInPandas` ValueState API (unavailable here: its
     state-server protocol needs protobuf, absent from this container).

@@ -426,3 +426,23 @@ def test_window_join_matches_bruteforce(spark, pts):
             assert abs(avg - round(sum(hits) / len(hits), 4)) < 1e-9
         else:
             assert avg is None
+
+
+def test_window_join_counts_null_value_clicks(spark):
+    """An in-window click whose value is NULL must still count toward
+    n_in_win — the window predicate, not value presence, gates the count
+    (matching SQL count(click_ts)); avg is over the values that exist."""
+    from kdb_spark.analytics import joins as jn
+
+    W = 10 * 1_000_000
+    rows = [
+        (0, 1, "error", 50_000_000, None),
+        (1, 1, "click", 52_000_000, None),  # in window, NULL value
+        (2, 1, "click", 55_000_000, 4.0),  # in window, valued
+        (3, 1, "click", 99_000_000, 7.0),  # outside window
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts_us long, value double"
+    )
+    [r] = jn.join_window(df, width_us=W).collect()
+    assert (r.n_in_win, r.avg_in_win) == (2, 4.0)

@@ -107,6 +107,62 @@ def test_stream_latest_state_equals_batch_argmax(spark):
     assert rows(got, *cols) == rows(want, *cols)
 
 
+def test_stream_counter_delta_drops_late_rows_across_batches(spark, tmp_path):
+    """A row arriving in a LATER micro-batch at/before the series' stored
+    tail must be dropped (and counted), not chained into a wrong delta:
+    deltas for in-order rows stay correct across the boundary."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    watch = tmp_path / "src"
+    watch.mkdir()
+    S = 1_000_000
+    cols = ["user_id", "event_type", "ts_us", "event_id", "value"]
+
+    def write(name, rows, mtime):
+        t = pa.table(
+            {c: [r[i] for r in rows] for i, c in enumerate(cols)},
+            schema=pa.schema(
+                [
+                    ("user_id", pa.int64()),
+                    ("event_type", pa.string()),
+                    ("ts_us", pa.int64()),
+                    ("event_id", pa.int64()),
+                    ("value", pa.float64()),
+                ]
+            ),
+        )
+        p = watch / name
+        pq.write_table(t, p)
+        os.utime(p, (mtime, mtime))
+
+    write("b1.parquet", [(1, "c", 10 * S, 0, 1.0), (1, "c", 20 * S, 1, 3.0)], 1_000)
+    # batch 2: eid=2 is LATE (ts 15s < stored tail 20s); eid=3 is in order
+    write("b2.parquet", [(1, "c", 15 * S, 2, 99.0), (1, "c", 30 * S, 3, 6.0)], 2_000)
+
+    sdf = (
+        spark.readStream.schema(
+            "user_id long, event_type string, ts_us long, event_id long, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(watch))
+    )
+    out = sdf.groupBy("user_id", "event_type").applyInPandasWithState(
+        sm._delta_fn,
+        outputStructType=sm._DELTA_OUT,
+        stateStructType=sm._DELTA_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    got = rows(sm._drain(out, "append"), "ts_us", "event_id", "delta")
+    # late eid=2 dropped; eid=3 diffs against the batch-1 tail (6.0 - 3.0)
+    assert got == [(20 * S, 1, 2.0), (30 * S, 3, 3.0)]
+
+
 def test_stream_counter_delta_equals_batch_lag(spark):
     from pyspark.sql import Window
 
