@@ -67,17 +67,27 @@ def main() -> int:
     qs = entry.queries()
     if len(sys.argv) > 1:  # iterate on a subset: python bench.py name1 name2
         qs = {k: qs[k] for k in sys.argv[1:]}
+    # Each query runs twice: the first (cold) execution includes its
+    # whole-stage-codegen compile, the second (warm) is steady state. `value`
+    # stays the cold total — the metric every prior round recorded — and the
+    # warm map quantifies compile overhead per query instead of narrating it.
     timings: dict[str, float] = {}
+    warm: dict[str, float] = {}
     for name, fn in qs.items():
-        t0 = time.time()
         try:
+            t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             timings[name] = round(time.time() - t0, 3)
+            t1 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            warm[name] = round(time.time() - t1, 3)
         except Exception as exc:  # noqa: BLE001 — record the failure, keep benching
             print(f"BENCH-ERROR {name}: {exc!r}", file=sys.stderr)
-            timings[name] = -1.0
+            timings.setdefault(name, -1.0)
+            warm[name] = -1.0
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    total_warm = round(sum(t for t in warm.values() if t >= 0), 3)
     n_err = sum(1 for t in timings.values() if t < 0)
 
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json"), "w") as f:
@@ -87,18 +97,11 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_warm": warm,
+                "total_warm_sec": total_warm,
                 "sf": sf_dir,
                 "n_queries": len(timings),
                 "n_errors": n_err,
-                "notes": (
-                    "single-shot wall time per query in one shared session; "
-                    "each query's first execution pays its whole-stage-codegen "
-                    "compile (JVM JIT state dependent, measured up to ~2-4s on "
-                    "expression-heavy scalar ops whose steady-state is <0.3s "
-                    "at this SF) — amortized at scale, so cross-round deltas "
-                    "under a few seconds on sub-second queries are compile/"
-                    "warmup noise, not plan changes"
-                ),
             },
             f,
             indent=1,
@@ -125,6 +128,7 @@ def main() -> int:
                 "sf": sf_dir,
                 "n_queries": len(timings),
                 "n_errors": n_err,
+                "total_warm_sec": total_warm,
                 "full": "bench_full.json",
             },
             separators=(",", ":"),

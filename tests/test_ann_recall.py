@@ -1,0 +1,42 @@
+"""Recall gate for the approximate similarity index.
+
+`ann_search_topk` is value-checked exactly by the driver oracle (seeded
+plane literals make it deterministic), but an exact hash match can't tell
+whether the index still RETRIEVES well — a regressed hyperplane layout
+would deterministically return deterministic garbage. This measures
+recall@5 against the brute-force `sim_search_topk` ground truth.
+
+Bound: on the driver's near-random synthetic embeddings (true top-5 cos
+≈ 0.3-0.37) the documented operating point is recall ≈ 0.5 at the 4x4-bit
+defaults (see similarity.py:ann_search_topk). The assertion floor is 0.3:
+far enough below the operating point to absorb testdata regeneration,
+far above the ~0.06 a broken index (random candidates) would score.
+"""
+
+from kdb_spark.llm import similarity as sim
+from kdb_spark.tables import load
+
+from tests.conftest import SF_DIR
+
+K = 5
+N_QUERIES = 5
+
+
+def _topk_ids(df):
+    out: dict[int, set[int]] = {}
+    for r in df.collect():
+        out.setdefault(r["query_id"], set()).add(r["match_id"])
+    return out
+
+
+def test_ann_recall_at_5_vs_bruteforce(spark):
+    emb = load(spark, SF_DIR, "embeddings")
+    truth = _topk_ids(sim.sim_search_topk(emb, N_QUERIES, K))
+    approx = _topk_ids(sim.ann_search_topk(emb, N_QUERIES, K))
+    assert set(truth) == set(range(N_QUERIES))
+    hits = sum(len(truth[q] & approx.get(q, set())) for q in truth)
+    recall = hits / (K * len(truth))
+    assert recall >= 0.3, f"recall@5 collapsed: {recall:.2f} (expected ~0.5)"
+    # every ANN answer must be a real corpus vector with a sane cosine
+    for r in sim.ann_search_topk(emb, N_QUERIES, K).collect():
+        assert -1.000001 <= r["cos"] <= 1.000001

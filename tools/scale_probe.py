@@ -56,10 +56,15 @@ DEFAULT_OPS = [
 def gen_scaled(k: int) -> str:
     import duckdb
 
-    out = f"/tmp/kdbs_scale_k{k}"
-    if os.path.isdir(out):
-        return out
-    os.makedirs(out, exist_ok=True)
+    # Generate into a temp dir and atomically rename into place on success:
+    # a crashed prior run must not leave a partial dataset that silently
+    # skews every later audit (reuse only when the rename completed).
+    final = f"/tmp/kdbs_scale_k{k}"
+    if os.path.isdir(final):
+        return final
+    out = f"{final}.tmp{os.getpid()}"
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
     con = duckdb.connect()
     con.execute(f"""
       COPY (
@@ -134,7 +139,8 @@ def gen_scaled(k: int) -> str:
           COPY (SELECT * FROM read_parquet('{BASE}/{t}.parquet'))
           TO '{out}/{t}.parquet' (FORMAT PARQUET)
         """)
-    return out
+    os.rename(out, final)
+    return final
 
 
 def main() -> int:
