@@ -68,21 +68,30 @@ def get_dense(
     write per slot wins. Absent series → all zeros, never an error
     (`dbase/dbase.go:216-225`).
 
-    Plan: pushed tag-equality + range filters → partial/final hash agg (LWW)
-    → broadcast-left-join onto a distributed ``spark.range`` spine. The spine
-    never touches the driver; at 100 TB the data side is filtered to one
-    series before the shuffle.
+    Plan: pushed tag-equality + range filters → UNION with the distributed
+    ``spark.range`` spine (one zero-payload sentinel row per slot, ingest
+    seq -1 < every real event_id) → ONE ``max_by`` hash aggregate. The
+    aggregate does LWW and zero-fill in the same stage, so there is no join
+    at all: one Exchange total, keyed on slot. The spine never touches the
+    driver, and the only extra shuffled volume vs a bare LWW agg is the
+    spine itself — the result size the semantics already require. (The
+    multi-series ``find_dense`` keeps the grid-join shape instead: its
+    |series|×|slots| grid must stay map-side, never shuffled.)
     """
     data = events.filter(
         (F.col("user_id") == user_id)
         & (F.col("event_type") == event_type)
         & _ts_range(events, start_us, end_us)
+    ).select(_slot(res=res), "value", "event_id")
+    spine = time_spine(spark, start_us, end_us, res, ts_col="slot_us").select(
+        "slot_us",
+        F.lit(0.0).alias("value"),
+        F.lit(-1).cast("long").alias("event_id"),
     )
-    series_lww = lww(data, [], res).select("slot_us", "value")
-    spine = time_spine(spark, start_us, end_us, res, ts_col="slot_us")
     return (
-        spine.join(series_lww, "slot_us", "left")
-        .select("slot_us", F.coalesce("value", F.lit(0.0)).alias("value"))
+        data.unionByName(spine)
+        .groupBy("slot_us")
+        .agg(F.coalesce(F.max_by("value", "event_id"), F.lit(0.0)).alias("value"))
     )
 
 

@@ -65,10 +65,18 @@ def test_kernel_range_read_pushes_filters_to_scan(spark):
     assert "LessThan(ts," in line
 
 
-def test_get_dense_spine_join_is_broadcast(spark):
+def test_get_dense_is_joinless_single_exchange(spark):
+    """LWW + zero-fill fuse into ONE max_by aggregate over data UNION spine:
+    no join operator anywhere, exactly one Exchange (keyed on slot)."""
     df = kn.get_dense(events_us(spark, SF_DIR), spark, 7, "view", T_JAN10, T_JAN12)
+    import re
+
     plan = plan_of(df)
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+    assert "Join" not in plan, plan
+    # formatted explain shows each node in the tree AND a detail section;
+    # count the numbered detail headers to count physical Exchange nodes
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "Union" in plan
     assert "InMemoryTableScan" not in plan  # no driver materialization
 
 

@@ -48,9 +48,38 @@ DEFAULT_OPS = [
     "kernel_get_dense",
     "join_asof",
     "join_window",
+    "join_interval",
+    "join_skew_salted",
+    "join_skew_hot",
     "win_moving_avg",
     "sessionize",
 ]
+
+
+def _join_skew_hot(spark, d):
+    """Skew replica for the salted join: remap ~30% of lineitem probe rows
+    onto ONE order key so the hot path actually fires (the replicated
+    generator keeps per-key counts constant, so the registered query only
+    ever exercises the cold path). hot_threshold is held at a fixed row
+    count: the hot key's row count grows with K while every cold key stays
+    constant, which is exactly the skew a blanket threshold must absorb."""
+    from pyspark.sql import functions as F
+
+    from kdb_spark.analytics import joins as jn
+    from kdb_spark.tables import load
+
+    li = load(spark, d, "lineitem").withColumn(
+        "l_orderkey",
+        F.when(
+            F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(10)) < 3,
+            F.lit(1).cast("long"),
+        ).otherwise(F.col("l_orderkey")),
+    )
+    return jn.join_skew_salted(li, load(spark, d, "orders"), hot_threshold=100_000)
+
+
+# probe-only ops (not registered queries): name -> callable(spark, sf_dir)
+EXTRA_OPS = {"join_skew_hot": _join_skew_hot}
 
 
 def gen_scaled(k: int) -> str:
@@ -167,13 +196,14 @@ def main() -> int:
           + f"  growth(K={kmax}/K={k0})  verdict", flush=True)
     flagged = []
     for name in ops:
-        if name not in qs:
+        fn = EXTRA_OPS.get(name) or qs.get(name)
+        if fn is None:
             print(f"skip {name}: not registered", file=sys.stderr, flush=True)
             continue
         ts: dict[int, float] = {}
         for k in scales:
             t0 = time.time()
-            qs[name](spark, dirs[k]).write.format("noop").mode("overwrite").save()
+            fn(spark, dirs[k]).write.format("noop").mode("overwrite").save()
             ts[k] = time.time() - t0
         ratio = ts[kmax] / max(ts[k0], 1e-9)
         verdict = "OK"
