@@ -29,6 +29,7 @@ import uuid
 from collections.abc import Iterator
 from contextlib import contextmanager
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -69,30 +70,42 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @contextmanager
-def _stream_shuffle(spark: SparkSession):
+def _stream_shuffle(spark: SparkSession, partitions: int | None = None):
     """Cap shuffle partitions for the duration of a streaming drain.
 
     Stateful streaming operators materialize one state-store instance per
     shuffle partition, and each instance pays per-microbatch maintenance
     (delta files, snapshots) regardless of data volume — at test scale that
-    fixed cost dominates. 8 partitions is a local-mode sizing choice; on a
-    real cluster the same knob scales with executor count (state partitions
-    are sized to data/parallelism, not hardcoded — see SPARK_GRAFT env)."""
-    n = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8")
+    fixed cost dominates. The right cap differs by operator class (measured
+    at sf0.1 on local[32]):
+
+    - JVM state ops (watermarked joins/aggs/dedup): maintenance-bound —
+      fewer partitions win (default 8; stream-stream join uses 4).
+    - `applyInPandasWithState` ops: cost is one Python call per GROUP, so
+      Python-worker parallelism wins — 16 beats 8 by ~20% and 32 loses to
+      maintenance again.
+
+    These are local-mode sizing choices; on a real cluster the same knob
+    scales with executor count (state partitions sized to data/parallelism,
+    not hardcoded — see SPARK_GRAFT_STREAM_SHUFFLE env)."""
+    # explicit env (an experiment/cluster override) beats per-op sizing
+    n = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE") or partitions or 8
     old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", n)
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
     try:
         yield
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
-def _drain(df: DataFrame, output_mode: str) -> DataFrame:
+def _drain(
+    df: DataFrame, output_mode: str, partitions: int | None = None
+) -> DataFrame:
     """Run a streaming DataFrame to completion (AvailableNow) into a memory
     sink; return the final in-memory table. Batch-equivalence harness only —
     production sinks are parquet/Kafka with the same checkpoint contract."""
     name = "strm_" + uuid.uuid4().hex[:12]
-    with _stream_shuffle(df.sparkSession):
+    with _stream_shuffle(df.sparkSession, partitions):
         q = (
             df.writeStream.format("memory")
             .queryName(name)
@@ -267,7 +280,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("c_ets") >= F.col("e_ets"))
         & (F.col("c_ets") < F.col("e_ets") + F.expr("INTERVAL 10 MINUTES")),
     )
-    out = _drain(joined, "append")
+    out = _drain(joined, "append", partitions=4)
     return (
         out.groupBy("event_id", F.col("e_user").alias("user_id"))
         .agg(F.count(F.lit(1)).alias("n_clicks"))
@@ -322,13 +335,19 @@ def _latest_fn(
 ) -> Iterator[pd.DataFrame]:
     """Keep the max-(ts_us, event_id) row per series — the streaming analog
     of the kernel's last-write-wins slot visibility (`dblock/dblock.go:198-205`).
-    Arrow-batched; state is one scalar triple per series."""
+    Arrow-batched; state is one scalar triple per series.
+
+    The body is numpy (lexsort argmax, no pandas sort): this function runs
+    once per series per micro-batch, so per-call constant cost — not data
+    volume — is what the whole operator scales with."""
     best = tuple(state.get) if state.exists else None
     for pdf in pdfs:
         if len(pdf) == 0:
             continue
-        row = pdf.sort_values(["ts_us", "event_id"]).iloc[-1]
-        cand = (int(row["ts_us"]), int(row["event_id"]), float(row["value"]))
+        ts = pdf["ts_us"].to_numpy()
+        eid = pdf["event_id"].to_numpy()
+        i = int(np.lexsort((eid, ts))[-1])
+        cand = (int(ts[i]), int(eid[i]), float(pdf["value"].to_numpy()[i]))
         if best is None or (cand[0], cand[1]) > (best[0], best[1]):
             best = cand
     if best is not None:
@@ -363,7 +382,7 @@ def stream_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
-    out = _drain(latest, "update")
+    out = _drain(latest, "update", partitions=16)
     return (
         out.groupBy("user_id", "event_type")
         .agg(
@@ -413,38 +432,53 @@ def _delta_fn(
     row itself hit the same guard, so the diff chain is also idempotent
     under at-least-once sources.
     """
-    pdf = pd.concat(list(pdfs), ignore_index=True)
-    if len(pdf) == 0:
+    chunks = [c for c in pdfs if len(c)]
+    if not chunks:
         return
-    pdf = pdf.sort_values(["ts_us", "event_id"], ignore_index=True)
+    pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+    # numpy throughout: this runs once per series per micro-batch, so the
+    # operator's cost is (n_series × per-call constant) — pandas sort_values
+    # and .iloc here were ~7× the lexsort/searchsorted equivalent.
+    ts = pdf["ts_us"].to_numpy()
+    eid = pdf["event_id"].to_numpy()
+    order = np.lexsort((eid, ts))
+    ts, eid = ts[order], eid[order]
+    val = pdf["value"].to_numpy()[order]
     prev = tuple(state.get) if state.exists else None
     n_late = int(prev[3]) if prev is not None else 0
+    lo = 0
     if prev is not None:
-        on_time = (pdf["ts_us"] > prev[0]) | (
-            (pdf["ts_us"] == prev[0]) & (pdf["event_id"] > prev[1])
-        )
-        n_late += int((~on_time).sum())
-        pdf = pdf[on_time].reset_index(drop=True)
-        if len(pdf) == 0:
+        # late rows sort into a prefix: first index strictly after the
+        # stored tail, lexicographically on (ts_us, event_id)
+        i0 = int(np.searchsorted(ts, prev[0], "left"))
+        i1 = int(np.searchsorted(ts, prev[0], "right"))
+        lo = i0 + int(np.searchsorted(eid[i0:i1], prev[1], "right"))
+        n_late += lo
+        if lo == len(ts):
             state.update((prev[0], prev[1], prev[2], n_late))
             return
-    deltas = pdf["value"].diff()
+        ts, eid, val = ts[lo:], eid[lo:], val[lo:]
+    deltas = np.empty(len(val))
+    deltas[1:] = val[1:] - val[:-1]
+    # first on-time row chains off the stored tail; with no stored tail it
+    # has no predecessor and is dropped (the batch lag() NULL row)
+    keep = slice(None) if prev is not None else slice(1, None)
     if prev is not None:
-        deltas.iloc[0] = pdf["value"].iloc[0] - prev[2]
-    tail = pdf.iloc[-1]
-    state.update(
-        (int(tail["ts_us"]), int(tail["event_id"]), float(tail["value"]), n_late)
-    )
-    out = pd.DataFrame(
+        deltas[0] = val[0] - prev[2]
+    state.update((int(ts[-1]), int(eid[-1]), float(val[-1]), n_late))
+    if len(val) == (0 if prev is not None else 1):
+        return
+    uid = pdf["user_id"].to_numpy()[order][lo:]
+    etype = pdf["event_type"].to_numpy()[order][lo:]
+    yield pd.DataFrame(
         {
-            "user_id": pdf["user_id"].astype("int64"),
-            "event_type": pdf["event_type"],
-            "ts_us": pdf["ts_us"].astype("int64"),
-            "event_id": pdf["event_id"].astype("int64"),
-            "delta": deltas,
+            "user_id": uid[keep],
+            "event_type": etype[keep],
+            "ts_us": ts[keep],
+            "event_id": eid[keep],
+            "delta": deltas[keep],
         }
     )
-    yield out.dropna(subset=["delta"])
 
 
 def stream_counter_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -476,4 +510,4 @@ def stream_counter_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
-    return _drain(out, "append")
+    return _drain(out, "append", partitions=16)
