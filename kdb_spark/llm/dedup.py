@@ -15,6 +15,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# One persisted intermediate per (op, role): near-dup ops read their
+# signature/shingle tables from BOTH sides of a self-join, and Spark does not
+# reuse the exchange across the aliased sides — without a persist the whole
+# tokenize→hash pipeline runs once per side. Keyed replacement (unpersist the
+# previous entry on re-invocation) bounds cache growth to one table per role
+# no matter how often the query re-runs.
+_REUSE_CACHE: dict[str, DataFrame] = {}
+
+
+def _reused(key: str, df: DataFrame) -> DataFrame:
+    old = _REUSE_CACHE.pop(key, None)
+    if old is not None:
+        old.unpersist()
+    df = df.persist()  # MEMORY_AND_DISK: spills, survives executor pressure
+    _REUSE_CACHE[key] = df
+    return df
+
 
 def tokens(col: F.Column | str = "text") -> F.Column:
     """Lowercase word tokens — the shared tokenizer for all text ops."""
@@ -206,13 +223,19 @@ def dedup_near_minhash(
     # (~4× fewer bytes through the exchange — measured to be what drives
     # GC/spill variance at larger corpora). Set semantics are unchanged:
     # xxhash64 collisions across a doc pair's shingle sets are ~2^-64.
-    docs = (
+    # read 3× (signature build + both verify sides): persisted, ~corpus/4
+    # in size (8 B per shingle). MEMORY_AND_DISK spills rather than OOMs;
+    # the alternative is three full tokenize+shingle+hash passes.
+    docs = _reused(
+        "minhash_shingles",
         _doc_shingles(documents, n)
         .filter(F.size("sh") > 0)
-        .select("doc_id", F.transform("sh", lambda s: F.xxhash64(s)).alias("sh"))
+        .select("doc_id", F.transform("sh", lambda s: F.xxhash64(s)).alias("sh")),
     )
-    sig = docs.select(
-        "doc_id", minhash_signature(F.col("sh"), num_perm).alias("sig")
+    # 32 longs/doc, read by both LSH join sides
+    sig = _reused(
+        "minhash_sig",
+        docs.select("doc_id", minhash_signature(F.col("sh"), num_perm).alias("sig")),
     )
     band_cols = F.explode(
         F.array(
@@ -393,7 +416,9 @@ def dedup_simhash(documents: DataFrame, max_hamming: int = 8) -> DataFrame:
     Any pair with hamming ≤ 3 shares at least one exact 16-bit band
     (pigeonhole); wider thresholds trade recall, like all SimHash blocking.
     """
-    sh = simhash64(documents)
+    # 16 B/doc — the canonical persist: both join sides read it, and the
+    # alternative is running tokenize+md5 over the full corpus twice
+    sh = _reused("simhash_sig", simhash64(documents))
     bands = sh.select(
         "doc_id",
         "simhash",
