@@ -637,6 +637,60 @@ _reg(
     """,
 )
 
+# Finite-horizon EWMA: the oracle's lag chain is generated from the SAME
+# weight literals the engine uses (windows.ewma_weights), so the
+# left-associated weighted sums are bit-identical cross-engine.
+_EWMA_NUM = " + ".join(
+    f"coalesce(lag(value, {k}) OVER w, 0.0) * {wk!r}"
+    for k, wk in enumerate(wn.ewma_weights())
+)
+_EWMA_DEN = " + ".join(
+    f"(CASE WHEN lag(value, {k}) OVER w IS NOT NULL THEN {wk!r} ELSE 0.0 END)"
+    for k, wk in enumerate(wn.ewma_weights())
+)
+
+_reg(
+    "win_ewma",
+    lambda s, d: wn.win_ewma(events_us(s, d)),
+    f"""
+    SELECT event_id, user_id, event_type,
+           round(({_EWMA_NUM}) / ({_EWMA_DEN}), 6) AS ewma
+    FROM events
+    WINDOW w AS (PARTITION BY user_id, event_type
+                 ORDER BY epoch_us(ts), event_id)
+    """,
+)
+
+_reg(
+    "win_zscore",
+    lambda s, d: wn.win_zscore(events_us(s, d)),
+    """
+    WITH t AS (
+      SELECT event_id, user_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS xc,
+             CAST(count(*) OVER w AS DOUBLE) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS DOUBLE) AS s1,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)
+                      * CAST(round(value * 100) AS BIGINT)) OVER w AS DOUBLE) AS s2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id, event_type
+                   ORDER BY epoch_us(ts), event_id
+                   ROWS BETWEEN 31 PRECEDING AND CURRENT ROW))
+    SELECT event_id, user_id, event_type,
+           round(CASE WHEN s2 / n - (s1 / n) * (s1 / n) > 0
+                      THEN (CAST(xc AS DOUBLE) - s1 / n)
+                           / sqrt(s2 / n - (s1 / n) * (s1 / n)) END, 4) AS z,
+           (CASE WHEN s2 / n - (s1 / n) * (s1 / n) > 0
+                 THEN (CAST(xc AS DOUBLE) - s1 / n)
+                      / sqrt(s2 / n - (s1 / n) * (s1 / n)) END IS NOT NULL
+            AND abs(CASE WHEN s2 / n - (s1 / n) * (s1 / n) > 0
+                         THEN (CAST(xc AS DOUBLE) - s1 / n)
+                              / sqrt(s2 / n - (s1 / n) * (s1 / n)) END) >= 3.0)
+             AS is_outlier
+    FROM t
+    """,
+)
+
 _reg(
     "agg_histogram",
     lambda s, d: agg.agg_histogram(events_us(s, d)),
@@ -646,6 +700,67 @@ _reg(
            count(*) AS n, min(value) AS lo, max(value) AS hi
     FROM events GROUP BY 1, 2
     """,
+)
+
+# Deterministic count-min sketch (md5-prefix hashes, no engine seed) — the
+# estimate column itself is oracle-checkable, unlike the native HLL ops.
+_reg(
+    "agg_count_min",
+    lambda s, d: agg.agg_count_min(events_us(s, d)),
+    """
+    WITH counts AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+    hashes AS (
+      SELECT user_id, n, j,
+             ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' ||
+                                 CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+               % 64 AS bucket
+      FROM counts CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)),
+    cms AS (SELECT j, bucket, sum(n) AS bsum FROM hashes GROUP BY 1, 2),
+    top AS (SELECT user_id, n FROM counts ORDER BY n DESC, user_id LIMIT 20)
+    SELECT t.user_id, CAST(t.n AS BIGINT) AS n_exact,
+           CAST(min(c.bsum) AS BIGINT) AS n_cms
+    FROM top t
+    JOIN hashes h ON h.user_id = t.user_id
+    JOIN cms c ON c.j = h.j AND c.bucket = h.bucket
+    GROUP BY 1, 2
+    """,
+)
+
+# table_profile's oracle is generated per column from the same kind
+# dispatch the engine uses (numeric/timestamp → double min/max, string →
+# lexical), so both sides profile identical shapes.
+_PROFILE_COLS = [
+    ("o_orderkey", "num"),
+    ("o_custkey", "num"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "num"),
+    ("o_orderdate", "ts"),
+    ("o_orderpriority", "str"),
+]
+
+
+def _profile_leg(name: str, kind: str) -> str:
+    if kind == "str":
+        mn = "CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num"
+        ms = f"min({name}) AS min_str, max({name}) AS max_str"
+    else:
+        expr = f"epoch_us({name})" if kind == "ts" else name
+        mn = (
+            f"CAST(min({expr}) AS DOUBLE) AS min_num, "
+            f"CAST(max({expr}) AS DOUBLE) AS max_num"
+        )
+        ms = "CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str"
+    return f"""
+    SELECT '{name}' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count({name}) AS BIGINT) AS n_null,
+           CAST(count(DISTINCT {name}) AS BIGINT) AS ndv, {mn}, {ms}
+    FROM orders"""
+
+
+_reg(
+    "table_profile",
+    lambda s, d: agg.table_profile(load(s, d, "orders")),
+    "\nUNION ALL".join(_profile_leg(n, k) for n, k in _PROFILE_COLS),
 )
 
 _reg(
@@ -788,6 +903,29 @@ _reg(
       ON e.user_id = c.user_id
      AND c.c_us >= e.err_us - 600000000 AND c.c_us < e.err_us + 600000000
     GROUP BY 1, 2
+    """,
+)
+
+# The oracle is the naive per-probe LATERAL scan (fine for DuckDB at
+# sf0.01); the engine's union-and-carry form is the O(n log n) scale path.
+_reg(
+    "join_nearest",
+    lambda s, d: jn.join_nearest(events_us(s, d)),
+    """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS ts_us,
+             arg_max(value, event_id) AS err_value
+      FROM events WHERE event_type = 'error' GROUP BY 1, 2),
+    c AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us
+      FROM events WHERE event_type = 'click')
+    SELECT c.event_id, c.user_id, n.nearest_value, n.dist_us
+    FROM c, LATERAL (
+      SELECT e.err_value AS nearest_value,
+             abs(e.ts_us - c.ts_us) AS dist_us
+      FROM e WHERE e.user_id = c.user_id
+      ORDER BY abs(e.ts_us - c.ts_us), e.ts_us
+      LIMIT 1) n
     """,
 )
 
@@ -1322,6 +1460,28 @@ _reg(
 )
 
 _reg(
+    "text_repetition",
+    lambda s, d: tx.text_repetition(load(s, d, "documents")),
+    """
+    WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+               FROM documents),
+    s AS (SELECT doc_id,
+                 CAST(len(toks) AS BIGINT) AS n_tokens,
+                 CAST(greatest(len(toks) - 2, 0) AS BIGINT) AS n_trigrams,
+                 CAST(len(list_distinct([array_to_string(toks[i:i+2], ' ')
+                                         FOR i IN range(1, len(toks) - 1)])) AS BIGINT)
+                   AS n_tri_uniq,
+                 CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq
+          FROM t)
+    SELECT doc_id, n_tokens, n_trigrams, n_tri_uniq,
+           round(1.0 - n_tri_uniq / greatest(n_trigrams, 1), 6) AS rep_tri_ratio,
+           round(1.0 - n_uniq / greatest(n_tokens, 1), 6) AS dup_tok_ratio,
+           ((1.0 - n_tri_uniq / greatest(n_trigrams, 1)) >= 0.2) AS is_repetitive
+    FROM s
+    """,
+)
+
+_reg(
     "sim_search_topk",
     lambda s, d: sim.sim_search_topk(load(s, d, "embeddings")),
     """
@@ -1616,6 +1776,24 @@ _reg(
     SELECT doc_id, lang, source FROM documents
     WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 <
           CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 50 WHEN 'fr' THEN 25 ELSE 0 END
+    """,
+)
+
+_reg(
+    "mix_weights",
+    lambda s, d: cu.mix_weights(load(s, d, "documents")),
+    """
+    WITH per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                        CAST(sum(n_chars) AS BIGINT) AS chars
+                 FROM documents GROUP BY 1),
+    tot AS (SELECT CAST(sum(chars) AS BIGINT) AS total,
+                   CAST(count(*) AS BIGINT) AS k
+            FROM per)
+    SELECT source, n_docs, chars AS n_chars_sum,
+           round(least(1.0, (CAST(total AS DOUBLE) / k) / chars), 6) AS mix_rate,
+           CAST(round(round(least(1.0, (CAST(total AS DOUBLE) / k) / chars), 6)
+                      * chars) AS BIGINT) AS expected_chars
+    FROM per CROSS JOIN tot
     """,
 )
 

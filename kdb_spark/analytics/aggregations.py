@@ -286,3 +286,123 @@ def agg_wavg(lineitem: DataFrame) -> DataFrame:
         ).alias("wavg_price_c"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# Count-min sketch geometry. Hashes are md5-prefix based (engine-portable,
+# seed-free) so the sketch — and therefore its estimates — is DETERMINISTIC
+# and cross-engine reproducible, unlike seeded native sketch aggregates.
+CMS_DEPTH = 4
+CMS_WIDTH = 64
+
+
+def agg_count_min(events: DataFrame, k: int = 20) -> DataFrame:
+    """Count-min-sketch heavy hitters: exact per-user event counts beside
+    the CMS estimate (estimate >= exact always; equality when no collision).
+
+    The 100 TB shape: the sketch is CMS_DEPTH x CMS_WIDTH counters built by
+    one hash-aggregate with map-side combine (the d hash rows explode from
+    each group AFTER the per-user pre-aggregate, so the explode runs on
+    |users| rows, not |events|). Sketches from different partitions /
+    days / tables merge by cell-wise addition — the same re-aggregatable
+    rollup contract as `agg_hll_merge`, but with a point-query estimate
+    that is exactly reproducible in any engine (md5 is md5 everywhere).
+    Top-k exact counts come from a TakeOrdered (sort+limit, no global
+    shuffle); the tiny sketch broadcasts onto the probe side.
+    """
+    counts = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    hashes = counts.select(
+        "user_id",
+        "n",
+        F.explode(F.array(*[F.lit(j) for j in range(CMS_DEPTH)])).alias("j"),
+    ).withColumn(
+        "bucket",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("j").cast("string"),
+                        F.lit(":"),
+                        F.col("user_id").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % CMS_WIDTH,
+    )
+    cms = hashes.groupBy("j", "bucket").agg(F.sum("n").alias("bsum"))
+    top = counts.orderBy(F.desc("n"), "user_id").limit(k)
+    return (
+        top.join(hashes.select("user_id", "j", "bucket"), "user_id")
+        .join(F.broadcast(cms), ["j", "bucket"])
+        .groupBy("user_id", "n")
+        .agg(F.min("bsum").alias("n_cms"))
+        .select(
+            "user_id",
+            F.col("n").cast("long").alias("n_exact"),
+            F.col("n_cms").cast("long").alias("n_cms"),
+        )
+    )
+
+
+def table_profile(df: DataFrame) -> DataFrame:
+    """Per-column table statistics — the ANALYZE surface (row count, null
+    count, exact NDV, min/max) that feeds CBO-style planning and data-quality
+    monitoring.
+
+    ONE aggregate pass emits every column's stats side by side (Spark plans
+    the multi-countDistinct via a single expand + two-phase hash agg under
+    AQE — the same shape as `agg_distinct`), then a map-only explode
+    unpivots the 1-row result to long format. Numerics and timestamps
+    profile min/max as doubles (µs for timestamps), strings lexically —
+    no cross-engine float formatting anywhere.
+
+    At 100 TB you'd swap the exact NDV for `approx_count_distinct` per
+    column (one pass, no expand); exact is kept here for oracle parity.
+    """
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    cols: list[tuple[str, str]] = []  # (name, kind)
+    for fld in df.schema.fields:
+        name = fld.name
+        t = fld.dataType.simpleString()
+        kind = "str" if t == "string" else ("ts" if t.startswith("timestamp") else "num")
+        cols.append((name, kind))
+        if kind == "str":
+            num = F.lit(None).cast("double")
+            mn_s, mx_s = F.min(name), F.max(name)
+            mn_n, mx_n = num, num
+        else:
+            c = (
+                F.unix_micros(F.col(name).cast("timestamp"))  # NTZ-safe (UTC session)
+                if kind == "ts"
+                else F.col(name)
+            ).cast("double")
+            mn_n, mx_n = F.min(c), F.max(c)
+            mn_s = F.lit(None).cast("string")
+            mx_s = mn_s
+        aggs += [
+            F.count(name).alias(f"{name}__nn"),
+            F.countDistinct(name).alias(f"{name}__ndv"),
+            mn_n.alias(f"{name}__mn_n"),
+            mx_n.alias(f"{name}__mx_n"),
+            mn_s.alias(f"{name}__mn_s"),
+            mx_s.alias(f"{name}__mx_s"),
+        ]
+    one = df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(name).alias("col_name"),
+            F.col("__n").cast("long").alias("n_rows"),
+            (F.col("__n") - F.col(f"{name}__nn")).cast("long").alias("n_null"),
+            F.col(f"{name}__ndv").cast("long").alias("ndv"),
+            F.col(f"{name}__mn_n").alias("min_num"),
+            F.col(f"{name}__mx_n").alias("max_num"),
+            F.col(f"{name}__mn_s").alias("min_str"),
+            F.col(f"{name}__mx_s").alias("max_str"),
+        )
+        for name, _ in cols
+    ]
+    return one.select(F.explode(F.array(*structs)).alias("p")).select("p.*")

@@ -387,3 +387,59 @@ def join_window(events: DataFrame, width_us: int = 10 * MIN_US) -> DataFrame:
             F.round(F.avg("hit_v"), 4).alias("avg_in_win"),
         )
     )
+
+
+def join_nearest(events: DataFrame) -> DataFrame:
+    """Nearest-neighbor time join: for each 'click', the 'error' of the same
+    user with the smallest |Δts| in either direction (ties → the earlier,
+    i.e. at-or-before, error). The bidirectional completion of
+    :func:`join_asof` / :func:`join_asof_forward`.
+
+    One union-and-carry pass: errors (side 0) and clicks (side 1) sort
+    together per user; ONE window sort feeds both a backward
+    ``last(ignorenulls)`` and a forward ``first(ignorenulls)`` carry of the
+    (ts, value) struct, then a map-only min-distance pick. Same-µs errors
+    sort before the click, so they arrive via the backward carry at
+    distance 0. One shuffle on user_id, O(n log n) per series at any scale
+    — never the per-probe scan the naive LATERAL form implies.
+
+    Errors are pre-deduped per (user, µs) by last event_id so ties are
+    deterministic.
+    """
+    errors = (
+        events.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts_us")
+        .agg(F.max_by("value", "event_id").alias("err_value"))
+        .select(
+            "user_id", "ts_us",
+            F.struct(F.col("ts_us").alias("ets"), F.col("err_value").alias("v")).alias("err"),
+            F.lit(0).alias("side"),
+            F.lit(None).cast("long").alias("event_id"),
+        )
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts_us",
+        F.lit(None).cast("struct<ets:bigint,v:double>").alias("err"),
+        F.lit(1).alias("side"), "event_id",
+    )
+    ord_w = Window.partitionBy("user_id").orderBy("ts_us", "side")
+    back = F.last("err", ignorenulls=True).over(
+        ord_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = F.first("err", ignorenulls=True).over(
+        ord_w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    d_back = F.col("ts_us") - F.col("b.ets")
+    d_fwd = F.col("f.ets") - F.col("ts_us")
+    use_back = F.col("f").isNull() | (F.col("b").isNotNull() & (d_back <= d_fwd))
+    return (
+        errors.unionByName(clicks)
+        .select("*", back.alias("b"), fwd.alias("f"))
+        .filter((F.col("side") == 1) & (F.col("b").isNotNull() | F.col("f").isNotNull()))
+        .select(
+            "event_id",
+            "user_id",
+            F.when(use_back, F.col("b.v")).otherwise(F.col("f.v")).alias("nearest_value"),
+            F.when(use_back, d_back).otherwise(d_fwd).cast("long").alias("dist_us"),
+        )
+    )

@@ -272,3 +272,78 @@ def win_moving_median(events: DataFrame, k: int = 9) -> DataFrame:
         "user_id",
         F.round(F.percentile("value", F.lit(0.5)).over(w), 4).alias("mmed"),
     )
+
+
+# EWMA horizon and smoothing factor. A FINITE horizon (vs the textbook
+# infinite recursion) is the deliberate scale choice: each output row
+# depends on a bounded 16-row frame, so the op stays a map-only pass after
+# one (user, type) shuffle and ports to a bounded-state streaming operator —
+# an infinite EWMA would need an unbounded sequential scan per series.
+# With alpha=0.3 the dropped tail mass is (1-alpha)^16 ≈ 0.33%.
+EWMA_ALPHA = 0.3
+EWMA_H = 16
+
+
+def ewma_weights(alpha: float = EWMA_ALPHA, h: int = EWMA_H) -> list[float]:
+    """Geometric lag weights w_k = alpha*(1-alpha)^k, k = 0..h-1.
+
+    Exposed so the oracle SQL is generated from the SAME float literals —
+    identical IEEE doubles on both engines make the left-associated
+    weighted sum bit-deterministic cross-engine.
+    """
+    return [alpha * (1.0 - alpha) ** k for k in range(h)]
+
+
+def win_ewma(events: DataFrame) -> DataFrame:
+    """Exponentially weighted moving average per (user, event_type) series.
+
+    Finite-horizon normalized EWMA: sum_k w_k·x_{t-k} / sum_k w_k over the
+    lags that exist (series heads renormalize instead of biasing toward 0).
+    Built as an explicit lag chain — 16 `lag()` calls over ONE window spec
+    compile to a single window physical node, then a map-only arithmetic
+    fold; no second shuffle, no UDF.
+    """
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+    lags = [F.lag("value", k).over(w) for k in range(EWMA_H)]
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for wk, lk in zip(ewma_weights(), lags):
+        num = num + F.coalesce(lk, F.lit(0.0)) * F.lit(wk)
+        den = den + F.when(lk.isNotNull(), F.lit(wk)).otherwise(F.lit(0.0))
+    return events.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round(num / den, 6).alias("ewma"),
+    )
+
+
+def win_zscore(events: DataFrame, k: int = 31, thresh: float = 3.0) -> DataFrame:
+    """Rolling z-score outlier flag over a trailing (k+1)-row frame.
+
+    Parity-hardened: mean/variance derive from exact bigint cent sums
+    (sum, sum of squares, count) rather than engine-native avg/stddev —
+    integer window sums are order-independent, so the derived doubles are
+    bit-identical cross-engine and the |z| >= thresh flag can never flip on
+    a rounding boundary. Same single (user, type) shuffle as every window op.
+    """
+    w = (
+        Window.partitionBy("user_id", "event_type")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(-k, 0)
+    )
+    xc = cents("value")
+    n = F.count(F.lit(1)).over(w).cast("double")
+    s1 = F.sum(xc).over(w).cast("double")
+    s2 = F.sum(xc * xc).over(w).cast("double")
+    mean = s1 / n
+    # population variance of the frame, in cents^2
+    var = s2 / n - mean * mean
+    z = F.when(var > 0, (xc.cast("double") - mean) / F.sqrt(var))
+    return events.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round(z, 4).alias("z"),
+        (z.isNotNull() & (F.abs(z) >= F.lit(thresh))).alias("is_outlier"),
+    )

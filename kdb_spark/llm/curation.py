@@ -215,3 +215,41 @@ def pii_redact(documents: DataFrame) -> DataFrame:
         F.regexp_count("text", F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
         F.regexp_count("text", F.lit(LONGNUM_RE)).cast("long").alias("n_longnums"),
     )
+
+
+def mix_weights(documents: DataFrame) -> DataFrame:
+    """Per-source sampling rates that rebalance the corpus toward a uniform
+    source mixture — the data-mixing primitive (each source's rate is the
+    probability `sample_hash` would then apply per doc).
+
+    rate_s = min(1, (total_chars / n_sources) / chars_s): over-represented
+    sources are downsampled to the uniform share, under-represented ones
+    keep everything (rate 1.0 — this op never upsamples). One tiny
+    hash-aggregate (|sources| rows) + a broadcast of the 1-row total; all
+    ratios derive from exact bigint char sums, so the rates are
+    engine-exact. Swap the uniform target for a weights table join to hit
+    any published mixture.
+    """
+    per = documents.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("chars"),
+    )
+    tot = per.agg(
+        F.sum("chars").alias("total"), F.count(F.lit(1)).alias("k")
+    )
+    rate = F.least(
+        F.lit(1.0),
+        (F.col("total").cast("double") / F.col("k")) / F.col("chars"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("chars").cast("long").alias("n_chars_sum"),
+            F.round(rate, 6).alias("mix_rate"),
+            F.round(F.round(rate, 6) * F.col("chars"))
+            .cast("long")
+            .alias("expected_chars"),
+        )
+    )

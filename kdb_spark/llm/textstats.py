@@ -212,3 +212,31 @@ def doc_fingerprint(documents: DataFrame) -> DataFrame:
         lambda acc, c: (acc * 31 + c) % F.lit(2147483647),
     )
     return documents.select("doc_id", fp.alias("fingerprint"))
+
+
+def text_repetition(documents: DataFrame, thresh: float = 0.2) -> DataFrame:
+    """Repeated n-gram ratio — the "slop" quality signal LLM corpus filters
+    key on (boilerplate, keyword-stuffed, and template pages score high).
+
+    rep_tri = 1 - distinct_trigrams/total_trigrams; dup_tok the unigram
+    twin. Map-only array lambdas over one scan (the trigram set never
+    leaves its row — contrast dedup_ngram_jaccard, which shuffles it);
+    ratios are int/int divisions, so the keep/drop flag is engine-exact.
+    """
+    from kdb_spark.llm.dedup import shingles, tokens
+
+    toks = F.col("toks")
+    n_tok = F.size(toks).cast("long")
+    n_tri = F.greatest(n_tok - 2, F.lit(0)).cast("long")
+    n_tri_uniq = F.size(shingles(toks, 3)).cast("long")
+    rep_tri = 1.0 - n_tri_uniq / F.greatest(n_tri, F.lit(1))
+    dup_tok = 1.0 - F.size(F.array_distinct(toks)) / F.greatest(n_tok, F.lit(1))
+    return documents.select("doc_id", tokens("text").alias("toks")).select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        n_tri.alias("n_trigrams"),
+        n_tri_uniq.alias("n_tri_uniq"),
+        F.round(rep_tri, 6).alias("rep_tri_ratio"),
+        F.round(dup_tok, 6).alias("dup_tok_ratio"),
+        (rep_tri >= F.lit(thresh)).alias("is_repetitive"),
+    )
