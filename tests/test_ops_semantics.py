@@ -1,0 +1,184 @@
+"""Hand-computed semantic cases for the round-6 operators.
+
+The oracle gate checks these ops against DuckDB on the generated tables;
+these tests pin the CORNER semantics on tiny hand-built inputs the
+generated data may never exercise (ties, series heads, zero variance,
+all-null columns) — the same micro-case strategy the reference's own
+tests use for its kernel (`dbase/dbase_test.go:146-212`).
+"""
+
+import math
+
+import pytest
+
+from kdb_spark.analytics import aggregations as agg
+from kdb_spark.analytics import joins as jn
+from kdb_spark.analytics import windows as wn
+from kdb_spark.llm import curation as cu
+from kdb_spark.llm import textstats as tx
+
+EV_SCHEMA = "event_id long, user_id long, event_type string, value double, ts_us long"
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows, EV_SCHEMA)
+
+
+# ------------------------------------------------------------- join_nearest
+
+
+def test_join_nearest_tie_prefers_earlier_error(spark):
+    # errors at t=100 and t=300, click at t=200: both 100µs away → backward
+    ev = _events(
+        spark,
+        [
+            (1, 1, "error", 10.0, 100),
+            (2, 1, "error", 20.0, 300),
+            (3, 1, "click", 0.0, 200),
+        ],
+    )
+    [r] = jn.join_nearest(ev).collect()
+    assert (r.nearest_value, r.dist_us) == (10.0, 100)
+
+
+def test_join_nearest_directions_and_missing(spark):
+    ev = _events(
+        spark,
+        [
+            (1, 1, "error", 5.0, 1000),
+            (2, 1, "click", 0.0, 1010),  # backward only (10 < forever)
+            (3, 2, "error", 7.0, 500),
+            (4, 2, "click", 0.0, 490),  # forward only
+            (5, 3, "click", 0.0, 100),  # user 3 has no errors → dropped
+            (6, 4, "error", 9.0, 200),
+            (7, 4, "click", 0.0, 200),  # same-µs error → distance 0
+        ],
+    )
+    out = {r.event_id: (r.nearest_value, r.dist_us) for r in jn.join_nearest(ev).collect()}
+    assert out == {2: (5.0, 10), 4: (7.0, 10), 7: (9.0, 0)}
+
+
+def test_join_nearest_same_us_errors_deduped_lww(spark):
+    # two errors in the same µs: the larger event_id wins (LWW), matching
+    # the as-of ops' tie contract
+    ev = _events(
+        spark,
+        [
+            (1, 1, "error", 1.0, 100),
+            (9, 1, "error", 2.0, 100),
+            (3, 1, "click", 0.0, 150),
+        ],
+    )
+    [r] = jn.join_nearest(ev).collect()
+    assert r.nearest_value == 2.0
+
+
+# ----------------------------------------------------------------- win_ewma
+
+
+def test_ewma_head_renormalizes(spark):
+    ev = _events(
+        spark,
+        [(1, 1, "view", 10.0, 100), (2, 1, "view", 20.0, 200)],
+    )
+    out = {r.event_id: r.ewma for r in wn.win_ewma(ev).collect()}
+    w = wn.ewma_weights()
+    # first row: only lag0 exists → ewma == x0 exactly
+    assert out[1] == pytest.approx(10.0, abs=1e-9)
+    expect = (w[0] * 20.0 + w[1] * 10.0) / (w[0] + w[1])
+    assert out[2] == pytest.approx(round(expect, 6), abs=1e-9)
+
+
+def test_ewma_constant_series_is_identity(spark):
+    ev = _events(
+        spark, [(i, 1, "view", 42.0, i * 100) for i in range(1, 30)]
+    )
+    for r in wn.win_ewma(ev).collect():
+        assert r.ewma == pytest.approx(42.0, abs=1e-6)
+
+
+# --------------------------------------------------------------- win_zscore
+
+
+def test_zscore_zero_variance_yields_null_not_flag(spark):
+    ev = _events(spark, [(i, 1, "view", 5.0, i * 100) for i in range(1, 10)])
+    for r in wn.win_zscore(ev).collect():
+        assert r.z is None
+        assert r.is_outlier is False
+
+
+def test_zscore_flags_spike(spark):
+    rows = [(i, 1, "view", 10.0 + (i % 2) * 0.5, i * 100) for i in range(1, 33)]
+    rows.append((99, 1, "view", 500.0, 10_000))
+    out = {r.event_id: r for r in wn.win_zscore(_events(spark, rows)).collect()}
+    assert out[99].is_outlier is True
+    assert all(not out[i].is_outlier for i in range(2, 33))
+
+
+# ------------------------------------------------------------ agg_count_min
+
+
+def test_count_min_estimate_dominates_exact(spark):
+    ev = _events(
+        spark,
+        [(i, i % 7, "view", 1.0, i) for i in range(500)],
+    )
+    rows = agg.agg_count_min(ev).collect()
+    assert len(rows) == 7
+    for r in rows:
+        assert r.n_cms >= r.n_exact  # CMS never underestimates
+    exact = {r.user_id: r.n_exact for r in rows}
+    assert exact[0] == 72 and exact[1] == 72 and exact[6] == 71
+
+
+# ------------------------------------------------------------ table_profile
+
+
+def test_table_profile_nulls_and_ndv(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, None, 1.5), (3, "b", None), (4, "a", 2.5)],
+        "id long, s string, x double",
+    )
+    prof = {r.col_name: r for r in agg.table_profile(df).collect()}
+    assert prof["id"].n_rows == 4 and prof["id"].n_null == 0
+    assert prof["id"].ndv == 4 and prof["id"].min_num == 1.0
+    assert prof["s"].n_null == 1 and prof["s"].ndv == 2
+    assert (prof["s"].min_str, prof["s"].max_str) == ("a", "b")
+    assert prof["x"].n_null == 1 and prof["x"].ndv == 2
+    assert prof["x"].max_num == 2.5 and prof["x"].min_str is None
+
+
+# ---------------------------------------------------------- text_repetition
+
+
+def test_text_repetition_ratios(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c a b c a b c"),  # 9 tok, 7 tri, 3 uniq tri, 3 uniq tok
+            (2, "one two three four"),  # no repetition at all
+            (3, "x y"),  # < 3 tokens → 0 trigrams
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in tx.text_repetition(docs).collect()}
+    assert (out[1].n_trigrams, out[1].n_tri_uniq) == (7, 3)
+    assert out[1].rep_tri_ratio == pytest.approx(1 - 3 / 7, abs=1e-6)
+    assert out[1].is_repetitive is True
+    assert out[2].rep_tri_ratio == 0.0 and out[2].is_repetitive is False
+    assert out[3].n_trigrams == 0 and out[3].n_tri_uniq == 0
+
+
+# -------------------------------------------------------------- mix_weights
+
+
+def test_mix_weights_uniform_target(spark):
+    docs = spark.createDataFrame(
+        [(i, "big", 300) for i in range(3)] + [(9, "small", 100)],
+        "doc_id long, source string, n_chars long",
+    )
+    out = {r.source: r for r in cu.mix_weights(docs).collect()}
+    # total=1000, k=2 → target 500/source: big (900) downsampled, small kept
+    assert out["small"].mix_rate == 1.0
+    assert out["big"].mix_rate == pytest.approx(500 / 900, abs=1e-6)
+    assert out["big"].expected_chars == round(round(500 / 900, 6) * 900)
+    assert not math.isclose(out["big"].mix_rate, 1.0)

@@ -255,3 +255,66 @@ def test_skew_salted_two_path(spark):
         r.o_orderpriority: (r.n_items, r.revenue_c) for r in forced.collect()
     }
     assert got == want
+
+
+def test_ewma_is_single_window_pass(spark):
+    """16 lag() calls over one window spec compile into ONE Window node and
+    ONE Exchange — the lag chain never re-shuffles."""
+    import re
+
+    from kdb_spark.analytics import windows as wn
+
+    plan = plan_of(wn.win_ewma(events_us(spark, SF_DIR)))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1, plan
+
+
+def test_zscore_is_single_window_pass(spark):
+    import re
+
+    from kdb_spark.analytics import windows as wn
+
+    plan = plan_of(wn.win_zscore(events_us(spark, SF_DIR)))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1, plan
+
+
+def test_join_nearest_has_no_join_operator(spark):
+    """The nearest-time join is union-and-carry: window carries, a map-only
+    pick, and NO join node (the naive form would be a per-probe range join)."""
+    plan = plan_of(jn.join_nearest(events_us(spark, SF_DIR)))
+    assert "Join" not in plan, plan
+    assert "Union" in plan
+
+
+def test_count_min_probe_side_broadcasts(spark):
+    """The 256-cell sketch broadcasts onto the top-k probe rows — the probe
+    join must never shuffle the sketch or fall into a nested loop."""
+    from kdb_spark.analytics import aggregations as agg
+
+    plan = plan_of(agg.agg_count_min(events_us(spark, SF_DIR)))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_table_profile_is_one_aggregate_pass(spark):
+    """All six columns profile in ONE scan: a single Expand feeds the
+    multi-countDistinct two-phase agg; no joins, no repeated scans."""
+    from kdb_spark.analytics import aggregations as agg
+
+    import re
+
+    plan = plan_of(agg.table_profile(load(spark, SF_DIR, "orders")))
+    assert "Join" not in plan, plan
+    # formatted explain prints each node in the tree AND as a detail header;
+    # count the numbered detail headers to count physical scan nodes
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Expand", plan)) == 1, plan
+
+
+def test_text_repetition_is_map_only(spark):
+    from kdb_spark.llm import textstats as tx
+
+    plan = plan_of(tx.text_repetition(load(spark, SF_DIR, "documents")))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan  # JVM lambdas, no Python in the path
