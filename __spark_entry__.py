@@ -1223,6 +1223,21 @@ _reg(
     """,
 )
 
+# The bounded 16-row horizon of win_ewma is what makes its streaming port
+# O(1) state per series; the oracle is the SAME lag chain the batch op uses
+# (the stateful body reproduces its addition order bit-for-bit).
+_reg(
+    "stream_ewma",
+    sm.stream_ewma,
+    f"""
+    SELECT event_id, user_id, event_type,
+           round(({_EWMA_NUM}) / ({_EWMA_DEN}), 6) AS ewma
+    FROM events
+    WINDOW w AS (PARTITION BY user_id, event_type
+                 ORDER BY epoch_us(ts), event_id)
+    """,
+)
+
 _reg(
     "stream_latest_state",
     sm.stream_latest_state,

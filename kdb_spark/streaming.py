@@ -511,3 +511,136 @@ def stream_counter_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _drain(out, "append", partitions=16)
+
+
+# ----------------------------------------------- stateful finite-horizon EWMA
+
+_EWMA_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("ts_us", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ewma", T.DoubleType()),
+    ]
+)
+
+# ring of the last H-1 samples + the late counter; the FINITE horizon of
+# win_ewma is exactly what makes this state bounded (16 doubles per series
+# forever, vs unbounded replay for a textbook recursive EWMA)
+_EWMA_STATE = T.StructType(
+    [
+        T.StructField("ts_us", T.ArrayType(T.LongType())),
+        T.StructField("event_id", T.ArrayType(T.LongType())),
+        T.StructField("value", T.ArrayType(T.DoubleType())),
+        T.StructField("n_late", T.LongType()),
+    ]
+)
+
+
+def _ewma_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Emit the finite-horizon EWMA for each on-time row, carrying the last
+    H-1 samples per series across micro-batches.
+
+    Bit-parity with the batch `win_ewma` lag chain: the weighted sum
+    accumulates per lag k in ascending order (num += w_k·x_{i-k}), the
+    exact IEEE addition sequence of the batch expression — so a round-6
+    compare against the batch/oracle output is EXACT, not approximate.
+    Late rows (at-or-before the stored tail) are dropped and counted, the
+    same contract as `_delta_fn`.
+    """
+    from kdb_spark.analytics.windows import EWMA_H, ewma_weights
+
+    w = ewma_weights()
+    chunks = [c for c in pdfs if len(c)]
+    if not chunks:
+        return
+    pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+    ts = pdf["ts_us"].to_numpy()
+    eid = pdf["event_id"].to_numpy()
+    order = np.lexsort((eid, ts))
+    ts, eid = ts[order], eid[order]
+    val = pdf["value"].to_numpy()[order]
+    prev = tuple(state.get) if state.exists else None
+    n_late = int(prev[3]) if prev is not None else 0
+    h_ts = np.asarray(prev[0], dtype=np.int64) if prev is not None else np.empty(0, np.int64)
+    h_eid = np.asarray(prev[1], dtype=np.int64) if prev is not None else np.empty(0, np.int64)
+    h_val = np.asarray(prev[2], dtype=np.float64) if prev is not None else np.empty(0)
+    lo = 0
+    if len(h_ts):
+        t_tail, e_tail = int(h_ts[-1]), int(h_eid[-1])
+        i0 = int(np.searchsorted(ts, t_tail, "left"))
+        i1 = int(np.searchsorted(ts, t_tail, "right"))
+        lo = i0 + int(np.searchsorted(eid[i0:i1], e_tail, "right"))
+        n_late += lo
+    new_ts, new_eid, new_val = ts[lo:], eid[lo:], val[lo:]
+    full_ts = np.concatenate([h_ts, new_ts])
+    full_eid = np.concatenate([h_eid, new_eid])
+    full_val = np.concatenate([h_val, new_val.astype(np.float64)])
+    keep_ts = full_ts[-(EWMA_H - 1):]
+    keep_eid = full_eid[-(EWMA_H - 1):]
+    keep_val = full_val[-(EWMA_H - 1):]
+    state.update(
+        (
+            [int(x) for x in keep_ts],
+            [int(x) for x in keep_eid],
+            [float(x) for x in keep_val],
+            n_late,
+        )
+    )
+    if not len(new_val):
+        return
+    n, off = len(full_val), len(h_val)
+    num = np.zeros(n)
+    den = np.zeros(n)
+    for k in range(EWMA_H):
+        # shift the series by k: x_{i-k} contributes w_k where it exists —
+        # accumulated in ascending k, the batch chain's addition order
+        if k < n:
+            num[k:] += w[k] * full_val[: n - k]
+            den[k:] += w[k]
+    # raw quotient only — the round(·, 6) happens JVM-side in
+    # stream_ewma, with the same BigDecimal semantics as the batch op
+    # (np.round's scale-multiply is inexact near decimal boundaries)
+    ewma = num[off:] / den[off:]
+    uid = pdf["user_id"].to_numpy()[order][lo:]
+    etype = pdf["event_type"].to_numpy()[order][lo:]
+    yield pd.DataFrame(
+        {
+            "user_id": uid,
+            "event_type": etype,
+            "ts_us": new_ts,
+            "event_id": new_eid,
+            "ewma": ewma,
+        }
+    )
+
+
+def stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming finite-horizon EWMA per (user_id, event_type) series — the
+    stateful port of the batch `win_ewma` (whose bounded 16-row frame is
+    precisely what makes this operator's state O(1) per series: the last 15
+    samples, nothing else).
+
+    Same late-row contract as `stream_counter_delta` (drop + count behind
+    the stored tail); same `applyInPandasWithState` machinery; emits one
+    row per on-time event with the EXACT batch value (see `_ewma_fn` on
+    addition-order parity), so the batch window query is the oracle.
+    """
+    s = events_stream(spark, sf_dir)
+    out = (
+        s.select("user_id", "event_type", "ts_us", "event_id", "value")
+        .groupBy("user_id", "event_type")
+        .applyInPandasWithState(
+            _ewma_fn,
+            outputStructType=_EWMA_OUT,
+            stateStructType=_EWMA_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return _drain(out, "append", partitions=16).select(
+        "event_id", "user_id", "event_type", F.round("ewma", 6).alias("ewma")
+    )

@@ -7,6 +7,8 @@ boundary (`dbase/dbase.go:17-20,403-424`), LWW visibility
 (`dblock/dblock.go:198-205`).
 """
 
+import pytest
+
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -175,3 +177,79 @@ def test_stream_counter_delta_equals_batch_lag(spark):
     )
     cols = ["user_id", "event_type", "ts_us", "event_id", "delta"]
     assert rows(got, *cols) == rows(want, *cols)
+
+
+def test_stream_ewma_equals_batch_window(spark):
+    """Single-drain equivalence: the stateful EWMA must reproduce the batch
+    lag-chain values EXACTLY (same addition order, JVM-side round)."""
+    from kdb_spark.analytics import windows as wn
+    from kdb_spark.tables import events_us
+
+    got = sm.stream_ewma(spark, SF_DIR)
+    want = wn.win_ewma(events_us(spark, SF_DIR))
+    g = {r.event_id: r.ewma for r in got.collect()}
+    w = {r.event_id: r.ewma for r in want.collect()}
+    assert g == w
+
+
+def test_stream_ewma_carries_history_and_drops_late(spark, tmp_path):
+    """Across micro-batches: batch-2 rows smooth over batch-1 history via
+    state (not just their own batch), and a late row is dropped."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from kdb_spark.analytics.windows import ewma_weights
+
+    watch = tmp_path / "src_ewma"
+    watch.mkdir()
+    S = 1_000_000
+    cols = ["user_id", "event_type", "ts_us", "event_id", "value"]
+
+    def write(name, rws, mtime):
+        t = pa.table(
+            {c: [r[i] for r in rws] for i, c in enumerate(cols)},
+            schema=pa.schema(
+                [
+                    ("user_id", pa.int64()),
+                    ("event_type", pa.string()),
+                    ("ts_us", pa.int64()),
+                    ("event_id", pa.int64()),
+                    ("value", pa.float64()),
+                ]
+            ),
+        )
+        p = watch / name
+        pq.write_table(t, p)
+        os.utime(p, (mtime, mtime))
+
+    write("b1.parquet", [(1, "c", 10 * S, 0, 10.0), (1, "c", 20 * S, 1, 20.0)], 1_000)
+    # batch 2: eid=2 LATE (before the stored tail) → dropped; eid=3 on time
+    write("b2.parquet", [(1, "c", 15 * S, 2, 99.0), (1, "c", 30 * S, 3, 40.0)], 2_000)
+
+    sdf = (
+        spark.readStream.schema(
+            "user_id long, event_type string, ts_us long, event_id long, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(watch))
+    )
+    out = sdf.groupBy("user_id", "event_type").applyInPandasWithState(
+        sm._ewma_fn,
+        outputStructType=sm._EWMA_OUT,
+        stateStructType=sm._EWMA_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    got = {r.event_id: r.ewma for r in sm._drain(out, "append").collect()}
+    w = ewma_weights()
+    assert set(got) == {0, 1, 3}  # late eid=2 never emitted
+    assert got[0] == pytest.approx(10.0, abs=1e-9)
+    e1 = (w[0] * 20.0 + w[1] * 10.0) / (w[0] + w[1])
+    assert got[1] == pytest.approx(e1, abs=1e-9)
+    # eid=3 must smooth over BOTH batch-1 samples carried in state (and
+    # must NOT include the dropped late row)
+    e3 = (w[0] * 40.0 + w[1] * 20.0 + w[2] * 10.0) / (w[0] + w[1] + w[2])
+    assert got[3] == pytest.approx(e3, abs=1e-9)
