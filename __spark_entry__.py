@@ -726,6 +726,39 @@ _reg(
     """,
 )
 
+# Mergeable fixed-domain histogram quantiles — like the CMS, the estimate
+# itself is deterministic integer arithmetic, so it is fully hash-checked.
+_reg(
+    "agg_quantile_sketch",
+    lambda s, d: agg.agg_quantile_sketch(events_us(s, d)),
+    """
+    WITH hist AS (
+      SELECT event_type,
+             least(63, greatest(0, CAST(floor((value - 0.0) / 16.0) AS BIGINT))) AS bin,
+             count(*) AS c
+      FROM events GROUP BY 1, 2),
+    cum AS (
+      SELECT event_type, bin, c,
+             sum(c) OVER (PARTITION BY event_type ORDER BY bin
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             coalesce(sum(c) OVER (PARTITION BY event_type ORDER BY bin
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before,
+             sum(c) OVER (PARTITION BY event_type) AS n
+      FROM hist)
+    SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+           max(CASE WHEN cum >= ceil(0.5 * n) AND cum_before < ceil(0.5 * n)
+                    THEN round(0.0 + (bin + (ceil(0.5 * n) - cum_before)
+                                            / CAST(c AS DOUBLE)) * 16.0, 4)
+               END) AS est_p50,
+           max(CASE WHEN cum >= ceil(0.95 * n) AND cum_before < ceil(0.95 * n)
+                    THEN round(0.0 + (bin + (ceil(0.95 * n) - cum_before)
+                                            / CAST(c AS DOUBLE)) * 16.0, 4)
+               END) AS est_p95
+    FROM cum GROUP BY 1
+    """,
+)
+
 # table_profile's oracle is generated per column from the same kind
 # dispatch the engine uses (numeric/timestamp → double min/max, string →
 # lexical), so both sides profile identical shapes.

@@ -8,7 +8,7 @@ order-independent and oracle-exact at any scale.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from kdb_spark.tables import DAY_US, HOUR_US, cents
@@ -406,3 +406,71 @@ def table_profile(df: DataFrame) -> DataFrame:
         for name, _ in cols
     ]
     return one.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+
+
+# Histogram-sketch geometry: 64 equi-width bins over a PRE-AGREED domain.
+# Fixed edges are what make per-shard histograms cell-wise mergeable (the
+# same contract as the CMS grid) — a data-dependent domain would need a
+# second pass and break merges across shards/days.
+QSK_BINS = 64
+QSK_LO = 0.0
+QSK_HI = 1024.0
+
+
+def agg_quantile_sketch(events: DataFrame) -> DataFrame:
+    """Mergeable quantile estimation per event_type: a fixed-domain 64-bin
+    histogram + linear interpolation inside the target bin (p50/p95).
+
+    The third re-aggregatable sketch family (HLL = distinct, CMS =
+    frequency, this = quantiles): each shard's histogram is ≤64 bigint
+    cells, shards merge by addition, and the estimate is pure integer
+    arithmetic over the merged cells — deterministic, engine-portable, and
+    oracle-checkable, unlike t-digest/KLL whose estimates depend on
+    accumulation order. One hash-aggregate with map-side combine (shuffle
+    bytes = |types|·64 cells); the quantile walk runs on the tiny
+    histogram, never the raw data. Out-of-domain values clamp into the
+    edge bins (the documented fixed-domain trade; `agg_percentile` is the
+    exact-but-full-sort alternative).
+    """
+    w = (QSK_HI - QSK_LO) / QSK_BINS
+    b = F.floor((F.col("value") - QSK_LO) / F.lit(w)).cast("long")
+    bin_id = F.least(F.lit(QSK_BINS - 1), F.greatest(F.lit(0), b))
+    hist = events.groupBy(
+        "event_type", bin_id.alias("bin")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    win = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        "event_type",
+        "bin",
+        "c",
+        F.sum("c").over(win).alias("cum"),
+        F.sum("c").over(
+            Window.partitionBy("event_type").orderBy("bin").rowsBetween(
+                Window.unboundedPreceding, -1
+            )
+        ).alias("cum_before"),
+        F.sum("c").over(
+            Window.partitionBy("event_type").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    ).withColumn("cum_before", F.coalesce("cum_before", F.lit(0)))
+
+    def est(q: float):
+        # rank of the q-quantile in the merged histogram (0-indexed,
+        # nearest-rank target), then linear interpolation inside its bin
+        target = F.ceil(F.lit(q) * F.col("n")).cast("long")
+        in_bin = (F.col("cum") >= target) & (F.col("cum_before") < target)
+        frac = (target - F.col("cum_before")).cast("double") / F.col("c")
+        val = F.lit(QSK_LO) + (F.col("bin") + frac) * F.lit(w)
+        return F.max(F.when(in_bin, F.round(val, 4)))
+
+    return cum.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        est(0.5).alias("est_p50"),
+        est(0.95).alias("est_p95"),
+    )

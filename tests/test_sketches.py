@@ -53,3 +53,51 @@ def test_hll_merge_matches_unmerged_estimate_and_exact(spark):
             e,
         )
         assert r["n_day_sketches"] >= 1
+
+
+def test_quantile_sketch_within_bin_width_of_exact(spark):
+    """The histogram quantile can be off by at most one bin width (16.0)
+    from the exact percentile — and merging per-day histograms must give
+    the identical estimate (the mergeability contract)."""
+    ev = events_us(spark, SF_DIR)
+    est = {r.event_type: r for r in agg.agg_quantile_sketch(ev).collect()}
+    exact = {
+        r.event_type: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            agg.F.percentile("value", agg.F.lit(0.5)).alias("p50"),
+            agg.F.percentile("value", agg.F.lit(0.95)).alias("p95"),
+        )
+        .collect()
+    }
+    w = (agg.QSK_HI - agg.QSK_LO) / agg.QSK_BINS
+    for t, e in est.items():
+        assert abs(e.est_p50 - exact[t].p50) <= w
+        assert abs(e.est_p95 - exact[t].p95) <= w
+
+
+def test_quantile_sketch_merges_across_shards(spark):
+    """Splitting events into day shards, histogramming each, and summing
+    cells must reproduce the single-pass estimate exactly."""
+    from pyspark.sql import Window, functions as F
+
+    ev = events_us(spark, SF_DIR)
+    w = (agg.QSK_HI - agg.QSK_LO) / agg.QSK_BINS
+    b = F.floor((F.col("value") - agg.QSK_LO) / F.lit(w)).cast("long")
+    bin_id = F.least(F.lit(agg.QSK_BINS - 1), F.greatest(F.lit(0), b))
+    day = (F.col("ts_us") - F.col("ts_us") % F.lit(86_400_000_000)).alias("day")
+    # shard → per-shard cells → merged cells
+    merged = (
+        ev.groupBy("event_type", day, bin_id.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("event_type", "bin")
+        .agg(F.sum("c").alias("c"))
+    )
+    direct = {
+        (r.event_type, r.bin): r.c
+        for r in ev.groupBy("event_type", bin_id.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    got = {(r.event_type, r.bin): r.c for r in merged.collect()}
+    assert got == direct
