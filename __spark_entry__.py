@@ -1679,6 +1679,60 @@ _reg(
     _ivf_oracle(),
 )
 
+
+def _pq_oracle(n_queries: int = 5, k: int = 5, m: int = 16, ksub: int = 32) -> str:
+    """SQL mirror of pq_search_topk's deterministic construction: normalize,
+    split into m 4-dim subspaces, seeded init + one Lloyd step per
+    subspace (empty codewords drop out of the GROUP BY), encode by argmin
+    L2 (ties → lowest codeword), ADC-score, top-k."""
+    sd = 64 // m
+    l2 = (
+        "list_sum([(v.sv[i] - c.cv[i]) * (v.sv[i] - c.cv[i]) "
+        f"FOR i IN range(1, {sd + 1})])"
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings),
+    n AS (SELECT vec_id,
+                 [x / greatest(sqrt(list_sum([y * y FOR y IN v])), 1e-30) FOR x IN v] AS nv
+          FROM e),
+    subv AS (SELECT vec_id, t.s AS sub, nv[t.s * {sd} + 1 : t.s * {sd} + {sd}] AS sv
+             FROM n CROSS JOIN range(0, {m}) t(s)),
+    c0 AS (SELECT sub, vec_id AS cid, sv AS cv FROM subv WHERE vec_id < {ksub}),
+    a0 AS (SELECT v.vec_id, v.sub, c.cid,
+                  row_number() OVER (PARTITION BY v.vec_id, v.sub
+                    ORDER BY {l2} ASC, c.cid) AS rk
+           FROM subv v JOIN c0 c ON c.sub = v.sub),
+    asg0 AS (SELECT vec_id, sub, cid FROM a0 WHERE rk = 1),
+    mdim AS (SELECT a.sub, a.cid, t.i AS pos, avg(v.sv[t.i]) AS x
+             FROM asg0 a JOIN subv v ON v.vec_id = a.vec_id AND v.sub = a.sub
+             CROSS JOIN range(1, {sd + 1}) t(i)
+             GROUP BY a.sub, a.cid, t.i),
+    c1 AS (SELECT sub, cid, list(x ORDER BY pos) AS cv FROM mdim GROUP BY sub, cid),
+    codes AS (SELECT vec_id, sub, cid FROM (
+        SELECT v.vec_id, v.sub, c.cid,
+               row_number() OVER (PARTITION BY v.vec_id, v.sub
+                 ORDER BY {l2} ASC, c.cid) AS rk
+        FROM subv v JOIN c1 c ON c.sub = v.sub) WHERE rk = 1),
+    adc AS (SELECT v.vec_id AS query_id, c.sub, c.cid,
+                   list_sum([v.sv[i] * c.cv[i] FOR i IN range(1, {sd + 1})]) AS qd
+            FROM subv v JOIN c1 c ON c.sub = v.sub WHERE v.vec_id < {n_queries}),
+    scored AS (SELECT a.query_id, x.vec_id AS match_id, sum(a.qd) AS score_pq
+               FROM codes x JOIN adc a ON a.sub = x.sub AND a.cid = x.cid
+               WHERE x.vec_id <> a.query_id
+               GROUP BY 1, 2)
+    SELECT query_id, match_id, round(score_pq, 6) AS score_pq,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score_pq DESC, match_id) AS BIGINT) AS rn
+    FROM scored QUALIFY rn <= {k}
+    """
+
+
+_reg(
+    "pq_search_topk",
+    lambda s, d: sim.pq_search_topk(load(s, d, "embeddings")),
+    _pq_oracle(),
+)
+
 def _mm_summary(s: SparkSession, d: str) -> DataFrame:
     """multimodal_table projected to its oracle-comparable summary (the
     binary payload itself is checked via byte length)."""

@@ -462,3 +462,140 @@ def emb_normalize(embeddings: DataFrame) -> DataFrame:
             ).otherwise(F.lit(0)),
         ).alias("q8"),
     )
+
+
+def pq_search_topk(
+    embeddings: DataFrame,
+    n_queries: int = 5,
+    k: int = 5,
+    m: int = 16,
+    ksub: int = 32,
+) -> DataFrame:
+    """Product-quantization ANN top-k — the memory-bound scale path that
+    completes the ANN family (brute force → sign-LSH → IVF-flat → PQ).
+
+    The 100 TB rationale: a PQ code is ``m`` small ints (here 16 bytes)
+    per vector instead of d floats (256 bytes) — the corpus index fits in
+    RAM at sizes where even IVF lists of raw vectors don't, and scoring is
+    table lookups (ADC: asymmetric distance computation), not d-dim dots.
+    Operating point on the near-random synthetic embeddings: recall@5 ≈
+    0.44 vs brute force at m=16 × 4-dim subspaces, 32 codewords
+    (tests/test_ann_recall.py pins the floor).
+
+    Deterministic end-to-end, so the DuckDB oracle value-checks it exactly
+    (same construction mirrored in SQL): normalize → split into m=4
+    4-dim subspaces → per-subspace codebook = seeded init (lowest vec_ids)
+    + ONE Lloyd step, empty codewords dropped → encode corpus (argmin L2,
+    ties → lowest codeword) → per-query ADC tables → score every vector by
+    m lookups. Spark shape: codebook training is the `emb_kmeans` map-only
+    partials pattern per subspace (k·m rows per partition to the driver);
+    encode+score+local-prune is ONE `mapInPandas` scan closing over the
+    tiny codebooks and ADC tables (only ≤ n_queries·k candidate rows per
+    batch survive to the global top-k window) — the corpus is never
+    shuffled and never scored against raw query vectors.
+    """
+    init = sorted(
+        embeddings.filter(F.col("vec_id") < ksub)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    V = np.stack([np.asarray(r.embedding, dtype="float64") for r in init])
+    dim = V.shape[1]
+    subdim = dim // m
+
+    def _nrows(M: "np.ndarray") -> "np.ndarray":
+        return M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
+
+    # init codebooks: subvectors of the ksub lowest vec_ids (normalized)
+    C0 = _nrows(V).reshape(ksub, m, subdim)  # [cid, sub, :]
+
+    emb_only = embeddings.select("embedding")
+
+    def partials(batches):
+        counts = np.zeros((m, ksub), dtype="int64")
+        sums = np.zeros((m, ksub, subdim), dtype="float64")
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = _nrows(np.stack(pdf["embedding"].to_numpy()).astype("float64"))
+            S = E.reshape(len(E), m, subdim)
+            for s in range(m):
+                d2 = ((S[:, s, None, :] - C0[None, :, s, :]) ** 2).sum(-1)
+                a = d2.argmin(1)  # first minimum = lowest cid, the SQL tie
+                np.add.at(sums[s], a, S[:, s, :])
+                counts[s] += np.bincount(a, minlength=ksub)
+        out_s, out_c, out_n, out_v = [], [], [], []
+        for s in range(m):
+            nz = np.nonzero(counts[s])[0]
+            out_s += [s] * len(nz)
+            out_c += [int(c) for c in nz]
+            out_n += [int(x) for x in counts[s][nz]]
+            out_v += list(sums[s][nz])
+        if out_s:
+            yield pd.DataFrame(
+                {"sub": out_s, "cid": out_c, "n": out_n, "s": out_v}
+            )
+
+    agg = emb_only.mapInPandas(
+        partials, "sub long, cid long, n long, s array<double>"
+    ).collect()
+    counts = np.zeros((m, ksub), dtype="int64")
+    sums = np.zeros((m, ksub, subdim), dtype="float64")
+    for r in agg:
+        counts[r.sub][r.cid] += r.n
+        sums[r.sub][r.cid] += np.asarray(r.s)
+    # per-subspace surviving codewords (empty ones DROPPED, as in the
+    # oracle's GROUP BY — an unused init centroid must not win later)
+    books: list[tuple["np.ndarray", "np.ndarray"]] = []
+    for s in range(m):
+        nz = np.nonzero(counts[s])[0]
+        books.append((nz, sums[s][nz] / counts[s][nz, None]))
+
+    qrows = sorted(
+        embeddings.filter(F.col("vec_id") < n_queries)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    qids = np.array([r.vec_id for r in qrows])
+    Q = _nrows(np.stack([np.asarray(r.embedding, dtype="float64") for r in qrows]))
+    QS = Q.reshape(len(Q), m, subdim)
+    # adc[q][s][j] = dot(query subvector, surviving codeword j of subspace s)
+    adc = [QS[:, s, :] @ books[s][1].T for s in range(m)]
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vid = pdf["vec_id"].to_numpy()
+            E = _nrows(np.stack(pdf["embedding"].to_numpy()).astype("float64"))
+            S = E.reshape(len(E), m, subdim)
+            total = np.zeros((len(qids), len(E)))
+            for s in range(m):
+                d2 = ((S[:, s, None, :] - books[s][1][None, :, :]) ** 2).sum(-1)
+                code = d2.argmin(1)
+                total += adc[s][:, code]  # ascending s: the oracle sum order
+            qcol, mcol, scol = [], [], []
+            for qi in range(len(qids)):
+                mask = vid != qids[qi]
+                cand_v, cand_s = vid[mask], total[qi][mask]
+                order = np.lexsort((cand_v, -cand_s))[:k]
+                qcol += [int(qids[qi])] * len(order)
+                mcol += [int(x) for x in cand_v[order]]
+                scol += [float(x) for x in cand_s[order]]
+            yield pd.DataFrame(
+                {"query_id": qcol, "match_id": mcol, "score_pq": scol}
+            )
+
+    cand = embeddings.select("vec_id", "embedding").mapInPandas(
+        score, "query_id long, match_id long, score_pq double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_pq"), "match_id")
+    return (
+        cand.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+        .select(
+            "query_id", "match_id", F.round("score_pq", 6).alias("score_pq"), "rn"
+        )
+    )

@@ -40,3 +40,24 @@ def test_ann_recall_at_5_vs_bruteforce(spark):
     # every ANN answer must be a real corpus vector with a sane cosine
     for r in sim.ann_search_topk(emb, N_QUERIES, K).collect():
         assert -1.000001 <= r["cos"] <= 1.000001
+
+
+def test_pq_recall_at_5_vs_bruteforce(spark):
+    """PQ quantization gate: the ADC ranking must still retrieve real
+    neighbors, and PQ scores must approximate the true cosine.
+
+    On near-random 64-dim embeddings the 16x4-dim, 32-codeword codebook
+    after one Lloyd step measures recall ≈ 0.44; the 0.25 floor catches a
+    broken codebook (random codes score ~0.06) while absorbing testdata
+    regeneration."""
+    emb = load(spark, SF_DIR, "embeddings")
+    truth = _topk_ids(sim.sim_search_topk(emb, N_QUERIES, K))
+    approx_df = sim.pq_search_topk(emb, N_QUERIES, K)
+    approx = _topk_ids(approx_df)
+    hits = sum(len(truth[q] & approx.get(q, set())) for q in truth)
+    recall = hits / (K * len(truth))
+    assert recall >= 0.25, f"PQ recall@5 collapsed: {recall:.2f}"
+    # PQ score approximates a cosine of unit vectors: |score| ≤ ~1 plus
+    # quantization slack
+    for r in approx_df.collect():
+        assert -1.5 <= r["score_pq"] <= 1.5
