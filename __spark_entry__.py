@@ -1782,6 +1782,46 @@ _reg(
     """,
 )
 
+# The payload is deterministic utf-8 bytes (ASCII corpus), so the oracle
+# recomputes the byte-block signature from character codes — the one case
+# where a binary-column op gets an exact SQL mirror.
+_reg(
+    "mm_phash_dedup",
+    lambda s, d: mm.mm_phash_dedup(
+        mm.multimodal_table(load(s, d, "documents"), load(s, d, "embeddings"))
+    ),
+    """
+    WITH ch AS (
+      SELECT d.doc_id, [unicode(x) FOR x IN string_split(d.text, '')] AS codes
+      FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+      WHERE length(d.text) > 0),
+    pos AS (
+      SELECT doc_id, unnest(codes) AS code,
+             generate_subscripts(codes, 1) AS pos, len(codes) AS n
+      FROM ch),
+    blk AS (
+      SELECT doc_id, ((pos - 1) * 32) // n AS block, n,
+             sum(code) AS bsum, count(*) AS cnt
+      FROM pos GROUP BY 1, 2, 3),
+    tot AS (SELECT doc_id, sum(bsum) AS total FROM blk GROUP BY 1),
+    sig AS (
+      SELECT b.doc_id,
+             sum(CASE WHEN b.bsum * b.n > t.total * b.cnt
+                      THEN (CAST(1 AS BIGINT) << b.block) ELSE 0 END) AS phash
+      FROM blk b JOIN tot t USING (doc_id) GROUP BY 1),
+    bands AS (
+      SELECT doc_id, phash, t.b AS band, (phash >> (t.b * 8)) & 255 AS bits
+      FROM sig CROSS JOIN range(0, 4) t(b)),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             bit_count(xor(a.phash, b.phash)) AS hamming
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bits = b.bits AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+    FROM pairs WHERE hamming <= 6
+    """,
+)
+
 _reg(
     "mm_features",
     lambda s, d: mm.mm_features(

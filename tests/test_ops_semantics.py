@@ -182,3 +182,32 @@ def test_mix_weights_uniform_target(spark):
     assert out["big"].mix_rate == pytest.approx(500 / 900, abs=1e-6)
     assert out["big"].expected_chars == round(round(500 / 900, 6) * 900)
     assert not math.isclose(out["big"].mix_rate, 1.0)
+
+
+# -------------------------------------------------------------- mm_phash
+
+
+def test_mm_phash_identical_payloads_collide_and_ham_zero(spark):
+    from kdb_spark.llm import multimodal as mm
+
+    docs = spark.createDataFrame(
+        [
+            (1, b"the quick brown fox jumps over the lazy dog" * 4),
+            (2, b"the quick brown fox jumps over the lazy dog" * 4),
+            (3, bytes(range(200)) * 2),
+        ],
+        "doc_id long, payload binary",
+    )
+    sigs = {r.doc_id: r.phash for r in mm.mm_phash(docs).collect()}
+    assert sigs[1] == sigs[2] != sigs[3]
+    pairs = mm.mm_phash_dedup(docs).collect()
+    assert [(r.doc_a, r.doc_b, r.hamming) for r in pairs] == [(1, 2, 0)]
+
+
+def test_mm_phash_empty_payload_skipped(spark):
+    from kdb_spark.llm import multimodal as mm
+
+    docs = spark.createDataFrame(
+        [(1, b""), (2, b"abc" * 40)], "doc_id long, payload binary"
+    )
+    assert {r.doc_id for r in mm.mm_phash(docs).collect()} == {2}
