@@ -1939,6 +1939,56 @@ _reg(
     """,
 )
 
+# Composition proof: normalize → quality-gate → content-hash dedup →
+# md5-bucket split → per-split accounting, one content-hash shuffle total.
+_reg(
+    "pipeline_corpus_prep",
+    lambda s, d: cu.pipeline_corpus_prep(load(s, d, "documents")),
+    r"""
+    WITH c AS (
+      SELECT doc_id, text,
+             lower(trim(regexp_replace(
+               regexp_replace(text, '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', ' ', 'g'),
+               '[\s]+', ' ', 'g'))) AS norm_text,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      FROM documents),
+    r AS (SELECT doc_id, norm_text,
+                 len(toks) AS n_toks,
+                 len([x FOR x IN toks
+                      IF list_contains(['the','a','of','and','to','in','is'], x)])
+                   / greatest(len(toks), 1) AS stop_ratio,
+                 len(regexp_extract_all(text, '[0-9]'))
+                   / greatest(length(text), 1) AS digit_ratio,
+                 list_sum([CAST(length(x) AS DOUBLE) FOR x IN toks])
+                   / greatest(len(toks), 1) AS avg_tok
+          FROM c),
+    kept AS (
+      SELECT doc_id, md5(norm_text) AS h,
+             CAST(length(norm_text) AS BIGINT) AS n_chars_norm,
+             CAST(len(regexp_extract_all(norm_text, '[a-z0-9]+')) AS BIGINT)
+               AS n_toks_norm
+      FROM r
+      WHERE (CASE WHEN n_toks >= 10 THEN 1 ELSE 0 END
+           + CASE WHEN stop_ratio >= 0.05 THEN 1 ELSE 0 END
+           + CASE WHEN digit_ratio <= 0.3 THEN 1 ELSE 0 END
+           + CASE WHEN avg_tok >= 3.0 AND avg_tok <= 12.0 THEN 1 ELSE 0 END) >= 3),
+    canon AS (
+      SELECT h, min(doc_id) AS doc_id,
+             min(n_chars_norm) AS n_chars_norm, min(n_toks_norm) AS n_toks_norm
+      FROM kept GROUP BY h),
+    s AS (
+      SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'c0' THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e0' THEN 'val'
+                  ELSE 'test' END AS split,
+             n_chars_norm, n_toks_norm
+      FROM canon)
+    SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars_norm) AS BIGINT) AS n_chars_sum,
+           CAST(sum(n_toks_norm) AS BIGINT) AS n_tokens_sum
+    FROM s GROUP BY 1
+    """,
+)
+
 _reg(
     "token_histogram",
     lambda s, d: tx.token_histogram(load(s, d, "documents")),

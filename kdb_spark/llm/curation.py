@@ -253,3 +253,80 @@ def mix_weights(documents: DataFrame) -> DataFrame:
             .alias("expected_chars"),
         )
     )
+
+
+def pipeline_corpus_prep(documents: DataFrame) -> DataFrame:
+    """End-to-end corpus preparation, composed from this engine's own
+    stages: normalize (`text_normalize` semantics) → quality gate
+    (`quality_score` semantics, keep score ≥ 3) → exact dedup on the
+    normalized content hash (lowest doc_id is canonical) → deterministic
+    md5-bucket split (`dataset_split` semantics) → per-split corpus
+    accounting.
+
+    The point is the COMPOSITION: the map-only stages (normalize, score,
+    split) fuse into the scan's projection — Catalyst pipelines them into
+    one pass — so the whole prep costs ONE content-hash shuffle plus a
+    |splits|-row aggregate at any scale. Per-doc token/char sums are
+    computed from the normalized text, so every duplicate in a hash group
+    agrees on them and the canonical pick is value-stable.
+    """
+    from kdb_spark.llm.dedup import tokens
+    from kdb_spark.llm.textstats import _CTRL_RE, _WS_RE, EN_STOPWORDS
+
+    norm = F.lower(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace("text", _CTRL_RE, " "), _WS_RE, " "
+            )
+        )
+    )
+    stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    toks = F.col("toks")
+    n_toks = F.size(toks)
+    stop_ratio = F.size(
+        F.filter(toks, lambda t: F.array_contains(stop_arr, t))
+    ) / F.greatest(n_toks, F.lit(1))
+    digit_ratio = F.size(
+        F.regexp_extract_all("text", F.lit("[0-9]"), 0)
+    ) / F.greatest(F.length("text"), F.lit(1))
+    avg_tok = F.aggregate(
+        toks, F.lit(0.0), lambda a, t: a + F.length(t)
+    ) / F.greatest(n_toks, F.lit(1))
+    score = (
+        F.when(n_toks >= 10, 1).otherwise(0)
+        + F.when(stop_ratio >= 0.05, 1).otherwise(0)
+        + F.when(digit_ratio <= 0.3, 1).otherwise(0)
+        + F.when((avg_tok >= 3.0) & (avg_tok <= 12.0), 1).otherwise(0)
+    )
+    kept = (
+        documents.select(
+            "doc_id", "text", F.lit(norm).alias("norm_text"), tokens("text").alias("toks")
+        )
+        .filter(score >= 3)
+        .select(
+            "doc_id",
+            F.md5("norm_text").alias("h"),
+            F.length("norm_text").cast("long").alias("n_chars_norm"),
+            F.size(tokens("norm_text")).cast("long").alias("n_toks_norm"),
+        )
+    )
+    canonical = kept.groupBy("h").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min("n_chars_norm").alias("n_chars_norm"),  # equal within a group
+        F.min("n_toks_norm").alias("n_toks_norm"),
+    )
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(bucket < TRAIN_UPPER, F.lit("train"))
+        .when(bucket < VAL_UPPER, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        canonical.select(split.alias("split"), "n_chars_norm", "n_toks_norm")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars_norm").cast("long").alias("n_chars_sum"),
+            F.sum("n_toks_norm").cast("long").alias("n_tokens_sum"),
+        )
+    )

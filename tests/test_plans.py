@@ -318,3 +318,17 @@ def test_text_repetition_is_map_only(spark):
     plan = plan_of(tx.text_repetition(load(spark, SF_DIR, "documents")))
     assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan  # JVM lambdas, no Python in the path
+
+
+def test_pipeline_corpus_prep_is_two_exchanges(spark):
+    """Normalize + quality gate + split are map-only and must FUSE into the
+    scan's projection: the whole prep plan is the content-hash shuffle plus
+    the |splits|-row aggregate — two Exchanges, one scan, no joins."""
+    import re
+
+    from kdb_spark.llm import curation as cu
+
+    plan = plan_of(cu.pipeline_corpus_prep(load(spark, SF_DIR, "documents")))
+    assert "Join" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2, plan
