@@ -1320,6 +1320,26 @@ _reg(
     _NGRAM_JACCARD_SQL,
 )
 
+_reg(
+    "dedup_substring",
+    lambda s, d: dd.dedup_substring(load(s, d, "documents")),
+    """
+    WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+               FROM documents),
+    w AS (SELECT doc_id, array_to_string(toks[i:i+15], ' ') AS span
+          FROM t CROSS JOIN unnest(range(1, len(toks) - 16 + 2)) s(i)
+          WHERE len(toks) >= 16),
+    h AS (SELECT span_hash, doc_id FROM (
+            SELECT ('0x' || substr(md5(span), 1, 15))::BIGINT AS span_hash, doc_id
+            FROM w) WHERE span_hash % 8 = 0)
+    SELECT span_hash,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_occ,
+           min(doc_id) AS min_doc
+    FROM h GROUP BY span_hash HAVING count(DISTINCT doc_id) >= 2
+    """,
+)
+
 # MinHash-LSH: probabilistic candidates, exact verify. The oracle is the
 # exact-jaccard ground truth; at 16 bands × 2 rows recall at j>=0.5 is ~0.99
 # (≈1 at the j>=0.9 pairs this corpus contains) — verified equal at sf0.01.

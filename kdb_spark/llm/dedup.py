@@ -454,3 +454,66 @@ def dedup_simhash(documents: DataFrame, max_hamming: int = 8) -> DataFrame:
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def dedup_substring(
+    documents: DataFrame, w: int = 16, keep_mod: int = 8, min_docs: int = 2
+) -> DataFrame:
+    """Repeated-span registry — substring-level dedup (the cross-document
+    duplicated-passage detection of Lee et al.'s "Deduplicating Training
+    Data Makes Language Models Better", restated for Spark: content-
+    selected hashed windows replace the suffix array).
+
+    Every w-token window is hashed (60-bit md5 prefix — engine-portable,
+    unlike xxhash64) and a window is KEPT iff hash % keep_mod == 0.
+    Selection is content-defined, so two copies of a passage select the
+    SAME windows regardless of where the passage sits in each doc — the
+    property a fixed stride lacks (strided windows are phased to the doc
+    start, and two copies at different offsets never align). A duplicated
+    passage of L tokens is detected with P = 1-(1-1/keep_mod)^(L-w+1)
+    (≈ 99.8% at L = 60, w = 16, keep_mod = 8) — the standard Broder
+    fingerprinting trade; lower keep_mod for more recall.
+
+    One hash-aggregate with map-side combine over |tokens|/keep_mod 8-byte
+    keys — the text itself never shuffles. Output is the span registry a
+    removal pass would join against (the shape decontaminate uses).
+    """
+    spans = (
+        documents.select("doc_id", tokens("text").alias("toks"))
+        .filter(F.size("toks") >= w)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.size("toks") - (w - 1))
+            ).alias("i"),
+            "toks",
+        )
+        .select(
+            "doc_id",
+            F.conv(
+                F.substring(
+                    F.md5(F.array_join(F.slice("toks", F.col("i"), w), " ")), 1, 15
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("span_hash"),
+        )
+        .filter(F.col("span_hash") % keep_mod == 0)
+    )
+    return (
+        spans.groupBy("span_hash")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+            F.min("doc_id").alias("min_doc"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+        .select(
+            "span_hash",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_occ").cast("long").alias("n_occ"),
+            "min_doc",
+        )
+    )

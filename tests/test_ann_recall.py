@@ -61,3 +61,15 @@ def test_pq_recall_at_5_vs_bruteforce(spark):
     # quantization slack
     for r in approx_df.collect():
         assert -1.5 <= r["score_pq"] <= 1.5
+
+
+def test_ivf_recall_at_5_vs_bruteforce(spark):
+    """IVF probes 2 of 16 lists; on near-random embeddings the measured
+    operating point is recall ≈ 0.4-0.6. Floor 0.2 catches a broken
+    centroid assignment (random lists ≈ nprobe/n_clusters ≈ 0.12)."""
+    emb = load(spark, SF_DIR, "embeddings")
+    truth = _topk_ids(sim.sim_search_topk(emb, N_QUERIES, K))
+    approx = _topk_ids(sim.ivf_search_topk(emb, N_QUERIES, K))
+    hits = sum(len(truth[q] & approx.get(q, set())) for q in truth)
+    recall = hits / (K * len(truth))
+    assert recall >= 0.2, f"IVF recall@5 collapsed: {recall:.2f}"

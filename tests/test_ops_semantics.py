@@ -211,3 +211,34 @@ def test_mm_phash_empty_payload_skipped(spark):
         [(1, b""), (2, b"abc" * 40)], "doc_id long, payload binary"
     )
     assert {r.doc_id for r in mm.mm_phash(docs).collect()} == {2}
+
+
+# --------------------------------------------------------- dedup_substring
+
+
+def test_dedup_substring_finds_shared_passage(spark):
+    from kdb_spark.llm import dedup as dd
+
+    shared = " ".join(f"tok{i}" for i in range(60))  # 60-token passage
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta " + shared + " gamma"),
+            (2, "unrelated prefix words here " + shared),
+            (3, "completely different text " + " ".join(f"z{i}" for i in range(40))),
+        ],
+        "doc_id long, text string",
+    )
+    out = dd.dedup_substring(docs).collect()
+    assert out, "shared 60-token passage not detected"
+    for r in out:
+        assert r.n_docs == 2 and r.min_doc == 1  # docs 1 and 2 share spans
+
+
+def test_dedup_substring_short_docs_emit_nothing(spark):
+    from kdb_spark.llm import dedup as dd
+
+    docs = spark.createDataFrame(
+        [(1, "only five words right here"), (2, "only five words right here")],
+        "doc_id long, text string",
+    )
+    assert dd.dedup_substring(docs).collect() == []
