@@ -1,0 +1,117 @@
+"""Behavioral event analytics (SURVEY.md §2.B extensions): funnel
+conversion, cohort retention, activity streaks — the product-analytics
+rollups an events table exists to answer.
+
+All three follow the engine's window discipline: one shuffle on the
+series key (user_id), chained window passes REUSE that sort (Catalyst
+plans consecutive same-partitioning windows over a single Exchange), and
+the final rollup aggregates bounded group keys. Derived values are exact
+integer µs arithmetic, so every op is oracle-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from kdb_spark.tables import DAY_US
+
+
+def agg_funnel(events: DataFrame) -> DataFrame:
+    """Ordered funnel per user: first 'view', then the first 'click' AFTER
+    it, then the first 'purchase' after that. One row per user with the
+    three stage timestamps (null = never reached) and the depth reached.
+
+    Three chained window selects over the SAME user partition — one
+    Exchange total; each stage's min is conditional on the previous
+    stage's timestamp, which a flat conditional aggregate can't express.
+    """
+    w = Window.partitionBy("user_id")
+    t1 = F.min(F.when(F.col("event_type") == "view", F.col("ts_us"))).over(w)
+    stage1 = events.select("user_id", "event_type", "ts_us", t1.alias("t1_us"))
+    t2 = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts_us") > F.col("t1_us")),
+            F.col("ts_us"),
+        )
+    ).over(w)
+    stage2 = stage1.select("*", t2.alias("t2_us"))
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts_us") > F.col("t2_us")),
+            F.col("ts_us"),
+        )
+    ).over(w)
+    stage3 = stage2.select("*", t3.alias("t3_us"))
+    reached = (
+        F.when(F.col("t3_us").isNotNull(), 3)
+        .when(F.col("t2_us").isNotNull(), 2)
+        .when(F.col("t1_us").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return (
+        stage3.groupBy("user_id")
+        .agg(
+            F.min("t1_us").alias("t1_us"),
+            F.min("t2_us").alias("t2_us"),
+            F.min("t3_us").alias("t3_us"),
+        )
+        .select(
+            "user_id",
+            "t1_us",
+            "t2_us",
+            "t3_us",
+            reached.cast("long").alias("reached"),
+        )
+    )
+
+
+def retention_cohort(events: DataFrame) -> DataFrame:
+    """Cohort retention matrix: users grouped by their first active day,
+    counted per day-offset of later activity — the table behind every
+    retention curve.
+
+    Two shuffles at any scale: the user window (first day) and the
+    (cohort, offset) rollup; day arithmetic is exact integer µs.
+    """
+    day = (F.col("ts_us") - F.col("ts_us") % F.lit(DAY_US)).alias("day_us")
+    w = Window.partitionBy("user_id")
+    acts = events.select("user_id", day).distinct()
+    with_cohort = acts.select(
+        "user_id",
+        "day_us",
+        F.min("day_us").over(w).alias("cohort_us"),
+    )
+    return (
+        with_cohort.groupBy(
+            "cohort_us",
+            ((F.col("day_us") - F.col("cohort_us")) / F.lit(DAY_US))
+            .cast("long")
+            .alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .select("cohort_us", "day_offset", F.col("n_users").cast("long").alias("n_users"))
+    )
+
+
+def win_streaks(events: DataFrame) -> DataFrame:
+    """Longest consecutive-day activity streak per user — gaps-and-islands:
+    within a user's distinct active days, day − rank·1d is constant inside
+    a consecutive run, so a single grouping on that anchor sizes every
+    island. One user shuffle (window) + one bounded rollup.
+    """
+    day = (F.col("ts_us") - F.col("ts_us") % F.lit(DAY_US)).alias("day_us")
+    acts = events.select("user_id", day).distinct()
+    w = Window.partitionBy("user_id").orderBy("day_us")
+    anchored = acts.select(
+        "user_id",
+        "day_us",
+        (F.col("day_us") - F.row_number().over(w) * F.lit(DAY_US)).alias("anchor"),
+    )
+    islands = anchored.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("len_days")
+    )
+    return islands.groupBy("user_id").agg(
+        F.max("len_days").cast("long").alias("max_streak_days"),
+        F.sum("len_days").cast("long").alias("n_active_days"),
+    )
