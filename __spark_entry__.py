@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kdb_spark.analytics import aggregations as agg
+from kdb_spark.analytics import behavior as bh
 from kdb_spark.analytics import joins as jn
 from kdb_spark.analytics import kernel as kn
 from kdb_spark.analytics import scalars as sc
@@ -794,6 +795,67 @@ _reg(
     "table_profile",
     lambda s, d: agg.table_profile(load(s, d, "orders")),
     "\nUNION ALL".join(_profile_leg(n, k) for n, k in _PROFILE_COLS),
+)
+
+# ----- behavioral analytics: funnel / cohort retention / streaks
+
+_reg(
+    "agg_funnel",
+    lambda s, d: bh.agg_funnel(events_us(s, d)),
+    """
+    WITH b AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+    s1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN ts_us END)
+                     OVER (PARTITION BY user_id) AS t1_us FROM b),
+    s2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts_us > t1_us
+                              THEN ts_us END)
+                     OVER (PARTITION BY user_id) AS t2_us FROM s1),
+    s3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts_us > t2_us
+                              THEN ts_us END)
+                     OVER (PARTITION BY user_id) AS t3_us FROM s2)
+    SELECT user_id, min(t1_us) AS t1_us, min(t2_us) AS t2_us,
+           min(t3_us) AS t3_us,
+           CAST(CASE WHEN min(t3_us) IS NOT NULL THEN 3
+                     WHEN min(t2_us) IS NOT NULL THEN 2
+                     WHEN min(t1_us) IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS reached
+    FROM s3 GROUP BY 1
+    """,
+)
+
+_reg(
+    "retention_cohort",
+    lambda s, d: bh.retention_cohort(events_us(s, d)),
+    """
+    WITH a AS (SELECT DISTINCT user_id,
+                      epoch_us(ts) - epoch_us(ts) % 86400000000 AS day_us
+               FROM events),
+    c AS (SELECT user_id, day_us,
+                 min(day_us) OVER (PARTITION BY user_id) AS cohort_us
+          FROM a)
+    SELECT cohort_us,
+           CAST((day_us - cohort_us) / 86400000000 AS BIGINT) AS day_offset,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM c GROUP BY 1, 2
+    """,
+)
+
+_reg(
+    "win_streaks",
+    lambda s, d: bh.win_streaks(events_us(s, d)),
+    """
+    WITH a AS (SELECT DISTINCT user_id,
+                      epoch_us(ts) - epoch_us(ts) % 86400000000 AS day_us
+               FROM events),
+    i AS (SELECT user_id, day_us,
+                 day_us - row_number() OVER (PARTITION BY user_id
+                                             ORDER BY day_us) * 86400000000
+                   AS anchor
+          FROM a),
+    g AS (SELECT user_id, anchor, count(*) AS len_days FROM i GROUP BY 1, 2)
+    SELECT user_id, CAST(max(len_days) AS BIGINT) AS max_streak_days,
+           CAST(sum(len_days) AS BIGINT) AS n_active_days
+    FROM g GROUP BY 1
+    """,
 )
 
 _reg(
@@ -1938,6 +2000,22 @@ _reg(
     SELECT doc_id, lang, source FROM documents
     WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 <
           CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 50 WHEN 'fr' THEN 25 ELSE 0 END
+    """,
+)
+
+_reg(
+    "quality_rarity",
+    lambda s, d: tx.quality_rarity(load(s, d, "documents")),
+    """
+    WITH t AS (SELECT doc_id,
+                      unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+               FROM documents),
+    f AS (SELECT tok, count(*) AS cnt FROM t GROUP BY 1),
+    j AS (SELECT doc_id, cnt FROM t JOIN f USING (tok))
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(cnt) AS BIGINT) AS sum_freq,
+           round(CAST(sum(cnt) AS DOUBLE) / count(*), 6) AS avg_tok_freq
+    FROM j GROUP BY 1
     """,
 )
 

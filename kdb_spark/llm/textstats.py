@@ -240,3 +240,32 @@ def text_repetition(documents: DataFrame, thresh: float = 0.2) -> DataFrame:
         F.round(dup_tok, 6).alias("dup_tok_ratio"),
         (rep_tri >= F.lit(thresh)).alias("is_repetitive"),
     )
+
+
+def quality_rarity(documents: DataFrame) -> DataFrame:
+    """Corpus-frequency rarity score per doc: the average corpus-wide
+    occurrence count of the doc's tokens — the cheap stand-in for
+    perplexity filtering (very high = boilerplate built from the corpus's
+    most common words; very low = OCR junk / codes / non-language).
+
+    Integer-exact on purpose: a real LM-perplexity proxy needs log(), and
+    libm rounding differs across engines; sums of integer counts divided
+    once are bit-deterministic everywhere. Two hash aggregates (vocab,
+    then per-doc) + one token equi-join — the vocab side is Zipf-bounded,
+    far smaller than the corpus, so AQE broadcasts it at any scale.
+    """
+    toks = documents.select(
+        "doc_id", F.explode(tokens("text")).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        toks.join(vocab, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("cnt").cast("long").alias("sum_freq"),
+            F.round(
+                F.sum("cnt").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_tok_freq"),
+        )
+    )

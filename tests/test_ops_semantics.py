@@ -242,3 +242,55 @@ def test_dedup_substring_short_docs_emit_nothing(spark):
         "doc_id long, text string",
     )
     assert dd.dedup_substring(docs).collect() == []
+
+
+# ----------------------------------------------------- behavioral analytics
+
+
+def test_funnel_requires_order(spark):
+    from kdb_spark.analytics import behavior as bh
+
+    ev = _events(
+        spark,
+        [
+            # user 1: view → click → purchase, in order
+            (1, 1, "view", 0.0, 100),
+            (2, 1, "click", 0.0, 200),
+            (3, 1, "purchase", 0.0, 300),
+            # user 2: purchase BEFORE the view → depth stops at 1
+            (4, 2, "purchase", 0.0, 100),
+            (5, 2, "view", 0.0, 200),
+            # user 3: click only, no view → depth 0
+            (6, 3, "click", 0.0, 100),
+        ],
+    )
+    out = {r.user_id: r for r in bh.agg_funnel(ev).collect()}
+    assert out[1].reached == 3 and (out[1].t1_us, out[1].t3_us) == (100, 300)
+    assert out[2].reached == 1 and out[2].t2_us is None
+    assert out[3].reached == 0 and out[3].t1_us is None
+
+
+def test_streaks_islands(spark):
+    from kdb_spark.analytics import behavior as bh
+    from kdb_spark.tables import DAY_US
+
+    # user 1: days 0,1,2 then 5,6 → max streak 3, 5 active days
+    rows = [(i, 1, "view", 0.0, d * DAY_US + 5) for i, d in enumerate([0, 1, 2, 5, 6])]
+    # day 2 has a second event — distinct-day dedup must not inflate runs
+    rows.append((99, 1, "view", 0.0, 2 * DAY_US + 999))
+    [r] = bh.win_streaks(_events(spark, rows)).collect()
+    assert (r.max_streak_days, r.n_active_days) == (3, 5)
+
+
+def test_retention_cohort_offsets(spark):
+    from kdb_spark.analytics import behavior as bh
+    from kdb_spark.tables import DAY_US
+
+    rows = [
+        (1, 1, "view", 0.0, 0),                # cohort day 0
+        (2, 1, "view", 0.0, 2 * DAY_US),       # back on day 2
+        (3, 2, "view", 0.0, 0),                # same cohort, day 0 only
+    ]
+    out = {(r.cohort_us, r.day_offset): r.n_users
+           for r in bh.retention_cohort(_events(spark, rows)).collect()}
+    assert out == {(0, 0): 2, (0, 2): 1}

@@ -332,3 +332,15 @@ def test_pipeline_corpus_prep_is_two_exchanges(spark):
     assert "Join" not in plan, plan
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2, plan
+
+
+def test_funnel_is_single_exchange(spark):
+    """Three chained conditional-min windows share the user partitioning —
+    Catalyst must plan them over ONE Exchange (plus the final user agg
+    reusing it), never re-shuffling per stage."""
+    import re
+
+    from kdb_spark.analytics import behavior as bh
+
+    plan = plan_of(bh.agg_funnel(events_us(spark, SF_DIR)))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
