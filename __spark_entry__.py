@@ -182,6 +182,15 @@ _reg(
 )
 
 _reg(
+    "scan_text",
+    src.q_scan_text,
+    """
+    SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_line
+    FROM documents
+    """,
+)
+
+_reg(
     "scan_orc",
     src.q_scan_orc,
     """
@@ -1331,6 +1340,15 @@ _reg(
     WINDOW w AS (PARTITION BY user_id, event_type
                  ORDER BY epoch_us(ts), event_id)
     """,
+)
+
+# win_zscore's bounded frame ports to streaming the same way win_ewma's
+# horizon does — 31 cent-samples of state; integer frame sums make the
+# parity exact with no float caveats. Oracle = the batch window SQL.
+_reg(
+    "stream_zscore",
+    sm.stream_zscore,
+    _ORACLE["win_zscore"],
 )
 
 _reg(

@@ -117,6 +117,10 @@ def main() -> int:
         "dedup_exact", "dedup_near_minhash", "dedup_simhash", "dedup_cluster",
         "sim_search_topk", "ann_search_topk", "emb_kmeans", "decontaminate",
         "text_stats",
+        # round-6 families: PQ index, sketch quantiles, behavioral windows,
+        # composed curation pipeline
+        "pq_search_topk", "agg_quantile_sketch", "agg_funnel",
+        "pipeline_corpus_prep",
     ]
     print(
         json.dumps(

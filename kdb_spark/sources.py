@@ -323,3 +323,43 @@ def q_sink_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("total_c"),
         )
     )
+
+
+def scan_text(spark: SparkSession, path: str, whole: bool = False) -> DataFrame:
+    """Line-oriented text scan — the raw edge of an LLM corpus pipeline
+    (one row per line; ``wholetext`` for one row per file). No schema to
+    push, but partition-parallel splitting on line boundaries is free."""
+    return spark.read.option("wholetext", whole).text(path)
+
+
+def sink_text(df: DataFrame, path: str) -> None:
+    """Single-string-column sink (one line per row) — the inverse edge."""
+    df.write.mode("overwrite").text(path)
+
+
+def q_scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.text → text lines → scan_text → per-line token stats.
+
+    Texts are single-line (normalized corpus), so the round-trip is
+    row-stable; the doc id is carried IN the line (tab-prefixed) the way
+    real line-oriented corpora (jsonl/tsv) carry their keys, then parsed
+    back out with one split — all JVM expressions.
+    """
+    from pyspark.sql import functions as F
+
+    docs = scan_parquet(spark, f"{sf_dir.rstrip('/')}/documents.parquet")
+    path = _tmp("text")
+    sink_text(
+        docs.select(
+            F.concat_ws(
+                "\t", F.col("doc_id").cast("string"), F.col("text")
+            ).alias("value")
+        ),
+        path,
+    )
+    lines = scan_text(spark, path)
+    tab = F.instr("value", "\t")
+    return lines.select(
+        F.substring("value", F.lit(1), tab - 1).cast("long").alias("doc_id"),
+        F.length(F.substring_index("value", "\t", -1)).cast("long").alias("n_chars_line"),
+    )

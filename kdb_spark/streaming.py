@@ -644,3 +644,125 @@ def stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain(out, "append", partitions=16).select(
         "event_id", "user_id", "event_type", F.round("ewma", 6).alias("ewma")
     )
+
+
+# ------------------------------------------------- stateful rolling z-score
+
+_ZS_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("z", T.DoubleType()),
+    ]
+)
+
+_ZS_STATE = T.StructType(
+    [
+        T.StructField("ts_us", T.ArrayType(T.LongType())),
+        T.StructField("event_id", T.ArrayType(T.LongType())),
+        T.StructField("xc", T.ArrayType(T.LongType())),
+        T.StructField("n_late", T.LongType()),
+    ]
+)
+
+_ZS_K = 32  # frame width, matching win_zscore's 31 PRECEDING + CURRENT
+
+
+def _zscore_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Rolling z-score with the last 31 cent-samples carried as state.
+
+    Parity is STRONGER than the EWMA case: the frame statistics are sums
+    of exact bigint cents (order-independent), and the z derivation
+    repeats the batch expression shape on those exact integers — so the
+    drained stream equals the batch window query with no float caveats.
+    Late rows behind the stored tail: dropped and counted, as everywhere.
+    """
+    chunks = [c for c in pdfs if len(c)]
+    if not chunks:
+        return
+    pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+    ts = pdf["ts_us"].to_numpy()
+    eid = pdf["event_id"].to_numpy()
+    order = np.lexsort((eid, ts))
+    ts, eid = ts[order], eid[order]
+    # the same per-row cents the batch op derives JVM-side
+    xc = np.round(pdf["value"].to_numpy()[order] * 100).astype(np.int64)
+    prev = tuple(state.get) if state.exists else None
+    n_late = int(prev[3]) if prev is not None else 0
+    h_ts = np.asarray(prev[0], dtype=np.int64) if prev is not None else np.empty(0, np.int64)
+    h_eid = np.asarray(prev[1], dtype=np.int64) if prev is not None else np.empty(0, np.int64)
+    h_xc = np.asarray(prev[2], dtype=np.int64) if prev is not None else np.empty(0, np.int64)
+    lo = 0
+    if len(h_ts):
+        i0 = int(np.searchsorted(ts, h_ts[-1], "left"))
+        i1 = int(np.searchsorted(ts, h_ts[-1], "right"))
+        lo = i0 + int(np.searchsorted(eid[i0:i1], h_eid[-1], "right"))
+        n_late += lo
+    new_ts, new_eid = ts[lo:], eid[lo:]
+    new_xc = xc[lo:]
+    full_ts = np.concatenate([h_ts, new_ts])
+    full_eid = np.concatenate([h_eid, new_eid])
+    full_xc = np.concatenate([h_xc, new_xc])
+    state.update(
+        (
+            [int(x) for x in full_ts[-(_ZS_K - 1):]],
+            [int(x) for x in full_eid[-(_ZS_K - 1):]],
+            [int(x) for x in full_xc[-(_ZS_K - 1):]],
+            n_late,
+        )
+    )
+    if not len(new_xc):
+        return
+    off = len(h_xc)
+    # trailing-frame integer sums via cumsum differences (exact in int64)
+    c1 = np.concatenate([[0], np.cumsum(full_xc)])
+    c2 = np.concatenate([[0], np.cumsum(full_xc * full_xc)])
+    idx = np.arange(off, len(full_xc))
+    start = np.maximum(0, idx - (_ZS_K - 1))
+    n = (idx - start + 1).astype(np.float64)
+    s1 = (c1[idx + 1] - c1[start]).astype(np.float64)
+    s2 = (c2[idx + 1] - c2[start]).astype(np.float64)
+    mean = s1 / n
+    var = s2 / n - mean * mean
+    with np.errstate(invalid="ignore", divide="ignore"):
+        z = np.where(var > 0, (new_xc.astype(np.float64) - mean) / np.sqrt(var), np.nan)
+    uid = pdf["user_id"].to_numpy()[order][lo:]
+    etype = pdf["event_type"].to_numpy()[order][lo:]
+    # NaN must surface as SQL NULL (the batch op's zero-variance case), not
+    # as a double NaN — object dtype makes Arrow emit nulls
+    zcol = pd.Series(z).astype(object).where(pd.notna(pd.Series(z)), None)
+    yield pd.DataFrame(
+        {"user_id": uid, "event_type": etype, "event_id": new_eid, "z": zcol}
+    )
+
+
+def stream_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming rolling z-score outlier flag — the stateful port of
+    `win_zscore` (31 trailing cent-samples per series is the whole state).
+    The live-anomaly-detection shape: each arriving event is scored
+    against its own series' trailing window; round + threshold happen
+    JVM-side with the exact batch expressions, so the batch window query
+    is the oracle."""
+    s = events_stream(spark, sf_dir)
+    out = (
+        s.select("user_id", "event_type", "ts_us", "event_id", "value")
+        .groupBy("user_id", "event_type")
+        .applyInPandasWithState(
+            _zscore_fn,
+            outputStructType=_ZS_OUT,
+            stateStructType=_ZS_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    z = F.col("z")
+    return _drain(out, "append", partitions=16).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round(z, 4).alias("z"),
+        (z.isNotNull() & (F.abs(z) >= F.lit(3.0))).alias("is_outlier"),
+    )

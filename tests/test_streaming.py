@@ -253,3 +253,16 @@ def test_stream_ewma_carries_history_and_drops_late(spark, tmp_path):
     # must NOT include the dropped late row)
     e3 = (w[0] * 40.0 + w[1] * 20.0 + w[2] * 10.0) / (w[0] + w[1] + w[2])
     assert got[3] == pytest.approx(e3, abs=1e-9)
+
+
+def test_stream_zscore_equals_batch_window(spark):
+    """Integer frame sums make this port exactly equal to the batch window
+    query — including NULL z (not NaN) on zero-variance frames."""
+    from kdb_spark.analytics import windows as wn
+    from kdb_spark.tables import events_us
+
+    got = {r.event_id: (r.z, r.is_outlier)
+           for r in sm.stream_zscore(spark, SF_DIR).collect()}
+    want = {r.event_id: (r.z, r.is_outlier)
+            for r in wn.win_zscore(events_us(spark, SF_DIR)).collect()}
+    assert got == want
