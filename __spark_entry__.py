@@ -1833,6 +1833,73 @@ _reg(
     _pq_oracle(),
 )
 
+
+def _pca_oracle(n_components: int = 2, iters: int = 8, d: int = 64) -> str:
+    """Symbolic mirror of emb_pca: covariance from raw moments, fixed-e₁
+    power iteration (unrolled), deflation, map-side projection. The
+    matrix lives as a (i, j, c) table; each iteration is one matvec join
+    + one normalization subquery."""
+    ctes = [
+        f"e AS MATERIALIZED (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings)",
+        f"dims AS MATERIALIZED (SELECT i FROM range(1, {d + 1}) t(i))",
+        "mu AS MATERIALIZED (SELECT i, avg(v[i]) AS m FROM e CROSS JOIN dims GROUP BY i)",
+        """c0 AS MATERIALIZED (SELECT di.i AS i, dj.i AS j, avg(e.v[di.i] * e.v[dj.i]) AS raw
+       FROM e CROSS JOIN dims di CROSS JOIN dims dj GROUP BY 1, 2)""",
+        """cov1 AS MATERIALIZED (SELECT c0.i, c0.j, c0.raw - a.m * b.m AS c
+       FROM c0 JOIN mu a ON a.i = c0.i JOIN mu b ON b.i = c0.j)""",
+    ]
+    projs = []
+    for comp in range(1, n_components + 1):
+        cv = f"cov{comp}"
+        ctes.append(
+            f"v{comp}_0 AS MATERIALIZED (SELECT i, CASE WHEN i = 1 THEN 1.0 ELSE 0.0 END AS x FROM dims)"
+        )
+        for it in range(1, iters + 1):
+            prev = f"v{comp}_{it - 1}"
+            raw = f"v{comp}_{it}r"
+            ctes.append(
+                f"{raw} AS MATERIALIZED (SELECT {cv}.i, sum({cv}.c * v.x) AS x "
+                f"FROM {cv} JOIN {prev} v ON v.i = {cv}.j GROUP BY 1)"
+            )
+            ctes.append(
+                f"v{comp}_{it} AS MATERIALIZED (SELECT i, x / (SELECT sqrt(sum(x * x)) FROM {raw}) AS x FROM {raw})"
+            )
+        vfin = f"v{comp}_{iters}"
+        ctes.append(
+            f"lam{comp} AS MATERIALIZED (SELECT sum({cv}.c * a.x * b.x) AS l "
+            f"FROM {cv} JOIN {vfin} a ON a.i = {cv}.i JOIN {vfin} b ON b.i = {cv}.j)"
+        )
+        if comp < n_components:
+            ctes.append(
+                f"cov{comp + 1} AS MATERIALIZED (SELECT {cv}.i, {cv}.j, "
+                f"{cv}.c - (SELECT l FROM lam{comp}) * a.x * b.x AS c "
+                f"FROM {cv} JOIN {vfin} a ON a.i = {cv}.i JOIN {vfin} b ON b.i = {cv}.j)"
+            )
+        ctes.append(
+            f"p{comp} AS MATERIALIZED (SELECT e.vec_id, sum(e.v[w.i] * w.x) AS dotv "
+            f"FROM e CROSS JOIN {vfin} w GROUP BY 1)"
+        )
+        ctes.append(
+            f"s{comp} AS MATERIALIZED (SELECT sum(mu.m * w.x) AS sh FROM mu JOIN {vfin} w USING (i))"
+        )
+        projs.append(
+            f"round(p{comp}.dotv - (SELECT sh FROM s{comp}), 4) AS pc{comp}"
+        )
+    joins = " ".join(
+        f"JOIN p{c} ON p{c}.vec_id = p1.vec_id" for c in range(2, n_components + 1)
+    )
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"\n    SELECT p1.vec_id, {', '.join(projs)} FROM p1 {joins}"
+    )
+
+
+_reg(
+    "emb_pca",
+    lambda s, d: sim.emb_pca(load(s, d, "embeddings")),
+    _pca_oracle(),
+)
+
 def _mm_summary(s: SparkSession, d: str) -> DataFrame:
     """multimodal_table projected to its oracle-comparable summary (the
     binary payload itself is checked via byte length)."""

@@ -599,3 +599,83 @@ def pq_search_topk(
             "query_id", "match_id", F.round("score_pq", 6).alias("score_pq"), "rn"
         )
     )
+
+
+def emb_pca(embeddings: DataFrame, n_components: int = 2, iters: int = 8) -> DataFrame:
+    """Distributed PCA projection of the embedding column — the dimension-
+    reduction step a curation pipeline runs before clustering / visualizing
+    / cheap-ANN-ing a corpus.
+
+    Scale shape: ONE map-only pass computes per-partition moment partials
+    (count, sum-vector, d×d raw second-moment matrix) — d²+d+1 floats per
+    partition to the driver, never a shuffle of the corpus; the driver
+    assembles the covariance C = E[xxᵀ] − μμᵀ and runs ``iters`` power-
+    iteration steps per component (64×64 numpy, microseconds), deflating
+    between components. The projection back over the corpus is a map-only
+    JVM dot product against literal component vectors: pc = x·w − μ·w.
+
+    Deterministic construction (fixed e₁ init, fixed iteration count,
+    deflation by the iterated λ) mirrored symbolically in the DuckDB
+    oracle, so the projections are exact-value-checked like the other
+    approximate ops.
+    """
+    emb_only = embeddings.select("embedding")
+
+    def partials(batches):
+        n = 0
+        s = None
+        S = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            if s is None:
+                s = np.zeros(E.shape[1])
+                S = np.zeros((E.shape[1], E.shape[1]))
+            n += len(E)
+            s += E.sum(0)
+            S += E.T @ E
+        if n:
+            yield pd.DataFrame(
+                {
+                    "n": [n],
+                    "s": [list(s)],
+                    "m": [list(S.reshape(-1))],
+                }
+            )
+
+    rows = emb_only.mapInPandas(
+        partials, "n long, s array<double>, m array<double>"
+    ).collect()
+    n = sum(r.n for r in rows)
+    d = len(rows[0].s)
+    s = np.zeros(d)
+    M = np.zeros((d, d))
+    for r in rows:
+        s += np.asarray(r.s)
+        M += np.asarray(r.m).reshape(d, d)
+    mu = s / n
+    C = M / n - np.outer(mu, mu)
+
+    comps = []
+    Cw = C.copy()
+    for _ in range(n_components):
+        v = np.zeros(d)
+        v[0] = 1.0
+        for _ in range(iters):
+            v = Cw @ v
+            v = v / np.sqrt((v * v).sum())
+        lam = float(v @ Cw @ v)
+        comps.append(v)
+        Cw = Cw - lam * np.outer(v, v)
+
+    cols = [F.col("vec_id")]
+    for ci, v in enumerate(comps, start=1):
+        w_lit = F.array(*[F.lit(float(x)) for x in v])
+        shift = float(mu @ v)
+        cols.append(
+            F.round(
+                _dot(_vec_d("embedding"), w_lit) - F.lit(shift), 4
+            ).alias(f"pc{ci}")
+        )
+    return embeddings.select(*cols)

@@ -294,3 +294,26 @@ def test_retention_cohort_offsets(spark):
     out = {(r.cohort_us, r.day_offset): r.n_users
            for r in bh.retention_cohort(_events(spark, rows)).collect()}
     assert out == {(0, 0): 2, (0, 2): 1}
+
+
+# ------------------------------------------------------------------ emb_pca
+
+
+def test_pca_components_ordered_and_centered(spark):
+    """PC1 must capture at least as much variance as PC2, and projections
+    of the corpus must be mean-centered (the μ-shift contract)."""
+    import numpy as np
+
+    from kdb_spark.llm import similarity as sim
+    from kdb_spark.tables import load
+    from tests.conftest import SF_DIR
+
+    out = sim.emb_pca(load(spark, SF_DIR, "embeddings")).collect()
+    p1 = np.array([r.pc1 for r in out])
+    p2 = np.array([r.pc2 for r in out])
+    # the synthetic embeddings have a near-flat spectrum, so the fixed
+    # iteration count only approximately orders the components — allow
+    # near-ties, reject gross inversions (a swapped deflation would give
+    # p1.var << p2.var)
+    assert p1.var() >= 0.9 * p2.var() and p2.var() > 0
+    assert abs(p1.mean()) < 1e-2 and abs(p2.mean()) < 1e-2
