@@ -806,6 +806,39 @@ _reg(
     "\nUNION ALL".join(_profile_leg(n, k) for n, k in _PROFILE_COLS),
 )
 
+_reg(
+    "sql_pricing_summary",
+    lambda s, d: agg.sql_pricing_summary(load(s, d, "lineitem")),
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+             AS sum_disc_price_c,
+           round(avg(l_discount), 6) AS avg_disc
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+
+_reg(
+    "udaf_max_gap",
+    lambda s, d: agg.udaf_max_gap(events_us(s, d)),
+    """
+    WITH g AS (
+      SELECT user_id, event_type,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id, event_type ORDER BY epoch_us(ts)) AS gap
+      FROM events)
+    SELECT user_id, event_type,
+           CAST(max(gap) AS BIGINT) AS max_gap_us,
+           CAST(count(*) AS BIGINT) AS n
+    FROM g GROUP BY 1, 2 HAVING max(gap) IS NOT NULL
+    """,
+)
+
 # ----- behavioral analytics: funnel / cohort retention / streaks
 
 _reg(

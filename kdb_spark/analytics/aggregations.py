@@ -474,3 +474,66 @@ def agg_quantile_sketch(events: DataFrame) -> DataFrame:
         est(0.5).alias("est_p50"),
         est(0.95).alias("est_p95"),
     )
+
+
+def udaf_max_gap(events: DataFrame) -> DataFrame:
+    """Largest silence per series — max gap between consecutive events of a
+    (user, type) series, via a grouped-aggregate pandas UDF.
+
+    This is the §2.B UDAF surface demo: a custom aggregate whose logic
+    (sort inside the group, adjacent diff, max) a built-in can't express
+    in one aggregate. Arrow ships each group's column once; the body is
+    numpy on exact int64 µs, so parity with the window-lag oracle is
+    exact. At 100 TB the shuffle is the same single groupBy any aggregate
+    pays; groups are series-sized, not corpus-sized.
+    """
+    import numpy as np
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit functionType: the module uses `from __future__ import
+    # annotations`, which stringifies type hints beyond the resolver
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def max_gap(ts):
+        a = np.sort(ts.to_numpy())
+        if len(a) < 2:
+            return None
+        return int(np.diff(a).max())
+
+    # Spark disallows mixing a group-agg pandas UDF with JVM aggregates in
+    # one agg, so the row count is a second pandas aggregate
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def n_rows(ts):
+        return len(ts)
+
+    return (
+        events.groupBy("user_id", "event_type")
+        .agg(
+            max_gap("ts_us").alias("max_gap_us"),
+            n_rows("ts_us").alias("n"),
+        )
+        .filter(F.col("max_gap_us").isNotNull())
+    )
+
+
+def sql_pricing_summary(lineitem: DataFrame) -> DataFrame:
+    """The SQL entry point, exercised end-to-end: a TPC-H-Q1-shaped pricing
+    summary submitted as SQL TEXT over a temp view — same Catalyst plan as
+    the DataFrame form (`spark.sql` and the DSL meet in the same logical
+    plan), so everything the engine guarantees (pushdown, partial aggs,
+    cents-exact money) holds for SQL users too.
+    """
+    lineitem.createOrReplaceTempView("lineitem_v")
+    return lineitem.sparkSession.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(count(*) AS BIGINT) AS n,
+               sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_c,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_c,
+               sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+                 AS sum_disc_price_c,
+               round(avg(l_discount), 6) AS avg_disc
+        FROM lineitem_v
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        """
+    )
