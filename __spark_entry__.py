@@ -1693,6 +1693,31 @@ _reg(
 )
 
 _reg(
+    "emb_cluster",
+    lambda s, d: sim.emb_cluster(load(s, d, "embeddings")),
+    """
+    WITH RECURSIVE e AS (
+      SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_sum([x * x FOR x IN v])) AS nrm FROM e),
+    pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM n a JOIN n b ON a.vec_id < b.vec_id
+      WHERE list_sum([a.v[i] * b.v[i] FOR i IN range(1, len(a.v) + 1)])
+            / (a.nrm * b.nrm) >= 0.4),
+    edges AS (
+      SELECT vec_a AS src, vec_b AS dst FROM pairs
+      UNION ALL
+      SELECT vec_b AS src, vec_a AS dst FROM pairs),
+    reach(a, b) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT r.a, e2.dst FROM reach r JOIN edges e2 ON r.b = e2.src)
+    SELECT a AS vec_id, CAST(min(b) AS BIGINT) AS canonical_id
+    FROM reach GROUP BY a
+    """,
+)
+
+_reg(
     "emb_normalize",
     lambda s, d: sim.emb_normalize(load(s, d, "embeddings")),
     """

@@ -295,11 +295,26 @@ def dedup_cluster(
     component diameter ≈ 2-4; each round is one shuffle on doc_id. The
     fixpoint (min reachable id) is unique, hence oracle-exact.
     """
-    from pyspark.sql import Observation
-
     pairs = dedup_ngram_jaccard(documents, threshold, n, df_cap).select(
         "doc_a", "doc_b"
     )
+    return connected_components(pairs, documents.select("doc_id"))
+
+
+def connected_components(pairs: DataFrame, universe: DataFrame) -> DataFrame:
+    """Min-label connected components over an undirected pair graph —
+    the reusable Pregel core behind `dedup_cluster` and `emb_cluster`.
+
+    ``pairs``: (doc_a, doc_b) edges; ``universe``: one column of ALL ids
+    (isolated ids become their own canonical, attached by one final
+    broadcast join, no iteration). See `dedup_cluster` for the scale
+    rationale (edge-vertex-only label table, pointer jumping, one job per
+    round via observe)."""
+    from pyspark.sql import Observation
+
+    id_col = universe.columns[0]
+    if id_col != "doc_id":
+        universe = universe.select(F.col(id_col).alias("doc_id"))
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).persist()
@@ -309,8 +324,31 @@ def dedup_cluster(
     # difference between joining a few million rows per round and joining
     # the whole corpus per round. Isolated docs are their own canonical id
     # and are attached with one final broadcast join, no iteration.
-    edges.count()  # materialize the cache: labels below re-scans edges, and
-    # an unpopulated persist would recompute the whole jaccard pipeline
+    n_edges = edges.count()  # materialize the cache: labels below re-scans
+    # edges, and an unpopulated persist would recompute the pair pipeline
+    spark = pairs.sparkSession
+    # size the loop's shuffles to the EDGE table, not the session default:
+    # the label table is edge-vertices only, so 32+ partitions of a few
+    # hundred rows is pure per-round task overhead (measured ~2x the round
+    # wall at test scale); grows with the graph for cluster-scale runs
+    nparts = max(4, min(200, n_edges // 50_000 + 1))
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(nparts))
+    try:
+        labels = _cc_iterate(edges)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return (
+        universe.join(labels, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("lbl", F.col("doc_id")).alias("canonical_id")
+        )
+    )
+
+
+def _cc_iterate(edges: DataFrame) -> DataFrame:
+    from pyspark.sql import Observation
+
     labels = (
         edges.select(F.col("doc_a").alias("doc_id"))
         .distinct()
@@ -331,7 +369,10 @@ def dedup_cluster(
             )
         )
         # pointer jumping: also adopt the label's OWN label (path compression
-        # halves the rounds needed: O(log diameter), not O(diameter))
+        # halves the rounds needed; deeper chained jumps were measured NET
+        # SLOWER here — each extra pass re-executes the unmaterialized join
+        # chain, tripling per-round cost for graphs that converge in a few
+        # rounds anyway)
         parent = labels.select(
             F.col("doc_id").alias("p_id"), F.col("lbl").alias("p_lbl")
         )
@@ -342,7 +383,11 @@ def dedup_cluster(
                 F.least(F.col("lbl"), F.coalesce("p_lbl", F.col("lbl"))).alias("lbl"),
             )
         )
-        # single job per round: materialize the new labels AND count changes
+        # single job per round: materialize the new labels AND count changes.
+        # localCheckpoint (not persist) TRUNCATES the lineage: each round
+        # references `labels` four times, so without truncation the logical
+        # plan grows ~4x per round — at round ~15 the plan string alone hit
+        # the 2 GB JVM limit and analysis dwarfed the actual (tiny) joins.
         obs = Observation()
         old = labels.select(
             F.col("doc_id").alias("o_id"), F.col("lbl").alias("o_lbl")
@@ -356,20 +401,13 @@ def dedup_cluster(
                 ).alias("changed"),
             )
             .select("doc_id", "lbl")
-            .persist()
+            .localCheckpoint(eager=True)
         )
-        new_labels.count()
         labels.unpersist()
         labels = new_labels
         if not obs.get["changed"]:
             break
-    return (
-        documents.select("doc_id")
-        .join(labels, "doc_id", "left")
-        .select(
-            "doc_id", F.coalesce("lbl", F.col("doc_id")).alias("canonical_id")
-        )
-    )
+    return labels
 
 
 def simhash64(documents: DataFrame) -> DataFrame:

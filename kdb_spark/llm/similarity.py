@@ -679,3 +679,19 @@ def emb_pca(embeddings: DataFrame, n_components: int = 2, iters: int = 8) -> Dat
             ).alias(f"pc{ci}")
         )
     return embeddings.select(*cols)
+
+
+def emb_cluster(embeddings: DataFrame, tau: float = 0.4) -> DataFrame:
+    """Embedding-space near-duplicate clustering: connected components over
+    the exact cosine pair graph (`emb_near_dup`), canonical vector = min
+    vec_id per component — the semantic-dedup counterpart of the text-side
+    `dedup_cluster`, sharing its Pregel core (`dedup.connected_components`).
+    """
+    from kdb_spark.llm.dedup import connected_components
+
+    pairs = emb_near_dup(embeddings, tau).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    return connected_components(
+        pairs, embeddings.select("vec_id")
+    ).select(F.col("doc_id").alias("vec_id"), "canonical_id")
