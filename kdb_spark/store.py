@@ -136,6 +136,18 @@ class TimeSeriesStore:
             os.replace(tmp, f)
         return cur
 
+    def current_seq(self) -> int:
+        """Latest committed batch sequence — the snapshot handle for
+        ``get/find(as_of=...)`` time travel (-1 = nothing ingested). The
+        parquet-store analog of a Delta/Iceberg snapshot version: pin it
+        before further ingest, read the store as of that moment forever
+        after (modulo retention drops)."""
+        f = self._seq_file()
+        if not os.path.exists(f):
+            return -1
+        with open(f) as fh:
+            return json.load(fh)["next"] - 1
+
     def put_batch(
         self,
         rows: DataFrame | Iterable[tuple],
@@ -426,12 +438,26 @@ class TimeSeriesStore:
             F.max_by("payload", F.struct("ingest_seq", "row_seq")).alias("payload")
         )
 
-    def get(self, start: int, end: int, tags: list[str], now: int) -> DataFrame:
+    def get(
+        self,
+        start: int,
+        end: int,
+        tags: list[str],
+        now: int,
+        as_of: int | None = None,
+    ) -> DataFrame:
         """Exact-series dense range read (O2, `dbase/dbase.go:161-231`).
 
         Returns DataFrame (ts LONG, payload BINARY) with exactly
         ``(end-start)/resolution`` rows after flooring, end-exclusive,
         zero-filled. Never an error for absent series/buckets.
+
+        ``as_of``: snapshot read — only rows from batches with
+        ``ingest_seq <= as_of`` are visible, so a later LWW overwrite is
+        invisible at an earlier snapshot (see :meth:`current_seq`). Free at
+        read time because every row carries its batch's ``ingest_seq`` and
+        compaction preserves it; retention is NOT snapshot-protected
+        (dropped buckets are physically gone, the vacuum trade).
         """
         cfg = self.config
         start = cfg.floor_to_resolution(start)  # dbase.go:163-164
@@ -456,6 +482,8 @@ class TimeSeriesStore:
             self._pruned(start, end, now)
             .filter(cond & (F.col("ts") >= start) & (F.col("ts") < end))
         )
+        if as_of is not None:
+            data = data.filter(F.col("ingest_seq") <= int(as_of))
         lww = self._lww(data).select("ts", "payload")
         spine = time_spine(self.spark, start, end, cfg.resolution)
         return densify(
@@ -463,7 +491,14 @@ class TimeSeriesStore:
             fill=F.lit(cfg.zero_payload),
         ).orderBy("ts")
 
-    def find(self, start: int, end: int, tags: list[str], now: int) -> DataFrame:
+    def find(
+        self,
+        start: int,
+        end: int,
+        tags: list[str],
+        now: int,
+        as_of: int | None = None,
+    ) -> DataFrame:
         """Wildcard multi-series dense read (O3, `dbase/dbase.go:233-321`).
 
         ``""`` (or None) in ``tags`` matches any value at that position
@@ -489,6 +524,8 @@ class TimeSeriesStore:
         # Presence consults every bucket the reference's loop touches —
         # including the one whose base == end (dbase.go:247,256).
         scanned = self._pruned(start, end, now, include_end_bucket=True).filter(cond)
+        if as_of is not None:
+            scanned = scanned.filter(F.col("ingest_seq") <= int(as_of))
         series = scanned.select(*tag_cols).distinct()
         data = scanned.filter((F.col("ts") >= start) & (F.col("ts") < end))
         lww = self._lww(data)

@@ -432,3 +432,49 @@ def test_compact_crash_after_manifest_converges_without_duplicates(
     assert payloads(out) == [PB]
     files = [f for f in _os.listdir(bucket) if not f.startswith(("_", "."))]
     assert len(files) < n_old or all(f.startswith("c") for f in files)
+
+
+# ----------------------------------------------------------- snapshot reads
+
+
+def test_as_of_sees_pre_overwrite_value(store):
+    """Time travel: an LWW overwrite in a later batch is invisible at the
+    earlier snapshot; the current read sees the overwrite."""
+    seeded(store)
+    v1 = store.current_seq()
+    store.put_batch([(10990, "a", "b", "c", "d", bytes([9, 9, 9, 9]))], now=NOW)
+    assert store.current_seq() == v1 + 1
+    assert payloads(store.get(10990, 11000, ["a", "b", "c", "d"], now=NOW)) == [
+        bytes([9, 9, 9, 9])
+    ]
+    assert payloads(
+        store.get(10990, 11000, ["a", "b", "c", "d"], now=NOW, as_of=v1)
+    ) == [PA]
+
+
+def test_as_of_before_series_existed_is_zero(store):
+    """A snapshot taken before a series' first write reads dense zeros —
+    and find() does not list the series at that snapshot."""
+    seeded(store)
+    v0 = store.current_seq()
+    store.put_batch([(11200, "x", "y", "z", "w", PA)], now=NOW)
+    assert payloads(
+        store.get(11200, 11210, ["x", "y", "z", "w"], now=NOW, as_of=v0)
+    ) == [P0]
+    rows = store.find(11200, 11210, ["x", "", "", ""], now=NOW, as_of=v0).collect()
+    assert rows == []
+
+
+def test_as_of_survives_compaction(store):
+    """Compaction preserves ingest_seq, so snapshots still resolve after a
+    bucket rewrite."""
+    seeded(store)
+    v1 = store.current_seq()
+    store.put_batch([(10990, "a", "b", "c", "d", bytes([7, 7, 7, 7]))], now=NOW)
+    store.compact(10000)
+    assert payloads(
+        store.get(10990, 11000, ["a", "b", "c", "d"], now=NOW, as_of=v1)
+    ) == [PA]
+    assert payloads(store.get(10990, 11000, ["a", "b", "c", "d"], now=NOW)) == [
+        bytes([7, 7, 7, 7])
+    ]
