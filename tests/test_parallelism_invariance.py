@@ -1,0 +1,71 @@
+"""Determinism-at-any-parallelism for the round-6 operators.
+
+The engine's standing contract (see agg_mode's docstring): results must
+not depend on partition count or row arrival order — the property that
+separates an operator that HAPPENS to pass the oracle at 32 partitions
+from one that is correct on a 1000-executor cluster. Each case runs the
+op on the sf0.001 input twice — as loaded, and repartitioned to a prime
+partition count with shuffled row order — and requires identical rows.
+"""
+
+import pytest
+
+from kdb_spark.analytics import aggregations as agg
+from kdb_spark.analytics import behavior as bh
+from kdb_spark.analytics import joins as jn
+from kdb_spark.analytics import windows as wn
+from kdb_spark.llm import curation as cu
+from kdb_spark.llm import dedup as dd
+from kdb_spark.llm import textstats as tx
+from kdb_spark.tables import events_us, load
+from tests.conftest import SF_DIR
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _scrambled(df):
+    # repartition + per-partition reverse: different partition count AND
+    # different within-partition row order than the file scan
+    return df.repartition(7).sortWithinPartitions(df.columns[0], ascending=False)
+
+
+EVENT_OPS = [
+    wn.win_ewma,
+    wn.win_zscore,
+    jn.join_nearest,
+    agg.agg_count_min,
+    agg.agg_quantile_sketch,
+    bh.agg_funnel,
+    bh.retention_cohort,
+    bh.win_streaks,
+    agg.udaf_max_gap,
+]
+
+DOC_OPS = [
+    tx.text_repetition,
+    tx.quality_rarity,
+    cu.mix_weights,
+    cu.pipeline_corpus_prep,
+    dd.dedup_substring,
+]
+
+
+@pytest.mark.parametrize("op", EVENT_OPS, ids=lambda f: f.__name__)
+def test_event_ops_parallelism_invariant(spark, op):
+    ev = events_us(spark, SF_DIR)
+    assert _rows(op(ev)) == _rows(op(_scrambled(ev)))
+
+
+@pytest.mark.parametrize("op", DOC_OPS, ids=lambda f: f.__name__)
+def test_doc_ops_parallelism_invariant(spark, op):
+    docs = load(spark, SF_DIR, "documents")
+    assert _rows(op(docs)) == _rows(op(_scrambled(docs)))
+
+
+def test_table_profile_parallelism_invariant(spark):
+    orders = load(spark, SF_DIR, "orders")
+    a = _rows(agg.table_profile(orders))
+    b = _rows(agg.table_profile(_scrambled(orders)))
+    assert a == b
