@@ -1703,7 +1703,7 @@ _reg(
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
       FROM n a JOIN n b ON a.vec_id < b.vec_id
       WHERE list_sum([a.v[i] * b.v[i] FOR i IN range(1, len(a.v) + 1)])
-            / (a.nrm * b.nrm) >= 0.4),
+            / (a.nrm * b.nrm) >= 0.45),
     edges AS (
       SELECT vec_a AS src, vec_b AS dst FROM pairs
       UNION ALL

@@ -681,11 +681,17 @@ def emb_pca(embeddings: DataFrame, n_components: int = 2, iters: int = 8) -> Dat
     return embeddings.select(*cols)
 
 
-def emb_cluster(embeddings: DataFrame, tau: float = 0.4) -> DataFrame:
+def emb_cluster(embeddings: DataFrame, tau: float = 0.45) -> DataFrame:
     """Embedding-space near-duplicate clustering: connected components over
     the exact cosine pair graph (`emb_near_dup`), canonical vector = min
     vec_id per component — the semantic-dedup counterpart of the text-side
     `dedup_cluster`, sharing its Pregel core (`dedup.connected_components`).
+
+    Default tau is a notch above `emb_near_dup`'s pair threshold: at 0.40
+    the synthetic corpus's pair graph turns into ~100-deep chains of
+    barely-similar vectors (12 propagation rounds — transitive chaining of
+    near-threshold cosines is the classic semantic-dedup over-merge), while
+    0.45 keeps genuinely-near components with ~half the rounds.
     """
     from kdb_spark.llm.dedup import connected_components
 
