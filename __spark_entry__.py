@@ -2231,6 +2231,25 @@ _reg(
 )
 
 _reg(
+    "mix_apply",
+    lambda s, d: cu.mix_apply(load(s, d, "documents")),
+    """
+    WITH per AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS chars
+                 FROM documents GROUP BY 1),
+    tot AS (SELECT CAST(sum(chars) AS BIGINT) AS total,
+                   CAST(count(*) AS BIGINT) AS k FROM per),
+    rates AS (
+      SELECT source,
+             round(least(1.0, (CAST(total AS DOUBLE) / k) / chars), 6) AS mix_rate
+      FROM per CROSS JOIN tot)
+    SELECT d.doc_id, d.source, CAST(d.n_chars AS BIGINT) AS n_chars
+    FROM documents d JOIN rates r USING (source)
+    WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6))::BIGINT % 1000000
+          < CAST(round(r.mix_rate * 1000000) AS BIGINT)
+    """,
+)
+
+_reg(
     "token_histogram",
     lambda s, d: tx.token_histogram(load(s, d, "documents")),
     """

@@ -330,3 +330,26 @@ def pipeline_corpus_prep(documents: DataFrame) -> DataFrame:
             F.sum("n_toks_norm").cast("long").alias("n_tokens_sum"),
         )
     )
+
+
+def mix_apply(documents: DataFrame) -> DataFrame:
+    """Materialize the mixture `mix_weights` prescribes: keep each doc with
+    its source's rate, decided by the doc's own md5 slot — deterministic,
+    repartition-stable, and exactly the acceptance rule `sample_hash` uses,
+    so re-running the pipeline anywhere reproduces the same corpus.
+
+    The rate table is |sources| rows (broadcast); the gate is a map-only
+    integer compare (slot/10^6 < rate as slot < rate·10^6 — no float
+    division per row). One tiny agg + one broadcast join at any scale.
+    """
+    rates = mix_weights(documents).select("source", "mix_rate")
+    slot = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10
+    ).cast("long") % 1_000_000
+    return (
+        documents.join(F.broadcast(rates), "source")
+        # explicit round: Spark's cast-to-long truncates while other
+        # engines round, and rate*10^6 sits a ULP under an integer
+        .filter(slot < F.round(F.col("mix_rate") * 1_000_000).cast("long"))
+        .select("doc_id", "source", F.col("n_chars").cast("long").alias("n_chars"))
+    )
