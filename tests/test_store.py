@@ -478,3 +478,21 @@ def test_as_of_survives_compaction(store):
     assert payloads(store.get(10990, 11000, ["a", "b", "c", "d"], now=NOW)) == [
         bytes([7, 7, 7, 7])
     ]
+
+
+def test_corrupt_data_file_fails_loudly(store):
+    """The reference's corrupt-index contract (`mindex/mindex_test.go:84-107`):
+    damaged storage must FAIL the read, never silently return partial data.
+    Spark's default (ignoreCorruptFiles=false) is relied on — this pins it."""
+    import glob
+    import os
+
+    import pytest as _pytest
+
+    seeded(store)
+    [part] = glob.glob(os.path.join(store.path, "bucket_ts=10000", "*.parquet"))
+    with open(part, "wb") as fh:
+        fh.write(b"not a parquet file")
+    store._invalidate_hot_cache()
+    with _pytest.raises(Exception, match="[Pp]arquet|footer|corrupt|magic"):
+        store.get(10990, 11010, ["a", "b", "c", "d"], now=NOW).collect()
