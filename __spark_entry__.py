@@ -1657,7 +1657,7 @@ _reg(
     SELECT doc_id, n_tokens, n_trigrams, n_tri_uniq,
            round(1.0 - n_tri_uniq / greatest(n_trigrams, 1), 6) AS rep_tri_ratio,
            round(1.0 - n_uniq / greatest(n_tokens, 1), 6) AS dup_tok_ratio,
-           ((1.0 - n_tri_uniq / greatest(n_trigrams, 1)) >= 0.2) AS is_repetitive
+           (n_trigrams > 0 AND (1.0 - n_tri_uniq / greatest(n_trigrams, 1)) >= 0.2) AS is_repetitive
     FROM s
     """,
 )

@@ -309,7 +309,14 @@ def agg_count_min(events: DataFrame, k: int = 20) -> DataFrame:
     Top-k exact counts come from a TakeOrdered (sort+limit, no global
     shuffle); the tiny sketch broadcasts onto the probe side.
     """
-    counts = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    # counts feeds THREE branches (sketch build, top-k, probe side);
+    # localCheckpoint materializes the |users|-row aggregate once instead
+    # of re-running the full-events hash agg per branch
+    counts = (
+        events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
     hashes = counts.select(
         "user_id",
         "n",

@@ -25,6 +25,18 @@ TRAIN_UPPER = "c0"
 VAL_UPPER = "e0"
 
 
+def split_expr(key: str | F.Column = "doc_id") -> F.Column:
+    """The md5-bucket train/val/test assignment as a reusable expression —
+    the ONE definition `dataset_split` and `pipeline_corpus_prep` share."""
+    key_col = F.col(key) if isinstance(key, str) else key
+    bucket = F.substring(F.md5(key_col.cast("string")), 1, 2)
+    return (
+        F.when(bucket < TRAIN_UPPER, F.lit("train"))
+        .when(bucket < VAL_UPPER, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
 def dataset_split(documents: DataFrame, key: str = "doc_id") -> DataFrame:
     """Deterministic train/val/test assignment by md5(key) prefix bucket.
 
@@ -37,10 +49,7 @@ def dataset_split(documents: DataFrame, key: str = "doc_id") -> DataFrame:
     return documents.select(
         F.col(key),
         bucket.alias("bucket"),
-        F.when(bucket < TRAIN_UPPER, F.lit("train"))
-        .when(bucket < VAL_UPPER, F.lit("val"))
-        .otherwise(F.lit("test"))
-        .alias("split"),
+        split_expr(key).alias("split"),
     )
 
 
@@ -271,7 +280,7 @@ def pipeline_corpus_prep(documents: DataFrame) -> DataFrame:
     agrees on them and the canonical pick is value-stable.
     """
     from kdb_spark.llm.dedup import tokens
-    from kdb_spark.llm.textstats import _CTRL_RE, _WS_RE, EN_STOPWORDS
+    from kdb_spark.llm.textstats import _CTRL_RE, _WS_RE, quality_score_expr
 
     norm = F.lower(
         F.trim(
@@ -280,24 +289,7 @@ def pipeline_corpus_prep(documents: DataFrame) -> DataFrame:
             )
         )
     )
-    stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
-    toks = F.col("toks")
-    n_toks = F.size(toks)
-    stop_ratio = F.size(
-        F.filter(toks, lambda t: F.array_contains(stop_arr, t))
-    ) / F.greatest(n_toks, F.lit(1))
-    digit_ratio = F.size(
-        F.regexp_extract_all("text", F.lit("[0-9]"), 0)
-    ) / F.greatest(F.length("text"), F.lit(1))
-    avg_tok = F.aggregate(
-        toks, F.lit(0.0), lambda a, t: a + F.length(t)
-    ) / F.greatest(n_toks, F.lit(1))
-    score = (
-        F.when(n_toks >= 10, 1).otherwise(0)
-        + F.when(stop_ratio >= 0.05, 1).otherwise(0)
-        + F.when(digit_ratio <= 0.3, 1).otherwise(0)
-        + F.when((avg_tok >= 3.0) & (avg_tok <= 12.0), 1).otherwise(0)
-    )
+    score = quality_score_expr(F.col("toks"))
     kept = (
         documents.select(
             "doc_id", "text", F.lit(norm).alias("norm_text"), tokens("text").alias("toks")
@@ -315,14 +307,8 @@ def pipeline_corpus_prep(documents: DataFrame) -> DataFrame:
         F.min("n_chars_norm").alias("n_chars_norm"),  # equal within a group
         F.min("n_toks_norm").alias("n_toks_norm"),
     )
-    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
-    split = (
-        F.when(bucket < TRAIN_UPPER, F.lit("train"))
-        .when(bucket < VAL_UPPER, F.lit("val"))
-        .otherwise(F.lit("test"))
-    )
     return (
-        canonical.select(split.alias("split"), "n_chars_norm", "n_toks_norm")
+        canonical.select(split_expr("doc_id").alias("split"), "n_chars_norm", "n_toks_norm")
         .groupBy("split")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

@@ -331,6 +331,11 @@ def connected_components(pairs: DataFrame, universe: DataFrame) -> DataFrame:
     # the label table is edge-vertices only, so 32+ partitions of a few
     # hundred rows is pure per-round task overhead (measured ~2x the round
     # wall at test scale); grows with the graph for cluster-scale runs
+    # NOTE: session-global knob, same single-query-at-a-time assumption as
+    # streaming._stream_shuffle — a concurrently planning query in this
+    # session would pick up the narrowed setting. The scoped alternative
+    # (pre-repartitioning both join sides each round) adds an Exchange per
+    # table per round, which is exactly the overhead being removed.
     nparts = max(4, min(200, n_edges // 50_000 + 1))
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(nparts))
@@ -355,7 +360,8 @@ def _cc_iterate(edges: DataFrame) -> DataFrame:
         .select("doc_id", F.col("doc_id").alias("lbl"))
         .persist()
     )
-    for _ in range(16):  # log-diameter bound with pointer jumping
+    converged = False
+    for _ in range(64):  # generous bound; non-convergence RAISES below
         neigh = (
             edges.join(labels, edges.doc_b == labels.doc_id)
             .groupBy("doc_a")
@@ -406,7 +412,17 @@ def _cc_iterate(edges: DataFrame) -> DataFrame:
         labels.unpersist()
         labels = new_labels
         if not obs.get["changed"]:
+            converged = True
             break
+    if not converged:
+        # the engine's no-silent-caps rule: returning partially propagated
+        # labels would split components into several canonical ids with no
+        # sign anything went wrong
+        raise RuntimeError(
+            "connected_components did not converge in 64 rounds — "
+            "pathologically deep pair graph; raise the bound or pre-thin "
+            "the edges (e.g. a higher similarity threshold)"
+        )
     return labels
 
 

@@ -73,23 +73,36 @@ def token_count_bpe(documents: DataFrame) -> DataFrame:
     )
 
 
-def quality_score(documents: DataFrame) -> DataFrame:
-    """Composite document quality gate: length / stopword / digit / token
-    signals → 0-4 score → keep/drop verdict (the filter step of a
-    training-data pipeline). All integer/ratio arithmetic → engine-exact.
-    """
-    toks = F.col("toks")
+def quality_score_expr(toks: F.Column, text: str | F.Column = "text") -> F.Column:
+    """The 0-4 composite quality score as a reusable expression — the ONE
+    definition `quality_score` and `pipeline_corpus_prep` both gate on
+    (integer/ratio arithmetic → engine-exact). ``toks`` must be a
+    materialized token-array column."""
     stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
     n_toks = F.size(toks)
-    stop_ratio = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))) / F.greatest(n_toks, F.lit(1))
-    digit_ratio = F.size(F.regexp_extract_all("text", F.lit("[0-9]"), 0)) / F.greatest(F.length("text"), F.lit(1))
-    avg_tok = F.aggregate(toks, F.lit(0.0), lambda a, t: a + F.length(t)) / F.greatest(n_toks, F.lit(1))
-    score = (
+    stop_ratio = F.size(
+        F.filter(toks, lambda t: F.array_contains(stop_arr, t))
+    ) / F.greatest(n_toks, F.lit(1))
+    digit_ratio = F.size(
+        F.regexp_extract_all(text, F.lit("[0-9]"), 0)
+    ) / F.greatest(F.length(text), F.lit(1))
+    avg_tok = F.aggregate(
+        toks, F.lit(0.0), lambda a, t: a + F.length(t)
+    ) / F.greatest(n_toks, F.lit(1))
+    return (
         F.when(n_toks >= 10, 1).otherwise(0)
         + F.when(stop_ratio >= 0.05, 1).otherwise(0)
         + F.when(digit_ratio <= 0.3, 1).otherwise(0)
         + F.when((avg_tok >= 3.0) & (avg_tok <= 12.0), 1).otherwise(0)
     )
+
+
+def quality_score(documents: DataFrame) -> DataFrame:
+    """Composite document quality gate: length / stopword / digit / token
+    signals → 0-4 score → keep/drop verdict (the filter step of a
+    training-data pipeline). See :func:`quality_score_expr`.
+    """
+    score = quality_score_expr(F.col("toks"))
     return documents.select("doc_id", "text", tokens("text").alias("toks")).select(
         "doc_id",
         score.cast("long").alias("score"),
@@ -238,7 +251,9 @@ def text_repetition(documents: DataFrame, thresh: float = 0.2) -> DataFrame:
         n_tri_uniq.alias("n_tri_uniq"),
         F.round(rep_tri, 6).alias("rep_tri_ratio"),
         F.round(dup_tok, 6).alias("dup_tok_ratio"),
-        (rep_tri >= F.lit(thresh)).alias("is_repetitive"),
+        # docs with no trigrams at all (< 3 tokens) carry no repetition
+        # evidence — never flagged (rep ratio degenerates to 1.0 there)
+        ((n_tri > 0) & (rep_tri >= F.lit(thresh))).alias("is_repetitive"),
     )
 
 

@@ -361,5 +361,7 @@ def q_scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     tab = F.instr("value", "\t")
     return lines.select(
         F.substring("value", F.lit(1), tab - 1).cast("long").alias("doc_id"),
-        F.length(F.substring_index("value", "\t", -1)).cast("long").alias("n_chars_line"),
+        # everything after the FIRST tab is the text — substring_index(-1)
+        # would split at the LAST tab and truncate tab-bearing documents
+        (F.length("value") - tab).cast("long").alias("n_chars_line"),
     )

@@ -688,8 +688,13 @@ def _zscore_fn(
     eid = pdf["event_id"].to_numpy()
     order = np.lexsort((eid, ts))
     ts, eid = ts[order], eid[order]
-    # the same per-row cents the batch op derives JVM-side
-    xc = np.round(pdf["value"].to_numpy()[order] * 100).astype(np.int64)
+    # the same per-row cents the batch op derives JVM-side. np.round is
+    # banker's (half-to-even); Spark/DuckDB round is half-AWAY-from-zero,
+    # so 0.125 would diverge (12.5 -> 12 vs 13) — emulate explicitly
+    v100 = pdf["value"].to_numpy()[order] * 100
+    xc = np.where(v100 >= 0, np.floor(v100 + 0.5), np.ceil(v100 - 0.5)).astype(
+        np.int64
+    )
     prev = tuple(state.get) if state.exists else None
     n_late = int(prev[3]) if prev is not None else 0
     h_ts = np.asarray(prev[0], dtype=np.int64) if prev is not None else np.empty(0, np.int64)

@@ -166,6 +166,8 @@ def test_text_repetition_ratios(spark):
     assert out[1].is_repetitive is True
     assert out[2].rep_tri_ratio == 0.0 and out[2].is_repetitive is False
     assert out[3].n_trigrams == 0 and out[3].n_tri_uniq == 0
+    # degenerate short doc: ratio is vacuous, flag must NOT fire
+    assert out[3].is_repetitive is False
 
 
 # -------------------------------------------------------------- mix_weights
