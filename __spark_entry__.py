@@ -1384,6 +1384,14 @@ _reg(
     _ORACLE["win_zscore"],
 )
 
+# the streaming state IS agg_quantile_sketch's mergeable histogram, so the
+# drained final rows share the batch op's oracle verbatim
+_reg(
+    "stream_quantile",
+    sm.stream_quantile,
+    _ORACLE["agg_quantile_sketch"],
+)
+
 _reg(
     "stream_latest_state",
     sm.stream_latest_state,

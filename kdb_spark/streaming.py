@@ -771,3 +771,98 @@ def stream_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 4).alias("z"),
         (z.isNotNull() & (F.abs(z) >= F.lit(3.0))).alias("is_outlier"),
     )
+
+
+# ------------------------------------------- stateful mergeable quantile cells
+
+_QS_OUT = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("est_p50", T.DoubleType()),
+        T.StructField("est_p95", T.DoubleType()),
+    ]
+)
+
+_QS_STATE = T.StructType([T.StructField("cells", T.ArrayType(T.LongType()))])
+
+
+def _quantile_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Fold each micro-batch into the per-type 64-cell histogram and emit
+    the CURRENT quantile estimates — the live view of `agg_quantile_sketch`
+    (the state IS the batch op's mergeable sketch, so the final drained row
+    per key equals the batch answer and shares its oracle).
+
+    Estimation repeats the batch expression shape on exact integer cells
+    (targets via ceil(q·n) on the same doubles, in-bin interpolation as one
+    division) — raw doubles out, round(4) JVM-side, as everywhere.
+    """
+    from kdb_spark.analytics.aggregations import QSK_BINS, QSK_HI, QSK_LO
+
+    width = (QSK_HI - QSK_LO) / QSK_BINS
+    cells = (
+        np.asarray(tuple(state.get)[0], dtype=np.int64)
+        if state.exists
+        else np.zeros(QSK_BINS, dtype=np.int64)
+    )
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        b = np.floor((pdf["value"].to_numpy() - QSK_LO) / width).astype(np.int64)
+        np.clip(b, 0, QSK_BINS - 1, out=b)
+        cells += np.bincount(b, minlength=QSK_BINS).astype(np.int64)
+    state.update(([int(x) for x in cells],))
+    n = int(cells.sum())
+    if n == 0:
+        return
+    cum = np.cumsum(cells)
+    cum_before = cum - cells
+
+    def est(q: float) -> float:
+        target = int(np.ceil(q * n))
+        i = int(np.argmax((cum >= target) & (cum_before < target)))
+        frac = float(target - cum_before[i]) / float(cells[i])
+        return QSK_LO + (i + frac) * width
+
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]],
+            "n": [n],
+            "est_p50": [est(0.5)],
+            "est_p95": [est(0.95)],
+        }
+    )
+
+
+def stream_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming quantile monitoring per event_type: the mergeable 64-cell
+    histogram of `agg_quantile_sketch` carried as stream state, current
+    p50/p95 emitted every micro-batch. After an AvailableNow drain the
+    latest row per key has folded every event, so the batch sketch query
+    is the oracle — the state-is-the-sketch design making batch, stream,
+    and shard-merge all one artifact."""
+    s = events_stream(spark, sf_dir)
+    out = (
+        s.select("event_type", "value")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _quantile_fn,
+            outputStructType=_QS_OUT,
+            stateStructType=_QS_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    drained = _drain(out, "update", partitions=16)
+    return (
+        drained.groupBy("event_type")
+        .agg(F.max_by(F.struct("n", "est_p50", "est_p95"), "n").alias("s"))
+        .select(
+            "event_type",
+            F.col("s.n").alias("n"),
+            F.round("s.est_p50", 4).alias("est_p50"),
+            F.round("s.est_p95", 4).alias("est_p95"),
+        )
+    )

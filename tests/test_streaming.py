@@ -266,3 +266,16 @@ def test_stream_zscore_equals_batch_window(spark):
     want = {r.event_id: (r.z, r.is_outlier)
             for r in wn.win_zscore(events_us(spark, SF_DIR)).collect()}
     assert got == want
+
+
+def test_stream_quantile_equals_batch_sketch(spark):
+    """State-is-the-sketch: the drained stream's final histogram estimates
+    must equal the batch agg_quantile_sketch on the same data."""
+    from kdb_spark.analytics import aggregations as agg
+    from kdb_spark.tables import events_us
+
+    got = {r.event_type: (r.n, r.est_p50, r.est_p95)
+           for r in sm.stream_quantile(spark, SF_DIR).collect()}
+    want = {r.event_type: (r.n, r.est_p50, r.est_p95)
+            for r in agg.agg_quantile_sketch(events_us(spark, SF_DIR)).collect()}
+    assert got == want
