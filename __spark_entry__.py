@@ -839,6 +839,41 @@ _reg(
     """,
 )
 
+_reg(
+    "agg_mad",
+    lambda s, d: agg.agg_mad(events_us(s, d)),
+    """
+    WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+                 FROM events GROUP BY 1)
+    SELECT e.event_type,
+           round(min(m.med), 4) AS median,
+           round(quantile_cont(abs(e.value - m.med), 0.5), 4) AS mad,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events e JOIN med m USING (event_type)
+    GROUP BY 1
+    """,
+)
+
+_reg(
+    "agg_gini",
+    lambda s, d: agg.agg_gini(events_us(s, d)),
+    """
+    WITH r AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS xc,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY CAST(round(value * 100) AS BIGINT),
+                                         event_id) AS i
+      FROM events)
+    SELECT event_type,
+           round((2.0 * CAST(sum(i * xc) AS DOUBLE))
+                 / (CAST(count(*) AS DOUBLE) * CAST(sum(xc) AS DOUBLE))
+                 - (CAST(count(*) AS DOUBLE) + 1.0) / CAST(count(*) AS DOUBLE), 6)
+             AS gini,
+           CAST(count(*) AS BIGINT) AS n
+    FROM r GROUP BY 1
+    """,
+)
+
 # ----- behavioral analytics: funnel / cohort retention / streaks
 
 _reg(

@@ -544,3 +544,56 @@ def sql_pricing_summary(lineitem: DataFrame) -> DataFrame:
         GROUP BY l_returnflag, l_linestatus
         """
     )
+
+
+def agg_mad(events: DataFrame) -> DataFrame:
+    """Median absolute deviation per event_type — the robust spread measure
+    (`agg_stats`' stddev is one outlier away from useless; MAD isn't).
+
+    Two exact percentile aggregates over the same grouping: the per-group
+    median, broadcast back (|groups| rows), then the median of absolute
+    deviations. Exact interpolated percentiles both times, same engine
+    contract as `agg_percentile`.
+    """
+    med = events.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    return (
+        events.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.min("med"), 4).alias("median"),
+            F.round(
+                F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)), 4
+            ).alias("mad"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def agg_gini(events: DataFrame) -> DataFrame:
+    """Gini concentration coefficient of value per event_type — the
+    inequality rollup (is activity value spread evenly or dominated by a
+    few events?).
+
+    Rank formula on exact bigint cents: G = (2·Σ i·x_i)/(n·Σ x_i) − (n+1)/n
+    over values sorted ascending (ties broken by event_id for a
+    deterministic rank). One window for the rank (single shuffle on
+    event_type) + one aggregate; every accumulated term is an integer, so
+    the final division is the only float op — engine-exact.
+    """
+    w = Window.partitionBy("event_type").orderBy(cents("value"), "event_id")
+    ranked = events.select(
+        "event_type",
+        cents("value").alias("xc"),
+        F.row_number().over(w).cast("long").alias("i"),
+    )
+    n = F.count(F.lit(1)).cast("double")
+    sum_x = F.sum("xc").cast("double")
+    sum_ix = F.sum(F.col("i") * F.col("xc")).cast("double")
+    return ranked.groupBy("event_type").agg(
+        F.round(
+            (2.0 * sum_ix) / (n * sum_x) - (n + 1.0) / n, 6
+        ).alias("gini"),
+        F.count(F.lit(1)).alias("n"),
+    )

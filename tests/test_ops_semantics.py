@@ -319,3 +319,31 @@ def test_pca_components_ordered_and_centered(spark):
     # p1.var << p2.var)
     assert p1.var() >= 0.9 * p2.var() and p2.var() > 0
     assert abs(p1.mean()) < 1e-2 and abs(p2.mean()) < 1e-2
+
+
+# ----------------------------------------------------------- robust stats
+
+
+def test_mad_ignores_outlier(spark):
+    from kdb_spark.analytics import aggregations as agg
+
+    rows = [(i, 1, "view", 10.0, i * 100) for i in range(1, 10)]
+    rows.append((99, 1, "view", 10_000.0, 10_000))  # one wild outlier
+    [r] = agg.agg_mad(_events(spark, rows)).collect()
+    assert r.median == 10.0 and r.mad == 0.0  # outlier cannot move either
+
+
+def test_gini_extremes(spark):
+    from kdb_spark.analytics import aggregations as agg
+
+    # perfectly equal values → gini 0
+    eq = _events(spark, [(i, 1, "view", 5.0, i) for i in range(1, 11)])
+    [r] = agg.agg_gini(eq).collect()
+    assert abs(r.gini) < 1e-9
+    # all value on one event of n → gini → (n-1)/n
+    conc = _events(
+        spark,
+        [(i, 1, "view", 0.0, i) for i in range(1, 10)] + [(10, 1, "view", 100.0, 10)],
+    )
+    [r] = agg.agg_gini(conc).collect()
+    assert r.gini == pytest.approx(0.9, abs=1e-6)
