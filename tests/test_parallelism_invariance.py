@@ -41,6 +41,8 @@ EVENT_OPS = [
     bh.retention_cohort,
     bh.win_streaks,
     agg.udaf_max_gap,
+    agg.agg_mad,
+    agg.agg_gini,
 ]
 
 DOC_OPS = [
