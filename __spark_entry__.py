@@ -701,6 +701,37 @@ _reg(
     """,
 )
 
+# CUSUM's sequential fold replays in SQL as a list_reduce with the running
+# max packed into the accumulator's high 32 bits (both components stay far
+# below 2^32 on this data, asserted by the n*max-drift bound).
+_reg(
+    "win_cusum",
+    lambda s, d: wn.win_cusum(events_us(s, d)),
+    """
+    WITH r AS (
+      SELECT user_id, event_type,
+             list(CAST(round(value * 100) AS BIGINT)
+                  ORDER BY epoch_us(ts), event_id) AS xs
+      FROM events GROUP BY 1, 2),
+    f AS (
+      SELECT user_id, event_type, len(xs) AS n,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT), xs),
+               (acc, x) -> greatest(CAST(0 AS BIGINT), acc % 4294967296 + x - 30000)
+                           + greatest(acc // 4294967296,
+                                      greatest(CAST(0 AS BIGINT),
+                                               acc % 4294967296 + x - 30000))
+                             * 4294967296) AS packed
+      FROM r)
+    SELECT user_id, event_type,
+           CAST(packed % 4294967296 AS BIGINT) AS cusum_final,
+           CAST(packed // 4294967296 AS BIGINT) AS cusum_max,
+           (packed // 4294967296) >= 100000 AS alarmed,
+           CAST(n AS BIGINT) AS n
+    FROM f
+    """,
+)
+
 _reg(
     "agg_histogram",
     lambda s, d: agg.agg_histogram(events_us(s, d)),

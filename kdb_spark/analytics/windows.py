@@ -347,3 +347,59 @@ def win_zscore(events: DataFrame, k: int = 31, thresh: float = 3.0) -> DataFrame
         F.round(z, 4).alias("z"),
         (z.isNotNull() & (F.abs(z) >= F.lit(thresh))).alias("is_outlier"),
     )
+
+
+def win_cusum(
+    events: DataFrame, target_c: int = 30_000, h_c: int = 100_000
+) -> DataFrame:
+    """One-sided CUSUM change detection per (user, event_type) series: the
+    classic SPC statistic S_t = max(0, S_{t-1} + (x_t − target)), alarming
+    when the cumulative upward drift clears ``h_c``.
+
+    The recursion is inherently sequential per series — not expressible as
+    a window frame — so this is the documented custom-op fallback: grouped
+    `applyInPandas` with a numpy fold per series (Arrow-batched; the
+    per-series scan a 100 TB run pays anyway to answer a per-series
+    question). All arithmetic is bigint cents, so the fold is engine-exact
+    and the oracle can replay it as a list fold (running max rides the
+    same fold via 2³²-packing — both components stay far below 32 bits).
+    Emits the final statistic, its running max, and the alarm flag.
+    """
+    import numpy as np
+    import pandas as pd  # noqa: F401
+
+    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        order = np.lexsort((pdf["event_id"].to_numpy(), pdf["ts_us"].to_numpy()))
+        xc = (
+            np.where(
+                pdf["value"].to_numpy()[order] * 100 >= 0,
+                np.floor(pdf["value"].to_numpy()[order] * 100 + 0.5),
+                np.ceil(pdf["value"].to_numpy()[order] * 100 - 0.5),
+            )
+        ).astype(np.int64)
+        s = 0
+        smax = 0
+        for x in xc:
+            s = max(0, s + int(x) - target_c)
+            if s > smax:
+                smax = s
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "event_type": [pdf["event_type"].iloc[0]],
+                "cusum_final": [s],
+                "cusum_max": [smax],
+                "alarmed": [smax >= h_c],
+                "n": [len(xc)],
+            }
+        )
+
+    return (
+        events.select("user_id", "event_type", "ts_us", "event_id", "value")
+        .groupBy("user_id", "event_type")
+        .applyInPandas(
+            fold,
+            "user_id long, event_type string, cusum_final long, "
+            "cusum_max long, alarmed boolean, n long",
+        )
+    )

@@ -347,3 +347,25 @@ def test_gini_extremes(spark):
     )
     [r] = agg.agg_gini(conc).collect()
     assert r.gini == pytest.approx(0.9, abs=1e-6)
+
+
+# ----------------------------------------------------------------- win_cusum
+
+
+def test_cusum_resets_and_alarms(spark):
+    from kdb_spark.analytics import windows as wn
+
+    # target 300.00: below-target stretches reset to 0; a sustained run
+    # above target accumulates and alarms
+    rows = (
+        [(i, 1, "view", 100.0, i * 100) for i in range(1, 5)]  # drains to 0
+        + [(i, 1, "view", 800.0, i * 100) for i in range(5, 8)]  # +50000/step
+    )
+    [r] = wn.win_cusum(_events(spark, rows)).collect()
+    assert r.cusum_final == 3 * 50_000
+    assert r.cusum_max == r.cusum_final
+    assert r.alarmed is True
+
+    rows2 = [(i, 2, "view", 100.0, i * 100) for i in range(1, 10)]
+    [r2] = wn.win_cusum(_events(spark, rows2)).collect()
+    assert (r2.cusum_final, r2.cusum_max, r2.alarmed) == (0, 0, False)

@@ -43,6 +43,7 @@ EVENT_OPS = [
     agg.udaf_max_gap,
     agg.agg_mad,
     agg.agg_gini,
+    wn.win_cusum,
 ]
 
 DOC_OPS = [
