@@ -62,12 +62,52 @@ def entry(spark: SparkSession) -> DataFrame:
     return agg.agg_resample(events_us(spark, "/root/testdata/sf0.001"))
 
 
+def _driver_check_history() -> dict[str, int]:
+    """Last round each key received a driver CORRECTNESS row, read from the
+    committed CORRECTNESS_r*.json artifacts next to this file (never-checked
+    keys are absent and sort as round 0). Unreadable files are skipped."""
+    import glob
+    import json
+    import os
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    last: dict[str, int] = {}
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", path)
+        if m is None:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if isinstance(rows, dict):
+            for key in rows:
+                last[key] = max(last.get(key, 0), rnd)
+    return last
+
+
+def _rotated(names: list[str]) -> list[str]:
+    """ROTATION POLICY (round 7+): the driver's correctness gate covers the
+    first 50 registered keys, so the registry is returned ordered by the
+    round of each key's most recent driver CORRECTNESS row — never-checked
+    keys first, then stalest — with ties broken by registration order
+    (stable sort). Freshly-checked keys rotate to the back automatically
+    when the driver commits the round's CORRECTNESS file, so every key
+    receives a hard driver row within ceil(len(registry)/50) rounds and no
+    family can park outside the check window."""
+    last = _driver_check_history()
+    return sorted(names, key=lambda k: last.get(k, 0))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(_Q)
+    return {k: _Q[k] for k in _rotated(list(_Q))}
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(_ORACLE)
+    return {k: _ORACLE[k] for k in _rotated(list(_Q)) if k in _ORACLE}
 
 
 # --------------------------------------------------------------------- kernel

@@ -1,0 +1,53 @@
+"""Registry rotation policy (VERDICT r6 #1).
+
+The driver's correctness gate covers the first 50 keys of `queries()`.
+These tests pin the anti-gaming contract: ordering is derived purely from
+the committed CORRECTNESS_r*.json history (least-recently-checked first),
+never hand-tuned, so every key lands in the check window within
+ceil(N/50) rounds.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import __spark_entry__ as entry
+
+REPO = os.path.dirname(os.path.abspath(entry.__file__))
+
+
+def _history() -> dict[str, int]:
+    last: dict[str, int] = {}
+    for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        rnd = int(path.rsplit("_r", 1)[1].split(".")[0])
+        rows = json.load(open(path))
+        for k in rows:
+            last[k] = max(last.get(k, 0), rnd)
+    return last
+
+
+def test_queries_and_oracle_keys_align():
+    q, o = entry.queries(), entry.oracle_sql()
+    assert set(o) <= set(q)
+    # oracle iteration order must follow queries order (driver walks both)
+    assert list(o) == [k for k in q if k in o]
+
+
+def test_least_recently_checked_first():
+    last = _history()
+    ks = list(entry.queries())
+    rounds = [last.get(k, 0) for k in ks]
+    assert rounds == sorted(rounds), "registry must be least-recently-driver-checked first"
+
+
+def test_check_window_holds_stalest_keys():
+    """No key outside the first-50 window may be staler than a key inside it."""
+    last = _history()
+    ks = list(entry.queries())
+    if len(ks) <= 50:
+        return
+    max_in_window = max(last.get(k, 0) for k in ks[:50])
+    min_outside = min(last.get(k, 0) for k in ks[50:])
+    assert max_in_window <= min_outside
