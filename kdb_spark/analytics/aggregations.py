@@ -370,17 +370,34 @@ def table_profile(df: DataFrame) -> DataFrame:
     At 100 TB you'd swap the exact NDV for `approx_count_distinct` per
     column (one pass, no expand); exact is kept here for oracle parity.
     """
+    numeric = {"tinyint", "smallint", "int", "bigint", "float", "double", "boolean"}
     aggs = [F.count(F.lit(1)).alias("__n")]
     cols: list[tuple[str, str]] = []  # (name, kind)
     for fld in df.schema.fields:
         name = fld.name
         t = fld.dataType.simpleString()
-        kind = "str" if t == "string" else ("ts" if t.startswith("timestamp") else "num")
+        # explicit kind dispatch: only genuinely numeric types take the
+        # double-cast branch; date rides the timestamp path (µs at
+        # midnight UTC); everything else (binary, array, struct, map)
+        # profiles null-count/NDV only — casting those to double would
+        # yield NULL stats or fail analysis outright.
+        if t == "string":
+            kind = "str"
+        elif t.startswith("timestamp") or t == "date":
+            kind = "ts"
+        elif t in numeric or t.startswith("decimal"):
+            kind = "num"
+        else:
+            kind = "other"
         cols.append((name, kind))
+        num_null = F.lit(None).cast("double")
+        str_null = F.lit(None).cast("string")
         if kind == "str":
-            num = F.lit(None).cast("double")
+            mn_n, mx_n = num_null, num_null
             mn_s, mx_s = F.min(name), F.max(name)
-            mn_n, mx_n = num, num
+        elif kind == "other":
+            mn_n, mx_n = num_null, num_null
+            mn_s, mx_s = str_null, str_null
         else:
             c = (
                 F.unix_micros(F.col(name).cast("timestamp"))  # NTZ-safe (UTC session)
@@ -388,11 +405,17 @@ def table_profile(df: DataFrame) -> DataFrame:
                 else F.col(name)
             ).cast("double")
             mn_n, mx_n = F.min(c), F.max(c)
-            mn_s = F.lit(None).cast("string")
-            mx_s = mn_s
+            mn_s, mx_s = str_null, str_null
+        # map columns are not comparable in Spark — countDistinct would
+        # fail analysis, so their NDV is null (count of non-nulls stands)
+        ndv = (
+            F.lit(None).cast("long")
+            if "map<" in t
+            else F.countDistinct(name)
+        )
         aggs += [
             F.count(name).alias(f"{name}__nn"),
-            F.countDistinct(name).alias(f"{name}__ndv"),
+            ndv.alias(f"{name}__ndv"),
             mn_n.alias(f"{name}__mn_n"),
             mx_n.alias(f"{name}__mx_n"),
             mn_s.alias(f"{name}__mn_s"),
@@ -528,8 +551,11 @@ def sql_pricing_summary(lineitem: DataFrame) -> DataFrame:
     the DataFrame form (`spark.sql` and the DSL meet in the same logical
     plan), so everything the engine guarantees (pushdown, partial aggs,
     cents-exact money) holds for SQL users too.
+
+    The relation is bound per-call via a DataFrame parameter marker rather
+    than a session-global temp view, so concurrent callers in one session
+    can't clobber each other's registration between register and query.
     """
-    lineitem.createOrReplaceTempView("lineitem_v")
     return lineitem.sparkSession.sql(
         """
         SELECT l_returnflag, l_linestatus,
@@ -539,10 +565,11 @@ def sql_pricing_summary(lineitem: DataFrame) -> DataFrame:
                sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
                  AS sum_disc_price_c,
                round(avg(l_discount), 6) AS avg_disc
-        FROM lineitem_v
+        FROM {lineitem_v}
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         GROUP BY l_returnflag, l_linestatus
-        """
+        """,
+        lineitem_v=lineitem,
     )
 
 

@@ -340,10 +340,12 @@ def sink_text(df: DataFrame, path: str) -> None:
 def q_scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents.text → text lines → scan_text → per-line token stats.
 
-    Texts are single-line (normalized corpus), so the round-trip is
-    row-stable; the doc id is carried IN the line (tab-prefixed) the way
-    real line-oriented corpora (jsonl/tsv) carry their keys, then parsed
-    back out with one split — all JVM expressions.
+    Round-trip constraints (the price of a line-oriented sink): a NULL text
+    would make concat_ws skip the field (no tab → doc_id mis-parses), and an
+    embedded newline would split one row into two — so NULL is coalesced to
+    '' before the sink and any CR/LF is stripped, making both cases explicit
+    instead of silent corruption. The synthetic corpus is single-line
+    non-null, so at sf* these guards are no-ops.
     """
     from pyspark.sql import functions as F
 
@@ -352,7 +354,9 @@ def q_scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink_text(
         docs.select(
             F.concat_ws(
-                "\t", F.col("doc_id").cast("string"), F.col("text")
+                "\t",
+                F.col("doc_id").cast("string"),
+                F.regexp_replace(F.coalesce("text", F.lit("")), "[\\r\\n]", ""),
             ).alias("value")
         ),
         path,

@@ -137,11 +137,17 @@ class TimeSeriesStore:
         return cur
 
     def current_seq(self) -> int:
-        """Latest committed batch sequence — the snapshot handle for
-        ``get/find(as_of=...)`` time travel (-1 = nothing ingested). The
-        parquet-store analog of a Delta/Iceberg snapshot version: pin it
-        before further ingest, read the store as of that moment forever
-        after (modulo retention drops)."""
+        """Upper bound on the committed batch sequences — the snapshot
+        handle for ``get/find(as_of=...)`` time travel (-1 = nothing
+        allocated). Sequences are allocated at ingest START, so a rejected
+        or crashed ``put_batch`` burns one: the returned value may exceed
+        the highest sequence with committed data. That is safe for
+        ``as_of`` (a gap sequence simply filters to the same rows as its
+        committed predecessor) — but it is an upper bound, not a promise
+        that a batch with this exact sequence landed. The parquet-store
+        analog of a Delta/Iceberg snapshot version: pin it before further
+        ingest, read the store as of that moment forever after (modulo
+        retention drops)."""
         f = self._seq_file()
         if not os.path.exists(f):
             return -1

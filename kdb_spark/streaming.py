@@ -688,13 +688,11 @@ def _zscore_fn(
     eid = pdf["event_id"].to_numpy()
     order = np.lexsort((eid, ts))
     ts, eid = ts[order], eid[order]
-    # the same per-row cents the batch op derives JVM-side. np.round is
-    # banker's (half-to-even); Spark/DuckDB round is half-AWAY-from-zero,
-    # so 0.125 would diverge (12.5 -> 12 vs 13) — emulate explicitly
-    v100 = pdf["value"].to_numpy()[order] * 100
-    xc = np.where(v100 >= 0, np.floor(v100 + 0.5), np.ceil(v100 - 0.5)).astype(
-        np.int64
-    )
+    # cents arrive pre-computed JVM-side (see stream_zscore's select): both
+    # the batch window op and this stream share the identical Spark round()
+    # (BigDecimal HALF_UP on Double.toString), so no numpy re-derivation can
+    # diverge on .5-boundary doubles like 0.49999999999999994*100.
+    xc = pdf["xc"].to_numpy()[order].astype(np.int64)
     prev = tuple(state.get) if state.exists else None
     n_late = int(prev[3]) if prev is not None else 0
     h_ts = np.asarray(prev[0], dtype=np.int64) if prev is not None else np.empty(0, np.int64)
@@ -753,7 +751,9 @@ def stream_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the oracle."""
     s = events_stream(spark, sf_dir)
     out = (
-        s.select("user_id", "event_type", "ts_us", "event_id", "value")
+        s.select(
+            "user_id", "event_type", "ts_us", "event_id", cents("value").alias("xc")
+        )
         .groupBy("user_id", "event_type")
         .applyInPandasWithState(
             _zscore_fn,

@@ -148,6 +148,30 @@ def test_table_profile_nulls_and_ndv(spark):
     assert prof["x"].max_num == 2.5 and prof["x"].min_str is None
 
 
+def test_table_profile_nonscalar_types(spark):
+    """date→µs on the timestamp path; bool→0/1 numeric; binary/array/map
+    profile null-count (+NDV where comparable) with null min/max instead of
+    failing analysis or silently casting to double."""
+    import datetime
+
+    df = spark.createDataFrame(
+        [
+            (datetime.date(2024, 1, 2), True, b"ab", [1, 2], {"k": 1}),
+            (datetime.date(2024, 1, 1), False, b"cd", [1, 2], None),
+            (None, True, None, [3], {"k": 2}),
+        ],
+        "d date, b boolean, bin binary, arr array<long>, m map<string,long>",
+    )
+    prof = {r.col_name: r for r in agg.table_profile(df).collect()}
+    assert prof["d"].n_null == 1 and prof["d"].ndv == 2
+    assert prof["d"].min_num == 1704067200000000.0  # 2024-01-01T00:00Z µs
+    assert prof["b"].ndv == 2 and (prof["b"].min_num, prof["b"].max_num) == (0.0, 1.0)
+    assert prof["bin"].n_null == 1 and prof["bin"].ndv == 2
+    assert prof["bin"].min_num is None and prof["bin"].min_str is None
+    assert prof["arr"].ndv == 2 and prof["arr"].min_num is None
+    assert prof["m"].n_null == 1 and prof["m"].ndv is None  # maps: not comparable
+
+
 # ---------------------------------------------------------- text_repetition
 
 
