@@ -748,7 +748,10 @@ def stream_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     The live-anomaly-detection shape: each arriving event is scored
     against its own series' trailing window; round + threshold happen
     JVM-side with the exact batch expressions, so the batch window query
-    is the oracle."""
+    is the oracle. Late contract (the watermark analog): a row arriving
+    at/behind its series' stored tail in a later micro-batch is dropped
+    and counted in state, never re-scored — pinned by
+    `test_stream_zscore_carries_history_and_drops_late`."""
     s = events_stream(spark, sf_dir)
     out = (
         s.select(
@@ -842,7 +845,10 @@ def stream_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     p50/p95 emitted every micro-batch. After an AvailableNow drain the
     latest row per key has folded every event, so the batch sketch query
     is the oracle — the state-is-the-sketch design making batch, stream,
-    and shard-merge all one artifact."""
+    and shard-merge all one artifact. Late contract: histogram folding is
+    order-independent, so out-of-order rows are ABSORBED (no drop, no
+    watermark needed) — pinned by
+    `test_stream_quantile_merges_state_across_batches`."""
     s = events_stream(spark, sf_dir)
     out = (
         s.select("event_type", "value")

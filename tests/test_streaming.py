@@ -22,6 +22,24 @@ def rows(df, *cols):
     return sorted(tuple(r[c] for c in cols) for r in df.collect())
 
 
+def write_microbatch(watch, name, schema_pairs, rws, mtime):
+    """Write one parquet file with a pinned mtime so maxFilesPerTrigger=1
+    replays the files as ordered micro-batches."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pa_types = {"long": pa.int64(), "string": pa.string(), "double": pa.float64()}
+    t = pa.table(
+        {c: [r[i] for r in rws] for i, (c, _) in enumerate(schema_pairs)},
+        schema=pa.schema([(c, pa_types[ty]) for c, ty in schema_pairs]),
+    )
+    p = watch / name
+    pq.write_table(t, p)
+    os.utime(p, (mtime, mtime))
+
+
 def test_stream_tumbling_equals_batch(spark):
     got = sm.stream_tumbling_agg(spark, SF_DIR)
     want = (
@@ -266,6 +284,102 @@ def test_stream_zscore_equals_batch_window(spark):
     want = {r.event_id: (r.z, r.is_outlier)
             for r in wn.win_zscore(events_us(spark, SF_DIR)).collect()}
     assert got == want
+
+
+def test_stream_zscore_carries_history_and_drops_late(spark, tmp_path):
+    """Across micro-batches: batch-2 rows are scored against the 31-sample
+    cent history carried in state, and a row behind the stored tail is
+    dropped (the watermark-analog late contract), never re-scored."""
+    import numpy as np
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    watch = tmp_path / "src_zs"
+    watch.mkdir()
+    S = 1_000_000
+    schema_pairs = [
+        ("user_id", "long"),
+        ("event_type", "string"),
+        ("ts_us", "long"),
+        ("event_id", "long"),
+        ("xc", "long"),
+    ]
+    write_microbatch(
+        watch, "b1.parquet", schema_pairs,
+        [(1, "c", 10 * S, 0, 1000), (1, "c", 20 * S, 1, 2000)], 1_000,
+    )
+    # batch 2: eid=2 LATE (ts 15s < stored tail 20s) → dropped; eid=3 on time
+    write_microbatch(
+        watch, "b2.parquet", schema_pairs,
+        [(1, "c", 15 * S, 2, 9900), (1, "c", 30 * S, 3, 4000)], 2_000,
+    )
+    sdf = (
+        spark.readStream.schema(
+            "user_id long, event_type string, ts_us long, event_id long, xc long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(watch))
+    )
+    out = sdf.groupBy("user_id", "event_type").applyInPandasWithState(
+        sm._zscore_fn,
+        outputStructType=sm._ZS_OUT,
+        stateStructType=sm._ZS_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    got = {r.event_id: r.z for r in sm._drain(out, "append").collect()}
+    assert set(got) == {0, 1, 3}  # late eid=2 never emitted
+    assert got[0] is None  # single-sample frame: zero variance → NULL
+
+    def zref(frame, x):
+        a = np.asarray(frame, dtype=np.float64)
+        return float((x - a.mean()) / a.std())
+
+    assert got[1] == pytest.approx(zref([1000, 2000], 2000), abs=1e-9)
+    # eid=3 scores over BOTH batch-1 samples from state, minus the late row
+    assert got[3] == pytest.approx(zref([1000, 2000, 4000], 4000), abs=1e-9)
+
+
+def test_stream_quantile_merges_state_across_batches(spark, tmp_path):
+    """The histogram state must fold across micro-batches, and — unlike the
+    ordered-state ops — the sketch is order-independent: an out-of-order
+    row in a later batch is absorbed into the cells, not dropped."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from kdb_spark.analytics.aggregations import QSK_BINS, QSK_HI, QSK_LO
+
+    watch = tmp_path / "src_qs"
+    watch.mkdir()
+    schema_pairs = [("event_type", "string"), ("value", "double")]
+    write_microbatch(
+        watch, "b1.parquet", schema_pairs,
+        [("c", 100.0), ("c", 100.0), ("c", 100.0)], 1_000,
+    )
+    # batch 2: one value "earlier" than everything in batch 1 — absorbed
+    write_microbatch(
+        watch, "b2.parquet", schema_pairs, [("c", 900.0), ("c", 50.0)], 2_000,
+    )
+    sdf = (
+        spark.readStream.schema("event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(watch))
+    )
+    out = sdf.groupBy("event_type").applyInPandasWithState(
+        sm._quantile_fn,
+        outputStructType=sm._QS_OUT,
+        stateStructType=sm._QS_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    drained = sm._drain(out, "update").collect()
+    by_n = {r.n: r for r in drained}
+    assert set(by_n) == {3, 5}  # one emission per micro-batch, n cumulative
+    final = by_n[5]
+    width = (QSK_HI - QSK_LO) / QSK_BINS  # 16.0
+    # p50: target=3 lands in the 100-bin (bin 6, cells 3 after 1 before it)
+    assert final.est_p50 == pytest.approx(QSK_LO + (6 + 2 / 3) * width, abs=1e-9)
+    # p95: target=5 lands in the 900-bin (bin 56), full-bin interpolation
+    assert final.est_p95 == pytest.approx(QSK_LO + (56 + 1) * width, abs=1e-9)
 
 
 def test_stream_quantile_equals_batch_sketch(spark):
