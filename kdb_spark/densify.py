@@ -38,10 +38,14 @@ def time_spine(
 
     Mirrors the result-length contract ``(end-start)/Resolution``
     (`dbase/dbase.go:183-184`). ``spark.range`` is distributed and splits the
-    id space across executors, so a 10^9-slot spine is fine.
+    id space across executors, so a 10^9-slot spine is fine — partition
+    count scales with the slot count (~64k slots per task, capped at the
+    cluster's default parallelism) instead of always paying full-width task
+    overhead for a few-thousand-row spine.
     """
     n = max(0, (end - start) // resolution)
-    return spark.range(n).select(
+    parts = max(1, min(spark.sparkContext.defaultParallelism, (n + 65535) // 65536))
+    return spark.range(0, n, 1, parts).select(
         (F.lit(start) + F.col("id") * F.lit(resolution)).cast("long").alias(ts_col)
     )
 

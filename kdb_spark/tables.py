@@ -45,9 +45,22 @@ DAY_US = 86_400 * SEC_US
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one synthetic table; ns timestamps (if any) surface as LongType."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    """Read one synthetic table; ns timestamps (if any) surface as LongType.
+
+    DataFrame handles are memoized per session+path (the cache dict lives ON
+    the session object, so its lifetime is the session's): a DataFrame is an
+    immutable logical plan, so reuse is safe, and it skips the cold
+    file-listing + parquet-footer schema read every query otherwise re-pays
+    for the same read-only testdata paths.
+    """
+    path = f"{sf_dir.rstrip('/')}/{name}.parquet"
+    cache: dict[str, DataFrame] = spark.__dict__.setdefault("_kdbs_load_cache", {})
+    df = cache.get(path)
+    if df is None:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        cache[path] = df
+    return df
 
 
 def ts_us_expr(df: DataFrame, col: str = "ts") -> Column:
@@ -76,9 +89,16 @@ def ts_raw_range(
 
 
 def events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with ``ts_us`` (µs epoch long) — the oracle-comparable clock."""
-    df = load(spark, sf_dir, "events")
-    return df.withColumn("ts_us", ts_us_expr(df))
+    """events with ``ts_us`` (µs epoch long) — the oracle-comparable clock.
+    Memoized per session+path like ``load`` (immutable plan, same cache)."""
+    cache: dict[str, DataFrame] = spark.__dict__.setdefault("_kdbs_load_cache", {})
+    key = f"{sf_dir.rstrip('/')}/events.parquet#ts_us"
+    out = cache.get(key)
+    if out is None:
+        df = load(spark, sf_dir, "events")
+        out = df.withColumn("ts_us", ts_us_expr(df))
+        cache[key] = out
+    return out
 
 
 def cents(col: str | F.Column) -> F.Column:
