@@ -2176,6 +2176,27 @@ _reg(
 )
 
 _reg(
+    "mm_decode_features",
+    lambda s, d: mm.mm_decode_features(mm.mm_bmp_table(load(s, d, "documents"))),
+    # the decoded channel sums have closed forms in (doc_id, n_chars, w, h):
+    # B=(doc_id%200)+x, G=(n_chars%200)+y, R=x+y over the w×h pixel grid —
+    # so the oracle adjudicates the REAL encode→parse→sum round-trip
+    """
+    WITH g AS (
+      SELECT doc_id, n_chars,
+             5 + doc_id % 3 AS w, 5 + doc_id % 4 AS h
+      FROM documents)
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(h * w * (doc_id % 200) + h * (w * (w - 1) // 2) AS BIGINT) AS sum_b,
+           CAST(w * h * (n_chars % 200) + w * (h * (h - 1) // 2) AS BIGINT) AS sum_g,
+           CAST(h * (w * (w - 1) // 2) + w * (h * (h - 1) // 2) AS BIGINT) AS sum_r
+    FROM g
+    """,
+)
+
+_reg(
     "dataset_split",
     lambda s, d: cu.dataset_split(load(s, d, "documents")),
     """

@@ -239,6 +239,65 @@ def test_mm_phash_empty_payload_skipped(spark):
     assert {r.doc_id for r in mm.mm_phash(docs).collect()} == {2}
 
 
+# ----------------------------------------------------------- BMP decode path
+
+
+def test_bmp_roundtrip_padding_and_bottom_up():
+    """encode→decode is the identity for every padding width (w%4), and the
+    bottom-up storage order is flipped back (asymmetric pixel proves it)."""
+    import numpy as np
+
+    from kdb_spark.llm import multimodal as mm
+
+    for w in (4, 5, 6, 7):  # row padding 0..3 bytes
+        rng = np.random.RandomState(w)
+        px = rng.randint(0, 256, size=(3, w, 3)).astype(np.uint8)
+        out = mm.decode_bmp(mm.encode_bmp(px))
+        assert out.shape == (3, w, 3)
+        assert (out == px).all()
+    # top-left marker must come back at the top-left
+    px = np.zeros((2, 4, 3), dtype=np.uint8)
+    px[0, 0] = (255, 1, 2)
+    assert tuple(mm.decode_bmp(mm.encode_bmp(px))[0, 0]) == (255, 1, 2)
+
+
+def test_bmp_decode_rejects_corrupt_input():
+    import numpy as np
+    import pytest as pt
+
+    from kdb_spark.llm import multimodal as mm
+
+    good = mm.encode_bmp(np.zeros((2, 2, 3), dtype=np.uint8))
+    with pt.raises(ValueError, match="magic"):
+        mm.decode_bmp(b"PNG" + good[2:])
+    with pt.raises(ValueError, match="truncated"):
+        mm.decode_bmp(good[:20])
+    with pt.raises(ValueError, match="truncated"):
+        mm.decode_bmp(good[:-4])  # pixel data short
+    bad_bpp = bytearray(good)
+    bad_bpp[28] = 8  # bpp field
+    with pt.raises(ValueError, match="unsupported"):
+        mm.decode_bmp(bytes(bad_bpp))
+
+
+def test_mm_decode_features_matches_closed_form(spark):
+    """The Spark round-trip (synthesize BMP → real parse → channel sums)
+    must equal the closed forms the SQL oracle uses."""
+    from kdb_spark.llm import multimodal as mm
+
+    docs = spark.createDataFrame(
+        [(0, 10), (1, 250), (5, 401), (202, 7)], "doc_id long, n_chars long"
+    )
+    got = {r.doc_id: r for r in mm.mm_decode_features(mm.mm_bmp_table(docs)).collect()}
+    for doc_id, n_chars in [(0, 10), (1, 250), (5, 401), (202, 7)]:
+        w, h = 5 + doc_id % 3, 5 + doc_id % 4
+        r = got[doc_id]
+        assert (r.width, r.height) == (w, h)
+        assert r.sum_b == h * w * (doc_id % 200) + h * (w * (w - 1) // 2)
+        assert r.sum_g == w * h * (n_chars % 200) + w * (h * (h - 1) // 2)
+        assert r.sum_r == h * (w * (w - 1) // 2) + w * (h * (h - 1) // 2)
+
+
 # --------------------------------------------------------- dedup_substring
 
 
