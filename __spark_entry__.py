@@ -1576,6 +1576,43 @@ _reg(
     _NGRAM_JACCARD_SQL,
 )
 
+# Cross-corpus (incremental-ingest) dedup: oracle = exact jaccard across the
+# md5-slot split, aggregated per incoming doc. Same recall argument as
+# dedup_near_minhash (16×2 banding, ≥0.99 at j≥0.5; exact verify).
+_reg(
+    "dedup_cross_corpus",
+    lambda s, d: dd.dedup_cross_corpus(load(s, d, "documents")),
+    """
+    WITH d AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 < 20
+               AS incoming,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            FOR i IN range(1, len(toks) - 1)]) AS sh
+      FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+            FROM documents)
+      WHERE len(toks) >= 3),
+    flat AS (SELECT doc_id, incoming, unnest(sh) AS s FROM d),
+    sizes AS (SELECT doc_id, len(sh) AS n_sh FROM d),
+    inter AS (
+      SELECT n.doc_id AS doc_new, b.doc_id AS doc_base, count(*) AS n_inter
+      FROM flat n JOIN flat b ON n.s = b.s AND n.incoming AND NOT b.incoming
+      GROUP BY 1, 2),
+    j AS (
+      SELECT doc_new, doc_base,
+             n_inter / (sn.n_sh + sb.n_sh - n_inter) AS jaccard
+      FROM inter
+      JOIN sizes sn ON sn.doc_id = doc_new
+      JOIN sizes sb ON sb.doc_id = doc_base
+      WHERE n_inter / (sn.n_sh + sb.n_sh - n_inter) >= 0.5)
+    SELECT doc_new AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_dups,
+           min(doc_base) AS min_base,
+           max(jaccard) AS best_jaccard
+    FROM j GROUP BY 1
+    """,
+)
+
 def _simhash_oracle() -> str:
     """DuckDB mirror of simhash64 + band blocking: md5 token hashes are
     byte-identical across engines, so the 64 ±1 sums, the assembled

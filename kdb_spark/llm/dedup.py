@@ -278,6 +278,95 @@ def dedup_near_minhash(
     )
 
 
+def dedup_cross_corpus(
+    documents: DataFrame,
+    threshold: float = 0.5,
+    pct_incoming: int = 20,
+    num_perm: int = 32,
+    bands: int = 16,
+    n: int = 3,
+) -> DataFrame:
+    """Incremental-ingest dedup: screen an INCOMING batch of documents
+    against the EXISTING corpus — "is this new doc a near-dup of anything
+    we already have" — without ever comparing base docs to each other.
+
+    This is the shape every continuously-growing training corpus needs:
+    the base corpus is orders of magnitude larger than each increment, and
+    re-running all-pairs dedup per increment would be quadratic over time.
+    Here LSH buckets are built per side and joined ACROSS sides only
+    (incoming × base), so work per increment is
+    O(increment + matching buckets), not O(corpus²). When the increment is
+    small its bucket table broadcast-joins under AQE automatically; the
+    shuffle form is kept so both sides scale.
+
+    The split is the deterministic md5-slot gate shared with
+    `curation.sample_hash` (incoming = slot < pct_incoming) so the oracle
+    can reproduce it; a production caller passes two real tables instead.
+    MinHash-LSH candidates (same 16×2 banding and ~0.99 recall floor at
+    j≥0.5 as `dedup_near_minhash`), exact-jaccard verify on hashed
+    shingles, then one aggregate per incoming doc: how many base near-dups,
+    the best jaccard, and the smallest matching base id (order-independent
+    aggregates only — no arg-max ties to diverge cross-engine).
+    """
+    rows = num_perm // bands
+    slot = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+    is_incoming = slot.cast("long") % 100 < pct_incoming
+    docs = _reused(
+        "xcorpus_shingles",
+        _doc_shingles(documents, n)
+        .filter(F.size("sh") > 0)
+        .select(
+            "doc_id",
+            is_incoming.alias("incoming"),
+            F.transform("sh", lambda s: F.xxhash64(s)).alias("sh"),
+        ),
+    )
+    sig = docs.select(
+        "doc_id", "incoming", minhash_signature(F.col("sh"), num_perm).alias("sig")
+    )
+    band_cols = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(
+                        *[F.col("sig")[b * rows + r] for r in range(rows)]
+                    ).alias("bh"),
+                )
+                for b in range(bands)
+            ]
+        )
+    ).alias("bb")
+    buckets = sig.select("doc_id", "incoming", band_cols).select(
+        "doc_id", "incoming", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
+    )
+    new_b = buckets.filter("incoming").select(
+        F.col("doc_id").alias("doc_new"), "band", "bh"
+    )
+    base_b = buckets.filter(~F.col("incoming")).select(
+        F.col("doc_id").alias("doc_base"), "band", "bh"
+    )
+    cand = new_b.join(base_b, ["band", "bh"]).select("doc_new", "doc_base").distinct()
+    sh_n = docs.select(F.col("doc_id").alias("doc_new"), F.col("sh").alias("sh_n"))
+    sh_b = docs.select(F.col("doc_id").alias("doc_base"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(sh_n, "doc_new")
+        .join(sh_b, "doc_base")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_n", "sh_b"))
+            / F.size(F.array_union("sh_n", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .groupBy(F.col("doc_new").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min("doc_base").alias("min_base"),
+            F.max("jaccard").alias("best_jaccard"),
+        )
+    )
+
+
 def dedup_cluster(
     documents: DataFrame,
     threshold: float = 0.5,

@@ -239,6 +239,40 @@ def test_mm_phash_empty_payload_skipped(spark):
     assert {r.doc_id for r in mm.mm_phash(docs).collect()} == {2}
 
 
+# ------------------------------------------------------- dedup_cross_corpus
+
+
+def test_dedup_cross_corpus_matches_across_split_only(spark):
+    """Only incoming×base near-dups are reported: a dup pair WITHIN the base
+    corpus (ids 0,1) and one WITHIN the incoming batch (ids 3,17) must both
+    stay silent; incoming doc 22 near-dups base doc 2 and is reported with
+    order-independent aggregates."""
+    from kdb_spark.llm import dedup as dd
+
+    shared = "the quick brown fox jumps over the lazy dog again and again " * 3
+    # md5-slot(doc_id)%100 < 20 → incoming: {3, 17, 22}; base: {0, 1, 2, 4}
+    docs = spark.createDataFrame(
+        [
+            (0, shared + "base copy one"),
+            (1, shared + "base copy two"),
+            (2, shared + "base near the incoming doc"),
+            (4, "completely unrelated text about spark physical plans"),
+            (3, "incoming dup alpha " + shared),
+            (17, "incoming dup beta " + shared),
+            (22, shared + "near the incoming doc indeed"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dd.dedup_cross_corpus(docs).collect()}
+    assert set(out) <= {3, 17, 22}  # only incoming docs can be reported
+    assert 22 in out
+    r = out[22]
+    assert r.min_base in (0, 1, 2) and r.n_dups >= 1 and r.best_jaccard >= 0.5
+    # the all-pairs op would also emit (0,1) and (3,17); the cross op must not:
+    # base ids never appear as reported doc_id
+    assert not {0, 1, 2, 4} & set(out)
+
+
 # ----------------------------------------------------------- BMP decode path
 
 
