@@ -1578,11 +1578,10 @@ _reg(
 
 # Cross-corpus (incremental-ingest) dedup: oracle = exact jaccard across the
 # md5-slot split, aggregated per incoming doc. Same recall argument as
-# dedup_near_minhash (16×2 banding, ≥0.99 at j≥0.5; exact verify).
-_reg(
-    "dedup_cross_corpus",
-    lambda s, d: dd.dedup_cross_corpus(load(s, d, "documents")),
-    """
+# dedup_near_minhash (16×2 banding, ≥0.99 at j≥0.5; exact verify). Shared by
+# the batch op and its streaming twin (stream-static LSH join), whose drained
+# result must converge to the same answer.
+_CROSS_CORPUS_SQL = """
     WITH d AS (
       SELECT doc_id,
              ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 < 20
@@ -1610,7 +1609,18 @@ _reg(
            min(doc_base) AS min_base,
            max(jaccard) AS best_jaccard
     FROM j GROUP BY 1
-    """,
+    """
+
+_reg(
+    "dedup_cross_corpus",
+    lambda s, d: dd.dedup_cross_corpus(load(s, d, "documents")),
+    _CROSS_CORPUS_SQL,
+)
+
+_reg(
+    "stream_cross_dedup",
+    lambda s, d: sm.stream_cross_dedup(s, d),
+    _CROSS_CORPUS_SQL,
 )
 
 def _simhash_oracle() -> str:

@@ -278,6 +278,71 @@ def dedup_near_minhash(
     )
 
 
+def lsh_buckets(
+    docs: DataFrame, num_perm: int = 32, bands: int = 16
+) -> DataFrame:
+    """(…, band, bh) LSH bucket rows from (…, sh: array<long>) — every input
+    column except ``sh`` rides through (one output row per band per doc).
+
+    MinHash signature (JVM expressions only — streaming-safe) exploded to
+    one row per band; docs sharing any (band, bh) are LSH candidates.
+    Shared by `dedup_cross_corpus` and the stream-static
+    `stream_cross_dedup`.
+    """
+    rows = num_perm // bands
+    sig = docs.withColumn("sig", minhash_signature(F.col("sh"), num_perm))
+    keep = [c for c in docs.columns if c != "sh"]
+    band_cols = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(
+                        *[F.col("sig")[b * rows + r] for r in range(rows)]
+                    ).alias("bh"),
+                )
+                for b in range(bands)
+            ]
+        )
+    ).alias("bb")
+    return sig.select(*keep, band_cols).select(
+        *keep, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
+    )
+
+
+def incoming_gate(pct_incoming: int = 20) -> F.Column:
+    """The deterministic md5-slot incoming/base split (shared with
+    `curation.sample_hash`): True = the doc belongs to the incoming batch."""
+    slot = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+    return slot.cast("long") % 100 < pct_incoming
+
+
+def cross_verify(
+    cand: DataFrame, docs: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """Exact-jaccard verify of (doc_new, doc_base) candidates against hashed
+    shingle arrays, rolled up per incoming doc with order-independent
+    aggregates (no arg-max ties to diverge cross-engine)."""
+    sh_n = docs.select(F.col("doc_id").alias("doc_new"), F.col("sh").alias("sh_n"))
+    sh_b = docs.select(F.col("doc_id").alias("doc_base"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(sh_n, "doc_new")
+        .join(sh_b, "doc_base")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_n", "sh_b"))
+            / F.size(F.array_union("sh_n", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .groupBy(F.col("doc_new").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min("doc_base").alias("min_base"),
+            F.max("jaccard").alias("best_jaccard"),
+        )
+    )
+
+
 def dedup_cross_corpus(
     documents: DataFrame,
     threshold: float = 0.5,
@@ -308,38 +373,17 @@ def dedup_cross_corpus(
     the best jaccard, and the smallest matching base id (order-independent
     aggregates only — no arg-max ties to diverge cross-engine).
     """
-    rows = num_perm // bands
-    slot = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
-    is_incoming = slot.cast("long") % 100 < pct_incoming
     docs = _reused(
         "xcorpus_shingles",
         _doc_shingles(documents, n)
         .filter(F.size("sh") > 0)
         .select(
             "doc_id",
-            is_incoming.alias("incoming"),
+            incoming_gate(pct_incoming).alias("incoming"),
             F.transform("sh", lambda s: F.xxhash64(s)).alias("sh"),
         ),
     )
-    sig = docs.select(
-        "doc_id", "incoming", minhash_signature(F.col("sh"), num_perm).alias("sig")
-    )
-    band_cols = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.xxhash64(
-                        *[F.col("sig")[b * rows + r] for r in range(rows)]
-                    ).alias("bh"),
-                )
-                for b in range(bands)
-            ]
-        )
-    ).alias("bb")
-    buckets = sig.select("doc_id", "incoming", band_cols).select(
-        "doc_id", "incoming", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
-    )
+    buckets = lsh_buckets(docs, num_perm, bands)
     new_b = buckets.filter("incoming").select(
         F.col("doc_id").alias("doc_new"), "band", "bh"
     )
@@ -347,24 +391,7 @@ def dedup_cross_corpus(
         F.col("doc_id").alias("doc_base"), "band", "bh"
     )
     cand = new_b.join(base_b, ["band", "bh"]).select("doc_new", "doc_base").distinct()
-    sh_n = docs.select(F.col("doc_id").alias("doc_new"), F.col("sh").alias("sh_n"))
-    sh_b = docs.select(F.col("doc_id").alias("doc_base"), F.col("sh").alias("sh_b"))
-    return (
-        cand.join(sh_n, "doc_new")
-        .join(sh_b, "doc_base")
-        .withColumn(
-            "jaccard",
-            F.size(F.array_intersect("sh_n", "sh_b"))
-            / F.size(F.array_union("sh_n", "sh_b")),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .groupBy(F.col("doc_new").alias("doc_id"))
-        .agg(
-            F.count(F.lit(1)).alias("n_dups"),
-            F.min("doc_base").alias("min_base"),
-            F.max("jaccard").alias("best_jaccard"),
-        )
-    )
+    return cross_verify(cand, docs, threshold)
 
 
 def dedup_cluster(

@@ -872,3 +872,82 @@ def stream_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("s.est_p95", 4).alias("est_p95"),
         )
     )
+
+
+# --------------------------------------------- stream-static cross-corpus dedup
+
+
+def docs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming view of the documents table — the landing-directory shape of
+    a continuously-ingesting corpus (file source, explicit schema)."""
+    path = f"{sf_dir.rstrip('/')}/documents.parquet"
+    schema = spark.read.parquet(path).schema
+    return spark.readStream.schema(schema).parquet(_staged_dir(path))
+
+
+def stream_cross_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.5,
+    pct_incoming: int = 20,
+    num_perm: int = 32,
+    bands: int = 16,
+    n: int = 3,
+) -> DataFrame:
+    """Streaming incremental-ingest dedup: each arriving document is screened
+    against the STATIC base corpus as it lands — the live twin of
+    `dedup_cross_corpus`, so the drained result shares its oracle.
+
+    Split of work that makes this scale:
+
+    - The stream side computes tokenize → shingle-hash → MinHash → LSH bands
+      entirely in JVM expressions (`dedup.lsh_buckets` — no UDF, no state),
+      so each micro-batch is map-only up to the join.
+    - Candidates come from a STREAM-STATIC equi-join on (band, bh) against
+      the precomputed base bucket table — Spark's stream-static join needs
+      no watermark and no stream state for the static side; the base table
+      is the "index" a production pipeline would persist and reuse across
+      increments.
+    - The one streaming aggregation collapses band-collisions per
+      (doc_new, doc_base) pair (update mode).
+    - The exact-jaccard verify + per-doc rollup run POST-drain in batch,
+      where both sides are static — keeping the expensive shingle arrays
+      out of the stream entirely (streams carry 8-byte bucket rows only).
+    """
+    from kdb_spark.llm import dedup as dd
+    from kdb_spark.tables import load
+
+    documents = load(spark, sf_dir, "documents")
+    docs = dd._reused(
+        "stream_xcorpus_shingles",
+        dd._doc_shingles(documents, n)
+        .filter(F.size("sh") > 0)
+        .select(
+            "doc_id",
+            dd.incoming_gate(pct_incoming).alias("incoming"),
+            F.transform("sh", lambda s: F.xxhash64(s)).alias("sh"),
+        ),
+    )
+    base_b = (
+        dd.lsh_buckets(docs.filter(~F.col("incoming")), num_perm, bands)
+        .select(F.col("doc_id").alias("doc_base"), "band", "bh")
+    )
+
+    s = docs_stream(spark, sf_dir).filter(dd.incoming_gate(pct_incoming))
+    s_sh = s.select(
+        "doc_id",
+        F.transform(
+            F.array_distinct(dd.shingles(dd.tokens("text"), n)),
+            lambda x: F.xxhash64(x),
+        ).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    new_b = dd.lsh_buckets(s_sh, num_perm, bands).select(
+        F.col("doc_id").alias("doc_new"), "band", "bh"
+    )
+    cand = (
+        new_b.join(base_b, ["band", "bh"])
+        .groupBy("doc_new", "doc_base")
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+    drained = _drain(cand, "update", partitions=8).select("doc_new", "doc_base")
+    return dd.cross_verify(drained, docs, threshold)

@@ -393,3 +393,15 @@ def test_stream_quantile_equals_batch_sketch(spark):
     want = {r.event_type: (r.n, r.est_p50, r.est_p95)
             for r in agg.agg_quantile_sketch(events_us(spark, SF_DIR)).collect()}
     assert got == want
+
+
+def test_stream_cross_dedup_equals_batch(spark):
+    """Stream-static LSH join + post-drain verify must converge to the batch
+    cross-corpus answer (same candidates, same exact-jaccard gate)."""
+    from kdb_spark.llm import dedup as dd
+    from kdb_spark.tables import load
+
+    cols = ["doc_id", "n_dups", "min_base", "best_jaccard"]
+    got = rows(sm.stream_cross_dedup(spark, SF_DIR), *cols)
+    want = rows(dd.dedup_cross_corpus(load(spark, SF_DIR, "documents")), *cols)
+    assert got == want
