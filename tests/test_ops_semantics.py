@@ -172,6 +172,28 @@ def test_table_profile_nonscalar_types(spark):
     assert prof["m"].n_null == 1 and prof["m"].ndv is None  # maps: not comparable
 
 
+def test_table_profile_approx_mode_drops_expand(spark):
+    """approx=True (the 100 TB mode) must estimate NDV within HLL tolerance,
+    keep every other stat exact, and remove the multi-countDistinct Expand
+    node from the plan."""
+    from kdb_spark.tables import load
+    from tests.conftest import SF_DIR
+
+    df = load(spark, SF_DIR, "orders")
+    exact = {r.col_name: r for r in agg.table_profile(df).collect()}
+    apx = {r.col_name: r for r in agg.table_profile(df, approx=True).collect()}
+    for c, r in apx.items():
+        e = exact[c]
+        assert (r.n_rows, r.n_null, r.min_num, r.max_num, r.min_str, r.max_str) == (
+            e.n_rows, e.n_null, e.min_num, e.max_num, e.min_str, e.max_str
+        )
+        assert abs(r.ndv - e.ndv) <= max(2, 0.15 * e.ndv)  # rsd 5% default, 3σ
+    plan = agg.table_profile(df, approx=True)._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
+    exact_plan = agg.table_profile(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in exact_plan  # the node approx mode exists to remove
+
+
 # ---------------------------------------------------------- text_repetition
 
 

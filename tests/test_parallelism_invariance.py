@@ -52,6 +52,7 @@ DOC_OPS = [
     cu.mix_weights,
     cu.pipeline_corpus_prep,
     dd.dedup_substring,
+    dd.dedup_cross_corpus,  # exact jaccard + order-independent aggregates
 ]
 
 
@@ -59,6 +60,16 @@ DOC_OPS = [
 def test_event_ops_parallelism_invariant(spark, op):
     ev = events_us(spark, SF_DIR)
     assert _rows(op(ev)) == _rows(op(_scrambled(ev)))
+
+
+def _mm_decode(docs):
+    from kdb_spark.llm import multimodal as mm
+
+    return mm.mm_decode_features(mm.mm_bmp_table(docs))
+
+
+_mm_decode.__name__ = "mm_decode_features"
+DOC_OPS.append(_mm_decode)
 
 
 @pytest.mark.parametrize("op", DOC_OPS, ids=lambda f: f.__name__)
