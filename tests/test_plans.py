@@ -210,6 +210,7 @@ def test_near_dup_family_never_goes_all_pairs(spark):
         dd.dedup_ngram_jaccard(docs),
         dd.dedup_near_minhash(docs),
         dd.dedup_simhash(docs),
+        dd.dedup_cross_corpus(docs),
         cu.decontaminate(docs),
     ):
         plan = plan_of(df)

@@ -446,3 +446,24 @@ def test_window_join_counts_null_value_clicks(spark):
     )
     [r] = jn.join_window(df, width_us=W).collect()
     assert (r.n_in_win, r.avg_in_win) == (2, 4.0)
+
+
+# ------------------------------------------------------------ BMP codec
+
+
+@given(
+    w=st.integers(1, 9),
+    h=st.integers(1, 6),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_bmp_roundtrip_identity(w, h, seed):
+    """decode(encode(x)) == x for arbitrary dimensions (every padding class)
+    and arbitrary pixel bytes — pure-python, no Spark session needed."""
+    import numpy as np
+
+    from kdb_spark.llm import multimodal as mm
+
+    px = np.random.RandomState(seed).randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+    out = mm.decode_bmp(mm.encode_bmp(px))
+    assert out.shape == (h, w, 3) and (out == px).all()
