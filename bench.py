@@ -64,6 +64,59 @@ def main() -> int:
         .save()
     )
 
+    # JIT/codegen INFRASTRUCTURE warm-up: compile-and-run three throwaway
+    # plan shapes (window chain, regexp explode-agg, shuffle join) so the
+    # first timed queries don't absorb the one-time JVM compilation of the
+    # window/regex/join executor classes — without this, per-key cold
+    # timings depend on registry order (the first ~5 queries measured
+    # 2-4x their steady-state cold cost). These plans are distinct from
+    # every timed query, so each timed query still pays its OWN
+    # whole-stage-codegen compile — the cost the cold metric is defined
+    # to include.
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    (
+        ev.withColumn("l", F.lag("value", 2).over(w))
+        .withColumn("s", F.sum("value").over(w.rowsBetween(-5, -1)))
+        .groupBy("user_id")
+        .agg(F.max("s"), F.min("l"))
+        .write.format("noop").mode("overwrite").save()
+    )
+    docs = load(spark, sf_dir, "documents")
+    (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(F.lower("source"), F.lit("[a-z]{2,}"), 0)
+            ).alias("t")
+        )
+        .groupBy("t").count()
+        .write.format("noop").mode("overwrite").save()
+    )
+    o, c = load(spark, sf_dir, "orders"), load(spark, sf_dir, "customer")
+    (
+        o.join(c.hint("shuffle_hash"), o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey").agg(F.count(F.lit(1)))
+        .write.format("noop").mode("overwrite").save()
+    )
+    # union-and-carry (asof-family) executor path: unbounded-frame
+    # last/first(ignorenulls) carries over a union — again a distinct plan
+    wu = Window.partitionBy("user_id").orderBy("event_id")
+    u = ev.select("user_id", "event_id", F.col("value").alias("a"),
+                  F.lit(None).cast("double").alias("b")).unionByName(
+        ev.select("user_id", (F.col("event_id") + 1).alias("event_id"),
+                  F.lit(None).cast("double").alias("a"),
+                  F.col("value").alias("b")))
+    (
+        u.withColumn("ca", F.last("a", ignorenulls=True).over(wu))
+        .withColumn("cb", F.first("b", ignorenulls=True).over(
+            wu.rowsBetween(0, Window.unboundedFollowing)))
+        .groupBy("user_id").agg(F.max("ca"), F.min("cb"))
+        .write.format("noop").mode("overwrite").save()
+    )
+
     qs = entry.queries()
     if len(sys.argv) > 1:  # iterate on a subset: python bench.py name1 name2
         qs = {k: qs[k] for k in sys.argv[1:]}

@@ -396,38 +396,39 @@ def join_nearest(events: DataFrame) -> DataFrame:
     :func:`join_asof` / :func:`join_asof_forward`.
 
     One union-and-carry pass: errors (side 0) and clicks (side 1) sort
-    together per user; ONE window sort feeds both a backward
-    ``last(ignorenulls)`` and a forward ``first(ignorenulls)`` carry of the
-    (ts, value) struct, then a map-only min-distance pick. Same-µs errors
-    sort before the click, so they arrive via the backward carry at
-    distance 0. One shuffle on user_id, O(n log n) per series at any scale
-    — never the per-probe scan the naive LATERAL form implies.
-
-    Errors are pre-deduped per (user, µs) by last event_id so ties are
-    deterministic.
+    together per user; the SAME user-partition feeds a backward
+    ``last(ignorenulls)`` carry (ascending sort) and a forward carry
+    (descending sort) of the (ts, value) struct, then a map-only
+    min-distance pick. ONE shuffle on user_id total — the per-(user, µs)
+    error dedup (oracle rule: max event_id wins) is folded into the carry
+    sort orders instead of costing its own groupBy Exchange: ascending
+    event_id last, so the backward carry lands on the max-event_id error of
+    a tied slot; the descending window keeps event_id ASCENDING as its
+    final key so the forward carry does too. Same-µs errors sort before the
+    click ascending (after it descending), so they arrive via the backward
+    carry at distance 0 and never as "future". O(n log n) per series at any
+    scale — never the per-probe scan the naive LATERAL form implies.
     """
-    errors = (
-        events.filter(F.col("event_type") == "error")
-        .groupBy("user_id", "ts_us")
-        .agg(F.max_by("value", "event_id").alias("err_value"))
-        .select(
-            "user_id", "ts_us",
-            F.struct(F.col("ts_us").alias("ets"), F.col("err_value").alias("v")).alias("err"),
-            F.lit(0).alias("side"),
-            F.lit(None).cast("long").alias("event_id"),
-        )
+    errors = events.filter(F.col("event_type") == "error").select(
+        "user_id", "ts_us",
+        F.struct(F.col("ts_us").alias("ets"), F.col("value").alias("v")).alias("err"),
+        F.lit(0).alias("side"),
+        "event_id",
     )
     clicks = events.filter(F.col("event_type") == "click").select(
         "user_id", "ts_us",
         F.lit(None).cast("struct<ets:bigint,v:double>").alias("err"),
         F.lit(1).alias("side"), "event_id",
     )
-    ord_w = Window.partitionBy("user_id").orderBy("ts_us", "side")
-    back = F.last("err", ignorenulls=True).over(
-        ord_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    asc_w = Window.partitionBy("user_id").orderBy("ts_us", "side", "event_id")
+    desc_w = Window.partitionBy("user_id").orderBy(
+        F.col("ts_us").desc(), F.col("side").desc(), F.col("event_id").asc()
     )
-    fwd = F.first("err", ignorenulls=True).over(
-        ord_w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    back = F.last("err", ignorenulls=True).over(
+        asc_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = F.last("err", ignorenulls=True).over(
+        desc_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     d_back = F.col("ts_us") - F.col("b.ets")
     d_fwd = F.col("f.ets") - F.col("ts_us")
