@@ -508,3 +508,22 @@ def test_cusum_resets_and_alarms(spark):
     rows2 = [(i, 2, "view", 100.0, i * 100) for i in range(1, 10)]
     [r2] = wn.win_cusum(_events(spark, rows2)).collect()
     assert (r2.cusum_final, r2.cusum_max, r2.alarmed) == (0, 0, False)
+
+
+def test_reused_cache_misses_on_different_input(spark):
+    """_reused is get-or-create keyed on the plan's semanticHash: a second
+    call with a DIFFERENT input must not serve the first call's persisted
+    data (stale-cache guard for the shared minhash/shingle tables)."""
+    from kdb_spark.llm import dedup as dd
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    with_dup = spark.createDataFrame(
+        [(2, shared + "one"), (22, shared + "two")], "doc_id long, text string"
+    )  # 22 incoming (md5 slot), 2 base → one cross pair
+    without = spark.createDataFrame(
+        [(2, "totally unrelated words here"), (22, "and different again entirely")],
+        "doc_id long, text string",
+    )
+    assert dd.dedup_cross_corpus(with_dup).count() == 1
+    assert dd.dedup_cross_corpus(without).count() == 0  # stale cache would say 1
+    assert dd.dedup_cross_corpus(with_dup).count() == 1
