@@ -550,6 +550,28 @@ _reg(
 )
 
 _reg(
+    "win_counter_rate",
+    lambda s, d: wn.win_counter_rate(events_us(s, d)),
+    """
+    WITH l AS (
+      SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us,
+             lag(value) OVER w AS pv, lag(epoch_us(ts)) OVER w AS pts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id, event_type
+                   ORDER BY epoch_us(ts), event_id)),
+    i AS (
+      SELECT event_id, user_id, event_type, ts_us - pts AS dt_us,
+             CASE WHEN value >= pv THEN value - pv ELSE value END AS inc
+      FROM l WHERE pv IS NOT NULL)
+    SELECT event_id, user_id, event_type,
+           round(inc, 6) AS increase,
+           CASE WHEN dt_us > 0 THEN round(inc * 1000000 / dt_us, 6) END
+             AS rate_per_sec
+    FROM i
+    """,
+)
+
+_reg(
     "win_ntile",
     lambda s, d: wn.win_ntile(load(s, d, "orders")),
     """

@@ -57,6 +57,49 @@ def win_lag_delta(events: DataFrame) -> DataFrame:
     )
 
 
+def win_counter_rate(events: DataFrame) -> DataFrame:
+    """Reset-aware per-second counter rate — the Prometheus ``rate()`` /
+    ``increase()`` contract over a monotone counter that can RESET to zero
+    on restart: increase = v - lag(v) when the counter moved forward, else
+    v itself (the pre-reset increase is unobservable, the post-reset value
+    is a lower bound — the standard TSDB convention). Rate divides by the
+    µs gap; a zero gap (same-slot duplicate) yields NULL, not a division
+    blow-up, and the series head (no predecessor) is dropped.
+
+    One window pass on the series key (same Exchange as `win_lag_delta`);
+    round(6) on both engines for the oracle.
+    """
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+    prev_v = F.lag("value").over(w)
+    prev_ts = F.lag("ts_us").over(w)
+    inc = F.when(F.col("value") >= prev_v, F.col("value") - prev_v).otherwise(
+        F.col("value")
+    )
+    dt_us = F.col("ts_us") - prev_ts
+    return (
+        events.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "ts_us",
+            prev_v.alias("pv"),
+            inc.alias("inc"),
+            dt_us.alias("dt_us"),
+        )
+        .filter(F.col("pv").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.round("inc", 6).alias("increase"),
+            F.when(
+                F.col("dt_us") > 0,
+                F.round(F.col("inc") * 1_000_000 / F.col("dt_us"), 6),
+            ).alias("rate_per_sec"),
+        )
+    )
+
+
 def win_first_last(events: DataFrame) -> DataFrame:
     """first_value / last_value / nth_value over the full series frame —
     session-open vs session-close style derivations."""

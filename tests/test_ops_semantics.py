@@ -527,3 +527,26 @@ def test_reused_cache_misses_on_different_input(spark):
     assert dd.dedup_cross_corpus(with_dup).count() == 1
     assert dd.dedup_cross_corpus(without).count() == 0  # stale cache would say 1
     assert dd.dedup_cross_corpus(with_dup).count() == 1
+
+
+# ---------------------------------------------------------- win_counter_rate
+
+
+def test_counter_rate_reset_zero_gap_and_head(spark):
+    """Reset → increase = post-reset value; zero time gap → NULL rate
+    (increase still emitted); series head dropped; normal step → Δv/Δt."""
+    ev = _events(
+        spark,
+        [
+            (1, 1, "c", 100.0, 1_000_000),
+            (2, 1, "c", 160.0, 4_000_000),   # +60 over 3 s → 20/s
+            (3, 1, "c", 5.0, 5_000_000),     # RESET: increase = 5, 1 s → 5/s
+            (4, 1, "c", 5.0, 5_000_000),     # same µs: inc 0, rate NULL
+        ],
+    )
+    out = {r.event_id: (r.increase, r.rate_per_sec)
+           for r in wn.win_counter_rate(ev).collect()}
+    assert 1 not in out  # head has no predecessor
+    assert out[2] == (60.0, 20.0)
+    assert out[3] == (5.0, 5.0)
+    assert out[4] == (0.0, None)
