@@ -985,5 +985,11 @@ def stream_cross_dedup(
         .groupBy("doc_new", "doc_base")
         .agg(F.count(F.lit(1)).alias("n_bands"))
     )
-    drained = _drain(cand, "update", partitions=32).select("doc_new", "doc_base")
+    # update-mode memory sink APPENDS one row per micro-batch per updated
+    # key, so a pair straddling batches would appear once per batch —
+    # distinct() the drained pairs before the verify or n_dups would count
+    # a base match once per micro-batch it was re-observed in.
+    drained = (
+        _drain(cand, "update", partitions=32).select("doc_new", "doc_base").distinct()
+    )
     return dd.cross_verify(drained, docs, threshold)

@@ -405,3 +405,62 @@ def test_stream_cross_dedup_equals_batch(spark):
     got = rows(sm.stream_cross_dedup(spark, SF_DIR), *cols)
     want = rows(dd.dedup_cross_corpus(load(spark, SF_DIR, "documents")), *cols)
     assert got == want
+
+
+def test_stream_cross_dedup_pairs_unique_across_microbatches(spark, tmp_path):
+    """A candidate pair re-observed in a second micro-batch (update-mode
+    sinks append per batch) must still count ONCE in n_dups."""
+    from kdb_spark.llm import dedup as dd
+    from pyspark.sql import functions as F
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    # md5-slot: 22 incoming, 2 base (same gate as the operator)
+    docs = spark.createDataFrame(
+        [(2, shared + "base"), (22, shared + "incoming")],
+        "doc_id long, text string",
+    )
+    sh = (
+        dd._doc_shingles(docs, 3)
+        .filter(F.size("sh") > 0)
+        .select(
+            "doc_id",
+            dd.incoming_gate(20).alias("incoming"),
+            F.transform("sh", lambda s: F.xxhash64(s)).alias("sh"),
+        )
+    )
+    base_b = dd.lsh_buckets(sh.filter(~F.col("incoming")), 32, 16).select(
+        F.col("doc_id").alias("doc_base"), "band", "bh"
+    )
+    watch = tmp_path / "src_xd"
+    watch.mkdir()
+    schema_pairs = [("doc_id", "long"), ("text", "string")]
+    # the SAME incoming doc arrives in two micro-batches (landing-file
+    # redelivery) — its band matches repeat in batch 2
+    write_microbatch(watch, "b1.parquet", schema_pairs, [(22, shared + "incoming")], 1_000)
+    write_microbatch(watch, "b2.parquet", schema_pairs, [(22, shared + "incoming")], 2_000)
+    s = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(watch))
+        .filter(dd.incoming_gate(20))
+    )
+    s_sh = s.select(
+        "doc_id",
+        F.transform(
+            F.array_distinct(dd.shingles(dd.tokens("text"), 3)),
+            lambda x: F.xxhash64(x),
+        ).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    new_b = dd.lsh_buckets(s_sh, 32, 16).select(
+        F.col("doc_id").alias("doc_new"), "band", "bh"
+    )
+    cand = (
+        new_b.join(base_b, ["band", "bh"])
+        .groupBy("doc_new", "doc_base")
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+    drained = (
+        sm._drain(cand, "update", partitions=4).select("doc_new", "doc_base").distinct()
+    )
+    out = dd.cross_verify(drained, sh, 0.5).collect()
+    assert [(r.doc_id, r.n_dups) for r in out] == [(22, 1)]
