@@ -63,9 +63,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _driver_check_history() -> dict[str, int]:
-    """Last round each key received a driver CORRECTNESS row, read from the
-    committed CORRECTNESS_r*.json artifacts next to this file (never-checked
-    keys are absent and sort as round 0). Unreadable files are skipped."""
+    """Last round each key received a PASSING driver CORRECTNESS row, read
+    from the committed CORRECTNESS_r*.json artifacts next to this file
+    (never-checked keys are absent and sort as round 0). A FAILED row does
+    not count as checked — a key that regresses must stay in (or fall back
+    into) the check window next round, not age out of it for
+    ceil(N/50) rounds. Unreadable files are skipped."""
     import glob
     import json
     import os
@@ -83,10 +86,18 @@ def _driver_check_history() -> dict[str, int]:
                 rows = json.load(fh)
         except (OSError, ValueError):
             continue
-        if isinstance(rows, dict):
-            for key in rows:
+        if not isinstance(rows, dict):
+            continue
+        for key, row in rows.items():
+            ok = isinstance(row, dict) and not row.get("err") and all(
+                row.get(f, True) for f in ("rows_match", "schema_match", "hash_match")
+            )
+            if ok:
                 last[key] = max(last.get(key, 0), rnd)
     return last
+
+
+_ROTATION_SNAPSHOT: list[str] | None = None
 
 
 def _rotated(names: list[str]) -> list[str]:
@@ -97,9 +108,14 @@ def _rotated(names: list[str]) -> list[str]:
     (stable sort). Freshly-checked keys rotate to the back automatically
     when the driver commits the round's CORRECTNESS file, so every key
     receives a hard driver row within ceil(len(registry)/50) rounds and no
-    family can park outside the check window."""
-    last = _driver_check_history()
-    return sorted(names, key=lambda k: last.get(k, 0))
+    family can park outside the check window. The order is computed ONCE
+    per process and snapshotted: queries() and oracle_sql() must walk in
+    lockstep even if a new CORRECTNESS file lands between the two calls."""
+    global _ROTATION_SNAPSHOT
+    if _ROTATION_SNAPSHOT is None or set(_ROTATION_SNAPSHOT) != set(names):
+        last = _driver_check_history()
+        _ROTATION_SNAPSHOT = sorted(names, key=lambda k: last.get(k, 0))
+    return _ROTATION_SNAPSHOT
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

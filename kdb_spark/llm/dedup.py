@@ -37,7 +37,10 @@ def _reused(key: str, df: DataFrame) -> DataFrame:
     old = _REUSE_CACHE.get(key)
     if old is not None:
         try:
-            if old.semanticHash() == df.semanticHash():
+            # same live session (identity — a stop+getOrCreate produces a
+            # new wrapper) AND exactly the same plan (sameSemantics, not
+            # the 32-bit semanticHash, so collisions can't serve wrong data)
+            if old.sparkSession is df.sparkSession and old.sameSemantics(df):
                 return old
         except Exception:  # a stopped session invalidates the handle
             pass

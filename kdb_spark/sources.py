@@ -343,9 +343,10 @@ def q_scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     Round-trip constraints (the price of a line-oriented sink): a NULL text
     would make concat_ws skip the field (no tab → doc_id mis-parses), and an
     embedded newline would split one row into two — so NULL is coalesced to
-    '' before the sink and any CR/LF is stripped, making both cases explicit
-    instead of silent corruption. The synthetic corpus is single-line
-    non-null, so at sf* these guards are no-ops.
+    '' before the sink and any CR/LF becomes a SPACE (not empty: 'foo\\nbar'
+    must stay two tokens, as the oracle reading the original text sees it),
+    making both cases explicit instead of silent corruption. The synthetic
+    corpus is single-line non-null, so at sf* these guards are no-ops.
     """
     from pyspark.sql import functions as F
 
@@ -356,7 +357,7 @@ def q_scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(
                 "\t",
                 F.col("doc_id").cast("string"),
-                F.regexp_replace(F.coalesce("text", F.lit("")), "[\\r\\n]", ""),
+                F.regexp_replace(F.coalesce("text", F.lit("")), "[\\r\\n]", " "),
             ).alias("value")
         ),
         path,

@@ -896,9 +896,14 @@ def stream_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def docs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming view of the documents table — the landing-directory shape of
-    a continuously-ingesting corpus (file source, explicit schema)."""
+    a continuously-ingesting corpus (file source, explicit schema taken from
+    the memoized batch handle, so no extra footer read; nanosAsLong set like
+    every other loader in case documents ever carries ns timestamps)."""
+    from kdb_spark.tables import load
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = f"{sf_dir.rstrip('/')}/documents.parquet"
-    schema = spark.read.parquet(path).schema
+    schema = load(spark, sf_dir, "documents").schema
     return spark.readStream.schema(schema).parquet(_staged_dir(path))
 
 
@@ -970,13 +975,15 @@ def stream_cross_dedup(
         .filter(dd.incoming_gate(pct_incoming))
         .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
-    s_sh = s.select(
-        "doc_id",
-        F.transform(
-            F.array_distinct(dd.shingles(dd.tokens("text"), n)),
-            lambda x: F.xxhash64(x),
-        ).alias("sh"),
-    ).filter(F.size("sh") > 0)
+    # _doc_shingles materializes tokens through a Generate node — the SAME
+    # guard the batch path uses against the quadratic inline-tokens() trap
+    # (shingles()' docstring: each element_at re-evaluates an inline array
+    # argument; measured 15× on sf0.1). Works unchanged on streaming frames.
+    s_sh = (
+        dd._doc_shingles(s, n)
+        .filter(F.size("sh") > 0)
+        .select("doc_id", F.transform("sh", lambda x: F.xxhash64(x)).alias("sh"))
+    )
     new_b = dd.lsh_buckets(s_sh, num_perm, bands).select(
         F.col("doc_id").alias("doc_new"), "band", "bh"
     )

@@ -444,13 +444,11 @@ def test_stream_cross_dedup_pairs_unique_across_microbatches(spark, tmp_path):
         .parquet(str(watch))
         .filter(dd.incoming_gate(20))
     )
-    s_sh = s.select(
-        "doc_id",
-        F.transform(
-            F.array_distinct(dd.shingles(dd.tokens("text"), 3)),
-            lambda x: F.xxhash64(x),
-        ).alias("sh"),
-    ).filter(F.size("sh") > 0)
+    s_sh = (
+        dd._doc_shingles(s, 3)
+        .filter(F.size("sh") > 0)
+        .select("doc_id", F.transform("sh", lambda x: F.xxhash64(x)).alias("sh"))
+    )
     new_b = dd.lsh_buckets(s_sh, 32, 16).select(
         F.col("doc_id").alias("doc_new"), "band", "bh"
     )
