@@ -19,13 +19,28 @@ REPO = os.path.dirname(os.path.abspath(entry.__file__))
 
 
 def _history() -> dict[str, int]:
+    """Pass-only history, mirroring __spark_entry__._driver_check_history:
+    a FAILED row does not count as checked (the key must stay in the
+    window), so only green rows advance a key's last-checked round."""
     last: dict[str, int] = {}
     for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
         rnd = int(path.rsplit("_r", 1)[1].split(".")[0])
         rows = json.load(open(path))
-        for k in rows:
-            last[k] = max(last.get(k, 0), rnd)
+        for k, row in rows.items():
+            ok = isinstance(row, dict) and not row.get("err") and all(
+                row.get(f, True) for f in ("rows_match", "schema_match", "hash_match")
+            )
+            if ok:
+                last[k] = max(last.get(k, 0), rnd)
     return last
+
+
+def test_failed_rows_do_not_count_as_checked():
+    """sort_series failed its r4 row (environment dtype incident) after
+    passing r2/r3 — the rotation must treat its last CHECK as r3, keeping
+    regression-prone keys from aging out of the window on a failure."""
+    hist = _history()
+    assert hist.get("sort_series") == 3
 
 
 def test_queries_and_oracle_keys_align():
