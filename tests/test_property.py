@@ -467,3 +467,54 @@ def test_bmp_roundtrip_identity(w, h, seed):
     px = np.random.RandomState(seed).randint(0, 256, size=(h, w, 3)).astype(np.uint8)
     out = mm.decode_bmp(mm.encode_bmp(px))
     assert out.shape == (h, w, 3) and (out == px).all()
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=doc_strategy)
+def test_cross_corpus_matches_bruteforce(spark, texts):
+    """Law: dedup_cross_corpus emits exactly the per-incoming-doc rollup of
+    the true cross-split jaccard pairs — LSH candidates + exact verify must
+    equal brute force (16×2 banding recall at j>=0.5 is ~1 at these sizes),
+    and no within-side pair may ever contribute."""
+    import hashlib
+    import re
+
+    from kdb_spark.llm import dedup as dd
+
+    def sh(t, n=3):
+        toks = re.findall(r"[a-z0-9]+", t.lower())
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    def incoming(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16) % 100 < 20
+
+    sets = {i: sh(t) for i, t in enumerate(texts) if sh(t)}
+    expect = {}
+    for i, si in sets.items():
+        if not incoming(i):
+            continue
+        hits = []
+        for j, sj in sets.items():
+            if incoming(j):
+                continue
+            jac = len(si & sj) / len(si | sj)
+            if jac >= 0.5:
+                hits.append((j, jac))
+        if hits:
+            expect[i] = (
+                len(hits),
+                min(j for j, _ in hits),
+                max(jac for _, jac in hits),
+            )
+    got = {
+        r.doc_id: (r.n_dups, r.min_base, r.best_jaccard)
+        for r in dd.dedup_cross_corpus(_docs_df(spark, texts)).collect()
+    }
+    assert got.keys() == expect.keys()
+    for k, (n, mb, bj) in expect.items():
+        assert got[k][0] == n and got[k][1] == mb
+        assert abs(got[k][2] - bj) < 1e-12
