@@ -44,6 +44,7 @@ EVENT_OPS = [
     agg.agg_mad,
     agg.agg_gini,
     wn.win_cusum,
+    wn.win_counter_rate,
 ]
 
 DOC_OPS = [
