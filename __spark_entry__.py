@@ -2282,6 +2282,25 @@ _reg(
 )
 
 _reg(
+    "mm_audio_features",
+    lambda s, d: mm.mm_audio_features(mm.mm_wav_table(load(s, d, "documents"))),
+    # sample i of doc d is (d*7 + i) mod 255; per-frame energy/peak are sums
+    # over generate_series — the oracle replays the REAL WAV encode→parse→
+    # frame round-trip sample by sample
+    """
+    WITH s AS (
+      SELECT d.doc_id, f.range AS frame_idx, i.range AS i,
+             (d.doc_id * 7 + f.range * 256 + i.range) % 255 - 128 AS dev
+      FROM documents d, range(0, 4) f, range(0, 256) i)
+    SELECT doc_id, frame_idx,
+           CAST(256 AS BIGINT) AS n_samples,
+           CAST(sum(dev * dev) AS BIGINT) AS energy,
+           CAST(max(abs(dev)) AS BIGINT) AS peak
+    FROM s GROUP BY 1, 2
+    """,
+)
+
+_reg(
     "dataset_split",
     lambda s, d: cu.dataset_split(load(s, d, "documents")),
     """

@@ -1,11 +1,14 @@
 """Multimodal columns (SURVEY.md §2.K): image/audio/video as opaque binary
 columns with typed metadata, processed by Arrow-batched Pandas functions.
 
-The container has no image/audio codecs, so the *decode* step is stubbed
-(clearly marked NotImplementedError / deterministic fake) — but the
-Spark-side plumbing that matters at 100 TB is real and tested: BinaryType
-columns, StructType metadata, `mapInPandas` batch iteration with a declared
-output schema, and per-batch (never per-row) Python.
+The container has no codec LIBRARIES, so compressed-format decode
+(jpeg/png/mp3/h264) is stubbed — but two uncompressed formats are decoded
+for REAL with pure-python spec-faithful parsers: 24-bit BMP
+(`decode_bmp` → `mm_decode_features`) and mono 8-bit PCM WAV
+(`decode_wav` → `mm_audio_features`), each oracle-checked end-to-end via
+closed-form synthesized assets. The Spark-side plumbing is identical for
+every format: BinaryType columns, StructType metadata, `mapInPandas` batch
+iteration with a declared output schema, per-batch (never per-row) Python.
 """
 
 from __future__ import annotations
@@ -384,4 +387,125 @@ def mm_phash_dedup(mm: DataFrame, max_hamming: int = 6) -> DataFrame:
         )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------- real decode path #2: PCM WAV
+#
+# Same philosophy as the BMP path: RIFF/WAVE with uncompressed PCM needs no
+# codec library — a 44-byte canonical header plus raw samples. encode_wav/
+# decode_wav implement mono 8-bit PCM for real (chunk walk, format
+# validation, loud failure), so the AUDIO branch of the multimodal pipeline
+# also runs genuine bytes-to-samples logic end-to-end.
+
+
+def encode_wav(samples: "object", sample_rate: int = 8000) -> bytes:
+    """Serialize a 1-D uint8 array as canonical mono 8-bit PCM WAV."""
+    import struct
+
+    import numpy as np
+
+    a = np.asarray(samples, dtype=np.uint8)
+    data = a.tobytes()
+    hdr = struct.pack(
+        "<4sI4s" "4sIHHIIHH" "4sI",
+        b"RIFF", 36 + len(data), b"WAVE",
+        b"fmt ", 16, 1, 1, sample_rate, sample_rate * 1, 1, 8,
+        b"data", len(data),
+    )
+    return hdr + data
+
+
+def decode_wav(payload: bytes) -> tuple[int, "object"]:
+    """Parse mono 8-bit PCM WAV → (sample_rate, uint8 sample array).
+
+    Walks RIFF chunks (fmt may be followed by LIST/fact etc. before data),
+    validates magic / PCM format / mono / 8-bit, and raises ValueError on
+    anything else — a corrupt or unsupported asset fails loudly."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 44:
+        raise ValueError("truncated WAV: no header")
+    riff, _size, wave = struct.unpack_from("<4sI4s", payload, 0)
+    if riff != b"RIFF" or wave != b"WAVE":
+        raise ValueError(f"not a WAV (magic {riff!r}/{wave!r})")
+    off, fmt_seen, rate = 12, False, 0
+    while off + 8 <= len(payload):
+        cid, clen = struct.unpack_from("<4sI", payload, off)
+        body = off + 8
+        if cid == b"fmt ":
+            if clen < 16 or body + 16 > len(payload):
+                raise ValueError("truncated WAV: fmt chunk short")
+            afmt, ch, rate, _br, _ba, bits = struct.unpack_from("<HHIIHH", payload, body)
+            if afmt != 1 or ch != 1 or bits != 8:
+                raise ValueError(
+                    f"unsupported WAV variant (fmt={afmt} ch={ch} bits={bits})"
+                )
+            fmt_seen = True
+        elif cid == b"data":
+            if not fmt_seen:
+                raise ValueError("WAV data chunk before fmt")
+            if body + clen > len(payload):
+                raise ValueError("truncated WAV: sample data short")
+            return rate, np.frombuffer(payload, dtype=np.uint8, count=clen, offset=body)
+        off = body + clen + (clen & 1)  # RIFF chunks are word-aligned
+    raise ValueError("WAV has no data chunk")
+
+
+WAV_FRAME = 256
+WAV_FRAMES = 4
+
+
+def mm_wav_table(documents: DataFrame) -> DataFrame:
+    """Synthesize one deterministic 8-bit PCM WAV per document
+    (WAV_FRAMES × WAV_FRAME samples; sample i = (doc_id·7 + i) mod 255 —
+    a closed form the SQL oracle replays per sample), Arrow-batched."""
+
+    def build(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        n = WAV_FRAME * WAV_FRAMES
+        i = np.arange(n, dtype=np.int64)
+        for pdf in batches:
+            payloads = [
+                encode_wav(((int(doc_id) * 7 + i) % 255).astype(np.uint8))
+                for doc_id in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "audio": payloads})
+
+    return documents.select("doc_id").mapInPandas(build, "doc_id long, audio binary")
+
+
+def mm_audio_features(waves: DataFrame) -> DataFrame:
+    """REAL audio decode over a binary column: parse each WAV (chunk walk,
+    format validation) and emit per-frame integer features — energy
+    (sum of squared deviations from the 8-bit midpoint 128) and peak
+    absolute deviation. One row per (doc, frame), fanned out inside the
+    Arrow batch; exact integers keep it oracle-checkable."""
+
+    def feats(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "frame_idx", "n_samples", "energy", "peak")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["audio"]):
+                _rate, samples = decode_wav(bytes(payload))
+                dev = samples.astype(np.int64) - 128
+                nf = len(dev) // WAV_FRAME
+                f = dev[: nf * WAV_FRAME].reshape(nf, WAV_FRAME)
+                out["doc_id"].extend([int(doc_id)] * nf)
+                out["frame_idx"].extend(range(nf))
+                out["n_samples"].extend([WAV_FRAME] * nf)
+                out["energy"].extend((f * f).sum(axis=1).tolist())
+                out["peak"].extend(np.abs(f).max(axis=1).tolist())
+            if out["doc_id"]:
+                yield pd.DataFrame(out)
+
+    return waves.mapInPandas(
+        feats,
+        "doc_id long, frame_idx long, n_samples long, energy long, peak long",
     )

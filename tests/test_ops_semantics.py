@@ -550,3 +550,70 @@ def test_counter_rate_reset_zero_gap_and_head(spark):
     assert out[2] == (60.0, 20.0)
     assert out[3] == (5.0, 5.0)
     assert out[4] == (0.0, None)
+
+
+# ----------------------------------------------------------- WAV decode path
+
+
+def test_wav_roundtrip_and_chunk_walk():
+    """decode(encode(x)) == x, and the parser walks past extra RIFF chunks
+    (LIST between fmt and data) with word alignment."""
+    import struct
+
+    import numpy as np
+
+    from kdb_spark.llm import multimodal as mm
+
+    x = np.arange(300, dtype=np.uint8)
+    rate, out = mm.decode_wav(mm.encode_wav(x, sample_rate=16000))
+    assert rate == 16000 and (out == x).all()
+    # splice an odd-length LIST chunk between fmt and data (word-aligned pad)
+    raw = mm.encode_wav(x)
+    extra = struct.pack("<4sI", b"LIST", 5) + b"INFOx" + b"\x00"
+    spliced = raw[:36] + extra + raw[36:]
+    rate, out = mm.decode_wav(spliced)
+    assert (out == x).all()
+
+
+def test_wav_decode_rejects_corrupt_input():
+    import numpy as np
+    import pytest as pt
+
+    from kdb_spark.llm import multimodal as mm
+
+    good = mm.encode_wav(np.zeros(64, dtype=np.uint8))
+    with pt.raises(ValueError, match="not a WAV"):
+        mm.decode_wav(b"OGGS" + good[4:])
+    with pt.raises(ValueError, match="truncated"):
+        mm.decode_wav(good[:30])
+    with pt.raises(ValueError, match="truncated WAV: sample data"):
+        mm.decode_wav(good[:-10])
+    bad_bits = bytearray(good)
+    bad_bits[34] = 16  # bits_per_sample field
+    with pt.raises(ValueError, match="unsupported"):
+        mm.decode_wav(bytes(bad_bits))
+    # data chunk present but fmt never seen
+    with pt.raises(ValueError, match="before fmt|no data"):
+        mm.decode_wav(good[:12] + good[36:])
+
+
+def test_mm_audio_features_closed_form(spark):
+    from kdb_spark.llm import multimodal as mm
+
+    docs = spark.createDataFrame([(0,), (3,), (40,)], "doc_id long")
+    got = {
+        (r.doc_id, r.frame_idx): (r.energy, r.peak, r.n_samples)
+        for r in mm.mm_audio_features(mm.mm_wav_table(docs)).collect()
+    }
+    assert len(got) == 3 * mm.WAV_FRAMES
+    for doc_id in (0, 3, 40):
+        for f in range(mm.WAV_FRAMES):
+            dev = [
+                (doc_id * 7 + f * mm.WAV_FRAME + i) % 255 - 128
+                for i in range(mm.WAV_FRAME)
+            ]
+            assert got[(doc_id, f)] == (
+                sum(d * d for d in dev),
+                max(abs(d) for d in dev),
+                mm.WAV_FRAME,
+            )
