@@ -290,6 +290,22 @@ _reg(
     """,
 )
 
+_reg(
+    "sink_zorder",
+    src.q_scan_zorder,
+    # clustering must change the LAYOUT only, never the answer: the oracle
+    # is the plain two-dimensional filter over the original events table
+    f"""
+    SELECT user_id, epoch_us(ts) // {DAY_US} AS day_idx,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_c
+    FROM events
+    WHERE user_id BETWEEN 10 AND 40
+      AND epoch_us(ts) // {DAY_US} BETWEEN 19730 AND 19736
+    GROUP BY 1, 2
+    """,
+)
+
 # --------------------------------------------------------------- aggregations
 
 _reg(

@@ -11,6 +11,7 @@ inference is a full extra pass at 100 TB).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
@@ -108,6 +109,76 @@ def sink_delta_like(
         writer.parquet(path)
     finally:
         w.set("spark.sql.sources.partitionOverwriteMode", old)
+
+
+def zorder_key(a: "F.Column | str", b: "F.Column | str", bits: int = 16) -> F.Column:
+    """Morton (Z-order) key: interleave the low ``bits`` bits of two
+    non-negative integer columns — pure JVM bit expressions, whole-stage
+    codegen, no UDF. Rows close in BOTH dimensions get close z-values, so a
+    sort by z clusters them into the same parquet row groups and min/max
+    stats prune on EITHER predicate column (the multi-dimensional data
+    skipping a single-column sort can't give; same idea as Delta's
+    OPTIMIZE ZORDER)."""
+    ca = (F.col(a) if isinstance(a, str) else a).cast("long")
+    cb = (F.col(b) if isinstance(b, str) else b).cast("long")
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        bit_a = F.shiftright(ca, i).bitwiseAND(F.lit(1))
+        bit_b = F.shiftright(cb, i).bitwiseAND(F.lit(1))
+        z = (
+            z.bitwiseOR(F.shiftleft(bit_a, 2 * i))
+            .bitwiseOR(F.shiftleft(bit_b, 2 * i + 1))
+        )
+    return z
+
+
+def sink_zorder(
+    df: DataFrame, path: str, a: str, b: str, bits: int = 16, files: int = 16
+) -> None:
+    """Z-order-clustered parquet sink: range-partition + sort by the Morton
+    key of (a, b), so each output file covers a compact rectangle of the
+    (a, b) plane and its min/max footer stats are selective for predicates
+    on either column — one clustering write serves BOTH access paths, where
+    partitionBy(a) would leave b-predicates scanning everything. The write
+    costs one range shuffle; reads pay nothing."""
+    z = zorder_key(a, b, bits).alias("__z")
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def q_scan_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → z-order-clustered by (user_id, day) → two-dimensional
+    filtered read-back. The oracle is the plain filter over the original
+    table: clustering must change THE LAYOUT ONLY, never the answer — while
+    the footer stats of the clustered files let either predicate skip row
+    groups (`test_zorder_clusters_both_dims` measures the selectivity)."""
+    from kdb_spark.tables import DAY_US, events_us
+
+    ev = events_us(spark, sf_dir).withColumn(
+        "day_idx", (F.col("ts_us") / F.lit(DAY_US)).cast("long")
+    )
+    path = _tmp("zorder")
+    sink_zorder(
+        ev.select("event_id", "user_id", "day_idx", "value"), path, "user_id", "day_idx"
+    )
+    back = spark.read.parquet(path)
+    return (
+        back.filter(
+            F.col("user_id").between(10, 40)
+            & F.col("day_idx").between(19730, 19736)
+        )
+        .groupBy("user_id", "day_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_c"),
+        )
+    )
 
 
 def sink_bucketed(

@@ -130,3 +130,50 @@ def test_q_scan_parquet_pushes_filter(spark):
     assert "PushedFilters: [IsNotNull(p_size), EqualTo(p_size,15)]" in plan
     # projection pruned to the 3 referenced columns
     assert "p_name" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+# ------------------------------------------------------------------- z-order
+
+
+def test_zorder_key_interleaves_bits(spark):
+    from kdb_spark import sources as src
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(3, 5), (0, 0), (1, 0), (0, 1)], "a long, b long")
+    got = {
+        (r.a, r.b): r.z
+        for r in df.select("a", "b", src.zorder_key("a", "b").alias("z")).collect()
+    }
+    # a=011, b=101 → z bits (b2 a2 b1 a1 b0 a0) = 100111 = 39
+    assert got[(3, 5)] == 39
+    assert got[(0, 0)] == 0 and got[(1, 0)] == 1 and got[(0, 1)] == 2
+
+
+def test_zorder_clusters_both_dims(spark, tmp_path):
+    """Each z-ordered file must cover a compact rectangle of the (a, b)
+    plane: per-file min/max ranges stay far below the global range on BOTH
+    columns — a single-column sort would leave the other column full-width
+    in every file (range ≈ 255), defeating row-group pruning on it."""
+    from kdb_spark import sources as src
+    from pyspark.sql import functions as F
+
+    grid = (
+        spark.range(256).select(F.col("id").alias("a"))
+        .crossJoin(spark.range(256).select(F.col("id").alias("b")))
+    )
+    path = str(tmp_path / "z")
+    src.sink_zorder(grid, path, "a", "b", bits=8, files=16)
+    spans = (
+        spark.read.parquet(path)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(
+            (F.max("a") - F.min("a")).alias("ra"),
+            (F.max("b") - F.min("b")).alias("rb"),
+        )
+        .agg(F.avg("ra").alias("ra"), F.avg("rb").alias("rb"), F.count(F.lit(1)).alias("nf"))
+        .collect()[0]
+    )
+    assert spans.nf >= 8
+    # 16 files over a 256×256 grid → ideal rectangles are 64×64; allow slack
+    # for range-partition boundary estimation, but both must be far under 255
+    assert spans.ra <= 160 and spans.rb <= 160, (spans.ra, spans.rb)
