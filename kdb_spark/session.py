@@ -37,6 +37,15 @@ _RUNTIME_CONF: dict[str, str] = {
     # should always broadcast; AQE also converts at runtime when post-shuffle
     # sizes allow.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Runtime row-level filtering for large shuffle joins: inject a Bloom
+    # filter built from the smaller side's join keys into the bigger side's
+    # SCAN, so non-matching rows die at the source instead of riding the
+    # Exchange — at 100 TB this is the difference between shuffling a
+    # selective fact-fact join's full probe side and shuffling only the
+    # ~matching fraction. No-ops on small/broadcast joins; purely a
+    # runtime optimization, never affects results.
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    "spark.sql.optimizer.runtimeFilter.semiJoinReduction.enabled": "true",
 }
 
 
