@@ -1677,6 +1677,34 @@ _reg(
     _CROSS_CORPUS_SQL,
 )
 
+# Fuzzy entity matching over part names: the oracle replays the q-gram
+# blocking exactly (blocking is part of the operator contract — see
+# dedup_fuzzy's docstring for the provable-recall length bound), and both
+# engines implement classic Levenshtein.
+_reg(
+    "dedup_fuzzy",
+    lambda s, d: dd.dedup_fuzzy(load(s, d, "part")),
+    """
+    WITH names AS (
+      SELECT lower(p_name) AS name, CAST(count(*) AS BIGINT) AS n_rows
+      FROM part GROUP BY 1 HAVING length(lower(p_name)) >= 3),
+    g AS (
+      SELECT DISTINCT name,
+             unnest([substr(name, i, 3) FOR i IN range(1, length(name) - 1)]) AS g
+      FROM names),
+    cand AS (
+      SELECT DISTINCT a.name AS name_a, b.name AS name_b
+      FROM g a JOIN g b ON a.g = b.g AND a.name < b.name)
+    SELECT name_a, name_b,
+           CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist,
+           na.n_rows AS n_rows_a, nb.n_rows AS n_rows_b
+    FROM cand
+    JOIN names na ON na.name = name_a
+    JOIN names nb ON nb.name = name_b
+    WHERE levenshtein(name_a, name_b) <= 2
+    """,
+)
+
 def _simhash_oracle() -> str:
     """DuckDB mirror of simhash64 + band blocking: md5 token hashes are
     byte-identical across engines, so the 64 ±1 sums, the assembled

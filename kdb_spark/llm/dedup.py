@@ -707,3 +707,55 @@ def dedup_substring(
             "min_doc",
         )
     )
+
+
+def dedup_fuzzy(
+    df: DataFrame,
+    col: str = "p_name",
+    max_dist: int = 2,
+    q: int = 3,
+) -> DataFrame:
+    """Fuzzy string matching (entity resolution): pairs of DISTINCT values
+    of ``col`` within ``max_dist`` Levenshtein edits, with each value's row
+    count carried for the merge decision — the name-typo dedup primitive
+    (customer/vendor/product-name reconciliation).
+
+    Shape for scale: collapse to distinct values FIRST (one hash-agg — the
+    value domain is orders of magnitude smaller than the row count; here
+    64 names for 20k rows), block candidate pairs by shared q-gram
+    equi-join (never all-pairs), verify with the JVM ``levenshtein``.
+    Blocking is part of the operator's CONTRACT (the oracle replays it
+    exactly): for values longer than q·(max_dist+1)+q-1 chars a true match
+    always shares a q-gram (edits destroy ≤ q·max_dist grams), so recall
+    is provably 1 there; shorter values may need a smaller q. Values
+    shorter than q have no grams and never match.
+    """
+    names = (
+        df.groupBy(F.lower(F.col(col)).alias("name"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .filter(F.length("name") >= q)
+    )
+    grams = names.select(
+        "name",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, length(name) - {q - 1}),"
+                f" i -> substring(name, i, {q}))"
+            )
+        ).alias("g"),
+    ).distinct()
+    a, b = grams.alias("a"), grams.alias("b")
+    cand = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.name") < F.col("b.name")))
+        .select(F.col("a.name").alias("name_a"), F.col("b.name").alias("name_b"))
+        .distinct()
+    )
+    na = names.select(F.col("name").alias("name_a"), F.col("n_rows").alias("n_rows_a"))
+    nb = names.select(F.col("name").alias("name_b"), F.col("n_rows").alias("n_rows_b"))
+    return (
+        cand.withColumn("dist", F.levenshtein("name_a", "name_b").cast("long"))
+        .filter(F.col("dist") <= max_dist)
+        .join(na, "name_a")
+        .join(nb, "name_b")
+        .select("name_a", "name_b", "dist", "n_rows_a", "n_rows_b")
+    )

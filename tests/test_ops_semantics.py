@@ -617,3 +617,23 @@ def test_mm_audio_features_closed_form(spark):
                 max(abs(d) for d in dev),
                 mm.WAV_FRAME,
             )
+
+
+# --------------------------------------------------------------- dedup_fuzzy
+
+
+def test_dedup_fuzzy_matches_and_counts(spark):
+    """Typos within max_dist pair up with per-value row counts; distinct
+    values beyond the distance (or sharing no q-gram) stay unpaired; case
+    folds before matching."""
+    from kdb_spark.llm import dedup as dd
+
+    df = spark.createDataFrame(
+        [(1, "red widget"), (2, "Red Widget"), (3, "red widgit"),
+         (4, "blue bolt"), (5, "blue bolt"), (6, "xy")],
+        "id long, p_name string",
+    )
+    out = {(r.name_a, r.name_b): (r.dist, r.n_rows_a, r.n_rows_b)
+           for r in dd.dedup_fuzzy(df).collect()}
+    # 'red widget' (2 rows after case fold) vs 'red widgit' (1 row): 1 edit
+    assert out == {("red widget", "red widgit"): (1, 2, 1)}
