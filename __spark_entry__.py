@@ -582,6 +582,20 @@ _reg(
 )
 
 _reg(
+    "agg_entropy",
+    lambda s, d: agg.agg_entropy(events_us(s, d)),
+    """
+    WITH c AS (
+      SELECT user_id, event_type, count(*) AS c FROM events GROUP BY 1, 2)
+    SELECT user_id,
+           CAST(sum(c) AS BIGINT) AS n_events,
+           CAST(count(*) AS BIGINT) AS n_types,
+           round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6) AS entropy_bits
+    FROM c GROUP BY 1
+    """,
+)
+
+_reg(
     "win_counter_rate",
     lambda s, d: wn.win_counter_rate(events_us(s, d)),
     """

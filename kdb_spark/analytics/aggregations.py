@@ -627,3 +627,28 @@ def agg_gini(events: DataFrame) -> DataFrame:
         ).alias("gini"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+def agg_entropy(events: DataFrame) -> DataFrame:
+    """Shannon entropy (bits) of each user's event_type distribution — the
+    behavioral-diversity / label-balance metric (0 = one event type only;
+    log2(k) = uniform over k types). Standard data-quality rollup before
+    training on behavioral data.
+
+    Two hash aggregates with map-side combine: per-(user, type) counts
+    (shuffle bytes = |user × type| pairs), then per-user
+    H = log2(n) − (Σ cᵢ·log2(cᵢ))/n on exact bigint counts — one log per
+    GROUP member, not per row, and round(6) on both engines (the repo's
+    standard float-emission contract, see module docstring).
+    """
+    per_type = events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    n = F.sum("c").cast("double")
+    return per_type.groupBy("user_id").agg(
+        F.sum("c").cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.round(
+            F.log2(n) - F.sum(F.col("c") * F.log2("c")) / n, 6
+        ).alias("entropy_bits"),
+    )

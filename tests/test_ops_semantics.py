@@ -637,3 +637,27 @@ def test_dedup_fuzzy_matches_and_counts(spark):
            for r in dd.dedup_fuzzy(df).collect()}
     # 'red widget' (2 rows after case fold) vs 'red widgit' (1 row): 1 edit
     assert out == {("red widget", "red widgit"): (1, 2, 1)}
+
+
+# ---------------------------------------------------------------- agg_entropy
+
+
+def test_entropy_uniform_single_and_skewed(spark):
+    import math
+
+    ev = _events(
+        spark,
+        # user 1: 2+2 of two types → exactly 1 bit; user 2: one type → 0 bits
+        [(1, 1, "a", 0.0, 1), (2, 1, "a", 0.0, 2),
+         (3, 1, "b", 0.0, 3), (4, 1, "b", 0.0, 4),
+         (5, 2, "a", 0.0, 5), (6, 2, "a", 0.0, 6),
+         # user 3: 3-vs-1 split → H = 2 - 0.75*log2(3)
+         (7, 3, "a", 0.0, 7), (8, 3, "a", 0.0, 8),
+         (9, 3, "a", 0.0, 9), (10, 3, "b", 0.0, 10)],
+    )
+    out = {r.user_id: r for r in agg.agg_entropy(ev).collect()}
+    assert (out[1].n_events, out[1].n_types, out[1].entropy_bits) == (4, 2, 1.0)
+    assert (out[2].n_types, out[2].entropy_bits) == (1, 0.0)
+    assert out[3].entropy_bits == pytest.approx(
+        round(2 - 0.75 * math.log2(3), 6), abs=1e-9
+    )
