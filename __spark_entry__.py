@@ -2649,3 +2649,104 @@ _reg(
     _kmeans_oracle(),
 )
 
+
+
+# ------------------------------------------------------------ round-7 extras
+# TF-IDF / BM25 sparse retrieval, PageRank, Markov transitions — the
+# indexer/ranker companions to the ANN + dedup families above.
+
+from kdb_spark.analytics import graph as gr  # noqa: E402
+
+_reg(
+    "text_tfidf_topk",
+    lambda s, d: tx.text_tfidf_topk(load(s, d, "documents")),
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    nn AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+             round(tf * ln(n_docs / df), 6) AS score
+      FROM tf JOIN df USING (term) CROSS JOIN nn)
+    SELECT doc_id, term, tf, df, score, rnk FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+                 ORDER BY score DESC, term) AS BIGINT) AS rnk
+      FROM scored) WHERE rnk <= 5
+    """,
+)
+
+_reg(
+    "text_bm25_topk",
+    lambda s, d: tx.text_bm25_topk(load(s, d, "documents")),
+    """
+    WITH base AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      FROM documents),
+    d AS (SELECT doc_id, len(toks) AS dl,
+                 list_filter(toks, t -> t IN ('vector', 'hash', 'merge')) AS hits
+          FROM base),
+    stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM d),
+    tfc AS (SELECT doc_id, dl, term, count(*) AS tf
+            FROM (SELECT doc_id, dl, unnest(hits) AS term FROM d)
+            GROUP BY 1, 2, 3),
+    df AS (SELECT term, count(*) AS df FROM tfc GROUP BY 1)
+    SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_hits,
+           round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                     * tf * (1.2 + 1.0)
+                     / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl
+                        / (CAST(sum_dl AS DOUBLE) / n_docs)))), 6) AS bm25
+    FROM tfc JOIN df USING (term) CROSS JOIN stats
+    GROUP BY doc_id, n_docs, sum_dl
+    ORDER BY bm25 DESC, doc_id LIMIT 20
+    """,
+)
+
+_reg(
+    "graph_pagerank",
+    lambda s, d: gr.pagerank(gr.trade_graph(load(s, d, "orders"), load(s, d, "lineitem"))),
+    """
+    WITH pairs AS (
+      SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS s
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    edges AS (SELECT c AS src, s AS dst FROM pairs
+              UNION ALL SELECT s AS src, c AS dst FROM pairs),
+    deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+    verts AS (SELECT DISTINCT src AS v FROM edges),
+    nn AS (SELECT count(*) AS n FROM verts),
+    r0 AS (SELECT v, n, 1.0 / n AS r FROM verts CROSS JOIN nn),
+    r1 AS (SELECT e.dst AS v, any_value(r.n) AS n,
+                  (1.0 - 0.85) / any_value(r.n) + 0.85 * sum(r.r / d.deg) AS r
+           FROM edges e JOIN deg d ON d.src = e.src JOIN r0 r ON r.v = e.src
+           GROUP BY e.dst),
+    r2 AS (SELECT e.dst AS v, any_value(r.n) AS n,
+                  (1.0 - 0.85) / any_value(r.n) + 0.85 * sum(r.r / d.deg) AS r
+           FROM edges e JOIN deg d ON d.src = e.src JOIN r1 r ON r.v = e.src
+           GROUP BY e.dst),
+    r3 AS (SELECT e.dst AS v, any_value(r.n) AS n,
+                  (1.0 - 0.85) / any_value(r.n) + 0.85 * sum(r.r / d.deg) AS r
+           FROM edges e JOIN deg d ON d.src = e.src JOIN r2 r ON r.v = e.src
+           GROUP BY e.dst)
+    SELECT v, round(r, 9) AS rank, CAST(deg AS BIGINT) AS out_deg
+    FROM r3 JOIN deg ON deg.src = r3.v
+    """,
+)
+
+_reg(
+    "agg_transitions",
+    lambda s, d: bh.agg_transitions(events_us(s, d)),
+    """
+    WITH p AS (
+      SELECT lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY epoch_us(ts), event_id) AS prev_type,
+             event_type AS next_type
+      FROM events),
+    m AS (SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+          FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+    SELECT prev_type, next_type, n,
+           round(n / sum(n) OVER (PARTITION BY prev_type), 6) AS prob
+    FROM m
+    """,
+)

@@ -115,3 +115,30 @@ def win_streaks(events: DataFrame) -> DataFrame:
         F.max("len_days").cast("long").alias("max_streak_days"),
         F.sum("len_days").cast("long").alias("n_active_days"),
     )
+
+
+def agg_transitions(events: DataFrame) -> DataFrame:
+    """First-order Markov transition matrix over event types: for each
+    (prev → next) pair, how often it occurs and its conditional probability
+    — the session-flow / next-action model product analytics builds on.
+
+    One user-partition window (lag) reusing the engine's standard series
+    sort, then a bounded |types|² rollup; the row-count total per prev
+    arrives from a second tiny window over the already-aggregated matrix,
+    not a re-scan. prob is a single int/int division — engine-exact.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    pairs = events.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    matrix = pairs.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    total = Window.partitionBy("prev_type")
+    return matrix.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(total), 6).alias("prob"),
+    )

@@ -284,3 +284,112 @@ def quality_rarity(documents: DataFrame) -> DataFrame:
             ).alias("avg_tok_freq"),
         )
     )
+
+
+def text_tfidf_topk(documents: DataFrame, k: int = 5) -> DataFrame:
+    """Top-k TF-IDF terms per doc — the keyword-extraction primitive a
+    corpus indexer / topic labeler runs over every document.
+
+    score = tf * ln(N / df); ties broken lexically so the top-k cut is
+    deterministic. Plan shape = inverted-index build: one map-side explode,
+    a (doc, term) hash-agg for tf, a term hash-agg for df (map-side
+    partials — the term key-space is the Zipf-bounded vocab, orders of
+    magnitude smaller than the posting list), and one vocab-sized join
+    AQE broadcasts at any corpus scale. N arrives as a broadcast 1-row
+    cross join, never a driver collect. The final per-doc top-k is a
+    window over the already-doc-partitioned postings — no extra Exchange.
+    """
+    from kdb_spark.llm.dedup import tokens
+    from pyspark.sql import Window
+
+    toks = documents.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = documents.select(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    score = F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            score.alias("score"),
+        )
+        .select("*", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= k)
+        .select("doc_id", "term", "tf", "df", "score", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+BM25_QUERY = ("vector", "hash", "merge")
+
+
+def text_bm25_topk(
+    documents: DataFrame,
+    query: tuple[str, ...] = BM25_QUERY,
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 retrieval: score every document against a fixed term query and
+    return the global top-k — the classic sparse-retrieval ranker (and the
+    usual hybrid partner of the ANN ops in kdb_spark/llm/similarity.py).
+
+    idf = ln(1 + (N - df + .5)/(df + .5)) (Robertson positive variant);
+    score = Σ_q idf · tf(k1+1)/(tf + k1(1 - b + b·dl/avgdl)).
+
+    Scale posture: the query-term filter lands BEFORE the tf shuffle, so
+    only postings matching the (tiny, literal) query ever leave the map
+    side — the corpus itself is scanned once and never shuffled. dl/avgdl
+    come from a bigint token-count aggregate (exact, order-independent);
+    N/avgdl/df join in as broadcast one-row / |query|-row tables. Global
+    top-k is a single ordered limit (Spark's TakeOrderedAndProject —
+    per-partition heaps, no full sort).
+    """
+    from kdb_spark.llm.dedup import tokens
+
+    q_arr = F.array(*[F.lit(t) for t in query])
+    base = documents.select(
+        "doc_id", tokens("text").alias("toks")
+    ).select(
+        "doc_id",
+        F.size("toks").cast("long").alias("dl"),
+        F.filter("toks", lambda t: F.array_contains(q_arr, t)).alias("hits"),
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+    )
+    tf = (
+        base.select("doc_id", "dl", F.explode("hits").alias("term"))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n, sum_dl = F.col("n_docs"), F.col("sum_dl")
+    avgdl = sum_dl.cast("double") / n
+    idf = F.log(
+        F.lit(1.0) + (n - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_c = F.col("tf").cast("double")
+    part = idf * tf_c * (k1 + 1.0) / (
+        tf_c + k1 * (1.0 - b + b * F.col("dl") / avgdl)
+    )
+    return (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_hits"),
+            F.round(F.sum(part), 6).alias("bm25"),
+        )
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(k)
+    )

@@ -661,3 +661,110 @@ def test_entropy_uniform_single_and_skewed(spark):
     assert out[3].entropy_bits == pytest.approx(
         round(2 - 0.75 * math.log2(3), 6), abs=1e-9
     )
+
+
+# ------------------------------------------------------------ text_tfidf_topk
+
+
+def test_tfidf_scores_and_topk_cut(spark):
+    """tf*ln(N/df) closed form; ties broken lexically; k cuts per doc."""
+    docs = spark.createDataFrame(
+        [(1, "apple apple banana"), (2, "banana cherry"), (3, "cherry date")],
+        "doc_id long, text string",
+    )
+    out = {(r.doc_id, r.term): (r.tf, r.df, r.score, r.rnk)
+           for r in tx.text_tfidf_topk(docs, k=2).collect()}
+    ln = math.log
+    # doc 1: apple tf=2 df=1 → 2·ln(3); banana tf=1 df=2 → ln(1.5)
+    assert out[(1, "apple")] == (2, 1, round(2 * ln(3.0), 6), 1)
+    assert out[(1, "banana")] == (1, 2, round(ln(1.5), 6), 2)
+    # doc 3: cherry/date both score ln(1.5)/ln(3) — date (df=1) outranks
+    assert out[(3, "date")][3] == 1 and out[(3, "cherry")][3] == 2
+    assert len(out) == 6
+
+
+def test_tfidf_k_larger_than_vocab(spark):
+    docs = spark.createDataFrame([(1, "solo")], "doc_id long, text string")
+    rows = tx.text_tfidf_topk(docs, k=5).collect()
+    assert [(r.term, r.score) for r in rows] == [("solo", 0.0)]
+
+
+# ------------------------------------------------------------- text_bm25_topk
+
+
+def test_bm25_closed_form_and_order(spark):
+    """Hand-computed Robertson BM25 on a 3-doc corpus; non-matching docs
+    are absent; higher-tf shorter doc wins."""
+    docs = spark.createDataFrame(
+        [(1, "vector vector pad"), (2, "vector pad pad pad"), (3, "pad pad")],
+        "doc_id long, text string",
+    )
+    rows = tx.text_bm25_topk(docs, query=("vector",), k=10).collect()
+    assert [r.doc_id for r in rows] == [1, 2]
+    n, sum_dl = 3, 9
+    idf = math.log(1.0 + (n - 2 + 0.5) / (2 + 0.5))
+    def score(tf, dl):
+        return round(idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / (sum_dl / n))), 6)
+    assert rows[0].bm25 == pytest.approx(score(2, 3), abs=1e-9)
+    assert rows[1].bm25 == pytest.approx(score(1, 4), abs=1e-9)
+
+
+# ------------------------------------------------------------- graph_pagerank
+
+
+def test_pagerank_symmetric_pair_and_star(spark):
+    """A disconnected symmetric pair keeps the uniform rank (exact fixpoint);
+    a 3-leaf star concentrates rank on the hub; ranks sum to ~1 (no
+    dangling mass in a symmetrized graph)."""
+    from kdb_spark.analytics import graph as gr
+
+    pair = [("a", "b"), ("b", "a")]
+    star = [("h", x) for x in ("l1", "l2", "l3")] + [(x, "h") for x in ("l1", "l2", "l3")]
+    edges = spark.createDataFrame(pair + star, "src string, dst string")
+    out = {r.v: (r.rank, r.out_deg) for r in gr.pagerank(edges).collect()}
+    n = 6
+    assert out["a"] == (round(1 / n, 9), 1) and out["b"] == (round(1 / n, 9), 1)
+    assert out["h"][1] == 3 and out["l1"] == out["l2"] == out["l3"]
+    assert out["h"][0] > out["l1"][0] > 0
+    assert sum(r for r, _ in out.values()) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_trade_graph_symmetrizes_distinct_pairs(spark):
+    from kdb_spark.analytics import graph as gr
+
+    orders = spark.createDataFrame(
+        [(10, 1), (11, 1), (12, 2)], "o_orderkey long, o_custkey long")
+    li = spark.createDataFrame(
+        [(10, 7), (11, 7), (12, 7), (12, 8)], "l_orderkey long, l_suppkey long")
+    got = {(r.src, r.dst) for r in gr.trade_graph(orders, li).collect()}
+    assert got == {("c1", "s7"), ("s7", "c1"), ("c2", "s7"), ("s7", "c2"),
+                   ("c2", "s8"), ("s8", "c2")}
+
+
+# ------------------------------------------------------------ agg_transitions
+
+
+def test_transitions_counts_and_conditional_probs(spark):
+    """lag pairs per user in ts order; prob normalizes per prev_type row."""
+    from kdb_spark.analytics import behavior as bh
+
+    ev = _events(
+        spark,
+        # user 1: a→b→a ; user 2: a→b  ⇒ (a,b)×2, (b,a)×1
+        [(1, 1, "a", 0.0, 10), (2, 1, "b", 0.0, 20), (3, 1, "a", 0.0, 30),
+         (4, 2, "a", 0.0, 10), (5, 2, "b", 0.0, 20)],
+    )
+    out = {(r.prev_type, r.next_type): (r.n, r.prob)
+           for r in bh.agg_transitions(ev).collect()}
+    assert out == {("a", "b"): (2, 1.0), ("b", "a"): (1, 1.0)}
+
+
+def test_transitions_tie_on_ts_uses_event_id(spark):
+    from kdb_spark.analytics import behavior as bh
+
+    ev = _events(
+        spark,
+        [(2, 1, "x", 0.0, 10), (1, 1, "y", 0.0, 10), (3, 1, "z", 0.0, 20)],
+    )
+    out = {(r.prev_type, r.next_type) for r in bh.agg_transitions(ev).collect()}
+    assert out == {("y", "x"), ("x", "z")}
