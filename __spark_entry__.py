@@ -2750,3 +2750,62 @@ _reg(
     FROM m
     """,
 )
+
+
+_reg(
+    "agg_twap",
+    lambda s, d: agg.agg_twap(events_us(s, d)),
+    """
+    WITH t AS (
+      SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+             CAST(round(value * 100) AS BIGINT) AS c,
+             lead(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+               ORDER BY epoch_us(ts), event_id) AS t_next
+      FROM events)
+    SELECT user_id, event_type,
+           CAST(count(*) AS BIGINT) AS n_intervals,
+           CAST(sum(t_next - ts_us) AS BIGINT) AS duration_us,
+           round(CAST(sum(c * (t_next - ts_us)) AS DOUBLE)
+                 / CAST(sum(t_next - ts_us) AS DOUBLE), 4) AS twap_c
+    FROM t WHERE t_next IS NOT NULL
+    GROUP BY user_id, event_type
+    """,
+)
+
+_reg(
+    "win_fby",
+    lambda s, d: wn.win_fby(events_us(s, d)),
+    """
+    SELECT event_id, user_id, event_type, value, grp_max, grp_n FROM (
+      SELECT event_id, user_id, event_type, value,
+             max(value) OVER w AS grp_max,
+             CAST(count(*) OVER w AS BIGINT) AS grp_n
+      FROM events
+      WINDOW w AS (PARTITION BY user_id, event_type))
+    WHERE value = grp_max
+    """,
+)
+
+
+def _emb_outliers_oracle(dim: int = 64) -> str:
+    avgs = ", ".join(f"avg(v[{i + 1}]) AS c{i + 1}" for i in range(dim))
+    # left-assoc + chain mirrors Spark's sequential fold order exactly
+    sq = " + ".join(f"(v[{i + 1}] - c{i + 1}) * (v[{i + 1}] - c{i + 1})" for i in range(dim))
+    return f"""
+    WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+               FROM embeddings),
+    c AS (SELECT {avgs} FROM e),
+    scored AS (SELECT vec_id, sqrt(0.0 + {sq}) AS dist FROM e CROSS JOIN c),
+    st AS (SELECT avg(dist) AS mu, stddev_samp(dist) AS sd FROM scored)
+    SELECT vec_id, round(dist, 4) AS dist,
+           round((dist - mu) / sd, 4) AS z,
+           (dist - mu) / sd > 2.0 AS is_outlier
+    FROM scored CROSS JOIN st
+    """
+
+
+_reg(
+    "emb_outliers",
+    lambda s, d: sim.emb_outliers(load(s, d, "embeddings")),
+    _emb_outliers_oracle(),
+)

@@ -652,3 +652,34 @@ def agg_entropy(events: DataFrame) -> DataFrame:
             F.log2(n) - F.sum(F.col("c") * F.log2("c")) / n, 6
         ).alias("entropy_bits"),
     )
+
+
+def agg_twap(events: DataFrame) -> DataFrame:
+    """Time-weighted average price — kdb's canonical tick rollup: each
+    observation is weighted by how long it remained the latest value
+    (piecewise-constant-left), so irregularly-sampled series average
+    correctly where a row-weighted mean over-counts burst periods.
+
+    twap = Σ vᵢ·(tᵢ₊₁−tᵢ) / Σ (tᵢ₊₁−tᵢ) over each (user, type) series; the
+    final tick carries no duration. Exactness: value joins the engine's
+    bigint-cents convention and Δt is integer µs, so each product is an
+    exact long; the SUM runs in decimal(38,0) (long would overflow at
+    cents·µs·rows scale) and a single double division ends the pipeline —
+    no accumulation-order float noise, same as agg_wavg. One series-key
+    window shuffle reused by the rollup.
+    """
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+    ticks = events.select(
+        "user_id", "event_type", "ts_us", cents("value").alias("c"),
+        F.lead("ts_us").over(w).alias("t_next"),
+    ).filter(F.col("t_next").isNotNull())
+    dt = F.col("t_next") - F.col("ts_us")
+    return ticks.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_intervals"),
+        F.sum(dt).cast("long").alias("duration_us"),
+        F.round(
+            F.sum((F.col("c") * dt).cast("decimal(38,0)")).cast("double")
+            / F.sum(dt).cast("double"),
+            4,
+        ).alias("twap_c"),
+    )

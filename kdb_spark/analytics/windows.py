@@ -449,3 +449,26 @@ def win_cusum(
             F.col("n").cast("long").alias("n"),
         )
     )
+
+
+def win_fby(events: DataFrame) -> DataFrame:
+    """kdb's ``fby`` (filter-by): keep the rows whose value equals a
+    group-level aggregate, without collapsing the group — the verb behind
+    ``select from t where price = (max; price) fby sym``.
+
+    One unbounded window max over the series key, then a row-level compare:
+    the fact table shuffles once and never joins. The compare is on the
+    STORED double (both engines see identical bits), so ties surface every
+    qualifying row deterministically. At 100 TB the window's partial max is
+    map-side combined by AQE; contrast the naive groupBy+self-join, which
+    shuffles the fact table twice.
+    """
+    w = Window.partitionBy("user_id", "event_type")
+    return (
+        events.select(
+            "event_id", "user_id", "event_type", "value",
+            F.max("value").over(w).alias("grp_max"),
+            F.count(F.lit(1)).over(w).cast("long").alias("grp_n"),
+        )
+        .filter(F.col("value") == F.col("grp_max"))
+    )

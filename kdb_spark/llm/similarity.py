@@ -701,3 +701,46 @@ def emb_cluster(embeddings: DataFrame, tau: float = 0.45) -> DataFrame:
     return connected_components(
         pairs, embeddings.select("vec_id")
     ).select(F.col("doc_id").alias("vec_id"), "canonical_id")
+
+
+def emb_outliers(embeddings: DataFrame, dim: int = 64, z_thresh: float = 2.0) -> DataFrame:
+    """Embedding-space outlier detection: distance of every vector to the
+    corpus centroid, z-scored against the distance distribution — the
+    curation gate that catches mis-embedded / off-distribution documents
+    before they pollute a training mix (complements the text-side
+    quality_score/text_repetition filters).
+
+    Three scan-bound passes, no shuffle: (1) one aggregate for the d
+    centroid means, (2) one aggregate for the distance moments, (3) a
+    map-only scoring scan — each aggregate is map-side-combined JVM code
+    and only d (resp. 2) doubles reach the broadcast, never data. The
+    un-squared mean distance can't be recovered from raw moments, so the
+    second pass is irreducible; at 100 TB three scans still beat
+    persisting the corpus (same trade the kernel zscore makes).
+    Distances use the engine's sequential-fold dot discipline (module
+    header): identical IEEE order both engines, round(4) ends the contract.
+    """
+    v = embeddings.select(
+        "vec_id", _vec_d("embedding").alias("v")
+    )
+    cent = v.agg(
+        F.array(*[F.avg(F.col("v")[i]) for i in range(dim)]).alias("c")
+    )
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with("v", "c", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        )
+    )
+    scored = v.crossJoin(F.broadcast(cent)).select("vec_id", dist.alias("dist"))
+    stats = scored.agg(
+        F.avg("dist").alias("mu"), F.stddev_samp("dist").alias("sd")
+    )
+    z = (F.col("dist") - F.col("mu")) / F.col("sd")
+    return scored.crossJoin(F.broadcast(stats)).select(
+        "vec_id",
+        F.round("dist", 4).alias("dist"),
+        F.round(z, 4).alias("z"),
+        (z > z_thresh).alias("is_outlier"),
+    )

@@ -768,3 +768,64 @@ def test_transitions_tie_on_ts_uses_event_id(spark):
     )
     out = {(r.prev_type, r.next_type) for r in bh.agg_transitions(ev).collect()}
     assert out == {("y", "x"), ("x", "z")}
+
+
+# ------------------------------------------------------------------ agg_twap
+
+
+def test_twap_weights_by_holding_time(spark):
+    """Value 10 held 3µs then 40 held 1µs → twap = (10·3+40·1)/4 = 17.5;
+    the final tick carries no duration; single-tick series drop out."""
+    ev = _events(
+        spark,
+        [(1, 1, "a", 10.0, 100), (2, 1, "a", 40.0, 103), (3, 1, "a", 99.0, 104),
+         (4, 2, "a", 55.0, 100)],
+    )
+    out = {(r.user_id, r.event_type): r for r in agg.agg_twap(ev).collect()}
+    assert set(out) == {(1, "a")}
+    r = out[(1, "a")]
+    assert (r.n_intervals, r.duration_us) == (2, 4)
+    assert r.twap_c == pytest.approx(1750.0, abs=1e-9)
+
+
+def test_twap_is_not_row_weighted(spark):
+    # burst of 3 cheap ticks in 1µs then one expensive long interval:
+    # row-mean would be dominated by the burst, twap by the long hold
+    ev = _events(
+        spark,
+        [(1, 1, "a", 0.0, 0), (2, 1, "a", 0.0, 1), (3, 1, "a", 0.0, 2),
+         (4, 1, "a", 100.0, 3), (5, 1, "a", 0.0, 1003)],
+    )
+    r = agg.agg_twap(ev).collect()[0]
+    assert r.twap_c == pytest.approx(round(100_00 * 1000 / 1003, 4), abs=1e-9)
+
+
+# ------------------------------------------------------------------- win_fby
+
+
+def test_fby_keeps_all_tied_max_rows(spark):
+    ev = _events(
+        spark,
+        [(1, 1, "a", 5.0, 10), (2, 1, "a", 9.0, 20), (3, 1, "a", 9.0, 30),
+         (4, 2, "a", 1.0, 10)],
+    )
+    out = {(r.event_id): (r.grp_max, r.grp_n) for r in wn.win_fby(ev).collect()}
+    assert out == {2: (9.0, 3), 3: (9.0, 3), 4: (1.0, 1)}
+
+
+# -------------------------------------------------------------- emb_outliers
+
+
+def test_emb_outliers_flags_far_vector(spark):
+    """9 near-origin vectors + 1 far vector in dim 2: the far one z-scores
+    past 2, the cluster does not; dist is the exact euclidean norm."""
+    from kdb_spark.llm import similarity as sim
+
+    rows = [(i, [float(i % 3) / 100.0, 0.0]) for i in range(9)] + [(9, [30.0, 40.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in sim.emb_outliers(df, dim=2).collect()}
+    cx, cy = (sum(i % 3 for i in range(9)) / 100.0 + 30.0) / 10, 4.0
+    assert out[9].dist == pytest.approx(math.hypot(30.0 - cx, 40.0 - cy), abs=1e-3)
+    assert out[9].is_outlier
+    assert sum(r.is_outlier for r in out.values()) == 1
+    assert out[0].dist == pytest.approx(math.hypot(0.0 - cx, 0.0 - cy), abs=1e-3)
