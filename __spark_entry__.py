@@ -2709,7 +2709,7 @@ _reg(
     lambda s, d: gr.pagerank(gr.trade_graph(load(s, d, "orders"), load(s, d, "lineitem"))),
     """
     WITH pairs AS (
-      SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS s
+      SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
       FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
     edges AS (SELECT c AS src, s AS dst FROM pairs
               UNION ALL SELECT s AS src, c AS dst FROM pairs),

@@ -74,17 +74,20 @@ def pagerank(
 def trade_graph(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     """Symmetrized customer↔supplier edge list: one edge pair per distinct
     (customer, supplier) trading relationship in the order book. Vertex ids
-    are namespaced strings ('c123' / 's45') so the two key spaces can share
-    one rank table. The orders⋈lineitem equi-join runs BEFORE the distinct,
-    so the shuffle carries only the two key columns.
+    are parity-namespaced LONGS (customer k → 2k, supplier k → 2k+1) so the
+    two key spaces share one rank table without string ids — an 8-byte
+    fixed-width key shuffles, sorts, and hash-aggregates far cheaper than a
+    'c123' string at every one of PageRank's per-round exchanges. The
+    orders⋈lineitem equi-join runs BEFORE the distinct, so the shuffle
+    carries only the two key columns.
     """
     pairs = (
         orders.select("o_orderkey", "o_custkey")
         .join(lineitem.select("l_orderkey", "l_suppkey"),
               F.col("o_orderkey") == F.col("l_orderkey"))
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
         )
         .distinct()
     )

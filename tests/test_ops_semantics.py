@@ -737,8 +737,9 @@ def test_trade_graph_symmetrizes_distinct_pairs(spark):
     li = spark.createDataFrame(
         [(10, 7), (11, 7), (12, 7), (12, 8)], "l_orderkey long, l_suppkey long")
     got = {(r.src, r.dst) for r in gr.trade_graph(orders, li).collect()}
-    assert got == {("c1", "s7"), ("s7", "c1"), ("c2", "s7"), ("s7", "c2"),
-                   ("c2", "s8"), ("s8", "c2")}
+    # parity-namespaced longs: cust k -> 2k, supp k -> 2k+1
+    c1, c2, s7, s8 = 2, 4, 15, 17
+    assert got == {(c1, s7), (s7, c1), (c2, s7), (s7, c2), (c2, s8), (s8, c2)}
 
 
 # ------------------------------------------------------------ agg_transitions
