@@ -2809,3 +2809,17 @@ _reg(
     lambda s, d: sim.emb_outliers(load(s, d, "embeddings")),
     _emb_outliers_oracle(),
 )
+
+
+_reg(
+    "stream_topk",
+    sm.stream_topk,
+    """
+    WITH c AS (SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n
+               FROM events GROUP BY 1, 2)
+    SELECT event_type, user_id, n, rnk FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY event_type
+                 ORDER BY n DESC, user_id) AS BIGINT) AS rnk
+      FROM c) WHERE rnk <= 5
+    """,
+)

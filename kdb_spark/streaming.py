@@ -31,7 +31,7 @@ from contextlib import contextmanager
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -1000,3 +1000,91 @@ def stream_cross_dedup(
         _drain(cand, "update", partitions=32).select("doc_new", "doc_base").distinct()
     )
     return dd.cross_verify(drained, docs, threshold)
+
+
+# ------------------------------------------------- stateful top-k per stream
+
+STREAM_TOPK_K = 5
+
+_TOPK_OUT = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("rnk", T.LongType()),
+        T.StructField("n_seen", T.LongType()),
+    ]
+)
+_TOPK_STATE = T.StructType(
+    [
+        T.StructField("users", T.ArrayType(T.LongType())),
+        T.StructField("counts", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def _topk_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Running top-k contributors per stream key: exact per-user counts in
+    state, current leaderboard emitted per micro-batch (update mode).
+
+    State is the full (user → count) map for the key, as two parallel
+    arrays — the EXACT variant, sized to the key's active-user cardinality
+    (bounded per event_type, and the serving answer stays exact). When the
+    per-key cardinality itself is unbounded, cap the map space-saving
+    style (evict-min with error tracking) — the batch-side sketch family
+    (agg_count_min) documents that trade; here exactness is the contract
+    the oracle replays. n_seen (total rows absorbed) rides along so the
+    final compact keeps only each key's LAST emission."""
+    if state.exists:
+        users, counts = state.get
+        acc = dict(zip(users, counts))
+    else:
+        acc = {}
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        vc = pdf["user_id"].value_counts()
+        for u, c in vc.items():
+            u = int(u)
+            acc[u] = acc.get(u, 0) + int(c)
+    state.update((list(acc), [acc[u] for u in acc]))
+    n_seen = sum(acc.values())
+    top = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:STREAM_TOPK_K]
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]] * len(top),
+            "user_id": [u for u, _ in top],
+            "n": [c for _, c in top],
+            "rnk": list(range(1, len(top) + 1)),
+            "n_seen": [n_seen] * len(top),
+        }
+    )
+
+
+def stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming leaderboard: exact top-k users by event count per
+    event_type, maintained across micro-batches with
+    `applyInPandasWithState` — the live heavy-hitters surface a metrics
+    dashboard serves. Final view = each key's last emission (max n_seen),
+    which after an AvailableNow drain equals the batch answer (oracle)."""
+    s = events_stream(spark, sf_dir)
+    top = (
+        s.select("event_type", "user_id")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _topk_fn,
+            outputStructType=_TOPK_OUT,
+            stateStructType=_TOPK_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    out = _drain(top, "update", partitions=16)
+    last = Window.partitionBy("event_type")
+    return (
+        out.withColumn("mx", F.max("n_seen").over(last))
+        .filter(F.col("n_seen") == F.col("mx"))
+        .select("event_type", "user_id", "n", "rnk")
+    )

@@ -462,3 +462,57 @@ def test_stream_cross_dedup_pairs_unique_across_microbatches(spark, tmp_path):
     )
     out = dd.cross_verify(drained, sh, 0.5).collect()
     assert [(r.doc_id, r.n_dups) for r in out] == [(22, 1)]
+
+
+def test_stream_topk_accumulates_across_batches(spark, tmp_path):
+    """Counts fold across micro-batches; the leaderboard re-ranks as later
+    batches change the order; each emission carries the cumulative n_seen."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    watch = tmp_path / "src_topk"
+    watch.mkdir()
+    schema_pairs = [("event_type", "string"), ("user_id", "long")]
+    # batch 1: user 1 leads (2 vs 1)
+    write_microbatch(
+        watch, "b1.parquet", schema_pairs,
+        [("c", 1), ("c", 1), ("c", 2)], 1_000,
+    )
+    # batch 2: user 2 overtakes (3 vs 2)
+    write_microbatch(
+        watch, "b2.parquet", schema_pairs,
+        [("c", 2), ("c", 2)], 2_000,
+    )
+    sdf = (
+        spark.readStream.schema("event_type string, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(watch))
+    )
+    out = sdf.groupBy("event_type").applyInPandasWithState(
+        sm._topk_fn,
+        outputStructType=sm._TOPK_OUT,
+        stateStructType=sm._TOPK_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    drained = sm._drain(out, "update").collect()
+    by_batch = {}
+    for r in drained:
+        by_batch.setdefault(r.n_seen, {})[r.rnk] = (r.user_id, r.n)
+    assert by_batch[3] == {1: (1, 2), 2: (2, 1)}
+    assert by_batch[5] == {1: (2, 3), 2: (1, 2)}
+
+
+def test_stream_topk_equals_batch_leaderboard(spark):
+    got = rows(sm.stream_topk(spark, SF_DIR), "event_type", "user_id", "n", "rnk")
+    ev = events_us(spark, SF_DIR)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy(F.desc("n"), "user_id")
+    want = rows(
+        ev.groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= sm.STREAM_TOPK_K),
+        "event_type", "user_id", "n", "rnk",
+    )
+    assert got == want
