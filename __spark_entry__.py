@@ -2823,3 +2823,58 @@ _reg(
       FROM c) WHERE rnk <= 5
     """,
 )
+
+
+_reg(
+    "win_bollinger",
+    lambda s, d: wn.win_bollinger(events_us(s, d)),
+    """
+    WITH m AS (
+      SELECT event_id, user_id, event_type, value,
+             CAST(round(value * 100) AS BIGINT) AS c,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS DOUBLE) AS s1,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)
+                      * CAST(round(value * 100) AS BIGINT)) OVER w AS DOUBLE) AS s2,
+             CAST(count(*) OVER w AS DOUBLE) AS n
+      FROM events
+      WINDOW w AS (PARTITION BY user_id, event_type
+                   ORDER BY epoch_us(ts), event_id
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+    b AS (
+      SELECT event_id, user_id, event_type, value, c, s1 / n AS mu_c,
+             CASE WHEN n > 1.0
+                  THEN sqrt((s2 - s1 * s1 / n) / (n - 1.0)) END AS sd_c
+      FROM m)
+    SELECT event_id, user_id, event_type, value,
+           round(mu_c / 100.0, 6) AS mid,
+           round((mu_c + 2.0 * sd_c) / 100.0, 6) AS upper,
+           round((mu_c - 2.0 * sd_c) / 100.0, 6) AS lower,
+           CASE WHEN sd_c IS NULL THEN NULL
+                WHEN CAST(c AS DOUBLE) > mu_c + 2.0 * sd_c THEN 'above'
+                WHEN CAST(c AS DOUBLE) < mu_c - 2.0 * sd_c THEN 'below'
+                ELSE 'in' END AS band
+    FROM b
+    """,
+)
+
+_reg(
+    "agg_distinct_overlap",
+    lambda s, d: agg.agg_distinct_overlap(events_us(s, d)),
+    """
+    WITH pu AS (
+      SELECT event_type, user_id,
+             min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us
+      FROM events GROUP BY 1, 2)
+    SELECT event_type,
+           CAST(sum(CASE WHEN first_us < 1705276800000000
+                          AND last_us >= 1705276800000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_both,
+           CAST(sum(CASE WHEN first_us < 1705276800000000
+                          AND last_us < 1705276800000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_only_before,
+           CAST(sum(CASE WHEN first_us >= 1705276800000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_only_after,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM pu GROUP BY event_type
+    """,
+)

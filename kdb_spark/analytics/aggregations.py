@@ -683,3 +683,30 @@ def agg_twap(events: DataFrame) -> DataFrame:
             4,
         ).alias("twap_c"),
     )
+
+
+def agg_distinct_overlap(
+    events: DataFrame, split_us: int = 1_705_276_800_000_000
+) -> DataFrame:
+    """Audience overlap between two periods: per event_type, how many
+    distinct users were active before AND after the split (plus each
+    period's exclusive counts) — the retention/churn rollup behind every
+    "returning users" metric.
+
+    ONE pass, no self-join: per (type, user) aggregate the min/max
+    timestamp, then a conditional count per type. Two bounded-key
+    hash aggregates; contrast the naive period-A ∩ period-B semi-join,
+    which scans twice and shuffles the fact table twice. split defaults
+    to 2024-01-15T00:00Z (mid-corpus).
+    """
+    per_user = events.groupBy("event_type", "user_id").agg(
+        F.min("ts_us").alias("first_us"), F.max("ts_us").alias("last_us")
+    )
+    before = F.col("first_us") < split_us  # has activity before the split
+    after = F.col("last_us") >= split_us  # has activity at/after it
+    return per_user.groupBy("event_type").agg(
+        F.sum((before & after).cast("long")).alias("n_both"),
+        F.sum((before & ~after).cast("long")).alias("n_only_before"),
+        F.sum((~before & after).cast("long")).alias("n_only_after"),
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+    )

@@ -472,3 +472,52 @@ def win_fby(events: DataFrame) -> DataFrame:
         )
         .filter(F.col("value") == F.col("grp_max"))
     )
+
+
+def win_bollinger(events: DataFrame, k: int = 19, width: float = 2.0) -> DataFrame:
+    """Bollinger bands per series: trailing k+1-row mean ± width·stddev and
+    a breach flag — the mean-reversion signal every tick-analytics stack
+    ships (kdb's msum/mdev composition).
+
+    Same single series-key window shuffle as the other win_* ops; the frame
+    computes EXACT integer moments (Σcents, Σcents², n — bigint window
+    sums, shared buffer) and mean/deviation derive from them through an
+    identical double expression in both engines — a naive windowed
+    avg/stddev_samp accumulates in engine-specific order and flips round(4)
+    boundaries (observed on the oracle gate). The head of each series
+    (n < 2) has no defined deviation → null bands, never a breach. Band
+    compares run in the exact cents domain so the flag and the displayed
+    bands can't disagree.
+    """
+    from kdb_spark.tables import cents
+
+    w = (
+        Window.partitionBy("user_id", "event_type")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(-k, 0)
+    )
+    c = cents("value")
+    s1 = F.sum(c).over(w).cast("double")
+    s2 = F.sum(c * c).over(w).cast("double")
+    n = F.count(F.lit(1)).over(w).cast("double")
+    mu_c = s1 / n
+    var_c = (s2 - s1 * s1 / n) / (n - F.lit(1.0))
+    sd_c = F.when(n > 1.0, F.sqrt(var_c))
+    upper_c, lower_c = mu_c + width * sd_c, mu_c - width * sd_c
+    return events.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        # round 6, NOT 4: mid = Σc/(100n) lands exactly on .00005
+        # boundaries (engine-divergent rounding) whenever n is 2^a·5^b,
+        # but every terminating case divides 10^6, so round(6) is exact
+        F.round(mu_c / 100.0, 6).alias("mid"),
+        F.round(upper_c / 100.0, 6).alias("upper"),
+        F.round(lower_c / 100.0, 6).alias("lower"),
+        F.when(sd_c.isNull(), F.lit(None).cast("string"))
+        .when(c.cast("double") > upper_c, F.lit("above"))
+        .when(c.cast("double") < lower_c, F.lit("below"))
+        .otherwise(F.lit("in"))
+        .alias("band"),
+    )

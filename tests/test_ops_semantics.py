@@ -830,3 +830,57 @@ def test_emb_outliers_flags_far_vector(spark):
     assert out[9].is_outlier
     assert sum(r.is_outlier for r in out.values()) == 1
     assert out[0].dist == pytest.approx(math.hypot(0.0 - cx, 0.0 - cy), abs=1e-3)
+
+
+# ------------------------------------------------------------- win_bollinger
+
+
+def test_bollinger_exact_moments_and_head_null(spark):
+    """Head row (n=1) → null bands, band=null; k+1 frame mean/σ match the
+    closed form; a spike breaches 'above'."""
+    # 19 calm points + a spike: the trailing frame includes the spike, so
+    # it must be big enough that z = (v-μ)/σ clears 2 even with σ inflated
+    # by itself (max attainable z in an n-frame is (n-1)/√n)
+    vals = [10.0 + (i % 2) * 0.5 for i in range(19)] + [500.0]
+    ev = _events(
+        spark, [(i + 1, 1, "a", v, (i + 1) * 100) for i, v in enumerate(vals)]
+    )
+    out = {r.event_id: r for r in wn.win_bollinger(ev, k=19).collect()}
+    assert out[1].band is None and out[1].upper is None
+    assert out[1].mid == 10.0
+    assert out[2].band == "in"
+    import statistics
+
+    c = [int(v * 100) for v in vals]
+    mu, sd = statistics.mean(c), statistics.stdev(c)
+    assert out[20].mid == pytest.approx(round(mu / 100, 6), abs=1e-9)
+    assert out[20].upper == pytest.approx(round((mu + 2 * sd) / 100, 6), abs=1e-6)
+    assert out[20].band == "above"
+
+
+def test_bollinger_frame_slides(spark):
+    # k=1 → two-row frame: row 3's stats use rows 2..3 only
+    ev = _events(
+        spark,
+        [(1, 1, "a", 0.0, 100), (2, 1, "a", 10.0, 200), (3, 1, "a", 20.0, 300)],
+    )
+    out = {r.event_id: r for r in wn.win_bollinger(ev, k=1).collect()}
+    assert out[3].mid == 15.0
+
+
+# ------------------------------------------------------ agg_distinct_overlap
+
+
+def test_distinct_overlap_buckets_users(spark):
+    ev = _events(
+        spark,
+        # user 1: both sides; user 2: only before; user 3: only after
+        [(1, 1, "a", 0.0, 100), (2, 1, "a", 0.0, 900),
+         (3, 2, "a", 0.0, 200), (4, 3, "a", 0.0, 800),
+         (5, 4, "b", 0.0, 500)],  # exactly at split → after
+    )
+    out = {r.event_type: r for r in agg.agg_distinct_overlap(ev, split_us=500).collect()}
+    a = out["a"]
+    assert (a.n_both, a.n_only_before, a.n_only_after, a.n_users) == (1, 1, 1, 3)
+    b = out["b"]
+    assert (b.n_both, b.n_only_before, b.n_only_after) == (0, 0, 1)
