@@ -2878,3 +2878,74 @@ _reg(
     FROM pu GROUP BY event_type
     """,
 )
+
+
+_reg(
+    "agg_autocorr",
+    lambda s, d: agg.agg_autocorr(events_us(s, d)),
+    """
+    WITH p AS (
+      SELECT user_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS x,
+             lag(CAST(round(value * 100) AS BIGINT)) OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY epoch_us(ts), event_id) AS y
+      FROM events),
+    m AS (
+      SELECT user_id, event_type, count(*) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+      FROM p WHERE y IS NOT NULL
+      GROUP BY 1, 2 HAVING count(*) >= 3)
+    SELECT user_id, event_type, CAST(n AS BIGINT) AS n_pairs,
+           CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0
+                 AND CAST(n * syy - sy * sy AS DOUBLE) > 0
+                THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+                           / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                                  * CAST(n * syy - sy * sy AS DOUBLE)), 4)
+           END AS ac1
+    FROM m
+    """,
+)
+
+_reg(
+    "sql_region_revenue",
+    lambda s, d: agg.sql_region_revenue(
+        load(s, d, "customer"), load(s, d, "orders"), load(s, d, "lineitem"),
+        load(s, d, "nation"), load(s, d, "region"),
+    ),
+    """
+    SELECT r.r_name AS region, o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                    AS BIGINT)) AS BIGINT) AS revenue_c
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, o.o_orderpriority
+    """,
+)
+
+_reg(
+    "win_drawdown",
+    lambda s, d: wn.win_drawdown(events_us(s, d)),
+    """
+    WITH m AS (
+      SELECT event_id, user_id, event_type, value,
+             CAST(round(value * 100) AS BIGINT) AS c,
+             max(CAST(round(value * 100) AS BIGINT)) OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY epoch_us(ts), event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak_c
+      FROM events)
+    SELECT event_id, user_id, event_type, value,
+           CAST(peak_c AS DOUBLE) / 100.0 AS peak,
+           CAST(peak_c - c AS DOUBLE) / 100.0 AS drawdown,
+           CASE WHEN peak_c > 0
+                THEN round(CAST(peak_c - c AS DOUBLE) / CAST(peak_c AS DOUBLE), 6)
+           END AS dd_frac
+    FROM m
+    """,
+)

@@ -710,3 +710,86 @@ def agg_distinct_overlap(
         F.sum((~before & after).cast("long")).alias("n_only_after"),
         F.count(F.lit(1)).cast("long").alias("n_users"),
     )
+
+
+def agg_autocorr(events: DataFrame, min_n: int = 3) -> DataFrame:
+    """Lag-1 autocorrelation per series — the persistence / mean-reversion
+    diagnostic (kdb users compute it over every tick stream; near +1 =
+    trending, near −1 = oscillating).
+
+    One series-key window (lag) reusing the engine's standard sort, then
+    Pearson on the CENTS grid from exact integer moments (decimal(38,0)
+    sums — correlation is affine-invariant, so the cents quantization is
+    the only contract change, and exact moments mean both engines derive
+    the identical double before round(4): no accumulation-order tolerance,
+    unlike a built-in `corr`). Zero-variance series emit null via the
+    den>0 guard — the built-in would throw a divide-by-zero under ANSI
+    mode (Spark 4 default; caught by test). Series with < min_n lagged
+    pairs are dropped.
+    """
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+    c = cents("value")
+    pairs = events.select(
+        "user_id", "event_type", c.alias("x"),
+        F.lag(c).over(w).alias("y"),
+    ).filter(F.col("y").isNotNull())
+    dec = "decimal(38,0)"
+    agg_df = pairs.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
+    )
+    n = F.col("n").cast(dec)
+    num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dx = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    dy = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return (
+        agg_df.filter(F.col("n") >= min_n)
+        .select(
+            "user_id", "event_type", F.col("n").alias("n_pairs"),
+            F.round(
+                F.when((dx > 0) & (dy > 0), num / F.sqrt(dx * dy)), 4
+            ).alias("ac1"),
+        )
+    )
+
+
+def sql_region_revenue(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+) -> DataFrame:
+    """TPC-H-Q5-shaped revenue rollup submitted as SQL TEXT: discounted
+    revenue per region and order priority, descending. The second SQL
+    entry point (after sql_pricing_summary) — this one exercises the
+    optimizer's JOIN planning from SQL: the dimension chain
+    (nation→region) is broadcast-sized at any realistic scale, the
+    fact-side orders⋈lineitem equi-join shuffles on the order key, and
+    revenue rides the engine's bigint-cents convention. Relations bind via
+    per-call parameter markers (no session-global temp views).
+    """
+    return lineitem.sparkSession.sql(
+        """
+        SELECT r.r_name AS region, o.o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_items,
+               sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                        AS BIGINT)) AS revenue_c
+        FROM {lineitem_v} l
+        JOIN {orders_v} o ON l.l_orderkey = o.o_orderkey
+        JOIN {customer_v} c ON o.o_custkey = c.c_custkey
+        JOIN {nation_v} n ON c.c_nationkey = n.n_nationkey
+        JOIN {region_v} r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name, o.o_orderpriority
+        ORDER BY revenue_c DESC, region, o_orderpriority
+        """,
+        lineitem_v=lineitem,
+        orders_v=orders,
+        customer_v=customer,
+        nation_v=nation,
+        region_v=region,
+    )

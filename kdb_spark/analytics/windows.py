@@ -521,3 +521,34 @@ def win_bollinger(events: DataFrame, k: int = 19, width: float = 2.0) -> DataFra
         .otherwise(F.lit("in"))
         .alias("band"),
     )
+
+
+def win_drawdown(events: DataFrame) -> DataFrame:
+    """Running peak and drawdown-from-peak per series — the risk metric
+    every portfolio/SLA dashboard tracks (kdb: maxs + ratio).
+
+    One unbounded-preceding running max over the standard series sort —
+    same single Exchange as the other win_* ops; the drawdown ratio is a
+    single division of exact cents integers (peak > 0 guard), so the
+    column is engine-exact without display-rounding risk.
+    """
+    from kdb_spark.tables import cents
+
+    w = (
+        Window.partitionBy("user_id", "event_type")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = cents("value")
+    peak = F.max(c).over(w)
+    return events.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        (peak.cast("double") / 100.0).alias("peak"),
+        ((peak - c).cast("double") / 100.0).alias("drawdown"),
+        F.when(
+            peak > 0, F.round((peak - c).cast("double") / peak.cast("double"), 6)
+        ).alias("dd_frac"),
+    )

@@ -884,3 +884,49 @@ def test_distinct_overlap_buckets_users(spark):
     assert (a.n_both, a.n_only_before, a.n_only_after, a.n_users) == (1, 1, 1, 3)
     b = out["b"]
     assert (b.n_both, b.n_only_before, b.n_only_after) == (0, 0, 1)
+
+
+# -------------------------------------------------------------- win_drawdown
+
+
+def test_drawdown_tracks_running_peak(spark):
+    ev = _events(
+        spark,
+        [(1, 1, "a", 100.0, 100), (2, 1, "a", 150.0, 200),
+         (3, 1, "a", 90.0, 300), (4, 1, "a", 150.0, 400),
+         (5, 1, "a", 200.0, 500)],
+    )
+    out = {r.event_id: (r.peak, r.drawdown, r.dd_frac)
+           for r in wn.win_drawdown(ev).collect()}
+    assert out[1] == (100.0, 0.0, 0.0)
+    assert out[3] == (150.0, 60.0, 0.4)
+    assert out[4] == (150.0, 0.0, 0.0)
+    assert out[5] == (200.0, 0.0, 0.0)
+
+
+def test_drawdown_nonpositive_peak_null_frac(spark):
+    ev = _events(spark, [(1, 1, "a", -5.0, 100), (2, 1, "a", -10.0, 200)])
+    out = {r.event_id: (r.peak, r.drawdown, r.dd_frac)
+           for r in wn.win_drawdown(ev).collect()}
+    assert out[1] == (-5.0, 0.0, None)
+    assert out[2] == (-5.0, 5.0, None)
+
+
+# --------------------------------------------------------------- agg_autocorr
+
+
+def test_autocorr_alternating_and_trending(spark):
+    # strictly increasing by constant step → r = +1; alternation → −1
+    up = [(i, 1, "a", float(i), i * 100) for i in range(1, 7)]
+    alt = [(i + 10, 2, "a", float(i % 2), i * 100) for i in range(1, 8)]
+    out = {r.user_id: r for r in agg.agg_autocorr(_events(spark, up + alt)).collect()}
+    assert out[1].ac1 == pytest.approx(1.0, abs=1e-9) and out[1].n_pairs == 5
+    assert out[2].ac1 == pytest.approx(-1.0, abs=1e-9)
+
+
+def test_autocorr_short_and_constant_series(spark):
+    short = [(1, 1, "a", 1.0, 100), (2, 1, "a", 2.0, 200), (3, 1, "a", 3.0, 300)]
+    const = [(i + 10, 2, "a", 7.0, i * 100) for i in range(1, 6)]
+    out = {r.user_id: r for r in agg.agg_autocorr(_events(spark, short + const)).collect()}
+    assert 1 not in out  # only 2 pairs < min_n
+    assert out[2].ac1 is None  # zero variance → corr undefined, kept as null
