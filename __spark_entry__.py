@@ -2949,3 +2949,34 @@ _reg(
     FROM m
     """,
 )
+
+
+_reg(
+    "win_rsi",
+    lambda s, d: wn.win_rsi(events_us(s, d)),
+    """
+    WITH s AS (
+      SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+             CAST(round(value * 100) AS BIGINT)
+               - lag(CAST(round(value * 100) AS BIGINT)) OVER w AS d
+      FROM events
+      WINDOW w AS (PARTITION BY user_id, event_type
+                   ORDER BY epoch_us(ts), event_id)),
+    f AS (
+      SELECT event_id, user_id, event_type,
+             sum(greatest(d, 0)) OVER wf AS gain,
+             sum(greatest(-d, 0)) OVER wf AS loss,
+             count(d) OVER wf AS n_d
+      FROM s
+      WINDOW wf AS (PARTITION BY user_id, event_type
+                    ORDER BY ts_us, event_id
+                    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+    SELECT event_id, user_id, event_type,
+           CAST(n_d AS BIGINT) AS n_deltas,
+           CASE WHEN gain + loss > 0
+                THEN round(100.0 * CAST(gain AS DOUBLE)
+                           / CAST(gain + loss AS DOUBLE), 4)
+           END AS rsi
+    FROM f
+    """,
+)

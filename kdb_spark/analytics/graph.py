@@ -78,8 +78,8 @@ def trade_graph(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     two key spaces share one rank table without string ids — an 8-byte
     fixed-width key shuffles, sorts, and hash-aggregates far cheaper than a
     'c123' string at every one of PageRank's per-round exchanges. The
-    orders⋈lineitem equi-join runs BEFORE the distinct, so the shuffle
-    carries only the two key columns.
+    orders⋈lineitem equi-join projects down to the two key columns before
+    anything shuffles; dedup is left to pagerank()'s own edge distinct.
     """
     pairs = (
         orders.select("o_orderkey", "o_custkey")
@@ -89,7 +89,8 @@ def trade_graph(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
             (F.col("o_custkey") * 2).alias("c"),
             (F.col("l_suppkey") * 2 + 1).alias("s"),
         )
-        .distinct()
+        # no distinct here: pagerank() dedups its edge input anyway, and a
+        # pre-union distinct would just add a second full shuffle
     )
     return pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))

@@ -552,3 +552,43 @@ def win_drawdown(events: DataFrame) -> DataFrame:
             peak > 0, F.round((peak - c).cast("double") / peak.cast("double"), 6)
         ).alias("dd_frac"),
     )
+
+
+def win_rsi(events: DataFrame, k: int = 14) -> DataFrame:
+    """Relative Strength Index per series (Cutler's simple-average form:
+    rs = Σgain/Σloss over the trailing k deltas; the classic momentum
+    oscillator, 0..100). Wilder's exponentially-smoothed variant is the
+    win_ewma pattern; the simple form keeps every term an exact integer.
+
+    Two chained windows over ONE series Exchange (lag → frame sums —
+    Catalyst reuses the sort). Gains/losses are exact cents integers, so
+    rs and rsi derive from identical doubles in both engines — no
+    tolerance. All-loss frames pin rsi to 0, all-gain to 100 via the same
+    division (no special case); frames with no movement at all (Σg=Σl=0)
+    are undefined → null. Rows before the first delta emit null.
+    """
+    from kdb_spark.tables import cents
+
+    ws = Window.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+    wf = ws.rowsBetween(-(k - 1), 0)
+    c = cents("value")
+    delta = c - F.lag(c).over(ws)
+    staged = events.select(
+        "event_id", "user_id", "event_type", "ts_us", delta.alias("d")
+    )
+    gain = F.sum(F.greatest(F.col("d"), F.lit(0))).over(wf)
+    loss = F.sum(F.greatest(-F.col("d"), F.lit(0))).over(wf)
+    n_d = F.count("d").over(wf)
+    # 100·G/(G+L) ≡ 100 − 100/(1+G/L), one exact-integer division; empty
+    # or all-null frames make the sums null and the predicate propagates it
+    rsi = F.when(
+        gain + loss > 0,
+        F.lit(100.0) * gain.cast("double") / (gain + loss).cast("double"),
+    )
+    return staged.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        n_d.cast("long").alias("n_deltas"),
+        F.round(rsi, 4).alias("rsi"),
+    )

@@ -930,3 +930,31 @@ def test_autocorr_short_and_constant_series(spark):
     out = {r.user_id: r for r in agg.agg_autocorr(_events(spark, short + const)).collect()}
     assert 1 not in out  # only 2 pairs < min_n
     assert out[2].ac1 is None  # zero variance → corr undefined, kept as null
+
+
+# ------------------------------------------------------------------- win_rsi
+
+
+def test_rsi_all_gain_all_loss_and_mixed(spark):
+    up = [(i, 1, "a", float(i), i * 100) for i in range(1, 5)]
+    down = [(i + 10, 2, "a", float(10 - i), i * 100) for i in range(1, 5)]
+    # user 3: +2, -1, +2, -1 → rs = 4/2 → rsi = 100·4/6
+    mixed_vals = [5.0, 7.0, 6.0, 8.0, 7.0]
+    mixed = [(i + 20, 3, "a", v, i * 100) for i, v in enumerate(mixed_vals, 1)]
+    out = {r.event_id: r for r in wn.win_rsi(_events(spark, up + down + mixed)).collect()}
+    assert out[1].rsi is None and out[1].n_deltas == 0  # series head
+    assert out[4].rsi == 100.0
+    assert out[14].rsi == 0.0
+    assert out[25].rsi == pytest.approx(round(100 * 400 / 600, 4), abs=1e-9)
+    assert out[25].n_deltas == 4
+
+
+def test_rsi_flat_series_null_and_frame_slides(spark):
+    flat = [(i, 1, "a", 3.0, i * 100) for i in range(1, 4)]
+    out = {r.event_id: r for r in wn.win_rsi(_events(spark, flat)).collect()}
+    assert all(r.rsi is None for r in out.values())  # zero movement
+    # k=2 frame: deltas +1,+1,-1,-1 → at row 5 frame covers (+1,-1) → 50
+    seq = [(i + 10, 2, "a", v, i * 100)
+           for i, v in enumerate([1.0, 2.0, 3.0, 2.0, 1.0], 1)]
+    out2 = {r.event_id: r.rsi for r in wn.win_rsi(_events(spark, seq), k=2).collect()}
+    assert out2[14] == 50.0
