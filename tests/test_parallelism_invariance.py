@@ -45,6 +45,17 @@ EVENT_OPS = [
     agg.agg_gini,
     wn.win_cusum,
     wn.win_counter_rate,
+    # round-7 additions: exact-integer-moment window/agg ops and the
+    # transition/twap/fby/overlap family — all must hold bit-identity
+    wn.win_bollinger,
+    wn.win_rsi,
+    wn.win_drawdown,
+    wn.win_fby,
+    agg.agg_twap,
+    agg.agg_autocorr,
+    agg.agg_distinct_overlap,
+    agg.agg_entropy,
+    bh.agg_transitions,
 ]
 
 DOC_OPS = [
