@@ -44,8 +44,16 @@ _RUNTIME_CONF: dict[str, str] = {
     # selective fact-fact join's full probe side and shuffling only the
     # ~matching fraction. No-ops on small/broadcast joins; purely a
     # runtime optimization, never affects results.
+    # NOTE: do NOT add spark.sql.optimizer.runtimeFilter.semiJoinReduction
+    # here — the conf was REMOVED in Spark 4.0, and a removed conf in the
+    # BUILDER poisons the session: the deferred option application throws
+    # AnalysisException inside the first RuntimeConf call, and pyspark
+    # 4.1.2's exception converter (recover_python_exception → __str__ →
+    # py4j) recurses forever — get_spark() livelocks at startup. (tune()'s
+    # conf.set path merely raises and is caught; only the builder path
+    # livelocks.) Bloom-filter runtime pruning below is the surviving,
+    # valid half of that tuning.
     "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
-    "spark.sql.optimizer.runtimeFilter.semiJoinReduction.enabled": "true",
 }
 
 
