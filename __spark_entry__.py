@@ -2980,3 +2980,21 @@ _reg(
     FROM f
     """,
 )
+
+
+_reg(
+    "rollup_serve",
+    src.q_rollup_serve,
+    """
+    SELECT event_type,
+           epoch_us(ts) - epoch_us(ts) % 3600000000 AS hour_us,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_c,
+           CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS min_c,
+           CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS max_c,
+           round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                 / count(*) / 100.0, 6) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)

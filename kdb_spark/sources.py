@@ -441,3 +441,59 @@ def q_scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         # would split at the LAST tab and truncate tab-bearing documents
         (F.length("value") - tab).cast("long").alias("n_chars_line"),
     )
+
+
+def q_rollup_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate serve path over the reference's hot/cold split
+    (`dbase/dbase.go:17-20,403-424`: recent buckets hot+writable, older
+    buckets sealed): the COLD tier is a materialized hourly rollup written
+    once per sealed bucket (partitioned by day — re-rolling a late bucket
+    replaces one partition, same idempotent-overwrite contract as
+    q_sink_delta_like); the HOT tail aggregates on the fly; the serve
+    query unions the two and MERGES partials (counts add, cents sums add,
+    min/min max/max — avg re-derives from merged sums, which is why the
+    rollup stores sums, never averages).
+
+    Exactness: the merge is over bigint counts/cents, so serve output is
+    bit-identical to a full rescan (the oracle IS the full-table rollup) —
+    the lambda-architecture read path without the usual approximation
+    caveat. At 100 TB the cold scan reads a few rollup rows per series per
+    hour instead of raw events, and day-partition pruning skips everything
+    outside the queried range.
+    """
+    from kdb_spark.tables import DAY_US, HOUR_US, cents, events_us
+
+    cut_us = 1_705_276_800_000_000  # 2024-01-15T00:00Z: seal buckets before
+    ev = events_us(spark, sf_dir)
+    hour = (F.col("ts_us") - F.col("ts_us") % F.lit(HOUR_US)).alias("hour_us")
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type", hour).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents("value")).alias("sum_c"),
+            F.min(cents("value")).alias("min_c"),
+            F.max(cents("value")).alias("max_c"),
+        )
+
+    cold_path = _tmp("rollup_cold")
+    cold = rollup(ev.filter(F.col("ts_us") < cut_us)).withColumn(
+        "day_us", F.col("hour_us") - F.col("hour_us") % F.lit(DAY_US)
+    )
+    sink_delta_like(cold, cold_path, partition_by=["day_us"])
+    hot = rollup(ev.filter(F.col("ts_us") >= cut_us))
+    served = (
+        scan_parquet(spark, cold_path)
+        .select("event_type", "hour_us", "n", "sum_c", "min_c", "max_c")
+        .unionByName(hot)
+        .groupBy("event_type", "hour_us")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("sum_c").cast("long").alias("sum_c"),
+            F.min("min_c").cast("long").alias("min_c"),
+            F.max("max_c").cast("long").alias("max_c"),
+        )
+    )
+    return served.select(
+        "event_type", "hour_us", "n", "sum_c", "min_c", "max_c",
+        F.round(F.col("sum_c").cast("double") / F.col("n") / 100.0, 6).alias("avg_value"),
+    )

@@ -177,3 +177,28 @@ def test_zorder_clusters_both_dims(spark, tmp_path):
     # 16 files over a 256×256 grid → ideal rectangles are 64×64; allow slack
     # for range-partition boundary estimation, but both must be far under 255
     assert spans.ra <= 160 and spans.rb <= 160, (spans.ra, spans.rb)
+
+
+def test_rollup_serve_equals_full_rescan(spark):
+    """The hot/cold merged serve answer must be bit-identical to a full
+    rescan rollup — counts/cents/min/max merge exactly, avg re-derives."""
+    from kdb_spark import sources as src
+    from kdb_spark.tables import HOUR_US, cents, events_us
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_DIR
+
+    served = {tuple(r)[:2]: tuple(r)[2:]
+              for r in src.q_rollup_serve(spark, SF_DIR).collect()}
+    ev = events_us(spark, SF_DIR)
+    hour = (F.col("ts_us") - F.col("ts_us") % F.lit(HOUR_US)).alias("hour_us")
+    full = ev.groupBy("event_type", hour).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(cents("value")).cast("long").alias("sum_c"),
+        F.min(cents("value")).cast("long").alias("min_c"),
+        F.max(cents("value")).cast("long").alias("max_c"),
+    ).select(
+        "event_type", "hour_us", "n", "sum_c", "min_c", "max_c",
+        F.round(F.col("sum_c").cast("double") / F.col("n") / 100.0, 6).alias("avg_value"),
+    )
+    want = {tuple(r)[:2]: tuple(r)[2:] for r in full.collect()}
+    assert served == want
