@@ -2998,3 +2998,14 @@ _reg(
     GROUP BY 1, 2
     """,
 )
+
+
+def _q_ivf_index_search(s: SparkSession, d: str) -> DataFrame:
+    import tempfile
+
+    return sim.ivf_index_search(
+        load(s, d, "embeddings"), tempfile.mkdtemp(prefix="kdbs_ivfidx_")
+    )
+
+
+_reg("ivf_index_search", _q_ivf_index_search, _ivf_oracle())

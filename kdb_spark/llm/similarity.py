@@ -744,3 +744,58 @@ def emb_outliers(embeddings: DataFrame, dim: int = 64, z_thresh: float = 2.0) ->
         F.round(z, 4).alias("z"),
         (z > z_thresh).alias("is_outlier"),
     )
+
+
+def ivf_index_search(
+    embeddings: DataFrame,
+    index_path: str,
+    n_queries: int = 5,
+    k: int = 5,
+    n_clusters: int = 16,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF as a PERSISTED index: the corpus is written ONCE partitioned by
+    inverted-list id, and a search reads only the ``nprobe`` probed lists —
+    the layout-as-index move (SCALE.md) applied to ANN. Where
+    `ivf_search_topk` holds assignments in memory for one query batch, this
+    is the deployment shape: pay one assignment scan + clustered write,
+    then every future query batch scans nprobe/n_clusters of the BYTES ON
+    DISK (directory-level partition pruning, asserted in tests — not a
+    post-scan filter).
+
+    The probed list ids are collected driver-side to form the pruning
+    predicate — n_queries·nprobe ints, query-side metadata, never corpus
+    data (the documented scale-safe collect shape). Centroids, assignment,
+    scoring, and tie rules are byte-identical to `ivf_search_topk`, so the
+    search result — and therefore its DuckDB oracle — is exactly the same.
+    """
+    spark = embeddings.sparkSession
+    cents = ivf_centroids(embeddings, n_clusters)
+    corpus = ivf_assign(with_norm(embeddings), cents, nprobe=1)
+    corpus.write.mode("overwrite").partitionBy("cid").parquet(index_path)
+
+    queries = ivf_assign(
+        with_norm(embeddings.filter(F.col("vec_id") < n_queries)), cents, nprobe=nprobe
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        "cid",
+    )
+    probed = sorted({int(r.cid) for r in queries.select("cid").distinct().collect()})
+    index = spark.read.parquet(index_path).filter(F.col("cid").isin(probed))
+    scored = (
+        index.join(F.broadcast(queries), "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "cos",
+            _dot(_vec_d("q_emb"), _vec_d("embedding")) / (F.col("q_nrm") * F.col("nrm")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+        .select("query_id", F.col("vec_id").alias("match_id"),
+                F.round("cos", 6).alias("cos"), "rn")
+    )

@@ -345,3 +345,29 @@ def test_funnel_is_single_exchange(spark):
 
     plan = plan_of(bh.agg_funnel(events_us(spark, SF_DIR)))
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+
+def test_ivf_index_scan_prunes_partitions(spark):
+    """The persisted IVF index must be probed via DIRECTORY-level partition
+    pruning: the read-back scan's PartitionFilters carries the cid
+    predicate (so unprobed inverted lists are never listed or read), and
+    the pruned scan reads fewer partitions than the index holds."""
+    import tempfile
+
+    from kdb_spark.llm import similarity as sim
+    from kdb_spark.tables import load
+
+    idx = tempfile.mkdtemp(prefix="kdbs_ivfidx_test_")
+    out = sim.ivf_index_search(load(spark, SF_DIR, "embeddings"), idx)
+    plan = plan_of(out)
+    assert "PartitionFilters" in plan, plan
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan).group(1)
+    assert "cid" in pf, plan  # the probe predicate prunes at listing time
+    # result parity with the in-memory IVF search on the same corpus
+    got = sorted(tuple(r) for r in out.collect())
+    want = sorted(
+        tuple(r) for r in sim.ivf_search_topk(load(spark, SF_DIR, "embeddings")).collect()
+    )
+    assert got == want
