@@ -3009,3 +3009,19 @@ def _q_ivf_index_search(s: SparkSession, d: str) -> DataFrame:
 
 
 _reg("ivf_index_search", _q_ivf_index_search, _ivf_oracle())
+
+
+_reg(
+    "stream_rollup_maintain",
+    sm.stream_rollup_maintain,
+    """
+    SELECT event_type,
+           epoch_us(ts) - epoch_us(ts) % 3600000000 AS hour_us,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_c,
+           CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS min_c,
+           CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS max_c
+    FROM events
+    GROUP BY 1, 2
+    """,
+)

@@ -516,3 +516,30 @@ def test_stream_topk_equals_batch_leaderboard(spark):
         "event_type", "user_id", "n", "rnk",
     )
     assert got == want
+
+
+def test_rollup_maintain_merges_across_batches(spark, tmp_path):
+    """Two micro-batches touching the SAME hour partition must merge partials
+    (n adds, sums add, min/min max/max), and a later batch must not disturb
+    other hours — the incremental-view contract."""
+    watch = tmp_path / "src_mv"
+    watch.mkdir()
+    schema_pairs = [("event_type", "string"), ("ts_us", "long"), ("value", "double")]
+    H = 3_600_000_000
+    write_microbatch(
+        watch, "b1.parquet", schema_pairs,
+        [("c", 10, 5.0), ("c", 20, 7.0), ("c", H + 1, 100.0)], 1_000,
+    )
+    write_microbatch(
+        watch, "b2.parquet", schema_pairs,
+        [("c", 30, 1.0)], 2_000,  # same hour 0 as batch 1 → must merge
+    )
+    sdf = (
+        spark.readStream.schema("event_type string, ts_us long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(watch))
+    )
+    out = {(r.event_type, r.hour_us): (r.n, r.sum_c, r.min_c, r.max_c)
+           for r in sm.stream_rollup_maintain(spark, SF_DIR, source=sdf).collect()}
+    assert out[("c", 0)] == (3, 1300, 100, 700)
+    assert out[("c", H)] == (1, 10000, 10000, 10000)
