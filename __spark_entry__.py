@@ -3025,3 +3025,42 @@ _reg(
     GROUP BY 1, 2
     """,
 )
+
+
+_reg(
+    "win_hampel",
+    lambda s, d: wn.win_hampel(events_us(s, d)),
+    """
+    WITH f AS (
+      SELECT event_id, user_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS c,
+             list_sort(list(CAST(round(value * 100) AS BIGINT)) OVER w) AS frame
+      FROM events
+      WINDOW w AS (PARTITION BY user_id, event_type
+                   ORDER BY epoch_us(ts), event_id
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)),
+    m AS (
+      SELECT *, len(frame) AS n,
+             CASE WHEN len(frame) % 2 = 1
+                  THEN CAST(frame[(len(frame) + 1) // 2] AS DOUBLE)
+                  ELSE (CAST(frame[len(frame) // 2] AS DOUBLE)
+                        + CAST(frame[len(frame) // 2 + 1] AS DOUBLE)) / 2.0
+             END AS med
+      FROM f),
+    d AS (
+      SELECT *, list_sort([abs(CAST(x AS DOUBLE) - med) FOR x IN frame]) AS devs
+      FROM m),
+    md AS (
+      SELECT *,
+             CASE WHEN n % 2 = 1 THEN devs[(n + 1) // 2]
+                  ELSE (devs[n // 2] + devs[n // 2 + 1]) / 2.0
+             END AS mad
+      FROM d)
+    SELECT event_id, user_id, event_type,
+           round(med / 100.0, 6) AS med,
+           round(mad / 100.0, 6) AS mad,
+           CASE WHEN mad > 0 THEN abs(CAST(c AS DOUBLE) - med) > 3.0 * mad
+                ELSE abs(CAST(c AS DOUBLE) - med) > 0 END AS is_spike
+    FROM md
+    """,
+)

@@ -592,3 +592,54 @@ def win_rsi(events: DataFrame, k: int = 14) -> DataFrame:
         n_d.cast("long").alias("n_deltas"),
         F.round(rsi, 4).alias("rsi"),
     )
+
+
+def win_hampel(events: DataFrame, k: int = 9, n_sigmas: float = 3.0) -> DataFrame:
+    """Hampel despike filter per series: flag points whose deviation from
+    the trailing-frame MEDIAN exceeds ``n_sigmas`` × the frame's MAD — the
+    robust outlier gate (win_zscore's mean/σ version is itself dragged by
+    the spike it hunts; median/MAD is not).
+
+    The frame's MAD must be computed against the CURRENT row's frame
+    median, which no plain window aggregate can express (the aggregate
+    argument would vary per output row) — so ONE window pass collects the
+    frame as an array and median/MAD derive from exact-cents array
+    expressions (array_sort + middle element(s) — JVM lambdas, no UDF,
+    engine-exact integers until the final /2 interpolations). A zero-MAD
+    (majority-constant) frame flags any nonzero deviation. Same single
+    series-key Exchange as every win_* op; frame arrays are k+1 longs.
+    """
+    w = (
+        Window.partitionBy("user_id", "event_type")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(-k, 0)
+    )
+    arr = F.array_sort(F.collect_list(cents("value")).over(w))
+
+    def arr_median(a: F.Column) -> F.Column:
+        # exact middle element (odd n) or mean of the two middles (even n);
+        # double cast is exact for cents ints, no-op for the deviation pass
+        n = F.size(a)
+        odd = F.element_at(a, ((n + 1) / 2).cast("int")).cast("double")
+        lo = F.element_at(a, (n / 2).cast("int")).cast("double")
+        hi = F.element_at(a, (n / 2).cast("int") + 1).cast("double")
+        return F.when(n % 2 == 1, odd).otherwise((lo + hi) / F.lit(2.0))
+
+    staged = events.select(
+        "event_id", "user_id", "event_type", cents("value").alias("c"),
+        arr.alias("frame"),
+    )
+    med = arr_median(F.col("frame"))
+    devs = F.array_sort(
+        F.transform(F.col("frame"), lambda x: F.abs(x.cast("double") - med))
+    )
+    mad = arr_median(devs)
+    dev = F.abs(F.col("c").cast("double") - med)
+    return staged.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round(med / 100.0, 6).alias("med"),
+        F.round(mad / 100.0, 6).alias("mad"),
+        F.when(mad > 0, dev > n_sigmas * mad).otherwise(dev > 0).alias("is_spike"),
+    )

@@ -958,3 +958,37 @@ def test_rsi_flat_series_null_and_frame_slides(spark):
            for i, v in enumerate([1.0, 2.0, 3.0, 2.0, 1.0], 1)]
     out2 = {r.event_id: r.rsi for r in wn.win_rsi(_events(spark, seq), k=2).collect()}
     assert out2[14] == 50.0
+
+
+# ---------------------------------------------------------------- win_hampel
+
+
+def test_hampel_flags_spike_mean_would_smear(spark):
+    """A lone spike is flagged; its neighbors are NOT (the median ignores
+    the spike where a mean/σ window would drag); head rows with tiny frames
+    behave (n=1 → mad 0, dev 0 → not a spike)."""
+    vals = [10.0, 10.2, 9.8, 10.0, 10.1, 500.0, 9.9, 10.0, 10.2, 10.1]
+    ev = _events(
+        spark, [(i + 1, 1, "a", v, (i + 1) * 100) for i, v in enumerate(vals)]
+    )
+    out = {r.event_id: r for r in wn.win_hampel(ev).collect()}
+    assert out[6].is_spike is True
+    assert all(out[i].is_spike is False for i in (1, 2, 3, 4, 5, 7, 8, 9, 10))
+    assert out[1].med == 10.0 and out[1].mad == 0.0
+
+
+def test_hampel_median_interpolation_even_frame(spark):
+    # frame {10, 20} at row 2: med = 15, mad = 5, dev = 5 ≤ 3·5 → not spike
+    ev = _events(spark, [(1, 1, "a", 10.0, 100), (2, 1, "a", 20.0, 200)])
+    out = {r.event_id: (r.med, r.mad, r.is_spike)
+           for r in wn.win_hampel(ev).collect()}
+    assert out[2] == (15.0, 5.0, False)
+
+
+def test_hampel_constant_frame_zero_mad_flags_any_move(spark):
+    ev = _events(
+        spark,
+        [(i, 1, "a", 5.0, i * 100) for i in range(1, 8)] + [(8, 1, "a", 5.01, 800)],
+    )
+    out = {r.event_id: r.is_spike for r in wn.win_hampel(ev).collect()}
+    assert out[8] is True and not any(out[i] for i in range(1, 8))
