@@ -3064,3 +3064,29 @@ _reg(
     FROM md
     """,
 )
+
+
+_reg(
+    "scan_evolved",
+    src.q_scan_evolved,
+    """
+    WITH merged AS (
+      SELECT doc_id, text, NULL AS lang FROM documents WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT doc_id, text, lang FROM documents WHERE doc_id % 2 = 1)
+    SELECT coalesce(lang, '<pre-schema>') AS lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS n_chars
+    FROM merged GROUP BY 1
+    """,
+)
+
+_reg(
+    "sink_compact",
+    src.q_sink_compact,
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_c
+    FROM events GROUP BY 1
+    """,
+)

@@ -497,3 +497,65 @@ def q_rollup_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "hour_us", "n", "sum_c", "min_c", "max_c",
         F.round(F.col("sum_c").cast("double") / F.col("n") / 100.0, 6).alias("avg_value"),
     )
+
+
+def q_scan_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: two generations of the same table — an early
+    write WITHOUT the ``lang`` column and a later write WITH it — unify
+    under ``mergeSchema`` (older files surface NULL for the new column).
+    This is the drift every long-lived 100 TB lake accumulates; the
+    gotcha the op pins down is that merge-on-read costs a footer fetch
+    per file, so production tables declare the superset schema explicitly
+    (the read below does both: mergeSchema to DISCOVER, then the explicit
+    unified schema is what a recurring job would hardcode).
+
+    Split is by doc parity, so the oracle reproduces generations exactly:
+    even docs predate the lang column (NULL), odd docs carry it.
+    """
+    d = sf_dir.rstrip("/")
+    path = _tmp("evolved")
+    docs = scan_parquet(spark, f"{d}/documents.parquet")
+    docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/gen=1")
+    docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text", "lang").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/gen=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{path}/gen=1", f"{path}/gen=2"
+    )
+    return merged.groupBy(F.coalesce("lang", F.lit("<pre-schema>")).alias("lang")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.length("text")).cast("long").alias("n_chars"),
+    )
+
+
+def q_sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the table-maintenance pass every streaming
+    ingest needs (micro-batches leave a file per trigger per partition;
+    thousands of small files turn listing + footer reads into the scan
+    bottleneck long before data volume does).
+
+    Shape: a deliberately over-fragmented write (one file per shuffle
+    partition), then compaction = read → repartition to the target file
+    count (size-based at scale: bytes / target_file_size) → rewrite.
+    The read-back aggregate proves compaction is layout-only; the test
+    asserts the file-count collapse. At 100 TB this runs per-partition
+    (compact yesterday's partitions, never the whole table — the same
+    partition-scoped overwrite as sink_delta_like).
+    """
+    from kdb_spark.tables import events_us, cents
+
+    frag, tight = _tmp("frag"), _tmp("compact")
+    ev = events_us(spark, sf_dir).select("event_id", "event_type", cents("value").alias("c"))
+    ev.repartition(64).write.mode("overwrite").parquet(frag)  # the problem
+    back = spark.read.parquet(frag)
+    back.repartition(4).write.mode("overwrite").parquet(tight)  # the fix
+    return (
+        spark.read.parquet(tight)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("c").cast("long").alias("sum_c"),
+        )
+    )

@@ -202,3 +202,35 @@ def test_rollup_serve_equals_full_rescan(spark):
     )
     want = {tuple(r)[:2]: tuple(r)[2:] for r in full.collect()}
     assert served == want
+
+
+def test_sink_compact_collapses_file_count(spark, tmp_path):
+    """Compaction must cut the parquet file count to the target while the
+    data stays bit-identical."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    df = spark.range(10_000).select(
+        F.col("id"), (F.col("id") % 7).alias("k")
+    )
+    frag = str(tmp_path / "frag")
+    tight = str(tmp_path / "tight")
+    df.repartition(32).write.parquet(frag)
+    assert len(glob.glob(f"{frag}/part-*.parquet")) == 32
+    spark.read.parquet(frag).repartition(2).write.parquet(tight)
+    assert len(glob.glob(f"{tight}/part-*.parquet")) == 2
+    a = sorted(tuple(r) for r in spark.read.parquet(tight).collect())
+    b = sorted(tuple(r) for r in df.collect())
+    assert a == b
+
+
+def test_scan_evolved_merges_generations(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "ev")
+    spark.createDataFrame([(1, "a")], "id long, x string").write.parquet(f"{p}/g1")
+    spark.createDataFrame([(2, "b", 9)], "id long, x string, y long").write.parquet(f"{p}/g2")
+    m = spark.read.option("mergeSchema", "true").parquet(f"{p}/g1", f"{p}/g2")
+    got = {r.id: (r.x, r.y) for r in m.collect()}
+    assert got == {1: ("a", None), 2: ("b", 9)}
