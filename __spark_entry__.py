@@ -3090,3 +3090,38 @@ _reg(
     FROM events GROUP BY 1
     """,
 )
+
+
+_reg(
+    "decontaminate_fuzzy",
+    lambda s, d: dd.decontaminate_fuzzy(load(s, d, "documents")),
+    """
+    WITH d AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 < 20
+               AS is_test,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            FOR i IN range(1, len(toks) - 1)]) AS sh
+      FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+            FROM documents)
+      WHERE len(toks) >= 3),
+    flat AS (SELECT doc_id, is_test, unnest(sh) AS s FROM d),
+    sizes AS (SELECT doc_id, len(sh) AS n_sh FROM d),
+    inter AS (
+      SELECT t.doc_id AS doc_new, e.doc_id AS doc_base, count(*) AS n_inter
+      FROM flat t JOIN flat e ON t.s = e.s AND NOT t.is_test AND e.is_test
+      GROUP BY 1, 2),
+    j AS (
+      SELECT doc_new, doc_base,
+             n_inter / (sn.n_sh + sb.n_sh - n_inter) AS jaccard
+      FROM inter
+      JOIN sizes sn ON sn.doc_id = doc_new
+      JOIN sizes sb ON sb.doc_id = doc_base
+      WHERE n_inter / (sn.n_sh + sb.n_sh - n_inter) >= 0.3)
+    SELECT doc_new AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_test_matches,
+           min(doc_base) AS min_test_id,
+           max(jaccard) AS best_jaccard
+    FROM j GROUP BY 1
+    """,
+)

@@ -759,3 +759,52 @@ def dedup_fuzzy(
         .join(nb, "name_b")
         .select("name_a", "name_b", "dist", "n_rows_a", "n_rows_b")
     )
+
+
+def decontaminate_fuzzy(
+    documents: DataFrame,
+    threshold: float = 0.3,
+    pct_test: int = 20,
+    num_perm: int = 32,
+    bands: int = 32,
+    n: int = 3,
+) -> DataFrame:
+    """Fuzzy benchmark decontamination: flag TRAIN documents that are
+    near-duplicates of the held-out TEST split — the leakage the exact
+    hashed-gram `curation.decontaminate` misses (paraphrase, whitespace
+    edits, partial copies shift every n-gram but leave Jaccard high).
+
+    Same cross-side-only LSH discipline as `dedup_cross_corpus` (train and
+    test bucket independently, join ACROSS sides only — never train×train),
+    but with 32×1 banding instead of 16×2: at the lower decontamination
+    threshold j=0.3, 16 two-row bands catch only ~78% of true pairs
+    (1-(1-j²)^16) while 32 single-row bands catch ≥1-(1-j)^32 ≈ 0.99999 —
+    the banding must be re-tuned to the threshold it serves or the exact
+    oracle exposes the recall gap. Candidates get the exact-Jaccard
+    verify; output = one row per contaminated train doc (match count,
+    smallest matching test id, best jaccard).
+    """
+    docs = _reused(
+        "decontam_fuzzy_shingles",
+        _doc_shingles(documents, n)
+        .filter(F.size("sh") > 0)
+        .select(
+            "doc_id",
+            incoming_gate(pct_test).alias("is_test"),
+            F.transform("sh", lambda s: F.xxhash64(s)).alias("sh"),
+        ),
+    )
+    buckets = lsh_buckets(docs, num_perm, bands)
+    train_b = buckets.filter(~F.col("is_test")).select(
+        F.col("doc_id").alias("doc_new"), "band", "bh"
+    )
+    test_b = buckets.filter(F.col("is_test")).select(
+        F.col("doc_id").alias("doc_base"), "band", "bh"
+    )
+    cand = train_b.join(test_b, ["band", "bh"]).select("doc_new", "doc_base").distinct()
+    return cross_verify(cand, docs, threshold).select(
+        "doc_id",
+        F.col("n_dups").alias("n_test_matches"),
+        F.col("min_base").alias("min_test_id"),
+        "best_jaccard",
+    )

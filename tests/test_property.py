@@ -599,3 +599,49 @@ def test_pagerank_laws_on_symmetrized_graphs(spark, edges):
     assert abs(sum(r for r, _ in out.values()) - 1.0) < 1e-6
     degs = {v: d for v, (_, d) in out.items()}
     assert degs == {v: sum(1 for s, _ in sym if s == v) for v in out}
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=doc_strategy)
+def test_decontaminate_fuzzy_matches_bruteforce(spark, texts):
+    """Law: decontaminate_fuzzy equals the brute-force cross-split rollup at
+    the LOWER j>=0.3 threshold (the 32x1 banding the op re-tunes to), with
+    roles flipped vs dedup_cross_corpus: reported docs are TRAIN side,
+    matches are TEST side, no within-side pair contributes."""
+    import hashlib
+    import re
+
+    from kdb_spark.llm import dedup as dd
+
+    def sh(t, n=3):
+        toks = re.findall(r"[a-z0-9]+", t.lower())
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    def is_test(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16) % 100 < 20
+
+    sets = {i: sh(t) for i, t in enumerate(texts) if sh(t)}
+    expect = {}
+    for i, si in sets.items():
+        if is_test(i):
+            continue
+        hits = [
+            (j, len(si & sj) / len(si | sj))
+            for j, sj in sets.items()
+            if is_test(j) and len(si & sj) / len(si | sj) >= 0.3
+        ]
+        if hits:
+            expect[i] = (len(hits), min(j for j, _ in hits),
+                         max(jac for _, jac in hits))
+    got = {
+        r.doc_id: (r.n_test_matches, r.min_test_id, r.best_jaccard)
+        for r in dd.decontaminate_fuzzy(_docs_df(spark, texts)).collect()
+    }
+    assert got.keys() == expect.keys()
+    for k, (n, mt, bj) in expect.items():
+        assert got[k][0] == n and got[k][1] == mt
+        assert abs(got[k][2] - bj) < 1e-12
