@@ -3125,3 +3125,79 @@ _reg(
     FROM j GROUP BY 1
     """,
 )
+
+
+def _mmr_oracle(n_queries: int = 5, m: int = 10) -> str:
+    dot_qc = _IVF_DOT.format(a="q.v", b="c.v")
+    dot_ab = _IVF_DOT.format(a="na.v", b="nb.v")
+    # λ literal mirrors Python: 0.7 and (1.0 - 0.7) — the latter is NOT 0.3
+    # in IEEE, and both engines must compute the same subtraction
+    return f"""
+    WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+               FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_sum([x * x FOR x IN v])) AS nrm FROM e),
+    scored0 AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+             {dot_qc} / (q.nrm * c.nrm) AS rel
+      FROM n q JOIN n c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < {n_queries}),
+    cand AS (
+      SELECT query_id, match_id, rel FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY rel DESC, match_id) AS rn
+        FROM scored0) WHERE rn <= {m}),
+    pair AS (
+      SELECT a.query_id, a.match_id AS pa, b.match_id AS pb,
+             {dot_ab} / (na.nrm * nb.nrm) AS sim
+      FROM cand a
+      JOIN cand b ON a.query_id = b.query_id AND a.match_id <> b.match_id
+      JOIN n na ON na.vec_id = a.match_id
+      JOIN n nb ON nb.vec_id = b.match_id),
+    s1 AS (
+      SELECT query_id, match_id, rel,
+             0.7 * rel - (1.0 - 0.7) * 0.0 AS score FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY 0.7 * rel - (1.0 - 0.7) * 0.0 DESC, match_id) AS rk
+        FROM cand) WHERE rk = 1),
+    m2 AS (
+      SELECT c.query_id, c.match_id, c.rel,
+             0.7 * c.rel - (1.0 - 0.7) * p.sim AS score
+      FROM cand c
+      JOIN s1 ON s1.query_id = c.query_id AND c.match_id <> s1.match_id
+      JOIN pair p ON p.query_id = c.query_id AND p.pa = c.match_id
+                 AND p.pb = s1.match_id),
+    s2 AS (
+      SELECT query_id, match_id, rel, score FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY score DESC, match_id) AS rk
+        FROM m2) WHERE rk = 1),
+    m3 AS (
+      SELECT c.query_id, c.match_id, c.rel,
+             0.7 * c.rel - (1.0 - 0.7) * greatest(p1.sim, p2.sim) AS score
+      FROM cand c
+      JOIN s1 ON s1.query_id = c.query_id
+      JOIN s2 ON s2.query_id = c.query_id
+      JOIN pair p1 ON p1.query_id = c.query_id AND p1.pa = c.match_id
+                  AND p1.pb = s1.match_id
+      JOIN pair p2 ON p2.query_id = c.query_id AND p2.pa = c.match_id
+                  AND p2.pb = s2.match_id
+      WHERE c.match_id <> s1.match_id AND c.match_id <> s2.match_id),
+    s3 AS (
+      SELECT query_id, match_id, rel, score FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY score DESC, match_id) AS rk
+        FROM m3) WHERE rk = 1)
+    SELECT query_id, match_id, CAST(1 AS BIGINT) AS round,
+           round(rel, 6) AS rel, round(score, 6) AS mmr FROM s1
+    UNION ALL
+    SELECT query_id, match_id, CAST(2 AS BIGINT), round(rel, 6), round(score, 6) FROM s2
+    UNION ALL
+    SELECT query_id, match_id, CAST(3 AS BIGINT), round(rel, 6), round(score, 6) FROM s3
+    """
+
+
+_reg(
+    "emb_mmr_rerank",
+    lambda s, d: sim.emb_mmr_rerank(load(s, d, "embeddings")),
+    _mmr_oracle(),
+)

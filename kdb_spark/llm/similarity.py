@@ -799,3 +799,103 @@ def ivf_index_search(
         .select("query_id", F.col("vec_id").alias("match_id"),
                 F.round("cos", 6).alias("cos"), "rn")
     )
+
+
+def emb_mmr_rerank(
+    embeddings: DataFrame,
+    n_queries: int = 5,
+    m: int = 10,
+    k_sel: int = 3,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal Marginal Relevance rerank — the diversity pass a retrieval
+    stack runs AFTER top-k: greedily pick results that are relevant to the
+    query but dissimilar to what's already picked
+    (score = λ·rel − (1−λ)·max_sim_to_selected), killing the
+    near-duplicate result lists raw cosine top-k produces.
+
+    Two-phase plan: the exact top-m shortlist per query (one corpus scan,
+    broadcast queries — same shape as sim_search_topk), then everything
+    downstream operates on n_queries·m rows: one bounded self-join for
+    candidate-pair sims and ``k_sel`` unrolled greedy rounds (window argmax
+    + anti-join), all inside one Catalyst plan. The greedy loop is
+    DATA-bounded, not corpus-bounded — at 100 TB only the shortlist stage
+    touches the corpus. Round 1's uniform formula (λ·rel − (1−λ)·0) picks
+    the same argmax as pure relevance, so no special case. All doubles
+    derive from the engine's sequential-fold dot — identical cross-engine,
+    ties by vec_id.
+    """
+    q = with_norm(embeddings.filter(F.col("vec_id") < n_queries)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    c = with_norm(embeddings).select("vec_id", "embedding", "nrm")
+    wm = Window.partitionBy("query_id").orderBy(F.desc("rel"), "vec_id")
+    cand = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "rel",
+            _dot(_vec_d("q_emb"), _vec_d("embedding")) / (F.col("q_nrm") * F.col("nrm")),
+        )
+        .withColumn("rn", F.row_number().over(wm))
+        .filter(F.col("rn") <= m)
+        .select("query_id", "vec_id", "embedding", "nrm", "rel")
+    )
+    # the shortlist feeds the pair self-join plus every greedy round —
+    # persist its n_queries·m rows or the corpus scan re-executes per ref
+    from kdb_spark.llm.dedup import _reused
+
+    cand = _reused("mmr_cand", cand)
+    a = cand.select(
+        "query_id", F.col("vec_id").alias("a"),
+        F.col("embedding").alias("ea"), F.col("nrm").alias("na"),
+    )
+    b = cand.select(
+        "query_id", F.col("vec_id").alias("b"),
+        F.col("embedding").alias("eb"), F.col("nrm").alias("nb"),
+    )
+    pair = (
+        a.join(b, "query_id")
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            "query_id", "a", "b",
+            (_dot(_vec_d("ea"), _vec_d("eb")) / (F.col("na") * F.col("nb"))).alias("sim"),
+        )
+    )
+    remaining = cand.select("query_id", "vec_id", "rel")
+    sel = cand.select("query_id", F.col("vec_id").alias("b")).limit(0)
+    picks = []
+    wp = Window.partitionBy("query_id").orderBy(F.desc("score"), "vec_id")
+    for rnd in range(1, k_sel + 1):
+        max_prev = (
+            pair.join(sel, ["query_id", "b"])
+            .groupBy("query_id", F.col("a").alias("vec_id"))
+            .agg(F.max("sim").alias("mp"))
+        )
+        scored = remaining.join(max_prev, ["query_id", "vec_id"], "left").select(
+            "query_id", "vec_id", "rel",
+            (F.lit(lam) * F.col("rel")
+             - F.lit(1.0 - lam) * F.coalesce(F.col("mp"), F.lit(0.0))).alias("score"),
+        )
+        pick = (
+            scored.withColumn("rn", F.row_number().over(wp))
+            .filter(F.col("rn") == 1)
+            .select("query_id", "vec_id", "rel", "score", F.lit(rnd).alias("round"))
+        )
+        picks.append(pick)
+        sel = sel.unionByName(pick.select("query_id", F.col("vec_id").alias("b")))
+        remaining = remaining.join(
+            pick.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_anti"
+        )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "query_id",
+        F.col("vec_id").alias("match_id"),
+        F.col("round").cast("long").alias("round"),
+        F.round("rel", 6).alias("rel"),
+        F.round("score", 6).alias("mmr"),
+    )

@@ -992,3 +992,38 @@ def test_hampel_constant_frame_zero_mad_flags_any_move(spark):
     )
     out = {r.event_id: r.is_spike for r in wn.win_hampel(ev).collect()}
     assert out[8] is True and not any(out[i] for i in range(1, 8))
+
+
+# ------------------------------------------------------------ emb_mmr_rerank
+
+
+def test_mmr_diversifies_away_from_duplicate(spark):
+    """With a duplicate of the top hit in the shortlist, diversity-weighted
+    MMR (λ<0.5) must pick the dissimilar doc in round 2 where pure top-k
+    would return the duplicate; round-1 tie breaks to the lower vec_id."""
+    from kdb_spark.llm import similarity as sim
+
+    rows = [
+        (0, [1.0, 0.0]),   # query
+        (1, [1.0, 0.0]),   # top hit
+        (2, [1.0, 0.0]),   # exact duplicate of the top hit
+        (3, [0.1, 0.995]), # dissimilar, low relevance
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.round: r for r in
+           sim.emb_mmr_rerank(df, n_queries=1, m=10, k_sel=2, lam=0.4).collect()}
+    assert out[1].match_id == 1 and out[1].rel == 1.0
+    assert out[2].match_id == 3  # NOT the duplicate (score -0.02 vs -0.2)
+    assert out[2].mmr > 0.4 * 1.0 - 0.6 * 1.0
+
+
+def test_mmr_relevance_heavy_keeps_topk_order(spark):
+    # λ=1.0 degenerates to pure relevance: rounds = top-k_sel by cosine
+    from kdb_spark.llm import similarity as sim
+
+    rows = [(0, [1.0, 0.0]), (1, [1.0, 0.1]), (2, [1.0, 0.3]), (3, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = [r.match_id for r in sorted(
+        sim.emb_mmr_rerank(df, n_queries=1, m=10, k_sel=3, lam=1.0).collect(),
+        key=lambda r: r.round)]
+    assert out == [1, 2, 3]
