@@ -3201,3 +3201,42 @@ _reg(
     lambda s, d: sim.emb_mmr_rerank(load(s, d, "embeddings")),
     _mmr_oracle(),
 )
+
+
+_reg(
+    "agg_kmv_overlap",
+    lambda s, d: agg.agg_kmv_overlap(events_us(s, d)),
+    """
+    WITH mem AS (
+      SELECT DISTINCT event_type,
+             epoch_us(ts) >= 1705276800000000 AS late,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT
+                  AS DOUBLE) / 281474976710656.0 AS u
+      FROM events),
+    sk AS (
+      SELECT event_type, late, u FROM (
+        SELECT *, row_number() OVER (PARTITION BY event_type, late
+                   ORDER BY u) AS rn FROM mem) WHERE rn <= 64),
+    side AS (
+      SELECT event_type, late, max(u) AS kth, count(*) AS n
+      FROM sk GROUP BY 1, 2),
+    uni AS (
+      SELECT event_type, max(u) AS kth_u, count(*) AS n_u FROM (
+        SELECT event_type, u, row_number() OVER (PARTITION BY event_type
+                 ORDER BY u) AS rn
+        FROM (SELECT DISTINCT event_type, u FROM sk)) x
+      WHERE rn <= 64 GROUP BY 1),
+    j AS (
+      SELECT a.event_type,
+             CASE WHEN a.n < 64 THEN CAST(a.n AS DOUBLE) ELSE 63 / a.kth END AS ea,
+             CASE WHEN b.n < 64 THEN CAST(b.n AS DOUBLE) ELSE 63 / b.kth END AS eb,
+             CASE WHEN u.n_u < 64 THEN CAST(u.n_u AS DOUBLE) ELSE 63 / u.kth_u END AS eu
+      FROM side a JOIN side b ON a.event_type = b.event_type
+                 AND NOT a.late AND b.late
+      JOIN uni u ON u.event_type = a.event_type)
+    SELECT event_type,
+           round(ea, 4) AS est_before, round(eb, 4) AS est_after,
+           round(eu, 4) AS est_union, round(ea + eb - eu, 4) AS est_both
+    FROM j
+    """,
+)

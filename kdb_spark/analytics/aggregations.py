@@ -793,3 +793,71 @@ def sql_region_revenue(
         nation_v=nation,
         region_v=region,
     )
+
+
+def agg_kmv_overlap(
+    events: DataFrame, k: int = 64, split_us: int = 1_705_276_800_000_000
+) -> DataFrame:
+    """K-Minimum-Values sketch overlap: estimate each period's distinct
+    users AND their intersection per event_type — the set-operation
+    sketches HLL cannot give (HLL unions; it cannot intersect). KMV keeps
+    the k smallest normalized hashes of a set; |S| ≈ (k−1)/u_k, sketches
+    union by merging+truncating, and intersection falls out of
+    inclusion–exclusion on the union sketch.
+
+    Engine-portable by construction: the sketch is the k smallest
+    md5-prefix hashes (the same seed-free convention as agg_count_min —
+    48 bits fit a double exactly, and DuckDB computes the identical md5),
+    so unlike `agg_approx_distinct` (engine-specific HLL, rows-only check)
+    every estimate here replays EXACTLY in the oracle. Plan: one distinct
+    on (type, period, user-hash), per-key window top-k (k rows/key
+    shuffle — the mergeable-rollup shape of agg_hll_merge), then a
+    bounded rollup. Keys with < k members short-circuit to exact counts.
+    """
+    period = (F.col("ts_us") >= split_us).alias("late")
+    # normalized rank in [0,1): first 48 md5 bits over 2^48 (exact double)
+    u = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10)
+        .cast("double") / F.lit(281474976710656.0)
+    ).alias("u")
+    members = events.select("event_type", period, u).distinct()
+    w = Window.partitionBy("event_type", "late").orderBy("u")
+    sketch = (
+        members.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+    )
+
+    def est(kth: F.Column, n: F.Column) -> F.Column:
+        return F.when(n < k, n.cast("double")).otherwise((k - 1) / kth)
+
+    per_side = sketch.groupBy("event_type", "late").agg(
+        F.max("u").alias("kth"), F.count(F.lit(1)).alias("n")
+    )
+    a = per_side.filter(~F.col("late")).select(
+        "event_type", F.col("kth").alias("kth_a"), F.col("n").alias("n_a")
+    )
+    b = per_side.filter(F.col("late")).select(
+        "event_type", F.col("kth").alias("kth_b"), F.col("n").alias("n_b")
+    )
+    # union sketch: merge the two k-sets, dedup shared hashes, re-truncate
+    wu = Window.partitionBy("event_type").orderBy("u")
+    uni = (
+        sketch.select("event_type", "u").distinct()
+        .withColumn("rn", F.row_number().over(wu))
+        .filter(F.col("rn") <= k)
+        .groupBy("event_type")
+        .agg(F.max("u").alias("kth_u"), F.count(F.lit(1)).alias("n_u"))
+    )
+    est_a = est(F.col("kth_a"), F.col("n_a"))
+    est_b = est(F.col("kth_b"), F.col("n_b"))
+    est_u = est(F.col("kth_u"), F.col("n_u"))
+    return (
+        a.join(b, "event_type").join(uni, "event_type")
+        .select(
+            "event_type",
+            F.round(est_a, 4).alias("est_before"),
+            F.round(est_b, 4).alias("est_after"),
+            F.round(est_u, 4).alias("est_union"),
+            F.round(est_a + est_b - est_u, 4).alias("est_both"),
+        )
+    )

@@ -1027,3 +1027,38 @@ def test_mmr_relevance_heavy_keeps_topk_order(spark):
         sim.emb_mmr_rerank(df, n_queries=1, m=10, k_sel=3, lam=1.0).collect(),
         key=lambda r: r.round)]
     assert out == [1, 2, 3]
+
+
+# ------------------------------------------------------------ agg_kmv_overlap
+
+
+def test_kmv_small_sets_are_exact_and_overlap_decomposes(spark):
+    """Below k members every estimate short-circuits to the exact count, so
+    the inclusion-exclusion overlap is exact too."""
+    rows = []
+    eid = 0
+    # type 'a': users 0..9 before, 5..14 after → both = 5
+    for u in range(10):
+        eid += 1; rows.append((eid, u, "a", 0.0, 100))
+    for u in range(5, 15):
+        eid += 1; rows.append((eid, u, "a", 0.0, 900))
+    out = {r.event_type: r for r in
+           agg.agg_kmv_overlap(_events(spark, rows), split_us=500).collect()}
+    r = out["a"]
+    assert (r.est_before, r.est_after, r.est_union, r.est_both) == (
+        10.0, 10.0, 15.0, 5.0
+    )
+
+
+def test_kmv_estimate_tracks_large_cardinalities(spark):
+    # 2000 distinct users per side, 1000 shared → estimates within ~25%
+    rows = []
+    eid = 0
+    for u in range(2000):
+        eid += 1; rows.append((eid, u, "a", 0.0, 100))
+    for u in range(1000, 3000):
+        eid += 1; rows.append((eid, u, "a", 0.0, 900))
+    r = agg.agg_kmv_overlap(_events(spark, rows), split_us=500).collect()[0]
+    for est, true in ((r.est_before, 2000), (r.est_after, 2000),
+                      (r.est_union, 3000)):
+        assert abs(est - true) / true < 0.25, (est, true)
