@@ -3240,3 +3240,31 @@ _reg(
     FROM j
     """,
 )
+
+
+_reg(
+    "mm_segment_bounds",
+    lambda s, d: mm.mm_segment_bounds(mm.mm_wav_table(load(s, d, "documents"))),
+    """
+    WITH s AS (
+      SELECT d.doc_id, f.range AS frame_idx, i.range AS i,
+             (d.doc_id * 7 + f.range * 256 + i.range) % 255 - 128 AS dev
+      FROM documents d, range(0, 4) f, range(0, 256) i),
+    e AS (
+      SELECT doc_id, frame_idx, CAST(sum(dev * dev) AS BIGINT) AS energy
+      FROM s GROUP BY 1, 2),
+    l AS (
+      SELECT doc_id, frame_idx, energy,
+             lag(energy) OVER w AS prev_energy,
+             CASE WHEN lag(energy) OVER w IS NULL THEN TRUE
+                  ELSE abs(energy - lag(energy) OVER w) * 10
+                       > lag(energy) OVER w * 3 END AS is_boundary
+      FROM e WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx))
+    SELECT doc_id, frame_idx, energy, prev_energy, is_boundary,
+           CAST(sum(CASE WHEN is_boundary THEN 1 ELSE 0 END) OVER (
+             PARTITION BY doc_id ORDER BY frame_idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS segment_id
+    FROM l
+    """,
+)

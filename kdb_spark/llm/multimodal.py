@@ -509,3 +509,42 @@ def mm_audio_features(waves: DataFrame) -> DataFrame:
         feats,
         "doc_id long, frame_idx long, n_samples long, energy long, peak long",
     )
+
+
+def mm_segment_bounds(
+    waves: DataFrame, num: int = 3, den: int = 10
+) -> DataFrame:
+    """Audio segmentation over the decoded frame-energy series: a frame
+    starts a new segment when its energy moves more than ``num/den`` (30%)
+    relative to the previous frame — the boundary detector a
+    speech/music-segmentation pipeline runs after feature extraction
+    (the video twin swaps in frame-difference energies; same plumbing).
+
+    Composition, not new machinery: the REAL WAV decode
+    (`mm_audio_features`) feeds a standard series-window pass — lag per
+    doc, integer cross-multiplied relative compare
+    (|Δe|·den > e_prev·num — no division, engine-exact), then segment ids
+    via running sum (the sessionize pattern on frame series). One shuffle
+    on doc_id; frame fan-out stays inside the Arrow batch upstream.
+    """
+    from pyspark.sql import Window
+
+    feats = mm_audio_features(waves).select("doc_id", "frame_idx", "energy")
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    prev = F.lag("energy").over(w)
+    is_bound = F.when(prev.isNull(), F.lit(True)).otherwise(
+        F.abs(F.col("energy") - prev) * den > prev * num
+    )
+    staged = feats.select(
+        "doc_id", "frame_idx", "energy", prev.alias("prev_energy"),
+        is_bound.alias("is_boundary"),
+    )
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    return staged.select(
+        "doc_id",
+        "frame_idx",
+        "energy",
+        "prev_energy",
+        "is_boundary",
+        F.sum(F.col("is_boundary").cast("long")).over(wc).alias("segment_id"),
+    )

@@ -1062,3 +1062,38 @@ def test_kmv_estimate_tracks_large_cardinalities(spark):
     for est, true in ((r.est_before, 2000), (r.est_after, 2000),
                       (r.est_union, 3000)):
         assert abs(est - true) / true < 0.25, (est, true)
+
+
+# ------------------------------------------------------------ mm_segment_bounds
+
+
+def test_segment_bounds_flags_relative_jumps(spark):
+    """First frame always opens segment 1; a >30% relative energy move
+    opens a new segment; smaller moves do not."""
+    from kdb_spark.llm import multimodal as mm
+    from pyspark.sql import functions as F
+
+    # bypass the WAV synth: feed a hand-built frame-energy series through
+    # the same window logic by monkey-framing mm_audio_features' output
+    import kdb_spark.llm.multimodal as mmod
+
+    feats = spark.createDataFrame(
+        [(1, 0, 100), (1, 1, 125), (1, 2, 170), (1, 3, 165),
+         (2, 0, 50)],
+        "doc_id long, frame_idx long, energy long",
+    )
+    orig = mmod.mm_audio_features
+    try:
+        mmod.mm_audio_features = lambda _w: feats.select(
+            "doc_id", "frame_idx", "energy",
+            F.lit(256).alias("n_samples"), F.lit(0).alias("peak"),
+        )
+        out = {(r.doc_id, r.frame_idx): (r.is_boundary, r.segment_id)
+               for r in mmod.mm_segment_bounds(None).collect()}
+    finally:
+        mmod.mm_audio_features = orig
+    assert out[(1, 0)] == (True, 1)
+    assert out[(1, 1)] == (False, 1)   # +25% ≤ 30%
+    assert out[(1, 2)] == (True, 2)    # +36% > 30%
+    assert out[(1, 3)] == (False, 2)   # −3%
+    assert out[(2, 0)] == (True, 1)
