@@ -56,6 +56,10 @@ EVENT_OPS = [
     agg.agg_distinct_overlap,
     agg.agg_entropy,
     bh.agg_transitions,
+    wn.win_rsi,
+    wn.win_hampel,
+    agg.agg_kmv_overlap,
+    agg.agg_autocorr,
 ]
 
 DOC_OPS = [
