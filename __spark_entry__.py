@@ -3268,3 +3268,20 @@ _reg(
     FROM l
     """,
 )
+
+
+_reg(
+    "stream_asof_enrich",
+    sm.stream_asof_enrich,
+    """
+    WITH err AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, arg_max(value, event_id) AS err_value
+      FROM events WHERE event_type = 'error' GROUP BY 1, 2),
+    clk AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us
+      FROM events WHERE event_type = 'click')
+    SELECT c.event_id, c.user_id, e.err_value AS asof_value
+    FROM clk c ASOF JOIN err e
+      ON c.user_id = e.user_id AND c.ts_us >= e.ts_us
+    """,
+)

@@ -1163,3 +1163,75 @@ def stream_rollup_maintain(
     return spark.read.parquet(path).select(
         "event_type", "hour_us", "n", "sum_c", "min_c", "max_c"
     )
+
+
+# ------------------------------------------------- stream-static as-of enrich
+
+
+def stream_asof_enrich(
+    spark: SparkSession, sf_dir: str, source: DataFrame | None = None
+) -> DataFrame:
+    """Streaming ``aj``: enrich arriving clicks with the latest same-user
+    error value at-or-before each click — kdb's as-of join running against
+    a STATIC dimension while events stream in (the enrich-on-ingest shape:
+    reference-data joins during continuous `Put`).
+
+    Structured Streaming's stream-static join can't express the as-of
+    inequality + "latest" semantics, so each micro-batch runs the engine's
+    union-and-carry as-of (kdb_spark/analytics/joins.py join_asof — one
+    user-key shuffle sized to batch+dimension) via ``foreachBatch``.
+    Because the dimension is complete and an as-of answer depends only on
+    the probe row and the static side, per-batch answers are
+    batch-boundary-independent and the drained union equals the batch
+    `join_asof` — which is the oracle. The dimension pre-dedups per
+    (user, µs) once and persists; results append to an exactly-once
+    checkpointed parquet sink.
+    """
+    from kdb_spark.llm.dedup import _reused
+    from kdb_spark.tables import events_us
+
+    ev = events_us(spark, sf_dir)
+    errors = _reused(
+        "asof_dim_errors",
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts_us")
+        .agg(F.max_by("value", "event_id").alias("err_value")),
+    )
+    err_side = errors.select(
+        "user_id", "ts_us", "err_value",
+        F.lit(0).alias("side"), F.lit(None).cast("long").alias("event_id"),
+    )
+    out_path = tempfile.mkdtemp(prefix="kdbs_asof_enrich_")
+
+    def enrich(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        clicks = batch_df.select(
+            "user_id", "ts_us",
+            F.lit(None).cast("double").alias("err_value"),
+            F.lit(1).alias("side"), "event_id",
+        )
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy("ts_us", "side")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        (
+            err_side.unionByName(clicks)
+            .withColumn("asof_value", F.last("err_value", ignorenulls=True).over(w))
+            .filter((F.col("side") == 1) & F.col("asof_value").isNotNull())
+            .select("event_id", "user_id", "asof_value")
+            .write.mode("append").parquet(out_path)
+        )
+
+    s = source if source is not None else events_stream(spark, sf_dir)
+    q = (
+        s.filter(F.col("event_type") == "click")
+        .select("event_id", "user_id", "ts_us")
+        .writeStream.foreachBatch(enrich)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="kdbs_ck_aj_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_path)

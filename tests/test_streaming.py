@@ -543,3 +543,37 @@ def test_rollup_maintain_merges_across_batches(spark, tmp_path):
            for r in sm.stream_rollup_maintain(spark, SF_DIR, source=sdf).collect()}
     assert out[("c", 0)] == (3, 1300, 100, 700)
     assert out[("c", H)] == (1, 10000, 10000, 10000)
+
+
+def test_stream_asof_enrich_batch_boundary_independent(spark, tmp_path):
+    """Two micro-batches of clicks must each resolve against the FULL static
+    dimension: a click in batch 2 still sees an error that precedes batch
+    1's clicks, and the drained union equals the batch as-of."""
+    from kdb_spark.analytics import joins as jn
+    from kdb_spark.tables import events_us
+    from tests.conftest import SF_DIR
+
+    watch = tmp_path / "src_aj"
+    watch.mkdir()
+    schema_pairs = [("event_id", "long"), ("user_id", "long"),
+                    ("event_type", "string"), ("ts_us", "long")]
+    # split the sf0.001 clicks into two mtime-ordered files
+    ev = events_us(spark, SF_DIR)
+    clicks = sorted(
+        ((r.event_id, r.user_id, "click", r.ts_us)
+         for r in ev.filter("event_type = 'click'").collect()),
+        key=lambda t: t[0],
+    )
+    half = len(clicks) // 2
+    write_microbatch(watch, "b1.parquet", schema_pairs, clicks[:half], 1_000)
+    write_microbatch(watch, "b2.parquet", schema_pairs, clicks[half:], 2_000)
+    sdf = (
+        spark.readStream
+        .schema("event_id long, user_id long, event_type string, ts_us long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(watch))
+    )
+    got = rows(sm.stream_asof_enrich(spark, SF_DIR, source=sdf),
+               "event_id", "user_id", "asof_value")
+    want = rows(jn.join_asof(ev), "event_id", "user_id", "asof_value")
+    assert got == want and len(got) > 0
