@@ -3285,3 +3285,34 @@ _reg(
       ON c.user_id = e.user_id AND c.ts_us >= e.ts_us
     """,
 )
+
+
+_reg(
+    "text_pmi_bigrams",
+    lambda s, d: tx.text_pmi_bigrams(load(s, d, "documents")),
+    """
+    WITH t AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+               FROM documents),
+    big AS (
+      SELECT split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2
+      FROM (SELECT unnest([t[i] || ' ' || t[i + 1]
+                           FOR i IN range(1, len(t))]) AS bg
+            FROM t WHERE len(t) >= 2)),
+    nbg AS (SELECT w1, w2, count(*) AS n_ab FROM big GROUP BY 1, 2),
+    nl AS (SELECT w1, count(*) AS n_a FROM big GROUP BY 1),
+    nr AS (SELECT w2, count(*) AS n_b FROM big GROUP BY 1),
+    tot AS (SELECT sum(n_ab) AS n_total FROM nbg),
+    scored AS (
+      SELECT b.w1, b.w2,
+             CAST(b.n_ab AS BIGINT) AS n_ab,
+             CAST(nl.n_a AS BIGINT) AS n_a,
+             CAST(nr.n_b AS BIGINT) AS n_b,
+             round(ln(CAST(n_total AS DOUBLE) * b.n_ab
+                      / (CAST(nl.n_a AS DOUBLE) * nr.n_b)), 6) AS pmi
+      FROM nbg b JOIN nl USING (w1) JOIN nr USING (w2) CROSS JOIN tot
+      WHERE b.n_ab >= 5)
+    SELECT w1, w2, n_ab, n_a, n_b, pmi,
+           CAST(row_number() OVER (ORDER BY pmi DESC, w1, w2) AS BIGINT) AS rnk
+    FROM scored QUALIFY rnk <= 30
+    """,
+)

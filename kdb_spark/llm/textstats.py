@@ -393,3 +393,63 @@ def text_bm25_topk(
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def text_pmi_bigrams(
+    documents: DataFrame, k: int = 30, min_count: int = 5
+) -> DataFrame:
+    """Collocation mining: the top-k adjacent token bigrams by pointwise
+    mutual information — PMI = ln(N·c(a,b) / (c(a)·c(b))) over corpus
+    counts — the classic "which word pairs belong together" signal a
+    tokenizer-vocabulary or phrase-detection pass feeds on (high PMI +
+    min-count = candidate merge; the BPE intuition as an analytics query).
+
+    Bigram space is bounded by corpus LENGTH (adjacent pairs only), never
+    vocab² co-occurrence: one map-side explode of zipped neighbors → one
+    hash-agg; unigram counts are a second tiny agg the (Zipf-bounded)
+    join broadcasts; N arrives as a broadcast 1-row count. PMI derives
+    from exact bigint counts through one identical double expression —
+    the min-count floor also keeps the estimator out of the noisy tail.
+    """
+    from kdb_spark.llm.dedup import tokens
+    from pyspark.sql import Window
+
+    toks = documents.select(tokens("text").alias("t"))
+    big = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice("t", 1, F.greatest(F.size("t") - 1, F.lit(0))),
+                F.slice("t", 2, F.greatest(F.size("t") - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    n_bg = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_ab"))
+    # marginals over the SAME sample space as the joint (bigram slots):
+    # p(a,·) = left-slot count / N, p(·,b) = right-slot count / N — exact
+    # integers, no halved-participation truncation
+    n_left = big.groupBy("w1").agg(F.count(F.lit(1)).alias("n_a"))
+    n_right = big.groupBy("w2").agg(F.count(F.lit(1)).alias("n_b"))
+    total = n_bg.agg(F.sum("n_ab").cast("long").alias("n_total"))
+    w = Window.orderBy(F.desc("pmi"), "w1", "w2")
+    return (
+        n_bg.filter(F.col("n_ab") >= min_count)
+        .join(F.broadcast(n_left), "w1")
+        .join(F.broadcast(n_right), "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1", "w2",
+            F.col("n_ab").cast("long").alias("n_ab"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.round(
+                F.log(
+                    F.col("n_total").cast("double") * F.col("n_ab")
+                    / (F.col("n_a").cast("double") * F.col("n_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+    )

@@ -1097,3 +1097,30 @@ def test_segment_bounds_flags_relative_jumps(spark):
     assert out[(1, 2)] == (True, 2)    # +36% > 30%
     assert out[(1, 3)] == (False, 2)   # −3%
     assert out[(2, 0)] == (True, 1)
+
+
+# ----------------------------------------------------------- text_pmi_bigrams
+
+
+def test_pmi_favors_exclusive_pairs(spark):
+    """A bigram whose words appear ONLY together maxes PMI; a pair of
+    ubiquitous words scores near zero; min_count drops rare pairs."""
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, ("alpha beta " * 6) + ("x y " * 6) + "x q"),
+         (2, ("x z " * 6) + ("y x " * 3))],
+        "doc_id long, text string",
+    )
+    out = {(r.w1, r.w2): r for r in tx.text_pmi_bigrams(docs, k=50, min_count=3).collect()}
+    ab = out[("alpha", "beta")]
+    # alpha appears in the left slot only in 'alpha beta'
+    assert ab.n_ab == ab.n_a == 6
+    n_total = sum(r.n_ab for r in
+                  tx.text_pmi_bigrams(docs, k=10**6, min_count=1).collect())
+    assert ab.pmi == pytest.approx(
+        round(math.log(n_total * 6 / (6 * ab.n_b)), 6), abs=1e-9
+    )
+    assert ("alpha", "beta") in out
+    best = min(out.values(), key=lambda r: r.rnk)
+    assert (best.w1, best.w2) == ("alpha", "beta")
