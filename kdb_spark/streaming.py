@@ -32,6 +32,7 @@ from contextlib import contextmanager
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.errors import AnalysisException
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -1134,7 +1135,15 @@ def stream_rollup_maintain(
         try:
             existing = s.read.parquet(path).filter(F.col("day_us").isin(days))
             merged_in = existing.unionByName(part)
-        except Exception:  # first batch: nothing materialized yet
+        except AnalysisException as ex:
+            # ONLY the first batch's not-yet-materialized view is expected
+            # (empty mkdtemp dir → UNABLE_TO_INFER_SCHEMA; a cleaned-up dir
+            # → PATH_NOT_FOUND) — a corrupt or unreadable rollup must fail
+            # the stream loudly, not silently restart the view from this
+            # batch's partials
+            expected = ("UNABLE_TO_INFER_SCHEMA", "PATH_NOT_FOUND", "Path does not exist")
+            if not any(t in str(ex) for t in expected):
+                raise
             merged_in = part
         merged = (
             merged_in.groupBy("event_type", "hour_us", "day_us")
