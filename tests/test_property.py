@@ -645,3 +645,102 @@ def test_decontaminate_fuzzy_matches_bruteforce(spark, texts):
     for k, (n, mt, bj) in expect.items():
         assert got[k][0] == n and got[k][1] == mt
         assert abs(got[k][2] - bj) < 1e-12
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(0, 80),     # ts slot
+            st.integers(0, 2),      # user
+            st.integers(-400, 400), # quarter-unit values → exact cents
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda p: (p[0], p[1]),
+    )
+)
+def test_hampel_matches_bruteforce(spark, pts):
+    """Law: win_hampel's frame median/MAD equal a per-row numpy median over
+    the trailing k+1 cents, and the spike flag follows the documented
+    3-MAD rule with the zero-MAD any-move convention."""
+    import statistics
+
+    from kdb_spark.analytics import windows as wn
+
+    rows = [
+        (i, int(u), "a", v / 4.0, int(t) * 1_000_000)
+        for i, (t, u, v) in enumerate(pts)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, value double, ts_us long"
+    )
+    got = {r.event_id: r for r in wn.win_hampel(df, k=4).collect()}
+    series: dict[int, list] = {}
+    for eid, u, _t, v, ts in sorted(rows, key=lambda r: (r[4], r[0])):
+        hist = series.setdefault(u, [])
+        hist.append(round(v * 100))
+        frame = hist[-5:]
+        med = statistics.median(frame)
+        mad = statistics.median([abs(x - med) for x in frame])
+        dev = abs(frame[-1] - med)
+        expect_spike = (dev > 3.0 * mad) if mad > 0 else (dev > 0)
+        r = got[eid]
+        assert abs(r.med - round(med / 100, 6)) < 1e-9
+        assert abs(r.mad - round(mad / 100, 6)) < 1e-9
+        assert r.is_spike == expect_spike, (eid, frame)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(0, 80),
+            st.integers(0, 1),
+            st.integers(-400, 400),
+        ),
+        min_size=2,
+        max_size=30,
+        unique_by=lambda p: (p[0], p[1]),
+    )
+)
+def test_bollinger_matches_bruteforce(spark, pts):
+    """Law: win_bollinger's mid/σ equal the trailing-frame mean and sample
+    stdev of the cents, and the band flag uses the exact cents compare."""
+    import statistics
+
+    from kdb_spark.analytics import windows as wn
+
+    rows = [
+        (i, int(u), "a", v / 4.0, int(t) * 1_000_000)
+        for i, (t, u, v) in enumerate(pts)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, value double, ts_us long"
+    )
+    got = {r.event_id: r for r in wn.win_bollinger(df, k=4).collect()}
+    series: dict[int, list] = {}
+    for eid, u, _t, v, ts in sorted(rows, key=lambda r: (r[4], r[0])):
+        hist = series.setdefault(u, [])
+        c = round(v * 100)
+        hist.append(c)
+        frame = hist[-5:]
+        mu = statistics.mean(frame)
+        r = got[eid]
+        assert abs(r.mid - round(mu / 100, 6)) < 1e-9
+        if len(frame) < 2:
+            assert r.band is None and r.upper is None
+        else:
+            sd = statistics.stdev(frame)
+            assert abs(r.upper - round((mu + 2 * sd) / 100, 6)) < 1e-6
+            expect = ("above" if c > mu + 2 * sd
+                      else "below" if c < mu - 2 * sd else "in")
+            assert r.band == expect, (eid, frame)
