@@ -3316,3 +3316,65 @@ _reg(
     FROM scored QUALIFY rnk <= 30
     """,
 )
+
+
+_reg(
+    "agg_cohort_ltv",
+    lambda s, d: bh.agg_cohort_ltv(events_us(s, d)),
+    """
+    WITH st AS (
+      SELECT user_id,
+             epoch_us(ts) - epoch_us(ts) % 86400000000 AS day_us,
+             CAST(round(value * 100) AS BIGINT) AS c,
+             min(epoch_us(ts) - epoch_us(ts) % 86400000000)
+               OVER (PARTITION BY user_id) AS cohort_us
+      FROM events),
+    po AS (
+      SELECT cohort_us,
+             CAST((day_us - cohort_us) // 86400000000 AS BIGINT) AS day_offset,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+             CAST(sum(c) AS BIGINT) AS value_c
+      FROM st GROUP BY 1, 2)
+    SELECT cohort_us, day_offset, n_users, value_c,
+           CAST(sum(value_c) OVER (PARTITION BY cohort_us ORDER BY day_offset
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_value_c
+    FROM po
+    """,
+)
+
+
+def _centroid_classify_oracle(dim: int = 64) -> str:
+    avgs = ", ".join(f"avg(v[{i + 1}]) AS c{i + 1}" for i in range(dim))
+    cv = "[" + ", ".join(f"c{i + 1}" for i in range(dim)) + "]"
+    dot_vc = _IVF_DOT.format(a="n.v", b="c.cv")
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                      [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+               FROM embeddings),
+    n AS (SELECT vec_id, label, v, sqrt(list_sum([x * x FOR x IN v])) AS nrm
+          FROM e),
+    craw AS (SELECT label AS clabel, {avgs} FROM e GROUP BY label),
+    c AS (SELECT clabel, {cv} AS cv,
+                 sqrt(list_sum([y * y FOR y IN {cv}])) AS cnrm
+          FROM craw),
+    scored AS (
+      SELECT n.vec_id, n.label, c.clabel,
+             {dot_vc} / (n.nrm * c.cnrm) AS cos
+      FROM n CROSS JOIN c),
+    pred AS (
+      SELECT vec_id, label, clabel FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY cos DESC, clabel) AS rn
+        FROM scored) WHERE rn = 1)
+    SELECT label AS true_label, clabel AS pred_label,
+           CAST(count(*) AS BIGINT) AS n
+    FROM pred GROUP BY 1, 2
+    """
+
+
+_reg(
+    "emb_centroid_classify",
+    lambda s, d: sim.emb_centroid_classify(load(s, d, "embeddings")),
+    _centroid_classify_oracle(),
+)

@@ -142,3 +142,43 @@ def agg_transitions(events: DataFrame) -> DataFrame:
         "n",
         F.round(F.col("n") / F.sum("n").over(total), 6).alias("prob"),
     )
+
+
+def agg_cohort_ltv(events: DataFrame) -> DataFrame:
+    """Cohort value curves: cumulative value per first-active-day cohort by
+    day offset — the LTV table behind "how much has the Jan-3 cohort
+    generated by day N" (retention_cohort counts heads; this sums value).
+
+    Same two-shuffle shape as retention_cohort (user window for the
+    cohort day, then the bounded (cohort, offset) rollup) plus one tiny
+    window over the already-aggregated matrix for the running total —
+    exact bigint cents end to end, so the cumulative column is
+    order-independent.
+    """
+    from kdb_spark.tables import cents
+
+    day = (F.col("ts_us") - F.col("ts_us") % F.lit(DAY_US)).alias("day_us")
+    w = Window.partitionBy("user_id")
+    staged = events.select(
+        "user_id", day, cents("value").alias("c")
+    ).select(
+        "user_id", "day_us", "c", F.min("day_us").over(w).alias("cohort_us")
+    )
+    per_offset = staged.groupBy(
+        "cohort_us",
+        ((F.col("day_us") - F.col("cohort_us")) / F.lit(DAY_US))
+        .cast("long")
+        .alias("day_offset"),
+    ).agg(
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.sum("c").cast("long").alias("value_c"),
+    )
+    wc = (
+        Window.partitionBy("cohort_us")
+        .orderBy("day_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return per_offset.select(
+        "cohort_us", "day_offset", "n_users", "value_c",
+        F.sum("value_c").over(wc).cast("long").alias("cum_value_c"),
+    )

@@ -899,3 +899,42 @@ def emb_mmr_rerank(
         F.round("rel", 6).alias("rel"),
         F.round("score", 6).alias("mmr"),
     )
+
+
+def emb_centroid_classify(embeddings: DataFrame, dim: int = 64) -> DataFrame:
+    """Nearest-centroid classification with a confusion-matrix rollup — the
+    cheapest embedding-quality eval a curation pipeline runs: if per-label
+    centroids can't separate the labels, the embeddings (or labels) are
+    suspect before any model sees them.
+
+    Train = one aggregate for the per-label per-dim means (labels are a
+    bounded key; d·|labels| doubles total); classify = broadcast the
+    centroid table and score every vector against all centroids by cosine
+    in ONE map-only pass (explode over the broadcast row — |labels| rows
+    per vector, never a corpus shuffle); rollup = the bounded
+    (true, predicted) confusion matrix. Ties break to the lowest label.
+    Distances use the module's sequential-fold dot — identical doubles
+    cross-engine, so even the argmax replays exactly.
+    """
+    v = embeddings.select(
+        "vec_id", F.col("label").cast("long").alias("label"),
+        _vec_d("embedding").alias("v"),
+    )
+    cents = v.groupBy("label").agg(
+        F.array(*[F.avg(F.col("v")[i]) for i in range(dim)]).alias("cv")
+    ).select(
+        F.col("label").alias("clabel"), "cv",
+        _norm(F.col("cv")).alias("cnrm"),
+    )
+    scored = (
+        v.withColumn("nrm", _norm(F.col("v")))
+        .join(F.broadcast(cents))
+        .withColumn("cos", _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm")))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), "clabel")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy(F.col("label").alias("true_label"), F.col("clabel").alias("pred_label"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )

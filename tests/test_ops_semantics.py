@@ -1124,3 +1124,46 @@ def test_pmi_favors_exclusive_pairs(spark):
     assert ("alpha", "beta") in out
     best = min(out.values(), key=lambda r: r.rnk)
     assert (best.w1, best.w2) == ("alpha", "beta")
+
+
+# -------------------------------------------------------------- agg_cohort_ltv
+
+
+def test_cohort_ltv_accumulates_per_cohort(spark):
+    from kdb_spark.analytics import behavior as bh
+    from kdb_spark.tables import DAY_US
+
+    D = DAY_US
+    ev = _events(
+        spark,
+        # user 1 joins day 0 (10 + 20), returns day 2 (+5);
+        # user 2 joins day 0 (+1); user 3 joins day 1 (+7)
+        [(1, 1, "a", 10.0, 0), (2, 1, "a", 20.0, 100), (3, 1, "a", 5.0, 2 * D),
+         (4, 2, "a", 1.0, 50), (5, 3, "a", 7.0, D + 3)],
+    )
+    out = {(r.cohort_us, r.day_offset): (r.n_users, r.value_c, r.cum_value_c)
+           for r in bh.agg_cohort_ltv(ev).collect()}
+    assert out[(0, 0)] == (2, 3100, 3100)
+    assert out[(0, 2)] == (1, 500, 3600)   # cumulative carries day 0
+    assert out[(D, 0)] == (1, 700, 700)    # separate cohort restarts
+    assert (0, 1) not in out               # inactive offsets are absent
+
+
+# ------------------------------------------------------- emb_centroid_classify
+
+
+def test_centroid_classify_separable_labels_diagonal(spark):
+    """Two well-separated label clusters classify onto the diagonal; a
+    point nearer the other centroid lands off-diagonal."""
+    from kdb_spark.llm import similarity as sim
+
+    rows = (
+        [(i, [1.0, 0.01 * i], 0) for i in range(5)]
+        + [(10 + i, [0.01 * i, 1.0], 1) for i in range(5)]
+        + [(99, [0.05, 1.0], 0)]  # labeled 0 but sits in cluster 1
+    )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {(r.true_label, r.pred_label): r.n
+           for r in sim.emb_centroid_classify(df, dim=2).collect()}
+    assert out[(0, 0)] == 5 and out[(1, 1)] == 5
+    assert out[(0, 1)] == 1 and (1, 0) not in out
