@@ -2734,6 +2734,81 @@ _reg(
     """,
 )
 
+# CC over the repeat-trade bipartite graph: the engine side reuses the
+# converging min-label Pregel core (dedup.connected_components — pointer
+# jumping, edge-vertex-only label table); the oracle is the textbook
+# recursive reachability closure + min, tractable because the ≥3-orders
+# threshold keeps components small at oracle scale.
+_reg(
+    "graph_connected_components",
+    lambda s, d: _q_graph_cc(s, d),
+    """
+    WITH RECURSIVE pr AS (
+      SELECT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+      FROM orders
+      JOIN (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) li
+        ON o_orderkey = l_orderkey
+      GROUP BY 1, 2 HAVING count(*) >= 3),
+    edges AS (SELECT a AS src, b AS dst FROM pr
+              UNION ALL SELECT b, a FROM pr),
+    verts AS (SELECT c_custkey * 2 AS v FROM customer
+              UNION SELECT s_suppkey * 2 + 1 FROM supplier),
+    reach(a, b) AS (
+      SELECT v, v FROM verts
+      UNION
+      SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
+    SELECT CAST(a AS BIGINT) AS v, CAST(min(b) AS BIGINT) AS canonical_id
+    FROM reach GROUP BY a
+    """,
+)
+
+# Degree-ordered triangle counting over the customer co-purchase projection
+# (≥3 shared parts). The oracle enumerates each triangle once via the
+# id-ordered 3-join (a<b<c); the engine's degree orientation finds the
+# identical triangle set (both count each exactly once), so the per-vertex
+# rollup hash-matches while the engine's plan is the skew-safe one.
+_reg(
+    "graph_triangle_count",
+    lambda s, d: gr.triangle_count(
+        gr.co_purchase_edges(load(s, d, "orders"), load(s, d, "lineitem"))
+    ),
+    """
+    WITH cp AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    e AS (SELECT a.c AS a, b.c AS b FROM cp a JOIN cp b
+          ON a.p = b.p AND a.c < b.c
+          GROUP BY 1, 2 HAVING count(*) >= 3),
+    d AS (SELECT v, count(*) AS deg FROM
+            (SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+    tri AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w
+            FROM e e1 JOIN e e2 ON e2.a = e1.b
+                      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+    x AS (SELECT u AS v FROM tri UNION ALL SELECT v FROM tri
+          UNION ALL SELECT w FROM tri),
+    t AS (SELECT v, CAST(count(*) AS BIGINT) AS n_tri FROM x GROUP BY 1)
+    SELECT CAST(d.v AS BIGINT) AS v, CAST(d.deg AS BIGINT) AS deg,
+           coalesce(t.n_tri, 0) AS n_tri
+    FROM d LEFT JOIN t USING (v)
+    """,
+)
+
+
+def _q_graph_cc(s: SparkSession, d: str) -> DataFrame:
+    from kdb_spark.llm.dedup import connected_components
+
+    edges = gr.repeat_trade_edges(load(s, d, "orders"), load(s, d, "lineitem"))
+    universe = (
+        load(s, d, "customer")
+        .select((F.col("c_custkey") * 2).alias("v"))
+        .unionAll(
+            load(s, d, "supplier").select((F.col("s_suppkey") * 2 + 1).alias("v"))
+        )
+    )
+    return connected_components(edges, universe).select(
+        F.col("doc_id").alias("v"), "canonical_id"
+    )
+
+
 _reg(
     "agg_transitions",
     lambda s, d: bh.agg_transitions(events_us(s, d)),

@@ -95,3 +95,133 @@ def trade_graph(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     return pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
+
+
+def repeat_trade_edges(
+    orders: DataFrame, lineitem: DataFrame, min_orders: int = 3
+) -> DataFrame:
+    """Bipartite repeat-trading edge list (`doc_a` customer 2k, `doc_b`
+    supplier 2k+1 — the same parity namespacing as `trade_graph`): an edge
+    iff the pair co-occurs in ≥ ``min_orders`` distinct orders.
+
+    Shape: pre-distinct the (order, supplier) incidence map-side, ONE
+    equi-join shuffle on the order key, ONE aggregate shuffle on the
+    (customer, supplier) pair — the count(*) over the pre-distincted join
+    output IS the distinct-order count, so no countDistinct expand is paid.
+    The threshold prunes the edge table before anything iterates over it.
+    """
+    li = lineitem.select("l_orderkey", "l_suppkey").distinct()
+    return (
+        orders.select("o_orderkey", "o_custkey")
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_custkey", "l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= min_orders)
+        .select(
+            (F.col("o_custkey") * 2).alias("doc_a"),
+            (F.col("l_suppkey") * 2 + 1).alias("doc_b"),
+        )
+    )
+
+
+def co_purchase_edges(
+    orders: DataFrame, lineitem: DataFrame, min_shared: int = 3
+) -> DataFrame:
+    """Undirected customer co-purchase edges (`a` < `b`): two customers are
+    linked iff they bought ≥ ``min_shared`` distinct parts in common.
+
+    The (customer, part) incidence is deduped BEFORE the part-keyed
+    self-join, so the join fan-out per part is (customers-per-part)² — the
+    classic bipartite-projection hot spot. At 100 TB the guard is to cap or
+    sample customers per hub part before the self-join (a `row_number() <=
+    K` window on the incidence table); at test scale the raw projection is
+    exact and cheap, and the HAVING-style threshold collapses the pair
+    table in the same aggregate that counts it.
+    """
+    from kdb_spark.llm.dedup import _reused
+
+    cp = _reused(
+        "co_purchase_incidence",
+        orders.select("o_orderkey", "o_custkey")
+        .join(
+            lineitem.select("l_orderkey", "l_partkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct(),
+    )
+    return (
+        cp.select(F.col("c").alias("a"), "p")
+        .join(cp.select(F.col("c").alias("b"), "p"), "p")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_shared)
+        .select("a", "b")
+    )
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Per-vertex triangle counts over an undirected edge list (`a` < `b`,
+    distinct) — the degree-ordered node-iterator (cf. Suri & Vassilvitskii,
+    "Counting Triangles and the Curse of the Last Reducer", WWW'11).
+
+    Each undirected edge is ORIENTED from its lower (degree, id) endpoint
+    to its higher one; wedges are enumerated only at each triangle's
+    minimum-rank vertex, so a hub of degree D contributes O(D) oriented
+    out-edges instead of O(D²) wedges — the skew guard that makes the plan
+    survive power-law graphs at 100 TB. Exactly one wedge per triangle
+    survives the rank filter, and the closing edge (if present) is
+    guaranteed to be oriented low→high rank, so one equi-join on (v, w)
+    finds it: two |E|-keyed shuffle joins total, degree table broadcast.
+
+    Returns (`v`, `deg`, `n_tri`) for every vertex with at least one edge.
+    """
+    from kdb_spark.llm.dedup import _reused
+
+    edges = _reused("tri_edges", edges)
+    deg = (
+        edges.select(F.col("a").alias("v"))
+        .unionAll(edges.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    dg = _reused("tri_deg", deg)
+    with_deg = edges.join(
+        F.broadcast(dg.select(F.col("v").alias("a"), F.col("deg").alias("da"))), "a"
+    ).join(
+        F.broadcast(dg.select(F.col("v").alias("b"), F.col("deg").alias("db"))), "b"
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = _reused(
+        "tri_oriented",
+        with_deg.select(
+            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+            F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("ddst"),
+        ),
+    )
+    e1 = oriented.select(
+        F.col("src").alias("u"), F.col("dst").alias("v"), F.col("ddst").alias("dv")
+    )
+    e2 = oriented.select(
+        F.col("src").alias("u"), F.col("dst").alias("w"), F.col("ddst").alias("dw")
+    )
+    wedges = e1.join(e2, "u").filter(
+        (F.col("dv") < F.col("dw"))
+        | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w")))
+    )
+    closing = oriented.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    tri = wedges.join(closing, ["v", "w"]).select("u", "v", "w")
+    per_v = (
+        tri.select(F.explode(F.array("u", "v", "w")).alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    return dg.join(per_v, "v", "left").select(
+        "v",
+        F.col("deg").cast("long").alias("deg"),
+        F.coalesce(F.col("n_tri"), F.lit(0)).cast("long").alias("n_tri"),
+    )

@@ -742,6 +742,55 @@ def test_trade_graph_symmetrizes_distinct_pairs(spark):
     assert got == {(c1, s7), (s7, c1), (c2, s7), (s7, c2), (c2, s8), (s8, c2)}
 
 
+def test_triangle_count_k4_plus_pendant(spark):
+    """K4 has 4 triangles, each vertex in exactly 3; a pendant vertex has
+    deg 1 and 0 triangles. Degree orientation must count each triangle
+    exactly once regardless of the (deg, id) tie-break path taken."""
+    from kdb_spark.analytics import graph as gr
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges = spark.createDataFrame(k4 + [(4, 5)], "a long, b long")
+    out = {r.v: (r.deg, r.n_tri) for r in gr.triangle_count(edges).collect()}
+    assert out == {1: (3, 3), 2: (3, 3), 3: (3, 3), 4: (4, 3), 5: (1, 0)}
+
+
+def test_repeat_trade_edges_distinct_orders_threshold(spark):
+    """The >=3 threshold counts DISTINCT orders: duplicate lineitem rows
+    within one order must not inflate the pair count."""
+    from kdb_spark.analytics import graph as gr
+
+    orders = spark.createDataFrame(
+        [(10, 1), (11, 1), (12, 1), (20, 2), (21, 2)],
+        "o_orderkey long, o_custkey long",
+    )
+    li = spark.createDataFrame(
+        # (c=1,s=7): 3 distinct orders, order 10 duplicated; (c=2,s=7): 2
+        [(10, 7), (10, 7), (11, 7), (12, 7), (20, 7), (21, 7)],
+        "l_orderkey long, l_suppkey long",
+    )
+    got = {(r.doc_a, r.doc_b) for r in gr.repeat_trade_edges(orders, li).collect()}
+    assert got == {(2, 15)}  # cust 1 -> 2, supp 7 -> 15
+
+
+def test_co_purchase_edges_distinct_parts_threshold(spark):
+    """Customers link iff >=3 DISTINCT shared parts; re-buying the same
+    part across orders counts once, and edges come out a < b."""
+    from kdb_spark.analytics import graph as gr
+
+    orders = spark.createDataFrame(
+        [(10, 1), (11, 1), (20, 2), (30, 3)], "o_orderkey long, o_custkey long"
+    )
+    li = spark.createDataFrame(
+        # cust 1 parts {100,101,102} (101 twice across orders), cust 2
+        # parts {100,101,102}, cust 3 parts {100,101} -> only (1,2) links
+        [(10, 100), (10, 101), (11, 101), (11, 102),
+         (20, 100), (20, 101), (20, 102), (30, 100), (30, 101)],
+        "l_orderkey long, l_partkey long",
+    )
+    got = {(r.a, r.b) for r in gr.co_purchase_edges(orders, li).collect()}
+    assert got == {(1, 2)}
+
+
 # ------------------------------------------------------------ agg_transitions
 
 
