@@ -182,3 +182,75 @@ def agg_cohort_ltv(events: DataFrame) -> DataFrame:
         "cohort_us", "day_offset", "n_users", "value_c",
         F.sum("value_c").over(wc).cast("long").alias("cum_value_c"),
     )
+
+
+def agg_assoc_rules(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    min_pair: int = 3,
+    k: int = 50,
+) -> DataFrame:
+    """Market-basket association rules over order baskets: for every part
+    pair co-bought in >= ``min_pair`` distinct orders, emit support,
+    directional confidence and lift — the co-occurrence mining rollup
+    (recommendations, curriculum pairing) a basket table exists for.
+
+    Shape: the (order, part) incidence is deduped map-side, the pair table
+    comes from ONE self-equi-join on the order key (fan-out bounded by
+    basket size squared — baskets are small by construction, never by
+    luck: a 100-item cap per basket is the documented guard at 100 TB),
+    and the two per-item count joins broadcast the item-count table
+    (|parts| rows, small relative to pairs). All metrics derive from exact
+    bigint counts with one shared double expression per column; the final
+    top-k orders by the integer pair count with the (a, b) key as the
+    total tie-break, so the cut is engine-independent.
+    """
+    op = (
+        orders.select("o_orderkey")
+        .join(
+            lineitem.select("l_orderkey", "l_partkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(F.col("o_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    n_orders = orders.select(F.count(F.lit(1)).alias("n_total"))
+    item = op.groupBy("p").agg(F.count(F.lit(1)).alias("n_item"))
+    pairs = (
+        op.select(F.col("o"), F.col("p").alias("a"))
+        .join(op.select("o", F.col("p").alias("b")), "o")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= min_pair)
+    )
+    nb, na_, nbq, nt = (
+        F.col("n_both").cast("double"),
+        F.col("n_a").cast("double"),
+        F.col("n_b").cast("double"),
+        F.col("n_total").cast("double"),
+    )
+    return (
+        pairs.join(
+            F.broadcast(item.select(F.col("p").alias("a"), F.col("n_item").alias("n_a"))),
+            "a",
+        )
+        .join(
+            F.broadcast(item.select(F.col("p").alias("b"), F.col("n_item").alias("n_b"))),
+            "b",
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "a",
+            "b",
+            F.col("n_both").cast("long").alias("n_both"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.round(nb / nt, 6).alias("support"),
+            F.round(nb / na_, 6).alias("conf_a_b"),
+            F.round(nb / nbq, 6).alias("conf_b_a"),
+            F.round(nb * nt / (na_ * nbq), 6).alias("lift"),
+        )
+        .orderBy(F.desc("n_both"), "a", "b")
+        .limit(k)
+    )
