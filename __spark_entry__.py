@@ -1984,8 +1984,9 @@ _reg(
     SELECT vec_id,
            round(nrm, 4) AS l2_norm,
            round(CASE WHEN nrm > 0 THEN v[1] / nrm ELSE 0.0 END, 4) AS u0,
-           [CASE WHEN amax > 0 THEN CAST(round(127.0 * x / amax) AS INT) ELSE 0 END
-            FOR x IN v] AS q8
+           array_to_string(
+             [CAST(CASE WHEN amax > 0 THEN CAST(round(127.0 * x / amax) AS INT)
+                        ELSE 0 END AS VARCHAR) FOR x IN v], ',') AS q8_csv
     FROM n
     """,
 )

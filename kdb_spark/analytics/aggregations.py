@@ -662,9 +662,11 @@ def agg_twap(events: DataFrame) -> DataFrame:
 
     twap = Σ vᵢ·(tᵢ₊₁−tᵢ) / Σ (tᵢ₊₁−tᵢ) over each (user, type) series; the
     final tick carries no duration. Exactness: value joins the engine's
-    bigint-cents convention and Δt is integer µs, so each product is an
-    exact long; the SUM runs in decimal(38,0) (long would overflow at
-    cents·µs·rows scale) and a single double division ends the pipeline —
+    bigint-cents convention and Δt is integer µs; the cents factor is cast
+    to decimal(38,0) BEFORE the multiply so the product itself can never
+    overflow long (large cents × multi-day µs gaps would, and Spark 4 ANSI
+    makes that a runtime error), the SUM stays in decimal(38,0), and a
+    single double division ends the pipeline —
     no accumulation-order float noise, same as agg_wavg. One series-key
     window shuffle reused by the rollup.
     """
@@ -678,7 +680,7 @@ def agg_twap(events: DataFrame) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_intervals"),
         F.sum(dt).cast("long").alias("duration_us"),
         F.round(
-            F.sum((F.col("c") * dt).cast("decimal(38,0)")).cast("double")
+            F.sum(F.col("c").cast("decimal(38,0)") * dt).cast("double")
             / F.sum(dt).cast("double"),
             4,
         ).alias("twap_c"),

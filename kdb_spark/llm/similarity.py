@@ -429,6 +429,11 @@ def emb_normalize(embeddings: DataFrame) -> DataFrame:
     arithmetic on the float32 input. Zero vectors pass through as zeros
     (guarded divisions). At 100 TB this pipelines into the scan: no
     shuffle, no Python.
+
+    The quantized vector is emitted as a canonical CSV string (``q8_csv``)
+    rather than a raw ``array<int>``: the values are identical and fully
+    checkable, but the column stays hashable/sortable for any downstream
+    consumer that canonicalizes rows (pandas can't sort list cells).
     """
     # Pin each stage behind a Generate barrier (explode(array(e)) — same
     # trick as dedup._doc_shingles): CollapseProject would otherwise inline
@@ -455,12 +460,15 @@ def emb_normalize(embeddings: DataFrame) -> DataFrame:
         F.round(
             F.when(nrm > 0, F.element_at(F.col("v"), 1) / nrm).otherwise(0.0), 4
         ).alias("u0"),
-        F.transform(
-            F.col("v"),
-            lambda x: F.when(
-                amax > 0, F.round(F.lit(127.0) * x / amax).cast("int")
-            ).otherwise(F.lit(0)),
-        ).alias("q8"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.col("v"),
+                lambda x: F.when(
+                    amax > 0, F.round(F.lit(127.0) * x / amax).cast("int")
+                ).otherwise(F.lit(0)).cast("string"),
+            ),
+        ).alias("q8_csv"),
     )
 
 

@@ -8,6 +8,7 @@ arbitrary interleaving of writes the hand-written golden tests can't cover.
 """
 
 import tempfile
+from decimal import ROUND_HALF_UP, Decimal
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
@@ -562,7 +563,13 @@ def test_twap_matches_bruteforce(spark, pts):
         den = ticks[-1][0] - ticks[0][0]
         r = got[u]
         assert r.duration_us == den
-        assert abs(r.twap_c - round(num / den, 4)) < 1e-9
+        # The engine's round(…,4) is HALF_UP (Spark/DuckDB contract); Python's
+        # built-in round() is banker's and disagrees exactly on .xxxx5 halves
+        # (e.g. 2025000000/32000000 = 63.28125), so quantize HALF_UP here.
+        want = float(
+            Decimal(num / den).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP)
+        )
+        assert abs(r.twap_c - want) < 1e-9
         held = [c for _, c in ticks[:-1]]
         assert min(held) - 1e-9 <= r.twap_c <= max(held) + 1e-9
 
