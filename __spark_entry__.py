@@ -2717,20 +2717,24 @@ _reg(
     deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
     verts AS (SELECT DISTINCT src AS v FROM edges),
     nn AS (SELECT count(*) AS n FROM verts),
-    r0 AS (SELECT v, n, 1.0 / n AS r FROM verts CROSS JOIN nn),
-    r1 AS (SELECT e.dst AS v, any_value(r.n) AS n,
-                  (1.0 - 0.85) / any_value(r.n) + 0.85 * sum(r.r / d.deg) AS r
+    base AS (SELECT v, n FROM verts CROSS JOIN nn),
+    r0 AS (SELECT v, 1.0 / n AS r FROM base),
+    m1 AS (SELECT e.dst AS v, sum(r.r / d.deg) AS m
            FROM edges e JOIN deg d ON d.src = e.src JOIN r0 r ON r.v = e.src
            GROUP BY e.dst),
-    r2 AS (SELECT e.dst AS v, any_value(r.n) AS n,
-                  (1.0 - 0.85) / any_value(r.n) + 0.85 * sum(r.r / d.deg) AS r
+    r1 AS (SELECT b.v, (1.0 - 0.85) / b.n + 0.85 * coalesce(m1.m, 0.0) AS r
+           FROM base b LEFT JOIN m1 ON m1.v = b.v),
+    m2 AS (SELECT e.dst AS v, sum(r.r / d.deg) AS m
            FROM edges e JOIN deg d ON d.src = e.src JOIN r1 r ON r.v = e.src
            GROUP BY e.dst),
-    r3 AS (SELECT e.dst AS v, any_value(r.n) AS n,
-                  (1.0 - 0.85) / any_value(r.n) + 0.85 * sum(r.r / d.deg) AS r
+    r2 AS (SELECT b.v, (1.0 - 0.85) / b.n + 0.85 * coalesce(m2.m, 0.0) AS r
+           FROM base b LEFT JOIN m2 ON m2.v = b.v),
+    m3 AS (SELECT e.dst AS v, sum(r.r / d.deg) AS m
            FROM edges e JOIN deg d ON d.src = e.src JOIN r2 r ON r.v = e.src
-           GROUP BY e.dst)
-    SELECT v, round(r, 9) AS rank, CAST(deg AS BIGINT) AS out_deg
+           GROUP BY e.dst),
+    r3 AS (SELECT b.v, (1.0 - 0.85) / b.n + 0.85 * coalesce(m3.m, 0.0) AS r
+           FROM base b LEFT JOIN m3 ON m3.v = b.v)
+    SELECT r3.v, round(r3.r, 9) AS rank, CAST(deg AS BIGINT) AS out_deg
     FROM r3 JOIN deg ON deg.src = r3.v
     """,
 )

@@ -26,7 +26,15 @@ def pagerank(
     Callers must pass a graph where every vertex has out-degree ≥ 1 (e.g.
     symmetrized edges, as q_graph_pagerank builds) — dangling-mass
     redistribution is deliberately out of scope, keeping each iteration a
-    pure join+agg with no global rescale pass.
+    pure join+agg with no global rescale pass. Under that contract rank
+    mass is conserved exactly: Σ rank_i = (1-d) + d·Σ rank_{i-1} = 1 every
+    round (property-tested in tests/test_property.py).
+
+    Each round rebuilds ranks over the FULL vertex table (inflow aggregate
+    LEFT-joined back, coalesce 0): a vertex with out-edges but no in-edges
+    still holds its (1-d)/N floor and keeps feeding its successors —
+    aggregating over `dst` alone would silently drop it after round 1 and
+    leak its mass.
 
     Ranks are rounded to 9 at the end only: values sit near 1/N, and the
     double-summation noise (~1e-15 relative) is far below the 1e-9 cut.
@@ -40,30 +48,31 @@ def pagerank(
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     verts = edges.select(F.col("src").alias("v")).distinct()
     n = verts.agg(F.count(F.lit(1)).cast("long").alias("n"))
-    # per-round join shape: edges stream from cache, the (v, deg·rank)
-    # message table is |V|-sized and explicitly broadcast — each iteration
-    # is a map-side join + ONE |E| aggregate shuffle. (At a vertex scale
-    # where |V| no longer broadcasts, swap the hint for edges pre-hashed
-    # on src — the cached table's partitioning then absorbs the join.)
-    ranks = verts.crossJoin(F.broadcast(n)).select(
-        "v", "n", (F.lit(1.0) / F.col("n")).alias("r")
-    )
+    # (v, n) base table — persisted once: it is the left side of every
+    # round's fill join, and without the persist the unrolled plan would
+    # re-run the vertex distinct per round.
+    base = _reused("pagerank_base", verts.crossJoin(F.broadcast(n)))
+    # per-round join shape: edges stream from cache, the |V|-sized rank and
+    # inflow tables are explicitly broadcast — each iteration is a map-side
+    # join + ONE |E| aggregate shuffle + a map-side fill join. (At a vertex
+    # scale where |V| no longer broadcasts, swap the hints for edges
+    # pre-hashed on src and base pre-hashed on v — the cached tables'
+    # partitioning then absorbs both joins.)
+    ranks = base.select("v", (F.lit(1.0) / F.col("n")).alias("r"))
     contrib_edges = _reused("pagerank_contrib", edges.join(F.broadcast(deg), "src"))
     for _ in range(iters):
-        ranks = (
+        inflow = (
             contrib_edges
-            .join(
-                F.broadcast(ranks.select(F.col("v").alias("src"), "n", "r")),
-                "src",
-            )
+            .join(F.broadcast(ranks.select(F.col("v").alias("src"), "r")), "src")
             .groupBy(F.col("dst").alias("v"))
-            .agg(
-                F.first("n").alias("n"),
-                (
-                    F.lit(1.0 - damping) / F.first("n")
-                    + damping * F.sum(F.col("r") / F.col("deg"))
-                ).alias("r"),
-            )
+            .agg(F.sum(F.col("r") / F.col("deg")).alias("m"))
+        )
+        ranks = base.join(F.broadcast(inflow), "v", "left").select(
+            "v",
+            (
+                F.lit(1.0 - damping) / F.col("n")
+                + damping * F.coalesce(F.col("m"), F.lit(0.0))
+            ).alias("r"),
         )
     return ranks.select("v", F.round("r", 9).alias("rank")).join(
         deg.select(F.col("src").alias("v"), F.col("deg").cast("long").alias("out_deg")),

@@ -597,8 +597,8 @@ def test_pagerank_laws_on_symmetrized_graphs(spark, edges):
     df = spark.createDataFrame(sym, "src long, dst long")
     # keyed _reused cache would serve a stale persisted plan across examples
     from kdb_spark.llm.dedup import _REUSE_CACHE
-    _REUSE_CACHE.pop("pagerank_edges", None)
-    _REUSE_CACHE.pop("pagerank_contrib", None)
+    for k in ("pagerank_edges", "pagerank_contrib", "pagerank_base"):
+        _REUSE_CACHE.pop(k, None)
     out = {r.v: (r.rank, r.out_deg) for r in gr.pagerank(df).collect()}
     n_v = len({v for e in sym for v in e})
     assert len(out) == n_v
@@ -606,6 +606,58 @@ def test_pagerank_laws_on_symmetrized_graphs(spark, edges):
     assert abs(sum(r for r, _ in out.values()) - 1.0) < 1e-6
     degs = {v: d for v, (_, d) in out.items()}
     assert degs == {v: sum(1 for s, _ in sym if s == v) for v in out}
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 6)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_pagerank_matches_bruteforce_on_directed_graphs(spark, edges):
+    """Law on DIRECTED graphs (out-degree ≥ 1 contract enforced, in-degree-0
+    sources allowed): pagerank equals the hand-iterated power method and
+    Σrank = 1 exactly each run. This is the regression for the r8 bug where
+    ranks were rebuilt from groupBy(dst) alone, silently dropping source-only
+    vertices and leaking their (1-d)/N mass after round 1."""
+    from kdb_spark.analytics import graph as gr
+    from kdb_spark.llm.dedup import _REUSE_CACHE
+
+    es = sorted({(a, b) for a, b in edges})
+    verts = sorted({v for e in es for v in e})
+    # enforce the caller contract: every vertex has out-degree >= 1, without
+    # symmetrizing (so hypothesis still reaches in-degree-0 source vertices)
+    srcs = {a for a, _ in es}
+    for v in verts:
+        if v not in srcs:
+            es.append((v, min(u for u in verts if u != v)) if len(verts) > 1
+                      else (v, v + 1))
+    es = sorted(set(es))
+    verts = sorted({v for e in es for v in e})
+    n = len(verts)
+    deg = {v: sum(1 for s, _ in es if s == v) for v in verts}
+    rank = {v: 1.0 / n for v in verts}
+    for _ in range(3):
+        inflow = {v: 0.0 for v in verts}
+        for s, d in es:
+            inflow[d] += rank[s] / deg[s]
+        rank = {v: (1.0 - 0.85) / n + 0.85 * inflow[v] for v in verts}
+
+    for k in ("pagerank_edges", "pagerank_contrib", "pagerank_base"):
+        _REUSE_CACHE.pop(k, None)
+    df = spark.createDataFrame(es, "src long, dst long")
+    out = {r.v: (r.rank, r.out_deg) for r in gr.pagerank(df).collect()}
+    assert set(out) == set(verts)  # source-only vertices must survive
+    assert abs(sum(r for r, _ in out.values()) - 1.0) < 1e-6
+    for v in verts:
+        assert out[v][1] == deg[v]
+        assert abs(out[v][0] - rank[v]) < 1e-8
 
 
 @settings(
