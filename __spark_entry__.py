@@ -3424,6 +3424,35 @@ _reg(
 )
 
 
+# Market-basket association rules: all metrics from exact bigint counts,
+# one shared double expression per column (cast-then-divide in the same
+# order on both engines), integer-count top-k with (a, b) total tie-break
+# so the k=50 cut is engine-independent.
+_reg(
+    "agg_assoc_rules",
+    lambda s, d: bh.agg_assoc_rules(load(s, d, "orders"), load(s, d, "lineitem")),
+    """
+    WITH op AS (SELECT DISTINCT o_orderkey AS o, l_partkey AS p
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    nn AS (SELECT count(*) AS n_total FROM orders),
+    item AS (SELECT p, count(*) AS n_item FROM op GROUP BY 1),
+    pairs AS (SELECT x.p AS a, y.p AS b, count(*) AS n_both
+              FROM op x JOIN op y ON x.o = y.o AND x.p < y.p
+              GROUP BY 1, 2 HAVING count(*) >= 3)
+    SELECT a, b, CAST(n_both AS BIGINT) AS n_both,
+           CAST(ia.n_item AS BIGINT) AS n_a, CAST(ib.n_item AS BIGINT) AS n_b,
+           round(CAST(n_both AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS support,
+           round(CAST(n_both AS DOUBLE) / CAST(ia.n_item AS DOUBLE), 6) AS conf_a_b,
+           round(CAST(n_both AS DOUBLE) / CAST(ib.n_item AS DOUBLE), 6) AS conf_b_a,
+           round(CAST(n_both AS DOUBLE) * CAST(n_total AS DOUBLE)
+                 / (CAST(ia.n_item AS DOUBLE) * CAST(ib.n_item AS DOUBLE)), 6) AS lift
+    FROM pairs JOIN item ia ON ia.p = a JOIN item ib ON ib.p = b
+    CROSS JOIN nn
+    ORDER BY n_both DESC, a, b LIMIT 50
+    """,
+)
+
+
 def _centroid_classify_oracle(dim: int = 64) -> str:
     avgs = ", ".join(f"avg(v[{i + 1}]) AS c{i + 1}" for i in range(dim))
     cv = "[" + ", ".join(f"c{i + 1}" for i in range(dim)) + "]"
