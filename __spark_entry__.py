@@ -2867,20 +2867,39 @@ _reg(
 )
 
 
+def _qmean_sql(x: str, grid: str = "16777216.0") -> str:
+    """DuckDB mirror of similarity._qmean: exact HUGEINT sum on the grid,
+    then the identical double divide-out expression."""
+    return (
+        f"CAST(sum(CAST(round({x} * {grid}) AS HUGEINT)) AS DOUBLE)"
+        f" / (CAST(count(*) AS DOUBLE) * {grid})"
+    )
+
+
 def _emb_outliers_oracle(dim: int = 64) -> str:
-    avgs = ", ".join(f"avg(v[{i + 1}]) AS c{i + 1}" for i in range(dim))
+    cents = ", ".join(
+        f"{_qmean_sql(f'v[{i + 1}]')} AS c{i + 1}" for i in range(dim)
+    )
     # left-assoc + chain mirrors Spark's sequential fold order exactly
     sq = " + ".join(f"(v[{i + 1}] - c{i + 1}) * (v[{i + 1}] - c{i + 1})" for i in range(dim))
     return f"""
     WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
                FROM embeddings),
-    c AS (SELECT {avgs} FROM e),
+    c AS (SELECT {cents} FROM e),
     scored AS (SELECT vec_id, sqrt(0.0 + {sq}) AS dist FROM e CROSS JOIN c),
-    st AS (SELECT avg(dist) AS mu, stddev_samp(dist) AS sd FROM scored)
+    st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                  CAST(sum(CAST(round(dist * 1000000.0) AS HUGEINT)) AS DOUBLE) AS s1,
+                  CAST(sum(CAST(round(dist * 1000000.0) * round(dist * 1000000.0)
+                                AS HUGEINT)) AS DOUBLE) AS s2
+           FROM scored),
+    zs AS (SELECT vec_id, dist, round(dist * 1000000.0) AS dq, s1 / n AS mu_q,
+                  CASE WHEN n > 1.0 AND (s2 - s1 * s1 / n) / (n - 1.0) > 0.0
+                       THEN sqrt((s2 - s1 * s1 / n) / (n - 1.0)) END AS sd_q
+           FROM scored CROSS JOIN st)
     SELECT vec_id, round(dist, 4) AS dist,
-           round((dist - mu) / sd, 4) AS z,
-           (dist - mu) / sd > 2.0 AS is_outlier
-    FROM scored CROSS JOIN st
+           round((dq - mu_q) / sd_q, 4) AS z,
+           (dq - mu_q) / sd_q > 2.0 AS is_outlier
+    FROM zs
     """
 
 
@@ -3454,7 +3473,9 @@ _reg(
 
 
 def _centroid_classify_oracle(dim: int = 64) -> str:
-    avgs = ", ".join(f"avg(v[{i + 1}]) AS c{i + 1}" for i in range(dim))
+    avgs = ", ".join(
+        f"{_qmean_sql(f'v[{i + 1}]')} AS c{i + 1}" for i in range(dim)
+    )
     cv = "[" + ", ".join(f"c{i + 1}" for i in range(dim)) + "]"
     dot_vc = _IVF_DOT.format(a="n.v", b="c.cv")
     return f"""

@@ -40,6 +40,28 @@ def with_norm(embeddings: DataFrame, out: str = "nrm") -> DataFrame:
     return embeddings.withColumn(out, _norm(_vec_d("embedding")))
 
 
+_Q24 = 16777216.0  # 2^24 — float32-mantissa-width quantization grid
+
+
+def _qmean(col: F.Column, n: F.Column, grid: float = _Q24) -> F.Column:
+    """Exact-moment mean of a double aggregate input: quantize each element
+    to a fixed grid (round → integer-valued double, exact), SUM in
+    decimal(38,0) (associative-exact, so the result is invariant to
+    partitioning / partial-merge order), and divide back out as one double
+    expression shared verbatim with the oracle SQL.
+
+    ``F.avg`` over doubles merges partials in partition order — two runs of
+    the same data at different parallelism can differ in the last ulps,
+    which flips near-tie argmaxes downstream (nearest-centroid, z-thresholds).
+    This is the same exact-sums convention the cents-domain ops use
+    (win_bollinger/agg_autocorr), applied to float32 embeddings: 2^24 is the
+    full float32 mantissa, so for the unit-scale values these tables hold the
+    quantization is at (or below) the input's own precision.
+    """
+    s = F.sum(F.round(col * F.lit(grid)).cast("decimal(38,0)"))
+    return s.cast("double") / (n * F.lit(grid))
+
+
 def sim_search_topk(
     embeddings: DataFrame, n_queries: int = 5, k: int = 5
 ) -> DataFrame:
@@ -721,18 +743,27 @@ def emb_outliers(embeddings: DataFrame, dim: int = 64, z_thresh: float = 2.0) ->
     Three scan-bound passes, no shuffle: (1) one aggregate for the d
     centroid means, (2) one aggregate for the distance moments, (3) a
     map-only scoring scan — each aggregate is map-side-combined JVM code
-    and only d (resp. 2) doubles reach the broadcast, never data. The
+    and only d (resp. 3) doubles reach the broadcast, never data. The
     un-squared mean distance can't be recovered from raw moments, so the
     second pass is irreducible; at 100 TB three scans still beat
     persisting the corpus (same trade the kernel zscore makes).
     Distances use the engine's sequential-fold dot discipline (module
     header): identical IEEE order both engines, round(4) ends the contract.
+
+    Both global aggregates follow the exact-moments convention (`_qmean`):
+    centroid means from decimal sums on the 2^-24 grid, and the z-score's
+    mean/stddev from exact integer moments of the µ-unit-quantized distance
+    — so the result is invariant to partitioning (F.avg/stddev_samp partial
+    merges are partition-order-sensitive; tested in
+    tests/test_parallelism_invariance.py). Zero distance variance yields
+    null z / null is_outlier via the var>0 guard.
     """
     v = embeddings.select(
         "vec_id", _vec_d("embedding").alias("v")
     )
+    nn = F.count(F.lit(1)).cast("double")
     cent = v.agg(
-        F.array(*[F.avg(F.col("v")[i]) for i in range(dim)]).alias("c")
+        F.array(*[_qmean(F.col("v")[i], nn) for i in range(dim)]).alias("c")
     )
     dist = F.sqrt(
         F.aggregate(
@@ -742,10 +773,19 @@ def emb_outliers(embeddings: DataFrame, dim: int = 64, z_thresh: float = 2.0) ->
         )
     )
     scored = v.crossJoin(F.broadcast(cent)).select("vec_id", dist.alias("dist"))
+    # distance moments on the exact 1e-6 grid: dq ≈ 1e7 max, dq² ≤ 1e14 —
+    # exact in double per row, exact in decimal(38,0) across any row count
+    dq = F.round(F.col("dist") * F.lit(1e6))
     stats = scored.agg(
-        F.avg("dist").alias("mu"), F.stddev_samp("dist").alias("sd")
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(dq.cast("decimal(38,0)")).cast("double").alias("s1"),
+        F.sum((dq * dq).cast("decimal(38,0)")).cast("double").alias("s2"),
     )
-    z = (F.col("dist") - F.col("mu")) / F.col("sd")
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    mu_q = s1 / n
+    var_q = (s2 - s1 * s1 / n) / (n - F.lit(1.0))
+    sd_q = F.when((n > 1.0) & (var_q > 0.0), F.sqrt(var_q))
+    z = (dq - mu_q) / sd_q  # quantized-domain z: the 1e6 scale cancels
     return scored.crossJoin(F.broadcast(stats)).select(
         "vec_id",
         F.round("dist", 4).alias("dist"),
@@ -922,14 +962,18 @@ def emb_centroid_classify(embeddings: DataFrame, dim: int = 64) -> DataFrame:
     per vector, never a corpus shuffle); rollup = the bounded
     (true, predicted) confusion matrix. Ties break to the lowest label.
     Distances use the module's sequential-fold dot — identical doubles
-    cross-engine, so even the argmax replays exactly.
+    cross-engine, so even the argmax replays exactly. Centroid means come
+    from `_qmean` exact decimal sums (not F.avg, whose partial-merge order
+    varies with partitioning and can flip a near-tie argmax — tested in
+    tests/test_parallelism_invariance.py).
     """
     v = embeddings.select(
         "vec_id", F.col("label").cast("long").alias("label"),
         _vec_d("embedding").alias("v"),
     )
+    nn = F.count(F.lit(1)).cast("double")
     cents = v.groupBy("label").agg(
-        F.array(*[F.avg(F.col("v")[i]) for i in range(dim)]).alias("cv")
+        F.array(*[_qmean(F.col("v")[i], nn) for i in range(dim)]).alias("cv")
     ).select(
         F.col("label").alias("clabel"), "cv",
         _norm(F.col("cv")).alias("cnrm"),

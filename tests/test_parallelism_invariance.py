@@ -94,6 +94,35 @@ def test_doc_ops_parallelism_invariant(spark, op):
     assert _rows(op(docs)) == _rows(op(_scrambled(docs)))
 
 
+EMB_OPS = []
+
+
+def _emb_outliers(emb):
+    from kdb_spark.llm import similarity as sim
+
+    return sim.emb_outliers(emb)
+
+
+def _emb_centroid_classify(emb):
+    from kdb_spark.llm import similarity as sim
+
+    return sim.emb_centroid_classify(emb)
+
+
+_emb_outliers.__name__ = "emb_outliers"
+_emb_centroid_classify.__name__ = "emb_centroid_classify"
+EMB_OPS += [_emb_outliers, _emb_centroid_classify]
+
+
+@pytest.mark.parametrize("op", EMB_OPS, ids=lambda f: f.__name__)
+def test_emb_ops_parallelism_invariant(spark, op):
+    """r8 ADVICE item 2: centroid/z-score means must come from exact
+    decimal sums (similarity._qmean), not F.avg over doubles whose
+    partial-merge order follows the partitioning — bit-identity required."""
+    emb = load(spark, SF_DIR, "embeddings")
+    assert _rows(op(emb)) == _rows(op(_scrambled(emb)))
+
+
 def test_table_profile_parallelism_invariant(spark):
     orders = load(spark, SF_DIR, "orders")
     a = _rows(agg.table_profile(orders))
