@@ -1112,8 +1112,21 @@ def stream_rollup_maintain(
     batch scales with the batch's day-span, not table size — the
     incremental-view contract. The oracle is the full-table rollup:
     maintenance must be invisible in the answer.
+
+    Delivery contract: ``foreachBatch`` is at-least-once — after a failure
+    the last uncommitted batch is REPLAYED, and a blind re-merge would
+    double-count its partials. A per-batch marker (``_applied/<id>``,
+    underscore-prefixed so readers ignore it; written only after the
+    partition rewrite lands) makes replayed already-applied batches no-ops.
+    This covers the redelivery case Structured Streaming actually produces
+    (sink done, checkpoint commit lost); a crash INSIDE the merge-rewrite
+    window itself is still not transactional — true exactly-once upsert
+    needs a table format with an atomic commit log (Delta/Iceberg), which
+    this parquet-directory sink deliberately stays below.
     """
     path = tempfile.mkdtemp(prefix="kdbs_rollup_mv_")
+    applied_dir = os.path.join(path, "_applied")
+    os.makedirs(applied_dir, exist_ok=True)
     hour = (F.col("ts_us") - F.col("ts_us") % F.lit(3_600_000_000)).alias("hour_us")
 
     def partial(df: DataFrame) -> DataFrame:
@@ -1127,6 +1140,9 @@ def stream_rollup_maintain(
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         from kdb_spark.sources import sink_delta_like
 
+        marker = os.path.join(applied_dir, str(batch_id))
+        if os.path.exists(marker):  # replayed post-commit batch: no-op
+            return
         part = partial(batch_df)
         days = [r.day_us for r in part.select("day_us").distinct().collect()]
         if not days:
@@ -1157,6 +1173,11 @@ def stream_rollup_maintain(
             .localCheckpoint(eager=True)
         )
         sink_delta_like(merged, path, partition_by=["day_us"])
+        # commit marker AFTER the rewrite: a crash before this point replays
+        # the batch, after it the replay is skipped (local path by
+        # construction — mkdtemp above; a cluster deployment would stamp the
+        # marker through the Hadoop FS API on the same store as `path`)
+        open(marker, "w").close()
 
     # tests pass a maxFilesPerTrigger-throttled source to pin the
     # multi-batch merge path; the default drain may fold into one batch
@@ -1193,8 +1214,13 @@ def stream_asof_enrich(
     the probe row and the static side, per-batch answers are
     batch-boundary-independent and the drained union equals the batch
     `join_asof` — which is the oracle. The dimension pre-dedups per
-    (user, µs) once and persists; results append to an exactly-once
-    checkpointed parquet sink.
+    (user, µs) once and persists.
+
+    Delivery contract: ``foreachBatch`` is at-least-once, so a plain
+    append sink would duplicate a replayed batch. Each batch instead
+    OVERWRITES its own ``batch=<id>`` subdirectory — redelivery rewrites
+    the same files and the union over subdirectories stays exactly-once
+    (idempotent-by-key, the classic batch-id-keyed sink layout).
     """
     from kdb_spark.llm.dedup import _reused
     from kdb_spark.tables import events_us
@@ -1230,7 +1256,9 @@ def stream_asof_enrich(
             .withColumn("asof_value", F.last("err_value", ignorenulls=True).over(w))
             .filter((F.col("side") == 1) & F.col("asof_value").isNotNull())
             .select("event_id", "user_id", "asof_value")
-            .write.mode("append").parquet(out_path)
+            # batch-id-keyed idempotent sink: a replayed batch overwrites
+            # its own subdirectory instead of appending duplicates
+            .write.mode("overwrite").parquet(f"{out_path}/batch={batch_id}")
         )
 
     s = source if source is not None else events_stream(spark, sf_dir)
@@ -1243,4 +1271,5 @@ def stream_asof_enrich(
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(out_path)
+    # partition discovery surfaces the batch key; it's sink layout, not data
+    return spark.read.parquet(out_path).select("event_id", "user_id", "asof_value")
