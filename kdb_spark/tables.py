@@ -44,14 +44,28 @@ HOUR_US = 3_600 * SEC_US
 DAY_US = 86_400 * SEC_US
 
 
+# Memoized DataFrame handles capture the file listing at first read, so the
+# cache is restricted to roots the engine treats as immutable input data.
+# Anything else (temp dirs, sink paths, a user's own tables) is re-listed on
+# every load — a write-then-reload must never see a stale listing.
+_READONLY_ROOTS = ("/root/testdata/",)
+
+
+def _cacheable(path: str) -> bool:
+    import os.path
+
+    return os.path.abspath(path).startswith(_READONLY_ROOTS)
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one synthetic table; ns timestamps (if any) surface as LongType.
 
     DataFrame handles are memoized per session+path (the cache dict lives ON
     the session object, so its lifetime is the session's): a DataFrame is an
     immutable logical plan, so reuse is safe, and it skips the cold
-    file-listing + parquet-footer schema read every query otherwise re-pays
-    for the same read-only testdata paths.
+    file-listing + parquet-footer schema read every query otherwise re-pays.
+    Memoization applies ONLY to the known read-only testdata roots
+    (`_READONLY_ROOTS`) — paths that can be written to are read fresh.
     """
     path = f"{sf_dir.rstrip('/')}/{name}.parquet"
     cache: dict[str, DataFrame] = spark.__dict__.setdefault("_kdbs_load_cache", {})
@@ -59,7 +73,8 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if df is None:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        cache[path] = df
+        if _cacheable(path):
+            cache[path] = df
     return df
 
 
@@ -92,12 +107,14 @@ def events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with ``ts_us`` (µs epoch long) — the oracle-comparable clock.
     Memoized per session+path like ``load`` (immutable plan, same cache)."""
     cache: dict[str, DataFrame] = spark.__dict__.setdefault("_kdbs_load_cache", {})
-    key = f"{sf_dir.rstrip('/')}/events.parquet#ts_us"
+    path = f"{sf_dir.rstrip('/')}/events.parquet"
+    key = f"{path}#ts_us"
     out = cache.get(key)
     if out is None:
         df = load(spark, sf_dir, "events")
         out = df.withColumn("ts_us", ts_us_expr(df))
-        cache[key] = out
+        if _cacheable(path):
+            cache[key] = out
     return out
 
 

@@ -234,3 +234,23 @@ def test_scan_evolved_merges_generations(spark, tmp_path):
     m = spark.read.option("mergeSchema", "true").parquet(f"{p}/g1", f"{p}/g2")
     got = {r.id: (r.x, r.y) for r in m.collect()}
     assert got == {1: ("a", None), 2: ("b", 9)}
+
+
+def test_load_cache_only_memoizes_readonly_roots(spark, tmp_path):
+    """r8 ADVICE item 5: the loader memoizes DataFrame handles (and with
+    them the file listing) ONLY for the immutable testdata roots. A
+    write-then-reload against any other path must see the new files."""
+    from kdb_spark.tables import load
+
+    sf = str(tmp_path)
+    d1 = spark.createDataFrame([(1,)], "id long")
+    d1.write.parquet(f"{sf}/orders.parquet")
+    assert load(spark, sf, "orders").count() == 1
+    d1.write.mode("append").parquet(f"{sf}/orders.parquet")
+    assert load(spark, sf, "orders").count() == 2  # fresh listing, no cache
+    assert f"{sf}/orders.parquet" not in spark.__dict__.get("_kdbs_load_cache", {})
+    # the read-only root stays memoized (same handle both calls)
+    from tests.conftest import SF_DIR
+
+    a = load(spark, SF_DIR, "orders")
+    assert load(spark, SF_DIR, "orders") is a
