@@ -3028,6 +3028,51 @@ _reg(
 )
 
 _reg(
+    "sql_ship_priority",
+    lambda s, d: agg.sql_ship_priority(
+        load(s, d, "customer"), load(s, d, "orders"), load(s, d, "lineitem")
+    ),
+    """
+    SELECT l.l_orderkey, epoch_us(o.o_orderdate) AS orderdate_us,
+           o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                    AS BIGINT)) AS BIGINT) AS revenue_c
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-07-01 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-07-01 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue_c DESC, l.l_orderkey LIMIT 10
+    """,
+)
+
+_reg(
+    "sql_returned_customers",
+    lambda s, d: agg.sql_returned_customers(
+        load(s, d, "customer"), load(s, d, "orders"), load(s, d, "lineitem"),
+        load(s, d, "nation"),
+    ),
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                    AS BIGINT)) AS BIGINT) AS revenue_c
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue_c DESC, c.c_custkey LIMIT 20
+    """,
+)
+
+_reg(
     "win_drawdown",
     lambda s, d: wn.win_drawdown(events_us(s, d)),
     """

@@ -797,6 +797,88 @@ def sql_region_revenue(
     )
 
 
+def sql_ship_priority(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame, k: int = 10
+) -> DataFrame:
+    """TPC-H-Q3-shaped shipping-priority query as SQL TEXT: top unshipped
+    orders (ordered before / shipped after the cut date) by discounted
+    revenue within one market segment.
+
+    Optimizer exercise: both date predicates and the segment filter are
+    raw column-vs-literal comparisons, so they push into the parquet scans
+    (row-group stat skipping on the TIMESTAMP_NTZ columns); customer is
+    the smallest relation post-filter and broadcasts, the orders⋈lineitem
+    fact join shuffles on the order key. Revenue in exact bigint cents;
+    the top-k cut orders by the integer with o_orderkey as total
+    tie-break, so the LIMIT is engine-independent
+    (TakeOrderedAndProject, never a global sort).
+    """
+    return lineitem.sparkSession.sql(
+        """
+        SELECT l.l_orderkey, unix_micros(CAST(o.o_orderdate AS TIMESTAMP))
+                 AS orderdate_us,
+               o.o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_items,
+               sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                        AS BIGINT)) AS revenue_c
+        FROM {customer_v} c
+        JOIN {orders_v} o ON c.c_custkey = o.o_custkey
+        JOIN {lineitem_v} l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-07-01 00:00:00'
+          AND l.l_shipdate > TIMESTAMP '1998-07-01 00:00:00'
+        GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        ORDER BY revenue_c DESC, l.l_orderkey
+        LIMIT {k_v}
+        """,
+        customer_v=customer,
+        orders_v=orders,
+        lineitem_v=lineitem,
+        k_v=k,
+    )
+
+
+def sql_returned_customers(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H-Q10-shaped returned-item report as SQL TEXT: customers ranked
+    by revenue lost to returns ('R' flag) over one order-date year.
+
+    The year predicate is a half-open raw-literal range (pushes to the
+    orders scan); the returnflag filter pushes to the lineitem scan; the
+    nation dimension broadcasts. Revenue in exact bigint cents; the k=20
+    cut orders by (revenue_c DESC, c_custkey) — a deterministic total
+    order, executed as TakeOrderedAndProject.
+    """
+    return lineitem.sparkSession.sql(
+        """
+        SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+               CAST(count(*) AS BIGINT) AS n_items,
+               sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                        AS BIGINT)) AS revenue_c
+        FROM {customer_v} c
+        JOIN {orders_v} o ON c.c_custkey = o.o_custkey
+        JOIN {lineitem_v} l ON l.l_orderkey = o.o_orderkey
+        JOIN {nation_v} n ON c.c_nationkey = n.n_nationkey
+        WHERE l.l_returnflag = 'R'
+          AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY c.c_custkey, c.c_name, n.n_name
+        ORDER BY revenue_c DESC, c.c_custkey
+        LIMIT {k_v}
+        """,
+        customer_v=customer,
+        orders_v=orders,
+        lineitem_v=lineitem,
+        nation_v=nation,
+        k_v=k,
+    )
+
+
 def agg_kmv_overlap(
     events: DataFrame, k: int = 64, split_us: int = 1_705_276_800_000_000
 ) -> DataFrame:
