@@ -371,3 +371,45 @@ def test_ivf_index_scan_prunes_partitions(spark):
         tuple(r) for r in sim.ivf_search_topk(load(spark, SF_DIR, "embeddings")).collect()
     )
     assert got == want
+
+
+def test_sql_text_queries_push_filters_and_take_ordered(spark):
+    """The Q3/Q10-shaped SQL entries promise raw-literal predicates that
+    reach every parquet scan and a TakeOrderedAndProject top-k (no global
+    sort)."""
+    from kdb_spark.analytics import aggregations as agg
+
+    q3 = agg.sql_ship_priority(
+        load(spark, SF_DIR, "customer"),
+        load(spark, SF_DIR, "orders"),
+        load(spark, SF_DIR, "lineitem"),
+    )
+    plan = plan_of(q3)
+    assert "TakeOrderedAndProject" in plan and "Sort " not in plan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+    assert "LessThan(o_orderdate" in plan
+    assert "GreaterThan(l_shipdate" in plan
+
+    q10 = agg.sql_returned_customers(
+        load(spark, SF_DIR, "customer"),
+        load(spark, SF_DIR, "orders"),
+        load(spark, SF_DIR, "lineitem"),
+        load(spark, SF_DIR, "nation"),
+    )
+    plan = plan_of(q10)
+    assert "TakeOrderedAndProject" in plan
+    assert "EqualTo(l_returnflag,R)" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan and "LessThan(o_orderdate" in plan
+
+
+def test_assoc_rules_item_counts_broadcast(spark):
+    """agg_assoc_rules promises the per-item count table broadcasts to the
+    pair table (|parts| << |pairs|) and the top-k is TakeOrderedAndProject."""
+    from kdb_spark.analytics import behavior as agg
+
+    df = agg.agg_assoc_rules(
+        load(spark, SF_DIR, "orders"), load(spark, SF_DIR, "lineitem")
+    )
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
