@@ -803,3 +803,53 @@ def test_bollinger_matches_bruteforce(spark, pts):
             expect = ("above" if c > mu + 2 * sd
                       else "below" if c < mu - 2 * sd else "in")
             assert r.band == expect, (eid, frame)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    items=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 5)),  # (order, part)
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_assoc_rules_match_bruteforce(spark, items):
+    """Law: agg_assoc_rules equals the hand-computed support/confidence/lift
+    over deduped baskets at min_pair=1 (so hypothesis-size inputs produce
+    pairs), with n_total = the ORDER table row count (incl. empty baskets)."""
+    from kdb_spark.analytics import behavior as bh
+
+    n_orders = 10
+    orders = spark.createDataFrame([(o,) for o in range(n_orders)], "o_orderkey long")
+    li = spark.createDataFrame(
+        [(o, p) for o, p in items], "l_orderkey long, l_partkey long"
+    )
+    got = {
+        (r.a, r.b): r
+        for r in bh.agg_assoc_rules(orders, li, min_pair=1, k=1000).collect()
+    }
+    baskets: dict[int, set] = {}
+    for o, p in items:
+        baskets.setdefault(o, set()).add(p)
+    from collections import Counter
+    item_n = Counter(p for s in baskets.values() for p in s)
+    pair_n = Counter(
+        (a, b)
+        for s in baskets.values()
+        for a in s
+        for b in s
+        if a < b
+    )
+    assert set(got) == set(pair_n)
+    for (a, b), nb in pair_n.items():
+        r = got[(a, b)]
+        na, nbq = item_n[a], item_n[b]
+        assert (r.n_both, r.n_a, r.n_b) == (nb, na, nbq)
+        assert abs(r.support - round(nb / n_orders, 6)) < 1e-12
+        assert abs(r.conf_a_b - round(nb / na, 6)) < 1e-12
+        assert abs(r.conf_b_a - round(nb / nbq, 6)) < 1e-12
+        assert abs(r.lift - round(nb * n_orders / (na * nbq), 6)) < 1e-12
