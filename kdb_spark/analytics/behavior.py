@@ -189,6 +189,7 @@ def agg_assoc_rules(
     lineitem: DataFrame,
     min_pair: int = 3,
     k: int = 50,
+    max_basket: int | None = None,
 ) -> DataFrame:
     """Market-basket association rules over order baskets: for every part
     pair co-bought in >= ``min_pair`` distinct orders, emit support,
@@ -197,13 +198,18 @@ def agg_assoc_rules(
 
     Shape: the (order, part) incidence is deduped map-side, the pair table
     comes from ONE self-equi-join on the order key (fan-out bounded by
-    basket size squared — baskets are small by construction, never by
-    luck: a 100-item cap per basket is the documented guard at 100 TB),
-    and the two per-item count joins broadcast the item-count table
-    (|parts| rows, small relative to pairs). All metrics derive from exact
-    bigint counts with one shared double expression per column; the final
-    top-k orders by the integer pair count with the (a, b) key as the
-    total tie-break, so the cut is engine-independent.
+    basket size squared), and the two per-item count joins broadcast the
+    item-count table (|parts| rows, small relative to pairs). All metrics
+    derive from exact bigint counts with one shared double expression per
+    column; the final top-k orders by the integer pair count with the
+    (a, b) key as the total tie-break, so the cut is engine-independent.
+
+    ``max_basket`` is the 100 TB skew guard: when set, each basket keeps
+    only its ``max_basket`` lowest part keys (one row_number window on the
+    incidence — deterministic, so both engines drop the same rows) before
+    the self-join, bounding any pathological mega-basket's fan-out at
+    max_basket² instead of |basket|². None (the oracle-checked default at
+    test scale, where TPC-H baskets are ≤7 lines) computes exactly.
     """
     op = (
         orders.select("o_orderkey")
@@ -214,6 +220,15 @@ def agg_assoc_rules(
         .select(F.col("o_orderkey").alias("o"), F.col("l_partkey").alias("p"))
         .distinct()
     )
+    if max_basket is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("o").orderBy("p")
+        op = (
+            op.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= max_basket)
+            .drop("rn")
+        )
     n_orders = orders.select(F.count(F.lit(1)).alias("n_total"))
     item = op.groupBy("p").agg(F.count(F.lit(1)).alias("n_item"))
     pairs = (
