@@ -174,6 +174,9 @@ def main() -> int:
         # composed curation pipeline
         "pq_search_topk", "agg_quantile_sketch", "agg_funnel",
         "pipeline_corpus_prep",
+        # round-7/9 families: graph, tick analytics, SQL-text entries
+        "graph_pagerank", "graph_triangle_count", "agg_twap",
+        "sql_ship_priority",
     ]
     print(
         json.dumps(
