@@ -2775,7 +2775,12 @@ _reg(
 _reg(
     "graph_triangle_count",
     lambda s, d: gr.triangle_count(
-        gr.co_purchase_edges(load(s, d, "orders"), load(s, d, "lineitem"))
+        # max_per_part is the hub guard (SCALE.md r9): never binds at
+        # harness scales (≤53 customers/part at sf0.1) so the oracle
+        # compare stays exact, but keeps the salted K=32 probe linear
+        gr.co_purchase_edges(
+            load(s, d, "orders"), load(s, d, "lineitem"), max_per_part=500
+        )
     ),
     """
     WITH cp AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p

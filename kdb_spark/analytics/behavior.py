@@ -206,10 +206,14 @@ def agg_assoc_rules(
 
     ``max_basket`` is the 100 TB skew guard: when set, each basket keeps
     only its ``max_basket`` lowest part keys (one row_number window on the
-    incidence — deterministic, so both engines drop the same rows) before
-    the self-join, bounding any pathological mega-basket's fan-out at
-    max_basket² instead of |basket|². None (the oracle-checked default at
-    test scale, where TPC-H baskets are ≤7 lines) computes exactly.
+    incidence — deterministic, so reruns drop the same rows) before the
+    PAIR self-join, bounding any pathological mega-basket's fan-out at
+    max_basket² instead of |basket|². The per-item counts (confidence/
+    lift denominators) always come from the UNcapped incidence — a
+    linear-cost aggregate — so capping one mega-basket only under-counts
+    that basket's own pairs and never skews the metrics of pairs formed
+    in untouched baskets. None (the oracle-checked default at test scale,
+    where TPC-H baskets are ≤7 lines) computes exactly.
     """
     op = (
         orders.select("o_orderkey")
@@ -220,20 +224,23 @@ def agg_assoc_rules(
         .select(F.col("o_orderkey").alias("o"), F.col("l_partkey").alias("p"))
         .distinct()
     )
+    n_orders = orders.select(F.count(F.lit(1)).alias("n_total"))
+    # item marginals from the FULL incidence (linear; the quadratic risk
+    # the cap guards is only the pair self-join below)
+    item = op.groupBy("p").agg(F.count(F.lit(1)).alias("n_item"))
+    pair_src = op
     if max_basket is not None:
         from pyspark.sql import Window
 
         w = Window.partitionBy("o").orderBy("p")
-        op = (
+        pair_src = (
             op.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= max_basket)
             .drop("rn")
         )
-    n_orders = orders.select(F.count(F.lit(1)).alias("n_total"))
-    item = op.groupBy("p").agg(F.count(F.lit(1)).alias("n_item"))
     pairs = (
-        op.select(F.col("o"), F.col("p").alias("a"))
-        .join(op.select("o", F.col("p").alias("b")), "o")
+        pair_src.select(F.col("o"), F.col("p").alias("a"))
+        .join(pair_src.select("o", F.col("p").alias("b")), "o")
         .filter(F.col("a") < F.col("b"))
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("n_both"))

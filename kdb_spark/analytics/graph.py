@@ -56,12 +56,12 @@ def pagerank(
     # round's fill join, and without the persist the unrolled plan would
     # re-run the vertex distinct per round.
     base = _reused("pagerank_base", verts.crossJoin(F.broadcast(n)))
-    # per-round join shape: edges stream from cache, the |V|-sized rank and
-    # inflow tables are explicitly broadcast — each iteration is a map-side
-    # join + ONE |E| aggregate shuffle + a map-side fill join. (At a vertex
-    # scale where |V| no longer broadcasts, swap the hints for edges
-    # pre-hashed on src and base pre-hashed on v — the cached tables'
-    # partitioning then absorbs both joins.)
+    # per-round shape: edges stream from cache, the |V|-sized rank table is
+    # explicitly broadcast — each iteration is one map-side join, then the
+    # zero-message union feeds ONE |E|+|V| aggregate shuffle (no fill join
+    # exists; the union IS the fill). At a vertex scale where |V| no longer
+    # broadcasts, swap the hint for edges pre-hashed on src — the cached
+    # table's partitioning then absorbs the message join.
     ranks = base.select("v", (F.lit(1.0) / F.col("n")).alias("r"))
     zero_msgs = base.select(F.col("v").alias("dst"), F.lit(0.0).alias("msg"))
     contrib_edges = _reused("pagerank_contrib", edges.join(F.broadcast(deg), "src"))
@@ -144,7 +144,7 @@ def co_purchase_edges(
     orders: DataFrame,
     lineitem: DataFrame,
     min_shared: int = 3,
-    max_per_part: int | None = 500,
+    max_per_part: int | None = None,
 ) -> DataFrame:
     """Undirected customer co-purchase edges (`a` < `b`): two customers are
     linked iff they bought ≥ ``min_shared`` distinct parts in common.
@@ -152,14 +152,17 @@ def co_purchase_edges(
     The (customer, part) incidence is deduped BEFORE the part-keyed
     self-join, so the join fan-out per part is (customers-per-part)² — the
     classic bipartite-projection hot spot. ``max_per_part`` is the hub
-    guard: each part keeps only its ``max_per_part`` lowest customer keys
-    (one deterministic row_number window on the incidence), bounding any
-    hub part's fan-out at max_per_part² while staying EXACT wherever no
-    part exceeds the cap — true at every oracle/bench scale here (≤ ~300
-    customers/part at sf0.1), asserted by the K=32 scale probe where the
-    uncapped projection measured 7.8× for 4× data (SCALE.md r9). The
-    HAVING-style threshold collapses the pair table in the same aggregate
-    that counts it.
+    guard: when set, each part keeps only its ``max_per_part`` lowest
+    customer keys (one deterministic row_number window on the incidence),
+    bounding any hub part's fan-out at max_per_part². EXACT wherever no
+    part exceeds the cap and a documented approximation above it, so the
+    default is None (exact): callers opt in at scale, as
+    `q_graph_triangle_count` does with 500 — far above the ≤53
+    customers/part observed at sf0.1, so every oracle/bench compare stays
+    exact while the K=32 probe (where the uncapped projection measured
+    7.8× for 4× data, SCALE.md r9) stays linear. The HAVING-style
+    threshold collapses the pair table in the same aggregate that counts
+    it.
     """
     from kdb_spark.llm.dedup import _reused
 

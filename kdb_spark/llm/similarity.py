@@ -755,8 +755,12 @@ def emb_outliers(embeddings: DataFrame, dim: int = 64, z_thresh: float = 2.0) ->
     mean/stddev from exact integer moments of the µ-unit-quantized distance
     — so the result is invariant to partitioning (F.avg/stddev_samp partial
     merges are partition-order-sensitive; tested in
-    tests/test_parallelism_invariance.py). Zero distance variance yields
-    null z / null is_outlier via the var>0 guard.
+    tests/test_parallelism_invariance.py). The 1e-6 grid is part of the
+    contract: a corpus whose entire distance spread is below 1µ-unit
+    (every dq identical — degenerate near-duplicate input) is treated as
+    zero variance and yields null z / null is_outlier via the var>0
+    guard, rather than the exploding z-scores a raw stddev near 0 would
+    produce.
     """
     v = embeddings.select(
         "vec_id", _vec_d("embedding").alias("v")

@@ -47,8 +47,17 @@ DAY_US = 86_400 * SEC_US
 # Memoized DataFrame handles capture the file listing at first read, so the
 # cache is restricted to roots the engine treats as immutable input data.
 # Anything else (temp dirs, sink paths, a user's own tables) is re-listed on
-# every load — a write-then-reload must never see a stale listing.
-_READONLY_ROOTS = ("/root/testdata/",)
+# every load — a write-then-reload must never see a stale listing. A
+# deployment with testdata elsewhere extends the set via the colon-separated
+# SPARK_GRAFT_READONLY_ROOTS env var (the memoization is load-bearing for
+# cold bench timings, so losing it should be a choice, not an accident).
+import os as _os
+
+_READONLY_ROOTS = tuple(
+    r.rstrip("/") + "/"
+    for r in ("/root/testdata", *_os.environ.get("SPARK_GRAFT_READONLY_ROOTS", "").split(":"))
+    if r
+)
 
 
 def _cacheable(path: str) -> bool:

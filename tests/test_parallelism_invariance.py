@@ -94,24 +94,9 @@ def test_doc_ops_parallelism_invariant(spark, op):
     assert _rows(op(docs)) == _rows(op(_scrambled(docs)))
 
 
-EMB_OPS = []
+from kdb_spark.llm import similarity as sim  # noqa: E402
 
-
-def _emb_outliers(emb):
-    from kdb_spark.llm import similarity as sim
-
-    return sim.emb_outliers(emb)
-
-
-def _emb_centroid_classify(emb):
-    from kdb_spark.llm import similarity as sim
-
-    return sim.emb_centroid_classify(emb)
-
-
-_emb_outliers.__name__ = "emb_outliers"
-_emb_centroid_classify.__name__ = "emb_centroid_classify"
-EMB_OPS += [_emb_outliers, _emb_centroid_classify]
+EMB_OPS = [sim.emb_outliers, sim.emb_centroid_classify]
 
 
 @pytest.mark.parametrize("op", EMB_OPS, ids=lambda f: f.__name__)

@@ -397,7 +397,7 @@ def test_sql_text_queries_push_filters_and_take_ordered(spark):
         load(spark, SF_DIR, "nation"),
     )
     plan = plan_of(q10)
-    assert "TakeOrderedAndProject" in plan
+    assert "TakeOrderedAndProject" in plan and "Sort " not in plan
     assert "EqualTo(l_returnflag,R)" in plan
     assert "GreaterThanOrEqual(o_orderdate" in plan and "LessThan(o_orderdate" in plan
 
