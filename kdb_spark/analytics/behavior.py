@@ -210,10 +210,14 @@ def agg_assoc_rules(
     PAIR self-join, bounding any pathological mega-basket's fan-out at
     max_basket² instead of |basket|². The per-item counts (confidence/
     lift denominators) always come from the UNcapped incidence — a
-    linear-cost aggregate — so capping one mega-basket only under-counts
-    that basket's own pairs and never skews the metrics of pairs formed
-    in untouched baskets. None (the oracle-checked default at test scale,
-    where TPC-H baskets are ≤7 lines) computes exactly.
+    linear-cost aggregate. The capped output is therefore a LOWER BOUND
+    approximation: any pair touching a capped basket loses that basket's
+    contribution to n_both (even if the pair also occurs in untouched
+    baskets), so its support/confidence/lift deflate and it can drop
+    below the min_pair or top-k cuts; pairs formed ONLY in untouched
+    baskets keep exact n_both but uncapped denominators. None (the
+    oracle-checked default at test scale, where TPC-H baskets are ≤7
+    lines) computes exactly.
     """
     op = (
         orders.select("o_orderkey")
@@ -230,14 +234,9 @@ def agg_assoc_rules(
     item = op.groupBy("p").agg(F.count(F.lit(1)).alias("n_item"))
     pair_src = op
     if max_basket is not None:
-        from pyspark.sql import Window
+        from kdb_spark.analytics import cap_per_group
 
-        w = Window.partitionBy("o").orderBy("p")
-        pair_src = (
-            op.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= max_basket)
-            .drop("rn")
-        )
+        pair_src = cap_per_group(op, "o", "p", max_basket)
     pairs = (
         pair_src.select(F.col("o"), F.col("p").alias("a"))
         .join(pair_src.select("o", F.col("p").alias("b")), "o")

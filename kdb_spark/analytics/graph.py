@@ -13,7 +13,7 @@ analytics default needs no checkpoint.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -52,9 +52,9 @@ def pagerank(
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     verts = edges.select(F.col("src").alias("v")).distinct()
     n = verts.agg(F.count(F.lit(1)).cast("long").alias("n"))
-    # (v, n) base table — persisted once: it is the left side of every
-    # round's fill join, and without the persist the unrolled plan would
-    # re-run the vertex distinct per round.
+    # (v, n) base table — persisted once: zero_msgs (and the initial rank
+    # table) re-reads it every unrolled round, and without the persist the
+    # plan would re-run the vertex distinct per round.
     base = _reused("pagerank_base", verts.crossJoin(F.broadcast(n)))
     # per-round shape: edges stream from cache, the |V|-sized rank table is
     # explicitly broadcast — each iteration is one map-side join, then the
@@ -176,12 +176,9 @@ def co_purchase_edges(
         .distinct()
     )
     if max_per_part is not None:
-        w = Window.partitionBy("p").orderBy("c")
-        incidence = (
-            incidence.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= max_per_part)
-            .drop("rn")
-        )
+        from kdb_spark.analytics import cap_per_group
+
+        incidence = cap_per_group(incidence, "p", "c", max_per_part)
     cp = _reused("co_purchase_incidence", incidence)
     return (
         cp.select(F.col("c").alias("a"), "p")

@@ -53,10 +53,29 @@ DAY_US = 86_400 * SEC_US
 # cold bench timings, so losing it should be a choice, not an accident).
 import os as _os
 
-_READONLY_ROOTS = tuple(
-    r.rstrip("/") + "/"
-    for r in ("/root/testdata", *_os.environ.get("SPARK_GRAFT_READONLY_ROOTS", "").split(":"))
-    if r
+
+def _parse_roots(raw: str) -> tuple[str, ...]:
+    """Normalize the extra-roots env var: entries are abspath'd so they
+    match the abspath'd probe in ``_cacheable``; relative entries (which
+    could never match) and '/' (which would re-enable caching for EVERY
+    path, resurrecting the write-then-reload stale-listing hazard this
+    restriction exists to prevent) are rejected loudly."""
+    roots = []
+    for r in raw.split(":"):
+        if not r:
+            continue
+        # POSIX abspath('//') == '//', so compare with slashes stripped
+        if not _os.path.isabs(r) or not _os.path.abspath(r).strip("/"):
+            raise ValueError(
+                f"SPARK_GRAFT_READONLY_ROOTS entry {r!r} must be an "
+                "absolute path other than '/'"
+            )
+        roots.append(_os.path.abspath(r) + "/")
+    return tuple(roots)
+
+
+_READONLY_ROOTS = ("/root/testdata/",) + _parse_roots(
+    _os.environ.get("SPARK_GRAFT_READONLY_ROOTS", "")
 )
 
 

@@ -853,3 +853,46 @@ def test_assoc_rules_match_bruteforce(spark, items):
         assert abs(r.conf_a_b - round(nb / na, 6)) < 1e-12
         assert abs(r.conf_b_a - round(nb / nbq, 6)) < 1e-12
         assert abs(r.lift - round(nb * n_orders / (na * nbq), 6)) < 1e-12
+
+
+def test_assoc_rules_max_basket_noop_when_cap_exceeds_baskets(spark):
+    """A cap at least as large as every basket must be byte-identical to the
+    uncapped path (the cap branch runs, drops nothing)."""
+    from kdb_spark.analytics import behavior as bh
+
+    orders = spark.createDataFrame([(o,) for o in range(4)], "o_orderkey long")
+    li = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (1, 1), (1, 2), (2, 2), (2, 3), (3, 9)],
+        "l_orderkey long, l_partkey long",
+    )
+    plain = sorted(map(tuple, bh.agg_assoc_rules(orders, li, min_pair=1).collect()))
+    capped = sorted(
+        map(tuple, bh.agg_assoc_rules(orders, li, min_pair=1, max_basket=3).collect())
+    )
+    assert capped == plain and len(plain) == 3
+
+
+def test_assoc_rules_max_basket_caps_pairs_keeps_uncapped_marginals(spark):
+    """Capping keeps each basket's ``max_basket`` LOWEST part keys for pair
+    formation only: basket {1,2,3} at cap=2 contributes just (1,2), while
+    n_a/n_b (confidence denominators) still come from the uncapped
+    incidence — and the drop is deterministic under repartitioning."""
+    from kdb_spark.analytics import behavior as bh
+
+    orders = spark.createDataFrame([(o,) for o in range(2)], "o_orderkey long")
+    li = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3)],
+        "l_orderkey long, l_partkey long",
+    )
+    for nparts in (1, 7):
+        rows = {
+            (r.a, r.b): r
+            for r in bh.agg_assoc_rules(
+                orders, li.repartition(nparts), min_pair=1, max_basket=2
+            ).collect()
+        }
+        # basket 0 capped to {1,2} -> (1,2); basket 1 untouched -> (2,3)
+        assert set(rows) == {(1, 2), (2, 3)}
+        r12, r23 = rows[(1, 2)], rows[(2, 3)]
+        assert (r12.n_both, r12.n_a, r12.n_b) == (1, 1, 2)
+        assert (r23.n_both, r23.n_a, r23.n_b) == (1, 2, 2)

@@ -254,3 +254,19 @@ def test_load_cache_only_memoizes_readonly_roots(spark, tmp_path):
 
     a = load(spark, SF_DIR, "orders")
     assert load(spark, SF_DIR, "orders") is a
+
+
+def test_readonly_roots_env_parsing():
+    """Extra cache roots must be absolute and not '/': relative entries
+    would silently never match the abspath'd probe (losing load-bearing
+    memoization), '/' would re-enable caching for every sink path."""
+    import pytest as _pt
+
+    from kdb_spark.tables import _parse_roots
+
+    assert _parse_roots("") == ()
+    assert _parse_roots("/data/x:/data/y/") == ("/data/x/", "/data/y/")
+    assert _parse_roots("/a//b/../c") == ("/a/c/",)
+    for bad in ("testdata", "/", "//", "/.."):
+        with _pt.raises(ValueError):
+            _parse_roots(bad)
