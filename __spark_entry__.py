@@ -3558,3 +3558,105 @@ _reg(
     lambda s, d: sim.emb_centroid_classify(load(s, d, "embeddings")),
     _centroid_classify_oracle(),
 )
+
+
+_reg(
+    "agg_vwap",
+    lambda s, d: agg.agg_vwap(events_us(s, d)),
+    """
+    SELECT user_id, event_type,
+           CAST(count(*) AS BIGINT) AS n_ticks,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS volume,
+           CASE WHEN sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) > 0
+                THEN round(
+                  CAST(sum(CAST(round(value * 100) AS BIGINT)
+                           * CAST(json_extract_string(props, '$.k') AS BIGINT))
+                       AS DOUBLE)
+                  / CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                         AS DOUBLE), 4)
+           END AS vwap_c
+    FROM events
+    GROUP BY user_id, event_type
+    """,
+)
+
+_reg(
+    "agg_seasonality",
+    lambda s, d: agg.agg_seasonality(events_us(s, d)),
+    """
+    SELECT event_type,
+           CAST((epoch_us(ts) // 3600000000) % 24 AS INT) AS hour_of_day,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_value_c,
+           round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                 / count(*) / 100.0, 4) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+
+_reg(
+    "sql_top_supplier",
+    lambda s, d: agg.sql_top_supplier(load(s, d, "supplier"), load(s, d, "lineitem")),
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                           AS BIGINT)) AS BIGINT) AS total_revenue_c
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey),
+    ranked AS (
+      SELECT supplier_no, total_revenue_c,
+             max(total_revenue_c) OVER () AS max_revenue_c
+      FROM revenue)
+    SELECT s.s_suppkey, s.s_name, r.total_revenue_c
+    FROM supplier s
+    JOIN ranked r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue_c = r.max_revenue_c
+    ORDER BY s.s_suppkey
+    """,
+)
+
+_reg(
+    "win_donchian",
+    lambda s, d: wn.win_donchian(events_us(s, d)),
+    """
+    SELECT event_id, user_id, event_type, value,
+           CAST(hi_c AS DOUBLE) / 100.0 AS hi,
+           CAST(lo_c AS DOUBLE) / 100.0 AS lo,
+           CASE WHEN hi_c > lo_c
+                THEN round(CAST(c - lo_c AS DOUBLE)
+                           / CAST(hi_c - lo_c AS DOUBLE), 6)
+           END AS chan_pos
+    FROM (
+      SELECT event_id, user_id, event_type, value,
+             CAST(round(value * 100) AS BIGINT) AS c,
+             max(CAST(round(value * 100) AS BIGINT)) OVER w AS hi_c,
+             min(CAST(round(value * 100) AS BIGINT)) OVER w AS lo_c
+      FROM events
+      WINDOW w AS (PARTITION BY user_id, event_type
+                   ORDER BY epoch_us(ts), event_id
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+    """,
+)
+
+_reg(
+    "text_hash_features",
+    lambda s, d: tx.text_hash_features(load(s, d, "documents")),
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+               AS tok
+      FROM documents)
+    SELECT doc_id,
+           CAST(CAST('0x' || substring(md5(tok), 1, 4) AS BIGINT) % 256
+                AS INT) AS slot,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM toks
+    GROUP BY 1, 2
+    """,
+)

@@ -945,3 +945,102 @@ def agg_kmv_overlap(
             F.round(est_a + est_b - est_u, 4).alias("est_both"),
         )
     )
+
+
+def agg_vwap(events: DataFrame) -> DataFrame:
+    """Volume-weighted average price per series — the other half of kdb's
+    canonical tick rollup pair (`agg_twap` weights by holding TIME; VWAP
+    weights by traded SIZE, the execution-quality benchmark every trading
+    stack reports).
+
+    The size comes out of the row's JSON payload (`props.$.k`, an int —
+    the engine's semi-structured column, extracted JVM-side with
+    `get_json_object`, never a Python UDF). Exactness follows agg_twap:
+    cents cast to decimal(38,0) BEFORE the multiply so cents×volume can
+    never overflow long under ANSI, the numerator sums in decimal, and one
+    double division ends the pipeline (round 4). Zero-volume series (all
+    k=0) emit null rather than a divide error. ONE series-key hash-agg
+    shuffle — partial aggregation map-side; at 100 TB the JSON extraction
+    fuses into the scan stage.
+    """
+    k = F.get_json_object("props", "$.k").cast("long")
+    c = cents("value")
+    return events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ticks"),
+        F.sum(k).cast("long").alias("volume"),
+        F.when(
+            F.sum(k) > 0,
+            F.round(
+                F.sum(c.cast("decimal(38,0)") * k).cast("double")
+                / F.sum(k).cast("double"),
+                4,
+            ),
+        ).alias("vwap_c"),
+    )
+
+
+def agg_seasonality(events: DataFrame) -> DataFrame:
+    """Hour-of-day seasonality profile per event_type — the periodic FOLD
+    of the time axis (all Mondays 9am pooled together), where
+    `agg_resample` buckets it LINEARLY (each hour its own bucket). The
+    diurnal-shape matrix behind capacity planning and anomaly baselines.
+
+    Hour index is integer arithmetic on the µs epoch (floor-div HOUR_US,
+    mod 24 — no timezone/calendar functions, so both engines agree by
+    construction on any epoch). Counts and cents sums are exact bigints;
+    the mean derives from those partials via one double division (round 4).
+    Output is a bounded |types|×24 matrix from ONE hash-agg shuffle with
+    map-side partials.
+    """
+    hod = ((F.col("ts_us") / F.lit(HOUR_US)).cast("long") % 24).cast("int")
+    c = cents("value")
+    return events.groupBy(F.col("event_type"), hod.alias("hour_of_day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(c).cast("long").alias("sum_value_c"),
+        F.round(F.sum(c).cast("double") / F.count(F.lit(1)) / 100.0, 4).alias(
+            "avg_value"
+        ),
+    )
+
+
+def sql_top_supplier(
+    supplier: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """TPC-H-Q15-shaped top-supplier query as SQL TEXT: revenue per
+    supplier over one shipdate quarter, returning the supplier(s) whose
+    revenue equals the global max.
+
+    Q15's textbook form reads the revenue CTE twice (rollup + scalar max
+    subquery) — Catalyst plans that as TWO lineitem scans. Here the max
+    is an empty-frame window over the aggregate instead, so the fact
+    table scans ONCE and the single-partition window runs over the
+    |suppliers|-row revenue table — dimension-bounded, never fact-sized,
+    exactly where a global window is safe at 100 TB. The quarter
+    predicate is a raw literal compare pushed into that one scan. Revenue
+    in exact bigint cents so the equality-with-max predicate is
+    engine-exact (a double revenue would make ties float-fragile);
+    supplier is dimension-sized and broadcasts.
+    """
+    return lineitem.sparkSession.sql(
+        """
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+                 sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                          AS BIGINT)) AS total_revenue_c
+          FROM {lineitem_v}
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+          GROUP BY l_suppkey),
+        ranked AS (
+          SELECT supplier_no, total_revenue_c,
+                 max(total_revenue_c) OVER () AS max_revenue_c
+          FROM revenue)
+        SELECT s.s_suppkey, s.s_name, r.total_revenue_c
+        FROM {supplier_v} s
+        JOIN ranked r ON s.s_suppkey = r.supplier_no
+        WHERE r.total_revenue_c = r.max_revenue_c
+        ORDER BY s.s_suppkey
+        """,
+        supplier_v=supplier,
+        lineitem_v=lineitem,
+    )

@@ -643,3 +643,38 @@ def win_hampel(events: DataFrame, k: int = 9, n_sigmas: float = 3.0) -> DataFram
         F.round(mad / 100.0, 6).alias("mad"),
         F.when(mad > 0, dev > n_sigmas * mad).otherwise(dev > 0).alias("is_spike"),
     )
+
+
+def win_donchian(events: DataFrame, k: int = 19) -> DataFrame:
+    """Donchian channel per series: trailing k+1-row high/low band and the
+    close's position inside it — kdb's mmax/mmin composition, the breakout
+    signal pair to win_bollinger's mean-reversion bands.
+
+    Same single series-key window shuffle as every win_* op; ONE frame
+    buffer serves both extremes. The channel bounds are exact cents
+    integers (min/max of stored values, no accumulation at all), so
+    hi/lo are engine-exact; the position is a single int/int division
+    (round 6), null when the channel is flat (hi = lo) — a 0/0 there
+    would be an ANSI runtime error, and flat channels are common at
+    series heads.
+    """
+    w = (
+        Window.partitionBy("user_id", "event_type")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(-k, 0)
+    )
+    c = cents("value")
+    hi = F.max(c).over(w)
+    lo = F.min(c).over(w)
+    return events.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        (hi.cast("double") / 100.0).alias("hi"),
+        (lo.cast("double") / 100.0).alias("lo"),
+        F.when(
+            hi > lo,
+            F.round((c - lo).cast("double") / (hi - lo).cast("double"), 6),
+        ).alias("chan_pos"),
+    )

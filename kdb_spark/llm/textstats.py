@@ -453,3 +453,31 @@ def text_pmi_bigrams(
         .withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= k)
     )
+
+
+def text_hash_features(documents: DataFrame, n_slots: int = 256) -> DataFrame:
+    """Feature hashing (the "hashing trick"): each doc's token counts
+    folded into a fixed n_slots-wide sparse vector — the input
+    featurization for fastText-style quality/language classifiers at
+    corpus scale, where a materialized vocabulary would itself be a
+    100 TB-sized join table. Emitted sparse as (doc_id, slot, cnt) rows —
+    dense array columns defeat both columnar compression and the
+    cross-engine canonicalizer.
+
+    The slot hash is the engine's portable md5-prefix convention (same
+    primitive as dataset_split / mix_apply — first 4 hex chars → int %
+    n_slots), NOT xxhash/murmur, so any engine replays membership exactly.
+    One explode + ONE (doc, slot) hash-agg with map-side combine;
+    no vocabulary table, no join, output ≤ n_slots rows per doc.
+    """
+    from kdb_spark.llm.dedup import tokens
+
+    slot = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 4), 16, 10).cast("long")
+        % n_slots
+    ).cast("int")
+    return (
+        documents.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .groupBy("doc_id", slot.alias("slot"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )

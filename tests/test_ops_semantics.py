@@ -1216,3 +1216,69 @@ def test_centroid_classify_separable_labels_diagonal(spark):
            for r in sim.emb_centroid_classify(df, dim=2).collect()}
     assert out[(0, 0)] == 5 and out[(1, 1)] == 5
     assert out[(0, 1)] == 1 and (1, 0) not in out
+
+
+# ----------------------------------------------------------- agg_seasonality
+
+
+def test_seasonality_folds_hours_across_days(spark):
+    """Rows 24h apart land in the SAME hour-of-day bucket (the periodic
+    fold agg_resample doesn't do), counts/sums are exact, and the hour
+    index is pure integer epoch arithmetic (no calendar)."""
+    h = 3_600 * 1_000_000
+    rows = [
+        (1, 1, "a", 2.0, 9 * h),            # day 0, 09:00
+        (2, 1, "a", 4.0, 24 * h + 9 * h),   # day 1, 09:00 — same bucket
+        (3, 1, "a", 8.0, 10 * h),           # day 0, 10:00
+    ]
+    out = {(r.event_type, r.hour_of_day): r
+           for r in agg.agg_seasonality(_events(spark, rows)).collect()}
+    assert out[("a", 9)].n == 2 and out[("a", 9)].sum_value_c == 600
+    assert abs(out[("a", 9)].avg_value - 3.0) < 1e-9
+    assert out[("a", 10)].n == 1 and out[("a", 10)].sum_value_c == 800
+
+
+# -------------------------------------------------------- text_hash_features
+
+
+def test_hash_features_counts_partition_tokens(spark):
+    """Per-doc slot counts sum to the doc's token count, slots stay in
+    [0, n_slots), and identical tokens always share a slot (the hashing
+    trick's only structural guarantees)."""
+    df = spark.createDataFrame(
+        [(1, "the cat the dog"), (2, ""), (3, "cat")],
+        "doc_id long, text string",
+    )
+    rows = tx.text_hash_features(df, n_slots=8).collect()
+    per_doc: dict[int, int] = {}
+    for r in rows:
+        assert 0 <= r.slot < 8
+        per_doc[r.doc_id] = per_doc.get(r.doc_id, 0) + r.cnt
+    assert per_doc == {1: 4, 3: 1}  # empty doc emits no rows
+    # "cat" hashes identically in both docs: doc 1 has a slot holding ≥2
+    # ("the"×2) and doc 3's single slot must appear among doc 1's slots
+    slots1 = {r.slot for r in rows if r.doc_id == 1}
+    slot3 = next(r.slot for r in rows if r.doc_id == 3)
+    assert slot3 in slots1
+
+
+# ------------------------------------------------------------------ agg_vwap
+
+
+def test_vwap_zero_volume_series_yields_null(spark):
+    """A series whose every tick carries k=0 volume emits NULL vwap (not a
+    divide error under ANSI), while counts/volume stay exact."""
+    df = spark.createDataFrame(
+        [
+            (1, 1, "a", 5.0, '{"k": 0}', 1_000_000),
+            (2, 1, "a", 7.0, '{"k": 0}', 2_000_000),
+            (3, 2, "a", 5.0, '{"k": 2}', 1_000_000),
+            (4, 2, "a", 8.0, '{"k": 6}', 2_000_000),
+        ],
+        "event_id long, user_id long, event_type string, value double,"
+        " props string, ts_us long",
+    )
+    out = {r.user_id: r for r in agg.agg_vwap(df).collect()}
+    assert out[1].vwap_c is None and out[1].volume == 0 and out[1].n_ticks == 2
+    # user 2: (500·2 + 800·6) / 8 = 725.0
+    assert out[2].volume == 8 and abs(out[2].vwap_c - 725.0) < 1e-9

@@ -896,3 +896,107 @@ def test_assoc_rules_max_basket_caps_pairs_keeps_uncapped_marginals(spark):
         r12, r23 = rows[(1, 2)], rows[(2, 3)]
         assert (r12.n_both, r12.n_a, r12.n_b) == (1, 1, 2)
         assert (r23.n_both, r23.n_a, r23.n_b) == (1, 2, 2)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(0, 30),     # ts slot
+            st.integers(0, 2),      # user
+            st.integers(-200, 200), # value in 0.25 steps → exact cents
+            st.integers(0, 5),      # volume k (0 exercises the null guard)
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda p: (p[0], p[1]),
+    )
+)
+def test_vwap_matches_bruteforce(spark, pts):
+    """Laws: agg_vwap equals hand-computed Σc·k/Σk per series, volume and
+    tick counts are exact, a zero-volume series yields NULL vwap, and vwap
+    lies within [min, max] cents of the ticks that carry volume."""
+    from kdb_spark.analytics import aggregations as agg
+
+    rows = [
+        (i, int(u), "a", v / 4.0, '{"k": %d}' % k, int(t) * 1_000_000)
+        for i, (t, u, v, k) in enumerate(pts)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, value double,"
+        " props string, ts_us long",
+    )
+    got = {r.user_id: r for r in agg.agg_vwap(df).collect()}
+    series: dict[int, list] = {}
+    for _eid, u, _t, v, props, _ts in rows:
+        k = int(props.split(":")[1].rstrip("}"))
+        series.setdefault(u, []).append((round(v * 100), k))
+    for u, ticks in series.items():
+        r = got[u]
+        assert r.n_ticks == len(ticks)
+        vol = sum(k for _, k in ticks)
+        assert r.volume == vol
+        if vol == 0:
+            assert r.vwap_c is None
+            continue
+        num = sum(c * k for c, k in ticks)
+        want = float(
+            Decimal(num / vol).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP)
+        )
+        assert abs(r.vwap_c - want) < 1e-9
+        held = [c for c, k in ticks if k > 0]
+        assert min(held) - 1e-9 <= r.vwap_c <= max(held) + 1e-9
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(0, 50),     # ts slot
+            st.integers(-100, 100), # value in 0.25 steps
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda p: p[0],
+    )
+)
+def test_donchian_matches_bruteforce(spark, pts):
+    """Laws: hi/lo equal the trailing-20-row max/min of the series order,
+    chan_pos is NULL exactly when the channel is flat, and otherwise lies
+    in [0, 1] with the current value reproducing hi/lo at the extremes."""
+    from kdb_spark.analytics import windows as wn
+
+    rows = [
+        (i, 1, "a", v / 4.0, int(t) * 1_000_000)
+        for i, (t, v) in enumerate(pts)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, value double, ts_us long"
+    )
+    got = {r.event_id: r for r in wn.win_donchian(df).collect()}
+    ordered = sorted(rows, key=lambda r: (r[4], r[0]))
+    cs = [round(r[3] * 100) for r in ordered]
+    for i, row in enumerate(ordered):
+        frame = cs[max(0, i - 19) : i + 1]
+        hi, lo = max(frame), min(frame)
+        r = got[row[0]]
+        assert abs(r.hi - hi / 100.0) < 1e-9 and abs(r.lo - lo / 100.0) < 1e-9
+        if hi == lo:
+            assert r.chan_pos is None
+        else:
+            want = float(
+                Decimal((cs[i] - lo) / (hi - lo)).quantize(
+                    Decimal("0.000001"), rounding=ROUND_HALF_UP
+                )
+            )
+            assert abs(r.chan_pos - want) < 1e-9
+            assert -1e-9 <= r.chan_pos <= 1 + 1e-9
