@@ -3660,3 +3660,97 @@ _reg(
     GROUP BY 1, 2
     """,
 )
+
+
+def _ivfpq_oracle(
+    n_queries: int = 5,
+    k: int = 5,
+    m: int = 16,
+    ksub: int = 32,
+    n_clusters: int = 16,
+    nprobe: int = 2,
+) -> str:
+    """SQL mirror of ivfpq_search_topk: the _ivf_oracle coarse CTEs pick
+    each query's probed lists and every vector's home list; the _pq_oracle
+    CTEs build codebooks/codes/ADC tables; the score join keeps only
+    (query, vector) pairs whose home list is probed by that query."""
+    sd = 64 // m
+    dot_nc = _IVF_DOT.format(a="n.v", b="c.cv")
+    l2 = (
+        "list_sum([(v.sv[i] - c.cv[i]) * (v.sv[i] - c.cv[i]) "
+        f"FOR i IN range(1, {sd + 1})])"
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_sum([x * x FOR x IN v])) AS nrm FROM e),
+    c0c AS (SELECT vec_id AS cid, v AS cv,
+                   sqrt(list_sum([x * x FOR x IN v])) AS cnrm
+            FROM e WHERE vec_id < {n_clusters}),
+    a0c AS (
+      SELECT n.vec_id, c.cid,
+             row_number() OVER (PARTITION BY n.vec_id
+               ORDER BY {dot_nc} / (n.nrm * c.cnrm) DESC, c.cid) AS rk
+      FROM n CROSS JOIN c0c c),
+    asg0c AS (SELECT vec_id, cid FROM a0c WHERE rk = 1),
+    mdimc AS (
+      SELECT a.cid, t.i AS pos, avg(e.v[t.i]) AS x
+      FROM asg0c a JOIN e ON e.vec_id = a.vec_id
+      CROSS JOIN range(1, 65) t(i)
+      GROUP BY a.cid, t.i),
+    c1cl AS (SELECT cid, list(x ORDER BY pos) AS cv FROM mdimc GROUP BY cid),
+    c1c AS (SELECT cid, cv, sqrt(list_sum([y * y FOR y IN cv])) AS cnrm FROM c1cl),
+    corpus AS (
+      SELECT vec_id, cid FROM (
+        SELECT n.vec_id, c.cid,
+               row_number() OVER (PARTITION BY n.vec_id
+                 ORDER BY {dot_nc} / (n.nrm * c.cnrm) DESC, c.cid) AS rk
+        FROM n CROSS JOIN c1c c) WHERE rk = 1),
+    qprobe AS (
+      SELECT vec_id AS query_id, cid FROM (
+        SELECT n.vec_id, c.cid,
+               row_number() OVER (PARTITION BY n.vec_id
+                 ORDER BY {dot_nc} / (n.nrm * c.cnrm) DESC, c.cid) AS rk
+        FROM n CROSS JOIN c1c c WHERE n.vec_id < {n_queries}) WHERE rk <= {nprobe}),
+    nn AS (SELECT vec_id,
+                  [x / greatest(sqrt(list_sum([y * y FOR y IN v])), 1e-30) FOR x IN v] AS nv
+           FROM e),
+    subv AS (SELECT vec_id, t.s AS sub, nv[t.s * {sd} + 1 : t.s * {sd} + {sd}] AS sv
+             FROM nn CROSS JOIN range(0, {m}) t(s)),
+    b0 AS (SELECT sub, vec_id AS cid, sv AS cv FROM subv WHERE vec_id < {ksub}),
+    ab0 AS (SELECT v.vec_id, v.sub, c.cid,
+                   row_number() OVER (PARTITION BY v.vec_id, v.sub
+                     ORDER BY {l2} ASC, c.cid) AS rk
+            FROM subv v JOIN b0 c ON c.sub = v.sub),
+    basg0 AS (SELECT vec_id, sub, cid FROM ab0 WHERE rk = 1),
+    bmdim AS (SELECT a.sub, a.cid, t.i AS pos, avg(v.sv[t.i]) AS x
+              FROM basg0 a JOIN subv v ON v.vec_id = a.vec_id AND v.sub = a.sub
+              CROSS JOIN range(1, {sd + 1}) t(i)
+              GROUP BY a.sub, a.cid, t.i),
+    b1 AS (SELECT sub, cid, list(x ORDER BY pos) AS cv FROM bmdim GROUP BY sub, cid),
+    codes AS (SELECT vec_id, sub, cid FROM (
+        SELECT v.vec_id, v.sub, c.cid,
+               row_number() OVER (PARTITION BY v.vec_id, v.sub
+                 ORDER BY {l2} ASC, c.cid) AS rk
+        FROM subv v JOIN b1 c ON c.sub = v.sub) WHERE rk = 1),
+    adc AS (SELECT v.vec_id AS query_id, c.sub, c.cid,
+                   list_sum([v.sv[i] * c.cv[i] FOR i IN range(1, {sd + 1})]) AS qd
+            FROM subv v JOIN b1 c ON c.sub = v.sub WHERE v.vec_id < {n_queries}),
+    scored AS (SELECT a.query_id, x.vec_id AS match_id, sum(a.qd) AS score_pq
+               FROM codes x
+               JOIN corpus cx ON cx.vec_id = x.vec_id
+               JOIN adc a ON a.sub = x.sub AND a.cid = x.cid
+               JOIN qprobe p ON p.query_id = a.query_id AND p.cid = cx.cid
+               WHERE x.vec_id <> a.query_id
+               GROUP BY 1, 2)
+    SELECT query_id, match_id, round(score_pq, 6) AS score_pq,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score_pq DESC, match_id) AS BIGINT) AS rn
+    FROM scored QUALIFY rn <= {k}
+    """
+
+
+_reg(
+    "ivfpq_search_topk",
+    lambda s, d: sim.ivfpq_search_topk(load(s, d, "embeddings")),
+    _ivfpq_oracle(),
+)

@@ -36,6 +36,73 @@ def _norm(a: F.Column) -> F.Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
+def _nrows(M: "np.ndarray") -> "np.ndarray":
+    """Row-wise L2 normalization with the shared 1e-30 zero-vector guard."""
+    return M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
+
+
+def _pq_codebooks(
+    embeddings: DataFrame, m: int, ksub: int
+) -> tuple[int, int, list[tuple["np.ndarray", "np.ndarray"]]]:
+    """Product-quantization codebook training shared by `pq_search_topk`
+    and `ivfpq_search_topk`: seeded init (subvectors of the ksub lowest
+    vec_ids, normalized) + ONE Lloyd step as map-only `mapInPandas`
+    partials (k·m bounded rows per partition to the driver — the
+    `emb_kmeans` pattern, no corpus shuffle). Empty codewords are DROPPED
+    (mirrors the oracle's GROUP BY — an unused init centroid must not win
+    an argmin later). Returns (dim, subdim, books) where books[s] =
+    (surviving cids, codeword matrix) per subspace."""
+    init = sorted(
+        embeddings.filter(F.col("vec_id") < ksub)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    V = np.stack([np.asarray(r.embedding, dtype="float64") for r in init])
+    dim = V.shape[1]
+    subdim = dim // m
+    C0 = _nrows(V).reshape(ksub, m, subdim)  # [cid, sub, :]
+
+    def partials(batches):
+        counts = np.zeros((m, ksub), dtype="int64")
+        sums = np.zeros((m, ksub, subdim), dtype="float64")
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = _nrows(np.stack(pdf["embedding"].to_numpy()).astype("float64"))
+            S = E.reshape(len(E), m, subdim)
+            for s in range(m):
+                d2 = ((S[:, s, None, :] - C0[None, :, s, :]) ** 2).sum(-1)
+                a = d2.argmin(1)  # first minimum = lowest cid, the SQL tie
+                np.add.at(sums[s], a, S[:, s, :])
+                counts[s] += np.bincount(a, minlength=ksub)
+        out_s, out_c, out_n, out_v = [], [], [], []
+        for s in range(m):
+            nz = np.nonzero(counts[s])[0]
+            out_s += [s] * len(nz)
+            out_c += [int(c) for c in nz]
+            out_n += [int(x) for x in counts[s][nz]]
+            out_v += list(sums[s][nz])
+        if out_s:
+            yield pd.DataFrame(
+                {"sub": out_s, "cid": out_c, "n": out_n, "s": out_v}
+            )
+
+    agg = embeddings.select("embedding").mapInPandas(
+        partials, "sub long, cid long, n long, s array<double>"
+    ).collect()
+    counts = np.zeros((m, ksub), dtype="int64")
+    sums = np.zeros((m, ksub, subdim), dtype="float64")
+    for r in agg:
+        counts[r.sub][r.cid] += r.n
+        sums[r.sub][r.cid] += np.asarray(r.s)
+    books: list[tuple["np.ndarray", "np.ndarray"]] = []
+    for s in range(m):
+        nz = np.nonzero(counts[s])[0]
+        books.append((nz, sums[s][nz] / counts[s][nz, None]))
+    return dim, subdim, books
+
+
 def with_norm(embeddings: DataFrame, out: str = "nrm") -> DataFrame:
     return embeddings.withColumn(out, _norm(_vec_d("embedding")))
 
@@ -524,63 +591,7 @@ def pq_search_topk(
     batch survive to the global top-k window) — the corpus is never
     shuffled and never scored against raw query vectors.
     """
-    init = sorted(
-        embeddings.filter(F.col("vec_id") < ksub)
-        .select("vec_id", "embedding")
-        .collect(),
-        key=lambda r: r.vec_id,
-    )
-    V = np.stack([np.asarray(r.embedding, dtype="float64") for r in init])
-    dim = V.shape[1]
-    subdim = dim // m
-
-    def _nrows(M: "np.ndarray") -> "np.ndarray":
-        return M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
-
-    # init codebooks: subvectors of the ksub lowest vec_ids (normalized)
-    C0 = _nrows(V).reshape(ksub, m, subdim)  # [cid, sub, :]
-
-    emb_only = embeddings.select("embedding")
-
-    def partials(batches):
-        counts = np.zeros((m, ksub), dtype="int64")
-        sums = np.zeros((m, ksub, subdim), dtype="float64")
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            E = _nrows(np.stack(pdf["embedding"].to_numpy()).astype("float64"))
-            S = E.reshape(len(E), m, subdim)
-            for s in range(m):
-                d2 = ((S[:, s, None, :] - C0[None, :, s, :]) ** 2).sum(-1)
-                a = d2.argmin(1)  # first minimum = lowest cid, the SQL tie
-                np.add.at(sums[s], a, S[:, s, :])
-                counts[s] += np.bincount(a, minlength=ksub)
-        out_s, out_c, out_n, out_v = [], [], [], []
-        for s in range(m):
-            nz = np.nonzero(counts[s])[0]
-            out_s += [s] * len(nz)
-            out_c += [int(c) for c in nz]
-            out_n += [int(x) for x in counts[s][nz]]
-            out_v += list(sums[s][nz])
-        if out_s:
-            yield pd.DataFrame(
-                {"sub": out_s, "cid": out_c, "n": out_n, "s": out_v}
-            )
-
-    agg = emb_only.mapInPandas(
-        partials, "sub long, cid long, n long, s array<double>"
-    ).collect()
-    counts = np.zeros((m, ksub), dtype="int64")
-    sums = np.zeros((m, ksub, subdim), dtype="float64")
-    for r in agg:
-        counts[r.sub][r.cid] += r.n
-        sums[r.sub][r.cid] += np.asarray(r.s)
-    # per-subspace surviving codewords (empty ones DROPPED, as in the
-    # oracle's GROUP BY — an unused init centroid must not win later)
-    books: list[tuple["np.ndarray", "np.ndarray"]] = []
-    for s in range(m):
-        nz = np.nonzero(counts[s])[0]
-        books.append((nz, sums[s][nz] / counts[s][nz, None]))
+    dim, subdim, books = _pq_codebooks(embeddings, m, ksub)
 
     qrows = sorted(
         embeddings.filter(F.col("vec_id") < n_queries)
@@ -617,6 +628,107 @@ def pq_search_topk(
             yield pd.DataFrame(
                 {"query_id": qcol, "match_id": mcol, "score_pq": scol}
             )
+
+    cand = embeddings.select("vec_id", "embedding").mapInPandas(
+        score, "query_id long, match_id long, score_pq double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_pq"), "match_id")
+    return (
+        cand.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+        .select(
+            "query_id", "match_id", F.round("score_pq", 6).alias("score_pq"), "rn"
+        )
+    )
+
+
+def ivfpq_search_topk(
+    embeddings: DataFrame,
+    n_queries: int = 5,
+    k: int = 5,
+    m: int = 16,
+    ksub: int = 32,
+    n_clusters: int = 16,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-PQ composite ANN top-k — the production index shape (FAISS
+    ``IVFx,PQy``): a coarse quantizer prunes WHICH vectors are scored, PQ
+    codes decide HOW CHEAPLY. The two halves already exist separately
+    (`ivf_search_topk` prunes but stores raw vectors; `pq_search_topk`
+    compresses but scans everything); composed, the scan touches only
+    ~nprobe/n_clusters of the corpus AND scores it by table lookups.
+
+    Byte-identical reuse of both parents, so the DuckDB oracle is their
+    two oracle constructions joined: coarse centroids from
+    `ivf_centroids` (seeded init + one Lloyd round, the `_ivf_oracle`
+    CTEs) pick each query's ``nprobe`` lists; PQ codebooks from
+    `_pq_codebooks` (the `_pq_oracle` CTEs) score candidates by ADC.
+    No-residual variant: codes quantize the vectors themselves, not the
+    vector-minus-centroid residuals — residuals would need per-list
+    codebooks and break the shared-construction oracle for ~0 recall
+    gain on near-random synthetic data.
+
+    Spark shape: ONE `mapInPandas` corpus scan closing over the tiny
+    coarse-centroid matrix, codebooks, ADC tables, and per-query probe
+    sets; each batch assigns its vectors to coarse lists (one matmul),
+    masks out unprobed vectors per query, ADC-scores the survivors, and
+    emits only ≤ n_queries·k local winners to the global top-k window —
+    the corpus is never shuffled. At 100 TB the same scan runs over
+    `ivf_index_search`'s list-partitioned layout and prunes at the
+    directory level instead of in-batch.
+    """
+    cents = ivf_centroids(embeddings, n_clusters=n_clusters)
+    crows = sorted(cents.collect(), key=lambda r: r.cid)
+    cids = np.asarray([int(r.cid) for r in crows], dtype="int64")
+    C = np.stack([np.asarray(r.cv, dtype="float64") for r in crows])
+    Cn = _nrows(C)
+
+    queries = embeddings.filter(F.col("vec_id") < n_queries)
+    probes: dict[int, set[int]] = {}
+    for r in ivf_assign(queries, cents, nprobe=nprobe).collect():
+        probes.setdefault(int(r.vec_id), set()).add(int(r.cid))
+
+    dim, subdim, books = _pq_codebooks(embeddings, m, ksub)
+
+    qrows = sorted(
+        queries.select("vec_id", "embedding").collect(), key=lambda r: r.vec_id
+    )
+    qids = np.array([r.vec_id for r in qrows])
+    Q = _nrows(np.stack([np.asarray(r.embedding, dtype="float64") for r in qrows]))
+    QS = Q.reshape(len(Q), m, subdim)
+    adc = [QS[:, s, :] @ books[s][1].T for s in range(m)]
+    probe_sets = [probes.get(int(q), set()) for q in qids]
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vid = pdf["vec_id"].to_numpy()
+            E = _nrows(np.stack(pdf["embedding"].to_numpy()).astype("float64"))
+            # coarse list per vector: stable argsort keeps lowest cid on
+            # ties — identical to ivf_assign / the oracle's ORDER BY
+            coarse = cids[
+                np.argsort(-(E @ Cn.T), axis=1, kind="stable")[:, 0]
+            ]
+            S = E.reshape(len(E), m, subdim)
+            total = np.zeros((len(qids), len(E)))
+            for s in range(m):
+                d2 = ((S[:, s, None, :] - books[s][1][None, :, :]) ** 2).sum(-1)
+                code = d2.argmin(1)
+                total += adc[s][:, code]  # ascending s: the oracle sum order
+            qcol, mcol, scol = [], [], []
+            for qi in range(len(qids)):
+                in_probe = np.isin(coarse, list(probe_sets[qi]))
+                mask = in_probe & (vid != qids[qi])
+                cand_v, cand_s = vid[mask], total[qi][mask]
+                order = np.lexsort((cand_v, -cand_s))[:k]
+                qcol += [int(qids[qi])] * len(order)
+                mcol += [int(x) for x in cand_v[order]]
+                scol += [float(x) for x in cand_s[order]]
+            if qcol:
+                yield pd.DataFrame(
+                    {"query_id": qcol, "match_id": mcol, "score_pq": scol}
+                )
 
     cand = embeddings.select("vec_id", "embedding").mapInPandas(
         score, "query_id long, match_id long, score_pq double"

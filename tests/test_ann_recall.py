@@ -73,3 +73,22 @@ def test_ivf_recall_at_5_vs_bruteforce(spark):
     hits = sum(len(truth[q] & approx.get(q, set())) for q in truth)
     recall = hits / (K * len(truth))
     assert recall >= 0.2, f"IVF recall@5 collapsed: {recall:.2f}"
+
+
+def test_ivfpq_recall_at_5_vs_bruteforce(spark):
+    """IVF-PQ composes both approximations, so its recall is roughly the
+    product of the parents' hit processes: the coarse probe keeps ~the
+    IVF candidate set, ADC re-ranks it with PQ distortion. Floor 0.15
+    sits above random-under-probe (~nprobe/n_clusters · PQ noise ≈ 0.05)
+    and below the measured operating point, which this test prints."""
+    emb = load(spark, SF_DIR, "embeddings")
+    truth = _topk_ids(sim.sim_search_topk(emb, N_QUERIES, K))
+    approx_df = sim.ivfpq_search_topk(emb, N_QUERIES, K)
+    approx = _topk_ids(approx_df)
+    hits = sum(len(truth[q] & approx.get(q, set())) for q in truth)
+    recall = hits / (K * len(truth))
+    print(f"ivfpq recall@5 = {recall:.2f}")
+    assert recall >= 0.15, f"IVF-PQ recall@5 collapsed: {recall:.2f}"
+    # every probed answer carries a PQ score in the plausible band
+    for r in approx_df.collect():
+        assert -1.5 <= r["score_pq"] <= 1.5

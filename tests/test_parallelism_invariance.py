@@ -60,6 +60,11 @@ EVENT_OPS = [
     wn.win_hampel,
     agg.agg_kmv_overlap,
     agg.agg_autocorr,
+    # round-9 additions: vwap's decimal products, seasonality's integer
+    # hour fold, and donchian's frame extremes are all exact-integer paths
+    agg.agg_vwap,
+    agg.agg_seasonality,
+    wn.win_donchian,
 ]
 
 DOC_OPS = [
@@ -69,6 +74,7 @@ DOC_OPS = [
     cu.pipeline_corpus_prep,
     dd.dedup_substring,
     dd.dedup_cross_corpus,  # exact jaccard + order-independent aggregates
+    tx.text_hash_features,  # md5-slot counts are placement-independent
 ]
 
 
