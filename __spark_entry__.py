@@ -3754,3 +3754,70 @@ _reg(
     lambda s, d: sim.ivfpq_search_topk(load(s, d, "embeddings")),
     _ivfpq_oracle(),
 )
+
+
+_reg(
+    "mix_temperature",
+    lambda s, d: cu.mix_temperature(load(s, d, "documents")),
+    """
+    WITH per AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS chars
+                 FROM documents GROUP BY source),
+    tot AS (SELECT CAST(sum(chars) AS BIGINT) AS total FROM per),
+    wt AS (SELECT source, chars, total,
+                  CAST(round(sqrt(CAST(chars AS DOUBLE) / total) * 1e12)
+                       AS BIGINT) AS t
+           FROM per CROSS JOIN tot),
+    dn AS (SELECT CAST(sum(t) AS BIGINT) AS denom FROM wt)
+    SELECT source, CAST(chars AS BIGINT) AS n_chars_sum,
+           round(CAST(t AS DOUBLE) / CAST(denom AS DOUBLE), 6) AS target_share,
+           round(least(1.0,
+                 CAST(t AS DOUBLE) / CAST(denom AS DOUBLE)
+                 * CAST(total AS DOUBLE) / CAST(chars AS DOUBLE)), 6)
+             AS mix_rate
+    FROM wt CROSS JOIN dn
+    """,
+)
+
+_reg(
+    "curation_token_budget",
+    lambda s, d: cu.curation_token_budget(load(s, d, "documents")),
+    """
+    WITH t AS (SELECT doc_id, text,
+                      regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+               FROM documents),
+    r AS (SELECT doc_id,
+                 CAST(len(toks) AS BIGINT) AS n_tokens,
+                 len(toks) AS n_toks,
+                 len([x FOR x IN toks IF list_contains(['the','a','of','and','to','in','is'], x)])
+                   / greatest(len(toks), 1) AS stop_ratio,
+                 len(regexp_extract_all(text, '[0-9]')) / greatest(length(text), 1) AS digit_ratio,
+                 list_sum([CAST(length(x) AS DOUBLE) FOR x IN toks]) / greatest(len(toks), 1) AS avg_tok
+          FROM t),
+    scored AS (SELECT doc_id, n_tokens,
+                 CAST(CASE WHEN n_toks >= 10 THEN 1 ELSE 0 END
+                    + CASE WHEN stop_ratio >= 0.05 THEN 1 ELSE 0 END
+                    + CASE WHEN digit_ratio <= 0.3 THEN 1 ELSE 0 END
+                    + CASE WHEN avg_tok >= 3.0 AND avg_tok <= 12.0 THEN 1 ELSE 0 END
+                   AS BIGINT) AS score
+               FROM r),
+    levels AS (
+      SELECT score, sum(n_tokens) AS level_tokens,
+             coalesce(sum(sum(n_tokens)) OVER (
+               ORDER BY score DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS above
+      FROM scored GROUP BY score),
+    rates AS (
+      SELECT score,
+             CASE WHEN greatest(0, 10000 - above) >= level_tokens THEN 1.0
+                  WHEN greatest(0, 10000 - above) <= 0 THEN 0.0
+                  ELSE CAST(greatest(0, 10000 - above) AS DOUBLE)
+                       / CAST(level_tokens AS DOUBLE)
+             END AS keep_rate
+      FROM levels)
+    SELECT s.doc_id, s.score, s.n_tokens
+    FROM scored s JOIN rates v ON v.score = s.score
+    WHERE CAST('0x' || substring(md5(CAST(s.doc_id AS VARCHAR)), 1, 6) AS BIGINT)
+            % 1000000
+          < CAST(round(v.keep_rate * 1000000) AS BIGINT)
+    """,
+)

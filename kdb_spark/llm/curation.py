@@ -339,3 +339,108 @@ def mix_apply(documents: DataFrame) -> DataFrame:
         .filter(slot < F.round(F.col("mix_rate") * 1_000_000).cast("long"))
         .select("doc_id", "source", F.col("n_chars").cast("long").alias("n_chars"))
     )
+
+
+def mix_temperature(documents: DataFrame) -> DataFrame:
+    """Temperature-scaled source mixture — the standard multilingual /
+    multi-source balancing rule (sample source s with probability
+    ∝ share^α): α < 1 flattens the mixture toward uniform without
+    mix_weights' hard equal-share target. Fixed at α = 0.5, implemented
+    as sqrt — IEEE 754 REQUIRES sqrt to be correctly rounded (pow is
+    not, and Java's Math.pow vs C's pow differ by ulps — an engine-
+    portability trap for any other α).
+
+    Order-independence: the normalizing Σ share^α is a float sum, so
+    summing it directly would be partition-order-dependent; instead each
+    term is quantized to a 10^12 bigint grid first (the `_qmean` device)
+    and the denominator is an EXACT integer sum. q_s and the
+    downsample-only rate derive through identical double expressions in
+    both engines. One |sources|-row hash-agg + a broadcast 1-row total —
+    same shape and cost as mix_weights at any scale.
+    """
+    per = documents.groupBy("source").agg(F.sum("n_chars").alias("chars"))
+    tot = per.agg(F.sum("chars").alias("total"))
+    with_t = per.crossJoin(F.broadcast(tot)).withColumn(
+        "t",
+        F.round(
+            F.sqrt(F.col("chars").cast("double") / F.col("total")) * 1e12
+        ).cast("long"),
+    )
+    denom = with_t.agg(F.sum("t").alias("denom"))
+    q = F.col("t").cast("double") / F.col("denom").cast("double")
+    rate = F.least(
+        F.lit(1.0), q * F.col("total").cast("double") / F.col("chars")
+    )
+    return (
+        with_t.crossJoin(F.broadcast(denom))
+        .select(
+            "source",
+            F.col("chars").cast("long").alias("n_chars_sum"),
+            F.round(q, 6).alias("target_share"),
+            F.round(rate, 6).alias("mix_rate"),
+        )
+    )
+
+
+def curation_token_budget(documents: DataFrame, budget: int = 10_000) -> DataFrame:
+    """Fill a token budget with the best documents — "take the highest-
+    quality docs until N tokens" (the curation step between scoring and
+    training). Returns the kept docs with their score and token count.
+
+    NO global sort: quality scores are a bounded integer domain (0-4), so
+    the cut is two phases. (1) a |levels|-row aggregate finds how many
+    tokens each score level holds; every level whose running total (from
+    the top score down) fits entirely is kept whole. (2) the single
+    BOUNDARY level is thinned to the remaining budget by the engine's
+    md5-slot gate (`mix_apply`'s device): keep docs whose slot falls
+    under remaining/level_tokens — deterministic, repartition-stable,
+    map-only, and hash-approximate to the budget (documented: the cut is
+    by expected tokens, not an exact running sum — an exact cut needs a
+    global ordered cumsum, which is a single-partition window at 100 TB).
+    Shape: one scan for the level agg, one broadcast of the ≤5-row level
+    table, one map-only gated scan.
+    """
+    from kdb_spark.llm.dedup import tokens
+    from kdb_spark.llm.textstats import quality_score_expr
+
+    scored = documents.select(
+        "doc_id",
+        F.size(tokens("text")).cast("long").alias("n_tokens"),
+        quality_score_expr(tokens("text")).cast("long").alias("score"),
+    )
+    levels = (
+        scored.groupBy("score")
+        .agg(F.sum("n_tokens").alias("level_tokens"))
+        .withColumn(
+            "above",
+            F.sum("level_tokens").over(
+                Window.orderBy(F.desc("score")).rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+        )
+        .withColumn("above", F.coalesce("above", F.lit(0)))
+        # remaining budget entering this level; whole-keep if it covers
+        # the level, thin-keep fraction otherwise, drop when exhausted
+        .withColumn(
+            "remaining", F.greatest(F.lit(0), F.lit(budget) - F.col("above"))
+        )
+        .withColumn(
+            "keep_rate",
+            F.when(F.col("remaining") >= F.col("level_tokens"), F.lit(1.0))
+            .when(F.col("remaining") <= 0, F.lit(0.0))
+            .otherwise(
+                F.col("remaining").cast("double")
+                / F.col("level_tokens").cast("double")
+            ),
+        )
+        .select("score", "keep_rate")
+    )
+    slot = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10
+    ).cast("long") % 1_000_000
+    return (
+        scored.join(F.broadcast(levels), "score")
+        .filter(slot < F.round(F.col("keep_rate") * 1_000_000).cast("long"))
+        .select("doc_id", "score", "n_tokens")
+    )

@@ -1282,3 +1282,42 @@ def test_vwap_zero_volume_series_yields_null(spark):
     assert out[1].vwap_c is None and out[1].volume == 0 and out[1].n_ticks == 2
     # user 2: (500·2 + 800·6) / 8 = 725.0
     assert out[2].volume == 8 and abs(out[2].vwap_c - 725.0) < 1e-9
+
+
+# ----------------------------------------------- mix_temperature / token_budget
+
+
+def test_mix_temperature_flattens_toward_uniform(spark):
+    """α=0.5 temperature: target shares order-match raw shares but are
+    strictly closer to uniform; shares sum to ~1; the dominant source is
+    downsampled (rate < 1) and the rare one keeps everything (rate 1)."""
+    rows = [(i, "x" * 100, "big") for i in range(9)] + [(100, "x" * 100, "small")]
+    df = spark.createDataFrame(
+        [(i, t, s, len(t)) for i, t, s in rows],
+        "doc_id long, text string, source string, n_chars long",
+    )
+    out = {r.source: r for r in cu.mix_temperature(df).collect()}
+    # raw shares 0.9/0.1 → sqrt-weights ~0.75/0.25
+    assert 0.1 < out["small"].target_share < 0.5 < out["big"].target_share < 0.9
+    assert abs(out["big"].target_share + out["small"].target_share - 1.0) < 1e-5
+    assert out["big"].mix_rate < 1.0 and out["small"].mix_rate == 1.0
+
+
+def test_token_budget_keeps_high_scores_whole_and_thins_boundary(spark):
+    """Levels that fit the budget are kept whole; the boundary level is
+    hash-thinned to ~the remaining budget; exhausted levels drop."""
+    # high-quality docs: 20 tokens each with stopwords; low-quality: digit soup
+    good = "the cat sat of the mat and dog ran to the park in a big field is nice"
+    bad = "9" * 50
+    rows = [(i, good) for i in range(10)] + [(100 + i, bad) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    n_good_tokens = len(good.split())
+    kept = cu.curation_token_budget(df, budget=10 * n_good_tokens).collect()
+    scores = {r.doc_id: r.score for r in kept}
+    # every good doc fits exactly in budget → all kept; bad level exhausted
+    assert sorted(d for d in scores if d < 100) == list(range(10))
+    assert not [d for d in scores if d >= 100]
+    # half the good budget → boundary thinning keeps a strict subset
+    kept_half = cu.curation_token_budget(df, budget=5 * n_good_tokens).collect()
+    ids_half = {r.doc_id for r in kept_half}
+    assert set(ids_half) < set(range(10)) and 0 < len(ids_half) < 10

@@ -75,6 +75,8 @@ DOC_OPS = [
     dd.dedup_substring,
     dd.dedup_cross_corpus,  # exact jaccard + order-independent aggregates
     tx.text_hash_features,  # md5-slot counts are placement-independent
+    cu.mix_temperature,  # bigint-grid normalizer kills float sum order
+    cu.curation_token_budget,  # level agg + md5 gate, no ordered cumsum
 ]
 
 
