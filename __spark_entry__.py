@@ -3821,3 +3821,18 @@ _reg(
           < CAST(round(v.keep_rate * 1000000) AS BIGINT)
     """,
 )
+
+
+_reg(
+    "scan_time_travel",
+    src.q_scan_time_travel,
+    f"""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_c,
+           CAST(min(event_id) AS BIGINT) AS min_id,
+           CAST(max(event_id) AS BIGINT) AS max_id
+    FROM events
+    WHERE epoch_us(ts) // {DAY_US} - 19723 < 20
+    GROUP BY event_type
+    """,
+)

@@ -270,3 +270,27 @@ def test_readonly_roots_env_parsing():
     for bad in ("testdata", "/", "//", "/.."):
         with _pt.raises(ValueError):
             _parse_roots(bad)
+
+
+def test_versioned_table_time_travel(spark, tmp_path):
+    """Manifest-logged versions: each commit is an immutable snapshot;
+    time-travel returns exactly that snapshot, latest sees appends,
+    overwrite resets the lineage, unknown versions raise."""
+    from kdb_spark.sources import scan_version, sink_versioned
+
+    path = str(tmp_path / "vt")
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    df2 = spark.createDataFrame([(3, "c")], "id long, v string")
+    v0 = sink_versioned(df1, path, mode="overwrite")
+    v1 = sink_versioned(df2, path, mode="append")
+    assert (v0, v1) == (0, 1)
+    assert sorted(r.id for r in scan_version(spark, path, 0).collect()) == [1, 2]
+    assert sorted(r.id for r in scan_version(spark, path).collect()) == [1, 2, 3]
+    # overwrite starts a fresh lineage but old snapshots stay readable
+    v2 = sink_versioned(df2, path, mode="overwrite")
+    assert sorted(r.id for r in scan_version(spark, path, v2).collect()) == [3]
+    assert sorted(r.id for r in scan_version(spark, path, 1).collect()) == [1, 2, 3]
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        scan_version(spark, path, 99)
