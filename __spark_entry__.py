@@ -3836,3 +3836,22 @@ _reg(
     GROUP BY event_type
     """,
 )
+
+
+_reg(
+    "sink_upsert",
+    src.q_sink_upsert,
+    # merged table = untouched days <10 at original cents, days 10..19 at
+    # cents+100 (days 10..14 REPLACED once, 15..19 appended)
+    f"""
+    WITH d AS (SELECT event_type,
+                      CAST(round(value * 100) AS BIGINT) AS c,
+                      epoch_us(ts) // {DAY_US} - 19723 AS day
+               FROM events)
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN day < 10 THEN c ELSE c + 100 END) AS BIGINT)
+             AS sum_c
+    FROM d WHERE day < 20
+    GROUP BY event_type
+    """,
+)

@@ -658,3 +658,66 @@ def q_scan_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("event_id").cast("long").alias("max_id"),
         )
     )
+
+
+def sink_upsert(df: DataFrame, path: str, key: str) -> int:
+    """MERGE INTO over the manifest-versioned table: rows whose ``key``
+    matches an existing row REPLACE it, the rest append — the CDC /
+    last-write-wins primitive every lakehouse ships, and the table-format
+    expression of the reference's in-bucket overwrite-on-put
+    (/root/reference/dblock/dblock.go:198-205 — same slot, new payload
+    wins).
+
+    Spark shape: survivors = current snapshot LEFT ANTI JOIN the incoming
+    keys (one equi-join, broadcast when the increment is small — the
+    common CDC case), union the increment, commit as a new overwrite
+    version. The old snapshot stays readable (time travel), so a bad
+    merge is a one-manifest rollback, not a restore. At 100 TB the merge
+    is partition-scoped: anti-join and rewrite ONLY the partitions the
+    increment touches (the same dynamic-overwrite discipline as
+    `sink_delta_like`) — rewriting the full table per merge, as here at
+    test scale, is the naive fallback.
+    """
+    from pyspark.sql.functions import broadcast
+
+    current = scan_version(df.sparkSession, path)
+    survivors = current.join(
+        broadcast(df.select(key).distinct()), on=key, how="left_anti"
+    )
+    merged = survivors.unionByName(df)
+    # materialize BEFORE the overwrite commit: merged reads the current
+    # snapshot's files, and writing a new version while its input plan
+    # is still lazily reading old files is the classic self-overwrite
+    # trap — localCheckpoint cuts the lineage (same device as
+    # stream_rollup_maintain)
+    merged = merged.localCheckpoint(eager=True)
+    return sink_versioned(merged, path, mode="overwrite")
+
+
+def q_sink_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed the versioned table with pre-Jan-15 events, then MERGE an
+    increment that (a) rewrites every day-10..14 row with value+1.00 and
+    (b) appends days 15..19 — the read-back per-type aggregate proves
+    matched keys were replaced exactly once and unmatched rows survived.
+    """
+    from kdb_spark.tables import DAY_US, cents, events_us
+
+    path = _tmp("upsert")
+    day0 = 19723
+    ev = events_us(spark, sf_dir).select(
+        "event_id", "event_type", cents("value").alias("c"), "ts_us"
+    )
+    day = (F.col("ts_us") / F.lit(DAY_US)).cast("long") - day0
+    sink_versioned(ev.filter(day < 15), path, mode="overwrite")
+    increment = ev.filter((day >= 10) & (day < 20)).withColumn(
+        "c", F.col("c") + F.lit(100)
+    )
+    sink_upsert(increment, path, key="event_id")
+    return (
+        scan_version(spark, path)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("c").cast("long").alias("sum_c"),
+        )
+    )

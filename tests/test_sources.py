@@ -294,3 +294,23 @@ def test_versioned_table_time_travel(spark, tmp_path):
 
     with _pt.raises(ValueError):
         scan_version(spark, path, 99)
+
+
+def test_upsert_replaces_matches_keeps_rest(spark, tmp_path):
+    """MERGE semantics: matched keys replaced exactly once, unmatched
+    survive, pure inserts append, and the pre-merge snapshot is still
+    readable (rollback path)."""
+    from kdb_spark.sources import scan_version, sink_upsert, sink_versioned
+
+    path = str(tmp_path / "up")
+    base = spark.createDataFrame(
+        [(1, "old"), (2, "old"), (3, "old")], "id long, v string"
+    )
+    v0 = sink_versioned(base, path, mode="overwrite")
+    inc = spark.createDataFrame([(2, "new"), (9, "new")], "id long, v string")
+    v1 = sink_upsert(inc, path, key="id")
+    got = {r.id: r.v for r in scan_version(spark, path, v1).collect()}
+    assert got == {1: "old", 2: "new", 3: "old", 9: "new"}
+    # time travel back to the pre-merge snapshot
+    old = {r.id: r.v for r in scan_version(spark, path, v0).collect()}
+    assert old == {1: "old", 2: "old", 3: "old"}
