@@ -762,8 +762,10 @@ _EWMA_NUM = " + ".join(
     f"coalesce(lag(value, {k}) OVER w, 0.0) * {wk!r}"
     for k, wk in enumerate(wn.ewma_weights())
 )
+# CAST: DuckDB types bare literals DECIMAL — see _ewma_sql's den note
 _EWMA_DEN = " + ".join(
-    f"(CASE WHEN lag(value, {k}) OVER w IS NOT NULL THEN {wk!r} ELSE 0.0 END)"
+    f"(CASE WHEN lag(value, {k}) OVER w IS NOT NULL"
+    f" THEN CAST({wk!r} AS DOUBLE) ELSE 0.0 END)"
     for k, wk in enumerate(wn.ewma_weights())
 )
 
@@ -3853,5 +3855,44 @@ _reg(
              AS sum_c
     FROM d WHERE day < 20
     GROUP BY event_type
+    """,
+)
+
+
+def _ewma_sql(col: str, alpha: float, win: str = "w") -> str:
+    """DuckDB EWMA lag chain from the SAME ewma_weights float literals as
+    the Spark side (win_macd's _ewma_expr)."""
+    num = " + ".join(
+        f"coalesce(lag({col}, {k}) OVER {win}, 0.0) * {wk!r}"
+        for k, wk in enumerate(wn.ewma_weights(alpha))
+    )
+    # CAST: DuckDB types bare numeric literals as DECIMAL and would sum
+    # the all-literal denominator exactly instead of chaining doubles —
+    # a 1-ulp divergence from the Spark fold (surfaced on macd's
+    # second-pass half-boundaries)
+    den = " + ".join(
+        f"(CASE WHEN lag({col}, {k}) OVER {win} IS NOT NULL"
+        f" THEN CAST({wk!r} AS DOUBLE) ELSE 0.0 END)"
+        for k, wk in enumerate(wn.ewma_weights(alpha))
+    )
+    return f"(0.0 + {num}) / (0.0 + {den})"
+
+
+_reg(
+    "win_macd",
+    lambda s, d: wn.win_macd(events_us(s, d)),
+    f"""
+    WITH m AS (
+      SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+             {_ewma_sql("value", 0.4)} - {_ewma_sql("value", 0.15)} AS macd
+      FROM events
+      WINDOW w AS (PARTITION BY user_id, event_type
+                   ORDER BY epoch_us(ts), event_id))
+    SELECT event_id, user_id, event_type,
+           round(macd, 6) AS macd,
+           round({_ewma_sql("macd", 0.4)}, 6) AS signal,
+           round(macd - ({_ewma_sql("macd", 0.4)}), 6) AS hist
+    FROM m
+    WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts_us, event_id)
     """,
 )

@@ -678,3 +678,52 @@ def win_donchian(events: DataFrame, k: int = 19) -> DataFrame:
             F.round((c - lo).cast("double") / (hi - lo).cast("double"), 6),
         ).alias("chan_pos"),
     )
+
+
+def _ewma_expr(col: str, alpha: float, w) -> F.Column:
+    """Finite-horizon normalized EWMA of ``col`` over window spec ``w`` —
+    the left-associated lag-chain device of `win_ewma`, parameterized by
+    alpha so MACD's three smoothings share one definition (and the oracle
+    generates its SQL from the SAME float literals via ewma_weights)."""
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for k, wk in enumerate(ewma_weights(alpha)):
+        lk = F.lag(col, k).over(w)
+        num = num + F.coalesce(lk, F.lit(0.0)) * F.lit(wk)
+        den = den + F.when(lk.isNotNull(), F.lit(wk)).otherwise(F.lit(0.0))
+    return num / den
+
+
+def win_macd(
+    events: DataFrame,
+    fast: float = 0.4,
+    slow: float = 0.15,
+    sig: float = 0.4,
+) -> DataFrame:
+    """MACD per series (kdb's ema composition; the trend-following
+    complement to win_rsi's oscillator): macd = EWMA_fast − EWMA_slow of
+    the value, signal = EWMA of the macd line, histogram = macd − signal.
+
+    Same finite-horizon EWMA rationale as win_ewma (bounded 16-row frames,
+    no unbounded recursion — ports to bounded streaming state). Two chained
+    window passes over the SAME partitioning+ordering: Catalyst plans ONE
+    Exchange with two Window nodes — the macd line must materialize before
+    its own EWMA can lag over it (a window over a window is inexpressible
+    in one frame). All smoothings are left-associated sums of identical
+    IEEE literals on both engines (the ewma_weights contract); round(6)
+    only at the output, from the same unrounded intermediates.
+    """
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+    macd = _ewma_expr("value", fast, w) - _ewma_expr("value", slow, w)
+    m = events.select(
+        "event_id", "user_id", "event_type", "ts_us", macd.alias("macd")
+    )
+    signal = _ewma_expr("macd", sig, w)
+    return m.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round("macd", 6).alias("macd"),
+        F.round(signal, 6).alias("signal"),
+        F.round(F.col("macd") - signal, 6).alias("hist"),
+    )

@@ -1321,3 +1321,18 @@ def test_token_budget_keeps_high_scores_whole_and_thins_boundary(spark):
     kept_half = cu.curation_token_budget(df, budget=5 * n_good_tokens).collect()
     ids_half = {r.doc_id for r in kept_half}
     assert set(ids_half) < set(range(10)) and 0 < len(ids_half) < 10
+
+
+# ------------------------------------------------------------------ win_macd
+
+
+def test_macd_constant_series_is_flat_and_cross_signs(spark):
+    """A constant series gives macd = signal = hist = 0 everywhere (both
+    EWMAs equal the constant); a step up makes macd positive (fast EWMA
+    reacts first) with hist = macd − signal > 0 right after the step."""
+    flat = [(i, 1, "a", 10.0, i * 1_000_000) for i in range(10)]
+    out = wn.win_macd(_events(spark, flat)).collect()
+    assert all(r.macd == 0.0 and r.signal == 0.0 and r.hist == 0.0 for r in out)
+    step = [(i, 1, "a", 10.0 if i < 5 else 20.0, i * 1_000_000) for i in range(10)]
+    got = {r.event_id: r for r in wn.win_macd(_events(spark, step)).collect()}
+    assert got[5].macd > 0 and got[5].hist > 0
