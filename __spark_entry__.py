@@ -3588,7 +3588,8 @@ _reg(
     lambda s, d: agg.agg_seasonality(events_us(s, d)),
     """
     SELECT event_type,
-           CAST((epoch_us(ts) // 3600000000) % 24 AS INT) AS hour_of_day,
+           CAST(((epoch_us(ts) // 3600000000) % 24 + 24) % 24 AS INT)
+             AS hour_of_day,
            CAST(count(*) AS BIGINT) AS n,
            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
              AS sum_value_c,

@@ -985,14 +985,18 @@ def agg_seasonality(events: DataFrame) -> DataFrame:
     `agg_resample` buckets it LINEARLY (each hour its own bucket). The
     diurnal-shape matrix behind capacity planning and anomaly baselines.
 
-    Hour index is integer arithmetic on the µs epoch (floor-div HOUR_US,
-    mod 24 — no timezone/calendar functions, so both engines agree by
-    construction on any epoch). Counts and cents sums are exact bigints;
+    Hour index is integer arithmetic on the µs epoch (truncating div by
+    HOUR_US — Spark's long cast and DuckDB's // both truncate toward
+    zero — then pmod 24, so the index stays in 0..23 even for pre-1970
+    epochs where a plain % would go negative; no timezone/calendar
+    functions anywhere). Counts and cents sums are exact bigints;
     the mean derives from those partials via one double division (round 4).
     Output is a bounded |types|×24 matrix from ONE hash-agg shuffle with
     map-side partials.
     """
-    hod = ((F.col("ts_us") / F.lit(HOUR_US)).cast("long") % 24).cast("int")
+    hod = F.pmod((F.col("ts_us") / F.lit(HOUR_US)).cast("long"), F.lit(24)).cast(
+        "int"
+    )
     c = cents("value")
     return events.groupBy(F.col("event_type"), hod.alias("hour_of_day")).agg(
         F.count(F.lit(1)).cast("long").alias("n"),

@@ -56,6 +56,11 @@ def pagerank(
     # table) re-reads it every unrolled round, and without the persist the
     # plan would re-run the vertex distinct per round.
     base = _reused("pagerank_base", verts.crossJoin(F.broadcast(n)))
+    # per-round scalar n is re-read from the PERSISTED base, not from the
+    # unpersisted verts-distinct+count lineage — otherwise every unrolled
+    # round embeds that subplan and the one-shuffle-per-round cost claim
+    # rests on ReuseExchange instead of being structural
+    n = base.select("n").limit(1)
     # per-round shape: edges stream from cache, the |V|-sized rank table is
     # explicitly broadcast — each iteration is one map-side join, then the
     # zero-message union feeds ONE |E|+|V| aggregate shuffle (no fill join

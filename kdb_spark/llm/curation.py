@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from kdb_spark.llm.dedup import tokens
+from kdb_spark.tables import md5_slot
 
 # 256 md5-prefix buckets, split by lexicographic range of the first two hex
 # chars: ["00","c0") = 192/256 = 75% train, ["c0","e0") = 12.5% val,
@@ -57,8 +58,7 @@ def sample_hash(documents: DataFrame, pct: int, key: str = "doc_id") -> DataFram
     """Deterministic pct% sample: keep rows whose md5-prefix bucket falls in
     the first `pct` of 100 equal-ish slices. Same stability contract as
     `dataset_split`; used to carve repeatable eval subsets from a corpus."""
-    slot = F.conv(F.substring(F.md5(F.col(key).cast("string")), 1, 4), 16, 10)
-    return documents.where(slot.cast("long") % 100 < pct)
+    return documents.where(md5_slot(key, hex_chars=4, mod=100) < pct)
 
 
 # RE2-safe (and Java-regex-safe) patterns — no backrefs, no lookaround, so
@@ -329,9 +329,7 @@ def mix_apply(documents: DataFrame) -> DataFrame:
     division per row). One tiny agg + one broadcast join at any scale.
     """
     rates = mix_weights(documents).select("source", "mix_rate")
-    slot = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10
-    ).cast("long") % 1_000_000
+    slot = md5_slot("doc_id")
     return (
         documents.join(F.broadcast(rates), "source")
         # explicit round: Spark's cast-to-long truncates while other
@@ -403,10 +401,15 @@ def curation_token_budget(documents: DataFrame, budget: int = 10_000) -> DataFra
     from kdb_spark.llm.dedup import tokens
     from kdb_spark.llm.textstats import quality_score_expr
 
+    # materialize toks ONCE per row (quality_score_expr's documented
+    # precondition): an inline tokens() expression would re-run the regex
+    # tokenizer at each of the expression's ~6 references
     scored = documents.select(
+        "doc_id", "text", tokens("text").alias("toks")
+    ).select(
         "doc_id",
-        F.size(tokens("text")).cast("long").alias("n_tokens"),
-        quality_score_expr(tokens("text")).cast("long").alias("score"),
+        F.size("toks").cast("long").alias("n_tokens"),
+        quality_score_expr(F.col("toks")).cast("long").alias("score"),
     )
     levels = (
         scored.groupBy("score")
@@ -436,9 +439,7 @@ def curation_token_budget(documents: DataFrame, budget: int = 10_000) -> DataFra
         )
         .select("score", "keep_rate")
     )
-    slot = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10
-    ).cast("long") % 1_000_000
+    slot = md5_slot("doc_id")
     return (
         scored.join(F.broadcast(levels), "score")
         .filter(slot < F.round(F.col("keep_rate") * 1_000_000).cast("long"))

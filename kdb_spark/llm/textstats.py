@@ -471,11 +471,9 @@ def text_hash_features(documents: DataFrame, n_slots: int = 256) -> DataFrame:
     no vocabulary table, no join, output ≤ n_slots rows per doc.
     """
     from kdb_spark.llm.dedup import tokens
+    from kdb_spark.tables import md5_slot
 
-    slot = (
-        F.conv(F.substring(F.md5(F.col("tok")), 1, 4), 16, 10).cast("long")
-        % n_slots
-    ).cast("int")
+    slot = md5_slot("tok", hex_chars=4, mod=n_slots).cast("int")
     return (
         documents.select("doc_id", F.explode(tokens("text")).alias("tok"))
         .groupBy("doc_id", slot.alias("slot"))

@@ -613,9 +613,15 @@ def scan_version(
     import os
 
     log_dir = os.path.join(path, "_log")
+    if not os.path.isdir(log_dir):
+        raise ValueError(f"no versioned table at {path} (missing _log)")
     versions = sorted(
         int(f.split(".")[0]) for f in os.listdir(log_dir) if f.endswith(".json")
     )
+    if not versions:
+        # e.g. a sink_versioned call that died after the data write but
+        # before its manifest commit — the table has no readable version
+        raise ValueError(f"versioned table at {path} has no committed version")
     if version is None:
         version = versions[-1]
     if version not in versions:
@@ -680,6 +686,22 @@ def sink_upsert(df: DataFrame, path: str, key: str) -> int:
     """
     from pyspark.sql.functions import broadcast
 
+    # real MERGE INTO errors when the source matches a target row more
+    # than once; silently unioning a duplicate-keyed increment would
+    # commit BOTH rows and every later scan double-counts the key. One
+    # bounded agg over the (small, CDC-sized) increment enforces it.
+    dup = (
+        df.groupBy(key)
+        .count()
+        .filter(F.col("count") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"sink_upsert: increment has multiple rows for {key}="
+            f"{dup[0][0]!r}; MERGE requires unique source keys"
+        )
     current = scan_version(df.sparkSession, path)
     survivors = current.join(
         broadcast(df.select(key).distinct()), on=key, how="left_anti"

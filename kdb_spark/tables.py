@@ -156,3 +156,24 @@ def cents(col: str | F.Column) -> F.Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     return F.round(c * 100).cast("long")
+
+
+def md5_slot(
+    col: str | F.Column, hex_chars: int = 6, mod: int = 1_000_000
+) -> F.Column:
+    """The engine's portable deterministic-sampling slot: first
+    ``hex_chars`` hex digits of md5(key-as-string) as an integer, mod
+    ``mod``. THE one definition of the convention every hash-gated op
+    (sample_hash, mix_apply, curation_token_budget, text_hash_features)
+    and its DuckDB oracle mirror must agree on — md5 is the only hash
+    both engines (and most others) evaluate identically; xxhash/murmur
+    seeds differ across engines. Repartition- and insertion-order-stable
+    by construction.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.conv(F.substring(F.md5(c.cast("string")), 1, hex_chars), 16, 10).cast(
+            "long"
+        )
+        % mod
+    )

@@ -314,3 +314,39 @@ def test_upsert_replaces_matches_keeps_rest(spark, tmp_path):
     # time travel back to the pre-merge snapshot
     old = {r.id: r.v for r in scan_version(spark, path, v0).collect()}
     assert old == {1: "old", 2: "old", 3: "old"}
+
+
+def test_upsert_rejects_duplicate_source_keys(spark, tmp_path):
+    """MERGE contract: a duplicate-keyed increment must error loudly (real
+    MERGE INTO errors on multiple source matches), never commit twice."""
+    from kdb_spark.sources import scan_version, sink_upsert, sink_versioned
+
+    path = str(tmp_path / "dup")
+    sink_versioned(
+        spark.createDataFrame([(1, "old")], "id long, v string"), path,
+        mode="overwrite",
+    )
+    bad = spark.createDataFrame([(1, "a"), (1, "b")], "id long, v string")
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="multiple rows"):
+        sink_upsert(bad, path, key="id")
+    # table unchanged: still exactly version 0
+    assert [r.v for r in scan_version(spark, path).collect()] == ["old"]
+
+
+def test_scan_version_empty_log_raises(spark, tmp_path):
+    """An uninitialized or manifest-less table raises the descriptive
+    error, not IndexError/FileNotFoundError."""
+    import os
+
+    from kdb_spark.sources import scan_version
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="missing _log"):
+        scan_version(spark, str(tmp_path / "nope"))
+    empty = tmp_path / "empty"
+    os.makedirs(empty / "_log")
+    with _pt.raises(ValueError, match="no committed version"):
+        scan_version(spark, str(empty))
