@@ -3897,3 +3897,21 @@ _reg(
     WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts_us, event_id)
     """,
 )
+
+
+_reg(
+    "agg_bitmap_distinct",
+    lambda s, d: agg.agg_bitmap_distinct(events_us(s, d)),
+    f"""
+    WITH w AS (
+      SELECT event_type, epoch_us(ts) // {DAY_US} AS day_idx,
+             user_id // 62 AS w,
+             bit_or(CAST(1 AS BIGINT) << CAST(user_id % 62 AS INT)) AS word
+      FROM events
+      GROUP BY 1, 2, 3)
+    SELECT event_type, day_idx,
+           CAST(sum(bit_count(word)) AS BIGINT) AS n_users,
+           CAST(count(*) AS BIGINT) AS n_words
+    FROM w GROUP BY 1, 2
+    """,
+)

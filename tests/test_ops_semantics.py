@@ -1336,3 +1336,21 @@ def test_macd_constant_series_is_flat_and_cross_signs(spark):
     step = [(i, 1, "a", 10.0 if i < 5 else 20.0, i * 1_000_000) for i in range(10)]
     got = {r.event_id: r for r in wn.win_macd(_events(spark, step)).collect()}
     assert got[5].macd > 0 and got[5].hist > 0
+
+
+# -------------------------------------------------------- agg_bitmap_distinct
+
+
+def test_bitmap_distinct_equals_count_distinct(spark):
+    """The bitmap-word popcount must equal exact COUNT(DISTINCT) including
+    ids that straddle word boundaries (61, 62, 63) and repeats."""
+    day0 = 19723 * 86_400_000_000
+    rows = [
+        (i, uid, "a", 1.0, day0 + i)
+        for i, uid in enumerate([0, 0, 1, 61, 62, 63, 124, 124, 200])
+    ]
+    out = agg.agg_bitmap_distinct(_events(spark, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_users == 7  # {0,1,61,62,63,124,200}
+    assert r.n_words == 4  # words 0 (0,1,61), 1 (62,63), 2 (124), 3 (200)

@@ -63,6 +63,7 @@ EVENT_OPS = [
     # round-9 additions: vwap's decimal products, seasonality's integer
     # hour fold, and donchian's frame extremes are all exact-integer paths
     agg.agg_vwap,
+    agg.agg_bitmap_distinct,  # bit_or / popcount are order-independent
     agg.agg_seasonality,
     wn.win_donchian,
 ]
