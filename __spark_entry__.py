@@ -3915,3 +3915,197 @@ _reg(
     FROM w GROUP BY 1, 2
     """,
 )
+
+
+_reg(
+    "sql_forecast_revenue",
+    lambda s, d: agg.sql_forecast_revenue(load(s, d, "lineitem")),
+    """
+    SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 100)
+                         AS BIGINT)) AS BIGINT) AS revenue_c,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount >= CAST(0.05 AS DOUBLE)
+      AND l_discount <= CAST(0.07 AS DOUBLE)
+      AND l_quantity < CAST(24 AS DOUBLE)
+    """,
+)
+
+
+_reg(
+    "sql_nation_volume",
+    lambda s, d: agg.sql_nation_volume(
+        load(s, d, "lineitem"), load(s, d, "orders"), load(s, d, "customer"),
+        load(s, d, "supplier"), load(s, d, "nation"),
+    ),
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           year(l.l_shipdate) AS l_year,
+           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS revenue_c,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+    """,
+)
+
+
+_reg(
+    "sql_market_share",
+    lambda s, d: agg.sql_market_share(
+        load(s, d, "part"), load(s, d, "lineitem"), load(s, d, "orders"),
+        load(s, d, "customer"), load(s, d, "supplier"), load(s, d, "nation"),
+        load(s, d, "region"),
+    ),
+    """
+    WITH flat AS (
+      SELECT year(o.o_orderdate) AS o_year,
+             CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                  AS BIGINT) AS vol_c,
+             n2.n_name AS supp_nation
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+      WHERE p.p_type = 'ECONOMY' AND r.r_name = 'ASIA')
+    SELECT o_year,
+           CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN vol_c
+                         ELSE 0 END) AS BIGINT) AS nation_vol_c,
+           CAST(sum(vol_c) AS BIGINT) AS total_vol_c,
+           round(CAST(sum(CASE WHEN supp_nation = 'NATION_5'
+                               THEN vol_c ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(vol_c) AS DOUBLE), 6) AS mkt_share
+    FROM flat
+    GROUP BY o_year
+    """,
+)
+
+
+_reg(
+    "sql_promo_revenue",
+    lambda s, d: agg.sql_promo_revenue(load(s, d, "lineitem"), load(s, d, "part")),
+    """
+    SELECT year(l.l_shipdate) AS y, month(l.l_shipdate) AS m,
+           CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                         THEN CAST(round(l.l_extendedprice
+                                         * (1 - l.l_discount) * 100)
+                                   AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS promo_revenue_c,
+           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS total_revenue_c,
+           round(CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                               THEN CAST(round(l.l_extendedprice
+                                               * (1 - l.l_discount) * 100)
+                                         AS BIGINT)
+                               ELSE 0 END) AS DOUBLE) * 100.0
+                 / CAST(sum(CAST(round(l.l_extendedprice
+                                       * (1 - l.l_discount) * 100)
+                                 AS BIGINT)) AS DOUBLE), 6) AS promo_pct
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY year(l.l_shipdate), month(l.l_shipdate)
+    """,
+)
+
+
+_reg(
+    "sql_small_qty_revenue",
+    lambda s, d: agg.sql_small_qty_revenue(
+        load(s, d, "lineitem"), load(s, d, "part")
+    ),
+    """
+    WITH part_avg AS (
+      SELECT l_partkey, avg(l_quantity) AS avg_qty
+      FROM lineitem GROUP BY l_partkey)
+    SELECT CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS revenue_c,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN part_avg pa ON pa.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#23'
+      AND l.l_quantity < 0.5 * pa.avg_qty
+    """,
+)
+
+
+_reg(
+    "sql_large_orders",
+    lambda s, d: agg.sql_large_orders(
+        load(s, d, "customer"), load(s, d, "orders"), load(s, d, "lineitem")
+    ),
+    """
+    WITH big AS (
+      SELECT l_orderkey, sum(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > CAST(200 AS DOUBLE))
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           CAST(round(o.o_totalprice * 100) AS BIGINT) AS totalprice_c,
+           b.sum_qty
+    FROM big b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY totalprice_c DESC, o.o_orderkey
+    LIMIT 100
+    """,
+)
+
+
+_reg(
+    "sql_bracketed_revenue",
+    lambda s, d: agg.sql_bracketed_revenue(
+        load(s, d, "lineitem"), load(s, d, "part")
+    ),
+    """
+    SELECT CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS revenue_c,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN CAST(1 AS DOUBLE) AND CAST(11 AS DOUBLE))
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 20
+           AND l.l_quantity BETWEEN CAST(10 AS DOUBLE) AND CAST(20 AS DOUBLE))
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN CAST(20 AS DOUBLE) AND CAST(30 AS DOUBLE))
+    """,
+)
+
+
+_reg(
+    "sql_idle_rich_customers",
+    lambda s, d: agg.sql_idle_rich_customers(
+        load(s, d, "customer"), load(s, d, "orders")
+    ),
+    """
+    WITH avg_bal AS (
+      SELECT avg(CAST(round(c_acctbal * 100) AS BIGINT)) AS ab_c
+      FROM customer WHERE c_acctbal > CAST(0 AS DOUBLE))
+    SELECT c.c_nationkey,
+           CAST(count(*) AS BIGINT) AS n_cust,
+           CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS total_bal_c
+    FROM customer c, avg_bal
+    WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) > avg_bal.ab_c
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY c.c_nationkey
+    """,
+)

@@ -1081,3 +1081,323 @@ def agg_bitmap_distinct(events: DataFrame) -> DataFrame:
         F.sum(F.bit_count("word")).cast("long").alias("n_users"),
         F.count(F.lit(1)).cast("long").alias("n_words"),
     )
+
+
+def sql_forecast_revenue(lineitem: DataFrame) -> DataFrame:
+    """TPC-H-Q6-shaped forecast-revenue-change query as SQL TEXT: the
+    discount revenue that would have been kept if small-discount,
+    low-quantity lines had shipped undiscounted in one year.
+
+    Pure single-table scan-aggregate — the canonical predicate-pushdown
+    probe: all three conjuncts (shipdate range, discount band, quantity
+    cap) must reach the parquet scan as PushedFilters, the scan prunes to
+    the 4 referenced columns, and the answer is one partial-aggregated
+    row. At 100 TB the shipdate range predicate also prunes partitions
+    when the table is date-partitioned. Discount literals are CAST to
+    DOUBLE explicitly: a bare 0.05 parses as DECIMAL in some engines and
+    a decimal-vs-double compare is a cross-engine parity trap (the EWMA
+    oracles hit the same one). Money kept in exact bigint cents.
+    """
+    return lineitem.sparkSession.sql(
+        """
+        SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 100)
+                             AS BIGINT)) AS BIGINT) AS revenue_c,
+               CAST(count(*) AS BIGINT) AS n_items
+        FROM {lineitem_v}
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount >= CAST(0.05 AS DOUBLE)
+          AND l_discount <= CAST(0.07 AS DOUBLE)
+          AND l_quantity < CAST(24 AS DOUBLE)
+        """,
+        lineitem_v=lineitem,
+    )
+
+
+def sql_nation_volume(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+) -> DataFrame:
+    """TPC-H-Q7-shaped bilateral shipping volume as SQL TEXT: revenue
+    between two trading nations per shipment year, both directions.
+
+    Scale shape: the ONLY fact-sized input is lineitem; orders is
+    fact-adjacent and join-ordered against it by Catalyst (AQE picks
+    SMJ); customer / supplier / nation are dimensions that broadcast.
+    The nation-pair disjunction is applied AFTER the s/c nation joins on
+    dimension columns, so it prunes rows before the group-by — the final
+    aggregate is |2 pairs × years| rows. year() stays a built-in so the
+    whole pipeline is codegen'd.
+    """
+    return lineitem.sparkSession.sql(
+        """
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               year(l.l_shipdate) AS l_year,
+               CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                   * 100) AS BIGINT)) AS BIGINT) AS revenue_c,
+               CAST(count(*) AS BIGINT) AS n_items
+        FROM {lineitem_v} l
+        JOIN {orders_v} o ON l.l_orderkey = o.o_orderkey
+        JOIN {customer_v} c ON o.o_custkey = c.c_custkey
+        JOIN {supplier_v} s ON l.l_suppkey = s.s_suppkey
+        JOIN {nation_v} n1 ON s.s_nationkey = n1.n_nationkey
+        JOIN {nation_v2} n2 ON c.c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+            OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+        """,
+        lineitem_v=lineitem,
+        orders_v=orders,
+        customer_v=customer,
+        supplier_v=supplier,
+        nation_v=nation,
+        nation_v2=nation,
+    )
+
+
+def sql_market_share(
+    part: DataFrame,
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+) -> DataFrame:
+    """TPC-H-Q8-shaped market-share query as SQL TEXT: one supplier
+    nation's share of ECONOMY-part revenue sold into ASIA, per order
+    year. (Trimmed schema: share is attributed by the SUPPLIER's nation
+    via s_nationkey on the supplier dim folded into the conditional sum.)
+
+    Numerator and denominator are both exact bigint-cent sums computed in
+    ONE pass over the joined fact rows (a conditional-aggregation CASE,
+    not two scans); the share division happens on the per-year aggregate
+    rows only. part/customer/nation/region broadcast; the p_type filter
+    reaches the part scan and prunes the fact join by partkey.
+    """
+    return lineitem.sparkSession.sql(
+        """
+        WITH flat AS (
+          SELECT year(o.o_orderdate) AS o_year,
+                 CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                      AS BIGINT) AS vol_c,
+                 n2.n_name AS supp_nation
+          FROM {part_v} p
+          JOIN {lineitem_v} l ON p.p_partkey = l.l_partkey
+          JOIN {orders_v} o ON l.l_orderkey = o.o_orderkey
+          JOIN {customer_v} c ON o.o_custkey = c.c_custkey
+          JOIN {nation_v} n ON c.c_nationkey = n.n_nationkey
+          JOIN {region_v} r ON n.n_regionkey = r.r_regionkey
+          JOIN {supplier_v} s ON l.l_suppkey = s.s_suppkey
+          JOIN {nation_v2} n2 ON s.s_nationkey = n2.n_nationkey
+          WHERE p.p_type = 'ECONOMY' AND r.r_name = 'ASIA')
+        SELECT o_year,
+               CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN vol_c
+                             ELSE 0 END) AS BIGINT) AS nation_vol_c,
+               CAST(sum(vol_c) AS BIGINT) AS total_vol_c,
+               round(CAST(sum(CASE WHEN supp_nation = 'NATION_5'
+                                   THEN vol_c ELSE 0 END) AS DOUBLE)
+                     / CAST(sum(vol_c) AS DOUBLE), 6) AS mkt_share
+        FROM flat
+        GROUP BY o_year
+        """,
+        part_v=part,
+        lineitem_v=lineitem,
+        orders_v=orders,
+        customer_v=customer,
+        nation_v=nation,
+        region_v=region,
+        supplier_v=supplier,
+        nation_v2=nation,
+    )
+
+
+def sql_promo_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H-Q14-shaped promotion-effect query as SQL TEXT: PROMO-part
+    share of revenue per shipment month (Q14's single-month scalar
+    widened to a monthly series).
+
+    One fact scan; part is a broadcast dimension; promo share is a
+    conditional sum over exact bigint cents so the numerator/denominator
+    are order-independent, divided only on the |months| aggregate rows.
+    year()/month() are codegen built-ins, so the fact pipeline is one
+    WholeStageCodegen span into a partial aggregate.
+    """
+    return lineitem.sparkSession.sql(
+        """
+        SELECT year(l.l_shipdate) AS y, month(l.l_shipdate) AS m,
+               CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                             THEN CAST(round(l.l_extendedprice
+                                             * (1 - l.l_discount) * 100)
+                                       AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS promo_revenue_c,
+               CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                   * 100) AS BIGINT)) AS BIGINT)
+                 AS total_revenue_c,
+               round(CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                                   THEN CAST(round(l.l_extendedprice
+                                                   * (1 - l.l_discount)
+                                                   * 100) AS BIGINT)
+                                   ELSE 0 END) AS DOUBLE) * 100.0
+                     / CAST(sum(CAST(round(l.l_extendedprice
+                                           * (1 - l.l_discount) * 100)
+                                     AS BIGINT)) AS DOUBLE), 6)
+                 AS promo_pct
+        FROM {lineitem_v} l
+        JOIN {part_v} p ON l.l_partkey = p.p_partkey
+        GROUP BY year(l.l_shipdate), month(l.l_shipdate)
+        """,
+        lineitem_v=lineitem,
+        part_v=part,
+    )
+
+
+def sql_small_qty_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H-Q17-shaped small-quantity-order revenue as SQL TEXT: revenue
+    from lines of one brand whose quantity is under half the part's
+    average order quantity.
+
+    Q17's textbook correlated scalar subquery is written as an explicit
+    per-part aggregate CTE joined back — the exact decorrelation Catalyst
+    would do, stated declaratively so BOTH engines plan one fact scan for
+    the average and one for the probe (no per-row re-scan). The avg is
+    over integer-valued quantities: the double sum is exact (< 2^53), so
+    avg and the 0.5× threshold are bit-identical across engines and
+    partition orders — safe for an exact-match gate. Brand filter prunes
+    the probe side via the broadcast part dim.
+    """
+    return lineitem.sparkSession.sql(
+        """
+        WITH part_avg AS (
+          SELECT l_partkey, avg(l_quantity) AS avg_qty
+          FROM {lineitem_v}
+          GROUP BY l_partkey)
+        SELECT CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS revenue_c,
+               CAST(count(*) AS BIGINT) AS n_items
+        FROM {lineitem_v2} l
+        JOIN {part_v} p ON p.p_partkey = l.l_partkey
+        JOIN part_avg pa ON pa.l_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#23'
+          AND l.l_quantity < 0.5 * pa.avg_qty
+        """,
+        lineitem_v=lineitem,
+        lineitem_v2=lineitem,
+        part_v=part,
+    )
+
+
+def sql_large_orders(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """TPC-H-Q18-shaped large-volume-customer query as SQL TEXT: the top
+    orders whose summed line quantity exceeds a threshold, with their
+    customers.
+
+    The quantity rollup happens FIRST on lineitem alone (partial-agg
+    friendly, one shuffle on orderkey), and only the >200 survivors —
+    a few hundred rows at any scale, because the threshold binds per
+    order, not per table — join to orders and the broadcast customer
+    dim. Q18's textbook IN-subquery form is the same plan; stated as a
+    CTE join so both engines agree. Exact: quantities are integer-valued
+    doubles, so sum_qty is order-independent; totalprice goes to bigint
+    cents for the ORDER BY so ties break exactly.
+    """
+    return lineitem.sparkSession.sql(
+        """
+        WITH big AS (
+          SELECT l_orderkey, sum(l_quantity) AS sum_qty
+          FROM {lineitem_v}
+          GROUP BY l_orderkey
+          HAVING sum(l_quantity) > CAST(200 AS DOUBLE))
+        SELECT c.c_name, c.c_custkey, o.o_orderkey,
+               CAST(round(o.o_totalprice * 100) AS BIGINT) AS totalprice_c,
+               b.sum_qty
+        FROM big b
+        JOIN {orders_v} o ON o.o_orderkey = b.l_orderkey
+        JOIN {customer_v} c ON c.c_custkey = o.o_custkey
+        ORDER BY totalprice_c DESC, o.o_orderkey
+        LIMIT 100
+        """,
+        lineitem_v=lineitem,
+        orders_v=orders,
+        customer_v=customer,
+    )
+
+
+def sql_bracketed_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H-Q19-shaped bracketed-predicate revenue as SQL TEXT: revenue
+    from three (brand, size-range, quantity-range) brackets OR'd
+    together.
+
+    The classic disjunctive-predicate planning probe: the OR spans
+    columns from BOTH tables, so neither side's scan can evaluate it
+    alone — but each side's derivable envelope (p_size upper bound,
+    quantity bands) still pushes down, and the residual OR runs post-join
+    in codegen. part broadcasts; one fact scan; one scalar aggregate row
+    out. Quantity literals cast to DOUBLE for decimal-literal parity.
+    """
+    return lineitem.sparkSession.sql(
+        """
+        SELECT CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                   * 100) AS BIGINT)) AS BIGINT)
+                 AS revenue_c,
+               CAST(count(*) AS BIGINT) AS n_items
+        FROM {lineitem_v} l
+        JOIN {part_v} p ON p.p_partkey = l.l_partkey
+        WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+               AND l.l_quantity BETWEEN CAST(1 AS DOUBLE)
+                                    AND CAST(11 AS DOUBLE))
+           OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 20
+               AND l.l_quantity BETWEEN CAST(10 AS DOUBLE)
+                                    AND CAST(20 AS DOUBLE))
+           OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 25
+               AND l.l_quantity BETWEEN CAST(20 AS DOUBLE)
+                                    AND CAST(30 AS DOUBLE))
+        """,
+        lineitem_v=lineitem,
+        part_v=part,
+    )
+
+
+def sql_idle_rich_customers(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """TPC-H-Q22-shaped sales-opportunity query as SQL TEXT: per nation,
+    the customers whose balance beats the positive-balance average but
+    who placed no order since 2000 (trimmed schema: nation key replaces
+    Q22's phone country code, a recency anti-join replaces NOT EXISTS
+    over all orders — this corpus has no order-less customers).
+
+    The global average is computed over exact integer cents (one tiny
+    scalar aggregate both engines agree on bit-for-bit), then the
+    NOT EXISTS becomes a LEFT ANTI join against the date-filtered orders
+    projection — at scale that filter prunes order partitions by date
+    and the anti join shuffles only (custkey) pairs. Output is a
+    |nations|-row rollup: count + exact summed balance cents.
+    """
+    return customer.sparkSession.sql(
+        """
+        WITH avg_bal AS (
+          SELECT avg(CAST(round(c_acctbal * 100) AS BIGINT)) AS ab_c
+          FROM {customer_v}
+          WHERE c_acctbal > CAST(0 AS DOUBLE))
+        SELECT c.c_nationkey,
+               CAST(count(*) AS BIGINT) AS n_cust,
+               CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT))
+                    AS BIGINT) AS total_bal_c
+        FROM {customer_v2} c, avg_bal
+        WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) > avg_bal.ab_c
+          AND NOT EXISTS (
+            SELECT 1 FROM {orders_v} o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        GROUP BY c.c_nationkey
+        """,
+        customer_v=customer,
+        customer_v2=customer,
+        orders_v=orders,
+    )
