@@ -413,3 +413,82 @@ def test_assoc_rules_item_counts_broadcast(spark):
     plan = plan_of(df)
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_sql_scan_agg_queries_push_all_predicates(spark):
+    """Q6/Q19-shaped queries promise every scan-evaluable conjunct reaches
+    the parquet scan as a PushedFilter and the scan prunes to the
+    referenced columns only."""
+    from kdb_spark.analytics import aggregations as agg
+
+    q6 = agg.sql_forecast_revenue(load(spark, SF_DIR, "lineitem"))
+    plan = plan_of(q6)
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_shipdate" in plan
+    assert "GreaterThanOrEqual(l_discount,0.05)" in plan
+    assert "LessThan(l_quantity,24.0)" in plan
+    # column pruning: the scan schema carries the 4 referenced cols only
+    import re
+
+    rs = re.search(r"ReadSchema: struct<([^>]*)>", plan).group(1)
+    assert sorted(c.split(":")[0] for c in rs.split(",")) == [
+        "l_discount", "l_extendedprice", "l_quantity", "l_shipdate",
+    ], plan
+
+    q19 = agg.sql_bracketed_revenue(
+        load(spark, SF_DIR, "lineitem"), load(spark, SF_DIR, "part")
+    )
+    plan = plan_of(q19)
+    # the disjunction spans both tables, but each side's derivable
+    # envelope still pushes: part gets an Or filter, the join broadcasts
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    assert "Or(And(EqualTo(p_brand,Brand#12)" in plan
+
+
+def test_sql_join_agg_queries_broadcast_dims(spark):
+    """Q7/Q8/Q14-shaped queries promise dimensions broadcast (the fact
+    table is never shuffled for a dimension join)."""
+    from kdb_spark.analytics import aggregations as agg
+
+    q7 = agg.sql_nation_volume(
+        load(spark, SF_DIR, "lineitem"), load(spark, SF_DIR, "orders"),
+        load(spark, SF_DIR, "customer"), load(spark, SF_DIR, "supplier"),
+        load(spark, SF_DIR, "nation"),
+    )
+    plan = plan_of(q7)
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    # shipdate range pushed into the lineitem scan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+
+    q14 = agg.sql_promo_revenue(
+        load(spark, SF_DIR, "lineitem"), load(spark, SF_DIR, "part")
+    )
+    plan = plan_of(q14)
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_sql_large_orders_is_take_ordered(spark):
+    """Q18's top-100 must be TakeOrderedAndProject (no global sort), with
+    the quantity rollup aggregated before any join."""
+    from kdb_spark.analytics import aggregations as agg
+
+    df = agg.sql_large_orders(
+        load(spark, SF_DIR, "customer"), load(spark, SF_DIR, "orders"),
+        load(spark, SF_DIR, "lineitem"),
+    )
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan and "Sort " not in plan
+
+
+def test_sql_idle_rich_customers_plans_anti_join(spark):
+    """Q22's NOT EXISTS must plan as an anti join with the order-date
+    recency filter pushed into the orders scan (partition-prunable at
+    scale), never as a per-row subquery."""
+    from kdb_spark.analytics import aggregations as agg
+
+    df = agg.sql_idle_rich_customers(
+        load(spark, SF_DIR, "customer"), load(spark, SF_DIR, "orders")
+    )
+    plan = plan_of(df)
+    assert "LeftAnti" in plan, plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
