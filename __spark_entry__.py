@@ -4109,3 +4109,134 @@ _reg(
     GROUP BY c.c_nationkey
     """,
 )
+
+
+_reg(
+    "agg_skew_kurtosis",
+    lambda s, d: agg.agg_skew_kurtosis(events_us(s, d)),
+    """
+    WITH c AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS xc
+      FROM events),
+    g AS (
+      SELECT event_type, count(*) AS n, sum(xc) AS s1,
+             sum(CAST(xc AS HUGEINT) * xc) AS s2,
+             sum(CAST(xc AS HUGEINT) * xc * xc) AS s3,
+             sum(CAST(xc AS HUGEINT) * xc * xc * xc) AS s4
+      FROM c GROUP BY 1),
+    m AS (
+      SELECT event_type, n,
+             CAST(n AS DOUBLE) AS nd, CAST(s1 AS DOUBLE) AS s1d,
+             CAST(s2 AS DOUBLE) AS s2d, CAST(s3 AS DOUBLE) AS s3d,
+             CAST(s4 AS DOUBLE) AS s4d
+      FROM g),
+    k AS (
+      SELECT event_type, n, s1d / nd AS mu,
+             s2d / nd - (s1d / nd) * (s1d / nd) AS m2,
+             s3d / nd - 3.0 * (s1d / nd) * (s2d / nd)
+               + 2.0 * (s1d / nd) * (s1d / nd) * (s1d / nd) AS m3,
+             s4d / nd - 4.0 * (s1d / nd) * (s3d / nd)
+               + 6.0 * (s1d / nd) * (s1d / nd) * (s2d / nd)
+               - 3.0 * (s1d / nd) * (s1d / nd) * (s1d / nd) * (s1d / nd)
+               AS m4
+      FROM m)
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           round(mu / 100.0, 4) AS mean,
+           round(CASE WHEN m2 > 0 THEN m3 / pow(sqrt(m2), 3.0) END, 6)
+             AS skewness,
+           round(CASE WHEN m2 > 0 THEN m4 / (m2 * m2) - 3.0 END, 6)
+             AS kurtosis_excess
+    FROM k
+    """,
+)
+
+
+_reg(
+    "agg_hdr_histogram",
+    lambda s, d: agg.agg_hdr_histogram(events_us(s, d)),
+    """
+    WITH c AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS xc
+      FROM events),
+    b AS (
+      SELECT event_type, CAST(length(bin(xc)) - 1 AS INT) AS bucket,
+             count(*) AS cnt
+      FROM c GROUP BY 1, 2),
+    w AS (
+      SELECT event_type, bucket, cnt,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS cum,
+             sum(cnt) OVER (PARTITION BY event_type) AS total
+      FROM b),
+    p AS (
+      SELECT event_type, CAST(max(total) AS BIGINT) AS n,
+             min(CASE WHEN cum * 100 >= 50 * total THEN bucket END)
+               AS p50_bucket,
+             min(CASE WHEN cum * 100 >= 95 * total THEN bucket END)
+               AS p95_bucket,
+             min(CASE WHEN cum * 100 >= 99 * total THEN bucket END)
+               AS p99_bucket
+      FROM w GROUP BY event_type)
+    SELECT event_type, n,
+           p50_bucket, pow(2.0, p50_bucket) / 100.0 AS p50_lo,
+           p95_bucket, pow(2.0, p95_bucket) / 100.0 AS p95_lo,
+           p99_bucket, pow(2.0, p99_bucket) / 100.0 AS p99_lo
+    FROM p
+    """,
+)
+
+
+_reg(
+    "win_keltner",
+    lambda s, d: wn.win_keltner(events_us(s, d)),
+    f"""
+    WITH bars AS (
+      SELECT event_type,
+             epoch_us(ts) - epoch_us(ts) % 3600000000 AS hour_us,
+             max(value) AS high, min(value) AS low,
+             last(value ORDER BY epoch_us(ts), event_id) AS close
+      FROM events GROUP BY 1, 2),
+    t AS (
+      SELECT event_type, hour_us,
+             (high + low + close) / 3.0 AS typical,
+             high - low AS rng
+      FROM bars)
+    SELECT event_type, hour_us,
+           round({_ewma_sql("typical", 0.25)}, 6) AS middle,
+           round(({_ewma_sql("typical", 0.25)})
+                 + 2.0 * ({_ewma_sql("rng", 0.25)}), 6) AS upper,
+           round(({_ewma_sql("typical", 0.25)})
+                 - 2.0 * ({_ewma_sql("rng", 0.25)}), 6) AS lower
+    FROM t
+    WINDOW w AS (PARTITION BY event_type ORDER BY hour_us)
+    """,
+)
+
+
+_reg(
+    "emb_dim_stats",
+    lambda s, d: sim.emb_dim_stats(load(s, d, "embeddings")),
+    """
+    WITH flat AS (
+      SELECT unnest(range(len(embedding))) AS pos,
+             unnest(embedding) AS v
+      FROM embeddings),
+    c AS (
+      SELECT pos, v, CAST(round(v * 1e6) AS BIGINT) AS v6 FROM flat),
+    g AS (
+      SELECT pos, count(*) AS n, sum(v6) AS s1,
+             sum(CAST(v6 AS HUGEINT) * v6) AS s2,
+             min(v) AS lo, max(v) AS hi
+      FROM c GROUP BY 1)
+    SELECT CAST(pos AS BIGINT) AS pos, CAST(n AS BIGINT) AS n,
+           round((CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) / 1e6, 6) AS mean,
+           round(sqrt(greatest(
+             CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+               - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)),
+             0.0)) / 1e6, 6) AS std,
+           lo, hi
+    FROM g
+    """,
+)

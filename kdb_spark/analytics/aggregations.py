@@ -1401,3 +1401,105 @@ def sql_idle_rich_customers(customer: DataFrame, orders: DataFrame) -> DataFrame
         customer_v2=customer,
         orders_v=orders,
     )
+
+
+def agg_skew_kurtosis(events: DataFrame) -> DataFrame:
+    """Per-series higher-moment profile: mean, population skewness and
+    excess kurtosis from EXACT integer power sums.
+
+    Spark's own skewness()/kurtosis() aggregate float partials whose merge
+    order varies run-to-run; here the four power sums accumulate in
+    decimal(38,0) over bigint cents — order-independent and overflow-safe
+    (cents⁴ ≤ ~6e18 per row, ×rows ≪ 1e38) — and the central-moment
+    algebra runs once on the |groups| aggregate rows in doubles. One
+    partial+final hash agg, same shuffle shape as agg_stats; ANSI-safe
+    because every multiply happens in decimal, never long.
+    """
+    xc = cents("value")
+    d1 = xc.cast("decimal(19,0)")
+    sq = d1 * d1
+    g = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(xc).cast("long").alias("s1"),
+        F.sum(sq).alias("s2"),
+        F.sum(sq * d1).alias("s3"),
+        F.sum(sq * sq).alias("s4"),
+    )
+    nd = F.col("n").cast("double")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    s3 = F.col("s3").cast("double")
+    s4 = F.col("s4").cast("double")
+    m = s1 / nd
+    m2 = s2 / nd - m * m
+    m3 = s3 / nd - F.lit(3.0) * m * (s2 / nd) + F.lit(2.0) * m * m * m
+    m4 = (
+        s4 / nd
+        - F.lit(4.0) * m * (s3 / nd)
+        + F.lit(6.0) * m * m * (s2 / nd)
+        - F.lit(3.0) * m * m * m * m
+    )
+    return g.select(
+        "event_type",
+        "n",
+        F.round(m / F.lit(100.0), 4).alias("mean"),
+        F.round(
+            F.when(m2 > 0, m3 / F.pow(F.sqrt(m2), F.lit(3.0))), 6
+        ).alias("skewness"),
+        F.round(F.when(m2 > 0, m4 / (m2 * m2) - F.lit(3.0)), 6).alias(
+            "kurtosis_excess"
+        ),
+    )
+
+
+def agg_hdr_histogram(events: DataFrame) -> DataFrame:
+    """HdrHistogram-style log2-bucketed latency percentiles per series:
+    p50/p95/p99 lower bounds from power-of-two buckets over exact cents.
+
+    The bucket index is pure integer bit math (length of the binary
+    string, no float log whose 1-ulp drift could flip exact powers of
+    two), so the histogram is engine-exact; the percentile picks compare
+    100·cum ≥ q·n in integers. Scale shape: the only fact-sized pass is
+    the (type, bucket) partial agg — ≤ 64 buckets per series survive to
+    the window cumsum, so the second stage is dimension-sized. This is
+    the fixed-memory alternative to exact percentile sort at 100 TB.
+    """
+    xc = cents("value")
+    bucket = (F.length(F.bin(xc)) - F.lit(1)).cast("int").alias("bucket")
+    per = events.groupBy("event_type", bucket).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("event_type")
+    cum = per.select(
+        "event_type",
+        "bucket",
+        "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(wall).alias("total"),
+    )
+
+    def pick(q: int) -> F.Column:
+        hit = F.when(
+            F.col("cum") * F.lit(100) >= F.lit(q) * F.col("total"),
+            F.col("bucket"),
+        )
+        return F.min(hit).alias(f"p{q}_bucket")
+
+    out = cum.groupBy("event_type").agg(
+        F.max("total").cast("long").alias("n"), pick(50), pick(95), pick(99)
+    )
+    return out.select(
+        "event_type",
+        "n",
+        "p50_bucket",
+        (F.pow(F.lit(2.0), F.col("p50_bucket")) / F.lit(100.0)).alias("p50_lo"),
+        "p95_bucket",
+        (F.pow(F.lit(2.0), F.col("p95_bucket")) / F.lit(100.0)).alias("p95_lo"),
+        "p99_bucket",
+        (F.pow(F.lit(2.0), F.col("p99_bucket")) / F.lit(100.0)).alias("p99_lo"),
+    )

@@ -727,3 +727,48 @@ def win_macd(
         F.round(signal, 6).alias("signal"),
         F.round(F.col("macd") - signal, 6).alias("hist"),
     )
+
+
+def win_keltner(
+    events: DataFrame, alpha: float = 0.25, mult: float = 2.0
+) -> DataFrame:
+    """Keltner channels per event_type over hourly bars: middle line =
+    EWMA of the bar's typical price (h+l+c)/3, bands at ±mult × EWMA of
+    the bar range (h−l; the trimmed-schema ATR — no prior close).
+
+    Two-stage composition, both scale-clean: (1) the OHLC rollup is one
+    partial+final hash agg on (type, hour) — the only fact-sized pass;
+    (2) the channel EWMAs run over the |types × hours| bar table with the
+    same finite-horizon lag-chain device as win_ewma/win_macd (both
+    smoothings share ONE window spec → one window node, no second
+    shuffle). typical/range are arithmetic on exact min/max/max_by picks,
+    so the bar inputs — and therefore the left-associated EWMA folds —
+    are bit-identical cross-engine.
+    """
+    key = F.struct("ts_us", "event_id")
+    bars = events.groupBy(
+        "event_type",
+        (F.col("ts_us") - F.col("ts_us") % F.lit(3_600_000_000)).alias("hour_us"),
+    ).agg(
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", key).alias("close"),
+    )
+    bars = bars.select(
+        "event_type",
+        "hour_us",
+        ((F.col("high") + F.col("low") + F.col("close")) / F.lit(3.0)).alias(
+            "typical"
+        ),
+        (F.col("high") - F.col("low")).alias("rng"),
+    )
+    w = Window.partitionBy("event_type").orderBy("hour_us")
+    mid = _ewma_expr("typical", alpha, w)
+    band = _ewma_expr("rng", alpha, w)
+    return bars.select(
+        "event_type",
+        "hour_us",
+        F.round(mid, 6).alias("middle"),
+        F.round(mid + F.lit(mult) * band, 6).alias("upper"),
+        F.round(mid - F.lit(mult) * band, 6).alias("lower"),
+    )

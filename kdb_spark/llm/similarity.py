@@ -1106,3 +1106,42 @@ def emb_centroid_classify(embeddings: DataFrame, dim: int = 64) -> DataFrame:
         .groupBy(F.col("label").alias("true_label"), F.col("clabel").alias("pred_label"))
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+
+
+def emb_dim_stats(embeddings: DataFrame) -> DataFrame:
+    """Per-dimension embedding diagnostics (the drift/collapse monitor a
+    100 TB embedding pipeline runs before training): n, mean, std, min,
+    max for each of the d coordinates.
+
+    posexplode fans each row into d (pos, value) pairs, then ONE
+    partial+final hash agg on pos — the shuffle carries |d| rows per map
+    task (map-side combine), never the n·d explosion. Mean/std derive
+    from exact micro-unit integer sums (round(v·1e6) — float32 inputs are
+    exact in double, the scaled sums are order-independent bigints), so
+    the moments are bit-identical at any parallelism; min/max are exact
+    picks of stored values.
+    """
+    v6 = F.round(F.col("v") * F.lit(1.0e6)).cast("long")
+    flat = embeddings.select(
+        F.posexplode("embedding").alias("pos", "v")
+    ).select(F.col("pos").cast("long").alias("pos"), "v", v6.alias("v6"))
+    nd = F.count(F.lit(1)).cast("double")
+    s1 = F.sum("v6").cast("double")
+    s2 = F.sum(F.col("v6").cast("decimal(19,0)") * F.col("v6").cast("decimal(19,0)")).cast(
+        "double"
+    )
+    mean = s1 / nd
+    var = s2 / nd - mean * mean
+    return (
+        flat.groupBy("pos")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round((s1 / nd) / F.lit(1.0e6), 6).alias("mean"),
+            F.round(
+                F.sqrt(F.greatest(var, F.lit(0.0))) / F.lit(1.0e6), 6
+            ).alias("std"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+        .orderBy("pos")
+    )
