@@ -4161,7 +4161,7 @@ _reg(
     b AS (
       SELECT event_type, CAST(length(bin(xc)) - 1 AS INT) AS bucket,
              count(*) AS cnt
-      FROM c GROUP BY 1, 2),
+      FROM c WHERE xc >= 1 GROUP BY 1, 2),
     w AS (
       SELECT event_type, bucket, cnt,
              sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket

@@ -1466,6 +1466,10 @@ def agg_hdr_histogram(events: DataFrame) -> DataFrame:
     """
     xc = cents("value")
     bucket = (F.length(F.bin(xc)) - F.lit(1)).cast("int").alias("bucket")
+    # latency semantics: nonpositive samples are excluded (and the binary-
+    # string trick is only a log2 on positive ints — engines disagree on
+    # the binary form of negatives)
+    events = events.where(xc >= F.lit(1))
     per = events.groupBy("event_type", bucket).agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
     )

@@ -66,6 +66,11 @@ EVENT_OPS = [
     agg.agg_bitmap_distinct,  # bit_or / popcount are order-independent
     agg.agg_seasonality,
     wn.win_donchian,
+    # late round-9 additions: decimal power sums, integer bit-bucket
+    # percentiles, and the bar-table EWMA composition are all exact paths
+    agg.agg_skew_kurtosis,
+    agg.agg_hdr_histogram,
+    wn.win_keltner,
 ]
 
 DOC_OPS = [
@@ -105,7 +110,7 @@ def test_doc_ops_parallelism_invariant(spark, op):
 
 from kdb_spark.llm import similarity as sim  # noqa: E402
 
-EMB_OPS = [sim.emb_outliers, sim.emb_centroid_classify]
+EMB_OPS = [sim.emb_outliers, sim.emb_centroid_classify, sim.emb_dim_stats]
 
 
 @pytest.mark.parametrize("op", EMB_OPS, ids=lambda f: f.__name__)

@@ -1000,3 +1000,88 @@ def test_donchian_matches_bruteforce(spark, pts):
             )
             assert abs(r.chan_pos - want) < 1e-9
             assert -1e-9 <= r.chan_pos <= 1 + 1e-9
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.integers(-800, 800),  # value = k·0.25 → exact cents
+        min_size=2,
+        max_size=60,
+    )
+)
+def test_skew_kurtosis_matches_bruteforce(spark, vals):
+    """Law: agg_skew_kurtosis equals the numpy population moments of the
+    SAME rounded-cents data, to the 1e-6 output rounding."""
+    import numpy as np
+
+    from kdb_spark.analytics import aggregations as agg
+
+    rows = [
+        (i, 1, "m", 1_000_000 * i, k * 0.25) for i, k in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts_us long, value double"
+    )
+    [r] = agg.agg_skew_kurtosis(df).collect()
+    c = np.array([round(k * 0.25 * 100) for k in vals], dtype=float)
+    m = c.mean()
+    m2 = ((c - m) ** 2).mean()
+    assert r.n == len(vals)
+    assert abs(r.mean - m / 100.0) < 1.01e-4
+    if m2 <= 0:
+        assert r.skewness is None and r.kurtosis_excess is None
+    else:
+        skew = ((c - m) ** 3).mean() / m2**1.5
+        kurt = ((c - m) ** 4).mean() / m2**2 - 3.0
+        assert abs(r.skewness - skew) < 1e-5, (r.skewness, skew)
+        assert abs(r.kurtosis_excess - kurt) < 1e-5, (r.kurtosis_excess, kurt)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    cents_vals=st.lists(st.integers(1, 1_000_000), min_size=1, max_size=60)
+)
+def test_hdr_histogram_percentile_law(spark, cents_vals):
+    """Law: each pN_bucket is the smallest log2 bucket whose cumulative
+    count reaches N% of the series — checked against brute force on the
+    exact cents, and the true exact percentile value always falls inside
+    [2^b, 2^(b+1)) of its reported bucket."""
+    from kdb_spark.analytics import aggregations as agg
+
+    rows = [
+        (i, 1, "m", 1_000_000 * i, c / 100.0)
+        for i, c in enumerate(cents_vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts_us long, value double"
+    )
+    [r] = agg.agg_hdr_histogram(df).collect()
+    buckets = sorted(c.bit_length() - 1 for c in cents_vals)
+    n = len(buckets)
+
+    def law(q):
+        need = q * n  # cum·100 >= q·n  ⇔  100·rank >= q·n
+        for i, b in enumerate(buckets, start=1):
+            if i * 100 >= need:
+                return b
+        raise AssertionError
+
+    assert (r.n, r.p50_bucket, r.p95_bucket, r.p99_bucket) == (
+        n, law(50), law(95), law(99),
+    )
+    # the reported bucket must bracket the true exact percentile sample
+    svals = sorted(cents_vals)
+    for q, b in ((50, r.p50_bucket), (95, r.p95_bucket), (99, r.p99_bucket)):
+        import math
+
+        exact = svals[math.ceil(q * n / 100) - 1]
+        assert 2**b <= exact < 2 ** (b + 1)
