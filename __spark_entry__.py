@@ -4240,3 +4240,59 @@ _reg(
     FROM g
     """,
 )
+
+
+_reg(
+    "agg_linreg",
+    lambda s, d: agg.agg_linreg(events_us(s, d)),
+    """
+    WITH c AS (
+      SELECT user_id, event_type,
+             epoch_us(ts) // 3600000000 AS h,
+             CAST(round(value * 100) AS BIGINT) AS y
+      FROM events),
+    g AS (
+      SELECT user_id, event_type, count(*) AS n,
+             sum(h) AS sx, sum(y) AS sy,
+             sum(CAST(h AS HUGEINT) * h) AS sxx,
+             sum(CAST(h AS HUGEINT) * y) AS sxy
+      FROM c GROUP BY 1, 2),
+    d AS (
+      SELECT user_id, event_type, n,
+             CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+             CAST(sy AS DOUBLE) AS syd, CAST(sxx AS DOUBLE) AS sxxd,
+             CAST(sxy AS DOUBLE) AS sxyd
+      FROM g)
+    SELECT user_id, event_type, CAST(n AS BIGINT) AS n,
+           round(CASE WHEN nd * sxxd - sxd * sxd > 0
+                      THEN ((nd * sxyd - sxd * syd)
+                            / (nd * sxxd - sxd * sxd)) / 100.0 END, 6)
+             AS slope_per_hour,
+           round(CASE WHEN nd * sxxd - sxd * sxd > 0
+                      THEN (syd - ((nd * sxyd - sxd * syd)
+                                   / (nd * sxxd - sxd * sxd)) * sxd)
+                           / nd / 100.0 END, 4)
+             AS intercept
+    FROM d
+    """,
+)
+
+
+_reg(
+    "sink_partitioned",
+    src.q_sink_partitioned,
+    """
+    WITH e AS (
+      SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) AS value_c,
+             epoch_us(ts) // 86400000000 AS day_idx
+      FROM events)
+    SELECT CAST(day_idx AS BIGINT) AS day_idx, event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN day_idx = 19735 THEN value_c * 2
+                         ELSE value_c END) AS BIGINT) AS sum_c
+    FROM e
+    WHERE day_idx BETWEEN 19734 AND 19736
+    GROUP BY 1, 2
+    """,
+)

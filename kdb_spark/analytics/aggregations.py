@@ -1507,3 +1507,47 @@ def agg_hdr_histogram(events: DataFrame) -> DataFrame:
         "p99_bucket",
         (F.pow(F.lit(2.0), F.col("p99_bucket")) / F.lit(100.0)).alias("p99_lo"),
     )
+
+
+def agg_linreg(events: DataFrame) -> DataFrame:
+    """Per-series OLS time trend: slope (value units per hour) and
+    intercept from the five exact sufficient sums — the distributed
+    closed-form regression every monitoring engine ships.
+
+    x is the integer hour index, y is integer cents; n, Σx, Σy, Σx²,
+    Σxy accumulate in decimal(38,0) (order-independent, ANSI
+    overflow-safe at any row count), and the slope/intercept algebra
+    runs once per group on the aggregate row in doubles. One
+    partial+final hash agg — the same one-shuffle shape as agg_stats,
+    and the sums compose under partial merge, so map-side combine does
+    most of the work at 100 TB.
+    """
+    h = (F.col("ts_us") / F.lit(HOUR_US)).cast("long")
+    y = cents("value")
+    hd = h.cast("decimal(19,0)")
+    yd = y.cast("decimal(19,0)")
+    g = events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(hd).alias("sx"),
+        F.sum(yd).alias("sy"),
+        F.sum(hd * hd).alias("sxx"),
+        F.sum(hd * yd).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sxy = F.col("sxy").cast("double")
+    det = nd * sxx - sx * sx
+    slope = (nd * sxy - sx * sy) / det
+    return g.select(
+        "user_id",
+        "event_type",
+        "n",
+        F.round(
+            F.when(det > 0, slope / F.lit(100.0)), 6
+        ).alias("slope_per_hour"),
+        F.round(
+            F.when(det > 0, (sy - slope * sx) / nd / F.lit(100.0)), 4
+        ).alias("intercept"),
+    )

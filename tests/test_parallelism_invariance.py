@@ -71,6 +71,7 @@ EVENT_OPS = [
     agg.agg_skew_kurtosis,
     agg.agg_hdr_histogram,
     wn.win_keltner,
+    agg.agg_linreg,  # decimal sufficient-sum OLS — exact path
 ]
 
 DOC_OPS = [

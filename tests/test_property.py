@@ -1085,3 +1085,48 @@ def test_hdr_histogram_percentile_law(spark, cents_vals):
 
         exact = svals[math.ceil(q * n / 100) - 1]
         assert 2**b <= exact < 2 ** (b + 1)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(0, 400),    # hour index
+            st.integers(-800, 800), # value = k·0.25 → exact cents
+        ),
+        min_size=2,
+        max_size=50,
+    )
+)
+def test_linreg_matches_bruteforce(spark, pts):
+    """Law: agg_linreg equals numpy's closed-form OLS on the same
+    (hour, cents) points, to the output rounding; a degenerate x-column
+    (all one hour) yields nulls."""
+    import numpy as np
+
+    from kdb_spark.analytics import aggregations as agg
+
+    HOUR_US = 3_600_000_000
+    rows = [
+        (i, 1, "m", h * HOUR_US, k * 0.25) for i, (h, k) in enumerate(pts)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts_us long, value double"
+    )
+    [r] = agg.agg_linreg(df).collect()
+    x = np.array([h for h, _ in pts], dtype=float)
+    y = np.array([round(k * 0.25 * 100) for _, k in pts], dtype=float)
+    n = len(pts)
+    det = n * (x * x).sum() - x.sum() ** 2
+    assert r.n == n
+    if det <= 0:
+        assert r.slope_per_hour is None and r.intercept is None
+    else:
+        slope = (n * (x * y).sum() - x.sum() * y.sum()) / det
+        inter = (y.sum() - slope * x.sum()) / n
+        assert abs(r.slope_per_hour - slope / 100.0) < 1e-5
+        assert abs(r.intercept - inter / 100.0) < 1.01e-4

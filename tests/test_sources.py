@@ -350,3 +350,55 @@ def test_scan_version_empty_log_raises(spark, tmp_path):
     os.makedirs(empty / "_log")
     with _pt.raises(ValueError, match="no committed version"):
         scan_version(spark, str(empty))
+
+
+def test_partitioned_sink_prunes_and_restates_one_day(spark, tmp_path):
+    """sink_partitioned's two promises: (1) a day-filtered read-back scan
+    prunes at the directory level (PartitionFilters carries the day
+    predicate, partitions read ≪ partitions written); (2) a dynamic
+    overwrite of one day leaves every other day's rows untouched."""
+    from pyspark.sql import functions as F
+
+    from kdb_spark import sources as src
+    from kdb_spark.tables import DAY_US, events_us
+    from tests.conftest import SF_DIR
+
+    ev = events_us(spark, SF_DIR).select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("value_c"),
+        (F.col("ts_us") / F.lit(DAY_US)).cast("long").alias("day_idx"),
+    )
+    path = str(tmp_path / "daypart")
+    src.sink_partitioned(ev, path, "day_idx")
+    before = sorted(
+        tuple(r)
+        for r in spark.read.parquet(path).filter("day_idx != 19735").collect()
+    )
+
+    restated = ev.filter(F.col("day_idx") == 19735).withColumn(
+        "value_c", F.col("value_c") * F.lit(2)
+    )
+    src.sink_partitioned(restated, path, "day_idx")
+
+    back = spark.read.parquet(path)
+    after = sorted(
+        tuple(r) for r in back.filter("day_idx != 19735").collect()
+    )
+    assert after == before  # dynamic overwrite touched one directory only
+    # the restated day really was rewritten
+    got = back.filter("day_idx = 19735").agg(F.sum("value_c")).first()[0]
+    want = (
+        ev.filter("day_idx = 19735").agg(F.sum(F.col("value_c") * 2)).first()[0]
+    )
+    assert got == want
+
+    q = back.filter(F.col("day_idx").between(19734, 19736))
+    plan = q._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "PartitionFilters" in plan and "day_idx" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0]
