@@ -4296,3 +4296,74 @@ _reg(
     GROUP BY 1, 2
     """,
 )
+
+
+def _benford_case() -> str:
+    """DuckDB CASE over the SAME pinned IEEE literals as agg.BENFORD_P
+    (each CAST to DOUBLE — bare decimal literals would stay DECIMAL)."""
+    whens = " ".join(
+        f"WHEN {d} THEN CAST({p!r} AS DOUBLE)" for d, p in agg.BENFORD_P.items()
+    )
+    return f"CASE digit {whens} END"
+
+
+_reg(
+    "agg_benford",
+    lambda s, d: agg.agg_benford(events_us(s, d)),
+    f"""
+    WITH c AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS xc
+      FROM events),
+    per AS (
+      SELECT event_type,
+             CAST(substr(CAST(xc AS VARCHAR), 1, 1) AS INT) AS digit,
+             count(*) AS n_d
+      FROM c WHERE xc >= 1 GROUP BY 1, 2),
+    t AS (
+      SELECT event_type, digit, n_d,
+             sum(n_d) OVER (PARTITION BY event_type) AS ntot
+      FROM per),
+    p AS (
+      SELECT event_type, digit, n_d, ntot, {_benford_case()} AS pb
+      FROM t)
+    SELECT event_type, digit, CAST(n_d AS BIGINT) AS n_d,
+           CAST(ntot AS BIGINT) AS n,
+           round(CAST(n_d AS DOUBLE) / CAST(ntot AS DOUBLE), 6) AS freq,
+           round(pb, 6) AS p_benford,
+           round((CAST(n_d AS DOUBLE) - CAST(ntot AS DOUBLE) * pb)
+                 / sqrt(CAST(ntot AS DOUBLE) * pb * (1.0 - pb)), 4) AS z
+    FROM p
+    """,
+)
+
+
+_reg(
+    "emb_quantize_sq8",
+    lambda s, d: sim.emb_quantize_sq8(load(s, d, "embeddings")),
+    """
+    WITH base AS (
+      SELECT vec_id, embedding,
+             CAST(list_min(embedding) AS DOUBLE) AS lo,
+             CAST(list_max(embedding) AS DOUBLE) AS hi
+      FROM embeddings),
+    b2 AS (SELECT vec_id, embedding, lo, hi, hi - lo AS rng FROM base),
+    q AS (
+      SELECT vec_id, lo, hi, rng,
+             list_transform(embedding, x -> CASE WHEN rng > 0
+               THEN CAST(round((CAST(x AS DOUBLE) - lo) / rng * 255.0)
+                         AS INT)
+               ELSE 0 END) AS codes,
+             list_transform(embedding, x -> CASE WHEN rng > 0
+               THEN CAST(x AS DOUBLE)
+                    - (lo + CAST(CAST(round((CAST(x AS DOUBLE) - lo)
+                                             / rng * 255.0) AS INT)
+                                 AS DOUBLE) * rng / 255.0)
+               ELSE CAST(x AS DOUBLE) - lo END) AS errs
+      FROM b2)
+    SELECT vec_id, round(lo, 6) AS lo, round(hi, 6) AS hi,
+           CAST(list_sum(codes) AS BIGINT) AS code_sum,
+           round(list_sum(list_transform(errs, e -> e * e))
+                 / CAST(len(errs) AS DOUBLE), 10) AS mse
+    FROM q
+    """,
+)

@@ -1551,3 +1551,57 @@ def agg_linreg(events: DataFrame) -> DataFrame:
             F.when(det > 0, (sy - slope * sx) / nd / F.lit(100.0)), 4
         ).alias("intercept"),
     )
+
+
+# Benford first-digit expected frequencies, log10(1 + 1/d), pinned as IEEE
+# literals so both engines use bit-identical constants (no cross-engine
+# log() ulp drift enters the result).
+BENFORD_P = {
+    1: 0.3010299956639812,
+    2: 0.17609125905568124,
+    3: 0.12493873660829992,
+    4: 0.09691001300805642,
+    5: 0.07918124604762482,
+    6: 0.06694678963061322,
+    7: 0.05799194697768673,
+    8: 0.05115252244738129,
+    9: 0.04575749056067514,
+}
+
+
+def agg_benford(events: DataFrame) -> DataFrame:
+    """Benford's-law first-digit audit per series — the classic
+    data-quality / fraud screen: observed leading-digit frequencies of
+    the cent amounts against the log10(1+1/d) expectation, with a
+    per-digit binomial z-score.
+
+    The only fact-sized pass is one (type, digit) hash agg over exact
+    integer cents (first digit via string head — pure integer-derived,
+    no float log); totals are an order-independent integer window sum
+    over ≤ 9 rows per series, and every float op afterward is per-row
+    arithmetic on exact counts and pinned literals — no cross-row float
+    accumulation anywhere, so the audit is bit-stable at any parallelism.
+    """
+    xc = cents("value")
+    digit = F.substring(xc.cast("string"), 1, 1).cast("int").alias("digit")
+    per = (
+        events.where(xc >= F.lit(1))
+        .groupBy("event_type", digit)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_d"))
+    )
+    w = Window.partitionBy("event_type")
+    p = F.lit(None).cast("double")
+    for d, pd in BENFORD_P.items():
+        p = F.when(F.col("digit") == d, F.lit(pd)).otherwise(p)
+    n = F.sum("n_d").over(w).cast("double")
+    nd = F.col("n_d").cast("double")
+    z = (nd - n * p) / F.sqrt(n * p * (F.lit(1.0) - p))
+    return per.select(
+        "event_type",
+        "digit",
+        "n_d",
+        F.sum("n_d").over(w).cast("long").alias("n"),
+        F.round(nd / n, 6).alias("freq"),
+        F.round(p, 6).alias("p_benford"),
+        F.round(z, 4).alias("z"),
+    )

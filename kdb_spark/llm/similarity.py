@@ -1145,3 +1145,56 @@ def emb_dim_stats(embeddings: DataFrame) -> DataFrame:
         )
         .orderBy("pos")
     )
+
+
+def emb_quantize_sq8(embeddings: DataFrame) -> DataFrame:
+    """Per-vector int8 scalar quantization (the SQ8 storage codec every
+    vector store ships — 4x smaller than float32): min/max-scaled 0..255
+    codes plus the reconstruction-error report that decides whether SQ8
+    is safe for a corpus.
+
+    Entirely map-side — array_min/max picks, a transform lambda for the
+    codes, and two sequential per-row folds (code checksum in exact
+    integers; squared-error in doubles, left-to-right so both engines
+    fold in list order). No shuffle at all: at 100 TB this runs at scan
+    speed and the output partitioning inherits the input's. Lambdas are
+    cast to double before arithmetic so float promotion rules can't
+    diverge across engines.
+    """
+    lo = F.array_min("embedding").cast("double")
+    hi = F.array_max("embedding").cast("double")
+    rng = hi - lo
+    codes = F.transform(
+        "embedding",
+        lambda x: F.when(
+            rng > 0,
+            F.round((x.cast("double") - lo) / rng * F.lit(255.0)).cast("int"),
+        ).otherwise(F.lit(0)),
+    )
+    q = embeddings.select(
+        "vec_id", F.col("embedding").alias("emb"), codes.alias("codes"),
+        lo.alias("lo"), hi.alias("hi"), rng.alias("rng"),
+    )
+    dequant_err = F.zip_with(
+        "emb",
+        "codes",
+        lambda v, c: v.cast("double")
+        - (
+            F.col("lo")
+            + c.cast("double") * F.col("rng") / F.lit(255.0)
+        ),
+    )
+    d = F.size("emb").cast("double")
+    sse = F.aggregate(
+        dequant_err, F.lit(0.0), lambda acc, e: acc + e * e
+    )
+    code_sum = F.aggregate(
+        "codes", F.lit(0).cast("long"), lambda acc, c: acc + c.cast("long")
+    )
+    return q.select(
+        "vec_id",
+        F.round("lo", 6).alias("lo"),
+        F.round("hi", 6).alias("hi"),
+        code_sum.alias("code_sum"),
+        F.round(sse / d, 10).alias("mse"),
+    )

@@ -1130,3 +1130,40 @@ def test_linreg_matches_bruteforce(spark, pts):
         inter = (y.sum() - slope * x.sum()) / n
         assert abs(r.slope_per_hour - slope / 100.0) < 1e-5
         assert abs(r.intercept - inter / 100.0) < 1.01e-4
+
+
+def test_sq8_quantization_error_bound(spark):
+    """Law: SQ8 codes stay in [0, 255] (code_sum ≤ 255·d) and the
+    reconstruction MSE respects the hard half-step bound
+    mse ≤ (range/510)² for every vector."""
+    from kdb_spark.llm import similarity as sim
+    from kdb_spark.tables import load
+    from tests.conftest import SF_DIR
+
+    emb = load(spark, SF_DIR, "embeddings")
+    d = emb.selectExpr("size(embedding) d").first().d
+    for r in sim.emb_quantize_sq8(emb).collect():
+        assert 0 <= r.code_sum <= 255 * d
+        half_step = (r.hi - r.lo) / 510.0
+        assert r.mse <= half_step * half_step + 1e-12
+
+
+def test_benford_frequencies_are_a_distribution(spark):
+    """Law: per series, observed digit counts sum to n and the pinned
+    Benford expectations sum to 1 (they're log10(1+1/d))."""
+    import math
+
+    from kdb_spark.analytics import aggregations as agg
+    from kdb_spark.tables import events_us
+    from tests.conftest import SF_DIR
+
+    assert abs(sum(agg.BENFORD_P.values()) - 1.0) < 1e-12
+    for d, p in agg.BENFORD_P.items():
+        assert abs(p - math.log10(1 + 1 / d)) < 1e-15
+    rows = agg.agg_benford(events_us(spark, SF_DIR)).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for t, rs in by_type.items():
+        assert sum(r.n_d for r in rs) == rs[0].n
+        assert {r.digit for r in rs} <= set(range(1, 10))
