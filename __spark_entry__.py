@@ -3593,8 +3593,10 @@ _reg(
            CAST(count(*) AS BIGINT) AS n,
            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
              AS sum_value_c,
-           round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
-                 / count(*) / 100.0, 4) AS avg_value
+           CAST((200 * CAST(sum(CAST(round(value * 100) AS BIGINT))
+                            AS HUGEINT) + count(*))
+                // (2 * CAST(count(*) AS HUGEINT)) AS DOUBLE) / 10000.0
+             AS avg_value
     FROM events
     GROUP BY 1, 2
     """,

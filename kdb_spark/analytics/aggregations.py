@@ -989,21 +989,38 @@ def agg_seasonality(events: DataFrame) -> DataFrame:
     HOUR_US — Spark's long cast and DuckDB's // both truncate toward
     zero — then pmod 24, so the index stays in 0..23 even for pre-1970
     epochs where a plain % would go negative; no timezone/calendar
-    functions anywhere). Counts and cents sums are exact bigints;
-    the mean derives from those partials via one double division (round 4).
-    Output is a bounded |types|×24 matrix from ONE hash-agg shuffle with
-    map-side partials.
+    functions anywhere). Counts and cents sums are exact bigints; the
+    4-decimal mean is rounded IN INTEGER SPACE — half-up of the rational
+    sum·100/n via (200·sum + n) div (2n) on decimals — because a double
+    round() here is a cross-engine trap: a mean landing exactly on a
+    half-boundary (e.g. 55143/8/100 = 68.92875) rounds UP in Spark
+    (which rounds the shortest decimal rendering) and DOWN in
+    C-rounding engines (which round the binary double, stored a hair
+    below the boundary). Values are nonnegative (cents ≥ 1), so
+    floor-div half-up is exact. Output is a bounded |types|×24 matrix
+    from ONE hash-agg shuffle with map-side partials.
     """
     hod = F.pmod((F.col("ts_us") / F.lit(HOUR_US)).cast("long"), F.lit(24)).cast(
         "int"
     )
     c = cents("value")
-    return events.groupBy(F.col("event_type"), hod.alias("hour_of_day")).agg(
+    g = events.groupBy(F.col("event_type"), hod.alias("hour_of_day")).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(c).cast("long").alias("sum_value_c"),
-        F.round(F.sum(c).cast("double") / F.count(F.lit(1)) / 100.0, 4).alias(
-            "avg_value"
-        ),
+    )
+    return g.select(
+        "event_type",
+        "hour_of_day",
+        "n",
+        F.col("sum_value_c").alias("sum_value_c"),
+        (
+            F.expr(
+                "CAST((200 * CAST(sum_value_c AS DECIMAL(38,0))"
+                " + CAST(n AS DECIMAL(38,0)))"
+                " DIV (2 * CAST(n AS DECIMAL(38,0))) AS BIGINT)"
+            ).cast("double")
+            / F.lit(10000.0)
+        ).alias("avg_value"),
     )
 
 
