@@ -4369,3 +4369,78 @@ _reg(
     FROM q
     """,
 )
+
+
+_reg(
+    "agg_overlap_matrix",
+    lambda s, d: agg.agg_overlap_matrix(events_us(s, d)),
+    """
+    WITH words AS (
+      SELECT event_type, user_id // 62 AS w,
+             bit_or(CAST(1 AS BIGINT) << CAST(user_id % 62 AS INT)) AS word
+      FROM events GROUP BY 1, 2),
+    totals AS (
+      SELECT event_type, CAST(sum(bit_count(word)) AS BIGINT) AS n_users
+      FROM words GROUP BY 1),
+    inter AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(sum(bit_count(a.word & b.word)) AS BIGINT) AS n_common
+      FROM words a JOIN words b ON a.w = b.w
+      WHERE a.event_type < b.event_type
+      GROUP BY 1, 2),
+    frame AS (
+      SELECT ta.event_type AS type_a, ta.n_users AS n_a,
+             tb.event_type AS type_b, tb.n_users AS n_b
+      FROM totals ta, totals tb
+      WHERE ta.event_type < tb.event_type)
+    SELECT f.type_a, f.type_b, f.n_a, f.n_b,
+           coalesce(i.n_common, 0) AS n_common,
+           round(CAST(coalesce(i.n_common, 0) AS DOUBLE)
+                 / CAST(f.n_a + f.n_b - coalesce(i.n_common, 0) AS DOUBLE),
+                 6) AS jaccard
+    FROM frame f
+    LEFT JOIN inter i ON f.type_a = i.type_a AND f.type_b = i.type_b
+    """,
+)
+
+
+_reg(
+    "emb_hamming_topk",
+    lambda s, d: sim.emb_hamming_topk(load(s, d, "embeddings")),
+    """
+    WITH flat AS (
+      SELECT vec_id, unnest(range(len(embedding))) AS pos,
+             CAST(round(unnest(embedding) * 1e6) AS BIGINT) AS v6
+      FROM embeddings),
+    dims AS (
+      SELECT pos, sum(v6) AS s1, count(*) AS n FROM flat GROUP BY 1),
+    bits AS (
+      SELECT f.vec_id, f.pos,
+             CASE WHEN CAST(f.v6 AS HUGEINT) * d.n > d.s1 THEN 1
+                  ELSE 0 END AS bit
+      FROM flat f JOIN dims d ON f.pos = d.pos),
+    sigs AS (
+      SELECT vec_id,
+             bit_or(CASE WHEN pos < 32
+                    THEN CAST(bit AS BIGINT) << CAST(pos AS INT)
+                    ELSE 0 END) AS sig_lo,
+             bit_or(CASE WHEN pos >= 32
+                    THEN CAST(bit AS BIGINT) << CAST(pos - 32 AS INT)
+                    ELSE 0 END) AS sig_hi
+      FROM bits GROUP BY 1),
+    queries AS (
+      SELECT vec_id AS q_id, sig_lo AS q_lo, sig_hi AS q_hi
+      FROM sigs ORDER BY vec_id LIMIT 5),
+    scored AS (
+      SELECT q.q_id, s.vec_id,
+             CAST(bit_count(xor(s.sig_lo, q.q_lo))
+                  + bit_count(xor(s.sig_hi, q.q_hi)) AS INT) AS hamming
+      FROM sigs s CROSS JOIN queries q
+      WHERE s.vec_id != q.q_id)
+    SELECT q_id, vec_id, hamming,
+           CAST(row_number() OVER (PARTITION BY q_id
+                                   ORDER BY hamming, vec_id) AS INT) AS rk
+    FROM scored
+    QUALIFY rk <= 5
+    """,
+)

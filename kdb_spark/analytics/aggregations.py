@@ -1622,3 +1622,67 @@ def agg_benford(events: DataFrame) -> DataFrame:
         F.round(p, 6).alias("p_benford"),
         F.round(z, 4).alias("z"),
     )
+
+
+def agg_overlap_matrix(events: DataFrame) -> DataFrame:
+    """Pairwise audience-overlap matrix: EXACT distinct-user Jaccard
+    between every pair of event types, via the same 62-bit bitmap words
+    as agg_bitmap_distinct — the all-pairs generalization of
+    agg_kmv_overlap's two-set sketch, exact because the id space packs.
+
+    Scale shape: the only fact-sized pass is the (type, word) bit_or
+    rollup (≤ |users|/62 rows per type survive). The pair intersection
+    is a self-join ON THE WORD INDEX — each word row meets only the
+    |types| rows sharing its index, so the join output is
+    |types|²·|words|, never |users|². Per-type totals broadcast; pairs
+    with zero shared words are restored by a |types|² cross frame with
+    coalesce-0 so the matrix is always complete. All counts are exact
+    integers; the one double division happens on the |types|² rows.
+    """
+    word_idx = (F.col("user_id") / F.lit(62)).cast("long")
+    bit = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 62 AS INT))")
+    words = (
+        events.select("event_type", word_idx.alias("w"), bit.alias("b"))
+        .groupBy("event_type", "w")
+        .agg(F.bit_or("b").alias("word"))
+    )
+    totals = words.groupBy("event_type").agg(
+        F.sum(F.bit_count("word")).cast("long").alias("n_users")
+    )
+    a = words.select(
+        F.col("event_type").alias("type_a"), "w", F.col("word").alias("wa")
+    )
+    b = words.select(
+        F.col("event_type").alias("type_b"), "w", F.col("word").alias("wb")
+    )
+    inter = (
+        a.join(b, "w")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.sum(F.bit_count(F.col("wa").bitwiseAND(F.col("wb"))))
+            .cast("long")
+            .alias("n_common")
+        )
+    )
+    ta = totals.select(
+        F.col("event_type").alias("type_a"), F.col("n_users").alias("n_a")
+    )
+    tb = totals.select(
+        F.col("event_type").alias("type_b"), F.col("n_users").alias("n_b")
+    )
+    frame = ta.crossJoin(tb).where(F.col("type_a") < F.col("type_b"))
+    out = frame.join(inter, ["type_a", "type_b"], "left").withColumn(
+        "n_common", F.coalesce(F.col("n_common"), F.lit(0))
+    )
+    union = F.col("n_a") + F.col("n_b") - F.col("n_common")
+    return out.select(
+        "type_a",
+        "type_b",
+        "n_a",
+        "n_b",
+        "n_common",
+        F.round(
+            F.col("n_common").cast("double") / union.cast("double"), 6
+        ).alias("jaccard"),
+    )

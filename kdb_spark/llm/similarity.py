@@ -1198,3 +1198,62 @@ def emb_quantize_sq8(embeddings: DataFrame) -> DataFrame:
         code_sum.alias("code_sum"),
         F.round(sse / d, 10).alias("mse"),
     )
+
+
+def emb_hamming_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 5) -> DataFrame:
+    """Binary-hash similarity search (the 32×-compression end of the
+    quantization ladder after SQ8/PQ): each vector binarizes to 64 sign
+    bits against the PER-DIMENSION corpus mean, packed into two 32-bit
+    words, and neighbors rank by exact integer Hamming distance.
+
+    Every decision is integer-exact: the sign test is v6·n > Σv6 (both
+    bigints — no float mean ever materializes, so a coordinate exactly
+    at the mean can't flip across engines), distances are
+    popcount(xor) sums, and the top-k orders by (distance, vec_id). The
+    signature build is one posexplode + per-dim agg (d rows broadcast
+    back) + one bit_or rollup per vector; the search scans |corpus|
+    two-word signatures per query — at 100 TB the signature table is
+    ~16 bytes/vector, the whole point of binary hashing. Ranking is
+    window row_number ≤ k per query (TakeOrdered-shaped, no global sort).
+    """
+    v6 = F.round(F.col("v") * F.lit(1.0e6)).cast("long")
+    flat = embeddings.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "v")
+    ).select("vec_id", "pos", v6.alias("v6"))
+    dims = flat.groupBy("pos").agg(
+        F.sum("v6").alias("s1"), F.count(F.lit(1)).alias("n")
+    )
+    bits = flat.join(F.broadcast(dims), "pos").select(
+        "vec_id",
+        "pos",
+        (F.col("v6") * F.col("n") > F.col("s1")).cast("int").alias("bit"),
+    )
+    word = F.when(
+        F.col("pos") < 32, F.expr("shiftleft(CAST(bit AS BIGINT), CAST(pos AS INT))")
+    ).otherwise(F.lit(0))
+    word_hi = F.when(
+        F.col("pos") >= 32,
+        F.expr("shiftleft(CAST(bit AS BIGINT), CAST(pos - 32 AS INT))"),
+    ).otherwise(F.lit(0))
+    sigs = bits.groupBy("vec_id").agg(
+        F.bit_or(word).alias("sig_lo"), F.bit_or(word_hi).alias("sig_hi")
+    )
+    queries = sigs.orderBy("vec_id").limit(n_queries).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("sig_lo").alias("q_lo"),
+        F.col("sig_hi").alias("q_hi"),
+    )
+    dist = F.bit_count(
+        F.col("sig_lo").bitwiseXOR(F.col("q_lo"))
+    ) + F.bit_count(F.col("sig_hi").bitwiseXOR(F.col("q_hi")))
+    scored = (
+        sigs.crossJoin(F.broadcast(queries))
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", dist.cast("int").alias("hamming"))
+    )
+    w = Window.partitionBy("q_id").orderBy("hamming", "vec_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("q_id", "vec_id", "hamming", F.col("rk").cast("int").alias("rk"))
+    )

@@ -73,6 +73,7 @@ EVENT_OPS = [
     wn.win_keltner,
     agg.agg_linreg,  # decimal sufficient-sum OLS — exact path
     agg.agg_benford,  # integer digit counts + pinned literals
+    agg.agg_overlap_matrix,  # bitmap-word AND/popcount — all integer
 ]
 
 DOC_OPS = [
@@ -112,7 +113,7 @@ def test_doc_ops_parallelism_invariant(spark, op):
 
 from kdb_spark.llm import similarity as sim  # noqa: E402
 
-EMB_OPS = [sim.emb_outliers, sim.emb_centroid_classify, sim.emb_dim_stats, sim.emb_quantize_sq8]
+EMB_OPS = [sim.emb_outliers, sim.emb_centroid_classify, sim.emb_dim_stats, sim.emb_quantize_sq8, sim.emb_hamming_topk]
 
 
 @pytest.mark.parametrize("op", EMB_OPS, ids=lambda f: f.__name__)
