@@ -3593,9 +3593,11 @@ _reg(
            CAST(count(*) AS BIGINT) AS n,
            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
              AS sum_value_c,
-           CAST((200 * CAST(sum(CAST(round(value * 100) AS BIGINT))
-                            AS HUGEINT) + count(*))
-                // (2 * CAST(count(*) AS HUGEINT)) AS DOUBLE) / 10000.0
+           CAST((CASE WHEN sum(CAST(round(value * 100) AS BIGINT)) < 0
+                      THEN -1 ELSE 1 END)
+                * ((200 * abs(CAST(sum(CAST(round(value * 100) AS BIGINT))
+                                   AS HUGEINT)) + count(*))
+                   // (2 * CAST(count(*) AS HUGEINT))) AS DOUBLE) / 10000.0
              AS avg_value
     FROM events
     GROUP BY 1, 2
@@ -3989,9 +3991,11 @@ _reg(
            CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN vol_c
                          ELSE 0 END) AS BIGINT) AS nation_vol_c,
            CAST(sum(vol_c) AS BIGINT) AS total_vol_c,
-           round(CAST(sum(CASE WHEN supp_nation = 'NATION_5'
-                               THEN vol_c ELSE 0 END) AS DOUBLE)
-                 / CAST(sum(vol_c) AS DOUBLE), 6) AS mkt_share
+           CAST((2000000 * CAST(sum(CASE WHEN supp_nation = 'NATION_5'
+                                         THEN vol_c ELSE 0 END) AS HUGEINT)
+                 + sum(vol_c))
+                // (2 * CAST(sum(vol_c) AS HUGEINT)) AS DOUBLE)
+             / 1000000.0 AS mkt_share
     FROM flat
     GROUP BY o_year
     """,
@@ -4010,14 +4014,17 @@ _reg(
                          ELSE 0 END) AS BIGINT) AS promo_revenue_c,
            CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
                          AS BIGINT)) AS BIGINT) AS total_revenue_c,
-           round(CAST(sum(CASE WHEN p.p_type = 'PROMO'
-                               THEN CAST(round(l.l_extendedprice
-                                               * (1 - l.l_discount) * 100)
-                                         AS BIGINT)
-                               ELSE 0 END) AS DOUBLE) * 100.0
-                 / CAST(sum(CAST(round(l.l_extendedprice
-                                       * (1 - l.l_discount) * 100)
-                                 AS BIGINT)) AS DOUBLE), 6) AS promo_pct
+           CAST((200000000 * CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                                           THEN CAST(round(l.l_extendedprice
+                                                           * (1 - l.l_discount)
+                                                           * 100) AS BIGINT)
+                                           ELSE 0 END) AS HUGEINT)
+                 + sum(CAST(round(l.l_extendedprice
+                                  * (1 - l.l_discount) * 100) AS BIGINT)))
+                // (2 * CAST(sum(CAST(round(l.l_extendedprice
+                                            * (1 - l.l_discount) * 100)
+                                      AS BIGINT)) AS HUGEINT)) AS DOUBLE)
+             / 1000000.0 AS promo_pct
     FROM lineitem l
     JOIN part p ON l.l_partkey = p.p_partkey
     GROUP BY year(l.l_shipdate), month(l.l_shipdate)
@@ -4127,13 +4134,13 @@ _reg(
              sum(CAST(xc AS HUGEINT) * xc * xc * xc) AS s4
       FROM c GROUP BY 1),
     m AS (
-      SELECT event_type, n,
+      SELECT event_type, n, s1,
              CAST(n AS DOUBLE) AS nd, CAST(s1 AS DOUBLE) AS s1d,
              CAST(s2 AS DOUBLE) AS s2d, CAST(s3 AS DOUBLE) AS s3d,
              CAST(s4 AS DOUBLE) AS s4d
       FROM g),
     k AS (
-      SELECT event_type, n, s1d / nd AS mu,
+      SELECT event_type, n, s1,
              s2d / nd - (s1d / nd) * (s1d / nd) AS m2,
              s3d / nd - 3.0 * (s1d / nd) * (s2d / nd)
                + 2.0 * (s1d / nd) * (s1d / nd) * (s1d / nd) AS m3,
@@ -4143,7 +4150,9 @@ _reg(
                AS m4
       FROM m)
     SELECT event_type, CAST(n AS BIGINT) AS n,
-           round(mu / 100.0, 4) AS mean,
+           CAST((CASE WHEN s1 < 0 THEN -1 ELSE 1 END)
+                * ((200 * abs(s1) + n) // (2 * CAST(n AS HUGEINT)))
+                AS DOUBLE) / 10000.0 AS mean,
            round(CASE WHEN m2 > 0 THEN m3 / pow(sqrt(m2), 3.0) END, 6)
              AS skewness,
            round(CASE WHEN m2 > 0 THEN m4 / (m2 * m2) - 3.0 END, 6)
@@ -4232,7 +4241,10 @@ _reg(
              min(v) AS lo, max(v) AS hi
       FROM c GROUP BY 1)
     SELECT CAST(pos AS BIGINT) AS pos, CAST(n AS BIGINT) AS n,
-           round((CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) / 1e6, 6) AS mean,
+           CAST((CASE WHEN s1 < 0 THEN -1 ELSE 1 END)
+                * ((2 * abs(CAST(s1 AS HUGEINT)) + n)
+                   // (2 * CAST(n AS HUGEINT))) AS DOUBLE)
+             / 1000000.0 AS mean,
            round(sqrt(greatest(
              CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
                - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
@@ -4260,22 +4272,25 @@ _reg(
              sum(CAST(h AS HUGEINT) * y) AS sxy
       FROM c GROUP BY 1, 2),
     d AS (
-      SELECT user_id, event_type, n,
-             CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
-             CAST(sy AS DOUBLE) AS syd, CAST(sxx AS DOUBLE) AS sxxd,
-             CAST(sxy AS DOUBLE) AS sxyd
-      FROM g)
+      SELECT user_id, event_type, n, sx, sy,
+             CAST(n AS HUGEINT) * sxx - sx * sx AS deti,
+             CAST(n AS HUGEINT) * sxy - sx * sy AS num
+      FROM g),
+    e AS (
+      SELECT user_id, event_type, n, deti, num,
+             sy * deti - num * sx AS inum
+      FROM d)
     SELECT user_id, event_type, CAST(n AS BIGINT) AS n,
-           round(CASE WHEN nd * sxxd - sxd * sxd > 0
-                      THEN ((nd * sxyd - sxd * syd)
-                            / (nd * sxxd - sxd * sxd)) / 100.0 END, 6)
-             AS slope_per_hour,
-           round(CASE WHEN nd * sxxd - sxd * sxd > 0
-                      THEN (syd - ((nd * sxyd - sxd * syd)
-                                   / (nd * sxxd - sxd * sxd)) * sxd)
-                           / nd / 100.0 END, 4)
-             AS intercept
-    FROM d
+           CAST(CASE WHEN deti > 0 THEN
+                  (CASE WHEN num < 0 THEN -1 ELSE 1 END)
+                  * ((2000000 * abs(num) + 100 * deti) // (200 * deti))
+                END AS DOUBLE) / 1000000.0 AS slope_per_hour,
+           CAST(CASE WHEN deti > 0 THEN
+                  (CASE WHEN inum < 0 THEN -1 ELSE 1 END)
+                  * ((20000 * abs(inum) + 100 * CAST(n AS HUGEINT) * deti)
+                     // (200 * CAST(n AS HUGEINT) * deti))
+                END AS DOUBLE) / 10000.0 AS intercept
+    FROM e
     """,
 )
 
@@ -4330,7 +4345,8 @@ _reg(
       FROM t)
     SELECT event_type, digit, CAST(n_d AS BIGINT) AS n_d,
            CAST(ntot AS BIGINT) AS n,
-           round(CAST(n_d AS DOUBLE) / CAST(ntot AS DOUBLE), 6) AS freq,
+           CAST((2000000 * n_d + ntot) // (2 * ntot) AS DOUBLE)
+             / 1000000.0 AS freq,
            round(pb, 6) AS p_benford,
            round((CAST(n_d AS DOUBLE) - CAST(ntot AS DOUBLE) * pb)
                  / sqrt(CAST(ntot AS DOUBLE) * pb * (1.0 - pb)), 4) AS z
@@ -4395,9 +4411,11 @@ _reg(
       WHERE ta.event_type < tb.event_type)
     SELECT f.type_a, f.type_b, f.n_a, f.n_b,
            coalesce(i.n_common, 0) AS n_common,
-           round(CAST(coalesce(i.n_common, 0) AS DOUBLE)
-                 / CAST(f.n_a + f.n_b - coalesce(i.n_common, 0) AS DOUBLE),
-                 6) AS jaccard
+           CAST((2000000 * CAST(coalesce(i.n_common, 0) AS HUGEINT)
+                 + (f.n_a + f.n_b - coalesce(i.n_common, 0)))
+                // (2 * CAST(f.n_a + f.n_b - coalesce(i.n_common, 0)
+                             AS HUGEINT)) AS DOUBLE)
+             / 1000000.0 AS jaccard
     FROM frame f
     LEFT JOIN inter i ON f.type_a = i.type_a AND f.type_b = i.type_b
     """,

@@ -1015,9 +1015,10 @@ def agg_seasonality(events: DataFrame) -> DataFrame:
         F.col("sum_value_c").alias("sum_value_c"),
         (
             F.expr(
-                "CAST((200 * CAST(sum_value_c AS DECIMAL(38,0))"
-                " + CAST(n AS DECIMAL(38,0)))"
-                " DIV (2 * CAST(n AS DECIMAL(38,0))) AS BIGINT)"
+                "(CASE WHEN sum_value_c < 0 THEN -1 ELSE 1 END)"
+                " * CAST((200 * abs(CAST(sum_value_c AS DECIMAL(38,0)))"
+                "         + CAST(n AS DECIMAL(38,0)))"
+                "        DIV (2 * CAST(n AS DECIMAL(38,0))) AS BIGINT)"
             ).cast("double")
             / F.lit(10000.0)
         ).alias("avg_value"),
@@ -1217,9 +1218,12 @@ def sql_market_share(
                CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN vol_c
                              ELSE 0 END) AS BIGINT) AS nation_vol_c,
                CAST(sum(vol_c) AS BIGINT) AS total_vol_c,
-               round(CAST(sum(CASE WHEN supp_nation = 'NATION_5'
-                                   THEN vol_c ELSE 0 END) AS DOUBLE)
-                     / CAST(sum(vol_c) AS DOUBLE), 6) AS mkt_share
+               CAST((2000000 * CAST(sum(CASE WHEN supp_nation = 'NATION_5'
+                                             THEN vol_c ELSE 0 END)
+                                    AS DECIMAL(38,0))
+                     + CAST(sum(vol_c) AS DECIMAL(38,0)))
+                    DIV (2 * CAST(sum(vol_c) AS DECIMAL(38,0)))
+                    AS DOUBLE) / 1000000.0 AS mkt_share
         FROM flat
         GROUP BY o_year
         """,
@@ -1256,14 +1260,18 @@ def sql_promo_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
                CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
                                    * 100) AS BIGINT)) AS BIGINT)
                  AS total_revenue_c,
-               round(CAST(sum(CASE WHEN p.p_type = 'PROMO'
-                                   THEN CAST(round(l.l_extendedprice
-                                                   * (1 - l.l_discount)
-                                                   * 100) AS BIGINT)
-                                   ELSE 0 END) AS DOUBLE) * 100.0
-                     / CAST(sum(CAST(round(l.l_extendedprice
+               CAST((200000000 * CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                                               THEN CAST(round(l.l_extendedprice
+                                                               * (1 - l.l_discount)
+                                                               * 100) AS BIGINT)
+                                               ELSE 0 END) AS DECIMAL(38,0))
+                     + CAST(sum(CAST(round(l.l_extendedprice
                                            * (1 - l.l_discount) * 100)
-                                     AS BIGINT)) AS DOUBLE), 6)
+                                     AS BIGINT)) AS DECIMAL(38,0)))
+                    DIV (2 * CAST(sum(CAST(round(l.l_extendedprice
+                                                 * (1 - l.l_discount) * 100)
+                                           AS BIGINT)) AS DECIMAL(38,0)))
+                    AS DOUBLE) / 1000000.0
                  AS promo_pct
         FROM {lineitem_v} l
         JOIN {part_v} p ON l.l_partkey = p.p_partkey
@@ -1459,7 +1467,19 @@ def agg_skew_kurtosis(events: DataFrame) -> DataFrame:
     return g.select(
         "event_type",
         "n",
-        F.round(m / F.lit(100.0), 4).alias("mean"),
+        # mean = s1/n/100 rounded 4, in INTEGER space (sign-aware
+        # half-away-from-zero) — a double round() on an exact integer
+        # ratio is the cross-engine half-boundary trap agg_seasonality
+        # documents, and plain DIV mis-rounds negative sums
+        (
+            F.expr(
+                "(CASE WHEN s1 < 0 THEN -1 ELSE 1 END)"
+                " * CAST((200 * abs(CAST(s1 AS DECIMAL(38,0)))"
+                "         + CAST(n AS DECIMAL(38,0)))"
+                "        DIV (2 * CAST(n AS DECIMAL(38,0))) AS BIGINT)"
+            ).cast("double")
+            / F.lit(10000.0)
+        ).alias("mean"),
         F.round(
             F.when(m2 > 0, m3 / F.pow(F.sqrt(m2), F.lit(3.0))), 6
         ).alias("skewness"),
@@ -1550,23 +1570,37 @@ def agg_linreg(events: DataFrame) -> DataFrame:
         F.sum(hd * hd).alias("sxx"),
         F.sum(hd * yd).alias("sxy"),
     )
-    nd = F.col("n").cast("double")
-    sx = F.col("sx").cast("double")
-    sy = F.col("sy").cast("double")
-    sxx = F.col("sxx").cast("double")
-    sxy = F.col("sxy").cast("double")
-    det = nd * sxx - sx * sx
-    slope = (nd * sxy - sx * sy) / det
+    # slope = num/det and intercept = (sy·det − num·sx)/(n·det) are EXACT
+    # integer ratios — round them in integer space (sign-aware half-up,
+    # matching both engines' away-from-zero round), never with a double
+    # round(): an exact ratio landing on a half boundary is the
+    # cross-engine trap agg_seasonality documents
+    g = (
+        g.withColumn(
+            "deti", F.expr("CAST(n AS DECIMAL(38,0)) * sxx - sx * sx")
+        )
+        .withColumn("num", F.expr("CAST(n AS DECIMAL(38,0)) * sxy - sx * sy"))
+        .withColumn("inum", F.expr("sy * deti - num * sx"))
+    )
+    slope_e6 = F.expr(
+        "CASE WHEN deti > 0 THEN"
+        " (CASE WHEN num < 0 THEN -1 ELSE 1 END)"
+        " * CAST((2000000 * abs(num) + 100 * deti)"
+        "        DIV (200 * deti) AS BIGINT) END"
+    )
+    inter_e4 = F.expr(
+        "CASE WHEN deti > 0 THEN"
+        " (CASE WHEN inum < 0 THEN -1 ELSE 1 END)"
+        " * CAST((20000 * abs(inum)"
+        "         + 100 * CAST(n AS DECIMAL(38,0)) * deti)"
+        "        DIV (200 * CAST(n AS DECIMAL(38,0)) * deti) AS BIGINT) END"
+    )
     return g.select(
         "user_id",
         "event_type",
         "n",
-        F.round(
-            F.when(det > 0, slope / F.lit(100.0)), 6
-        ).alias("slope_per_hour"),
-        F.round(
-            F.when(det > 0, (sy - slope * sx) / nd / F.lit(100.0)), 4
-        ).alias("intercept"),
+        (slope_e6.cast("double") / F.lit(1.0e6)).alias("slope_per_hour"),
+        (inter_e4.cast("double") / F.lit(1.0e4)).alias("intercept"),
     )
 
 
@@ -1610,15 +1644,28 @@ def agg_benford(events: DataFrame) -> DataFrame:
     p = F.lit(None).cast("double")
     for d, pd in BENFORD_P.items():
         p = F.when(F.col("digit") == d, F.lit(pd)).otherwise(p)
-    n = F.sum("n_d").over(w).cast("double")
+    t = per.select(
+        "event_type", "digit", "n_d", F.sum("n_d").over(w).cast("long").alias("n")
+    )
+    n = F.col("n").cast("double")
     nd = F.col("n_d").cast("double")
     z = (nd - n * p) / F.sqrt(n * p * (F.lit(1.0) - p))
-    return per.select(
+    return t.select(
         "event_type",
         "digit",
         "n_d",
-        F.sum("n_d").over(w).cast("long").alias("n"),
-        F.round(nd / n, 6).alias("freq"),
+        "n",
+        # freq = n_d/n rounded 6 IN INTEGER SPACE — a double round() on an
+        # exact integer ratio is the cross-engine half-boundary trap
+        # agg_seasonality documents (counts are positive, half-up is exact)
+        (
+            F.expr(
+                "CAST((2000000 * CAST(n_d AS DECIMAL(38,0))"
+                " + CAST(n AS DECIMAL(38,0)))"
+                " DIV (2 * CAST(n AS DECIMAL(38,0))) AS BIGINT)"
+            ).cast("double")
+            / F.lit(1.0e6)
+        ).alias("freq"),
         F.round(p, 6).alias("p_benford"),
         F.round(z, 4).alias("z"),
     )
@@ -1675,14 +1722,22 @@ def agg_overlap_matrix(events: DataFrame) -> DataFrame:
     out = frame.join(inter, ["type_a", "type_b"], "left").withColumn(
         "n_common", F.coalesce(F.col("n_common"), F.lit(0))
     )
-    union = F.col("n_a") + F.col("n_b") - F.col("n_common")
+    # jaccard = n_common/union rounded 6 IN INTEGER SPACE — a double
+    # round() on an exact integer ratio is the cross-engine
+    # half-boundary trap agg_seasonality documents
     return out.select(
         "type_a",
         "type_b",
         "n_a",
         "n_b",
         "n_common",
-        F.round(
-            F.col("n_common").cast("double") / union.cast("double"), 6
+        (
+            F.expr(
+                "CAST((2000000 * CAST(n_common AS DECIMAL(38,0))"
+                " + CAST(n_a + n_b - n_common AS DECIMAL(38,0)))"
+                " DIV (2 * CAST(n_a + n_b - n_common AS DECIMAL(38,0)))"
+                " AS BIGINT)"
+            ).cast("double")
+            / F.lit(1.0e6)
         ).alias("jaccard"),
     )

@@ -1125,26 +1125,39 @@ def emb_dim_stats(embeddings: DataFrame) -> DataFrame:
     flat = embeddings.select(
         F.posexplode("embedding").alias("pos", "v")
     ).select(F.col("pos").cast("long").alias("pos"), "v", v6.alias("v6"))
-    nd = F.count(F.lit(1)).cast("double")
-    s1 = F.sum("v6").cast("double")
-    s2 = F.sum(F.col("v6").cast("decimal(19,0)") * F.col("v6").cast("decimal(19,0)")).cast(
-        "double"
+    g = flat.groupBy("pos").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v6").cast("long").alias("s1"),
+        F.sum(
+            F.col("v6").cast("decimal(19,0)") * F.col("v6").cast("decimal(19,0)")
+        ).alias("s2"),
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
     )
-    mean = s1 / nd
-    var = s2 / nd - mean * mean
-    return (
-        flat.groupBy("pos")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.round((s1 / nd) / F.lit(1.0e6), 6).alias("mean"),
-            F.round(
-                F.sqrt(F.greatest(var, F.lit(0.0))) / F.lit(1.0e6), 6
-            ).alias("std"),
-            F.min("v").alias("lo"),
-            F.max("v").alias("hi"),
-        )
-        .orderBy("pos")
+    # mean = s1/n (micro-units) rounded 6 dp IN INTEGER SPACE, sign-aware
+    # half-away-from-zero — a double round() on this exact integer ratio
+    # is the cross-engine half-boundary trap agg_seasonality documents;
+    # std keeps the double sqrt (irrational — never lands on a boundary)
+    mean_e6 = F.expr(
+        "(CASE WHEN s1 < 0 THEN -1 ELSE 1 END)"
+        " * CAST((2 * abs(CAST(s1 AS DECIMAL(38,0)))"
+        "         + CAST(n AS DECIMAL(38,0)))"
+        "        DIV (2 * CAST(n AS DECIMAL(38,0))) AS BIGINT)"
     )
+    nd = F.col("n").cast("double")
+    s1d = F.col("s1").cast("double")
+    s2d = F.col("s2").cast("double")
+    var = s2d / nd - (s1d / nd) * (s1d / nd)
+    return g.select(
+        "pos",
+        "n",
+        (mean_e6.cast("double") / F.lit(1.0e6)).alias("mean"),
+        F.round(
+            F.sqrt(F.greatest(var, F.lit(0.0))) / F.lit(1.0e6), 6
+        ).alias("std"),
+        "lo",
+        "hi",
+    ).orderBy("pos")
 
 
 def emb_quantize_sq8(embeddings: DataFrame) -> DataFrame:
@@ -1226,7 +1239,12 @@ def emb_hamming_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 5) -> D
     bits = flat.join(F.broadcast(dims), "pos").select(
         "vec_id",
         "pos",
-        (F.col("v6") * F.col("n") > F.col("s1")).cast("int").alias("bit"),
+        # the v6·n product is taken in decimal, not long: at corpus scale
+        # the long multiply would wrap (the oracle widens to int128)
+        (
+            F.col("v6").cast("decimal(19,0)") * F.col("n").cast("decimal(19,0)")
+            > F.col("s1").cast("decimal(38,0)")
+        ).cast("int").alias("bit"),
     )
     word = F.when(
         F.col("pos") < 32, F.expr("shiftleft(CAST(bit AS BIGINT), CAST(pos AS INT))")
