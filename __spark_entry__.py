@@ -4462,3 +4462,44 @@ _reg(
     QUALIFY rk <= 5
     """,
 )
+
+
+_reg(
+    "agg_ks_test",
+    lambda s, d: agg.agg_ks_test(events_us(s, d)),
+    """
+    WITH counts AS (
+      SELECT event_type AS t, CAST(round(value * 100) AS BIGINT) AS v,
+             count(*) AS c
+      FROM events GROUP BY 1, 2),
+    totals AS (SELECT t, CAST(sum(c) AS BIGINT) AS n FROM counts GROUP BY 1),
+    pairs AS (
+      SELECT a.t AS type_a, a.n AS n_a, b.t AS type_b, b.n AS n_b
+      FROM totals a, totals b WHERE a.t < b.t),
+    vals AS (SELECT DISTINCT v FROM counts),
+    spine AS (SELECT p.*, vals.v FROM pairs p, vals),
+    j AS (
+      SELECT s.type_a, s.type_b, s.n_a, s.n_b, s.v,
+             coalesce(ca.c, 0) AS c_a, coalesce(cb.c, 0) AS c_b
+      FROM spine s
+      LEFT JOIN counts ca ON ca.t = s.type_a AND ca.v = s.v
+      LEFT JOIN counts cb ON cb.t = s.type_b AND cb.v = s.v),
+    cum AS (
+      SELECT type_a, type_b, n_a, n_b,
+             sum(c_a) OVER w * n_b - sum(c_b) OVER w * n_a AS diff
+      FROM j
+      WINDOW w AS (PARTITION BY type_a, type_b ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    g AS (
+      SELECT type_a, type_b, max(n_a) AS n_a, max(n_b) AS n_b,
+             CAST(max(abs(diff)) AS BIGINT) AS d_num
+      FROM cum GROUP BY 1, 2)
+    SELECT type_a, type_b, CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b, d_num,
+           CAST((2000000 * CAST(d_num AS HUGEINT)
+                 + CAST(n_a AS HUGEINT) * n_b)
+                // (2 * CAST(n_a AS HUGEINT) * n_b) AS DOUBLE)
+             / 1000000.0 AS d
+    FROM g
+    """,
+)

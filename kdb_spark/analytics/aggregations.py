@@ -1741,3 +1741,89 @@ def agg_overlap_matrix(events: DataFrame) -> DataFrame:
             / F.lit(1.0e6)
         ).alias("jaccard"),
     )
+
+
+def agg_ks_test(events: DataFrame) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov distance between every pair of
+    event types' value distributions — the drift detector run between a
+    reference corpus and an increment before retraining.
+
+    D = max_v |F_a(v) − F_b(v)| is computed ENTIRELY in integers: per-type
+    cent-value counts roll up once (the only fact-sized pass — distinct
+    cents are domain-bounded, so the count table is dimension-sized at any
+    corpus scale), a |pairs|×|values| spine left-joins both sides' counts,
+    one window cumsum per pair gives the empirical CDF numerators, and the
+    sup statistic is max|cum_a·n_b − cum_b·n_a| — a cross-multiplied exact
+    integer, divided (and integer-rounded, the agg_seasonality discipline)
+    only on the |pairs| output rows. No float ever orders or accumulates.
+    """
+    xc = cents("value")
+    counts = events.groupBy(F.col("event_type").alias("t"), xc.alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    totals = counts.groupBy("t").agg(F.sum("c").cast("long").alias("n"))
+    types = totals.select("t", "n")
+    pairs = (
+        types.select(F.col("t").alias("type_a"), F.col("n").alias("n_a"))
+        .crossJoin(
+            types.select(F.col("t").alias("type_b"), F.col("n").alias("n_b"))
+        )
+        .where(F.col("type_a") < F.col("type_b"))
+    )
+    values = counts.select("v").distinct()
+    spine = pairs.crossJoin(values)
+    ca = counts.select(
+        F.col("t").alias("type_a"), "v", F.col("c").alias("c_a")
+    )
+    cb = counts.select(
+        F.col("t").alias("type_b"), "v", F.col("c").alias("c_b")
+    )
+    j = (
+        spine.join(ca, ["type_a", "v"], "left")
+        .join(cb, ["type_b", "v"], "left")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "v",
+            F.coalesce("c_a", F.lit(0)).alias("c_a"),
+            F.coalesce("c_b", F.lit(0)).alias("c_b"),
+        )
+    )
+    w = (
+        Window.partitionBy("type_a", "type_b")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = j.select(
+        "type_a",
+        "type_b",
+        "n_a",
+        "n_b",
+        (
+            F.sum("c_a").over(w) * F.col("n_b")
+            - F.sum("c_b").over(w) * F.col("n_a")
+        ).alias("diff"),
+    )
+    g = cum.groupBy("type_a", "type_b").agg(
+        F.max("n_a").cast("long").alias("n_a"),
+        F.max("n_b").cast("long").alias("n_b"),
+        F.max(F.abs(F.col("diff"))).cast("long").alias("d_num"),
+    )
+    return g.select(
+        "type_a",
+        "type_b",
+        "n_a",
+        "n_b",
+        "d_num",
+        (
+            F.expr(
+                "CAST((2000000 * CAST(d_num AS DECIMAL(38,0))"
+                " + CAST(n_a AS DECIMAL(38,0)) * CAST(n_b AS DECIMAL(38,0)))"
+                " DIV (2 * CAST(n_a AS DECIMAL(38,0))"
+                "      * CAST(n_b AS DECIMAL(38,0))) AS BIGINT)"
+            ).cast("double")
+            / F.lit(1.0e6)
+        ).alias("d"),
+    )

@@ -74,6 +74,7 @@ EVENT_OPS = [
     agg.agg_linreg,  # decimal sufficient-sum OLS — exact path
     agg.agg_benford,  # integer digit counts + pinned literals
     agg.agg_overlap_matrix,  # bitmap-word AND/popcount — all integer
+    agg.agg_ks_test,  # integer CDF cross-multiplication — exact
 ]
 
 DOC_OPS = [

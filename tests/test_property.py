@@ -1167,3 +1167,41 @@ def test_benford_frequencies_are_a_distribution(spark):
     for t, rs in by_type.items():
         assert sum(r.n_d for r in rs) == rs[0].n
         assert {r.digit for r in rs} <= set(range(1, 10))
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    xs=st.lists(st.integers(1, 40), min_size=1, max_size=30),
+    ys=st.lists(st.integers(1, 40), min_size=1, max_size=30),
+)
+def test_ks_test_matches_bruteforce(spark, xs, ys):
+    """Law: agg_ks_test's d_num equals the brute-force sup of
+    |F_a(v)·n_a·n_b − F_b(v)·n_a·n_b| over all pooled values, and
+    d = d_num/(n_a·n_b) to the 1e-6 rounding."""
+    from kdb_spark.analytics import aggregations as agg
+
+    rows = [
+        (i, 1, "a", 1_000_000 * i, c / 100.0) for i, c in enumerate(xs)
+    ] + [
+        (10_000 + i, 1, "b", 1_000_000 * i, c / 100.0)
+        for i, c in enumerate(ys)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts_us long, value double"
+    )
+    [r] = agg.agg_ks_test(df).collect()
+    na, nb = len(xs), len(ys)
+    want = max(
+        abs(
+            sum(1 for x in xs if x <= v) * nb
+            - sum(1 for y in ys if y <= v) * na
+        )
+        for v in set(xs) | set(ys)
+    )
+    assert (r.type_a, r.type_b, r.n_a, r.n_b) == ("a", "b", na, nb)
+    assert r.d_num == want
+    assert abs(r.d - want / (na * nb)) <= 0.50001e-6
