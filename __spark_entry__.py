@@ -755,30 +755,60 @@ _reg(
     """,
 )
 
-# Finite-horizon EWMA: the oracle's lag chain is generated from the SAME
-# weight literals the engine uses (windows.ewma_weights), so the
-# left-associated weighted sums are bit-identical cross-engine.
-_EWMA_NUM = " + ".join(
-    f"coalesce(lag(value, {k}) OVER w, 0.0) * {wk!r}"
-    for k, wk in enumerate(wn.ewma_weights())
-)
-# CAST: DuckDB types bare literals DECIMAL — see _ewma_sql's den note
-_EWMA_DEN = " + ".join(
-    f"(CASE WHEN lag(value, {k}) OVER w IS NOT NULL"
-    f" THEN CAST({wk!r} AS DOUBLE) ELSE 0.0 END)"
-    for k, wk in enumerate(wn.ewma_weights())
-)
+# Finite-horizon EWMA, r10 parity contract: the oracle's lag chain is
+# generated from the SAME integer weight literals the engine uses
+# (windows.ewma_weights_int), folded in HUGEINT — exact, order-independent
+# — and the round(6) is a sign-aware integer floor-division, never a
+# double round() (the r9 win_macd half-boundary failure mode).
+
+
+def _ewma_int_sql(col: str, alpha: float, win: str = "w") -> tuple[str, str]:
+    """(numerator, denominator) HUGEINT lag-chain SQL over integer column
+    ``col``, from the SAME ewma_weights_int literals as the Spark side."""
+    num = " + ".join(
+        f"coalesce(lag({col}, {k}) OVER {win}, 0) * {wk}::HUGEINT"
+        for k, wk in enumerate(wn.ewma_weights_int(alpha))
+    )
+    den = " + ".join(
+        f"(CASE WHEN lag({col}, {k}) OVER {win} IS NOT NULL"
+        f" THEN {wk}::HUGEINT ELSE 0::HUGEINT END)"
+        for k, wk in enumerate(wn.ewma_weights_int(alpha))
+    )
+    return num, den
+
+
+def _idiv6_sql(num: str, den: str) -> str:
+    """round(num/den, 6) in integer space — the DuckDB mirror of the
+    engine's windows._iround6 (sign-aware half-away-from-zero //)."""
+    return (
+        f"CAST((CASE WHEN ({num}) < 0 THEN -1 ELSE 1 END)"
+        f" * ((2000000 * abs({num}) + ({den})) // (2 * ({den})))"
+        f" AS DOUBLE) / 1e6"
+    )
+
+
+_EWMA_NUM, _EWMA_DEN = _ewma_int_sql("xc", wn.EWMA_ALPHA)
+
+_EWMA_ORACLE = f"""
+    WITH t AS (
+      SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+             CAST(round(value * 100) AS BIGINT) AS xc
+      FROM events),
+    e AS (
+      SELECT event_id, user_id, event_type,
+             ({_EWMA_NUM}) AS num, ({_EWMA_DEN}) AS den
+      FROM t
+      WINDOW w AS (PARTITION BY user_id, event_type
+                   ORDER BY ts_us, event_id))
+    SELECT event_id, user_id, event_type,
+           {_idiv6_sql("num", "100 * den")} AS ewma
+    FROM e
+    """
 
 _reg(
     "win_ewma",
     lambda s, d: wn.win_ewma(events_us(s, d)),
-    f"""
-    SELECT event_id, user_id, event_type,
-           round(({_EWMA_NUM}) / ({_EWMA_DEN}), 6) AS ewma
-    FROM events
-    WINDOW w AS (PARTITION BY user_id, event_type
-                 ORDER BY epoch_us(ts), event_id)
-    """,
+    _EWMA_ORACLE,
 )
 
 _reg(
@@ -1537,18 +1567,12 @@ _reg(
 )
 
 # The bounded 16-row horizon of win_ewma is what makes its streaming port
-# O(1) state per series; the oracle is the SAME lag chain the batch op uses
-# (the stateful body reproduces its addition order bit-for-bit).
+# O(1) state per series; the oracle is the SAME integer lag chain the batch
+# op uses (the stateful body reproduces the exact int64 fold + DIV round).
 _reg(
     "stream_ewma",
     sm.stream_ewma,
-    f"""
-    SELECT event_id, user_id, event_type,
-           round(({_EWMA_NUM}) / ({_EWMA_DEN}), 6) AS ewma
-    FROM events
-    WINDOW w AS (PARTITION BY user_id, event_type
-                 ORDER BY epoch_us(ts), event_id)
-    """,
+    _EWMA_ORACLE,
 )
 
 # win_zscore's bounded frame ports to streaming the same way win_ewma's
@@ -3864,41 +3888,49 @@ _reg(
 )
 
 
-def _ewma_sql(col: str, alpha: float, win: str = "w") -> str:
-    """DuckDB EWMA lag chain from the SAME ewma_weights float literals as
-    the Spark side (win_macd's _ewma_expr)."""
-    num = " + ".join(
-        f"coalesce(lag({col}, {k}) OVER {win}, 0.0) * {wk!r}"
-        for k, wk in enumerate(wn.ewma_weights(alpha))
-    )
-    # CAST: DuckDB types bare numeric literals as DECIMAL and would sum
-    # the all-literal denominator exactly instead of chaining doubles —
-    # a 1-ulp divergence from the Spark fold (surfaced on macd's
-    # second-pass half-boundaries)
-    den = " + ".join(
-        f"(CASE WHEN lag({col}, {k}) OVER {win} IS NOT NULL"
-        f" THEN CAST({wk!r} AS DOUBLE) ELSE 0.0 END)"
-        for k, wk in enumerate(wn.ewma_weights(alpha))
-    )
-    return f"(0.0 + {num}) / (0.0 + {den})"
-
+_MACD_NF, _MACD_FD = _ewma_int_sql("xc", 0.4)
+_MACD_NS, _MACD_SD = _ewma_int_sql("xc", 0.15)
+_MACD_N2, _MACD_D2 = _ewma_int_sql("macd_e8", 0.4)
 
 _reg(
     "win_macd",
     lambda s, d: wn.win_macd(events_us(s, d)),
+    # exact mirror of the engine's r10 contract: integer-weight cent folds,
+    # macd line quantized once to a 1e-8 grid by sign-aware //, signal EWMA
+    # over those exact bigints, integer round(6) at the output
     f"""
-    WITH m AS (
+    WITH t AS (
       SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
-             {_ewma_sql("value", 0.4)} - {_ewma_sql("value", 0.15)} AS macd
-      FROM events
+             CAST(round(value * 100) AS BIGINT) AS xc
+      FROM events),
+    e AS (
+      SELECT event_id, user_id, event_type, ts_us,
+             ({_MACD_NF}) AS nf, ({_MACD_FD}) AS fd,
+             ({_MACD_NS}) AS ns, ({_MACD_SD}) AS sd
+      FROM t
       WINDOW w AS (PARTITION BY user_id, event_type
-                   ORDER BY epoch_us(ts), event_id))
+                   ORDER BY ts_us, event_id)),
+    m AS (
+      SELECT event_id, user_id, event_type, ts_us,
+             nf * sd - ns * fd AS mn, 100 * fd * sd AS md
+      FROM e),
+    q AS (
+      SELECT event_id, user_id, event_type, ts_us,
+             (CASE WHEN mn < 0 THEN -1 ELSE 1 END)
+               * ((200000000 * abs(mn) + md) // (2 * md)) AS macd_e8
+      FROM m),
+    s AS (
+      SELECT event_id, user_id, event_type, macd_e8,
+             ({_MACD_N2}) AS n2, ({_MACD_D2}) AS d2
+      FROM q
+      WINDOW w AS (PARTITION BY user_id, event_type
+                   ORDER BY ts_us, event_id))
     SELECT event_id, user_id, event_type,
-           round(macd, 6) AS macd,
-           round({_ewma_sql("macd", 0.4)}, 6) AS signal,
-           round(macd - ({_ewma_sql("macd", 0.4)}), 6) AS hist
-    FROM m
-    WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts_us, event_id)
+           CAST((CASE WHEN macd_e8 < 0 THEN -1 ELSE 1 END)
+                * ((2 * abs(macd_e8) + 100) // 200) AS DOUBLE) / 1e6 AS macd,
+           {_idiv6_sql("n2", "100000000 * d2")} AS signal,
+           {_idiv6_sql("macd_e8 * d2 - n2", "100000000 * d2")} AS hist
+    FROM s
     """,
 )
 
@@ -4198,6 +4230,11 @@ _reg(
 )
 
 
+# typical carried as the 3x-scaled bigint hc+lc+cc; mult=2.0 enters as the
+# integer 3*round(2.0*1000) = 6000 — the engine's exact r10 contract
+_KELT_NT, _KELT_DT = _ewma_int_sql("t3", 0.25)
+_KELT_NR, _ = _ewma_int_sql("rngc", 0.25)
+
 _reg(
     "win_keltner",
     lambda s, d: wn.win_keltner(events_us(s, d)),
@@ -4205,22 +4242,25 @@ _reg(
     WITH bars AS (
       SELECT event_type,
              epoch_us(ts) - epoch_us(ts) % 3600000000 AS hour_us,
-             max(value) AS high, min(value) AS low,
-             last(value ORDER BY epoch_us(ts), event_id) AS close
+             CAST(round(max(value) * 100) AS BIGINT) AS hc,
+             CAST(round(min(value) * 100) AS BIGINT) AS lc,
+             CAST(round(last(value ORDER BY epoch_us(ts), event_id) * 100)
+                  AS BIGINT) AS cc
       FROM events GROUP BY 1, 2),
     t AS (
       SELECT event_type, hour_us,
-             (high + low + close) / 3.0 AS typical,
-             high - low AS rng
-      FROM bars)
+             hc + lc + cc AS t3, hc - lc AS rngc
+      FROM bars),
+    e AS (
+      SELECT event_type, hour_us,
+             ({_KELT_NT}) AS nt, ({_KELT_NR}) AS nr, ({_KELT_DT}) AS dt
+      FROM t
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour_us))
     SELECT event_type, hour_us,
-           round({_ewma_sql("typical", 0.25)}, 6) AS middle,
-           round(({_ewma_sql("typical", 0.25)})
-                 + 2.0 * ({_ewma_sql("rng", 0.25)}), 6) AS upper,
-           round(({_ewma_sql("typical", 0.25)})
-                 - 2.0 * ({_ewma_sql("rng", 0.25)}), 6) AS lower
-    FROM t
-    WINDOW w AS (PARTITION BY event_type ORDER BY hour_us)
+           {_idiv6_sql("nt", "300 * dt")} AS middle,
+           {_idiv6_sql("1000 * nt + 6000 * nr", "300000 * dt")} AS upper,
+           {_idiv6_sql("1000 * nt - 6000 * nr", "300000 * dt")} AS lower
+    FROM e
     """,
 )
 

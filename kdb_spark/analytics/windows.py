@@ -328,36 +328,86 @@ EWMA_H = 16
 
 
 def ewma_weights(alpha: float = EWMA_ALPHA, h: int = EWMA_H) -> list[float]:
-    """Geometric lag weights w_k = alpha*(1-alpha)^k, k = 0..h-1.
+    """Geometric lag weights w_k = alpha*(1-alpha)^k, k = 0..h-1, as floats.
 
-    Exposed so the oracle SQL is generated from the SAME float literals —
-    identical IEEE doubles on both engines make the left-associated
-    weighted sum bit-deterministic cross-engine.
+    Kept for reference-value computation in tests; the ENGINE contract is
+    `ewma_weights_int` — a chained float fold plus a double round(6) is the
+    cross-engine half-boundary trap the r9 driver surfaced on win_macd.
     """
     return [alpha * (1.0 - alpha) ** k for k in range(h)]
+
+
+# Weight quantization grid. The EWMA family's operator DEFINITION is the
+# integer weights W_k = round(w_k·10^6): every fold is then exact integer
+# arithmetic (order-independent, engine-exact), and output rounding is a
+# sign-aware integer DIV — no double ever rounds at a decimal boundary.
+# 10^6 (not 10^12) keeps the streaming port's numpy fold inside int64:
+# 2e6·Σ(W_k·cents) ≤ 2e6·10^6·max_cents ≈ 1e17 < 2^63.
+EWMA_GRID = 10**6
+
+
+def ewma_weights_int(alpha: float = EWMA_ALPHA, h: int = EWMA_H) -> list[int]:
+    """Integer lag weights W_k = round(alpha·(1-alpha)^k · EWMA_GRID).
+
+    Exposed so the oracle SQL is generated from the SAME integer literals;
+    integer sums/products are exact on both engines, so the EWMA ratio is
+    a single exact rational — bit-deterministic everywhere.
+    """
+    return [round(alpha * (1.0 - alpha) ** k * EWMA_GRID) for k in range(h)]
+
+
+def _ewma_terms(col, alpha: float, w) -> tuple[F.Column, F.Column]:
+    """Exact EWMA numerator/denominator of integer column ``col`` over
+    window spec ``w``: num = Σ W_k·x_{t-k} in decimal(38,0), den = Σ W_k
+    over the lags that exist (series heads renormalize, as before). All
+    lags share ONE window spec → a single Window physical node.
+    """
+    num = F.lit(0).cast("decimal(38,0)")
+    den = F.lit(0).cast("long")
+    for k, wk in enumerate(ewma_weights_int(alpha)):
+        lk = F.lag(col, k).over(w)
+        num = num + F.coalesce(lk, F.lit(0)).cast("decimal(38,0)") * F.lit(wk)
+        den = den + F.when(lk.isNotNull(), F.lit(wk)).otherwise(F.lit(0))
+    return num, den
+
+
+def _iround6(num_sql: str, den_sql: str) -> F.Column:
+    """round(num/den, 6) computed ENTIRELY in integer space — sign-aware
+    half-away-from-zero via DIV on decimal(38,0) (the agg_linreg device),
+    then one exact cast to double. ``num_sql``/``den_sql`` are SQL
+    fragments; den must be > 0."""
+    return F.expr(
+        f"(CASE WHEN ({num_sql}) < 0 THEN -1 ELSE 1 END)"
+        f" * CAST((2000000 * abs({num_sql}) + ({den_sql}))"
+        f"        DIV (2 * ({den_sql})) AS BIGINT)"
+    ).cast("double") / F.lit(1e6)
 
 
 def win_ewma(events: DataFrame) -> DataFrame:
     """Exponentially weighted moving average per (user, event_type) series.
 
-    Finite-horizon normalized EWMA: sum_k w_k·x_{t-k} / sum_k w_k over the
+    Finite-horizon normalized EWMA: sum_k W_k·x_{t-k} / sum_k W_k over the
     lags that exist (series heads renormalize instead of biasing toward 0).
     Built as an explicit lag chain — 16 `lag()` calls over ONE window spec
     compile to a single window physical node, then a map-only arithmetic
     fold; no second shuffle, no UDF.
+
+    Parity-hardened (r10): the fold runs over exact bigint cents with the
+    integer weights of `ewma_weights_int`, and round(6) is a sign-aware
+    integer DIV — the value is one exact rational on both engines, so the
+    driver's DuckDB can never disagree on a half boundary (the win_macd
+    r9 failure mode).
     """
     w = Window.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
-    lags = [F.lag("value", k).over(w) for k in range(EWMA_H)]
-    num = F.lit(0.0)
-    den = F.lit(0.0)
-    for wk, lk in zip(ewma_weights(), lags):
-        num = num + F.coalesce(lk, F.lit(0.0)) * F.lit(wk)
-        den = den + F.when(lk.isNotNull(), F.lit(wk)).otherwise(F.lit(0.0))
-    return events.select(
+    num, den = _ewma_terms(cents("value"), EWMA_ALPHA, w)
+    t = events.select(
+        "event_id", "user_id", "event_type", num.alias("n1"), den.alias("d1")
+    )
+    return t.select(
         "event_id",
         "user_id",
         "event_type",
-        F.round(num / den, 6).alias("ewma"),
+        _iround6("n1", "100 * CAST(d1 AS DECIMAL(38,0))").alias("ewma"),
     )
 
 
@@ -680,20 +730,6 @@ def win_donchian(events: DataFrame, k: int = 19) -> DataFrame:
     )
 
 
-def _ewma_expr(col: str, alpha: float, w) -> F.Column:
-    """Finite-horizon normalized EWMA of ``col`` over window spec ``w`` —
-    the left-associated lag-chain device of `win_ewma`, parameterized by
-    alpha so MACD's three smoothings share one definition (and the oracle
-    generates its SQL from the SAME float literals via ewma_weights)."""
-    num = F.lit(0.0)
-    den = F.lit(0.0)
-    for k, wk in enumerate(ewma_weights(alpha)):
-        lk = F.lag(col, k).over(w)
-        num = num + F.coalesce(lk, F.lit(0.0)) * F.lit(wk)
-        den = den + F.when(lk.isNotNull(), F.lit(wk)).otherwise(F.lit(0.0))
-    return num / den
-
-
 def win_macd(
     events: DataFrame,
     fast: float = 0.4,
@@ -709,23 +745,59 @@ def win_macd(
     window passes over the SAME partitioning+ordering: Catalyst plans ONE
     Exchange with two Window nodes — the macd line must materialize before
     its own EWMA can lag over it (a window over a window is inexpressible
-    in one frame). All smoothings are left-associated sums of identical
-    IEEE literals on both engines (the ewma_weights contract); round(6)
-    only at the output, from the same unrounded intermediates.
+    in one frame).
+
+    Parity contract (r10, closing the r9 driver hash-FAIL): the macd line
+    is the exact rational (nf·ds − ns·df)/(100·df·ds) over integer-weight
+    cent folds, quantized ONCE to a 10^-8 grid by sign-aware integer DIV;
+    the signal EWMA then folds those exact bigints. Every number either
+    engine rounds is an integer ratio — no chained-double half-boundary
+    can flip a round(6) between Spark and DuckDB.
     """
     w = Window.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
-    macd = _ewma_expr("value", fast, w) - _ewma_expr("value", slow, w)
+    xc = cents("value")
+    nf, fden = _ewma_terms(xc, fast, w)
+    ns, sden = _ewma_terms(xc, slow, w)
     m = events.select(
-        "event_id", "user_id", "event_type", "ts_us", macd.alias("macd")
-    )
-    signal = _ewma_expr("macd", sig, w)
-    return m.select(
         "event_id",
         "user_id",
         "event_type",
-        F.round("macd", 6).alias("macd"),
-        F.round(signal, 6).alias("signal"),
-        F.round(F.col("macd") - signal, 6).alias("hist"),
+        "ts_us",
+        (
+            nf * sden.cast("decimal(38,0)") - ns * fden.cast("decimal(38,0)")
+        ).alias("mn"),
+        (
+            F.lit(100).cast("decimal(38,0)")
+            * fden.cast("decimal(38,0)")
+            * sden.cast("decimal(38,0)")
+        ).alias("md"),
+    ).withColumn(
+        "macd_e8",
+        F.expr(
+            "(CASE WHEN mn < 0 THEN -1 ELSE 1 END)"
+            " * CAST((200000000 * abs(mn) + md) DIV (2 * md) AS BIGINT)"
+        ),
+    )
+    n2, d2 = _ewma_terms(F.col("macd_e8"), sig, w)
+    t = m.select(
+        "event_id", "user_id", "event_type", "macd_e8",
+        n2.alias("n2"), d2.alias("d2"),
+    )
+    sig_den = "100000000 * CAST(d2 AS DECIMAL(38,0))"
+    hist_num = "(CAST(macd_e8 AS DECIMAL(38,0)) * CAST(d2 AS DECIMAL(38,0)) - n2)"
+    return t.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        (
+            F.expr(
+                "(CASE WHEN macd_e8 < 0 THEN -1 ELSE 1 END)"
+                " * CAST((2 * abs(macd_e8) + 100) DIV 200 AS BIGINT)"
+            ).cast("double")
+            / F.lit(1e6)
+        ).alias("macd"),
+        _iround6("n2", sig_den).alias("signal"),
+        _iround6(hist_num, sig_den).alias("hist"),
     )
 
 
@@ -741,9 +813,11 @@ def win_keltner(
     (2) the channel EWMAs run over the |types × hours| bar table with the
     same finite-horizon lag-chain device as win_ewma/win_macd (both
     smoothings share ONE window spec → one window node, no second
-    shuffle). typical/range are arithmetic on exact min/max/max_by picks,
-    so the bar inputs — and therefore the left-associated EWMA folds —
-    are bit-identical cross-engine.
+    shuffle). typical/range are integer cent sums of exact min/max/max_by
+    picks (typical = (h+l+c)/3 carried as the 3×-scaled bigint h+l+c), so
+    the integer-weight EWMA folds and the sign-aware DIV round(6) are
+    engine-exact — the same r10 parity contract as win_ewma/win_macd.
+    ``mult`` participates as the integer round(mult·1000).
     """
     key = F.struct("ts_us", "event_id")
     bars = events.groupBy(
@@ -757,18 +831,28 @@ def win_keltner(
     bars = bars.select(
         "event_type",
         "hour_us",
-        ((F.col("high") + F.col("low") + F.col("close")) / F.lit(3.0)).alias(
-            "typical"
-        ),
-        (F.col("high") - F.col("low")).alias("rng"),
+        (cents("high") + cents("low") + cents("close")).alias("t3"),
+        (cents("high") - cents("low")).alias("rngc"),
     )
     w = Window.partitionBy("event_type").orderBy("hour_us")
-    mid = _ewma_expr("typical", alpha, w)
-    band = _ewma_expr("rng", alpha, w)
-    return bars.select(
+    nt, dt = _ewma_terms(F.col("t3"), alpha, w)
+    nr, _ = _ewma_terms(F.col("rngc"), alpha, w)
+    m3 = 3 * round(mult * 1000)
+    t = bars.select(
+        "event_type", "hour_us",
+        nt.alias("nt"), nr.alias("nr"), dt.alias("dt"),
+    )
+    # middle = nt/(300·dt) dollars; upper/lower = (1000·nt ± 3M·nr)/(300000·dt)
+    return t.select(
         "event_type",
         "hour_us",
-        F.round(mid, 6).alias("middle"),
-        F.round(mid + F.lit(mult) * band, 6).alias("upper"),
-        F.round(mid - F.lit(mult) * band, 6).alias("lower"),
+        _iround6("nt", "300 * CAST(dt AS DECIMAL(38,0))").alias("middle"),
+        _iround6(
+            f"(1000 * nt + {m3} * nr)",
+            "300000 * CAST(dt AS DECIMAL(38,0))",
+        ).alias("upper"),
+        _iround6(
+            f"(1000 * nt - {m3} * nr)",
+            "300000 * CAST(dt AS DECIMAL(38,0))",
+        ).alias("lower"),
     )

@@ -543,14 +543,14 @@ _EWMA_OUT = T.StructType(
     ]
 )
 
-# ring of the last H-1 samples + the late counter; the FINITE horizon of
-# win_ewma is exactly what makes this state bounded (16 doubles per series
-# forever, vs unbounded replay for a textbook recursive EWMA)
+# ring of the last H-1 cent-samples + the late counter; the FINITE horizon
+# of win_ewma is exactly what makes this state bounded (16 bigints per
+# series forever, vs unbounded replay for a textbook recursive EWMA)
 _EWMA_STATE = T.StructType(
     [
         T.StructField("ts_us", T.ArrayType(T.LongType())),
         T.StructField("event_id", T.ArrayType(T.LongType())),
-        T.StructField("value", T.ArrayType(T.DoubleType())),
+        T.StructField("xc", T.ArrayType(T.LongType())),
         T.StructField("n_late", T.LongType()),
     ]
 )
@@ -560,18 +560,18 @@ def _ewma_fn(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     """Emit the finite-horizon EWMA for each on-time row, carrying the last
-    H-1 samples per series across micro-batches.
+    H-1 cent-samples per series across micro-batches.
 
-    Bit-parity with the batch `win_ewma` lag chain: the weighted sum
-    accumulates per lag k in ascending order (num += w_k·x_{i-k}), the
-    exact IEEE addition sequence of the batch expression — so a round-6
-    compare against the batch/oracle output is EXACT, not approximate.
-    Late rows (at-or-before the stored tail) are dropped and counted, the
-    same contract as `_delta_fn`.
+    Bit-parity with the batch `win_ewma` is EXACT by construction (r10):
+    the fold is int64 arithmetic over exact cents with the integer weights
+    of `ewma_weights_int`, and the round(6) is the same sign-aware integer
+    floor-division the batch op compiles — order- and engine-independent,
+    no IEEE addition-sequence caveat at all. Late rows (at-or-before the
+    stored tail) are dropped and counted, the same contract as `_delta_fn`.
     """
-    from kdb_spark.analytics.windows import EWMA_H, ewma_weights
+    from kdb_spark.analytics.windows import EWMA_H, ewma_weights_int
 
-    w = ewma_weights()
+    w = np.asarray(ewma_weights_int(), dtype=np.int64)
     chunks = [c for c in pdfs if len(c)]
     if not chunks:
         return
@@ -580,12 +580,14 @@ def _ewma_fn(
     eid = pdf["event_id"].to_numpy()
     order = np.lexsort((eid, ts))
     ts, eid = ts[order], eid[order]
-    val = pdf["value"].to_numpy()[order]
+    # exact cents — same per-row double→bigint contract as tables.cents()
+    # (values are cents-representable, so rint can never sit on a .5)
+    val = np.rint(pdf["value"].to_numpy()[order] * 100.0).astype(np.int64)
     prev = tuple(state.get) if state.exists else None
     n_late = int(prev[3]) if prev is not None else 0
     h_ts = np.asarray(prev[0], dtype=np.int64) if prev is not None else np.empty(0, np.int64)
     h_eid = np.asarray(prev[1], dtype=np.int64) if prev is not None else np.empty(0, np.int64)
-    h_val = np.asarray(prev[2], dtype=np.float64) if prev is not None else np.empty(0)
+    h_val = np.asarray(prev[2], dtype=np.int64) if prev is not None else np.empty(0, np.int64)
     lo = 0
     if len(h_ts):
         t_tail, e_tail = int(h_ts[-1]), int(h_eid[-1])
@@ -596,7 +598,7 @@ def _ewma_fn(
     new_ts, new_eid, new_val = ts[lo:], eid[lo:], val[lo:]
     full_ts = np.concatenate([h_ts, new_ts])
     full_eid = np.concatenate([h_eid, new_eid])
-    full_val = np.concatenate([h_val, new_val.astype(np.float64)])
+    full_val = np.concatenate([h_val, new_val])
     keep_ts = full_ts[-(EWMA_H - 1):]
     keep_eid = full_eid[-(EWMA_H - 1):]
     keep_val = full_val[-(EWMA_H - 1):]
@@ -604,25 +606,25 @@ def _ewma_fn(
         (
             [int(x) for x in keep_ts],
             [int(x) for x in keep_eid],
-            [float(x) for x in keep_val],
+            [int(x) for x in keep_val],
             n_late,
         )
     )
     if not len(new_val):
         return
     n, off = len(full_val), len(h_val)
-    num = np.zeros(n)
-    den = np.zeros(n)
+    num = np.zeros(n, dtype=np.int64)
+    den = np.zeros(n, dtype=np.int64)
     for k in range(EWMA_H):
-        # shift the series by k: x_{i-k} contributes w_k where it exists —
-        # accumulated in ascending k, the batch chain's addition order
+        # shift the series by k: x_{i-k} contributes W_k where it exists
         if k < n:
             num[k:] += w[k] * full_val[: n - k]
             den[k:] += w[k]
-    # raw quotient only — the round(·, 6) happens JVM-side in
-    # stream_ewma, with the same BigDecimal semantics as the batch op
-    # (np.round's scale-multiply is inexact near decimal boundaries)
-    ewma = num[off:] / den[off:]
+    # sign-aware half-away-from-zero round(num/(100·den), 6) in int64 —
+    # identical to the batch _iround6 DIV (all values fit: 2e6·num ≲ 1e17)
+    nn, dd = num[off:], den[off:]
+    e6 = np.sign(nn) * ((2_000_000 * np.abs(nn) + 100 * dd) // (200 * dd))
+    ewma = e6 / 1e6
     uid = pdf["user_id"].to_numpy()[order][lo:]
     etype = pdf["event_type"].to_numpy()[order][lo:]
     yield pd.DataFrame(
@@ -660,7 +662,7 @@ def stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _drain(out, "append", partitions=16).select(
-        "event_id", "user_id", "event_type", F.round("ewma", 6).alias("ewma")
+        "event_id", "user_id", "event_type", "ewma"
     )
 
 

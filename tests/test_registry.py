@@ -18,12 +18,12 @@ import __spark_entry__ as entry
 REPO = os.path.dirname(os.path.abspath(entry.__file__))
 
 
-def _history() -> dict[str, int]:
+def _history(root: str = REPO) -> dict[str, int]:
     """Pass-only history, mirroring __spark_entry__._driver_check_history:
     a FAILED row does not count as checked (the key must stay in the
     window), so only green rows advance a key's last-checked round."""
     last: dict[str, int] = {}
-    for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
         rnd = int(path.rsplit("_r", 1)[1].split(".")[0])
         rows = json.load(open(path))
         for k, row in rows.items():
@@ -38,8 +38,14 @@ def _history() -> dict[str, int]:
 def test_failed_rows_do_not_count_as_checked():
     """sort_series failed its r4 row (environment dtype incident) after
     passing r2/r3 — the rotation must treat its last CHECK as r3, keeping
-    regression-prone keys from aging out of the window on a failure."""
-    hist = _history()
+    regression-prone keys from aging out of the window on a failure.
+
+    Runs against FROZEN copies of the r2-r4 artifacts (tests/fixtures/):
+    the live repo files gain new rows every driver round, so asserting on
+    them made the suite break whenever the driver re-checked the key
+    (r9 incident — sort_series passed again and the r3 pin went stale)."""
+    fixtures = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures")
+    hist = _history(fixtures)
     assert hist.get("sort_series") == 3
 
 

@@ -264,13 +264,15 @@ def test_stream_ewma_carries_history_and_drops_late(spark, tmp_path):
     got = {r.event_id: r.ewma for r in sm._drain(out, "append").collect()}
     w = ewma_weights()
     assert set(got) == {0, 1, 3}  # late eid=2 never emitted
+    # the stream now emits the FINAL round-6 integer-exact value (the
+    # batch _iround6 contract), so compare against round(·, 6)
     assert got[0] == pytest.approx(10.0, abs=1e-9)
     e1 = (w[0] * 20.0 + w[1] * 10.0) / (w[0] + w[1])
-    assert got[1] == pytest.approx(e1, abs=1e-9)
+    assert got[1] == pytest.approx(round(e1, 6), abs=1e-6)
     # eid=3 must smooth over BOTH batch-1 samples carried in state (and
     # must NOT include the dropped late row)
     e3 = (w[0] * 40.0 + w[1] * 20.0 + w[2] * 10.0) / (w[0] + w[1] + w[2])
-    assert got[3] == pytest.approx(e3, abs=1e-9)
+    assert got[3] == pytest.approx(round(e3, 6), abs=1e-6)
 
 
 def test_stream_zscore_equals_batch_window(spark):
