@@ -3590,20 +3590,22 @@ _reg(
     "agg_vwap",
     lambda s, d: agg.agg_vwap(events_us(s, d)),
     """
-    SELECT user_id, event_type,
-           CAST(count(*) AS BIGINT) AS n_ticks,
-           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
-                AS BIGINT) AS volume,
-           CASE WHEN sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) > 0
-                THEN round(
-                  CAST(sum(CAST(round(value * 100) AS BIGINT)
-                           * CAST(json_extract_string(props, '$.k') AS BIGINT))
-                       AS DOUBLE)
-                  / CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
-                         AS DOUBLE), 4)
+    WITH g AS (
+      SELECT user_id, event_type,
+             CAST(count(*) AS BIGINT) AS n_ticks,
+             CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                  AS BIGINT) AS volume,
+             sum(CAST(round(value * 100) AS HUGEINT)
+                 * CAST(json_extract_string(props, '$.k') AS BIGINT)) AS vnum
+      FROM events
+      GROUP BY user_id, event_type)
+    SELECT user_id, event_type, n_ticks, volume,
+           CASE WHEN volume > 0 THEN
+             CAST((CASE WHEN vnum < 0 THEN -1 ELSE 1 END)
+                  * ((20000 * abs(vnum) + volume)
+                     // (2 * CAST(volume AS HUGEINT))) AS DOUBLE) / 1e4
            END AS vwap_c
-    FROM events
-    GROUP BY user_id, event_type
+    FROM g
     """,
 )
 
@@ -3660,8 +3662,10 @@ _reg(
            CAST(hi_c AS DOUBLE) / 100.0 AS hi,
            CAST(lo_c AS DOUBLE) / 100.0 AS lo,
            CASE WHEN hi_c > lo_c
-                THEN round(CAST(c - lo_c AS DOUBLE)
-                           / CAST(hi_c - lo_c AS DOUBLE), 6)
+                THEN CAST((2000000 * CAST(c - lo_c AS HUGEINT)
+                           + (hi_c - lo_c))
+                          // (2 * CAST(hi_c - lo_c AS HUGEINT))
+                          AS DOUBLE) / 1e6
            END AS chan_pos
     FROM (
       SELECT event_id, user_id, event_type, value,
@@ -4526,7 +4530,8 @@ _reg(
       LEFT JOIN counts cb ON cb.t = s.type_b AND cb.v = s.v),
     cum AS (
       SELECT type_a, type_b, n_a, n_b,
-             sum(c_a) OVER w * n_b - sum(c_b) OVER w * n_a AS diff
+             CAST(sum(c_a) OVER w AS HUGEINT) * n_b
+               - CAST(sum(c_b) OVER w AS HUGEINT) * n_a AS diff
       FROM j
       WINDOW w AS (PARTITION BY type_a, type_b ORDER BY v
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),

@@ -957,24 +957,36 @@ def agg_vwap(events: DataFrame) -> DataFrame:
     the engine's semi-structured column, extracted JVM-side with
     `get_json_object`, never a Python UDF). Exactness follows agg_twap:
     cents cast to decimal(38,0) BEFORE the multiply so cents×volume can
-    never overflow long under ANSI, the numerator sums in decimal, and one
-    double division ends the pipeline (round 4). Zero-volume series (all
-    k=0) emit null rather than a divide error. ONE series-key hash-agg
-    shuffle — partial aggregation map-side; at 100 TB the JSON extraction
-    fuses into the scan stage.
+    never overflow long under ANSI, and the numerator sums in decimal.
+    round(4) happens in INTEGER space (sign-aware half-away-from-zero
+    DIV, the agg_linreg device) — a double round() on the exact integer
+    ratio is the cross-engine half-boundary trap, live here once total
+    volume reaches ~2e4 (ADVICE r9). Zero-volume series (all k=0) emit
+    null rather than a divide error. ONE series-key hash-agg shuffle —
+    partial aggregation map-side; at 100 TB the JSON extraction fuses
+    into the scan stage.
     """
     k = F.get_json_object("props", "$.k").cast("long")
     c = cents("value")
-    return events.groupBy("user_id", "event_type").agg(
+    g = events.groupBy("user_id", "event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_ticks"),
         F.sum(k).cast("long").alias("volume"),
+        F.sum(c.cast("decimal(38,0)") * k).alias("vnum"),
+    )
+    return g.select(
+        "user_id",
+        "event_type",
+        "n_ticks",
+        "volume",
         F.when(
-            F.sum(k) > 0,
-            F.round(
-                F.sum(c.cast("decimal(38,0)") * k).cast("double")
-                / F.sum(k).cast("double"),
-                4,
-            ),
+            F.col("volume") > 0,
+            F.expr(
+                "(CASE WHEN vnum < 0 THEN -1 ELSE 1 END)"
+                " * CAST((20000 * abs(vnum)"
+                "         + CAST(volume AS DECIMAL(38,0)))"
+                "        DIV (2 * CAST(volume AS DECIMAL(38,0))) AS BIGINT)"
+            ).cast("double")
+            / F.lit(1e4),
         ).alias("vwap_c"),
     )
 
@@ -1796,14 +1808,21 @@ def agg_ks_test(events: DataFrame) -> DataFrame:
         .orderBy("v")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # cross-products widened to decimal(38,0) BEFORE the multiply: in
+    # long, cum_a·n_b overflows int64 once both sides hold ~3e9+ rows and
+    # the query errors under ANSI (ADVICE r9). The d statistic is then
+    # exact at any corpus scale; only the diagnostic d_num column keeps a
+    # bigint ceiling (|diff| ≤ n_a·n_b must fit 9.2e18 to surface it).
     cum = j.select(
         "type_a",
         "type_b",
         "n_a",
         "n_b",
         (
-            F.sum("c_a").over(w) * F.col("n_b")
-            - F.sum("c_b").over(w) * F.col("n_a")
+            F.sum("c_a").over(w).cast("decimal(38,0)")
+            * F.col("n_b").cast("decimal(38,0)")
+            - F.sum("c_b").over(w).cast("decimal(38,0)")
+            * F.col("n_a").cast("decimal(38,0)")
         ).alias("diff"),
     )
     g = cum.groupBy("type_a", "type_b").agg(

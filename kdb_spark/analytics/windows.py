@@ -703,8 +703,11 @@ def win_donchian(events: DataFrame, k: int = 19) -> DataFrame:
     Same single series-key window shuffle as every win_* op; ONE frame
     buffer serves both extremes. The channel bounds are exact cents
     integers (min/max of stored values, no accumulation at all), so
-    hi/lo are engine-exact; the position is a single int/int division
-    (round 6), null when the channel is flat (hi = lo) — a 0/0 there
+    hi/lo are engine-exact; the position is the exact integer ratio
+    (c−lo)/(hi−lo) rounded to 6 dp IN INTEGER SPACE (half-up DIV on
+    decimal — a double round() on an exact ratio is the cross-engine
+    half-boundary trap; numerator is never negative since lo is the
+    frame min). Null when the channel is flat (hi = lo) — a 0/0 there
     would be an ANSI runtime error, and flat channels are common at
     series heads.
     """
@@ -716,16 +719,31 @@ def win_donchian(events: DataFrame, k: int = 19) -> DataFrame:
     c = cents("value")
     hi = F.max(c).over(w)
     lo = F.min(c).over(w)
-    return events.select(
+    t = events.select(
         "event_id",
         "user_id",
         "event_type",
         "value",
-        (hi.cast("double") / 100.0).alias("hi"),
-        (lo.cast("double") / 100.0).alias("lo"),
+        c.alias("c"),
+        hi.alias("hi_c"),
+        lo.alias("lo_c"),
+    )
+    return t.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        (F.col("hi_c").cast("double") / 100.0).alias("hi"),
+        (F.col("lo_c").cast("double") / 100.0).alias("lo"),
         F.when(
-            hi > lo,
-            F.round((c - lo).cast("double") / (hi - lo).cast("double"), 6),
+            F.col("hi_c") > F.col("lo_c"),
+            F.expr(
+                "CAST((2000000 * CAST(c - lo_c AS DECIMAL(38,0))"
+                "      + (hi_c - lo_c))"
+                "     DIV (2 * CAST(hi_c - lo_c AS DECIMAL(38,0)))"
+                "     AS BIGINT)"
+            ).cast("double")
+            / F.lit(1e6),
         ).alias("chan_pos"),
     )
 

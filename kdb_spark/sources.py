@@ -577,29 +577,48 @@ def sink_versioned(df: DataFrame, path: str, mode: str = "append") -> int:
     At 100 TB the manifest read replaces the object-store LIST that
     dominates wide-table query planning; manifests grow by one entry per
     commit and compact the same way Delta checkpoints do.
+
+    Concurrency (the Delta protocol's shape, ADVICE r9): data lands under
+    a UNIQUE dir name first — two in-flight committers can never clobber
+    each other's files — then the version number is claimed by creating
+    the manifest with O_CREAT|O_EXCL, so exactly one committer wins N
+    (an os.replace would let a second committer silently replace N's
+    manifest and orphan its data dirs). A loser re-reads the log and
+    retries at N+1; its data dir needs no move. Cross-process mutual
+    exclusion needs the filesystem's O_EXCL to be honest (true locally
+    and on NFSv3+; object stores need a put-if-absent, which this local
+    sink stands in for).
     """
     import json
     import os
+    import uuid
 
     log_dir = os.path.join(path, "_log")
     os.makedirs(log_dir, exist_ok=True)
-    versions = sorted(
-        int(f.split(".")[0]) for f in os.listdir(log_dir) if f.endswith(".json")
-    )
-    n = (versions[-1] + 1) if versions else 0
-    rel = f"data/v{n}"
+    rel = os.path.join("data", uuid.uuid4().hex[:12])
     df.write.mode("overwrite").parquet(os.path.join(path, rel))
-    if mode == "append" and versions:
-        with open(os.path.join(log_dir, f"{versions[-1]}.json")) as fh:
-            dirs = json.load(fh)["dirs"] + [rel]
-    else:
-        dirs = [rel]
-    manifest = os.path.join(log_dir, f"{n}.json")
-    tmp = manifest + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump({"version": n, "mode": mode, "dirs": dirs}, fh)
-    os.replace(tmp, manifest)  # the atomic commit point
-    return n
+    while True:
+        versions = sorted(
+            int(f.split(".")[0])
+            for f in os.listdir(log_dir)
+            if f.endswith(".json")
+        )
+        n = (versions[-1] + 1) if versions else 0
+        if mode == "append" and versions:
+            with open(os.path.join(log_dir, f"{versions[-1]}.json")) as fh:
+                dirs = json.load(fh)["dirs"] + [rel]
+        else:
+            dirs = [rel]
+        try:
+            fd = os.open(
+                os.path.join(log_dir, f"{n}.json"),
+                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+            )
+        except FileExistsError:
+            continue  # lost the race for n — re-list the log, try n+1
+        with os.fdopen(fd, "w") as fh:
+            json.dump({"version": n, "mode": mode, "dirs": dirs}, fh)
+        return n
 
 
 def scan_version(

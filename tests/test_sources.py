@@ -296,6 +296,61 @@ def test_versioned_table_time_travel(spark, tmp_path):
         scan_version(spark, path, 99)
 
 
+def test_versioned_commit_race_retries_next_slot(spark, tmp_path):
+    """Two committers picking the same version N: data dirs are unique so
+    in-flight writers never clobber each other, and the manifest's
+    O_CREAT|O_EXCL makes exactly one win N — the loser retries at N+1 on
+    a refreshed log, so neither manifest is silently replaced and no
+    data dir is orphaned (ADVICE r9)."""
+    import json
+    import os
+
+    from kdb_spark.sources import scan_version, sink_versioned
+
+    path = str(tmp_path / "race")
+    df1 = spark.createDataFrame([(1, "a")], "id long, v string")
+    df2 = spark.createDataFrame([(2, "b")], "id long, v string")
+    sink_versioned(df1, path, mode="overwrite")  # v0
+
+    # simulate a competing committer that claims version 1 between our
+    # log listing and our manifest create: the O_EXCL open of _log/1.json
+    # lands AFTER the competitor's manifest exists → must raise and retry
+    real_open = os.open
+    state = {"fired": False}
+    comp_rel = os.path.join("data", "competitor")
+
+    def racing_open(p, flags, *a, **kw):
+        if str(p).endswith(os.path.join("_log", "1.json")) and not state["fired"]:
+            state["fired"] = True
+            with open(p, "w") as fh:
+                json.dump(
+                    {"version": 1, "mode": "append",
+                     "dirs": [comp_parent, comp_rel]},
+                    fh,
+                )
+        return real_open(p, flags, *a, **kw)
+
+    with open(os.path.join(path, "_log", "0.json")) as fh:
+        comp_parent = json.load(fh)["dirs"][0]
+    df1.write.parquet(os.path.join(path, comp_rel))
+    os.open = racing_open
+    try:
+        n = sink_versioned(df2, path, mode="append")
+    finally:
+        os.open = real_open
+    assert state["fired"] and n == 2
+    # the competitor's v1 manifest survived untouched
+    with open(os.path.join(path, "_log", "1.json")) as fh:
+        assert json.load(fh)["dirs"] == [comp_parent, comp_rel]
+    # our retry re-read the log: v2 = the COMPETITOR's chain + our dir
+    with open(os.path.join(path, "_log", "2.json")) as fh:
+        d2 = json.load(fh)["dirs"]
+    assert d2[:2] == [comp_parent, comp_rel] and len(d2) == 3
+    got = sorted(r.id for r in scan_version(spark, path, 2).collect())
+    assert got == [1, 1, 2]  # v0 rows + competitor's copy + our append
+    assert scan_version(spark, path, 0).count() == 1
+
+
 def test_upsert_replaces_matches_keeps_rest(spark, tmp_path):
     """MERGE semantics: matched keys replaced exactly once, unmatched
     survive, pure inserts append, and the pre-merge snapshot is still
