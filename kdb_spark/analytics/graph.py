@@ -171,6 +171,12 @@ def co_purchase_edges(
     """
     from kdb_spark.llm.dedup import _reused
 
+    # ONE repartition on p serves the whole incidence pipeline: the
+    # (c,p) dedup clusters on a SUPERSET of p (hashpartitioning(p)
+    # satisfies ClusteredDistribution([c,p])), the hub-cap window
+    # partitions by p, and the self-join keys on p — so dedup, cap and
+    # both join sides all reuse this single exchange instead of the
+    # three the r9 plan paid (distinct on (c,p) + window + join).
     incidence = (
         orders.select("o_orderkey", "o_custkey")
         .join(
@@ -178,7 +184,8 @@ def co_purchase_edges(
             F.col("o_orderkey") == F.col("l_orderkey"),
         )
         .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
-        .distinct()
+        .repartition("p")
+        .dropDuplicates(["c", "p"])
     )
     if max_per_part is not None:
         from kdb_spark.analytics import cap_per_group
@@ -222,21 +229,36 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("deg"))
     )
     dg = _reused("tri_deg", deg)
-    with_deg = edges.join(
-        F.broadcast(dg.select(F.col("v").alias("a"), F.col("deg").alias("da"))), "a"
-    ).join(
-        F.broadcast(dg.select(F.col("v").alias("b"), F.col("deg").alias("db"))), "b"
+    # BOTH degree lookups go through ONE broadcast exchange: the two join
+    # sides are the same canonical plan (dg.alias, no per-side projection),
+    # so Spark's ReuseExchange collapses them — the r9 version projected
+    # different column renames per side and built/shipped the broadcast
+    # twice (VERDICT r9 #6)
+    d1, d2 = dg.alias("d1"), dg.alias("d2")
+    with_deg = (
+        edges.join(F.broadcast(d1), F.col("a") == F.col("d1.v"))
+        .join(F.broadcast(d2), F.col("b") == F.col("d2.v"))
+        .select(
+            "a",
+            "b",
+            F.col("d1.deg").alias("da"),
+            F.col("d2.deg").alias("db"),
+        )
     )
     a_first = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
     )
+    # persist oriented PRE-PARTITIONED on src: the wedge self-join keys on
+    # u(=src), so both its sides read the cached partitioning and the join
+    # plans zero exchanges; the closing side's hashpartitioning(src→v)
+    # also satisfies the (v,w) join's clustering by the subset rule
     oriented = _reused(
         "tri_oriented",
         with_deg.select(
             F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
             F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
             F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("ddst"),
-        ),
+        ).repartition("src"),
     )
     e1 = oriented.select(
         F.col("src").alias("u"), F.col("dst").alias("v"), F.col("ddst").alias("dv")

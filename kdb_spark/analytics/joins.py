@@ -301,33 +301,40 @@ def join_asof_forward(events: DataFrame) -> DataFrame:
     the same user at-or-after the click — the time-reversed twin of
     :func:`join_asof` (reaction lookup instead of cause lookup).
 
-    Same union-and-carry shape, mirrored: tag both sides, sort within user
-    by (ts, side) with errors *after* clicks at equal ts (at-or-after
-    includes same-µs errors), and pull the next error value backward with
-    ``first(ignorenulls)`` over [current, unbounded following). One shuffle
-    on user_id; O(n log n) at any scale, no per-probe scan. Errors are
-    pre-deduped per (user, µs) by last event_id so ties are deterministic.
+    Union-and-carry shape, mirrored — in ONE scan (r10; the former
+    two-branch union read events twice and pre-shuffled the error side
+    through a (user, ts) agg, 2× a sub-second baseline): both types come
+    out of a single `isin` filter, sides are tagged map-side, and errors
+    dedupe per (user, µs) to the max event_id purely by WINDOW ORDER —
+    at equal ts, errors sort after clicks (at-or-after includes same-µs
+    errors) and descending event_id among themselves, so the
+    ``first(ignorenulls)`` carry over [current, unbounded following)
+    picks exactly the last-written error value. One scan, one shuffle on
+    user_id; O(n log n) at any scale, no per-probe scan.
     """
-    errors = (
-        events.filter(F.col("event_type") == "error")
-        .groupBy("user_id", "ts_us")
-        .agg(F.max_by("value", "event_id").alias("err_value"))
-        .select("user_id", "ts_us", "err_value", F.lit(2).alias("side"),
-                F.lit(None).cast("long").alias("event_id"))
-    )
-    clicks = events.filter(F.col("event_type") == "click").select(
-        "user_id", "ts_us",
-        F.lit(None).cast("double").alias("err_value"),
-        F.lit(1).alias("side"), "event_id",
+    t = events.filter(F.col("event_type").isin("click", "error")).select(
+        "user_id",
+        "ts_us",
+        "event_id",
+        F.when(F.col("event_type") == "error", F.col("value")).alias(
+            "err_value"
+        ),
+        F.when(F.col("event_type") == "error", F.lit(2))
+        .otherwise(F.lit(1))
+        .alias("side"),
+        # max-event_id error wins ties at equal (user, ts): errors order
+        # by -event_id so the carry's first() sees the last write first
+        F.when(F.col("event_type") == "error", -F.col("event_id"))
+        .otherwise(F.lit(0))
+        .alias("tie"),
     )
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts_us", "side")
+        .orderBy("ts_us", "side", "tie")
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
     return (
-        errors.unionByName(clicks)
-        .withColumn("next_value", F.first("err_value", ignorenulls=True).over(w))
+        t.withColumn("next_value", F.first("err_value", ignorenulls=True).over(w))
         .filter((F.col("side") == 1) & F.col("next_value").isNotNull())
         .select("event_id", "user_id", "next_value")
     )

@@ -24,6 +24,28 @@ def _events(spark, rows):
     return spark.createDataFrame(rows, EV_SCHEMA)
 
 
+# -------------------------------------------------------- join_asof_forward
+
+
+def test_asof_forward_same_us_and_lww_tie(spark):
+    """At-or-after includes a same-µs error; two errors at the SAME (user,
+    ts) resolve to the max event_id (last-write-wins), and a click with no
+    later error is dropped — pinned against the r10 single-scan rewrite."""
+    ev = _events(
+        spark,
+        [
+            (1, 1, "click", 0.0, 100),   # matches same-µs error below
+            (2, 1, "error", 5.0, 100),
+            (3, 1, "click", 0.0, 200),   # next errors at 300: LWW ⇒ eid 5
+            (4, 1, "error", 7.0, 300),
+            (5, 1, "error", 9.0, 300),
+            (6, 1, "click", 0.0, 400),   # no error after ⇒ dropped
+        ],
+    )
+    got = {r.event_id: r.next_value for r in jn.join_asof_forward(ev).collect()}
+    assert got == {1: 5.0, 3: 9.0}
+
+
 # ------------------------------------------------------------- join_nearest
 
 
