@@ -7,8 +7,10 @@ aggregate shuffle sized to |E|, the loop is unrolled driver-side with the
 iteration count fixed (so the whole computation is a single Catalyst plan,
 resumable and AQE-optimizable), and nothing but scalars ever reaches the
 driver. At cluster scale you'd persist `edges`+`deg` once (done here) and
-checkpoint ranks every ~10 rounds to truncate lineage — the 3-round
-analytics default needs no checkpoint.
+checkpoint ranks every ~10 rounds to truncate lineage — pagerank's
+`checkpoint_every` parameter is that knob; the 3-round analytics default
+needs no checkpoint (connected_components checkpoints every round by
+construction — its per-round Observation forces materialization anyway).
 """
 
 from __future__ import annotations
@@ -18,7 +20,10 @@ from pyspark.sql import functions as F
 
 
 def pagerank(
-    edges: DataFrame, iters: int = 3, damping: float = 0.85
+    edges: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+    checkpoint_every: int | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list (`src`, `dst`).
 
@@ -42,6 +47,15 @@ def pagerank(
 
     Ranks are rounded to 9 at the end only: values sit near 1/N, and the
     double-summation noise (~1e-15 relative) is far below the 1e-9 cut.
+
+    ``checkpoint_every``: localCheckpoint the rank table every K rounds,
+    truncating the unrolled lineage — at the 3-round analytics default the
+    single Catalyst plan is the feature (AQE sees the whole loop), but a
+    50-round convergence run would otherwise compound the plan depth (and
+    recovery cost) linearly. localCheckpoint (not checkpoint) because the
+    rank table is |V|-small and reliable-storage persistence buys nothing
+    a re-run wouldn't; on a real cluster with preemptible executors,
+    swap in `spark.sparkContext.setCheckpointDir` + `.checkpoint()`.
     """
     from kdb_spark.llm.dedup import _reused
 
@@ -70,7 +84,7 @@ def pagerank(
     ranks = base.select("v", (F.lit(1.0) / F.col("n")).alias("r"))
     zero_msgs = base.select(F.col("v").alias("dst"), F.lit(0.0).alias("msg"))
     contrib_edges = _reused("pagerank_contrib", edges.join(F.broadcast(deg), "src"))
-    for _ in range(iters):
+    for i in range(iters):
         msgs = (
             contrib_edges
             .join(F.broadcast(ranks.select(F.col("v").alias("src"), "r")), "src")
@@ -86,6 +100,12 @@ def pagerank(
                 (F.lit(1.0 - damping) / F.col("n") + damping * F.col("m")).alias("r"),
             )
         )
+        if (
+            checkpoint_every
+            and (i + 1) % checkpoint_every == 0
+            and (i + 1) < iters
+        ):
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("v", F.round("r", 9).alias("rank")).join(
         deg.select(F.col("src").alias("v"), F.col("deg").cast("long").alias("out_deg")),
         "v",

@@ -751,6 +751,35 @@ def test_pagerank_symmetric_pair_and_star(spark):
     assert sum(r for r, _ in out.values()) == pytest.approx(1.0, abs=1e-6)
 
 
+def test_pagerank_checkpoint_truncates_lineage_same_values(spark):
+    """checkpoint_every=2 over 6 rounds returns values IDENTICAL to the
+    un-checkpointed run (localCheckpoint replays the same doubles) while
+    the result's logical plan no longer embeds the full unrolled loop —
+    the lineage bound that makes a 50-round convergence run plannable."""
+    from kdb_spark.analytics import graph as gr
+    from kdb_spark.llm import dedup as dd
+
+    star = [("h", x) for x in ("l1", "l2", "l3")] + [
+        (x, "h") for x in ("l1", "l2", "l3")
+    ]
+    edges = spark.createDataFrame(star, "src string, dst string")
+    plain_df = gr.pagerank(edges, iters=6)
+    plain = {r.v: r.rank for r in plain_df.collect()}
+    plain_plan = plain_df._jdf.queryExecution().analyzed().toString()
+    # drop the memoized intermediates so both runs build identical plans
+    for k in ("pagerank_edges", "pagerank_contrib", "pagerank_base"):
+        dd._REUSE_CACHE.pop(k, None)
+    ck_df = gr.pagerank(edges, iters=6, checkpoint_every=2)
+    ck = {r.v: r.rank for r in ck_df.collect()}
+    assert ck == plain  # bit-identical, not approx
+    # lineage actually truncated: the checkpointed run's plan hangs off an
+    # RDD scan instead of the full 6-round join/agg chain, and carries
+    # strictly fewer unrolled Aggregate rounds than the plain run
+    ck_plan = ck_df._jdf.queryExecution().analyzed().toString()
+    assert "LogicalRDD" in ck_plan or "ExistingRDD" in ck_plan
+    assert ck_plan.count("Aggregate") < plain_plan.count("Aggregate")
+
+
 def test_trade_graph_symmetrizes_distinct_pairs(spark):
     from kdb_spark.analytics import graph as gr
 
