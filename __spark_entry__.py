@@ -4548,3 +4548,90 @@ _reg(
     FROM g
     """,
 )
+
+
+# chi-square homogeneity between sources over the lang distribution: the
+# categorical drift gate beside agg_ks_test. The oracle replays the SAME
+# deterministic fold — cells from exact HUGEINT cross-products cast once to
+# double, summed in lang order via list(ORDER BY)+list_reduce, mirroring
+# Spark's array_sort+aggregate left fold (0.0+x == x bit-exactly, so the two
+# folds are the identical IEEE addition chain) — and the same
+# floor(x*1e6+0.5) output grid.
+_reg(
+    "agg_chi2_drift",
+    lambda s, d: agg.agg_chi2_drift(load(s, d, "documents")),
+    """
+    WITH counts AS (
+      SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+      FROM documents GROUP BY 1, 2),
+    tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM counts GROUP BY 1),
+    pairs AS (
+      SELECT a.source AS source_a, a.n AS n_a, b.source AS source_b, b.n AS n_b
+      FROM tot a, tot b WHERE a.source < b.source),
+    pl AS (
+      SELECT DISTINCT p.source_a, p.source_b, c.lang
+      FROM pairs p JOIN counts c
+        ON c.source = p.source_a OR c.source = p.source_b),
+    cells AS (
+      SELECT p.source_a, p.source_b, p.n_a, p.n_b, pl.lang,
+             coalesce(ca.c, 0) AS c_a, coalesce(cb.c, 0) AS c_b,
+             coalesce(ca.c, 0) + coalesce(cb.c, 0) AS col_l,
+             p.n_a + p.n_b AS t
+      FROM pairs p
+      JOIN pl ON pl.source_a = p.source_a AND pl.source_b = p.source_b
+      LEFT JOIN counts ca ON ca.source = p.source_a AND ca.lang = pl.lang
+      LEFT JOIN counts cb ON cb.source = p.source_b AND cb.lang = pl.lang),
+    cc AS (
+      SELECT source_a, source_b, n_a, n_b, lang,
+             power(CAST(CAST(c_a AS HUGEINT) * t
+                        - CAST(n_a AS HUGEINT) * col_l AS DOUBLE), 2)
+               / CAST(CAST(n_a AS HUGEINT) * col_l * t AS DOUBLE) AS cell_a,
+             power(CAST(CAST(c_b AS HUGEINT) * t
+                        - CAST(n_b AS HUGEINT) * col_l AS DOUBLE), 2)
+               / CAST(CAST(n_b AS HUGEINT) * col_l * t AS DOUBLE) AS cell_b
+      FROM cells),
+    g AS (
+      SELECT source_a, source_b, max(n_a) AS n_a, max(n_b) AS n_b,
+             CAST(count(*) AS BIGINT) AS n_langs,
+             list_reduce(flatten(list([cell_a, cell_b] ORDER BY lang)),
+                         (x, y) -> x + y) AS chi2_raw
+      FROM cc GROUP BY 1, 2)
+    SELECT source_a, source_b, CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           CAST(n_langs - 1 AS BIGINT) AS dof,
+           CAST(CAST(floor(chi2_raw * 1e6 + 0.5) AS BIGINT) AS DOUBLE) / 1e6
+             AS chi2
+    FROM g
+    """,
+)
+
+
+# per-doc duplicated-passage fraction over dedup_substring's span sample;
+# exact integer ratio, integer-rounded — the curation-facing face of the
+# span registry
+_reg(
+    "text_boilerplate_ratio",
+    lambda s, d: tx.text_boilerplate_ratio(load(s, d, "documents")),
+    """
+    WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+               FROM documents),
+    w AS (SELECT doc_id, array_to_string(toks[i:i+15], ' ') AS span
+          FROM t CROSS JOIN unnest(range(1, len(toks) - 16 + 2)) s(i)
+          WHERE len(toks) >= 16),
+    k AS (SELECT doc_id, span_hash FROM (
+            SELECT doc_id, ('0x' || substr(md5(span), 1, 15))::BIGINT AS span_hash
+            FROM w) WHERE span_hash % 8 = 0),
+    reg AS (SELECT span_hash FROM k GROUP BY 1
+            HAVING count(DISTINCT doc_id) >= 2),
+    j AS (SELECT k.doc_id,
+                 CASE WHEN r.span_hash IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+          FROM k LEFT JOIN reg r USING (span_hash)),
+    g AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                 CAST(sum(is_dup) AS BIGINT) AS n_dup
+          FROM j GROUP BY 1)
+    SELECT doc_id, n_kept, n_dup,
+           CAST((2000000 * n_dup + n_kept) // (2 * n_kept) AS DOUBLE) / 1e6
+             AS boiler_ratio
+    FROM g
+    """,
+)

@@ -1846,3 +1846,113 @@ def agg_ks_test(events: DataFrame) -> DataFrame:
             / F.lit(1.0e6)
         ).alias("d"),
     )
+
+
+def agg_chi2_drift(documents: DataFrame) -> DataFrame:
+    """Pairwise chi-square homogeneity test between sources over the lang
+    distribution — the CATEGORICAL companion to `agg_ks_test` (KS compares
+    numeric CDFs; chi² compares category frequencies), the standard drift
+    gate between a reference corpus and an increment before retraining.
+
+    For each source pair (a < b) and each lang present in the pair, the
+    2×L contingency cells are exact integer counts; expected counts are
+    the exact rationals n_side·col_lang/T. Each cell's (O−E)²/E is then
+    ONE deterministic double — ((O·T − n_side·col)² as a correctly-rounded
+    cast of an exact decimal)/(n_side·col·T) — and the statistic folds
+    those doubles in a FIXED order: collect_list → array_sort by lang →
+    left fold (side a then b inside each lang). The oracle replays the
+    identical fold via list(ORDER BY)+list_reduce, so the sum is
+    bit-deterministic cross-engine with no order-dependent float
+    accumulation anywhere (the agg_ks_test discipline, extended to a
+    genuinely fractional statistic). Output rounds via floor(x·1e6+0.5) —
+    exact on both engines given identical x, unlike a decimal-string
+    half-up round. The fold is over |langs| ≤ a few dozen elements per
+    pair — driver-bounded dimension data, not corpus data.
+
+    Scale shape: ONE fact-sized hash-agg to the (source, lang) count table
+    (dimension-bounded forever after); pairs/cells are |sources|²·|langs|.
+    """
+    counts = documents.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    totals = counts.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    pairs = (
+        totals.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+        .crossJoin(
+            totals.select(
+                F.col("source").alias("source_b"), F.col("n").alias("n_b")
+            )
+        )
+        .where(F.col("source_a") < F.col("source_b"))
+    )
+    ca = counts.select(
+        F.col("source").alias("source_a"), "lang", F.col("c").alias("c_a")
+    )
+    cb = counts.select(
+        F.col("source").alias("source_b"), "lang", F.col("c").alias("c_b")
+    )
+    pair_langs = (
+        pairs.join(ca, "source_a").select("source_a", "source_b", "lang")
+        .unionByName(
+            pairs.join(cb, "source_b").select("source_a", "source_b", "lang")
+        )
+        .distinct()
+    )
+    cells = (
+        pairs.join(pair_langs, ["source_a", "source_b"])
+        .join(ca, ["source_a", "lang"], "left")
+        .join(cb, ["source_b", "lang"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            "lang",
+            F.coalesce("c_a", F.lit(0)).alias("c_a"),
+            F.coalesce("c_b", F.lit(0)).alias("c_b"),
+        )
+        .withColumn("col_l", F.col("c_a") + F.col("c_b"))
+        .withColumn("t", F.col("n_a") + F.col("n_b"))
+    )
+
+    def _cell(o: str, n: str) -> F.Column:
+        num = F.expr(
+            f"CAST({o} AS DECIMAL(38,0)) * t"
+            f" - CAST({n} AS DECIMAL(38,0)) * col_l"
+        ).cast("double")
+        den = F.expr(
+            f"CAST({n} AS DECIMAL(38,0)) * col_l * t"
+        ).cast("double")
+        return num * num / den
+
+    per_pair = cells.select(
+        "source_a",
+        "source_b",
+        "n_a",
+        "n_b",
+        "lang",
+        _cell("c_a", "n_a").alias("cell_a"),
+        _cell("c_b", "n_b").alias("cell_b"),
+    )
+    g = per_pair.groupBy("source_a", "source_b").agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.count(F.lit(1)).cast("long").alias("n_langs"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("lang", "cell_a", "cell_b"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["cell_a"] + x["cell_b"],
+        ).alias("chi2_raw"),
+    )
+    return g.select(
+        "source_a",
+        "source_b",
+        "n_a",
+        "n_b",
+        (F.col("n_langs") - 1).cast("long").alias("dof"),
+        (
+            F.floor(F.col("chi2_raw") * F.lit(1e6) + F.lit(0.5)).cast("long")
+            .cast("double")
+            / F.lit(1e6)
+        ).alias("chi2"),
+    )

@@ -646,29 +646,17 @@ def dedup_simhash(documents: DataFrame, max_hamming: int = 8) -> DataFrame:
     )
 
 
-def dedup_substring(
-    documents: DataFrame, w: int = 16, keep_mod: int = 8, min_docs: int = 2
+def hashed_spans(
+    documents: DataFrame, w: int = 16, keep_mod: int = 8
 ) -> DataFrame:
-    """Repeated-span registry — substring-level dedup (the cross-document
-    duplicated-passage detection of Lee et al.'s "Deduplicating Training
-    Data Makes Language Models Better", restated for Spark: content-
-    selected hashed windows replace the suffix array).
-
-    Every w-token window is hashed (60-bit md5 prefix — engine-portable,
-    unlike xxhash64) and a window is KEPT iff hash % keep_mod == 0.
-    Selection is content-defined, so two copies of a passage select the
-    SAME windows regardless of where the passage sits in each doc — the
-    property a fixed stride lacks (strided windows are phased to the doc
-    start, and two copies at different offsets never align). A duplicated
-    passage of L tokens is detected with P = 1-(1-1/keep_mod)^(L-w+1)
-    (≈ 99.8% at L = 60, w = 16, keep_mod = 8) — the standard Broder
-    fingerprinting trade; lower keep_mod for more recall.
-
-    One hash-aggregate with map-side combine over |tokens|/keep_mod 8-byte
-    keys — the text itself never shuffles. Output is the span registry a
-    removal pass would join against (the shape decontaminate uses).
-    """
-    spans = (
+    """Content-selected hashed w-token windows: (doc_id, span_hash) for
+    every window whose 60-bit md5-prefix hash is ≡ 0 (mod keep_mod).
+    Shared by `dedup_substring` (the cross-doc span registry) and
+    `text_boilerplate_ratio` (per-doc duplicated-passage fraction) — see
+    dedup_substring's docstring for the content-defined-selection
+    rationale (Broder fingerprinting; copies select the SAME windows at
+    any offset, which a fixed stride cannot)."""
+    return (
         documents.select("doc_id", tokens("text").alias("toks"))
         .filter(F.size("toks") >= w)
         .select(
@@ -692,6 +680,31 @@ def dedup_substring(
         )
         .filter(F.col("span_hash") % keep_mod == 0)
     )
+
+
+def dedup_substring(
+    documents: DataFrame, w: int = 16, keep_mod: int = 8, min_docs: int = 2
+) -> DataFrame:
+    """Repeated-span registry — substring-level dedup (the cross-document
+    duplicated-passage detection of Lee et al.'s "Deduplicating Training
+    Data Makes Language Models Better", restated for Spark: content-
+    selected hashed windows replace the suffix array).
+
+    Every w-token window is hashed (60-bit md5 prefix — engine-portable,
+    unlike xxhash64) and a window is KEPT iff hash % keep_mod == 0.
+    Selection is content-defined, so two copies of a passage select the
+    SAME windows regardless of where the passage sits in each doc — the
+    property a fixed stride lacks (strided windows are phased to the doc
+    start, and two copies at different offsets never align). A duplicated
+    passage of L tokens is detected with P = 1-(1-1/keep_mod)^(L-w+1)
+    (≈ 99.8% at L = 60, w = 16, keep_mod = 8) — the standard Broder
+    fingerprinting trade; lower keep_mod for more recall.
+
+    One hash-aggregate with map-side combine over |tokens|/keep_mod 8-byte
+    keys — the text itself never shuffles. Output is the span registry a
+    removal pass would join against (the shape decontaminate uses).
+    """
+    spans = hashed_spans(documents, w, keep_mod)
     return (
         spans.groupBy("span_hash")
         .agg(

@@ -479,3 +479,60 @@ def text_hash_features(documents: DataFrame, n_slots: int = 256) -> DataFrame:
         .groupBy("doc_id", slot.alias("slot"))
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
+
+
+def text_boilerplate_ratio(
+    documents: DataFrame, w: int = 16, keep_mod: int = 8, min_docs: int = 2
+) -> DataFrame:
+    """Per-document duplicated-passage fraction — the filtering score the
+    span registry exists for: what share of a doc's (content-selected)
+    w-token windows also occur in ≥ ``min_docs`` OTHER docs' text. The
+    CCNet/RefinedWeb boilerplate signal, restated for the span machinery
+    `dedup_substring` already defines: a window counts as duplicated when
+    its span_hash occurs in ≥ ``min_docs`` distinct docs corpus-wide
+    (min_docs=2 ⇒ at least one doc besides, possibly, this one). A doc
+    that is mostly duplicated passage gets ratio → 1 and is dropped or
+    downweighted by the curation pass; unique prose stays near 0.
+
+    Composition, all spans shared via ONE materialization: `hashed_spans`
+    (the Broder content-defined sample, |tokens|/keep_mod rows) feeds both
+    (1) the registry agg per span_hash (countDistinct docs ≥ min_docs) and
+    (2) the per-doc rollup; the dup flag attaches with a span_hash equi
+    join (dimension-sized right side after the filter; AQE broadcasts it
+    when small). The ratio n_dup/n_kept is an exact integer ratio,
+    rounded to 6 dp in integer space (the engine's sign-free DIV device) —
+    never a double round. Docs with fewer than w tokens have no windows
+    and are absent, the same domain contract as dedup_substring.
+
+    Reference framing: the reference engine has no text surface; this op
+    extends SURVEY §2.K's training-data pipeline coverage (dedup family).
+    """
+    from kdb_spark.llm.dedup import _reused, hashed_spans
+
+    spans = _reused(
+        f"boiler_spans_{w}_{keep_mod}", hashed_spans(documents, w, keep_mod)
+    )
+    registry = (
+        spans.groupBy("span_hash")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("span_hash", F.lit(1).alias("is_dup"))
+    )
+    return (
+        spans.join(registry, "span_hash", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.sum(F.coalesce("is_dup", F.lit(0))).cast("long").alias("n_dup"),
+        )
+        .select(
+            "doc_id",
+            "n_kept",
+            "n_dup",
+            (
+                F.expr("(2000000 * n_dup + n_kept) DIV (2 * n_kept)")
+                .cast("double")
+                / F.lit(1e6)
+            ).alias("boiler_ratio"),
+        )
+    )

@@ -1405,3 +1405,51 @@ def test_bitmap_distinct_equals_count_distinct(spark):
     r = out[0]
     assert r.n_users == 7  # {0,1,61,62,63,124,200}
     assert r.n_words == 4  # words 0 (0,1,61), 1 (62,63), 2 (124), 3 (200)
+
+
+# ------------------------------------------------------------ agg_chi2_drift
+
+
+def test_chi2_drift_hand_case_and_zero_on_identical(spark):
+    """2x2 case checks the closed-form statistic (30/10 vs 10/10 over
+    en/fr gives chi2 = 3.75 exactly, dof = 1); identical distributions
+    give chi2 = 0."""
+    rows = (
+        [(i, "t", "en", "A", 1) for i in range(30)]
+        + [(30 + i, "t", "fr", "A", 1) for i in range(10)]
+        + [(40 + i, "t", "en", "B", 1) for i in range(10)]
+        + [(50 + i, "t", "fr", "B", 1) for i in range(10)]
+    )
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {(r.source_a, r.source_b): r for r in agg.agg_chi2_drift(df).collect()}
+    r = out[("A", "B")]
+    assert (r.n_a, r.n_b, r.dof) == (40, 20, 1)
+    assert r.chi2 == pytest.approx(3.75, abs=1e-9)
+    same = spark.createDataFrame(
+        [(i, "t", "en" if i % 2 else "fr", s, 1)
+         for s in ("A", "B") for i in range(20)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out2 = agg.agg_chi2_drift(same).collect()
+    assert len(out2) == 1 and out2[0].chi2 == 0.0
+
+
+# ----------------------------------------------------- text_boilerplate_ratio
+
+
+def test_boilerplate_ratio_extremes(spark):
+    """An exact copy scores ratio 1.0 on every kept window (both copies);
+    a unique doc scores 0.0; the ratio column is the integer-rounded
+    n_dup/n_kept."""
+    passage = " ".join(f"tok{i}" for i in range(60))
+    unique = " ".join(f"other{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(1, passage), (2, passage), (3, unique)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in
+           tx.text_boilerplate_ratio(df, w=4, keep_mod=2).collect()}
+    assert out[1].n_kept > 0 and out[1].boiler_ratio == 1.0
+    assert out[2].boiler_ratio == 1.0
+    assert out[3].n_dup == 0 and out[3].boiler_ratio == 0.0
