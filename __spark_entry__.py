@@ -4635,3 +4635,47 @@ _reg(
     FROM g
     """,
 )
+
+
+# incremental (CDF) read over the versioned table: manifest-diff planning,
+# scans only the v0->v1 increment (days 10..19); oracle = the same day
+# filter over raw events
+_reg(
+    "scan_changes",
+    src.q_scan_changes,
+    f"""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_c,
+           CAST(min(event_id) AS BIGINT) AS min_id,
+           CAST(max(event_id) AS BIGINT) AS max_id
+    FROM events
+    WHERE epoch_us(ts) // {DAY_US} - 19723 >= 10
+      AND epoch_us(ts) // {DAY_US} - 19723 < 20
+    GROUP BY event_type
+    """,
+)
+
+
+# count-of-counts skew census of the user_id key: log2 buckets of rows-per-
+# key via the same bit-math bucket as agg_hdr_histogram; pct integer-rounded
+_reg(
+    "table_key_skew",
+    lambda s, d: agg.table_key_skew(events_us(s, d)),
+    """
+    WITH per AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1),
+    g AS (
+      SELECT CAST(length(bin(n)) - 1 AS INT) AS bucket,
+             CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum(n) AS BIGINT) AS n_rows,
+             CAST(max(n) AS BIGINT) AS max_per_key
+      FROM per GROUP BY 1),
+    t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS t FROM g)
+    SELECT bucket, CAST(1 << bucket AS BIGINT) AS lo,
+           n_keys, n_rows, max_per_key,
+           CAST((2000000 * CAST(n_rows AS HUGEINT) + t)
+                // (2 * CAST(t AS HUGEINT)) AS DOUBLE) / 1e6 AS pct_rows
+    FROM g, t
+    """,
+)

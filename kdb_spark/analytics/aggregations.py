@@ -1956,3 +1956,52 @@ def agg_chi2_drift(documents: DataFrame) -> DataFrame:
             / F.lit(1e6)
         ).alias("chi2"),
     )
+
+
+def table_key_skew(events: DataFrame, key: str = "user_id") -> DataFrame:
+    """Count-of-counts skew profile of a key column: how many keys hold
+    2^b..2^(b+1)-1 rows each — the first diagnostic every shuffle-skew
+    investigation runs (is the key uniform, Zipfian, or one-hub?), and the
+    input to choosing a salting factor for `join_skew_salted`.
+
+    Two bounded aggregates: ONE fact-sized hash-agg to per-key counts
+    (map-side combine — the same pass any groupBy pays), then a ≤64-row
+    log2 rollup via the agg_hdr_histogram bit-math bucket (length of the
+    binary string — no float log whose 1-ulp drift could flip exact
+    powers of two). Everything emitted is an exact integer; pct_rows is
+    the only ratio and rounds in integer space.
+
+    Reference tie: the reference sizes its bucket maps by observed series
+    cardinality (/root/reference/mindex/mindex.go — one index node per
+    distinct tag path); this is that cardinality census as an operator.
+    """
+    per = events.groupBy(F.col(key).alias("k")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    g = (
+        per.groupBy((F.length(F.bin("n")) - F.lit(1)).cast("int").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum("n").cast("long").alias("n_rows"),
+            F.max("n").cast("long").alias("max_per_key"),
+        )
+    )
+    tot = g.agg(F.sum("n_rows").alias("t"))
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.expr("shiftleft(CAST(1 AS BIGINT), bucket)").alias("lo"),
+            "n_keys",
+            "n_rows",
+            "max_per_key",
+            (
+                F.expr(
+                    "CAST((2000000 * CAST(n_rows AS DECIMAL(38,0))"
+                    "      + CAST(t AS DECIMAL(38,0)))"
+                    "     DIV (2 * CAST(t AS DECIMAL(38,0))) AS BIGINT)"
+                ).cast("double")
+                / F.lit(1e6)
+            ).alias("pct_rows"),
+        )
+    )

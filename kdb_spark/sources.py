@@ -650,6 +650,92 @@ def scan_version(
     return spark.read.parquet(*[os.path.join(path, d) for d in dirs])
 
 
+def scan_changes(
+    spark: SparkSession, path: str, from_version: int, to_version: int | None = None
+) -> DataFrame:
+    """Change-data-feed read over a `sink_versioned` table: the rows ADDED
+    after ``from_version`` up to ``to_version`` (latest when None) — the
+    incremental-consumer primitive (Delta CDF / Iceberg incremental scan)
+    that lets a downstream pipeline process only the increment instead of
+    re-reading the snapshot.
+
+    Implementation is pure manifest arithmetic: the diff is the data dirs
+    in ``to``'s manifest that are absent from ``from``'s — zero data IO to
+    plan, and the read scans ONLY the new files (at 100 TB this is the
+    difference between an incremental consumer and a full-table rescan).
+    Append-lineage semantics: an overwrite commit between the two versions
+    starts a fresh lineage, so dirs removed by it simply don't appear —
+    the diff is "what v_to can see that v_from couldn't", which for
+    overwrites means the replacement dirs. Both versions must exist
+    (same contract as scan_version).
+
+    Reference tie: the reference's consumers poll hot buckets for newly
+    sealed data (/root/reference/dbase/dbase.go:365-397); the manifest
+    diff is that poll, restated for an object-store table.
+    """
+    import json
+    import os
+
+    log_dir = os.path.join(path, "_log")
+
+    def _dirs(v: int) -> list[str]:
+        f = os.path.join(log_dir, f"{v}.json")
+        if not os.path.isfile(f):
+            raise ValueError(f"version {v} not committed at {path}")
+        with open(f) as fh:
+            return json.load(fh)["dirs"]
+
+    if to_version is None:
+        versions = sorted(
+            int(f.split(".")[0])
+            for f in os.listdir(log_dir)
+            if f.endswith(".json")
+        )
+        if not versions:
+            raise ValueError(f"versioned table at {path} has no committed version")
+        to_version = versions[-1]
+    if to_version < from_version:
+        raise ValueError(
+            f"to_version {to_version} precedes from_version {from_version}"
+        )
+    old = set(_dirs(from_version))
+    new = [d for d in _dirs(to_version) if d not in old]
+    if not new:
+        # schema-stable empty diff (e.g. from == to): zero-row read of the
+        # to-snapshot rather than an un-inferable empty frame
+        return scan_version(spark, path, to_version).limit(0)
+    return spark.read.parquet(*[os.path.join(path, d) for d in new])
+
+
+def q_scan_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the same three-commit versioned table as q_scan_time_travel,
+    then read the CHANGES v0→v1 — the result must equal exactly days
+    10..19 (the v1 append increment): the v0 base must NOT reappear and
+    the v2 append must stay invisible. Aggregated per type so a leaked or
+    dropped file surfaces as a wrong count/sum."""
+    from kdb_spark.tables import DAY_US, cents, events_us
+
+    path = _tmp("changes")
+    ev = events_us(spark, sf_dir).select(
+        "event_id", "event_type", cents("value").alias("c"), "ts_us"
+    )
+    day0 = 19723  # 2024-01-01 in epoch days
+    day = (F.col("ts_us") / F.lit(DAY_US)).cast("long") - day0
+    v0 = sink_versioned(ev.filter(day < 10), path, mode="overwrite")
+    v1 = sink_versioned(ev.filter((day >= 10) & (day < 20)), path, mode="append")
+    sink_versioned(ev.filter(day >= 20), path, mode="append")
+    return (
+        scan_changes(spark, path, v0, v1)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("c").cast("long").alias("sum_c"),
+            F.min("event_id").cast("long").alias("min_id"),
+            F.max("event_id").cast("long").alias("max_id"),
+        )
+    )
+
+
 def q_scan_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three commits (overwrite days<10, append days 10-19, append rest),
     then a TIME-TRAVEL read of version 1 — the result must equal the

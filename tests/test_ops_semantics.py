@@ -1453,3 +1453,22 @@ def test_boilerplate_ratio_extremes(spark):
     assert out[1].n_kept > 0 and out[1].boiler_ratio == 1.0
     assert out[2].boiler_ratio == 1.0
     assert out[3].n_dup == 0 and out[3].boiler_ratio == 0.0
+
+
+# -------------------------------------------------------------- table_key_skew
+
+
+def test_key_skew_log2_census(spark):
+    """Keys with 1, 3 and 5 rows land in buckets 0/1/2 (lo 1/2/4), key and
+    row counts are exact, and pct_rows is the integer-rounded share."""
+    rows = (
+        [(1, 10, "view", 1.0, 100)]
+        + [(i, 20, "view", 1.0, 100 + i) for i in range(2, 5)]
+        + [(i, 30, "view", 1.0, 200 + i) for i in range(5, 10)]
+    )
+    out = {r.bucket: r for r in
+           agg.table_key_skew(_events(spark, rows)).collect()}
+    assert (out[0].lo, out[0].n_keys, out[0].n_rows, out[0].max_per_key) == (1, 1, 1, 1)
+    assert (out[1].lo, out[1].n_keys, out[1].n_rows, out[1].max_per_key) == (2, 1, 3, 3)
+    assert (out[2].lo, out[2].n_keys, out[2].n_rows, out[2].max_per_key) == (4, 1, 5, 5)
+    assert out[2].pct_rows == pytest.approx(round(5 / 9, 6), abs=1e-9)

@@ -457,3 +457,30 @@ def test_partitioned_sink_prunes_and_restates_one_day(spark, tmp_path):
     assert "PartitionFilters" in plan and "day_idx" in plan.split(
         "PartitionFilters"
     )[1].split("]")[0]
+
+
+def test_scan_changes_reads_only_the_increment(spark, tmp_path):
+    """CDF semantics: the v0→v1 diff is exactly the append increment; the
+    to-latest diff accumulates later appends; an empty diff is zero rows
+    with the snapshot schema; an overwrite starts a fresh lineage whose
+    diff is the replacement; bad version ranges raise."""
+    import pytest as _pt
+
+    from kdb_spark.sources import scan_changes, sink_versioned
+
+    path = str(tmp_path / "cdf")
+    mk = lambda ids: spark.createDataFrame([(i, "x") for i in ids],
+                                           "id long, v string")
+    v0 = sink_versioned(mk([1, 2]), path, mode="overwrite")
+    v1 = sink_versioned(mk([3]), path, mode="append")
+    v2 = sink_versioned(mk([4]), path, mode="append")
+    assert sorted(r.id for r in scan_changes(spark, path, v0, v1).collect()) == [3]
+    assert sorted(r.id for r in scan_changes(spark, path, v0).collect()) == [3, 4]
+    empty = scan_changes(spark, path, v1, v1)
+    assert empty.count() == 0 and empty.columns == ["id", "v"]
+    v3 = sink_versioned(mk([9]), path, mode="overwrite")
+    assert sorted(r.id for r in scan_changes(spark, path, v1, v3).collect()) == [9]
+    with _pt.raises(ValueError):
+        scan_changes(spark, path, v2, v1)
+    with _pt.raises(ValueError):
+        scan_changes(spark, path, 99)
