@@ -4679,3 +4679,93 @@ _reg(
     FROM g, t
     """,
 )
+
+
+# ---- round-10 TPC-H-shaped SQL texts (Q4/Q12/Q13/Q21 on the trimmed schema)
+
+_reg(
+    "sql_late_orders",
+    lambda s, d: agg.sql_late_orders(load(s, d, "orders"), load(s, d, "lineitem")),
+    """
+    SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+
+_reg(
+    "sql_cust_distribution",
+    lambda s, d: agg.sql_cust_distribution(
+        load(s, d, "customer"), load(s, d, "orders")
+    ),
+    """
+    WITH co AS (
+      SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON o.o_custkey = c.c_custkey AND o.o_orderstatus <> 'F'
+      GROUP BY c.c_custkey)
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM co GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+
+_reg(
+    "sql_priority_lines",
+    lambda s, d: agg.sql_priority_lines(
+        load(s, d, "orders"), load(s, d, "lineitem")
+    ),
+    """
+    SELECT l.l_returnflag,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l.l_returnflag
+    ORDER BY l.l_returnflag
+    """,
+)
+
+_reg(
+    "sql_waiting_supplier",
+    lambda s, d: agg.sql_waiting_supplier(
+        load(s, d, "supplier"), load(s, d, "lineitem")
+    ),
+    """
+    WITH sm AS (
+      SELECT l_orderkey, l_suppkey, max(l_shipdate) AS m
+      FROM lineitem GROUP BY l_orderkey, l_suppkey),
+    multi AS (
+      SELECT l_orderkey FROM sm GROUP BY l_orderkey HAVING count(*) >= 2),
+    mx AS (
+      SELECT sm.l_orderkey, max(sm.m) AS mx
+      FROM sm JOIN multi USING (l_orderkey)
+      GROUP BY sm.l_orderkey),
+    at_mx AS (
+      SELECT sm.l_orderkey, CAST(count(*) AS BIGINT) AS n_at
+      FROM sm JOIN mx ON mx.l_orderkey = sm.l_orderkey AND sm.m = mx.mx
+      GROUP BY sm.l_orderkey),
+    blamed AS (
+      SELECT sm.l_suppkey
+      FROM sm
+      JOIN mx ON mx.l_orderkey = sm.l_orderkey AND sm.m = mx.mx
+      JOIN at_mx ON at_mx.l_orderkey = sm.l_orderkey AND at_mx.n_at = 1)
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM blamed b JOIN supplier s ON s.s_suppkey = b.l_suppkey
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 10
+    """,
+)

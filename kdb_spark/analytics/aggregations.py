@@ -2005,3 +2005,139 @@ def table_key_skew(events: DataFrame, key: str = "user_id") -> DataFrame:
             ).alias("pct_rows"),
         )
     )
+
+
+def sql_late_orders(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H-Q4-shaped order-priority check as SQL TEXT: how many orders
+    per priority, in one quarter, had at least one line shipped more than
+    30 days after the order date (the trimmed schema has no
+    commit/receipt dates, so late SHIPMENT stands in for Q4's late
+    receipt — same correlated-EXISTS shape).
+
+    The planning probe Q4 exists for: the EXISTS decorrelates to a LEFT
+    SEMI join on orderkey — one shuffle pair, lineitem never aggregates —
+    and the quarter predicate prunes the orders scan (pushed filter).
+    Counts are exact integers; output is ≤5 rows.
+    """
+    return orders.sparkSession.sql(
+        """
+        SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        FROM {orders_v} o
+        WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o.o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+          AND EXISTS (
+            SELECT 1 FROM {lineitem_v} l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+        GROUP BY o.o_orderpriority
+        ORDER BY o.o_orderpriority
+        """,
+        orders_v=orders,
+        lineitem_v=lineitem,
+    )
+
+
+def sql_cust_distribution(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """TPC-H-Q13-shaped customer order-count distribution as SQL TEXT:
+    LEFT join customers to their non-final orders, count per customer
+    (zero included — the LEFT is the point), then histogram the counts.
+    (The trimmed schema has no o_comment, so Q13's not-like filter is
+    stood in by excluding status 'F'.)
+
+    Planning shape: one shuffle pair for the outer join (orders pre-
+    filtered map-side), one |customers| agg, then a ≤dozens-row histogram
+    agg — the count-of-counts pattern `table_key_skew` generalizes, here
+    in its canonical TPC-H statement. All-integer output.
+    """
+    return orders.sparkSession.sql(
+        """
+        WITH co AS (
+          SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+          FROM {customer_v} c
+          LEFT JOIN {orders_v} o
+            ON o.o_custkey = c.c_custkey AND o.o_orderstatus <> 'F'
+          GROUP BY c.c_custkey)
+        SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        FROM co
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+        """,
+        customer_v=customer,
+        orders_v=orders,
+    )
+
+
+def sql_priority_lines(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H-Q12-shaped shipping-priority split as SQL TEXT: per return
+    flag (standing in for Q12's ship mode, absent from the trimmed
+    schema), how many 1997-shipped lines belong to URGENT/HIGH orders vs
+    the rest — the two-CASE conditional-count idiom.
+
+    One shuffle join lineitem⋈orders on orderkey with the year predicate
+    pushed to the lineitem scan; the split is two CASE sums inside ONE
+    final agg over ≤3 groups. Exact integer counts.
+    """
+    return orders.sparkSession.sql(
+        """
+        SELECT l.l_returnflag,
+               CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM {lineitem_v} l
+        JOIN {orders_v} o ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l.l_returnflag
+        ORDER BY l.l_returnflag
+        """,
+        orders_v=orders,
+        lineitem_v=lineitem,
+    )
+
+
+def sql_waiting_supplier(supplier: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H-Q21-shaped blame-the-last-supplier query as SQL TEXT: in
+    orders involving ≥2 suppliers, find the supplier whose latest line
+    shipped STRICTLY after every other supplier's — Q21's
+    exists/not-exists pair restated over shipdate (the trimmed schema has
+    no commit/receipt dates) as "unique maximum per order".
+
+    Decomposition keeps every step an equi-join/agg: per-(order, supplier)
+    max shipdate (one shuffle — the only fact-sized agg), orders kept at
+    ≥2 suppliers, the per-order max and its holder count via a second
+    dimension-sized agg, blame where the holder is unique, count per
+    supplier, top 10. No correlated subquery survives to the plan — the
+    same decorrelation Q21 forces every optimizer through, done in the
+    text.
+    """
+    return lineitem.sparkSession.sql(
+        """
+        WITH sm AS (
+          SELECT l_orderkey, l_suppkey, max(l_shipdate) AS m
+          FROM {lineitem_v}
+          GROUP BY l_orderkey, l_suppkey),
+        multi AS (
+          SELECT l_orderkey FROM sm GROUP BY l_orderkey HAVING count(*) >= 2),
+        mx AS (
+          SELECT sm.l_orderkey, max(sm.m) AS mx
+          FROM sm JOIN multi USING (l_orderkey)
+          GROUP BY sm.l_orderkey),
+        at_mx AS (
+          SELECT sm.l_orderkey, CAST(count(*) AS BIGINT) AS n_at
+          FROM sm JOIN mx ON mx.l_orderkey = sm.l_orderkey AND sm.m = mx.mx
+          GROUP BY sm.l_orderkey),
+        blamed AS (
+          SELECT sm.l_suppkey
+          FROM sm
+          JOIN mx ON mx.l_orderkey = sm.l_orderkey AND sm.m = mx.mx
+          JOIN at_mx ON at_mx.l_orderkey = sm.l_orderkey AND at_mx.n_at = 1)
+        SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+        FROM blamed b JOIN {supplier_v} s ON s.s_suppkey = b.l_suppkey
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s.s_name
+        LIMIT 10
+        """,
+        supplier_v=supplier,
+        lineitem_v=lineitem,
+    )

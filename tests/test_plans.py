@@ -492,3 +492,41 @@ def test_sql_idle_rich_customers_plans_anti_join(spark):
     plan = plan_of(df)
     assert "LeftAnti" in plan, plan
     assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_sql_late_orders_plans_semi_join(spark):
+    """Q4's correlated EXISTS must decorrelate to a LEFT SEMI join on
+    orderkey with the quarter predicate pushed into the orders scan —
+    never a per-row subquery."""
+    from kdb_spark.analytics import aggregations as agg
+
+    df = agg.sql_late_orders(
+        load(spark, SF_DIR, "orders"), load(spark, SF_DIR, "lineitem")
+    )
+    plan = plan_of(df)
+    assert "LeftSemi" in plan, plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan and "LessThan(o_orderdate" in plan
+
+
+def test_sql_q12_q13_q21_shapes(spark):
+    """Q12: the shipdate-year predicate reaches the lineitem scan. Q13:
+    the join is LeftOuter (zero-order customers counted). Q21: the top-10
+    is TakeOrderedAndProject, no global sort."""
+    from kdb_spark.analytics import aggregations as agg
+
+    q12 = agg.sql_priority_lines(
+        load(spark, SF_DIR, "orders"), load(spark, SF_DIR, "lineitem")
+    )
+    plan = plan_of(q12)
+    assert "GreaterThanOrEqual(l_shipdate" in plan and "LessThan(l_shipdate" in plan
+
+    q13 = agg.sql_cust_distribution(
+        load(spark, SF_DIR, "customer"), load(spark, SF_DIR, "orders")
+    )
+    assert "LeftOuter" in plan_of(q13)
+
+    q21 = agg.sql_waiting_supplier(
+        load(spark, SF_DIR, "supplier"), load(spark, SF_DIR, "lineitem")
+    )
+    plan = plan_of(q21)
+    assert "TakeOrderedAndProject" in plan and "Sort " not in plan
