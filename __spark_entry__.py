@@ -3894,14 +3894,14 @@ _reg(
 
 _MACD_NF, _MACD_FD = _ewma_int_sql("xc", 0.4)
 _MACD_NS, _MACD_SD = _ewma_int_sql("xc", 0.15)
-_MACD_N2, _MACD_D2 = _ewma_int_sql("macd_e8", 0.4)
+_MACD_N2, _MACD_D2 = _ewma_int_sql("macd_e6", 0.4)
 
 _reg(
     "win_macd",
     lambda s, d: wn.win_macd(events_us(s, d)),
     # exact mirror of the engine's r10 contract: integer-weight cent folds,
-    # macd line quantized once to a 1e-8 grid by sign-aware //, signal EWMA
-    # over those exact bigints, integer round(6) at the output
+    # macd line quantized once to the output's 1e-6 grid by sign-aware //,
+    # signal EWMA over those exact bigints, integer round(6) at the output
     f"""
     WITH t AS (
       SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
@@ -3921,19 +3921,18 @@ _reg(
     q AS (
       SELECT event_id, user_id, event_type, ts_us,
              (CASE WHEN mn < 0 THEN -1 ELSE 1 END)
-               * ((200000000 * abs(mn) + md) // (2 * md)) AS macd_e8
+               * ((2000000 * abs(mn) + md) // (2 * md)) AS macd_e6
       FROM m),
     s AS (
-      SELECT event_id, user_id, event_type, macd_e8,
+      SELECT event_id, user_id, event_type, macd_e6,
              ({_MACD_N2}) AS n2, ({_MACD_D2}) AS d2
       FROM q
       WINDOW w AS (PARTITION BY user_id, event_type
                    ORDER BY ts_us, event_id))
     SELECT event_id, user_id, event_type,
-           CAST((CASE WHEN macd_e8 < 0 THEN -1 ELSE 1 END)
-                * ((2 * abs(macd_e8) + 100) // 200) AS DOUBLE) / 1e6 AS macd,
-           {_idiv6_sql("n2", "100000000 * d2")} AS signal,
-           {_idiv6_sql("macd_e8 * d2 - n2", "100000000 * d2")} AS hist
+           CAST(macd_e6 AS DOUBLE) / 1e6 AS macd,
+           {_idiv6_sql("n2", "1000000 * d2")} AS signal,
+           {_idiv6_sql("macd_e6 * d2 - n2", "1000000 * d2")} AS hist
     FROM s
     """,
 )

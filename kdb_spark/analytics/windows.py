@@ -358,15 +358,23 @@ def ewma_weights_int(alpha: float = EWMA_ALPHA, h: int = EWMA_H) -> list[int]:
 
 def _ewma_terms(col, alpha: float, w) -> tuple[F.Column, F.Column]:
     """Exact EWMA numerator/denominator of integer column ``col`` over
-    window spec ``w``: num = Σ W_k·x_{t-k} in decimal(38,0), den = Σ W_k
-    over the lags that exist (series heads renormalize, as before). All
-    lags share ONE window spec → a single Window physical node.
+    window spec ``w``: num = Σ W_k·x_{t-k}, den = Σ W_k over the lags
+    that exist (series heads renormalize, as before). All lags share ONE
+    window spec → a single Window physical node.
+
+    The fold runs in BIGINT, not decimal — a 3-chain decimal fold
+    measured 2.5× the float version's wall (the r10 win_macd bench
+    breach); long arithmetic restores it. Exactness is unchanged; the
+    domain bound is |x| ≤ 9.2e18/EWMA_GRID ≈ 9.2e12 per sample (≈ $92B
+    in cents — far beyond any tick domain). Callers that multiply two
+    folds together (win_macd's cross-multiplication) cast to
+    decimal(38,0) THERE, where long genuinely could overflow.
     """
-    num = F.lit(0).cast("decimal(38,0)")
+    num = F.lit(0).cast("long")
     den = F.lit(0).cast("long")
     for k, wk in enumerate(ewma_weights_int(alpha)):
         lk = F.lag(col, k).over(w)
-        num = num + F.coalesce(lk, F.lit(0)).cast("decimal(38,0)") * F.lit(wk)
+        num = num + F.coalesce(lk, F.lit(0)) * F.lit(wk)
         den = den + F.when(lk.isNotNull(), F.lit(wk)).otherwise(F.lit(0))
     return num, den
 
@@ -375,10 +383,13 @@ def _iround6(num_sql: str, den_sql: str) -> F.Column:
     """round(num/den, 6) computed ENTIRELY in integer space — sign-aware
     half-away-from-zero via DIV on decimal(38,0) (the agg_linreg device),
     then one exact cast to double. ``num_sql``/``den_sql`` are SQL
-    fragments; den must be > 0."""
+    fragments; den must be > 0. The numerator is widened to decimal HERE
+    (one cast per row — cheap) so a bigint num can never overflow under
+    the 2·10^6 scale-up."""
     return F.expr(
         f"(CASE WHEN ({num_sql}) < 0 THEN -1 ELSE 1 END)"
-        f" * CAST((2000000 * abs({num_sql}) + ({den_sql}))"
+        f" * CAST((2000000 * CAST(abs({num_sql}) AS DECIMAL(38,0))"
+        f"         + ({den_sql}))"
         f"        DIV (2 * ({den_sql})) AS BIGINT)"
     ).cast("double") / F.lit(1e6)
 
@@ -767,10 +778,14 @@ def win_macd(
 
     Parity contract (r10, closing the r9 driver hash-FAIL): the macd line
     is the exact rational (nf·ds − ns·df)/(100·df·ds) over integer-weight
-    cent folds, quantized ONCE to a 10^-8 grid by sign-aware integer DIV;
-    the signal EWMA then folds those exact bigints. Every number either
-    engine rounds is an integer ratio — no chained-double half-boundary
-    can flip a round(6) between Spark and DuckDB.
+    cent folds, quantized ONCE to the output's 10^-6 grid by sign-aware
+    integer DIV in decimal(38,0); the signal EWMA then folds those exact
+    bigints (long-safe for |macd| up to ~$9.2M — the quantized line times
+    the 10^6 weight grid). Every number either engine rounds is an
+    integer ratio — no chained-double half-boundary can flip a round(6)
+    between Spark and DuckDB. The cent folds themselves run in bigint
+    (see _ewma_terms — the all-decimal fold was the r10 bench breach);
+    only the fold cross-products are decimal.
     """
     w = Window.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
     xc = cents("value")
@@ -782,38 +797,30 @@ def win_macd(
         "event_type",
         "ts_us",
         (
-            nf * sden.cast("decimal(38,0)") - ns * fden.cast("decimal(38,0)")
+            nf.cast("decimal(38,0)") * sden - ns.cast("decimal(38,0)") * fden
         ).alias("mn"),
         (
-            F.lit(100).cast("decimal(38,0)")
-            * fden.cast("decimal(38,0)")
-            * sden.cast("decimal(38,0)")
+            F.lit(100).cast("decimal(38,0)") * fden * sden
         ).alias("md"),
     ).withColumn(
-        "macd_e8",
+        "macd_e6",
         F.expr(
             "(CASE WHEN mn < 0 THEN -1 ELSE 1 END)"
-            " * CAST((200000000 * abs(mn) + md) DIV (2 * md) AS BIGINT)"
+            " * CAST((2000000 * abs(mn) + md) DIV (2 * md) AS BIGINT)"
         ),
     )
-    n2, d2 = _ewma_terms(F.col("macd_e8"), sig, w)
+    n2, d2 = _ewma_terms(F.col("macd_e6"), sig, w)
     t = m.select(
-        "event_id", "user_id", "event_type", "macd_e8",
+        "event_id", "user_id", "event_type", "macd_e6",
         n2.alias("n2"), d2.alias("d2"),
     )
-    sig_den = "100000000 * CAST(d2 AS DECIMAL(38,0))"
-    hist_num = "(CAST(macd_e8 AS DECIMAL(38,0)) * CAST(d2 AS DECIMAL(38,0)) - n2)"
+    sig_den = "1000000 * CAST(d2 AS DECIMAL(38,0))"
+    hist_num = "(CAST(macd_e6 AS DECIMAL(38,0)) * d2 - n2)"
     return t.select(
         "event_id",
         "user_id",
         "event_type",
-        (
-            F.expr(
-                "(CASE WHEN macd_e8 < 0 THEN -1 ELSE 1 END)"
-                " * CAST((2 * abs(macd_e8) + 100) DIV 200 AS BIGINT)"
-            ).cast("double")
-            / F.lit(1e6)
-        ).alias("macd"),
+        (F.col("macd_e6").cast("double") / F.lit(1e6)).alias("macd"),
         _iround6("n2", sig_den).alias("signal"),
         _iround6(hist_num, sig_den).alias("hist"),
     )
@@ -866,11 +873,11 @@ def win_keltner(
         "hour_us",
         _iround6("nt", "300 * CAST(dt AS DECIMAL(38,0))").alias("middle"),
         _iround6(
-            f"(1000 * nt + {m3} * nr)",
+            f"(1000 * CAST(nt AS DECIMAL(38,0)) + {m3} * nr)",
             "300000 * CAST(dt AS DECIMAL(38,0))",
         ).alias("upper"),
         _iround6(
-            f"(1000 * nt - {m3} * nr)",
+            f"(1000 * CAST(nt AS DECIMAL(38,0)) - {m3} * nr)",
             "300000 * CAST(dt AS DECIMAL(38,0))",
         ).alias("lower"),
     )
