@@ -4768,3 +4768,44 @@ _reg(
     LIMIT 10
     """,
 )
+
+
+# DAU / trailing-30d MAU stickiness: exact distinct actives via the
+# contribute-forward explode (bounded 30-slot sequence, never a self-join);
+# the oracle replays it with generate_series
+_reg(
+    "agg_dau_mau",
+    lambda s, d: agg.agg_dau_mau(events_us(s, d)),
+    f"""
+    WITH ud AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // {DAY_US} AS day
+      FROM events),
+    dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY 1),
+    contrib AS (
+      SELECT ud.user_id, ud.day + g.i AS day
+      FROM ud CROSS JOIN (SELECT range AS i FROM range(0, 30)) g),
+    mau AS (
+      SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+      FROM contrib GROUP BY 1)
+    SELECT d.day, d.dau, m.mau,
+           CAST((2000000 * CAST(d.dau AS HUGEINT) + m.mau)
+                // (2 * CAST(m.mau AS HUGEINT)) AS DOUBLE) / 1e6
+             AS stickiness
+    FROM dau d JOIN mau m USING (day)
+    """,
+)
+
+
+# streaming DAU: exact distinct per watermarked daily window (dedup state =
+# one row per distinct key per open window); oracle = the batch day rollup
+_reg(
+    "stream_windowed_distinct",
+    sm.stream_windowed_distinct,
+    f"""
+    SELECT event_type,
+           (epoch_us(ts) // {DAY_US}) * {DAY_US} AS day_us,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+    FROM events
+    GROUP BY 1, 2
+    """,
+)

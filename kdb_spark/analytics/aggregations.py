@@ -2141,3 +2141,54 @@ def sql_waiting_supplier(supplier: DataFrame, lineitem: DataFrame) -> DataFrame:
         supplier_v=supplier,
         lineitem_v=lineitem,
     )
+
+
+def agg_dau_mau(events: DataFrame, window_days: int = 30) -> DataFrame:
+    """DAU / trailing-MAU stickiness per day — the product-analytics
+    ratio every engagement dashboard reports: distinct actives that day
+    over distinct actives in the trailing ``window_days`` window.
+
+    Shape: ONE fact-sized pass dedupes to the (user, day) incidence
+    (hash-agg, map-side combine) — dimension-sized forever after
+    (|users|·|active days|). DAU is a count over that table. The trailing
+    distinct is the contribute-forward device: each (user, day) row
+    explodes into the ≤window_days day-slots it keeps the user active in
+    (a bounded sequence — no self-join, no 30-pass window), and MAU(d) is
+    a count DISTINCT over the exploded table grouped by slot. Days where
+    the user was already counted collapse in the same distinct — exact,
+    not approximate. Ratio rounds in integer space (sign-free DIV). Days
+    with no trailing window-days history still report (the ratio is over
+    whatever the window holds — standard dashboard semantics).
+    """
+    # integer day index — a double floor(ts/DAY) could mis-bucket at slot
+    # boundaries once ts_us outgrows double's 53-bit exact range
+    day = F.expr(f"ts_us div {DAY_US}")
+    ud = events.select("user_id", day.alias("day")).distinct()
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.col("day") + F.lit(window_days - 1))
+        ).alias("day"),
+    )
+    # only days that actually had activity report a row (inner join):
+    # trailing windows ending on a dead day are dashboard noise
+    mau = contrib.groupBy("day").agg(
+        F.countDistinct("user_id").cast("long").alias("mau")
+    )
+    return (
+        dau.join(mau, "day")
+        .select(
+            "day",
+            "dau",
+            "mau",
+            (
+                F.expr(
+                    "CAST((2000000 * CAST(dau AS DECIMAL(38,0))"
+                    "      + CAST(mau AS DECIMAL(38,0)))"
+                    "     DIV (2 * CAST(mau AS DECIMAL(38,0))) AS BIGINT)"
+                ).cast("double")
+                / F.lit(1e6)
+            ).alias("stickiness"),
+        )
+    )

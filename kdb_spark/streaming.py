@@ -1275,3 +1275,33 @@ def stream_asof_enrich(
     q.awaitTermination()
     # partition discovery surfaces the batch key; it's sink layout, not data
     return spark.read.parquet(out_path).select("event_id", "user_id", "asof_value")
+
+
+def stream_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily distinct active users per event_type, streaming — the DAU
+    counter as a live query (the stream face of `agg_dau_mau`'s first
+    pass).
+
+    Exact distinct inside watermarked tumbling windows via the standard
+    two-stage shape: `dropDuplicates` on (type, user, window) holds ONE
+    state row per distinct key per open window (the watermark expires
+    closed windows), then a plain streaming count per (type, window) —
+    never a full distinct-set in a single aggregate's state. At scale the
+    dedup state is |distinct keys in open windows|, the same bound the
+    batch incidence table has for those days.
+    """
+    s = events_stream(spark, sf_dir)
+    dd = (
+        s.withWatermark("ets", "1 day")
+        .select("event_type", "user_id", F.window("ets", "1 day").alias("w"))
+        .dropDuplicates(["event_type", "user_id", "w"])
+    )
+    agg = dd.groupBy("event_type", "w").agg(
+        F.count(F.lit(1)).alias("dau")
+    )
+    out = _drain(agg, "complete")
+    return out.select(
+        "event_type",
+        F.unix_micros("w.start").alias("day_us"),
+        F.col("dau").cast("long").alias("dau"),
+    )

@@ -1472,3 +1472,28 @@ def test_key_skew_log2_census(spark):
     assert (out[1].lo, out[1].n_keys, out[1].n_rows, out[1].max_per_key) == (2, 1, 3, 3)
     assert (out[2].lo, out[2].n_keys, out[2].n_rows, out[2].max_per_key) == (4, 1, 5, 5)
     assert out[2].pct_rows == pytest.approx(round(5 / 9, 6), abs=1e-9)
+
+
+# ----------------------------------------------------------------- agg_dau_mau
+
+
+def test_dau_mau_trailing_window_and_ratio(spark):
+    """User active on day 0 counts toward MAU for the next 29 days; a day's
+    DAU counts each user once regardless of event count; stickiness is the
+    exact integer-rounded ratio."""
+    D = 86_400_000_000
+    rows = (
+        [(1, 1, "view", 1.0, 0), (2, 1, "view", 1.0, 1)]   # u1 twice day0
+        + [(3, 2, "view", 1.0, 0)]                          # u2 day0
+        + [(4, 1, "view", 1.0, 5 * D)]                      # u1 day5
+        + [(5, 3, "view", 1.0, 40 * D)]                     # u3 day40 (u1/u2 aged out)
+    )
+    out = {r.day: r for r in agg.agg_dau_mau(_events(spark, rows)).collect()}
+    assert (out[0].dau, out[0].mau) == (2, 2)
+    # day 5: u1 active; trailing window still holds u1+u2 from day 0
+    assert (out[5].dau, out[5].mau) == (1, 2)
+    assert out[5].stickiness == pytest.approx(0.5, abs=1e-9)
+    # day 40: day-0/5 activity fell out of the 30-day window
+    assert (out[40].dau, out[40].mau) == (1, 1)
+    # dead days report nothing
+    assert set(out) == {0, 5, 40}
