@@ -2160,10 +2160,17 @@ def agg_dau_mau(events: DataFrame, window_days: int = 30) -> DataFrame:
     with no trailing window-days history still report (the ratio is over
     whatever the window holds — standard dashboard semantics).
     """
+    from kdb_spark.llm.dedup import _reused
+
     # integer day index — a double floor(ts/DAY) could mis-bucket at slot
     # boundaries once ts_us outgrows double's 53-bit exact range
     day = F.expr(f"ts_us div {DAY_US}")
-    ud = events.select("user_id", day.alias("day")).distinct()
+    # persist the incidence: it feeds BOTH the DAU count and the
+    # contribute-forward explode — without it the fact table scans twice
+    ud = _reused(
+        "dau_mau_incidence",
+        events.select("user_id", day.alias("day")).distinct(),
+    )
     dau = ud.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("dau"))
     contrib = ud.select(
         "user_id",
