@@ -1205,3 +1205,92 @@ def test_ks_test_matches_bruteforce(spark, xs, ys):
     assert (r.type_a, r.type_b, r.n_a, r.n_b) == ("a", "b", na, nb)
     assert r.d_num == want
     assert abs(r.d - want / (na * nb)) <= 0.50001e-6
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    acts=st.lists(
+        st.tuples(st.integers(1, 6), st.integers(0, 45)),  # (user, day)
+        min_size=1,
+        max_size=40,
+    ),
+)
+def test_dau_mau_laws(spark, acts):
+    """Laws: dau ≤ mau (the window contains its own day) so stickiness ≤ 1;
+    per-day dau equals the distinct users that day; mau equals the brute
+    distinct over the trailing 30 days; event multiplicity is irrelevant."""
+    from kdb_spark.analytics import aggregations as agg
+    from kdb_spark.llm import dedup as dd
+
+    D = 86_400_000_000
+    rows = [
+        (i, u, "view", 1.0, d * D + (i % 3))  # duplicates within a day too
+        for i, (u, d) in enumerate(acts)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, value double, ts_us long"
+    )
+    dd._REUSE_CACHE.pop("dau_mau_incidence", None)
+    out = {r.day: r for r in agg.agg_dau_mau(df).collect()}
+    byday = {}
+    for u, d in acts:
+        byday.setdefault(d, set()).add(u)
+    assert set(out) == set(byday)
+    for d, users in byday.items():
+        r = out[d]
+        assert r.dau == len(users)
+        want_mau = len(set().union(*[byday.get(x, set())
+                                     for x in range(d - 29, d + 1)]))
+        assert r.mau == want_mau
+        assert r.dau <= r.mau and 0.0 < r.stickiness <= 1.0
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ca=st.lists(st.integers(0, 20), min_size=2, max_size=4),
+    cb=st.lists(st.integers(0, 20), min_size=2, max_size=4),
+)
+def test_chi2_drift_matches_bruteforce(spark, ca, cb):
+    """Law: agg_chi2_drift equals the textbook Σ(O−E)²/E to the 1e-6 grid,
+    is non-negative, and is zero iff the two lang distributions are
+    proportional."""
+    from kdb_spark.analytics import aggregations as agg
+
+    L = max(len(ca), len(cb))
+    ca = (ca + [0] * L)[:L]
+    cb = (cb + [0] * L)[:L]
+    # a lang absent from BOTH sides contributes no cell
+    if sum(ca) == 0 or sum(cb) == 0:
+        return
+    rows, i = [], 0
+    for l in range(L):
+        for _ in range(ca[l]):
+            rows.append((i, "t", f"l{l}", "A", 1)); i += 1
+        for _ in range(cb[l]):
+            rows.append((i, "t", f"l{l}", "B", 1)); i += 1
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    [r] = agg.agg_chi2_drift(df).collect()
+    na, nb = sum(ca), sum(cb)
+    want = 0.0
+    for l in range(L):
+        col = ca[l] + cb[l]
+        if col == 0:
+            continue
+        t = na + nb
+        for o, n in ((ca[l], na), (cb[l], nb)):
+            e = n * col / t
+            want += (o - e) ** 2 / e
+    assert r.chi2 >= 0.0
+    assert abs(r.chi2 - want) <= 2e-6
+    if all(ca[l] * nb == cb[l] * na for l in range(L)):
+        assert r.chi2 == 0.0
