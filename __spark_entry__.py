@@ -4809,3 +4809,51 @@ _reg(
     GROUP BY 1, 2
     """,
 )
+
+
+# quality-aware dedup survivor selection: clusters (recursive reach over the
+# exact-jaccard pair graph) + the shared quality score, argmax per component
+# via window rank — mirrors dedup_keep_best's max_by(struct) exactly
+_reg(
+    "dedup_keep_best",
+    lambda s, d: dd.dedup_keep_best(load(s, d, "documents")),
+    f"""
+    WITH RECURSIVE pairs AS ({_NGRAM_JACCARD_SQL.strip()}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs),
+    reach(a, b) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+    lbl AS (
+      SELECT a AS doc_id, min(b) AS canonical_id FROM reach GROUP BY a),
+    t AS (SELECT doc_id, text,
+                 regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+          FROM documents),
+    sc AS (SELECT doc_id,
+                  len(toks) AS n_tokens,
+                  (CASE WHEN len(toks) >= 10 THEN 1 ELSE 0 END
+                 + CASE WHEN len([x FOR x IN toks IF list_contains(['the','a','of','and','to','in','is'], x)])
+                          / greatest(len(toks), 1) >= 0.05 THEN 1 ELSE 0 END
+                 + CASE WHEN len(regexp_extract_all(text, '[0-9]'))
+                          / greatest(length(text), 1) <= 0.3 THEN 1 ELSE 0 END
+                 + CASE WHEN list_sum([CAST(length(x) AS DOUBLE) FOR x IN toks])
+                          / greatest(len(toks), 1) BETWEEN 3.0 AND 12.0
+                        THEN 1 ELSE 0 END) AS score
+           FROM t),
+    j AS (SELECT l.canonical_id, sc.doc_id, sc.score, sc.n_tokens
+          FROM lbl l JOIN sc ON sc.doc_id = l.doc_id),
+    r AS (SELECT canonical_id, doc_id, score,
+                 row_number() OVER (PARTITION BY canonical_id
+                                    ORDER BY score DESC, n_tokens DESC, doc_id) AS rn,
+                 count(*) OVER (PARTITION BY canonical_id) AS n_members
+          FROM j)
+    SELECT CAST(canonical_id AS BIGINT) AS canonical_id,
+           CAST(doc_id AS BIGINT) AS kept_doc_id,
+           CAST(score AS BIGINT) AS kept_score,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM r WHERE rn = 1
+    """,
+)

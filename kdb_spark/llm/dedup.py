@@ -821,3 +821,56 @@ def decontaminate_fuzzy(
         F.col("min_base").alias("min_test_id"),
         "best_jaccard",
     )
+
+
+def dedup_keep_best(
+    documents: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    df_cap: int = 8192,
+) -> DataFrame:
+    """Near-dup clustering with QUALITY-AWARE survivor selection: instead
+    of `dedup_cluster`'s keep-the-min-id policy, each component keeps its
+    highest-`quality_score` member (ties → more tokens → lower doc_id) —
+    the pipeline step real curation runs, because the arbitrary member of
+    a dup cluster is often the truncated/boilerplated copy and the best
+    one should survive.
+
+    Pure composition of audited parts: the exact-Jaccard pair graph +
+    min-label components (one iterative fixpoint over edge vertices), the
+    shared `quality_score_expr` (integer/ratio arithmetic — engine-exact),
+    and ONE `max_by(struct)` per component for the deterministic argmax.
+    Adds a single |docs|-row join + component-key agg on top of
+    dedup_cluster's cost.
+    """
+    from kdb_spark.llm.textstats import quality_score_expr
+
+    labels = dedup_cluster(documents, threshold, n, df_cap)
+    scored = documents.select(
+        "doc_id", "text", tokens("text").alias("toks")
+    ).select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        quality_score_expr(F.col("toks")).cast("long").alias("score"),
+    )
+    j = labels.join(scored, "doc_id")
+    pick = F.max_by(
+        F.struct(
+            F.col("doc_id").alias("kept_doc_id"),
+            F.col("score").alias("kept_score"),
+        ),
+        F.struct("score", "n_tokens", (-F.col("doc_id")).alias("nd")),
+    )
+    return (
+        j.groupBy("canonical_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            pick.alias("p"),
+        )
+        .select(
+            "canonical_id",
+            F.col("p.kept_doc_id").alias("kept_doc_id"),
+            F.col("p.kept_score").alias("kept_score"),
+            "n_members",
+        )
+    )

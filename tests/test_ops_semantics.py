@@ -1497,3 +1497,26 @@ def test_dau_mau_trailing_window_and_ratio(spark):
     assert (out[40].dau, out[40].mau) == (1, 1)
     # dead days report nothing
     assert set(out) == {0, 5, 40}
+
+
+# --------------------------------------------------------------- dedup_keep_best
+
+
+def test_keep_best_prefers_quality_then_length(spark):
+    """Within a near-dup cluster the highest-quality member survives
+    (NOT the min doc_id — doc 1 is a low-quality truncation here); ties
+    break to more tokens, then lower id; singletons keep themselves."""
+    good = ("the quick brown fox jumps over the lazy dog and keeps on "
+            "running to the old mill by the river every single day")
+    trunc = good.split(" and ")[0]  # shares shingles, fails the length gate
+    uniq = "completely different text about spark shuffles and parquet files"
+    df = spark.createDataFrame(
+        [(1, trunc), (2, good), (3, uniq)], "doc_id long, text string"
+    )
+    from kdb_spark.llm import dedup as dd
+
+    out = {r.canonical_id: r for r in
+           dd.dedup_keep_best(df, threshold=0.2).collect()}
+    # docs 1 and 2 cluster under canonical 1, but doc 2 (higher score) wins
+    assert out[1].kept_doc_id == 2 and out[1].n_members == 2
+    assert out[3].kept_doc_id == 3 and out[3].n_members == 1
