@@ -4411,20 +4411,23 @@ _reg(
     q AS (
       SELECT vec_id, lo, hi, rng,
              list_transform(embedding, x -> CASE WHEN rng > 0
-               THEN CAST(round((CAST(x AS DOUBLE) - lo) / rng * 255.0)
+               THEN CAST(floor((CAST(x AS DOUBLE) - lo) / rng * 255.0 + 0.5)
                          AS INT)
                ELSE 0 END) AS codes,
              list_transform(embedding, x -> CASE WHEN rng > 0
                THEN CAST(x AS DOUBLE)
-                    - (lo + CAST(CAST(round((CAST(x AS DOUBLE) - lo)
-                                             / rng * 255.0) AS INT)
+                    - (lo + CAST(CAST(floor((CAST(x AS DOUBLE) - lo)
+                                             / rng * 255.0 + 0.5) AS INT)
                                  AS DOUBLE) * rng / 255.0)
                ELSE CAST(x AS DOUBLE) - lo END) AS errs
       FROM b2)
-    SELECT vec_id, round(lo, 6) AS lo, round(hi, 6) AS hi,
+    SELECT vec_id,
+           floor(lo * 1e6 + 0.5) / 1e6 AS lo,
+           floor(hi * 1e6 + 0.5) / 1e6 AS hi,
            CAST(list_sum(codes) AS BIGINT) AS code_sum,
-           round(list_sum(list_transform(errs, e -> e * e))
-                 / CAST(len(errs) AS DOUBLE), 10) AS mse
+           floor(list_reduce(list_transform(errs, e -> e * e),
+                             (a, b) -> a + b)
+                 / CAST(len(errs) AS DOUBLE) * 1e10 + 0.5) / 1e10 AS mse
     FROM q
     """,
 )

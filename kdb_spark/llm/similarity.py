@@ -1173,6 +1173,12 @@ def emb_quantize_sq8(embeddings: DataFrame) -> DataFrame:
     speed and the output partitioning inherits the input's. Lambdas are
     cast to double before arithmetic so float promotion rules can't
     diverge across engines.
+
+    Parity hardening (r10): every quantization/rounding step is
+    floor(x·grid + 0.5) — exact given identical doubles, which the
+    deterministic op order guarantees — never round(double, k) (Spark
+    HALF_UPs the shortest decimal string, DuckDB C-rounds the binary
+    double; the exact local gate caught mse flipping a 1e-10 boundary).
     """
     lo = F.array_min("embedding").cast("double")
     hi = F.array_max("embedding").cast("double")
@@ -1181,7 +1187,9 @@ def emb_quantize_sq8(embeddings: DataFrame) -> DataFrame:
         "embedding",
         lambda x: F.when(
             rng > 0,
-            F.round((x.cast("double") - lo) / rng * F.lit(255.0)).cast("int"),
+            F.floor(
+                (x.cast("double") - lo) / rng * F.lit(255.0) + F.lit(0.5)
+            ).cast("int"),
         ).otherwise(F.lit(0)),
     )
     q = embeddings.select(
@@ -1204,12 +1212,29 @@ def emb_quantize_sq8(embeddings: DataFrame) -> DataFrame:
     code_sum = F.aggregate(
         "codes", F.lit(0).cast("long"), lambda acc, c: acc + c.cast("long")
     )
-    return q.select(
+    # TWO selects, deliberately: putting `....alias("lo")` in the same
+    # select list as the mse expression makes Spark's LATERAL COLUMN ALIAS
+    # resolution bind the mse lambda's F.col("lo") to the freshly rounded
+    # alias instead of q's raw column — the reconstruction error was being
+    # measured against the 1e-6-rounded lo (caught by the r10 exact gate;
+    # the old 1e-9-tolerant checker hid it). Stage 1 computes everything
+    # from RAW lo/rng; stage 2 only rounds the reported bounds.
+    t = q.select(
         "vec_id",
-        F.round("lo", 6).alias("lo"),
-        F.round("hi", 6).alias("hi"),
+        "lo",
+        "hi",
         code_sum.alias("code_sum"),
-        F.round(sse / d, 10).alias("mse"),
+        (F.floor(sse / d * F.lit(1e10) + F.lit(0.5)).cast("double")
+         / F.lit(1e10)).alias("mse"),
+    )
+    return t.select(
+        "vec_id",
+        (F.floor(F.col("lo") * F.lit(1e6) + F.lit(0.5)).cast("double")
+         / F.lit(1e6)).alias("lo"),
+        (F.floor(F.col("hi") * F.lit(1e6) + F.lit(0.5)).cast("double")
+         / F.lit(1e6)).alias("hi"),
+        "code_sum",
+        "mse",
     )
 
 

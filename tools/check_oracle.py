@@ -3,8 +3,9 @@
 
 Runs every `queries()` entry at sf0.01 (or --sf) alongside its
 `oracle_sql()` DuckDB query and compares: row count, sorted column names,
-and order-insensitive values (exact for ints/strings; floats must match to
-1e-9 after the in-query rounding both sides already apply).
+and order-insensitive values — BIT-EXACT, including floats (the driver
+hashes raw values, so a 1-ulp drift is a driver FAIL; --tol exists only
+for debugging a divergence).
 
 Usage: python tools/check_oracle.py [--sf /root/testdata/sf0.01] [names...]
 """
@@ -13,6 +14,7 @@ from __future__ import annotations
 
 import argparse
 import math
+import struct
 import sys
 import time
 import traceback
@@ -43,25 +45,36 @@ def normalize(df, cols):
     return sorted(rows, key=lambda r: tuple((x is None, str(x)) for x in r))
 
 
-def values_equal(a, b):
+def values_equal(a, b, tol: float = 0.0):
+    """EXACT by default (r10): the driver's correctness gate hashes raw
+    values, so two floats a ulp apart ARE a driver FAIL — the r9 win_macd
+    mismatch passed this checker's old 1e-9 tolerance and failed the
+    driver. ``tol`` stays available (--tol) for debugging a divergence,
+    never for declaring a key green."""
     if a is None and b is None:
         return True
     if isinstance(a, tuple) and isinstance(b, tuple):
         return len(a) == len(b) and all(
-            values_equal(x, y) for x, y in zip(a, b)
+            values_equal(x, y, tol) for x, y in zip(a, b)
         )
     if isinstance(a, float) and isinstance(b, (float, int)):
         if math.isnan(a) and isinstance(b, float) and math.isnan(b):
             return True
-        return abs(a - float(b)) <= 1e-9 * max(1.0, abs(a))
+        b = float(b)
+        if tol:
+            return abs(a - b) <= tol * max(1.0, abs(a))
+        # bitwise: distinguishes 0.0/-0.0 and catches 1-ulp drift, exactly
+        # like the driver's value hash
+        return struct.pack(">d", a) == struct.pack(">d", b)
     if isinstance(b, float) and isinstance(a, int):
-        return values_equal(float(a), b)
+        return values_equal(float(a), b, tol)
     return a == b
 
 
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--tol", type=float, default=0.0, help="debug-only tolerance; green requires exact")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -127,7 +140,7 @@ def main() -> int:
         orows = normalize(odf, ocols)
         bad = None
         for i, (r1, r2) in enumerate(zip(srows, orows)):
-            if len(r1) != len(r2) or not all(values_equal(a, b) for a, b in zip(r1, r2)):
+            if len(r1) != len(r2) or not all(values_equal(a, b, args.tol) for a, b in zip(r1, r2)):
                 bad = (i, r1, r2)
                 break
         if bad:
