@@ -4860,3 +4860,59 @@ _reg(
     FROM r WHERE rn = 1
     """,
 )
+
+
+# corpus top-N vocab, then per-doc coverage — exact integer ratio; the
+# oracle's vocab pick uses the same (count desc, token asc) deterministic
+# order
+_reg(
+    "text_vocab_coverage",
+    lambda s, d: tx.text_vocab_coverage(load(s, d, "documents")),
+    """
+    WITH tk AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      FROM documents),
+    vocab AS (
+      SELECT tok FROM (
+        SELECT tok, count(*) AS cnt FROM tk GROUP BY 1
+        ORDER BY cnt DESC, tok LIMIT 64)),
+    g AS (
+      SELECT t.doc_id,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(CASE WHEN v.tok IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS covered
+      FROM tk t LEFT JOIN vocab v USING (tok)
+      GROUP BY t.doc_id)
+    SELECT doc_id, n_tokens, covered,
+           CAST((2000000 * covered + n_tokens) // (2 * CAST(n_tokens AS HUGEINT))
+                AS DOUBLE) / 1e6 AS coverage
+    FROM g
+    """,
+)
+
+
+# streaming trailing-30d MAU: map-side sliding-window assignment + the
+# dedup-then-count shape; oracle = the batch contribute-forward explode
+# bounded to full-data window ends
+_reg(
+    "stream_mau_sliding",
+    sm.stream_mau_sliding,
+    f"""
+    WITH ud AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // {DAY_US} AS day
+      FROM events),
+    b AS (
+      SELECT (min(day) + 1) * {DAY_US} AS first_end,
+             (max(day) + 1) * {DAY_US} AS last_end
+      FROM (SELECT epoch_us(ts) // {DAY_US} AS day FROM events)),
+    c AS (
+      SELECT ud.user_id, (ud.day + g.i) * {DAY_US} AS win_end_us
+      FROM ud CROSS JOIN (SELECT range AS i FROM range(1, 31)) g),
+    m AS (
+      SELECT win_end_us, CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+      FROM c GROUP BY 1)
+    SELECT m.win_end_us, m.mau
+    FROM m, b
+    WHERE m.win_end_us >= b.first_end AND m.win_end_us <= b.last_end
+    """,
+)

@@ -536,3 +536,50 @@ def text_boilerplate_ratio(
             ).alias("boiler_ratio"),
         )
     )
+
+
+def text_vocab_coverage(documents: DataFrame, vocab_size: int = 64) -> DataFrame:
+    """Vocabulary-coverage report: build the corpus top-``vocab_size``
+    token vocabulary (by total frequency), then score every document by
+    how much of it the vocab covers — the standard pre-tokenizer-training
+    check ("what OOV rate would a vocab this big leave?").
+
+    Two fact-sized passes over the exploded tokens (the count agg and the
+    per-doc score), ONE tiny TakeOrdered for the vocab (deterministic:
+    count desc, token asc), vocab attached by broadcast join — no
+    row-wise Python, no vocabulary shuffle. covered/n_tokens is an exact
+    integer ratio, rounded in integer space (sign-free DIV). Docs with
+    zero tokens are absent (no tokens to cover — same domain contract as
+    the other token ops).
+    """
+    from kdb_spark.llm.dedup import _reused
+
+    toks = _reused(
+        f"vocab_cov_toks_{vocab_size}",
+        documents.select("doc_id", F.explode(tokens("text")).alias("tok")),
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "tok")
+        .limit(vocab_size)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.coalesce("in_vocab", F.lit(0))).cast("long").alias("covered"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "covered",
+            (
+                F.expr("(2000000 * covered + n_tokens) DIV (2 * n_tokens)")
+                .cast("double")
+                / F.lit(1e6)
+            ).alias("coverage"),
+        )
+    )

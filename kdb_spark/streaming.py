@@ -1305,3 +1305,48 @@ def stream_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("w.start").alias("day_us"),
         F.col("dau").cast("long").alias("dau"),
     )
+
+
+def stream_mau_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 30-day distinct active users, sliding daily, streaming —
+    the MAU half of `agg_dau_mau` as a live query.
+
+    Spark assigns each event its ≤30 covering windows MAP-SIDE
+    (`F.window(ets, '30 days', '1 day')` expands without a self-join —
+    the streaming twin of the batch contribute-forward explode), then the
+    same dropDuplicates-then-count shape as `stream_windowed_distinct`:
+    state = one row per distinct (user, window) among OPEN windows, which
+    the watermark retires. Only windows ENDING inside the observed data
+    range report (trailing windows around the corpus edges are partial by
+    construction — the oracle applies the same bound).
+    """
+    s = events_stream(spark, sf_dir)
+    bounds = s.sparkSession.read.parquet(
+        f"{sf_dir.rstrip('/')}/events.parquet"
+    )
+    ts = ts_us_expr(bounds)
+    lohi = bounds.select(
+        F.min(ts).alias("lo"), F.max(ts).alias("hi")
+    ).collect()[0]
+    dd = (
+        s.withWatermark("ets", "1 day")
+        .select("user_id", F.window("ets", "30 days", "1 day").alias("w"))
+        .dropDuplicates(["user_id", "w"])
+    )
+    agg = dd.groupBy("w").agg(F.count(F.lit(1)).alias("mau"))
+    out = _drain(agg, "complete")
+    day = 86_400_000_000
+    first_end = (lohi.lo // day + 1) * day
+    last_end = (lohi.hi // day + 1) * day
+    return (
+        out.select(
+            F.unix_micros("w.end").alias("win_end_us"),
+            F.col("mau").cast("long").alias("mau"),
+        )
+        # full trailing windows only: end after the first observed day
+        # closes, at or before the day after the last event
+        .filter(
+            (F.col("win_end_us") >= F.lit(first_end))
+            & (F.col("win_end_us") <= F.lit(last_end))
+        )
+    )

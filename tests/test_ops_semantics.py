@@ -1520,3 +1520,28 @@ def test_keep_best_prefers_quality_then_length(spark):
     # docs 1 and 2 cluster under canonical 1, but doc 2 (higher score) wins
     assert out[1].kept_doc_id == 2 and out[1].n_members == 2
     assert out[3].kept_doc_id == 3 and out[3].n_members == 1
+
+
+# ---------------------------------------------------------- text_vocab_coverage
+
+
+def test_vocab_coverage_top_n_and_ratio(spark):
+    """vocab_size=2 keeps the two most frequent tokens (ties by token asc);
+    coverage is the exact fraction of token OCCURRENCES the vocab covers."""
+    df = spark.createDataFrame(
+        [
+            (1, "aa aa aa bb bb cc"),   # aa:3 bb:2 -> vocab {aa, bb}
+            (2, "cc cc cc cc"),         # all OOV
+            (3, "aa cc"),
+        ],
+        "doc_id long, text string",
+    )
+    from kdb_spark.llm import dedup as dd
+
+    dd._REUSE_CACHE.pop("vocab_cov_toks_2", None)
+    out = {r.doc_id: r for r in tx.text_vocab_coverage(df, vocab_size=2).collect()}
+    # corpus counts: cc:6, aa:4, bb:2 -> vocab {cc, aa}
+    assert out[1].n_tokens == 6 and out[1].covered == 4
+    assert out[1].coverage == pytest.approx(round(4 / 6, 6), abs=1e-9)
+    assert out[2].covered == 4 and out[2].coverage == 1.0
+    assert out[3].covered == 2 and out[3].coverage == 1.0
