@@ -177,6 +177,8 @@ def main() -> int:
         # round-7/9 families: graph, tick analytics, SQL-text entries
         "graph_pagerank", "graph_triangle_count", "agg_twap",
         "sql_ship_priority",
+        # round-10 families: drift tests, quality-aware dedup, CDF reads
+        "agg_chi2_drift", "dedup_keep_best", "scan_changes",
     ]
     print(
         json.dumps(
