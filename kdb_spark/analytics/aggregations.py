@@ -1871,9 +1871,19 @@ def agg_chi2_drift(documents: DataFrame) -> DataFrame:
 
     Scale shape: ONE fact-sized hash-agg to the (source, lang) count table
     (dimension-bounded forever after); pairs/cells are |sources|²·|langs|.
+    The count table is PERSISTED — it feeds six aliased references
+    (totals via both pair sides, ca, cb, pair_langs twice) and Spark does
+    not reuse an exchange across aliased self-join sides, so without the
+    persist the documents scan + agg would re-run per reference (r10
+    review finding).
     """
-    counts = documents.groupBy("source", "lang").agg(
-        F.count(F.lit(1)).cast("long").alias("c")
+    from kdb_spark.llm.dedup import _reused
+
+    counts = _reused(
+        "chi2_counts",
+        documents.groupBy("source", "lang").agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        ),
     )
     totals = counts.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
     pairs = (
@@ -1986,9 +1996,16 @@ def table_key_skew(events: DataFrame, key: str = "user_id") -> DataFrame:
             F.max("n").cast("long").alias("max_per_key"),
         )
     )
-    tot = g.agg(F.sum("n_rows").alias("t"))
+    # the grand total is a window over the ≤64-row BUCKET table, not a
+    # second aggregate of the fact lineage — an agg+crossJoin here would
+    # re-run the |events| per-key pass for the total (r10 review finding)
+    t = F.sum("n_rows").over(
+        Window.partitionBy().rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
     return (
-        g.crossJoin(F.broadcast(tot))
+        g.withColumn("t", t)
         .select(
             "bucket",
             F.expr("shiftleft(CAST(1 AS BIGINT), bucket)").alias("lo"),

@@ -580,14 +580,19 @@ def sink_versioned(df: DataFrame, path: str, mode: str = "append") -> int:
 
     Concurrency (the Delta protocol's shape, ADVICE r9): data lands under
     a UNIQUE dir name first — two in-flight committers can never clobber
-    each other's files — then the version number is claimed by creating
-    the manifest with O_CREAT|O_EXCL, so exactly one committer wins N
-    (an os.replace would let a second committer silently replace N's
-    manifest and orphan its data dirs). A loser re-reads the log and
+    each other's files — then the version number is claimed by hard-
+    LINKING a fully-written private file to ``{n}.json`` (os.link raises
+    FileExistsError to every committer but one). Linking an already-
+    complete file is what makes the commit atomic: the manifest is whole
+    the instant it becomes visible, so a concurrent reader can never
+    observe a partial {n}.json and a crash mid-commit leaves only an
+    unclaimed tmp file, never a poisoned version (a bare
+    O_CREAT|O_EXCL + write would expose an empty manifest between the
+    two steps — r10 review finding). A loser re-reads the log and
     retries at N+1; its data dir needs no move. Cross-process mutual
-    exclusion needs the filesystem's O_EXCL to be honest (true locally
-    and on NFSv3+; object stores need a put-if-absent, which this local
-    sink stands in for).
+    exclusion needs the filesystem's link/O_EXCL to be honest (true
+    locally and on NFSv3+; object stores need a put-if-absent, which
+    this local sink stands in for).
     """
     import json
     import os
@@ -597,28 +602,34 @@ def sink_versioned(df: DataFrame, path: str, mode: str = "append") -> int:
     os.makedirs(log_dir, exist_ok=True)
     rel = os.path.join("data", uuid.uuid4().hex[:12])
     df.write.mode("overwrite").parquet(os.path.join(path, rel))
-    while True:
-        versions = sorted(
-            int(f.split(".")[0])
-            for f in os.listdir(log_dir)
-            if f.endswith(".json")
-        )
-        n = (versions[-1] + 1) if versions else 0
-        if mode == "append" and versions:
-            with open(os.path.join(log_dir, f"{versions[-1]}.json")) as fh:
-                dirs = json.load(fh)["dirs"] + [rel]
-        else:
-            dirs = [rel]
-        try:
-            fd = os.open(
-                os.path.join(log_dir, f"{n}.json"),
-                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+    tmp = os.path.join(log_dir, f".commit-{uuid.uuid4().hex[:12]}.tmp")
+    try:
+        while True:
+            versions = sorted(
+                int(f.split(".")[0])
+                for f in os.listdir(log_dir)
+                if f.endswith(".json") and not f.startswith(".")
             )
-        except FileExistsError:
-            continue  # lost the race for n — re-list the log, try n+1
-        with os.fdopen(fd, "w") as fh:
-            json.dump({"version": n, "mode": mode, "dirs": dirs}, fh)
-        return n
+            n = (versions[-1] + 1) if versions else 0
+            if mode == "append" and versions:
+                with open(os.path.join(log_dir, f"{versions[-1]}.json")) as fh:
+                    dirs = json.load(fh)["dirs"] + [rel]
+            else:
+                dirs = [rel]
+            with open(tmp, "w") as fh:
+                json.dump({"version": n, "mode": mode, "dirs": dirs}, fh)
+                fh.flush()
+                os.fsync(fh.fileno())
+            try:
+                os.link(tmp, os.path.join(log_dir, f"{n}.json"))
+            except FileExistsError:
+                continue  # lost the race for n — re-list the log, try n+1
+            return n
+    finally:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
 
 
 def scan_version(

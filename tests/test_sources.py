@@ -313,31 +313,31 @@ def test_versioned_commit_race_retries_next_slot(spark, tmp_path):
     sink_versioned(df1, path, mode="overwrite")  # v0
 
     # simulate a competing committer that claims version 1 between our
-    # log listing and our manifest create: the O_EXCL open of _log/1.json
+    # log listing and our manifest link: the os.link claim of _log/1.json
     # lands AFTER the competitor's manifest exists → must raise and retry
-    real_open = os.open
+    real_link = os.link
     state = {"fired": False}
     comp_rel = os.path.join("data", "competitor")
 
-    def racing_open(p, flags, *a, **kw):
-        if str(p).endswith(os.path.join("_log", "1.json")) and not state["fired"]:
+    def racing_link(src, dst, *a, **kw):
+        if str(dst).endswith(os.path.join("_log", "1.json")) and not state["fired"]:
             state["fired"] = True
-            with open(p, "w") as fh:
+            with open(dst, "w") as fh:
                 json.dump(
                     {"version": 1, "mode": "append",
                      "dirs": [comp_parent, comp_rel]},
                     fh,
                 )
-        return real_open(p, flags, *a, **kw)
+        return real_link(src, dst, *a, **kw)
 
     with open(os.path.join(path, "_log", "0.json")) as fh:
         comp_parent = json.load(fh)["dirs"][0]
     df1.write.parquet(os.path.join(path, comp_rel))
-    os.open = racing_open
+    os.link = racing_link
     try:
         n = sink_versioned(df2, path, mode="append")
     finally:
-        os.open = real_open
+        os.link = real_link
     assert state["fired"] and n == 2
     # the competitor's v1 manifest survived untouched
     with open(os.path.join(path, "_log", "1.json")) as fh:
@@ -349,6 +349,11 @@ def test_versioned_commit_race_retries_next_slot(spark, tmp_path):
     got = sorted(r.id for r in scan_version(spark, path, 2).collect())
     assert got == [1, 1, 2]  # v0 rows + competitor's copy + our append
     assert scan_version(spark, path, 0).count() == 1
+    # the loser's private commit file was cleaned up, and nothing partial
+    # ever carried a version name
+    leftovers = [f for f in os.listdir(os.path.join(path, "_log"))
+                 if not f.endswith(".json") or f.startswith(".")]
+    assert leftovers == []
 
 
 def test_upsert_replaces_matches_keeps_rest(spark, tmp_path):
