@@ -4916,3 +4916,68 @@ _reg(
     WHERE m.win_end_us >= b.first_end AND m.win_end_us <= b.last_end
     """,
 )
+
+
+# rolling realized volatility: exact bigint window sums of squared tick
+# deltas; sqrt is IEEE-correctly-rounded on both engines, output on the
+# floor grid — engine-exact with no log/libm exposure
+_reg(
+    "win_realized_vol",
+    lambda s, d: wn.win_realized_vol(events_us(s, d)),
+    """
+    WITH t AS (
+      SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+             CAST(round(value * 100) AS BIGINT) AS xc
+      FROM events),
+    d AS (
+      SELECT event_id, user_id, event_type, ts_us,
+             xc - lag(xc) OVER w AS dc
+      FROM t
+      WINDOW w AS (PARTITION BY user_id, event_type
+                   ORDER BY ts_us, event_id)),
+    g AS (
+      SELECT event_id, user_id, event_type,
+             sum(dc * dc) OVER f AS s, count(dc) OVER f AS n
+      FROM d
+      WINDOW f AS (PARTITION BY user_id, event_type
+                   ORDER BY ts_us, event_id
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+    SELECT event_id, user_id, event_type,
+           CASE WHEN n > 0 THEN
+             floor(sqrt(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * 1e4 + 0.5)
+               / 1e6
+           END AS rvol
+    FROM g
+    """,
+)
+
+
+# MRL truncation safety report: exact micro-unit energy folds, integer-
+# rounded energy ratio, sqrt-on-the-floor-grid cosine — engine-exact,
+# zero-shuffle
+_reg(
+    "emb_matryoshka_report",
+    lambda s, d: sim.emb_matryoshka_report(load(s, d, "embeddings")),
+    """
+    WITH t AS (
+      SELECT vec_id,
+             CAST(len(embedding) AS BIGINT) AS dim_full,
+             list_sum(list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)
+                    * CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT))) AS sa,
+             list_sum(list_transform(embedding[1:16],
+               x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)
+                    * CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT))) AS sk
+      FROM embeddings)
+    SELECT vec_id, dim_full, CAST(16 AS BIGINT) AS k,
+           CASE WHEN sa > 0 THEN
+             CAST((2000000 * CAST(sk AS HUGEINT) + sa)
+                  // (2 * CAST(sa AS HUGEINT)) AS DOUBLE) / 1e6
+           END AS energy_kept,
+           CASE WHEN sa > 0 THEN
+             floor(sqrt(CAST(sk AS DOUBLE) / CAST(sa AS DOUBLE)) * 1e6 + 0.5)
+               / 1e6
+           END AS cos_kept
+    FROM t
+    """,
+)

@@ -881,3 +881,54 @@ def win_keltner(
             "300000 * CAST(dt AS DECIMAL(38,0))",
         ).alias("lower"),
     )
+
+
+def win_realized_vol(events: DataFrame, k: int = 19) -> DataFrame:
+    """Rolling realized volatility per series: sqrt of the mean SQUARED
+    TICK CHANGE over the trailing k+1-row frame, in value units — the
+    risk number every tick stack rolls next to its moving averages
+    (stated over simple differences, not log returns: log is a libm
+    function whose ulps differ across engines, while Δcents² is an exact
+    bigint and sqrt is IEEE-correctly-rounded everywhere).
+
+    Two window passes over ONE partitioning (lag must materialize before
+    the frame can sum it — the win_macd shape): Δc = c − lag(c) in exact
+    cents, then an exact integer window sum of Δc² and a count. The only
+    float ops are one division, one sqrt, and the floor-grid output —
+    all deterministic given identical integer inputs, so the value is
+    engine-exact. Series heads (no delta yet) emit null. Domain bound:
+    |Δc| ≤ 3e9 cents keeps Δc²·(k+1) inside bigint.
+    """
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+    xc = cents("value")
+    d = events.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts_us",
+        (xc - F.lag(xc).over(w)).alias("dc"),
+    )
+    f = (
+        Window.partitionBy("user_id", "event_type")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(-k, 0)
+    )
+    s = F.sum(F.col("dc") * F.col("dc")).over(f)
+    n = F.count("dc").over(f)
+    t = d.select(
+        "event_id", "user_id", "event_type", s.alias("s"), n.alias("n")
+    )
+    return t.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.when(
+            F.col("n") > 0,
+            F.floor(
+                F.sqrt(F.col("s").cast("double") / F.col("n").cast("double"))
+                * F.lit(1e4)
+                + F.lit(0.5)
+            ).cast("double")
+            / F.lit(1e6),
+        ).alias("rvol"),
+    )

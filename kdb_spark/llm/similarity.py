@@ -1300,3 +1300,58 @@ def emb_hamming_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 5) -> D
         .where(F.col("rk") <= k)
         .select("q_id", "vec_id", "hamming", F.col("rk").cast("int").alias("rk"))
     )
+
+
+def emb_matryoshka_report(embeddings: DataFrame, k: int = 16) -> DataFrame:
+    """Matryoshka (MRL) truncation report: if vectors were cut to their
+    first ``k`` dimensions, how much does each keep? energy_kept =
+    Σ_{i<k} v_i² / Σ v_i², and the cosine between the full vector and its
+    zero-padded truncation is exactly sqrt of that ratio — the number
+    that decides whether a prefix-truncated index is safe to serve.
+
+    Engine-exact arithmetic: components quantize to micro-units
+    (round(v·1e6) — the emb_dim_stats device; float32 inputs are exact in
+    double), both energies are exact bigint folds, energy_kept is an
+    integer-rounded exact ratio, and cos_kept = sqrt(exact ratio) on the
+    floor grid (IEEE sqrt is correctly rounded on both engines). Entirely
+    map-side: no shuffle, scan-speed at any corpus size, like the other
+    per-vector codecs.
+    """
+    v6 = lambda x: F.round(x.cast("double") * F.lit(1.0e6)).cast("long")  # noqa: E731
+    s_all = F.aggregate(
+        "embedding", F.lit(0).cast("long"), lambda a, x: a + v6(x) * v6(x)
+    )
+    s_k = F.aggregate(
+        F.slice("embedding", 1, k),
+        F.lit(0).cast("long"),
+        lambda a, x: a + v6(x) * v6(x),
+    )
+    t = embeddings.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim_full"),
+        s_k.alias("sk"),
+        s_all.alias("sa"),
+    )
+    return t.select(
+        "vec_id",
+        "dim_full",
+        F.lit(k).cast("long").alias("k"),
+        F.when(
+            F.col("sa") > 0,
+            F.expr(
+                "CAST((2000000 * CAST(sk AS DECIMAL(38,0))"
+                "      + CAST(sa AS DECIMAL(38,0)))"
+                "     DIV (2 * CAST(sa AS DECIMAL(38,0))) AS BIGINT)"
+            ).cast("double")
+            / F.lit(1e6),
+        ).alias("energy_kept"),
+        F.when(
+            F.col("sa") > 0,
+            F.floor(
+                F.sqrt(F.col("sk").cast("double") / F.col("sa").cast("double"))
+                * F.lit(1e6)
+                + F.lit(0.5)
+            ).cast("double")
+            / F.lit(1e6),
+        ).alias("cos_kept"),
+    )

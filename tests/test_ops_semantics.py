@@ -1545,3 +1545,22 @@ def test_vocab_coverage_top_n_and_ratio(spark):
     assert out[1].coverage == pytest.approx(round(4 / 6, 6), abs=1e-9)
     assert out[2].covered == 4 and out[2].coverage == 1.0
     assert out[3].covered == 2 and out[3].coverage == 1.0
+
+
+# ------------------------------------------------------------ win_realized_vol
+
+
+def test_realized_vol_exact_deltas(spark):
+    """rvol is sqrt(mean Δc²)/100 over the trailing frame: hand-checked on
+    a 3-tick series; first tick (no delta) is null."""
+    ev = _events(
+        spark,
+        [(1, 1, "view", 10.00, 100), (2, 1, "view", 10.03, 200),
+         (3, 1, "view", 9.99, 300)],
+    )
+    out = {r.event_id: r.rvol for r in wn.win_realized_vol(ev).collect()}
+    import math
+    assert out[1] is None
+    assert out[2] == pytest.approx(math.floor(math.sqrt(9.0) * 1e4 + 0.5) / 1e6)
+    want3 = math.floor(math.sqrt((9 + 16) / 2) * 1e4 + 0.5) / 1e6
+    assert out[3] == pytest.approx(want3, abs=1e-12)
