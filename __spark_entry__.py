@@ -4981,3 +4981,41 @@ _reg(
     FROM t
     """,
 )
+
+
+# total-variation drift: Σ|c_a·n_b − c_b·n_a| / (2·n_a·n_b) — all-integer,
+# order-independent (no fold contract needed), integer-rounded
+_reg(
+    "agg_tvd_drift",
+    lambda s, d: agg.agg_tvd_drift(load(s, d, "documents")),
+    """
+    WITH counts AS (
+      SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+      FROM documents GROUP BY 1, 2),
+    tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM counts GROUP BY 1),
+    pairs AS (
+      SELECT a.source AS source_a, a.n AS n_a, b.source AS source_b, b.n AS n_b
+      FROM tot a, tot b WHERE a.source < b.source),
+    pl AS (
+      SELECT DISTINCT p.source_a, p.source_b, c.lang
+      FROM pairs p JOIN counts c
+        ON c.source = p.source_a OR c.source = p.source_b),
+    cells AS (
+      SELECT p.source_a, p.source_b, p.n_a, p.n_b,
+             abs(CAST(coalesce(ca.c, 0) AS HUGEINT) * p.n_b
+                 - CAST(coalesce(cb.c, 0) AS HUGEINT) * p.n_a) AS num
+      FROM pairs p
+      JOIN pl ON pl.source_a = p.source_a AND pl.source_b = p.source_b
+      LEFT JOIN counts ca ON ca.source = p.source_a AND ca.lang = pl.lang
+      LEFT JOIN counts cb ON cb.source = p.source_b AND cb.lang = pl.lang),
+    g AS (
+      SELECT source_a, source_b, max(n_a) AS n_a, max(n_b) AS n_b,
+             sum(num) AS s
+      FROM cells GROUP BY 1, 2)
+    SELECT source_a, source_b,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST((2000000 * s + 2 * CAST(n_a AS HUGEINT) * n_b)
+                // (4 * CAST(n_a AS HUGEINT) * n_b) AS DOUBLE) / 1e6 AS tvd
+    FROM g
+    """,
+)

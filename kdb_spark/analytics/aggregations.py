@@ -2216,3 +2216,89 @@ def agg_dau_mau(events: DataFrame, window_days: int = 30) -> DataFrame:
             ).alias("stickiness"),
         )
     )
+
+
+def agg_tvd_drift(documents: DataFrame) -> DataFrame:
+    """Pairwise total-variation distance between sources over the lang
+    distribution — the MAGNITUDE companion to the drift trio (agg_ks_test
+    answers "numeric CDFs differ?", agg_chi2_drift "is the categorical
+    difference significant?", TVD "by how much, in probability mass"):
+    TVD(a,b) = ½ Σ_l |p_a(l) − p_b(l)|, the fraction of one corpus you
+    would have to relabel to match the other.
+
+    EXACT end to end: with integer cell counts, the statistic is
+    Σ|c_a·n_b − c_b·n_a| / (2·n_a·n_b) — one integer sum over cells
+    (order-independent, no fold-order contract needed, unlike chi2's
+    fractional cells), integer-rounded to 6 dp. Reuses the persisted
+    (source, lang) count table `agg_chi2_drift` builds — running both
+    drift tests costs ONE fact pass total.
+    """
+    from kdb_spark.llm.dedup import _reused
+
+    counts = _reused(
+        "chi2_counts",
+        documents.groupBy("source", "lang").agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        ),
+    )
+    totals = counts.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    pairs = (
+        totals.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+        .crossJoin(
+            totals.select(
+                F.col("source").alias("source_b"), F.col("n").alias("n_b")
+            )
+        )
+        .where(F.col("source_a") < F.col("source_b"))
+    )
+    ca = counts.select(
+        F.col("source").alias("source_a"), "lang", F.col("c").alias("c_a")
+    )
+    cb = counts.select(
+        F.col("source").alias("source_b"), "lang", F.col("c").alias("c_b")
+    )
+    pair_langs = (
+        pairs.join(ca, "source_a").select("source_a", "source_b", "lang")
+        .unionByName(
+            pairs.join(cb, "source_b").select("source_a", "source_b", "lang")
+        )
+        .distinct()
+    )
+    cells = (
+        pairs.join(pair_langs, ["source_a", "source_b"])
+        .join(ca, ["source_a", "lang"], "left")
+        .join(cb, ["source_b", "lang"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            F.abs(
+                F.coalesce("c_a", F.lit(0)).cast("decimal(38,0)")
+                * F.col("n_b")
+                - F.coalesce("c_b", F.lit(0)).cast("decimal(38,0)")
+                * F.col("n_a")
+            ).alias("num"),
+        )
+    )
+    g = cells.groupBy("source_a", "source_b").agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.sum("num").alias("s"),
+    )
+    return g.select(
+        "source_a",
+        "source_b",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        (
+            # tvd = s / (2·n_a·n_b), half-up to 6 dp in integer space:
+            # (2·10^6·s + 2·n_a·n_b) DIV (2 · 2·n_a·n_b)
+            F.expr(
+                "CAST((2000000 * s"
+                "      + 2 * CAST(n_a AS DECIMAL(38,0)) * n_b)"
+                "     DIV (4 * CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"
+            ).cast("double")
+            / F.lit(1e6)
+        ).alias("tvd"),
+    )

@@ -1564,3 +1564,28 @@ def test_realized_vol_exact_deltas(spark):
     assert out[2] == pytest.approx(math.floor(math.sqrt(9.0) * 1e4 + 0.5) / 1e6)
     want3 = math.floor(math.sqrt((9 + 16) / 2) * 1e4 + 0.5) / 1e6
     assert out[3] == pytest.approx(want3, abs=1e-12)
+
+
+# -------------------------------------------------------------- agg_tvd_drift
+
+
+def test_tvd_hand_case_bounds_and_zero(spark):
+    """2-lang case matches the closed form (¾ vs ½ en-share → TVD 0.25);
+    identical distributions give 0; disjoint supports give 1."""
+    def mk(spec):
+        rows, i = [], 0
+        for src, lang, n in spec:
+            for _ in range(n):
+                rows.append((i, "t", lang, src, 1)); i += 1
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+
+    out = agg.agg_tvd_drift(mk([("A", "en", 30), ("A", "fr", 10),
+                                ("B", "en", 10), ("B", "fr", 10)])).collect()
+    assert len(out) == 1 and out[0].tvd == pytest.approx(0.25, abs=1e-9)
+    same = agg.agg_tvd_drift(mk([("A", "en", 5), ("A", "fr", 5),
+                                 ("B", "en", 7), ("B", "fr", 7)])).collect()
+    assert same[0].tvd == 0.0
+    disj = agg.agg_tvd_drift(mk([("A", "en", 9), ("B", "fr", 4)])).collect()
+    assert disj[0].tvd == 1.0
