@@ -3804,11 +3804,15 @@ _reg(
            FROM per CROSS JOIN tot),
     dn AS (SELECT CAST(sum(t) AS BIGINT) AS denom FROM wt)
     SELECT source, CAST(chars AS BIGINT) AS n_chars_sum,
-           round(CAST(t AS DOUBLE) / CAST(denom AS DOUBLE), 6) AS target_share,
-           round(least(1.0,
-                 CAST(t AS DOUBLE) / CAST(denom AS DOUBLE)
-                 * CAST(total AS DOUBLE) / CAST(chars AS DOUBLE)), 6)
-             AS mix_rate
+           CAST(CAST((2000000 * CAST(t AS HUGEINT) + denom)
+                     // (2 * CAST(denom AS HUGEINT)) AS BIGINT) AS DOUBLE)
+             / 1e6 AS target_share,
+           CAST(least(CAST(1000000 AS BIGINT),
+                CAST((2000000 * CAST(t AS HUGEINT) * total
+                      + CAST(denom AS HUGEINT) * chars)
+                     // (2 * CAST(denom AS HUGEINT) * chars)
+                     AS BIGINT)) AS DOUBLE)
+             / 1e6 AS mix_rate
     FROM wt CROSS JOIN dn
     """,
 )
@@ -4539,10 +4543,10 @@ _reg(
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
     g AS (
       SELECT type_a, type_b, max(n_a) AS n_a, max(n_b) AS n_b,
-             CAST(max(abs(diff)) AS BIGINT) AS d_num
+             max(abs(diff)) AS d_num
       FROM cum GROUP BY 1, 2)
     SELECT type_a, type_b, CAST(n_a AS BIGINT) AS n_a,
-           CAST(n_b AS BIGINT) AS n_b, d_num,
+           CAST(n_b AS BIGINT) AS n_b,
            CAST((2000000 * CAST(d_num AS HUGEINT)
                  + CAST(n_a AS HUGEINT) * n_b)
                 // (2 * CAST(n_a AS HUGEINT) * n_b) AS DOUBLE)
@@ -4583,15 +4587,23 @@ _reg(
       JOIN pl ON pl.source_a = p.source_a AND pl.source_b = p.source_b
       LEFT JOIN counts ca ON ca.source = p.source_a AND ca.lang = pl.lang
       LEFT JOIN counts cb ON cb.source = p.source_b AND cb.lang = pl.lang),
+    -- d_a/d_b staged so the square is a SELF-MULTIPLY of the cast value,
+    -- mirroring Spark's num*num bit-for-bit (libm pow is not guaranteed
+    -- to equal a single IEEE multiply — r10 ADVICE)
+    cd AS (
+      SELECT source_a, source_b, n_a, n_b, lang,
+             CAST(CAST(c_a AS HUGEINT) * t
+                  - CAST(n_a AS HUGEINT) * col_l AS DOUBLE) AS d_a,
+             CAST(CAST(c_b AS HUGEINT) * t
+                  - CAST(n_b AS HUGEINT) * col_l AS DOUBLE) AS d_b,
+             CAST(CAST(n_a AS HUGEINT) * col_l * t AS DOUBLE) AS e_a,
+             CAST(CAST(n_b AS HUGEINT) * col_l * t AS DOUBLE) AS e_b
+      FROM cells),
     cc AS (
       SELECT source_a, source_b, n_a, n_b, lang,
-             power(CAST(CAST(c_a AS HUGEINT) * t
-                        - CAST(n_a AS HUGEINT) * col_l AS DOUBLE), 2)
-               / CAST(CAST(n_a AS HUGEINT) * col_l * t AS DOUBLE) AS cell_a,
-             power(CAST(CAST(c_b AS HUGEINT) * t
-                        - CAST(n_b AS HUGEINT) * col_l AS DOUBLE), 2)
-               / CAST(CAST(n_b AS HUGEINT) * col_l * t AS DOUBLE) AS cell_b
-      FROM cells),
+             d_a * d_a / e_a AS cell_a,
+             d_b * d_b / e_b AS cell_b
+      FROM cd),
     g AS (
       SELECT source_a, source_b, max(n_a) AS n_a, max(n_b) AS n_b,
              CAST(count(*) AS BIGINT) AS n_langs,
@@ -4674,7 +4686,7 @@ _reg(
              CAST(max(n) AS BIGINT) AS max_per_key
       FROM per GROUP BY 1),
     t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS t FROM g)
-    SELECT bucket, CAST(1 << bucket AS BIGINT) AS lo,
+    SELECT bucket, (CAST(1 AS BIGINT) << bucket) AS lo,
            n_keys, n_rows, max_per_key,
            CAST((2000000 * CAST(n_rows AS HUGEINT) + t)
                 // (2 * CAST(t AS HUGEINT)) AS DOUBLE) / 1e6 AS pct_rows

@@ -1811,8 +1811,9 @@ def agg_ks_test(events: DataFrame) -> DataFrame:
     # cross-products widened to decimal(38,0) BEFORE the multiply: in
     # long, cum_a·n_b overflows int64 once both sides hold ~3e9+ rows and
     # the query errors under ANSI (ADVICE r9). The d statistic is then
-    # exact at any corpus scale; only the diagnostic d_num column keeps a
-    # bigint ceiling (|diff| ≤ n_a·n_b must fit 9.2e18 to surface it).
+    # exact at any corpus scale with no int64 ceiling anywhere (r11: the
+    # diagnostic d_num column was dropped from the output rather than
+    # surfaced with a bigint cap).
     cum = j.select(
         "type_a",
         "type_b",
@@ -1825,17 +1826,22 @@ def agg_ks_test(events: DataFrame) -> DataFrame:
             * F.col("n_a").cast("decimal(38,0)")
         ).alias("diff"),
     )
+    # d_num stays decimal(38,0) internally and is NOT surfaced (r11): as a
+    # bigint output column it would overflow once n_a·n_b > 9.2e18, and as
+    # a decimal/HUGEINT output the two engines' pandas conversions diverge
+    # (DuckDB degrades HUGEINT to float64) — so the raw cross-product feeds
+    # the statistic and nothing else. The d statistic itself is exact at
+    # any corpus scale.
     g = cum.groupBy("type_a", "type_b").agg(
         F.max("n_a").cast("long").alias("n_a"),
         F.max("n_b").cast("long").alias("n_b"),
-        F.max(F.abs(F.col("diff"))).cast("long").alias("d_num"),
+        F.max(F.abs(F.col("diff"))).cast("decimal(38,0)").alias("d_num"),
     )
     return g.select(
         "type_a",
         "type_b",
         "n_a",
         "n_b",
-        "d_num",
         (
             F.expr(
                 "CAST((2000000 * CAST(d_num AS DECIMAL(38,0))"

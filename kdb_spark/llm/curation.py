@@ -355,6 +355,17 @@ def mix_temperature(documents: DataFrame) -> DataFrame:
     downsample-only rate derive through identical double expressions in
     both engines. One |sources|-row hash-agg + a broadcast 1-row total —
     same shape and cost as mix_weights at any scale.
+
+    Exact-parity contract (r11): target_share = round(t/denom, 6) and
+    mix_rate = round(min(1, t·total/(denom·chars)), 6) are ratios of
+    EXACT bigints, so the rounding happens entirely in integer space —
+    half-up via `(2·10^6·num + den) DIV (2·den)` on decimal(38,0)
+    (the win_donchian / _iround6 device; all operands non-negative here)
+    — then ONE exact cast to double and a /1e6. Never `round(double, 6)`:
+    Spark HALF_UPs the shortest decimal string while DuckDB C-rounds the
+    binary double, and they disagree on exact half boundaries (the r9
+    win_macd driver FAIL). The min-with-1 commutes with the rounding
+    (x ≤ 1 ⇒ round6(x) ≤ 10^6), so it is applied to the integer grid.
     """
     per = documents.groupBy("source").agg(F.sum("n_chars").alias("chars"))
     tot = per.agg(F.sum("chars").alias("total"))
@@ -365,17 +376,24 @@ def mix_temperature(documents: DataFrame) -> DataFrame:
         ).cast("long"),
     )
     denom = with_t.agg(F.sum("t").alias("denom"))
-    q = F.col("t").cast("double") / F.col("denom").cast("double")
-    rate = F.least(
-        F.lit(1.0), q * F.col("total").cast("double") / F.col("chars")
+    share6 = F.expr(
+        "CAST((2000000 * CAST(t AS DECIMAL(38,0)) + denom)"
+        "     DIV (2 * CAST(denom AS DECIMAL(38,0))) AS BIGINT)"
+    )
+    rate6 = F.expr(
+        "least(CAST(1000000 AS BIGINT),"
+        " CAST((2000000 * CAST(t AS DECIMAL(38,0)) * CAST(total AS DECIMAL(38,0))"
+        "       + CAST(denom AS DECIMAL(38,0)) * CAST(chars AS DECIMAL(38,0)))"
+        "      DIV (2 * CAST(denom AS DECIMAL(38,0)) * CAST(chars AS DECIMAL(38,0)))"
+        "      AS BIGINT))"
     )
     return (
         with_t.crossJoin(F.broadcast(denom))
         .select(
             "source",
             F.col("chars").cast("long").alias("n_chars_sum"),
-            F.round(q, 6).alias("target_share"),
-            F.round(rate, 6).alias("mix_rate"),
+            (share6.cast("double") / F.lit(1e6)).alias("target_share"),
+            (rate6.cast("double") / F.lit(1e6)).alias("mix_rate"),
         )
     )
 

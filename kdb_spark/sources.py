@@ -731,7 +731,10 @@ def q_scan_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "event_type", cents("value").alias("c"), "ts_us"
     )
     day0 = 19723  # 2024-01-01 in epoch days
-    day = (F.col("ts_us") / F.lit(DAY_US)).cast("long") - day0
+    # integer `div`, never double `/` (r11 ADVICE): the oracle buckets
+    # with integer // and a double quotient mis-buckets once ts_us
+    # outgrows the 53-bit mantissa — same discipline as agg_dau_mau
+    day = F.expr(f"ts_us div {DAY_US}") - F.lit(day0)
     v0 = sink_versioned(ev.filter(day < 10), path, mode="overwrite")
     v1 = sink_versioned(ev.filter((day >= 10) & (day < 20)), path, mode="append")
     sink_versioned(ev.filter(day >= 20), path, mode="append")
@@ -766,7 +769,10 @@ def q_scan_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "event_type", cents("value").alias("c"), "ts_us"
     )
     day0 = 19723  # 2024-01-01 in epoch days
-    day = (F.col("ts_us") / F.lit(DAY_US)).cast("long") - day0
+    # integer `div`, never double `/` (r11 ADVICE): the oracle buckets
+    # with integer // and a double quotient mis-buckets once ts_us
+    # outgrows the 53-bit mantissa — same discipline as agg_dau_mau
+    day = F.expr(f"ts_us div {DAY_US}") - F.lit(day0)
     sink_versioned(ev.filter(day < 10), path, mode="overwrite")
     v1 = sink_versioned(ev.filter((day >= 10) & (day < 20)), path, mode="append")
     sink_versioned(ev.filter(day >= 20), path, mode="append")

@@ -583,6 +583,22 @@ def _ewma_fn(
     # exact cents — same per-row double→bigint contract as tables.cents()
     # (values are cents-representable, so rint can never sit on a .5)
     val = np.rint(pdf["value"].to_numpy()[order] * 100.0).astype(np.int64)
+    # int64-overflow guard (r11 ADVICE): the fold computes 2·10^6·Σ w_k·x
+    # in int64 and numpy WRAPS silently on overflow, while the batch op
+    # widens to decimal(38,0) at the same step — past this bound the
+    # stream would silently emit wrong EWMAs instead of erroring, breaking
+    # the documented batch-stream bit-parity. Fail loud at the domain edge
+    # (|cents| ≲ 4.6e6 at the 10^6 weight grid, i.e. ticks under ~$46k).
+    if len(val):
+        lim = (2**63 - 1) // (2_000_000 * int(w.sum()))
+        worst = int(np.abs(val).max())
+        if worst > lim:
+            raise ValueError(
+                f"stream_ewma: |cents|={worst} exceeds the exact int64 "
+                f"fold domain (±{lim}); widen the fold (the batch "
+                "win_ewma widens to decimal(38,0) here) before raising "
+                "the tick domain"
+            )
     prev = tuple(state.get) if state.exists else None
     n_late = int(prev[3]) if prev is not None else 0
     h_ts = np.asarray(prev[0], dtype=np.int64) if prev is not None else np.empty(0, np.int64)

@@ -1179,9 +1179,11 @@ def test_benford_frequencies_are_a_distribution(spark):
     ys=st.lists(st.integers(1, 40), min_size=1, max_size=30),
 )
 def test_ks_test_matches_bruteforce(spark, xs, ys):
-    """Law: agg_ks_test's d_num equals the brute-force sup of
-    |F_a(v)·n_a·n_b − F_b(v)·n_a·n_b| over all pooled values, and
-    d = d_num/(n_a·n_b) to the 1e-6 rounding."""
+    """Law: agg_ks_test's d equals the brute-force sup of
+    |F_a(v)·n_a·n_b − F_b(v)·n_a·n_b| over all pooled values, rounded
+    half-up to the 1e-6 grid EXACTLY (integer-space round, no float
+    tolerance). The raw d_num diagnostic was dropped from the output in
+    r11 (it carried an int64 ceiling the statistic itself does not)."""
     from kdb_spark.analytics import aggregations as agg
 
     rows = [
@@ -1193,7 +1195,9 @@ def test_ks_test_matches_bruteforce(spark, xs, ys):
     df = spark.createDataFrame(
         rows, "event_id long, user_id long, event_type string, ts_us long, value double"
     )
-    [r] = agg.agg_ks_test(df).collect()
+    out = agg.agg_ks_test(df)
+    assert "d_num" not in out.columns
+    [r] = out.collect()
     na, nb = len(xs), len(ys)
     want = max(
         abs(
@@ -1203,8 +1207,25 @@ def test_ks_test_matches_bruteforce(spark, xs, ys):
         for v in set(xs) | set(ys)
     )
     assert (r.type_a, r.type_b, r.n_a, r.n_b) == ("a", "b", na, nb)
-    assert r.d_num == want
-    assert abs(r.d - want / (na * nb)) <= 0.50001e-6
+    want6 = (2 * 10**6 * want + na * nb) // (2 * na * nb)
+    assert r.d == want6 / 1e6
+
+
+def test_ks_test_d_formula_past_int64_ceiling(spark):
+    """The d-statistic select compiles pure decimal(38,0) arithmetic, so
+    it must stay exact where n_a·n_b (and d_num itself) exceed the int64
+    max — the regime the dropped bigint diagnostic could not reach.
+    Evaluates the operator's exact SQL fragment on literal magnitudes."""
+    na = nb = 3_500_000_000  # n_a·n_b = 1.225e19 > 9.2e18 (int64 max)
+    d_num = 9_500_000_000_000_000_000  # |diff| itself above int64 max
+    [r] = spark.sql(
+        f"SELECT CAST((2000000 * CAST({d_num} AS DECIMAL(38,0))"
+        f" + CAST({na} AS DECIMAL(38,0)) * CAST({nb} AS DECIMAL(38,0)))"
+        f" DIV (2 * CAST({na} AS DECIMAL(38,0))"
+        f"      * CAST({nb} AS DECIMAL(38,0))) AS BIGINT) AS d6"
+    ).collect()
+    want6 = (2 * 10**6 * d_num + na * nb) // (2 * na * nb)
+    assert r.d6 == want6
 
 
 @settings(
