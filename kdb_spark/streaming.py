@@ -1293,6 +1293,18 @@ def stream_asof_enrich(
     return spark.read.parquet(out_path).select("event_id", "user_id", "asof_value")
 
 
+def _windowed_distinct_plan(s: DataFrame) -> DataFrame:
+    """The streaming plan of `stream_windowed_distinct`, factored out so
+    tests can drive the REAL plan on a controlled source and assert its
+    state-store shape (one dedup row per distinct key per OPEN window)."""
+    dd = (
+        s.withWatermark("ets", "1 day")
+        .select("event_type", "user_id", F.window("ets", "1 day").alias("w"))
+        .dropDuplicates(["event_type", "user_id", "w"])
+    )
+    return dd.groupBy("event_type", "w").agg(F.count(F.lit(1)).alias("dau"))
+
+
 def stream_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily distinct active users per event_type, streaming — the DAU
     counter as a live query (the stream face of `agg_dau_mau`'s first
@@ -1307,20 +1319,25 @@ def stream_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch incidence table has for those days.
     """
     s = events_stream(spark, sf_dir)
-    dd = (
-        s.withWatermark("ets", "1 day")
-        .select("event_type", "user_id", F.window("ets", "1 day").alias("w"))
-        .dropDuplicates(["event_type", "user_id", "w"])
-    )
-    agg = dd.groupBy("event_type", "w").agg(
-        F.count(F.lit(1)).alias("dau")
-    )
-    out = _drain(agg, "complete")
+    out = _drain(_windowed_distinct_plan(s), "complete")
     return out.select(
         "event_type",
         F.unix_micros("w.start").alias("day_us"),
         F.col("dau").cast("long").alias("dau"),
     )
+
+
+def _mau_sliding_plan(s: DataFrame) -> DataFrame:
+    """The streaming plan of `stream_mau_sliding`, factored out so tests
+    can drive the REAL plan on a controlled source and assert its state
+    shape (≤30 covering windows expanded MAP-SIDE per event; one dedup row
+    per distinct (user, window) among open windows)."""
+    dd = (
+        s.withWatermark("ets", "1 day")
+        .select("user_id", F.window("ets", "30 days", "1 day").alias("w"))
+        .dropDuplicates(["user_id", "w"])
+    )
+    return dd.groupBy("w").agg(F.count(F.lit(1)).alias("mau"))
 
 
 def stream_mau_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1344,13 +1361,7 @@ def stream_mau_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     lohi = bounds.select(
         F.min(ts).alias("lo"), F.max(ts).alias("hi")
     ).collect()[0]
-    dd = (
-        s.withWatermark("ets", "1 day")
-        .select("user_id", F.window("ets", "30 days", "1 day").alias("w"))
-        .dropDuplicates(["user_id", "w"])
-    )
-    agg = dd.groupBy("w").agg(F.count(F.lit(1)).alias("mau"))
-    out = _drain(agg, "complete")
+    out = _drain(_mau_sliding_plan(s), "complete")
     day = 86_400_000_000
     first_end = (lohi.lo // day + 1) * day
     last_end = (lohi.hi // day + 1) * day

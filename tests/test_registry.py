@@ -72,3 +72,23 @@ def test_check_window_holds_stalest_keys():
     max_in_window = max(last.get(k, 0) for k in ks[:50])
     min_outside = min(last.get(k, 0) for k in ks[50:])
     assert max_in_window <= min_outside
+
+
+def test_latest_driver_snapshot_rotates_to_back():
+    """The newest committed CORRECTNESS file's passing keys are the
+    freshest-checked, so none of them may occupy the first-50 window while
+    any strictly-staler key exists (VERDICT r10 #5: the rotation snapshot
+    reads COMMITTED files — an uncommitted drop would silently re-check
+    last round's keys instead of the stalest cohort). Phrased against the
+    max committed round so it keeps holding as future rounds land."""
+    paths = glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
+    assert paths, "driver CORRECTNESS artifacts must be committed in-repo"
+    rmax = max(int(p.rsplit("_r", 1)[1].split(".")[0]) for p in paths)
+    assert rmax >= 10  # the r10 snapshot specifically must be committed
+    last = _history()
+    ks = list(entry.queries())
+    fresh = {k for k in ks if last.get(k, 0) == rmax}
+    staler = [k for k in ks if last.get(k, 0) < rmax]
+    # only when there are ≥50 staler keys is the window fully theirs
+    if len(staler) >= 50:
+        assert not fresh & set(ks[:50])

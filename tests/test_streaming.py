@@ -547,6 +547,133 @@ def test_rollup_maintain_merges_across_batches(spark, tmp_path):
     assert out[("c", H)] == (1, 10000, 10000, 10000)
 
 
+def test_rollup_maintain_state_is_one_row_per_group(spark, tmp_path):
+    """State-shape pin (VERDICT r10 #7): the maintained rollup TABLE is the
+    operator's durable state, and it must hold EXACTLY one row per
+    (event_type, hour_us) no matter how many micro-batches touched that
+    hour — a rewrite that appends per-batch partials instead of merging
+    would grow the table with every batch and silently stop being a
+    rollup. Three batches hit the same hour; the table (the returned frame
+    IS the parquet read-back) must still hold one row per distinct
+    group."""
+    watch = tmp_path / "src_mv_state"
+    watch.mkdir()
+    schema_pairs = [("event_type", "string"), ("ts_us", "long"), ("value", "double")]
+    H = 3_600_000_000
+    write_microbatch(watch, "b1.parquet", schema_pairs,
+                     [("c", 10, 5.0), ("v", H + 1, 2.0)], 1_000)
+    write_microbatch(watch, "b2.parquet", schema_pairs,
+                     [("c", 20, 7.0)], 2_000)   # same (c, hour 0)
+    write_microbatch(watch, "b3.parquet", schema_pairs,
+                     [("c", 30, 1.0)], 3_000)   # same (c, hour 0) again
+    sdf = (
+        spark.readStream.schema("event_type string, ts_us long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(watch))
+    )
+    got = sm.stream_rollup_maintain(spark, SF_DIR, source=sdf).collect()
+    keys = [(r.event_type, r.hour_us) for r in got]
+    assert sorted(keys) == [("c", 0), ("v", H)], "one row per group, merged"
+    by = {k: r for k, r in zip(keys, got)}
+    assert (by[("c", 0)].n, by[("c", 0)].sum_c) == (3, 1300)
+
+
+def _drain_with_state(df, output_mode):
+    """Drain like sm._drain but capture per-batch state-store metrics:
+    returns (table, [ {operatorName: (numRowsTotal, numRowsRemoved)} ])."""
+    import json as _json
+    import tempfile
+    import uuid
+
+    name = "strm_" + uuid.uuid4().hex[:12]
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="kdbs_ck_st_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    ops = []
+    for p in q.recentProgress:
+        d = _json.loads(p.json) if hasattr(p, "json") else p
+        if d.get("stateOperators"):
+            ops.append(
+                {
+                    o["operatorName"]: (o["numRowsTotal"], o.get("numRowsRemoved", 0))
+                    for o in d["stateOperators"]
+                }
+            )
+    return df.sparkSession.table(name), ops
+
+
+def _ets_source(spark, watch):
+    sdf = (
+        spark.readStream.schema("user_id long, event_type string, ts_us long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(watch))
+    )
+    return sdf.withColumn("ets", F.timestamp_micros(F.col("ts_us")))
+
+
+def test_windowed_distinct_state_one_row_per_key_and_expires(spark, tmp_path):
+    """State-shape pin (VERDICT r10 #7) for `stream_windowed_distinct`'s
+    REAL plan (`sm._windowed_distinct_plan`): the dedup operator holds ONE
+    state row per distinct (type, user, window) among OPEN windows —
+    duplicates add nothing, and the watermark REMOVES closed windows'
+    rows — and the aggregate holds one row per (type, window) group. A
+    rewrite that keeps per-event state, a distinct-set in the aggregate,
+    or loses eviction shows up here as a wrong row count."""
+    watch = tmp_path / "src_wd"
+    watch.mkdir()
+    pairs = [("user_id", "long"), ("event_type", "string"), ("ts_us", "long")]
+    # b1: day 0, two distinct users; b2/b3: day 80 (same window), four
+    # distinct users with one cross-batch duplicate (user 3)
+    write_microbatch(watch, "b1.parquet", pairs,
+                     [(1, "c", 0), (2, "c", 1_000)], 1_000)
+    write_microbatch(watch, "b2.parquet", pairs,
+                     [(1, "c", 80 * DAY_US + DAY_US // 2),
+                      (2, "c", 80 * DAY_US + 1), (3, "c", 80 * DAY_US + 2)], 2_000)
+    write_microbatch(watch, "b3.parquet", pairs,
+                     [(3, "c", 80 * DAY_US + 3), (4, "c", 80 * DAY_US + 4)], 3_000)
+    tbl, ops = _drain_with_state(
+        sm._windowed_distinct_plan(_ets_source(spark, watch)), "complete"
+    )
+    got = sorted((r.event_type, r.w.start, r.dau) for r in tbl.collect())
+    assert [g[2] for g in got] == [2, 4]  # day-0 dau=2, day-80 dau=4
+    final = ops[-1]
+    # dedup state: exactly the 4 distinct day-80 keys remain — the 2 day-0
+    # rows were REMOVED when b3 pushed the watermark past day 1, and user
+    # 3's b3 duplicate added no row (5 seen after b2 → 4 after eviction)
+    assert final["dedupe"] == (4, 2)
+    # aggregate state: one row per (type, window) GROUP — never per user
+    assert final["stateStoreSave"][0] == 2
+
+
+def test_mau_sliding_state_bounded_by_user_windows(spark, tmp_path):
+    """State-shape pin (VERDICT r10 #7) for `stream_mau_sliding`'s REAL
+    plan (`sm._mau_sliding_plan`): each event expands MAP-SIDE to its ≤30
+    covering sliding windows, and dedup state is one row per distinct
+    (user, window) — two same-day events of one user hold 30 rows, not
+    60, and the aggregate holds one row per window group. A rewrite that
+    self-joins per window or keeps per-event state breaks the count."""
+    watch = tmp_path / "src_mau"
+    watch.mkdir()
+    pairs = [("user_id", "long"), ("event_type", "string"), ("ts_us", "long")]
+    write_microbatch(watch, "b1.parquet", pairs,
+                     [(1, "c", 100 * DAY_US + 1),
+                      (1, "c", 100 * DAY_US + 3_600_000_000)], 1_000)
+    tbl, ops = _drain_with_state(
+        sm._mau_sliding_plan(_ets_source(spark, watch)), "complete"
+    )
+    assert tbl.count() == 30  # 30 covering windows, each mau=1
+    assert all(r.mau == 1 for r in tbl.collect())
+    final = ops[-1]
+    assert final["dedupe"][0] == 30   # per (user, window), NOT per event
+    assert final["stateStoreSave"][0] == 30  # one row per window group
+
+
 def test_stream_asof_enrich_batch_boundary_independent(spark, tmp_path):
     """Two micro-batches of clicks must each resolve against the FULL static
     dimension: a click in batch 2 still sees an error that precedes batch
