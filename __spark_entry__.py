@@ -5031,3 +5031,137 @@ _reg(
     FROM g
     """,
 )
+
+
+# ---- round-11 additions: concentration / diversity / oscillator surface
+
+# Herfindahl concentration per event_type over users — exact Σn_u²/N²
+# integer-rounded (the DIV device); one fact pass, no window, no join
+_reg(
+    "agg_hhi",
+    lambda s, d: agg.agg_hhi(events_us(s, d)),
+    """
+    WITH per AS (
+      SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n_u
+      FROM events GROUP BY 1, 2),
+    g AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(n_u) AS BIGINT) AS n_events,
+             sum(CAST(n_u AS HUGEINT) * n_u) AS s2
+      FROM per GROUP BY 1)
+    SELECT event_type, n_users, n_events,
+           CAST(CAST((2000000 * s2 + CAST(n_events AS HUGEINT) * n_events)
+                     // (2 * CAST(n_events AS HUGEINT) * n_events)
+                     AS BIGINT) AS DOUBLE) / 1e6 AS hhi
+    FROM g
+    """,
+)
+
+# top-10-customer revenue share per nation — exact cents ratio on the
+# 1e-6 grid; two-phase top-k on the Spark side, plain window in the oracle
+_reg(
+    "agg_top_share",
+    lambda s, d: agg.agg_top_share(
+        load(s, d, "orders"), load(s, d, "customer"), load(s, d, "nation")
+    ),
+    """
+    WITH per AS (
+      SELECT o_custkey, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                             AS BIGINT) AS rev_c
+      FROM orders GROUP BY 1),
+    cust AS (
+      SELECT c.c_nationkey, p.o_custkey, p.rev_c
+      FROM per p JOIN customer c ON c.c_custkey = p.o_custkey),
+    ranked AS (
+      SELECT c_nationkey, rev_c,
+             row_number() OVER (PARTITION BY c_nationkey
+                                ORDER BY rev_c DESC, o_custkey) AS rnk
+      FROM cust),
+    tot AS (
+      SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_cust,
+             CAST(sum(rev_c) AS BIGINT) AS total_c
+      FROM cust GROUP BY 1),
+    top AS (
+      SELECT c_nationkey, CAST(sum(rev_c) AS BIGINT) AS top_c
+      FROM ranked WHERE rnk <= 10 GROUP BY 1)
+    SELECT n.n_name, t.n_cust, p.top_c, t.total_c,
+           CAST(CAST((2000000 * CAST(p.top_c AS HUGEINT) + t.total_c)
+                     // (2 * CAST(t.total_c AS HUGEINT)) AS BIGINT) AS DOUBLE)
+             / 1e6 AS top_share
+    FROM tot t JOIN top p USING (c_nationkey)
+    JOIN nation n ON n.n_nationkey = t.c_nationkey
+    """,
+)
+
+# stochastic oscillator per series — %K exact integer ratio on the 1e-6
+# grid, %D re-rounded from %K's GRID INTEGERS (never a float fold)
+_reg(
+    "win_stochastic",
+    lambda s, d: wn.win_stochastic(events_us(s, d)),
+    """
+    WITH t AS (
+      SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+             value, CAST(round(value * 100) AS BIGINT) AS c
+      FROM events),
+    ext AS (
+      SELECT *,
+             max(c) OVER w AS hi_c, min(c) OVER w AS lo_c
+      FROM t
+      WINDOW w AS (PARTITION BY user_id, event_type
+                   ORDER BY ts_us, event_id
+                   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+    k AS (
+      SELECT event_id, user_id, event_type, ts_us, value,
+             CASE WHEN hi_c > lo_c THEN
+               CAST((200000000 * CAST(c - lo_c AS HUGEINT) + (hi_c - lo_c))
+                    // (2 * CAST(hi_c - lo_c AS HUGEINT)) AS BIGINT)
+             END AS k6
+      FROM ext),
+    sm_ AS (
+      SELECT event_id, user_id, event_type, value, k6,
+             lag(k6, 1) OVER ws AS k6_1, lag(k6, 2) OVER ws AS k6_2
+      FROM k
+      WINDOW ws AS (PARTITION BY user_id, event_type ORDER BY ts_us, event_id))
+    SELECT event_id, user_id, event_type, value,
+           CAST(k6 AS DOUBLE) / 1e6 AS pct_k,
+           CAST(CASE WHEN k6 IS NOT NULL AND k6_1 IS NOT NULL
+                      AND k6_2 IS NOT NULL
+                THEN (2 * (k6 + k6_1 + k6_2) + 3) // 6
+                END AS DOUBLE) / 1e6 AS pct_d
+    FROM sm_
+    """,
+)
+
+# lexical diversity per doc: exact TTR + MSTTR over 50-token segments —
+# ratios of exact integers on the 1e-6 grid, map-only
+_reg(
+    "text_msttr",
+    lambda s, d: tx.text_msttr(load(s, d, "documents")),
+    """
+    WITH t AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      FROM documents),
+    c AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
+             CAST(len(toks) // 50 AS BIGINT) AS n_segs,
+             CAST(CASE WHEN len(toks) >= 50 THEN
+               list_sum(list_transform(range(len(toks) // 50),
+                 i -> len(list_distinct(toks[i * 50 + 1 : i * 50 + 50]))))
+             ELSE 0 END AS BIGINT) AS seg_types
+      FROM t)
+    SELECT doc_id, n_tokens, n_types, n_segs,
+           CAST(CASE WHEN n_tokens > 0 THEN
+             CAST((2000000 * CAST(n_types AS HUGEINT) + n_tokens)
+                  // (2 * CAST(n_tokens AS HUGEINT)) AS BIGINT)
+           END AS DOUBLE) / 1e6 AS ttr,
+           CAST(CASE WHEN n_segs > 0 THEN
+             CAST((2000000 * CAST(seg_types AS HUGEINT)
+                   + 50 * CAST(n_segs AS HUGEINT))
+                  // (2 * 50 * CAST(n_segs AS HUGEINT)) AS BIGINT)
+           END AS DOUBLE) / 1e6 AS msttr
+    FROM c
+    """,
+)

@@ -2308,3 +2308,124 @@ def agg_tvd_drift(documents: DataFrame) -> DataFrame:
             / F.lit(1e6)
         ).alias("tvd"),
     )
+
+
+def agg_hhi(events: DataFrame) -> DataFrame:
+    """Herfindahl–Hirschman concentration of activity per event_type: how
+    concentrated an event stream is over users, HHI = Σ_u (n_u/N)² — the
+    standard market-concentration index, here the "is this event type
+    driven by a few whales?" gate a pipeline runs before trusting
+    per-type aggregates (HHI → 1 means one user dominates; → 1/n_users
+    means uniform). kdb parity: a grouped-count composition (`select
+    count i by type, user` then a by-type reduce) — reference storage
+    verbs compose it, no native verb exists, so this is engine surface.
+
+    EXACT end to end: with integer per-user counts, HHI = Σn_u² / N² is a
+    ratio of exact integers (Σn_u² widened to decimal(38,0) BEFORE the
+    square — n_u² overflows int64 once a user holds >3e9 rows), rounded
+    half-up to 6 dp IN INTEGER SPACE (the donchian DIV device; a double
+    round() on an exact ratio is the cross-engine half-boundary trap).
+
+    Scale shape: one partial-agg shuffle on (event_type, user_id) — high
+    cardinality, no skew amplification — then a by-type reduce over
+    |users-per-type| rows. No window, no join, map-side combine on both
+    stages; the 100 TB cost is one pass over the fact table.
+    """
+    per = events.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_u")
+    )
+    g = per.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("n_u").cast("long").alias("n_events"),
+        F.sum(
+            F.col("n_u").cast("decimal(38,0)") * F.col("n_u")
+        ).alias("s2"),
+    )
+    return g.select(
+        "event_type",
+        "n_users",
+        "n_events",
+        (
+            # hhi = s2/N², half-up to 6 dp in integer space
+            F.expr(
+                "CAST((2000000 * s2"
+                "      + CAST(n_events AS DECIMAL(38,0)) * n_events)"
+                "     DIV (2 * CAST(n_events AS DECIMAL(38,0)) * n_events)"
+                "     AS BIGINT)"
+            ).cast("double")
+            / F.lit(1e6)
+        ).alias("hhi"),
+    )
+
+
+def agg_top_share(
+    orders: DataFrame, customer: DataFrame, nation: DataFrame, k: int = 10
+) -> DataFrame:
+    """Revenue share of each nation's top-k customers — the concentration
+    companion to `agg_hhi` on the TPC-H side ("how much of a market do
+    the top accounts own?"), the shape every curation/BI pipeline runs
+    as top-N-share-of-total.
+
+    EXACT: per-customer revenue is an integer cents sum; the top-k set is
+    deterministic (revenue desc, custkey asc tiebreak); the share is the
+    exact integer ratio top_c/total_c rounded half-up to 6 dp in integer
+    space (never round(double, 6) — cross-engine half-boundary trap).
+
+    Scale shape: the fact pass is ONE partial-agg shuffle on o_custkey
+    (high cardinality). The top-k per nation does NOT window over whole
+    nations (25 groups ⇒ one reducer per nation holds |customers|/25 rows
+    — the low-cardinality-group window anti-pattern): a salt splits each
+    nation into 32 shards, a local row_number keeps ≤k per shard, and the
+    final row_number ranks the ≤32·k survivors per nation — two windows,
+    both bounded, the standard two-phase top-k. Totals reduce from the
+    same per-customer aggregate, so the fact table is read once.
+    """
+    from kdb_spark.tables import cents
+
+    per = orders.groupBy("o_custkey").agg(
+        F.sum(cents("o_totalprice")).cast("long").alias("rev_c")
+    )
+    cust = per.join(
+        customer.select("c_custkey", "c_nationkey"),
+        per.o_custkey == customer.c_custkey,
+    ).select("c_nationkey", "o_custkey", "rev_c")
+    totals = cust.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cust"),
+        F.sum("rev_c").cast("long").alias("total_c"),
+    )
+    salt = F.pmod(F.xxhash64("o_custkey"), F.lit(32))
+    w_local = Window.partitionBy("c_nationkey", "salt").orderBy(
+        F.desc("rev_c"), "o_custkey"
+    )
+    w_final = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("rev_c"), "o_custkey"
+    )
+    top = (
+        cust.withColumn("salt", salt)
+        .withColumn("rn", F.row_number().over(w_local))
+        .filter(F.col("rn") <= k)
+        .withColumn("rnk", F.row_number().over(w_final))
+        .filter(F.col("rnk") <= k)
+        .groupBy("c_nationkey")
+        .agg(F.sum("rev_c").cast("long").alias("top_c"))
+    )
+    return (
+        totals.join(top, "c_nationkey")
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            totals.c_nationkey == nation.n_nationkey,
+        )
+        .select(
+            "n_name",
+            "n_cust",
+            "top_c",
+            "total_c",
+            (
+                F.expr(
+                    "CAST((2000000 * CAST(top_c AS DECIMAL(38,0)) + total_c)"
+                    "     DIV (2 * CAST(total_c AS DECIMAL(38,0))) AS BIGINT)"
+                ).cast("double")
+                / F.lit(1e6)
+            ).alias("top_share"),
+        )
+    )

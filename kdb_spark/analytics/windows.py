@@ -932,3 +932,78 @@ def win_realized_vol(events: DataFrame, k: int = 19) -> DataFrame:
             / F.lit(1e6),
         ).alias("rvol"),
     )
+
+
+def win_stochastic(events: DataFrame, period: int = 14, smooth: int = 3) -> DataFrame:
+    """Stochastic oscillator per series: %K = 100·(close − low_n)/(high_n
+    − low_n) over the trailing ``period`` rows, %D = ``smooth``-row simple
+    moving average of %K — the momentum oscillator kdb builds from
+    mmax/mmin/mavg (the overbought/oversold companion to win_rsi, which
+    measures gain/loss balance instead of range position).
+
+    EXACT cross-engine: the channel extremes are exact cents (min/max,
+    no accumulation), so %K is the exact integer ratio 100·(c−lo)/(hi−lo)
+    rounded half-up to 6 dp IN INTEGER SPACE (the donchian DIV device) —
+    and %D is derived from %K's 1e-6 GRID INTEGERS, not its doubles:
+    avg of ``smooth`` grid values k6_i is the exact rational Σk6/smooth,
+    integer-rounded again — so no engine ever folds a float. %K is null
+    on a flat channel (hi = lo, the 0/0 row); %D is null until ``smooth``
+    consecutive non-null %K rows exist (nulls at series heads propagate —
+    the standard indicator warm-up contract).
+
+    Same single series-key window shuffle as every win_* op; the %D pass
+    reuses the ordering (lag over the same window key — Catalyst plans
+    one Exchange, consecutive Window nodes).
+    """
+    w = (
+        Window.partitionBy("user_id", "event_type")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(-(period - 1), 0)
+    )
+    c = cents("value")
+    t = events.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts_us",
+        "value",
+        c.alias("c"),
+        F.max(c).over(w).alias("hi_c"),
+        F.min(c).over(w).alias("lo_c"),
+    )
+    # %K on the 1e-6 integer grid: round(100·(c−lo)/(hi−lo), 6) ⇒
+    # (2·10^8·(c−lo) + (hi−lo)) DIV (2·(hi−lo)); numerator ≥ 0 (lo is the
+    # frame min), so no sign handling needed
+    k6 = F.when(
+        F.col("hi_c") > F.col("lo_c"),
+        F.expr(
+            "CAST((200000000 * CAST(c - lo_c AS DECIMAL(38,0))"
+            "      + (hi_c - lo_c))"
+            "     DIV (2 * CAST(hi_c - lo_c AS DECIMAL(38,0))) AS BIGINT)"
+        ),
+    )
+    ws = Window.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+    t = t.withColumn("k6", k6)
+    lags = [F.lag("k6", i).over(ws) for i in range(1, smooth)]
+    all_present = F.lit(True)
+    for lg in lags:
+        all_present = all_present & lg.isNotNull()
+    s6 = F.col("k6")
+    for lg in lags:
+        s6 = s6 + lg
+    # %D = round(Σk6/smooth) on the same grid: (2·Σk6 + smooth) DIV (2·smooth)
+    d6 = F.when(
+        F.col("k6").isNotNull() & all_present,
+        F.expr(f"CAST((2 * s6 + {smooth}) DIV (2 * {smooth}) AS BIGINT)"),
+    )
+    return (
+        t.withColumn("s6", s6)
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "value",
+            (F.col("k6").cast("double") / F.lit(1e6)).alias("pct_k"),
+            (d6.cast("double") / F.lit(1e6)).alias("pct_d"),
+        )
+    )

@@ -62,12 +62,51 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
+def _pil():
+    """Import-guarded Pillow handle: the build container has no codec
+    libraries, so every compressed-format path must activate only where
+    the library actually exists (r10 VERDICT stretch item)."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError:
+        return None
+
+
+def _pyav():
+    """Import-guarded PyAV handle (bundles ffmpeg libs when installed)."""
+    try:
+        import av  # noqa: PLC0415
+
+        return av
+    except ImportError:
+        return None
+
+
 def decode_image(payload: bytes) -> object:
-    """Real decode of compressed formats needs an image codec (PIL/libjpeg),
-    absent from this container — STUB for jpeg/png/webp. Uncompressed
-    24-bit BMP *is* decoded for real: see `decode_bmp` below, exercised
-    end-to-end (encode → bytes → parse → features) by `mm_decode_features`."""
-    raise NotImplementedError("compressed image decode requires a codec library")
+    """Decode an image payload into an (h, w, 3) uint8 BGR array.
+
+    Uncompressed 24-bit BMP decodes with the in-tree spec-faithful parser
+    (`decode_bmp` — no codec needed, always available). Compressed formats
+    (png/jpeg/webp) decode through Pillow WHEN INSTALLED — import-guarded,
+    same (h, w, 3) BGR contract — and raise the documented
+    NotImplementedError where no codec library exists (this container).
+    PNG round-trips losslessly, so features stay exact; JPEG pixel values
+    are decoder-version-dependent by nature and must not feed a
+    hash-checked oracle."""
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    Image = _pil()
+    if Image is None:
+        raise NotImplementedError("compressed image decode requires a codec library")
+    import io
+
+    import numpy as np
+
+    img = Image.open(io.BytesIO(payload)).convert("RGB")
+    rgb = np.asarray(img, dtype=np.uint8)
+    return rgb[:, :, ::-1]  # channels BGR, matching decode_bmp
 
 
 # ------------------------------------------------ real decode path: 24-bit BMP
@@ -172,9 +211,14 @@ def mm_bmp_table(documents: DataFrame) -> DataFrame:
 
 
 def mm_decode_features(images: DataFrame) -> DataFrame:
-    """REAL decode step over a binary image column: parse each BMP
-    (header validation, bottom-up row order, row padding) and emit exact
-    integer features — dimensions and per-channel pixel sums.
+    """REAL decode step over a binary image column: parse each asset and
+    emit exact integer features — dimensions and per-channel pixel sums.
+
+    BMP payloads (the registered key's fixtures) go through the in-tree
+    spec-faithful parser (header validation, bottom-up row order, row
+    padding — codec-free, so the oracle-checked behavior never depends on
+    an optional library); compressed payloads route through the
+    import-guarded Pillow path in `decode_image` where that codec exists.
 
     This is the shape of every 100 TB image pipeline: binary column in,
     `mapInPandas` batch decode (one Python call per Arrow batch, one numpy
@@ -188,7 +232,7 @@ def mm_decode_features(images: DataFrame) -> DataFrame:
         for pdf in batches:
             out = {k: [] for k in ("doc_id", "width", "height", "sum_b", "sum_g", "sum_r")}
             for doc_id, payload in zip(pdf["doc_id"], pdf["image"]):
-                px = decode_bmp(bytes(payload))
+                px = decode_image(bytes(payload))
                 h, w, _ = px.shape
                 s = px.astype("int64").sum(axis=(0, 1))
                 out["doc_id"].append(int(doc_id))
@@ -223,11 +267,25 @@ FRAME_SCHEMA = T.StructType(
 
 
 def decode_video(payload: bytes) -> object:
-    """Real frame decode needs a video codec (ffmpeg/pyav), absent from this
-    container — STUB. mm_frame_sample exercises the distributed shape
-    (binary column → per-batch frame explosion) with deterministic
-    fixed-size frame geometry instead."""
-    raise NotImplementedError("video decode requires a codec library")
+    """Decode a video payload into a list of (h, w, 3) uint8 BGR frames.
+
+    Decodes through PyAV WHEN INSTALLED — import-guarded (r10 VERDICT
+    stretch item) — and raises the documented NotImplementedError where no
+    codec library exists (this container). mm_frame_sample keeps exercising
+    the distributed shape (binary column → per-batch frame explosion) with
+    deterministic fixed-size frame geometry, so the Spark-side plumbing is
+    tested codec-free; a real deployment swaps only the chunk rule."""
+    av = _pyav()
+    if av is None:
+        raise NotImplementedError("video decode requires a codec library")
+    import io
+
+    frames = []
+    with av.open(io.BytesIO(payload)) as container:
+        for frame in container.decode(video=0):
+            rgb = frame.to_ndarray(format="rgb24")
+            frames.append(rgb[:, :, ::-1])  # BGR, matching decode_image
+    return frames
 
 
 def mm_frame_sample(mm: DataFrame, frame_bytes: int = 64, every: int = 4) -> DataFrame:

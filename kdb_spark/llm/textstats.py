@@ -583,3 +583,81 @@ def text_vocab_coverage(documents: DataFrame, vocab_size: int = 64) -> DataFrame
             ).alias("coverage"),
         )
     )
+
+
+def text_msttr(documents: DataFrame, seg: int = 50) -> DataFrame:
+    """Lexical diversity per document: plain type-token ratio plus MSTTR
+    (Mean Segmental TTR — mean TTR over consecutive ``seg``-token
+    segments), the standard length-robust diversity metric (plain TTR
+    decays with document length, so corpus filters threshold MSTTR
+    instead). The curation gate between `text_stats` (raw counts) and
+    `text_repetition` (n-gram dup ratios): low diversity ⇒ template/spam.
+
+    EXACT cross-engine: both metrics are ratios of exact integers —
+    ttr = n_types/n_tokens, msttr = Σ_i types_i / (seg·n_segs) over the
+    floor(n/seg) FULL segments (the trailing partial segment is excluded,
+    per the metric's definition) — integer-rounded half-up to 6 dp (the
+    DIV device; never round(double, 6)). Docs with no tokens get null
+    ttr; docs shorter than ``seg`` tokens get null msttr.
+
+    Scale shape: map-only — tokenize once, segment via array slices
+    inside the row (no explode, no shuffle, no UDF; all expression-level
+    array lambdas under whole-stage codegen). The 100 TB cost is the one
+    corpus scan every per-doc text op pays.
+    """
+    from kdb_spark.llm.dedup import tokens
+
+    t = documents.select(
+        "doc_id", tokens("text").alias("toks")
+    ).select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_types"),
+        # gated: sequence(0, -1) is a DESCENDING [0, -1] in Spark, not
+        # empty — short docs must not build segment slices at all
+        F.when(
+            F.size("toks") >= seg,
+            F.aggregate(
+                F.transform(
+                    F.sequence(
+                        F.lit(0).cast("long"),
+                        F.expr(f"size(toks) div {seg}") - 1,
+                    ),
+                    lambda i: F.size(
+                        F.array_distinct(
+                            F.slice("toks", (i * seg + 1).cast("int"), seg)
+                        )
+                    ).cast("long"),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("seg_types"),
+        F.expr(f"size(toks) div {seg}").cast("long").alias("n_segs"),
+    )
+    ttr6 = F.when(
+        F.col("n_tokens") > 0,
+        F.expr(
+            "CAST((2000000 * CAST(n_types AS DECIMAL(38,0)) + n_tokens)"
+            "     DIV (2 * CAST(n_tokens AS DECIMAL(38,0))) AS BIGINT)"
+        ),
+    )
+    msttr6 = F.when(
+        F.col("n_segs") > 0,
+        F.expr(
+            f"CAST((2000000 * CAST(seg_types AS DECIMAL(38,0))"
+            f"      + {seg} * CAST(n_segs AS DECIMAL(38,0)))"
+            f"     DIV (2 * {seg} * CAST(n_segs AS DECIMAL(38,0))) AS BIGINT)"
+        ),
+    )
+    return t.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        "n_segs",
+        (ttr6.cast("double") / F.lit(1e6)).alias("ttr"),
+        (msttr6.cast("double") / F.lit(1e6)).alias("msttr"),
+    )

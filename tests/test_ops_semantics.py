@@ -376,6 +376,82 @@ def test_mm_decode_features_matches_closed_form(spark):
         assert r.sum_r == h * (w * (w - 1) // 2) + w * (h * (h - 1) // 2)
 
 
+def test_decode_image_routes_bmp_without_codecs():
+    """decode_image must decode BMP through the in-tree parser regardless
+    of codec availability (the registered key's behavior can never depend
+    on an optional library), and must raise the documented
+    NotImplementedError for compressed payloads where Pillow is absent."""
+    import numpy as np
+    import pytest as pt
+
+    from kdb_spark.llm import multimodal as mm
+
+    px = np.arange(2 * 4 * 3, dtype=np.uint8).reshape(2, 4, 3)
+    assert (mm.decode_image(mm.encode_bmp(px)) == px).all()
+    if mm._pil() is None:
+        with pt.raises(NotImplementedError):
+            mm.decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
+
+
+def test_decode_image_png_roundtrip_exact():
+    """Where Pillow exists: a PNG (lossless) payload decodes to the exact
+    source pixels in the decode_bmp BGR contract, and mm_decode_features
+    over a PNG column yields the same exact integer sums as the BMP path —
+    the import-guarded codec route keeps the oracle shape."""
+    import pytest as pt
+
+    from kdb_spark.llm import multimodal as mm
+
+    if mm._pil() is None:
+        pt.skip("Pillow not installed in this container")
+    import io
+
+    import numpy as np
+
+    Image = mm._pil()
+    rng = np.random.RandomState(7)
+    rgb = rng.randint(0, 256, size=(5, 6, 3)).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(rgb, "RGB").save(buf, format="PNG")
+    out = mm.decode_image(buf.getvalue())
+    assert out.shape == (5, 6, 3)
+    assert (out == rgb[:, :, ::-1]).all()  # BGR contract
+
+
+def test_decode_video_frames_where_pyav_exists():
+    """Where PyAV exists: an encoded clip decodes to the expected frame
+    count/shape in the BGR contract; absent the codec, the documented
+    NotImplementedError (the container default)."""
+    import pytest as pt
+
+    from kdb_spark.llm import multimodal as mm
+
+    av = mm._pyav()
+    if av is None:
+        with pt.raises(NotImplementedError):
+            mm.decode_video(b"\x00" * 128)
+        return
+    import io
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    with av.open(buf, mode="w", format="mp4") as container:
+        stream = container.add_stream("mpeg4", rate=4)
+        stream.width, stream.height, stream.pix_fmt = 16, 16, "yuv420p"
+        for i in range(3):
+            frame = av.VideoFrame.from_ndarray(
+                np.full((16, 16, 3), i * 40, dtype=np.uint8), format="rgb24"
+            )
+            for packet in stream.encode(frame):
+                container.mux(packet)
+        for packet in stream.encode():
+            container.mux(packet)
+    frames = mm.decode_video(buf.getvalue())
+    assert len(frames) == 3
+    assert all(f.shape == (16, 16, 3) for f in frames)
+
+
 # --------------------------------------------------------- dedup_substring
 
 
@@ -1589,3 +1665,106 @@ def test_tvd_hand_case_bounds_and_zero(spark):
     assert same[0].tvd == 0.0
     disj = agg.agg_tvd_drift(mk([("A", "en", 9), ("B", "fr", 4)])).collect()
     assert disj[0].tvd == 1.0
+
+
+# ------------------------------------ round-11: hhi / top_share / stochastic / msttr
+
+
+def test_hhi_hand_cases(spark):
+    """Monopoly → HHI 1; k equal users → exactly 1/k on the 1e-6 grid
+    (integer-rounded, not float-divided)."""
+    rows = [(1, "mono", i) for i in range(5)]  # one user owns all "mono"
+    rows += [(u, "uniform", 100 + i) for u in (1, 2, 3, 4) for i in range(3)]
+    df = spark.createDataFrame(
+        [(eid, u, t, eid * 1000, 1.0) for eid, (u, t, _) in enumerate(rows)],
+        "event_id long, user_id long, event_type string, ts_us long, value double",
+    )
+    got = {r.event_type: r for r in agg.agg_hhi(df).collect()}
+    assert got["mono"].hhi == 1.0 and got["mono"].n_users == 1
+    assert got["uniform"].hhi == 0.25  # 4 × (3/12)² = 1/4, exact
+    assert (got["uniform"].n_users, got["uniform"].n_events) == (4, 12)
+
+
+def test_top_share_two_phase_topk_matches_plain_window(spark):
+    """The salted two-phase top-k must select the same top-10 set (and
+    hence the same share) as a plain per-nation ranking — including the
+    custkey tiebreak on equal revenue."""
+    import random
+
+    rng = random.Random(11)
+    orders, custs = [], []
+    for ck in range(1, 61):
+        nk = ck % 3
+        custs.append((ck, nk))
+        for j in range(rng.randint(1, 4)):
+            # duplicate totals across customers to exercise the tiebreak
+            orders.append((ck * 100 + j, ck, float(rng.choice([10, 10, 25, 40]))))
+    odf = spark.createDataFrame(orders, "o_orderkey long, o_custkey long, o_totalprice double")
+    cdf = spark.createDataFrame(custs, "c_custkey long, c_nationkey long")
+    ndf = spark.createDataFrame(
+        [(0, "A"), (1, "B"), (2, "C")], "n_nationkey long, n_name string"
+    )
+    got = {r.n_name: r for r in agg.agg_top_share(odf, cdf, ndf).collect()}
+    # brute force in python
+    import collections
+    rev = collections.Counter()
+    for _, ck, tp in orders:
+        rev[ck] += round(tp * 100)
+    by_nation = collections.defaultdict(list)
+    for ck, nk in custs:
+        if ck in rev:
+            by_nation[nk].append((rev[ck], ck))
+    names = {0: "A", 1: "B", 2: "C"}
+    for nk, lst in by_nation.items():
+        lst.sort(key=lambda t: (-t[0], t[1]))
+        top = sum(v for v, _ in lst[:10])
+        tot = sum(v for v, _ in lst)
+        r = got[names[nk]]
+        assert (r.top_c, r.total_c, r.n_cust) == (top, tot, len(lst))
+        want6 = (2 * 10**6 * top + tot) // (2 * tot)
+        assert r.top_share == want6 / 1e6
+
+
+def test_stochastic_hand_series(spark):
+    """%K = 100·(c−lo)/(hi−lo) over the trailing 14 rows; %D = 3-row SMA
+    of %K re-rounded from grid integers; flat channel → null %K and the
+    null poisons %D for the next `smooth` rows."""
+    vals = [1.0, 3.0, 2.0, 3.0, 1.0, 1.0]
+    df = spark.createDataFrame(
+        [(i, 1, "c", i * 1000, v) for i, v in enumerate(vals)],
+        "event_id long, user_id long, event_type string, ts_us long, value double",
+    )
+    got = {r.event_id: r for r in wn.win_stochastic(df).collect()}
+    # row 0: hi=lo=100 → null; rows 1+: trailing extremes over all rows so far
+    assert got[0].pct_k is None and got[0].pct_d is None
+    assert got[1].pct_k == 100.0          # c=300 = hi
+    assert got[2].pct_k == 50.0           # (200-100)/(300-100)
+    assert got[3].pct_k == 100.0
+    assert got[4].pct_k == 0.0
+    assert got[5].pct_k == 0.0
+    # %D needs 3 consecutive non-null %K: first at row 3
+    assert got[1].pct_d is None and got[2].pct_d is None
+    assert got[3].pct_d == round((100 + 50 + 100) / 3, 6) == 83.333333
+    assert got[4].pct_d == 50.0
+    assert got[5].pct_d == round((100 + 0 + 0) / 3, 6)
+
+
+def test_msttr_segments_and_short_docs(spark):
+    """TTR = types/tokens exactly; MSTTR averages FULL 50-token segments
+    only; docs under one segment get null msttr, empty docs null ttr."""
+    seg_a = " ".join(f"w{i}" for i in range(50))          # 50 distinct
+    seg_b = " ".join(["dup"] * 50)                         # 1 distinct
+    doc_full = seg_a + " " + seg_b + " tail tokens here"   # partial tail dropped
+    df = spark.createDataFrame(
+        [(1, doc_full), (2, "just a few tokens"), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in tx.text_msttr(df).collect()}
+    r = got[1]
+    assert (r.n_tokens, r.n_segs) == (103, 2)
+    assert r.msttr == round((50 + 1) / 100, 6) == 0.51
+    want_ttr6 = (2 * 10**6 * r.n_types + r.n_tokens) // (2 * r.n_tokens)
+    assert r.ttr == want_ttr6 / 1e6
+    assert got[2].n_segs == 0 and got[2].msttr is None
+    assert got[2].ttr == 1.0  # 4 distinct / 4 tokens
+    assert got[3].n_tokens == 0 and got[3].ttr is None and got[3].msttr is None
