@@ -539,10 +539,20 @@ _reg(
     "win_moving_avg",
     lambda s, d: wn.win_moving_avg(events_us(s, d)),
     """
+    WITH t AS (
+      SELECT event_id, user_id,
+             sum(CAST(round(value * 100) AS BIGINT)) OVER w AS sc,
+             count(*) OVER w AS cnt
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                   ROWS BETWEEN 5 PRECEDING AND CURRENT ROW))
     SELECT event_id, user_id,
-           round(avg(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
-                                  ROWS BETWEEN 5 PRECEDING AND CURRENT ROW), 4) AS mavg
-    FROM events
+           CAST((CASE WHEN sc < 0 THEN -1 ELSE 1 END)
+                * CAST((20000 * CAST(abs(sc) AS HUGEINT)
+                        + 100 * CAST(cnt AS HUGEINT))
+                       // (200 * CAST(cnt AS HUGEINT)) AS BIGINT) AS DOUBLE)
+             / 1e4 AS mavg
+    FROM t
     """,
 )
 
@@ -600,19 +610,25 @@ _reg(
     lambda s, d: wn.win_counter_rate(events_us(s, d)),
     """
     WITH l AS (
-      SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us,
-             lag(value) OVER w AS pv, lag(epoch_us(ts)) OVER w AS pts
+      SELECT event_id, user_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS c, epoch_us(ts) AS ts_us,
+             lag(CAST(round(value * 100) AS BIGINT)) OVER w AS pc,
+             lag(epoch_us(ts)) OVER w AS pts
       FROM events
       WINDOW w AS (PARTITION BY user_id, event_type
                    ORDER BY epoch_us(ts), event_id)),
     i AS (
       SELECT event_id, user_id, event_type, ts_us - pts AS dt_us,
-             CASE WHEN value >= pv THEN value - pv ELSE value END AS inc
-      FROM l WHERE pv IS NOT NULL)
+             CASE WHEN c >= pc THEN c - pc ELSE c END AS inc_c
+      FROM l WHERE pc IS NOT NULL)
     SELECT event_id, user_id, event_type,
-           round(inc, 6) AS increase,
-           CASE WHEN dt_us > 0 THEN round(inc * 1000000 / dt_us, 6) END
-             AS rate_per_sec
+           CAST(inc_c * 10000 AS DOUBLE) / 1e6 AS increase,
+           CASE WHEN dt_us > 0 THEN
+             CAST((CASE WHEN inc_c < 0 THEN -1 ELSE 1 END)
+                  * CAST((20000000000 * CAST(abs(inc_c) AS HUGEINT) + dt_us)
+                         // (2 * CAST(dt_us AS HUGEINT)) AS BIGINT) AS DOUBLE)
+               / 1e6
+           END AS rate_per_sec
     FROM i
     """,
 )
@@ -693,8 +709,8 @@ _reg(
     WITH slots AS (
       SELECT user_id,
              epoch_us(ts) - epoch_us(ts) % 3600000000 AS slot_us,
-             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
-               / count(*) AS v
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS vn,
+             CAST(count(*) AS BIGINT) AS vd
       FROM events
       WHERE epoch_us(ts) >= {T_JAN10} AND epoch_us(ts) < {T_JAN12}
       GROUP BY 1, 2),
@@ -704,29 +720,50 @@ _reg(
       CROSS JOIN (SELECT range AS slot_us
                   FROM range({T_JAN10}, {T_JAN12}, 3600000000)) s),
     sparse AS (
-      SELECT g.user_id, g.slot_us, t.v FROM grid g
+      SELECT g.user_id, g.slot_us, t.vn, t.vd FROM grid g
       LEFT JOIN slots t USING (user_id, slot_us)),
     carried AS (
-      SELECT user_id, slot_us, v,
-        last_value(v IGNORE NULLS) OVER
+      SELECT user_id, slot_us, vn, vd,
+        last_value(vn IGNORE NULLS) OVER
           (PARTITION BY user_id ORDER BY slot_us
-           ROWS UNBOUNDED PRECEDING) AS pv,
-        last_value(CASE WHEN v IS NOT NULL THEN slot_us END IGNORE NULLS) OVER
+           ROWS UNBOUNDED PRECEDING) AS pvn,
+        last_value(vd IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY slot_us
+           ROWS UNBOUNDED PRECEDING) AS pvd,
+        last_value(CASE WHEN vn IS NOT NULL THEN slot_us END IGNORE NULLS) OVER
           (PARTITION BY user_id ORDER BY slot_us
            ROWS UNBOUNDED PRECEDING) AS pt,
-        first_value(v IGNORE NULLS) OVER
+        first_value(vn IGNORE NULLS) OVER
           (PARTITION BY user_id ORDER BY slot_us
-           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
-        first_value(CASE WHEN v IS NOT NULL THEN slot_us END IGNORE NULLS) OVER
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nvn,
+        first_value(vd IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY slot_us
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nvd,
+        first_value(CASE WHEN vn IS NOT NULL THEN slot_us END IGNORE NULLS) OVER
           (PARTITION BY user_id ORDER BY slot_us
            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
-      FROM sparse)
+      FROM sparse),
+    -- exact rational interpolation: num/den staged, then the sign-aware
+    -- integer round-to-4dp (mirrors the engine's decimal DIV device)
+    frac AS (
+      SELECT user_id, slot_us, vn, vd, pvn, nvn,
+             CAST(pvn AS HUGEINT) * nvd * (nt - pt)
+               + (CAST(nvn AS HUGEINT) * pvd
+                  - CAST(pvn AS HUGEINT) * nvd) * (slot_us - pt) AS inum,
+             CAST(pvd AS HUGEINT) * nvd * (nt - pt) AS iden
+      FROM carried)
     SELECT user_id, slot_us,
-           CASE WHEN v IS NOT NULL THEN round(v, 4)
-                WHEN pv IS NOT NULL AND nv IS NOT NULL
-                THEN round(pv + (nv - pv) * (slot_us - pt) / (nt - pt), 4)
+           CASE WHEN vn IS NOT NULL THEN
+             CAST((CASE WHEN vn < 0 THEN -1 ELSE 1 END)
+                  * CAST((20000 * CAST(abs(vn) AS HUGEINT) + vd)
+                         // (2 * CAST(vd AS HUGEINT)) AS BIGINT) AS DOUBLE)
+               / 1e4
+           WHEN pvn IS NOT NULL AND nvn IS NOT NULL THEN
+             CAST((CASE WHEN inum < 0 THEN -1 ELSE 1 END)
+                  * CAST((20000 * abs(inum) + iden)
+                         // (2 * iden) AS BIGINT) AS DOUBLE) / 1e4
            END AS value_c
-    FROM carried
+    FROM frac
     """,
 )
 
@@ -737,8 +774,8 @@ _reg(
     WITH slots AS (
       SELECT user_id,
              epoch_us(ts) - epoch_us(ts) % 3600000000 AS slot_us,
-             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
-               / count(*) AS v
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS vn,
+             CAST(count(*) AS BIGINT) AS vd
       FROM events
       WHERE epoch_us(ts) >= {T_JAN10} AND epoch_us(ts) < {T_JAN12}
       GROUP BY 1, 2),
@@ -746,12 +783,20 @@ _reg(
       SELECT u.user_id, s.slot_us
       FROM (SELECT DISTINCT user_id FROM slots) u
       CROSS JOIN (SELECT range AS slot_us
-                  FROM range({T_JAN10}, {T_JAN12}, 3600000000)) s)
-    SELECT g.user_id, g.slot_us,
-           round(last_value(t.v IGNORE NULLS) OVER
-             (PARTITION BY g.user_id ORDER BY g.slot_us
-              ROWS UNBOUNDED PRECEDING), 4) AS value_c
-    FROM grid g LEFT JOIN slots t USING (user_id, slot_us)
+                  FROM range({T_JAN10}, {T_JAN12}, 3600000000)) s),
+    carried AS (
+      SELECT g.user_id, g.slot_us,
+             last_value(t.vn IGNORE NULLS) OVER w AS fn,
+             last_value(t.vd IGNORE NULLS) OVER w AS fd
+      FROM grid g LEFT JOIN slots t USING (user_id, slot_us)
+      WINDOW w AS (PARTITION BY g.user_id ORDER BY g.slot_us
+                   ROWS UNBOUNDED PRECEDING))
+    SELECT user_id, slot_us,
+           CAST((CASE WHEN fn < 0 THEN -1 ELSE 1 END)
+                * CAST((20000 * CAST(abs(fn) AS HUGEINT) + fd)
+                       // (2 * CAST(fd AS HUGEINT)) AS BIGINT) AS DOUBLE)
+             / 1e4 AS value_c
+    FROM carried
     """,
 )
 
@@ -1035,13 +1080,20 @@ _reg(
                                 ORDER BY CAST(round(value * 100) AS BIGINT),
                                          event_id) AS i
       FROM events)
+    , g AS (
+      SELECT event_type,
+             CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(xc) AS HUGEINT) AS sx,
+             sum(CAST(i AS HUGEINT) * xc) AS six
+      FROM r GROUP BY 1)
     SELECT event_type,
-           round((2.0 * CAST(sum(i * xc) AS DOUBLE))
-                 / (CAST(count(*) AS DOUBLE) * CAST(sum(xc) AS DOUBLE))
-                 - (CAST(count(*) AS DOUBLE) + 1.0) / CAST(count(*) AS DOUBLE), 6)
-             AS gini,
-           CAST(count(*) AS BIGINT) AS n
-    FROM r GROUP BY 1
+           CAST((CASE WHEN (2 * six - (n + 1) * sx) < 0 THEN -1 ELSE 1 END)
+                * (CASE WHEN sx < 0 THEN -1 ELSE 1 END)
+                * CAST((2000000 * abs(2 * six - (n + 1) * sx) + abs(n * sx))
+                       // (2 * abs(n * sx)) AS BIGINT) AS DOUBLE)
+             / 1e6 AS gini,
+           CAST(n AS BIGINT) AS n
+    FROM g
     """,
 )
 

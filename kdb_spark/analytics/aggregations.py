@@ -606,11 +606,18 @@ def agg_gini(events: DataFrame) -> DataFrame:
     inequality rollup (is activity value spread evenly or dominated by a
     few events?).
 
-    Rank formula on exact bigint cents: G = (2·Σ i·x_i)/(n·Σ x_i) − (n+1)/n
-    over values sorted ascending (ties broken by event_id for a
-    deterministic rank). One window for the rank (single shuffle on
-    event_type) + one aggregate; every accumulated term is an integer, so
-    the final division is the only float op — engine-exact.
+    Rank formula on exact bigint cents: G = (2·Σ i·x_i − (n+1)·Σ x_i)
+    / (n·Σ x_i) over values sorted ascending (ties broken by event_id for
+    a deterministic rank). One window for the rank (single shuffle on
+    event_type) + one aggregate.
+
+    Exact-parity contract (r11, the VERDICT r10 double-round hardening):
+    every term is an exact integer (Σ i·x widened to decimal(38,0) BEFORE
+    the multiply — i·x overflows int64 once ranks reach ~1e12 at tick-
+    scale cents), so G is a ratio of exact integers rounded half-away-
+    from-zero to 6 dp IN INTEGER SPACE (sign-aware DIV, the _iround6
+    device) — the float subtraction + round(double, 6) it replaces was
+    the r9 win_macd half-boundary hazard class.
     """
     w = Window.partitionBy("event_type").orderBy(cents("value"), "event_id")
     ranked = events.select(
@@ -618,14 +625,24 @@ def agg_gini(events: DataFrame) -> DataFrame:
         cents("value").alias("xc"),
         F.row_number().over(w).cast("long").alias("i"),
     )
-    n = F.count(F.lit(1)).cast("double")
-    sum_x = F.sum("xc").cast("double")
-    sum_ix = F.sum(F.col("i") * F.col("xc")).cast("double")
-    return ranked.groupBy("event_type").agg(
-        F.round(
-            (2.0 * sum_ix) / (n * sum_x) - (n + 1.0) / n, 6
-        ).alias("gini"),
-        F.count(F.lit(1)).alias("n"),
+    g = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("xc").cast("decimal(38,0)").alias("sx"),
+        F.sum(F.col("i").cast("decimal(38,0)") * F.col("xc")).alias("six"),
+    )
+    # num = 2·Σix − (n+1)·Σx, den = n·Σx — both exact decimals; sign-aware
+    # half-up on the 1e-6 grid (den sign folds into the quotient sign)
+    g6 = F.expr(
+        "(CASE WHEN (2 * six - (n + 1) * sx) < 0 THEN -1 ELSE 1 END)"
+        " * (CASE WHEN sx < 0 THEN -1 ELSE 1 END)"
+        " * CAST((2000000 * abs(2 * six - (n + 1) * sx)"
+        "         + abs(n * sx))"
+        "        DIV (2 * abs(n * sx)) AS BIGINT)"
+    )
+    return g.select(
+        "event_type",
+        (g6.cast("double") / F.lit(1e6)).alias("gini"),
+        F.col("n").cast("long").alias("n"),
     )
 
 

@@ -15,16 +15,38 @@ from kdb_spark.tables import HOUR_US, cents
 
 
 def win_moving_avg(events: DataFrame, k: int = 5) -> DataFrame:
-    """Trailing k+1-row moving average per user series."""
+    """Trailing k+1-row moving average per user series.
+
+    Exact-parity contract (r11, the VERDICT r10 double-round hardening):
+    the frame average is the exact rational Σcents/(100·rows) — an integer
+    window sum over exact cents, never a float fold — rounded half-away-
+    from-zero to 4 dp IN INTEGER SPACE (sign-aware DIV on decimal(38,0),
+    the _iround6 device at the 10^4 grid), then ONE exact cast to double.
+    `round(avg(double), 4)` was the r9 win_macd hazard class: identical
+    today on this data, but engine round() disagrees at half boundaries
+    and the float window-sum is addition-order-contracted."""
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts_us", "event_id")
         .rowsBetween(-k, 0)
     )
-    return events.select(
+    c = cents("value")
+    t = events.select(
         "event_id",
         "user_id",
-        F.round(F.avg("value").over(w), 4).alias("mavg"),
+        F.sum(c).over(w).alias("sc"),
+        F.count(F.lit(1)).over(w).alias("cnt"),
+    )
+    m4 = F.expr(
+        "(CASE WHEN sc < 0 THEN -1 ELSE 1 END)"
+        " * CAST((20000 * CAST(abs(sc) AS DECIMAL(38,0))"
+        "         + 100 * CAST(cnt AS DECIMAL(38,0)))"
+        "        DIV (200 * CAST(cnt AS DECIMAL(38,0))) AS BIGINT)"
+    )
+    return t.select(
+        "event_id",
+        "user_id",
+        (m4.cast("double") / F.lit(1e4)).alias("mavg"),
     )
 
 
@@ -66,36 +88,54 @@ def win_counter_rate(events: DataFrame) -> DataFrame:
     µs gap; a zero gap (same-slot duplicate) yields NULL, not a division
     blow-up, and the series head (no predecessor) is dropped.
 
-    One window pass on the series key (same Exchange as `win_lag_delta`);
-    round(6) on both engines for the oracle.
+    One window pass on the series key (same Exchange as `win_lag_delta`).
+
+    Exact-parity contract (r11, the VERDICT r10 double-round hardening):
+    the increase is an exact CENTS difference (lag on bigint cents, never
+    a float subtraction), so `increase` = inc_c·10^4 / 10^6 exactly on the
+    1e-6 grid, and the per-second rate is the exact integer ratio
+    inc_c·10^4/dt_us rounded half-away-from-zero in integer space (the
+    sign-aware _iround6 device; inc_c can be negative when a reset lands
+    on a negative-valued sample).
     """
     w = Window.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
-    prev_v = F.lag("value").over(w)
+    c = cents("value")
+    t = events.select(
+        "event_id", "user_id", "event_type", "ts_us", c.alias("c")
+    )
+    prev_c = F.lag("c").over(w)
     prev_ts = F.lag("ts_us").over(w)
-    inc = F.when(F.col("value") >= prev_v, F.col("value") - prev_v).otherwise(
-        F.col("value")
+    inc_c = F.when(F.col("c") >= prev_c, F.col("c") - prev_c).otherwise(
+        F.col("c")
     )
     dt_us = F.col("ts_us") - prev_ts
+    rate6 = F.expr(
+        "(CASE WHEN inc_c < 0 THEN -1 ELSE 1 END)"
+        " * CAST((20000000000 * CAST(abs(inc_c) AS DECIMAL(38,0)) + dt_us)"
+        "        DIV (2 * CAST(dt_us AS DECIMAL(38,0))) AS BIGINT)"
+    )
     return (
-        events.select(
+        t.select(
             "event_id",
             "user_id",
             "event_type",
             "ts_us",
-            prev_v.alias("pv"),
-            inc.alias("inc"),
+            prev_c.alias("pc"),
+            inc_c.alias("inc_c"),
             dt_us.alias("dt_us"),
         )
-        .filter(F.col("pv").isNotNull())
+        .filter(F.col("pc").isNotNull())
         .select(
             "event_id",
             "user_id",
             "event_type",
-            F.round("inc", 6).alias("increase"),
-            F.when(
-                F.col("dt_us") > 0,
-                F.round(F.col("inc") * 1_000_000 / F.col("dt_us"), 6),
-            ).alias("rate_per_sec"),
+            # increase = inc_c/100 rounded to 6 dp ≡ inc_c·10^4 on the grid
+            ((F.col("inc_c") * F.lit(10_000)).cast("double") / F.lit(1e6)).alias(
+                "increase"
+            ),
+            F.when(F.col("dt_us") > 0, rate6.cast("double") / F.lit(1e6)).alias(
+                "rate_per_sec"
+            ),
         )
     )
 
@@ -203,6 +243,15 @@ def win_interpolate(
     SAME (user) partitioning — Catalyst reuses one Exchange for both frame
     directions. Edge slots with no point on one side stay NULL (strict
     interpolation, no extrapolation).
+
+    Exact-parity contract (r11, the VERDICT r10 double-round hardening):
+    each slot value is the exact rational Σcents/n, so the interpolated
+    point is itself a ratio of exact integers —
+      [pvn·nvd·(nt−pt) + (nvn·pvd − pvn·nvd)·(slot−pt)] / [pvd·nvd·(nt−pt)]
+    — and BOTH branches round half-away-from-zero to 4 dp in integer space
+    (sign-aware DIV on decimal(38,0); products stay ≲10^29 ≪ 10^38 even at
+    tick-scale cents with year-long gaps). The float interpolate +
+    round(double, 4) it replaces was the r9 win_macd half-boundary class.
     """
     from kdb_spark.densify import dense_grid
 
@@ -214,10 +263,11 @@ def win_interpolate(
             "user_id",
             (F.col("ts_us") - F.col("ts_us") % F.lit(res)).alias("slot_us"),
         )
-        # cent-scaled average from an exact bigint sum: bigint/bigint double
-        # division is bit-identical in any engine, unlike avg(double) whose
-        # accumulation order flips round() boundary cases
-        .agg((F.sum(cents("value")) / F.count(F.lit(1))).alias("v"))
+        # exact rational slot value: bigint cents sum + row count
+        .agg(
+            F.sum(cents("value")).cast("long").alias("vn"),
+            F.count(F.lit(1)).cast("long").alias("vd"),
+        )
     )
     series = slots.select("user_id").distinct()
     grid = dense_grid(series, start_us, end_us, res, ts_col="slot_us")
@@ -233,25 +283,38 @@ def win_interpolate(
         .orderBy("slot_us")
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
-    known_ts = F.when(F.col("v").isNotNull(), F.col("slot_us"))
+    known_ts = F.when(F.col("vn").isNotNull(), F.col("slot_us"))
     d = (
-        sparse.withColumn("pv", F.last("v", ignorenulls=True).over(back))
+        sparse.withColumn("pvn", F.last("vn", ignorenulls=True).over(back))
+        .withColumn("pvd", F.last("vd", ignorenulls=True).over(back))
         .withColumn("pt", F.last(known_ts, ignorenulls=True).over(back))
-        .withColumn("nv", F.first("v", ignorenulls=True).over(fwd))
+        .withColumn("nvn", F.first("vn", ignorenulls=True).over(fwd))
+        .withColumn("nvd", F.first("vd", ignorenulls=True).over(fwd))
         .withColumn("nt", F.first(known_ts, ignorenulls=True).over(fwd))
     )
-    interp = F.round(
-        F.col("pv")
-        + (F.col("nv") - F.col("pv"))
-        * (F.col("slot_us") - F.col("pt"))
-        / (F.col("nt") - F.col("pt")),
-        4,
+
+    def _r4(num_sql: str, den_sql: str) -> F.Column:
+        # round(num/den, 4) half-away-from-zero in integer space; den > 0
+        return F.expr(
+            f"(CASE WHEN ({num_sql}) < 0 THEN -1 ELSE 1 END)"
+            f" * CAST((20000 * abs({num_sql}) + ({den_sql}))"
+            f"        DIV (2 * ({den_sql})) AS BIGINT)"
+        ).cast("double") / F.lit(1e4)
+
+    interp = _r4(
+        "CAST(pvn AS DECIMAL(38,0)) * nvd * (nt - pt)"
+        " + (CAST(nvn AS DECIMAL(38,0)) * pvd"
+        "    - CAST(pvn AS DECIMAL(38,0)) * nvd) * (slot_us - pt)",
+        "CAST(pvd AS DECIMAL(38,0)) * nvd * (nt - pt)",
     )
     return d.select(
         "user_id",
         "slot_us",
-        F.when(F.col("v").isNotNull(), F.round(F.col("v"), 4))
-        .when(F.col("pv").isNotNull() & F.col("nv").isNotNull(), interp)
+        F.when(
+            F.col("vn").isNotNull(),
+            _r4("CAST(vn AS DECIMAL(38,0))", "CAST(vd AS DECIMAL(38,0))"),
+        )
+        .when(F.col("pvn").isNotNull() & F.col("nvn").isNotNull(), interp)
         .alias("value_c"),
     )
 
@@ -266,6 +329,10 @@ def win_ffill(
 
     Same plan shape as interpolation minus the forward window: one hash agg
     onto the slot grid, spine left-join, ONE backward window per user.
+
+    Exact-parity contract (r11): the carried slot value is the exact
+    rational Σcents/n, rounded half-away-from-zero to 4 dp in integer
+    space (the win_interpolate device) — never round(double, 4).
     """
     from kdb_spark.densify import dense_grid
 
@@ -277,7 +344,10 @@ def win_ffill(
             "user_id",
             (F.col("ts_us") - F.col("ts_us") % F.lit(res)).alias("slot_us"),
         )
-        .agg((F.sum(cents("value")) / F.count(F.lit(1))).alias("v"))
+        .agg(
+            F.sum(cents("value")).cast("long").alias("vn"),
+            F.count(F.lit(1)).cast("long").alias("vd"),
+        )
     )
     series = slots.select("user_id").distinct()
     grid = dense_grid(series, start_us, end_us, res, ts_col="slot_us")
@@ -286,11 +356,19 @@ def win_ffill(
         .orderBy("slot_us")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    f4 = F.expr(
+        "(CASE WHEN fn < 0 THEN -1 ELSE 1 END)"
+        " * CAST((20000 * CAST(abs(fn) AS DECIMAL(38,0)) + fd)"
+        "        DIV (2 * CAST(fd AS DECIMAL(38,0))) AS BIGINT)"
+    )
     return (
         grid.join(slots, ["user_id", "slot_us"], "left")
-        .withColumn("filled", F.last("v", ignorenulls=True).over(back))
+        .withColumn("fn", F.last("vn", ignorenulls=True).over(back))
+        .withColumn("fd", F.last("vd", ignorenulls=True).over(back))
         .select(
-            "user_id", "slot_us", F.round(F.col("filled"), 4).alias("value_c")
+            "user_id",
+            "slot_us",
+            (f4.cast("double") / F.lit(1e4)).alias("value_c"),
         )
     )
 
