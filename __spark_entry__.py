@@ -312,14 +312,22 @@ _reg(
     "agg_resample",
     lambda s, d: agg.agg_resample(events_us(s, d)),
     """
-    SELECT event_type,
-           epoch_us(ts) - epoch_us(ts) % 3600000000 AS hour_us,
-           count(*) AS n,
-           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c,
-           round(avg(value), 4) AS avg_value,
-           min(value) AS min_value,
-           max(value) AS max_value
-    FROM events GROUP BY 1, 2
+    WITH g AS (
+      SELECT event_type,
+             epoch_us(ts) - epoch_us(ts) % 3600000000 AS hour_us,
+             count(*) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_value_c,
+             min(value) AS min_value,
+             max(value) AS max_value
+      FROM events GROUP BY 1, 2)
+    SELECT event_type, hour_us, n, sum_value_c,
+           CAST((CASE WHEN sum_value_c < 0 THEN -1 ELSE 1 END)
+                * CAST((20000 * CAST(abs(sum_value_c) AS HUGEINT) + 100 * n)
+                       // (200 * CAST(n AS HUGEINT)) AS BIGINT) AS DOUBLE)
+             / 1e4 AS avg_value,
+           min_value, max_value
+    FROM g
     """,
 )
 
@@ -461,12 +469,19 @@ _reg(
     "agg_wavg",
     lambda s, d: agg.agg_wavg(load(s, d, "lineitem")),
     """
+    WITH g AS (
+      SELECT l_returnflag,
+             sum(CAST(l_quantity AS HUGEINT)
+                 * CAST(round(l_extendedprice * 100) AS BIGINT)) AS swx,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS HUGEINT) AS sw,
+             count(*) AS n
+      FROM lineitem GROUP BY 1)
     SELECT l_returnflag,
-           round(CAST(sum(CAST(l_quantity AS BIGINT)
-                          * CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
-                 / CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE), 4) AS wavg_price_c,
-           count(*) AS n
-    FROM lineitem GROUP BY 1
+           CAST((CASE WHEN swx < 0 THEN -1 ELSE 1 END)
+                * CAST((20000 * abs(swx) + sw) // (2 * sw) AS BIGINT) AS DOUBLE)
+             / 1e4 AS wavg_price_c,
+           n
+    FROM g
     """,
 )
 
@@ -637,12 +652,23 @@ _reg(
     "win_ntile",
     lambda s, d: wn.win_ntile(load(s, d, "orders")),
     """
-    SELECT o_orderkey, o_orderpriority,
-           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
-           round(percent_rank() OVER w, 6) AS prk,
-           round(cume_dist() OVER w, 6) AS cd
-    FROM orders
-    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    WITH t AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+             CAST(row_number() OVER w AS BIGINT) AS rn,
+             CAST(count(*) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS np
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice, o_orderkey))
+    SELECT o_orderkey, o_orderpriority, quartile,
+           CAST(CASE WHEN np > 1 THEN
+             CAST((2000000 * CAST(rn - 1 AS HUGEINT) + (np - 1))
+                  // (2 * CAST(np - 1 AS HUGEINT)) AS BIGINT)
+           ELSE 0 END AS DOUBLE) / 1e6 AS prk,
+           CAST(CAST((2000000 * CAST(rn AS HUGEINT) + np)
+                     // (2 * CAST(np AS HUGEINT)) AS BIGINT) AS DOUBLE)
+             / 1e6 AS cd
+    FROM t
     """,
 )
 
@@ -2908,9 +2934,15 @@ _reg(
       FROM events),
     m AS (SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
           FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+    , w AS (
+      SELECT prev_type, next_type, n,
+             CAST(sum(n) OVER (PARTITION BY prev_type) AS BIGINT) AS row_total
+      FROM m)
     SELECT prev_type, next_type, n,
-           round(n / sum(n) OVER (PARTITION BY prev_type), 6) AS prob
-    FROM m
+           CAST(CAST((2000000 * CAST(n AS HUGEINT) + row_total)
+                     // (2 * CAST(row_total AS HUGEINT)) AS BIGINT) AS DOUBLE)
+             / 1e6 AS prob
+    FROM w
     """,
 )
 
@@ -2925,13 +2957,19 @@ _reg(
              lead(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
                ORDER BY epoch_us(ts), event_id) AS t_next
       FROM events)
-    SELECT user_id, event_type,
-           CAST(count(*) AS BIGINT) AS n_intervals,
-           CAST(sum(t_next - ts_us) AS BIGINT) AS duration_us,
-           round(CAST(sum(c * (t_next - ts_us)) AS DOUBLE)
-                 / CAST(sum(t_next - ts_us) AS DOUBLE), 4) AS twap_c
-    FROM t WHERE t_next IS NOT NULL
-    GROUP BY user_id, event_type
+    , g AS (
+      SELECT user_id, event_type,
+             CAST(count(*) AS BIGINT) AS n_intervals,
+             CAST(sum(t_next - ts_us) AS BIGINT) AS duration_us,
+             sum(CAST(c AS HUGEINT) * (t_next - ts_us)) AS scd
+      FROM t WHERE t_next IS NOT NULL
+      GROUP BY user_id, event_type)
+    SELECT user_id, event_type, n_intervals, duration_us,
+           CAST((CASE WHEN scd < 0 THEN -1 ELSE 1 END)
+                * CAST((20000 * abs(scd) + duration_us)
+                       // (2 * CAST(duration_us AS HUGEINT)) AS BIGINT)
+                AS DOUBLE) / 1e4 AS twap_c
+    FROM g
     """,
 )
 
@@ -3170,9 +3208,10 @@ _reg(
     SELECT event_id, user_id, event_type, value,
            CAST(peak_c AS DOUBLE) / 100.0 AS peak,
            CAST(peak_c - c AS DOUBLE) / 100.0 AS drawdown,
-           CASE WHEN peak_c > 0
-                THEN round(CAST(peak_c - c AS DOUBLE) / CAST(peak_c AS DOUBLE), 6)
-           END AS dd_frac
+           CAST(CASE WHEN peak_c > 0
+                THEN CAST((2000000 * CAST(peak_c - c AS HUGEINT) + peak_c)
+                          // (2 * CAST(peak_c AS HUGEINT)) AS BIGINT)
+           END AS DOUBLE) / 1e6 AS dd_frac
     FROM m
     """,
 )
@@ -3200,10 +3239,10 @@ _reg(
                     ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
     SELECT event_id, user_id, event_type,
            CAST(n_d AS BIGINT) AS n_deltas,
-           CASE WHEN gain + loss > 0
-                THEN round(100.0 * CAST(gain AS DOUBLE)
-                           / CAST(gain + loss AS DOUBLE), 4)
-           END AS rsi
+           CAST(CASE WHEN gain + loss > 0
+                THEN CAST((2000000 * CAST(gain AS HUGEINT) + (gain + loss))
+                          // (2 * CAST(gain + loss AS HUGEINT)) AS BIGINT)
+           END AS DOUBLE) / 1e4 AS rsi
     FROM f
     """,
 )
@@ -3213,16 +3252,20 @@ _reg(
     "rollup_serve",
     src.q_rollup_serve,
     """
-    SELECT event_type,
-           epoch_us(ts) - epoch_us(ts) % 3600000000 AS hour_us,
-           CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_c,
-           CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS min_c,
-           CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS max_c,
-           round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
-                 / count(*) / 100.0, 6) AS avg_value
-    FROM events
-    GROUP BY 1, 2
+    WITH g AS (
+      SELECT event_type,
+             epoch_us(ts) - epoch_us(ts) % 3600000000 AS hour_us,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_c,
+             CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS min_c,
+             CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS max_c
+      FROM events GROUP BY 1, 2)
+    SELECT event_type, hour_us, n, sum_c, min_c, max_c,
+           CAST((CASE WHEN sum_c < 0 THEN -1 ELSE 1 END)
+                * CAST((2000000 * CAST(abs(sum_c) AS HUGEINT) + 100 * n)
+                       // (200 * CAST(n AS HUGEINT)) AS BIGINT) AS DOUBLE)
+             / 1e6 AS avg_value
+    FROM g
     """,
 )
 
@@ -3588,11 +3631,20 @@ _reg(
               GROUP BY 1, 2 HAVING count(*) >= 3)
     SELECT a, b, CAST(n_both AS BIGINT) AS n_both,
            CAST(ia.n_item AS BIGINT) AS n_a, CAST(ib.n_item AS BIGINT) AS n_b,
-           round(CAST(n_both AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS support,
-           round(CAST(n_both AS DOUBLE) / CAST(ia.n_item AS DOUBLE), 6) AS conf_a_b,
-           round(CAST(n_both AS DOUBLE) / CAST(ib.n_item AS DOUBLE), 6) AS conf_b_a,
-           round(CAST(n_both AS DOUBLE) * CAST(n_total AS DOUBLE)
-                 / (CAST(ia.n_item AS DOUBLE) * CAST(ib.n_item AS DOUBLE)), 6) AS lift
+           CAST(CAST((2000000 * CAST(n_both AS HUGEINT) + n_total)
+                     // (2 * CAST(n_total AS HUGEINT)) AS BIGINT) AS DOUBLE)
+             / 1e6 AS support,
+           CAST(CAST((2000000 * CAST(n_both AS HUGEINT) + ia.n_item)
+                     // (2 * CAST(ia.n_item AS HUGEINT)) AS BIGINT) AS DOUBLE)
+             / 1e6 AS conf_a_b,
+           CAST(CAST((2000000 * CAST(n_both AS HUGEINT) + ib.n_item)
+                     // (2 * CAST(ib.n_item AS HUGEINT)) AS BIGINT) AS DOUBLE)
+             / 1e6 AS conf_b_a,
+           CAST(CAST((2000000 * CAST(n_both AS HUGEINT) * n_total
+                      + CAST(ia.n_item AS HUGEINT) * ib.n_item)
+                     // (2 * CAST(ia.n_item AS HUGEINT) * ib.n_item)
+                     AS BIGINT) AS DOUBLE)
+             / 1e6 AS lift
     FROM pairs JOIN item ia ON ia.p = a JOIN item ib ON ib.p = b
     CROSS JOIN nn
     ORDER BY n_both DESC, a, b LIMIT 50

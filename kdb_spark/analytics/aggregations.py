@@ -22,15 +22,29 @@ def agg_resample(events: DataFrame, width_us: int = HOUR_US) -> DataFrame:
     whole-stage codegen.
     """
     hour = (F.col("ts_us") - F.col("ts_us") % F.lit(width_us)).alias("hour_us")
-    return (
-        events.groupBy("event_type", hour)
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(cents("value")).alias("sum_value_c"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
-            F.min("value").alias("min_value"),
-            F.max("value").alias("max_value"),
-        )
+    g = events.groupBy("event_type", hour).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents("value")).alias("sum_value_c"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+    # avg = Σc/(100n): exact integer ratio rounded half-away-from-zero to
+    # 4 dp in integer space (r11 hardening — round(avg(double), 4) was the
+    # engine half-boundary class AND an addition-order float fold)
+    avg4 = F.expr(
+        "(CASE WHEN sum_value_c < 0 THEN -1 ELSE 1 END)"
+        " * CAST((20000 * CAST(abs(sum_value_c) AS DECIMAL(38,0))"
+        "         + 100 * CAST(n AS DECIMAL(38,0)))"
+        "        DIV (200 * CAST(n AS DECIMAL(38,0))) AS BIGINT)"
+    )
+    return g.select(
+        "event_type",
+        "hour_us",
+        "n",
+        "sum_value_c",
+        (avg4.cast("double") / F.lit(1e4)).alias("avg_value"),
+        "min_value",
+        "max_value",
     )
 
 
@@ -278,13 +292,23 @@ def agg_wavg(lineitem: DataFrame) -> DataFrame:
     result is bit-deterministic — no accumulation-order float noise.
     """
     qty = F.col("l_quantity").cast("long")
-    return lineitem.groupBy("l_returnflag").agg(
-        F.round(
-            F.sum(qty * cents("l_extendedprice")).cast("double")
-            / F.sum(qty).cast("double"),
-            4,
-        ).alias("wavg_price_c"),
+    g = lineitem.groupBy("l_returnflag").agg(
+        F.sum(qty.cast("decimal(38,0)") * cents("l_extendedprice")).alias("swx"),
+        F.sum(qty).cast("decimal(38,0)").alias("sw"),
         F.count(F.lit(1)).alias("n"),
+    )
+    # wavg = Σ(q·c)/Σq: exact integer ratio rounded half-away-from-zero
+    # to 4 dp in integer space (r11 hardening; q·c widened to decimal
+    # BEFORE the multiply — tick-scale cents × bulk quantities overflow
+    # int64 long before 100 TB)
+    w4 = F.expr(
+        "(CASE WHEN swx < 0 THEN -1 ELSE 1 END)"
+        " * CAST((20000 * abs(swx) + sw) DIV (2 * sw) AS BIGINT)"
+    )
+    return g.select(
+        "l_returnflag",
+        (w4.cast("double") / F.lit(1e4)).alias("wavg_price_c"),
+        "n",
     )
 
 
@@ -693,14 +717,24 @@ def agg_twap(events: DataFrame) -> DataFrame:
         F.lead("ts_us").over(w).alias("t_next"),
     ).filter(F.col("t_next").isNotNull())
     dt = F.col("t_next") - F.col("ts_us")
-    return ticks.groupBy("user_id", "event_type").agg(
+    g = ticks.groupBy("user_id", "event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_intervals"),
         F.sum(dt).cast("long").alias("duration_us"),
-        F.round(
-            F.sum(F.col("c").cast("decimal(38,0)") * dt).cast("double")
-            / F.sum(dt).cast("double"),
-            4,
-        ).alias("twap_c"),
+        F.sum(F.col("c").cast("decimal(38,0)") * dt).alias("scd"),
+    )
+    # twap = Σc·Δt/ΣΔt: exact integer ratio rounded half-away-from-zero
+    # to 4 dp in integer space (r11 hardening — never round(double, 4))
+    t4 = F.expr(
+        "(CASE WHEN scd < 0 THEN -1 ELSE 1 END)"
+        " * CAST((20000 * abs(scd) + duration_us)"
+        "        DIV (2 * CAST(duration_us AS DECIMAL(38,0))) AS BIGINT)"
+    )
+    return g.select(
+        "user_id",
+        "event_type",
+        "n_intervals",
+        "duration_us",
+        (t4.cast("double") / F.lit(1e4)).alias("twap_c"),
     )
 
 

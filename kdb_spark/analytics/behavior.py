@@ -136,11 +136,23 @@ def agg_transitions(events: DataFrame) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n")
     )
     total = Window.partitionBy("prev_type")
-    return matrix.select(
+    t = matrix.select(
         "prev_type",
         "next_type",
         "n",
-        F.round(F.col("n") / F.sum("n").over(total), 6).alias("prob"),
+        F.sum("n").over(total).alias("row_total"),
+    )
+    # prob = n/row_total: exact integer ratio rounded half-up to 6 dp in
+    # integer space (r11 hardening — never round(double, 6))
+    p6 = F.expr(
+        "CAST((2000000 * CAST(n AS DECIMAL(38,0)) + row_total)"
+        "     DIV (2 * CAST(row_total AS DECIMAL(38,0))) AS BIGINT)"
+    )
+    return t.select(
+        "prev_type",
+        "next_type",
+        "n",
+        (p6.cast("double") / F.lit(1e6)).alias("prob"),
     )
 
 
@@ -245,12 +257,15 @@ def agg_assoc_rules(
         .agg(F.count(F.lit(1)).alias("n_both"))
         .filter(F.col("n_both") >= min_pair)
     )
-    nb, na_, nbq, nt = (
-        F.col("n_both").cast("double"),
-        F.col("n_a").cast("double"),
-        F.col("n_b").cast("double"),
-        F.col("n_total").cast("double"),
-    )
+    # support/conf/lift are ratios of exact integer counts, rounded
+    # half-up to 6 dp in integer space (r11 hardening — never
+    # round(double, 6)); lift's cross-products widen to decimal(38,0)
+    def _r6(num_sql: str, den_sql: str) -> F.Column:
+        return F.expr(
+            f"CAST((2000000 * CAST({num_sql} AS DECIMAL(38,0)) + ({den_sql}))"
+            f"     DIV (2 * CAST({den_sql} AS DECIMAL(38,0))) AS BIGINT)"
+        ).cast("double") / F.lit(1e6)
+
     return (
         pairs.join(
             F.broadcast(item.select(F.col("p").alias("a"), F.col("n_item").alias("n_a"))),
@@ -267,10 +282,13 @@ def agg_assoc_rules(
             F.col("n_both").cast("long").alias("n_both"),
             F.col("n_a").cast("long").alias("n_a"),
             F.col("n_b").cast("long").alias("n_b"),
-            F.round(nb / nt, 6).alias("support"),
-            F.round(nb / na_, 6).alias("conf_a_b"),
-            F.round(nb / nbq, 6).alias("conf_b_a"),
-            F.round(nb * nt / (na_ * nbq), 6).alias("lift"),
+            _r6("n_both", "n_total").alias("support"),
+            _r6("n_both", "n_a").alias("conf_a_b"),
+            _r6("n_both", "n_b").alias("conf_b_a"),
+            _r6(
+                "CAST(n_both AS DECIMAL(38,0)) * n_total",
+                "CAST(n_a AS DECIMAL(38,0)) * n_b",
+            ).alias("lift"),
         )
         .orderBy(F.desc("n_both"), "a", "b")
         .limit(k)

@@ -160,14 +160,38 @@ def win_first_last(events: DataFrame) -> DataFrame:
 
 def win_ntile(orders: DataFrame, n: int = 4) -> DataFrame:
     """ntile / percent_rank / cume_dist — distribution ranks per customer
-    spend; one shuffle on the partition key like every window here."""
+    spend; one shuffle on the partition key like every window here.
+
+    Exact-parity contract (r11): percent_rank = (rank−1)/(rows−1) and
+    cume_dist = row/rows are ratios of exact integers, rounded half-up to
+    6 dp IN INTEGER SPACE (the DIV device — round(double, 6) on these
+    was the half-boundary class). The order key ends in the unique
+    o_orderkey, so rank ≡ row_number and cume_dist's peer group is the
+    single row — the integer forms below are the built-ins' exact values.
+    """
     w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
-    return orders.select(
+    wp = Window.partitionBy("o_orderpriority")
+    t = orders.select(
         "o_orderkey",
         "o_orderpriority",
         F.ntile(n).over(w).cast("long").alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("prk"),
-        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.count(F.lit(1)).over(wp).cast("long").alias("np"),
+    )
+    prk6 = F.when(F.col("np") > 1, F.expr(
+        "CAST((2000000 * CAST(rn - 1 AS DECIMAL(38,0)) + (np - 1))"
+        "     DIV (2 * CAST(np - 1 AS DECIMAL(38,0))) AS BIGINT)"
+    )).otherwise(F.lit(0).cast("long"))
+    cd6 = F.expr(
+        "CAST((2000000 * CAST(rn AS DECIMAL(38,0)) + np)"
+        "     DIV (2 * CAST(np AS DECIMAL(38,0))) AS BIGINT)"
+    )
+    return t.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "quartile",
+        (prk6.cast("double") / F.lit(1e6)).alias("prk"),
+        (cd6.cast("double") / F.lit(1e6)).alias("cd"),
     )
 
 
@@ -667,9 +691,13 @@ def win_drawdown(events: DataFrame) -> DataFrame:
     every portfolio/SLA dashboard tracks (kdb: maxs + ratio).
 
     One unbounded-preceding running max over the standard series sort —
-    same single Exchange as the other win_* ops; the drawdown ratio is a
-    single division of exact cents integers (peak > 0 guard), so the
-    column is engine-exact without display-rounding risk.
+    same single Exchange as the other win_* ops.
+
+    Exact-parity contract (r11): dd_frac = (peak−c)/peak is a ratio of
+    exact cents integers, rounded half-up to 6 dp IN INTEGER SPACE (the
+    DIV device — the replaced round(double, 6) was the r9 win_macd
+    half-boundary class; numerator ≥ 0 since peak is the running max and
+    the peak > 0 guard keeps the denominator positive).
     """
     from kdb_spark.tables import cents
 
@@ -680,15 +708,28 @@ def win_drawdown(events: DataFrame) -> DataFrame:
     )
     c = cents("value")
     peak = F.max(c).over(w)
-    return events.select(
+    t = events.select(
         "event_id",
         "user_id",
         "event_type",
         "value",
-        (peak.cast("double") / 100.0).alias("peak"),
-        ((peak - c).cast("double") / 100.0).alias("drawdown"),
+        c.alias("c"),
+        peak.alias("peak_c"),
+    )
+    return t.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        (F.col("peak_c").cast("double") / 100.0).alias("peak"),
+        ((F.col("peak_c") - F.col("c")).cast("double") / 100.0).alias("drawdown"),
         F.when(
-            peak > 0, F.round((peak - c).cast("double") / peak.cast("double"), 6)
+            F.col("peak_c") > 0,
+            F.expr(
+                "CAST((2000000 * CAST(peak_c - c AS DECIMAL(38,0)) + peak_c)"
+                "     DIV (2 * CAST(peak_c AS DECIMAL(38,0))) AS BIGINT)"
+            ).cast("double")
+            / F.lit(1e6),
         ).alias("dd_frac"),
     )
 
@@ -718,18 +759,31 @@ def win_rsi(events: DataFrame, k: int = 14) -> DataFrame:
     gain = F.sum(F.greatest(F.col("d"), F.lit(0))).over(wf)
     loss = F.sum(F.greatest(-F.col("d"), F.lit(0))).over(wf)
     n_d = F.count("d").over(wf)
-    # 100·G/(G+L) ≡ 100 − 100/(1+G/L), one exact-integer division; empty
-    # or all-null frames make the sums null and the predicate propagates it
-    rsi = F.when(
-        gain + loss > 0,
-        F.lit(100.0) * gain.cast("double") / (gain + loss).cast("double"),
-    )
-    return staged.select(
+    # 100·G/(G+L) ≡ 100 − 100/(1+G/L): a ratio of exact cents integers,
+    # rounded half-up to 4 dp IN INTEGER SPACE (r11 hardening — the
+    # replaced round(double, 4) was the half-boundary class). Empty or
+    # all-null frames make the sums null and the guard propagates it.
+    t = staged.select(
         "event_id",
         "user_id",
         "event_type",
         n_d.cast("long").alias("n_deltas"),
-        F.round(rsi, 4).alias("rsi"),
+        gain.alias("g"),
+        loss.alias("l"),
+    )
+    rsi4 = F.when(
+        F.col("g") + F.col("l") > 0,
+        F.expr(
+            "CAST((2000000 * CAST(g AS DECIMAL(38,0)) + (g + l))"
+            "     DIV (2 * CAST(g + l AS DECIMAL(38,0))) AS BIGINT)"
+        ),
+    )
+    return t.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "n_deltas",
+        (rsi4.cast("double") / F.lit(1e4)).alias("rsi"),
     )
 
 

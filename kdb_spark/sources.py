@@ -493,9 +493,17 @@ def q_rollup_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("max_c").cast("long").alias("max_c"),
         )
     )
+    # avg = Σc/(100n): exact integer ratio, rounded half-away-from-zero
+    # to 6 dp in integer space (r11 hardening — never round(double, 6))
+    avg6 = F.expr(
+        "(CASE WHEN sum_c < 0 THEN -1 ELSE 1 END)"
+        " * CAST((2000000 * CAST(abs(sum_c) AS DECIMAL(38,0))"
+        "         + 100 * CAST(n AS DECIMAL(38,0)))"
+        "        DIV (200 * CAST(n AS DECIMAL(38,0))) AS BIGINT)"
+    )
     return served.select(
         "event_type", "hour_us", "n", "sum_c", "min_c", "max_c",
-        F.round(F.col("sum_c").cast("double") / F.col("n") / 100.0, 6).alias("avg_value"),
+        (avg6.cast("double") / F.lit(1e6)).alias("avg_value"),
     )
 
 
