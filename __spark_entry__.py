@@ -810,19 +810,18 @@ _reg(
       FROM (SELECT DISTINCT user_id FROM slots) u
       CROSS JOIN (SELECT range AS slot_us
                   FROM range({T_JAN10}, {T_JAN12}, 3600000000)) s),
-    carried AS (
-      SELECT g.user_id, g.slot_us,
-             last_value(t.vn IGNORE NULLS) OVER w AS fn,
-             last_value(t.vd IGNORE NULLS) OVER w AS fd
-      FROM grid g LEFT JOIN slots t USING (user_id, slot_us)
-      WINDOW w AS (PARTITION BY g.user_id ORDER BY g.slot_us
-                   ROWS UNBOUNDED PRECEDING))
-    SELECT user_id, slot_us,
-           CAST((CASE WHEN fn < 0 THEN -1 ELSE 1 END)
-                * CAST((20000 * CAST(abs(fn) AS HUGEINT) + fd)
-                       // (2 * CAST(fd AS HUGEINT)) AS BIGINT) AS DOUBLE)
-             / 1e4 AS value_c
-    FROM carried
+    rounded AS (
+      SELECT user_id, slot_us,
+             CAST((CASE WHEN vn < 0 THEN -1 ELSE 1 END)
+                  * CAST((20000 * CAST(abs(vn) AS HUGEINT) + vd)
+                         // (2 * CAST(vd AS HUGEINT)) AS BIGINT) AS DOUBLE)
+               / 1e4 AS v
+      FROM slots)
+    SELECT g.user_id, g.slot_us,
+           last_value(t.v IGNORE NULLS) OVER
+             (PARTITION BY g.user_id ORDER BY g.slot_us
+              ROWS UNBOUNDED PRECEDING) AS value_c
+    FROM grid g LEFT JOIN rounded t USING (user_id, slot_us)
     """,
 )
 
