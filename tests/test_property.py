@@ -1315,3 +1315,66 @@ def test_chi2_drift_matches_bruteforce(spark, ca, cb):
     assert abs(r.chi2 - want) <= 2e-6
     if all(ca[l] * nb == cb[l] * na for l in range(L)):
         assert r.chi2 == 0.0
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(-(10**15), 10**15),  # numerators, signed
+            st.integers(1, 10**12),          # denominators, positive
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    k=st.sampled_from([4, 6]),
+)
+def test_integer_round_device_is_half_away_from_zero(spark, pairs, k):
+    """Law for the repo's cross-engine rounding device (used by every
+    hardened ratio contract): sign(num) · (2·10^k·|num| + den) DIV (2·den)
+    on decimal(38,0) equals decimal round-half-away-from-zero of num/den
+    at k digits, for ANY signed numerator and positive denominator —
+    including exact half boundaries, where round(double, k) would be
+    engine-dependent (the r9 win_macd failure)."""
+    df = spark.createDataFrame(pairs, "num long, den long")
+    scale = 10**k
+    got = df.selectExpr(
+        "num",
+        "den",
+        f"(CASE WHEN num < 0 THEN -1 ELSE 1 END)"
+        f" * CAST((2 * {scale} * CAST(abs(num) AS DECIMAL(38,0)) + den)"
+        f"        DIV (2 * CAST(den AS DECIMAL(38,0))) AS BIGINT) AS r",
+    ).collect()
+    for row in got:
+        want = int(
+            (Decimal(row.num) * scale / Decimal(row.den)).quantize(
+                Decimal(1), rounding=ROUND_HALF_UP
+            )
+        )
+        assert row.r == want, (row.num, row.den, k, row.r, want)
+
+
+def test_integer_round_device_exact_half_boundaries(spark):
+    """Pinned half-boundary cases: num/den landing exactly on x.00005 /
+    x.5-grid points must round AWAY from zero in the device — these are
+    the inputs where Spark's and DuckDB's round(double, k) disagree."""
+    cases = [(1, 2), (-1, 2), (3, 2), (-3, 2), (25, 1000), (-25, 1000), (125, 10000)]
+    df = spark.createDataFrame(cases, "num long, den long")
+    got = {
+        (r.num, r.den): r.r
+        for r in df.selectExpr(
+            "num",
+            "den",
+            "(CASE WHEN num < 0 THEN -1 ELSE 1 END)"
+            " * CAST((2 * 1000000 * CAST(abs(num) AS DECIMAL(38,0)) + den)"
+            "        DIV (2 * CAST(den AS DECIMAL(38,0))) AS BIGINT) AS r",
+        ).collect()
+    }
+    assert got[(1, 2)] == 500000 and got[(-1, 2)] == -500000
+    assert got[(3, 2)] == 1500000 and got[(-3, 2)] == -1500000
+    assert got[(25, 1000)] == 25000 and got[(-25, 1000)] == -25000
+    assert got[(125, 10000)] == 12500
