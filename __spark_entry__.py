@@ -1892,15 +1892,22 @@ _reg(
     WITH t AS (SELECT doc_id, text,
                       regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
                FROM documents)
-    SELECT doc_id,
-           CAST(length(text) AS BIGINT) AS n_chars_m,
-           CAST(len(toks) AS BIGINT) AS n_tokens,
-           CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
-           round(list_sum([CAST(length(t) AS DOUBLE) FOR t IN toks])
-                 / greatest(len(toks), 1), 4) AS avg_tok_len,
-           CAST(len([t FOR t IN toks IF list_contains(['the','a','of','and','to','in','is'], t)]) AS BIGINT) AS n_stop,
-           CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digits
-    FROM t
+    , c AS (
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars_m,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
+             CAST(coalesce(list_sum([CAST(length(t) AS BIGINT) FOR t IN toks]),
+                           0) AS BIGINT) AS sum_len,
+             CAST(len([t FOR t IN toks IF list_contains(['the','a','of','and','to','in','is'], t)]) AS BIGINT) AS n_stop,
+             CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digits
+      FROM t)
+    SELECT doc_id, n_chars_m, n_tokens, n_uniq,
+           CAST(CAST((20000 * CAST(sum_len AS HUGEINT) + greatest(n_tokens, 1))
+                     // (2 * CAST(greatest(n_tokens, 1) AS HUGEINT)) AS BIGINT)
+                AS DOUBLE) / 1e4 AS avg_tok_len,
+           n_stop, n_digits
+    FROM c
     """,
 )
 
@@ -1912,11 +1919,14 @@ _reg(
                       regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
                FROM documents),
     r AS (SELECT doc_id, lang,
-                 len([t FOR t IN toks IF list_contains(['the','a','of','and','to','in','is'], t)])
-                   / greatest(len(toks), 1) AS ratio
+                 CAST(len([t FOR t IN toks IF list_contains(['the','a','of','and','to','in','is'], t)]) AS BIGINT) AS hits,
+                 CAST(greatest(len(toks), 1) AS BIGINT) AS nt
           FROM t)
-    SELECT doc_id, lang, round(ratio, 6) AS stop_ratio,
-           CASE WHEN ratio >= 0.05 THEN 'en' ELSE 'unk' END AS pred
+    SELECT doc_id, lang,
+           CAST(CAST((2000000 * CAST(hits AS HUGEINT) + nt)
+                     // (2 * CAST(nt AS HUGEINT)) AS BIGINT) AS DOUBLE)
+             / 1e6 AS stop_ratio,
+           CASE WHEN hits / nt >= 0.05 THEN 'en' ELSE 'unk' END AS pred
     FROM r
     """,
 )

@@ -96,8 +96,13 @@ def agg_percentile(events: DataFrame) -> DataFrame:
     `percentile` is exact (sort-based within the aggregate); the approximate
     sketch path for 100 TB is `approx_percentile`, which merges like HLL —
     this op is the exact baseline the sketch is judged against. Rounded to
-    4dp: both engines interpolate linearly on identical doubles, differing
-    only in low-order float bits.
+    4dp: both engines evaluate the SAME linear-interpolation expression
+    over identical doubles, so the pre-round double is bit-identical;
+    a round(·, 4) flip would additionally need that exact double to sit
+    within one repr-ulp of a 5e-5 half boundary (r11 audit: absent from
+    the driver corpus, hash-checked every round since r6 — and not
+    integer-convertible without re-deriving the engine's percentile
+    interpolation in rational form).
     """
     return events.groupBy("event_type").agg(
         F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
@@ -608,6 +613,11 @@ def agg_mad(events: DataFrame) -> DataFrame:
     median, broadcast back (|groups| rows), then the median of absolute
     deviations. Exact interpolated percentiles both times, same engine
     contract as `agg_percentile`.
+
+    round(·, 4) safety rationale (r11 audit): interpolated medians of
+    cents-representable values live on the 1/200 grid (a value or the
+    midpoint of two), 0.005 ≫ the 5e-5 half boundary — the round can
+    never sit on an engine-divergent boundary, it only trims repr noise.
     """
     med = events.groupBy("event_type").agg(
         F.percentile("value", F.lit(0.5)).alias("med")

@@ -540,6 +540,11 @@ def win_zscore(events: DataFrame, k: int = 31, thresh: float = 3.0) -> DataFrame
     integer window sums are order-independent, so the derived doubles are
     bit-identical cross-engine and the |z| >= thresh flag can never flip on
     a rounding boundary. Same single (user, type) shuffle as every window op.
+
+    Residual round(z, 4) rationale (r11 audit): z passes through sqrt —
+    IEEE-correctly-rounded, identical expression trees both engines — so
+    the input double is bit-identical, and an irrational z cannot land
+    exactly on a 5e-5 half boundary; the round only trims repr noise.
     """
     w = (
         Window.partitionBy("user_id", "event_type")

@@ -14,25 +14,26 @@ EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
 
 
 def text_stats(documents: DataFrame) -> DataFrame:
-    """Per-doc quality stats: lengths, token counts, ratios."""
+    """Per-doc quality stats: lengths, token counts, ratios.
+
+    avg_tok_len = Σlen/n is a ratio of exact integers, rounded half-up to
+    4 dp in integer space (r11 hardening — never round(double, 4))."""
     # materialize the token array once — each reference below would
     # otherwise re-run the regexp tokenizer (see kdb_spark/llm/dedup.py)
     toks = F.col("toks")
     stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
-    return documents.select(
+    t = documents.select(
         "doc_id", "text", tokens("text").alias("toks")
     ).select(
         "doc_id",
         F.length("text").cast("long").alias("n_chars_m"),
         F.size(toks).cast("long").alias("n_tokens"),
         F.size(F.array_distinct(toks)).cast("long").alias("n_uniq"),
-        F.round(
-            F.aggregate(
-                toks, F.lit(0.0), lambda acc, t: acc + F.length(t)
-            )
-            / F.greatest(F.size(toks), F.lit(1)),
-            4,
-        ).alias("avg_tok_len"),
+        F.aggregate(
+            toks,
+            F.lit(0).cast("long"),
+            lambda acc, tk: acc + F.length(tk),
+        ).alias("sum_len"),
         F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
         .cast("long")
         .alias("n_stop"),
@@ -40,22 +41,50 @@ def text_stats(documents: DataFrame) -> DataFrame:
         .cast("long")
         .alias("n_digits"),
     )
+    atl4 = F.expr(
+        "CAST((20000 * CAST(sum_len AS DECIMAL(38,0))"
+        "      + greatest(n_tokens, 1))"
+        "     DIV (2 * CAST(greatest(n_tokens, 1) AS DECIMAL(38,0)))"
+        "     AS BIGINT)"
+    )
+    return t.select(
+        "doc_id",
+        "n_chars_m",
+        "n_tokens",
+        "n_uniq",
+        (atl4.cast("double") / F.lit(1e4)).alias("avg_tok_len"),
+        "n_stop",
+        "n_digits",
+    )
 
 
 def lang_id(documents: DataFrame, min_ratio: float = 0.05) -> DataFrame:
     """Stopword-ratio language heuristic: flag docs whose English-stopword
     token fraction clears the threshold. (ratio = int/int division —
-    bit-identical across engines, so the threshold compare is stable.)"""
+    bit-identical across engines, so the threshold compare is stable; the
+    DISPLAYED stop_ratio is integer-rounded to 6 dp via the DIV device,
+    r11 hardening — never round(double, 6).)"""
     toks = F.col("toks")
     stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
-    hits = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
-    ratio = hits / F.greatest(F.size(toks), F.lit(1))
-    return documents.select(
+    t = documents.select(
         "doc_id", "lang", tokens("text").alias("toks")
     ).select(
         "doc_id",
         "lang",
-        F.round(ratio, 6).alias("stop_ratio"),
+        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+        .cast("long")
+        .alias("hits"),
+        F.greatest(F.size(toks), F.lit(1)).cast("long").alias("nt"),
+    )
+    r6 = F.expr(
+        "CAST((2000000 * CAST(hits AS DECIMAL(38,0)) + nt)"
+        "     DIV (2 * CAST(nt AS DECIMAL(38,0))) AS BIGINT)"
+    )
+    ratio = F.col("hits") / F.col("nt")
+    return t.select(
+        "doc_id",
+        "lang",
+        (r6.cast("double") / F.lit(1e6)).alias("stop_ratio"),
         F.when(ratio >= min_ratio, F.lit("en")).otherwise(F.lit("unk")).alias("pred"),
     )
 

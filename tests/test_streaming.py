@@ -706,3 +706,37 @@ def test_stream_asof_enrich_batch_boundary_independent(spark, tmp_path):
                "event_id", "user_id", "asof_value")
     want = rows(jn.join_asof(ev), "event_id", "user_id", "asof_value")
     assert got == want and len(got) > 0
+
+
+def test_stream_ewma_guard_raises_outside_int64_fold_domain():
+    """The r11 ADVICE guard: numpy int64 folds WRAP silently, so a tick
+    whose |cents| exceeds the exact fold domain must raise loudly instead
+    of emitting a silently-wrong EWMA (the batch op widens to decimal at
+    the same step, so an unguarded stream would break the documented
+    batch-stream bit-parity). Drives _ewma_fn directly with a stub state."""
+    import numpy as np
+    import pandas as pd
+    import pytest as pt
+
+    class _State:
+        exists = False
+
+        def update(self, v):
+            self.exists = True
+            self.get = v
+
+    ok = pd.DataFrame(
+        {
+            "user_id": [1],
+            "event_type": ["c"],
+            "ts_us": [1_000_000],
+            "event_id": [1],
+            "value": [46_000.0],  # within the ~$46k exact domain
+        }
+    )
+    out = list(sm._ewma_fn((1, "c"), iter([ok]), _State()))
+    assert len(out) == 1 and np.isfinite(out[0]["ewma"]).all()
+
+    too_big = ok.assign(value=[5_000_000.0])  # |cents|=5e8 > ~4.6e6 limit
+    with pt.raises(ValueError, match="int64 fold domain"):
+        list(sm._ewma_fn((1, "c"), iter([too_big]), _State()))
