@@ -444,12 +444,28 @@ _reg(
     "agg_stats",
     lambda s, d: agg.agg_stats(events_us(s, d)),
     """
+    WITH g AS (
+      SELECT event_type,
+             CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS HUGEINT) AS s1,
+             sum(CAST(round(value * 100) AS BIGINT)
+                 * CAST(round(value * 100) AS HUGEINT)) AS s2,
+             CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS mx,
+             CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS mn
+      FROM events GROUP BY 1)
     SELECT event_type,
-           round(stddev_samp(value), 4) AS sd,
-           round(var_samp(value), 4) AS vr,
-           round(max(value) - min(value), 4) AS spread,
-           count(*) AS n
-    FROM events GROUP BY 1
+           CASE WHEN n > 1 THEN
+             round(sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)
+                        / CAST(n * (n - 1) AS DOUBLE) / 1e4), 4)
+           END AS sd,
+           CAST(CASE WHEN n > 1 THEN
+             CAST((20000 * (n * s2 - s1 * s1)
+                   + n * (n - 1) * CAST(10000 AS HUGEINT))
+                  // (2 * n * (n - 1) * CAST(10000 AS HUGEINT)) AS BIGINT)
+           END AS DOUBLE) / 1e4 AS vr,
+           CAST((mx - mn) * CAST(100 AS BIGINT) AS DOUBLE) / 1e4 AS spread,
+           CAST(n AS BIGINT) AS n
+    FROM g
     """,
 )
 

@@ -113,13 +113,57 @@ def agg_percentile(events: DataFrame) -> DataFrame:
 
 def agg_stats(events: DataFrame) -> DataFrame:
     """Second-moment statistics per event_type: stddev/variance (sample),
-    min/max spread. Rounded to 4dp — engines use different but numerically
-    stable accumulation orders."""
-    return events.groupBy("event_type").agg(
-        F.round(F.stddev_samp("value"), 4).alias("sd"),
-        F.round(F.var_samp("value"), 4).alias("vr"),
-        F.round(F.max("value") - F.min("value"), 4).alias("spread"),
-        F.count(F.lit(1)).alias("n"),
+    min/max spread.
+
+    Exact-parity contract (r11): the engine-native stddev_samp/var_samp
+    accumulate in PARTITION-DEPENDENT order (the one remaining real
+    cross-engine divergence class after the double-round sweep), so the
+    moments are exact integer cents sums instead — sample variance is the
+    exact rational (n·Σc² − (Σc)²)/(n·(n−1)·10⁴) in value units
+    (numerator/denominator exact decimal(38,0); n·Σc² stays under 10³⁸
+    for any practical per-group count at tick-scale cents), rounded
+    half-up to 4 dp in integer space. sd = sqrt of the SAME exact-rational
+    double on both engines (one decimal→double cast + one IEEE sqrt —
+    identical), rounded 4 dp (same-double round; only a value within one
+    repr-ulp of a 5e-5 half could flip, the documented residual class).
+    spread = (max−min) cents exactly. n = 1 groups: null variance/sd.
+    """
+    c = cents("value")
+    g = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(c).cast("decimal(38,0)").alias("s1"),
+        F.sum(c.cast("decimal(38,0)") * c).alias("s2"),
+        F.max(c).alias("mx"),
+        F.min(c).alias("mn"),
+    )
+    # num = n·Σc² − (Σc)² ≥ 0 (Cauchy–Schwarz); den = n·(n−1)·10^4
+    vr4 = F.when(
+        F.col("n") > 1,
+        F.expr(
+            "CAST((20000 * (n * s2 - s1 * s1)"
+            "      + n * (n - 1) * CAST(10000 AS DECIMAL(38,0)))"
+            "     DIV (2 * n * (n - 1) * CAST(10000 AS DECIMAL(38,0)))"
+            "     AS BIGINT)"
+        ),
+    )
+    sd = F.when(
+        F.col("n") > 1,
+        F.round(
+            F.sqrt(
+                F.expr("CAST(n * s2 - s1 * s1 AS DOUBLE)")
+                / F.expr("CAST(n * (n - 1) AS DOUBLE)")
+                / F.lit(1e4)
+            ),
+            4,
+        ),
+    )
+    spr4 = F.expr("(mx - mn) * CAST(100 AS BIGINT)")
+    return g.select(
+        "event_type",
+        sd.alias("sd"),
+        (vr4.cast("double") / F.lit(1e4)).alias("vr"),
+        (spr4.cast("double") / F.lit(1e4)).alias("spread"),
+        F.col("n").alias("n"),
     )
 
 
@@ -274,6 +318,14 @@ def agg_corr(events: DataFrame) -> DataFrame:
     the two engines would diverge in the lost bits. Rounded to 4dp — both
     engines run numerically stable single-pass co-moment updates, differing
     only in low-order accumulation order.
+
+    Why this stays engine-native while agg_stats went integer-moment
+    (r11 audit): the exact-co-moment form needs n·Σu² with u = µs-of-day
+    (≤ 8.64e10), which exceeds decimal(38,0) once a group holds ~1.2e8
+    rows — a REAL ceiling at 100 TB, unlike cents² moments. A coarser
+    integer grid (seconds-of-day) changes the statistic. So the op keeps
+    the standard centered-float co-moments and the 4 dp round absorbs the
+    sub-1e-6 accumulation-order noise (driver-hash-checked since r6).
     """
     hod = ((F.col("ts_us") % F.lit(DAY_US)) / F.lit(HOUR_US)).alias("hod")
     return (
