@@ -5294,3 +5294,102 @@ _reg(
     FROM c
     """,
 )
+
+
+# Lorenz concentration curve over log2 cents buckets — exact cumulative
+# shares on the 1e-6 grid; one fact pass + a ≤64-row-per-type window
+_reg(
+    "agg_lorenz",
+    lambda s, d: agg.agg_lorenz(events_us(s, d)),
+    """
+    WITH per AS (
+      SELECT event_type,
+             CASE WHEN CAST(round(value * 100) AS BIGINT) <= 0 THEN 0
+                  ELSE CAST(length(bin(CAST(round(value * 100) AS BIGINT)))
+                            - 1 AS INT)
+             END AS bucket,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_c
+      FROM events GROUP BY 1, 2),
+    t AS (
+      SELECT event_type, bucket, n_rows, sum_c,
+             CAST(sum(n_rows) OVER wc AS BIGINT) AS cn,
+             CAST(sum(sum_c) OVER wc AS BIGINT) AS cv,
+             CAST(sum(n_rows) OVER wa AS BIGINT) AS tn,
+             CAST(sum(sum_c) OVER wa AS BIGINT) AS tv
+      FROM per
+      WINDOW wc AS (PARTITION BY event_type ORDER BY bucket
+                    ROWS UNBOUNDED PRECEDING),
+             wa AS (PARTITION BY event_type
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND UNBOUNDED FOLLOWING))
+    SELECT event_type, bucket, n_rows, sum_c,
+           CAST(CASE WHEN tn > 0 THEN
+             (CASE WHEN cn < 0 THEN -1 ELSE 1 END)
+             * CAST((2000000 * CAST(abs(cn) AS HUGEINT) + tn)
+                    // (2 * CAST(tn AS HUGEINT)) AS BIGINT)
+           END AS DOUBLE) / 1e6 AS cum_row_share,
+           CAST(CASE WHEN tv > 0 THEN
+             (CASE WHEN cv < 0 THEN -1 ELSE 1 END)
+             * CAST((2000000 * CAST(abs(cv) AS HUGEINT) + tv)
+                    // (2 * CAST(tv AS HUGEINT)) AS BIGINT)
+           END AS DOUBLE) / 1e6 AS cum_value_share
+    FROM t
+    """,
+)
+
+# daily floor-trader pivot ladder from the PREVIOUS day's exact-cents
+# H/L/C — every level a /3 rational on the 1e-6 grid; per-day lag only
+_reg(
+    "win_pivot_points",
+    lambda s, d: wn.win_pivot_points(events_us(s, d)),
+    f"""
+    WITH ranked AS (
+      SELECT user_id, event_type,
+             epoch_us(ts) - epoch_us(ts) % {DAY_US} AS day_us,
+             CAST(round(value * 100) AS BIGINT) AS c,
+             row_number() OVER (
+               PARTITION BY user_id, event_type,
+                            epoch_us(ts) - epoch_us(ts) % {DAY_US}
+               ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+      FROM events),
+    daily AS (
+      SELECT user_id, event_type, day_us,
+             CAST(max(c) AS BIGINT) AS h,
+             CAST(min(c) AS BIGINT) AS l,
+             CAST(max(CASE WHEN rn = 1 THEN c END) AS BIGINT) AS cl,
+             CAST(count(*) AS BIGINT) AS n
+      FROM ranked GROUP BY 1, 2, 3),
+    t AS (
+      SELECT user_id, event_type, day_us, n,
+             lag(h) OVER w AS ph, lag(l) OVER w AS pl, lag(cl) OVER w AS pc
+      FROM daily
+      WINDOW w AS (PARTITION BY user_id, event_type ORDER BY day_us))
+    SELECT user_id, event_type, day_us, n,
+           CAST((CASE WHEN (ph + pl + pc) < 0 THEN -1 ELSE 1 END)
+                * CAST((2000000 * CAST(abs(ph + pl + pc) AS HUGEINT) + 300)
+                       // (2 * CAST(300 AS HUGEINT)) AS BIGINT) AS DOUBLE)
+             / 1e6 AS pivot,
+           CAST((CASE WHEN (2 * (ph + pl + pc) - 3 * pl) < 0 THEN -1 ELSE 1 END)
+                * CAST((2000000 * CAST(abs(2 * (ph + pl + pc) - 3 * pl)
+                                       AS HUGEINT) + 300)
+                       // (2 * CAST(300 AS HUGEINT)) AS BIGINT) AS DOUBLE)
+             / 1e6 AS r1,
+           CAST((CASE WHEN (2 * (ph + pl + pc) - 3 * ph) < 0 THEN -1 ELSE 1 END)
+                * CAST((2000000 * CAST(abs(2 * (ph + pl + pc) - 3 * ph)
+                                       AS HUGEINT) + 300)
+                       // (2 * CAST(300 AS HUGEINT)) AS BIGINT) AS DOUBLE)
+             / 1e6 AS s1,
+           CAST((CASE WHEN ((ph + pl + pc) + 3 * (ph - pl)) < 0 THEN -1 ELSE 1 END)
+                * CAST((2000000 * CAST(abs((ph + pl + pc) + 3 * (ph - pl))
+                                       AS HUGEINT) + 300)
+                       // (2 * CAST(300 AS HUGEINT)) AS BIGINT) AS DOUBLE)
+             / 1e6 AS r2,
+           CAST((CASE WHEN ((ph + pl + pc) - 3 * (ph - pl)) < 0 THEN -1 ELSE 1 END)
+                * CAST((2000000 * CAST(abs((ph + pl + pc) - 3 * (ph - pl))
+                                       AS HUGEINT) + 300)
+                       // (2 * CAST(300 AS HUGEINT)) AS BIGINT) AS DOUBLE)
+             / 1e6 AS s2
+    FROM t
+    """,
+)

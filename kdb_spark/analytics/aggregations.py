@@ -2542,3 +2542,72 @@ def agg_top_share(
             ).alias("top_share"),
         )
     )
+
+
+def agg_lorenz(events: DataFrame) -> DataFrame:
+    """Lorenz concentration curve of value per event_type over log2 cents
+    buckets — the distribution-shape companion to `agg_gini` (gini is the
+    scalar; this is the curve a dashboard draws: "the top bucket holds X%
+    of rows but Y% of value"). Buckets follow `agg_hdr_histogram`'s
+    bit-math rule (length of the binary string — no float log whose 1-ulp
+    drift could flip exact powers of two); non-positive cents collapse to
+    bucket 0 so the domain is total.
+
+    Scale shape: ONE fact-sized hash-agg to (type, bucket) partials
+    (map-side combine), then cumulative shares via a window over the
+    ≤64-row-per-type BUCKET table — never a whole-type row window (the
+    exact-rank Lorenz needs a per-type global sort; the bucketed curve is
+    the 100 TB formulation, with resolution = the bucket grid). Shares
+    are ratios of exact integers, rounded half-up to 6 dp in integer
+    space (the DIV device).
+    """
+    c = cents("value")
+    per = events.groupBy(
+        "event_type",
+        F.when(c <= 0, F.lit(0))
+        .otherwise(F.length(F.bin(c)) - F.lit(1))
+        .cast("int")
+        .alias("bucket"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(c).cast("long").alias("sum_c"),
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("event_type").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    t = per.select(
+        "event_type",
+        "bucket",
+        "n_rows",
+        "sum_c",
+        F.sum("n_rows").over(wcum).alias("cn"),
+        F.sum("sum_c").over(wcum).alias("cv"),
+        F.sum("n_rows").over(wall).alias("tn"),
+        F.sum("sum_c").over(wall).alias("tv"),
+    )
+    # sign-aware: a negative-cents prefix makes cv negative even with a
+    # positive total; a non-positive total nulls the value share outright
+    share = lambda num, den: (  # noqa: E731
+        F.when(
+            F.col(den) > 0,
+            F.expr(
+                f"(CASE WHEN {num} < 0 THEN -1 ELSE 1 END)"
+                f" * CAST((2000000 * CAST(abs({num}) AS DECIMAL(38,0)) + {den})"
+                f"        DIV (2 * CAST({den} AS DECIMAL(38,0))) AS BIGINT)"
+            ).cast("double")
+            / F.lit(1e6),
+        )
+    )
+    return t.select(
+        "event_type",
+        "bucket",
+        "n_rows",
+        "sum_c",
+        share("cn", "tn").alias("cum_row_share"),
+        share("cv", "tv").alias("cum_value_share"),
+    )

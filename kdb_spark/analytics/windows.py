@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from kdb_spark.tables import HOUR_US, cents
+from kdb_spark.tables import DAY_US, HOUR_US, cents
 
 
 def win_moving_avg(events: DataFrame, k: int = 5) -> DataFrame:
@@ -495,7 +495,13 @@ def _iround6(num_sql: str, den_sql: str) -> F.Column:
     then one exact cast to double. ``num_sql``/``den_sql`` are SQL
     fragments; den must be > 0. The numerator is widened to decimal HERE
     (one cast per row — cheap) so a bigint num can never overflow under
-    the 2·10^6 scale-up."""
+    the 2·10^6 scale-up.
+
+    Domain (applies to every use of this device shape across the repo):
+    the GRID VALUE num·10^6/den must fit int64 — Spark's DIV returns
+    BIGINT and wraps silently past 2^63 under non-ANSI (|num/den| limit
+    ≈ 9.22e12; pinned by tests/test_property.py's boundary test). Every
+    shipped ratio is structurally ≤ 100 or cents-scale, far inside."""
     return F.expr(
         f"(CASE WHEN ({num_sql}) < 0 THEN -1 ELSE 1 END)"
         f" * CAST((2000000 * CAST(abs({num_sql}) AS DECIMAL(38,0))"
@@ -1151,4 +1157,71 @@ def win_stochastic(events: DataFrame, period: int = 14, smooth: int = 3) -> Data
             (F.col("k6").cast("double") / F.lit(1e6)).alias("pct_k"),
             (d6.cast("double") / F.lit(1e6)).alias("pct_d"),
         )
+    )
+
+
+def win_pivot_points(events: DataFrame) -> DataFrame:
+    """Classic floor-trader pivot levels per series per day, derived from
+    the PREVIOUS day's high/low/close — the support/resistance ladder
+    (P = (H+L+C)/3, R1 = 2P−L, S1 = 2P−H, R2 = P+(H−L), S2 = P−(H−L))
+    every intraday dashboard draws next to win_donchian's channel. kdb
+    parity: a by-day select composed with prior-row arithmetic.
+
+    EXACT cross-engine: H/L/C are exact cents (max/min/last-by of stored
+    values), so every level is a rational with denominator 3 (or exact),
+    rounded half-away-from-zero to 6 dp IN INTEGER SPACE (the DIV device;
+    cents can be negative, so the rounding is sign-aware). The first day
+    of each series has no prior day → null levels (standard warm-up).
+
+    Scale shape: ONE fact-sized hash-agg to (series, day) dimension rows
+    (map-side combine), then a lag window over the per-day table — the
+    window never sees fact rows. Close ties break on (ts_us, event_id)
+    via max_by struct, deterministic.
+    """
+    day = (F.col("ts_us") - F.col("ts_us") % F.lit(DAY_US)).alias("day_us")
+    c = cents("value")
+    daily = events.groupBy("user_id", "event_type", day).agg(
+        F.max(c).alias("h"),
+        F.min(c).alias("l"),
+        F.max_by(c, F.struct("ts_us", "event_id")).alias("cl"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("day_us")
+    t = daily.select(
+        "user_id",
+        "event_type",
+        "day_us",
+        "n",
+        F.lag("h").over(w).alias("ph"),
+        F.lag("l").over(w).alias("pl"),
+        F.lag("cl").over(w).alias("pc"),
+    )
+
+    def lvl(num_sql: str, den: int) -> F.Column:
+        # round(num/(100·den), 6) sign-aware in integer space: num is in
+        # cents, den the rational denominator (3 for P, 1 for the ladder)
+        d = 100 * den
+        return (
+            F.expr(
+                f"(CASE WHEN ({num_sql}) < 0 THEN -1 ELSE 1 END)"
+                f" * CAST((2000000 * CAST(abs({num_sql}) AS DECIMAL(38,0))"
+                f"         + {d}) DIV (2 * CAST({d} AS DECIMAL(38,0)))"
+                f"        AS BIGINT)"
+            ).cast("double")
+            / F.lit(1e6)
+        )
+
+    # P = (H+L+C)/3; R1 = 2P−L ⇒ (2(H+L+C) − 3L)/3 ; S1 ⇒ (2(H+L+C) − 3H)/3
+    # R2 = P + (H−L) ⇒ (H+L+C+3(H−L))/3 ; S2 ⇒ (H+L+C−3(H−L))/3 — all /3
+    hlc = "(ph + pl + pc)"
+    return t.select(
+        "user_id",
+        "event_type",
+        "day_us",
+        "n",
+        lvl(hlc, 3).alias("pivot"),
+        lvl(f"(2 * {hlc} - 3 * pl)", 3).alias("r1"),
+        lvl(f"(2 * {hlc} - 3 * ph)", 3).alias("s1"),
+        lvl(f"({hlc} + 3 * (ph - pl))", 3).alias("r2"),
+        lvl(f"({hlc} - 3 * (ph - pl))", 3).alias("s2"),
     )

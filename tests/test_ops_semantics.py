@@ -1768,3 +1768,51 @@ def test_msttr_segments_and_short_docs(spark):
     assert got[2].n_segs == 0 and got[2].msttr is None
     assert got[2].ttr == 1.0  # 4 distinct / 4 tokens
     assert got[3].n_tokens == 0 and got[3].ttr is None and got[3].msttr is None
+
+
+def test_lorenz_curve_hand_case(spark):
+    """Cumulative shares are exact integer ratios per bucket; the final
+    bucket closes both curves at exactly 1.0; buckets follow the log2
+    bit-math rule with non-positive cents collapsed to bucket 0."""
+    # values 1.00 (c=100, bucket 6), 2.56 (c=256, bucket 8), 10.24 (c=1024, bucket 10)
+    rows = [(1, 1, "c", 1000, 1.0), (2, 1, "c", 2000, 2.56), (3, 1, "c", 3000, 10.24)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts_us long, value double"
+    )
+    got = {r.bucket: r for r in agg.agg_lorenz(df).collect()}
+    assert sorted(got) == [6, 8, 10]
+    tot = 100 + 256 + 1024
+    want6 = (2 * 10**6 * 100 + tot) // (2 * tot)
+    assert got[6].cum_value_share == want6 / 1e6
+    w2 = (2 * 10**6 * 356 + tot) // (2 * tot)
+    assert got[8].cum_value_share == w2 / 1e6
+    assert got[10].cum_value_share == 1.0 and got[10].cum_row_share == 1.0
+    # 1/3 → 333333.33… → (2e6·1+3) DIV 6 = 333333 → 0.333333 (half-up)
+    assert got[6].cum_row_share == 0.333333
+
+
+def test_pivot_points_hand_case(spark):
+    """Levels derive from the PREVIOUS day's exact-cents H/L/C: pivot =
+    (H+L+C)/3, ladder arithmetic exact; day 1 has null levels; the close
+    is the last tick by (ts, event_id)."""
+    D = 86_400_000_000
+    rows = [
+        # day 0: H=30.00 L=10.00, close = 20.00 (latest ts wins)
+        (1, 1, "c", 0, 10.0),
+        (2, 1, "c", 1000, 30.0),
+        (3, 1, "c", 2000, 20.0),
+        # day 1: one tick
+        (4, 1, "c", D + 5, 7.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts_us long, value double"
+    )
+    got = {r.day_us: r for r in wn.win_pivot_points(df).collect()}
+    assert got[0].pivot is None and got[0].r1 is None
+    r = got[D]
+    # H=3000 L=1000 C=2000 cents → P = 6000/300 = 20.0 exactly
+    assert r.pivot == 20.0
+    assert r.r1 == 30.0   # 2P − L
+    assert r.s1 == 10.0   # 2P − H
+    assert r.r2 == 40.0   # P + (H−L)
+    assert r.s2 == 0.0    # P − (H−L)

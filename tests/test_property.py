@@ -1325,7 +1325,7 @@ def test_chi2_drift_matches_bruteforce(spark, ca, cb):
 @given(
     pairs=st.lists(
         st.tuples(
-            st.integers(-(10**15), 10**15),  # numerators, signed
+            st.integers(-(10**12), 10**12),  # numerators, signed
             st.integers(1, 10**12),          # denominators, positive
         ),
         min_size=1,
@@ -1337,9 +1337,14 @@ def test_integer_round_device_is_half_away_from_zero(spark, pairs, k):
     """Law for the repo's cross-engine rounding device (used by every
     hardened ratio contract): sign(num) · (2·10^k·|num| + den) DIV (2·den)
     on decimal(38,0) equals decimal round-half-away-from-zero of num/den
-    at k digits, for ANY signed numerator and positive denominator —
+    at k digits, for any signed numerator and positive denominator WITHIN
+    THE DEVICE'S DOMAIN |num·10^k/den| < 2^63 (Spark's DIV returns BIGINT;
+    a grid value past int64 wraps — see the boundary test below) —
     including exact half boundaries, where round(double, k) would be
-    engine-dependent (the r9 win_macd failure)."""
+    engine-dependent (the r9 win_macd failure). The strategy's ±10^12
+    numerators at k=6 keep grids ≤ 10^18, inside the domain with margin;
+    every shipped use is structurally far smaller (shares ≤ 1,
+    oscillators ≤ 100, cents-scale averages)."""
     df = spark.createDataFrame(pairs, "num long, den long")
     scale = 10**k
     got = df.selectExpr(
@@ -1378,3 +1383,26 @@ def test_integer_round_device_exact_half_boundaries(spark):
     assert got[(3, 2)] == 1500000 and got[(-3, 2)] == -1500000
     assert got[(25, 1000)] == 25000 and got[(-25, 1000)] == -25000
     assert got[(125, 10000)] == 12500
+
+
+def test_integer_round_device_int64_domain_boundary(spark):
+    """The device's documented domain limit: Spark's DIV returns BIGINT,
+    so a 1e-6-grid value at or past 2^63 (|num/den| ≳ 9.22e12 at k=6)
+    WRAPS under non-ANSI Spark rather than erroring (hypothesis found
+    this at num=9223372036855, den=1 — thank you, hypothesis). Pins the
+    last safe magnitude so a future device rewrite (decimal floor-division
+    keeps the quotient in decimal) can delete this test along with the
+    limit. No shipped operator can reach the limit: every hardened ratio
+    is structurally ≤ 100 (shares, oscillators) or cents-scale."""
+    safe = 9_223_372_036_854  # grid = 9.223372036854e18 < 2^63 − 1
+    [r] = spark.sql(
+        f"SELECT CAST((2 * 1000000 * CAST({safe} AS DECIMAL(38,0)) + 1)"
+        f"            DIV (2 * CAST(1 AS DECIMAL(38,0))) AS BIGINT) AS g"
+    ).collect()
+    assert r.g == safe * 10**6
+    # one past the limit: wraps (documented out-of-contract behavior)
+    [w] = spark.sql(
+        "SELECT CAST((2 * 1000000 * CAST(9223372036855 AS DECIMAL(38,0)) + 1)"
+        "            DIV (2 * CAST(1 AS DECIMAL(38,0))) AS BIGINT) AS g"
+    ).collect()
+    assert w.g != 9223372036855 * 10**6  # wrapped, NOT the true grid value
