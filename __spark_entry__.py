@@ -5393,3 +5393,43 @@ _reg(
     FROM t
     """,
 )
+
+
+# bitwise scalar surface — kdb's bit verbs; pure int64 expressions
+_reg(
+    "scalar_bitwise",
+    lambda s, d: sc.scalar_bitwise(events_us(s, d)),
+    """
+    SELECT event_id, user_id,
+           CAST(event_id & user_id AS BIGINT) AS b_and,
+           CAST(event_id | user_id AS BIGINT) AS b_or,
+           CAST(xor(event_id, user_id) AS BIGINT) AS b_xor,
+           CAST(event_id << 3 AS BIGINT) AS shl3,
+           CAST(event_id >> 2 AS BIGINT) AS shr2,
+           CAST(~event_id AS BIGINT) AS b_not,
+           CAST(bit_count(xor(event_id, user_id)) AS BIGINT) AS hamming
+    FROM events WHERE event_id < 1000
+    """,
+)
+
+# Q16-shaped supplier-variety census (lineitem as the supplier-part
+# bridge on the trimmed schema); exact integer counts
+_reg(
+    "sql_part_supplier_variety",
+    lambda s, d: agg.sql_part_supplier_variety(
+        load(s, d, "part"), load(s, d, "lineitem")
+    ),
+    """
+    SELECT p.p_brand,
+           CASE WHEN instr(p.p_type, ' ') > 0
+                THEN substring(p.p_type, 1, instr(p.p_type, ' ') - 1)
+                ELSE '' END AS type_class,
+           CAST(p.p_size // 10 AS BIGINT) AS size_band,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt,
+           CAST(count(*) AS BIGINT) AS n_shipments
+    FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#45'
+      AND p.p_type NOT LIKE 'MEDIUM%'
+    GROUP BY 1, 2, 3
+    """,
+)

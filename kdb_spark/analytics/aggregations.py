@@ -2611,3 +2611,34 @@ def agg_lorenz(events: DataFrame) -> DataFrame:
         share("cn", "tn").alias("cum_row_share"),
         share("cv", "tv").alias("cum_value_share"),
     )
+
+
+def sql_part_supplier_variety(part: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q16-shaped supplier-variety census on the trimmed schema: how
+    many DISTINCT suppliers ship each (brand, type-class, size-band) part
+    group, excluding one brand and one type prefix — the assortment-
+    breadth report (Q16 proper counts partsupp suppliers; this schema's
+    supplier-part bridge is lineitem, same shape, observed-shipments
+    semantics). Registered as a SQL text (the §2 SQL entry-point family).
+
+    Scale shape: the part dim filters/buckets BEFORE the join (predicate
+    pushdown visible in the scan), the join key is high-cardinality
+    l_partkey, and count(DISTINCT l_suppkey) per group is Spark's
+    two-stage distinct-expand — no row-window, no collect. Exact integers
+    end to end.
+    """
+    return part.sparkSession.sql(
+        """
+        SELECT p.p_brand,
+               substring(p.p_type, 1, instr(p.p_type, ' ') - 1) AS type_class,
+               CAST(p.p_size DIV 10 AS BIGINT) AS size_band,
+               CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt,
+               CAST(count(*) AS BIGINT) AS n_shipments
+        FROM {part_v} p JOIN {lineitem_v} l ON l.l_partkey = p.p_partkey
+        WHERE p.p_brand <> 'Brand#45'
+          AND p.p_type NOT LIKE 'MEDIUM%'
+        GROUP BY 1, 2, 3
+        """,
+        part_v=part,
+        lineitem_v=lineitem,
+    )

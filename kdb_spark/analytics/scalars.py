@@ -100,3 +100,26 @@ def scalar_json(events: DataFrame) -> DataFrame:
         .groupBy((F.col("k") % 10).alias("k_mod"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def scalar_bitwise(events: DataFrame) -> DataFrame:
+    """Bitwise scalar surface: AND / OR / XOR / shifts / NOT / popcount —
+    kdb's native bit verbs (and the workhorse of bitmap/bloom/simhash
+    composition across this repo: dedup_simhash's Hamming distance,
+    agg_bitmap_distinct's word ops, emb_hamming_topk). All pure int64
+    expressions, exact on any engine; popcount via the repo-standard
+    bit_count. One projection, whole-stage codegen, map-only.
+    """
+    a = F.col("event_id")
+    b = F.col("user_id")
+    return events.filter(F.col("event_id") < 1000).select(
+        "event_id",
+        "user_id",
+        a.bitwiseAND(b).cast("long").alias("b_and"),
+        a.bitwiseOR(b).cast("long").alias("b_or"),
+        a.bitwiseXOR(b).cast("long").alias("b_xor"),
+        F.expr("shiftleft(event_id, 3)").cast("long").alias("shl3"),
+        F.expr("shiftright(event_id, 2)").cast("long").alias("shr2"),
+        F.expr("~event_id").cast("long").alias("b_not"),
+        F.bit_count(a.bitwiseXOR(b)).cast("long").alias("hamming"),
+    )

@@ -1816,3 +1816,35 @@ def test_pivot_points_hand_case(spark):
     assert r.s1 == 10.0   # 2P − H
     assert r.r2 == 40.0   # P + (H−L)
     assert r.s2 == 0.0    # P − (H−L)
+
+
+def test_scalar_bitwise_hand_values(spark):
+    from kdb_spark.analytics import scalars as sca
+
+    df = spark.createDataFrame(
+        [(12, 10, "c", 0, 1.0), (7, 1, "c", 1, 1.0)],
+        "event_id long, user_id long, event_type string, ts_us long, value double",
+    )
+    got = {r.event_id: r for r in sca.scalar_bitwise(df).collect()}
+    r = got[12]  # 1100 vs 1010
+    assert (r.b_and, r.b_or, r.b_xor) == (8, 14, 6)
+    assert (r.shl3, r.shr2, r.b_not) == (96, 3, -13)
+    assert r.hamming == 2  # 0110
+    assert got[7].hamming == 2  # 111 ^ 001 = 110
+
+
+def test_part_supplier_variety_shape(spark):
+    """Excluded brand/type never appear; supplier_cnt counts DISTINCT
+    suppliers (≤ shipments); size bands are size DIV 10."""
+    from tests.conftest import SF_DIR
+    from kdb_spark.tables import load as _load
+
+    out = agg.sql_part_supplier_variety(
+        _load(spark, SF_DIR, "part"), _load(spark, SF_DIR, "lineitem")
+    ).collect()
+    assert out
+    for r in out:
+        assert r.p_brand != "Brand#45"
+        assert not r.type_class.startswith("MEDIUM")
+        assert 0 < r.supplier_cnt <= r.n_shipments
+        assert 0 <= r.size_band <= 5
