@@ -5215,9 +5215,10 @@ _reg(
       SELECT c_nationkey, CAST(sum(rev_c) AS BIGINT) AS top_c
       FROM ranked WHERE rnk <= 10 GROUP BY 1)
     SELECT n.n_name, t.n_cust, p.top_c, t.total_c,
-           CAST(CAST((2000000 * CAST(p.top_c AS HUGEINT) + t.total_c)
-                     // (2 * CAST(t.total_c AS HUGEINT)) AS BIGINT) AS DOUBLE)
-             / 1e6 AS top_share
+           CAST(CASE WHEN t.total_c > 0 THEN
+             CAST((2000000 * CAST(p.top_c AS HUGEINT) + t.total_c)
+                  // (2 * CAST(t.total_c AS HUGEINT)) AS BIGINT)
+           END AS DOUBLE) / 1e6 AS top_share
     FROM tot t JOIN top p USING (c_nationkey)
     JOIN nation n ON n.n_nationkey = t.c_nationkey
     """,
@@ -5304,7 +5305,7 @@ _reg(
     """
     WITH per AS (
       SELECT event_type,
-             CASE WHEN CAST(round(value * 100) AS BIGINT) <= 0 THEN 0
+             CASE WHEN CAST(round(value * 100) AS BIGINT) <= 0 THEN -1
                   ELSE CAST(length(bin(CAST(round(value * 100) AS BIGINT)))
                             - 1 AS INT)
              END AS bucket,

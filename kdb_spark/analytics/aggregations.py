@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from kdb_spark.analytics.exact import floor_div_sql, iround_col
 from kdb_spark.tables import DAY_US, HOUR_US, cents
 
 
@@ -32,10 +33,12 @@ def agg_resample(events: DataFrame, width_us: int = HOUR_US) -> DataFrame:
     # 4 dp in integer space (r11 hardening — round(avg(double), 4) was the
     # engine half-boundary class AND an addition-order float fold)
     avg4 = F.expr(
-        "(CASE WHEN sum_value_c < 0 THEN -1 ELSE 1 END)"
-        " * CAST((20000 * CAST(abs(sum_value_c) AS DECIMAL(38,0))"
-        "         + 100 * CAST(n AS DECIMAL(38,0)))"
-        "        DIV (200 * CAST(n AS DECIMAL(38,0))) AS BIGINT)"
+        "(CASE WHEN sum_value_c < 0 THEN -1 ELSE 1 END) * "
+        + floor_div_sql(
+            "20000 * CAST(abs(sum_value_c) AS DECIMAL(38,0))"
+            " + 100 * CAST(n AS DECIMAL(38,0))",
+            "200 * CAST(n AS DECIMAL(38,0))",
+        )
     )
     return g.select(
         "event_type",
@@ -131,19 +134,25 @@ def agg_stats(events: DataFrame) -> DataFrame:
     c = cents("value")
     g = events.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(c).cast("decimal(38,0)").alias("s1"),
+        # widen INSIDE the sum (r12, ADVICE): sum(long) wraps int64 at
+        # ~1e12 tick-scale cents rows/group — the oracle sums in HUGEINT
+        F.sum(c.cast("decimal(38,0)")).alias("s1"),
         F.sum(c.cast("decimal(38,0)") * c).alias("s2"),
         F.max(c).alias("mx"),
         F.min(c).alias("mn"),
     )
-    # num = n·Σc² − (Σc)² ≥ 0 (Cauchy–Schwarz); den = n·(n−1)·10^4
+    # num = n·Σc² − (Σc)² ≥ 0 (Cauchy–Schwarz); den = n·(n−1)·10^4.
+    # n is widened to decimal BEFORE the (n−1) multiply (r12, ADVICE) —
+    # long·long wraps silently past n ≈ 2.1e9/group, where the oracle's
+    # HUGEINT does not.
     vr4 = F.when(
         F.col("n") > 1,
         F.expr(
-            "CAST((20000 * (n * s2 - s1 * s1)"
-            "      + n * (n - 1) * CAST(10000 AS DECIMAL(38,0)))"
-            "     DIV (2 * n * (n - 1) * CAST(10000 AS DECIMAL(38,0)))"
-            "     AS BIGINT)"
+            floor_div_sql(
+                "20000 * (n * s2 - s1 * s1)"
+                " + CAST(n AS DECIMAL(38,0)) * (n - 1) * 10000",
+                "2 * CAST(n AS DECIMAL(38,0)) * (n - 1) * 10000",
+            )
         ),
     )
     sd = F.when(
@@ -151,7 +160,10 @@ def agg_stats(events: DataFrame) -> DataFrame:
         F.round(
             F.sqrt(
                 F.expr("CAST(n * s2 - s1 * s1 AS DOUBLE)")
-                / F.expr("CAST(n * (n - 1) AS DOUBLE)")
+                # exact decimal product, ONE rounding cast to double —
+                # same semantics as the oracle's CAST(n*(n-1) AS DOUBLE)
+                # on HUGEINT (r12: the long·long form wrapped past 2.1e9)
+                / F.expr("CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) AS DOUBLE)")
                 / F.lit(1e4)
             ),
             4,
@@ -359,8 +371,8 @@ def agg_wavg(lineitem: DataFrame) -> DataFrame:
     # BEFORE the multiply — tick-scale cents × bulk quantities overflow
     # int64 long before 100 TB)
     w4 = F.expr(
-        "(CASE WHEN swx < 0 THEN -1 ELSE 1 END)"
-        " * CAST((20000 * abs(swx) + sw) DIV (2 * sw) AS BIGINT)"
+        "(CASE WHEN swx < 0 THEN -1 ELSE 1 END) * "
+        + floor_div_sql("20000 * abs(swx) + sw", "2 * sw")
     )
     return g.select(
         "l_returnflag",
@@ -721,9 +733,10 @@ def agg_gini(events: DataFrame) -> DataFrame:
     g6 = F.expr(
         "(CASE WHEN (2 * six - (n + 1) * sx) < 0 THEN -1 ELSE 1 END)"
         " * (CASE WHEN sx < 0 THEN -1 ELSE 1 END)"
-        " * CAST((2000000 * abs(2 * six - (n + 1) * sx)"
-        "         + abs(n * sx))"
-        "        DIV (2 * abs(n * sx)) AS BIGINT)"
+        " * " + floor_div_sql(
+            "2000000 * abs(2 * six - (n + 1) * sx) + abs(n * sx)",
+            "2 * abs(n * sx)",
+        )
     )
     return g.select(
         "event_type",
@@ -787,9 +800,11 @@ def agg_twap(events: DataFrame) -> DataFrame:
     # twap = Σc·Δt/ΣΔt: exact integer ratio rounded half-away-from-zero
     # to 4 dp in integer space (r11 hardening — never round(double, 4))
     t4 = F.expr(
-        "(CASE WHEN scd < 0 THEN -1 ELSE 1 END)"
-        " * CAST((20000 * abs(scd) + duration_us)"
-        "        DIV (2 * CAST(duration_us AS DECIMAL(38,0))) AS BIGINT)"
+        "(CASE WHEN scd < 0 THEN -1 ELSE 1 END) * "
+        + floor_div_sql(
+            "20000 * abs(scd) + duration_us",
+            "2 * CAST(duration_us AS DECIMAL(38,0))",
+        )
     )
     return g.select(
         "user_id",
@@ -1094,10 +1109,11 @@ def agg_vwap(events: DataFrame) -> DataFrame:
         F.when(
             F.col("volume") > 0,
             F.expr(
-                "(CASE WHEN vnum < 0 THEN -1 ELSE 1 END)"
-                " * CAST((20000 * abs(vnum)"
-                "         + CAST(volume AS DECIMAL(38,0)))"
-                "        DIV (2 * CAST(volume AS DECIMAL(38,0))) AS BIGINT)"
+                "(CASE WHEN vnum < 0 THEN -1 ELSE 1 END) * "
+                + floor_div_sql(
+                    "20000 * abs(vnum) + CAST(volume AS DECIMAL(38,0))",
+                    "2 * CAST(volume AS DECIMAL(38,0))",
+                )
             ).cast("double")
             / F.lit(1e4),
         ).alias("vwap_c"),
@@ -1140,10 +1156,12 @@ def agg_seasonality(events: DataFrame) -> DataFrame:
         F.col("sum_value_c").alias("sum_value_c"),
         (
             F.expr(
-                "(CASE WHEN sum_value_c < 0 THEN -1 ELSE 1 END)"
-                " * CAST((200 * abs(CAST(sum_value_c AS DECIMAL(38,0)))"
-                "         + CAST(n AS DECIMAL(38,0)))"
-                "        DIV (2 * CAST(n AS DECIMAL(38,0))) AS BIGINT)"
+                "(CASE WHEN sum_value_c < 0 THEN -1 ELSE 1 END) * "
+                + floor_div_sql(
+                    "200 * abs(CAST(sum_value_c AS DECIMAL(38,0)))"
+                    " + CAST(n AS DECIMAL(38,0))",
+                    "2 * CAST(n AS DECIMAL(38,0))",
+                )
             ).cast("double")
             / F.lit(10000.0)
         ).alias("avg_value"),
@@ -1339,18 +1357,21 @@ def sql_market_share(
           JOIN {supplier_v} s ON l.l_suppkey = s.s_suppkey
           JOIN {nation_v2} n2 ON s.s_nationkey = n2.n_nationkey
           WHERE p.p_type = 'ECONOMY' AND r.r_name = 'ASIA')
-        SELECT o_year,
-               CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN vol_c
-                             ELSE 0 END) AS BIGINT) AS nation_vol_c,
-               CAST(sum(vol_c) AS BIGINT) AS total_vol_c,
-               CAST((2000000 * CAST(sum(CASE WHEN supp_nation = 'NATION_5'
-                                             THEN vol_c ELSE 0 END)
-                                    AS DECIMAL(38,0))
-                     + CAST(sum(vol_c) AS DECIMAL(38,0)))
-                    DIV (2 * CAST(sum(vol_c) AS DECIMAL(38,0)))
-                    AS DOUBLE) / 1000000.0 AS mkt_share
-        FROM flat
-        GROUP BY o_year
+        , agg AS (
+          SELECT o_year,
+                 CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN vol_c
+                               ELSE 0 END) AS BIGINT) AS nation_vol_c,
+                 CAST(sum(vol_c) AS BIGINT) AS total_vol_c
+          FROM flat
+          GROUP BY o_year)
+        SELECT o_year, nation_vol_c, total_vol_c,
+               CAST("""
+        + floor_div_sql(
+            "2000000 * CAST(nation_vol_c AS DECIMAL(38,0)) + total_vol_c",
+            "2 * CAST(total_vol_c AS DECIMAL(38,0))",
+        )
+        + """ AS DOUBLE) / 1000000.0 AS mkt_share
+        FROM agg
         """,
         part_v=part,
         lineitem_v=lineitem,
@@ -1376,31 +1397,28 @@ def sql_promo_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
     """
     return lineitem.sparkSession.sql(
         """
-        SELECT year(l.l_shipdate) AS y, month(l.l_shipdate) AS m,
-               CAST(sum(CASE WHEN p.p_type = 'PROMO'
-                             THEN CAST(round(l.l_extendedprice
-                                             * (1 - l.l_discount) * 100)
-                                       AS BIGINT)
-                             ELSE 0 END) AS BIGINT) AS promo_revenue_c,
-               CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
-                                   * 100) AS BIGINT)) AS BIGINT)
-                 AS total_revenue_c,
-               CAST((200000000 * CAST(sum(CASE WHEN p.p_type = 'PROMO'
-                                               THEN CAST(round(l.l_extendedprice
-                                                               * (1 - l.l_discount)
-                                                               * 100) AS BIGINT)
-                                               ELSE 0 END) AS DECIMAL(38,0))
-                     + CAST(sum(CAST(round(l.l_extendedprice
-                                           * (1 - l.l_discount) * 100)
-                                     AS BIGINT)) AS DECIMAL(38,0)))
-                    DIV (2 * CAST(sum(CAST(round(l.l_extendedprice
-                                                 * (1 - l.l_discount) * 100)
-                                           AS BIGINT)) AS DECIMAL(38,0)))
-                    AS DOUBLE) / 1000000.0
-                 AS promo_pct
-        FROM {lineitem_v} l
-        JOIN {part_v} p ON l.l_partkey = p.p_partkey
-        GROUP BY year(l.l_shipdate), month(l.l_shipdate)
+        WITH agg AS (
+          SELECT year(l.l_shipdate) AS y, month(l.l_shipdate) AS m,
+                 CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                               THEN CAST(round(l.l_extendedprice
+                                               * (1 - l.l_discount) * 100)
+                                         AS BIGINT)
+                               ELSE 0 END) AS BIGINT) AS promo_revenue_c,
+                 CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                     * 100) AS BIGINT)) AS BIGINT)
+                   AS total_revenue_c
+          FROM {lineitem_v} l
+          JOIN {part_v} p ON l.l_partkey = p.p_partkey
+          GROUP BY year(l.l_shipdate), month(l.l_shipdate))
+        SELECT y, m, promo_revenue_c, total_revenue_c,
+               CAST("""
+        + floor_div_sql(
+            "200000000 * CAST(promo_revenue_c AS DECIMAL(38,0))"
+            " + total_revenue_c",
+            "2 * CAST(total_revenue_c AS DECIMAL(38,0))",
+        )
+        + """ AS DOUBLE) / 1000000.0 AS promo_pct
+        FROM agg
         """,
         lineitem_v=lineitem,
         part_v=part,
@@ -1598,10 +1616,12 @@ def agg_skew_kurtosis(events: DataFrame) -> DataFrame:
         # documents, and plain DIV mis-rounds negative sums
         (
             F.expr(
-                "(CASE WHEN s1 < 0 THEN -1 ELSE 1 END)"
-                " * CAST((200 * abs(CAST(s1 AS DECIMAL(38,0)))"
-                "         + CAST(n AS DECIMAL(38,0)))"
-                "        DIV (2 * CAST(n AS DECIMAL(38,0))) AS BIGINT)"
+                "(CASE WHEN s1 < 0 THEN -1 ELSE 1 END) * "
+                + floor_div_sql(
+                    "200 * abs(CAST(s1 AS DECIMAL(38,0)))"
+                    " + CAST(n AS DECIMAL(38,0))",
+                    "2 * CAST(n AS DECIMAL(38,0))",
+                )
             ).cast("double")
             / F.lit(10000.0)
         ).alias("mean"),
@@ -1710,15 +1730,17 @@ def agg_linreg(events: DataFrame) -> DataFrame:
     slope_e6 = F.expr(
         "CASE WHEN deti > 0 THEN"
         " (CASE WHEN num < 0 THEN -1 ELSE 1 END)"
-        " * CAST((2000000 * abs(num) + 100 * deti)"
-        "        DIV (200 * deti) AS BIGINT) END"
+        " * " + floor_div_sql("2000000 * abs(num) + 100 * deti", "200 * deti")
+        + " END"
     )
     inter_e4 = F.expr(
         "CASE WHEN deti > 0 THEN"
         " (CASE WHEN inum < 0 THEN -1 ELSE 1 END)"
-        " * CAST((20000 * abs(inum)"
-        "         + 100 * CAST(n AS DECIMAL(38,0)) * deti)"
-        "        DIV (200 * CAST(n AS DECIMAL(38,0)) * deti) AS BIGINT) END"
+        " * " + floor_div_sql(
+            "20000 * abs(inum) + 100 * CAST(n AS DECIMAL(38,0)) * deti",
+            "200 * CAST(n AS DECIMAL(38,0)) * deti",
+        )
+        + " END"
     )
     return g.select(
         "user_id",
@@ -1785,9 +1807,11 @@ def agg_benford(events: DataFrame) -> DataFrame:
         # agg_seasonality documents (counts are positive, half-up is exact)
         (
             F.expr(
-                "CAST((2000000 * CAST(n_d AS DECIMAL(38,0))"
-                " + CAST(n AS DECIMAL(38,0)))"
-                " DIV (2 * CAST(n AS DECIMAL(38,0))) AS BIGINT)"
+                floor_div_sql(
+                    "2000000 * CAST(n_d AS DECIMAL(38,0))"
+                    " + CAST(n AS DECIMAL(38,0))",
+                    "2 * CAST(n AS DECIMAL(38,0))",
+                )
             ).cast("double")
             / F.lit(1.0e6)
         ).alias("freq"),
@@ -1858,10 +1882,11 @@ def agg_overlap_matrix(events: DataFrame) -> DataFrame:
         "n_common",
         (
             F.expr(
-                "CAST((2000000 * CAST(n_common AS DECIMAL(38,0))"
-                " + CAST(n_a + n_b - n_common AS DECIMAL(38,0)))"
-                " DIV (2 * CAST(n_a + n_b - n_common AS DECIMAL(38,0)))"
-                " AS BIGINT)"
+                floor_div_sql(
+                    "2000000 * CAST(n_common AS DECIMAL(38,0))"
+                    " + CAST(n_a + n_b - n_common AS DECIMAL(38,0))",
+                    "2 * CAST(n_a + n_b - n_common AS DECIMAL(38,0))",
+                )
             ).cast("double")
             / F.lit(1.0e6)
         ).alias("jaccard"),
@@ -1957,10 +1982,11 @@ def agg_ks_test(events: DataFrame) -> DataFrame:
         "n_b",
         (
             F.expr(
-                "CAST((2000000 * CAST(d_num AS DECIMAL(38,0))"
-                " + CAST(n_a AS DECIMAL(38,0)) * CAST(n_b AS DECIMAL(38,0)))"
-                " DIV (2 * CAST(n_a AS DECIMAL(38,0))"
-                "      * CAST(n_b AS DECIMAL(38,0))) AS BIGINT)"
+                floor_div_sql(
+                    "2000000 * CAST(d_num AS DECIMAL(38,0))"
+                    " + CAST(n_a AS DECIMAL(38,0)) * CAST(n_b AS DECIMAL(38,0))",
+                    "2 * CAST(n_a AS DECIMAL(38,0)) * CAST(n_b AS DECIMAL(38,0))",
+                )
             ).cast("double")
             / F.lit(1.0e6)
         ).alias("d"),
@@ -2133,9 +2159,11 @@ def table_key_skew(events: DataFrame, key: str = "user_id") -> DataFrame:
             "max_per_key",
             (
                 F.expr(
-                    "CAST((2000000 * CAST(n_rows AS DECIMAL(38,0))"
-                    "      + CAST(t AS DECIMAL(38,0)))"
-                    "     DIV (2 * CAST(t AS DECIMAL(38,0))) AS BIGINT)"
+                    floor_div_sql(
+                        "2000000 * CAST(n_rows AS DECIMAL(38,0))"
+                        " + CAST(t AS DECIMAL(38,0))",
+                        "2 * CAST(t AS DECIMAL(38,0))",
+                    )
                 ).cast("double")
                 / F.lit(1e6)
             ).alias("pct_rows"),
@@ -2327,9 +2355,11 @@ def agg_dau_mau(events: DataFrame, window_days: int = 30) -> DataFrame:
             "mau",
             (
                 F.expr(
-                    "CAST((2000000 * CAST(dau AS DECIMAL(38,0))"
-                    "      + CAST(mau AS DECIMAL(38,0)))"
-                    "     DIV (2 * CAST(mau AS DECIMAL(38,0))) AS BIGINT)"
+                    floor_div_sql(
+                        "2000000 * CAST(dau AS DECIMAL(38,0))"
+                        " + CAST(mau AS DECIMAL(38,0))",
+                        "2 * CAST(mau AS DECIMAL(38,0))",
+                    )
                 ).cast("double")
                 / F.lit(1e6)
             ).alias("stickiness"),
@@ -2414,9 +2444,10 @@ def agg_tvd_drift(documents: DataFrame) -> DataFrame:
             # tvd = s / (2·n_a·n_b), half-up to 6 dp in integer space:
             # (2·10^6·s + 2·n_a·n_b) DIV (2 · 2·n_a·n_b)
             F.expr(
-                "CAST((2000000 * s"
-                "      + 2 * CAST(n_a AS DECIMAL(38,0)) * n_b)"
-                "     DIV (4 * CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"
+                floor_div_sql(
+                    "2000000 * s + 2 * CAST(n_a AS DECIMAL(38,0)) * n_b",
+                    "4 * CAST(n_a AS DECIMAL(38,0)) * n_b",
+                )
             ).cast("double")
             / F.lit(1e6)
         ).alias("tvd"),
@@ -2461,10 +2492,10 @@ def agg_hhi(events: DataFrame) -> DataFrame:
         (
             # hhi = s2/N², half-up to 6 dp in integer space
             F.expr(
-                "CAST((2000000 * s2"
-                "      + CAST(n_events AS DECIMAL(38,0)) * n_events)"
-                "     DIV (2 * CAST(n_events AS DECIMAL(38,0)) * n_events)"
-                "     AS BIGINT)"
+                floor_div_sql(
+                    "2000000 * s2 + CAST(n_events AS DECIMAL(38,0)) * n_events",
+                    "2 * CAST(n_events AS DECIMAL(38,0)) * n_events",
+                )
             ).cast("double")
             / F.lit(1e6)
         ).alias("hhi"),
@@ -2534,11 +2565,21 @@ def agg_top_share(
             "top_c",
             "total_c",
             (
-                F.expr(
-                    "CAST((2000000 * CAST(top_c AS DECIMAL(38,0)) + total_c)"
-                    "     DIV (2 * CAST(total_c AS DECIMAL(38,0))) AS BIGINT)"
-                ).cast("double")
-                / F.lit(1e6)
+                # total_c > 0 guard (r12, ADVICE): a zero total yields NULL
+                # by contract on BOTH engines — unguarded, Spark's device
+                # NULLs while DuckDB's // raises division-by-zero
+                # (unreachable with positive o_totalprice, pinned anyway,
+                # mirroring agg_lorenz's share guard)
+                F.when(
+                    F.col("total_c") > 0,
+                    F.expr(
+                        floor_div_sql(
+                            "2000000 * CAST(top_c AS DECIMAL(38,0)) + total_c",
+                            "2 * CAST(total_c AS DECIMAL(38,0))",
+                        )
+                    ).cast("double")
+                    / F.lit(1e6),
+                )
             ).alias("top_share"),
         )
     )
@@ -2550,8 +2591,10 @@ def agg_lorenz(events: DataFrame) -> DataFrame:
     scalar; this is the curve a dashboard draws: "the top bucket holds X%
     of rows but Y% of value"). Buckets follow `agg_hdr_histogram`'s
     bit-math rule (length of the binary string — no float log whose 1-ulp
-    drift could flip exact powers of two); non-positive cents collapse to
-    bucket 0 so the domain is total.
+    drift could flip exact powers of two); non-positive cents route to the
+    SENTINEL bucket −1 so the domain is total WITHOUT colliding with the
+    legitimate [1,2)-cent bucket 0 (r12, ADVICE — bucket 0 used to be the
+    union of c ≤ 0 and c = 1).
 
     Scale shape: ONE fact-sized hash-agg to (type, bucket) partials
     (map-side combine), then cumulative shares via a window over the
@@ -2564,7 +2607,7 @@ def agg_lorenz(events: DataFrame) -> DataFrame:
     c = cents("value")
     per = events.groupBy(
         "event_type",
-        F.when(c <= 0, F.lit(0))
+        F.when(c <= 0, F.lit(-1))
         .otherwise(F.length(F.bin(c)) - F.lit(1))
         .cast("int")
         .alias("bucket"),
@@ -2596,9 +2639,11 @@ def agg_lorenz(events: DataFrame) -> DataFrame:
         F.when(
             F.col(den) > 0,
             F.expr(
-                f"(CASE WHEN {num} < 0 THEN -1 ELSE 1 END)"
-                f" * CAST((2000000 * CAST(abs({num}) AS DECIMAL(38,0)) + {den})"
-                f"        DIV (2 * CAST({den} AS DECIMAL(38,0))) AS BIGINT)"
+                f"(CASE WHEN {num} < 0 THEN -1 ELSE 1 END) * "
+                + floor_div_sql(
+                    f"2000000 * CAST(abs({num}) AS DECIMAL(38,0)) + {den}",
+                    f"2 * CAST({den} AS DECIMAL(38,0))",
+                )
             ).cast("double")
             / F.lit(1e6),
         )

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from kdb_spark.analytics.exact import floor_div_sql
 from kdb_spark.tables import DAY_US
 
 
@@ -145,8 +146,10 @@ def agg_transitions(events: DataFrame) -> DataFrame:
     # prob = n/row_total: exact integer ratio rounded half-up to 6 dp in
     # integer space (r11 hardening — never round(double, 6))
     p6 = F.expr(
-        "CAST((2000000 * CAST(n AS DECIMAL(38,0)) + row_total)"
-        "     DIV (2 * CAST(row_total AS DECIMAL(38,0))) AS BIGINT)"
+        floor_div_sql(
+            "2000000 * CAST(n AS DECIMAL(38,0)) + row_total",
+            "2 * CAST(row_total AS DECIMAL(38,0))",
+        )
     )
     return t.select(
         "prev_type",
@@ -262,8 +265,10 @@ def agg_assoc_rules(
     # round(double, 6)); lift's cross-products widen to decimal(38,0)
     def _r6(num_sql: str, den_sql: str) -> F.Column:
         return F.expr(
-            f"CAST((2000000 * CAST({num_sql} AS DECIMAL(38,0)) + ({den_sql}))"
-            f"     DIV (2 * CAST({den_sql} AS DECIMAL(38,0))) AS BIGINT)"
+            floor_div_sql(
+                f"2000000 * CAST({num_sql} AS DECIMAL(38,0)) + ({den_sql})",
+                f"2 * CAST({den_sql} AS DECIMAL(38,0))",
+            )
         ).cast("double") / F.lit(1e6)
 
     return (

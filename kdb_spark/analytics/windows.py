@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from kdb_spark.analytics.exact import floor_div_sql, iround_col
 from kdb_spark.tables import DAY_US, HOUR_US, cents
 
 
@@ -38,10 +39,12 @@ def win_moving_avg(events: DataFrame, k: int = 5) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("cnt"),
     )
     m4 = F.expr(
-        "(CASE WHEN sc < 0 THEN -1 ELSE 1 END)"
-        " * CAST((20000 * CAST(abs(sc) AS DECIMAL(38,0))"
-        "         + 100 * CAST(cnt AS DECIMAL(38,0)))"
-        "        DIV (200 * CAST(cnt AS DECIMAL(38,0))) AS BIGINT)"
+        "(CASE WHEN sc < 0 THEN -1 ELSE 1 END) * "
+        + floor_div_sql(
+            "20000 * CAST(abs(sc) AS DECIMAL(38,0))"
+            " + 100 * CAST(cnt AS DECIMAL(38,0))",
+            "200 * CAST(cnt AS DECIMAL(38,0))",
+        )
     )
     return t.select(
         "event_id",
@@ -110,9 +113,11 @@ def win_counter_rate(events: DataFrame) -> DataFrame:
     )
     dt_us = F.col("ts_us") - prev_ts
     rate6 = F.expr(
-        "(CASE WHEN inc_c < 0 THEN -1 ELSE 1 END)"
-        " * CAST((20000000000 * CAST(abs(inc_c) AS DECIMAL(38,0)) + dt_us)"
-        "        DIV (2 * CAST(dt_us AS DECIMAL(38,0))) AS BIGINT)"
+        "(CASE WHEN inc_c < 0 THEN -1 ELSE 1 END) * "
+        + floor_div_sql(
+            "20000000000 * CAST(abs(inc_c) AS DECIMAL(38,0)) + dt_us",
+            "2 * CAST(dt_us AS DECIMAL(38,0))",
+        )
     )
     return (
         t.select(
@@ -179,12 +184,16 @@ def win_ntile(orders: DataFrame, n: int = 4) -> DataFrame:
         F.count(F.lit(1)).over(wp).cast("long").alias("np"),
     )
     prk6 = F.when(F.col("np") > 1, F.expr(
-        "CAST((2000000 * CAST(rn - 1 AS DECIMAL(38,0)) + (np - 1))"
-        "     DIV (2 * CAST(np - 1 AS DECIMAL(38,0))) AS BIGINT)"
-    )).otherwise(F.lit(0).cast("long"))
+        floor_div_sql(
+            "2000000 * CAST(rn - 1 AS DECIMAL(38,0)) + (np - 1)",
+            "2 * CAST(np - 1 AS DECIMAL(38,0))",
+        )
+    )).otherwise(F.lit(0).cast("decimal(38,0)"))
     cd6 = F.expr(
-        "CAST((2000000 * CAST(rn AS DECIMAL(38,0)) + np)"
-        "     DIV (2 * CAST(np AS DECIMAL(38,0))) AS BIGINT)"
+        floor_div_sql(
+            "2000000 * CAST(rn AS DECIMAL(38,0)) + np",
+            "2 * CAST(np AS DECIMAL(38,0))",
+        )
     )
     return t.select(
         "o_orderkey",
@@ -318,12 +327,9 @@ def win_interpolate(
     )
 
     def _r4(num_sql: str, den_sql: str) -> F.Column:
-        # round(num/den, 4) half-away-from-zero in integer space; den > 0
-        return F.expr(
-            f"(CASE WHEN ({num_sql}) < 0 THEN -1 ELSE 1 END)"
-            f" * CAST((20000 * abs({num_sql}) + ({den_sql}))"
-            f"        DIV (2 * ({den_sql})) AS BIGINT)"
-        ).cast("double") / F.lit(1e4)
+        # round(num/den, 4) half-away-from-zero in exact decimal space
+        # (the shared device, kdb_spark/analytics/exact.py); den > 0
+        return iround_col(num_sql, den_sql, 4)
 
     interp = _r4(
         "CAST(pvn AS DECIMAL(38,0)) * nvd * (nt - pt)"
@@ -366,9 +372,11 @@ def win_ffill(
     from kdb_spark.densify import dense_grid
 
     v4 = F.expr(
-        "(CASE WHEN vn < 0 THEN -1 ELSE 1 END)"
-        " * CAST((20000 * CAST(abs(vn) AS DECIMAL(38,0)) + vd)"
-        "        DIV (2 * CAST(vd AS DECIMAL(38,0))) AS BIGINT)"
+        "(CASE WHEN vn < 0 THEN -1 ELSE 1 END) * "
+        + floor_div_sql(
+            "20000 * CAST(abs(vn) AS DECIMAL(38,0)) + vd",
+            "2 * CAST(vd AS DECIMAL(38,0))",
+        )
     )
     slots = (
         events.filter(
@@ -490,24 +498,17 @@ def _ewma_terms(col, alpha: float, w) -> tuple[F.Column, F.Column]:
 
 
 def _iround6(num_sql: str, den_sql: str) -> F.Column:
-    """round(num/den, 6) computed ENTIRELY in integer space — sign-aware
-    half-away-from-zero via DIV on decimal(38,0) (the agg_linreg device),
-    then one exact cast to double. ``num_sql``/``den_sql`` are SQL
-    fragments; den must be > 0. The numerator is widened to decimal HERE
-    (one cast per row — cheap) so a bigint num can never overflow under
-    the 2·10^6 scale-up.
+    """round(num/den, 6) computed ENTIRELY in exact decimal space —
+    sign-aware half-away-from-zero via the shared decimal floor-division
+    device (kdb_spark/analytics/exact.py), then one exact cast to double.
+    ``num_sql``/``den_sql`` are SQL fragments; den must be > 0. The
+    numerator is widened to decimal inside the device.
 
-    Domain (applies to every use of this device shape across the repo):
-    the GRID VALUE num·10^6/den must fit int64 — Spark's DIV returns
-    BIGINT and wraps silently past 2^63 under non-ANSI (|num/den| limit
-    ≈ 9.22e12; pinned by tests/test_property.py's boundary test). Every
-    shipped ratio is structurally ≤ 100 or cents-scale, far inside."""
-    return F.expr(
-        f"(CASE WHEN ({num_sql}) < 0 THEN -1 ELSE 1 END)"
-        f" * CAST((2000000 * CAST(abs({num_sql}) AS DECIMAL(38,0))"
-        f"         + ({den_sql}))"
-        f"        DIV (2 * ({den_sql})) AS BIGINT)"
-    ).cast("double") / F.lit(1e6)
+    r12: the old DIV form returned BIGINT and silently wrapped past a
+    grid value of 2^63 (|num/den| ≈ 9.22e12 at k=6); the decimal
+    floor-division carries the quotient in decimal(38,6), lifting the
+    domain to |num/den| < 10^26 with LOUD overflow past it."""
+    return iround_col(num_sql, den_sql, 6)
 
 
 def win_ewma(events: DataFrame) -> DataFrame:
@@ -745,8 +746,10 @@ def win_drawdown(events: DataFrame) -> DataFrame:
         F.when(
             F.col("peak_c") > 0,
             F.expr(
-                "CAST((2000000 * CAST(peak_c - c AS DECIMAL(38,0)) + peak_c)"
-                "     DIV (2 * CAST(peak_c AS DECIMAL(38,0))) AS BIGINT)"
+                floor_div_sql(
+                    "2000000 * CAST(peak_c - c AS DECIMAL(38,0)) + peak_c",
+                    "2 * CAST(peak_c AS DECIMAL(38,0))",
+                )
             ).cast("double")
             / F.lit(1e6),
         ).alias("dd_frac"),
@@ -793,8 +796,10 @@ def win_rsi(events: DataFrame, k: int = 14) -> DataFrame:
     rsi4 = F.when(
         F.col("g") + F.col("l") > 0,
         F.expr(
-            "CAST((2000000 * CAST(g AS DECIMAL(38,0)) + (g + l))"
-            "     DIV (2 * CAST(g + l AS DECIMAL(38,0))) AS BIGINT)"
+            floor_div_sql(
+                "2000000 * CAST(g AS DECIMAL(38,0)) + (g + l)",
+                "2 * CAST(g + l AS DECIMAL(38,0))",
+            )
         ),
     )
     return t.select(
@@ -900,10 +905,11 @@ def win_donchian(events: DataFrame, k: int = 19) -> DataFrame:
         F.when(
             F.col("hi_c") > F.col("lo_c"),
             F.expr(
-                "CAST((2000000 * CAST(c - lo_c AS DECIMAL(38,0))"
-                "      + (hi_c - lo_c))"
-                "     DIV (2 * CAST(hi_c - lo_c AS DECIMAL(38,0)))"
-                "     AS BIGINT)"
+                floor_div_sql(
+                    "2000000 * CAST(c - lo_c AS DECIMAL(38,0))"
+                    " + (hi_c - lo_c)",
+                    "2 * CAST(hi_c - lo_c AS DECIMAL(38,0))",
+                )
             ).cast("double")
             / F.lit(1e6),
         ).alias("chan_pos"),
@@ -955,10 +961,14 @@ def win_macd(
         ).alias("md"),
     ).withColumn(
         "macd_e6",
+        # cast back to long AFTER the exact device: the signal fold below
+        # is deliberately bigint (_ewma_terms — the all-decimal fold was
+        # the r10 bench breach), and |macd_e6| ≤ 9.2e12 is this op's own
+        # documented long-safe domain.
         F.expr(
-            "(CASE WHEN mn < 0 THEN -1 ELSE 1 END)"
-            " * CAST((2000000 * abs(mn) + md) DIV (2 * md) AS BIGINT)"
-        ),
+            "(CASE WHEN mn < 0 THEN -1 ELSE 1 END) * "
+            + floor_div_sql("2000000 * abs(mn) + md", "2 * md")
+        ).cast("long"),
     )
     n2, d2 = _ewma_terms(F.col("macd_e6"), sig, w)
     t = m.select(
@@ -1128,9 +1138,11 @@ def win_stochastic(events: DataFrame, period: int = 14, smooth: int = 3) -> Data
     k6 = F.when(
         F.col("hi_c") > F.col("lo_c"),
         F.expr(
-            "CAST((200000000 * CAST(c - lo_c AS DECIMAL(38,0))"
-            "      + (hi_c - lo_c))"
-            "     DIV (2 * CAST(hi_c - lo_c AS DECIMAL(38,0))) AS BIGINT)"
+            floor_div_sql(
+                "200000000 * CAST(c - lo_c AS DECIMAL(38,0))"
+                " + (hi_c - lo_c)",
+                "2 * CAST(hi_c - lo_c AS DECIMAL(38,0))",
+            )
         ),
     )
     ws = Window.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
@@ -1145,7 +1157,7 @@ def win_stochastic(events: DataFrame, period: int = 14, smooth: int = 3) -> Data
     # %D = round(Σk6/smooth) on the same grid: (2·Σk6 + smooth) DIV (2·smooth)
     d6 = F.when(
         F.col("k6").isNotNull() & all_present,
-        F.expr(f"CAST((2 * s6 + {smooth}) DIV (2 * {smooth}) AS BIGINT)"),
+        F.expr(floor_div_sql(f"2 * s6 + {smooth}", f"2 * {smooth}")),
     )
     return (
         t.withColumn("s6", s6)
@@ -1198,18 +1210,10 @@ def win_pivot_points(events: DataFrame) -> DataFrame:
     )
 
     def lvl(num_sql: str, den: int) -> F.Column:
-        # round(num/(100·den), 6) sign-aware in integer space: num is in
-        # cents, den the rational denominator (3 for P, 1 for the ladder)
-        d = 100 * den
-        return (
-            F.expr(
-                f"(CASE WHEN ({num_sql}) < 0 THEN -1 ELSE 1 END)"
-                f" * CAST((2000000 * CAST(abs({num_sql}) AS DECIMAL(38,0))"
-                f"         + {d}) DIV (2 * CAST({d} AS DECIMAL(38,0)))"
-                f"        AS BIGINT)"
-            ).cast("double")
-            / F.lit(1e6)
-        )
+        # round(num/(100·den), 6) sign-aware in exact decimal space: num
+        # is in cents, den the rational denominator (3 for P, 1 for the
+        # ladder) — the shared device (kdb_spark/analytics/exact.py)
+        return iround_col(num_sql, f"CAST({100 * den} AS DECIMAL(38,0))", 6)
 
     # P = (H+L+C)/3; R1 = 2P−L ⇒ (2(H+L+C) − 3L)/3 ; S1 ⇒ (2(H+L+C) − 3H)/3
     # R2 = P + (H−L) ⇒ (H+L+C+3(H−L))/3 ; S2 ⇒ (H+L+C−3(H−L))/3 — all /3

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from kdb_spark.analytics.exact import floor_div_sql
 from kdb_spark.llm.dedup import tokens
 from kdb_spark.tables import md5_slot
 
@@ -377,15 +378,19 @@ def mix_temperature(documents: DataFrame) -> DataFrame:
     )
     denom = with_t.agg(F.sum("t").alias("denom"))
     share6 = F.expr(
-        "CAST((2000000 * CAST(t AS DECIMAL(38,0)) + denom)"
-        "     DIV (2 * CAST(denom AS DECIMAL(38,0))) AS BIGINT)"
+        floor_div_sql(
+            "2000000 * CAST(t AS DECIMAL(38,0)) + denom",
+            "2 * CAST(denom AS DECIMAL(38,0))",
+        )
     )
     rate6 = F.expr(
-        "least(CAST(1000000 AS BIGINT),"
-        " CAST((2000000 * CAST(t AS DECIMAL(38,0)) * CAST(total AS DECIMAL(38,0))"
-        "       + CAST(denom AS DECIMAL(38,0)) * CAST(chars AS DECIMAL(38,0)))"
-        "      DIV (2 * CAST(denom AS DECIMAL(38,0)) * CAST(chars AS DECIMAL(38,0)))"
-        "      AS BIGINT))"
+        "least(CAST(1000000 AS DECIMAL(38,0)), "
+        + floor_div_sql(
+            "2000000 * CAST(t AS DECIMAL(38,0)) * CAST(total AS DECIMAL(38,0))"
+            " + CAST(denom AS DECIMAL(38,0)) * CAST(chars AS DECIMAL(38,0))",
+            "2 * CAST(denom AS DECIMAL(38,0)) * CAST(chars AS DECIMAL(38,0))",
+        )
+        + ")"
     )
     return (
         with_t.crossJoin(F.broadcast(denom))

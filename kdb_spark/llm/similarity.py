@@ -21,6 +21,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from kdb_spark.analytics.exact import floor_div_sql
+
 
 def _vec_d(col: str) -> F.Column:
     return F.transform(F.col(col), lambda x: x.cast("double"))
@@ -1139,10 +1141,11 @@ def emb_dim_stats(embeddings: DataFrame) -> DataFrame:
     # is the cross-engine half-boundary trap agg_seasonality documents;
     # std keeps the double sqrt (irrational — never lands on a boundary)
     mean_e6 = F.expr(
-        "(CASE WHEN s1 < 0 THEN -1 ELSE 1 END)"
-        " * CAST((2 * abs(CAST(s1 AS DECIMAL(38,0)))"
-        "         + CAST(n AS DECIMAL(38,0)))"
-        "        DIV (2 * CAST(n AS DECIMAL(38,0))) AS BIGINT)"
+        "(CASE WHEN s1 < 0 THEN -1 ELSE 1 END) * "
+        + floor_div_sql(
+            "2 * abs(CAST(s1 AS DECIMAL(38,0))) + CAST(n AS DECIMAL(38,0))",
+            "2 * CAST(n AS DECIMAL(38,0))",
+        )
     )
     nd = F.col("n").cast("double")
     s1d = F.col("s1").cast("double")
@@ -1339,9 +1342,11 @@ def emb_matryoshka_report(embeddings: DataFrame, k: int = 16) -> DataFrame:
         F.when(
             F.col("sa") > 0,
             F.expr(
-                "CAST((2000000 * CAST(sk AS DECIMAL(38,0))"
-                "      + CAST(sa AS DECIMAL(38,0)))"
-                "     DIV (2 * CAST(sa AS DECIMAL(38,0))) AS BIGINT)"
+                floor_div_sql(
+                    "2000000 * CAST(sk AS DECIMAL(38,0))"
+                    " + CAST(sa AS DECIMAL(38,0))",
+                    "2 * CAST(sa AS DECIMAL(38,0))",
+                )
             ).cast("double")
             / F.lit(1e6),
         ).alias("energy_kept"),

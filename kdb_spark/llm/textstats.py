@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from kdb_spark.analytics.exact import floor_div_sql
 from kdb_spark.llm.dedup import tokens
 
 EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
@@ -42,10 +43,10 @@ def text_stats(documents: DataFrame) -> DataFrame:
         .alias("n_digits"),
     )
     atl4 = F.expr(
-        "CAST((20000 * CAST(sum_len AS DECIMAL(38,0))"
-        "      + greatest(n_tokens, 1))"
-        "     DIV (2 * CAST(greatest(n_tokens, 1) AS DECIMAL(38,0)))"
-        "     AS BIGINT)"
+        floor_div_sql(
+            "20000 * CAST(sum_len AS DECIMAL(38,0)) + greatest(n_tokens, 1)",
+            "2 * CAST(greatest(n_tokens, 1) AS DECIMAL(38,0))",
+        )
     )
     return t.select(
         "doc_id",
@@ -77,8 +78,10 @@ def lang_id(documents: DataFrame, min_ratio: float = 0.05) -> DataFrame:
         F.greatest(F.size(toks), F.lit(1)).cast("long").alias("nt"),
     )
     r6 = F.expr(
-        "CAST((2000000 * CAST(hits AS DECIMAL(38,0)) + nt)"
-        "     DIV (2 * CAST(nt AS DECIMAL(38,0))) AS BIGINT)"
+        floor_div_sql(
+            "2000000 * CAST(hits AS DECIMAL(38,0)) + nt",
+            "2 * CAST(nt AS DECIMAL(38,0))",
+        )
     )
     ratio = F.col("hits") / F.col("nt")
     return t.select(
@@ -559,7 +562,12 @@ def text_boilerplate_ratio(
             "n_kept",
             "n_dup",
             (
-                F.expr("(2000000 * n_dup + n_kept) DIV (2 * n_kept)")
+                F.expr(
+                    floor_div_sql(
+                        "2000000 * CAST(n_dup AS DECIMAL(38,0)) + n_kept",
+                        "2 * CAST(n_kept AS DECIMAL(38,0))",
+                    )
+                )
                 .cast("double")
                 / F.lit(1e6)
             ).alias("boiler_ratio"),
@@ -606,7 +614,12 @@ def text_vocab_coverage(documents: DataFrame, vocab_size: int = 64) -> DataFrame
             "n_tokens",
             "covered",
             (
-                F.expr("(2000000 * covered + n_tokens) DIV (2 * n_tokens)")
+                F.expr(
+                    floor_div_sql(
+                        "2000000 * CAST(covered AS DECIMAL(38,0)) + n_tokens",
+                        "2 * CAST(n_tokens AS DECIMAL(38,0))",
+                    )
+                )
                 .cast("double")
                 / F.lit(1e6)
             ).alias("coverage"),
@@ -670,16 +683,20 @@ def text_msttr(documents: DataFrame, seg: int = 50) -> DataFrame:
     ttr6 = F.when(
         F.col("n_tokens") > 0,
         F.expr(
-            "CAST((2000000 * CAST(n_types AS DECIMAL(38,0)) + n_tokens)"
-            "     DIV (2 * CAST(n_tokens AS DECIMAL(38,0))) AS BIGINT)"
+            floor_div_sql(
+                "2000000 * CAST(n_types AS DECIMAL(38,0)) + n_tokens",
+                "2 * CAST(n_tokens AS DECIMAL(38,0))",
+            )
         ),
     )
     msttr6 = F.when(
         F.col("n_segs") > 0,
         F.expr(
-            f"CAST((2000000 * CAST(seg_types AS DECIMAL(38,0))"
-            f"      + {seg} * CAST(n_segs AS DECIMAL(38,0)))"
-            f"     DIV (2 * {seg} * CAST(n_segs AS DECIMAL(38,0))) AS BIGINT)"
+            floor_div_sql(
+                f"2000000 * CAST(seg_types AS DECIMAL(38,0))"
+                f" + {seg} * CAST(n_segs AS DECIMAL(38,0))",
+                f"2 * {seg} * CAST(n_segs AS DECIMAL(38,0))",
+            )
         ),
     )
     return t.select(

@@ -14,6 +14,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from kdb_spark.analytics.exact import floor_div_sql
+
 
 def scan_parquet(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
     r = spark.read
@@ -496,10 +498,12 @@ def q_rollup_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # avg = Σc/(100n): exact integer ratio, rounded half-away-from-zero
     # to 6 dp in integer space (r11 hardening — never round(double, 6))
     avg6 = F.expr(
-        "(CASE WHEN sum_c < 0 THEN -1 ELSE 1 END)"
-        " * CAST((2000000 * CAST(abs(sum_c) AS DECIMAL(38,0))"
-        "         + 100 * CAST(n AS DECIMAL(38,0)))"
-        "        DIV (200 * CAST(n AS DECIMAL(38,0))) AS BIGINT)"
+        "(CASE WHEN sum_c < 0 THEN -1 ELSE 1 END) * "
+        + floor_div_sql(
+            "2000000 * CAST(abs(sum_c) AS DECIMAL(38,0))"
+            " + 100 * CAST(n AS DECIMAL(38,0))",
+            "200 * CAST(n AS DECIMAL(38,0))",
+        )
     )
     return served.select(
         "event_type", "hour_us", "n", "sum_c", "min_c", "max_c",

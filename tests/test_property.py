@@ -1038,8 +1038,18 @@ def test_skew_kurtosis_matches_bruteforce(spark, vals):
     else:
         skew = ((c - m) ** 3).mean() / m2**1.5
         kurt = ((c - m) ** 4).mean() / m2**2 - 3.0
-        assert abs(r.skewness - skew) < 1e-5, (r.skewness, skew)
-        assert abs(r.kurtosis_excess - kurt) < 1e-5, (r.kurtosis_excess, kurt)
+        # Cancellation-aware tolerance (r12, hypothesis-found at
+        # vals=[313, 314]): the operator computes RAW-moment algebra in
+        # doubles (the expression both engines share verbatim — the parity
+        # contract), so when |mean| >> spread the m⁴-scale terms cancel to
+        # an O(m2²) result and the error floor is ~eps·(Σc⁴/n)/m2^p, not
+        # 1e-5. numpy's centered form here is the stable one; the gap
+        # between the two formulations is bounded below.
+        eps = 2.3e-15  # ~10 double ulps of headroom per cancelled term
+        tol3 = 1e-5 + eps * float((np.abs(c) ** 3).mean()) / m2**1.5
+        tol4 = 1e-5 + eps * float((c**4).mean()) / m2**2
+        assert abs(r.skewness - skew) < tol3, (r.skewness, skew, tol3)
+        assert abs(r.kurtosis_excess - kurt) < tol4, (r.kurtosis_excess, kurt, tol4)
 
 
 @settings(
@@ -1325,7 +1335,10 @@ def test_chi2_drift_matches_bruteforce(spark, ca, cb):
 @given(
     pairs=st.lists(
         st.tuples(
-            st.integers(-(10**12), 10**12),  # numerators, signed
+            # ±10^17 numerators: at k=6 the grid reaches 10^23 — PAST the
+            # old DIV device's 2^63 wrap boundary, exercising the r12
+            # decimal floor-division domain
+            st.integers(-(10**17), 10**17),  # numerators, signed
             st.integers(1, 10**12),          # denominators, positive
         ),
         min_size=1,
@@ -1335,24 +1348,22 @@ def test_chi2_drift_matches_bruteforce(spark, ca, cb):
 )
 def test_integer_round_device_is_half_away_from_zero(spark, pairs, k):
     """Law for the repo's cross-engine rounding device (used by every
-    hardened ratio contract): sign(num) · (2·10^k·|num| + den) DIV (2·den)
-    on decimal(38,0) equals decimal round-half-away-from-zero of num/den
-    at k digits, for any signed numerator and positive denominator WITHIN
-    THE DEVICE'S DOMAIN |num·10^k/den| < 2^63 (Spark's DIV returns BIGINT;
-    a grid value past int64 wraps — see the boundary test below) —
-    including exact half boundaries, where round(double, k) would be
-    engine-dependent (the r9 win_macd failure). The strategy's ±10^12
-    numerators at k=6 keep grids ≤ 10^18, inside the domain with margin;
-    every shipped use is structurally far smaller (shares ≤ 1,
-    oscillators ≤ 100, cents-scale averages)."""
+    hardened ratio contract), r12 decimal floor-division form
+    (kdb_spark/analytics/exact.py): sign(num) ·
+    floor((2·10^k·|num| + den) / (2·den)) carried exactly in decimal
+    equals decimal round-half-away-from-zero of num/den at k digits, for
+    any signed numerator and positive denominator with grid values up to
+    the 32 integer digits of decimal(38,6) — including exact half
+    boundaries, where round(double, k) would be engine-dependent (the r9
+    win_macd failure), and including grids PAST 2^63, where the pre-r12
+    DIV device silently wrapped (hypothesis found that; the decimal form
+    deleted the limit)."""
+    from kdb_spark.analytics.exact import iround_grid_sql
+
     df = spark.createDataFrame(pairs, "num long, den long")
     scale = 10**k
     got = df.selectExpr(
-        "num",
-        "den",
-        f"(CASE WHEN num < 0 THEN -1 ELSE 1 END)"
-        f" * CAST((2 * {scale} * CAST(abs(num) AS DECIMAL(38,0)) + den)"
-        f"        DIV (2 * CAST(den AS DECIMAL(38,0))) AS BIGINT) AS r",
+        "num", "den", iround_grid_sql("num", "den", k) + " AS r"
     ).collect()
     for row in got:
         want = int(
@@ -1360,23 +1371,21 @@ def test_integer_round_device_is_half_away_from_zero(spark, pairs, k):
                 Decimal(1), rounding=ROUND_HALF_UP
             )
         )
-        assert row.r == want, (row.num, row.den, k, row.r, want)
+        assert int(row.r) == want, (row.num, row.den, k, row.r, want)
 
 
 def test_integer_round_device_exact_half_boundaries(spark):
     """Pinned half-boundary cases: num/den landing exactly on x.00005 /
     x.5-grid points must round AWAY from zero in the device — these are
     the inputs where Spark's and DuckDB's round(double, k) disagree."""
+    from kdb_spark.analytics.exact import iround_grid_sql
+
     cases = [(1, 2), (-1, 2), (3, 2), (-3, 2), (25, 1000), (-25, 1000), (125, 10000)]
     df = spark.createDataFrame(cases, "num long, den long")
     got = {
-        (r.num, r.den): r.r
+        (r.num, r.den): int(r.r)
         for r in df.selectExpr(
-            "num",
-            "den",
-            "(CASE WHEN num < 0 THEN -1 ELSE 1 END)"
-            " * CAST((2 * 1000000 * CAST(abs(num) AS DECIMAL(38,0)) + den)"
-            "        DIV (2 * CAST(den AS DECIMAL(38,0))) AS BIGINT) AS r",
+            "num", "den", iround_grid_sql("num", "den", 6) + " AS r"
         ).collect()
     }
     assert got[(1, 2)] == 500000 and got[(-1, 2)] == -500000
@@ -1385,24 +1394,32 @@ def test_integer_round_device_exact_half_boundaries(spark):
     assert got[(125, 10000)] == 12500
 
 
-def test_integer_round_device_int64_domain_boundary(spark):
-    """The device's documented domain limit: Spark's DIV returns BIGINT,
-    so a 1e-6-grid value at or past 2^63 (|num/den| ≳ 9.22e12 at k=6)
-    WRAPS under non-ANSI Spark rather than erroring (hypothesis found
-    this at num=9223372036855, den=1 — thank you, hypothesis). Pins the
-    last safe magnitude so a future device rewrite (decimal floor-division
-    keeps the quotient in decimal) can delete this test along with the
-    limit. No shipped operator can reach the limit: every hardened ratio
-    is structurally ≤ 100 (shares, oscillators) or cents-scale."""
-    safe = 9_223_372_036_854  # grid = 9.223372036854e18 < 2^63 − 1
+def test_integer_round_device_decimal_domain(spark):
+    """The r12 decimal floor-division device is EXACT past the old DIV
+    form's 2^63 grid wrap (the r11-pinned boundary at num=9223372036855,
+    den=1, k=6 — hypothesis-found): the quotient now rides decimal(38,6)
+    end to end, so the former first-wrapping input and magnitudes orders
+    beyond it produce the true grid value. The new ceiling is the 32
+    integer digits of decimal(38,6) (|num/den| < 10^26 at k=6), past
+    which Spark errors (ANSI) / NULLs (non-ANSI) LOUDLY instead of
+    wrapping — no silent-wrap domain remains to pin."""
+    from kdb_spark.analytics.exact import iround_grid_sql
+
+    # the exact input that wrapped under the old device
     [r] = spark.sql(
-        f"SELECT CAST((2 * 1000000 * CAST({safe} AS DECIMAL(38,0)) + 1)"
-        f"            DIV (2 * CAST(1 AS DECIMAL(38,0))) AS BIGINT) AS g"
+        "SELECT " + iround_grid_sql("CAST(9223372036855 AS BIGINT)", "1", 6) + " AS g"
     ).collect()
-    assert r.g == safe * 10**6
-    # one past the limit: wraps (documented out-of-contract behavior)
-    [w] = spark.sql(
-        "SELECT CAST((2 * 1000000 * CAST(9223372036855 AS DECIMAL(38,0)) + 1)"
-        "            DIV (2 * CAST(1 AS DECIMAL(38,0))) AS BIGINT) AS g"
+    assert int(r.g) == 9223372036855 * 10**6
+    # three orders of magnitude past the old boundary, negative numerator,
+    # non-trivial denominator (grid value ≈ -4.5e21 — exact in decimal)
+    [r2] = spark.sql(
+        "SELECT "
+        + iround_grid_sql("CAST(-9000000000000001 AS BIGINT)", "2", 6)
+        + " AS g"
     ).collect()
-    assert w.g != 9223372036855 * 10**6  # wrapped, NOT the true grid value
+    want = int(
+        (Decimal(-9000000000000001) * 10**6 / Decimal(2)).quantize(
+            Decimal(1), rounding=ROUND_HALF_UP
+        )
+    )
+    assert int(r2.g) == want == -4500000000000000500000
