@@ -473,11 +473,38 @@ _reg(
     "agg_corr",
     lambda s, d: agg.agg_corr(events_us(s, d)),
     f"""
+    WITH s AS (
+      SELECT event_type,
+             CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(u) AS HUGEINT) AS su,
+             CAST(sum(v) AS HUGEINT) AS sv,
+             sum(CAST(u AS HUGEINT) * u) AS suu,
+             sum(CAST(v AS HUGEINT) * v) AS svv,
+             sum(CAST(u AS HUGEINT) * v) AS suv
+      FROM (SELECT event_type,
+                   (epoch_us(ts) // {HOUR_US}) % 24 AS u,
+                   CAST(round(value * 100) AS BIGINT) AS v
+            FROM events)
+      GROUP BY 1),
+    t AS (
+      SELECT event_type, n,
+             n * suv - su * sv AS cm,
+             n * suu - su * su AS a,
+             n * svv - sv * sv AS b
+      FROM s)
     SELECT event_type,
-           round(corr(value, (epoch_us(ts) % {DAY_US}) / 3600000000.0), 4) AS corr_vh,
-           round(covar_samp(value, (epoch_us(ts) % {DAY_US}) / 3600000000.0), 4) AS cov_vh,
-           count(*) AS n
-    FROM events GROUP BY 1
+           CASE WHEN a > 0 AND b > 0 THEN
+             floor(CAST(cm AS DOUBLE)
+                   / sqrt(CAST(a AS DOUBLE) * CAST(b AS DOUBLE))
+                   * 1e4 + 0.5) / 1e4
+           END AS corr_vh,
+           CAST(CASE WHEN n > 1 THEN
+             (CASE WHEN cm < 0 THEN -1 ELSE 1 END)
+             * CAST((20000 * abs(cm) + 100 * n * (n - 1))
+                    // (200 * n * (n - 1)) AS HUGEINT)
+           END AS DOUBLE) / 1e4 AS cov_vh,
+           CAST(n AS BIGINT) AS n
+    FROM t
     """,
 )
 
@@ -1012,17 +1039,25 @@ _reg(
                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                AS cum_before,
              sum(c) OVER (PARTITION BY event_type) AS n
-      FROM hist)
+      FROM hist),
+    cq AS (
+      SELECT *, CAST(ceil(0.5 * n) AS BIGINT) AS t50,
+                CAST(ceil(0.95 * n) AS BIGINT) AS t95
+      FROM cum)
     SELECT event_type, CAST(max(n) AS BIGINT) AS n,
-           max(CASE WHEN cum >= ceil(0.5 * n) AND cum_before < ceil(0.5 * n)
-                    THEN round(0.0 + (bin + (ceil(0.5 * n) - cum_before)
-                                            / CAST(c AS DOUBLE)) * 16.0, 4)
-               END) AS est_p50,
-           max(CASE WHEN cum >= ceil(0.95 * n) AND cum_before < ceil(0.95 * n)
-                    THEN round(0.0 + (bin + (ceil(0.95 * n) - cum_before)
-                                            / CAST(c AS DOUBLE)) * 16.0, 4)
-               END) AS est_p95
-    FROM cum GROUP BY 1
+           max(CASE WHEN cum >= t50 AND cum_before < t50 THEN
+             CAST(CAST((20000 * (16 * (bin * CAST(c AS HUGEINT)
+                                       + t50 - cum_before)) + c)
+                       // (2 * CAST(c AS HUGEINT)) AS BIGINT) AS DOUBLE)
+               / 1e4
+           END) AS est_p50,
+           max(CASE WHEN cum >= t95 AND cum_before < t95 THEN
+             CAST(CAST((20000 * (16 * (bin * CAST(c AS HUGEINT)
+                                       + t95 - cum_before)) + c)
+                       // (2 * CAST(c AS HUGEINT)) AS BIGINT) AS DOUBLE)
+               / 1e4
+           END) AS est_p95
+    FROM cq GROUP BY 1
     """,
 )
 

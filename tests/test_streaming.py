@@ -378,9 +378,13 @@ def test_stream_quantile_merges_state_across_batches(spark, tmp_path):
     assert set(by_n) == {3, 5}  # one emission per micro-batch, n cumulative
     final = by_n[5]
     width = (QSK_HI - QSK_LO) / QSK_BINS  # 16.0
+    # r12: the state fn emits the batch op's 1e-4 GRID value (the exact
+    # integer device — round half-up of the exact rational), not the raw
+    # double: (6 + 2/3)·16 = 106.666… → 106.6667 on the grid
     # p50: target=3 lands in the 100-bin (bin 6, cells 3 after 1 before it)
-    assert final.est_p50 == pytest.approx(QSK_LO + (6 + 2 / 3) * width, abs=1e-9)
-    # p95: target=5 lands in the 900-bin (bin 56), full-bin interpolation
+    assert final.est_p50 == 1066667 / 1e4
+    # p95: target=5 lands in the 900-bin (bin 56), full-bin interpolation —
+    # exact on the grid
     assert final.est_p95 == pytest.approx(QSK_LO + (56 + 1) * width, abs=1e-9)
 
 
