@@ -1423,3 +1423,210 @@ def test_integer_round_device_decimal_domain(spark):
         )
     )
     assert int(r2.g) == want == -4500000000000000500000
+
+
+def _duck_events(rows):
+    """The hypothesis event rows as a DuckDB connection with an `events`
+    view carrying ts_us directly (the sf tables derive it via epoch_us)."""
+    import duckdb
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "user_id", "event_type", "value", "ts_us"]
+    )
+    con = duckdb.connect()
+    con.register("events", pdf)
+    return con
+
+
+def _assert_bitwise(spark_rows, duck_df, key_cols, val_cols):
+    """Order-insensitive BITWISE comparison of Spark rows vs a DuckDB
+    pandas frame: None==None (DuckDB surfaces NULL doubles as NaN through
+    pandas), everything else by ``==`` — at 6dp-grid magnitudes that means
+    bit-identical doubles, the driver's hash contract."""
+    a = sorted(
+        (tuple(r[c] for c in key_cols), tuple(r[c] for c in val_cols))
+        for r in spark_rows
+    )
+    b = sorted(
+        (
+            tuple(rec[c] for c in key_cols),
+            tuple(None if v is None or v != v else v for v in (rec[c] for c in val_cols)),
+        )
+        for rec in duck_df.to_dict("records")
+    )
+    assert len(a) == len(b), (len(a), len(b))
+    for (ka, va), (kb, vb) in zip(a, b):
+        assert ka == kb, (ka, kb)
+        assert va == vb, (ka, va, vb)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(0, 80),      # minute slot -> ts
+            st.integers(0, 1),       # user
+            st.integers(-400, 400),  # quarter-dollar value
+        ),
+        min_size=2,
+        max_size=30,
+        unique_by=lambda p: (p[0], p[1]),
+    )
+)
+def test_bollinger_cross_engine_bitwise(spark, pts):
+    """r12 (VERDICT item 7): win_bollinger's variance leg is integer-moment
+    — exact bigint window sums (Σc, Σc², n) feeding ONE shared double
+    expression — so Spark and DuckDB must agree BITWISE on mid/upper/lower
+    and the band flag for ARBITRARY inputs, not merely within tolerance
+    (the brute-force law above uses 1e-9/1e-6 slack and cannot see an
+    engine-rounding flip; this is the cross-engine treatment the r11
+    rounding device got). The DuckDB side is the registered oracle
+    derivation verbatim, with epoch_us(ts) inlined to ts_us."""
+    from kdb_spark.analytics import windows as wn
+
+    rows = [
+        (i, int(u), "a", v / 4.0, int(t) * 60_000_000)
+        for i, (t, u, v) in enumerate(pts)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, value double, ts_us long",
+    )
+    got = wn.win_bollinger(df, k=4).collect()
+    con = _duck_events(rows)
+    want = con.execute(
+        """
+        WITH m AS (
+          SELECT event_id, user_id, event_type, value,
+                 CAST(round(value * 100) AS BIGINT) AS c,
+                 CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS DOUBLE) AS s1,
+                 CAST(sum(CAST(round(value * 100) AS BIGINT)
+                          * CAST(round(value * 100) AS BIGINT)) OVER w AS DOUBLE) AS s2,
+                 CAST(count(*) OVER w AS DOUBLE) AS n
+          FROM events
+          WINDOW w AS (PARTITION BY user_id, event_type
+                       ORDER BY ts_us, event_id
+                       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)),
+        b AS (
+          SELECT event_id, user_id, event_type, value, c, s1 / n AS mu_c,
+                 CASE WHEN n > 1.0
+                      THEN sqrt((s2 - s1 * s1 / n) / (n - 1.0)) END AS sd_c
+          FROM m)
+        SELECT event_id, user_id, event_type, value,
+               round(mu_c / 100.0, 6) AS mid,
+               round((mu_c + 2.0 * sd_c) / 100.0, 6) AS upper,
+               round((mu_c - 2.0 * sd_c) / 100.0, 6) AS lower,
+               CASE WHEN sd_c IS NULL THEN NULL
+                    WHEN CAST(c AS DOUBLE) > mu_c + 2.0 * sd_c THEN 'above'
+                    WHEN CAST(c AS DOUBLE) < mu_c - 2.0 * sd_c THEN 'below'
+                    ELSE 'in' END AS band
+        FROM b
+        """
+    ).df()
+    con.close()
+    _assert_bitwise(
+        got, want, ["event_id"], ["user_id", "event_type", "value", "mid", "upper", "lower", "band"]
+    )
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(0, 5),       # hour bucket
+            st.integers(0, 59),      # minute within the hour
+            st.integers(0, 1),       # event_type selector
+            st.integers(-400, 400),  # quarter-dollar value
+        ),
+        min_size=2,
+        max_size=30,
+        unique_by=lambda p: (p[0], p[1], p[2]),
+    )
+)
+def test_keltner_cross_engine_bitwise(spark, pts):
+    """r12 (VERDICT item 7): win_keltner's smoothing legs are fully
+    integer-moment (exact OHLC cent picks → bigint EWMA lag-chain folds →
+    the decimal floor-division round(6) device), so Spark and DuckDB must
+    agree BITWISE on middle/upper/lower for arbitrary bar shapes including
+    series heads (renormalized EWMA) and single-row bars (range 0). The
+    DuckDB side regenerates the registered oracle from the SAME
+    ewma_weights_int literals."""
+    from kdb_spark.analytics import windows as wn
+
+    rows = [
+        (
+            i,
+            0,
+            "ab"[ty],
+            v / 4.0,
+            int(h) * 3_600_000_000 + int(m) * 60_000_000,
+        )
+        for i, (h, m, ty, v) in enumerate(pts)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, value double, ts_us long",
+    )
+    got = wn.win_keltner(df).collect()
+
+    def ew(col):
+        num = " + ".join(
+            f"coalesce(lag({col}, {k}) OVER w, 0) * {wk}::HUGEINT"
+            for k, wk in enumerate(wn.ewma_weights_int(0.25))
+        )
+        den = " + ".join(
+            f"(CASE WHEN lag({col}, {k}) OVER w IS NOT NULL"
+            f" THEN {wk}::HUGEINT ELSE 0::HUGEINT END)"
+            for k, wk in enumerate(wn.ewma_weights_int(0.25))
+        )
+        return num, den
+
+    def idiv6(num, den):
+        return (
+            f"CAST((CASE WHEN ({num}) < 0 THEN -1 ELSE 1 END)"
+            f" * ((2000000 * abs({num}) + ({den})) // (2 * ({den})))"
+            f" AS DOUBLE) / 1e6"
+        )
+
+    nt, dt = ew("t3")
+    nr, _ = ew("rngc")
+    con = _duck_events(rows)
+    want = con.execute(
+        f"""
+        WITH bars AS (
+          SELECT event_type,
+                 ts_us - ts_us % 3600000000 AS hour_us,
+                 CAST(round(max(value) * 100) AS BIGINT) AS hc,
+                 CAST(round(min(value) * 100) AS BIGINT) AS lc,
+                 CAST(round(last(value ORDER BY ts_us, event_id) * 100)
+                      AS BIGINT) AS cc
+          FROM events GROUP BY 1, 2),
+        t AS (
+          SELECT event_type, hour_us,
+                 hc + lc + cc AS t3, hc - lc AS rngc
+          FROM bars),
+        e AS (
+          SELECT event_type, hour_us,
+                 ({nt}) AS nt, ({nr}) AS nr, ({dt}) AS dt
+          FROM t
+          WINDOW w AS (PARTITION BY event_type ORDER BY hour_us))
+        SELECT event_type, hour_us,
+               {idiv6("nt", "300 * dt")} AS middle,
+               {idiv6("1000 * nt + 6000 * nr", "300000 * dt")} AS upper,
+               {idiv6("1000 * nt - 6000 * nr", "300000 * dt")} AS lower
+        FROM e
+        """
+    ).df()
+    con.close()
+    _assert_bitwise(
+        got, want, ["event_type", "hour_us"], ["middle", "upper", "lower"]
+    )
