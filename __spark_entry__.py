@@ -5469,3 +5469,219 @@ _reg(
     GROUP BY 1, 2, 3
     """,
 )
+
+
+# ---------------------------------------------------------------- round 12
+# Aroon trend-age indicator: struct-max argmax/argmin (latest tie wins on
+# both engines), exact integer ratios through the 1e-4 device
+_reg(
+    "win_aroon",
+    lambda s, d: wn.win_aroon(events_us(s, d)),
+    """
+    WITH t AS (
+      SELECT event_id, user_id, event_type, value, epoch_us(ts) AS tu,
+             CAST(round(value * 100) AS BIGINT) AS c,
+             CAST(row_number() OVER (PARTITION BY user_id, event_type
+                                     ORDER BY epoch_us(ts), event_id)
+                  AS BIGINT) AS pos
+      FROM events),
+    m AS (
+      SELECT event_id, user_id, event_type, value, pos,
+             (max(struct_pack(v := c, p := pos)) OVER w).p AS hi_pos,
+             (max(struct_pack(v := -c, p := pos)) OVER w).p AS lo_pos,
+             CAST(count(*) OVER w - 1 AS BIGINT) AS m
+      FROM t
+      WINDOW w AS (PARTITION BY user_id, event_type ORDER BY tu, event_id
+                   ROWS BETWEEN 24 PRECEDING AND CURRENT ROW))
+    SELECT event_id, user_id, event_type, value,
+           CAST(pos - hi_pos AS BIGINT) AS since_hi,
+           CAST(pos - lo_pos AS BIGINT) AS since_lo,
+           CASE WHEN m > 0 THEN
+             CAST((20000 * (100 * (CAST(m AS HUGEINT) - (pos - hi_pos))) + m)
+                  // (2 * CAST(m AS HUGEINT)) AS DOUBLE) / 1e4
+           END AS aroon_up,
+           CASE WHEN m > 0 THEN
+             CAST((20000 * (100 * (CAST(m AS HUGEINT) - (pos - lo_pos))) + m)
+                  // (2 * CAST(m AS HUGEINT)) AS DOUBLE) / 1e4
+           END AS aroon_down
+    FROM m
+    """,
+)
+
+# Ichimoku midpoint ladder: exact integer grids end to end (x/200 and
+# x/400 dollars are exact at 6 dp), three frames over one sort
+_reg(
+    "win_ichimoku",
+    lambda s, d: wn.win_ichimoku(events_us(s, d)),
+    """
+    WITH t AS (
+      SELECT event_id, user_id, event_type, value, epoch_us(ts) AS tu,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events),
+    m AS (
+      SELECT event_id, user_id, event_type, value,
+             max(c) OVER w8 + min(c) OVER w8 AS t2,
+             max(c) OVER w25 + min(c) OVER w25 AS b2,
+             max(c) OVER w51 + min(c) OVER w51 AS sb2
+      FROM t
+      WINDOW w8 AS (PARTITION BY user_id, event_type ORDER BY tu, event_id
+                    ROWS BETWEEN 8 PRECEDING AND CURRENT ROW),
+             w25 AS (PARTITION BY user_id, event_type ORDER BY tu, event_id
+                     ROWS BETWEEN 25 PRECEDING AND CURRENT ROW),
+             w51 AS (PARTITION BY user_id, event_type ORDER BY tu, event_id
+                     ROWS BETWEEN 51 PRECEDING AND CURRENT ROW))
+    SELECT event_id, user_id, event_type, value,
+           CAST(t2 * 5000 AS DOUBLE) / 1e6 AS tenkan,
+           CAST(b2 * 5000 AS DOUBLE) / 1e6 AS kijun,
+           CAST((t2 + b2) * 2500 AS DOUBLE) / 1e6 AS span_a,
+           CAST(sb2 * 5000 AS DOUBLE) / 1e6 AS span_b
+    FROM m
+    """,
+)
+
+# Ulcer index: exact bigint drawdown moments; the one sqrt+round(4) is the
+# documented irrational-statistic class (same-double both engines)
+_reg(
+    "win_ulcer_index",
+    lambda s, d: wn.win_ulcer_index(events_us(s, d)),
+    """
+    WITH t AS (
+      SELECT event_id, user_id, event_type, value, epoch_us(ts) AS tu,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events),
+    d AS (
+      SELECT event_id, user_id, event_type, value, tu,
+             max(c) OVER w - c AS dd
+      FROM t
+      WINDOW w AS (PARTITION BY user_id, event_type ORDER BY tu, event_id
+                   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+    u AS (
+      SELECT event_id, user_id, event_type, value,
+             sum(dd * dd) OVER w AS sq,
+             count(*) OVER w AS n,
+             max(dd) OVER w AS mdd
+      FROM d
+      WINDOW w AS (PARTITION BY user_id, event_type ORDER BY tu, event_id
+                   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+    SELECT event_id, user_id, event_type, value,
+           round(sqrt(CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0, 4)
+             AS ulcer,
+           CAST(mdd AS DOUBLE) / 100.0 AS max_dd
+    FROM u
+    """,
+)
+
+# Wald–Wolfowitz runs test: exact integer runs/sign counts, null-model
+# moments as exact rationals through the 1e-6 device (no sqrt surfaced)
+_reg(
+    "agg_runs_test",
+    lambda s, d: agg.agg_runs_test(events_us(s, d)),
+    """
+    WITH t AS (
+      SELECT user_id, event_type, epoch_us(ts) AS tu, event_id,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events),
+    d AS (
+      SELECT user_id, event_type, tu, event_id,
+             sign(c - lag(c) OVER (PARTITION BY user_id, event_type
+                                   ORDER BY tu, event_id)) AS s
+      FROM t),
+    f AS (SELECT * FROM d WHERE s IS NOT NULL AND s <> 0),
+    r AS (
+      SELECT user_id, event_type, s,
+             CASE WHEN lag(s) OVER (PARTITION BY user_id, event_type
+                                    ORDER BY tu, event_id) IS NULL
+                    OR lag(s) OVER (PARTITION BY user_id, event_type
+                                    ORDER BY tu, event_id) <> s
+                  THEN 1 ELSE 0 END AS boundary
+      FROM f),
+    g AS (
+      SELECT user_id, event_type,
+             CAST(sum(boundary) AS BIGINT) AS n_runs,
+             CAST(sum(CASE WHEN s > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+             CAST(sum(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
+      FROM r GROUP BY 1, 2)
+    SELECT user_id, event_type, n_runs, n_pos, n_neg,
+           CASE WHEN n_pos + n_neg > 0 THEN
+             CAST((2000000 * ((CAST(n_pos AS HUGEINT) + n_neg)
+                              + 2 * CAST(n_pos AS HUGEINT) * n_neg)
+                   + (CAST(n_pos AS HUGEINT) + n_neg))
+                  // (2 * (CAST(n_pos AS HUGEINT) + n_neg)) AS DOUBLE) / 1e6
+           END AS mu_runs,
+           CASE WHEN n_pos + n_neg > 1 THEN
+             CAST((2000000 * (2 * CAST(n_pos AS HUGEINT) * n_neg
+                              * (2 * CAST(n_pos AS HUGEINT) * n_neg
+                                 - (CAST(n_pos AS HUGEINT) + n_neg)))
+                   + ((CAST(n_pos AS HUGEINT) + n_neg)
+                      * (CAST(n_pos AS HUGEINT) + n_neg)
+                      * (CAST(n_pos AS HUGEINT) + n_neg - 1)))
+                  // (2 * (CAST(n_pos AS HUGEINT) + n_neg)
+                      * (CAST(n_pos AS HUGEINT) + n_neg)
+                      * (CAST(n_pos AS HUGEINT) + n_neg - 1)) AS DOUBLE) / 1e6
+           END AS var_runs
+    FROM g
+    """,
+)
+
+# Index of dispersion of hourly arrival counts: exact two-level integer
+# aggregation, both statistics exact rationals through the 1e-6 device
+_reg(
+    "agg_poisson_dispersion",
+    lambda s, d: agg.agg_poisson_dispersion(events_us(s, d)),
+    """
+    WITH hrs AS (
+      SELECT event_type,
+             epoch_us(ts) - epoch_us(ts) % 3600000000 AS hour_us,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2),
+    g AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS h,
+             CAST(sum(cnt) AS BIGINT) AS s,
+             sum(CAST(cnt AS HUGEINT) * cnt) AS q
+      FROM hrs GROUP BY 1)
+    SELECT event_type, h AS n_hours, s AS n_events,
+           CAST((2000000 * CAST(s AS HUGEINT) + h)
+                // (2 * CAST(h AS HUGEINT)) AS DOUBLE) / 1e6 AS mean_per_hour,
+           CASE WHEN h > 1 THEN
+             CAST((2000000 * (CAST(h AS HUGEINT) * q - CAST(s AS HUGEINT) * s)
+                   + ((CAST(h AS HUGEINT) - 1) * s))
+                  // (2 * (CAST(h AS HUGEINT) - 1) * s) AS DOUBLE) / 1e6
+           END AS dispersion
+    FROM g
+    """,
+)
+
+# Hapax legomena profile: map-only sorted-neighbour scan (no explode
+# shuffle), exact integer counts + device ratios
+_reg(
+    "text_hapax_ratio",
+    lambda s, d: tx.text_hapax_ratio(load(s, d, "documents")),
+    """
+    WITH t AS (
+      SELECT doc_id,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
+             list_sort(regexp_extract_all(lower(text), '[a-z0-9]+')) AS srt
+      FROM documents),
+    c AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
+             CAST(len(list_distinct(srt)) AS BIGINT)
+             - CAST(len(list_distinct(list_filter(
+                 list_transform(range(1, len(srt)),
+                   i -> CASE WHEN srt[i] = srt[i+1] THEN srt[i] END),
+                 x -> x IS NOT NULL))) AS BIGINT) AS n_hapax
+      FROM t)
+    SELECT doc_id, n_tokens, n_types, n_hapax,
+           CASE WHEN n_types > 0 THEN
+             CAST((2000000 * CAST(n_hapax AS HUGEINT) + n_types)
+                  // (2 * CAST(n_types AS HUGEINT)) AS DOUBLE) / 1e6
+           END AS hapax_type_ratio,
+           CASE WHEN n_tokens > 0 THEN
+             CAST((2000000 * CAST(n_hapax AS HUGEINT) + n_tokens)
+                  // (2 * CAST(n_tokens AS HUGEINT)) AS DOUBLE) / 1e6
+           END AS hapax_token_ratio
+    FROM c
+    """,
+)

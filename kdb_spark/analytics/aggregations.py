@@ -2755,3 +2755,132 @@ def sql_part_supplier_variety(part: DataFrame, lineitem: DataFrame) -> DataFrame
         part_v=part,
         lineitem_v=lineitem,
     )
+
+
+def agg_runs_test(events: DataFrame) -> DataFrame:
+    """Wald–Wolfowitz runs test per series: the count of sign-runs in the
+    tick-to-tick deltas against its null-hypothesis expectation — the
+    standard randomness screen a tick pipeline runs before trusting a
+    series for model features (too few runs ⇒ trending, too many ⇒
+    mean-reverting oscillation).
+
+    EXACT cross-engine, no sqrt surfaced: per (user, type) series the
+    deltas' signs are exact (cents differences; ZERO deltas are dropped,
+    per the test's definition), n_runs / n_pos / n_neg are exact
+    integers, and both moments of the null distribution are exact
+    rationals through the decimal device — mu_runs = (N + 2pn)/N and
+    var_runs = 2pn(2pn − N)/(N²(N−1)) with N = p+n — rounded half-up to
+    6 dp in integer space (p, n widened to decimal BEFORE the multiplies,
+    the agg_stats r12 rule: 2pn wraps int64 past p·n ≈ 4.6e18). The
+    z-statistic needs a sqrt; callers derive it from the exact moments —
+    surfacing it would reintroduce the round(double) class for no
+    analytic gain. Series with N < 2 report null moments (and var needs
+    N > 1 anyway); mu is null when N = 0.
+
+    Scale shape: ONE series-key Exchange serves both window passes (delta
+    sign, then run-boundary lag over the zero-filtered signs — filters
+    preserve hash partitioning) and the final groupBy lands on the SAME
+    key, so Catalyst plans zero additional shuffles after the first. No
+    UDF, no collect.
+    """
+    wo = Window.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+    c = cents("value")
+    d = events.select(
+        "user_id",
+        "event_type",
+        "ts_us",
+        "event_id",
+        F.signum((c - F.lag(c).over(wo)).cast("double")).cast("int").alias("s"),
+    ).where(F.col("s").isNotNull() & (F.col("s") != 0))
+    r = d.select(
+        "user_id",
+        "event_type",
+        "s",
+        F.when(
+            F.lag("s").over(wo).isNull() | (F.lag("s").over(wo) != F.col("s")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("boundary"),
+    )
+    g = r.groupBy("user_id", "event_type").agg(
+        F.sum("boundary").cast("long").alias("n_runs"),
+        F.sum(F.when(F.col("s") > 0, 1).otherwise(0)).cast("long").alias("n_pos"),
+        F.sum(F.when(F.col("s") < 0, 1).otherwise(0)).cast("long").alias("n_neg"),
+    )
+    # N = p + n; mu = (N + 2pn)/N; var = 2pn(2pn − N) / (N²(N−1))
+    p_d = "CAST(n_pos AS DECIMAL(38,0))"
+    n_d = "CAST(n_neg AS DECIMAL(38,0))"
+    big_n = f"({p_d} + {n_d})"
+    two_pn = f"(2 * {p_d} * {n_d})"
+    mu = F.when(
+        F.col("n_pos") + F.col("n_neg") > 0,
+        iround_col(f"{big_n} + {two_pn}", big_n, 6, signed=False),
+    )
+    var = F.when(
+        F.col("n_pos") + F.col("n_neg") > 1,
+        iround_col(
+            f"{two_pn} * ({two_pn} - {big_n})",
+            f"{big_n} * {big_n} * ({big_n} - 1)",
+            6,
+        ),
+    )
+    return g.select(
+        "user_id",
+        "event_type",
+        "n_runs",
+        "n_pos",
+        "n_neg",
+        mu.alias("mu_runs"),
+        var.alias("var_runs"),
+    )
+
+
+def agg_poisson_dispersion(events: DataFrame) -> DataFrame:
+    """Index of dispersion (variance-to-mean ratio) of the hourly event
+    counts per event_type — the burstiness test every arrival-rate
+    monitor runs (D ≈ 1 ⇒ Poisson arrivals; D ≫ 1 ⇒ clustering/bursts,
+    D ≪ 1 ⇒ regular spacing). Pairs with agg_seasonality (where the rate
+    moves) by asking whether the process is even Poisson to begin with.
+
+    EXACT cross-engine: hourly counts are exact integers, and both
+    surfaced statistics are exact rationals through the decimal device —
+    mean_per_hour = S/H and dispersion = (H·Q − S²)/((H−1)·S) (the
+    sample-variance-to-mean ratio; S = Σcount, Q = Σcount², H = #hours) —
+    rounded half-up to 6 dp in integer space. Q is summed in
+    decimal(38,0) (the agg_stats r12 widen-inside-the-sum rule) and
+    H·Q − S² ≥ 0 by Cauchy–Schwarz, so the dispersion numerator is
+    unsigned. Types with a single active hour report null dispersion
+    (H − 1 = 0); S > 0 always holds when a group exists (counts ≥ 1).
+
+    Scale shape: two-level aggregation — the (type, hour) partial agg is
+    the only fact-sized pass (map-side combine before ONE exchange), the
+    per-type reduce runs over the dimension-sized hourly table on the
+    same hash key family. No windows, no UDF.
+    """
+    hourly = events.groupBy(
+        "event_type",
+        (F.col("ts_us") - F.col("ts_us") % F.lit(HOUR_US)).alias("hour_us"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    g = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("h"),
+        F.sum("cnt").cast("long").alias("s"),
+        F.sum(F.col("cnt").cast("decimal(38,0)") * F.col("cnt")).alias("q"),
+    )
+    h_d = "CAST(h AS DECIMAL(38,0))"
+    s_d = "CAST(s AS DECIMAL(38,0))"
+    return g.select(
+        "event_type",
+        F.col("h").alias("n_hours"),
+        F.col("s").alias("n_events"),
+        iround_col(s_d, h_d, 6, signed=False).alias("mean_per_hour"),
+        F.when(
+            F.col("h") > 1,
+            iround_col(
+                f"{h_d} * q - {s_d} * {s_d}",
+                f"({h_d} - 1) * {s_d}",
+                6,
+                signed=False,
+            ),
+        ).alias("dispersion"),
+    )

@@ -1229,3 +1229,172 @@ def win_pivot_points(events: DataFrame) -> DataFrame:
         lvl(f"({hlc} + 3 * (ph - pl))", 3).alias("r2"),
         lvl(f"({hlc} - 3 * (ph - pl))", 3).alias("s2"),
     )
+
+
+def win_aroon(events: DataFrame, k: int = 24) -> DataFrame:
+    """Aroon indicator per series: bars since the trailing k+1-row high /
+    low and the normalized Aroon-up/down lines — the trend-age companion
+    to win_donchian's breakout bands (kdb: mmax/mmin + imax/imin
+    composition; the reference's dense grid feeds the same derivation).
+
+    EXACT cross-engine: the frame argmax/argmin are lexicographic
+    struct-max picks over (cents, row_pos) — MOST RECENT occurrence wins
+    ties on both engines (Spark struct ordering ≡ DuckDB ROW ordering),
+    no floats anywhere — and the Aroon lines are exact integer ratios
+    100·(m − since)/m over the AVAILABLE frame span m = rows−1 (series
+    heads renormalize like win_ewma; m = 0 ⇒ null), rounded half-up to
+    4 dp in integer space (the shared decimal device, never
+    round(double, 4)).
+
+    Scale shape: ONE series-key Exchange; row_number and the two frame
+    struct-maxes share the sort (two Window nodes, zero extra shuffles).
+    The struct-max frame buffer is O(k) per partition — no self-join, no
+    UDF, whole-stage codegen end to end.
+    """
+    wo = Window.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+    wf = wo.rowsBetween(-k, 0)
+    c = cents("value")
+    t = events.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts_us",
+        "value",
+        c.alias("c"),
+        F.row_number().over(wo).cast("long").alias("pos"),
+    )
+    hi_pos = F.max(
+        F.struct(F.col("c").alias("v"), F.col("pos").alias("p"))
+    ).over(wf)["p"]
+    lo_pos = F.max(
+        F.struct((-F.col("c")).alias("v"), F.col("pos").alias("p"))
+    ).over(wf)["p"]
+    m = (F.count(F.lit(1)).over(wf) - F.lit(1)).cast("long")
+    t2 = t.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        (F.col("pos") - hi_pos).alias("since_hi"),
+        (F.col("pos") - lo_pos).alias("since_lo"),
+        m.alias("m"),
+    )
+    return t2.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.col("since_hi").alias("since_hi"),
+        F.col("since_lo").alias("since_lo"),
+        F.when(
+            F.col("m") > 0, iround_col("100 * (m - since_hi)", "m", 4, signed=False)
+        ).alias("aroon_up"),
+        F.when(
+            F.col("m") > 0, iround_col("100 * (m - since_lo)", "m", 4, signed=False)
+        ).alias("aroon_down"),
+    )
+
+
+def win_ichimoku(
+    events: DataFrame, t: int = 8, b: int = 25, sb: int = 51
+) -> DataFrame:
+    """Ichimoku baseline set per series: Tenkan (conversion, trailing
+    t+1-row (hi+lo)/2), Kijun (base, b+1), Senkou A ((Tenkan+Kijun)/2)
+    and Senkou B (sb+1-row (hi+lo)/2) — the classic multi-horizon
+    midpoint ladder (spans surfaced UNdisplaced; the chart-time +26-bar
+    shift is presentation, not computation).
+
+    EXACT cross-engine with NO rounding device at all: every line is a
+    midpoint of exact cent integers, and each output grid value is the
+    integer (hi+lo)·5000 (x/200 dollars — 10⁶/200 = 5000) or
+    (sum₂)·2500 (x/400 — 10⁶/400 = 2500), so the 6 dp value is an exact
+    integer-valued double on both engines (domain: |hi+lo|·5000 < 2⁵³ ⇔
+    |value| ≲ $9×10⁹, far past the tick domain; document rather than
+    branch).
+
+    Scale shape: ONE series-key Exchange; the three frames (t, b, sb)
+    are three Window nodes over the SAME sort — Spark shares the
+    exchange/sort and each keeps an O(frame) buffer. No joins, no UDF.
+    """
+    base = Window.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+    c = cents("value")
+
+    def mid2(kk: int) -> F.Column:
+        w = base.rowsBetween(-kk, 0)
+        return (F.max(c).over(w) + F.min(c).over(w)).cast("long")
+
+    sel = events.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        mid2(t).alias("t2"),
+        mid2(b).alias("b2"),
+        mid2(sb).alias("sb2"),
+    )
+    return sel.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        (F.expr("CAST(t2 * 5000 AS DOUBLE)") / F.lit(1e6)).alias("tenkan"),
+        (F.expr("CAST(b2 * 5000 AS DOUBLE)") / F.lit(1e6)).alias("kijun"),
+        (F.expr("CAST((t2 + b2) * 2500 AS DOUBLE)") / F.lit(1e6)).alias("span_a"),
+        (F.expr("CAST(sb2 * 5000 AS DOUBLE)") / F.lit(1e6)).alias("span_b"),
+    )
+
+
+def win_ulcer_index(events: DataFrame, k: int = 13) -> DataFrame:
+    """Ulcer index per series: RMS of the trailing-frame drawdown from the
+    frame peak — the downside-only volatility number that pairs with
+    win_drawdown's running peak and win_realized_vol's two-sided RMS
+    (stated over ABSOLUTE cent drawdowns, not percentages: the classic
+    %-of-peak form sums rationals with per-row denominators, which no
+    exact integer accumulation can carry; the absolute form is an exact
+    bigint end to end, same reasoning as win_realized_vol's simple
+    differences).
+
+    Two window passes over ONE partitioning (the win_macd shape: dd must
+    materialize before the frame can sum its square): peak = frame max in
+    exact cents, dd = peak − c ≥ 0, then Σdd² (exact bigint) and n. The
+    only float ops are one divide, one sqrt, one divide by 100 — same
+    IEEE expression both engines — and the round(·, 4) is the documented
+    irrational-statistic class (a rational sqrt requires n·Σdd² to be a
+    perfect square, which lands on p/(100n) with n ≤ k+1 — terminating
+    far from any 5e-5 half boundary; cf. the agg_stats sd rationale).
+    max_dd is the exact frame-max drawdown in dollars. Domain bound:
+    |dd| ≤ 3e9 cents keeps dd²·(k+1) inside bigint (the realized_vol
+    bound).
+    """
+    wo = Window.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+    wf = wo.rowsBetween(-k, 0)
+    c = cents("value")
+    t = events.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts_us",
+        "value",
+        c.alias("c"),
+        (F.max(c).over(wf) - c).alias("dd"),
+    )
+    t2 = t.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.sum(F.col("dd") * F.col("dd")).over(wf).alias("sq"),
+        F.count(F.lit(1)).over(wf).alias("n"),
+        F.max("dd").over(wf).alias("mdd"),
+    )
+    return t2.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.round(
+            F.sqrt(F.expr("CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)")) / F.lit(100.0),
+            4,
+        ).alias("ulcer"),
+        (F.col("mdd").cast("double") / F.lit(100.0)).alias("max_dd"),
+    )

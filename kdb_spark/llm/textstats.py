@@ -707,3 +707,75 @@ def text_msttr(documents: DataFrame, seg: int = 50) -> DataFrame:
         (ttr6.cast("double") / F.lit(1e6)).alias("ttr"),
         (msttr6.cast("double") / F.lit(1e6)).alias("msttr"),
     )
+
+
+def text_hapax_ratio(documents: DataFrame) -> DataFrame:
+    """Hapax legomena profile per document: how many token TYPES occur
+    exactly once, as a share of types and of tokens — the vocabulary-
+    freshness signal between text_msttr (segmental diversity) and
+    text_repetition (n-gram dup ratios). High hapax share ⇒ rich/noisy
+    vocabulary (OCR garbage also scores high — pair with quality_score);
+    near-zero ⇒ template text.
+
+    EXACT cross-engine: counts are exact integers over the shared
+    tokenizer (kdb_spark/llm/dedup.py `tokens`), ratios go through the
+    integer device at 6 dp. Empty docs report null ratios.
+
+    Scale shape: map-only, NO explode/shuffle — the per-doc hapax count
+    sorts the token array once and counts elements whose neighbours both
+    differ (an O(n log n) expression-level pass, vs the explode →
+    groupBy(doc, token) → count=1 plan, which shuffles the full token
+    stream — strictly worse at 100 TB since the reduce key space IS the
+    corpus). All array lambdas run under whole-stage codegen; the one
+    corpus scan is the cost every per-doc text op pays.
+    """
+    # srt MUST be a materialized column before the neighbour scan:
+    # element_at re-evaluates its array argument, so an inline
+    # array_sort(toks) would re-sort per position — the quadratic trap
+    # shingles() documents (kdb_spark/llm/dedup.py)
+    t = documents.select(
+        "doc_id", tokens("text").alias("toks")
+    ).select(
+        "doc_id", F.col("toks"), F.array_sort("toks").alias("srt")
+    ).select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_types"),
+        # hapax = types − types-with-≥2-occurrences; the latter are the
+        # distinct values at adjacent-equal positions of the sorted array
+        # (i..i+1 stays in [1, n] — no index-0/out-of-range element_at,
+        # which errors/NULLs engine-dependently), gated for n < 2 where
+        # Spark's sequence(1, 0) counts DOWN instead of emitting empty
+        # (the msttr gate)
+        F.expr(
+            """
+            CAST(size(array_distinct(srt)) AS BIGINT)
+            - CAST(CASE WHEN size(srt) >= 2 THEN
+              size(array_distinct(filter(
+                transform(sequence(1, size(srt) - 1),
+                  i -> IF(element_at(srt, i) = element_at(srt, i + 1),
+                          element_at(srt, i), NULL)),
+                x -> x IS NOT NULL)))
+            ELSE 0 END AS BIGINT)
+            """
+        ).alias("n_hapax"),
+    )
+    def ratio6(num: str, den: str) -> F.Column:
+        return F.when(
+            F.col(den) > 0,
+            F.expr(
+                floor_div_sql(
+                    f"2000000 * CAST({num} AS DECIMAL(38,0)) + {den}",
+                    f"2 * CAST({den} AS DECIMAL(38,0))",
+                )
+            ).cast("double")
+            / F.lit(1e6),
+        )
+    return t.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        "n_hapax",
+        ratio6("n_hapax", "n_types").alias("hapax_type_ratio"),
+        ratio6("n_hapax", "n_tokens").alias("hapax_token_ratio"),
+    )

@@ -1848,3 +1848,125 @@ def test_part_supplier_variety_shape(spark):
         assert not r.type_class.startswith("MEDIUM")
         assert 0 < r.supplier_cnt <= r.n_shipments
         assert 0 <= r.size_band <= 5
+
+
+# ------------------------------------ round-12: aroon / ichimoku / ulcer / runs / dispersion / hapax
+
+
+def test_aroon_hand_series(spark):
+    """since_hi/lo from the struct-max argmax (LATEST tie wins), lines =
+    100·(m−since)/m over the available span m; m=0 head → null lines."""
+    vals = [1.0, 3.0, 2.0, 3.0, 0.5]
+    df = spark.createDataFrame(
+        [(i, 1, "a", i * 1000, v) for i, v in enumerate(vals)],
+        "event_id long, user_id long, event_type string, ts_us long, value double",
+    )
+    got = {r.event_id: r for r in wn.win_aroon(df).collect()}
+    assert (got[0].since_hi, got[0].since_lo) == (0, 0)
+    assert got[0].aroon_up is None and got[0].aroon_down is None
+    assert (got[1].aroon_up, got[1].aroon_down) == (100.0, 0.0)
+    assert (got[2].aroon_up, got[2].aroon_down) == (50.0, 0.0)
+    # row 3 re-hits the 3.0 high: the LATEST occurrence wins the tie
+    assert got[3].since_hi == 0 and got[3].aroon_up == 100.0
+    assert got[3].since_lo == 3 and got[3].aroon_down == 0.0
+    # row 4 is a fresh low
+    assert (got[4].aroon_up, got[4].aroon_down) == (75.0, 100.0)
+
+
+def test_ichimoku_exact_midpoints(spark):
+    """Every line is an exact (hi+lo)/2 midpoint in dollars — including
+    quarter-cent-free .25/.5 values, where the 5000/2500 integer grids
+    must be exact with NO rounding device."""
+    vals = [1.0, 1.5, 3.0]
+    df = spark.createDataFrame(
+        [(i, 1, "a", i * 1000, v) for i, v in enumerate(vals)],
+        "event_id long, user_id long, event_type string, ts_us long, value double",
+    )
+    got = {r.event_id: r for r in wn.win_ichimoku(df).collect()}
+    assert got[0].tenkan == got[0].kijun == got[0].span_b == 1.0
+    assert got[1].tenkan == 1.25  # (100+150)/2 cents, exact on the grid
+    assert got[2].tenkan == got[2].kijun == got[2].span_b == 2.0
+    # span A = (tenkan+kijun)/2; frames coincide on a short series
+    assert got[1].span_a == 1.25 and got[2].span_a == 2.0
+
+
+def test_ulcer_index_hand_series(spark):
+    """Drawdowns from the trailing-frame peak in exact cents; ulcer =
+    round(sqrt(Σdd²/n)/100, 4); max_dd exact dollars."""
+    vals = [2.0, 1.0, 3.0, 2.0]
+    df = spark.createDataFrame(
+        [(i, 1, "a", i * 1000, v) for i, v in enumerate(vals)],
+        "event_id long, user_id long, event_type string, ts_us long, value double",
+    )
+    got = {r.event_id: r for r in wn.win_ulcer_index(df).collect()}
+    assert got[0].ulcer == 0.0 and got[0].max_dd == 0.0
+    assert got[1].ulcer == round(math.sqrt(10000 / 2) / 100, 4) == 0.7071
+    assert got[1].max_dd == 1.0
+    assert got[2].ulcer == round(math.sqrt(10000 / 3) / 100, 4) == 0.5774
+    assert got[3].ulcer == round(math.sqrt(20000 / 4) / 100, 4) == 0.7071
+    assert got[3].max_dd == 1.0
+
+
+def test_runs_test_hand_series(spark):
+    """Signs of tick deltas with zeros DROPPED; runs counted on the
+    filtered sequence; null-model moments exact on the 1e-6 grid."""
+    vals = [1.0, 2.0, 3.0, 2.0, 3.0, 3.0, 1.0]
+    # deltas: + + − + 0 −  → signs kept: + + − + −  → runs: ++|−|+|− = 4
+    df = spark.createDataFrame(
+        [(i, 1, "a", i * 1000, v) for i, v in enumerate(vals)],
+        "event_id long, user_id long, event_type string, ts_us long, value double",
+    )
+    [r] = agg.agg_runs_test(df).collect()
+    assert (r.n_runs, r.n_pos, r.n_neg) == (4, 3, 2)
+    assert r.mu_runs == 3.4          # (5 + 2·3·2)/5, exact
+    assert r.var_runs == 0.84        # 2·6·(12−5)/(25·4), exact
+    # single-delta series: one run, neither moment defined at N=1 → var null
+    df1 = spark.createDataFrame(
+        [(0, 2, "a", 0, 1.0), (1, 2, "a", 1000, 2.0)],
+        "event_id long, user_id long, event_type string, ts_us long, value double",
+    )
+    [r1] = agg.agg_runs_test(df1).collect()
+    assert (r1.n_runs, r1.n_pos, r1.n_neg) == (1, 1, 0)
+    assert r1.mu_runs == 1.0 and r1.var_runs is None
+
+
+def test_poisson_dispersion_hand_counts(spark):
+    """Hourly counts → variance-to-mean ratio as an exact rational;
+    single-active-hour types report null dispersion."""
+    from kdb_spark.tables import HOUR_US
+
+    rows = []
+    eid = 0
+    for hour, n in ((0, 3), (1, 1), (2, 2)):      # type x: counts 3,1,2
+        for _ in range(n):
+            rows.append((eid, 1, "x", hour * HOUR_US + eid, 1.0)); eid += 1
+    for _ in range(4):                             # type y: one hour
+        rows.append((eid, 1, "y", 7 * HOUR_US + eid, 1.0)); eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, ts_us long, value double",
+    )
+    got = {r.event_type: r for r in agg.agg_poisson_dispersion(df).collect()}
+    assert (got["x"].n_hours, got["x"].n_events) == (3, 6)
+    assert got["x"].mean_per_hour == 2.0
+    assert got["x"].dispersion == 0.5   # (3·14 − 36)/(2·6), exact
+    assert (got["y"].n_hours, got["y"].n_events) == (1, 4)
+    assert got["y"].mean_per_hour == 4.0 and got["y"].dispersion is None
+
+
+def test_hapax_ratio_hand_docs(spark):
+    """hapax = types − adjacent-equal dup types on the sorted array;
+    ratios device-exact; empty docs null, repeated-only docs zero."""
+    df = spark.createDataFrame(
+        [("d1", "a b a c"), ("d2", ""), ("d3", "x"), ("d4", "q q q")],
+        "doc_id string, text string",
+    )
+    got = {r.doc_id: r for r in tx.text_hapax_ratio(df).collect()}
+    assert (got["d1"].n_tokens, got["d1"].n_types, got["d1"].n_hapax) == (4, 3, 2)
+    assert got["d1"].hapax_type_ratio == 0.666667   # device half-up, not trunc
+    assert got["d1"].hapax_token_ratio == 0.5
+    assert got["d2"].n_hapax == 0
+    assert got["d2"].hapax_type_ratio is None and got["d2"].hapax_token_ratio is None
+    assert (got["d3"].n_hapax, got["d3"].hapax_type_ratio) == (1, 1.0)
+    assert (got["d4"].n_types, got["d4"].n_hapax) == (1, 0)
+    assert got["d4"].hapax_type_ratio == 0.0

@@ -75,6 +75,13 @@ EVENT_OPS = [
     agg.agg_benford,  # integer digit counts + pinned literals
     agg.agg_overlap_matrix,  # bitmap-word AND/popcount — all integer
     agg.agg_ks_test,  # integer CDF cross-multiplication — exact
+    # round-12 additions: struct-max argmax picks, exact midpoint grids,
+    # bigint drawdown moments, and the runs/dispersion integer rationals
+    wn.win_aroon,
+    wn.win_ichimoku,
+    wn.win_ulcer_index,
+    agg.agg_runs_test,
+    agg.agg_poisson_dispersion,
 ]
 
 DOC_OPS = [
@@ -87,6 +94,7 @@ DOC_OPS = [
     tx.text_hash_features,  # md5-slot counts are placement-independent
     cu.mix_temperature,  # bigint-grid normalizer kills float sum order
     cu.curation_token_budget,  # level agg + md5 gate, no ordered cumsum
+    tx.text_hapax_ratio,  # map-only sorted-neighbour scan — per-row exact
 ]
 
 
