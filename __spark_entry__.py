@@ -5685,3 +5685,135 @@ _reg(
     FROM c
     """,
 )
+
+
+# ---------------------------------------------------------- round 12, batch 2
+# Simpson concentration / Gini–Simpson diversity: map-only run-length fold
+# on the sorted token array; the oracle derives the SAME pair count via
+# unnest+group (results must match, plans need not)
+_reg(
+    "text_simpson_diversity",
+    lambda s, d: tx.text_simpson_diversity(load(s, d, "documents")),
+    """
+    WITH t AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      FROM documents),
+    f AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+    c AS (SELECT doc_id, tok, CAST(count(*) AS HUGEINT) AS cnt
+          FROM f GROUP BY 1, 2),
+    p AS (SELECT doc_id, sum(cnt * (cnt - 1)) AS twop FROM c GROUP BY 1),
+    j AS (
+      SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+             coalesce(p.twop, 0) AS twop
+      FROM t LEFT JOIN p ON t.doc_id = p.doc_id)
+    SELECT doc_id, n_tokens,
+           CAST(twop // 2 AS BIGINT) AS n_equal_pairs,
+           CASE WHEN n_tokens > 1 THEN
+             CAST((2000000 * CAST(twop AS HUGEINT)
+                   + CAST(n_tokens AS HUGEINT) * (n_tokens - 1))
+                  // (2 * CAST(n_tokens AS HUGEINT) * (n_tokens - 1))
+                  AS DOUBLE) / 1e6
+           END AS simpson,
+           CASE WHEN n_tokens > 1 THEN
+             CAST((2000000 * (CAST(n_tokens AS HUGEINT) * (n_tokens - 1) - twop)
+                   + CAST(n_tokens AS HUGEINT) * (n_tokens - 1))
+                  // (2 * CAST(n_tokens AS HUGEINT) * (n_tokens - 1))
+                  AS DOUBLE) / 1e6
+           END AS gini_simpson
+    FROM j
+    """,
+)
+
+# Trailing VWAP per supplier shipment sequence: decimal-widened frame sums,
+# exact cents·qty rationals on the 1e-6 grid
+_reg(
+    "win_trailing_vwap",
+    lambda s, d: wn.win_trailing_vwap(load(s, d, "lineitem")),
+    """
+    WITH t AS (
+      SELECT l_orderkey, l_linenumber, l_suppkey, l_shipdate,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+             CAST(round(l_quantity) AS BIGINT) AS q
+      FROM lineitem),
+    m AS (
+      SELECT l_orderkey, l_linenumber, l_suppkey,
+             sum(CAST(pc AS HUGEINT) * q) OVER w AS nq,
+             CAST(sum(q) OVER w AS BIGINT) AS dq,
+             CAST(count(*) OVER w AS BIGINT) AS n_lines
+      FROM t
+      WINDOW w AS (PARTITION BY l_suppkey
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+    SELECT l_orderkey, l_linenumber, l_suppkey, n_lines,
+           CASE WHEN dq > 0 THEN
+             CAST((2000000 * nq + 100 * CAST(dq AS HUGEINT))
+                  // (200 * CAST(dq AS HUGEINT)) AS DOUBLE) / 1e6
+           END AS vwap
+    FROM m
+    """,
+)
+
+# Inter-arrival gap profile per series: exact µs gaps, device mean,
+# integer-moment sd (the agg_stats rationale)
+_reg(
+    "agg_interarrival_stats",
+    lambda s, d: agg.agg_interarrival_stats(events_us(s, d)),
+    """
+    WITH t AS (
+      SELECT user_id, event_type, epoch_us(ts) AS tu, event_id FROM events),
+    d AS (
+      SELECT user_id, event_type,
+             tu - lag(tu) OVER (PARTITION BY user_id, event_type
+                                ORDER BY tu, event_id) AS g
+      FROM t),
+    f AS (SELECT * FROM d WHERE g IS NOT NULL),
+    a AS (
+      SELECT user_id, event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(g) AS BIGINT) AS s1,
+             sum(CAST(g AS HUGEINT) * g) AS s2,
+             CAST(min(g) AS BIGINT) AS mn,
+             CAST(max(g) AS BIGINT) AS mx
+      FROM f GROUP BY 1, 2)
+    SELECT user_id, event_type, n AS n_gaps,
+           CAST((2000000 * CAST(s1 AS HUGEINT)
+                 + CAST(n AS HUGEINT) * 1000000)
+                // (2 * CAST(n AS HUGEINT) * 1000000) AS DOUBLE) / 1e6
+             AS mean_gap_s,
+           CAST(mn AS DOUBLE) / 1e6 AS min_gap_s,
+           CAST(mx AS DOUBLE) / 1e6 AS max_gap_s,
+           CASE WHEN n > 1 THEN
+             round(sqrt(CAST(CAST(n AS HUGEINT) * s2
+                             - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+                        / CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE))
+                   / 1e6, 6)
+           END AS sd_gap_s
+    FROM a
+    """,
+)
+
+# Log2-bucketed degree distribution of the trade graph, split by the
+# parity vertex namespace — all exact integers
+_reg(
+    "graph_degree_distribution",
+    lambda s, d: gr.degree_distribution(
+        load(s, d, "orders"), load(s, d, "lineitem")
+    ),
+    """
+    WITH pairs AS (
+      SELECT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    e AS (SELECT c AS src, s AS dst FROM pairs
+          UNION ALL SELECT s AS src, c AS dst FROM pairs),
+    d AS (
+      SELECT src, CAST(count(*) AS BIGINT) AS deg
+      FROM (SELECT DISTINCT src, dst FROM e) GROUP BY 1)
+    SELECT CAST(src % 2 AS INT) AS side,
+           CAST(length(bin(deg)) - 1 AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_vertices,
+           CAST(min(deg) AS BIGINT) AS min_deg,
+           CAST(max(deg) AS BIGINT) AS max_deg,
+           CAST(sum(deg) AS BIGINT) AS sum_deg
+    FROM d GROUP BY 1, 2
+    """,
+)

@@ -2884,3 +2884,60 @@ def agg_poisson_dispersion(events: DataFrame) -> DataFrame:
             ),
         ).alias("dispersion"),
     )
+
+
+def agg_interarrival_stats(events: DataFrame) -> DataFrame:
+    """Inter-arrival time profile per series: count, mean, spread, and
+    dispersion of the gaps between consecutive ticks — the cadence report
+    a TSDB runs before choosing a resample width or a staleness alert
+    threshold (kdb: deltas over the time column). The distribution-level
+    companion to agg_poisson_dispersion (which tests COUNTS per hour;
+    this profiles the gaps themselves).
+
+    EXACT cross-engine: gaps are exact µs integers from one series lag;
+    mean_gap_s = Σg/(n·10⁶) is an exact rational through the decimal
+    device at 6 dp; min/max gaps are exact integer picks surfaced as
+    seconds through one deterministic divide; sd_gap_s is the sqrt of the
+    exact rational (n·Σg² − (Σg)²)/(n(n−1)) — Σg² folded in
+    decimal(38,0) (µs² wraps int64 past |g| ≈ 3e9 µs only in the sum;
+    widen-inside-the-sum rule) — with the one sqrt+round(6) documented as
+    the irrational-statistic class (the agg_stats sd rationale). Series
+    with a single tick (no gap) produce no row; n = 1 gaps → null sd.
+
+    Scale shape: one series-key Exchange serves the lag window AND the
+    groupBy (same hash key family) — one shuffle end to end, no UDF.
+    """
+    wo = Window.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+    d = events.select(
+        "user_id",
+        "event_type",
+        (F.col("ts_us") - F.lag("ts_us").over(wo)).alias("g"),
+    ).where(F.col("g").isNotNull())
+    g = d.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("g").cast("long").alias("s1"),
+        F.sum(F.col("g").cast("decimal(38,0)") * F.col("g")).alias("s2"),
+        F.min("g").alias("mn"),
+        F.max("g").alias("mx"),
+    )
+    mean = iround_col("s1", "CAST(n AS DECIMAL(38,0)) * 1000000", 6, signed=False)
+    sd = F.when(
+        F.col("n") > 1,
+        F.round(
+            F.sqrt(
+                F.expr("CAST(CAST(n AS DECIMAL(38,0)) * s2 - CAST(s1 AS DECIMAL(38,0)) * s1 AS DOUBLE)")
+                / F.expr("CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) AS DOUBLE)")
+            )
+            / F.lit(1e6),
+            6,
+        ),
+    )
+    return g.select(
+        "user_id",
+        "event_type",
+        F.col("n").alias("n_gaps"),
+        mean.alias("mean_gap_s"),
+        (F.col("mn").cast("double") / F.lit(1e6)).alias("min_gap_s"),
+        (F.col("mx").cast("double") / F.lit(1e6)).alias("max_gap_s"),
+        sd.alias("sd_gap_s"),
+    )

@@ -302,3 +302,54 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         F.col("deg").cast("long").alias("deg"),
         F.coalesce(F.col("n_tri"), F.lit(0)).cast("long").alias("n_tri"),
     )
+
+
+def degree_distribution(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Log2-bucketed degree distribution of the customer<->supplier trade
+    graph, split by vertex side (the parity namespace trade_graph assigns:
+    even = customer, odd = supplier) -- the first chart anyone draws over
+    a new graph, and the skew report that says whether pagerank/triangle
+    hub guards will fire.
+
+    EXACT cross-engine, all integers: degree = distinct-trading-partner
+    count per vertex, bucket = length(bin(deg))-1 (the agg_lorenz bit-math
+    device -- no float log2), then per (side, bucket) exact count / min /
+    max / sum(deg).
+
+    Scale shape: the orders><lineitem equi-join runs ONCE and one distinct
+    shuffle dedups the (customer, supplier) pair table; BOTH sides'
+    degrees then come from that single table (group by c, group by s) --
+    a naive "symmetrize then count per src" would execute the fact join
+    twice, once per union branch (measured: 2 BroadcastHashJoin / 3 scans
+    in the unionAll form vs 1 join here). The per-vertex degree tables are
+    dimension-sized; the final (side, bucket) reduce is <=128 rows.
+    """
+    pairs = (
+        orders.select("o_orderkey", "o_custkey")
+        .join(lineitem.select("l_orderkey", "l_suppkey"),
+              F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    deg = (
+        pairs.groupBy(F.col("c").alias("src"))
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        .unionAll(
+            pairs.groupBy(F.col("s").alias("src"))
+            .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        )
+    )
+    b = deg.select(
+        F.pmod(F.col("src"), F.lit(2)).cast("int").alias("side"),
+        F.expr("CAST(length(bin(deg)) - 1 AS INT)").alias("bucket"),
+        "deg",
+    )
+    return b.groupBy("side", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vertices"),
+        F.min("deg").cast("long").alias("min_deg"),
+        F.max("deg").cast("long").alias("max_deg"),
+        F.sum("deg").cast("long").alias("sum_deg"),
+    )

@@ -1398,3 +1398,48 @@ def win_ulcer_index(events: DataFrame, k: int = 13) -> DataFrame:
         ).alias("ulcer"),
         (F.col("mdd").cast("double") / F.lit(100.0)).alias("max_dd"),
     )
+
+
+def win_trailing_vwap(lineitem: DataFrame, k: int = 9) -> DataFrame:
+    """Trailing volume-weighted average price per supplier over the last
+    k+1 shipped lines — the rolling execution-quality benchmark every
+    trading stack tracks next to its moving averages (agg_vwap is the
+    per-bucket batch form; this is its window form over the supplier's
+    shipment sequence).
+
+    EXACT cross-engine: price cents and integer quantities are exact
+    per-row picks, both frame sums fold in decimal(38,0) (price·qty
+    widened INSIDE the sum — the agg_stats r12 rule; a long fold wraps
+    past Σ ≈ 9.2e18 cent-units), and vwap = Σ(pc·q)/(100·Σq) rides the
+    decimal device to the 1e-6 grid. Zero/negative total quantity →
+    null (TPC-H quantities are positive; the guard pins the contract).
+
+    Scale shape: ONE supplier-key Exchange; the deterministic order key
+    (shipdate, orderkey, linenumber) is unique, so the frame is stable at
+    any parallelism. Both sums share one window buffer.
+    """
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(-k, 0)
+    )
+    pc = cents("l_extendedprice")
+    q = F.round(F.col("l_quantity")).cast("long")
+    t = lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_suppkey",
+        F.sum(pc.cast("decimal(38,0)") * q).over(w).alias("nq"),
+        F.sum(q).over(w).cast("long").alias("dq"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_lines"),
+    )
+    return t.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_suppkey",
+        "n_lines",
+        F.when(
+            F.col("dq") > 0,
+            iround_col("nq", "100 * CAST(dq AS DECIMAL(38,0))", 6, signed=False),
+        ).alias("vwap"),
+    )

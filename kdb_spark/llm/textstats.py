@@ -779,3 +779,65 @@ def text_hapax_ratio(documents: DataFrame) -> DataFrame:
         ratio6("n_hapax", "n_types").alias("hapax_type_ratio"),
         ratio6("n_hapax", "n_tokens").alias("hapax_token_ratio"),
     )
+
+
+def text_simpson_diversity(documents: DataFrame) -> DataFrame:
+    """Simpson concentration / Gini–Simpson diversity per document: the
+    probability two randomly drawn tokens are the same type
+    (λ = Σnᵢ(nᵢ−1)/(N(N−1)), unbiased form) and its complement — the
+    repetition-vs-richness gate that, unlike TTR, is insensitive to the
+    long tail of rare types (pairs with text_hapax_ratio, which measures
+    ONLY the tail).
+
+    EXACT cross-engine: the equal-pair count is an exact integer from a
+    single fold over the sorted token array (run-length pairs:
+    Σ C(run,2) accumulated as pairs += run_so_far at every adjacent-equal
+    step), and both statistics are exact rationals through the decimal
+    device at 6 dp — λ = 2p/(N(N−1)), 1−λ = (N(N−1)−2p)/(N(N−1)), N
+    widened before the multiply. Docs with N < 2 report nulls.
+
+    Scale shape: map-only like text_hapax_ratio — tokenize, one
+    array_sort, one O(n) aggregate fold per row; no explode, no shuffle,
+    whole-stage codegen. The DuckDB oracle derives the SAME pair count
+    from an unnest+group plan — different shape, identical integers —
+    because the oracle only has to match results, not the plan.
+    """
+    t = documents.select(
+        "doc_id", tokens("text").alias("toks")
+    ).select(
+        "doc_id", F.array_sort("toks").alias("srt")
+    ).select(
+        "doc_id",
+        F.size("srt").cast("long").alias("n_tokens"),
+        # fold state (prev token, current run length, equal pairs so far);
+        # tokens are non-empty so the '' sentinel never matches
+        F.expr(
+            """
+            aggregate(srt,
+              struct('' AS prev, CAST(0 AS BIGINT) AS run,
+                     CAST(0 AS BIGINT) AS pairs),
+              (acc, x) -> IF(x = acc.prev,
+                struct(x AS prev, acc.run + CAST(1 AS BIGINT) AS run,
+                       acc.pairs + acc.run AS pairs),
+                struct(x AS prev, CAST(1 AS BIGINT) AS run, acc.pairs AS pairs)),
+              acc -> acc.pairs)
+            """
+        ).alias("p"),
+    )
+    den = "CAST(n_tokens AS DECIMAL(38,0)) * (n_tokens - 1)"
+    def dev(num: str) -> F.Column:
+        return F.when(
+            F.col("n_tokens") > 1,
+            F.expr(
+                floor_div_sql(f"2000000 * CAST({num} AS DECIMAL(38,0)) + ({den})",
+                              f"2 * ({den})")
+            ).cast("double")
+            / F.lit(1e6),
+        )
+    return t.select(
+        "doc_id",
+        "n_tokens",
+        F.col("p").alias("n_equal_pairs"),
+        dev("2 * p").alias("simpson"),
+        dev(f"({den}) - 2 * p").alias("gini_simpson"),
+    )

@@ -1970,3 +1970,80 @@ def test_hapax_ratio_hand_docs(spark):
     assert (got["d3"].n_hapax, got["d3"].hapax_type_ratio) == (1, 1.0)
     assert (got["d4"].n_types, got["d4"].n_hapax) == (1, 0)
     assert got["d4"].hapax_type_ratio == 0.0
+
+
+# ------------------------------------ round-12 batch 2: simpson / vwap / gaps / degrees
+
+
+def test_simpson_diversity_hand_docs(spark):
+    """λ = Σnᵢ(nᵢ−1)/(N(N−1)) from the run-length fold; device half-up;
+    N < 2 → nulls; all-same doc → λ = 1, gini = 0."""
+    df = spark.createDataFrame(
+        [("d1", "a b a c"), ("d2", "q q q"), ("d3", "x"), ("d4", "")],
+        "doc_id string, text string",
+    )
+    got = {r.doc_id: r for r in tx.text_simpson_diversity(df).collect()}
+    assert (got["d1"].n_tokens, got["d1"].n_equal_pairs) == (4, 1)
+    assert got["d1"].simpson == 0.166667     # 2/12 half-up on the grid
+    assert got["d1"].gini_simpson == 0.833333
+    assert (got["d2"].n_equal_pairs, got["d2"].simpson, got["d2"].gini_simpson) == (3, 1.0, 0.0)
+    assert got["d3"].simpson is None and got["d4"].simpson is None
+    assert got["d3"].n_equal_pairs == 0 and got["d4"].n_tokens == 0
+
+
+def test_trailing_vwap_hand_lines(spark):
+    """vwap = Σ(price·qty)/Σqty over the trailing frame in exact cents."""
+    import datetime
+
+    rows = [
+        (1, 1, 7, 2.0, 10.0, datetime.datetime(2024, 1, 1)),
+        (2, 1, 7, 3.0, 20.0, datetime.datetime(2024, 1, 2)),
+        (3, 1, 7, 5.0, 8.0, datetime.datetime(2024, 1, 3)),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_linenumber int, l_suppkey long,"
+        " l_quantity double, l_extendedprice double, l_shipdate timestamp",
+    )
+    got = {r.l_orderkey: r for r in wn.win_trailing_vwap(df).collect()}
+    assert got[1].vwap == 10.0 and got[1].n_lines == 1
+    assert got[2].vwap == 16.0                   # (1000·2+2000·3)/(100·5)
+    assert got[3].vwap == round((1000 * 2 + 2000 * 3 + 800 * 5) / (100 * 10), 6) == 12.0
+
+
+def test_interarrival_stats_hand_series(spark):
+    """Exact µs gaps: mean on the device grid, min/max exact, sd from
+    integer second moments; single-tick series emit no row."""
+    rows = [(0, 1, "a", 0, 1.0), (1, 1, "a", 1_000_000, 1.0),
+            (2, 1, "a", 4_000_000, 1.0), (3, 2, "a", 0, 1.0)]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, ts_us long, value double",
+    )
+    out = {(r.user_id, r.event_type): r for r in agg.agg_interarrival_stats(df).collect()}
+    assert (1, "a") in out and (2, "a") not in out   # single tick → no gaps
+    r = out[(1, "a")]
+    assert r.n_gaps == 2 and r.mean_gap_s == 2.0
+    assert (r.min_gap_s, r.max_gap_s) == (1.0, 3.0)
+    assert r.sd_gap_s == round(math.sqrt(2e12) / 1e6, 6) == 1.414214
+
+
+def test_degree_distribution_hand_graph(spark):
+    """Distinct-neighbor degrees over the parity-namespaced trade graph,
+    log2 buckets, split by side."""
+    from kdb_spark.analytics import graph as gr
+
+    orders = spark.createDataFrame(
+        [(10, 1), (20, 2)], "o_orderkey long, o_custkey long"
+    )
+    li = spark.createDataFrame(
+        [(10, 1), (10, 2), (10, 1), (20, 1)],  # dup (10,1) line must not double-count
+        "l_orderkey long, l_suppkey long",
+    )
+    got = {(r.side, r.bucket): r for r in gr.degree_distribution(orders, li).collect()}
+    # cust1(v2) trades with s1,s2 → deg 2 (bucket 1); cust2(v4) deg 1 (bucket 0)
+    assert got[(0, 1)].n_vertices == 1 and got[(0, 1)].sum_deg == 2
+    assert got[(0, 0)].n_vertices == 1 and got[(0, 0)].max_deg == 1
+    # supp1(v3) trades with c1,c2 → deg 2; supp2(v5) deg 1
+    assert got[(1, 1)].n_vertices == 1 and got[(1, 1)].min_deg == 2
+    assert got[(1, 0)].n_vertices == 1 and got[(1, 0)].sum_deg == 1

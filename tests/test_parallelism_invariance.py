@@ -82,6 +82,7 @@ EVENT_OPS = [
     wn.win_ulcer_index,
     agg.agg_runs_test,
     agg.agg_poisson_dispersion,
+    agg.agg_interarrival_stats,
 ]
 
 DOC_OPS = [
@@ -95,6 +96,7 @@ DOC_OPS = [
     cu.mix_temperature,  # bigint-grid normalizer kills float sum order
     cu.curation_token_budget,  # level agg + md5 gate, no ordered cumsum
     tx.text_hapax_ratio,  # map-only sorted-neighbour scan — per-row exact
+    tx.text_simpson_diversity,  # per-row run-length fold — placement-free
 ]
 
 
