@@ -5817,3 +5817,60 @@ _reg(
     FROM d GROUP BY 1, 2
     """,
 )
+
+
+# ACF ladder: per-lag exact co-moments, the agg_autocorr derivation at
+# every lag 1..5 in long format; one window + stack on the Spark side
+_reg(
+    "agg_acf_table",
+    lambda s, d: agg.agg_acf_table(events_us(s, d)),
+    """
+    WITH t AS (
+      SELECT user_id, event_type, epoch_us(ts) AS tu, event_id,
+             CAST(round(value * 100) AS BIGINT) AS x
+      FROM events),
+    p AS (
+      SELECT user_id, event_type, 1 AS lag, x,
+             lag(x, 1) OVER (PARTITION BY user_id, event_type
+                               ORDER BY tu, event_id) AS y
+      FROM t
+      UNION ALL
+      SELECT user_id, event_type, 2 AS lag, x,
+             lag(x, 2) OVER (PARTITION BY user_id, event_type
+                               ORDER BY tu, event_id) AS y
+      FROM t
+      UNION ALL
+      SELECT user_id, event_type, 3 AS lag, x,
+             lag(x, 3) OVER (PARTITION BY user_id, event_type
+                               ORDER BY tu, event_id) AS y
+      FROM t
+      UNION ALL
+      SELECT user_id, event_type, 4 AS lag, x,
+             lag(x, 4) OVER (PARTITION BY user_id, event_type
+                               ORDER BY tu, event_id) AS y
+      FROM t
+      UNION ALL
+      SELECT user_id, event_type, 5 AS lag, x,
+             lag(x, 5) OVER (PARTITION BY user_id, event_type
+                               ORDER BY tu, event_id) AS y
+      FROM t),
+    f AS (SELECT * FROM p WHERE y IS NOT NULL),
+    g AS (
+      SELECT user_id, event_type, CAST(lag AS INT) AS lag,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+             sum(CAST(x AS HUGEINT) * x) AS sxx,
+             sum(CAST(y AS HUGEINT) * y) AS syy,
+             sum(CAST(x AS HUGEINT) * y) AS sxy
+      FROM f GROUP BY 1, 2, 3)
+    SELECT user_id, event_type, lag, n AS n_pairs,
+           CASE WHEN CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE) > 0
+                 AND CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE) > 0
+                THEN round(CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+                           / sqrt(CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE)
+                                  * CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE)), 4)
+           END AS ac
+    FROM g
+    WHERE n >= 3
+    """,
+)

@@ -2941,3 +2941,68 @@ def agg_interarrival_stats(events: DataFrame) -> DataFrame:
         (F.col("mx").cast("double") / F.lit(1e6)).alias("max_gap_s"),
         sd.alias("sd_gap_s"),
     )
+
+
+def agg_acf_table(events: DataFrame, max_lag: int = 5, min_n: int = 3) -> DataFrame:
+    """Autocorrelation function per series: Pearson r at EVERY lag
+    1..max_lag in long format — the ACF table behind correlogram plots
+    and AR-order selection (agg_autocorr is the lag-1 scalar; model
+    diagnostics need the whole ladder).
+
+    Exact-parity contract: same derivation as agg_autocorr at each lag —
+    exact decimal(38,0) cents moments per (series, lag), Pearson as ONE
+    double expression over exact integers, round(4) on the same double
+    both engines (the agg_corr class). Per-lag pairs exclude the series
+    head (lag k drops k rows), which the long-format grouping handles
+    naturally. Zero-variance groups → null r; groups with < min_n pairs
+    are dropped.
+
+    Scale shape: ONE series-key window node carries all max_lag lag()
+    columns (shared sort/frame buffer), a map-side stack() expands to
+    long format (an Expand node, no shuffle), and the (series, lag)
+    groupBy REUSES the window's hash partitioning — HashPartitioning on
+    (user, type) satisfies ClusteredDistribution on (user, type, lag)
+    since each group is a subset of one series partition — so the plan
+    carries exactly ONE Exchange despite the K× row expansion (partial
+    aggregation eats the fan-out map-side).
+    """
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+    c = cents("value")
+    sel = events.select(
+        "user_id",
+        "event_type",
+        c.alias("x"),
+        *[F.lag(c, k).over(w).alias(f"y{k}") for k in range(1, max_lag + 1)],
+    )
+    stack_args = ", ".join(f"{k}, y{k}" for k in range(1, max_lag + 1))
+    pairs = sel.selectExpr(
+        "user_id",
+        "event_type",
+        "x",
+        f"stack({max_lag}, {stack_args}) AS (lag, y)",
+    ).filter(F.col("y").isNotNull())
+    dec = "decimal(38,0)"
+    g = pairs.groupBy("user_id", "event_type", F.col("lag").cast("int").alias("lag")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
+    )
+    n = F.col("n").cast(dec)
+    num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dx = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    dy = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return (
+        g.filter(F.col("n") >= min_n)
+        .select(
+            "user_id",
+            "event_type",
+            "lag",
+            F.col("n").alias("n_pairs"),
+            F.round(
+                F.when((dx > 0) & (dy > 0), num / F.sqrt(dx * dy)), 4
+            ).alias("ac"),
+        )
+    )

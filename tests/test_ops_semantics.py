@@ -2047,3 +2047,22 @@ def test_degree_distribution_hand_graph(spark):
     # supp1(v3) trades with c1,c2 → deg 2; supp2(v5) deg 1
     assert got[(1, 1)].n_vertices == 1 and got[(1, 1)].min_deg == 2
     assert got[(1, 0)].n_vertices == 1 and got[(1, 0)].sum_deg == 1
+
+
+def test_acf_table_hand_series(spark):
+    """Linear series → r = 1 at every lag (affine invariance); alternating
+    series → −1 at odd lags, +1 at even; lags with < min_n pairs drop."""
+    rows = [(i, 1, "lin", i * 1000, float(i + 1)) for i in range(6)]
+    rows += [(10 + i, 2, "alt", i * 1000, [1.0, 2.0][i % 2]) for i in range(8)]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, ts_us long, value double",
+    )
+    got = {(r.user_id, r.lag): r for r in agg.agg_acf_table(df).collect()}
+    # linear series: 6 rows → lags 1..3 survive min_n=3 (4,5 have 2,1 pairs)
+    assert {(u, l) for (u, l) in got if u == 1} == {(1, 1), (1, 2), (1, 3)}
+    assert got[(1, 1)].ac == 1.0 and got[(1, 3)].ac == 1.0
+    assert got[(1, 1)].n_pairs == 5 and got[(1, 3)].n_pairs == 3
+    # alternating series: odd lags anti-correlated, even lags identical
+    assert got[(2, 1)].ac == -1.0 and got[(2, 3)].ac == -1.0
+    assert got[(2, 2)].ac == 1.0 and got[(2, 4)].ac == 1.0

@@ -83,6 +83,7 @@ EVENT_OPS = [
     agg.agg_runs_test,
     agg.agg_poisson_dispersion,
     agg.agg_interarrival_stats,
+    agg.agg_acf_table,
 ]
 
 DOC_OPS = [
