@@ -5874,3 +5874,34 @@ _reg(
     WHERE n >= 3
     """,
 )
+
+
+# On-balance volume over the supplier shipment sequence: pure-integer
+# signed-quantity running sum (pairs with win_trailing_vwap)
+_reg(
+    "win_obv",
+    lambda s, d: wn.win_obv(load(s, d, "lineitem")),
+    """
+    WITH t AS (
+      SELECT l_orderkey, l_linenumber, l_suppkey, l_shipdate,
+             CAST(round(l_quantity) AS BIGINT) AS q,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS pc
+      FROM lineitem),
+    d AS (
+      SELECT l_orderkey, l_linenumber, l_suppkey, l_shipdate, q,
+             pc - lag(pc) OVER (PARTITION BY l_suppkey
+                                ORDER BY l_shipdate, l_orderkey, l_linenumber)
+               AS dp
+      FROM t),
+    s AS (
+      SELECT l_orderkey, l_linenumber, l_suppkey, l_shipdate,
+             CASE WHEN dp > 0 THEN q WHEN dp < 0 THEN -q ELSE 0 END AS sq
+      FROM d)
+    SELECT l_orderkey, l_linenumber, l_suppkey,
+           CAST(sum(sq) OVER (PARTITION BY l_suppkey
+                              ORDER BY l_shipdate, l_orderkey, l_linenumber
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS obv
+    FROM s
+    """,
+)

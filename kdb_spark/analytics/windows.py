@@ -1443,3 +1443,55 @@ def win_trailing_vwap(lineitem: DataFrame, k: int = 9) -> DataFrame:
             iround_col("nq", "100 * CAST(dq AS DECIMAL(38,0))", 6, signed=False),
         ).alias("vwap"),
     )
+
+
+def win_obv(lineitem: DataFrame) -> DataFrame:
+    """On-balance volume per supplier shipment sequence: the running sum
+    of quantity signed by the price direction (up-move adds the line's
+    quantity, down-move subtracts, flat adds nothing) — the classic
+    volume-confirms-price accumulation signal, completing the
+    win_trailing_vwap pair on the lineitem sequence.
+
+    EXACT cross-engine, all integers: the price delta sign compares exact
+    cents (one lag), quantities are exact integer picks, and OBV is an
+    unbounded-preceding bigint window sum — order-independent per prefix
+    given the unique (shipdate, orderkey, linenumber) sort key. The
+    sequence head (no prior price) contributes 0, per the indicator's
+    convention. obv is surfaced as the exact integer quantity sum.
+
+    Scale shape: ONE supplier-key Exchange; the lag and the running sum
+    share the sort (two Window nodes, no second shuffle). Domain: Σ|q|
+    per supplier < 2⁶³ (bigint) — beyond any order book.
+    """
+    wo = Window.partitionBy("l_suppkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    wrun = wo.rowsBetween(Window.unboundedPreceding, 0)
+    pc = cents("l_extendedprice")
+    q = F.round(F.col("l_quantity")).cast("long")
+    t = lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_suppkey",
+        "l_shipdate",
+        q.alias("q"),
+        (pc - F.lag(pc).over(wo)).alias("dp"),
+    )
+    signed = (
+        F.when(F.col("dp") > 0, F.col("q"))
+        .when(F.col("dp") < 0, -F.col("q"))
+        .otherwise(F.lit(0))
+    )
+    t2 = t.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_suppkey",
+        "l_shipdate",
+        signed.alias("sq"),
+    )
+    return t2.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_suppkey",
+        F.sum("sq").over(wrun).cast("long").alias("obv"),
+    )

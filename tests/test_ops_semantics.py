@@ -2066,3 +2066,23 @@ def test_acf_table_hand_series(spark):
     # alternating series: odd lags anti-correlated, even lags identical
     assert got[(2, 1)].ac == -1.0 and got[(2, 3)].ac == -1.0
     assert got[(2, 2)].ac == 1.0 and got[(2, 4)].ac == 1.0
+
+
+def test_obv_hand_lines(spark):
+    """Signed-quantity running sum: up-move adds q, down subtracts, flat
+    and the sequence head add nothing."""
+    import datetime
+
+    rows = [
+        (1, 1, 7, 5.0, 10.0, datetime.datetime(2024, 1, 1)),   # head → +0
+        (2, 1, 7, 3.0, 12.0, datetime.datetime(2024, 1, 2)),   # up   → +3
+        (3, 1, 7, 4.0, 12.0, datetime.datetime(2024, 1, 3)),   # flat → +0
+        (4, 1, 7, 2.0, 9.0, datetime.datetime(2024, 1, 4)),    # down → −2
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_linenumber int, l_suppkey long,"
+        " l_quantity double, l_extendedprice double, l_shipdate timestamp",
+    )
+    got = {r.l_orderkey: r.obv for r in wn.win_obv(df).collect()}
+    assert got == {1: 0, 2: 3, 3: 3, 4: 1}
