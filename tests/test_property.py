@@ -1630,3 +1630,128 @@ def test_keltner_cross_engine_bitwise(spark, pts):
     _assert_bitwise(
         got, want, ["event_type", "hour_us"], ["middle", "upper", "lower"]
     )
+
+
+def _iround_py(num: int, den: int, k: int = 6) -> float:
+    """Python twin of the repo's rounding device (exact, half-away)."""
+    s = -1 if num < 0 else 1
+    grid = s * ((2 * 10**k * abs(num) + den) // (2 * den))
+    return float(grid) / 10**k
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    toks=st.lists(st.sampled_from(["a", "b", "c", "zz", "q9"]), min_size=0, max_size=40)
+)
+def test_simpson_and_hapax_match_bruteforce(spark, toks):
+    """Law: the run-length Simpson fold and the sorted-neighbour hapax scan
+    equal the Counter-based definitions EXACTLY (including the device
+    rounding), for arbitrary token multisets."""
+    from collections import Counter
+
+    from kdb_spark.llm import textstats as tx
+
+    df = spark.createDataFrame([("d", " ".join(toks))], "doc_id string, text string")
+    [s] = tx.text_simpson_diversity(df).collect()
+    [h] = tx.text_hapax_ratio(df).collect()
+    cnt = Counter(toks)
+    n = len(toks)
+    pairs = sum(c * (c - 1) // 2 for c in cnt.values())
+    hapax = sum(1 for c in cnt.values() if c == 1)
+    assert s.n_tokens == n and s.n_equal_pairs == pairs
+    assert (h.n_tokens, h.n_types, h.n_hapax) == (n, len(cnt), hapax)
+    if n > 1:
+        assert s.simpson == _iround_py(2 * pairs, n * (n - 1))
+        assert s.gini_simpson == _iround_py(n * (n - 1) - 2 * pairs, n * (n - 1))
+    else:
+        assert s.simpson is None and s.gini_simpson is None
+    if len(cnt) > 0:
+        assert h.hapax_type_ratio == _iround_py(hapax, len(cnt))
+        assert h.hapax_token_ratio == _iround_py(hapax, n)
+    else:
+        assert h.hapax_type_ratio is None
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(st.integers(-50, 50), min_size=2, max_size=40),
+)
+def test_runs_test_matches_bruteforce(spark, vals):
+    """Law: agg_runs_test's runs/sign counts and null-model moments equal
+    the hand computation over the zero-dropped delta signs, exactly."""
+    from kdb_spark.analytics import aggregations as agg
+
+    rows = [(i, 1, "a", i * 1000, v / 4.0) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, ts_us long, value double",
+    )
+    out = agg.agg_runs_test(df).collect()
+    signs = []
+    for a, b in zip(vals, vals[1:]):
+        d = b - a
+        if d != 0:
+            signs.append(1 if d > 0 else -1)
+    if not signs:
+        assert out == []
+        return
+    [r] = out
+    runs = 1 + sum(1 for x, y in zip(signs, signs[1:]) if x != y)
+    p, nn = signs.count(1), signs.count(-1)
+    N = p + nn
+    assert (r.n_runs, r.n_pos, r.n_neg) == (runs, p, nn)
+    assert r.mu_runs == _iround_py(N + 2 * p * nn, N)
+    if N > 1:
+        assert r.var_runs == _iround_py(
+            2 * p * nn * (2 * p * nn - N), N * N * (N - 1)
+        )
+    else:
+        assert r.var_runs is None
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(st.integers(-400, 400), min_size=1, max_size=30),
+    k=st.sampled_from([3, 24]),
+)
+def test_aroon_matches_bruteforce(spark, vals, k):
+    """Law: win_aroon's since_hi/lo equal the brute-force trailing-frame
+    argmax/argmin with LATEST-tie-wins, and the lines are the exact device
+    ratios over the available span."""
+    from kdb_spark.analytics import windows as wn
+
+    rows = [(i, 1, "a", i * 1000, v / 4.0) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, ts_us long, value double",
+    )
+    got = {r.event_id: r for r in wn.win_aroon(df, k=k).collect()}
+    cents_seq = [v * 25 for v in vals]
+    for i in range(len(vals)):
+        lo_i = max(0, i - k)
+        frame = cents_seq[lo_i : i + 1]
+        # latest occurrence wins ties on both extremes
+        hi_pos = max(range(len(frame)), key=lambda j: (frame[j], j))
+        lo_pos = max(range(len(frame)), key=lambda j: (-frame[j], j))
+        since_hi = len(frame) - 1 - hi_pos
+        since_lo = len(frame) - 1 - lo_pos
+        m = len(frame) - 1
+        r = got[i]
+        assert (r.since_hi, r.since_lo) == (since_hi, since_lo), (i, frame)
+        if m == 0:
+            assert r.aroon_up is None and r.aroon_down is None
+        else:
+            assert r.aroon_up == _iround_py(100 * (m - since_hi), m, 4)
+            assert r.aroon_down == _iround_py(100 * (m - since_lo), m, 4)
