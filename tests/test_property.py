@@ -1755,3 +1755,189 @@ def test_aroon_matches_bruteforce(spark, vals, k):
         else:
             assert r.aroon_up == _iround_py(100 * (m - since_hi), m, 4)
             assert r.aroon_down == _iround_py(100 * (m - since_lo), m, 4)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(0, 80),      # minute slot
+            st.integers(0, 1),       # user
+            st.integers(-400, 400),  # quarter-dollar value
+        ),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda p: (p[0], p[1]),
+    )
+)
+def test_ichimoku_and_ulcer_cross_engine_bitwise(spark, pts):
+    """r12: win_ichimoku's exact midpoint grids and win_ulcer_index's
+    bigint drawdown moments must agree BITWISE with DuckDB evaluating the
+    registered oracle derivations on identical inputs — the same
+    cross-engine treatment win_bollinger/win_keltner got."""
+    from kdb_spark.analytics import windows as wn
+
+    rows = [
+        (i, int(u), "a", v / 4.0, int(t) * 60_000_000)
+        for i, (t, u, v) in enumerate(pts)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, value double, ts_us long",
+    )
+    con = _duck_events(rows)
+    got_i = wn.win_ichimoku(df).collect()
+    want_i = con.execute(
+        """
+        WITH m AS (
+          SELECT event_id, user_id, event_type, value,
+                 max(CAST(round(value*100) AS BIGINT)) OVER w8
+                   + min(CAST(round(value*100) AS BIGINT)) OVER w8 AS t2,
+                 max(CAST(round(value*100) AS BIGINT)) OVER w25
+                   + min(CAST(round(value*100) AS BIGINT)) OVER w25 AS b2,
+                 max(CAST(round(value*100) AS BIGINT)) OVER w51
+                   + min(CAST(round(value*100) AS BIGINT)) OVER w51 AS sb2
+          FROM events
+          WINDOW w8 AS (PARTITION BY user_id, event_type ORDER BY ts_us, event_id
+                        ROWS BETWEEN 8 PRECEDING AND CURRENT ROW),
+                 w25 AS (PARTITION BY user_id, event_type ORDER BY ts_us, event_id
+                         ROWS BETWEEN 25 PRECEDING AND CURRENT ROW),
+                 w51 AS (PARTITION BY user_id, event_type ORDER BY ts_us, event_id
+                         ROWS BETWEEN 51 PRECEDING AND CURRENT ROW))
+        SELECT event_id, CAST(t2 * 5000 AS DOUBLE)/1e6 AS tenkan,
+               CAST(b2 * 5000 AS DOUBLE)/1e6 AS kijun,
+               CAST((t2 + b2) * 2500 AS DOUBLE)/1e6 AS span_a,
+               CAST(sb2 * 5000 AS DOUBLE)/1e6 AS span_b
+        FROM m
+        """
+    ).df()
+    _assert_bitwise(got_i, want_i, ["event_id"], ["tenkan", "kijun", "span_a", "span_b"])
+    got_u = wn.win_ulcer_index(df).collect()
+    want_u = con.execute(
+        """
+        WITH t AS (
+          SELECT event_id, user_id, event_type, value, ts_us,
+                 CAST(round(value * 100) AS BIGINT) AS c
+          FROM events),
+        d AS (
+          SELECT event_id, user_id, event_type, value, ts_us,
+                 max(c) OVER w - c AS dd
+          FROM t
+          WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts_us, event_id
+                       ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+        u AS (
+          SELECT event_id, sum(dd*dd) OVER w AS sq, count(*) OVER w AS n,
+                 max(dd) OVER w AS mdd
+          FROM d
+          WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts_us, event_id
+                       ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        SELECT event_id,
+               round(sqrt(CAST(sq AS DOUBLE)/CAST(n AS DOUBLE))/100.0, 4) AS ulcer,
+               CAST(mdd AS DOUBLE)/100.0 AS max_dd
+        FROM u
+        """
+    ).df()
+    con.close()
+    _assert_bitwise(got_u, want_u, ["event_id"], ["ulcer", "max_dd"])
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    lines=st.lists(
+        st.tuples(
+            st.integers(0, 40),     # day slot
+            st.integers(0, 2),      # supplier
+            st.integers(1, 50),     # quantity
+            st.integers(1, 2000),   # quarter-dollar price
+        ),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda p: (p[0], p[1]),
+    )
+)
+def test_vwap_and_obv_cross_engine_bitwise(spark, lines):
+    """r12: win_trailing_vwap's decimal frame sums + device grid and
+    win_obv's signed running sum must agree BITWISE with DuckDB on
+    arbitrary shipment sequences (incl. flat prices and frame heads)."""
+    import datetime
+
+    import duckdb
+    import pandas as pd
+
+    from kdb_spark.analytics import windows as wn
+
+    rows = [
+        (i, 1, int(s), float(q), p / 4.0,
+         datetime.datetime(2024, 1, 1) + datetime.timedelta(days=int(d)))
+        for i, (d, s, q, p) in enumerate(lines)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_linenumber int, l_suppkey long,"
+        " l_quantity double, l_extendedprice double, l_shipdate timestamp",
+    )
+    pdf = pd.DataFrame(
+        rows,
+        columns=["l_orderkey", "l_linenumber", "l_suppkey",
+                 "l_quantity", "l_extendedprice", "l_shipdate"],
+    )
+    con = duckdb.connect()
+    con.register("lineitem", pdf)
+    got_v = wn.win_trailing_vwap(df).collect()
+    want_v = con.execute(
+        """
+        WITH t AS (
+          SELECT l_orderkey, l_linenumber, l_suppkey, l_shipdate,
+                 CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+                 CAST(round(l_quantity) AS BIGINT) AS q
+          FROM lineitem),
+        m AS (
+          SELECT l_orderkey,
+                 sum(CAST(pc AS HUGEINT) * q) OVER w AS nq,
+                 CAST(sum(q) OVER w AS BIGINT) AS dq,
+                 CAST(count(*) OVER w AS BIGINT) AS n_lines
+          FROM t
+          WINDOW w AS (PARTITION BY l_suppkey
+                       ORDER BY l_shipdate, l_orderkey, l_linenumber
+                       ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+        SELECT l_orderkey, n_lines,
+               CASE WHEN dq > 0 THEN
+                 CAST((2000000 * nq + 100 * CAST(dq AS HUGEINT))
+                      // (200 * CAST(dq AS HUGEINT)) AS DOUBLE) / 1e6
+               END AS vwap
+        FROM m
+        """
+    ).df()
+    _assert_bitwise(got_v, want_v, ["l_orderkey"], ["n_lines", "vwap"])
+    got_o = wn.win_obv(df).collect()
+    want_o = con.execute(
+        """
+        WITH t AS (
+          SELECT l_orderkey, l_linenumber, l_suppkey, l_shipdate,
+                 CAST(round(l_quantity) AS BIGINT) AS q,
+                 CAST(round(l_extendedprice * 100) AS BIGINT) AS pc
+          FROM lineitem),
+        d AS (
+          SELECT l_orderkey, l_linenumber, l_suppkey, l_shipdate, q,
+                 pc - lag(pc) OVER (PARTITION BY l_suppkey
+                                    ORDER BY l_shipdate, l_orderkey, l_linenumber) AS dp
+          FROM t)
+        SELECT l_orderkey,
+               CAST(sum(CASE WHEN dp > 0 THEN q WHEN dp < 0 THEN -q ELSE 0 END)
+                    OVER (PARTITION BY l_suppkey
+                          ORDER BY l_shipdate, l_orderkey, l_linenumber
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS obv
+        FROM d
+        """
+    ).df()
+    con.close()
+    _assert_bitwise(got_o, want_o, ["l_orderkey"], ["obv"])
