@@ -5905,3 +5905,36 @@ _reg(
     FROM s
     """,
 )
+
+
+# Streaming inter-arrival monitor: per-gap emission with running max and
+# device-exact running mean; oracle = the cumulative batch window form
+_reg(
+    "stream_interarrival",
+    sm.stream_interarrival,
+    """
+    WITH t AS (
+      SELECT user_id, event_type, epoch_us(ts) AS tu, event_id FROM events),
+    d AS (
+      SELECT user_id, event_type, tu, event_id,
+             tu - lag(tu) OVER (PARTITION BY user_id, event_type
+                                ORDER BY tu, event_id) AS g
+      FROM t),
+    f AS (SELECT * FROM d WHERE g IS NOT NULL),
+    r AS (
+      SELECT user_id, event_type, tu AS ts_us, event_id, g,
+             CAST(sum(g) OVER w2 AS BIGINT) AS s1,
+             CAST(count(*) OVER w2 AS BIGINT) AS n,
+             CAST(max(g) OVER w2 AS BIGINT) AS mx
+      FROM f
+      WINDOW w2 AS (PARTITION BY user_id, event_type ORDER BY tu, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT user_id, event_type, ts_us, event_id,
+           CAST(g AS DOUBLE) / 1e6 AS gap_s,
+           CAST(mx AS DOUBLE) / 1e6 AS max_gap_s,
+           CAST((2000000 * CAST(s1 AS HUGEINT) + CAST(n AS HUGEINT) * 1000000)
+                // (2 * CAST(n AS HUGEINT) * 1000000) AS DOUBLE) / 1e6
+             AS mean_gap_s
+    FROM r
+    """,
+)

@@ -1400,3 +1400,129 @@ def stream_mau_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("win_end_us") <= F.lit(last_end))
         )
     )
+
+
+# ------------------------------------------ stateful inter-arrival monitor
+
+_GAP_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("ts_us", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("gap_s", T.DoubleType()),
+        T.StructField("max_gap_s", T.DoubleType()),
+        T.StructField("mean_gap_s", T.DoubleType()),
+    ]
+)
+
+# (tail ts, tail eid, gap count, Σgap µs, max gap µs, late counter).
+# Σgap telescopes to tail_ts − first_ts, so the int64 state NEVER wraps
+# for physical timestamps (≤ ~3e17 µs this side of year 11000); the
+# device multiply 2e6·Σ — which WOULD wrap past Σ ≈ 4.6e12 — runs in
+# arbitrary-precision Python ints inside the processor, never in state.
+_GAP_STATE = T.StructType(
+    [
+        T.StructField("ts_us", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("s1", T.LongType()),
+        T.StructField("mx", T.LongType()),
+        T.StructField("n_late", T.LongType()),
+    ]
+)
+
+
+def _gap_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Emit one row per on-time inter-arrival gap with the running max and
+    running device-exact mean — the live staleness/cadence monitor (batch
+    analog: the cumulative form of `agg_interarrival_stats`).
+
+    Exactness: gaps are exact µs integers chained across micro-batches via
+    the stored tail; the running mean replays the repo's rounding device in
+    Python ints (2·10⁶·Σ + n·10⁶) // (2·n·10⁶) — bit-identical to the
+    DuckDB oracle's HUGEINT device, no width limit. gap_s/max_gap_s take
+    ONE int→double cast + one divide, the same two IEEE ops both engines
+    run. Late rows (at/before the stored tail) are dropped and counted —
+    the `_delta_fn` contract; series heads emit nothing (a head has no
+    gap), matching the batch lag() NULL row.
+    """
+    chunks = [c for c in pdfs if len(c)]
+    if not chunks:
+        return
+    pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+    ts = pdf["ts_us"].to_numpy()
+    eid = pdf["event_id"].to_numpy()
+    order = np.lexsort((eid, ts))
+    ts, eid = ts[order], eid[order]
+    prev = tuple(state.get) if state.exists else None
+    n_late = int(prev[5]) if prev is not None else 0
+    lo = 0
+    if prev is not None:
+        i0 = int(np.searchsorted(ts, prev[0], "left"))
+        i1 = int(np.searchsorted(ts, prev[0], "right"))
+        lo = i0 + int(np.searchsorted(eid[i0:i1], prev[1], "right"))
+        n_late += lo
+        if lo == len(ts):
+            state.update((prev[0], prev[1], prev[2], prev[3], prev[4], n_late))
+            return
+        ts, eid = ts[lo:], eid[lo:]
+    if prev is not None:
+        last_ts, n, s1, mx = int(prev[0]), int(prev[2]), int(prev[3]), int(prev[4])
+        start = 0
+    else:
+        last_ts, n, s1, mx = int(ts[0]), 0, 0, 0
+        start = 1
+    rows = {c: [] for c in ("ts_us", "event_id", "gap_s", "max_gap_s", "mean_gap_s")}
+    for i in range(start, len(ts)):
+        g = int(ts[i]) - last_ts
+        n += 1
+        s1 += g
+        if g > mx:
+            mx = g
+        grid = (2_000_000 * s1 + n * 1_000_000) // (2 * n * 1_000_000)
+        rows["ts_us"].append(int(ts[i]))
+        rows["event_id"].append(int(eid[i]))
+        rows["gap_s"].append(float(g) / 1e6)
+        rows["max_gap_s"].append(float(mx) / 1e6)
+        rows["mean_gap_s"].append(float(grid) / 1e6)
+        last_ts = int(ts[i])
+    state.update((int(ts[-1]), int(eid[-1]), n, s1, mx, n_late))
+    if not rows["ts_us"]:
+        return
+    k_user, k_type = key
+    yield pd.DataFrame(
+        {
+            "user_id": np.full(len(rows["ts_us"]), k_user, dtype=np.int64),
+            "event_type": [k_type] * len(rows["ts_us"]),
+            **rows,
+        }
+    )
+
+
+def stream_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series inter-arrival monitor as a custom stateful operator: one
+    output row per gap carrying the gap itself, the running max, and the
+    running device-exact mean — the staleness alert a live TSDB raises
+    when a series goes quiet (batch analog: `agg_interarrival_stats`,
+    whose final row equals this stream's last emission per series).
+
+    O(1) state per series (six bigints); same late-row drop-and-count
+    contract as `stream_counter_delta`. The batch oracle is the running
+    window form over the same data.
+    """
+    s = events_stream(spark, sf_dir)
+    out = (
+        s.select("user_id", "event_type", "ts_us", "event_id")
+        .groupBy("user_id", "event_type")
+        .applyInPandasWithState(
+            _gap_fn,
+            outputStructType=_GAP_OUT,
+            stateStructType=_GAP_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return _drain(out, "append", partitions=16)

@@ -744,3 +744,102 @@ def test_stream_ewma_guard_raises_outside_int64_fold_domain():
     too_big = ok.assign(value=[5_000_000.0])  # |cents|=5e8 > ~4.6e6 limit
     with pt.raises(ValueError, match="int64 fold domain"):
         list(sm._ewma_fn((1, "c"), iter([too_big]), _State()))
+
+
+def test_stream_interarrival_equals_batch_running_form(spark):
+    """Single-drain equivalence: the stateful gap monitor must reproduce
+    the batch running-window form EXACTLY (device mean included)."""
+    from pyspark.sql import Window
+
+    from kdb_spark.analytics.exact import iround_col
+    from kdb_spark.tables import events_us
+
+    got = sm.stream_interarrival(spark, SF_DIR)
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+    wr = w.rowsBetween(Window.unboundedPreceding, 0)
+    d = (
+        events_us(spark, SF_DIR)
+        .select(
+            "user_id", "event_type", "ts_us", "event_id",
+            (F.col("ts_us") - F.lag("ts_us").over(w)).alias("g"),
+        )
+        .filter(F.col("g").isNotNull())
+    )
+    want = d.select(
+        "user_id", "event_type", "ts_us", "event_id",
+        (F.col("g").cast("double") / F.lit(1e6)).alias("gap_s"),
+        (F.max("g").over(wr).cast("double") / F.lit(1e6)).alias("max_gap_s"),
+        iround_col(
+            "sum(g) OVER (PARTITION BY user_id, event_type"
+            " ORDER BY ts_us, event_id"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)",
+            "CAST(count(*) OVER (PARTITION BY user_id, event_type"
+            " ORDER BY ts_us, event_id"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+            " AS DECIMAL(38,0)) * 1000000",
+            6,
+            signed=False,
+        ).alias("mean_gap_s"),
+    )
+    cols = ["user_id", "event_type", "ts_us", "event_id", "gap_s", "max_gap_s", "mean_gap_s"]
+    assert rows(got, *cols) == rows(want, *cols)
+
+
+def test_stream_interarrival_carries_state_and_drops_late(spark, tmp_path):
+    """Across micro-batches: batch-2 gaps chain off batch-1's stored tail,
+    the running mean/max include batch-1 history, and a late row is
+    dropped (not folded into a wrong gap)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    watch = tmp_path / "src"
+    watch.mkdir()
+    S = 1_000_000
+    schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("ts_us", pa.int64()),
+            ("event_id", pa.int64()),
+        ]
+    )
+
+    def write(name, rs, mtime):
+        t = pa.table({c.name: [r[i] for r in rs] for i, c in enumerate(schema)}, schema=schema)
+        p = watch / name
+        pq.write_table(t, p)
+        os.utime(p, (mtime, mtime))
+
+    write("b1.parquet", [(1, "c", 10 * S, 0), (1, "c", 14 * S, 1)], 1_000)
+    # batch 2: eid=2 is LATE (12s < stored tail 14s); eid=3 gaps off the tail
+    write("b2.parquet", [(1, "c", 12 * S, 2), (1, "c", 20 * S, 3)], 2_000)
+
+    sdf = (
+        spark.readStream.schema(
+            "user_id long, event_type string, ts_us long, event_id long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(watch))
+    )
+    out = sdf.groupBy("user_id", "event_type").applyInPandasWithState(
+        sm._gap_fn,
+        outputStructType=sm._GAP_OUT,
+        stateStructType=sm._GAP_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    table, state_ops = _drain_with_state(out, "append")
+    got = {r.event_id: r for r in table.collect()}
+    # batch 1: one gap (4s); batch 2: late eid=2 dropped, eid=3 gap = 6s
+    assert set(got) == {1, 3}
+    assert got[1].gap_s == 4.0 and got[1].max_gap_s == 4.0 and got[1].mean_gap_s == 4.0
+    assert got[3].gap_s == 6.0 and got[3].max_gap_s == 6.0
+    assert got[3].mean_gap_s == 5.0  # (4s + 6s) / 2 across the boundary
+    # state shape pin: ONE state row for the single series, both batches
+    assert state_ops and all(
+        list(op.values())[0][0] == 1 for op in state_ops if op
+    )
