@@ -5938,3 +5938,33 @@ _reg(
     FROM r
     """,
 )
+
+
+# RFM segmentation census: exact integer recency/frequency/monetary with
+# bit-math bands; the BI cohort cut as a SQL text entry
+_reg(
+    "sql_rfm_segments",
+    lambda s, d: agg.sql_rfm_segments(load(s, d, "orders")),
+    """
+    WITH per AS (
+      SELECT o_custkey,
+             CAST(datediff('day', CAST(max(o_orderdate) AS DATE),
+                           DATE '2001-09-01') AS BIGINT) AS r_days,
+             CAST(count(*) AS BIGINT) AS f_orders,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS m_cents
+      FROM orders GROUP BY 1),
+    b AS (
+      SELECT r_days, f_orders, m_cents,
+             CAST(length(bin(r_days)) - 1 AS INT) AS r_band,
+             CAST(length(bin(f_orders)) - 1 AS INT) AS f_band,
+             CAST(length(bin(m_cents // 100000)) - 1 AS INT) AS m_band
+      FROM per)
+    SELECT r_band, f_band, m_band,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(m_cents) AS BIGINT) AS revenue_c,
+           CAST(min(r_days) AS BIGINT) AS min_r_days,
+           CAST(max(r_days) AS BIGINT) AS max_r_days
+    FROM b GROUP BY 1, 2, 3
+    """,
+)

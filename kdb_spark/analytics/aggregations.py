@@ -3006,3 +3006,49 @@ def agg_acf_table(events: DataFrame, max_lag: int = 5, min_n: int = 3) -> DataFr
             ).alias("ac"),
         )
     )
+
+
+def sql_rfm_segments(orders: DataFrame) -> DataFrame:
+    """RFM customer segmentation as a SQL text (the §2 SQL entry-point
+    family): every ACTIVE customer banded by Recency (days from last
+    order to the fixed 2001-09-01 reference — one day past the order
+    book), Frequency (order count), and Monetary (lifetime cents), then
+    the per-(R,F,M)-cell census — the canonical BI/CRM cohort cut and the
+    value-stratification input a curation pipeline samples against.
+
+    EXACT cross-engine: recency is integer day arithmetic on DATE-cast
+    timestamps, frequency/monetary are exact integer counts/cents, and
+    all three bands are the log₂ bit-math device (length(bin(x))−1 — no
+    float log; monetary banded on whole-$1000 units to keep the band
+    count small). Every surfaced aggregate is an exact integer.
+
+    Scale shape: one fact-sized per-customer partial agg (the only big
+    shuffle), map-only banding, then a ≤ |bands³| reduce. No window, no
+    join — customers with zero orders are out of scope by construction
+    (the Q13-style outer-join census is sql_cust_distribution's job).
+    """
+    return orders.sparkSession.sql(
+        """
+        WITH per AS (
+          SELECT o.o_custkey AS custkey,
+                 CAST(datediff(DATE'2001-09-01', CAST(max(o.o_orderdate) AS DATE))
+                      AS BIGINT) AS r_days,
+                 CAST(count(*) AS BIGINT) AS f_orders,
+                 CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                      AS BIGINT) AS m_cents
+          FROM {orders_v} o GROUP BY 1),
+        b AS (
+          SELECT custkey, r_days, f_orders, m_cents,
+                 CAST(length(bin(r_days)) - 1 AS INT) AS r_band,
+                 CAST(length(bin(f_orders)) - 1 AS INT) AS f_band,
+                 CAST(length(bin(m_cents DIV 100000)) - 1 AS INT) AS m_band
+          FROM per)
+        SELECT r_band, f_band, m_band,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(sum(m_cents) AS BIGINT) AS revenue_c,
+               CAST(min(r_days) AS BIGINT) AS min_r_days,
+               CAST(max(r_days) AS BIGINT) AS max_r_days
+        FROM b GROUP BY 1, 2, 3
+        """,
+        orders_v=orders,
+    )

@@ -2086,3 +2086,30 @@ def test_obv_hand_lines(spark):
     )
     got = {r.l_orderkey: r.obv for r in wn.win_obv(df).collect()}
     assert got == {1: 0, 2: 3, 3: 3, 4: 1}
+
+
+def test_rfm_segments_hand_orders(spark):
+    """R from the fixed 2001-09-01 reference, F/M exact, log2 bands; one
+    cell per distinct (R,F,M) band triple."""
+    import datetime
+
+    rows = [
+        # cust 1: two orders, last 2001-08-31 → r_days=1 → band 0
+        (1, 1, 10.0, datetime.datetime(2001, 8, 31)),
+        (2, 1, 30.0, datetime.datetime(2001, 1, 1)),
+        # cust 2: one order, last 2001-08-24 → r_days=8 → band 3
+        (3, 2, 5000.0, datetime.datetime(2001, 8, 24)),
+    ]
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_totalprice double, o_orderdate timestamp"
+    )
+    got = {(r.r_band, r.f_band, r.m_band): r for r in agg.sql_rfm_segments(df).collect()}
+    # cust 1: F=2 → band 1; M=4000c → 4000//100000=0 → band 0
+    c1 = got[(0, 1, 0)]
+    assert c1.n_customers == 1 and c1.revenue_c == 4000
+    assert c1.min_r_days == c1.max_r_days == 1
+    # cust 2: F=1 → band 0; M=500000c → //1e5=5 → bin(5)='101' → band 2
+    c2 = got[(3, 0, 2)]
+    assert c2.n_customers == 1 and c2.revenue_c == 500000
+    assert c2.min_r_days == 8
+    assert len(got) == 2
