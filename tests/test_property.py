@@ -1941,3 +1941,73 @@ def test_vwap_and_obv_cross_engine_bitwise(spark, lines):
     ).df()
     con.close()
     _assert_bitwise(got_o, want_o, ["l_orderkey"], ["obv"])
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(0, 40),    # minute slot
+            st.integers(-3, 3),    # SMALL value range -> frames full of ties
+        ),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda p: p[0],
+    )
+)
+def test_aroon_cross_engine_bitwise_under_ties(spark, pts):
+    """r12: win_aroon's struct-max argmax/argmin tie rule (LATEST wins)
+    must be engine-identical — the deliberately tiny value range makes
+    almost every frame a tie pile, the exact case where an unspecified
+    arg_max would diverge. Spark vs DuckDB ROW-comparison max, bitwise."""
+    from kdb_spark.analytics import windows as wn
+
+    rows = [
+        (i, 1, "a", v / 4.0, int(t) * 60_000_000)
+        for i, (t, v) in enumerate(pts)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, value double, ts_us long",
+    )
+    got = wn.win_aroon(df, k=5).collect()
+    con = _duck_events(rows)
+    want = con.execute(
+        """
+        WITH t AS (
+          SELECT event_id, user_id, event_type, ts_us,
+                 CAST(round(value * 100) AS BIGINT) AS c,
+                 CAST(row_number() OVER (PARTITION BY user_id, event_type
+                                         ORDER BY ts_us, event_id)
+                      AS BIGINT) AS pos
+          FROM events),
+        m AS (
+          SELECT event_id, pos,
+                 (max(struct_pack(v := c, p := pos)) OVER w).p AS hi_pos,
+                 (max(struct_pack(v := -c, p := pos)) OVER w).p AS lo_pos,
+                 CAST(count(*) OVER w - 1 AS BIGINT) AS m
+          FROM t
+          WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts_us, event_id
+                       ROWS BETWEEN 5 PRECEDING AND CURRENT ROW))
+        SELECT event_id,
+               CAST(pos - hi_pos AS BIGINT) AS since_hi,
+               CAST(pos - lo_pos AS BIGINT) AS since_lo,
+               CASE WHEN m > 0 THEN
+                 CAST((20000 * (100 * (CAST(m AS HUGEINT) - (pos - hi_pos))) + m)
+                      // (2 * CAST(m AS HUGEINT)) AS DOUBLE) / 1e4
+               END AS aroon_up,
+               CASE WHEN m > 0 THEN
+                 CAST((20000 * (100 * (CAST(m AS HUGEINT) - (pos - lo_pos))) + m)
+                      // (2 * CAST(m AS HUGEINT)) AS DOUBLE) / 1e4
+               END AS aroon_down
+        FROM m
+        """
+    ).df()
+    con.close()
+    _assert_bitwise(
+        got, want, ["event_id"], ["since_hi", "since_lo", "aroon_up", "aroon_down"]
+    )
