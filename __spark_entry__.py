@@ -5968,3 +5968,33 @@ _reg(
     FROM b GROUP BY 1, 2, 3
     """,
 )
+
+
+# Round-number price clustering: exact divisibility counts on cents with
+# device shares — the microstructure forensics gate beside agg_benford
+_reg(
+    "agg_round_number_bias",
+    lambda s, d: agg.agg_round_number_bias(events_us(s, d)),
+    """
+    WITH c AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c FROM events),
+    g AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN c % 100 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_whole,
+             CAST(sum(CASE WHEN c % 50 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_half,
+             CAST(sum(CASE WHEN c % 25 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_quarter,
+             CAST(sum(CASE WHEN c % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_dime
+      FROM c GROUP BY 1)
+    SELECT event_type, n, n_whole, n_half, n_quarter, n_dime,
+           CAST((2000000 * CAST(n_whole AS HUGEINT) + n)
+                // (2 * CAST(n AS HUGEINT)) AS DOUBLE) / 1e6 AS whole_share,
+           CAST((2000000 * CAST(n_half AS HUGEINT) + n)
+                // (2 * CAST(n AS HUGEINT)) AS DOUBLE) / 1e6 AS half_share,
+           CAST((2000000 * CAST(n_quarter AS HUGEINT) + n)
+                // (2 * CAST(n AS HUGEINT)) AS DOUBLE) / 1e6 AS quarter_share,
+           CAST((2000000 * CAST(n_dime AS HUGEINT) + n)
+                // (2 * CAST(n AS HUGEINT)) AS DOUBLE) / 1e6 AS dime_share
+    FROM g
+    """,
+)

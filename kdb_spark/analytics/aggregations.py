@@ -3052,3 +3052,44 @@ def sql_rfm_segments(orders: DataFrame) -> DataFrame:
         """,
         orders_v=orders,
     )
+
+
+def agg_round_number_bias(events: DataFrame) -> DataFrame:
+    """Round-number clustering per event_type: the share of tick prices
+    landing on whole dollars / half-dollars / quarters / dimes — the
+    market-microstructure screen (human-quoted series cluster on round
+    numbers; uniform cent mass ⇒ synthetic or mid-point data). Pairs with
+    agg_benford as the second price-forensics gate.
+
+    EXACT cross-engine: divisibility tests on exact cents (c % k = 0 is
+    sign-indifferent for the = 0 predicate, so no pmod dance), integer
+    conditional counts, and each share rides the decimal device at 6 dp.
+    A uniform-cents baseline expects 1%/2%/4%/10% — the deltas are the
+    signal; surfacing shares (not deltas) keeps every column exact.
+
+    Scale shape: ONE fact-sized partial+final hash agg on event_type —
+    map-side combine reduces the exchange to |types| rows per task. No
+    window, no join, no UDF.
+    """
+    c = cents("value")
+    g = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(c % 100 == 0, 1).otherwise(0)).cast("long").alias("n_whole"),
+        F.sum(F.when(c % 50 == 0, 1).otherwise(0)).cast("long").alias("n_half"),
+        F.sum(F.when(c % 25 == 0, 1).otherwise(0)).cast("long").alias("n_quarter"),
+        F.sum(F.when(c % 10 == 0, 1).otherwise(0)).cast("long").alias("n_dime"),
+    )
+    def share(col: str) -> F.Column:
+        return iround_col(col, "CAST(n AS DECIMAL(38,0))", 6, signed=False)
+    return g.select(
+        "event_type",
+        "n",
+        "n_whole",
+        "n_half",
+        "n_quarter",
+        "n_dime",
+        share("n_whole").alias("whole_share"),
+        share("n_half").alias("half_share"),
+        share("n_quarter").alias("quarter_share"),
+        share("n_dime").alias("dime_share"),
+    )

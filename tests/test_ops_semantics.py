@@ -2113,3 +2113,18 @@ def test_rfm_segments_hand_orders(spark):
     assert c2.n_customers == 1 and c2.revenue_c == 500000
     assert c2.min_r_days == 8
     assert len(got) == 2
+
+
+def test_round_number_bias_hand_cases(spark):
+    """Divisibility counts on exact cents (sign-indifferent), device
+    shares: 2.00 hits every band, 2.50 half/dime, −1.25 quarter, 3.17
+    none."""
+    vals = [2.0, 2.5, -1.25, 3.17]
+    df = spark.createDataFrame(
+        [(i, 1, "a", i * 1000, v) for i, v in enumerate(vals)],
+        "event_id long, user_id long, event_type string, ts_us long, value double",
+    )
+    [r] = agg.agg_round_number_bias(df).collect()
+    assert (r.n, r.n_whole, r.n_half, r.n_quarter, r.n_dime) == (4, 1, 2, 3, 2)
+    assert r.whole_share == 0.25 and r.half_share == 0.5
+    assert r.quarter_share == 0.75 and r.dime_share == 0.5
