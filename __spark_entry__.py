@@ -5998,3 +5998,138 @@ _reg(
     FROM g
     """,
 )
+
+
+# ---------------------------------------------------------- round 12, batch 5
+# Williams %R: inverted range-position oscillator — exact cents extremes,
+# unsigned device ratio, one negation on the exact grid integer
+_reg(
+    "win_williams_r",
+    lambda s, d: wn.win_williams_r(events_us(s, d)),
+    """
+    WITH t AS (
+      SELECT event_id, user_id, event_type, epoch_us(ts) AS tu, value,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events),
+    w AS (
+      SELECT event_id, user_id, event_type, value, c,
+             max(c) OVER win AS hi_c, min(c) OVER win AS lo_c
+      FROM t
+      WINDOW win AS (PARTITION BY user_id, event_type ORDER BY tu, event_id
+                     ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+    SELECT event_id, user_id, event_type, value,
+           CASE WHEN hi_c > lo_c THEN
+             CAST(-((200000000 * CAST(hi_c - c AS HUGEINT) + (hi_c - lo_c))
+                    // (2 * CAST(hi_c - lo_c AS HUGEINT))) AS DOUBLE) / 1e6
+           END AS willr
+    FROM w
+    """,
+)
+
+
+# Money Flow Index over the supplier shipment sequence: volume-scaled RSI,
+# decimal-widened price*quantity flows, unsigned device ratio
+_reg(
+    "win_mfi",
+    lambda s, d: wn.win_mfi(load(s, d, "lineitem")),
+    """
+    WITH t AS (
+      SELECT l_orderkey, l_linenumber, l_suppkey, l_shipdate,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+             CAST(round(l_quantity) AS BIGINT) AS q
+      FROM lineitem),
+    d AS (
+      SELECT *, pc - lag(pc) OVER (PARTITION BY l_suppkey
+                                   ORDER BY l_shipdate, l_orderkey, l_linenumber)
+                AS dp
+      FROM t),
+    f AS (
+      SELECT l_orderkey, l_linenumber, l_suppkey, l_shipdate,
+             CASE WHEN dp > 0 THEN CAST(pc AS HUGEINT) * q ELSE 0 END AS pf,
+             CASE WHEN dp < 0 THEN CAST(pc AS HUGEINT) * q ELSE 0 END AS nf
+      FROM d),
+    s AS (
+      SELECT l_orderkey, l_linenumber, l_suppkey,
+             sum(pf) OVER win AS pmf, sum(nf) OVER win AS nmf
+      FROM f
+      WINDOW win AS (PARTITION BY l_suppkey
+                     ORDER BY l_shipdate, l_orderkey, l_linenumber
+                     ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+    SELECT l_orderkey, l_linenumber, l_suppkey,
+           CAST(pmf AS BIGINT) AS pmf_c, CAST(nmf AS BIGINT) AS nmf_c,
+           CASE WHEN pmf + nmf > 0 THEN
+             CAST((2000000 * (100 * pmf) + (pmf + nmf))
+                  // (2 * (pmf + nmf)) AS DOUBLE) / 1e6
+           END AS mfi
+    FROM s
+    """,
+)
+
+
+# Spearman rank correlation: Pearson on exact doubled average ranks —
+# tie-corrected, integer co-moments, one IEEE divide/sqrt on the 1e-4 grid
+_reg(
+    "agg_spearman",
+    lambda s, d: agg.agg_spearman(events_us(s, d)),
+    """
+    WITH b AS (
+      SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) AS x,
+             epoch_us(ts) % 86400000000 AS y
+      FROM events),
+    r AS (
+      SELECT event_type,
+             2 * rank() OVER (PARTITION BY event_type ORDER BY x)
+               + count(*) OVER (PARTITION BY event_type, x) - 1 AS rx,
+             2 * rank() OVER (PARTITION BY event_type ORDER BY y)
+               + count(*) OVER (PARTITION BY event_type, y) - 1 AS ry
+      FROM b),
+    g AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(rx AS HUGEINT)) AS su, sum(CAST(ry AS HUGEINT)) AS sv,
+             sum(CAST(rx AS HUGEINT) * rx) AS suu,
+             sum(CAST(ry AS HUGEINT) * ry) AS svv,
+             sum(CAST(rx AS HUGEINT) * ry) AS suv
+      FROM r GROUP BY 1),
+    t AS (
+      SELECT event_type, n,
+             CAST(n AS HUGEINT) * suv - su * sv AS cm,
+             CAST(n AS HUGEINT) * suu - su * su AS a,
+             CAST(n AS HUGEINT) * svv - sv * sv AS b
+      FROM g)
+    SELECT event_type, n,
+           CASE WHEN a > 0 AND b > 0 THEN
+             CAST(floor(CAST(cm AS DOUBLE)
+                        / sqrt(CAST(a AS DOUBLE) * CAST(b AS DOUBLE))
+                        * 1e4 + 0.5) AS DOUBLE) / 1e4
+           END AS spearman_rho
+    FROM t
+    """,
+)
+
+
+# Yule's K vocabulary-repetitiveness constant per language: exact integer
+# frequency spectrum moments, unsigned device at 6 dp
+_reg(
+    "text_yule_k",
+    lambda s, d: tx.text_yule_k(load(s, d, "documents")),
+    """
+    WITH f AS (
+      SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      FROM documents),
+    m AS (
+      SELECT lang, tok, CAST(count(*) AS BIGINT) AS m FROM f GROUP BY 1, 2),
+    g AS (
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS n_types,
+             CAST(sum(m) AS BIGINT) AS n_tokens,
+             sum(CAST(m AS HUGEINT) * m) AS s2
+      FROM m GROUP BY 1)
+    SELECT lang, n_types, n_tokens, CAST(s2 AS BIGINT) AS s2,
+           CAST((2000000 * (10000 * (s2 - CAST(n_tokens AS HUGEINT)))
+                 + CAST(n_tokens AS HUGEINT) * n_tokens)
+                // (2 * CAST(n_tokens AS HUGEINT) * n_tokens) AS DOUBLE) / 1e6
+             AS yule_k
+    FROM g
+    """,
+)

@@ -3093,3 +3093,79 @@ def agg_round_number_bias(events: DataFrame) -> DataFrame:
         share("n_quarter").alias("quarter_share"),
         share("n_dime").alias("dime_share"),
     )
+
+
+def agg_spearman(events: DataFrame) -> DataFrame:
+    """Spearman rank correlation per event_type between price (cents) and
+    time-of-day (µs) — the monotone-association companion to agg_corr's
+    Pearson (rank correlation is what kdb analysts reach for when the
+    price/time relation is nonlinear but ordered).
+
+    Tie semantics: textbook average ranks (the tie-corrected form — with
+    ties, Spearman IS Pearson on average ranks; the naive 1 − 6Σd²/… is
+    wrong under ties). 2·avg_rank = 2·min_rank + ties − 1 is an exact
+    INTEGER on both engines (rank() + a partition-by-value count), and
+    scaling both coordinates by 2 leaves the correlation unchanged, so
+    every co-moment input is exact.
+
+    EXACT cross-engine: decimal(38,0) co-moments on the doubled ranks
+    (the agg_corr device), then rho = C/√(A·B) takes ONE divide/sqrt on
+    doubles cast from exact decimals — identical IEEE ops both engines —
+    and lands on the 1e-4 grid via floor(x·1e4 + 0.5). Degenerate groups
+    (n < 2 or a constant axis) emit NULL. Domain: co-moments stay inside
+    decimal(38,0) for n ≲ 10⁹ rows/group (n·Σr² ~ 16·n⁴ ≤ 10³⁸) —
+    disclosed here because ranks grow with n, unlike agg_corr's bounded
+    coordinates; past that, rank on coarser buckets first.
+
+    Scale shape: one event_type-key Exchange; both rank passes and both
+    tie counts sort within the same hash partition (Catalyst plans one
+    Exchange, consecutive Window nodes), then a partial+final hash agg.
+    Note rank() over a full type-partition is a per-group sort — the same
+    posture as agg_gini/agg_lorenz, documented there.
+    """
+    base = events.select(
+        "event_type",
+        cents("value").alias("x"),
+        F.pmod(F.col("ts_us"), F.lit(DAY_US)).cast("long").alias("y"),
+    )
+    wx = Window.partitionBy("event_type").orderBy("x")
+    wy = Window.partitionBy("event_type").orderBy("y")
+    tx = Window.partitionBy("event_type", "x")
+    ty = Window.partitionBy("event_type", "y")
+    r = base.select(
+        "event_type",
+        (2 * F.rank().over(wx) + F.count(F.lit(1)).over(tx) - 1)
+        .cast("long")
+        .alias("rx"),
+        (2 * F.rank().over(wy) + F.count(F.lit(1)).over(ty) - 1)
+        .cast("long")
+        .alias("ry"),
+    )
+    g = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("rx").cast("decimal(38,0)")).alias("su"),
+        F.sum(F.col("ry").cast("decimal(38,0)")).alias("sv"),
+        F.sum(F.col("rx").cast("decimal(38,0)") * F.col("rx")).alias("suu"),
+        F.sum(F.col("ry").cast("decimal(38,0)") * F.col("ry")).alias("svv"),
+        F.sum(F.col("rx").cast("decimal(38,0)") * F.col("ry")).alias("suv"),
+    )
+    t = g.select(
+        "event_type",
+        "n",
+        F.expr("CAST(n AS DECIMAL(38,0)) * suv - su * sv").alias("cm"),
+        F.expr("CAST(n AS DECIMAL(38,0)) * suu - su * su").alias("a"),
+        F.expr("CAST(n AS DECIMAL(38,0)) * svv - sv * sv").alias("b"),
+    )
+    rho4 = F.when(
+        (F.col("a") > 0) & (F.col("b") > 0),
+        F.floor(
+            F.expr(
+                "CAST(cm AS DOUBLE)"
+                " / sqrt(CAST(a AS DOUBLE) * CAST(b AS DOUBLE))"
+            )
+            * F.lit(1e4)
+            + F.lit(0.5)
+        ).cast("double")
+        / F.lit(1e4),
+    )
+    return t.select("event_type", "n", rho4.alias("spearman_rho"))

@@ -1495,3 +1495,122 @@ def win_obv(lineitem: DataFrame) -> DataFrame:
         "l_suppkey",
         F.sum("sq").over(wrun).cast("long").alias("obv"),
     )
+
+
+def win_williams_r(events: DataFrame, period: int = 14) -> DataFrame:
+    """Williams %R per series: −100·(high_n − close)/(high_n − low_n) over
+    the trailing ``period`` rows — the inverted range-position oscillator
+    (kdb builds it from mmax/mmin exactly like the stochastic %K; %R is
+    %K − 100, surfaced in the conventional [−100, 0] band).
+
+    EXACT cross-engine: channel extremes are exact cents (min/max, no
+    accumulation); hi−c and hi−lo are non-negative integers, so the ratio
+    rides the unsigned decimal floor-division device at 6 dp and the one
+    negation afterwards is exact (round half-away-from-zero is symmetric:
+    −round(x) = round(−x)). Flat channels (hi = lo) emit NULL — the 0/0
+    row, same contract as win_stochastic.
+
+    Scale shape: ONE series-key Exchange shared by both frame extremes
+    (two aggregates over the same Window spec plan into a single Window
+    node); no join, no UDF, whole-stage codegen end to end.
+    """
+    w = (
+        Window.partitionBy("user_id", "event_type")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(-(period - 1), 0)
+    )
+    c = cents("value")
+    t = events.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        c.alias("c"),
+        F.max(c).over(w).alias("hi_c"),
+        F.min(c).over(w).alias("lo_c"),
+    )
+    # −100·(hi−c)/(hi−lo) on the 1e-6 grid: numerator ≥ 0 (hi is the frame
+    # max) so the device runs unsigned; negate the exact grid integer
+    r6 = F.when(
+        F.col("hi_c") > F.col("lo_c"),
+        -F.expr(
+            floor_div_sql(
+                "200000000 * CAST(hi_c - c AS DECIMAL(38,0))"
+                " + (hi_c - lo_c)",
+                "2 * CAST(hi_c - lo_c AS DECIMAL(38,0))",
+            )
+        ),
+    )
+    return t.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        (r6.cast("double") / F.lit(1e6)).alias("willr"),
+    )
+
+
+def win_mfi(lineitem: DataFrame, period: int = 14) -> DataFrame:
+    """Money Flow Index over the supplier shipment sequence: volume-scaled
+    RSI. Raw money flow = price·quantity; flows split positive/negative by
+    the price delta sign (flat deltas and the sequence head join neither
+    side, the classic convention); MFI = 100·PMF/(PMF+NMF) over the
+    trailing ``period`` rows. Completes the volume-indicator pair begun by
+    win_obv (direction-signed volume) with magnitude-weighted flow.
+
+    EXACT cross-engine: pc·q is widened to decimal BEFORE the multiply
+    (tick-scale cents × bulk quantities overflow int64 long before
+    100 TB); frame sums of those exact integers are order-independent;
+    the index is the exact rational 100·pmf/(pmf+nmf) through the
+    unsigned decimal device at 6 dp. All-flat frames (pmf+nmf = 0) emit
+    NULL. pmf/nmf surface as BIGINT cent·unit flows — per-frame bounded
+    (``period`` rows), so the cast is safe at any corpus size even though
+    the corpus-wide sum would not be.
+
+    Scale shape: ONE supplier-key Exchange; the lag and the two frame
+    sums share the sort (consecutive Window nodes, no second shuffle).
+    """
+    wo = Window.partitionBy("l_suppkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    wf = wo.rowsBetween(-(period - 1), 0)
+    pc = cents("l_extendedprice")
+    q = F.round(F.col("l_quantity")).cast("long")
+    t = lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_suppkey",
+        "l_shipdate",
+        pc.alias("pc"),
+        q.alias("q"),
+        (pc - F.lag(pc).over(wo)).alias("dp"),
+    )
+    zero = F.lit(0).cast("decimal(38,0)")
+    flow = F.expr("CAST(pc AS DECIMAL(38,0)) * q")
+    t2 = t.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_suppkey",
+        "l_shipdate",
+        F.when(F.col("dp") > 0, flow).otherwise(zero).alias("pf"),
+        F.when(F.col("dp") < 0, flow).otherwise(zero).alias("nf"),
+    )
+    s = t2.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_suppkey",
+        F.sum("pf").over(wf).alias("pmf"),
+        F.sum("nf").over(wf).alias("nmf"),
+    )
+    mfi = F.when(
+        (F.col("pmf") + F.col("nmf")) > 0,
+        iround_col("100 * pmf", "pmf + nmf", 6, signed=False),
+    )
+    return s.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_suppkey",
+        F.col("pmf").cast("long").alias("pmf_c"),
+        F.col("nmf").cast("long").alias("nmf_c"),
+        mfi.alias("mfi"),
+    )

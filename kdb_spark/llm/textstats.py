@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from kdb_spark.analytics.exact import floor_div_sql
+from kdb_spark.analytics.exact import floor_div_sql, iround_col
 from kdb_spark.llm.dedup import tokens
 
 EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
@@ -840,4 +840,48 @@ def text_simpson_diversity(documents: DataFrame) -> DataFrame:
         F.col("p").alias("n_equal_pairs"),
         dev("2 * p").alias("simpson"),
         dev(f"({den}) - 2 * p").alias("gini_simpson"),
+    )
+
+
+def text_yule_k(documents: DataFrame) -> DataFrame:
+    """Yule's characteristic K per language — the classic vocabulary-
+    repetitiveness constant: K = 10⁴·(S₂ − S₁)/S₁² where S₁ = Σ m·V(m)
+    (= total tokens) and S₂ = Σ m²·V(m) over the corpus frequency
+    spectrum V(m). Unlike per-document TTR/MSTTR/Simpson, K is
+    length-insensitive and CORPUS-level — the knob data-curation mixes
+    monitor when rebalancing sources (high K = repetitive boilerplate-ish
+    corpus; ~100–200 is typical prose).
+
+    EXACT cross-engine: token frequencies m are exact integer counts,
+    S₂ accumulates in decimal(38,0) (m² overflows int64 only past
+    m ≈ 3·10⁹ occurrences of one type — disclosed: s2 surfaces as BIGINT,
+    safe while S₂ < 2⁶³, i.e. corpus tokens ≲ 10⁹ per lang at worst-case
+    concentration; the K device itself stays decimal end to end), and
+    K = 10⁴·(S₂−S₁)/S₁² is an exact non-negative rational (S₂ ≥ S₁
+    always) through the unsigned decimal device at 6 dp. A lang group
+    exists only if it produced ≥ 1 token, so S₁ ≥ 1 — no zero-den guard.
+
+    Scale shape: explode → two partial+final hash aggs — (lang, token)
+    counts are Zipf-bounded (vocab ≪ corpus), the per-lang final is tiny.
+    No window, no join, no UDF; the same posture as ngram_topk.
+    """
+    f = documents.select("lang", F.explode(tokens("text")).alias("tok"))
+    m = f.groupBy("lang", "tok").agg(F.count(F.lit(1)).cast("long").alias("m"))
+    g = m.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum("m").cast("long").alias("n_tokens"),
+        F.sum(F.col("m").cast("decimal(38,0)") * F.col("m")).alias("s2"),
+    )
+    k6 = iround_col(
+        "10000 * (s2 - n_tokens)",
+        "CAST(n_tokens AS DECIMAL(38,0)) * n_tokens",
+        6,
+        signed=False,
+    )
+    return g.select(
+        "lang",
+        "n_types",
+        "n_tokens",
+        F.col("s2").cast("long").alias("s2"),
+        k6.alias("yule_k"),
     )

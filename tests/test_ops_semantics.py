@@ -2128,3 +2128,80 @@ def test_round_number_bias_hand_cases(spark):
     assert (r.n, r.n_whole, r.n_half, r.n_quarter, r.n_dime) == (4, 1, 2, 3, 2)
     assert r.whole_share == 0.25 and r.half_share == 0.5
     assert r.quarter_share == 0.75 and r.dime_share == 0.5
+
+
+def test_williams_r_hand_series(spark):
+    """%R = −100·(hi−c)/(hi−lo) over the trailing frame: flat channel →
+    NULL, close at the high → 0.0 (no signed zero), midpoints exact."""
+    rows = [
+        (1, 1, "a", 1000, 1.00),   # hi=lo → null
+        (2, 1, "a", 2000, 2.00),   # close at high → 0.0
+        (3, 1, "a", 3000, 1.50),   # −100·50/100 = −50.0
+        (4, 1, "a", 4000, 1.25),   # −100·75/100 = −75.0
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts_us long, value double"
+    )
+    got = {r.event_id: r.willr for r in wn.win_williams_r(df).collect()}
+    assert got[1] is None
+    assert got[2] == 0.0 and math.copysign(1.0, got[2]) == 1.0
+    assert got[3] == -50.0 and got[4] == -75.0
+
+
+def test_mfi_hand_lines(spark):
+    """Money flow splits by price-delta sign (head and flat join neither
+    side); MFI = 100·pmf/(pmf+nmf) on the device grid."""
+    import datetime
+
+    rows = [
+        (1, 1, 7, 5.0, 10.0, datetime.datetime(2024, 1, 1)),  # head → no flow
+        (2, 1, 7, 3.0, 12.0, datetime.datetime(2024, 1, 2)),  # up   → pf 3600
+        (3, 1, 7, 4.0, 12.0, datetime.datetime(2024, 1, 3)),  # flat → no flow
+        (4, 1, 7, 2.0, 9.0, datetime.datetime(2024, 1, 4)),   # down → nf 1800
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_linenumber int, l_suppkey long,"
+        " l_quantity double, l_extendedprice double, l_shipdate timestamp",
+    )
+    got = {r.l_orderkey: r for r in wn.win_mfi(df).collect()}
+    assert got[1].mfi is None and got[1].pmf_c == 0 and got[1].nmf_c == 0
+    assert got[2].mfi == 100.0 and got[2].pmf_c == 3600
+    assert got[3].mfi == 100.0
+    # 100·3600/5400 = 66.666… → 66.666667 on the 6 dp grid
+    assert got[4].mfi == 66.666667 and got[4].nmf_c == 1800
+
+
+def test_spearman_hand_groups(spark):
+    """Monotone ↑ → 1.0, monotone ↓ → −1.0; ties use average ranks
+    (doubled to stay integer), pinned against the hand-computed Pearson
+    on ranks."""
+    # ts_us < DAY_US so y = ts_us directly
+    rows = (
+        [(i, 1, "up", i * 1000, float(i)) for i in range(1, 6)]
+        + [(10 + i, 1, "down", i * 1000, float(10 - i)) for i in range(1, 6)]
+        # x = [1,1,2] with y = [1000,2000,3000]: 2·avg-ranks x=(3,3,6),
+        # y=(2,4,6) → rho = 6/√48 ≈ 0.8660 → 0.866 on the 1e-4 grid
+        + [(20, 1, "tie", 1000, 1.0), (21, 1, "tie", 2000, 1.0), (22, 1, "tie", 3000, 2.0)]
+    )
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts_us long, value double"
+    )
+    got = {r.event_type: r for r in agg.agg_spearman(df).collect()}
+    assert got["up"].spearman_rho == 1.0 and got["up"].n == 5
+    assert got["down"].spearman_rho == -1.0
+    assert got["tie"].spearman_rho == 0.866
+
+
+def test_yule_k_hand_langs(spark):
+    """K = 10⁴·(S₂−S₁)/S₁² on the exact frequency spectrum: repeated
+    types raise K, an all-hapax corpus pins K = 0."""
+    rows = [
+        (1, "a a a b", "aa"),           # m: a=3,b=1 → S1=4, S2=10 → K=3750
+        (2, "x y z", "bb"),             # all hapax → S2=S1 → K=0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r.lang: r for r in tx.text_yule_k(df).collect()}
+    assert got["aa"].n_types == 2 and got["aa"].n_tokens == 4 and got["aa"].s2 == 10
+    assert got["aa"].yule_k == 3750.0
+    assert got["bb"].yule_k == 0.0 and got["bb"].n_types == 3
