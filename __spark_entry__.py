@@ -6133,3 +6133,140 @@ _reg(
     FROM g
     """,
 )
+
+
+# CCI: mean-absolute-deviation-from-frame-mean oscillator — the frame's
+# cents array folded with a higher-order aggregate, all integers after
+# denominator clearing; oracle derives the same integers via list lambdas
+_reg(
+    "win_cci",
+    lambda s, d: wn.win_cci(events_us(s, d)),
+    """
+    WITH t AS (
+      SELECT event_id, user_id, event_type, epoch_us(ts) AS tu, value,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events),
+    w AS (
+      SELECT event_id, user_id, event_type, value, c,
+             list(c) OVER (PARTITION BY user_id, event_type
+                           ORDER BY tu, event_id
+                           ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS cs
+      FROM t),
+    a AS (
+      SELECT event_id, user_id, event_type, value, c, cs,
+             CAST(len(cs) AS BIGINT) AS l,
+             CAST(list_sum(cs) AS BIGINT) AS s
+      FROM w),
+    d AS (
+      SELECT event_id, user_id, event_type, value, c, l, s,
+             CAST(list_sum(list_transform(cs, x -> abs(x * l - s)))
+                  AS BIGINT) AS dev
+      FROM a)
+    SELECT event_id, user_id, event_type, value,
+           CASE WHEN dev > 0 THEN
+             (CASE WHEN c * l - s < 0 THEN -1 ELSE 1 END)
+             * CAST((2000000 * CAST(1000 AS HUGEINT) * l * abs(c * l - s)
+                     + 15 * CAST(dev AS HUGEINT))
+                    // (2 * 15 * CAST(dev AS HUGEINT)) AS DOUBLE) / 1e6
+           END AS cci
+    FROM d
+    """,
+)
+
+
+# Mann–Whitney U: weekend-vs-weekday rank-sum per event_type — doubled
+# average ranks, exact tie-corrected variance, one IEEE divide/sqrt
+_reg(
+    "agg_mann_whitney",
+    lambda s, d: agg.agg_mann_whitney(events_us(s, d)),
+    """
+    WITH b AS (
+      SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) AS x,
+             ((epoch_us(ts) // 86400000000) % 7) IN (2, 3) AS is_b
+      FROM events),
+    r AS (
+      SELECT event_type, is_b,
+             2 * rank() OVER (PARTITION BY event_type ORDER BY x)
+               + count(*) OVER (PARTITION BY event_type, x) - 1 AS rx
+      FROM b),
+    g AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN is_b THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             sum(CASE WHEN is_b THEN CAST(rx AS HUGEINT) ELSE 0 END) AS r2b
+      FROM r GROUP BY 1),
+    tc AS (
+      SELECT event_type, sum(CAST(t AS HUGEINT) * t * t - t) AS tcorr
+      FROM (SELECT event_type, x, CAST(count(*) AS BIGINT) AS t
+            FROM b GROUP BY 1, 2) GROUP BY 1),
+    j AS (
+      SELECT g.event_type, n, n - n_b AS n_a, n_b,
+             CAST(r2b - CAST(n_b AS HUGEINT) * (n_b + 1) AS BIGINT) AS u2_b,
+             CAST(n - n_b AS HUGEINT) * n_b
+               * (CAST(n AS HUGEINT) * n * n - n - tcorr) AS vnum
+      FROM g JOIN tc ON tc.event_type = g.event_type)
+    SELECT event_type, n_a, n_b, u2_b,
+           CASE WHEN n_a > 0 AND n_b > 0 AND vnum > 0 THEN
+             CAST(floor(
+               CAST(CAST(u2_b AS HUGEINT) - CAST(n_a AS HUGEINT) * n_b
+                    AS DOUBLE)
+               / (2 * sqrt(CAST(vnum AS DOUBLE)
+                           / CAST(12 * CAST(n AS HUGEINT) * (n - 1) AS DOUBLE)))
+               * 1e4 + 0.5) AS DOUBLE) / 1e4
+           END AS z
+    FROM j
+    """,
+)
+
+
+# Month-over-month revenue growth as SQL text: integer month key, exact
+# cents, sign-aware device growth; the lag window sees only month rows
+_reg(
+    "sql_monthly_growth",
+    lambda s, d: agg.sql_monthly_growth(load(s, d, "orders")),
+    """
+    WITH m AS (
+      SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INT) AS ym,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS revenue_c
+      FROM orders GROUP BY 1),
+    l AS (
+      SELECT ym, n_orders, revenue_c,
+             lag(revenue_c) OVER (ORDER BY ym) AS prev_c
+      FROM m)
+    SELECT ym, n_orders, revenue_c, prev_c,
+           CASE WHEN prev_c > 0 THEN
+             (CASE WHEN revenue_c - prev_c < 0 THEN -1 ELSE 1 END)
+             * CAST((2000000 * CAST(abs(revenue_c - prev_c) AS HUGEINT)
+                     + prev_c)
+                    // (2 * CAST(prev_c AS HUGEINT)) AS DOUBLE) / 1e6
+           END AS mom_growth
+    FROM l
+    """,
+)
+
+
+# Neighbor-set Jaccard over the co-purchase projection: exact common/degree
+# integers off one deduped incidence, unsigned device ratio
+_reg(
+    "graph_jaccard_neighbors",
+    lambda s, d: gr.co_purchase_jaccard(
+        load(s, d, "orders"), load(s, d, "lineitem"), max_per_part=500
+    ),
+    """
+    WITH cp AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    d AS (SELECT c, CAST(count(*) AS BIGINT) AS deg FROM cp GROUP BY 1),
+    e AS (SELECT a.c AS a, b.c AS b, CAST(count(*) AS BIGINT) AS common
+          FROM cp a JOIN cp b ON a.p = b.p AND a.c < b.c
+          GROUP BY 1, 2 HAVING count(*) >= 3)
+    SELECT e.a, e.b, e.common,
+           da.deg AS deg_a, db.deg AS deg_b,
+           CAST((2000000 * CAST(common AS HUGEINT)
+                 + (da.deg + db.deg - common))
+                // (2 * CAST(da.deg + db.deg - common AS HUGEINT))
+                AS DOUBLE) / 1e6 AS jaccard
+    FROM e JOIN d da ON da.c = e.a JOIN d db ON db.c = e.b
+    """,
+)

@@ -3169,3 +3169,138 @@ def agg_spearman(events: DataFrame) -> DataFrame:
         / F.lit(1e4),
     )
     return t.select("event_type", "n", rho4.alias("spearman_rho"))
+
+
+def agg_mann_whitney(events: DataFrame) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) per event_type: does the
+    weekend price distribution differ from the weekday one? The
+    nonparametric two-sample location test — the drift gate that, unlike
+    agg_ks_test's D statistic, comes with a closed-form normal
+    approximation and exact tie correction.
+
+    Sample split is pure integer arithmetic on the epoch day (day 0 =
+    Thursday, so d % 7 ∈ {2, 3} ⇔ Sat/Sun) — identical on both engines.
+    Tie semantics: average ranks, kept INTEGER as 2·min_rank + ties − 1
+    (the agg_spearman device), so 2U_b = ΣR2_b − n_b(n_b+1) is exact; the
+    tie-corrected variance Var·(12n(n−1)) = n_a·n_b·((n³−n) − Σ(t³−t)) is
+    an exact decimal from a second (event_type, value) tie-spectrum agg.
+    z = (U_b − n_a·n_b/2)/σ takes ONE divide/sqrt on doubles cast from
+    exact decimals and lands on the 1e-4 grid (the agg_corr pattern).
+    Degenerate groups (either sample empty, or all values tied ⇒ zero
+    variance) emit NULL z. Domain: the variance product is ~n⁵ ≤ 10³⁸ ⇒
+    n ≲ 4·10⁷ rows/group — disclosed; bucket values first past that.
+
+    Scale shape: one event_type Exchange (rank window + per-type agg
+    share it) plus one Zipf-bounded (event_type, value) tie agg, joined
+    on the |types|-row output. No UDF, no fact-side join.
+    """
+    base = events.select(
+        "event_type",
+        cents("value").alias("x"),
+        (F.expr(f"(ts_us div {DAY_US}) % 7").isin(2, 3)).alias("is_b"),
+    )
+    wx = Window.partitionBy("event_type").orderBy("x")
+    tx = Window.partitionBy("event_type", "x")
+    r = base.select(
+        "event_type",
+        "is_b",
+        (2 * F.rank().over(wx) + F.count(F.lit(1)).over(tx) - 1)
+        .cast("long")
+        .alias("rx"),
+    )
+    g = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("is_b"), 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(
+            F.when(F.col("is_b"), F.col("rx")).otherwise(0).cast("decimal(38,0)")
+        ).alias("r2b"),
+    )
+    ties = (
+        base.groupBy("event_type", "x")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(t AS DECIMAL(38,0)) * t * t - t"
+                )
+            ).alias("tcorr")
+        )
+    )
+    j = g.join(ties, "event_type").select(
+        "event_type",
+        "n",
+        (F.col("n") - F.col("n_b")).alias("n_a"),
+        "n_b",
+        # 2·U_b = ΣR2_b − n_b(n_b+1), exact integer (R2 is doubled ranks)
+        F.expr(
+            "CAST(r2b - CAST(n_b AS DECIMAL(38,0)) * (n_b + 1) AS BIGINT)"
+        ).alias("u2_b"),
+        # Var · 12n(n−1) = n_a·n_b·((n³−n) − Σ(t³−t)), exact decimal
+        F.expr(
+            "CAST(n - n_b AS DECIMAL(38,0)) * n_b"
+            " * (CAST(n AS DECIMAL(38,0)) * n * n - n"
+            "    - tcorr)"
+        ).alias("vnum"),
+    )
+    z4 = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0) & (F.col("vnum") > 0),
+        F.floor(
+            F.expr(
+                # exact decimal difference, ONE cast to double; then one
+                # IEEE divide/sqrt chain identical on both engines
+                "CAST(CAST(u2_b AS DECIMAL(38,0))"
+                " - CAST(n_a AS DECIMAL(38,0)) * n_b AS DOUBLE)"
+                " / (2 * sqrt(CAST(vnum AS DOUBLE)"
+                "     / CAST(12 * CAST(n AS DECIMAL(38,0)) * (n - 1) AS DOUBLE)))"
+            )
+            * F.lit(1e4)
+            + F.lit(0.5)
+        ).cast("double")
+        / F.lit(1e4),
+    )
+    return j.select("event_type", "n_a", "n_b", "u2_b", z4.alias("z"))
+
+
+def sql_monthly_growth(orders: DataFrame) -> DataFrame:
+    """Month-over-month revenue growth as a SQL text (the §2 SQL
+    entry-point family): per calendar month — order count, exact revenue
+    cents, the previous month's cents, and the MoM growth rate — the
+    canonical finance trend table.
+
+    EXACT cross-engine: the month key is the integer year·100 + month
+    (no date_trunc surface — a DATE column would compare fine, but the
+    int is simpler and sorts identically), revenue is exact cents, and
+    growth = (rev − prev)/prev rides the sign-aware decimal device at
+    6 dp. The first month (no predecessor) and any zero-prev month emit
+    NULL growth. Consecutive-month semantics: lag is by BOOK order (the
+    previous month WITH ORDERS) — gap months don't exist in TPC-H order
+    books; documented rather than spine-filled.
+
+    Scale shape: one fact-sized per-month partial agg; the lag window
+    runs over the ≤|months| aggregate rows (single-partition by design —
+    the win_pivot_points posture: the window NEVER sees fact rows).
+    """
+    from kdb_spark.analytics.exact import iround_sql
+
+    growth = iround_sql(
+        "revenue_c - prev_c", "CAST(prev_c AS DECIMAL(38,0))", 6, signed=True
+    )
+    return orders.sparkSession.sql(
+        f"""
+        WITH m AS (
+          SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INT) AS ym,
+                 CAST(count(*) AS BIGINT) AS n_orders,
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                      AS BIGINT) AS revenue_c
+          FROM {{orders_v}} GROUP BY 1),
+        l AS (
+          SELECT ym, n_orders, revenue_c,
+                 lag(revenue_c) OVER (ORDER BY ym) AS prev_c
+          FROM m)
+        SELECT ym, n_orders, revenue_c, prev_c,
+               CASE WHEN prev_c > 0 THEN {growth} END AS mom_growth
+        FROM l
+        """,
+        orders_v=orders,
+    )

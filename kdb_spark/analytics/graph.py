@@ -353,3 +353,78 @@ def degree_distribution(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
         F.max("deg").cast("long").alias("max_deg"),
         F.sum("deg").cast("long").alias("sum_deg"),
     )
+
+
+def co_purchase_jaccard(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    min_shared: int = 3,
+    max_per_part: int | None = None,
+) -> DataFrame:
+    """Neighbor-set Jaccard similarity over the customer co-purchase
+    bipartite projection: for every customer pair sharing ≥ ``min_shared``
+    distinct parts, J = |P(a)∩P(b)| / |P(a)∪P(b)| with the union expanded
+    as deg_a + deg_b − common — the link-prediction / account-merge
+    screen (graph-side analog of dedup_ngram_jaccard's set similarity).
+
+    EXACT cross-engine: common-part counts and part-degrees are exact
+    integers off the SAME deduped incidence, and J rides the unsigned
+    decimal device at 6 dp (den = deg_a + deg_b − common ≥ common ≥
+    min_shared > 0, no guard needed).
+
+    Scale shape: the part-keyed self-join is the co_purchase_edges
+    pipeline — ONE repartition on p serves dedup, hub cap, and both join
+    sides (the incidence is shared via the same persisted intermediate,
+    so running this beside triangle_count pays the projection once);
+    ``max_per_part`` is the documented hub guard (exact when no part
+    exceeds it — the caller's contract, cf. co_purchase_edges). Degrees
+    come from a |customers|-sized agg joined onto the pair table on each
+    endpoint — two dimension-sized shuffle joins, AQE broadcasts them
+    when small.
+    """
+    from kdb_spark.llm.dedup import _reused
+
+    incidence = (
+        orders.select("o_orderkey", "o_custkey")
+        .join(
+            lineitem.select("l_orderkey", "l_partkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .repartition("p")
+        .dropDuplicates(["c", "p"])
+    )
+    if max_per_part is not None:
+        from kdb_spark.analytics import cap_per_group
+
+        incidence = cap_per_group(incidence, "p", "c", max_per_part)
+    cp = _reused("co_purchase_incidence", incidence)
+    deg = cp.groupBy("c").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    pairs = (
+        cp.select(F.col("c").alias("a"), "p")
+        .join(cp.select(F.col("c").alias("b"), "p"), "p")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+        .filter(F.col("common") >= min_shared)
+    )
+    from kdb_spark.analytics.exact import floor_div_sql
+
+    j = (
+        pairs.join(deg.select(F.col("c").alias("a"), F.col("deg").alias("deg_a")), "a")
+        .join(deg.select(F.col("c").alias("b"), F.col("deg").alias("deg_b")), "b")
+    )
+    jac6 = F.expr(
+        floor_div_sql(
+            "2000000 * CAST(common AS DECIMAL(38,0)) + (deg_a + deg_b - common)",
+            "2 * CAST(deg_a + deg_b - common AS DECIMAL(38,0))",
+        )
+    )
+    return j.select(
+        "a",
+        "b",
+        "common",
+        "deg_a",
+        "deg_b",
+        (jac6.cast("double") / F.lit(1e6)).alias("jaccard"),
+    )

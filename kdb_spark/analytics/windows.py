@@ -1614,3 +1614,84 @@ def win_mfi(lineitem: DataFrame, period: int = 14) -> DataFrame:
         F.col("nmf").cast("long").alias("nmf_c"),
         mfi.alias("mfi"),
     )
+
+
+def win_cci(events: DataFrame, period: int = 20) -> DataFrame:
+    """Commodity Channel Index per series over the trailing ``period``
+    rows: CCI = (p − SMA)/(0.015·MD) where MD is the mean absolute
+    deviation FROM THE CURRENT FRAME'S SMA — the indicator whose inner
+    statistic (every frame row re-compared against the frame mean) plain
+    window aggregates cannot express. tp = the tick price itself (the
+    single-price series form; the H/L/C typical-price variant is the same
+    arithmetic on agg_ohlc's outputs).
+
+    EXACT cross-engine: with L = frame length, S = Σc, CCI is the exact
+    rational 1000·L·(c·L − S) / (15·Σ|cⱼ·L − S|) — clearing denominators
+    makes every intermediate an integer, so the frame's cents array is
+    folded with a higher-order ``aggregate`` (order-independent: a sum of
+    absolute values), and the ratio rides the sign-aware decimal device
+    at 6 dp. Zero deviation (flat frame) emits NULL. The DuckDB oracle
+    computes the same integers via list(c) OVER + list_transform/
+    list_sum — different surface syntax, identical arithmetic.
+
+    Scale shape: ONE series-key Exchange; the frame materializes ≤
+    ``period`` bigints per row (collect_list over a bounded rows-frame —
+    NOT a per-group collect), folded in whole-stage codegen. Bytes/row ~
+    8·period; at period=20 that is the cost of two decimals.
+    """
+    w = (
+        Window.partitionBy("user_id", "event_type")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(-(period - 1), 0)
+    )
+    c = cents("value")
+    t = events.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        c.alias("c"),
+        F.collect_list(c).over(w).alias("cs"),
+    ).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        "c",
+        "cs",
+        F.expr("CAST(size(cs) AS BIGINT)").alias("l"),
+        F.expr(
+            "aggregate(cs, CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        ).alias("s"),
+    ).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        "c",
+        "l",
+        "s",
+        # |x·L − S| folded against the ALREADY-computed frame sum — one
+        # linear pass; the lambda captures the row's l/s columns
+        F.expr(
+            "aggregate(cs, CAST(0 AS BIGINT), (acc, x) -> acc + abs(x * l - s))"
+        ).alias("dev"),
+    )
+    cci6 = F.when(
+        F.col("dev") > 0,
+        F.expr(
+            "(CASE WHEN c * l - s < 0 THEN -1 ELSE 1 END) * "
+            + floor_div_sql(
+                "2000000 * CAST(1000 AS DECIMAL(38,0)) * l * abs(c * l - s)"
+                " + 15 * CAST(dev AS DECIMAL(38,0))",
+                "2 * 15 * CAST(dev AS DECIMAL(38,0))",
+            )
+        ),
+    )
+    return t.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        (cci6.cast("double") / F.lit(1e6)).alias("cci"),
+    )

@@ -2205,3 +2205,84 @@ def test_yule_k_hand_langs(spark):
     assert got["aa"].n_types == 2 and got["aa"].n_tokens == 4 and got["aa"].s2 == 10
     assert got["aa"].yule_k == 3750.0
     assert got["bb"].yule_k == 0.0 and got["bb"].n_types == 3
+
+
+def test_cci_hand_series(spark):
+    """CCI = 1000·L·(c·L−S)/(15·Σ|cⱼ·L−S|) — flat frame → NULL, rising
+    trend pins +100 region, reversal flips the sign."""
+    rows = [
+        (1, 1, "a", 1000, 1.00),   # L=1, dev=0 → NULL
+        (2, 1, "a", 2000, 2.00),   # 200000/3000 = 66.666667
+        (3, 1, "a", 3000, 3.00),   # 900000/9000 = 100.0
+        (4, 1, "a", 4000, 1.00),   # reversal → −66.666667
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts_us long, value double"
+    )
+    got = {r.event_id: r.cci for r in wn.win_cci(df).collect()}
+    assert got[1] is None
+    assert got[2] == 66.666667 and got[3] == 100.0
+    assert got[4] == -66.666667
+
+
+def test_mann_whitney_hand_split(spark):
+    """Perfect weekend/weekday separation: U_b = n_a·n_b (u2_b doubled),
+    z = √3 on the hand-derived tie-free variance."""
+    DAY = 86_400_000_000
+    rows = (
+        # epoch day 0 = Thursday → weekday sample a: values 1,2,3
+        [(1, 1, "g", 0 * DAY + 1, 1.0), (2, 1, "g", 0 * DAY + 2, 2.0),
+         (3, 1, "g", 0 * DAY + 3, 3.0)]
+        # epoch day 2 = Saturday → weekend sample b: values 10,11
+        + [(4, 1, "g", 2 * DAY + 1, 10.0), (5, 1, "g", 2 * DAY + 2, 11.0)]
+    )
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts_us long, value double"
+    )
+    [r] = agg.agg_mann_whitney(df).collect()
+    assert (r.n_a, r.n_b) == (3, 2)
+    # R2_b = 8+10 = 18; u2_b = 18 − 2·3 = 12 (U_b = 6 = n_a·n_b, max)
+    assert r.u2_b == 12
+    # z = (12−6)/(2·√(720/240)) = 3/√3 = √3 → 1.7321 on the 1e-4 grid
+    assert r.z == 1.7321
+
+
+def test_monthly_growth_hand_orders(spark):
+    """MoM growth on exact cents: +50% then −50%; the first month and
+    zero-prev months report NULL."""
+    import datetime
+
+    rows = [
+        (1, 1, 100.0, datetime.datetime(1995, 1, 10)),
+        (2, 1, 150.0, datetime.datetime(1995, 2, 10)),
+        (3, 1, 75.0, datetime.datetime(1995, 3, 10)),
+    ]
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_totalprice double, o_orderdate timestamp"
+    )
+    got = {r.ym: r for r in agg.sql_monthly_growth(df).collect()}
+    assert got[199501].mom_growth is None
+    assert got[199502].mom_growth == 0.5 and got[199502].prev_c == 10000
+    assert got[199503].mom_growth == -0.5
+
+
+def test_jaccard_neighbors_hand_graph(spark):
+    """J = common/(deg_a + deg_b − common) off the deduped incidence;
+    pairs under min_shared drop."""
+    import datetime
+    from kdb_spark.analytics import graph as gr
+
+    t0 = datetime.datetime(1995, 1, 1)
+    orders = spark.createDataFrame(
+        [(1, 1, 1.0, t0), (2, 2, 1.0, t0), (3, 3, 1.0, t0)],
+        "o_orderkey long, o_custkey long, o_totalprice double, o_orderdate timestamp",
+    )
+    lines = [(1, p) for p in (1, 2, 3, 4)] + [(2, p) for p in (1, 2, 3, 5)] + [
+        (3, p) for p in (1, 2)
+    ]
+    lineitem = spark.createDataFrame(lines, "l_orderkey long, l_partkey long")
+    got = {(r.a, r.b): r for r in gr.co_purchase_jaccard(orders, lineitem).collect()}
+    assert set(got) == {(1, 2)}  # cust 3 shares only 2 parts → dropped
+    r = got[(1, 2)]
+    assert (r.common, r.deg_a, r.deg_b) == (3, 4, 4)
+    assert r.jaccard == 0.6
