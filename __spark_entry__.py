@@ -6270,3 +6270,172 @@ _reg(
     FROM e JOIN d da ON da.c = e.a JOIN d db ON db.c = e.b
     """,
 )
+
+
+# Time-since-last-purchase per user at every row: pure integer µs window
+# arithmetic (the feature-store recency staple)
+_reg(
+    "win_since_event",
+    lambda s, d: wn.win_since_event(events_us(s, d)),
+    """
+    WITH t AS (
+      SELECT event_id, user_id, event_type, epoch_us(ts) AS tu FROM events)
+    SELECT event_id, user_id, event_type, tu AS ts_us,
+           CAST(tu - max(CASE WHEN event_type = 'purchase' THEN tu END)
+                     OVER w AS BIGINT) AS since_us,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    OVER w AS BIGINT) AS n_target_so_far
+    FROM t
+    WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+
+
+# Cohen's d weekend-vs-weekday effect size: exact decimal conditional
+# moments, denominator-cleared pooled variance, one IEEE chain to the grid
+_reg(
+    "agg_cohens_d",
+    lambda s, d: agg.agg_cohens_d(events_us(s, d)),
+    """
+    WITH b AS (
+      SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) AS x,
+             ((epoch_us(ts) // 86400000000) % 7) IN (2, 3) AS is_b
+      FROM events),
+    g AS (
+      SELECT event_type,
+             CAST(sum(CASE WHEN NOT is_b THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN is_b THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             sum(CASE WHEN NOT is_b THEN CAST(x AS HUGEINT) ELSE 0 END) AS s_a,
+             sum(CASE WHEN is_b THEN CAST(x AS HUGEINT) ELSE 0 END) AS s_b,
+             sum(CASE WHEN NOT is_b THEN CAST(x AS HUGEINT) * x ELSE 0 END) AS q_a,
+             sum(CASE WHEN is_b THEN CAST(x AS HUGEINT) * x ELSE 0 END) AS q_b
+      FROM b GROUP BY 1),
+    t AS (
+      SELECT event_type, n_a, n_b,
+             CAST(n_b AS HUGEINT) * (CAST(n_a AS HUGEINT) * q_a - s_a * s_a)
+               + CAST(n_a AS HUGEINT) * (CAST(n_b AS HUGEINT) * q_b - s_b * s_b)
+               AS vnum,
+             s_b * CAST(n_a AS HUGEINT) - s_a * CAST(n_b AS HUGEINT) AS diff,
+             s_a, s_b
+      FROM g)
+    SELECT event_type, n_a, n_b,
+           CASE WHEN n_a > 0 THEN
+             (CASE WHEN s_a < 0 THEN -1 ELSE 1 END)
+             * CAST((2000000 * abs(s_a) + 100 * CAST(n_a AS HUGEINT))
+                    // (2 * 100 * CAST(n_a AS HUGEINT)) AS DOUBLE) / 1e6
+           END AS mean_weekday,
+           CASE WHEN n_b > 0 THEN
+             (CASE WHEN s_b < 0 THEN -1 ELSE 1 END)
+             * CAST((2000000 * abs(s_b) + 100 * CAST(n_b AS HUGEINT))
+                    // (2 * 100 * CAST(n_b AS HUGEINT)) AS DOUBLE) / 1e6
+           END AS mean_weekend,
+           CASE WHEN n_a > 0 AND n_b > 0 AND n_a + n_b > 2 AND vnum > 0 THEN
+             CAST(floor(
+               CAST(diff AS DOUBLE)
+               / (CAST(CAST(n_a AS HUGEINT) * n_b AS DOUBLE)
+                  * sqrt(CAST(vnum AS DOUBLE)
+                         / CAST(CAST(n_a AS HUGEINT) * n_b * (n_a + n_b - 2)
+                                AS DOUBLE)))
+               * 1e4 + 0.5) AS DOUBLE) / 1e4
+           END AS cohens_d
+    FROM t
+    """,
+)
+
+
+# Cramér's V type×weekday association: structural-zero cells included,
+# per-cell deterministic doubles folded in fixed order (chi2_drift device)
+_reg(
+    "agg_cramers_v",
+    lambda s, d: agg.agg_cramers_v(events_us(s, d)),
+    """
+    WITH b AS (
+      SELECT event_type,
+             CAST((epoch_us(ts) // 86400000000) % 7 AS INT) AS dow
+      FROM events),
+    counts AS (
+      SELECT event_type, dow, CAST(count(*) AS BIGINT) AS c
+      FROM b GROUP BY 1, 2),
+    rt AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS r FROM counts GROUP BY 1),
+    ct AS (SELECT dow, CAST(sum(c) AS BIGINT) AS k FROM counts GROUP BY 1),
+    tt AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM counts),
+    cells AS (
+      SELECT rt.event_type, ct.dow, rt.r, ct.k, tt.n, coalesce(co.c, 0) AS c
+      FROM rt CROSS JOIN ct CROSS JOIN tt
+      LEFT JOIN counts co ON co.event_type = rt.event_type AND co.dow = ct.dow),
+    cd AS (
+      SELECT event_type, dow, n,
+             CAST(CAST(c AS HUGEINT) * n - CAST(r AS HUGEINT) * k AS DOUBLE)
+               AS dnum,
+             CAST(CAST(r AS HUGEINT) * k * n AS DOUBLE) AS e
+      FROM cells),
+    cc AS (SELECT event_type, dow, n, dnum * dnum / e AS term FROM cd),
+    g AS (
+      SELECT max(n) AS n,
+             CAST(count(DISTINCT event_type) AS BIGINT) AS n_rows,
+             CAST(count(DISTINCT dow) AS BIGINT) AS n_cols,
+             list_reduce(list(term ORDER BY event_type, dow),
+                         (x, y) -> x + y) AS chi2_raw
+      FROM cc)
+    SELECT n, n_rows, n_cols,
+           CAST((n_rows - 1) * (n_cols - 1) AS BIGINT) AS dof,
+           CAST(floor(chi2_raw * 1e6 + 0.5) AS DOUBLE) / 1e6 AS chi2,
+           CASE WHEN least(n_rows - 1, n_cols - 1) >= 1 THEN
+             CAST(floor(sqrt(chi2_raw
+                             / CAST(CAST(n AS HUGEINT)
+                                    * least(n_rows - 1, n_cols - 1) AS DOUBLE))
+                        * 1e4 + 0.5) AS DOUBLE) / 1e4
+           END AS cramers_v
+    FROM g
+    """,
+)
+
+
+# Gopher/C4 intra-doc quality battery: dup-line/dup-char/bullet/ellipsis
+# ratios from a map-only sorted run-length fold; oracle via unnest+group
+_reg(
+    "text_gopher_quality",
+    lambda s, d: tx.text_gopher_quality(load(s, d, "documents")),
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents),
+    nn AS (
+      SELECT doc_id,
+             CAST(len(ls) AS BIGINT) AS n_lines,
+             CAST(coalesce(list_sum(list_transform(ls, x -> length(x))), 0)
+                  AS BIGINT) AS n_chars,
+             CAST(len(list_filter(ls, x -> starts_with(ltrim(x), '-')
+                                        OR starts_with(ltrim(x), '*')))
+                  AS BIGINT) AS bullet_lines,
+             CAST(len(list_filter(ls, x -> ends_with(rtrim(x), '...')))
+                  AS BIGINT) AS ellipsis_lines
+      FROM t),
+    f AS (SELECT doc_id, unnest(ls) AS line FROM t),
+    gg AS (SELECT doc_id, line, CAST(count(*) AS BIGINT) AS m
+           FROM f GROUP BY 1, 2),
+    dd AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN m > 1 THEN m ELSE 0 END) AS BIGINT) AS dup_lines,
+             CAST(sum(CASE WHEN m > 1 THEN m * length(line) ELSE 0 END)
+                  AS BIGINT) AS dup_chars
+      FROM gg GROUP BY 1)
+    SELECT nn.doc_id, n_lines, dup_lines, dup_chars, bullet_lines,
+           ellipsis_lines,
+           CAST((2000000 * CAST(dup_lines AS HUGEINT) + n_lines)
+                // (2 * CAST(n_lines AS HUGEINT)) AS DOUBLE) / 1e6
+             AS dup_line_ratio,
+           CASE WHEN n_chars > 0 THEN
+             CAST((2000000 * CAST(dup_chars AS HUGEINT) + n_chars)
+                  // (2 * CAST(n_chars AS HUGEINT)) AS DOUBLE) / 1e6
+           END AS dup_char_ratio,
+           CAST((2000000 * CAST(bullet_lines AS HUGEINT) + n_lines)
+                // (2 * CAST(n_lines AS HUGEINT)) AS DOUBLE) / 1e6
+             AS bullet_ratio,
+           CAST((2000000 * CAST(ellipsis_lines AS HUGEINT) + n_lines)
+                // (2 * CAST(n_lines AS HUGEINT)) AS DOUBLE) / 1e6
+             AS ellipsis_ratio
+    FROM nn JOIN dd ON dd.doc_id = nn.doc_id
+    """,
+)

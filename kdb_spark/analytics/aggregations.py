@@ -3304,3 +3304,182 @@ def sql_monthly_growth(orders: DataFrame) -> DataFrame:
         """,
         orders_v=orders,
     )
+
+
+def agg_cohens_d(events: DataFrame) -> DataFrame:
+    """Cohen's d effect size per event_type: the standardized
+    weekend-vs-weekday mean price difference on the pooled standard
+    deviation — the PARAMETRIC twin of agg_mann_whitney (same integer
+    epoch-day split), answering "how big is the shift" where the rank
+    test answers "is there one".
+
+    EXACT cross-engine: per-sample sums and second moments accumulate in
+    decimal(38,0) on exact cents; the pooled-variance numerator clears
+    denominators to Vnum = n_b·(n_a·q_a − s_a²) + n_a·(n_b·q_b − s_b²)
+    (exact decimal), so d = (s_b·n_a − s_a·n_b) / (n_a·n_b·σ_pooled)
+    takes ONE IEEE divide/multiply/sqrt chain on doubles cast from exact
+    decimals and lands on the 1e-4 grid. Sample means surface in dollars
+    through the standard device at 6 dp. Degenerate groups (either
+    sample empty, n ≤ 2, or zero pooled variance) emit NULL d. Domain:
+    Vnum ~ n³·c² ≤ 10³⁸ ⇒ n ≲ 2·10⁷ rows/group at tick-scale cents —
+    disclosed (same class as agg_mann_whitney's n⁵).
+
+    Scale shape: ONE fact-sized conditional-moment hash agg (map-side
+    combined), then scalar math on |types| rows. No window, no join.
+    """
+    base = events.select(
+        "event_type",
+        cents("value").alias("x"),
+        (F.expr(f"(ts_us div {DAY_US}) % 7").isin(2, 3)).alias("is_b"),
+    )
+    xd = F.col("x").cast("decimal(38,0)")
+    g = base.groupBy("event_type").agg(
+        F.sum(F.when(~F.col("is_b"), 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("is_b"), 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(~F.col("is_b"), xd).otherwise(F.lit(0).cast("decimal(38,0)"))).alias("s_a"),
+        F.sum(F.when(F.col("is_b"), xd).otherwise(F.lit(0).cast("decimal(38,0)"))).alias("s_b"),
+        F.sum(F.when(~F.col("is_b"), xd * F.col("x")).otherwise(F.lit(0).cast("decimal(38,0)"))).alias("q_a"),
+        F.sum(F.when(F.col("is_b"), xd * F.col("x")).otherwise(F.lit(0).cast("decimal(38,0)"))).alias("q_b"),
+    )
+    t = g.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.expr(
+            "CAST(n_b AS DECIMAL(38,0)) * (CAST(n_a AS DECIMAL(38,0)) * q_a - s_a * s_a)"
+            " + CAST(n_a AS DECIMAL(38,0)) * (CAST(n_b AS DECIMAL(38,0)) * q_b - s_b * s_b)"
+        ).alias("vnum"),
+        F.expr("s_b * CAST(n_a AS DECIMAL(38,0)) - s_a * CAST(n_b AS DECIMAL(38,0))").alias("diff"),
+        "s_a",
+        "s_b",
+    )
+    d4 = F.when(
+        (F.col("n_a") > 0)
+        & (F.col("n_b") > 0)
+        & (F.col("n_a") + F.col("n_b") > 2)
+        & (F.col("vnum") > 0),
+        F.floor(
+            F.expr(
+                "CAST(diff AS DOUBLE)"
+                " / (CAST(CAST(n_a AS DECIMAL(38,0)) * n_b AS DOUBLE)"
+                "    * sqrt(CAST(vnum AS DOUBLE)"
+                "           / CAST(CAST(n_a AS DECIMAL(38,0)) * n_b * (n_a + n_b - 2)"
+                "                  AS DOUBLE)))"
+            )
+            * F.lit(1e4)
+            + F.lit(0.5)
+        ).cast("double")
+        / F.lit(1e4),
+    )
+    mean_a = F.when(
+        F.col("n_a") > 0,
+        iround_col("s_a", "100 * CAST(n_a AS DECIMAL(38,0))", 6, signed=True),
+    )
+    mean_b = F.when(
+        F.col("n_b") > 0,
+        iround_col("s_b", "100 * CAST(n_b AS DECIMAL(38,0))", 6, signed=True),
+    )
+    return t.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        mean_a.alias("mean_weekday"),
+        mean_b.alias("mean_weekend"),
+        d4.alias("cohens_d"),
+    )
+
+
+def agg_cramers_v(events: DataFrame) -> DataFrame:
+    """Cramér's V association between event_type and day-of-week — "does
+    WHAT happens depend on WHEN": the normalized chi-square over the full
+    R×C contingency table, one global statistic row (agg_chi2_drift is
+    the 2×L pairwise-drift form; this is the classic association census).
+
+    EXACT cross-engine (the agg_chi2_drift discipline): contingency cells
+    INCLUDE structural zeros (margin cross join, so every E > 0 cell
+    exists even when O = 0); each cell's (O·n − r·k)²/(n·r·k) is ONE
+    deterministic double from exact decimals (the square is a
+    self-multiply of the cast value, never pow); the statistic folds the
+    ≤ R·C cell doubles in a FIXED (event_type, dow) order via array_sort
+    + left fold, replayed identically by the oracle's list(ORDER BY) +
+    list_reduce. chi2 surfaces on the 1e-6 grid, V = √(chi2_raw/
+    (n·min(R−1, C−1))) on the 1e-4 grid (one IEEE divide/sqrt from the
+    same unrounded fold). Degenerate tables (R < 2 or C < 2) emit NULL V.
+    Domain: (c·n)² ≤ 10³⁸ ⇒ n ≲ 3·10⁹ rows — disclosed.
+
+    Scale shape: ONE fact-sized (type, dow) hash agg; margins, the
+    ≤ R·C cross join, and the global fold are all dimension-sized.
+    """
+    base = events.select(
+        "event_type",
+        F.expr(f"CAST((ts_us div {DAY_US}) % 7 AS INT)").alias("dow"),
+    )
+    counts = base.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    rows_t = counts.groupBy("event_type").agg(F.sum("c").cast("long").alias("r"))
+    cols_t = counts.groupBy("dow").agg(F.sum("c").cast("long").alias("k"))
+    tot = counts.agg(F.sum("c").cast("long").alias("n"))
+    cells = (
+        rows_t.crossJoin(cols_t)
+        .join(counts, ["event_type", "dow"], "left")
+        .crossJoin(tot)
+        .select(
+            "event_type",
+            "dow",
+            "r",
+            "k",
+            "n",
+            F.coalesce("c", F.lit(0)).cast("long").alias("c"),
+        )
+    )
+    cell = cells.select(
+        "event_type",
+        "dow",
+        "n",
+        F.expr(
+            "CAST(CAST(c AS DECIMAL(38,0)) * n"
+            " - CAST(r AS DECIMAL(38,0)) * k AS DOUBLE)"
+        ).alias("dnum"),
+        F.expr("CAST(CAST(r AS DECIMAL(38,0)) * k * n AS DOUBLE)").alias("e"),
+    ).select(
+        "event_type",
+        "dow",
+        "n",
+        (F.col("dnum") * F.col("dnum") / F.col("e")).alias("term"),
+    )
+    g = cell.agg(
+        F.max("n").alias("n"),
+        F.countDistinct("event_type").cast("long").alias("n_rows"),
+        F.countDistinct("dow").cast("long").alias("n_cols"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("event_type", "dow", "term"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["term"],
+        ).alias("chi2_raw"),
+    )
+    minrc = F.least(F.col("n_rows") - 1, F.col("n_cols") - 1)
+    v4 = F.when(
+        minrc >= 1,
+        F.floor(
+            F.sqrt(
+                F.col("chi2_raw")
+                / F.expr("CAST(CAST(n AS DECIMAL(38,0))"
+                         " * least(n_rows - 1, n_cols - 1) AS DOUBLE)")
+            )
+            * F.lit(1e4)
+            + F.lit(0.5)
+        ).cast("double")
+        / F.lit(1e4),
+    )
+    return g.select(
+        "n",
+        "n_rows",
+        "n_cols",
+        ((F.col("n_rows") - 1) * (F.col("n_cols") - 1)).cast("long").alias("dof"),
+        (
+            F.floor(F.col("chi2_raw") * F.lit(1e6) + F.lit(0.5)).cast("double")
+            / F.lit(1e6)
+        ).alias("chi2"),
+        v4.alias("cramers_v"),
+    )

@@ -1695,3 +1695,38 @@ def win_cci(events: DataFrame, period: int = 20) -> DataFrame:
         "value",
         (cci6.cast("double") / F.lit(1e6)).alias("cci"),
     )
+
+
+def win_since_event(events: DataFrame, target: str = "purchase") -> DataFrame:
+    """Time since the last ``target`` event per user, at every row — the
+    feature-store staple ("seconds since last purchase") and the recency
+    feature behind churn/propensity models; kdb's fills-on-a-condition
+    idiom. Also surfaces the running count of target events seen.
+
+    EXACT cross-engine: pure integer µs arithmetic — the last target
+    timestamp is max(CASE WHEN target THEN ts END) over the unbounded
+    trailing frame (max ≡ latest because the frame is ordered by ts), the
+    gap is one subtraction, and rows before a user's first target event
+    emit NULL. A target row itself reports 0 (the frame is inclusive).
+    No rounding device — nothing here is a ratio.
+
+    Scale shape: ONE user-key Exchange; both running aggregates share the
+    frame buffer. The state is two longs per row in flight — this is the
+    batch twin of a trivially stateful streaming op.
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    is_t = F.col("event_type") == target
+    last_t = F.max(F.when(is_t, F.col("ts_us"))).over(w)
+    n_t = F.sum(F.when(is_t, 1).otherwise(0)).over(w).cast("long")
+    return events.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts_us",
+        (F.col("ts_us") - last_t).cast("long").alias("since_us"),
+        n_t.alias("n_target_so_far"),
+    )

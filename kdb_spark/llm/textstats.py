@@ -885,3 +885,82 @@ def text_yule_k(documents: DataFrame) -> DataFrame:
         F.col("s2").cast("long").alias("s2"),
         k6.alias("yule_k"),
     )
+
+
+def text_gopher_quality(documents: DataFrame) -> DataFrame:
+    """Per-document line-level repetition/format signals — the Gopher/C4
+    quality-filter battery: fraction of lines that are duplicates of
+    another line in the SAME doc, fraction of characters inside those
+    duplicated lines, fraction of lines starting with a bullet, and
+    fraction ending in an ellipsis. These are the published web-scrape
+    boilerplate screens (nav menus repeat lines; listicles bullet;
+    truncated snippets trail "..."), sitting beside text_boilerplate_ratio
+    (which screens CROSS-doc repetition) as the intra-doc form.
+
+    Line semantics: split on newline, empty lines count (a doc of blank
+    lines IS repetitive — disclosed, matching the paper's all-lines
+    denominator); every text yields ≥ 1 line so n_lines ≥ 1 and only the
+    character ratio needs a zero guard.
+
+    EXACT cross-engine: duplicate counts come from a run-length fold over
+    the SORTED line array (map-only — no text ever shuffles; flush-at-end
+    finish lambda closes the last run), bullet/ellipsis are array filters,
+    and all four ratios ride the unsigned decimal device at 6 dp. The
+    oracle derives the same integers from unnest + group (different plan,
+    identical arithmetic — the text_hapax_ratio precedent).
+
+    Scale shape: map-only, whole-stage codegen; one array_sort + three
+    linear folds per row.
+    """
+    t = documents.select(
+        "doc_id", F.split("text", "\n").alias("ls")
+    ).select(
+        "doc_id",
+        "ls",
+        F.size("ls").cast("long").alias("n_lines"),
+        F.expr(
+            "aggregate(ls, CAST(0 AS BIGINT), (acc, x) -> acc + length(x))"
+        ).alias("n_chars"),
+        F.expr(
+            "size(filter(ls, x -> startswith(ltrim(x), '-')"
+            " OR startswith(ltrim(x), '*')))"
+        ).cast("long").alias("bullet_lines"),
+        F.expr(
+            "size(filter(ls, x -> endswith(rtrim(x), '...')))"
+        ).cast("long").alias("ellipsis_lines"),
+        F.expr(
+            """
+            aggregate(array_sort(ls),
+              struct(CAST(NULL AS STRING) AS prev, CAST(0 AS BIGINT) AS run,
+                     CAST(0 AS BIGINT) AS dl, CAST(0 AS BIGINT) AS dc),
+              (acc, x) -> IF(acc.prev IS NOT NULL AND x = acc.prev,
+                struct(x AS prev, acc.run + CAST(1 AS BIGINT) AS run,
+                       acc.dl AS dl, acc.dc AS dc),
+                struct(x AS prev, CAST(1 AS BIGINT) AS run,
+                       acc.dl + IF(acc.run > 1, acc.run, CAST(0 AS BIGINT)) AS dl,
+                       acc.dc + IF(acc.run > 1,
+                                   acc.run * length(acc.prev),
+                                   CAST(0 AS BIGINT)) AS dc)),
+              acc -> struct(
+                acc.dl + IF(acc.run > 1, acc.run, CAST(0 AS BIGINT)) AS dl,
+                acc.dc + IF(acc.run > 1, acc.run * length(acc.prev),
+                            CAST(0 AS BIGINT)) AS dc))
+            """
+        ).alias("dup"),
+    )
+    def ratio(num: str, den: str) -> F.Column:
+        return iround_col(num, f"CAST({den} AS DECIMAL(38,0))", 6, signed=False)
+    return t.select(
+        "doc_id",
+        "n_lines",
+        F.col("dup.dl").alias("dup_lines"),
+        F.col("dup.dc").alias("dup_chars"),
+        "bullet_lines",
+        "ellipsis_lines",
+        ratio("dup.dl", "n_lines").alias("dup_line_ratio"),
+        F.when(
+            F.col("n_chars") > 0, ratio("dup.dc", "n_chars")
+        ).alias("dup_char_ratio"),
+        ratio("bullet_lines", "n_lines").alias("bullet_ratio"),
+        ratio("ellipsis_lines", "n_lines").alias("ellipsis_ratio"),
+    )

@@ -2286,3 +2286,71 @@ def test_jaccard_neighbors_hand_graph(spark):
     r = got[(1, 2)]
     assert (r.common, r.deg_a, r.deg_b) == (3, 4, 4)
     assert r.jaccard == 0.6
+
+
+def test_since_event_hand_rows(spark):
+    """Recency feature: NULL before the first purchase, 0 on purchase
+    rows, exact µs gap after; running target count rides along."""
+    rows = [
+        (1, 1, "view", 1000, 1.0),
+        (2, 1, "purchase", 2000, 1.0),
+        (3, 1, "view", 3000, 1.0),
+        (4, 1, "purchase", 5000, 1.0),
+        (5, 1, "view", 6000, 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts_us long, value double"
+    )
+    got = {r.event_id: r for r in wn.win_since_event(df).collect()}
+    assert got[1].since_us is None and got[1].n_target_so_far == 0
+    assert got[2].since_us == 0 and got[2].n_target_so_far == 1
+    assert got[3].since_us == 1000
+    assert got[4].since_us == 0 and got[4].n_target_so_far == 2
+    assert got[5].since_us == 1000 and got[5].n_target_so_far == 2
+
+
+def test_cohens_d_hand_split(spark):
+    """Hand-derived pooled variance: SS_a = 20000, SS_b = 5000 on cents;
+    d = 850/√(25000/3) on the 1e-4 grid; means exact."""
+    DAY = 86_400_000_000
+    rows = (
+        [(1, 1, "g", 0 * DAY + 1, 1.0), (2, 1, "g", 0 * DAY + 2, 2.0),
+         (3, 1, "g", 0 * DAY + 3, 3.0)]
+        + [(4, 1, "g", 2 * DAY + 1, 10.0), (5, 1, "g", 2 * DAY + 2, 11.0)]
+    )
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts_us long, value double"
+    )
+    [r] = agg.agg_cohens_d(df).collect()
+    assert (r.n_a, r.n_b) == (3, 2)
+    assert r.mean_weekday == 2.0 and r.mean_weekend == 10.5
+    expected = math.floor(5100.0 / (6 * math.sqrt(150000.0 / 18)) * 1e4 + 0.5) / 1e4
+    assert r.cohens_d == expected
+
+
+def test_cramers_v_hand_table(spark):
+    """Perfect 2×2 association (types live on disjoint weekdays):
+    chi² = n and V = 1.0; structural zero cells participate."""
+    DAY = 86_400_000_000
+    rows = [
+        (1, 1, "A", 0 * DAY + 1, 1.0), (2, 1, "A", 0 * DAY + 2, 1.0),
+        (3, 1, "B", 2 * DAY + 1, 1.0), (4, 1, "B", 2 * DAY + 2, 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts_us long, value double"
+    )
+    [r] = agg.agg_cramers_v(df).collect()
+    assert (r.n, r.n_rows, r.n_cols, r.dof) == (4, 2, 2, 1)
+    assert r.chi2 == 4.0 and r.cramers_v == 1.0
+
+
+def test_gopher_quality_hand_doc(spark):
+    """Dup lines via sorted run-length fold, bullet/ellipsis via array
+    filters, all ratios on the 6 dp device."""
+    text = "a\nb\na\n- x\nok..."
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    [r] = tx.text_gopher_quality(df).collect()
+    assert r.n_lines == 5 and r.dup_lines == 2 and r.dup_chars == 2
+    assert r.bullet_lines == 1 and r.ellipsis_lines == 1
+    assert r.dup_line_ratio == 0.4 and r.dup_char_ratio == 0.181818
+    assert r.bullet_ratio == 0.2 and r.ellipsis_ratio == 0.2
