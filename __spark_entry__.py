@@ -6439,3 +6439,123 @@ _reg(
     FROM nn JOIN dd ON dd.doc_id = nn.doc_id
     """,
 )
+
+
+# Live recency feature: stateful time-since-last-purchase per user;
+# oracle = the batch unbounded-trailing-max window form
+_reg(
+    "stream_since_event",
+    sm.stream_since_event,
+    """
+    WITH t AS (
+      SELECT event_id, user_id, event_type, epoch_us(ts) AS tu FROM events)
+    SELECT event_id, user_id, event_type, tu AS ts_us,
+           CAST(tu - max(CASE WHEN event_type = 'purchase' THEN tu END)
+                     OVER w AS BIGINT) AS since_us,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    OVER w AS BIGINT) AS n_target_so_far
+    FROM t
+    WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+
+
+# Slippage vs trailing VWAP: exact rational (pc*dq - nq)/nq on the device
+_reg(
+    "win_vwap_dev",
+    lambda s, d: wn.win_vwap_dev(load(s, d, "lineitem")),
+    """
+    WITH t AS (
+      SELECT l_orderkey, l_linenumber, l_suppkey, l_shipdate,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+             CAST(round(l_quantity) AS BIGINT) AS q
+      FROM lineitem),
+    w AS (
+      SELECT l_orderkey, l_linenumber, l_suppkey, pc,
+             sum(CAST(pc AS HUGEINT) * q) OVER win AS nq,
+             CAST(sum(q) OVER win AS BIGINT) AS dq
+      FROM t
+      WINDOW win AS (PARTITION BY l_suppkey
+                     ORDER BY l_shipdate, l_orderkey, l_linenumber
+                     ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+    SELECT l_orderkey, l_linenumber, l_suppkey,
+           CASE WHEN dq > 0 AND nq > 0 THEN
+             (CASE WHEN CAST(pc AS HUGEINT) * dq - nq < 0 THEN -1 ELSE 1 END)
+             * CAST((2000000 * abs(CAST(pc AS HUGEINT) * dq - nq) + nq)
+                    // (2 * nq) AS DOUBLE) / 1e6
+           END AS vwap_dev
+    FROM w
+    """,
+)
+
+
+# Rolling flow beta vs the market: exact decimal frame co-moments over
+# trailing active hours, sign-aware device slope
+_reg(
+    "win_rolling_beta",
+    lambda s, d: wn.win_rolling_beta(events_us(s, d)),
+    """
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts) // 3600000000 AS h,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events),
+    uh AS (
+      SELECT user_id, event_type, h, CAST(sum(c) AS BIGINT) AS y
+      FROM e GROUP BY 1, 2, 3),
+    mh AS (
+      SELECT event_type, h, CAST(sum(c) AS BIGINT) AS x
+      FROM e GROUP BY 1, 2),
+    t AS (
+      SELECT uh.user_id, uh.event_type, uh.h, uh.y, mh.x
+      FROM uh JOIN mh ON mh.event_type = uh.event_type AND mh.h = uh.h),
+    f AS (
+      SELECT user_id, event_type, h,
+             CAST(count(*) OVER win AS BIGINT) AS l,
+             sum(CAST(x AS HUGEINT)) OVER win AS sx,
+             sum(CAST(y AS HUGEINT)) OVER win AS sy,
+             sum(CAST(x AS HUGEINT) * y) OVER win AS sxy,
+             sum(CAST(x AS HUGEINT) * x) OVER win AS sxx
+      FROM t
+      WINDOW win AS (PARTITION BY user_id, event_type ORDER BY h
+                     ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+    SELECT user_id, event_type, h, l,
+           CASE WHEN l > 1 AND CAST(l AS HUGEINT) * sxx - sx * sx > 0 THEN
+             (CASE WHEN CAST(l AS HUGEINT) * sxy - sx * sy < 0
+                   THEN -1 ELSE 1 END)
+             * CAST((2000000 * abs(CAST(l AS HUGEINT) * sxy - sx * sy)
+                     + (CAST(l AS HUGEINT) * sxx - sx * sx))
+                    // (2 * (CAST(l AS HUGEINT) * sxx - sx * sx))
+                    AS DOUBLE) / 1e6
+           END AS beta
+    FROM f
+    """,
+)
+
+
+# Repeat-purchase census per market segment: the retention KPI SQL entry
+_reg(
+    "sql_repeat_rate",
+    lambda s, d: agg.sql_repeat_rate(load(s, d, "orders"), load(s, d, "customer")),
+    """
+    WITH per AS (
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1),
+    seg AS (
+      SELECT c.c_mktsegment AS segment,
+             CAST(count(*) AS BIGINT) AS n_active,
+             CAST(sum(CASE WHEN p.n >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_repeat,
+             CAST(sum(p.n) AS BIGINT) AS n_orders
+      FROM per p JOIN customer c ON c.c_custkey = p.o_custkey
+      GROUP BY 1)
+    SELECT segment, n_active, n_repeat, n_orders,
+           CAST((2000000 * CAST(n_repeat AS HUGEINT) + n_active)
+                // (2 * CAST(n_active AS HUGEINT)) AS DOUBLE) / 1e6
+             AS repeat_share,
+           CAST((2000000 * CAST(n_orders AS HUGEINT) + n_active)
+                // (2 * CAST(n_active AS HUGEINT)) AS DOUBLE) / 1e6
+             AS orders_per_active
+    FROM seg
+    """,
+)

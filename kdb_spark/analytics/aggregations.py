@@ -3483,3 +3483,46 @@ def agg_cramers_v(events: DataFrame) -> DataFrame:
         ).alias("chi2"),
         v4.alias("cramers_v"),
     )
+
+
+def sql_repeat_rate(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """Repeat-purchase census per market segment as a SQL text: active
+    customers, repeaters (≥ 2 orders), the repeat share, and mean orders
+    per active customer — the retention KPI every commerce dashboard
+    leads with (sql_cust_distribution is the full count histogram; this
+    is its two-number executive cut).
+
+    EXACT cross-engine: integer counts, both ratios through the decimal
+    device at 6 dp (active customers > 0 whenever a segment row exists —
+    inner join, no guard needed). One fact-sized per-customer agg, a
+    broadcast-sized customer-dimension join, then a ≤|segments| reduce.
+    """
+    from kdb_spark.analytics.exact import iround_sql
+
+    share = iround_sql(
+        "n_repeat", "CAST(n_active AS DECIMAL(38,0))", 6, signed=False
+    )
+    mean_o = iround_sql(
+        "n_orders", "CAST(n_active AS DECIMAL(38,0))", 6, signed=False
+    )
+    return orders.sparkSession.sql(
+        f"""
+        WITH per AS (
+          SELECT o_custkey, CAST(count(*) AS BIGINT) AS n
+          FROM {{orders_v}} GROUP BY 1),
+        seg AS (
+          SELECT c.c_mktsegment AS segment,
+                 CAST(count(*) AS BIGINT) AS n_active,
+                 CAST(sum(CASE WHEN p.n >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_repeat,
+                 CAST(sum(p.n) AS BIGINT) AS n_orders
+          FROM per p JOIN {{customer_v}} c ON c.c_custkey = p.o_custkey
+          GROUP BY 1)
+        SELECT segment, n_active, n_repeat, n_orders,
+               {share} AS repeat_share,
+               {mean_o} AS orders_per_active
+        FROM seg
+        """,
+        orders_v=orders,
+        customer_v=customer,
+    )

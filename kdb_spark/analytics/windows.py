@@ -1730,3 +1730,127 @@ def win_since_event(events: DataFrame, target: str = "purchase") -> DataFrame:
         (F.col("ts_us") - last_t).cast("long").alias("since_us"),
         n_t.alias("n_target_so_far"),
     )
+
+
+def win_vwap_dev(lineitem: DataFrame, k: int = 9) -> DataFrame:
+    """Price deviation from the trailing VWAP per supplier — the
+    execution-quality/slippage metric every trading stack reads next to
+    win_trailing_vwap itself: dev = (p − vwap)/vwap over the same k+1-line
+    frame. Positive = this line printed rich to the supplier's recent
+    volume-weighted average.
+
+    EXACT cross-engine: with nq = Σ(pc·q) and dq = Σq over the frame
+    (both exact decimal/integer sums), the deviation is the exact
+    rational (pc·dq − nq)/nq — denominator-cleared so no float folds —
+    on the sign-aware decimal device at 6 dp. TPC-H prices are positive
+    so nq > 0 whenever dq > 0; both guarded anyway (NULL on an empty
+    flow frame).
+
+    Scale shape: identical to win_trailing_vwap — ONE supplier-key
+    Exchange, both frame sums share the buffer, unique sort key.
+    """
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(-k, 0)
+    )
+    pc = cents("l_extendedprice")
+    q = F.round(F.col("l_quantity")).cast("long")
+    t = lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_suppkey",
+        pc.alias("pc"),
+        F.sum(pc.cast("decimal(38,0)") * q).over(w).alias("nq"),
+        F.sum(q).over(w).cast("long").alias("dq"),
+    )
+    dev6 = F.when(
+        (F.col("dq") > 0) & (F.col("nq") > 0),
+        iround_col(
+            "CAST(pc AS DECIMAL(38,0)) * dq - nq",
+            "nq",
+            6,
+            signed=True,
+        ),
+    )
+    return t.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_suppkey",
+        dev6.alias("vwap_dev"),
+    )
+
+
+def win_rolling_beta(events: DataFrame, hours: int = 24) -> DataFrame:
+    """Rolling flow beta per (user, event_type): the OLS slope of the
+    user's hourly value flow against the market's (all users, same type)
+    over the user's trailing ``hours`` ACTIVE hours — "how levered is
+    this account to the market tide", the canonical exposure feature.
+    Flow beta (sums, not means) keeps every input an exact integer;
+    trailing-active-hours (rows frame, not a spine fill) is the
+    documented frame semantics — silent hours don't dilute the window.
+
+    EXACT cross-engine: hourly user flows y and market flows x are exact
+    cent sums; the frame co-moments Σx, Σy, Σxy, Σxx fold in
+    decimal(38,0) (products widened inside the sum), and beta =
+    (L·Σxy − Σx·Σy)/(L·Σxx − (Σx)²) is an exact rational on the
+    sign-aware device at 6 dp. Degenerate frames (L < 2 or constant
+    market flow) emit NULL. Domain: L·Σxx ~ hours²·x² ≤ 10³⁸ holds to
+    x ≈ 10¹⁷ cents/hour market flow — beyond any book.
+
+    Scale shape: one fact-sized (user, type, hour) hash agg, one
+    dimension-sized (type, hour) market agg broadcast back onto it, then
+    ONE (user, type)-key window Exchange. The market join is
+    hours·types-small by construction.
+    """
+    hour = F.expr(f"ts_us div {HOUR_US}").cast("long").alias("h")
+    c = cents("value")
+    user_h = (
+        events.select("user_id", "event_type", hour, c.alias("c"))
+        .groupBy("user_id", "event_type", "h")
+        .agg(F.sum("c").cast("long").alias("y"))
+    )
+    mkt_h = (
+        events.select("event_type", hour, c.alias("c"))
+        .groupBy("event_type", "h")
+        .agg(F.sum("c").cast("long").alias("x"))
+    )
+    t = user_h.join(F.broadcast(mkt_h), ["event_type", "h"])
+    w = (
+        Window.partitionBy("user_id", "event_type")
+        .orderBy("h")
+        .rowsBetween(-(hours - 1), 0)
+    )
+    xd = F.col("x").cast("decimal(38,0)")
+    yd = F.col("y").cast("decimal(38,0)")
+    f = t.select(
+        "user_id",
+        "event_type",
+        "h",
+        F.count(F.lit(1)).over(w).cast("long").alias("l"),
+        F.sum(xd).over(w).alias("sx"),
+        F.sum(yd).over(w).alias("sy"),
+        F.sum(xd * F.col("y")).over(w).alias("sxy"),
+        F.sum(xd * F.col("x")).over(w).alias("sxx"),
+    )
+    beta6 = F.when(
+        (F.col("l") > 1)
+        & (F.expr("CAST(l AS DECIMAL(38,0)) * sxx - sx * sx") > 0),
+        F.expr(
+            "(CASE WHEN CAST(l AS DECIMAL(38,0)) * sxy - sx * sy < 0"
+            " THEN -1 ELSE 1 END) * "
+            + floor_div_sql(
+                "2000000 * abs(CAST(l AS DECIMAL(38,0)) * sxy - sx * sy)"
+                " + (CAST(l AS DECIMAL(38,0)) * sxx - sx * sx)",
+                "2 * (CAST(l AS DECIMAL(38,0)) * sxx - sx * sx)",
+            )
+        ).cast("double")
+        / F.lit(1e6),
+    )
+    return f.select(
+        "user_id",
+        "event_type",
+        "h",
+        "l",
+        beta6.alias("beta"),
+    )

@@ -1526,3 +1526,114 @@ def stream_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _drain(out, "append", partitions=16)
+
+
+# ------------------------------------------ stateful recency feature
+
+_SINCE_OUT = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("ts_us", T.LongType()),
+        T.StructField("since_us", T.LongType()),
+        T.StructField("n_target_so_far", T.LongType()),
+    ]
+)
+
+# (tail ts, tail eid, last target ts or -1, target count, late counter).
+# All bounded: three physical timestamps + two counters — O(1) per user.
+_SINCE_STATE = T.StructType(
+    [
+        T.StructField("ts_us", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("last_t", T.LongType()),
+        T.StructField("n_t", T.LongType()),
+        T.StructField("n_late", T.LongType()),
+    ]
+)
+
+_SINCE_TARGET = "purchase"
+
+
+def _since_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Emit every on-time row with the µs gap to the user's most recent
+    ``purchase`` event and the running purchase count — the LIVE form of
+    the feature-store recency feature (batch twin: `win_since_event`,
+    whose unbounded trailing max this replays incrementally).
+
+    Exactness: pure integer µs arithmetic chained across micro-batches via
+    the stored last-target timestamp; rows before the first purchase emit
+    NULL, purchase rows emit 0 — the batch window contract verbatim. Late
+    rows (at/before the stored tail) are dropped and counted per the
+    `_delta_fn` contract, so replayed history can't rewrite emitted
+    features.
+    """
+    chunks = [c for c in pdfs if len(c)]
+    if not chunks:
+        return
+    pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+    ts = pdf["ts_us"].to_numpy()
+    eid = pdf["event_id"].to_numpy()
+    etype = pdf["event_type"].to_numpy()
+    order = np.lexsort((eid, ts))
+    ts, eid, etype = ts[order], eid[order], etype[order]
+    prev = tuple(state.get) if state.exists else None
+    n_late = int(prev[4]) if prev is not None else 0
+    if prev is not None:
+        i0 = int(np.searchsorted(ts, prev[0], "left"))
+        i1 = int(np.searchsorted(ts, prev[0], "right"))
+        lo = i0 + int(np.searchsorted(eid[i0:i1], prev[1], "right"))
+        n_late += lo
+        if lo == len(ts):
+            state.update((prev[0], prev[1], prev[2], prev[3], n_late))
+            return
+        ts, eid, etype = ts[lo:], eid[lo:], etype[lo:]
+        last_t, n_t = int(prev[2]), int(prev[3])
+    else:
+        last_t, n_t = -1, 0
+    rows = {c: [] for c in ("event_id", "ts_us", "since_us", "n_target_so_far")}
+    for i in range(len(ts)):
+        if etype[i] == _SINCE_TARGET:
+            last_t = int(ts[i])
+            n_t += 1
+        rows["event_id"].append(int(eid[i]))
+        rows["ts_us"].append(int(ts[i]))
+        rows["since_us"].append(int(ts[i]) - last_t if last_t >= 0 else None)
+        rows["n_target_so_far"].append(n_t)
+    state.update((int(ts[-1]), int(eid[-1]), last_t, n_t, n_late))
+    (k_user,) = key
+    out = pd.DataFrame(rows)
+    out.insert(1, "user_id", int(k_user))
+    out.insert(2, "event_type", etype)
+    yield out[["event_id", "user_id", "event_type", "ts_us", "since_us",
+               "n_target_so_far"]]
+
+
+def stream_since_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live time-since-last-purchase per user as a custom stateful
+    operator: every on-time event is emitted with its recency feature and
+    the running purchase count — the online feature-serving form of
+    `win_since_event` (whose SQL the oracle replays as a batch window).
+
+    O(1) state per user (three timestamps + two counters); same late-row
+    drop-and-count contract as `stream_counter_delta`. Keyed by user_id
+    alone — the target event can arrive under any event_type, so the
+    state must see the user's full stream, exactly like the batch
+    window's user-only partition key.
+    """
+    s = events_stream(spark, sf_dir)
+    out = (
+        s.select("event_id", "user_id", "event_type", "ts_us")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _since_fn,
+            outputStructType=_SINCE_OUT,
+            stateStructType=_SINCE_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return _drain(out, "append", partitions=16)

@@ -2354,3 +2354,60 @@ def test_gopher_quality_hand_doc(spark):
     assert r.bullet_lines == 1 and r.ellipsis_lines == 1
     assert r.dup_line_ratio == 0.4 and r.dup_char_ratio == 0.181818
     assert r.bullet_ratio == 0.2 and r.ellipsis_ratio == 0.2
+
+
+def test_vwap_dev_hand_lines(spark):
+    """dev = (pc·dq − nq)/nq over the trailing-VWAP frame: 0 on a
+    lone line, positive when printing rich, negative when cheap."""
+    import datetime
+
+    rows = [
+        (1, 1, 7, 5.0, 10.0, datetime.datetime(2024, 1, 1)),
+        (2, 1, 7, 3.0, 12.0, datetime.datetime(2024, 1, 2)),
+        (3, 1, 7, 2.0, 9.0, datetime.datetime(2024, 1, 3)),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_linenumber int, l_suppkey long,"
+        " l_quantity double, l_extendedprice double, l_shipdate timestamp",
+    )
+    got = {r.l_orderkey: r.vwap_dev for r in wn.win_vwap_dev(df).collect()}
+    assert got[1] == 0.0
+    assert got[2] == 0.116279   # 1000/8600 on the 6 dp grid
+    assert got[3] == -0.134615  # −1400/10400
+
+
+def test_rolling_beta_hand_flows(spark):
+    """Two users with hourly flows y = x/3 + const-free and y = 2x/3 −
+    exact rational betas 1/3 and 2/3 at every frame length ≥ 2."""
+    HOUR = 3_600_000_000
+    rows = (
+        [(1, 1, "a", h * HOUR + 1, float(v)) for h, v in ((0, 1), (1, 2), (2, 3))]
+        + [(10 + h, 2, "a", h * HOUR + 2, float(v)) for h, v in ((0, 1), (1, 3), (2, 5))]
+    )
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts_us long, value double"
+    )
+    got = {(r.user_id, r.h): r for r in wn.win_rolling_beta(df).collect()}
+    assert got[(1, 0)].beta is None and got[(1, 0)].l == 1
+    assert got[(1, 1)].beta == 0.333333 and got[(1, 2)].beta == 0.333333
+    assert got[(2, 2)].beta == 0.666667
+
+
+def test_repeat_rate_hand_segments(spark):
+    """Repeat share and orders-per-active per segment on exact counts."""
+    import datetime
+
+    t0 = datetime.datetime(1995, 1, 1)
+    orders = spark.createDataFrame(
+        [(1, 1, 1.0, t0), (2, 1, 1.0, t0), (3, 2, 1.0, t0), (4, 3, 1.0, t0)],
+        "o_orderkey long, o_custkey long, o_totalprice double, o_orderdate timestamp",
+    )
+    customer = spark.createDataFrame(
+        [(1, "A"), (2, "A"), (3, "B")], "c_custkey long, c_mktsegment string"
+    )
+    got = {r.segment: r for r in agg.sql_repeat_rate(orders, customer).collect()}
+    a, b = got["A"], got["B"]
+    assert (a.n_active, a.n_repeat, a.n_orders) == (2, 1, 3)
+    assert a.repeat_share == 0.5 and a.orders_per_active == 1.5
+    assert b.repeat_share == 0.0 and b.orders_per_active == 1.0

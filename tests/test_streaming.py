@@ -843,3 +843,17 @@ def test_stream_interarrival_carries_state_and_drops_late(spark, tmp_path):
     assert state_ops and all(
         list(op.values())[0][0] == 1 for op in state_ops if op
     )
+
+
+def test_stream_since_event_equals_batch_window(spark):
+    """Single-drain equivalence: the stateful recency feature must
+    reproduce win_since_event's batch rows EXACTLY (NULL heads, zero on
+    purchase rows, running count)."""
+    from kdb_spark.analytics import windows as wn
+    from kdb_spark.tables import events_us
+
+    got = sm.stream_since_event(spark, SF_DIR)
+    want = wn.win_since_event(events_us(spark, SF_DIR))
+    g = {tuple(r) for r in got.collect()}
+    w = {tuple(r) for r in want.select(*got.columns).collect()}
+    assert g == w and len(g) > 0
