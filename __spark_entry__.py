@@ -6559,3 +6559,74 @@ _reg(
     FROM seg
     """,
 )
+
+
+# ATR over hourly candles: exact integer true ranges off the OHLC rollup,
+# device frame mean; the window never sees fact rows
+_reg(
+    "win_atr",
+    lambda s, d: wn.win_atr(events_us(s, d)),
+    """
+    WITH c0 AS (
+      SELECT event_type, epoch_us(ts) AS tu, event_id,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events),
+    candles AS (
+      SELECT event_type, tu - tu % 3600000000 AS hour_us,
+             max(c) AS h, min(c) AS l,
+             last(c ORDER BY tu, event_id) AS cl
+      FROM c0 GROUP BY 1, 2),
+    tr AS (
+      SELECT event_type, hour_us,
+             CAST(CASE WHEN pc IS NOT NULL
+                  THEN greatest(h - l, abs(h - pc), abs(l - pc))
+                  ELSE h - l END AS BIGINT) AS tr_c
+      FROM (SELECT *, lag(cl) OVER (PARTITION BY event_type
+                                    ORDER BY hour_us) AS pc
+            FROM candles)),
+    s AS (
+      SELECT event_type, hour_us, tr_c,
+             sum(CAST(tr_c AS HUGEINT)) OVER win AS str_c,
+             CAST(count(*) OVER win AS BIGINT) AS l
+      FROM tr
+      WINDOW win AS (PARTITION BY event_type ORDER BY hour_us
+                     ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+    SELECT event_type, hour_us,
+           CAST(tr_c AS DOUBLE) / 100.0 AS tr,
+           CAST((2000000 * str_c + 100 * CAST(l AS HUGEINT))
+                // (2 * 100 * CAST(l AS HUGEINT)) AS DOUBLE) / 1e6 AS atr
+    FROM s
+    """,
+)
+
+
+# Empirical VaR / Expected Shortfall: exact order-statistic pick + exact
+# tail mean on the device (no interpolation anywhere)
+_reg(
+    "agg_var_es",
+    lambda s, d: agg.agg_var_es(events_us(s, d)),
+    """
+    WITH r AS (
+      SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) AS x,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY CAST(round(value * 100) AS BIGINT),
+                                         event_id) AS rn,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM events),
+    t AS (SELECT * FROM r WHERE rn >= (95 * n + 99) // 100),
+    g AS (
+      SELECT event_type, max(n) AS n,
+             CAST(count(*) AS BIGINT) AS tail_n,
+             CAST(min(x) AS BIGINT) AS var_c,
+             sum(CAST(x AS HUGEINT)) AS tail_sum_c
+      FROM t GROUP BY 1)
+    SELECT event_type, n, tail_n,
+           CAST(var_c AS DOUBLE) / 100.0 AS var_usd,
+           (CASE WHEN tail_sum_c < 0 THEN -1 ELSE 1 END)
+           * CAST((2000000 * abs(tail_sum_c) + 100 * CAST(tail_n AS HUGEINT))
+                  // (2 * 100 * CAST(tail_n AS HUGEINT)) AS DOUBLE) / 1e6
+             AS es_usd
+    FROM g
+    """,
+)

@@ -3526,3 +3526,55 @@ def sql_repeat_rate(orders: DataFrame, customer: DataFrame) -> DataFrame:
         orders_v=orders,
         customer_v=customer,
     )
+
+
+def agg_var_es(events: DataFrame, q: int = 95) -> DataFrame:
+    """Empirical Value-at-Risk and Expected Shortfall per event_type at
+    the ``q``-th percentile of the price distribution (value read as the
+    loss variable): VaR = the exact ⌈q·n/100⌉-th order statistic, ES =
+    the exact mean of the tail at/above it — the risk-desk pair beside
+    agg_percentile (which interpolates; order statistics are exact VALUE
+    PICKS, so this op is bit-deterministic with no grid device on VaR).
+
+    EXACT cross-engine: k = ⌈q·n/100⌉ is integer arithmetic
+    ((q·n + 99) div 100 at integer q), the order statistic is a stored
+    cents value (row_number over a deterministic (value, event_id) sort —
+    duplicate values make any tiebreak pick the same cents), and ES =
+    Σtail/(100·m) rides the unsigned decimal device at 6 dp. Groups of
+    any size work (k ≥ 1 whenever n ≥ 1).
+
+    Scale shape: one event_type Exchange shared by the row_number sort,
+    the partition count, and the tail aggregate (Catalyst plans one
+    Exchange, consecutive Window nodes + partial agg). Per-group sort is
+    the documented gini/lorenz posture.
+    """
+    x = cents("value")
+    wo = Window.partitionBy("event_type").orderBy("x", "event_id")
+    wp = Window.partitionBy("event_type")
+    r = events.select(
+        "event_type", x.alias("x"), "event_id"
+    ).select(
+        "event_type",
+        "x",
+        F.row_number().over(wo).alias("rn"),
+        F.count(F.lit(1)).over(wp).cast("long").alias("n"),
+    )
+    k = F.expr(f"({q} * n + 99) div 100")
+    tail = r.filter(F.col("rn") >= k)
+    g = tail.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("tail_n"),
+        F.min("x").cast("long").alias("var_c"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("tail_sum_c"),
+    )
+    # sign-aware: the tail of a signed loss variable can sum negative
+    es6 = iround_col(
+        "tail_sum_c", "100 * CAST(tail_n AS DECIMAL(38,0))", 6, signed=True
+    )
+    return g.select(
+        "event_type",
+        "n",
+        "tail_n",
+        (F.col("var_c").cast("double") / F.lit(100.0)).alias("var_usd"),
+        es6.alias("es_usd"),
+    )

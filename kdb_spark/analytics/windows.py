@@ -1854,3 +1854,70 @@ def win_rolling_beta(events: DataFrame, hours: int = 24) -> DataFrame:
         "l",
         beta6.alias("beta"),
     )
+
+
+def win_atr(events: DataFrame, period: int = 14) -> DataFrame:
+    """Average True Range over the hourly candle series per event_type —
+    the volatility unit every stop-loss/position-sizing rule is quoted
+    in. Candles come from the agg_ohlc rollup (exact min/max/min_by/
+    max_by picks); TR = max(h−l, |h−prev_close|, |l−prev_close|) is pure
+    integer cents arithmetic; ATR = the exact rational ΣTR/L over the
+    trailing ``period`` candles on the unsigned device at 6 dp (dollars).
+    The first candle (no prev close) uses TR = h−l, the standard Wilder
+    seed; no warm-up gating — the frame average is over observed candles
+    (L = frame length), documented like win_cci.
+
+    Scale shape: one fact-sized (type, hour) hash agg collapses the tick
+    stream to candles, then ONE type-key window Exchange over the
+    dimension-sized candle table — the lag and the frame sum share the
+    sort. The window NEVER sees fact rows (the win_pivot_points posture).
+    """
+    candles = (
+        events.groupBy(
+            "event_type",
+            (F.col("ts_us") - F.col("ts_us") % F.lit(HOUR_US)).alias("hour_us"),
+        )
+        .agg(
+            F.max(cents("value")).alias("h"),
+            F.min(cents("value")).alias("l"),
+            F.max_by(cents("value"), F.struct("ts_us", "event_id")).alias("c"),
+        )
+    )
+    wo = Window.partitionBy("event_type").orderBy("hour_us")
+    wf = wo.rowsBetween(-(period - 1), 0)
+    t = candles.select(
+        "event_type",
+        "hour_us",
+        "h",
+        "l",
+        "c",
+        F.lag("c").over(wo).alias("pc"),
+    ).select(
+        "event_type",
+        "hour_us",
+        F.when(
+            F.col("pc").isNotNull(),
+            F.greatest(
+                F.col("h") - F.col("l"),
+                F.abs(F.col("h") - F.col("pc")),
+                F.abs(F.col("l") - F.col("pc")),
+            ),
+        )
+        .otherwise(F.col("h") - F.col("l"))
+        .cast("long")
+        .alias("tr_c"),
+    )
+    s = t.select(
+        "event_type",
+        "hour_us",
+        "tr_c",
+        F.sum(F.col("tr_c").cast("decimal(38,0)")).over(wf).alias("str_c"),
+        F.count(F.lit(1)).over(wf).cast("long").alias("l"),
+    )
+    atr6 = iround_col("str_c", "100 * CAST(l AS DECIMAL(38,0))", 6, signed=False)
+    return s.select(
+        "event_type",
+        "hour_us",
+        (F.col("tr_c").cast("double") / F.lit(100.0)).alias("tr"),
+        atr6.alias("atr"),
+    )

@@ -2411,3 +2411,33 @@ def test_repeat_rate_hand_segments(spark):
     assert (a.n_active, a.n_repeat, a.n_orders) == (2, 1, 3)
     assert a.repeat_share == 0.5 and a.orders_per_active == 1.5
     assert b.repeat_share == 0.0 and b.orders_per_active == 1.0
+
+
+def test_atr_hand_candles(spark):
+    """TR seeds with h−l on the first candle, then Wilder's
+    max(h−l, |h−pc|, |l−pc|); ATR is the exact frame mean in dollars."""
+    HOUR = 3_600_000_000
+    rows = [
+        (1, 1, "a", 0 * HOUR + 1, 1.00),
+        (2, 1, "a", 0 * HOUR + 2, 3.00),
+        (3, 1, "a", 0 * HOUR + 3, 2.00),   # hour-0 candle: h=300 l=100 c=200
+        (4, 1, "a", 1 * HOUR + 1, 2.50),   # hour-1: flat candle, pc=200 → TR=50
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts_us long, value double"
+    )
+    got = {r.hour_us: r for r in wn.win_atr(df).collect()}
+    assert got[0].tr == 2.0 and got[0].atr == 2.0
+    assert got[1 * HOUR].tr == 0.5 and got[1 * HOUR].atr == 1.25
+
+
+def test_var_es_hand_tail(spark):
+    """k = ⌈0.95·n⌉ exact order-statistic pick; ES is the exact tail
+    mean (n=20 → ranks 19,20)."""
+    rows = [(i, 1, "a", i * 1000, float(i)) for i in range(1, 21)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts_us long, value double"
+    )
+    [r] = agg.agg_var_es(df).collect()
+    assert (r.n, r.tail_n) == (20, 2)
+    assert r.var_usd == 19.0 and r.es_usd == 19.5

@@ -2011,3 +2011,210 @@ def test_aroon_cross_engine_bitwise_under_ties(spark, pts):
     _assert_bitwise(
         got, want, ["event_id"], ["since_hi", "since_lo", "aroon_up", "aroon_down"]
     )
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(0, 23),      # quarter-day slot → days 0..5 (Thu..Tue)
+            st.integers(0, 1),       # user
+            st.integers(-400, 400),  # quarter-dollar value
+        ),
+        min_size=2,
+        max_size=30,
+        unique_by=lambda p: (p[0], p[1]),
+    )
+)
+def test_spearman_and_mannwhitney_cross_engine_bitwise(spark, pts):
+    """r12 continuation: agg_spearman's doubled-average-rank co-moments
+    and agg_mann_whitney's exact 2U/tie-corrected variance must agree
+    BITWISE with DuckDB evaluating the registered derivations on
+    identical inputs (ties are the hard part — the strategy generates
+    plenty)."""
+    from kdb_spark.analytics import aggregations as agg
+
+    Q = 21_600_000_000  # 6h in µs
+    rows = [
+        (i, int(u), "a", v / 4.0, int(t) * Q) for i, (t, u, v) in enumerate(pts)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, value double, ts_us long",
+    )
+    con = _duck_events(rows)
+    got_s = agg.agg_spearman(df).collect()
+    want_s = con.execute(
+        """
+        WITH b AS (
+          SELECT event_type, CAST(round(value * 100) AS BIGINT) AS x,
+                 ts_us % 86400000000 AS y
+          FROM events),
+        r AS (
+          SELECT event_type,
+                 2 * rank() OVER (PARTITION BY event_type ORDER BY x)
+                   + count(*) OVER (PARTITION BY event_type, x) - 1 AS rx,
+                 2 * rank() OVER (PARTITION BY event_type ORDER BY y)
+                   + count(*) OVER (PARTITION BY event_type, y) - 1 AS ry
+          FROM b),
+        g AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                 sum(CAST(rx AS HUGEINT)) AS su, sum(CAST(ry AS HUGEINT)) AS sv,
+                 sum(CAST(rx AS HUGEINT) * rx) AS suu,
+                 sum(CAST(ry AS HUGEINT) * ry) AS svv,
+                 sum(CAST(rx AS HUGEINT) * ry) AS suv
+          FROM r GROUP BY 1),
+        t AS (
+          SELECT event_type, n,
+                 CAST(n AS HUGEINT) * suv - su * sv AS cm,
+                 CAST(n AS HUGEINT) * suu - su * su AS a,
+                 CAST(n AS HUGEINT) * svv - sv * sv AS b
+          FROM g)
+        SELECT event_type, n,
+               CASE WHEN a > 0 AND b > 0 THEN
+                 CAST(floor(CAST(cm AS DOUBLE)
+                            / sqrt(CAST(a AS DOUBLE) * CAST(b AS DOUBLE))
+                            * 1e4 + 0.5) AS DOUBLE) / 1e4
+               END AS spearman_rho
+        FROM t
+        """
+    ).df()
+    _assert_bitwise(got_s, want_s, ["event_type"], ["n", "spearman_rho"])
+    got_m = agg.agg_mann_whitney(df).collect()
+    want_m = con.execute(
+        """
+        WITH b AS (
+          SELECT event_type, CAST(round(value * 100) AS BIGINT) AS x,
+                 ((ts_us // 86400000000) % 7) IN (2, 3) AS is_b
+          FROM events),
+        r AS (
+          SELECT event_type, is_b,
+                 2 * rank() OVER (PARTITION BY event_type ORDER BY x)
+                   + count(*) OVER (PARTITION BY event_type, x) - 1 AS rx
+          FROM b),
+        g AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN is_b THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                 sum(CASE WHEN is_b THEN CAST(rx AS HUGEINT) ELSE 0 END) AS r2b
+          FROM r GROUP BY 1),
+        tc AS (
+          SELECT event_type, sum(CAST(t AS HUGEINT) * t * t - t) AS tcorr
+          FROM (SELECT event_type, x, CAST(count(*) AS BIGINT) AS t
+                FROM b GROUP BY 1, 2) GROUP BY 1),
+        j AS (
+          SELECT g.event_type, n, n - n_b AS n_a, n_b,
+                 CAST(r2b - CAST(n_b AS HUGEINT) * (n_b + 1) AS BIGINT) AS u2_b,
+                 CAST(n - n_b AS HUGEINT) * n_b
+                   * (CAST(n AS HUGEINT) * n * n - n - tcorr) AS vnum
+          FROM g JOIN tc ON tc.event_type = g.event_type)
+        SELECT event_type, n_a, n_b, u2_b,
+               CASE WHEN n_a > 0 AND n_b > 0 AND vnum > 0 THEN
+                 CAST(floor(
+                   CAST(CAST(u2_b AS HUGEINT) - CAST(n_a AS HUGEINT) * n_b
+                        AS DOUBLE)
+                   / (2 * sqrt(CAST(vnum AS DOUBLE)
+                               / CAST(12 * CAST(n AS HUGEINT) * (n - 1)
+                                      AS DOUBLE)))
+                   * 1e4 + 0.5) AS DOUBLE) / 1e4
+               END AS z
+        FROM j
+        """
+    ).df()
+    con.close()
+    _assert_bitwise(got_m, want_m, ["event_type"], ["n_a", "n_b", "u2_b", "z"])
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(st.integers(-400, 400), min_size=1, max_size=25),
+    period=st.sampled_from([3, 5, 20]),
+)
+def test_cci_matches_bruteforce(spark, vals, period):
+    """Law: win_cci equals the brute-force denominator-cleared rational
+    1000·L·(c·L−S)/(15·Σ|cⱼ·L−S|) on every frame, NULL on zero
+    deviation."""
+    from kdb_spark.analytics import windows as wn
+
+    rows = [(i, 1, "a", i * 1000, v / 4.0) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, ts_us long, value double",
+    )
+    got = {r.event_id: r.cci for r in wn.win_cci(df, period=period).collect()}
+    cents_seq = [v * 25 for v in vals]
+    for i in range(len(vals)):
+        frame = cents_seq[max(0, i - period + 1) : i + 1]
+        L, S = len(frame), sum(frame)
+        dev = sum(abs(x * L - S) for x in frame)
+        if dev == 0:
+            assert got[i] is None, i
+        else:
+            assert got[i] == _iround_py(
+                1000 * L * (cents_seq[i] * L - S), 15 * dev
+            ), (i, frame)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(0, 30),      # hour slot
+            st.integers(0, 2),       # user
+            st.integers(1, 400),     # quarter-dollar value
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    hours=st.sampled_from([4, 24]),
+)
+def test_rolling_beta_matches_bruteforce(spark, pts, hours):
+    """Law: win_rolling_beta equals the brute-force exact rational
+    (L·Σxy−ΣxΣy)/(L·Σxx−(Σx)²) over trailing ACTIVE hours, NULL on
+    constant market flow or single-row frames."""
+    from collections import defaultdict
+
+    from kdb_spark.analytics import windows as wn
+
+    HOUR = 3_600_000_000
+    rows = [
+        (i, int(u), "a", int(h) * HOUR + i, v / 4.0)
+        for i, (h, u, v) in enumerate(pts)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, ts_us long, value double",
+    )
+    got = {
+        (r.user_id, r.h): r.beta
+        for r in wn.win_rolling_beta(df, hours=hours).collect()
+    }
+    uh = defaultdict(int)
+    mh = defaultdict(int)
+    for h, u, v in pts:
+        uh[(int(u), int(h))] += v * 25
+        mh[int(h)] += v * 25
+    for (u, _), _ in list(uh.items()):
+        hs = sorted(h for (uu, h) in uh if uu == u)
+        for idx, h in enumerate(hs):
+            frame = hs[max(0, idx - hours + 1) : idx + 1]
+            L = len(frame)
+            xs = [mh[hh] for hh in frame]
+            ys = [uh[(u, hh)] for hh in frame]
+            cden = L * sum(x * x for x in xs) - sum(xs) ** 2
+            if L < 2 or cden <= 0:
+                assert got[(u, h)] is None, (u, h)
+            else:
+                cnum = L * sum(x * y for x, y in zip(xs, ys)) - sum(xs) * sum(ys)
+                assert got[(u, h)] == _iround_py(cnum, cden), (u, h)
