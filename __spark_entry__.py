@@ -6630,3 +6630,93 @@ _reg(
     FROM g
     """,
 )
+
+
+# SCD type-2 dimension history sink: full-snapshot merge closes changed/
+# absent keys and opens new versions; oracle derives the expected history
+# census directly from the customer table
+_reg(
+    "sink_scd2",
+    src.q_sink_scd2,
+    """
+    WITH c AS (
+      SELECT c_custkey, c_mktsegment,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+      FROM customer),
+    rows_all AS (
+      SELECT c_mktsegment AS segment, 1 AS is_open, bal_c
+      FROM c WHERE bal_c < 500000
+      UNION ALL
+      SELECT 'UPGRADED', 1, bal_c FROM c WHERE bal_c >= 500000
+      UNION ALL
+      SELECT c_mktsegment, 0, bal_c FROM c WHERE bal_c >= 500000)
+    SELECT segment,
+           CAST(sum(is_open) AS BIGINT) AS n_open,
+           CAST(sum(1 - is_open) AS BIGINT) AS n_closed,
+           CAST(sum(CASE WHEN is_open = 1 THEN bal_c ELSE 0 END) AS BIGINT)
+             AS sum_open_c
+    FROM rows_all GROUP BY 1
+    """,
+)
+
+
+# Swing-point fractals: centered-frame extremes with full-frame gating —
+# pure boolean/min/max, nothing to round
+_reg(
+    "win_swing_points",
+    lambda s, d: wn.win_swing_points(events_us(s, d)),
+    """
+    WITH t AS (
+      SELECT event_id, user_id, event_type, epoch_us(ts) AS tu, value,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events),
+    w AS (
+      SELECT event_id, user_id, event_type, value, c,
+             max(c) OVER win AS hi, min(c) OVER win AS lo,
+             count(*) OVER win AS cnt
+      FROM t
+      WINDOW win AS (PARTITION BY user_id, event_type ORDER BY tu, event_id
+                     ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING))
+    SELECT event_id, user_id, event_type, value,
+           (cnt = 5 AND c = hi) AS swing_high,
+           (cnt = 5 AND c = lo) AS swing_low
+    FROM w
+    """,
+)
+
+
+# Per-source dataset card: the corpus data-sheet summary every mixing
+# decision reads — exact counts, device shares/means
+_reg(
+    "curation_dataset_card",
+    lambda s, d: cu.curation_dataset_card(load(s, d, "documents")),
+    """
+    WITH t AS (
+      SELECT source, lang,
+             CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                  AS BIGINT) AS nt,
+             CAST(length(text) AS BIGINT) AS nc
+      FROM documents),
+    g AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(nt) AS BIGINT) AS n_tokens,
+             CAST(sum(nc) AS BIGINT) AS n_chars,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_en,
+             CAST(sum(CASE WHEN nt < 50 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_short,
+             CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+      FROM t GROUP BY 1)
+    SELECT source, n_docs, n_tokens, n_chars, n_langs,
+           CAST((2000000 * CAST(n_en AS HUGEINT) + n_docs)
+                // (2 * CAST(n_docs AS HUGEINT)) AS DOUBLE) / 1e6 AS en_share,
+           CAST((2000000 * CAST(n_short AS HUGEINT) + n_docs)
+                // (2 * CAST(n_docs AS HUGEINT)) AS DOUBLE) / 1e6
+             AS short_share,
+           CAST((2000000 * CAST(n_tokens AS HUGEINT) + n_docs)
+                // (2 * CAST(n_docs AS HUGEINT)) AS DOUBLE) / 1e6
+             AS mean_tokens
+    FROM g
+    """,
+)

@@ -1921,3 +1921,40 @@ def win_atr(events: DataFrame, period: int = 14) -> DataFrame:
         (F.col("tr_c").cast("double") / F.lit(100.0)).alias("tr"),
         atr6.alias("atr"),
     )
+
+
+def win_swing_points(events: DataFrame, k: int = 2) -> DataFrame:
+    """Swing-point (Williams fractal) detection per series: a row is a
+    swing HIGH when its price equals the maximum of the CENTERED
+    ±``k``-row frame, a swing LOW symmetrically — the support/resistance
+    primitive chart patterns are built from, and the repo's first
+    centered-frame window (every other win_* frame trails).
+
+    Tie semantics: equal extremes within one frame all flag (c = frame
+    max — the inclusive fractal convention; a strict variant would drop
+    plateaus entirely, which loses double-tops). Boundary rows whose
+    frame is short (fewer than 2k+1 rows — series head/tail) never flag:
+    a swing needs ``k`` confirmations on BOTH sides, so flags near the
+    live edge must wait — the standard repaint-avoidance contract.
+
+    EXACT cross-engine: min/max/count over exact cents, boolean
+    predicates — no arithmetic to round at all.
+
+    Scale shape: ONE series-key Exchange; all three frame aggregates
+    share the centered window buffer.
+    """
+    w = (
+        Window.partitionBy("user_id", "event_type")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(-k, k)
+    )
+    c = cents("value")
+    full = F.count(F.lit(1)).over(w) == (2 * k + 1)
+    return events.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        (full & (c == F.max(c).over(w))).alias("swing_high"),
+        (full & (c == F.min(c).over(w))).alias("swing_low"),
+    )

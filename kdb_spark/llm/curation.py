@@ -468,3 +468,54 @@ def curation_token_budget(documents: DataFrame, budget: int = 10_000) -> DataFra
         .filter(slot < F.round(F.col("keep_rate") * 1_000_000).cast("long"))
         .select("doc_id", "score", "n_tokens")
     )
+
+
+def curation_dataset_card(documents: DataFrame) -> DataFrame:
+    """Per-source dataset card — the one-table corpus summary a training
+    run's data sheet starts from: document and token counts, language
+    spread, English share, mean document length, and the short-doc share
+    (the docs a quality gate would drop first). Every mixing/rebalancing
+    decision (mix_weights, mix_temperature) reads exactly these numbers.
+
+    EXACT cross-engine: token counts are exact integers off the shared
+    tokenizer, all shares/means ride the unsigned decimal device at 6 dp
+    (a source row exists only with ≥ 1 doc, so no zero guards).
+
+    Scale shape: ONE corpus scan → one per-source hash agg (map-side
+    combined) + one tiny distinct-lang agg joined on the ≤|sources| rows.
+    """
+    from kdb_spark.analytics.exact import iround_col
+    from kdb_spark.llm.dedup import tokens
+
+    t = documents.select(
+        "source",
+        "lang",
+        F.size(tokens("text")).cast("long").alias("nt"),
+        F.length("text").cast("long").alias("nc"),
+    )
+    g = t.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("nt").cast("long").alias("n_tokens"),
+        F.sum("nc").cast("long").alias("n_chars"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("long")
+        .alias("n_en"),
+        F.sum(F.when(F.col("nt") < 50, 1).otherwise(0))
+        .cast("long")
+        .alias("n_short"),
+    )
+    langs = t.groupBy("source").agg(
+        F.countDistinct("lang").cast("long").alias("n_langs")
+    )
+    j = g.join(langs, "source")
+    den = "CAST(n_docs AS DECIMAL(38,0))"
+    return j.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        "n_langs",
+        iround_col("n_en", den, 6, signed=False).alias("en_share"),
+        iround_col("n_short", den, 6, signed=False).alias("short_share"),
+        iround_col("n_tokens", den, 6, signed=False).alias("mean_tokens"),
+    )

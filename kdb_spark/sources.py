@@ -932,3 +932,111 @@ def q_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("value_c").cast("long").alias("sum_c"),
         )
     )
+
+
+def sink_scd2(snapshot: DataFrame, path: str, key: str, eff_ts: int) -> int:
+    """Apply a FULL dimension snapshot to a slowly-changing-dimension
+    type-2 history table at ``path`` — the warehouse pattern that keeps
+    every attribute version with [valid_from, valid_to) ranges so facts
+    can join the dimension AS OF any time (the table-format sibling of
+    `scan_time_travel`, which versions whole tables; SCD2 versions ROWS).
+
+    Merge semantics per key (one full-outer join on the open rows):
+    unchanged → open row survives; changed → old row closes at
+    ``eff_ts`` and the new version opens; new key → opens; absent from
+    the snapshot → closes (a full snapshot asserts the universe). Closed
+    history is immutable — it unions through untouched.
+
+    Scale shape: closed rows never join anything (filter + union only);
+    the open-vs-snapshot full-outer join is one dimension-sized shuffle.
+    The rewrite commits through the manifest (`sink_versioned`), so a bad
+    merge is a one-manifest rollback; localCheckpoint cuts the read-own-
+    input lineage exactly as `sink_upsert` does. At 100 TB a dimension is
+    executor-trivial; the pattern matters because it is the CORRECTNESS
+    contract fact joins depend on.
+    """
+    spark = snapshot.sparkSession
+    attrs = [c for c in snapshot.columns if c != key]
+    import os
+
+    if not os.path.exists(os.path.join(path, "_log")):
+        init = snapshot.withColumn(
+            "valid_from", F.lit(eff_ts).cast("long")
+        ).withColumn("valid_to", F.lit(None).cast("long"))
+        return sink_versioned(init, path, mode="overwrite")
+    hist = scan_version(spark, path)
+    open_r = hist.filter(F.col("valid_to").isNull())
+    closed_r = hist.filter(F.col("valid_to").isNotNull())
+    o = open_r.select(
+        key,
+        *[F.col(a).alias(f"_o_{a}") for a in attrs],
+        F.col("valid_from").alias("_o_from"),
+        F.lit(True).alias("_in_o"),
+    )
+    s = snapshot.select(key, *attrs, F.lit(True).alias("_in_s"))
+    j = o.join(s, key, "full_outer")
+    changed = F.lit(False)
+    for a in attrs:
+        changed = changed | ~F.col(f"_o_{a}").eqNullSafe(F.col(a))
+    in_o = F.col("_in_o").isNotNull()
+    in_s = F.col("_in_s").isNotNull()
+    closes = j.filter(in_o & (~in_s | changed)).select(
+        key,
+        *[F.col(f"_o_{a}").alias(a) for a in attrs],
+        F.col("_o_from").alias("valid_from"),
+        F.lit(eff_ts).cast("long").alias("valid_to"),
+    )
+    keeps = j.filter(in_o & in_s & ~changed).select(
+        key,
+        *[F.col(f"_o_{a}").alias(a) for a in attrs],
+        F.col("_o_from").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+    )
+    inserts = j.filter(in_s & (~in_o | changed)).select(
+        key,
+        *attrs,
+        F.lit(eff_ts).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+    )
+    new_hist = (
+        closed_r.select(key, *attrs, "valid_from", "valid_to")
+        .unionByName(closes)
+        .unionByName(keeps)
+        .unionByName(inserts)
+    )
+    new_hist = new_hist.localCheckpoint(eager=True)
+    return sink_versioned(new_hist, path, mode="overwrite")
+
+
+def q_sink_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed the customer dimension as SCD2, then apply a snapshot where
+    every customer with balance ≥ $5000 moves to the UPGRADED segment —
+    the read-back per-segment census (open rows, closed rows, open
+    balance) proves changed keys closed exactly once, their new versions
+    opened, and unchanged keys kept their original open row.
+    """
+    from kdb_spark.tables import cents, load
+
+    path = _tmp("scd2")
+    dim = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        cents("c_acctbal").alias("bal_c"),
+    )
+    sink_scd2(dim, path, key="c_custkey", eff_ts=0)
+    snap2 = dim.withColumn(
+        "c_mktsegment",
+        F.when(F.col("bal_c") >= 500_000, F.lit("UPGRADED")).otherwise(
+            F.col("c_mktsegment")
+        ),
+    )
+    sink_scd2(snap2, path, key="c_custkey", eff_ts=1)
+    hist = scan_version(spark, path)
+    is_open = F.col("valid_to").isNull()
+    return hist.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.sum(F.when(is_open, 1).otherwise(0)).cast("long").alias("n_open"),
+        F.sum(F.when(~is_open, 1).otherwise(0)).cast("long").alias("n_closed"),
+        F.sum(F.when(is_open, F.col("bal_c")).otherwise(0))
+        .cast("long")
+        .alias("sum_open_c"),
+    )

@@ -2441,3 +2441,39 @@ def test_var_es_hand_tail(spark):
     [r] = agg.agg_var_es(df).collect()
     assert (r.n, r.tail_n) == (20, 2)
     assert r.var_usd == 19.0 and r.es_usd == 19.5
+
+
+def test_swing_points_hand_series(spark):
+    """Centered-frame fractals: only full ±k frames flag; the peak at
+    index 2 is a swing high, the trough at index 6 a swing low."""
+    vals = [1.0, 2.0, 5.0, 2.0, 1.0, 2.0, 0.0, 2.0, 3.0]
+    rows = [(i, 1, "a", i * 1000, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts_us long, value double"
+    )
+    got = {r.event_id: r for r in wn.win_swing_points(df).collect()}
+    assert got[2].swing_high and not got[2].swing_low
+    assert got[6].swing_low and not got[6].swing_high
+    # boundary rows (short frames) never flag even when extreme
+    assert not got[0].swing_high and not got[0].swing_low
+    assert not got[8].swing_high
+    # index 5 (value 2.0) TIES the frame max of [2,1,2,0,2] — the
+    # inclusive-tie convention flags plateaus
+    assert got[5].swing_high
+    assert not any(got[i].swing_high for i in (1, 3, 4, 7))
+
+
+def test_dataset_card_hand_sources(spark):
+    """Exact per-source counts with device shares/means."""
+    rows = [
+        (1, "one two three", "en", "web"),
+        (2, "uno dos", "es", "web"),
+        (3, " ".join(["w"] * 60), "en", "book"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    got = {r.source: r for r in cu.curation_dataset_card(df).collect()}
+    w = got["web"]
+    assert (w.n_docs, w.n_tokens, w.n_langs) == (2, 5, 2)
+    assert w.en_share == 0.5 and w.short_share == 1.0 and w.mean_tokens == 2.5
+    b = got["book"]
+    assert b.n_tokens == 60 and b.short_share == 0.0 and b.en_share == 1.0

@@ -489,3 +489,28 @@ def test_scan_changes_reads_only_the_increment(spark, tmp_path):
         scan_changes(spark, path, v2, v1)
     with _pt.raises(ValueError):
         scan_changes(spark, path, 99)
+
+
+def test_sink_scd2_full_lifecycle(spark, tmp_path):
+    """SCD2 merge: unchanged keeps its open row, changed closes at eff_ts
+    and reopens, absent closes, new opens; closed history is immutable."""
+    p = str(tmp_path / "scd2")
+    snap1 = spark.createDataFrame(
+        [(1, "A", 10), (2, "A", 20), (3, "B", 30)],
+        "k long, seg string, bal long",
+    )
+    src.sink_scd2(snap1, p, key="k", eff_ts=100)
+    snap2 = spark.createDataFrame(
+        [(1, "A", 10), (2, "C", 20), (4, "B", 40)],  # 2 changed, 3 gone, 4 new
+        "k long, seg string, bal long",
+    )
+    src.sink_scd2(snap2, p, key="k", eff_ts=200)
+    hist = {
+        (r.k, r.valid_from): r for r in src.scan_version(spark, p).collect()
+    }
+    assert len(hist) == 5
+    assert hist[(1, 100)].valid_to is None and hist[(1, 100)].seg == "A"
+    assert hist[(2, 100)].valid_to == 200 and hist[(2, 100)].seg == "A"
+    assert hist[(2, 200)].valid_to is None and hist[(2, 200)].seg == "C"
+    assert hist[(3, 100)].valid_to == 200
+    assert hist[(4, 200)].valid_to is None and hist[(4, 200)].bal == 40
