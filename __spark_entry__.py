@@ -6720,3 +6720,99 @@ _reg(
     FROM g
     """,
 )
+
+
+# ANN recall@k vs the exact brute-force baseline as a first-class query:
+# both parents' oracles composed — hit counts exact, recall on the device
+_BRUTE_TOPK_SQL = """
+    WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_sum([x * x FOR x IN v])) AS nrm FROM e),
+    q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 5),
+    s AS (SELECT q.query_id, n.vec_id AS match_id,
+                 list_sum([qv[i] * v[i] FOR i IN range(1, len(v) + 1)]) / (qn * nrm) AS raw
+          FROM n CROSS JOIN q WHERE n.vec_id != q.query_id)
+    SELECT query_id, match_id
+    FROM (SELECT query_id, match_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY raw DESC, match_id) AS rn
+          FROM s) WHERE rn <= 5
+"""
+
+_reg(
+    "emb_recall_eval",
+    lambda s, d: sim.emb_recall_eval(load(s, d, "embeddings")),
+    f"""
+    WITH brute AS ({_BRUTE_TOPK_SQL}),
+    ann AS ({_ann_oracle()}),
+    j AS (
+      SELECT b.query_id,
+             CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(CASE WHEN a.match_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_hit
+      FROM brute b
+      LEFT JOIN ann a ON a.query_id = b.query_id AND a.match_id = b.match_id
+      GROUP BY 1)
+    SELECT query_id, k, n_hit,
+           CAST((2000000 * CAST(n_hit AS HUGEINT) + k)
+                // (2 * CAST(k AS HUGEINT)) AS DOUBLE) / 1e6 AS recall
+    FROM j
+    """,
+)
+
+
+# lang_id confusion census: integer-exact threshold replay, exact cells,
+# device shares — classifier evaluation as a first-class query
+_reg(
+    "text_langid_eval",
+    lambda s, d: tx.text_langid_eval(load(s, d, "documents")),
+    """
+    WITH t AS (
+      SELECT lang,
+             CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                                  x -> x IN ('the','a','of','and','to','in','is')))
+                  AS BIGINT) AS hits,
+             CAST(greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')), 1)
+                  AS BIGINT) AS nt
+      FROM documents),
+    cells AS (
+      SELECT lang,
+             CASE WHEN 20 * hits >= nt THEN 'en' ELSE 'unk' END AS pred,
+             CAST(count(*) AS BIGINT) AS n
+      FROM t GROUP BY 1, 2),
+    o AS (
+      SELECT lang, pred, n,
+             CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS label_total
+      FROM cells)
+    SELECT lang, pred, n, label_total,
+           CAST((2000000 * CAST(n AS HUGEINT) + label_total)
+                // (2 * CAST(label_total AS HUGEINT)) AS DOUBLE) / 1e6 AS share
+    FROM o
+    """,
+)
+
+
+# Mixed-modal storage census: exact byte/label/dim profile per (lang, source)
+_reg(
+    "mm_modality_census",
+    lambda s, d: mm.mm_modality_census(
+        load(s, d, "documents"), load(s, d, "embeddings")
+    ),
+    """
+    WITH t AS (
+      SELECT d.lang, d.source,
+             CAST(octet_length(encode(d.text)) AS BIGINT) AS nbytes,
+             CAST(len(e.embedding) AS BIGINT) AS dim,
+             CAST(e.label AS BIGINT) AS label
+      FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id)
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(nbytes) AS BIGINT) AS total_bytes,
+           CAST(count(DISTINCT label) AS BIGINT) AS n_labels,
+           CAST(min(dim) AS BIGINT) AS min_dim,
+           CAST(max(dim) AS BIGINT) AS max_dim,
+           CAST((2000000 * CAST(sum(nbytes) AS HUGEINT) + count(*))
+                // (2 * CAST(count(*) AS HUGEINT)) AS DOUBLE) / 1e6
+             AS mean_bytes
+    FROM t GROUP BY 1, 2
+    """,
+)

@@ -606,3 +606,48 @@ def mm_segment_bounds(
         "is_boundary",
         F.sum(F.col("is_boundary").cast("long")).over(wc).alias("segment_id"),
     )
+
+
+def mm_modality_census(documents: DataFrame, embeddings: DataFrame) -> DataFrame:
+    """Census over the mixed-modal table: per (lang, source) — rows,
+    total/mean payload bytes, distinct labels, and the embedding-dim
+    invariant — the storage-planning profile a multimodal ingest reads
+    before sharding (bytes drive partition sizing; the dim check catches
+    schema drift at the census instead of deep in a UDF).
+
+    EXACT cross-engine: payload lengths are exact byte counts (octet
+    length of the binary column), the mean rides the unsigned device at
+    6 dp, and dims are exact array lengths (min = max ⇒ invariant
+    surfaced, not assumed).
+
+    Scale shape: one scan of the joined modal table → one (lang, source)
+    hash agg, map-side combined; no window, no UDF.
+    """
+    from kdb_spark.analytics.exact import iround_col
+
+    t = multimodal_table(documents, embeddings).select(
+        F.col("meta.lang").alias("lang"),
+        F.col("meta.source").alias("source"),
+        F.length("payload").cast("long").alias("nbytes"),
+        F.size("embedding").cast("long").alias("dim"),
+        F.col("meta.label").alias("label"),
+    )
+    g = t.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("nbytes").cast("long").alias("total_bytes"),
+        F.countDistinct("label").cast("long").alias("n_labels"),
+        F.min("dim").cast("long").alias("min_dim"),
+        F.max("dim").cast("long").alias("max_dim"),
+    )
+    return g.select(
+        "lang",
+        "source",
+        "n_rows",
+        "total_bytes",
+        "n_labels",
+        "min_dim",
+        "max_dim",
+        iround_col(
+            "total_bytes", "CAST(n_rows AS DECIMAL(38,0))", 6, signed=False
+        ).alias("mean_bytes"),
+    )

@@ -1360,3 +1360,42 @@ def emb_matryoshka_report(embeddings: DataFrame, k: int = 16) -> DataFrame:
             / F.lit(1e6),
         ).alias("cos_kept"),
     )
+
+
+def emb_recall_eval(embeddings: DataFrame) -> DataFrame:
+    """Recall@k of the LSH ANN path against the exact brute-force
+    baseline, per query — the evaluation loop every vector-index rollout
+    gates on (the test-suite recall floors pin a minimum; this op makes
+    the measurement itself a first-class, oracle-checked query).
+
+    EXACT cross-engine: both rankings are deterministic (sign-LSH
+    bucketing and brute-force scoring share the md5-seeded hyperplanes /
+    exact tie orders their own oracles pin), so the hit count is an
+    exact integer join-count and recall rides the unsigned device at
+    6 dp. Queries whose ANN candidate set came back empty still emit a
+    row (recall 0) via the left join from the brute side.
+
+    Scale shape: two dimension-sized top-k tables (n_queries·k rows
+    each) joined on (query, match) — trivially broadcastable; all heavy
+    lifting happens inside the two parent operators, whose scale
+    postures are documented on them.
+    """
+    from kdb_spark.analytics.exact import iround_col
+
+    brute = sim_search_topk(embeddings).select("query_id", "match_id")
+    ann = ann_search_topk(embeddings).select(
+        "query_id", "match_id", F.lit(1).alias("hit")
+    )
+    j = brute.join(ann, ["query_id", "match_id"], "left")
+    g = j.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hit"),
+    )
+    return g.select(
+        "query_id",
+        "k",
+        "n_hit",
+        iround_col("n_hit", "CAST(k AS DECIMAL(38,0))", 6, signed=False).alias(
+            "recall"
+        ),
+    )

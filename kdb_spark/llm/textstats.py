@@ -964,3 +964,56 @@ def text_gopher_quality(documents: DataFrame) -> DataFrame:
         ratio("bullet_lines", "n_lines").alias("bullet_ratio"),
         ratio("ellipsis_lines", "n_lines").alias("ellipsis_ratio"),
     )
+
+
+def text_langid_eval(documents: DataFrame) -> DataFrame:
+    """Confusion census of the lang_id heuristic against the table's
+    labeled ``lang`` column — per (label, prediction) cell count and its
+    share of the label's row total, the evaluation table every classifier
+    rollout reads before flipping a threshold (makes the measurement a
+    first-class, oracle-checked query, like emb_recall_eval does for
+    ANN).
+
+    EXACT cross-engine: the prediction replays lang_id's integer
+    stopword-ratio threshold (hits·10⁶ ≥ nt·50000 avoids the float
+    compare entirely — same integers both engines), cells are exact
+    counts, shares ride the unsigned device at 6 dp.
+
+    Scale shape: one corpus scan → one (label, pred) hash agg (map-side
+    combined) + a label-total window over the ≤|langs|·2 cells.
+    """
+    from pyspark.sql import Window
+
+    toks = F.col("toks")
+    stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    t = documents.select(
+        "lang", tokens("text").alias("toks")
+    ).select(
+        "lang",
+        F.size(F.filter(toks, lambda tk: F.array_contains(stop_arr, tk)))
+        .cast("long")
+        .alias("hits"),
+        F.greatest(F.size(toks), F.lit(1)).cast("long").alias("nt"),
+    )
+    # integer-exact threshold: hits/nt >= 0.05 ⟺ 20·hits >= nt
+    pred = F.when(20 * F.col("hits") >= F.col("nt"), F.lit("en")).otherwise(
+        F.lit("unk")
+    )
+    cells = t.select("lang", pred.alias("pred")).groupBy("lang", "pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    wl = Window.partitionBy("lang")
+    out = cells.select(
+        "lang",
+        "pred",
+        "n",
+        F.sum("n").over(wl).cast("long").alias("label_total"),
+    )
+    return out.select(
+        "lang",
+        "pred",
+        "n",
+        "label_total",
+        iround_col("n", "CAST(label_total AS DECIMAL(38,0))", 6, signed=False)
+        .alias("share"),
+    )

@@ -92,3 +92,21 @@ def test_ivfpq_recall_at_5_vs_bruteforce(spark):
     # every probed answer carries a PQ score in the plausible band
     for r in approx_df.collect():
         assert -1.5 <= r["score_pq"] <= 1.5
+
+
+def test_emb_recall_eval_matches_inline_intersection(spark):
+    """The recall-eval OPERATOR must report exactly the intersection its
+    two parents produce, with the device ratio — and clear the suite's
+    ANN floor on the mean."""
+    emb = load(spark, SF_DIR, "embeddings")
+    truth = _topk_ids(sim.sim_search_topk(emb))
+    approx = _topk_ids(sim.ann_search_topk(emb))
+    got = {r.query_id: r for r in sim.emb_recall_eval(emb).collect()}
+    assert set(got) == set(truth)
+    for q in truth:
+        want_hit = len(truth[q] & approx.get(q, set()))
+        assert got[q].n_hit == want_hit and got[q].k == 5
+        grid = (2_000_000 * want_hit + 5) // 10
+        assert got[q].recall == grid / 1e6
+    mean = sum(r.n_hit for r in got.values()) / (5 * len(got))
+    assert mean >= 0.3

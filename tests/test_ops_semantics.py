@@ -2477,3 +2477,36 @@ def test_dataset_card_hand_sources(spark):
     assert w.en_share == 0.5 and w.short_share == 1.0 and w.mean_tokens == 2.5
     b = got["book"]
     assert b.n_tokens == 60 and b.short_share == 0.0 and b.en_share == 1.0
+
+
+def test_langid_eval_hand_docs(spark):
+    """Integer-exact threshold replay: stopword-heavy en doc predicts en,
+    stopword-free docs predict unk; shares per label row."""
+    rows = [
+        (1, "the cat of the house is the best", "en", "w"),
+        (2, "zebra quagga pangolin", "en", "w"),
+        (3, "zorro rapido", "es", "w"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    got = {(r.lang, r.pred): r for r in tx.text_langid_eval(df).collect()}
+    assert got[("en", "en")].n == 1 and got[("en", "en")].share == 0.5
+    assert got[("en", "unk")].n == 1 and got[("en", "unk")].label_total == 2
+    assert got[("es", "unk")].share == 1.0
+
+
+def test_modality_census_hand_rows(spark):
+    """Exact byte totals, label cardinality, and the dim invariant."""
+    from kdb_spark.llm import multimodal as mm
+
+    docs = spark.createDataFrame(
+        [(1, "abcd", "en", "w", 4), (2, "xy", "en", "w", 2)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    embs = spark.createDataFrame(
+        [(1, [1.0, 0.0], 7), (2, [0.0, 1.0], 8)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    [r] = mm.mm_modality_census(docs, embs).collect()
+    assert (r.lang, r.source, r.n_rows) == ("en", "w", 2)
+    assert r.total_bytes == 6 and r.mean_bytes == 3.0
+    assert r.n_labels == 2 and r.min_dim == r.max_dim == 2
