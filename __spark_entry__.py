@@ -6816,3 +6816,54 @@ _reg(
     FROM t GROUP BY 1, 2
     """,
 )
+
+
+# Portable hash scalar surface: md5/sha2 + the md5->int64 slot idiom the
+# repo's exact-parity hashing is built on (engine-specific hashes excluded
+# by design — they can't be oracle-checked)
+_reg(
+    "scalar_hash",
+    lambda s, d: sc.scalar_hash(load(s, d, "documents")),
+    """
+    SELECT doc_id,
+           md5(text) AS h_md5,
+           sha256(text) AS h_sha256,
+           CAST(('0x' || substring(md5(text), 1, 15))::BIGINT AS BIGINT)
+             AS h_slot
+    FROM documents WHERE doc_id < 200
+    """,
+)
+
+
+# Fulfillment SLA table: order-to-ship lead time per priority — device
+# mean, exact p95 order statistic, late-line share
+_reg(
+    "sql_lead_time",
+    lambda s, d: agg.sql_lead_time(load(s, d, "orders"), load(s, d, "lineitem")),
+    """
+    WITH ld AS (
+      SELECT o.o_orderpriority AS priority,
+             CAST(datediff('day', CAST(o.o_orderdate AS DATE),
+                           CAST(l.l_shipdate AS DATE)) AS BIGINT) AS d
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+    r AS (
+      SELECT priority, d,
+             row_number() OVER (PARTITION BY priority ORDER BY d) AS rn,
+             count(*) OVER (PARTITION BY priority) AS n
+      FROM ld),
+    g AS (
+      SELECT priority,
+             CAST(max(n) AS BIGINT) AS n,
+             CAST(sum(d) AS BIGINT) AS sum_days,
+             CAST(sum(CASE WHEN d > 90 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+             CAST(min(CASE WHEN rn >= (95 * n + 99) // 100 THEN d END)
+                  AS BIGINT) AS p95_days
+      FROM r GROUP BY 1)
+    SELECT priority, n, p95_days,
+           CAST((2000000 * CAST(sum_days AS HUGEINT) + n)
+                // (2 * CAST(n AS HUGEINT)) AS DOUBLE) / 1e6 AS mean_days,
+           CAST((2000000 * CAST(n_late AS HUGEINT) + n)
+                // (2 * CAST(n AS HUGEINT)) AS DOUBLE) / 1e6 AS late_share
+    FROM g
+    """,
+)

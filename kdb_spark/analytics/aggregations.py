@@ -3578,3 +3578,60 @@ def agg_var_es(events: DataFrame, q: int = 95) -> DataFrame:
         (F.col("var_c").cast("double") / F.lit(100.0)).alias("var_usd"),
         es6.alias("es_usd"),
     )
+
+
+def sql_lead_time(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Order-to-ship lead time per order priority as SQL text: mean days,
+    the exact p95 order statistic, and the late-line share (> 90 days) —
+    the fulfillment SLA table (TPC-H's shipping-delay family, cut by
+    priority instead of Q12's ship mode).
+
+    EXACT cross-engine: lead days are integer date arithmetic on the
+    DATE-cast timestamps, the mean rides the decimal device at 6 dp,
+    p95 is the exact ⌈95·n/100⌉-th order statistic (the agg_var_es
+    discipline — no interpolation), and the late share is a device
+    ratio of exact conditional counts.
+
+    Scale shape: one fact-fact join on orderkey (both sides huge at
+    100 TB — the shuffle join Catalyst picks is right; bucketing both
+    tables on orderkey would co-locate it, cf. sink_bucketed), then a
+    rank window + final agg sharing one priority-key Exchange.
+    """
+    from kdb_spark.analytics.exact import iround_sql
+
+    mean6 = iround_sql(
+        "sum_days", "CAST(n AS DECIMAL(38,0))", 6, signed=False
+    )
+    late6 = iround_sql(
+        "n_late", "CAST(n AS DECIMAL(38,0))", 6, signed=False
+    )
+    return orders.sparkSession.sql(
+        f"""
+        WITH ld AS (
+          SELECT o.o_orderpriority AS priority,
+                 CAST(datediff(CAST(l.l_shipdate AS DATE),
+                               CAST(o.o_orderdate AS DATE)) AS BIGINT) AS d
+          FROM {{orders_v}} o JOIN {{lineitem_v}} l
+            ON l.l_orderkey = o.o_orderkey),
+        r AS (
+          SELECT priority, d,
+                 row_number() OVER (PARTITION BY priority ORDER BY d) AS rn,
+                 count(*) OVER (PARTITION BY priority) AS n
+          FROM ld),
+        g AS (
+          SELECT priority,
+                 CAST(max(n) AS BIGINT) AS n,
+                 CAST(sum(d) AS BIGINT) AS sum_days,
+                 CAST(sum(CASE WHEN d > 90 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_late,
+                 CAST(min(CASE WHEN rn >= (95 * n + 99) DIV 100 THEN d END)
+                      AS BIGINT) AS p95_days
+          FROM r GROUP BY 1)
+        SELECT priority, n, p95_days,
+               {mean6} AS mean_days,
+               {late6} AS late_share
+        FROM g
+        """,
+        orders_v=orders,
+        lineitem_v=lineitem,
+    )

@@ -123,3 +123,27 @@ def scalar_bitwise(events: DataFrame) -> DataFrame:
         F.expr("~event_id").cast("long").alias("b_not"),
         F.bit_count(a.bitwiseXOR(b)).cast("long").alias("hamming"),
     )
+
+
+def scalar_hash(documents: DataFrame) -> DataFrame:
+    """Cross-engine-portable hash scalar surface: md5 / sha2-256
+    hex digests plus the md5-prefix-to-int64 idiom — the
+    PORTABLE hash family every exact-parity operator in this repo builds
+    on (dedup_exact's content keys, sample_hash's md5-slot gates,
+    agg_count_min's seed-free sketch rows). Deliberately EXCLUDES
+    Spark-native xxhash64/crc32: engine-specific hashes cannot be
+    oracle-checked, which is exactly why the repo standardized on md5
+    (the docstring-level contract this key pins).
+
+    Map-only projection over a bounded id slice; standard-library hash
+    kernels are JVM-side, no UDF.
+    """
+    t = F.col("text")
+    return documents.filter(F.col("doc_id") < 200).select(
+        "doc_id",
+        F.md5(t).alias("h_md5"),
+        F.sha2(t, 256).alias("h_sha256"),
+        # the repo's md5→int64 slot device: first 15 hex chars (60 bits)
+        F.expr("CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT)")
+        .alias("h_slot"),
+    )

@@ -2510,3 +2510,38 @@ def test_modality_census_hand_rows(spark):
     assert (r.lang, r.source, r.n_rows) == ("en", "w", 2)
     assert r.total_bytes == 6 and r.mean_bytes == 3.0
     assert r.n_labels == 2 and r.min_dim == r.max_dim == 2
+
+
+def test_scalar_hash_known_digests(spark):
+    """Pinned digests for a known string — the portability contract."""
+    from kdb_spark.analytics import scalars as sc
+
+    df = spark.createDataFrame([(1, "hello")], "doc_id long, text string")
+    [r] = sc.scalar_hash(df).collect()
+    assert r.h_md5 == "5d41402abc4b2a76b9719d911017c592"
+    assert r.h_sha256 == (
+        "2cf24dba5fb0a30e26e83b2ac5b9e29e1b161e5c1fa7425e73043362938b9824"
+    )
+    assert r.h_slot == 419982666956583591  # int('5d41402abc4b2a7', 16)
+
+
+def test_lead_time_hand_orders(spark):
+    """Exact day arithmetic, p95 order statistic, late share device."""
+    import datetime
+
+    orders = spark.createDataFrame(
+        [(1, 1, 1.0, datetime.datetime(1995, 1, 1), "1-URGENT")],
+        "o_orderkey long, o_custkey long, o_totalprice double,"
+        " o_orderdate timestamp, o_orderpriority string",
+    )
+    lines = [
+        (1, i, datetime.datetime(1995, 1, 1) + datetime.timedelta(days=d))
+        for i, d in enumerate([10, 20, 30, 40, 100])
+    ]
+    lineitem = spark.createDataFrame(
+        lines, "l_orderkey long, l_linenumber int, l_shipdate timestamp"
+    )
+    [r] = agg.sql_lead_time(orders, lineitem).collect()
+    # n=5 → k = ceil(4.75) = 5 → p95 = the max (100); mean = 40; late 1/5
+    assert (r.n, r.p95_days) == (5, 100)
+    assert r.mean_days == 40.0 and r.late_share == 0.2
