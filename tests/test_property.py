@@ -2218,3 +2218,136 @@ def test_rolling_beta_matches_bruteforce(spark, pts, hours):
             else:
                 cnum = L * sum(x * y for x, y in zip(xs, ys)) - sum(xs) * sum(ys)
                 assert got[(u, h)] == _iround_py(cnum, cden), (u, h)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    lines=st.lists(
+        st.tuples(st.integers(0, 300), st.integers(1, 60)),  # quarter-$ price, qty
+        min_size=1,
+        max_size=20,
+    ),
+    period=st.sampled_from([3, 14]),
+)
+def test_mfi_matches_bruteforce(spark, lines, period):
+    """Law: win_mfi equals the brute-force split-flow device ratio on
+    the supplier sequence (pmf/nmf exact, index on the device grid)."""
+    import datetime
+
+    from kdb_spark.analytics import windows as wn
+
+    rows = [
+        (i, 1, 7, float(q), p / 4.0, datetime.datetime(2024, 1, 1)
+         + datetime.timedelta(days=i))
+        for i, (p, q) in enumerate(lines)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_linenumber int, l_suppkey long,"
+        " l_quantity double, l_extendedprice double, l_shipdate timestamp",
+    )
+    got = {r.l_orderkey: r for r in wn.win_mfi(df, period=period).collect()}
+    pcs = [p * 25 for p, _ in lines]
+    qs = [q for _, q in lines]
+    flows = []
+    for i in range(len(lines)):
+        if i == 0:
+            flows.append((0, 0))
+        elif pcs[i] > pcs[i - 1]:
+            flows.append((pcs[i] * qs[i], 0))
+        elif pcs[i] < pcs[i - 1]:
+            flows.append((0, pcs[i] * qs[i]))
+        else:
+            flows.append((0, 0))
+    for i in range(len(lines)):
+        fr = flows[max(0, i - period + 1) : i + 1]
+        pmf, nmf = sum(f[0] for f in fr), sum(f[1] for f in fr)
+        r = got[i]
+        assert (r.pmf_c, r.nmf_c) == (pmf, nmf), i
+        if pmf + nmf == 0:
+            assert r.mfi is None
+        else:
+            assert r.mfi == _iround_py(100 * pmf, pmf + nmf), i
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 20), st.integers(0, 200)),  # hour slot, quarter-$
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_atr_matches_bruteforce(spark, pts):
+    """Law: win_atr equals the brute-force Wilder TR chain over hourly
+    candles (h-l seed, max of three ranges after) with the device mean."""
+    from collections import defaultdict
+
+    from kdb_spark.analytics import windows as wn
+
+    HOUR = 3_600_000_000
+    rows = [
+        (i, 1, "a", int(h) * HOUR + i, v / 4.0) for i, (h, v) in enumerate(pts)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts_us long, value double"
+    )
+    got = {r.hour_us: r for r in wn.win_atr(df).collect()}
+    by_h = defaultdict(list)
+    for i, (h, v) in enumerate(pts):
+        by_h[int(h)].append((int(h) * HOUR + i, i, v * 25))
+    hours = sorted(by_h)
+    trs = []
+    prev_close = None
+    for h in hours:
+        cs = [c for (_, _, c) in by_h[h]]
+        hi, lo = max(cs), min(cs)
+        close = max(by_h[h])[2]  # max (ts, eid) pick
+        if prev_close is None:
+            tr = hi - lo
+        else:
+            tr = max(hi - lo, abs(hi - prev_close), abs(lo - prev_close))
+        trs.append(tr)
+        prev_close = close
+    for idx, h in enumerate(hours):
+        fr = trs[max(0, idx - 13) : idx + 1]
+        r = got[h * HOUR]
+        assert r.tr == trs[idx] / 100.0, h
+        assert r.atr == _iround_py(sum(fr), 100 * len(fr)), h
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(vals=st.lists(st.integers(-200, 200), min_size=1, max_size=25))
+def test_williams_r_is_stochastic_complement(spark, vals):
+    """Law: %R = %K − 100 exactly on the shared grid (both device-exact
+    over the same 14-row channel), NULL exactly on flat channels."""
+    from kdb_spark.analytics import windows as wn
+
+    rows = [(i, 1, "a", i * 1000, v / 4.0) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts_us long, value double"
+    )
+    willr = {r.event_id: r.willr for r in wn.win_williams_r(df).collect()}
+    pctk = {r.event_id: r.pct_k for r in wn.win_stochastic(df).collect()}
+    cents_seq = [v * 25 for v in vals]
+    for i in range(len(vals)):
+        frame = cents_seq[max(0, i - 13) : i + 1]
+        hi, lo, c = max(frame), min(frame), cents_seq[i]
+        if hi == lo:
+            assert willr[i] is None and pctk[i] is None
+        else:
+            assert willr[i] == -_iround_py(100 * (hi - c), hi - lo)
+            # grid identity: %K − 100 with both on the 1e-6 grid
+            assert round(pctk[i] - 100.0 - willr[i], 6) == 0.0
