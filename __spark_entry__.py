@@ -6867,3 +6867,121 @@ _reg(
     FROM g
     """,
 )
+
+
+# Point-in-time SCD2 join: each order sees the customer-segment version
+# valid at its instant — the feature-store correctness contract
+def _q_join_pit(s: SparkSession, d: str) -> DataFrame:
+    from kdb_spark.tables import cents
+
+    cust = load(s, d, "customer").select(
+        "c_custkey", "c_mktsegment", cents("c_acctbal").alias("bal_c")
+    )
+    up = F.col("bal_c") >= 500_000
+    hist = cust.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.lit(0).cast("long").alias("valid_from"),
+        F.when(up, F.lit(1)).cast("long").alias("valid_to"),
+    ).unionByName(
+        cust.filter(up).select(
+            "c_custkey",
+            F.lit("UPGRADED").alias("segment"),
+            F.lit(1).cast("long").alias("valid_from"),
+            F.lit(None).cast("long").alias("valid_to"),
+        )
+    )
+    facts = load(s, d, "orders").select(
+        F.col("o_custkey").alias("c_custkey"),
+        cents("o_totalprice").alias("price_c"),
+        F.when(F.year("o_orderdate") < 1996, F.lit(0))
+        .otherwise(F.lit(1))
+        .cast("long")
+        .alias("pit"),
+    )
+    j = jn.join_pit(facts, hist, "c_custkey", "pit")
+    return j.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("price_c").cast("long").alias("revenue_c"),
+    )
+
+
+_reg(
+    "join_pit",
+    _q_join_pit,
+    """
+    WITH c AS (
+      SELECT c_custkey, c_mktsegment,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+      FROM customer),
+    f AS (
+      SELECT o_custkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+             CASE WHEN year(o_orderdate) < 1996 THEN 0 ELSE 1 END AS pit
+      FROM orders),
+    j AS (
+      SELECT CASE WHEN f.pit = 1 AND c.bal_c >= 500000
+                  THEN 'UPGRADED' ELSE c.c_mktsegment END AS segment,
+             f.price_c
+      FROM f JOIN c ON c.c_custkey = f.o_custkey)
+    SELECT segment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(price_c) AS BIGINT) AS revenue_c
+    FROM j GROUP BY 1
+    """,
+)
+
+
+# LTV decile table: explicit integer decile cut over the per-customer
+# aggregate (the one deliberate dimension-sized global sort, disclosed)
+_reg(
+    "sql_ltv_deciles",
+    lambda s, d: agg.sql_ltv_deciles(load(s, d, "orders")),
+    """
+    WITH per AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS ltv_c
+      FROM orders GROUP BY 1),
+    r AS (
+      SELECT o_custkey, ltv_c,
+             row_number() OVER (ORDER BY ltv_c DESC, o_custkey) AS rn,
+             count(*) OVER () AS n,
+             sum(ltv_c) OVER () AS tot
+      FROM per),
+    d AS (
+      SELECT CAST(((rn - 1) * 10) // n AS INT) AS decile, ltv_c, tot
+      FROM r),
+    g AS (
+      SELECT decile,
+             CAST(count(*) AS BIGINT) AS n_customers,
+             CAST(sum(ltv_c) AS BIGINT) AS ltv_c,
+             CAST(max(tot) AS BIGINT) AS total_c
+      FROM d GROUP BY 1)
+    SELECT decile, n_customers, ltv_c,
+           CAST((2000000 * CAST(ltv_c AS HUGEINT) + total_c)
+                // (2 * CAST(total_c AS HUGEINT)) AS DOUBLE) / 1e6
+             AS ltv_share
+    FROM g
+    """,
+)
+
+
+# Live hourly candlesticks: min_by/max_by exact picks inside the
+# streaming aggregate; oracle = the batch candle rollup
+_reg(
+    "stream_ohlc",
+    sm.stream_ohlc,
+    """
+    WITH c0 AS (
+      SELECT event_type, epoch_us(ts) AS tu, event_id, value FROM events)
+    SELECT event_type,
+           tu - tu % 3600000000 AS hour_us,
+           first(value ORDER BY tu, event_id) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           last(value ORDER BY tu, event_id) AS close,
+           CAST(count(*) AS BIGINT) AS n
+    FROM c0 GROUP BY 1, 2
+    """,
+)

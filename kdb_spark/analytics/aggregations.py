@@ -3635,3 +3635,61 @@ def sql_lead_time(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
         orders_v=orders,
         lineitem_v=lineitem,
     )
+
+
+def sql_ltv_deciles(orders: DataFrame) -> DataFrame:
+    """Customer lifetime-value decile table as SQL text: active customers
+    ranked by exact LTV cents, cut into ten equal-count bands — per
+    decile the census, the LTV mass, and its share of total (the lift /
+    value-concentration chart every growth review opens with; agg_lorenz
+    is the continuous curve, this is the ten-row BI cut).
+
+    EXACT cross-engine: deciles are pure integer arithmetic on the
+    global LTV rank ((rn−1)·10 div n — no ntile, whose remainders Spark
+    and DuckDB could distribute differently... actually both put
+    remainders in the LOW tiles, but the explicit form makes the
+    contract readable and provably identical), ties broken by custkey;
+    shares ride the device against the exact grand total.
+
+    Scale shape: one fact-sized per-customer agg, then a GLOBAL
+    row_number over the per-customer AGGREGATE — customer-dimension-
+    sized, disclosed: this is the one table in the repo with a
+    deliberate single-partition sort, acceptable because its input is a
+    dimension aggregate (≈n_customers rows), never fact rows; at true
+    100 TB dimension scale, band on value thresholds from
+    agg_quantile_sketch instead.
+    """
+    from kdb_spark.analytics.exact import iround_sql
+
+    share = iround_sql(
+        "ltv_c", "CAST(total_c AS DECIMAL(38,0))", 6, signed=False
+    )
+    return orders.sparkSession.sql(
+        f"""
+        WITH per AS (
+          SELECT o_custkey,
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                      AS BIGINT) AS ltv_c
+          FROM {{orders_v}} GROUP BY 1),
+        r AS (
+          SELECT o_custkey, ltv_c,
+                 row_number() OVER (ORDER BY ltv_c DESC, o_custkey) AS rn,
+                 count(*) OVER () AS n,
+                 sum(ltv_c) OVER () AS tot
+          FROM per),
+        d AS (
+          SELECT CAST(((rn - 1) * 10) DIV n AS INT) AS decile,
+                 ltv_c, tot
+          FROM r),
+        g AS (
+          SELECT decile,
+                 CAST(count(*) AS BIGINT) AS n_customers,
+                 CAST(sum(ltv_c) AS BIGINT) AS ltv_c,
+                 CAST(max(tot) AS BIGINT) AS total_c
+          FROM d GROUP BY 1)
+        SELECT decile, n_customers, ltv_c,
+               {share} AS ltv_share
+        FROM g
+        """,
+        orders_v=orders,
+    )

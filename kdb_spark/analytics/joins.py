@@ -451,3 +451,43 @@ def join_nearest(events: DataFrame) -> DataFrame:
             F.when(use_back, d_back).otherwise(d_fwd).cast("long").alias("dist_us"),
         )
     )
+
+
+def join_pit(
+    facts: DataFrame,
+    dim_hist: DataFrame,
+    key: str,
+    ts_col: str,
+) -> DataFrame:
+    """Point-in-time (PIT) join: each fact row joins the dimension VERSION
+    that was valid at its timestamp — the feature-store / SCD2
+    correctness contract (training-serving skew is exactly what happens
+    when this join is done wrong: a fact must never see an attribute
+    version from its future). ``dim_hist`` carries [valid_from,
+    valid_to) ranges with NULL valid_to for open rows, as `sink_scd2`
+    writes them.
+
+    Join shape: equi-key + half-open validity range. Catalyst plans the
+    equi part as the join key (SortMergeJoin / broadcast when the
+    history is small) and the range as a post-join filter — correct
+    because SCD2 guarantees at most one valid version per (key, instant),
+    so no dedup pass is needed afterwards. Inner semantics: facts with
+    no valid version at their instant (before the key first appeared, or
+    in a closed gap) drop — the honest PIT contract; left-pad with a
+    default version upstream if business logic wants them.
+
+    At 100 TB: history is dimension-sized → broadcast; the fact side
+    never shuffles. A fact-sized history (event-sourced dims) would want
+    the as-of family (`join_asof`) instead.
+    """
+    h = dim_hist.alias("h")
+    f = facts.alias("f")
+    cond = (
+        (F.col(f"f.{key}") == F.col(f"h.{key}"))
+        & (F.col("h.valid_from") <= F.col(f"f.{ts_col}"))
+        & (
+            F.col("h.valid_to").isNull()
+            | (F.col(f"f.{ts_col}") < F.col("h.valid_to"))
+        )
+    )
+    return f.join(h, cond, "inner").drop(F.col(f"h.{key}"))

@@ -1637,3 +1637,36 @@ def stream_since_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _drain(out, "append", partitions=16)
+
+
+def stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live hourly candlesticks per event_type: open/close via
+    min_by/max_by on the (ts, event_id) struct INSIDE the streaming
+    aggregate — the candle-maintenance form of agg_ohlc (same exact-pick
+    semantics, same deterministic tie key), with the 1-day watermark
+    bounding state to open windows. Complete-mode drain, like the other
+    windowed streaming rollups.
+    """
+    s = events_stream(spark, sf_dir)
+    key = F.struct(F.unix_micros("ets").alias("tu"), F.col("event_id"))
+    agg = (
+        s.withWatermark("ets", "1 day")
+        .groupBy("event_type", F.window("ets", "1 hour").alias("w"))
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    out = _drain(agg, "complete")
+    return out.select(
+        "event_type",
+        F.unix_micros("w.start").alias("hour_us"),
+        "open",
+        "high",
+        "low",
+        "close",
+        F.col("n").cast("long").alias("n"),
+    )

@@ -2545,3 +2545,40 @@ def test_lead_time_hand_orders(spark):
     # n=5 → k = ceil(4.75) = 5 → p95 = the max (100); mean = 40; late 1/5
     assert (r.n, r.p95_days) == (5, 100)
     assert r.mean_days == 40.0 and r.late_share == 0.2
+
+
+def test_join_pit_version_selection(spark):
+    """A fact must see exactly the dimension version valid at its
+    instant: before/inside/after a closed range, and never a future
+    version; keyless facts drop."""
+    hist = spark.createDataFrame(
+        [
+            (1, "A", 0, 10),      # closed version [0, 10)
+            (1, "B", 10, None),   # open from 10
+            (2, "C", 5, None),    # key appears at 5
+        ],
+        "k long, seg string, valid_from long, valid_to long",
+    )
+    facts = spark.createDataFrame(
+        [(100, 1, 0), (101, 1, 9), (102, 1, 10), (103, 2, 3), (104, 3, 7)],
+        "fid long, k long, ts long",
+    )
+    got = {r.fid: r.seg for r in jn.join_pit(facts, hist, "k", "ts").collect()}
+    assert got == {100: "A", 101: "A", 102: "B"}  # 103 pre-birth, 104 keyless
+
+
+def test_ltv_deciles_hand_customers(spark):
+    """Explicit (rn−1)·10 div n decile cut with exact shares."""
+    import datetime
+
+    t0 = datetime.datetime(1995, 1, 1)
+    # 10 customers with LTV 1..10 dollars → one per decile, desc order
+    rows = [(i, i, float(i), t0) for i in range(1, 11)]
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_totalprice double, o_orderdate timestamp"
+    )
+    got = {r.decile: r for r in agg.sql_ltv_deciles(df).collect()}
+    assert len(got) == 10 and all(got[i].n_customers == 1 for i in range(10))
+    assert got[0].ltv_c == 1000   # top decile = richest customer ($10)
+    assert got[0].ltv_share == round(1000 / 5500, 6)
+    assert got[9].ltv_c == 100
