@@ -6985,3 +6985,59 @@ _reg(
     FROM c0 GROUP BY 1, 2
     """,
 )
+
+
+# Detrended price oscillator: displaced-frame SMA, sign-aware device
+_reg(
+    "win_dpo",
+    lambda s, d: wn.win_dpo(events_us(s, d)),
+    """
+    WITH t AS (
+      SELECT event_id, user_id, event_type, epoch_us(ts) AS tu, value,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events),
+    w AS (
+      SELECT event_id, user_id, event_type, value, c,
+             sum(CAST(c AS HUGEINT)) OVER win AS s,
+             CAST(count(*) OVER win AS BIGINT) AS l
+      FROM t
+      WINDOW win AS (PARTITION BY user_id, event_type ORDER BY tu, event_id
+                     ROWS BETWEEN 30 PRECEDING AND 11 PRECEDING))
+    SELECT event_id, user_id, event_type, value,
+           CASE WHEN l > 0 THEN
+             (CASE WHEN CAST(c AS HUGEINT) * l - s < 0 THEN -1 ELSE 1 END)
+             * CAST((2000000 * abs(CAST(c AS HUGEINT) * l - s)
+                     + 100 * CAST(l AS HUGEINT))
+                    // (2 * 100 * CAST(l AS HUGEINT)) AS DOUBLE) / 1e6
+           END AS dpo
+    FROM w
+    """,
+)
+
+
+# Relative volume vs the trailing prior-print mean: exact integer
+# quantities, denominator-cleared device ratio
+_reg(
+    "win_relative_volume",
+    lambda s, d: wn.win_relative_volume(load(s, d, "lineitem")),
+    """
+    WITH t AS (
+      SELECT l_orderkey, l_linenumber, l_suppkey, l_shipdate,
+             CAST(round(l_quantity) AS BIGINT) AS q
+      FROM lineitem),
+    w AS (
+      SELECT l_orderkey, l_linenumber, l_suppkey, q,
+             CAST(sum(q) OVER win AS BIGINT) AS sq,
+             CAST(count(*) OVER win AS BIGINT) AS l
+      FROM t
+      WINDOW win AS (PARTITION BY l_suppkey
+                     ORDER BY l_shipdate, l_orderkey, l_linenumber
+                     ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING))
+    SELECT l_orderkey, l_linenumber, l_suppkey, q,
+           CASE WHEN sq > 0 THEN
+             CAST((2000000 * CAST(q AS HUGEINT) * l + sq)
+                  // (2 * CAST(sq AS HUGEINT)) AS DOUBLE) / 1e6
+           END AS rvol
+    FROM w
+    """,
+)

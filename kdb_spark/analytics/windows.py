@@ -1958,3 +1958,103 @@ def win_swing_points(events: DataFrame, k: int = 2) -> DataFrame:
         (full & (c == F.max(c).over(w))).alias("swing_high"),
         (full & (c == F.min(c).over(w))).alias("swing_low"),
     )
+
+
+def win_dpo(events: DataFrame, period: int = 20) -> DataFrame:
+    """Detrended Price Oscillator per series: price minus the ``period``-
+    row SMA displaced period/2+1 rows back — the cycle-isolation
+    transform (removing the trend leaves the oscillation; kdb: price -
+    mavg shifted). Standard displacement keeps the SMA centered on the
+    cycle being measured rather than lagging it.
+
+    EXACT cross-engine: the displaced frame [−(period + period/2),
+    −(period/2 + 1)] sums exact cents; DPO = (c·L − S)/(100·L) rides the
+    sign-aware device at 6 dp (dollars). Rows whose displaced frame is
+    empty (series head) emit NULL; a short head frame averages what
+    exists — the win_cci observed-rows contract.
+
+    Scale shape: ONE series-key window Exchange, one frame buffer.
+    """
+    half = period // 2 + 1
+    w = (
+        Window.partitionBy("user_id", "event_type")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(-(period + period // 2), -half)
+    )
+    c = cents("value")
+    t = events.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        c.alias("c"),
+        F.sum(c.cast("decimal(38,0)")).over(w).alias("s"),
+        F.count(F.lit(1)).over(w).cast("long").alias("l"),
+    )
+    dpo6 = F.when(
+        F.col("l") > 0,
+        F.expr(
+            "(CASE WHEN CAST(c AS DECIMAL(38,0)) * l - s < 0"
+            " THEN -1 ELSE 1 END) * "
+            + floor_div_sql(
+                "2000000 * abs(CAST(c AS DECIMAL(38,0)) * l - s)"
+                " + 100 * CAST(l AS DECIMAL(38,0))",
+                "2 * 100 * CAST(l AS DECIMAL(38,0))",
+            )
+        ).cast("double")
+        / F.lit(1e6),
+    )
+    return t.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        dpo6.alias("dpo"),
+    )
+
+
+def win_relative_volume(lineitem: DataFrame, k: int = 4) -> DataFrame:
+    """Relative volume per supplier line: this line's quantity against
+    the mean of the supplier's trailing ``k`` PRIOR quantities — the
+    "is this print unusually large" feature (relative volume is how
+    surveillance and execution algos normalize raw size; win_vwap_dev
+    normalizes price the same way).
+
+    EXACT cross-engine: quantities are exact integers, the prior-frame
+    mean clears denominators — rvol = q·L/Σq on the sign-free device at
+    6 dp (quantities ≥ 0; zero prior volume → NULL). Sequence heads
+    (no prior rows) are NULL.
+
+    Scale shape: identical to the other supplier-sequence windows — ONE
+    supplier-key Exchange, prior-rows frame [−k, −1].
+    """
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(-k, -1)
+    )
+    q = F.round(F.col("l_quantity")).cast("long")
+    t = lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_suppkey",
+        q.alias("q"),
+        F.sum(q).over(w).cast("long").alias("sq"),
+        F.count(F.lit(1)).over(w).cast("long").alias("l"),
+    )
+    rvol6 = F.when(
+        F.col("sq") > 0,
+        iround_col(
+            "CAST(q AS DECIMAL(38,0)) * l",
+            "CAST(sq AS DECIMAL(38,0))",
+            6,
+            signed=False,
+        ),
+    )
+    return t.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_suppkey",
+        "q",
+        rvol6.alias("rvol"),
+    )

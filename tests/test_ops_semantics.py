@@ -2582,3 +2582,40 @@ def test_ltv_deciles_hand_customers(spark):
     assert got[0].ltv_c == 1000   # top decile = richest customer ($10)
     assert got[0].ltv_share == round(1000 / 5500, 6)
     assert got[9].ltv_c == 100
+
+
+def test_dpo_hand_series(spark):
+    """Displaced-frame SMA: NULL at heads (empty displaced frame), exact
+    device value once the frame has rows."""
+    # period=20 → frame [-30, -11]: first 11 rows have empty frames
+    vals = [float(i) for i in range(1, 15)]
+    rows = [(i, 1, "a", i * 1000, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts_us long, value double"
+    )
+    got = {r.event_id: r.dpo for r in wn.win_dpo(df).collect()}
+    assert all(got[i] is None for i in range(11))
+    # row 11 (value 12.0): frame = rows 0..0 → SMA = 1.0 → DPO = 11.0
+    assert got[11] == 11.0
+    # row 13 (value 14.0): frame = rows 0..2 → SMA = 2.0 → DPO = 12.0
+    assert got[13] == 12.0
+
+
+def test_relative_volume_hand_lines(spark):
+    """rvol = q·L/Σq over the prior-print frame: heads NULL, exact
+    ratios after."""
+    import datetime
+
+    rows = [
+        (i, 1, 7, float(q), 10.0, datetime.datetime(2024, 1, 1 + i))
+        for i, q in enumerate([10, 20, 30])
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_linenumber int, l_suppkey long,"
+        " l_quantity double, l_extendedprice double, l_shipdate timestamp",
+    )
+    got = {r.l_orderkey: r.rvol for r in wn.win_relative_volume(df).collect()}
+    assert got[0] is None
+    assert got[1] == 2.0           # 20·1/10
+    assert got[2] == 2.0           # 30·2/30
