@@ -7041,3 +7041,35 @@ _reg(
     FROM w
     """,
 )
+
+
+# kdb's `ratios` verb: price relatives + simple returns, sign-aware device
+_reg(
+    "win_ratios",
+    lambda s, d: wn.win_ratios(events_us(s, d)),
+    """
+    WITH t AS (
+      SELECT event_id, user_id, event_type, epoch_us(ts) AS tu, value,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events),
+    w AS (
+      SELECT event_id, user_id, event_type, value, c,
+             lag(c) OVER (PARTITION BY user_id, event_type
+                          ORDER BY tu, event_id) AS pc
+      FROM t)
+    SELECT event_id, user_id, event_type, value,
+           CASE WHEN pc IS NOT NULL AND pc != 0 THEN
+             (CASE WHEN (CASE WHEN pc < 0 THEN -c ELSE c END) < 0
+                   THEN -1 ELSE 1 END)
+             * CAST((2000000 * abs(CAST(c AS HUGEINT)) + abs(pc))
+                    // (2 * abs(CAST(pc AS HUGEINT))) AS DOUBLE) / 1e6
+           END AS ratio,
+           CASE WHEN pc IS NOT NULL AND pc != 0 THEN
+             (CASE WHEN (CASE WHEN pc < 0 THEN -(c - pc) ELSE c - pc END) < 0
+                   THEN -1 ELSE 1 END)
+             * CAST((2000000 * abs(CAST(c - pc AS HUGEINT)) + abs(pc))
+                    // (2 * abs(CAST(pc AS HUGEINT))) AS DOUBLE) / 1e6
+           END AS ret
+    FROM w
+    """,
+)

@@ -2058,3 +2058,64 @@ def win_relative_volume(lineitem: DataFrame, k: int = 4) -> DataFrame:
         "q",
         rvol6.alias("rvol"),
     )
+
+
+def win_ratios(events: DataFrame) -> DataFrame:
+    """kdb's ``ratios`` verb per series: x / prev(x) — the price-relative
+    series every compounding/return calculation starts from (`deltas` is
+    win_lag_delta; this is its multiplicative twin, completing the kdb
+    adverb-pair). Also surfaces the simple return (ratio − 1).
+
+    EXACT cross-engine: the ratio of two exact cents values is an exact
+    rational on the sign-aware decimal device at 6 dp (prices can be
+    negative in the general events schema, so sign-aware; prev = 0 rows
+    and series heads emit NULL — kdb's head convention is the identity,
+    but NULL is the honest SQL surface and is pinned here).
+
+    Scale shape: ONE series-key Exchange, one lag.
+    """
+    wo = Window.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+    c = cents("value")
+    t = events.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        c.alias("c"),
+        F.lag(c).over(wo).alias("pc"),
+    )
+    ratio6 = F.when(
+        F.col("pc").isNotNull() & (F.col("pc") != 0),
+        F.expr(
+            "(CASE WHEN (CASE WHEN pc < 0 THEN -c ELSE c END) < 0"
+            " THEN -1 ELSE 1 END) * "
+            + floor_div_sql(
+                "2000000 * abs(CAST(c AS DECIMAL(38,0))) + abs(pc)",
+                "2 * abs(CAST(pc AS DECIMAL(38,0)))",
+            )
+        ).cast("double")
+        / F.lit(1e6),
+    )
+    # simple return on the SAME grid: (c−pc)/pc device — NOT ratio−1 on
+    # doubles (the grid of c/pc and of (c−pc)/pc differ at half points;
+    # each is device-exact in its own right, so surface both explicitly)
+    ret6 = F.when(
+        F.col("pc").isNotNull() & (F.col("pc") != 0),
+        F.expr(
+            "(CASE WHEN (CASE WHEN pc < 0 THEN -(c - pc) ELSE c - pc END) < 0"
+            " THEN -1 ELSE 1 END) * "
+            + floor_div_sql(
+                "2000000 * abs(CAST(c - pc AS DECIMAL(38,0))) + abs(pc)",
+                "2 * abs(CAST(pc AS DECIMAL(38,0)))",
+            )
+        ).cast("double")
+        / F.lit(1e6),
+    )
+    return t.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        ratio6.alias("ratio"),
+        ret6.alias("ret"),
+    )

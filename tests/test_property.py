@@ -2351,3 +2351,65 @@ def test_williams_r_is_stochastic_complement(spark, vals):
             assert willr[i] == -_iround_py(100 * (hi - c), hi - lo)
             # grid identity: %K − 100 with both on the 1e-6 grid
             assert round(pctk[i] - 100.0 - willr[i], 6) == 0.0
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(vals=st.lists(st.integers(-200, 200), min_size=1, max_size=25))
+def test_ratios_dpo_rvol_class_bruteforce(spark, vals):
+    """Law: win_ratios' sign-aware devices and win_dpo's displaced frame
+    equal the Python-int brute forms on arbitrary signed series."""
+    from kdb_spark.analytics import windows as wn
+
+    rows = [(i, 1, "a", i * 1000, v / 4.0) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts_us long, value double"
+    )
+    cents_seq = [v * 25 for v in vals]
+    got_r = {r.event_id: r for r in wn.win_ratios(df).collect()}
+    for i in range(len(vals)):
+        r = got_r[i]
+        if i == 0 or cents_seq[i - 1] == 0:
+            assert r.ratio is None and r.ret is None
+        else:
+            c, pc = cents_seq[i], cents_seq[i - 1]
+            assert r.ratio == _iround_py(c if pc > 0 else -c, abs(pc))
+            d = c - pc
+            assert r.ret == _iround_py(d if pc > 0 else -d, abs(pc))
+    got_d = {r.event_id: r.dpo for r in wn.win_dpo(df).collect()}
+    for i in range(len(vals)):
+        lo, hi = max(0, i - 30), i - 11
+        frame = cents_seq[lo : hi + 1] if hi >= lo else []
+        if not frame:
+            assert got_d[i] is None
+        else:
+            L, S = len(frame), sum(frame)
+            assert got_d[i] == _iround_py(cents_seq[i] * L - S, 100 * L)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(vals=st.lists(st.integers(-300, 300), min_size=1, max_size=40))
+def test_var_es_matches_bruteforce(spark, vals):
+    """Law: agg_var_es picks the exact ⌈0.95·n⌉-th order statistic and
+    the exact tail mean, ties and signs included."""
+    from kdb_spark.analytics import aggregations as agg
+
+    rows = [(i, 1, "a", i * 1000, v / 4.0) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts_us long, value double"
+    )
+    [r] = agg.agg_var_es(df).collect()
+    cs = sorted(v * 25 for v in vals)
+    n = len(cs)
+    k = (95 * n + 99) // 100
+    tail = cs[k - 1 :]
+    assert r.n == n and r.tail_n == len(tail)
+    assert r.var_usd == cs[k - 1] / 100.0
+    assert r.es_usd == _iround_py(sum(tail), 100 * len(tail))
