@@ -7073,3 +7073,96 @@ _reg(
     FROM w
     """,
 )
+
+
+# Robust location trio: raw / trimmed / winsorized means on exact order
+# statistics and the sign-aware device
+_reg(
+    "agg_winsorized",
+    lambda s, d: agg.agg_winsorized(events_us(s, d)),
+    """
+    WITH r AS (
+      SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) AS x,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY CAST(round(value * 100) AS BIGINT),
+                                         event_id) AS rn,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM events),
+    b AS (
+      SELECT *, (5 * n + 99) // 100 AS lo, n - (5 * n + 99) // 100 AS hi
+      FROM r),
+    g AS (
+      SELECT event_type, max(n) AS n,
+             CAST(max(lo) AS BIGINT) AS n_cut,
+             sum(CAST(x AS HUGEINT)) AS s_all,
+             sum(CASE WHEN rn > lo AND rn <= hi THEN CAST(x AS HUGEINT)
+                      ELSE 0 END) AS s_mid,
+             CAST(sum(CASE WHEN rn > lo AND rn <= hi THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_mid,
+             max(CASE WHEN rn = lo + 1 THEN x END) AS q_lo,
+             max(CASE WHEN rn = hi THEN x END) AS q_hi
+      FROM b GROUP BY 1)
+    SELECT event_type, n, n_cut,
+           (CASE WHEN s_all < 0 THEN -1 ELSE 1 END)
+           * CAST((2000000 * abs(s_all) + 100 * CAST(n AS HUGEINT))
+                  // (2 * 100 * CAST(n AS HUGEINT)) AS DOUBLE) / 1e6 AS mean,
+           CASE WHEN n_mid > 0 THEN
+             (CASE WHEN s_mid < 0 THEN -1 ELSE 1 END)
+             * CAST((2000000 * abs(s_mid) + 100 * CAST(n_mid AS HUGEINT))
+                    // (2 * 100 * CAST(n_mid AS HUGEINT)) AS DOUBLE) / 1e6
+           END AS trimmed_mean,
+           CASE WHEN n_mid > 0 THEN
+             (CASE WHEN s_mid + CAST(n_cut AS HUGEINT) * q_lo
+                        + CAST(n_cut AS HUGEINT) * q_hi < 0
+                   THEN -1 ELSE 1 END)
+             * CAST((2000000 * abs(s_mid + CAST(n_cut AS HUGEINT) * q_lo
+                                   + CAST(n_cut AS HUGEINT) * q_hi)
+                     + 100 * CAST(n AS HUGEINT))
+                    // (2 * 100 * CAST(n AS HUGEINT)) AS DOUBLE) / 1e6
+           END AS winsorized_mean
+    FROM g
+    """,
+)
+
+
+# Tukey fence outlier census: exact quartile picks, integer fences via
+# doubling, device share
+_reg(
+    "agg_iqr_fence",
+    lambda s, d: agg.agg_iqr_fence(events_us(s, d)),
+    """
+    WITH r AS (
+      SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) AS x,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY CAST(round(value * 100) AS BIGINT),
+                                         event_id) AS rn,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM events),
+    q AS (
+      SELECT event_type, max(n) AS n,
+             CAST(max(CASE WHEN rn = (25 * n + 99) // 100 THEN x END)
+                  AS BIGINT) AS q1_c,
+             CAST(max(CASE WHEN rn = (75 * n + 99) // 100 THEN x END)
+                  AS BIGINT) AS q3_c
+      FROM r GROUP BY 1),
+    o AS (
+      SELECT r.event_type, max(q.n) AS n,
+             max(q.q1_c) AS q1_c, max(q.q3_c) AS q3_c,
+             CAST(sum(CASE WHEN 2 * r.x < 5 * q.q1_c - 3 * q.q3_c
+                             OR 2 * r.x > 5 * q.q3_c - 3 * q.q1_c
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      FROM r JOIN q ON q.event_type = r.event_type
+      GROUP BY 1)
+    SELECT event_type, n,
+           CAST(q1_c AS DOUBLE) / 100.0 AS q1,
+           CAST(q3_c AS DOUBLE) / 100.0 AS q3,
+           CAST(5 * q1_c - 3 * q3_c AS DOUBLE) / 200.0 AS lo_fence,
+           CAST(5 * q3_c - 3 * q1_c AS DOUBLE) / 200.0 AS hi_fence,
+           n_outliers,
+           CAST((2000000 * CAST(n_outliers AS HUGEINT) + n)
+                // (2 * CAST(n AS HUGEINT)) AS DOUBLE) / 1e6 AS outlier_share
+    FROM o
+    """,
+)

@@ -3693,3 +3693,149 @@ def sql_ltv_deciles(orders: DataFrame) -> DataFrame:
         """,
         orders_v=orders,
     )
+
+
+def agg_winsorized(events: DataFrame, p: int = 5) -> DataFrame:
+    """Robust location estimates per event_type: the ``p``-percent
+    trimmed mean (drop both tails) and winsorized mean (clamp both tails
+    to the cut values) beside the raw mean — the outlier-resistant
+    trio a risk/quality review quotes together (agg_var_es owns the tail
+    itself; these summarize the CENTER robustly).
+
+    EXACT cross-engine: cut ranks are integer arithmetic (lo = ⌈p·n/100⌉,
+    hi = n − lo; rows with lo < rn ≤ hi survive the trim), the cut
+    VALUES are exact order statistics, the winsorized sum replaces each
+    tail row's value with its cut value (lo·q_lo + hi-tail·q_hi added to
+    the interior sum — all exact cents), and all three means ride the
+    sign-aware device at 6 dp (dollars). Degenerate groups (trim empties
+    the interior: n ≤ 2·lo) emit NULL trimmed/winsorized.
+
+    Scale shape: one event_type Exchange shared by the rank sort, the
+    partition count, and the conditional aggregates (the agg_var_es
+    posture).
+    """
+    x = cents("value")
+    wo = Window.partitionBy("event_type").orderBy("x", "event_id")
+    wp = Window.partitionBy("event_type")
+    r = events.select("event_type", x.alias("x"), "event_id").select(
+        "event_type",
+        "x",
+        F.row_number().over(wo).alias("rn"),
+        F.count(F.lit(1)).over(wp).cast("long").alias("n"),
+    )
+    lo = F.expr(f"({p} * n + 99) div 100")
+    r = r.withColumn("lo", lo).withColumn("hi", F.col("n") - lo)
+    g = r.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.max("lo").cast("long").alias("n_cut"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("s_all"),
+        F.sum(
+            F.when(
+                (F.col("rn") > F.col("lo")) & (F.col("rn") <= F.col("hi")),
+                F.col("x"),
+            )
+            .otherwise(0)
+            .cast("decimal(38,0)")
+        ).alias("s_mid"),
+        F.sum(
+            F.when(
+                (F.col("rn") > F.col("lo")) & (F.col("rn") <= F.col("hi")), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_mid"),
+        # standard winsorization clamps to the INTERIOR boundary values:
+        # q_lo = x at rn = lo+1 (lowest survivor), q_hi = x at rn = hi
+        # (highest survivor) — each tail row is replaced by its clamp
+        F.max(F.when(F.col("rn") == F.col("lo") + 1, F.col("x"))).alias("q_lo"),
+        F.max(F.when(F.col("rn") == F.col("hi"), F.col("x"))).alias("q_hi"),
+    )
+
+    def mean6(num: str, den: str) -> F.Column:
+        return iround_col(num, f"100 * CAST({den} AS DECIMAL(38,0))", 6, signed=True)
+
+    ok = F.col("n_mid") > 0
+    return g.select(
+        "event_type",
+        "n",
+        "n_cut",
+        mean6("s_all", "n").alias("mean"),
+        F.when(ok, mean6("s_mid", "n_mid")).alias("trimmed_mean"),
+        F.when(
+            ok,
+            iround_col(
+                "s_mid + CAST(n_cut AS DECIMAL(38,0)) * q_lo"
+                " + CAST(n_cut AS DECIMAL(38,0)) * q_hi",
+                "100 * CAST(n AS DECIMAL(38,0))",
+                6,
+                signed=True,
+            ),
+        ).alias("winsorized_mean"),
+    )
+
+
+def agg_iqr_fence(events: DataFrame) -> DataFrame:
+    """Tukey fence outlier census per event_type: exact quartile order
+    statistics, the 1.5·IQR fences, and the count/share of rows outside
+    them — the box-plot outlier rule as a query (win_hampel is the
+    rolling/local form; this is the global census).
+
+    EXACT cross-engine: q1/q3 are the ⌈n/4⌉-th and ⌈3n/4⌉-th order
+    statistics (exact value picks), and the fences stay INTEGER by
+    doubling: 2·lo_fence = 5·q1 − 3·q3 and 2·hi_fence = 5·q3 − 3·q1
+    (±1.5·IQR cleared of the half), so the outlier predicate 2·x <
+    2·lo_fence is pure integer comparison. The share rides the unsigned
+    device. Fences surface in dollars via one exact /200 cast-divide.
+
+    Scale shape: the agg_var_es single-Exchange posture (rank sort +
+    partition count + final conditional agg).
+    """
+    x = cents("value")
+    wo = Window.partitionBy("event_type").orderBy("x", "event_id")
+    wp = Window.partitionBy("event_type")
+    r = events.select("event_type", x.alias("x"), "event_id").select(
+        "event_type",
+        "x",
+        F.row_number().over(wo).alias("rn"),
+        F.count(F.lit(1)).over(wp).cast("long").alias("n"),
+    )
+    k1 = F.expr("(25 * n + 99) div 100")
+    k3 = F.expr("(75 * n + 99) div 100")
+    r = r.withColumn("k1", k1).withColumn("k3", k3)
+    q = r.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.max(F.when(F.col("rn") == F.col("k1"), F.col("x"))).alias("q1"),
+        F.max(F.when(F.col("rn") == F.col("k3"), F.col("x"))).alias("q3"),
+    )
+    vals = r.select("event_type", "x")
+    j = vals.join(F.broadcast(q), "event_type")
+    out = j.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.max("q1").cast("long").alias("q1_c"),
+        F.max("q3").cast("long").alias("q3_c"),
+        F.sum(
+            F.when(
+                (2 * F.col("x") < 5 * F.col("q1") - 3 * F.col("q3"))
+                | (2 * F.col("x") > 5 * F.col("q3") - 3 * F.col("q1")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_outliers"),
+    )
+    return out.select(
+        "event_type",
+        "n",
+        (F.col("q1_c").cast("double") / F.lit(100.0)).alias("q1"),
+        (F.col("q3_c").cast("double") / F.lit(100.0)).alias("q3"),
+        (
+            F.expr("CAST(5 * q1_c - 3 * q3_c AS DOUBLE)") / F.lit(200.0)
+        ).alias("lo_fence"),
+        (
+            F.expr("CAST(5 * q3_c - 3 * q1_c AS DOUBLE)") / F.lit(200.0)
+        ).alias("hi_fence"),
+        "n_outliers",
+        iround_col(
+            "n_outliers", "CAST(n AS DECIMAL(38,0))", 6, signed=False
+        ).alias("outlier_share"),
+    )

@@ -2619,3 +2619,35 @@ def test_relative_volume_hand_lines(spark):
     assert got[0] is None
     assert got[1] == 2.0           # 20·1/10
     assert got[2] == 2.0           # 30·2/30
+
+
+def test_winsorized_hand_values(spark):
+    """n=20, p=5 → cut 1 each side: trimmed mean over ranks 2..19,
+    winsorized replaces the extremes with the cut values."""
+    vals = [float(v) for v in list(range(1, 20)) + [1000]]  # outlier at top
+    rows = [(i, 1, "a", i * 1000, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts_us long, value double"
+    )
+    [r] = agg.agg_winsorized(df).collect()
+    assert (r.n, r.n_cut) == (20, 1)
+    assert r.mean == round((sum(range(1, 20)) + 1000) / 20, 6)
+    assert r.trimmed_mean == round(sum(range(2, 20)) / 18, 6)
+    # standard clamps: the low tail (value 1) clamps to x@rn2 = 2, the
+    # outlier (1000) clamps to x@rn19 = 19 → (2 + Σ2..19 + 19)/20 = 10.5
+    assert r.winsorized_mean == 10.5
+
+
+def test_iqr_fence_hand_values(spark):
+    """Exact quartile picks and integer fences; the planted outlier is
+    the only row outside."""
+    vals = [float(v) for v in list(range(1, 12)) + [100]]  # n=12
+    rows = [(i, 1, "a", i * 1000, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts_us long, value double"
+    )
+    [r] = agg.agg_iqr_fence(df).collect()
+    # k1 = ceil(3) = 3 → q1 = 3; k3 = ceil(9) = 9 → q3 = 9; IQR = 6
+    assert r.q1 == 3.0 and r.q3 == 9.0
+    assert r.lo_fence == -6.0 and r.hi_fence == 18.0
+    assert r.n_outliers == 1 and r.outlier_share == round(1 / 12, 6)
