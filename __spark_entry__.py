@@ -7166,3 +7166,86 @@ _reg(
     FROM o
     """,
 )
+
+
+# Roll's implied spread: exact delta-pair co-moments, one IEEE
+# divide/sqrt chain to the 1e-4 dollar grid; positive autocov → NULL
+_reg(
+    "agg_roll_spread",
+    lambda s, d: agg.agg_roll_spread(events_us(s, d)),
+    """
+    WITH t AS (
+      SELECT user_id, event_type, epoch_us(ts) AS tu, event_id,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events),
+    d1 AS (
+      SELECT user_id, event_type, tu, event_id,
+             c - lag(c) OVER w AS a
+      FROM t
+      WINDOW w AS (PARTITION BY user_id, event_type ORDER BY tu, event_id)),
+    d2 AS (
+      SELECT user_id, event_type, a,
+             lag(a) OVER (PARTITION BY user_id, event_type
+                          ORDER BY tu, event_id) AS b
+      FROM d1),
+    p AS (SELECT event_type, a, b FROM d2
+          WHERE a IS NOT NULL AND b IS NOT NULL),
+    g AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(a AS HUGEINT)) AS sa, sum(CAST(b AS HUGEINT)) AS sb,
+             sum(CAST(a AS HUGEINT) * b) AS sab
+      FROM p GROUP BY 1),
+    m AS (
+      SELECT event_type, n, CAST(n AS HUGEINT) * sab - sa * sb AS cm
+      FROM g)
+    SELECT event_type, n,
+           CASE WHEN n > 1 THEN
+             (CASE WHEN cm < 0 THEN -1 ELSE 1 END)
+             * CAST((20000 * abs(cm) + CAST(n AS HUGEINT) * (n - 1))
+                    // (2 * CAST(n AS HUGEINT) * (n - 1)) AS DOUBLE) / 1e4
+           END AS delta_autocov_c2,
+           CASE WHEN n > 1 AND cm < 0 THEN
+             CAST(floor(2 * sqrt(CAST(-cm AS DOUBLE)
+                                 / CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE))
+                        / 100 * 1e4 + 0.5) AS DOUBLE) / 1e4
+           END AS roll_spread_usd
+    FROM m
+    """,
+)
+
+
+# Amihud illiquidity per million dollars: per-print exact grid integers,
+# device mean of grids (the %D two-stage precedent)
+_reg(
+    "agg_amihud",
+    lambda s, d: agg.agg_amihud(load(s, d, "lineitem")),
+    """
+    WITH t AS (
+      SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+             CAST(round(l_quantity) AS BIGINT) AS q
+      FROM lineitem),
+    w AS (
+      SELECT l_suppkey, pc, q,
+             lag(pc) OVER (PARTITION BY l_suppkey
+                           ORDER BY l_shipdate, l_orderkey, l_linenumber)
+               AS ppc
+      FROM t),
+    f AS (SELECT * FROM w WHERE ppc IS NOT NULL AND ppc > 0 AND q > 0),
+    s AS (
+      SELECT l_suppkey,
+             (2000000 * CAST(100000000 AS HUGEINT) * abs(pc - ppc)
+              + CAST(ppc AS HUGEINT) * pc * q)
+             // (2 * CAST(ppc AS HUGEINT) * pc * q) AS g
+      FROM f),
+    a AS (
+      SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_prints,
+             sum(g) AS sg
+      FROM s GROUP BY 1)
+    SELECT l_suppkey, n_prints,
+           CAST((2 * sg + CAST(n_prints AS HUGEINT))
+                // (2 * CAST(n_prints AS HUGEINT)) AS DOUBLE) / 1e6
+             AS amihud_pm
+    FROM a
+    """,
+)

@@ -3839,3 +3839,134 @@ def agg_iqr_fence(events: DataFrame) -> DataFrame:
             "n_outliers", "CAST(n AS DECIMAL(38,0))", 6, signed=False
         ).alias("outlier_share"),
     )
+
+
+def agg_roll_spread(events: DataFrame) -> DataFrame:
+    """Roll's implied bid-ask spread per event_type: 2·√(−cov(Δp_t,
+    Δp_{t−1})) — the classic microstructure estimator that reads the
+    effective spread out of the negative serial covariance bounce of
+    trade prices (joins agg_benford / agg_round_number_bias as the third
+    price-forensics gate). Deltas are per (user, event_type) series
+    (bounces don't cross users); the covariance pools every consecutive
+    delta pair of the type.
+
+    EXACT cross-engine: deltas and the lagged pairs are exact cents; the
+    co-moment C = n·Σab − Σa·Σb accumulates in decimal(38,0); the spread
+    takes ONE divide/sqrt chain on doubles cast from exact decimals and
+    lands on the 1e-4 grid in dollars. Positive serial covariance (no
+    bounce — trending tape) emits NULL spread, the estimator's standard
+    undefined region; cov itself surfaces via the sign-aware device in
+    cents² so the NULL case is still diagnosable.
+
+    Scale shape: one series-key window Exchange for the two lags, then
+    one per-type hash agg; co-moments never leave decimal.
+    """
+    wo = Window.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+    c = cents("value")
+    t = events.select("user_id", "event_type", "ts_us", "event_id", c.alias("c")).select(
+        "user_id",
+        "event_type",
+        "ts_us",
+        "event_id",
+        (F.col("c") - F.lag("c").over(wo)).alias("a"),
+    )
+    t = t.withColumn("b", F.lag("a").over(wo)).filter(
+        F.col("a").isNotNull() & F.col("b").isNotNull()
+    )
+    g = t.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("a").cast("decimal(38,0)")).alias("sa"),
+        F.sum(F.col("b").cast("decimal(38,0)")).alias("sb"),
+        F.sum(F.col("a").cast("decimal(38,0)") * F.col("b")).alias("sab"),
+    )
+    g = g.withColumn(
+        "cm", F.expr("CAST(n AS DECIMAL(38,0)) * sab - sa * sb")
+    )
+    cov4 = F.when(
+        F.col("n") > 1,
+        F.expr(
+            "(CASE WHEN cm < 0 THEN -1 ELSE 1 END) * "
+            + floor_div_sql(
+                "20000 * abs(cm) + CAST(n AS DECIMAL(38,0)) * (n - 1)",
+                "2 * CAST(n AS DECIMAL(38,0)) * (n - 1)",
+            )
+        ).cast("double")
+        / F.lit(1e4),
+    )
+    spread4 = F.when(
+        (F.col("n") > 1) & (F.col("cm") < 0),
+        F.floor(
+            F.expr(
+                "2 * sqrt(CAST(-cm AS DOUBLE)"
+                " / CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) AS DOUBLE)) / 100"
+            )
+            * F.lit(1e4)
+            + F.lit(0.5)
+        ).cast("double")
+        / F.lit(1e4),
+    )
+    return g.select(
+        "event_type",
+        "n",
+        cov4.alias("delta_autocov_c2"),
+        spread4.alias("roll_spread_usd"),
+    )
+
+
+def agg_amihud(lineitem: DataFrame) -> DataFrame:
+    """Amihud illiquidity per supplier over the shipment tape: the mean
+    of |return| per million dollars of flow — price impact per unit
+    traded, the workhorse cross-sectional liquidity measure (win_mfi
+    reads flow DIRECTION; this reads flow COST).
+
+    Per print: illq = 10⁶·|Δpc|/(pc_prev · pc·q/100) — an exact rational
+    (return over dollar volume, scaled to per-million). Each print's
+    value lands on its own 1e-6 grid integer (sign-free — |Δpc| ≥ 0),
+    and the per-supplier mean averages those exact grid integers through
+    the device again: the two-stage grid accumulation win_stochastic's
+    %D pinned (documented: the mean is over GRID values, not raw
+    rationals — both engines do the identical two roundings).
+
+    Scale shape: one supplier-key window Exchange (the lag), then one
+    per-supplier hash agg of grid integers.
+    """
+    wo = Window.partitionBy("l_suppkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    pc = cents("l_extendedprice")
+    q = F.round(F.col("l_quantity")).cast("long")
+    t = lineitem.select(
+        "l_suppkey",
+        "l_shipdate",
+        "l_orderkey",
+        "l_linenumber",
+        pc.alias("pc"),
+        q.alias("q"),
+        F.lag(pc).over(wo).alias("ppc"),
+    ).filter(F.col("ppc").isNotNull() & (F.col("ppc") > 0) & (F.col("q") > 0))
+    # per-print grid integer: round(1e6·100·|dp| / (ppc·pc·q), 6)·1e6
+    g6 = F.expr(
+        floor_div_sql(
+            "2000000 * CAST(100000000 AS DECIMAL(38,0)) * abs(pc - ppc)"
+            " + CAST(ppc AS DECIMAL(38,0)) * pc * q",
+            "2 * CAST(ppc AS DECIMAL(38,0)) * pc * q",
+        )
+    )
+    s = t.select("l_suppkey", g6.alias("g"))
+    agg_ = s.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_prints"),
+        F.sum(F.col("g")).alias("sg"),
+    )
+    return agg_.select(
+        "l_suppkey",
+        "n_prints",
+        (
+            F.expr(
+                floor_div_sql(
+                    "2 * sg + CAST(n_prints AS DECIMAL(38,0))",
+                    "2 * CAST(n_prints AS DECIMAL(38,0))",
+                )
+            ).cast("double")
+            / F.lit(1e6)
+        ).alias("amihud_pm"),
+    )

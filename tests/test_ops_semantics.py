@@ -2651,3 +2651,44 @@ def test_iqr_fence_hand_values(spark):
     assert r.q1 == 3.0 and r.q3 == 9.0
     assert r.lo_fence == -6.0 and r.hi_fence == 18.0
     assert r.n_outliers == 1 and r.outlier_share == round(1 / 12, 6)
+
+
+def test_roll_spread_hand_bounce(spark):
+    """A perfect ±1-tick bounce has delta pairs (a,b) = (±2σ alternating)
+    → negative autocovariance → spread = 2√(−cov)."""
+    # prices 10, 11, 10, 11, 10 → deltas +100,−100,+100,−100 (cents)
+    vals = [10.0, 11.0, 10.0, 11.0, 10.0]
+    rows = [(i, 1, "a", i * 1000, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts_us long, value double"
+    )
+    [r] = agg.agg_roll_spread(df).collect()
+    # pairs: (−100,100),(100,−100),(−100,100) → n=3, Σa=−100, Σb=100,
+    # Σab = −30000; cm = 3·(−30000) − (−100·100) = −80000
+    assert r.n == 3
+    assert r.delta_autocov_c2 == round(-80000 / 6, 4)
+    expected = math.floor(2 * math.sqrt(80000 / 6) / 100 * 1e4 + 0.5) / 1e4
+    assert r.roll_spread_usd == expected
+
+
+def test_amihud_hand_prints(spark):
+    """Per-print grid integers, then the device mean of grids."""
+    import datetime
+
+    rows = [
+        (1, 1, 7, 10.0, 10.0, datetime.datetime(2024, 1, 1)),
+        (2, 1, 7, 10.0, 11.0, datetime.datetime(2024, 1, 2)),  # |dp|=100
+        (3, 1, 7, 20.0, 11.0, datetime.datetime(2024, 1, 3)),  # |dp|=0
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_linenumber int, l_suppkey long,"
+        " l_quantity double, l_extendedprice double, l_shipdate timestamp",
+    )
+    [r] = agg.agg_amihud(df).collect()
+    assert r.n_prints == 2
+    # print 2: 1e8·100/(1000·1100·10) = 10^10/1.1e7 → grid int of
+    # round(909.0909…, 6)·1e6; print 3: 0 → mean of the two grids
+    g2 = (2 * 10**6 * 10**8 * 100 + 1000 * 1100 * 10) // (2 * 1000 * 1100 * 10)
+    want = ((2 * (g2 + 0) + 2) // 4) / 1e6
+    assert r.amihud_pm == want
