@@ -7249,3 +7249,78 @@ _reg(
     FROM a
     """,
 )
+
+
+# Burstiness coefficient: pooled gap moments, one IEEE (s−m)/(s+m) chain
+_reg(
+    "agg_burstiness",
+    lambda s, d: agg.agg_burstiness(events_us(s, d)),
+    """
+    WITH t AS (
+      SELECT user_id, event_type, epoch_us(ts) AS tu, event_id FROM events),
+    d AS (
+      SELECT event_type,
+             tu - lag(tu) OVER (PARTITION BY user_id, event_type
+                                ORDER BY tu, event_id) AS g
+      FROM t),
+    f AS (SELECT event_type, g FROM d WHERE g IS NOT NULL),
+    a AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(g AS HUGEINT)) AS sg,
+             sum(CAST(g AS HUGEINT) * g) AS sgg
+      FROM f GROUP BY 1),
+    m AS (
+      SELECT event_type, n, sg,
+             CAST(n AS HUGEINT) * sgg - sg * sg AS vnum
+      FROM a)
+    SELECT event_type, n,
+           CASE WHEN n > 1 AND (vnum > 0 OR sg > 0) THEN
+             CAST(floor(
+               (sqrt(CAST(vnum AS DOUBLE)
+                     / CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE))
+                - CAST(sg AS DOUBLE) / CAST(n AS DOUBLE))
+               / (sqrt(CAST(vnum AS DOUBLE)
+                       / CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE))
+                  + CAST(sg AS DOUBLE) / CAST(n AS DOUBLE))
+               * 1e4 + 0.5) AS DOUBLE) / 1e4
+           END AS burstiness
+    FROM m
+    """,
+)
+
+
+# Flesch reading ease as an exact rational on the device — no float
+# constants; vowel-group syllables, [.!?]+ sentences
+_reg(
+    "text_readability",
+    lambda s, d: tx.text_readability(load(s, d, "documents")),
+    """
+    WITH t AS (
+      SELECT doc_id,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
+             CAST(len(list_filter(string_split_regex(text, '[.!?]+'),
+                                  x -> trim(x) != '')) AS BIGINT) AS raw_s
+      FROM documents),
+    b AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS w,
+             greatest(raw_s, 1) AS s,
+             CAST(coalesce(list_sum(list_transform(toks,
+                    x -> greatest(len(regexp_extract_all(x, '[aeiou]+')),
+                                  1))), 0) AS BIGINT) AS sy
+      FROM t)
+    SELECT doc_id, w AS n_words, s AS n_sentences, sy AS n_syllables,
+           CASE WHEN w > 0 THEN
+             (CASE WHEN 206835 * CAST(s AS HUGEINT) * w
+                        - 1015 * CAST(w AS HUGEINT) * w
+                        - 84600 * CAST(sy AS HUGEINT) * s < 0
+                   THEN -1 ELSE 1 END)
+             * CAST((20000 * abs(206835 * CAST(s AS HUGEINT) * w
+                                 - 1015 * CAST(w AS HUGEINT) * w
+                                 - 84600 * CAST(sy AS HUGEINT) * s)
+                     + 1000 * CAST(s AS HUGEINT) * w)
+                    // (2 * 1000 * CAST(s AS HUGEINT) * w) AS DOUBLE) / 1e4
+           END AS flesch
+    FROM b
+    """,
+)

@@ -3970,3 +3970,53 @@ def agg_amihud(lineitem: DataFrame) -> DataFrame:
             / F.lit(1e6)
         ).alias("amihud_pm"),
     )
+
+
+def agg_burstiness(events: DataFrame) -> DataFrame:
+    """Burstiness coefficient per event_type: B = (σ−μ)/(σ+μ) over the
+    pooled per-series inter-arrival gaps — the Goh–Barabási cadence
+    classifier (−1 = metronome, 0 = Poisson, →1 = bursty), the single
+    number behind "is this traffic organic or scripted"
+    (agg_interarrival_stats reports the raw moments per series; this is
+    the normalized population verdict).
+
+    EXACT cross-engine: gaps are exact µs integers pooled per type; the
+    moment pieces stay decimal (vnum = n·Σg² − (Σg)², the agg_stats
+    second-moment form); B takes ONE deterministic IEEE expression —
+    (s−m)/(s+m) with s = √(vnum/(n(n−1))) and m = Σg/n as doubles cast
+    from exact decimals — and lands on the 1e-4 grid. Degenerate types
+    (n < 2 or zero mean and variance) emit NULL.
+
+    Scale shape: one series-key lag Exchange, then one per-type hash agg.
+    """
+    wo = Window.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+    t = events.select(
+        "user_id",
+        "event_type",
+        (F.col("ts_us") - F.lag("ts_us").over(wo)).alias("g"),
+    ).filter(F.col("g").isNotNull())
+    a = t.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("g").cast("decimal(38,0)")).alias("sg"),
+        F.sum(F.col("g").cast("decimal(38,0)") * F.col("g")).alias("sgg"),
+    )
+    a = a.withColumn(
+        "vnum", F.expr("CAST(n AS DECIMAL(38,0)) * sgg - sg * sg")
+    )
+    b4 = F.when(
+        (F.col("n") > 1) & ((F.col("vnum") > 0) | (F.col("sg") > 0)),
+        F.floor(
+            F.expr(
+                "(sqrt(CAST(vnum AS DOUBLE)"
+                "      / CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) AS DOUBLE))"
+                " - CAST(sg AS DOUBLE) / CAST(n AS DOUBLE))"
+                " / (sqrt(CAST(vnum AS DOUBLE)"
+                "         / CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) AS DOUBLE))"
+                "    + CAST(sg AS DOUBLE) / CAST(n AS DOUBLE))"
+            )
+            * F.lit(1e4)
+            + F.lit(0.5)
+        ).cast("double")
+        / F.lit(1e4),
+    )
+    return a.select("event_type", "n", b4.alias("burstiness"))

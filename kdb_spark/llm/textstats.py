@@ -1017,3 +1017,54 @@ def text_langid_eval(documents: DataFrame) -> DataFrame:
         iround_col("n", "CAST(label_total AS DECIMAL(38,0))", 6, signed=False)
         .alias("share"),
     )
+
+
+def text_readability(documents: DataFrame) -> DataFrame:
+    """Flesch reading ease per document, computed as an EXACT RATIONAL:
+    206.835 − 1.015·(words/sentences) − 84.6·(syllables/words) clears to
+    (206835·s·w − 1015·w² − 84600·sy·s)/(1000·s·w) — every term integer,
+    so the classic readability score rides the sign-aware device at 4 dp
+    with no float constant ever materializing. Syllables use the
+    deterministic vowel-group heuristic (runs of [aeiou] per token,
+    min 1 — the standard approximation when no dictionary is licensed);
+    sentences split on [.!?]+ runs, empty fragments dropped, min 1.
+    The quality-filter signal C4-class pipelines gate on, beside
+    text_gopher_quality's format screens.
+
+    Scale shape: map-only (tokenizer + two regex passes per row), no
+    shuffle, whole-stage codegen.
+    """
+    t = documents.select(
+        "doc_id",
+        tokens("text").alias("toks"),
+        F.expr(
+            "size(filter(split(text, '[.!?]+'), x -> length(trim(x)) > 0))"
+        ).cast("long").alias("raw_s"),
+    ).select(
+        "doc_id",
+        F.size("toks").cast("long").alias("w"),
+        F.greatest(F.col("raw_s"), F.lit(1)).alias("s"),
+        F.expr(
+            "aggregate(toks, CAST(0 AS BIGINT), (acc, x) ->"
+            " acc + greatest(size(regexp_extract_all(x, '[aeiou]+', 0)),"
+            " 1))"
+        ).alias("sy"),
+    )
+    flesch = F.when(
+        F.col("w") > 0,
+        iround_col(
+            "206835 * CAST(s AS DECIMAL(38,0)) * w"
+            " - 1015 * CAST(w AS DECIMAL(38,0)) * w"
+            " - 84600 * CAST(sy AS DECIMAL(38,0)) * s",
+            "1000 * CAST(s AS DECIMAL(38,0)) * w",
+            4,
+            signed=True,
+        ),
+    )
+    return t.select(
+        "doc_id",
+        F.col("w").alias("n_words"),
+        F.col("s").alias("n_sentences"),
+        F.col("sy").alias("n_syllables"),
+        flesch.alias("flesch"),
+    )

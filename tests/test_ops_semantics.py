@@ -2692,3 +2692,38 @@ def test_amihud_hand_prints(spark):
     g2 = (2 * 10**6 * 10**8 * 100 + 1000 * 1100 * 10) // (2 * 1000 * 1100 * 10)
     want = ((2 * (g2 + 0) + 2) // 4) / 1e6
     assert r.amihud_pm == want
+
+
+def test_burstiness_hand_cadence(spark):
+    """A metronome (constant gaps) pins B = −1; an uneven cadence lands
+    on the hand-derived grid value."""
+    rows = (
+        [(i, 1, "tick", i * 1000, 1.0) for i in range(5)]        # gaps 1000×4
+        + [(10 + i, 1, "burst", t, 1.0) for i, t in enumerate([0, 100, 200, 10000])]
+    )
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts_us long, value double"
+    )
+    got = {r.event_type: r for r in agg.agg_burstiness(df).collect()}
+    assert got["tick"].burstiness == -1.0
+    g = [100, 100, 9800]
+    n, sg, sgg = 3, sum(g), sum(x * x for x in g)
+    vnum = n * sgg - sg * sg
+    s = math.sqrt(vnum / (n * (n - 1)))
+    m = sg / n
+    assert got["burst"].burstiness == math.floor((s - m) / (s + m) * 1e4 + 0.5) / 1e4
+
+
+def test_readability_hand_doc(spark):
+    """Exact rational Flesch: counts pinned by hand, device at 4 dp."""
+    text = "The cat sat. It sat there!"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    [r] = tx.text_readability(df).collect()
+    # tokens: the,cat,sat,it,sat,there → w=6; sentences: 2
+    # syllables: the(1) cat(1) sat(1) it(1) sat(1) there(2 groups: e,e) = 7
+    assert (r.n_words, r.n_sentences, r.n_syllables) == (6, 2, 7)
+    num = 206835 * 2 * 6 - 1015 * 36 - 84600 * 7 * 2
+    den = 1000 * 2 * 6
+    grid = (2 * 10**4 * abs(num) + den) // (2 * den)
+    want = (1 if num >= 0 else -1) * grid / 1e4
+    assert r.flesch == want
