@@ -7324,3 +7324,67 @@ _reg(
     FROM b
     """,
 )
+
+
+# Interval-overlap join: user sessions × daily maintenance windows via
+# day-bucket blocking; oracle does the tiny cartesian directly
+def _q_join_interval_overlap(s: SparkSession, d: str) -> DataFrame:
+    ev = events_us(s, d)
+    sess = wn.sessionize(ev)
+    a = sess.groupBy("user_id", "session_id").agg(
+        F.min("ts_us").alias("a_start"),
+        (F.max("ts_us") + 1).alias("a_end"),
+    ).select(
+        (F.col("user_id") * 1000 + F.col("session_id")).alias("a_id"),
+        "a_start",
+        "a_end",
+    )
+    day0 = 19723
+    b = s.range(30).select(
+        F.col("id").cast("long").alias("b_id"),
+        ((F.lit(day0) + F.col("id")) * F.lit(DAY_US) + F.lit(2 * HOUR_US))
+        .cast("long")
+        .alias("b_start"),
+        ((F.lit(day0) + F.col("id")) * F.lit(DAY_US) + F.lit(4 * HOUR_US))
+        .cast("long")
+        .alias("b_end"),
+    )
+    return jn.join_interval_overlap(a, b)
+
+
+_reg(
+    "join_interval_overlap",
+    _q_join_interval_overlap,
+    f"""
+    WITH t AS (
+      SELECT user_id, epoch_us(ts) AS tu, event_id FROM events),
+    m AS (
+      SELECT user_id, tu, event_id,
+             CASE WHEN lag(tu) OVER w IS NULL THEN 1
+                  WHEN tu - lag(tu) OVER w >= 1800000000 THEN 1
+                  ELSE 0 END AS ns
+      FROM t
+      WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id)),
+    sgrp AS (
+      SELECT user_id, tu,
+             sum(ns) OVER (PARTITION BY user_id ORDER BY tu, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM m),
+    iv AS (
+      SELECT user_id * 1000 + session_id AS a_id,
+             CAST(min(tu) AS BIGINT) AS a_start,
+             CAST(max(tu) + 1 AS BIGINT) AS a_end
+      FROM sgrp GROUP BY user_id, session_id),
+    w AS (
+      SELECT CAST(i AS BIGINT) AS b_id,
+             CAST((19723 + i) * 86400000000 + 7200000000 AS BIGINT) AS b_start,
+             CAST((19723 + i) * 86400000000 + 14400000000 AS BIGINT) AS b_end
+      FROM range(0, 30) t(i))
+    SELECT iv.a_id, w.b_id, iv.a_start, iv.a_end, w.b_start, w.b_end,
+           CAST(least(iv.a_end, w.b_end) - greatest(iv.a_start, w.b_start)
+                AS BIGINT) AS overlap_us
+    FROM iv, w
+    WHERE iv.a_start < w.b_end AND w.b_start < iv.a_end
+    """,
+)

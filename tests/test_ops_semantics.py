@@ -2727,3 +2727,28 @@ def test_readability_hand_doc(spark):
     grid = (2 * 10**4 * abs(num) + den) // (2 * den)
     want = (1 if num >= 0 else -1) * grid / 1e4
     assert r.flesch == want
+
+
+def test_interval_overlap_hand_ranges(spark):
+    """Blocking must not change semantics: overlaps found across bucket
+    boundaries, non-overlaps dropped, exact overlap lengths, no
+    duplicate pairs from multi-bucket intervals."""
+    DAY = 86_400_000_000
+    a = spark.createDataFrame(
+        [
+            (1, 0, 3 * DAY),                 # spans 3 buckets
+            (2, 10, 20),                     # tiny, bucket 0
+            (3, 5 * DAY, 6 * DAY),           # disjoint from every b
+        ],
+        "a_id long, a_start long, a_end long",
+    )
+    b = spark.createDataFrame(
+        [
+            (100, 2 * DAY + 5, 2 * DAY + 105),  # inside a1's third day
+            (101, 15, 30),                      # clips a2's tail
+        ],
+        "b_id long, b_start long, b_end long",
+    )
+    got = {(r.a_id, r.b_id): r.overlap_us
+           for r in jn.join_interval_overlap(a, b).collect()}
+    assert got == {(1, 100): 100, (1, 101): 15, (2, 101): 5}
