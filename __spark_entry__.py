@@ -7388,3 +7388,36 @@ _reg(
     WHERE iv.a_start < w.b_end AND w.b_start < iv.a_end
     """,
 )
+
+
+# Cohort revenue-retention triangle: integer month math, exact cents,
+# device shares vs the age-0 cell
+_reg(
+    "sql_cohort_retention",
+    lambda s, d: agg.sql_cohort_retention(load(s, d, "orders")),
+    """
+    WITH m AS (
+      SELECT o_custkey,
+             CAST(year(o_orderdate) * 12 + month(o_orderdate) AS INT) AS ym,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS c
+      FROM orders),
+    first_m AS (SELECT o_custkey, min(ym) AS cohort FROM m GROUP BY 1),
+    cells AS (
+      SELECT f.cohort, m.ym - f.cohort AS age,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(m.c) AS BIGINT) AS revenue_c
+      FROM m JOIN first_m f ON f.o_custkey = m.o_custkey
+      GROUP BY 1, 2),
+    b AS (
+      SELECT cohort, age, n_orders, revenue_c,
+             max(CASE WHEN age = 0 THEN revenue_c END)
+               OVER (PARTITION BY cohort) AS base_c
+      FROM cells)
+    SELECT cohort, age, n_orders, revenue_c,
+           CASE WHEN base_c > 0 THEN
+             CAST((2000000 * CAST(revenue_c AS HUGEINT) + base_c)
+                  // (2 * CAST(base_c AS HUGEINT)) AS DOUBLE) / 1e6
+           END AS revenue_retention
+    FROM b
+    """,
+)

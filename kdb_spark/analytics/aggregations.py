@@ -4020,3 +4020,55 @@ def agg_burstiness(events: DataFrame) -> DataFrame:
         / F.lit(1e4),
     )
     return a.select("event_type", "n", b4.alias("burstiness"))
+
+
+def sql_cohort_retention(orders: DataFrame) -> DataFrame:
+    """Cohort revenue-retention triangle as SQL text: customers grouped by
+    first-order month (the cohort), every later order attributed to its
+    month age, and each (cohort, age) cell reported as exact revenue plus
+    its share of the cohort's age-0 revenue — the classic retention
+    triangle (retention_cohort counts active users on events; this is
+    the REVENUE-weighted orders-side form the finance review reads).
+
+    EXACT cross-engine: integer month keys (year·12 + month makes age a
+    plain subtraction — no date interval arithmetic to disagree on),
+    exact cents, device shares against the age-0 cell (cohorts with a
+    zero first-month cell — impossible by construction, the cohort month
+    IS an order month — still guarded).
+
+    Scale shape: one per-customer min-month agg (fact-sized) joined back
+    to orders on custkey (the one fact-fact shuffle; bucketing
+    co-locates it), then a ≤|months|² reduce + a cohort-key window over
+    aggregate rows only.
+    """
+    from kdb_spark.analytics.exact import iround_sql
+
+    share = iround_sql(
+        "revenue_c", "CAST(base_c AS DECIMAL(38,0))", 6, signed=False
+    )
+    return orders.sparkSession.sql(
+        f"""
+        WITH m AS (
+          SELECT o_custkey,
+                 CAST(year(o_orderdate) * 12 + month(o_orderdate) AS INT) AS ym,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS c
+          FROM {{orders_v}}),
+        first_m AS (
+          SELECT o_custkey, min(ym) AS cohort FROM m GROUP BY 1),
+        cells AS (
+          SELECT f.cohort, m.ym - f.cohort AS age,
+                 CAST(count(*) AS BIGINT) AS n_orders,
+                 CAST(sum(m.c) AS BIGINT) AS revenue_c
+          FROM m JOIN first_m f ON f.o_custkey = m.o_custkey
+          GROUP BY 1, 2),
+        b AS (
+          SELECT cohort, age, n_orders, revenue_c,
+                 max(CASE WHEN age = 0 THEN revenue_c END)
+                   OVER (PARTITION BY cohort) AS base_c
+          FROM cells)
+        SELECT cohort, age, n_orders, revenue_c,
+               CASE WHEN base_c > 0 THEN {share} END AS revenue_retention
+        FROM b
+        """,
+        orders_v=orders,
+    )

@@ -2752,3 +2752,25 @@ def test_interval_overlap_hand_ranges(spark):
     got = {(r.a_id, r.b_id): r.overlap_us
            for r in jn.join_interval_overlap(a, b).collect()}
     assert got == {(1, 100): 100, (1, 101): 15, (2, 101): 5}
+
+
+def test_cohort_retention_hand_orders(spark):
+    """Integer month ages, exact revenue, share of the cohort's age-0
+    cell."""
+    import datetime
+
+    rows = [
+        (1, 1, 100.0, datetime.datetime(1995, 1, 5)),   # cohort Jan-95, age 0
+        (2, 1, 50.0, datetime.datetime(1995, 3, 5)),    # age 2
+        (3, 2, 10.0, datetime.datetime(1995, 3, 1)),    # cohort Mar-95, age 0
+    ]
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_totalprice double, o_orderdate timestamp"
+    )
+    got = {(r.cohort, r.age): r for r in agg.sql_cohort_retention(df).collect()}
+    jan = 1995 * 12 + 1
+    mar = 1995 * 12 + 3
+    assert got[(jan, 0)].revenue_retention == 1.0
+    assert got[(jan, 2)].revenue_c == 5000
+    assert got[(jan, 2)].revenue_retention == 0.5
+    assert got[(mar, 0)].revenue_retention == 1.0 and len(got) == 3
