@@ -7421,3 +7421,113 @@ _reg(
     FROM b
     """,
 )
+
+
+# Downside semi-deviation + share: asymmetric risk per event_type
+_reg(
+    "agg_downside_risk",
+    lambda s, d: agg.agg_downside_risk(events_us(s, d)),
+    """
+    WITH t AS (
+      SELECT user_id, event_type, epoch_us(ts) AS tu, event_id,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events),
+    d AS (
+      SELECT event_type,
+             c - lag(c) OVER (PARTITION BY user_id, event_type
+                              ORDER BY tu, event_id) AS d
+      FROM t),
+    f AS (SELECT event_type, d FROM d WHERE d IS NOT NULL),
+    g AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN d < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_down,
+             sum(CASE WHEN d < 0 THEN CAST(d AS HUGEINT) * d ELSE 0 END) AS sdd
+      FROM f GROUP BY 1)
+    SELECT event_type, n, n_down,
+           CAST(floor(sqrt(CAST(sdd AS DOUBLE) / CAST(n AS DOUBLE)) / 100
+                      * 1e4 + 0.5) AS DOUBLE) / 1e4 AS semidev_usd,
+           CAST((2000000 * CAST(n_down AS HUGEINT) + n)
+                // (2 * CAST(n AS HUGEINT)) AS DOUBLE) / 1e6 AS down_share
+    FROM g
+    """,
+)
+
+
+# Underwater-spell census: sessionize cumsum trick on the below-high flag
+_reg(
+    "agg_underwater",
+    lambda s, d: agg.agg_underwater(events_us(s, d)),
+    """
+    WITH t AS (
+      SELECT user_id, event_type, epoch_us(ts) AS tu, event_id,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events),
+    u AS (
+      SELECT user_id, event_type, tu, event_id,
+             c < max(c) OVER (PARTITION BY user_id, event_type
+                              ORDER BY tu, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS uw
+      FROM t),
+    m AS (
+      SELECT user_id, event_type, tu, event_id, uw,
+             CASE WHEN uw AND NOT coalesce(lag(uw) OVER w, FALSE)
+                  THEN 1 ELSE 0 END AS ns
+      FROM u
+      WINDOW w AS (PARTITION BY user_id, event_type ORDER BY tu, event_id)),
+    sid AS (
+      SELECT user_id, event_type, uw,
+             sum(ns) OVER (PARTITION BY user_id, event_type
+                           ORDER BY tu, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS spell_id
+      FROM m),
+    spells AS (
+      SELECT user_id, event_type, spell_id, CAST(count(*) AS BIGINT) AS len
+      FROM sid WHERE uw GROUP BY 1, 2, 3),
+    g AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_spells,
+             CAST(max(len) AS BIGINT) AS max_spell,
+             sum(CAST(len AS HUGEINT)) AS sl
+      FROM spells GROUP BY 1)
+    SELECT event_type, n_spells, max_spell,
+           CAST((2000000 * sl + n_spells)
+                // (2 * CAST(n_spells AS HUGEINT)) AS DOUBLE) / 1e6
+             AS mean_spell
+    FROM g
+    """,
+)
+
+
+# Code-likeness screen: deterministic line heuristics + symbol share
+_reg(
+    "text_code_ratio",
+    lambda s, d: tx.text_code_ratio(load(s, d, "documents")),
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, chr(10)) AS ls,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(len(regexp_extract_all(text, '[{};=<>\\[\\]()]'))
+                  AS BIGINT) AS n_sym
+      FROM documents),
+    b AS (
+      SELECT doc_id, n_chars, n_sym,
+             CAST(len(ls) AS BIGINT) AS n_lines,
+             CAST(len(list_filter(ls, x ->
+               starts_with(x, '    ') OR starts_with(x, chr(9))
+               OR ends_with(rtrim(x), '{') OR ends_with(rtrim(x), '}')
+               OR ends_with(rtrim(x), ';')
+               OR (contains(x, ' = ') AND NOT contains(x, '. '))))
+                  AS BIGINT) AS code_lines
+      FROM t)
+    SELECT doc_id, n_lines, code_lines, n_sym,
+           CAST((2000000 * CAST(code_lines AS HUGEINT) + n_lines)
+                // (2 * CAST(n_lines AS HUGEINT)) AS DOUBLE) / 1e6
+             AS code_line_ratio,
+           CASE WHEN n_chars > 0 THEN
+             CAST((2000000 * CAST(n_sym AS HUGEINT) + n_chars)
+                  // (2 * CAST(n_chars AS HUGEINT)) AS DOUBLE) / 1e6
+           END AS symbol_ratio
+    FROM b
+    """,
+)

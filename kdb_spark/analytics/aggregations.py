@@ -4072,3 +4072,113 @@ def sql_cohort_retention(orders: DataFrame) -> DataFrame:
         """,
         orders_v=orders,
     )
+
+
+def agg_downside_risk(events: DataFrame) -> DataFrame:
+    """Downside risk per event_type: the semi-deviation (root mean square
+    of NEGATIVE tick deltas over ALL deltas — the Sortino denominator)
+    and the downside share — the asymmetric companion to
+    win_realized_vol's symmetric variance (risk desks price drawdowns,
+    not wiggles).
+
+    EXACT cross-engine: per-series deltas are exact cents; the downside
+    second moment Σd²·[d<0] accumulates in decimal(38,0); semidev =
+    √(Σd²_neg/n) takes ONE IEEE divide/sqrt from exact decimals onto the
+    1e-4 dollar grid (the agg_corr discipline); the downside share rides
+    the unsigned device. Groups with no deltas emit nothing (no pairs —
+    same contract as agg_roll_spread).
+
+    Scale shape: one series-key lag Exchange + one per-type hash agg.
+    """
+    wo = Window.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+    c = cents("value")
+    t = events.select(
+        "user_id",
+        "event_type",
+        "ts_us",
+        "event_id",
+        c.alias("c"),
+    ).select(
+        "event_type",
+        (F.col("c") - F.lag("c").over(wo)).alias("d"),
+    ).filter(F.col("d").isNotNull())
+    g = t.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("d") < 0, 1).otherwise(0)).cast("long").alias("n_down"),
+        F.sum(
+            F.when(F.col("d") < 0, F.col("d").cast("decimal(38,0)") * F.col("d"))
+            .otherwise(F.lit(0).cast("decimal(38,0)"))
+        ).alias("sdd"),
+    )
+    semidev4 = F.floor(
+        F.expr("sqrt(CAST(sdd AS DOUBLE) / CAST(n AS DOUBLE)) / 100")
+        * F.lit(1e4)
+        + F.lit(0.5)
+    ).cast("double") / F.lit(1e4)
+    return g.select(
+        "event_type",
+        "n",
+        "n_down",
+        semidev4.alias("semidev_usd"),
+        iround_col("n_down", "CAST(n AS DECIMAL(38,0))", 6, signed=False)
+        .alias("down_share"),
+    )
+
+
+def agg_underwater(events: DataFrame) -> DataFrame:
+    """Underwater-spell census per event_type: the longest and mean run
+    of consecutive ticks below the running high per series, pooled per
+    type — drawdown DURATION where win_drawdown measures drawdown DEPTH
+    (recovery time is the risk number investors actually feel).
+
+    EXACT cross-engine: underwater = c < running max (exact cents);
+    spells segment with the sessionize cumsum trick (a new spell starts
+    at every underwater tick whose predecessor was not); spell lengths
+    are exact integer counts, the mean rides the device. Types with no
+    underwater ticks emit nothing (empty spell set — disclosed; an
+    all-time-high-only tape has no spells to describe).
+
+    Scale shape: one series-key Exchange shared by the running max, the
+    lag, and the spell cumsum (consecutive Window nodes), then two hash
+    aggs (per-spell length → per-type stats).
+    """
+    wo = Window.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+    run = wo.rowsBetween(Window.unboundedPreceding, 0)
+    c = cents("value")
+    t = events.select(
+        "user_id", "event_type", "ts_us", "event_id", c.alias("c")
+    ).select(
+        "user_id",
+        "event_type",
+        "ts_us",
+        "event_id",
+        (F.col("c") < F.max("c").over(run)).alias("uw"),
+    )
+    t = t.withColumn(
+        "new_spell",
+        F.when(
+            F.col("uw")
+            & (~F.coalesce(F.lag("uw").over(wo), F.lit(False))),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "spell_id",
+        F.sum("new_spell").over(run),
+    )
+    spells = (
+        t.filter(F.col("uw"))
+        .groupBy("user_id", "event_type", "spell_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("len"))
+    )
+    g = spells.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spells"),
+        F.max("len").cast("long").alias("max_spell"),
+        F.sum(F.col("len").cast("decimal(38,0)")).alias("sl"),
+    )
+    return g.select(
+        "event_type",
+        "n_spells",
+        "max_spell",
+        iround_col("sl", "CAST(n_spells AS DECIMAL(38,0))", 6, signed=False)
+        .alias("mean_spell"),
+    )

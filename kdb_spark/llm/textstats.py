@@ -1068,3 +1068,51 @@ def text_readability(documents: DataFrame) -> DataFrame:
         F.col("sy").alias("n_syllables"),
         flesch.alias("flesch"),
     )
+
+
+def text_code_ratio(documents: DataFrame) -> DataFrame:
+    """Code-likeness screen per document: the share of lines that look
+    like source code (leading indentation, braces/semicolon endings, or
+    assignment-dense) plus the symbol-character share — the
+    code-vs-prose router every mixed-corpus pipeline needs (route to the
+    code tokenizer, or down-weight in a prose mix; beside
+    text_gopher_quality's format screens).
+
+    Heuristic, deterministic, and disclosed: a line is code-like if it
+    starts with ≥ 4 spaces or a tab, OR its trimmed form ends in one of
+    {{ }} ; or contains ' = ' with no sentence period. All integer
+    counts; both ratios ride the unsigned device at 6 dp.
+
+    Scale shape: map-only (one split + array filters), no shuffle.
+    """
+    t = documents.select(
+        "doc_id",
+        F.split("text", "\n").alias("ls"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(
+            F.regexp_extract_all("text", F.lit(r"[{};=<>\[\]()]"), 0)
+        ).cast("long").alias("n_sym"),
+    ).select(
+        "doc_id",
+        "n_chars",
+        "n_sym",
+        F.size("ls").cast("long").alias("n_lines"),
+        F.expr(
+            "size(filter(ls, x -> startswith(x, '    ') OR startswith(x, '\t')"
+            " OR endswith(rtrim(x), '{') OR endswith(rtrim(x), '}')"
+            " OR endswith(rtrim(x), ';')"
+            " OR (contains(x, ' = ') AND NOT contains(x, '. '))))"
+        ).cast("long").alias("code_lines"),
+    )
+    return t.select(
+        "doc_id",
+        "n_lines",
+        "code_lines",
+        "n_sym",
+        iround_col("code_lines", "CAST(n_lines AS DECIMAL(38,0))", 6, signed=False)
+        .alias("code_line_ratio"),
+        F.when(
+            F.col("n_chars") > 0,
+            iround_col("n_sym", "CAST(n_chars AS DECIMAL(38,0))", 6, signed=False),
+        ).alias("symbol_ratio"),
+    )

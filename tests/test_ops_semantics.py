@@ -2774,3 +2774,43 @@ def test_cohort_retention_hand_orders(spark):
     assert got[(jan, 2)].revenue_c == 5000
     assert got[(jan, 2)].revenue_retention == 0.5
     assert got[(mar, 0)].revenue_retention == 1.0 and len(got) == 3
+
+
+def test_downside_risk_hand_deltas(spark):
+    """Only negative deltas enter the second moment; semidev uses the
+    ALL-delta denominator (Sortino convention)."""
+    vals = [10.0, 12.0, 11.0, 11.0, 9.0]  # deltas +200, −100, 0, −200
+    rows = [(i, 1, "a", i * 1000, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts_us long, value double"
+    )
+    [r] = agg.agg_downside_risk(df).collect()
+    assert (r.n, r.n_down) == (4, 2)
+    want = math.floor(math.sqrt((100**2 + 200**2) / 4) / 100 * 1e4 + 0.5) / 1e4
+    assert r.semidev_usd == want and r.down_share == 0.5
+
+
+def test_underwater_hand_spells(spark):
+    """Spells segment on the below-running-high flag: lengths and the
+    device mean."""
+    vals = [10.0, 9.0, 9.5, 10.0, 11.0, 10.5, 11.0, 12.0]
+    # running max: 10,10,10,10,11,11,11,12 → uw: F,T,T,F? (10<10 F) ...
+    rows = [(i, 1, "a", i * 1000, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts_us long, value double"
+    )
+    [r] = agg.agg_underwater(df).collect()
+    # spells: [9.0, 9.5] (len 2), [10.5] (len 1) — 10.0@i3 equals the max
+    assert (r.n_spells, r.max_spell) == (2, 2)
+    assert r.mean_spell == 1.5
+
+
+def test_code_ratio_hand_doc(spark):
+    """Indent/brace/semicolon/assignment lines flag; prose does not."""
+    text = "def f():\n    return 1;\nThis is prose. Yes.\nx = 2\n}"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    [r] = tx.text_code_ratio(df).collect()
+    # lines: 'def f():'(no), '    return 1;'(indent), prose(no),
+    # 'x = 2'(assign), '}'(brace) → 3/5
+    assert (r.n_lines, r.code_lines) == (5, 3)
+    assert r.code_line_ratio == 0.6
