@@ -7531,3 +7531,31 @@ _reg(
     FROM b
     """,
 )
+
+
+# Live running drawdown: stateful peak + device fraction; oracle = the
+# batch unbounded running-max window form
+_reg(
+    "stream_drawdown",
+    sm.stream_drawdown,
+    """
+    WITH t AS (
+      SELECT user_id, event_type, epoch_us(ts) AS tu, event_id,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events),
+    w AS (
+      SELECT user_id, event_type, tu AS ts_us, event_id, c,
+             max(c) OVER (PARTITION BY user_id, event_type
+                          ORDER BY tu, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS peak_c
+      FROM t)
+    SELECT user_id, event_type, ts_us, event_id,
+           CAST(peak_c AS BIGINT) AS peak_c,
+           CASE WHEN peak_c > 0 THEN
+             CAST((2000000 * (peak_c - c) + peak_c)
+                  // (2 * CAST(peak_c AS HUGEINT)) AS DOUBLE) / 1e6
+           END AS dd_frac
+    FROM w
+    """,
+)

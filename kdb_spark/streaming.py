@@ -1670,3 +1670,100 @@ def stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "close",
         F.col("n").cast("long").alias("n"),
     )
+
+
+# ------------------------------------------ stateful running drawdown
+
+_DD_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("ts_us", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("peak_c", T.LongType()),
+        T.StructField("dd_frac", T.DoubleType()),
+    ]
+)
+
+# (tail ts, tail eid, running peak cents, late counter) — O(1) per series.
+_DD_STATE = T.StructType(
+    [
+        T.StructField("ts_us", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("peak_c", T.LongType()),
+        T.StructField("n_late", T.LongType()),
+    ]
+)
+
+
+def _dd_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Emit every on-time row with the running peak and the device-exact
+    drawdown fraction — the LIVE form of `win_drawdown` (whose running
+    max this replays incrementally; the device grid runs in Python ints,
+    bit-identical to the batch DIV form). Late rows drop-and-count per
+    the `_delta_fn` contract.
+    """
+    chunks = [c for c in pdfs if len(c)]
+    if not chunks:
+        return
+    pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+    ts = pdf["ts_us"].to_numpy()
+    eid = pdf["event_id"].to_numpy()
+    cs = pdf["c"].to_numpy()
+    order = np.lexsort((eid, ts))
+    ts, eid, cs = ts[order], eid[order], cs[order]
+    prev = tuple(state.get) if state.exists else None
+    n_late = int(prev[3]) if prev is not None else 0
+    peak = int(prev[2]) if prev is not None else None
+    if prev is not None:
+        i0 = int(np.searchsorted(ts, prev[0], "left"))
+        i1 = int(np.searchsorted(ts, prev[0], "right"))
+        lo = i0 + int(np.searchsorted(eid[i0:i1], prev[1], "right"))
+        n_late += lo
+        if lo == len(ts):
+            state.update((prev[0], prev[1], peak, n_late))
+            return
+        ts, eid, cs = ts[lo:], eid[lo:], cs[lo:]
+    rows = {c: [] for c in ("ts_us", "event_id", "peak_c", "dd_frac")}
+    for i in range(len(ts)):
+        c = int(cs[i])
+        peak = c if peak is None or c > peak else peak
+        rows["ts_us"].append(int(ts[i]))
+        rows["event_id"].append(int(eid[i]))
+        rows["peak_c"].append(peak)
+        if peak > 0:
+            grid = (2_000_000 * (peak - c) + peak) // (2 * peak)
+            rows["dd_frac"].append(float(grid) / 1e6)
+        else:
+            rows["dd_frac"].append(None)
+    state.update((int(ts[-1]), int(eid[-1]), int(peak), n_late))
+    k_user, k_type = key
+    out = pd.DataFrame(rows)
+    out.insert(0, "user_id", int(k_user))
+    out.insert(1, "event_type", k_type)
+    yield out[["user_id", "event_type", "ts_us", "event_id", "peak_c", "dd_frac"]]
+
+
+def stream_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live running-peak drawdown per series (the portfolio/SLA alert in
+    its online form; batch twin `win_drawdown`, whose unbounded running
+    max and integer DIV device this replays incrementally in O(1) state —
+    two timestamps + one peak + a late counter)."""
+    s = events_stream(spark, sf_dir)
+    out = (
+        s.select(
+            "user_id", "event_type", "ts_us", "event_id",
+            cents("value").alias("c"),
+        )
+        .groupBy("user_id", "event_type")
+        .applyInPandasWithState(
+            _dd_fn,
+            outputStructType=_DD_OUT,
+            stateStructType=_DD_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return _drain(out, "append", partitions=16)

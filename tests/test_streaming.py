@@ -857,3 +857,23 @@ def test_stream_since_event_equals_batch_window(spark):
     g = {tuple(r) for r in got.collect()}
     w = {tuple(r) for r in want.select(*got.columns).collect()}
     assert g == w and len(g) > 0
+
+
+def test_stream_drawdown_equals_batch_window(spark):
+    """Single-drain equivalence: the stateful drawdown must reproduce
+    win_drawdown's running peak and device fraction row-for-row."""
+    from kdb_spark.analytics import windows as wn
+    from kdb_spark.tables import events_us
+
+    got = sm.stream_drawdown(spark, SF_DIR)
+    want = wn.win_drawdown(events_us(spark, SF_DIR)).select(
+        "user_id", "event_type", "event_id",
+        # peak is peak_c/100.0; a bare *100 cast truncates at ulp
+        # boundaries (73.32*100 = 7331.999…) — round first
+        F.round(F.col("peak") * 100).cast("long").alias("peak_c"),
+        "dd_frac",
+    )
+    g = {(r.user_id, r.event_type, r.event_id, r.peak_c, r.dd_frac)
+         for r in got.collect()}
+    w = {tuple(r) for r in want.collect()}
+    assert g == w and len(g) > 0
