@@ -7559,3 +7559,70 @@ _reg(
     FROM w
     """,
 )
+
+
+# ABC inventory classification: integer cumulative-share predicate over
+# the part-revenue rank (the disclosed dimension-sized sort), 3-row census
+_reg(
+    "sql_abc_parts",
+    lambda s, d: agg.sql_abc_parts(
+        load(s, d, "orders"), load(s, d, "lineitem"), load(s, d, "part")
+    ),
+    """
+    WITH rev AS (
+      SELECT l_partkey AS partkey,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev_c
+      FROM lineitem GROUP BY 1),
+    r AS (
+      SELECT partkey, rev_c,
+             sum(rev_c) OVER (ORDER BY rev_c DESC, partkey
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum_c,
+             sum(rev_c) OVER () AS total_c
+      FROM rev),
+    cls AS (
+      SELECT partkey, rev_c, total_c,
+             CASE WHEN 100 * cum_c <= 80 * total_c THEN 'A'
+                  WHEN 100 * cum_c <= 95 * total_c THEN 'B'
+                  ELSE 'C' END AS abc
+      FROM r),
+    g AS (
+      SELECT abc, CAST(count(*) AS BIGINT) AS n_parts,
+             CAST(sum(rev_c) AS BIGINT) AS class_c,
+             CAST(max(total_c) AS BIGINT) AS total_c
+      FROM cls GROUP BY 1)
+    SELECT abc, n_parts, class_c,
+           CAST((2000000 * CAST(class_c AS HUGEINT) + total_c)
+                // (2 * CAST(total_c AS HUGEINT)) AS DOUBLE) / 1e6
+             AS revenue_share
+    FROM g
+    """,
+)
+
+
+# dow × hour activity heat map: one hash agg to ≤168 cells, device
+# day-shares
+_reg(
+    "agg_activity_heatmap",
+    lambda s, d: agg.agg_activity_heatmap(events_us(s, d)),
+    """
+    WITH t AS (
+      SELECT CAST((epoch_us(ts) // 86400000000) % 7 AS INT) AS dow,
+             CAST((epoch_us(ts) // 3600000000) % 24 AS INT) AS hod,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events),
+    g AS (
+      SELECT dow, hod, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c) AS BIGINT) AS sum_c
+      FROM t GROUP BY 1, 2),
+    w AS (
+      SELECT dow, hod, n, sum_c,
+             CAST(sum(n) OVER (PARTITION BY dow) AS BIGINT) AS day_n
+      FROM g)
+    SELECT dow, hod, n, sum_c, day_n,
+           CAST((2000000 * CAST(n AS HUGEINT) + day_n)
+                // (2 * CAST(day_n AS HUGEINT)) AS DOUBLE) / 1e6 AS day_share
+    FROM w
+    """,
+)

@@ -4182,3 +4182,95 @@ def agg_underwater(events: DataFrame) -> DataFrame:
         iround_col("sl", "CAST(n_spells AS DECIMAL(38,0))", 6, signed=False)
         .alias("mean_spell"),
     )
+
+
+def sql_abc_parts(orders: DataFrame, lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """ABC inventory classification as SQL text: parts ranked by revenue,
+    classed A (cumulative share ≤ 80%), B (≤ 95%), C (rest), reported as
+    a per-class census — the warehouse-management standard cut
+    (sql_ltv_deciles bands customers into ten; ABC bands parts into the
+    three classes ops teams actually staff around).
+
+    EXACT cross-engine: revenue is exact cents; the cumulative share
+    test stays INTEGER — class A ⟺ 100·cum_c ≤ 80·total_c (no device
+    needed on the predicate itself); the census shares ride the device.
+    Rank ties break on partkey.
+
+    Scale shape: one fact agg to per-part revenue (part-dimension-
+    sized), then the disclosed dimension-sized global cumulative sort
+    (the sql_ltv_deciles posture), then a 3-row reduce.
+    """
+    from kdb_spark.analytics.exact import iround_sql
+
+    share = iround_sql(
+        "class_c", "CAST(total_c AS DECIMAL(38,0))", 6, signed=False
+    )
+    return orders.sparkSession.sql(
+        f"""
+        WITH rev AS (
+          SELECT l.l_partkey AS partkey,
+                 CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                      AS BIGINT) AS rev_c
+          FROM {{lineitem_v}} l GROUP BY 1),
+        r AS (
+          SELECT partkey, rev_c,
+                 sum(rev_c) OVER (ORDER BY rev_c DESC, partkey
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS cum_c,
+                 sum(rev_c) OVER () AS total_c
+          FROM rev),
+        cls AS (
+          SELECT partkey, rev_c, total_c,
+                 CASE WHEN 100 * cum_c <= 80 * total_c THEN 'A'
+                      WHEN 100 * cum_c <= 95 * total_c THEN 'B'
+                      ELSE 'C' END AS abc
+          FROM r),
+        g AS (
+          SELECT abc,
+                 CAST(count(*) AS BIGINT) AS n_parts,
+                 CAST(sum(rev_c) AS BIGINT) AS class_c,
+                 CAST(max(total_c) AS BIGINT) AS total_c
+          FROM cls GROUP BY 1)
+        SELECT abc, n_parts, class_c,
+               {share} AS revenue_share
+        FROM g
+        """,
+        lineitem_v=lineitem,
+    )
+
+
+def agg_activity_heatmap(events: DataFrame) -> DataFrame:
+    """Day-of-week × hour-of-day activity heat map: exact per-cell counts
+    and value, plus each cell's share of its day's row total — the BI
+    heat map feed (agg_seasonality profiles the hour axis alone;
+    agg_cramers_v tests whether the two axes associate; this is the
+    table both of them summarize).
+
+    EXACT cross-engine: both coordinates are integer epoch arithmetic
+    (day 0 = Thursday, the agg_mann_whitney convention), counts/cents
+    exact, shares on the unsigned device against the day's total via a
+    ≤168-cell window.
+
+    Scale shape: ONE fact-sized hash agg to ≤ 7·24 cells (map-side
+    combined); everything after is constant-size.
+    """
+    t = events.select(
+        F.expr(f"CAST((ts_us div {DAY_US}) % 7 AS INT)").alias("dow"),
+        F.expr(f"CAST((ts_us div {HOUR_US}) % 24 AS INT)").alias("hod"),
+        cents("value").alias("c"),
+    )
+    g = t.groupBy("dow", "hod").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("c").cast("decimal(38,0)")).cast("long").alias("sum_c"),
+    )
+    wd = Window.partitionBy("dow")
+    g = g.withColumn("day_n", F.sum("n").over(wd).cast("long"))
+    return g.select(
+        "dow",
+        "hod",
+        "n",
+        "sum_c",
+        "day_n",
+        iround_col("n", "CAST(day_n AS DECIMAL(38,0))", 6, signed=False)
+        .alias("day_share"),
+    )

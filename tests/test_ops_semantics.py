@@ -2814,3 +2814,44 @@ def test_code_ratio_hand_doc(spark):
     # 'x = 2'(assign), '}'(brace) → 3/5
     assert (r.n_lines, r.code_lines) == (5, 3)
     assert r.code_line_ratio == 0.6
+
+
+def test_abc_parts_hand_revenue(spark):
+    """Integer cumulative-share predicate: revenues 80/15/5 split exactly
+    into A/B/C at the 80/95 cuts (boundary INCLUSIVE via 100·cum ≤
+    80·total)."""
+    import datetime
+
+    t0 = datetime.datetime(1995, 1, 1)
+    orders = spark.createDataFrame(
+        [(1, 1, 1.0, t0)],
+        "o_orderkey long, o_custkey long, o_totalprice double, o_orderdate timestamp",
+    )
+    lines = [(1, 1, 80.0), (1, 2, 15.0), (1, 3, 5.0)]
+    lineitem = spark.createDataFrame(
+        lines, "l_orderkey long, l_partkey long, l_extendedprice double"
+    )
+    part = spark.createDataFrame([(1,), (2,), (3,)], "p_partkey long")
+    got = {r.abc: r for r in agg.sql_abc_parts(orders, lineitem, part).collect()}
+    assert got["A"].n_parts == 1 and got["A"].class_c == 8000
+    assert got["A"].revenue_share == 0.8
+    assert got["B"].n_parts == 1 and got["C"].n_parts == 1
+
+
+def test_activity_heatmap_hand_cells(spark):
+    """dow/hod integer coordinates and day-shares."""
+    DAY = 86_400_000_000
+    HOUR = 3_600_000_000
+    rows = [
+        (1, 1, "a", 0 * DAY + 0 * HOUR + 5, 1.0),   # Thu 00
+        (2, 1, "a", 0 * DAY + 0 * HOUR + 6, 1.0),   # Thu 00
+        (3, 1, "a", 0 * DAY + 5 * HOUR + 5, 2.0),   # Thu 05
+        (4, 1, "a", 2 * DAY + 1 * HOUR + 5, 3.0),   # Sat 01
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts_us long, value double"
+    )
+    got = {(r.dow, r.hod): r for r in agg.agg_activity_heatmap(df).collect()}
+    assert got[(0, 0)].n == 2 and got[(0, 0)].day_share == round(2 / 3, 6)
+    assert got[(0, 5)].sum_c == 200
+    assert got[(2, 1)].day_share == 1.0 and len(got) == 3
