@@ -7626,3 +7626,71 @@ _reg(
     FROM w
     """,
 )
+
+
+# Trailing time-weighted average price: exact µs in-force weights,
+# decimal-widened folds, unsigned device
+_reg(
+    "win_trailing_twap",
+    lambda s, d: wn.win_trailing_twap(events_us(s, d)),
+    """
+    WITH t AS (
+      SELECT event_id, user_id, event_type, epoch_us(ts) AS tu,
+             CAST(round(value * 100) AS BIGINT) AS pc
+      FROM events),
+    d AS (
+      SELECT event_id, user_id, event_type, tu, pc,
+             CAST(coalesce(lead(tu) OVER w, tu) - tu AS BIGINT) AS gap
+      FROM t
+      WINDOW w AS (PARTITION BY user_id, event_type ORDER BY tu, event_id)),
+    s AS (
+      SELECT event_id, user_id, event_type,
+             sum(CAST(pc AS HUGEINT) * gap) OVER win AS nw,
+             CAST(sum(gap) OVER win AS BIGINT) AS dw
+      FROM d
+      WINDOW win AS (PARTITION BY user_id, event_type ORDER BY tu, event_id
+                     ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+    SELECT event_id, user_id, event_type,
+           CASE WHEN dw > 0 THEN
+             CAST((2000000 * nw + 100 * CAST(dw AS HUGEINT))
+                  // (2 * 100 * CAST(dw AS HUGEINT)) AS DOUBLE) / 1e6
+           END AS twap
+    FROM s
+    """,
+)
+
+
+# Log2-bucketed gap histogram: bit-math buckets, sentinel for sub-ms,
+# device type-shares
+_reg(
+    "agg_gap_histogram",
+    lambda s, d: agg.agg_gap_histogram(events_us(s, d)),
+    """
+    WITH t AS (
+      SELECT user_id, event_type, epoch_us(ts) AS tu, event_id FROM events),
+    d AS (
+      SELECT event_type,
+             tu - lag(tu) OVER (PARTITION BY user_id, event_type
+                                ORDER BY tu, event_id) AS g
+      FROM t),
+    f AS (SELECT event_type, g FROM d WHERE g IS NOT NULL),
+    b AS (
+      SELECT event_type, g,
+             CASE WHEN g < 1000 THEN -1
+                  ELSE CAST(length(bin(g // 1000)) - 1 AS INT) END AS bucket
+      FROM f),
+    gg AS (
+      SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS n,
+             CAST(min(g) AS BIGINT) AS min_gap_us,
+             CAST(max(g) AS BIGINT) AS max_gap_us
+      FROM b GROUP BY 1, 2),
+    w AS (
+      SELECT event_type, bucket, n, min_gap_us, max_gap_us,
+             CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS type_n
+      FROM gg)
+    SELECT event_type, bucket, n, min_gap_us, max_gap_us,
+           CAST((2000000 * CAST(n AS HUGEINT) + type_n)
+                // (2 * CAST(type_n AS HUGEINT)) AS DOUBLE) / 1e6 AS share
+    FROM w
+    """,
+)

@@ -4274,3 +4274,53 @@ def agg_activity_heatmap(events: DataFrame) -> DataFrame:
         iround_col("n", "CAST(day_n AS DECIMAL(38,0))", 6, signed=False)
         .alias("day_share"),
     )
+
+
+def agg_gap_histogram(events: DataFrame) -> DataFrame:
+    """Log₂-bucketed inter-arrival gap distribution per event_type — the
+    cadence histogram (agg_interarrival_stats gives moments per series;
+    agg_burstiness the one-number verdict; this is the full shape the
+    resample-width decision actually looks at). Buckets are bit-math
+    (length(bin(gap_ms)) − 1 — no float log), zero-gap ticks (same-µs
+    duplicates) get the sentinel bucket −1.
+
+    EXACT cross-engine: gaps are exact µs from one series lag, bucketed
+    on whole milliseconds (gap div 1000), counts and min/max exact,
+    share-of-type on the unsigned device.
+
+    Scale shape: one series-key lag Exchange + one ≤|types|·64-cell hash
+    agg, map-side combined.
+    """
+    wo = Window.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+    t = events.select(
+        "user_id",
+        "event_type",
+        "ts_us",
+        "event_id",
+    ).select(
+        "event_type",
+        (F.col("ts_us") - F.lag("ts_us").over(wo)).alias("g"),
+    ).filter(F.col("g").isNotNull())
+    b = t.select(
+        "event_type",
+        "g",
+        F.when(F.col("g") < 1000, F.lit(-1))
+        .otherwise(F.expr("CAST(length(bin(g div 1000)) - 1 AS INT)"))
+        .alias("bucket"),
+    )
+    g = b.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("g").cast("long").alias("min_gap_us"),
+        F.max("g").cast("long").alias("max_gap_us"),
+    )
+    wt = Window.partitionBy("event_type")
+    g = g.withColumn("type_n", F.sum("n").over(wt).cast("long"))
+    return g.select(
+        "event_type",
+        "bucket",
+        "n",
+        "min_gap_us",
+        "max_gap_us",
+        iround_col("n", "CAST(type_n AS DECIMAL(38,0))", 6, signed=False)
+        .alias("share"),
+    )

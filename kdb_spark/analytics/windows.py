@@ -2119,3 +2119,54 @@ def win_ratios(events: DataFrame) -> DataFrame:
         ratio6.alias("ratio"),
         ret6.alias("ret"),
     )
+
+
+def win_trailing_twap(events: DataFrame, k: int = 9) -> DataFrame:
+    """Trailing TIME-weighted average price per series over the last k+1
+    ticks: each price weighted by how long it was in force (the gap to
+    the next tick; the newest tick carries zero elapsed time and so zero
+    weight) — the execution benchmark for irregular tapes, where
+    win_moving_avg's tick weighting over-counts bursts (agg_twap is the
+    bucketed batch form; this is its rolling window).
+
+    EXACT cross-engine: weights are exact µs gaps (lead ts − ts), the
+    weighted sum folds pc·gap in decimal(38,0) INSIDE the frame sum, and
+    twap = Σ(pc·gap)/(100·Σgap) rides the unsigned decimal device at
+    6 dp (dollars). Frames whose total in-force time is zero (single
+    tick, or the series tail where only the zero-weight newest tick is
+    in frame... impossible past length 1 — gaps are ≥ 0 with ties
+    allowed) emit NULL.
+
+    Scale shape: ONE series-key Exchange; the lead and both frame sums
+    share the sort.
+    """
+    wo = Window.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+    wf = wo.rowsBetween(-k, 0)
+    c = cents("value")
+    t = events.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts_us",
+        c.alias("pc"),
+        (F.coalesce(F.lead("ts_us").over(wo), F.col("ts_us")) - F.col("ts_us"))
+        .cast("long")
+        .alias("gap"),
+    )
+    s = t.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.sum(F.expr("CAST(pc AS DECIMAL(38,0)) * gap")).over(wf).alias("nw"),
+        F.sum("gap").over(wf).cast("long").alias("dw"),
+    )
+    twap6 = F.when(
+        F.col("dw") > 0,
+        iround_col("nw", "100 * CAST(dw AS DECIMAL(38,0))", 6, signed=False),
+    )
+    return s.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        twap6.alias("twap"),
+    )

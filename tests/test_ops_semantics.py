@@ -2855,3 +2855,41 @@ def test_activity_heatmap_hand_cells(spark):
     assert got[(0, 0)].n == 2 and got[(0, 0)].day_share == round(2 / 3, 6)
     assert got[(0, 5)].sum_c == 200
     assert got[(2, 1)].day_share == 1.0 and len(got) == 3
+
+
+def test_trailing_twap_hand_ticks(spark):
+    """In-force µs weights: a price held 3× as long weighs 3×; the
+    newest tick carries zero weight; single-tick frames NULL."""
+    rows = [
+        (1, 1, "a", 0, 10.0),      # in force 3000 µs
+        (2, 1, "a", 3000, 20.0),   # in force 1000 µs
+        (3, 1, "a", 4000, 99.0),   # newest: zero weight
+        (9, 2, "a", 0, 5.0),       # lone tick: zero in-force time → NULL
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts_us long, value double"
+    )
+    got = {r.event_id: r.twap for r in wn.win_trailing_twap(df).collect()}
+    assert got[1] == 10.0                       # its own in-force weight
+    # rows 1-2: (1000·3000 + 2000·1000)/(100·4000) = 12.5
+    assert got[2] == 12.5
+    assert got[3] == 12.5                       # newest tick adds no weight
+    assert got[9] is None
+
+
+def test_gap_histogram_hand_buckets(spark):
+    """Bit-math ms buckets with the sub-ms sentinel; device type-shares."""
+    rows = [
+        (1, 1, "a", 0, 1.0),
+        (2, 1, "a", 500, 1.0),          # gap 500 µs → sentinel −1
+        (3, 1, "a", 1_500_000 + 500, 1.0),  # gap 1.5e6 µs = 1500 ms → bucket 10
+        (4, 1, "a", 1_500_000 + 3500, 1.0),  # gap 3000 µs = 3 ms → bucket 1
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts_us long, value double"
+    )
+    got = {r.bucket: r for r in agg.agg_gap_histogram(df).collect()}
+    assert got[-1].n == 1 and got[-1].min_gap_us == 500
+    assert got[10].n == 1          # 1500 ms → bin length 11 − 1
+    assert got[1].n == 1           # 3 ms → '11' → 1
+    assert got[-1].share == round(1 / 3, 6)
