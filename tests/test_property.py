@@ -2413,3 +2413,86 @@ def test_var_es_matches_bruteforce(spark, vals):
     assert r.n == n and r.tail_n == len(tail)
     assert r.var_usd == cs[k - 1] / 100.0
     assert r.es_usd == _iround_py(sum(tail), 100 * len(tail))
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(vals=st.lists(st.integers(-300, 300), min_size=1, max_size=40))
+def test_winsorized_and_iqr_match_bruteforce(spark, vals):
+    """Law: agg_winsorized's trim/clamp and agg_iqr_fence's quartile
+    fences equal the Python-int brute forms, ties and signs included."""
+    from kdb_spark.analytics import aggregations as agg
+
+    rows = [(i, 1, "a", i * 1000, v / 4.0) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts_us long, value double"
+    )
+    cs = sorted(v * 25 for v in vals)
+    n = len(cs)
+    [w] = agg.agg_winsorized(df).collect()
+    lo = (5 * n + 99) // 100
+    hi = n - lo
+    mid = cs[lo:hi]
+    assert w.n_cut == lo
+    assert w.mean == _iround_py(sum(cs), 100 * n)
+    if not mid:
+        assert w.trimmed_mean is None and w.winsorized_mean is None
+    else:
+        assert w.trimmed_mean == _iround_py(sum(mid), 100 * len(mid))
+        wsum = sum(mid) + lo * cs[lo] + lo * cs[hi - 1]
+        assert w.winsorized_mean == _iround_py(wsum, 100 * n)
+    [f] = agg.agg_iqr_fence(df).collect()
+    q1 = cs[(25 * n + 99) // 100 - 1]
+    q3 = cs[(75 * n + 99) // 100 - 1]
+    assert f.q1 == q1 / 100.0 and f.q3 == q3 / 100.0
+    n_out = sum(1 for x in cs if 2 * x < 5 * q1 - 3 * q3 or 2 * x > 5 * q3 - 3 * q1)
+    assert f.n_outliers == n_out
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(vals=st.lists(st.integers(-200, 200), min_size=2, max_size=30))
+def test_underwater_and_downside_match_bruteforce(spark, vals):
+    """Law: agg_underwater's spell census and agg_downside_risk's
+    conditional moments equal the brute single-series forms."""
+    from kdb_spark.analytics import aggregations as agg
+
+    rows = [(i, 1, "a", i * 1000, v / 4.0) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts_us long, value double"
+    )
+    cs = [v * 25 for v in vals]
+    # underwater spells
+    peak, spells, run = None, [], 0
+    for c in cs:
+        peak = c if peak is None or c > peak else peak
+        if c < peak:
+            run += 1
+        else:
+            if run:
+                spells.append(run)
+            run = 0
+    if run:
+        spells.append(run)
+    got_u = agg.agg_underwater(df).collect()
+    if not spells:
+        assert got_u == []
+    else:
+        [u] = got_u
+        assert u.n_spells == len(spells) and u.max_spell == max(spells)
+        assert u.mean_spell == _iround_py(sum(spells), len(spells))
+    # downside moments
+    ds = [b - a for a, b in zip(cs, cs[1:])]
+    neg = [d for d in ds if d < 0]
+    [r] = agg.agg_downside_risk(df).collect()
+    assert (r.n, r.n_down) == (len(ds), len(neg))
+    import math as _m
+
+    want = _m.floor(_m.sqrt(sum(d * d for d in neg) / len(ds)) / 100 * 1e4 + 0.5) / 1e4
+    assert r.semidev_usd == want
