@@ -7694,3 +7694,39 @@ _reg(
     FROM w
     """,
 )
+
+
+# Tape-health census: record-high and stale-tick shares per event_type
+_reg(
+    "agg_record_stats",
+    lambda s, d: agg.agg_record_stats(events_us(s, d)),
+    """
+    WITH t AS (
+      SELECT user_id, event_type, epoch_us(ts) AS tu, event_id,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events),
+    w AS (
+      SELECT event_type, c,
+             max(c) OVER (PARTITION BY user_id, event_type
+                          ORDER BY tu, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS prior_max,
+             lag(c) OVER (PARTITION BY user_id, event_type
+                          ORDER BY tu, event_id) AS pc
+      FROM t),
+    f AS (SELECT * FROM w WHERE pc IS NOT NULL),
+    g AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN c > prior_max THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_records,
+             CAST(sum(CASE WHEN c = pc THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_stale
+      FROM f GROUP BY 1)
+    SELECT event_type, n, n_records, n_stale,
+           CAST((2000000 * CAST(n_records AS HUGEINT) + n)
+                // (2 * CAST(n AS HUGEINT)) AS DOUBLE) / 1e6 AS record_share,
+           CAST((2000000 * CAST(n_stale AS HUGEINT) + n)
+                // (2 * CAST(n AS HUGEINT)) AS DOUBLE) / 1e6 AS stale_share
+    FROM g
+    """,
+)

@@ -4324,3 +4324,56 @@ def agg_gap_histogram(events: DataFrame) -> DataFrame:
         iround_col("n", "CAST(type_n AS DECIMAL(38,0))", 6, signed=False)
         .alias("share"),
     )
+
+
+def agg_record_stats(events: DataFrame) -> DataFrame:
+    """Tape-health census per event_type: new record highs (strictly
+    above the prior running max), stale ticks (zero delta), and their
+    shares — record-statistics forensics (an honest random tape sets
+    records at the harmonic rate and goes stale rarely; too many records
+    = trend/manipulation, too many stale = a dead feed quoting) beside
+    agg_round_number_bias and agg_roll_spread in the price-forensics
+    family.
+
+    EXACT cross-engine: records and stale flags are pure integer
+    predicates against the PRIOR running max / previous tick (per
+    series, pooled per type; the first tick of a series is neither —
+    it has no prior), shares ride the unsigned device.
+
+    Scale shape: one series-key Exchange (running max + lag share the
+    sort) + one per-type hash agg.
+    """
+    wo = Window.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+    prior = wo.rowsBetween(Window.unboundedPreceding, -1)
+    c = cents("value")
+    t = events.select(
+        "user_id",
+        "event_type",
+        "ts_us",
+        "event_id",
+        c.alias("c"),
+    ).select(
+        "event_type",
+        "c",
+        F.max("c").over(prior).alias("prior_max"),
+        F.lag("c").over(wo).alias("pc"),
+    ).filter(F.col("pc").isNotNull())
+    g = t.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("c") > F.col("prior_max"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_records"),
+        F.sum(F.when(F.col("c") == F.col("pc"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_stale"),
+    )
+    return g.select(
+        "event_type",
+        "n",
+        "n_records",
+        "n_stale",
+        iround_col("n_records", "CAST(n AS DECIMAL(38,0))", 6, signed=False)
+        .alias("record_share"),
+        iround_col("n_stale", "CAST(n AS DECIMAL(38,0))", 6, signed=False)
+        .alias("stale_share"),
+    )

@@ -2893,3 +2893,19 @@ def test_gap_histogram_hand_buckets(spark):
     assert got[10].n == 1          # 1500 ms → bin length 11 − 1
     assert got[1].n == 1           # 3 ms → '11' → 1
     assert got[-1].share == round(1 / 3, 6)
+
+
+def test_record_stats_hand_tape(spark):
+    """Records are STRICT new highs vs the prior running max; stale =
+    zero delta; series heads excluded from both."""
+    vals = [10.0, 12.0, 12.0, 11.0, 13.0]
+    # priors:   —    10    12    12    12
+    # record:        yes   no    no    yes   → 2
+    # stale:         no    yes   no    no    → 1
+    rows = [(i, 1, "a", i * 1000, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts_us long, value double"
+    )
+    [r] = agg.agg_record_stats(df).collect()
+    assert (r.n, r.n_records, r.n_stale) == (4, 2, 1)
+    assert r.record_share == 0.5 and r.stale_share == 0.25
