@@ -7730,3 +7730,81 @@ _reg(
     FROM g
     """,
 )
+
+
+# Month-of-year seasonal index: means-of-means cleared to exact rationals
+_reg(
+    "sql_seasonal_index",
+    lambda s, d: agg.sql_seasonal_index(load(s, d, "orders")),
+    """
+    WITH ym AS (
+      SELECT CAST(year(o_orderdate) AS INT) AS y,
+             CAST(month(o_orderdate) AS INT) AS m,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev_c
+      FROM orders GROUP BY 1, 2),
+    mo AS (
+      SELECT m, CAST(count(*) AS BIGINT) AS n_m,
+             CAST(sum(rev_c) AS BIGINT) AS rev_c
+      FROM ym GROUP BY 1),
+    t AS (
+      SELECT m, n_m, rev_c,
+             CAST(sum(n_m) OVER () AS BIGINT) AS n_all,
+             CAST(sum(rev_c) OVER () AS BIGINT) AS total_c
+      FROM mo)
+    SELECT m, n_m, rev_c,
+           CAST((2000000 * CAST(rev_c AS HUGEINT)
+                 + 100 * CAST(n_m AS HUGEINT))
+                // (2 * 100 * CAST(n_m AS HUGEINT)) AS DOUBLE) / 1e6
+             AS mean_month_usd,
+           CASE WHEN total_c > 0 THEN
+             CAST((2000000 * CAST(rev_c AS HUGEINT) * n_all
+                   + CAST(n_m AS HUGEINT) * total_c)
+                  // (2 * CAST(n_m AS HUGEINT) * total_c) AS DOUBLE) / 1e6
+           END AS seasonal_index
+    FROM t
+    """,
+)
+
+
+# Volatility-regime ratio: √(V_short/V_long) on denominator-cleared exact
+# rationals, one IEEE divide/sqrt to the 1e-4 grid
+_reg(
+    "win_vol_regime",
+    lambda s, d: wn.win_vol_regime(events_us(s, d)),
+    """
+    WITH t AS (
+      SELECT event_id, user_id, event_type, epoch_us(ts) AS tu,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events),
+    d AS (
+      SELECT event_id, user_id, event_type, tu,
+             c - lag(c) OVER (PARTITION BY user_id, event_type
+                              ORDER BY tu, event_id) AS d
+      FROM t),
+    s AS (
+      SELECT event_id, user_id, event_type,
+             sum(CAST(d AS HUGEINT)) OVER ws AS ss,
+             sum(CAST(d AS HUGEINT) * d) OVER ws AS qs,
+             CAST(count(d) OVER ws AS BIGINT) AS ls,
+             sum(CAST(d AS HUGEINT)) OVER wl AS sl,
+             sum(CAST(d AS HUGEINT) * d) OVER wl AS ql,
+             CAST(count(d) OVER wl AS BIGINT) AS ll
+      FROM d
+      WINDOW ws AS (PARTITION BY user_id, event_type ORDER BY tu, event_id
+                    ROWS BETWEEN 7 PRECEDING AND CURRENT ROW),
+             wl AS (PARTITION BY user_id, event_type ORDER BY tu, event_id
+                    ROWS BETWEEN 31 PRECEDING AND CURRENT ROW))
+    SELECT event_id, user_id, event_type,
+           CASE WHEN ls > 1 AND ll > 1 AND ql * ll - sl * sl > 0
+                     AND qs * ls - ss * ss >= 0 THEN
+             CAST(floor(
+               sqrt((CAST(qs * ls - ss * ss AS DOUBLE)
+                     * CAST(CAST(ll AS HUGEINT) * ll AS DOUBLE))
+                    / (CAST(ql * ll - sl * sl AS DOUBLE)
+                       * CAST(CAST(ls AS HUGEINT) * ls AS DOUBLE)))
+               * 1e4 + 0.5) AS DOUBLE) / 1e4
+           END AS vol_ratio
+    FROM s
+    """,
+)

@@ -4377,3 +4377,57 @@ def agg_record_stats(events: DataFrame) -> DataFrame:
         iround_col("n_stale", "CAST(n AS DECIMAL(38,0))", 6, signed=False)
         .alias("stale_share"),
     )
+
+
+def sql_seasonal_index(orders: DataFrame) -> DataFrame:
+    """Month-of-year seasonal index as SQL text: each calendar month's
+    average monthly revenue against the all-months average — the
+    classical seasonal index (sql_monthly_growth reads the trend;
+    this reads the SEASON, the pair a forecaster decomposes with).
+
+    EXACT cross-engine: index = mean_month/mean_all clears to the exact
+    rational Σrev_m·n_all / (n_m·Σrev_all) — means of means never
+    materialize as floats; month keys are integers; the index and the
+    per-month mean ride the device at 6 dp. n_m ≥ 1 by construction
+    (a month-of-year row exists only with orders), Σrev_all > 0 with
+    TPC-H's positive prices — guarded anyway.
+
+    Scale shape: one per-(year, month) partial agg (fact-sized) → a
+    ≤12-row reduce; the global totals ride a window over those 12 rows.
+    """
+    from kdb_spark.analytics.exact import iround_sql
+
+    idx = iround_sql(
+        "rev_c * CAST(n_all AS DECIMAL(38,0))",
+        "CAST(n_m AS DECIMAL(38,0)) * total_c",
+        6,
+        signed=False,
+    )
+    mean_m = iround_sql(
+        "rev_c", "100 * CAST(n_m AS DECIMAL(38,0))", 6, signed=False
+    )
+    return orders.sparkSession.sql(
+        f"""
+        WITH ym AS (
+          SELECT CAST(year(o_orderdate) AS INT) AS y,
+                 CAST(month(o_orderdate) AS INT) AS m,
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                      AS BIGINT) AS rev_c
+          FROM {{orders_v}} GROUP BY 1, 2),
+        mo AS (
+          SELECT m,
+                 CAST(count(*) AS BIGINT) AS n_m,
+                 CAST(sum(rev_c) AS BIGINT) AS rev_c
+          FROM ym GROUP BY 1),
+        t AS (
+          SELECT m, n_m, rev_c,
+                 CAST(sum(n_m) OVER () AS BIGINT) AS n_all,
+                 CAST(sum(rev_c) OVER () AS BIGINT) AS total_c
+          FROM mo)
+        SELECT m, n_m, rev_c,
+               {mean_m} AS mean_month_usd,
+               CASE WHEN total_c > 0 THEN {idx} END AS seasonal_index
+        FROM t
+        """,
+        orders_v=orders,
+    )

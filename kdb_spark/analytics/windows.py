@@ -2170,3 +2170,64 @@ def win_trailing_twap(events: DataFrame, k: int = 9) -> DataFrame:
         "event_type",
         twap6.alias("twap"),
     )
+
+
+def win_vol_regime(events: DataFrame, short: int = 8, long: int = 32) -> DataFrame:
+    """Volatility-regime ratio per series: √(V_short/V_long) over trailing
+    delta windows — the expansion/compression detector (ratio > 1 =
+    vol breakout; win_realized_vol reads one horizon, this compares
+    two). Population variance of deltas per frame, denominator-cleared:
+    V_s/V_l = (Q_s·L_s − S_s²)·L_l² / ((Q_l·L_l − S_l²)·L_s²) — an exact
+    rational of decimal integers; the single √ lands on the 1e-4 grid
+    via one IEEE divide/sqrt from exact decimals (the agg_corr
+    discipline). Frames need ≥ 2 deltas on both horizons and positive
+    long variance; otherwise NULL.
+
+    Scale shape: ONE series-key Exchange — the lag and all four frame
+    sums share the sort (consecutive Window nodes).
+    """
+    wo = Window.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+    ws = wo.rowsBetween(-(short - 1), 0)
+    wl = wo.rowsBetween(-(long - 1), 0)
+    c = cents("value")
+    t = events.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts_us",
+        (c - F.lag(c).over(wo)).alias("d"),
+    )
+    dd = F.col("d").cast("decimal(38,0)")
+    s = t.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.sum(dd).over(ws).alias("ss"),
+        F.sum(dd * F.col("d")).over(ws).alias("qs"),
+        F.count("d").over(ws).cast("long").alias("ls"),
+        F.sum(dd).over(wl).alias("sl"),
+        F.sum(dd * F.col("d")).over(wl).alias("ql"),
+        F.count("d").over(wl).cast("long").alias("ll"),
+    )
+    vnum_s = F.expr("qs * ls - ss * ss")
+    vnum_l = F.expr("ql * ll - sl * sl")
+    ratio4 = F.when(
+        (F.col("ls") > 1) & (F.col("ll") > 1) & (vnum_l > 0) & (vnum_s >= 0),
+        F.floor(
+            F.expr(
+                "sqrt((CAST(qs * ls - ss * ss AS DOUBLE)"
+                "      * CAST(CAST(ll AS DECIMAL(38,0)) * ll AS DOUBLE))"
+                "     / (CAST(ql * ll - sl * sl AS DOUBLE)"
+                "        * CAST(CAST(ls AS DECIMAL(38,0)) * ls AS DOUBLE)))"
+            )
+            * F.lit(1e4)
+            + F.lit(0.5)
+        ).cast("double")
+        / F.lit(1e4),
+    )
+    return s.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        ratio4.alias("vol_ratio"),
+    )

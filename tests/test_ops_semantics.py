@@ -2909,3 +2909,50 @@ def test_record_stats_hand_tape(spark):
     [r] = agg.agg_record_stats(df).collect()
     assert (r.n, r.n_records, r.n_stale) == (4, 2, 1)
     assert r.record_share == 0.5 and r.stale_share == 0.25
+
+
+def test_seasonal_index_hand_months(spark):
+    """Means of means cleared exactly: Jan (two years, avg 150) vs Feb
+    (one year, 100): overall monthly mean = 400/3."""
+    import datetime
+
+    rows = [
+        (1, 1, 100.0, datetime.datetime(1995, 1, 5)),
+        (2, 1, 200.0, datetime.datetime(1996, 1, 5)),
+        (3, 1, 100.0, datetime.datetime(1995, 2, 5)),
+    ]
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_totalprice double, o_orderdate timestamp"
+    )
+    got = {r.m: r for r in agg.sql_seasonal_index(df).collect()}
+    assert got[1].n_m == 2 and got[1].mean_month_usd == 150.0
+    # index_jan = (30000/2)/(40000/3) = 45000/40000 = 1.125
+    assert got[1].seasonal_index == 1.125
+    assert got[2].seasonal_index == 0.75
+
+
+def test_vol_regime_hand_series(spark):
+    """Quiet-then-burst tape: ratio ≈ 1 in steady state, > 1 the moment
+    the short window absorbs the burst; exact grid pinned by brute."""
+    vals = [10.0 + 0.01 * (i % 2) for i in range(40)] + [10.0, 15.0, 5.0, 15.0]
+    rows = [(i, 1, "a", i * 1000, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts_us long, value double"
+    )
+    got = {r.event_id: r.vol_ratio for r in wn.win_vol_regime(df).collect()}
+    cs = [round(v * 100) for v in vals]
+    ds = [None] + [cs[i] - cs[i - 1] for i in range(1, len(cs))]
+    def brute(i):
+        fs = [d for d in ds[max(0, i - 7): i + 1] if d is not None]
+        fl = [d for d in ds[max(0, i - 31): i + 1] if d is not None]
+        if len(fs) < 2 or len(fl) < 2:
+            return None
+        vs = len(fs) * sum(d * d for d in fs) - sum(fs) ** 2
+        vl = len(fl) * sum(d * d for d in fl) - sum(fl) ** 2
+        if vl <= 0 or vs < 0:
+            return None
+        x = math.sqrt((vs * len(fl) ** 2) / (vl * len(fs) ** 2))
+        return math.floor(x * 1e4 + 0.5) / 1e4
+    for i in (20, 35, 43):
+        assert got[i] == brute(i), i
+    assert got[43] > 1.5  # burst regime detected
