@@ -7652,8 +7652,9 @@ _reg(
                      ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
     SELECT event_id, user_id, event_type,
            CASE WHEN dw > 0 THEN
-             CAST((2000000 * nw + 100 * CAST(dw AS HUGEINT))
-                  // (2 * 100 * CAST(dw AS HUGEINT)) AS DOUBLE) / 1e6
+             (CASE WHEN nw < 0 THEN -1 ELSE 1 END)
+             * CAST((2000000 * abs(nw) + 100 * CAST(dw AS HUGEINT))
+                    // (2 * 100 * CAST(dw AS HUGEINT)) AS DOUBLE) / 1e6
            END AS twap
     FROM s
     """,

@@ -2160,9 +2160,12 @@ def win_trailing_twap(events: DataFrame, k: int = 9) -> DataFrame:
         F.sum(F.expr("CAST(pc AS DECIMAL(38,0)) * gap")).over(wf).alias("nw"),
         F.sum("gap").over(wf).cast("long").alias("dw"),
     )
+    # sign-aware: the events schema admits negative prices, and the
+    # unsigned device would FLOOR a negative weighted sum instead of
+    # rounding half-away (caught by the brute-force property test)
     twap6 = F.when(
         F.col("dw") > 0,
-        iround_col("nw", "100 * CAST(dw AS DECIMAL(38,0))", 6, signed=False),
+        iround_col("nw", "100 * CAST(dw AS DECIMAL(38,0))", 6, signed=True),
     )
     return s.select(
         "event_id",

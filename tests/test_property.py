@@ -2496,3 +2496,78 @@ def test_underwater_and_downside_match_bruteforce(spark, vals):
 
     want = _m.floor(_m.sqrt(sum(d * d for d in neg) / len(ds)) / 100 * 1e4 + 0.5) / 1e4
     assert r.semidev_usd == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(vals=st.lists(st.integers(-50, 50), min_size=1, max_size=30))
+def test_swing_and_twap_match_bruteforce(spark, vals):
+    """Law: win_swing_points' full-frame centered extremes and
+    win_trailing_twap's in-force-weighted device mean equal the brute
+    forms on arbitrary series (ties included — the small value range
+    forces plateaus)."""
+    from kdb_spark.analytics import windows as wn
+
+    rows = [(i, 1, "a", i * 1000 + (i % 3), v / 4.0) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts_us long, value double"
+    )
+    cs = [v * 25 for v in vals]
+    ts = [i * 1000 + (i % 3) for i in range(len(vals))]
+    k = 2
+    got_s = {r.event_id: r for r in wn.win_swing_points(df, k=k).collect()}
+    n = len(vals)
+    for i in range(n):
+        frame = cs[max(0, i - k): min(n, i + k + 1)]
+        full = len(frame) == 2 * k + 1
+        assert got_s[i].swing_high == (full and cs[i] == max(frame)), i
+        assert got_s[i].swing_low == (full and cs[i] == min(frame)), i
+    got_t = {r.event_id: r.twap for r in wn.win_trailing_twap(df).collect()}
+    gaps = [ts[i + 1] - ts[i] for i in range(n - 1)] + [0]
+    for i in range(n):
+        lo = max(0, i - 9)
+        nw = sum(cs[j] * gaps[j] for j in range(lo, i + 1))
+        dw = sum(gaps[j] for j in range(lo, i + 1))
+        if dw == 0:
+            assert got_t[i] is None, i
+        else:
+            assert got_t[i] == _iround_py(nw, 100 * dw), i
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    a_iv=st.lists(
+        st.tuples(st.integers(0, 200), st.integers(1, 100)),
+        min_size=1, max_size=12,
+    ),
+    b_iv=st.lists(
+        st.tuples(st.integers(0, 200), st.integers(1, 100)),
+        min_size=1, max_size=12,
+    ),
+)
+def test_interval_overlap_matches_bruteforce(spark, a_iv, b_iv):
+    """Law: day-bucket blocking finds EXACTLY the brute-force overlap
+    pairs with exact lengths — blocking must never change semantics.
+    Intervals are scaled to cross bucket boundaries aggressively."""
+    from kdb_spark.analytics import joins as jn
+
+    S = 10_000_000_000  # 10^10 µs ≈ 0.12 day → many spans cross buckets
+    A = [(i, s * S, s * S + l * S) for i, (s, l) in enumerate(a_iv)]
+    B = [(100 + i, s * S, s * S + l * S) for i, (s, l) in enumerate(b_iv)]
+    a = spark.createDataFrame(A, "a_id long, a_start long, a_end long")
+    b = spark.createDataFrame(B, "b_id long, b_start long, b_end long")
+    got = {(r.a_id, r.b_id): r.overlap_us
+           for r in jn.join_interval_overlap(a, b).collect()}
+    want = {}
+    for (ai, as_, ae) in A:
+        for (bi, bs, be) in B:
+            if as_ < be and bs < ae:
+                want[(ai, bi)] = min(ae, be) - max(as_, bs)
+    assert got == want
