@@ -7809,3 +7809,69 @@ _reg(
     FROM s
     """,
 )
+
+
+# Adjacent-day user churn flow census: distinct grain + one self-join
+_reg(
+    "agg_user_churn",
+    lambda s, d: agg.agg_user_churn(events_us(s, d)),
+    """
+    WITH d AS (
+      SELECT DISTINCT event_type,
+             epoch_us(ts) // 86400000000 AS day, user_id
+      FROM events),
+    t AS (SELECT event_type, day, user_id FROM d),
+    y AS (SELECT event_type, day + 1 AS day, user_id FROM d),
+    j AS (
+      SELECT coalesce(t.event_type, y.event_type) AS event_type,
+             coalesce(t.day, y.day) AS day,
+             t.user_id AS tu, y.user_id AS yu
+      FROM t FULL OUTER JOIN y
+        ON y.event_type = t.event_type AND y.day = t.day
+           AND y.user_id = t.user_id),
+    g AS (
+      SELECT event_type, day,
+             CAST(sum(CASE WHEN tu IS NOT NULL AND yu IS NOT NULL
+                           THEN 1 ELSE 0 END) AS BIGINT) AS retained,
+             CAST(sum(CASE WHEN tu IS NOT NULL AND yu IS NULL
+                           THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+             CAST(sum(CASE WHEN tu IS NULL AND yu IS NOT NULL
+                           THEN 1 ELSE 0 END) AS BIGINT) AS churned
+      FROM j GROUP BY 1, 2),
+    f AS (
+      SELECT event_type, CAST(day AS BIGINT) AS day, retained, new_users,
+             churned, retained + churned AS prev_active
+      FROM g WHERE retained + churned > 0)
+    SELECT event_type, day, retained, new_users, churned, prev_active,
+           CAST((2000000 * CAST(retained AS HUGEINT) + prev_active)
+                // (2 * CAST(prev_active AS HUGEINT)) AS DOUBLE) / 1e6
+             AS retention_rate,
+           CAST((2000000 * CAST(churned AS HUGEINT) + prev_active)
+                // (2 * CAST(prev_active AS HUGEINT)) AS DOUBLE) / 1e6
+             AS churn_rate
+    FROM f
+    """,
+)
+
+
+# Discount-band elasticity census: exact integer bands, device mean qty
+_reg(
+    "sql_discount_bands",
+    lambda s, d: agg.sql_discount_bands(load(s, d, "lineitem")),
+    """
+    WITH b AS (
+      SELECT CAST(round(l_discount * 100) AS INT) AS disc_pct,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+             CAST(round(l_quantity) AS BIGINT) AS q
+      FROM lineitem),
+    g AS (
+      SELECT disc_pct, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(pc) AS BIGINT) AS revenue_c,
+             CAST(sum(q) AS BIGINT) AS sum_qty
+      FROM b GROUP BY 1)
+    SELECT disc_pct, n, revenue_c, sum_qty,
+           CAST((2000000 * CAST(sum_qty AS HUGEINT) + n)
+                // (2 * CAST(n AS HUGEINT)) AS DOUBLE) / 1e6 AS mean_qty
+    FROM g
+    """,
+)

@@ -4431,3 +4431,120 @@ def sql_seasonal_index(orders: DataFrame) -> DataFrame:
         """,
         orders_v=orders,
     )
+
+
+def agg_user_churn(events: DataFrame) -> DataFrame:
+    """Adjacent-period user churn per event_type: for every consecutive
+    day pair — retained, new, and churned user counts plus the rates —
+    the product-analytics flow census (agg_dau_mau reads stock;
+    retention_cohort anchors to FIRST touch; churn reads the
+    period-over-period FLOW, which is what alerts fire on).
+
+    EXACT cross-engine: active sets are exact (type, day, user)
+    distincts; retained = active-today ∩ active-yesterday via one
+    self-join on (type, user) at day+1; new/churned by difference; the
+    rates ride the unsigned device against yesterday's actives (day
+    pairs exist only where yesterday had actives — inner join from the
+    yesterday side keeps the denominator > 0; a day with no prior day
+    emits nothing).
+
+    Scale shape: one fact-sized distinct to the (type, day, user) grain,
+    then a self-join keyed (type, user) — co-partitioned, one Exchange —
+    and a per-(type, day) reduce.
+    """
+    d = events.select(
+        "event_type",
+        F.expr(f"ts_us div {DAY_US}").cast("long").alias("day"),
+        "user_id",
+    ).distinct()
+    # self-join: aliased sides with qualified refs (Spark's ambiguous-
+    # self-join analyzer rejects lineage-shared columns otherwise)
+    y = d.select(
+        F.col("event_type").alias("y_et"),
+        (F.col("day") + 1).alias("y_day"),
+        F.col("user_id").alias("yu"),
+        F.lit(1).alias("was"),
+    )
+    t = d.select(
+        F.col("event_type").alias("t_et"),
+        F.col("day").alias("t_day"),
+        F.col("user_id").alias("tu"),
+        F.lit(1).alias("is_t"),
+    )
+    j = t.join(
+        y,
+        (F.col("t_et") == F.col("y_et"))
+        & (F.col("t_day") == F.col("y_day"))
+        & (F.col("tu") == F.col("yu")),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("t_et"), F.col("y_et")).alias("event_type"),
+        F.coalesce(F.col("t_day"), F.col("y_day")).alias("day"),
+        F.col("is_t"),
+        F.col("was"),
+    )
+    g = j.groupBy("event_type", "day").agg(
+        F.sum(F.when(F.col("is_t").isNotNull() & F.col("was").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("retained"),
+        F.sum(F.when(F.col("is_t").isNotNull() & F.col("was").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("new_users"),
+        F.sum(F.when(F.col("is_t").isNull() & F.col("was").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("churned"),
+    )
+    # keep only days with a prior-day denominator
+    g = g.withColumn("prev_active", F.col("retained") + F.col("churned")).filter(
+        F.col("prev_active") > 0
+    )
+    return g.select(
+        "event_type",
+        "day",
+        "retained",
+        "new_users",
+        "churned",
+        "prev_active",
+        iround_col("retained", "CAST(prev_active AS DECIMAL(38,0))", 6, signed=False)
+        .alias("retention_rate"),
+        iround_col("churned", "CAST(prev_active AS DECIMAL(38,0))", 6, signed=False)
+        .alias("churn_rate"),
+    )
+
+
+def sql_discount_bands(lineitem: DataFrame) -> DataFrame:
+    """Discount-band elasticity census as SQL text: lines grouped by the
+    integer discount percent — count, exact revenue, exact quantity, and
+    mean quantity per line — the pricing table that shows whether deeper
+    discounts actually move more units (TPC-H Q19's bracket logic as a
+    full census instead of one filter).
+
+    EXACT cross-engine: the band is round(l_discount·100) (the same
+    per-row cents convention as prices — bit-deterministic both
+    engines), sums exact, the mean on the device.
+
+    Scale shape: ONE fact-sized hash agg to ≤ ~11 bands, map-side
+    combined.
+    """
+    from kdb_spark.analytics.exact import iround_sql
+
+    mean_q = iround_sql("sum_qty", "CAST(n AS DECIMAL(38,0))", 6, signed=False)
+    return lineitem.sparkSession.sql(
+        f"""
+        WITH b AS (
+          SELECT CAST(round(l_discount * 100) AS INT) AS disc_pct,
+                 CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+                 CAST(round(l_quantity) AS BIGINT) AS q
+          FROM {{lineitem_v}}),
+        g AS (
+          SELECT disc_pct,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(pc) AS BIGINT) AS revenue_c,
+                 CAST(sum(q) AS BIGINT) AS sum_qty
+          FROM b GROUP BY 1)
+        SELECT disc_pct, n, revenue_c, sum_qty,
+               {mean_q} AS mean_qty
+        FROM g
+        """,
+        lineitem_v=lineitem,
+    )

@@ -2956,3 +2956,35 @@ def test_vol_regime_hand_series(spark):
     for i in (20, 35, 43):
         assert got[i] == brute(i), i
     assert got[43] > 1.5  # burst regime detected
+
+
+def test_user_churn_hand_days(spark):
+    """Retained/new/churned by adjacent-day set difference; days with no
+    prior actives emit nothing."""
+    DAY = 86_400_000_000
+    rows = [
+        (1, 1, "a", 0 * DAY + 1, 1.0), (2, 2, "a", 0 * DAY + 2, 1.0),
+        (3, 1, "a", 1 * DAY + 1, 1.0), (4, 3, "a", 1 * DAY + 2, 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts_us long, value double"
+    )
+    got = {r.day: r for r in agg.agg_user_churn(df).collect()}
+    # day 0 has no prior (absent); day 2 DOES report — everyone churned
+    assert set(got) == {1, 2}
+    r = got[1]
+    assert (r.retained, r.new_users, r.churned, r.prev_active) == (1, 1, 1, 2)
+    assert r.retention_rate == 0.5 and r.churn_rate == 0.5
+    r2 = got[2]
+    assert (r2.retained, r2.churned) == (0, 2) and r2.churn_rate == 1.0
+
+
+def test_discount_bands_hand_lines(spark):
+    """Integer percent bands, exact sums, device mean quantity."""
+    rows = [(1, 0.05, 100.0, 10.0), (2, 0.05, 200.0, 20.0), (3, 0.0, 50.0, 5.0)]
+    df = spark.createDataFrame(
+        rows, "l_orderkey long, l_discount double, l_extendedprice double, l_quantity double"
+    )
+    got = {r.disc_pct: r for r in agg.sql_discount_bands(df).collect()}
+    assert got[5].n == 2 and got[5].revenue_c == 30000
+    assert got[5].mean_qty == 15.0 and got[0].mean_qty == 5.0
