@@ -2571,3 +2571,100 @@ def test_interval_overlap_matches_bruteforce(spark, a_iv, b_iv):
             if as_ < be and bs < ae:
                 want[(ai, bi)] = min(ae, be) - max(as_, bs)
     assert got == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    lines=st.lists(
+        st.sampled_from(["", "a", "bb", "- x", "ok...", "  spaced", "a"]),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_gopher_quality_matches_bruteforce(spark, lines):
+    """Law: the sorted run-length fold's dup counts equal the Counter
+    brute form (empty lines included), filters exact."""
+    from collections import Counter
+
+    from kdb_spark.llm import textstats as tx
+
+    text = "\n".join(lines)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    [r] = tx.text_gopher_quality(df).collect()
+    cnt = Counter(lines)
+    dup_lines = sum(m for m in cnt.values() if m > 1)
+    dup_chars = sum(m * len(l) for l, m in cnt.items() if m > 1)
+    n = len(lines)
+    assert (r.n_lines, r.dup_lines, r.dup_chars) == (n, dup_lines, dup_chars)
+    assert r.dup_line_ratio == _iround_py(dup_lines, n)
+    bullets = sum(1 for l in lines if l.lstrip(" ").startswith(("-", "*")))
+    assert r.bullet_lines == bullets
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 5), st.integers(0, 400)),
+        min_size=2,
+        max_size=40,
+    )
+)
+def test_churn_and_records_match_bruteforce(spark, pts):
+    """Law: agg_user_churn's adjacent-day sets and agg_record_stats'
+    record/stale predicates equal the brute set/scan forms."""
+    from collections import defaultdict
+
+    from kdb_spark.analytics import aggregations as agg
+
+    DAY = 86_400_000_000
+    rows = [
+        (i, int(u), "a", int(d) * DAY + i, v / 4.0)
+        for i, (d, u, v) in enumerate(pts)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts_us long, value double"
+    )
+    active = defaultdict(set)
+    for d, u, _ in pts:
+        active[int(d)].add(int(u))
+    got_c = {r.day: r for r in agg.agg_user_churn(df).collect()}
+    days = set(active) | {d + 1 for d in active}
+    for d in sorted(days):
+        prev, today = active.get(d - 1, set()), active.get(d, set())
+        if not prev:
+            assert d not in got_c
+            continue
+        r = got_c[d]
+        assert r.retained == len(prev & today)
+        assert r.new_users == len(today - prev)
+        assert r.churned == len(prev - today)
+    # record/stale per user series pooled
+    series = defaultdict(list)
+    for i, (d, u, v) in enumerate(pts):
+        series[int(u)].append((int(d) * DAY + i, i, v * 25))
+    n = rec = stale = 0
+    for u, sl in series.items():
+        sl.sort()
+        mx = None
+        for idx, (_, _, c) in enumerate(sl):
+            if idx > 0:
+                n += 1
+                if mx is not None and c > mx:
+                    rec += 1
+                if c == sl[idx - 1][2]:
+                    stale += 1
+            mx = c if mx is None or c > mx else mx
+    got_r = agg.agg_record_stats(df).collect()
+    if n == 0:
+        assert got_r == []
+    else:
+        [r] = got_r
+        assert (r.n, r.n_records, r.n_stale) == (n, rec, stale)
