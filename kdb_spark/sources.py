@@ -610,10 +610,44 @@ def sink_versioned(df: DataFrame, path: str, mode: str = "append") -> int:
     import os
     import uuid
 
-    log_dir = os.path.join(path, "_log")
-    os.makedirs(log_dir, exist_ok=True)
     rel = os.path.join("data", uuid.uuid4().hex[:12])
     df.write.mode("overwrite").parquet(os.path.join(path, rel))
+
+    def make_manifest(n: int, versions: list[int]) -> dict:
+        manifest = {"version": n, "mode": mode, "dirs": [rel]}
+        if mode == "append" and versions:
+            log_dir = os.path.join(path, "_log")
+            with open(os.path.join(log_dir, f"{versions[-1]}.json")) as fh:
+                parent = json.load(fh)
+            manifest["dirs"] = parent["dirs"] + [rel]
+            # inherit the parent's partition map (established by a prior
+            # partition-scoped sink_upsert) so a plain append doesn't
+            # silently demote the table back to legacy full-scan merges;
+            # the appended dir itself is unmapped (mixed partitions) and
+            # will be split by the next scoped merge that touches it
+            if parent.get("parts"):
+                manifest["parts"] = parent["parts"]
+        return manifest
+
+    return _claim_version(path, make_manifest)
+
+
+def _claim_version(path: str, make_manifest) -> int:
+    """Atomically claim the next version of a manifest-logged table.
+
+    ``make_manifest(n, versions)`` builds the manifest dict for candidate
+    version ``n`` given the currently-committed version list; it is
+    re-invoked on every retry so append-style commits can re-read the new
+    parent. The hardlink claim protocol (fully-written private file →
+    os.link to ``{n}.json``) is what makes the commit atomic — see
+    sink_versioned's docstring for the full rationale.
+    """
+    import json
+    import os
+    import uuid
+
+    log_dir = os.path.join(path, "_log")
+    os.makedirs(log_dir, exist_ok=True)
     tmp = os.path.join(log_dir, f".commit-{uuid.uuid4().hex[:12]}.tmp")
     try:
         while True:
@@ -623,19 +657,17 @@ def sink_versioned(df: DataFrame, path: str, mode: str = "append") -> int:
                 if f.endswith(".json") and not f.startswith(".")
             )
             n = (versions[-1] + 1) if versions else 0
-            if mode == "append" and versions:
-                with open(os.path.join(log_dir, f"{versions[-1]}.json")) as fh:
-                    dirs = json.load(fh)["dirs"] + [rel]
-            else:
-                dirs = [rel]
+            manifest = make_manifest(n, versions)
             with open(tmp, "w") as fh:
-                json.dump({"version": n, "mode": mode, "dirs": dirs}, fh)
+                json.dump(manifest, fh)
                 fh.flush()
                 os.fsync(fh.fileno())
             try:
                 os.link(tmp, os.path.join(log_dir, f"{n}.json"))
             except FileExistsError:
-                continue  # lost the race for n — re-list the log, try n+1
+                # lost the race for n — re-list the log, rebuild, try n+1
+                os.unlink(tmp)
+                continue
             return n
     finally:
         try:
@@ -800,7 +832,26 @@ def q_scan_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def sink_upsert(df: DataFrame, path: str, key: str) -> int:
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _split_dirs(
+    dirs: list[str], parts: dict[str, str], touched: set[str]
+) -> tuple[list[str], list[str]]:
+    """Partition-prune a manifest's dir list for a scoped MERGE: a dir
+    whose mapped partition value is NOT in ``touched`` carries into the
+    new version verbatim (no read, no rewrite); a dir whose partition is
+    touched — or that has no mapping (legacy commit, mixed partitions) —
+    must be scanned. Pure function so the pruning decision is unit-
+    testable without a Spark job."""
+    affected = [d for d in dirs if d not in parts or parts[d] in touched]
+    untouched = [d for d in dirs if d in parts and parts[d] not in touched]
+    return affected, untouched
+
+
+def sink_upsert(
+    df: DataFrame, path: str, key: str, part_col: str | None = None
+) -> int:
     """MERGE INTO over the manifest-versioned table: rows whose ``key``
     matches an existing row REPLACE it, the rest append — the CDC /
     last-write-wins primitive every lakehouse ships, and the table-format
@@ -808,52 +859,169 @@ def sink_upsert(df: DataFrame, path: str, key: str) -> int:
     (/root/reference/dblock/dblock.go:198-205 — same slot, new payload
     wins).
 
-    Spark shape: survivors = current snapshot LEFT ANTI JOIN the incoming
-    keys (one equi-join, broadcast when the increment is small — the
-    common CDC case), union the increment, commit as a new overwrite
-    version. The old snapshot stays readable (time travel), so a bad
-    merge is a one-manifest rollback, not a restore. At 100 TB the merge
-    is partition-scoped: anti-join and rewrite ONLY the partitions the
-    increment touches (the same dynamic-overwrite discipline as
-    `sink_delta_like`) — rewriting the full table per merge, as here at
-    test scale, is the naive fallback.
+    With ``part_col`` the merge is PARTITION-SCOPED (the 100 TB path):
+    the increment's distinct partition values are collected (CDC-sized —
+    a merge touches few partitions), the survivors anti-join scans ONLY
+    the data dirs whose manifest-mapped partition is touched, untouched
+    partitions' dirs carry into the new manifest verbatim (zero read,
+    zero rewrite — manifest-level pruning, stronger than a pushed
+    filter: the files are never even listed), and the rewrite lands one
+    dir per touched partition so every later merge stays scoped. Legacy
+    dirs committed without a partition map (a plain sink_versioned seed)
+    are split into per-partition dirs on their first scoped merge — the
+    table converges, exactly like Delta clustering. The match condition
+    is ``(part_col, key)``, the standard contract that makes pruning
+    sound: a matched row is replaced in place, so an update may not move
+    a key across partitions (Delta's partition-pruned MERGE has the same
+    constraint).
+
+    Without ``part_col`` the merge is the naive full-table rewrite:
+    survivors = snapshot LEFT ANTI JOIN incoming keys (broadcast — the
+    increment is small in the CDC case), union the increment, commit as
+    a new overwrite version. Either way the old snapshot stays readable
+    (time travel), so a bad merge is a one-manifest rollback.
     """
+    import json
+    import os
+    import uuid
+    from urllib.parse import unquote
+
     from pyspark.sql.functions import broadcast
 
-    # real MERGE INTO errors when the source matches a target row more
-    # than once; silently unioning a duplicate-keyed increment would
-    # commit BOTH rows and every later scan double-counts the key. One
-    # bounded agg over the (small, CDC-sized) increment enforces it.
-    dup = (
-        df.groupBy(key)
-        .count()
-        .filter(F.col("count") > 1)
-        .limit(1)
+    spark = df.sparkSession
+
+    if part_col is None:
+        # real MERGE INTO errors when the source matches a target row
+        # more than once; silently unioning a duplicate-keyed increment
+        # would commit BOTH rows and every later scan double-counts the
+        # key. One bounded agg over the (small, CDC-sized) increment
+        # enforces it.
+        dup = (
+            df.groupBy(key)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"sink_upsert: increment has multiple rows for {key}="
+                f"{dup[0][0]!r}; MERGE requires unique source keys"
+            )
+        current = scan_version(spark, path)
+        survivors = current.join(
+            broadcast(df.select(key).distinct()), on=key, how="left_anti"
+        )
+        merged = survivors.unionByName(df)
+        # materialize BEFORE the overwrite commit: merged reads the
+        # current snapshot's files, and writing a new version while its
+        # input plan is still lazily reading old files is the classic
+        # self-overwrite trap — localCheckpoint cuts the lineage (same
+        # device as stream_rollup_maintain)
+        merged = merged.localCheckpoint(eager=True)
+        return sink_versioned(merged, path, mode="overwrite")
+
+    # ---- partition-scoped path ----
+    # ONE per-partition agg serves both pre-flight reads: the touched
+    # partition set (drives the manifest pruning) and the source-
+    # uniqueness guard — under the scoped match condition the MERGE
+    # error is a duplicate (part_col, key) pair, which shows up as
+    # count != count_distinct(key) within a partition. The collect is
+    # partition-count-sized (CDC merges touch few partitions), never
+    # key-count-sized.
+    pstr = F.coalesce(F.col(part_col).cast("string"), F.lit(_HIVE_NULL))
+    pre = (
+        df.groupBy(pstr.alias("p"), F.col(key).alias("k"))
+        .count()  # map-side partial agg; NULL keys form their own group
+        .groupBy("p")
+        .agg(F.max("count").alias("mx"))
         .collect()
     )
-    if dup:
+    dup_parts = [r["p"] for r in pre if r["mx"] > 1]
+    if dup_parts:
         raise ValueError(
-            f"sink_upsert: increment has multiple rows for {key}="
-            f"{dup[0][0]!r}; MERGE requires unique source keys"
+            f"sink_upsert: increment has multiple rows for some {key} in "
+            f"partition(s) {dup_parts[:3]!r}; MERGE requires unique "
+            f"({part_col}, {key}) source pairs"
         )
-    current = scan_version(df.sparkSession, path)
-    survivors = current.join(
-        broadcast(df.select(key).distinct()), on=key, how="left_anti"
+    touched = {r["p"] for r in pre}
+
+    log_dir = os.path.join(path, "_log")
+    versions = (
+        sorted(
+            int(f.split(".")[0])
+            for f in os.listdir(log_dir)
+            if f.endswith(".json") and not f.startswith(".")
+        )
+        if os.path.isdir(log_dir)
+        else []
     )
-    merged = survivors.unionByName(df)
-    # materialize BEFORE the overwrite commit: merged reads the current
-    # snapshot's files, and writing a new version while its input plan
-    # is still lazily reading old files is the classic self-overwrite
-    # trap — localCheckpoint cuts the lineage (same device as
-    # stream_rollup_maintain)
-    merged = merged.localCheckpoint(eager=True)
-    return sink_versioned(merged, path, mode="overwrite")
+    if versions:
+        with open(os.path.join(log_dir, f"{versions[-1]}.json")) as fh:
+            parent = json.load(fh)
+        dirs, parts = parent["dirs"], parent.get("parts", {})
+    else:
+        dirs, parts = [], {}  # bootstrap: first upsert creates the table
+    affected, untouched = _split_dirs(dirs, parts, touched)
+
+    inc = df.withColumn("__pc", pstr)
+    if affected:
+        cur = spark.read.parquet(
+            *[os.path.join(path, d) for d in affected]
+        ).withColumn("__pc", pstr)
+        # scoped match condition (part_col, key): only rows IN a touched
+        # partition are merge candidates; rows of untouched partitions
+        # inside a legacy mixed dir carry forward as-is (they are being
+        # rewritten only to give them their own per-partition dir)
+        in_touched = F.col("__pc").isin(*touched) if touched else F.lit(False)
+        candidates = cur.filter(in_touched)
+        carry = cur.filter(~in_touched)
+        survivors = candidates.join(
+            broadcast(inc.select("__pc", key).distinct()),
+            on=["__pc", key],
+            how="left_anti",
+        )
+        merged = carry.unionByName(survivors).unionByName(inc)
+    else:
+        merged = inc
+    # one shuffle keyed on the partition value → one task (→ one file set)
+    # per partition dir; at real scale repartition(n, "__pc", salt) spreads
+    # a hot partition across writers without changing the layout contract
+    rel = os.path.join("data", uuid.uuid4().hex[:12])
+    (
+        merged.repartition(F.col("__pc"))
+        .write.partitionBy("__pc")
+        .mode("overwrite")
+        .parquet(os.path.join(path, rel))
+    )
+    # partitionBy strips __pc from the files but part_col itself stays a
+    # data column, so each per-partition dir is self-contained for
+    # scan_version's plain multi-dir parquet read
+    new_dirs, new_parts = list(untouched), {d: parts[d] for d in untouched}
+    for sub in sorted(os.listdir(os.path.join(path, rel))):
+        if not sub.startswith("__pc="):
+            continue
+        d = os.path.join(rel, sub)
+        new_dirs.append(d)
+        new_parts[d] = unquote(sub.split("=", 1)[1])
+
+    def make_manifest(n: int, _versions: list[int]) -> dict:
+        # the dir list was planned against the snapshot read above; a
+        # concurrent commit landing in between would be silently merged
+        # over — same optimistic window Delta closes with conflict
+        # detection. Serialize concurrent merges to one table externally.
+        return {"version": n, "mode": "merge", "dirs": new_dirs, "parts": new_parts}
+
+    return _claim_version(path, make_manifest)
 
 
 def q_sink_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seed the versioned table with pre-Jan-15 events, then MERGE an
+    """Seed the versioned table with pre-Jan-15 events via a bootstrap
+    PARTITION-SCOPED upsert (one per-day dir each), then MERGE an
     increment that (a) rewrites every day-10..14 row with value+1.00 and
-    (b) appends days 15..19 — the read-back per-type aggregate proves
+    (b) appends days 15..19 — the merge's survivors scan touches ONLY the
+    5 affected day dirs (days 0..9 carry into the new manifest verbatim,
+    manifest-level pruning), and the read-back per-type aggregate proves
     matched keys were replaced exactly once and unmatched rows survived.
     """
     from kdb_spark.tables import DAY_US, cents, events_us
@@ -861,14 +1029,17 @@ def q_sink_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _tmp("upsert")
     day0 = 19723
     ev = events_us(spark, sf_dir).select(
-        "event_id", "event_type", cents("value").alias("c"), "ts_us"
+        "event_id",
+        "event_type",
+        cents("value").alias("c"),
+        "ts_us",
+        (F.expr(f"ts_us div {DAY_US}") - F.lit(day0)).alias("day"),
     )
-    day = (F.col("ts_us") / F.lit(DAY_US)).cast("long") - day0
-    sink_versioned(ev.filter(day < 15), path, mode="overwrite")
-    increment = ev.filter((day >= 10) & (day < 20)).withColumn(
+    sink_upsert(ev.filter(F.col("day") < 15), path, key="event_id", part_col="day")
+    increment = ev.filter((F.col("day") >= 10) & (F.col("day") < 20)).withColumn(
         "c", F.col("c") + F.lit(100)
     )
-    sink_upsert(increment, path, key="event_id")
+    sink_upsert(increment, path, key="event_id", part_col="day")
     return (
         scan_version(spark, path)
         .groupBy("event_type")

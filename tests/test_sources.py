@@ -395,6 +395,163 @@ def test_upsert_rejects_duplicate_source_keys(spark, tmp_path):
     assert [r.v for r in scan_version(spark, path).collect()] == ["old"]
 
 
+def test_split_dirs_pruning_decision():
+    """The partition-pruning decision for a scoped MERGE, as a pure
+    function: mapped-untouched dirs carry, mapped-touched and UNMAPPED
+    (legacy, mixed-partition) dirs are scanned."""
+    from kdb_spark.sources import _split_dirs
+
+    dirs = ["d0", "d1", "d2", "legacy"]
+    parts = {"d0": "0", "d1": "1", "d2": "2"}
+    affected, untouched = _split_dirs(dirs, parts, {"1"})
+    assert affected == ["d1", "legacy"]
+    assert untouched == ["d0", "d2"]
+    # no partition map at all → everything is affected (full-scan merge)
+    affected, untouched = _split_dirs(dirs[:1], {}, {"1"})
+    assert (affected, untouched) == (["d0"], [])
+
+
+def test_upsert_partition_scoped_prunes_untouched_dirs(spark, tmp_path):
+    """The 100 TB contract: a scoped merge touching one partition carries
+    every other partition's dir into the new manifest VERBATIM (same dir
+    string — no read, no rewrite; manifest-level pruning is stronger than
+    a pushed filter because the untouched files are never even listed),
+    and lands exactly one new dir for the touched partition."""
+    import json
+    import os
+
+    from kdb_spark.sources import scan_version, sink_upsert
+
+    path = str(tmp_path / "scoped")
+    base = spark.createDataFrame(
+        [(1, 0, "old"), (2, 1, "old"), (3, 2, "old")],
+        "id long, day int, v string",
+    )
+    # bootstrap scoped upsert creates the table with one dir per day
+    v0 = sink_upsert(base, path, key="id", part_col="day")
+    with open(os.path.join(path, "_log", f"{v0}.json")) as fh:
+        m0 = json.load(fh)
+    assert sorted(m0["parts"].values()) == ["0", "1", "2"]
+
+    inc = spark.createDataFrame(
+        [(2, 1, "new"), (9, 1, "new")], "id long, day int, v string"
+    )
+    v1 = sink_upsert(inc, path, key="id", part_col="day")
+    with open(os.path.join(path, "_log", f"{v1}.json")) as fh:
+        m1 = json.load(fh)
+    untouched0 = {d for d, p in m0["parts"].items() if p != "1"}
+    # days 0 and 2: identical dir strings carried from v0
+    assert untouched0 < set(m1["dirs"])
+    # day 1: exactly one NEW dir, absent from v0
+    fresh = set(m1["dirs"]) - set(m0["dirs"])
+    assert len(fresh) == 1 and m1["parts"][next(iter(fresh))] == "1"
+    got = {r.id: r.v for r in scan_version(spark, path, v1).collect()}
+    assert got == {1: "old", 2: "new", 3: "old", 9: "new"}
+    # time travel to the pre-merge snapshot still works
+    assert {r.id for r in scan_version(spark, path, v0).collect()} == {1, 2, 3}
+
+
+def test_upsert_scoped_never_reads_untouched_partitions(spark, tmp_path):
+    """Hard proof the survivors scan is partition-pruned: the untouched
+    partitions' data files are made UNREADABLE (chmod 000) for the
+    duration of the merge — if the merge listed or read them, the write
+    job would fail. Stronger than a plan assertion: the files are
+    physically inaccessible."""
+    import json
+    import os
+    import stat
+
+    from kdb_spark.sources import scan_version, sink_upsert
+
+    path = str(tmp_path / "noread")
+    base = spark.createDataFrame(
+        [(1, 0, "old"), (2, 1, "old"), (3, 2, "old")],
+        "id long, day int, v string",
+    )
+    v0 = sink_upsert(base, path, key="id", part_col="day")
+    with open(os.path.join(path, "_log", f"{v0}.json")) as fh:
+        m0 = json.load(fh)
+    locked = [
+        os.path.join(path, d) for d, p in m0["parts"].items() if p != "1"
+    ]
+    try:
+        for d in locked:
+            os.chmod(d, 0)
+        inc = spark.createDataFrame([(2, 1, "new")], "id long, day int, v string")
+        v1 = sink_upsert(inc, path, key="id", part_col="day")
+    finally:
+        for d in locked:
+            os.chmod(d, stat.S_IRWXU)
+    got = {r.id: r.v for r in scan_version(spark, path, v1).collect()}
+    assert got == {1: "old", 2: "new", 3: "old"}
+
+
+def test_upsert_scoped_converges_legacy_dir(spark, tmp_path):
+    """A legacy sink_versioned seed (one mixed-partition dir, no map) is
+    split into per-partition dirs by its first scoped merge, and the
+    scoped match condition (part_col, key) means a key match in an
+    UNTOUCHED partition is preserved, not replaced."""
+    import json
+    import os
+
+    from kdb_spark.sources import scan_version, sink_upsert, sink_versioned
+
+    path = str(tmp_path / "legacy")
+    base = spark.createDataFrame(
+        [(1, 0, "old"), (2, 1, "old")], "id long, day int, v string"
+    )
+    sink_versioned(base, path, mode="overwrite")
+    # increment carries key=1 but in day=1: day=0's key=1 row must survive
+    # (scoped merges match within the partition only)
+    inc = spark.createDataFrame(
+        [(1, 1, "new"), (2, 1, "new")], "id long, day int, v string"
+    )
+    v1 = sink_upsert(inc, path, key="id", part_col="day")
+    rows = {(r.id, r.day): r.v for r in scan_version(spark, path, v1).collect()}
+    assert rows == {(1, 0): "old", (2, 1): "new", (1, 1): "new"}
+    with open(os.path.join(path, "_log", f"{v1}.json")) as fh:
+        m1 = json.load(fh)
+    # converged: every dir now carries a partition mapping
+    assert set(m1["dirs"]) == set(m1["parts"])
+
+
+def test_upsert_scoped_null_partition(spark, tmp_path):
+    """NULL partition values route through the hive default-partition
+    sentinel and merge correctly."""
+    from kdb_spark.sources import scan_version, sink_upsert
+
+    path = str(tmp_path / "nullpart")
+    base = spark.createDataFrame(
+        [(1, None, "old"), (2, 5, "old")], "id long, day int, v string"
+    )
+    sink_upsert(base, path, key="id", part_col="day")
+    inc = spark.createDataFrame([(1, None, "new")], "id long, day int, v string")
+    v1 = sink_upsert(inc, path, key="id", part_col="day")
+    got = {r.id: (r.day, r.v) for r in scan_version(spark, path, v1).collect()}
+    assert got == {1: (None, "new"), 2: (5, "old")}
+
+
+def test_versioned_append_inherits_partition_map(spark, tmp_path):
+    """A plain append after a scoped upsert keeps the parent's partition
+    map, so the NEXT scoped merge still prunes the mapped dirs and only
+    full-scans the one appended (unmapped) dir."""
+    import json
+    import os
+
+    from kdb_spark.sources import sink_upsert, sink_versioned
+
+    path = str(tmp_path / "appmap")
+    base = spark.createDataFrame(
+        [(1, 0, "a"), (2, 1, "a")], "id long, day int, v string"
+    )
+    sink_upsert(base, path, key="id", part_col="day")
+    extra = spark.createDataFrame([(3, 2, "a")], "id long, day int, v string")
+    v = sink_versioned(extra, path, mode="append")
+    with open(os.path.join(path, "_log", f"{v}.json")) as fh:
+        m = json.load(fh)
+    assert len(m["parts"]) == 2 and len(m["dirs"]) == 3
+
+
 def test_scan_version_empty_log_raises(spark, tmp_path):
     """An uninitialized or manifest-less table raises the descriptive
     error, not IndexError/FileNotFoundError."""
