@@ -6254,9 +6254,17 @@ _reg(
     lambda s, d: gr.co_purchase_jaccard(
         load(s, d, "orders"), load(s, d, "lineitem"), max_per_part=500
     ),
+    # the oracle mirrors the engine's max_per_part=500 hub cap exactly
+    # (same rank order, same tiebreak: row_number per part over unique c),
+    # so parity holds by construction on ANY data, not just data where no
+    # part exceeds the cap (r12 ADVICE)
     """
-    WITH cp AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
-                FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    WITH cp0 AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
+                 FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    cp AS (SELECT c, p FROM (
+             SELECT c, p, row_number() OVER (PARTITION BY p ORDER BY c) AS rn
+             FROM cp0)
+           WHERE rn <= 500),
     d AS (SELECT c, CAST(count(*) AS BIGINT) AS deg FROM cp GROUP BY 1),
     e AS (SELECT a.c AS a, b.c AS b, CAST(count(*) AS BIGINT) AS common
           FROM cp a JOIN cp b ON a.p = b.p AND a.c < b.c
@@ -7565,9 +7573,7 @@ _reg(
 # the part-revenue rank (the disclosed dimension-sized sort), 3-row census
 _reg(
     "sql_abc_parts",
-    lambda s, d: agg.sql_abc_parts(
-        load(s, d, "orders"), load(s, d, "lineitem"), load(s, d, "part")
-    ),
+    lambda s, d: agg.sql_abc_parts(load(s, d, "lineitem")),
     """
     WITH rev AS (
       SELECT l_partkey AS partkey,

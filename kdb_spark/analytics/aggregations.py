@@ -4184,7 +4184,7 @@ def agg_underwater(events: DataFrame) -> DataFrame:
     )
 
 
-def sql_abc_parts(orders: DataFrame, lineitem: DataFrame, part: DataFrame) -> DataFrame:
+def sql_abc_parts(lineitem: DataFrame) -> DataFrame:
     """ABC inventory classification as SQL text: parts ranked by revenue,
     classed A (cumulative share ≤ 80%), B (≤ 95%), C (rest), reported as
     a per-class census — the warehouse-management standard cut
@@ -4205,7 +4205,7 @@ def sql_abc_parts(orders: DataFrame, lineitem: DataFrame, part: DataFrame) -> Da
     share = iround_sql(
         "class_c", "CAST(total_c AS DECIMAL(38,0))", 6, signed=False
     )
-    return orders.sparkSession.sql(
+    return lineitem.sparkSession.sql(
         f"""
         WITH rev AS (
           SELECT l.l_partkey AS partkey,

@@ -517,7 +517,16 @@ def join_interval_overlap(
 
     Inputs: ``a`` = (a_id, a_start, a_end), ``b`` = (b_id, b_start,
     b_end), half-open ends. Output adds exact ``overlap_us``.
+
+    Degenerate intervals (end <= start) are EMPTY SETS under half-open
+    semantics and are filtered up front (r12 ADVICE): without the guard a
+    reversed interval would feed `sequence` a descending bucket range
+    (spurious candidates) and a zero-length interval strictly inside a
+    partner would pass the strict-inequality predicate and emit an
+    overlap_us = 0 pair, contradicting ∅ ∩ X = ∅.
     """
+    a = a.filter(F.col("a_end") > F.col("a_start"))
+    b = b.filter(F.col("b_end") > F.col("b_start"))
     ea = a.withColumn(
         "bucket",
         F.explode(

@@ -1643,9 +1643,19 @@ def stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Live hourly candlesticks per event_type: open/close via
     min_by/max_by on the (ts, event_id) struct INSIDE the streaming
     aggregate — the candle-maintenance form of agg_ohlc (same exact-pick
-    semantics, same deterministic tie key), with the 1-day watermark
-    bounding state to open windows. Complete-mode drain, like the other
-    windowed streaming rollups.
+    semantics, same deterministic tie key).
+
+    Mode honesty (r12 ADVICE): this harness drains in COMPLETE mode,
+    where Spark ignores the watermark for state eviction — every window
+    is retained for the life of the query. That is correct for the
+    finite-file parity drain (append mode would never emit the final
+    windows still inside the 1-day watermark when the source dries up),
+    but it is NOT the 100 TB continuous posture. A production run uses
+    outputMode("update") on this exact aggregate: the same watermark
+    then really evicts windows older than (max event time − 1 day), the
+    sink receives per-batch upserts keyed on (event_type, window), and
+    state is bounded to ~24 open hourly windows per type. The watermark
+    is declared here so the production flip is a one-word change.
     """
     s = events_stream(spark, sf_dir)
     key = F.struct(F.unix_micros("ets").alias("tu"), F.col("event_id"))

@@ -2754,6 +2754,28 @@ def test_interval_overlap_hand_ranges(spark):
     assert got == {(1, 100): 100, (1, 101): 15, (2, 101): 5}
 
 
+def test_interval_overlap_degenerate_intervals_dropped(spark):
+    """Half-open empty sets never match (r12 ADVICE): a zero-length
+    interval strictly inside a partner emits nothing (∅ ∩ X = ∅), and a
+    reversed interval neither explodes a descending bucket sequence nor
+    produces candidates."""
+    DAY = 86_400_000_000
+    a = spark.createDataFrame(
+        [
+            (1, 50, 50),             # zero-length, strictly inside b100
+            (2, 3 * DAY, 0),         # reversed: would be a descending sequence
+            (3, 10, 60),             # sane control
+        ],
+        "a_id long, a_start long, a_end long",
+    )
+    b = spark.createDataFrame(
+        [(100, 0, 100)], "b_id long, b_start long, b_end long"
+    )
+    got = {(r.a_id, r.b_id): r.overlap_us
+           for r in jn.join_interval_overlap(a, b).collect()}
+    assert got == {(3, 100): 50}
+
+
 def test_cohort_retention_hand_orders(spark):
     """Integer month ages, exact revenue, share of the cohort's age-0
     cell."""
@@ -2820,19 +2842,11 @@ def test_abc_parts_hand_revenue(spark):
     """Integer cumulative-share predicate: revenues 80/15/5 split exactly
     into A/B/C at the 80/95 cuts (boundary INCLUSIVE via 100·cum ≤
     80·total)."""
-    import datetime
-
-    t0 = datetime.datetime(1995, 1, 1)
-    orders = spark.createDataFrame(
-        [(1, 1, 1.0, t0)],
-        "o_orderkey long, o_custkey long, o_totalprice double, o_orderdate timestamp",
-    )
     lines = [(1, 1, 80.0), (1, 2, 15.0), (1, 3, 5.0)]
     lineitem = spark.createDataFrame(
         lines, "l_orderkey long, l_partkey long, l_extendedprice double"
     )
-    part = spark.createDataFrame([(1,), (2,), (3,)], "p_partkey long")
-    got = {r.abc: r for r in agg.sql_abc_parts(orders, lineitem, part).collect()}
+    got = {r.abc: r for r in agg.sql_abc_parts(lineitem).collect()}
     assert got["A"].n_parts == 1 and got["A"].class_c == 8000
     assert got["A"].revenue_share == 0.8
     assert got["B"].n_parts == 1 and got["C"].n_parts == 1
