@@ -24,6 +24,7 @@ def pagerank(
     iters: int = 3,
     damping: float = 0.85,
     checkpoint_every: int | None = None,
+    broadcast_ranks: bool = True,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list (`src`, `dst`).
 
@@ -56,6 +57,20 @@ def pagerank(
     rank table is |V|-small and reliable-storage persistence buys nothing
     a re-run wouldn't; on a real cluster with preemptible executors,
     swap in `spark.sparkContext.setCheckpointDir` + `.checkpoint()`.
+
+    ``broadcast_ranks``: the per-round message join's physical strategy.
+    True (default) ships the |V|-sized rank table to every executor as a
+    broadcast hash join — right whenever |V| fits the broadcast budget.
+    False is the 100× posture: the contribution edges are persisted
+    ALREADY HASH-PARTITIONED on ``src`` (the sort-merge deg join leaves
+    them so), and each round's join is a shuffle-hash join that reuses
+    that cached partitioning — only the small ranks side exchanges per
+    round, the |E|-sized side never moves again. Values are bit-identical
+    on both paths at the rounded output (property-tested): the join
+    strategy changes row routing, not the per-vertex message sets, and
+    the ≤1e-15-relative partial-sum reorder noise sits far below the
+    final round(9) — the same argument the parallelism-invariance suite
+    already pins for the broadcast path across partition counts.
     """
     from kdb_spark.llm.dedup import _reused
 
@@ -83,13 +98,31 @@ def pagerank(
     # table's partitioning then absorbs the message join.
     ranks = base.select("v", (F.lit(1.0) / F.col("n")).alias("r"))
     zero_msgs = base.select(F.col("v").alias("dst"), F.lit(0.0).alias("msg"))
-    contrib_edges = _reused("pagerank_contrib", edges.join(F.broadcast(deg), "src"))
-    for i in range(iters):
-        msgs = (
-            contrib_edges
-            .join(F.broadcast(ranks.select(F.col("v").alias("src"), "r")), "src")
-            .select("dst", (F.col("r") / F.col("deg")).alias("msg"))
+    if broadcast_ranks:
+        contrib_edges = _reused(
+            "pagerank_contrib", edges.join(F.broadcast(deg), "src")
         )
+    else:
+        # scale path: the deg join is itself shuffle-hash (deg is
+        # |V|-sized too — if ranks can't broadcast, neither can it), and
+        # a shuffle-hash join's output is hash-partitioned on src, which
+        # the persist pins — so every round's shuffle-hash join below
+        # reuses this cached partitioning and exchanges ONLY the ranks
+        # side, never the |E|-sized contributions again
+        contrib_edges = _reused(
+            "pagerank_contrib_hashed", edges.join(deg.hint("shuffle_hash"), "src")
+        )
+    for i in range(iters):
+        rsel = ranks.select(F.col("v").alias("src"), "r")
+        if broadcast_ranks:
+            joined = contrib_edges.join(F.broadcast(rsel), "src")
+        else:
+            # shuffle_hash on the ranks side: ranks is the (small) build
+            # side, contrib_edges streams from cache with no re-exchange;
+            # the hint also stops the planner promoting this back to a
+            # broadcast join, which is the whole point of the path
+            joined = contrib_edges.join(rsel.hint("shuffle_hash"), "src")
+        msgs = joined.select("dst", (F.col("r") / F.col("deg")).alias("msg"))
         ranks = (
             msgs.unionByName(zero_msgs)
             .groupBy(F.col("dst").alias("v"))
@@ -106,10 +139,14 @@ def pagerank(
             and (i + 1) < iters
         ):
             ranks = ranks.localCheckpoint(eager=True)
-    return ranks.select("v", F.round("r", 9).alias("rank")).join(
-        deg.select(F.col("src").alias("v"), F.col("deg").cast("long").alias("out_deg")),
-        "v",
+    out_deg = deg.select(
+        F.col("src").alias("v"), F.col("deg").cast("long").alias("out_deg")
     )
+    if not broadcast_ranks:
+        # |V|-sized dimension: keep the no-broadcast discipline through
+        # the final decoration join too
+        out_deg = out_deg.hint("shuffle_hash")
+    return ranks.select("v", F.round("r", 9).alias("rank")).join(out_deg, "v")
 
 
 def trade_graph(orders: DataFrame, lineitem: DataFrame) -> DataFrame:

@@ -530,3 +530,62 @@ def test_sql_q12_q13_q21_shapes(spark):
     )
     plan = plan_of(q21)
     assert "TakeOrderedAndProject" in plan and "Sort " not in plan
+
+
+def test_pagerank_no_broadcast_path_shape(spark):
+    """broadcast_ranks=False is the |V|-beyond-broadcast posture: the
+    per-round message joins and the final out-degree decoration must plan
+    as shuffle-hash joins with ZERO BroadcastHashJoin anywhere (the only
+    broadcast left is the 1-row scalar N, a BroadcastNestedLoopJoin —
+    byte-sized at any graph scale). The default path keeps its broadcast
+    message join."""
+    from kdb_spark.analytics import graph as gr
+    from kdb_spark.llm.dedup import _REUSE_CACHE
+
+    from pyspark.sql import functions as F
+
+    for k in ("pagerank_edges", "pagerank_contrib", "pagerank_contrib_hashed",
+              "pagerank_base"):
+        _REUSE_CACHE.pop(k, None)
+    # join-free edge lineage (a trade_graph build would broadcast its own
+    # orders⋈lineitem at test scale and pollute the assertion): a ring
+    # plus chords, every vertex with out-degree >= 1
+    edges = spark.range(200).select(
+        F.col("id").alias("src"), ((F.col("id") + 1) % 200).alias("dst")
+    ).unionAll(
+        spark.range(200).select(
+            F.col("id").alias("src"), ((F.col("id") * 7 + 3) % 200).alias("dst")
+        )
+    )
+    plan = plan_of(gr.pagerank(edges, iters=2, broadcast_ranks=False))
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "ShuffledHashJoin" in plan, plan
+    for k in ("pagerank_edges", "pagerank_contrib", "pagerank_contrib_hashed",
+              "pagerank_base"):
+        _REUSE_CACHE.pop(k, None)
+    plan_b = plan_of(gr.pagerank(edges, iters=2, broadcast_ranks=True))
+    assert "BroadcastHashJoin" in plan_b
+    for k in ("pagerank_edges", "pagerank_contrib", "pagerank_contrib_hashed",
+              "pagerank_base"):
+        _REUSE_CACHE.pop(k, None)
+
+
+def test_pagerank_paths_agree_exactly(spark):
+    """The broadcast and pre-hashed message-join paths return IDENTICAL
+    rounded ranks on the sf trade graph — the property the scale swap
+    must preserve (join strategy reroutes rows; it must not change
+    answers)."""
+    from kdb_spark.analytics import graph as gr
+    from kdb_spark.llm.dedup import _REUSE_CACHE
+
+    edges = gr.trade_graph(
+        load(spark, SF_DIR, "orders"), load(spark, SF_DIR, "lineitem")
+    )
+    a = {(r.v, r.rank, r.out_deg)
+         for r in gr.pagerank(edges, iters=3, broadcast_ranks=True).collect()}
+    b = {(r.v, r.rank, r.out_deg)
+         for r in gr.pagerank(edges, iters=3, broadcast_ranks=False).collect()}
+    assert a == b and len(a) > 0
+    for k in ("pagerank_edges", "pagerank_contrib", "pagerank_contrib_hashed",
+              "pagerank_base"):
+        _REUSE_CACHE.pop(k, None)
