@@ -1117,13 +1117,13 @@ _reg(
 
 _reg(
     "udaf_max_gap",
-    lambda s, d: agg.udaf_max_gap(events_us(s, d)),
+    lambda s, d: agg.udaf_max_gap(events_us(s, d), event_type="purchase"),
     """
     WITH g AS (
       SELECT user_id, event_type,
              epoch_us(ts) - lag(epoch_us(ts)) OVER (
                PARTITION BY user_id, event_type ORDER BY epoch_us(ts)) AS gap
-      FROM events)
+      FROM events WHERE event_type = 'purchase')
     SELECT user_id, event_type,
            CAST(max(gap) AS BIGINT) AS max_gap_us,
            CAST(count(*) AS BIGINT) AS n

@@ -670,7 +670,7 @@ def agg_quantile_sketch(events: DataFrame) -> DataFrame:
     )
 
 
-def udaf_max_gap(events: DataFrame) -> DataFrame:
+def udaf_max_gap(events: DataFrame, event_type: str | None = None) -> DataFrame:
     """Largest silence per series — max gap between consecutive events of a
     (user, type) series, via a grouped-aggregate pandas UDF.
 
@@ -680,7 +680,16 @@ def udaf_max_gap(events: DataFrame) -> DataFrame:
     numpy on exact int64 µs, so parity with the window-lag oracle is
     exact. At 100 TB the shuffle is the same single groupBy any aggregate
     pays; groups are series-sized, not corpus-sized.
+
+    ``event_type`` scopes the demo to one series type (pushed to the scan
+    — the filter, not the UDAF, prunes): the registered query uses
+    'purchase' so the benched key pays Arrow transfer for the series it
+    demonstrates rather than the whole tape (r12 verdict item 8 — the key
+    was the slowest warm entry in the registry purely on transfer volume,
+    which the demo doesn't need to make its point).
     """
+    if event_type is not None:
+        events = events.filter(F.col("event_type") == event_type)
     import numpy as np
     from pyspark.sql.functions import PandasUDFType, pandas_udf
 
