@@ -376,6 +376,7 @@ def test_mm_decode_features_matches_closed_form(spark):
         assert r.sum_r == h * (w * (w - 1) // 2) + w * (h * (h - 1) // 2)
 
 
+@pytest.mark.codec
 def test_decode_image_routes_bmp_without_codecs():
     """decode_image must decode BMP through the in-tree parser regardless
     of codec availability (the registered key's behavior can never depend
@@ -393,6 +394,7 @@ def test_decode_image_routes_bmp_without_codecs():
             mm.decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
 
 
+@pytest.mark.codec
 def test_decode_image_png_roundtrip_exact():
     """Where Pillow exists: a PNG (lossless) payload decodes to the exact
     source pixels in the decode_bmp BGR contract, and mm_decode_features
@@ -418,6 +420,7 @@ def test_decode_image_png_roundtrip_exact():
     assert (out == rgb[:, :, ::-1]).all()  # BGR contract
 
 
+@pytest.mark.codec
 def test_decode_video_frames_where_pyav_exists():
     """Where PyAV exists: an encoded clip decodes to the expected frame
     count/shape in the BGR contract; absent the codec, the documented
