@@ -7881,3 +7881,321 @@ _reg(
     FROM g
     """,
 )
+
+
+# ---------------------------------------------------------------- round 13
+
+# Anchored VWAP per supplier, reset each calendar month: expanding decimal
+# folds, device division — the "since the open" execution benchmark
+_reg(
+    "win_anchored_vwap",
+    lambda s, d: wn.win_anchored_vwap(load(s, d, "lineitem")),
+    """
+    WITH t AS (
+      SELECT l_orderkey, l_linenumber, l_suppkey, l_shipdate,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+             CAST(round(l_quantity) AS BIGINT) AS q,
+             year(l_shipdate) * 12 + month(l_shipdate) - 1 AS anchor_m
+      FROM lineitem),
+    m AS (
+      SELECT l_orderkey, l_linenumber, l_suppkey,
+             CAST(anchor_m AS BIGINT) AS anchor_m,
+             sum(CAST(pc AS HUGEINT) * q) OVER w AS nq,
+             CAST(sum(q) OVER w AS BIGINT) AS dq,
+             CAST(count(*) OVER w AS BIGINT) AS n_since_anchor
+      FROM t
+      WINDOW w AS (PARTITION BY l_suppkey, anchor_m
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT l_orderkey, l_linenumber, l_suppkey, anchor_m, n_since_anchor,
+           CASE WHEN dq > 0 THEN
+             CAST((2000000 * nq + 100 * CAST(dq AS HUGEINT))
+                  // (200 * CAST(dq AS HUGEINT)) AS DOUBLE) / 1e6
+           END AS avwap
+    FROM m
+    """,
+)
+
+
+# Overnight gap per (user, type) series: ordered-set open/close picks per
+# day, lag across the day sequence — session-boundary discontinuities
+_reg(
+    "win_gap_open",
+    lambda s, d: wn.win_gap_open(events_us(s, d)),
+    f"""
+    WITH t AS (
+      SELECT user_id, event_type, epoch_us(ts) // {DAY_US} AS day,
+             CAST(round(value * 100) AS BIGINT) AS c,
+             epoch_us(ts) AS tu, event_id
+      FROM events),
+    g AS (
+      SELECT user_id, event_type, CAST(day AS BIGINT) AS day,
+             CAST(first(c ORDER BY tu, event_id) AS BIGINT) AS open_c,
+             CAST(last(c ORDER BY tu, event_id) AS BIGINT) AS close_c,
+             CAST(count(*) AS BIGINT) AS n
+      FROM t GROUP BY 1, 2, 3)
+    SELECT user_id, event_type, day, open_c, close_c, n,
+           CAST(open_c - lag(close_c) OVER (
+             PARTITION BY user_id, event_type ORDER BY day) AS BIGINT) AS gap_c
+    FROM g
+    """,
+)
+
+
+# Equality run-length structure per series: change-flag cumsum run ids,
+# within-run position, running longest run — the stuck-tape detector
+_reg(
+    "win_plateau",
+    lambda s, d: wn.win_plateau(events_us(s, d)),
+    """
+    WITH t AS (
+      SELECT event_id, user_id, event_type, epoch_us(ts) AS tu,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events),
+    l AS (
+      SELECT *, CASE WHEN lag(c) OVER w IS NULL OR lag(c) OVER w <> c
+                     THEN 1 ELSE 0 END AS chg
+      FROM t
+      WINDOW w AS (PARTITION BY user_id, event_type ORDER BY tu, event_id)),
+    r AS (
+      SELECT *, CAST(sum(chg) OVER (
+          PARTITION BY user_id, event_type ORDER BY tu, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_id
+      FROM l),
+    p AS (
+      SELECT *, CAST(row_number() OVER (
+          PARTITION BY user_id, event_type, run_id ORDER BY tu, event_id
+        ) AS BIGINT) AS run_pos
+      FROM r)
+    SELECT event_id, user_id, event_type, run_id, run_pos,
+           CAST(max(run_pos) OVER (
+             PARTITION BY user_id, event_type ORDER BY tu, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS max_run
+    FROM p
+    """,
+)
+
+
+# Bowley quartile skewness: robust location-free skew on exact quartile
+# order statistics, signed device ratio
+_reg(
+    "agg_bowley_skew",
+    lambda s, d: agg.agg_bowley_skew(events_us(s, d)),
+    """
+    WITH t AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS x, event_id
+      FROM events),
+    r AS (
+      SELECT event_type, x,
+             row_number() OVER (PARTITION BY event_type ORDER BY x, event_id) AS rn,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM t),
+    q AS (
+      SELECT event_type, max(n) AS n,
+             CAST(max(CASE WHEN rn = (25 * n + 99) // 100 THEN x END) AS BIGINT) AS q1_c,
+             CAST(max(CASE WHEN rn = (50 * n + 99) // 100 THEN x END) AS BIGINT) AS q2_c,
+             CAST(max(CASE WHEN rn = (75 * n + 99) // 100 THEN x END) AS BIGINT) AS q3_c
+      FROM r GROUP BY 1)
+    SELECT event_type, n, q1_c, q2_c, q3_c,
+           CASE WHEN q3_c > q1_c THEN
+             (CASE WHEN q3_c + q1_c - 2 * q2_c < 0 THEN -1 ELSE 1 END)
+             * CAST((2000000 * abs(CAST(q3_c + q1_c - 2 * q2_c AS HUGEINT))
+                     + (q3_c - q1_c))
+                    // (2 * CAST(q3_c - q1_c AS HUGEINT)) AS DOUBLE) / 1e6
+           END AS bowley_skew
+    FROM q
+    """,
+)
+
+
+_SPLIT_J16 = (19723 + 15) * DAY_US  # 2024-01-16T00:00Z — the tape midpoint
+
+# Value-location drift per type: exact p50/p90 before vs after a fixed
+# boundary, bigint cent differences
+_reg(
+    "agg_quantile_drift",
+    lambda s, d: agg.agg_quantile_drift(events_us(s, d), _SPLIT_J16),
+    f"""
+    WITH t AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS x, event_id,
+             CAST(epoch_us(ts) >= {_SPLIT_J16} AS INT) AS h
+      FROM events),
+    r AS (
+      SELECT event_type, h, x,
+             row_number() OVER (PARTITION BY event_type, h ORDER BY x, event_id) AS rn,
+             CAST(count(*) OVER (PARTITION BY event_type, h) AS BIGINT) AS n
+      FROM t),
+    halves AS (
+      SELECT event_type, h, max(n) AS n,
+             max(CASE WHEN rn = (50 * n + 99) // 100 THEN x END) AS p50,
+             max(CASE WHEN rn = (90 * n + 99) // 100 THEN x END) AS p90
+      FROM r GROUP BY 1, 2),
+    o AS (
+      SELECT event_type,
+             CAST(sum(CASE WHEN h = 0 THEN n END) AS BIGINT) AS n_before,
+             CAST(sum(CASE WHEN h = 1 THEN n END) AS BIGINT) AS n_after,
+             CAST(max(CASE WHEN h = 0 THEN p50 END) AS BIGINT) AS p50_before_c,
+             CAST(max(CASE WHEN h = 1 THEN p50 END) AS BIGINT) AS p50_after_c,
+             CAST(max(CASE WHEN h = 0 THEN p90 END) AS BIGINT) AS p90_before_c,
+             CAST(max(CASE WHEN h = 1 THEN p90 END) AS BIGINT) AS p90_after_c
+      FROM halves GROUP BY 1)
+    SELECT event_type, n_before, n_after,
+           p50_before_c, p50_after_c, p90_before_c, p90_after_c,
+           CAST(p50_after_c - p50_before_c AS BIGINT) AS p50_drift_c,
+           CAST(p90_after_c - p90_before_c AS BIGINT) AS p90_drift_c
+    FROM o
+    """,
+)
+
+
+# Hourly tick-flow imbalance: signed cent-delta census per (type, hour),
+# signed device ratio
+_reg(
+    "agg_flow_imbalance",
+    lambda s, d: agg.agg_flow_imbalance(events_us(s, d)),
+    f"""
+    WITH t AS (
+      SELECT event_type, user_id, event_id, epoch_us(ts) AS tu,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events),
+    l AS (
+      SELECT event_type, tu,
+             lag(c) OVER (PARTITION BY user_id, event_type
+                          ORDER BY tu, event_id) AS prev_c,
+             c
+      FROM t),
+    s AS (
+      SELECT event_type, tu // {HOUR_US} AS hour,
+             CASE WHEN c > prev_c THEN 1 WHEN c < prev_c THEN -1 ELSE 0 END AS s
+      FROM l WHERE prev_c IS NOT NULL),
+    g AS (
+      SELECT event_type, CAST(hour AS BIGINT) AS hour,
+             CAST(count(*) AS BIGINT) AS n_ticks,
+             CAST(sum(s) AS BIGINT) AS imbalance
+      FROM s GROUP BY 1, 2)
+    SELECT event_type, hour, n_ticks, imbalance,
+           (CASE WHEN imbalance < 0 THEN -1 ELSE 1 END)
+           * CAST((2000000 * abs(CAST(imbalance AS HUGEINT)) + n_ticks)
+                  // (2 * CAST(n_ticks AS HUGEINT)) AS DOUBLE) / 1e6
+             AS flow_ratio
+    FROM g
+    """,
+)
+
+
+# Character-class census per document: exact ASCII class counts via
+# delete-and-measure regexes, unsigned device shares
+_reg(
+    "text_char_classes",
+    lambda s, d: tx.text_char_classes(load(s, d, "documents")),
+    r"""
+    WITH t AS (
+      SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+                  AS BIGINT) AS n_alpha,
+             CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+                  AS BIGINT) AS n_digit,
+             CAST(length(text)
+                  - length(regexp_replace(text, '[ ' || chr(9) || chr(10) || chr(13) || ']', '', 'g'))
+                  AS BIGINT) AS n_space
+      FROM documents),
+    c AS (
+      SELECT doc_id, n_chars, n_alpha, n_digit, n_space,
+             CAST(n_chars - n_alpha - n_digit - n_space AS BIGINT) AS n_other
+      FROM t)
+    SELECT doc_id, n_chars, n_alpha, n_digit, n_space, n_other,
+           CASE WHEN n_chars > 0 THEN
+             CAST((2000000 * CAST(n_alpha AS HUGEINT) + n_chars)
+                  // (2 * CAST(n_chars AS HUGEINT)) AS DOUBLE) / 1e6 END AS alpha_share,
+           CASE WHEN n_chars > 0 THEN
+             CAST((2000000 * CAST(n_digit AS HUGEINT) + n_chars)
+                  // (2 * CAST(n_chars AS HUGEINT)) AS DOUBLE) / 1e6 END AS digit_share,
+           CASE WHEN n_chars > 0 THEN
+             CAST((2000000 * CAST(n_space AS HUGEINT) + n_chars)
+                  // (2 * CAST(n_chars AS HUGEINT)) AS DOUBLE) / 1e6 END AS space_share,
+           CASE WHEN n_chars > 0 THEN
+             CAST((2000000 * CAST(n_other AS HUGEINT) + n_chars)
+                  // (2 * CAST(n_chars AS HUGEINT)) AS DOUBLE) / 1e6 END AS other_share
+    FROM c
+    """,
+)
+
+
+def _q_graph_bfs_levels(s: SparkSession, d: str) -> DataFrame:
+    """Blast radius over the trade graph: min-hop level (≤ 3) from every
+    50th supplier — frontier expansion with anti-join min-level keep."""
+    seeds = (
+        load(s, d, "supplier")
+        .filter(F.col("s_suppkey") % 50 == 0)
+        .select((F.col("s_suppkey") * 2 + 1).cast("long").alias("v"))
+    )
+    edges = gr.trade_graph(load(s, d, "orders"), load(s, d, "lineitem"))
+    return gr.bfs_levels(edges, seeds, max_depth=3)
+
+
+# Multi-source BFS with recursive-CTE oracle: integer set algebra only
+_reg(
+    "graph_bfs_levels",
+    _q_graph_bfs_levels,
+    """
+    WITH RECURSIVE pairs AS (
+      SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    edges AS (SELECT c AS src, s AS dst FROM pairs
+              UNION ALL SELECT s AS src, c AS dst FROM pairs),
+    seeds AS (SELECT DISTINCT s_suppkey * 2 + 1 AS v FROM supplier
+              WHERE s_suppkey % 50 = 0),
+    bfs(v, lvl) AS (
+      SELECT v, 0 FROM seeds
+      UNION
+      SELECT e.dst, b.lvl + 1
+      FROM bfs b JOIN edges e ON e.src = b.v
+      WHERE b.lvl < 3)
+    SELECT CAST(v AS BIGINT) AS v, CAST(min(lvl) AS BIGINT) AS lvl
+    FROM bfs GROUP BY 1
+    """,
+)
+
+
+# Per-label centroid drift between deterministic halves: micro-unit
+# integer means, exact squared-gap fold, one IEEE sqrt
+_reg(
+    "emb_label_drift",
+    lambda s, d: sim.emb_label_drift(load(s, d, "embeddings")),
+    """
+    WITH flat AS (
+      SELECT label, CAST(vec_id % 2 = 0 AS INT) AS even,
+             unnest(range(len(embedding))) AS pos,
+             unnest(embedding) AS v
+      FROM embeddings),
+    g AS (
+      SELECT label, even, pos, count(*) AS n,
+             sum(CAST(round(v * 1e6) AS BIGINT)) AS s
+      FROM flat GROUP BY 1, 2, 3),
+    m AS (
+      SELECT label, even, pos, n,
+             (CASE WHEN s < 0 THEN -1 ELSE 1 END)
+             * ((2 * abs(CAST(s AS HUGEINT)) + n) // (2 * CAST(n AS HUGEINT)))
+               AS m6
+      FROM g),
+    sides AS (
+      SELECT label, pos,
+             sum(CASE WHEN even = 1 THEN n END) AS n_even,
+             sum(CASE WHEN even = 0 THEN n END) AS n_odd,
+             max(CASE WHEN even = 1 THEN m6 END) AS me,
+             max(CASE WHEN even = 0 THEN m6 END) AS mo
+      FROM m GROUP BY 1, 2),
+    p AS (
+      SELECT label, CAST(min(n_even) AS BIGINT) AS n_even,
+             CAST(min(n_odd) AS BIGINT) AS n_odd,
+             sum((me - mo) * (me - mo)) AS ss,
+             CAST(count(*) AS BIGINT) AS d
+      FROM sides GROUP BY 1)
+    SELECT CAST(label AS BIGINT) AS label, n_even, n_odd, d,
+           CASE WHEN n_even > 0 AND n_odd > 0
+                THEN round(sqrt(CAST(ss AS DOUBLE)) / 1e6, 6) END
+             AS centroid_l2_drift
+    FROM p
+    """,
+)

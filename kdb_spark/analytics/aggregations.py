@@ -4557,3 +4557,174 @@ def sql_discount_bands(lineitem: DataFrame) -> DataFrame:
         """,
         lineitem_v=lineitem,
     )
+
+
+def agg_bowley_skew(events: DataFrame) -> DataFrame:
+    """Bowley (quartile) skewness per event_type: (q3 + q1 − 2·q2) /
+    (q3 − q1) on exact quartile order statistics — the ROBUST sibling of
+    agg_skew_kurtosis's moment skew (outliers move the third moment
+    arbitrarily; they cannot move a quartile past its neighbor), the
+    pair every distribution-health dashboard shows side by side.
+
+    EXACT cross-engine: q1/q2/q3 are the ⌈n/4⌉ / ⌈n/2⌉ / ⌈3n/4⌉-th order
+    statistics in exact cents (the agg_iqr_fence rank device, one
+    deterministic (x, event_id) sort), the numerator and denominator are
+    bigint cent arithmetic, and the ratio rides the SIGNED decimal device
+    at 6 dp; q3 = q1 (no spread) → null skew, surfaced with the
+    quartiles so the caller sees why.
+
+    Scale shape: the agg_var_es single-Exchange posture — one series
+    sort carrying row_number + partition count, one conditional agg to
+    a ≤|types|-row result.
+    """
+    x = cents("value")
+    wo = Window.partitionBy("event_type").orderBy("x", "event_id")
+    wp = Window.partitionBy("event_type")
+    r = events.select("event_type", x.alias("x"), "event_id").select(
+        "event_type",
+        "x",
+        F.row_number().over(wo).alias("rn"),
+        F.count(F.lit(1)).over(wp).cast("long").alias("n"),
+    )
+    r = (
+        r.withColumn("k1", F.expr("(25 * n + 99) div 100"))
+        .withColumn("k2", F.expr("(50 * n + 99) div 100"))
+        .withColumn("k3", F.expr("(75 * n + 99) div 100"))
+    )
+    q = r.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.max(F.when(F.col("rn") == F.col("k1"), F.col("x"))).cast("long").alias("q1_c"),
+        F.max(F.when(F.col("rn") == F.col("k2"), F.col("x"))).cast("long").alias("q2_c"),
+        F.max(F.when(F.col("rn") == F.col("k3"), F.col("x"))).cast("long").alias("q3_c"),
+    )
+    skew6 = iround_col(
+        "CAST(q3_c + q1_c - 2 * q2_c AS DECIMAL(38,0))",
+        "CAST(q3_c - q1_c AS DECIMAL(38,0))",
+        6,
+        signed=True,
+    )
+    return q.select(
+        "event_type",
+        "n",
+        "q1_c",
+        "q2_c",
+        "q3_c",
+        F.when(F.col("q3_c") > F.col("q1_c"), skew6).alias("bowley_skew"),
+    )
+
+
+def agg_quantile_drift(events: DataFrame, split_us: int) -> DataFrame:
+    """Location drift per event_type: exact p50/p90 of the value
+    distribution BEFORE vs AT-OR-AFTER a fixed timestamp boundary, and
+    their differences in cents — the value-scale drift monitor
+    (agg_chi2_drift / agg_tvd_drift test the SHAPE of categorical
+    frequencies; this tracks where the numeric mass sits, which is what
+    moves first when an upstream unit or fee changes).
+
+    EXACT cross-engine: the half label is integer µs comparison, each
+    half's p50/p90 are ⌈n/2⌉ / ⌈9n/10⌉-th order statistics in exact
+    cents (rank device within (type, half)), drifts are bigint
+    differences; a type missing one half surfaces null drifts rather
+    than dropping the row.
+
+    Scale shape: one Exchange on (type, half) for the rank sort, then a
+    ≤2·|types|-row pivot — the conditional-aggregate pivot is driver-free
+    and the fact is shuffled once.
+    """
+    x = cents("value")
+    t = events.select(
+        "event_type",
+        x.alias("x"),
+        "event_id",
+        (F.col("ts_us") >= F.lit(split_us)).cast("int").alias("h"),
+    )
+    wo = Window.partitionBy("event_type", "h").orderBy("x", "event_id")
+    wp = Window.partitionBy("event_type", "h")
+    r = t.select(
+        "event_type",
+        "h",
+        "x",
+        F.row_number().over(wo).alias("rn"),
+        F.count(F.lit(1)).over(wp).cast("long").alias("n"),
+    )
+    r = r.withColumn("k50", F.expr("(50 * n + 99) div 100")).withColumn(
+        "k90", F.expr("(90 * n + 99) div 100")
+    )
+    half = r.groupBy("event_type", "h").agg(
+        F.max("n").alias("n"),
+        F.max(F.when(F.col("rn") == F.col("k50"), F.col("x"))).alias("p50"),
+        F.max(F.when(F.col("rn") == F.col("k90"), F.col("x"))).alias("p90"),
+    )
+    out = half.groupBy("event_type").agg(
+        F.sum(F.when(F.col("h") == 0, F.col("n"))).cast("long").alias("n_before"),
+        F.sum(F.when(F.col("h") == 1, F.col("n"))).cast("long").alias("n_after"),
+        F.max(F.when(F.col("h") == 0, F.col("p50"))).cast("long").alias("p50_before_c"),
+        F.max(F.when(F.col("h") == 1, F.col("p50"))).cast("long").alias("p50_after_c"),
+        F.max(F.when(F.col("h") == 0, F.col("p90"))).cast("long").alias("p90_before_c"),
+        F.max(F.when(F.col("h") == 1, F.col("p90"))).cast("long").alias("p90_after_c"),
+    )
+    return out.select(
+        "event_type",
+        "n_before",
+        "n_after",
+        "p50_before_c",
+        "p50_after_c",
+        "p90_before_c",
+        "p90_after_c",
+        (F.col("p50_after_c") - F.col("p50_before_c")).cast("long").alias("p50_drift_c"),
+        (F.col("p90_after_c") - F.col("p90_before_c")).cast("long").alias("p90_drift_c"),
+    )
+
+
+def agg_flow_imbalance(events: DataFrame) -> DataFrame:
+    """Hourly tick-flow imbalance per event_type: within each (user,
+    type) series, every tick gets the SIGN of its cent-delta vs the
+    previous tick; per (type, hour) the imbalance is Σsign over the
+    ticks that have a predecessor — the order-flow pressure gauge
+    (win_obv accumulates signed VOLUME along one sequence; this censuses
+    signed TICK COUNTS across the whole tape per clock hour).
+
+    EXACT cross-engine, all integers: the delta sign compares exact
+    cents after one series lag on the deterministic (ts_us, event_id)
+    order, the hour is integer µs `div`, sums/counts are bigints, and
+    the imbalance ratio rides the SIGNED device at 6 dp (n_ticks > 0 by
+    construction — only rows with a predecessor enter).
+
+    Scale shape: one Exchange on (user, type) for the lag, one hash agg
+    Exchange to ≤ |types|·|hours| cells — the same two-stage shape as
+    agg_user_churn, with map-side combine collapsing the second.
+    """
+    wo = Window.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+    c = cents("value")
+    t = events.select(
+        "event_type", "ts_us", "user_id", "event_id", c.alias("c")
+    ).withColumn("prev_c", F.lag("c").over(wo))
+    sgn = F.when(F.col("c") > F.col("prev_c"), 1).when(
+        F.col("c") < F.col("prev_c"), -1
+    ).otherwise(0)
+    g = (
+        t.filter(F.col("prev_c").isNotNull())
+        .select(
+            "event_type",
+            F.expr(f"ts_us div {HOUR_US}").alias("hour"),
+            sgn.alias("s"),
+        )
+        .groupBy("event_type", "hour")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_ticks"),
+            F.sum("s").cast("long").alias("imbalance"),
+        )
+    )
+    ratio6 = iround_col(
+        "CAST(imbalance AS DECIMAL(38,0))",
+        "CAST(n_ticks AS DECIMAL(38,0))",
+        6,
+        signed=True,
+    )
+    return g.select(
+        "event_type",
+        F.col("hour").cast("long").alias("hour"),
+        "n_ticks",
+        "imbalance",
+        ratio6.alias("flow_ratio"),
+    )

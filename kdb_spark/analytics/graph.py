@@ -465,3 +465,49 @@ def co_purchase_jaccard(
         "deg_b",
         (jac6.cast("double") / F.lit(1e6)).alias("jaccard"),
     )
+
+
+def bfs_levels(
+    edges: DataFrame, seeds: DataFrame, max_depth: int = 3
+) -> DataFrame:
+    """Multi-source breadth-first search: the minimum hop count from any
+    seed vertex, capped at ``max_depth`` — the blast-radius primitive
+    (which accounts sit within k hops of a flagged set; which suppliers
+    a recall reaches through the trade graph). `connected_components`
+    answers reachability-ever; BFS answers reachability-in-k with the
+    distance attached.
+
+    Spark shape: classic frontier expansion, unrolled ``max_depth``
+    times — per round ONE equi-join of the frontier against the
+    (persisted, deduped) edge table, a distinct on the successor set,
+    and a LEFT ANTI join against the visited table so every vertex keeps
+    the FIRST (minimal) level it was reached at. Per-round shuffle is
+    |frontier|·avg_degree, never |V|·|E|; the visited/frontier tables
+    are localCheckpointed each round so the unrolled lineage stays flat
+    (the connected_components discipline). All-integer set algebra — no
+    floats anywhere, so cross-engine parity is structural.
+
+    ``seeds``: one column ``v``. Returns (v, lvl), lvl ∈ [0, max_depth],
+    each vertex at its minimal distance; seeds themselves at 0 whether
+    or not they touch an edge.
+    """
+    from kdb_spark.llm.dedup import _reused
+
+    edges = _reused("bfs_edges", edges.select("src", "dst").distinct())
+    levels = seeds.select(F.col("v").cast("long").alias("v")).distinct().select(
+        "v", F.lit(0).cast("long").alias("lvl")
+    )
+    levels = levels.localCheckpoint(eager=True)
+    frontier = levels.select("v")
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(edges, frontier.v == edges.src)
+            .select(F.col("dst").alias("v"))
+            .distinct()
+            .join(levels.select("v"), "v", "left_anti")
+            .select("v", F.lit(depth).cast("long").alias("lvl"))
+        )
+        nxt = nxt.localCheckpoint(eager=True)
+        levels = levels.unionByName(nxt)
+        frontier = nxt.select("v")
+    return levels

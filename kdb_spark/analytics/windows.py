@@ -2234,3 +2234,154 @@ def win_vol_regime(events: DataFrame, short: int = 8, long: int = 32) -> DataFra
         "event_type",
         ratio4.alias("vol_ratio"),
     )
+
+
+def win_anchored_vwap(lineitem: DataFrame) -> DataFrame:
+    """Anchored VWAP per supplier, reset at each calendar month: the
+    expanding Σ(price·qty)/Σqty from the month's first shipment to the
+    current line — the execution benchmark traders anchor at a session
+    open (win_trailing_vwap is the rolling form; anchoring changes the
+    frame from trailing-k to UNBOUNDED PRECEDING within the anchor
+    group, which is what makes it a fair "since the open" reference).
+
+    EXACT cross-engine: price cents and integer quantities are exact
+    picks, both expanding sums fold in decimal(38,0) (widened INSIDE the
+    sum — the agg_stats r12 rule), and vwap = Σ(pc·q)/(100·Σq) rides the
+    decimal device to the 1e-6 grid; Σq > 0 guarded (TPC-H quantities
+    are positive — the guard pins the contract).
+
+    Scale shape: ONE Exchange on (supplier, month) — the anchor is part
+    of the partition key, so month boundaries are partition boundaries
+    and no cross-month state exists; the unique (shipdate, orderkey,
+    linenumber) order key makes the expanding frame deterministic at any
+    parallelism. Both sums share one window buffer.
+    """
+    w = (
+        Window.partitionBy("l_suppkey", "anchor_m")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pc = cents("l_extendedprice")
+    q = F.round(F.col("l_quantity")).cast("long")
+    t = lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_suppkey",
+        "l_shipdate",
+        F.expr("year(l_shipdate) * 12 + month(l_shipdate) - 1").alias("anchor_m"),
+        pc.alias("pc"),
+        q.alias("q"),
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_suppkey",
+        "anchor_m",
+        F.sum(F.col("pc").cast("decimal(38,0)") * F.col("q")).over(w).alias("nq"),
+        F.sum("q").over(w).cast("long").alias("dq"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_since_anchor"),
+    )
+    return t.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_suppkey",
+        F.col("anchor_m").cast("long").alias("anchor_m"),
+        "n_since_anchor",
+        F.when(
+            F.col("dq") > 0,
+            iround_col("nq", "100 * CAST(dq AS DECIMAL(38,0))", 6, signed=False),
+        ).alias("avwap"),
+    )
+
+
+def win_gap_open(events: DataFrame) -> DataFrame:
+    """Overnight gap per (user, type) series: each day's opening value
+    minus the previous traded day's close, in exact cents — the
+    session-boundary discontinuity feature (gap-up/gap-down) that rolling
+    windows smear because they ignore the calendar.
+
+    EXACT cross-engine: open/close are min_by/max_by picks on the
+    (ts_us, event_id) struct (the agg_ohlc tie device), the day is
+    integer µs arithmetic (`div`, never double /), and the gap is a
+    bigint difference; the series' first day has no prior close → null
+    gap (surfaced, not dropped — day counts must reconcile).
+
+    Scale shape: ONE explicit repartition on (user, type) serves both
+    stages — the per-day collapse groups on a SUPERSET of the partition
+    key (hashpartitioning(user, type) satisfies the (user, type, day)
+    clustering) and the day-sequence lag window partitions on exactly
+    (user, type) — so the fact is shuffled once; the window then runs
+    over day-count-sized rows, not tick-sized.
+    """
+    key = F.struct(F.col("ts_us"), F.col("event_id"))
+    t = (
+        events.repartition("user_id", "event_type")
+        .select(
+            "user_id",
+            "event_type",
+            F.expr(f"ts_us div {DAY_US}").alias("day"),
+            cents("value").alias("c"),
+            "ts_us",
+            "event_id",
+        )
+        .groupBy("user_id", "event_type", "day")
+        .agg(
+            F.min_by("c", key).alias("open_c"),
+            F.max_by("c", key).alias("close_c"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    wd = Window.partitionBy("user_id", "event_type").orderBy("day")
+    return t.select(
+        "user_id",
+        "event_type",
+        F.col("day").cast("long").alias("day"),
+        F.col("open_c").cast("long").alias("open_c"),
+        F.col("close_c").cast("long").alias("close_c"),
+        "n",
+        (F.col("open_c") - F.lag("close_c").over(wd)).cast("long").alias("gap_c"),
+    )
+
+
+def win_plateau(events: DataFrame) -> DataFrame:
+    """Run-length structure of each (user, type) series: consecutive
+    equal cent-values collapse into runs; every row reports its run's
+    ordinal (run_id), its position inside the run (run_pos) and the
+    running longest-run-so-far (max_run) — the flat-tape / stuck-sensor
+    detector (win_streaks tracks signed up/down runs; this tracks
+    EQUALITY runs, the degenerate case streaks ignore).
+
+    EXACT cross-engine, all integers: the change flag compares exact
+    cents against the lag, run_id is the running sum of change flags,
+    run_pos is a row_number within (series, run_id), and max_run is the
+    running max of run_pos over the ordered series — every derivation an
+    integer window op on the same deterministic (ts_us, event_id) order.
+
+    Scale shape: ONE Exchange on (user, type); the lag, the running sum,
+    the per-run row_number, and the running max are four Window nodes
+    over the same sort — Catalyst collapses them onto one shuffle (the
+    run_id window adds a second sort WITHIN partitions, no exchange).
+    """
+    wo = Window.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+    wrun = wo.rowsBetween(Window.unboundedPreceding, 0)
+    c = cents("value")
+    t = events.select(
+        "event_id", "user_id", "event_type", "ts_us", c.alias("c")
+    ).withColumn(
+        "chg",
+        F.when(
+            F.lag("c").over(wo).isNull() | (F.lag("c").over(wo) != F.col("c")), 1
+        ).otherwise(0),
+    )
+    t = t.withColumn("run_id", F.sum("chg").over(wrun).cast("long"))
+    wp = Window.partitionBy("user_id", "event_type", "run_id").orderBy(
+        "ts_us", "event_id"
+    )
+    t = t.withColumn("run_pos", F.row_number().over(wp).cast("long"))
+    return t.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "run_id",
+        "run_pos",
+        F.max("run_pos").over(wrun).cast("long").alias("max_run"),
+    )

@@ -1399,3 +1399,70 @@ def emb_recall_eval(embeddings: DataFrame) -> DataFrame:
             "recall"
         ),
     )
+
+
+def emb_label_drift(embeddings: DataFrame) -> DataFrame:
+    """Per-label embedding drift: split each label's vectors into two
+    deterministic halves (even vs odd vec_id — the stand-in for
+    train-time vs serve-time batches) and report the L2 distance between
+    the halves' centroids — the representation-drift monitor an
+    embedding pipeline runs per class before trusting a refreshed
+    encoder (emb_dim_stats watches single coordinates corpus-wide; this
+    watches whole-class centroids move).
+
+    EXACT cross-engine: per (label, parity, dim) the coordinate sums are
+    exact micro-unit bigints (round(v·1e6) — float32 inputs exact in
+    double, order-independent integer folds), each side's centroid
+    coordinate is the sign-aware integer-rounded mean in micro-units,
+    the squared gap sums in decimal(38,0), and the single sqrt + /1e6 at
+    the end is the same IEEE double op on both engines. Labels missing a
+    parity surface null drift (n counts expose why).
+
+    Scale shape: posexplode fans to (label, parity, dim) — ONE hash agg
+    with map-side combine (shuffle rows = |labels|·2·d, never n·d), a
+    second ≤|labels|·d agg for the gap fold, then a ≤|labels| reduce.
+    """
+    from kdb_spark.analytics.exact import iround_grid_sql
+
+    v6 = F.round(F.col("v") * F.lit(1.0e6)).cast("long")
+    flat = embeddings.select(
+        "label",
+        (F.col("vec_id") % 2 == 0).cast("int").alias("even"),
+        F.posexplode("embedding").alias("pos", "v"),
+    ).select("label", "even", "pos", v6.alias("v6"))
+    g = flat.groupBy("label", "even", "pos").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("v6").cast("decimal(38,0)")).alias("s"),
+    )
+    m = g.select(
+        "label",
+        "even",
+        "pos",
+        "n",
+        F.expr(iround_grid_sql("s", "CAST(n AS DECIMAL(38,0))", 0, signed=True))
+        .alias("m6"),
+    )
+    sides = m.groupBy("label", "pos").agg(
+        F.sum(F.when(F.col("even") == 1, F.col("n"))).alias("n_even"),
+        F.sum(F.when(F.col("even") == 0, F.col("n"))).alias("n_odd"),
+        F.max(F.when(F.col("even") == 1, F.col("m6"))).alias("me"),
+        F.max(F.when(F.col("even") == 0, F.col("m6"))).alias("mo"),
+    )
+    per_label = sides.groupBy("label").agg(
+        F.min("n_even").cast("long").alias("n_even"),
+        F.min("n_odd").cast("long").alias("n_odd"),
+        F.sum(
+            (F.col("me") - F.col("mo")) * (F.col("me") - F.col("mo"))
+        ).alias("ss"),
+        F.count(F.lit(1)).cast("long").alias("d"),
+    )
+    return per_label.select(
+        F.col("label").cast("long").alias("label"),
+        "n_even",
+        "n_odd",
+        "d",
+        F.when(
+            (F.col("n_even") > 0) & (F.col("n_odd") > 0),
+            F.round(F.sqrt(F.col("ss").cast("double")) / F.lit(1e6), 6),
+        ).alias("centroid_l2_drift"),
+    )

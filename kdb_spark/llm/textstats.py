@@ -1116,3 +1116,59 @@ def text_code_ratio(documents: DataFrame) -> DataFrame:
             iround_col("n_sym", "CAST(n_chars AS DECIMAL(38,0))", 6, signed=False),
         ).alias("symbol_ratio"),
     )
+
+
+def text_char_classes(documents: DataFrame) -> DataFrame:
+    """Character-class census per document: exact counts of ASCII
+    letters, digits, whitespace and everything else, with each class's
+    share of the document — the first-pass encoding/garbage screen
+    (mojibake, binary-in-text, digit dumps and over-punctuated spam all
+    announce themselves here before any tokenizer runs; the class mix
+    feeds the same routing decisions text_code_ratio makes for code).
+
+    EXACT cross-engine: every count is length(text) minus the length
+    after deleting the class (regexp_replace with an explicit ASCII
+    class — the same RE2/Java-regex-safe subset both engines implement
+    identically; no \\s shorthand, whose Unicode scope differs between
+    engines), `other` is the integer remainder, and the four shares ride
+    the unsigned device at 6 dp. Empty documents surface null shares.
+
+    Scale shape: map-only — four regexp_replace + length per row, no
+    shuffle, scan-bound at any corpus size.
+    """
+    n = F.length("text").cast("long")
+    def cls(pat: str) -> F.Column:
+        return (
+            F.length("text")
+            - F.length(F.regexp_replace("text", pat, ""))
+        ).cast("long")
+
+    t = documents.select(
+        "doc_id",
+        n.alias("n_chars"),
+        cls("[A-Za-z]").alias("n_alpha"),
+        cls("[0-9]").alias("n_digit"),
+        cls("[ \\t\\n\\r]").alias("n_space"),
+    ).withColumn(
+        "n_other",
+        (F.col("n_chars") - F.col("n_alpha") - F.col("n_digit") - F.col("n_space"))
+        .cast("long"),
+    )
+    def share(col: str) -> F.Column:
+        return F.when(
+            F.col("n_chars") > 0,
+            iround_col(col, "CAST(n_chars AS DECIMAL(38,0))", 6, signed=False),
+        )
+
+    return t.select(
+        "doc_id",
+        "n_chars",
+        "n_alpha",
+        "n_digit",
+        "n_space",
+        "n_other",
+        share("n_alpha").alias("alpha_share"),
+        share("n_digit").alias("digit_share"),
+        share("n_space").alias("space_share"),
+        share("n_other").alias("other_share"),
+    )
