@@ -3005,3 +3005,158 @@ def test_discount_bands_hand_lines(spark):
     got = {r.disc_pct: r for r in agg.sql_discount_bands(df).collect()}
     assert got[5].n == 2 and got[5].revenue_c == 30000
     assert got[5].mean_qty == 15.0 and got[0].mean_qty == 5.0
+
+
+# ------------------------------------------------------------- round 13 ops
+
+
+def test_anchored_vwap_resets_at_month(spark):
+    """The expanding average restarts at each calendar month: the first
+    line of February ignores January entirely; within a month the fold
+    is the exact Σ(pc·q)/Σq."""
+    import datetime
+
+    def d(m, day):
+        return datetime.datetime(1995, m, day)
+
+    li = spark.createDataFrame(
+        [
+            (1, 1, 7, 10.0, 2.0, d(1, 5)),   # jan: vwap = 10
+            (2, 1, 7, 20.0, 2.0, d(1, 9)),   # jan: (20+40)/4 = 15
+            (3, 1, 7, 99.0, 1.0, d(2, 1)),   # feb: reset → 99
+        ],
+        "l_orderkey long, l_linenumber long, l_suppkey long,"
+        "l_extendedprice double, l_quantity double, l_shipdate timestamp",
+    )
+    got = {r.l_orderkey: r for r in wn.win_anchored_vwap(li).collect()}
+    assert got[1].avwap == 10.0 and got[1].n_since_anchor == 1
+    assert got[2].avwap == 15.0 and got[2].n_since_anchor == 2
+    assert got[3].avwap == 99.0 and got[3].n_since_anchor == 1
+    assert got[3].anchor_m == got[1].anchor_m + 1
+
+
+def test_gap_open_first_day_null_and_skipped_days(spark):
+    """gap = today's open − previous TRADED day's close (calendar holes
+    bridge to the last traded day); the series head surfaces null."""
+    DAY = 86_400_000_000
+    rows = [
+        (1, 1, "a", 10.0, 0 * DAY + 5),
+        (2, 1, "a", 12.0, 0 * DAY + 9),        # day 0: open 10, close 12
+        (3, 1, "a", 11.5, 3 * DAY + 1),        # day 3: open 11.5 → gap -0.5
+    ]
+    got = {r.day: r for r in wn.win_gap_open(_events(spark, rows)).collect()}
+    assert got[0].open_c == 1000 and got[0].close_c == 1200
+    assert got[0].gap_c is None
+    assert got[3].gap_c == 1150 - 1200
+
+
+def test_plateau_runs_and_positions(spark):
+    """Equal-cents runs: run ids increment on change, positions restart,
+    max_run tracks the longest run seen so far."""
+    rows = [
+        (1, 1, "a", 5.0, 100),
+        (2, 1, "a", 5.0, 200),
+        (3, 1, "a", 5.0, 300),   # run 1, len 3
+        (4, 1, "a", 6.0, 400),   # run 2, len 1
+        (5, 1, "a", 5.0, 500),   # run 3 (value returns → NEW run)
+    ]
+    got = {r.event_id: r for r in wn.win_plateau(_events(spark, rows)).collect()}
+    assert [got[i].run_id for i in (1, 2, 3, 4, 5)] == [1, 1, 1, 2, 3]
+    assert [got[i].run_pos for i in (1, 2, 3, 4, 5)] == [1, 2, 3, 1, 1]
+    assert got[5].max_run == 3
+
+
+def test_bowley_skew_hand_quartiles(spark):
+    """n=4: ranks ⌈n/4⌉=1, ⌈n/2⌉=2, ⌈3n/4⌉=3; skew is the exact device
+    ratio; zero-IQR groups surface null."""
+    rows = [(i, 1, "a", v, i * 100) for i, v in enumerate([1.0, 2.0, 4.0, 9.0], 1)]
+    rows += [(10 + i, 1, "b", 5.0, i * 100) for i in range(3)]
+    got = {r.event_type: r for r in agg.agg_bowley_skew(_events(spark, rows)).collect()}
+    a = got["a"]
+    assert (a.q1_c, a.q2_c, a.q3_c) == (100, 200, 400)
+    # (400 + 100 - 2*200) / (400 - 100) = 100/300 → 0.333333
+    assert a.bowley_skew == 0.333333
+    assert got["b"].bowley_skew is None
+
+
+def test_quantile_drift_hand_halves(spark):
+    """Exact per-half medians and the cent drift; a type with one half
+    only surfaces null drifts."""
+    rows = [(i, 1, "a", float(i), i * 10) for i in range(1, 5)]          # before
+    rows += [(10 + i, 1, "a", float(i + 2), 1000 + i * 10) for i in range(1, 5)]
+    rows += [(100, 1, "c", 7.0, 5)]                                      # before only
+    got = {r.event_type: r
+           for r in agg.agg_quantile_drift(_events(spark, rows), 1000).collect()}
+    a = got["a"]
+    assert (a.n_before, a.n_after) == (4, 4)
+    assert a.p50_drift_c == 200 and a.p90_drift_c == 200
+    c = got["c"]
+    assert c.n_after is None and c.p50_drift_c is None
+
+
+def test_flow_imbalance_signs_and_head_exclusion(spark):
+    """Series heads have no delta and are excluded; up/down/flat map to
+    +1/−1/0; ratio is the signed device."""
+    HOUR = 3_600_000_000
+    rows = [
+        (1, 1, "a", 10.0, 100),
+        (2, 1, "a", 11.0, 200),          # +1
+        (3, 1, "a", 11.0, 300),          # 0
+        (4, 1, "a", 9.0, 400),           # -1
+        (5, 2, "a", 5.0, HOUR + 100),    # head of user 2 (hour 1): excluded
+        (6, 2, "a", 6.0, HOUR + 200),    # +1
+    ]
+    got = {r.hour: r for r in agg.agg_flow_imbalance(_events(spark, rows)).collect()}
+    assert got[0].n_ticks == 3 and got[0].imbalance == 0 and got[0].flow_ratio == 0.0
+    assert got[1].n_ticks == 1 and got[1].imbalance == 1 and got[1].flow_ratio == 1.0
+
+
+def test_char_classes_hand_doc_and_empty(spark):
+    """Known mix counts exactly; the empty document surfaces null shares."""
+    docs = spark.createDataFrame(
+        [(1, "Ab1 2?\n", "en", "s", 7), (2, "", "en", "s", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {r.doc_id: r for r in tx.text_char_classes(docs).collect()}
+    r = got[1]
+    assert (r.n_chars, r.n_alpha, r.n_digit, r.n_space, r.n_other) == (7, 2, 2, 2, 1)
+    assert r.alpha_share == 0.285714
+    e = got[2]
+    assert e.n_chars == 0 and e.alpha_share is None
+
+
+def test_bfs_levels_hand_graph(spark):
+    """Min-hop levels with the depth cap: seed at 0, chain at 1/2/3,
+    beyond-depth and disconnected vertices absent, isolated seed at 0,
+    and a vertex reachable two ways keeps the SHORTER path."""
+    from kdb_spark.analytics import graph as gr
+    from kdb_spark.llm.dedup import _REUSE_CACHE
+
+    _REUSE_CACHE.pop("bfs_edges", None)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (1, 4), (8, 9)],
+        "src long, dst long",
+    )
+    seeds = spark.createDataFrame([(1,), (7,)], "v long")
+    got = {r.v: r.lvl for r in gr.bfs_levels(edges, seeds, max_depth=3).collect()}
+    # 4 is reachable in 3 hops via the chain but in 1 via (1,4) — min wins
+    assert got == {1: 0, 7: 0, 2: 1, 4: 1, 3: 2, 5: 2}
+    _REUSE_CACHE.pop("bfs_edges", None)
+
+
+def test_emb_label_drift_hand_vectors(spark):
+    """Hand centroids: label 0 halves differ by (0.5, 0) → drift 0.5;
+    label 1 has no odd half → null drift with the counts exposing why."""
+    rows = [
+        (0, [1.0, 2.0], 0),   # even
+        (2, [2.0, 2.0], 0),   # even → even centroid (1.5, 2)
+        (1, [1.0, 2.0], 0),   # odd  → odd centroid (1, 2)
+        (4, [9.0, 9.0], 1),   # even only
+    ]
+    from kdb_spark.llm import similarity as sim
+
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = {r.label: r for r in sim.emb_label_drift(emb).collect()}
+    assert got[0].centroid_l2_drift == 0.5
+    assert got[0].n_even == 2 and got[0].n_odd == 1 and got[0].d == 2
+    assert got[1].centroid_l2_drift is None and got[1].n_odd is None
