@@ -589,3 +589,24 @@ def test_pagerank_paths_agree_exactly(spark):
     for k in ("pagerank_edges", "pagerank_contrib", "pagerank_contrib_hashed",
               "pagerank_base"):
         _REUSE_CACHE.pop(k, None)
+
+
+def test_round13_ops_plan_shapes(spark):
+    """win_gap_open: ONE Exchange total (the explicit repartition serves
+    both the day collapse and the day-lag window). text_char_classes:
+    map-only — no Exchange at all. agg_flow_imbalance: no BroadcastNestedLoop
+    (pure lag + hash agg)."""
+    from kdb_spark.analytics import aggregations as agg
+    from kdb_spark.llm import textstats as tx
+
+    import re
+
+    from kdb_spark.analytics import windows as wn
+
+    ev = events_us(spark, SF_DIR)
+    plan = plan_of(wn.win_gap_open(ev))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    plan = plan_of(tx.text_char_classes(load(spark, SF_DIR, "documents")))
+    assert "Exchange" not in plan, plan
+    plan = plan_of(agg.agg_flow_imbalance(ev))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
