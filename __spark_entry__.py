@@ -8199,3 +8199,172 @@ _reg(
     FROM p
     """,
 )
+
+
+# Seasonal-naïve forecast error: same-slot-yesterday lag with a
+# consecutive-day guard; slot-day collapse by last tick
+_reg(
+    "win_seasonal_naive",
+    lambda s, d: wn.win_seasonal_naive(events_us(s, d)),
+    f"""
+    WITH t AS (
+      SELECT user_id, event_type, epoch_us(ts) // {DAY_US} AS day,
+             (epoch_us(ts) // {HOUR_US}) % 24 AS hod,
+             CAST(round(value * 100) AS BIGINT) AS c,
+             epoch_us(ts) AS tu, event_id
+      FROM events),
+    g AS (
+      SELECT user_id, event_type, CAST(day AS BIGINT) AS day,
+             CAST(hod AS BIGINT) AS hod,
+             CAST(last(c ORDER BY tu, event_id) AS BIGINT) AS c,
+             CAST(count(*) AS BIGINT) AS n
+      FROM t GROUP BY 1, 2, 3, 4),
+    l AS (
+      SELECT *, lag(day) OVER w AS prev_day, lag(c) OVER w AS prev_c
+      FROM g
+      WINDOW w AS (PARTITION BY user_id, event_type, hod ORDER BY day))
+    SELECT user_id, event_type, day, hod, c, n,
+           CAST(CASE WHEN prev_day = day - 1 THEN prev_c END AS BIGINT)
+             AS naive_c,
+           CAST(CASE WHEN prev_day = day - 1 THEN c - prev_c END AS BIGINT)
+             AS err_c
+    FROM l
+    """,
+)
+
+
+# Time since the running peak: one expanding struct max carries the peak
+# value, its timestamp, and the latest-wins tie rule
+_reg(
+    "win_peak_age",
+    lambda s, d: wn.win_peak_age(events_us(s, d)),
+    """
+    WITH t AS (
+      SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events),
+    p AS (
+      SELECT *, max(struct_pack(c := c, tu := ts_us, eid := event_id)) OVER (
+          PARTITION BY user_id, event_type ORDER BY ts_us, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pk
+      FROM t)
+    SELECT event_id, user_id, event_type, ts_us,
+           CAST(pk.c AS BIGINT) AS peak_c,
+           CAST(pk.tu AS BIGINT) AS peak_ts_us,
+           CAST(ts_us - pk.tu AS BIGINT) AS peak_age_us
+    FROM p
+    """,
+)
+
+
+# Last-touch attribution census: union-and-carry as-of + 7-day guard,
+# per-day conversion coverage
+_reg(
+    "agg_attribution",
+    lambda s, d: bh.agg_attribution(events_us(s, d)),
+    f"""
+    WITH u AS (
+      SELECT user_id, epoch_us(ts) AS tu, epoch_us(ts) AS click_us,
+             0 AS side, CAST(NULL AS BIGINT) AS event_id
+      FROM events WHERE event_type = 'click'
+      UNION ALL
+      SELECT user_id, epoch_us(ts), NULL, 1, event_id
+      FROM events WHERE event_type = 'purchase'),
+    c AS (
+      SELECT *, last_value(click_us IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY tu, side
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click
+      FROM u),
+    b AS (
+      SELECT tu // {DAY_US} AS day,
+             CASE WHEN last_click IS NOT NULL
+                   AND tu - last_click <= {7 * DAY_US}
+                  THEN 1 ELSE 0 END AS a
+      FROM c WHERE side = 1),
+    g AS (
+      SELECT CAST(day AS BIGINT) AS day,
+             CAST(count(*) AS BIGINT) AS n_purchases,
+             CAST(sum(a) AS BIGINT) AS n_attributed
+      FROM b GROUP BY 1)
+    SELECT day, n_purchases, n_attributed,
+           CAST((2000000 * CAST(n_attributed AS HUGEINT) + n_purchases)
+                // (2 * CAST(n_purchases AS HUGEINT)) AS DOUBLE) / 1e6
+             AS attribution_rate
+    FROM g
+    """,
+)
+
+
+# Sequential quality-gate funnel: integer cross-multiplied predicates,
+# cumulative-AND survivor counts per source
+_reg(
+    "curation_filter_funnel",
+    lambda s, d: cu.curation_filter_funnel(load(s, d, "documents")),
+    """
+    WITH t AS (
+      SELECT source, lang, CAST(length(text) AS BIGINT) AS n,
+             CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+                  AS BIGINT) AS na,
+             CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS nw
+      FROM documents),
+    f AS (
+      SELECT source,
+             CASE WHEN n > 0 THEN 1 ELSE 0 END AS s1,
+             CASE WHEN n > 0 AND n >= 100 AND n <= 400 THEN 1 ELSE 0 END AS s2,
+             CASE WHEN n > 0 AND n >= 100 AND n <= 400
+                   AND 100 * na >= 55 * n THEN 1 ELSE 0 END AS s3,
+             CASE WHEN n > 0 AND n >= 100 AND n <= 400
+                   AND 100 * na >= 55 * n
+                   AND 3 * nw <= na AND na <= 9 * nw AND nw > 0
+                  THEN 1 ELSE 0 END AS s4,
+             CASE WHEN n > 0 AND n >= 100 AND n <= 400
+                   AND 100 * na >= 55 * n
+                   AND 3 * nw <= na AND na <= 9 * nw AND nw > 0
+                   AND lang IN ('en', 'de', 'fr', 'es', 'zh')
+                  THEN 1 ELSE 0 END AS s5
+      FROM t),
+    g AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(s1) AS BIGINT) AS n_nonempty,
+             CAST(sum(s2) AS BIGINT) AS n_len_ok,
+             CAST(sum(s3) AS BIGINT) AS n_alpha_ok,
+             CAST(sum(s4) AS BIGINT) AS n_wordlen_ok,
+             CAST(sum(s5) AS BIGINT) AS n_pass
+      FROM f GROUP BY 1)
+    SELECT source, n_docs, n_nonempty, n_len_ok, n_alpha_ok, n_wordlen_ok,
+           n_pass,
+           CAST((2000000 * CAST(n_pass AS HUGEINT) + n_docs)
+                // (2 * CAST(n_docs AS HUGEINT)) AS DOUBLE) / 1e6 AS pass_rate
+    FROM g
+    """,
+)
+
+
+# Streaming day-close publisher: the win_gap_open day rows minus each
+# series' still-open last day (the append-mode withholding contract)
+_reg(
+    "stream_day_roll",
+    sm.stream_day_roll,
+    f"""
+    WITH t AS (
+      SELECT user_id, event_type, epoch_us(ts) // {DAY_US} AS day,
+             CAST(round(value * 100) AS BIGINT) AS c,
+             epoch_us(ts) AS tu, event_id
+      FROM events),
+    g AS (
+      SELECT user_id, event_type, CAST(day AS BIGINT) AS day,
+             CAST(first(c ORDER BY tu, event_id) AS BIGINT) AS open_c,
+             CAST(last(c ORDER BY tu, event_id) AS BIGINT) AS close_c,
+             CAST(count(*) AS BIGINT) AS n
+      FROM t GROUP BY 1, 2, 3),
+    w AS (
+      SELECT *,
+             max(day) OVER (PARTITION BY user_id, event_type) AS last_day,
+             lag(close_c) OVER (PARTITION BY user_id, event_type
+                                ORDER BY day) AS prev_close
+      FROM g)
+    SELECT user_id, event_type, day, open_c, close_c, n,
+           CAST(open_c - prev_close AS BIGINT) AS gap_c
+    FROM w WHERE day < last_day
+    """,
+)

@@ -298,3 +298,67 @@ def agg_assoc_rules(
         .orderBy(F.desc("n_both"), "a", "b")
         .limit(k)
     )
+
+
+def agg_attribution(events: DataFrame, window_us: int = 7 * DAY_US) -> DataFrame:
+    """Last-touch attribution census: every 'purchase' is attributed to
+    the user's most recent 'click' within the lookback window; reported
+    per purchase-day as n_purchases / n_attributed / attribution rate —
+    the conversion-credit rollup marketing pipelines run nightly
+    (agg_funnel counts ordered step reach; this binds each conversion to
+    its one credited touch and censuses the coverage).
+
+    Spark shape: union-and-carry as-of (the join_asof discipline — no
+    per-purchase probe join): tag both event kinds, ONE (user) series
+    sort, carry the last click µs forward with last(ignorenulls), then
+    the window guard and a day census. Exact integer µs throughout; the
+    rate rides the unsigned device at 6 dp.
+
+    Scale shape: one Exchange on user_id for the carry, one hash agg to
+    ≤|days| rows — same two-stage posture as agg_user_churn.
+    """
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts_us", F.col("ts_us").alias("click_us"),
+        F.lit(0).alias("side"), F.lit(None).cast("long").alias("event_id"),
+    )
+    buys = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts_us", F.lit(None).cast("long").alias("click_us"),
+        F.lit(1).alias("side"), "event_id",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = (
+        clicks.unionByName(buys)
+        .withColumn("last_click_us", F.last("click_us", ignorenulls=True).over(w))
+        .filter(F.col("side") == 1)
+    )
+    attributed = F.when(
+        F.col("last_click_us").isNotNull()
+        & (F.col("ts_us") - F.col("last_click_us") <= F.lit(window_us)),
+        1,
+    ).otherwise(0)
+    g = (
+        carried.select(
+            F.expr(f"ts_us div {DAY_US}").alias("day"), attributed.alias("a")
+        )
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.sum("a").cast("long").alias("n_attributed"),
+        )
+    )
+    r6 = F.expr(
+        floor_div_sql(
+            "2000000 * CAST(n_attributed AS DECIMAL(38,0)) + n_purchases",
+            "2 * CAST(n_purchases AS DECIMAL(38,0))",
+        )
+    )
+    return g.select(
+        F.col("day").cast("long").alias("day"),
+        "n_purchases",
+        "n_attributed",
+        (r6.cast("double") / F.lit(1e6)).alias("attribution_rate"),
+    )

@@ -2385,3 +2385,102 @@ def win_plateau(events: DataFrame) -> DataFrame:
         "run_pos",
         F.max("run_pos").over(wrun).cast("long").alias("max_run"),
     )
+
+
+def win_seasonal_naive(events: DataFrame) -> DataFrame:
+    """Seasonal-naïve forecast error per series row: each event's value
+    vs the SAME user/type/hour-of-day slot one day earlier (the
+    strongest trivial baseline for daily-seasonal tapes; a model that
+    can't beat it has learned nothing) — per-row signed error in exact
+    cents plus the day-lag reference itself.
+
+    Lag-by-season without a self-join: partitioning by (user, type,
+    hour-of-day) makes "same slot yesterday" an ORDINARY lag along the
+    day axis — but only across CONSECUTIVE days, so the lag value is
+    kept only when the previous row in the slot is exactly day − 1
+    (calendar holes surface null error, never a stale comparison).
+    Multiple events in one slot-day compare positionally is ambiguous —
+    so the slot-day collapses to its LAST tick first (max_by on the
+    (ts_us, event_id) tie key, the agg_ohlc device).
+
+    EXACT cross-engine, all integers: day and hour are integer µs
+    `div`s, the collapse is an exact pick, the lag/guard/error are
+    bigint arithmetic.
+
+    Scale shape: ONE repartition on (user, type) serves the slot-day
+    collapse (superset clustering) AND the per-slot day lag — the same
+    one-Exchange discipline as win_gap_open.
+    """
+    key = F.struct(F.col("ts_us"), F.col("event_id"))
+    t = (
+        events.repartition("user_id", "event_type")
+        .select(
+            "user_id",
+            "event_type",
+            F.expr(f"ts_us div {DAY_US}").alias("day"),
+            F.expr(f"(ts_us div {HOUR_US}) % 24").alias("hod"),
+            cents("value").alias("c"),
+            "ts_us",
+            "event_id",
+        )
+        .groupBy("user_id", "event_type", "day", "hod")
+        .agg(
+            F.max_by("c", key).alias("c"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    ws = Window.partitionBy("user_id", "event_type", "hod").orderBy("day")
+    t = t.withColumn("prev_day", F.lag("day").over(ws)).withColumn(
+        "prev_c", F.lag("c").over(ws)
+    )
+    ref = F.when(F.col("prev_day") == F.col("day") - 1, F.col("prev_c"))
+    return t.select(
+        "user_id",
+        "event_type",
+        F.col("day").cast("long").alias("day"),
+        F.col("hod").cast("long").alias("hod"),
+        F.col("c").cast("long").alias("c"),
+        "n",
+        ref.cast("long").alias("naive_c"),
+        (F.col("c") - ref).cast("long").alias("err_c"),
+    )
+
+
+def win_peak_age(events: DataFrame) -> DataFrame:
+    """Time since the running peak, per (user, type) series row: the
+    expanding maximum of the cent value and the µs AGE of that peak —
+    the drawdown-DURATION complement to agg_underwater / stream_drawdown
+    (those measure how far below the peak; this measures how LONG since
+    it, the "days since high-watermark" risk line).
+
+    EXACT cross-engine: the running peak and its timestamp come from ONE
+    expanding max over the (c, ts_us, event_id) struct — struct max
+    orders lexicographically, so among equal peak values the LATEST
+    (ts, id) wins, the exact tie the "age" semantics want (a re-touch of
+    the high resets the clock); age is bigint µs arithmetic.
+
+    Scale shape: ONE Exchange on (user, type), one expanding window —
+    the struct trick folds peak value, peak time, and the tie rule into
+    a single window buffer instead of two passes.
+    """
+    wrun = (
+        Window.partitionBy("user_id", "event_type")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = cents("value")
+    t = events.select(
+        "event_id", "user_id", "event_type", "ts_us", c.alias("c")
+    ).withColumn(
+        "pk",
+        F.max(F.struct(F.col("c"), F.col("ts_us"), F.col("event_id"))).over(wrun),
+    )
+    return t.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts_us",
+        F.col("pk.c").cast("long").alias("peak_c"),
+        F.col("pk.ts_us").cast("long").alias("peak_ts_us"),
+        (F.col("ts_us") - F.col("pk.ts_us")).cast("long").alias("peak_age_us"),
+    )

@@ -519,3 +519,69 @@ def curation_dataset_card(documents: DataFrame) -> DataFrame:
         iround_col("n_short", den, 6, signed=False).alias("short_share"),
         iround_col("n_tokens", den, 6, signed=False).alias("mean_tokens"),
     )
+
+
+def curation_filter_funnel(
+    documents: DataFrame,
+    min_chars: int = 100,
+    max_chars: int = 400,
+    min_alpha_pct: int = 55,
+    min_wordlen: int = 3,
+    max_wordlen: int = 9,
+) -> DataFrame:
+    """Sequential quality-gate funnel per source: how many documents
+    survive each successive filter — non-empty → length band → alphabetic
+    share → mean-word-length band → known language tag — the
+    drop-attribution report a curation pipeline publishes next to its
+    dataset card (quality_score ranks docs; this explains WHERE the
+    corpus thins, per gate, per source, so a collapsed source is visible
+    as its failing stage, not a mystery count).
+
+    Every predicate is INTEGER cross-multiplication (100·n_alpha ≥
+    pct·n_chars; wl_lo·n_words ≤ n_letters ≤ wl_hi·n_words), so no
+    device is consulted until the final pass-rate. Gates are cumulative
+    ANDs (a doc failing length is not re-tested downstream — first-fail
+    semantics, the funnel contract).
+
+    Scale shape: map-only predicates folded into ONE hash agg per source
+    (map-side combine); output is ≤|sources| rows.
+    """
+    n = F.length("text").cast("long")
+    n_alpha = (
+        F.length("text") - F.length(F.regexp_replace("text", "[A-Za-z]", ""))
+    ).cast("long")
+    n_words = F.size(tokens("text")).cast("long")
+    s1 = n > 0
+    s2 = s1 & (n >= min_chars) & (n <= max_chars)
+    s3 = s2 & (100 * n_alpha >= min_alpha_pct * n)
+    s4 = (
+        s3
+        & (min_wordlen * n_words <= n_alpha)
+        & (n_alpha <= max_wordlen * n_words)
+        & (n_words > 0)
+    )
+    s5 = s4 & F.col("lang").isin("en", "de", "fr", "es", "zh")
+    g = documents.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(s1.cast("long")).cast("long").alias("n_nonempty"),
+        F.sum(s2.cast("long")).cast("long").alias("n_len_ok"),
+        F.sum(s3.cast("long")).cast("long").alias("n_alpha_ok"),
+        F.sum(s4.cast("long")).cast("long").alias("n_wordlen_ok"),
+        F.sum(s5.cast("long")).cast("long").alias("n_pass"),
+    )
+    rate6 = F.expr(
+        floor_div_sql(
+            "2000000 * CAST(n_pass AS DECIMAL(38,0)) + n_docs",
+            "2 * CAST(n_docs AS DECIMAL(38,0))",
+        )
+    )
+    return g.select(
+        "source",
+        "n_docs",
+        "n_nonempty",
+        "n_len_ok",
+        "n_alpha_ok",
+        "n_wordlen_ok",
+        "n_pass",
+        (rate6.cast("double") / F.lit(1e6)).alias("pass_rate"),
+    )

@@ -1777,3 +1777,137 @@ def stream_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _drain(out, "append", partitions=16)
+
+
+# --------------------------------------------------- day-close roll emitter
+
+_DR_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("day", T.LongType()),
+        T.StructField("open_c", T.LongType()),
+        T.StructField("close_c", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("gap_c", T.LongType()),
+    ]
+)
+
+# (tail ts, tail eid, current day, its open/close cents, its row count,
+# previous traded day's close, late counter) — O(1) per series.
+_DR_STATE = T.StructType(
+    [
+        T.StructField("ts_us", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("day", T.LongType()),
+        T.StructField("open_c", T.LongType()),
+        T.StructField("close_c", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("prev_close_c", T.LongType()),
+        T.StructField("n_late", T.LongType()),
+    ]
+)
+
+
+def _day_roll_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Emit one finalized row per TRADED day the moment a later day's
+    first tick arrives (the day is then immutable in event time): open,
+    close, count, and the overnight gap vs the previous traded day's
+    close. The live form of `win_gap_open`: identical integers, but a
+    day is only published once it can never change — so each series'
+    currently-open day is withheld, exactly the append-mode discipline.
+    Late rows drop-and-count per the `_delta_fn` contract.
+    """
+    chunks = [c for c in pdfs if len(c)]
+    if not chunks:
+        return
+    pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+    ts = pdf["ts_us"].to_numpy()
+    eid = pdf["event_id"].to_numpy()
+    cs = pdf["c"].to_numpy()
+    dy = pdf["day"].to_numpy()
+    order = np.lexsort((eid, ts))
+    ts, eid, cs, dy = ts[order], eid[order], cs[order], dy[order]
+    prev = tuple(state.get) if state.exists else None
+    n_late = int(prev[7]) if prev is not None else 0
+    if prev is not None:
+        i0 = int(np.searchsorted(ts, prev[0], "left"))
+        i1 = int(np.searchsorted(ts, prev[0], "right"))
+        lo = i0 + int(np.searchsorted(eid[i0:i1], prev[1], "right"))
+        n_late += lo
+        if lo == len(ts):
+            state.update(prev[:7] + (n_late,))
+            return
+        ts, eid, cs, dy = ts[lo:], eid[lo:], cs[lo:], dy[lo:]
+        cur_day, open_c, close_c, n, prev_close = (
+            int(prev[2]), int(prev[3]), int(prev[4]), int(prev[5]),
+            prev[6],
+        )
+    else:
+        cur_day, open_c, close_c, n, prev_close = None, None, None, 0, None
+    rows = {c: [] for c in ("day", "open_c", "close_c", "n", "gap_c")}
+    for i in range(len(ts)):
+        d, c = int(dy[i]), int(cs[i])
+        if cur_day is None:
+            cur_day, open_c, close_c, n = d, c, c, 1
+        elif d == cur_day:
+            close_c = c
+            n += 1
+        else:
+            rows["day"].append(cur_day)
+            rows["open_c"].append(open_c)
+            rows["close_c"].append(close_c)
+            rows["n"].append(n)
+            rows["gap_c"].append(
+                open_c - prev_close if prev_close is not None else None
+            )
+            prev_close = close_c
+            cur_day, open_c, close_c, n = d, c, c, 1
+    state.update(
+        (
+            int(ts[-1]), int(eid[-1]), int(cur_day), int(open_c),
+            int(close_c), int(n),
+            int(prev_close) if prev_close is not None else None,
+            n_late,
+        )
+    )
+    if not rows["day"]:
+        return
+    k_user, k_type = key
+    out = pd.DataFrame(rows)
+    out.insert(0, "user_id", int(k_user))
+    out.insert(1, "event_type", k_type)
+    yield out[["user_id", "event_type", "day", "open_c", "close_c", "n", "gap_c"]]
+
+
+def stream_day_roll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live day-close publisher per (user, type) series: each traded
+    day's OHLC-lite row (open/close/count) plus the overnight gap is
+    emitted the moment the next traded day begins — the batch twin is
+    `win_gap_open` minus each series' still-open last day (withheld
+    because it could still change; the oracle replays exactly that
+    exclusion). O(1) state per series; same late-row contract as every
+    stateful op here.
+    """
+    s = events_stream(spark, sf_dir)
+    out = (
+        s.select(
+            "user_id",
+            "event_type",
+            "ts_us",
+            "event_id",
+            cents("value").alias("c"),
+            F.expr(f"ts_us div {DAY_US}").alias("day"),
+        )
+        .groupBy("user_id", "event_type")
+        .applyInPandasWithState(
+            _day_roll_fn,
+            outputStructType=_DR_OUT,
+            stateStructType=_DR_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return _drain(out, "append", partitions=16)

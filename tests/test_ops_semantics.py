@@ -3160,3 +3160,82 @@ def test_emb_label_drift_hand_vectors(spark):
     assert got[0].centroid_l2_drift == 0.5
     assert got[0].n_even == 2 and got[0].n_odd == 1 and got[0].d == 2
     assert got[1].centroid_l2_drift is None and got[1].n_odd is None
+
+
+def test_seasonal_naive_consecutive_day_guard(spark):
+    """The reference is yesterday's SAME-hour slot only when yesterday
+    traded that slot — a calendar hole yields null, never a stale
+    comparison; multi-tick slot-days collapse to the LAST tick."""
+    DAY = 86_400_000_000
+    HOUR = 3_600_000_000
+    rows = [
+        (1, 1, "a", 10.0, 0 * DAY + 2 * HOUR),
+        (2, 1, "a", 10.5, 0 * DAY + 2 * HOUR + 5),  # same slot, later → ref
+        (3, 1, "a", 12.0, 1 * DAY + 2 * HOUR),      # err = 12 - 10.5
+        (4, 1, "a", 13.0, 3 * DAY + 2 * HOUR),      # hole (day 2) → null
+    ]
+    got = {(r.day, r.hod): r
+           for r in wn.win_seasonal_naive(_events(spark, rows)).collect()}
+    assert got[(0, 2)].n == 2 and got[(0, 2)].err_c is None
+    assert got[(1, 2)].naive_c == 1050 and got[(1, 2)].err_c == 150
+    assert got[(3, 2)].naive_c is None and got[(3, 2)].err_c is None
+
+
+def test_peak_age_retouch_resets_clock(spark):
+    """Equal re-touch of the high moves peak_ts forward (latest-wins tie
+    inside the struct max), so the age clock resets."""
+    rows = [
+        (1, 1, "a", 10.0, 100),
+        (2, 1, "a", 8.0, 200),    # age 100
+        (3, 1, "a", 10.0, 300),   # re-touch → peak_ts 300, age 0
+        (4, 1, "a", 9.0, 450),    # age 150
+    ]
+    got = {r.event_id: r for r in wn.win_peak_age(_events(spark, rows)).collect()}
+    assert got[2].peak_age_us == 100
+    assert got[3].peak_ts_us == 300 and got[3].peak_age_us == 0
+    assert got[4].peak_age_us == 150 and got[4].peak_c == 1000
+
+
+def test_attribution_window_and_last_touch(spark):
+    """A purchase binds to the most recent click at-or-before it; beyond
+    the lookback it counts unattributed; clicks after don't count."""
+    from kdb_spark.analytics import behavior as bh
+
+    DAY = 86_400_000_000
+    rows = [
+        (1, 1, "click", 1.0, 1 * DAY),
+        (2, 1, "purchase", 5.0, 3 * DAY),        # 2d after click → attributed
+        (3, 1, "purchase", 5.0, 9 * DAY + 1),    # 8d+ after → NOT
+        (4, 2, "purchase", 5.0, 2 * DAY),        # user 2 never clicked
+        (5, 2, "click", 1.0, 2 * DAY + 5),       # click AFTER purchase
+    ]
+    got = {r.day: r for r in bh.agg_attribution(_events(spark, rows)).collect()}
+    assert got[3].n_purchases == 1 and got[3].n_attributed == 1
+    assert got[9].n_attributed == 0
+    assert got[2].n_purchases == 1 and got[2].n_attributed == 0
+    assert got[3].attribution_rate == 1.0
+
+
+def test_filter_funnel_first_fail_semantics(spark):
+    """Each gate only sees the previous gate's survivors: a too-short doc
+    can't 'pass' the alpha gate, and counts are monotone down the funnel."""
+    from kdb_spark.llm import curation as cu
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x" * 150, "en", "s1", 150),          # passes everything
+            (2, "y" * 50, "en", "s1", 50),            # fails length
+            (3, "1" * 200, "en", "s1", 200),          # fails alpha (digits)
+            (4, "z" * 150, "xx", "s1", 150),          # fails lang
+            (5, "", "en", "s1", 0),                   # fails nonempty
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    r = cu.curation_filter_funnel(docs).collect()[0]
+    assert (r.n_docs, r.n_nonempty, r.n_len_ok) == (5, 4, 3)
+    # doc3 is 200 digit chars: survives length, dies at alpha
+    assert r.n_alpha_ok == 2
+    # doc1/doc4 are single-"word" 150-char runs → mean word length 150 > 9:
+    # both die at the word-length gate
+    assert r.n_wordlen_ok == 0 and r.n_pass == 0
+    assert r.pass_rate == 0.0
