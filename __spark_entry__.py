@@ -8368,3 +8368,101 @@ _reg(
     FROM w WHERE day < last_day
     """,
 )
+
+
+# Pattern-function scalar suite over real text (RE2/Java-common subset)
+_reg(
+    "scalar_regex",
+    lambda s, d: sc.scalar_regex(load(s, d, "documents")),
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_numbers,
+           regexp_extract(text, '([A-Za-z]+)', 1) AS first_word,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]{5,}')) AS BIGINT)
+             AS n_long_words,
+           CAST(length(regexp_replace(text, '[aeiou]', '*', 'g')) AS BIGINT)
+             AS len_after_sub,
+           regexp_matches(text, '[.!?]') AS has_sentence_end
+    FROM documents
+    """,
+)
+
+
+# Within-label scatter (covariance trace + RMS radius): integer-moment
+# variance numerators summed exactly over dims, one device divide
+_reg(
+    "emb_label_spread",
+    lambda s, d: sim.emb_label_spread(load(s, d, "embeddings")),
+    """
+    WITH flat AS (
+      SELECT label, unnest(range(len(embedding))) AS pos,
+             unnest(embedding) AS v
+      FROM embeddings),
+    c AS (
+      SELECT label, pos, CAST(round(v * 1e6) AS BIGINT) AS v6 FROM flat),
+    g AS (
+      SELECT label, pos, count(*) AS n, sum(v6) AS s1,
+             sum(CAST(v6 AS HUGEINT) * v6) AS s2
+      FROM c GROUP BY 1, 2),
+    p AS (
+      SELECT label, CAST(min(n) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS d,
+             sum(CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1) AS num
+      FROM g GROUP BY 1),
+    t AS (
+      SELECT label, n, d,
+             (2 * num + CAST(n AS HUGEINT) * n)
+               // (2 * CAST(n AS HUGEINT) * n) AS trace_e12
+      FROM p)
+    SELECT CAST(label AS BIGINT) AS label, n, d,
+           CAST(trace_e12 AS DOUBLE) / 1e12 AS trace_var,
+           round(sqrt(CAST(trace_e12 AS DOUBLE) / 1e12), 6) AS rms_spread
+    FROM t
+    """,
+)
+
+
+# Volume profile: top-5 most-traded cent levels per type, deterministic
+# (count desc, level asc) rank, device shares of the full tape
+_reg(
+    "agg_volume_profile",
+    lambda s, d: agg.agg_volume_profile(events_us(s, d)),
+    """
+    WITH lv AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c,
+             CAST(count(*) AS BIGINT) AS n_ticks
+      FROM events GROUP BY 1, 2),
+    r AS (
+      SELECT event_type, c, n_ticks,
+             CAST(row_number() OVER (PARTITION BY event_type
+                                     ORDER BY n_ticks DESC, c ASC) AS BIGINT)
+               AS level_rank,
+             CAST(sum(n_ticks) OVER (PARTITION BY event_type) AS BIGINT)
+               AS type_total
+      FROM lv)
+    SELECT event_type, level_rank, c, n_ticks, type_total,
+           CAST((2000000 * CAST(n_ticks AS HUGEINT) + type_total)
+                // (2 * CAST(type_total AS HUGEINT)) AS DOUBLE) / 1e6 AS share
+    FROM r WHERE level_rank <= 5
+    """,
+)
+
+
+# Feed-health census vs the virtual clock: last-seen age + trailing
+# window counts, one conditional aggregate
+_reg(
+    "table_freshness",
+    lambda s, d: agg.table_freshness(events_us(s, d), NOW_JAN20),
+    f"""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(max(epoch_us(ts)) AS BIGINT) AS last_ts_us,
+           CAST({NOW_JAN20} - max(epoch_us(ts)) AS BIGINT) AS age_us,
+           CAST(sum(CASE WHEN epoch_us(ts) > {NOW_JAN20} - {HOUR_US}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_1h,
+           CAST(sum(CASE WHEN epoch_us(ts) > {NOW_JAN20} - {24 * HOUR_US}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_24h,
+           CAST(sum(CASE WHEN epoch_us(ts) > {NOW_JAN20} - {7 * 24 * HOUR_US}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_7d
+    FROM events GROUP BY 1
+    """,
+)

@@ -4728,3 +4728,74 @@ def agg_flow_imbalance(events: DataFrame) -> DataFrame:
         "imbalance",
         ratio6.alias("flow_ratio"),
     )
+
+
+def agg_volume_profile(events: DataFrame, top_k: int = 5) -> DataFrame:
+    """Volume profile per event_type: the ``top_k`` most-traded price
+    levels (exact cents) ranked by tick count, with each level's share
+    of the type's tape — where the liquidity sits (agg_mode reports the
+    single densest level; the profile is the ladder traders actually
+    read, and the high-traffic levels a partitioner would salt).
+
+    EXACT cross-engine: levels are exact cents, counts bigints, the rank
+    is deterministic (count DESC, then LOWER level — ties resolved by
+    price, never arrival), shares ride the unsigned device against the
+    type total taken over the level table BEFORE the top-k cut.
+
+    Scale shape: one fact-sized hash agg to the (type, level) grain
+    (map-side combined — the shuffle carries distinct levels, not
+    ticks), then rank + total windows over that level table on one
+    (type) Exchange; output ≤ |types|·k rows.
+    """
+    lv = events.select("event_type", cents("value").alias("c")).groupBy(
+        "event_type", "c"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_ticks"))
+    wr = Window.partitionBy("event_type").orderBy(F.desc("n_ticks"), F.asc("c"))
+    wt = Window.partitionBy("event_type")
+    t = lv.select(
+        "event_type",
+        "c",
+        "n_ticks",
+        F.row_number().over(wr).alias("level_rank"),
+        F.sum("n_ticks").over(wt).cast("long").alias("type_total"),
+    ).filter(F.col("level_rank") <= top_k)
+    share6 = F.expr(
+        floor_div_sql(
+            "2000000 * CAST(n_ticks AS DECIMAL(38,0)) + type_total",
+            "2 * CAST(type_total AS DECIMAL(38,0))",
+        )
+    )
+    return t.select(
+        "event_type",
+        F.col("level_rank").cast("long").alias("level_rank"),
+        F.col("c").cast("long").alias("c"),
+        "n_ticks",
+        "type_total",
+        (share6.cast("double") / F.lit(1e6)).alias("share"),
+    )
+
+
+def table_freshness(events: DataFrame, now_us: int) -> DataFrame:
+    """Freshness/liveness census per event_type against an explicit
+    ``now_us`` (the engine's virtual clock, as everywhere — never
+    wall-clock): last-seen age, total rows, and rows in the trailing
+    1h/24h/7d windows — the feed-health panel an ingest pipeline alarms
+    on (kernel_ingest_validate gates rows; this watches the tape level:
+    a type whose 1h count hits zero is a dead upstream long before
+    retention notices).
+
+    EXACT: all integer µs arithmetic and conditional counts in ONE
+    map-side-combined aggregate; output ≤|types| rows.
+    """
+    t = events.select("event_type", "ts_us")
+    in_win = lambda w: F.sum(  # noqa: E731
+        F.when(F.col("ts_us") > F.lit(now_us - w), 1).otherwise(0)
+    ).cast("long")
+    return t.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.max("ts_us").cast("long").alias("last_ts_us"),
+        (F.lit(now_us) - F.max("ts_us")).cast("long").alias("age_us"),
+        in_win(HOUR_US).alias("n_1h"),
+        in_win(24 * HOUR_US).alias("n_24h"),
+        in_win(7 * DAY_US).alias("n_7d"),
+    )

@@ -147,3 +147,23 @@ def scalar_hash(documents: DataFrame) -> DataFrame:
         F.expr("CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT)")
         .alias("h_slot"),
     )
+
+
+def scalar_regex(documents: DataFrame) -> DataFrame:
+    """regexp_count / extract / extract_all-size / replace / instr-like —
+    the pattern-function suite over real text, restricted to the
+    RE2/Java-common syntax subset (explicit classes, no lookaround, no
+    shorthand class whose Unicode scope differs between engines), so
+    every scalar is bit-identical cross-engine. Map-only."""
+    return documents.select(
+        "doc_id",
+        F.regexp_count("text", F.lit("[0-9]+")).cast("long").alias("n_numbers"),
+        F.regexp_extract("text", "([A-Za-z]+)", 1).alias("first_word"),
+        F.size(F.regexp_extract_all("text", F.lit("[A-Za-z]{5,}"), 0))
+        .cast("long")
+        .alias("n_long_words"),
+        F.length(F.regexp_replace("text", "[aeiou]", "*")).cast("long").alias(
+            "len_after_sub"
+        ),
+        (F.regexp_instr("text", F.lit("[.!?]")) > 0).alias("has_sentence_end"),
+    )

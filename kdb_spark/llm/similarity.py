@@ -1466,3 +1466,67 @@ def emb_label_drift(embeddings: DataFrame) -> DataFrame:
             F.round(F.sqrt(F.col("ss").cast("double")) / F.lit(1e6), 6),
         ).alias("centroid_l2_drift"),
     )
+
+
+def emb_label_spread(embeddings: DataFrame) -> DataFrame:
+    """Within-label scatter per class: the trace of the per-label
+    covariance (Σ over dims of population variance) and its RMS radius —
+    the representation-collapse detector (a label whose spread → 0 has
+    collapsed to a point; one whose spread explodes has fractured), the
+    compactness complement to `emb_label_drift`'s between-half centroid
+    motion.
+
+    EXACT cross-engine: per (label, dim) the micro-unit sums s1/s2 are
+    exact integer folds (v6² in decimal — the emb_dim_stats discipline);
+    the per-dim population variance numerator n·s2 − s1² is an exact
+    decimal, summed over dims EXACTLY, and divided ONCE by n² through the
+    unsigned device at the 1e-12 grid (micro-units squared); rms =
+    sqrt(trace) is one IEEE double op, round(6).
+
+    Scale shape: posexplode → ONE hash agg to |labels|·d rows (map-side
+    combine), a ≤|labels| reduce — never an n·d shuffle.
+    """
+    from kdb_spark.analytics.exact import floor_div_sql
+
+    v6 = F.round(F.col("v") * F.lit(1.0e6)).cast("long")
+    flat = embeddings.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    ).select("label", "pos", v6.alias("v6"))
+    g = flat.groupBy("label", "pos").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("v6").cast("decimal(38,0)")).alias("s1"),
+        F.sum(
+            F.col("v6").cast("decimal(19,0)") * F.col("v6").cast("decimal(19,0)")
+        ).alias("s2"),
+    )
+    per_label = g.groupBy("label").agg(
+        F.min("n").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("d"),
+        F.sum(
+            F.col("n").cast("decimal(38,0)") * F.col("s2") - F.col("s1") * F.col("s1")
+        ).alias("num"),
+    )
+    # trace in value units²: num/(n²·10¹²), device-rounded at 12 dp in
+    # integer space, one exact cast to double
+    tr = F.expr(
+        floor_div_sql(
+            "2 * CAST(num AS DECIMAL(38,0))"
+            " + CAST(n AS DECIMAL(38,0)) * n",
+            "2 * CAST(n AS DECIMAL(38,0)) * n",
+        )
+    )
+    out = per_label.select(
+        F.col("label").cast("long").alias("label"),
+        "n",
+        "d",
+        F.when(F.col("n") > 0, tr).alias("trace_e12"),
+    )
+    return out.select(
+        "label",
+        "n",
+        "d",
+        (F.col("trace_e12").cast("double") / F.lit(1e12)).alias("trace_var"),
+        F.round(
+            F.sqrt(F.col("trace_e12").cast("double") / F.lit(1e12)), 6
+        ).alias("rms_spread"),
+    )

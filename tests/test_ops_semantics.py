@@ -3239,3 +3239,46 @@ def test_filter_funnel_first_fail_semantics(spark):
     # both die at the word-length gate
     assert r.n_wordlen_ok == 0 and r.n_pass == 0
     assert r.pass_rate == 0.0
+
+
+def test_volume_profile_rank_and_ties(spark):
+    """Ranking is (count desc, LOWER level first); shares are against the
+    FULL type tape, not the top-k slice."""
+    rows = [(i, 1, "a", v, i * 10) for i, v in enumerate(
+        [5.0, 5.0, 5.0, 7.0, 7.0, 3.0, 3.0, 9.0], 1)]
+    got = {r.level_rank: r
+           for r in agg.agg_volume_profile(_events(spark, rows), top_k=3).collect()}
+    assert got[1].c == 500 and got[1].n_ticks == 3
+    # 7.00 and 3.00 both count 2 → lower cent (300) ranks first
+    assert got[2].c == 300 and got[3].c == 700
+    assert got[1].type_total == 8 and got[1].share == 0.375
+
+
+def test_table_freshness_windows_and_age(spark):
+    """Trailing windows are strict > (now − w); age is exact µs."""
+    H = 3_600_000_000
+    now = 100 * H
+    rows = [
+        (1, 1, "a", 1.0, now - 30 * 60_000_000),   # 30min ago → 1h,24h,7d
+        (2, 1, "a", 1.0, now - 2 * H),             # 2h ago → 24h,7d
+        (3, 1, "a", 1.0, now - 30 * 24 * H),       # 30d ago → none
+    ]
+    r = agg.table_freshness(_events(spark, rows), now).collect()[0]
+    assert (r.n_total, r.n_1h, r.n_24h, r.n_7d) == (3, 1, 2, 2)
+    assert r.age_us == 30 * 60_000_000
+
+
+def test_label_spread_hand_variance(spark):
+    """Two 1-d vectors at ±1 around mean 0 → population variance 1.0;
+    a single-point label → spread 0."""
+    rows = [
+        (0, [1.0], 0),
+        (1, [-1.0], 0),
+        (2, [5.0], 1),
+    ]
+    from kdb_spark.llm import similarity as sim
+
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = {r.label: r for r in sim.emb_label_spread(emb).collect()}
+    assert got[0].trace_var == 1.0 and got[0].rms_spread == 1.0
+    assert got[1].trace_var == 0.0 and got[1].rms_spread == 0.0
