@@ -8466,3 +8466,96 @@ _reg(
     FROM events GROUP BY 1
     """,
 )
+
+
+# VACUUM the versioned table: expire old manifests, delete unreferenced
+# dirs, read-back byte-identical for surviving versions
+_reg(
+    "sink_vacuum",
+    src.q_sink_vacuum,
+    f"""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_c,
+           CAST(min(epoch_us(ts) // {DAY_US}) AS BIGINT) AS min_day
+    FROM events
+    WHERE epoch_us(ts) // {DAY_US} - 19723 < 30
+    GROUP BY event_type
+    """,
+)
+
+
+# Live time-since-high: O(1) state replay of win_peak_age (oracle = the
+# batch expanding struct max — every row emits)
+_reg(
+    "stream_peak_age",
+    sm.stream_peak_age,
+    """
+    WITH t AS (
+      SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events),
+    p AS (
+      SELECT *, max(struct_pack(c := c, tu := ts_us, eid := event_id)) OVER (
+          PARTITION BY user_id, event_type ORDER BY ts_us, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pk
+      FROM t)
+    SELECT user_id, event_type, ts_us, event_id,
+           CAST(pk.c AS BIGINT) AS peak_c,
+           CAST(pk.tu AS BIGINT) AS peak_ts_us,
+           CAST(ts_us - pk.tu AS BIGINT) AS peak_age_us
+    FROM p
+    """,
+)
+
+
+# Depth-1 binary-segmentation changepoint: exact integer split scores,
+# one IEEE divide, total-ordered struct argmax
+_reg(
+    "agg_changepoint",
+    lambda s, d: agg.agg_changepoint(events_us(s, d)),
+    """
+    WITH t AS (
+      SELECT event_type, epoch_us(ts) AS tu, event_id,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events),
+    w AS (
+      SELECT event_type, tu, event_id,
+             sum(c) OVER (PARTITION BY event_type ORDER BY tu, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sk,
+             CAST(count(*) OVER (PARTITION BY event_type ORDER BY tu, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS k,
+             sum(c) OVER (PARTITION BY event_type) AS s,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM t),
+    f AS (
+      SELECT *,
+             abs(CAST(sk AS HUGEINT) * (n - k)
+                 - (CAST(s AS HUGEINT) - sk) * k) AS num,
+             CAST(k AS HUGEINT) * (n - k) AS den
+      FROM w WHERE k < n),
+    sc AS (
+      SELECT event_type,
+             max(struct_pack(
+               score := CAST(num AS DOUBLE) / CAST(den AS DOUBLE),
+               nts := -tu, neid := -event_id,
+               split_ts_us := tu, n_left := k, n_right := n - k,
+               sl := sk, sr := s - sk)) AS b
+      FROM f GROUP BY 1)
+    SELECT event_type,
+           CAST(b.split_ts_us AS BIGINT) AS split_ts_us,
+           CAST(b.n_left AS BIGINT) AS n_left,
+           CAST(b.n_right AS BIGINT) AS n_right,
+           (CASE WHEN b.sl < 0 THEN -1 ELSE 1 END)
+           * CAST((20000 * abs(CAST(b.sl AS HUGEINT)) + 100 * CAST(b.n_left AS HUGEINT))
+                  // (200 * CAST(b.n_left AS HUGEINT)) AS DOUBLE) / 1e4
+             AS mean_left,
+           (CASE WHEN b.sr < 0 THEN -1 ELSE 1 END)
+           * CAST((20000 * abs(CAST(b.sr AS HUGEINT)) + 100 * CAST(b.n_right AS HUGEINT))
+                  // (200 * CAST(b.n_right AS HUGEINT)) AS DOUBLE) / 1e4
+             AS mean_right,
+           round(b.score, 4) AS score
+    FROM sc
+    """,
+)

@@ -4799,3 +4799,75 @@ def table_freshness(events: DataFrame, now_us: int) -> DataFrame:
         in_win(24 * HOUR_US).alias("n_24h"),
         in_win(7 * DAY_US).alias("n_7d"),
     )
+
+
+def agg_changepoint(events: DataFrame) -> DataFrame:
+    """Single-changepoint detection per event_type (binary segmentation,
+    depth 1): the split of the time-ordered cent sequence that maximizes
+    the absolute mean difference between the two sides — where the level
+    SHIFTED (agg_quantile_drift measures drift across a GIVEN boundary;
+    this finds the boundary), the first step of the standard recursive
+    segmentation.
+
+    EXACT cross-engine: prefix sums/counts are one expanding integer
+    window; the split score |S_k·(n−k) − (S−S_k)·k| / (k·(n−k)) is a
+    single IEEE divide of two EXACT integers (identical on both
+    engines), and the argmax is one max over a struct whose tiebreak
+    (score, then EARLIEST (ts, id) via negation) is total — no
+    engine-dependent pick anywhere. Means surface through the signed
+    device at 4 dp. Types with n < 2 have no valid split and emit
+    nothing (surfaced by absence, like every rank-device op).
+
+    Scale shape: one (type) Exchange for the expanding window, one agg
+    to ≤|types| rows — the same single-sort posture as agg_var_es; at
+    100 TB the window input is the fact, so this is the disclosed
+    full-series sort every exact changepoint pays (the sketch path is a
+    binned approximation over agg_histogram).
+    """
+    c = cents("value")
+    wo = (
+        Window.partitionBy("event_type")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wp = Window.partitionBy("event_type")
+    t = events.select(
+        "event_type", "ts_us", "event_id", c.alias("c")
+    ).select(
+        "event_type",
+        "ts_us",
+        "event_id",
+        F.sum("c").over(wo).cast("decimal(38,0)").alias("sk"),
+        F.count(F.lit(1)).over(wo).cast("long").alias("k"),
+        F.sum("c").over(wp).cast("decimal(38,0)").alias("s"),
+        F.count(F.lit(1)).over(wp).cast("long").alias("n"),
+    ).filter(F.col("k") < F.col("n"))
+    num = F.abs(
+        F.col("sk") * (F.col("n") - F.col("k")) - (F.col("s") - F.col("sk")) * F.col("k")
+    )
+    den = (F.col("k").cast("decimal(38,0)") * (F.col("n") - F.col("k")))
+    scored = t.select(
+        "event_type",
+        F.struct(
+            (num.cast("double") / den.cast("double")).alias("score"),
+            (-F.col("ts_us")).alias("nts"),
+            (-F.col("event_id")).alias("neid"),
+            F.col("ts_us").alias("split_ts_us"),
+            F.col("k").alias("n_left"),
+            (F.col("n") - F.col("k")).alias("n_right"),
+            F.col("sk").alias("sl"),
+            (F.col("s") - F.col("sk")).alias("sr"),
+        ).alias("cand"),
+    )
+    best = scored.groupBy("event_type").agg(F.max("cand").alias("b"))
+    ml = iround_col("b.sl", "100 * CAST(b.n_left AS DECIMAL(38,0))", 4, signed=True)
+    mr = iround_col("b.sr", "100 * CAST(b.n_right AS DECIMAL(38,0))", 4, signed=True)
+    return best.select(
+        "event_type",
+        F.col("b.split_ts_us").cast("long").alias("split_ts_us"),
+        F.col("b.n_left").cast("long").alias("n_left"),
+        F.col("b.n_right").cast("long").alias("n_right"),
+        ml.alias("mean_left"),
+        mr.alias("mean_right"),
+        F.round("b.score", 4).alias("score"),
+    )

@@ -1211,3 +1211,96 @@ def q_sink_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("sum_open_c"),
     )
+
+
+def sink_vacuum(path: str, keep_last: int = 2) -> dict:
+    """Garbage-collect a `sink_versioned` table: drop every version
+    manifest older than the newest ``keep_last`` and physically delete
+    the data dirs no surviving manifest references — the VACUUM /
+    retention half of the table-format lifecycle (sink_versioned gives
+    immutable snapshots; unbounded history is a storage leak at 100 TB,
+    and this is the bounded-history contract every lakehouse exposes).
+
+    Safety order matters and is the Delta/Iceberg discipline restated:
+    (1) compute the survivor manifest set and its referenced-dir union
+    FIRST, (2) delete the expired MANIFESTS (after this no reader can
+    pin an expired snapshot — readers resolve versions through the log,
+    so an in-flight scan that already resolved its file list is
+    unaffected; local FS keeps open/reading files readable), (3) only
+    then delete unreferenced data dirs. A crash between (2) and (3)
+    leaks dirs (re-vacuum reclaims them), never breaks a readable
+    version. Time travel keeps working for every surviving version.
+
+    Returns {"versions_removed", "dirs_removed", "versions_kept"}.
+    Reference tie: this is the table-format form of the reference's
+    bucket retention sweep (/root/reference/dbase/dbase.go:323-364 —
+    drop whole expired buckets, never rewrite survivors).
+    """
+    import json
+    import os
+    import shutil
+
+    log_dir = os.path.join(path, "_log")
+    versions = sorted(
+        int(f.split(".")[0])
+        for f in os.listdir(log_dir)
+        if f.endswith(".json") and not f.startswith(".")
+    )
+    if keep_last < 1:
+        raise ValueError("sink_vacuum: keep_last must be >= 1")
+    keep = versions[-keep_last:]
+    expire = [v for v in versions if v not in keep]
+    referenced: set[str] = set()
+    for v in keep:
+        with open(os.path.join(log_dir, f"{v}.json")) as fh:
+            referenced.update(json.load(fh)["dirs"])
+    for v in expire:
+        os.unlink(os.path.join(log_dir, f"{v}.json"))
+    data_root = os.path.join(path, "data")
+    removed_dirs = 0
+    if os.path.isdir(data_root):
+        live_roots = {d.split(os.sep)[1] for d in referenced}
+        for sub in sorted(os.listdir(data_root)):
+            rel = os.path.join("data", sub)
+            if sub in live_roots or rel in referenced:
+                continue
+            shutil.rmtree(os.path.join(data_root, sub), ignore_errors=True)
+            removed_dirs += 1
+    return {
+        "versions_removed": len(expire),
+        "dirs_removed": removed_dirs,
+        "versions_kept": len(keep),
+    }
+
+
+def q_sink_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v0 (days <10, later fully replaced) → v1 overwrite (days <20) →
+    v2 append (days 20..29); vacuum keep_last=2 must delete v0's
+    manifest AND its now-unreferenced dirs while v1/v2 read back
+    byte-identically — the read-back aggregate is the oracle row."""
+    import os
+
+    from kdb_spark.tables import DAY_US, cents, events_us
+
+    path = _tmp("vacuum")
+    day0 = 19723
+    ev = events_us(spark, sf_dir).select(
+        "event_id", "event_type", cents("value").alias("c"), "ts_us"
+    )
+    day = F.expr(f"ts_us div {DAY_US}") - F.lit(day0)
+    sink_versioned(ev.filter(day < 10), path, mode="overwrite")
+    sink_versioned(ev.filter(day < 20), path, mode="overwrite")
+    sink_versioned(ev.filter((day >= 20) & (day < 30)), path, mode="append")
+    stats = sink_vacuum(path, keep_last=2)
+    assert stats["versions_removed"] == 1 and stats["dirs_removed"] == 1, stats
+    # expired version must be gone from the log (time travel to it raises)
+    assert not os.path.exists(os.path.join(path, "_log", "0.json"))
+    return (
+        scan_version(spark, path)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("c").cast("long").alias("sum_c"),
+            F.min(F.expr(f"ts_us div {DAY_US}")).cast("long").alias("min_day"),
+        )
+    )

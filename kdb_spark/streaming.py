@@ -1911,3 +1911,101 @@ def stream_day_roll(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _drain(out, "append", partitions=16)
+
+
+# ------------------------------------------------------- peak-age monitor
+
+_PA_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("ts_us", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("peak_c", T.LongType()),
+        T.StructField("peak_ts_us", T.LongType()),
+        T.StructField("peak_age_us", T.LongType()),
+    ]
+)
+
+# (tail ts, tail eid, peak cents, peak ts, late counter) — O(1) per series.
+_PA_STATE = T.StructType(
+    [
+        T.StructField("ts_us", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("peak_c", T.LongType()),
+        T.StructField("peak_ts", T.LongType()),
+        T.StructField("n_late", T.LongType()),
+    ]
+)
+
+
+def _peak_age_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Emit every on-time row with the running peak, its timestamp, and
+    the µs age — the LIVE form of `win_peak_age` with the identical
+    latest-wins re-touch rule (c >= peak moves the clock), O(1) state.
+    Late rows drop-and-count per the `_delta_fn` contract."""
+    chunks = [c for c in pdfs if len(c)]
+    if not chunks:
+        return
+    pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+    ts = pdf["ts_us"].to_numpy()
+    eid = pdf["event_id"].to_numpy()
+    cs = pdf["c"].to_numpy()
+    order = np.lexsort((eid, ts))
+    ts, eid, cs = ts[order], eid[order], cs[order]
+    prev = tuple(state.get) if state.exists else None
+    n_late = int(prev[4]) if prev is not None else 0
+    peak_c = int(prev[2]) if prev is not None else None
+    peak_ts = int(prev[3]) if prev is not None else None
+    if prev is not None:
+        i0 = int(np.searchsorted(ts, prev[0], "left"))
+        i1 = int(np.searchsorted(ts, prev[0], "right"))
+        lo = i0 + int(np.searchsorted(eid[i0:i1], prev[1], "right"))
+        n_late += lo
+        if lo == len(ts):
+            state.update((prev[0], prev[1], peak_c, peak_ts, n_late))
+            return
+        ts, eid, cs = ts[lo:], eid[lo:], cs[lo:]
+    rows = {c: [] for c in ("ts_us", "event_id", "peak_c", "peak_ts_us", "peak_age_us")}
+    for i in range(len(ts)):
+        c = int(cs[i])
+        t = int(ts[i])
+        if peak_c is None or c >= peak_c:
+            peak_c, peak_ts = c, t
+        rows["ts_us"].append(t)
+        rows["event_id"].append(int(eid[i]))
+        rows["peak_c"].append(peak_c)
+        rows["peak_ts_us"].append(peak_ts)
+        rows["peak_age_us"].append(t - peak_ts)
+    state.update((int(ts[-1]), int(eid[-1]), int(peak_c), int(peak_ts), n_late))
+    k_user, k_type = key
+    out = pd.DataFrame(rows)
+    out.insert(0, "user_id", int(k_user))
+    out.insert(1, "event_type", k_type)
+    yield out[["user_id", "event_type", "ts_us", "event_id",
+               "peak_c", "peak_ts_us", "peak_age_us"]]
+
+
+def stream_peak_age(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live time-since-high per series (the batch twin `win_peak_age`,
+    whose expanding struct max this replays in O(1) state — the re-touch
+    tie is `c >= peak`, identical to lexicographic struct max with the
+    later timestamp winning on equal cents)."""
+    s = events_stream(spark, sf_dir)
+    out = (
+        s.select(
+            "user_id", "event_type", "ts_us", "event_id",
+            cents("value").alias("c"),
+        )
+        .groupBy("user_id", "event_type")
+        .applyInPandasWithState(
+            _peak_age_fn,
+            outputStructType=_PA_OUT,
+            stateStructType=_PA_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return _drain(out, "append", partitions=16)

@@ -3282,3 +3282,49 @@ def test_label_spread_hand_variance(spark):
     got = {r.label: r for r in sim.emb_label_spread(emb).collect()}
     assert got[0].trace_var == 1.0 and got[0].rms_spread == 1.0
     assert got[1].trace_var == 0.0 and got[1].rms_spread == 0.0
+
+
+def test_changepoint_hand_shift(spark):
+    """A clean level shift is found at the boundary; means and score are
+    the exact device values; single-row types emit nothing."""
+    rows = [(i, 1, "a", 1.0, i * 100) for i in range(1, 5)]          # 4 @ 1.00
+    rows += [(10 + i, 1, "a", 5.0, 1000 + i * 100) for i in range(4)]  # 4 @ 5.00
+    rows += [(100, 1, "b", 3.0, 50)]
+    got = {r.event_type: r for r in agg.agg_changepoint(_events(spark, rows)).collect()}
+    a = got["a"]
+    assert a.split_ts_us == 400 and (a.n_left, a.n_right) == (4, 4)
+    assert a.mean_left == 1.0 and a.mean_right == 5.0
+    assert a.score == 400.0  # |mean_l − mean_r| in cents: |100 − 500|
+    assert "b" not in got
+
+
+def test_vacuum_expires_and_preserves(spark, tmp_path):
+    """keep_last=2: the oldest manifest and its unreferenced dir are
+    deleted; surviving versions read back identically; time travel to
+    the expired version raises; append-shared dirs are NOT deleted."""
+    import os
+
+    import pytest as _pt
+
+    from kdb_spark.sources import (
+        scan_version,
+        sink_vacuum,
+        sink_versioned,
+    )
+
+    path = str(tmp_path / "vac")
+    df0 = spark.createDataFrame([(1, "x")], "id long, v string")
+    df1 = spark.createDataFrame([(2, "y")], "id long, v string")
+    df2 = spark.createDataFrame([(3, "z")], "id long, v string")
+    sink_versioned(df0, path, mode="overwrite")        # v0: dirs [A]
+    sink_versioned(df1, path, mode="overwrite")        # v1: dirs [B]
+    sink_versioned(df2, path, mode="append")           # v2: dirs [B, C]
+    stats = sink_vacuum(path, keep_last=2)
+    assert stats == {"versions_removed": 1, "dirs_removed": 1, "versions_kept": 2}
+    assert {r.id for r in scan_version(spark, path).collect()} == {2, 3}
+    assert {r.id for r in scan_version(spark, path, 1).collect()} == {2}
+    with _pt.raises(ValueError):
+        scan_version(spark, path, 0)
+    # idempotent: nothing left to reclaim
+    assert sink_vacuum(path, keep_last=2)["dirs_removed"] == 0
+    assert len(os.listdir(os.path.join(path, "data"))) == 2
