@@ -2668,3 +2668,79 @@ def test_churn_and_records_match_bruteforce(spark, pts):
     else:
         [r] = got_r
         assert (r.n, r.n_records, r.n_stale) == (n, rec, stale)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    base=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 3), st.integers(0, 99)),
+        min_size=0, max_size=20, unique_by=lambda r: r[0],
+    ),
+    inc=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 3), st.integers(100, 199)),
+        min_size=1, max_size=10, unique_by=lambda r: r[0],
+    ),
+)
+def test_scoped_upsert_matches_dict_model(spark, base, inc, tmp_path_factory):
+    """Brute-force law for the partition-scoped MERGE: against a plain
+    dict model keyed (part, key) — scoped semantics — the table after
+    bootstrap-upsert(base) + upsert(inc) equals model[base] updated by
+    model[inc], for ANY partition layout the data implies."""
+    from kdb_spark.sources import scan_version, sink_upsert
+
+    path = str(tmp_path_factory.mktemp("prop_upsert") / "t")
+    schema = "id long, part int, v long"
+    bdf = spark.createDataFrame([(i, p, v) for i, p, v in base], schema)
+    idf = spark.createDataFrame([(i, p, v) for i, p, v in inc], schema)
+    if base:
+        sink_upsert(bdf, path, key="id", part_col="part")
+    sink_upsert(idf, path, key="id", part_col="part")
+    model = {(p, i): v for i, p, v in base}
+    model.update({(p, i): v for i, p, v in inc})
+    got = {(r.part, r.id): r.v for r in scan_version(spark, path).collect()}
+    assert got == model
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(lambda e: e[0] != e[1]),
+        min_size=1, max_size=20,
+    ),
+    seeds=st.sets(st.integers(0, 9), min_size=1, max_size=3),
+)
+def test_bfs_levels_matches_bruteforce(spark, edges, seeds):
+    """BFS law: levels equal the hand-computed multi-source BFS (depth 3)
+    on any directed graph, including unreachable vertices (absent) and
+    isolated seeds (level 0)."""
+    from kdb_spark.analytics import graph as gr
+    from kdb_spark.llm.dedup import _REUSE_CACHE
+
+    _REUSE_CACHE.pop("bfs_edges", None)
+    edf = spark.createDataFrame(sorted(set(edges)), "src long, dst long")
+    sdf = spark.createDataFrame([(v,) for v in sorted(seeds)], "v long")
+    got = {r.v: r.lvl for r in gr.bfs_levels(edf, sdf, max_depth=3).collect()}
+    # hand BFS
+    adj = {}
+    for a, b in set(edges):
+        adj.setdefault(a, set()).add(b)
+    want = {v: 0 for v in seeds}
+    frontier = set(seeds)
+    for lvl in (1, 2, 3):
+        nxt = set()
+        for u in frontier:
+            nxt |= adj.get(u, set())
+        nxt -= set(want)
+        for v in nxt:
+            want[v] = lvl
+        frontier = nxt
+    assert got == want
+    _REUSE_CACHE.pop("bfs_edges", None)
