@@ -8559,3 +8559,59 @@ _reg(
     FROM sc
     """,
 )
+
+
+# Engagement-depth census: active-day count histogram off a two-stage
+# distinct-grain collapse
+_reg(
+    "agg_user_lifetime",
+    lambda s, d: agg.agg_user_lifetime(events_us(s, d)),
+    f"""
+    WITH pd AS (
+      SELECT user_id, epoch_us(ts) // {DAY_US} AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    u AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS active_days,
+             CAST(sum(n) AS BIGINT) AS n_events
+      FROM pd GROUP BY 1),
+    g AS (
+      SELECT active_days, CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(n_events) AS BIGINT) AS sum_events
+      FROM u GROUP BY 1)
+    SELECT active_days, n_users, sum_events,
+           CAST((2000000 * CAST(sum_events AS HUGEINT) + n_users)
+                // (2 * CAST(n_users AS HUGEINT)) AS DOUBLE) / 1e6
+             AS mean_events
+    FROM g
+    """,
+)
+
+
+# Rapid-reorder forensics: consecutive same-customer orders within 7 days
+_reg(
+    "sql_rapid_reorders",
+    lambda s, d: agg.sql_rapid_reorders(load(s, d, "orders")),
+    """
+    WITH t AS (
+      SELECT o_custkey, o_orderkey,
+             epoch_us(o_orderdate) // 86400000000 AS day,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+      FROM orders),
+    l AS (
+      SELECT o_custkey, day, price_c,
+             day - lag(day) OVER (PARTITION BY o_custkey
+                                  ORDER BY day, o_orderkey) AS gap_d
+      FROM t)
+    SELECT o_custkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN gap_d <= 7 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_rapid,
+           CAST(min(gap_d) AS BIGINT) AS min_gap_d,
+           CAST(sum(CASE WHEN gap_d <= 7 THEN price_c ELSE 0 END) AS BIGINT)
+             AS rapid_c
+    FROM l
+    GROUP BY 1
+    HAVING sum(CASE WHEN gap_d <= 7 THEN 1 ELSE 0 END) > 0
+    """,
+)

@@ -4871,3 +4871,89 @@ def agg_changepoint(events: DataFrame) -> DataFrame:
         mr.alias("mean_right"),
         F.round("b.score", 4).alias("score"),
     )
+
+
+def agg_user_lifetime(events: DataFrame) -> DataFrame:
+    """User-engagement-depth census: per user the number of DISTINCT
+    active days and the event total, pooled per active-day count — the
+    engagement-depth distribution a retention model trains on
+    (retention_cohort tracks the calendar grid; agg_dau_mau the daily
+    stock; this is the per-user depth histogram, censoring disclosed:
+    depth is bounded by the tape length, not by churn).
+
+    EXACT cross-engine, all integers: active days are a per-(user, day)
+    distinct grain collapsed user-wise, the census pools exact counts
+    and event sums, and the per-depth mean events rides the unsigned
+    device.
+
+    Scale shape: one (user, day) pre-aggregate (map-side combined — the
+    shuffle carries active user-days, not events), one user collapse
+    reusing the same hash partitioning (superset clustering), then a
+    ≤tape-days reduce.
+    """
+    per_day = events.select(
+        "user_id", F.expr(f"ts_us div {DAY_US}").alias("day")
+    ).groupBy("user_id", "day").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    per_user = per_day.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("active_days"),
+        F.sum("n").cast("long").alias("n_events"),
+    )
+    g = per_user.groupBy("active_days").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("n_events").cast("long").alias("sum_events"),
+    )
+    mean6 = F.expr(
+        floor_div_sql(
+            "2000000 * CAST(sum_events AS DECIMAL(38,0)) + n_users",
+            "2 * CAST(n_users AS DECIMAL(38,0))",
+        )
+    )
+    return g.select(
+        "active_days",
+        "n_users",
+        "sum_events",
+        (mean6.cast("double") / F.lit(1e6)).alias("mean_events"),
+    )
+
+
+def sql_rapid_reorders(orders: DataFrame, within_days: int = 7) -> DataFrame:
+    """Rapid-reorder screen as SQL text: consecutive orders by the same
+    customer placed within ``within_days`` of each other — the
+    double-submission / impulsive-reorder forensics cut (the order-table
+    sibling of agg_gap_histogram's cadence profile, with the business
+    threshold made explicit): per customer the rapid-pair count, the
+    tightest gap, and the money involved.
+
+    EXACT: integer epoch-day gaps off one customer-ordered lag (ties
+    broken by orderkey), exact cents; one HAVING cut keeps only
+    customers with at least one rapid pair.
+
+    Scale shape: one customer-key window Exchange, one customer agg
+    reusing the same partitioning — the fact is shuffled once.
+    """
+    return orders.sparkSession.sql(
+        f"""
+        WITH t AS (
+          SELECT o_custkey, o_orderkey,
+                 unix_micros(CAST(o_orderdate AS TIMESTAMP))
+                   DIV 86400000000 AS day,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+          FROM {{orders_v}}),
+        l AS (
+          SELECT o_custkey, day, price_c,
+                 day - lag(day) OVER (PARTITION BY o_custkey
+                                      ORDER BY day, o_orderkey) AS gap_d
+          FROM t)
+        SELECT o_custkey,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CASE WHEN gap_d <= {within_days} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_rapid,
+               CAST(min(gap_d) AS BIGINT) AS min_gap_d,
+               CAST(sum(CASE WHEN gap_d <= {within_days} THEN price_c ELSE 0 END)
+                    AS BIGINT) AS rapid_c
+        FROM l
+        GROUP BY 1
+        HAVING sum(CASE WHEN gap_d <= {within_days} THEN 1 ELSE 0 END) > 0
+        """,
+        orders_v=orders,
+    )

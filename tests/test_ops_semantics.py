@@ -3328,3 +3328,43 @@ def test_vacuum_expires_and_preserves(spark, tmp_path):
     # idempotent: nothing left to reclaim
     assert sink_vacuum(path, keep_last=2)["dirs_removed"] == 0
     assert len(os.listdir(os.path.join(path, "data"))) == 2
+
+
+def test_user_lifetime_active_days(spark):
+    """Distinct active days per user, pooled; multi-event days count
+    once; device mean."""
+    DAY = 86_400_000_000
+    rows = [
+        (1, 1, "a", 1.0, 0),
+        (2, 1, "a", 1.0, 5),            # same day
+        (3, 1, "a", 1.0, 2 * DAY),      # user 1: 2 active days, 3 events
+        (4, 2, "a", 1.0, 0),            # user 2: 1 day, 1 event
+        (5, 3, "a", 1.0, DAY),          # user 3: 1 day, 1 event
+    ]
+    got = {r.active_days: r for r in agg.agg_user_lifetime(_events(spark, rows)).collect()}
+    assert got[2].n_users == 1 and got[2].sum_events == 3 and got[2].mean_events == 3.0
+    assert got[1].n_users == 2 and got[1].mean_events == 1.0
+
+
+def test_rapid_reorders_gap_and_having(spark):
+    """Only customers with a ≤7-day consecutive gap survive; the pair
+    money is the LATER order's cents; first orders have no gap."""
+    import datetime
+
+    def d(day):
+        return datetime.datetime(1995, 1, 1) + datetime.timedelta(days=day)
+
+    orders = spark.createDataFrame(
+        [
+            (1, 10, 100.0, d(0)),
+            (2, 10, 200.0, d(3)),    # gap 3 → rapid, 20000c
+            (3, 10, 300.0, d(40)),   # gap 37 → not
+            (4, 20, 100.0, d(0)),
+            (5, 20, 100.0, d(30)),   # gap 30 → customer 20 filtered out
+        ],
+        "o_orderkey long, o_custkey long, o_totalprice double, o_orderdate timestamp",
+    )
+    got = {r.o_custkey: r for r in agg.sql_rapid_reorders(orders).collect()}
+    assert list(got) == [10]
+    assert got[10].n_rapid == 1 and got[10].rapid_c == 20000
+    assert got[10].min_gap_d == 3 and got[10].n_orders == 3
