@@ -8615,3 +8615,32 @@ _reg(
     HAVING sum(CASE WHEN gap_d <= 7 THEN 1 ELSE 0 END) > 0
     """,
 )
+
+
+# Magic-byte container census: the oracle PREDICTS each class from the
+# id rotation (+ the honest raw-body collision cases) without parsing —
+# a classifier offset/literal bug breaks the round-trip
+_reg(
+    "mm_magic_census",
+    lambda s, d: mm.mm_magic_census(load(s, d, "documents")),
+    """
+    WITH t AS (
+      SELECT lang,
+             CASE
+               WHEN doc_id % 4 = 1 THEN 'png'
+               WHEN doc_id % 4 = 2 THEN 'wav'
+               WHEN doc_id % 4 = 0 THEN 'bmp'
+               WHEN text LIKE 'BM%' THEN 'bmp'
+               WHEN substr(text, 1, 4) = 'RIFF' AND substr(text, 9, 4) = 'WAVE'
+                 THEN 'wav'
+               ELSE 'raw'
+             END AS magic,
+             octet_length(encode(text))
+               + CASE doc_id % 4 WHEN 0 THEN 2 WHEN 1 THEN 8
+                                 WHEN 2 THEN 12 ELSE 0 END AS nb
+      FROM documents)
+    SELECT magic, lang, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(nb) AS BIGINT) AS total_bytes
+    FROM t GROUP BY 1, 2
+    """,
+)

@@ -651,3 +651,58 @@ def mm_modality_census(documents: DataFrame, embeddings: DataFrame) -> DataFrame
             "total_bytes", "CAST(n_rows AS DECIMAL(38,0))", 6, signed=False
         ).alias("mean_bytes"),
     )
+
+
+def mm_magic_census(documents: DataFrame) -> DataFrame:
+    """Magic-byte container census: classify every payload by its FILE
+    HEADER (BMP 'BM', PNG 8-byte signature, RIFF/WAVE, else raw) and
+    census the detected types per language — the ingest-edge corruption
+    screen (a payload whose bytes don't open with any known container is
+    quarantined BEFORE a decoder ever runs; mm_modality_census profiles
+    sizes, this validates the bytes themselves).
+
+    Payload synthesis is the documents' deterministic fake (utf-8 text),
+    here wrapped in a doc_id-keyed rotation of real container headers so
+    the classifier has all four classes to detect — the detection path
+    reads ONLY the bytes (binary substring compares against hex
+    literals, whole-stage codegen), so swapping in real assets changes
+    nothing but the fake.
+
+    EXACT cross-engine: the oracle PREDICTS each class from the id
+    rotation and byte arithmetic without parsing — a classifier bug
+    (wrong offset, wrong literal, signed-byte slip) breaks the
+    round-trip and fails the hash.
+
+    Scale shape: map-only construct + classify, one (magic, lang) hash
+    agg, map-side combined.
+    """
+    body = F.encode("text", "utf-8")
+    hdr = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit(b"BM"))
+        .when(F.col("doc_id") % 4 == 1, F.lit(b"\x89PNG\r\n\x1a\n"))
+        .when(F.col("doc_id") % 4 == 2, F.lit(b"RIFF\x00\x00\x00\x00WAVE"))
+        .otherwise(F.lit(b""))
+    )
+    t = documents.select(
+        "doc_id", "lang", F.concat(hdr, body).alias("payload")
+    )
+    magic = (
+        F.when(F.expr("substring(payload, 1, 8) = X'89504E470D0A1A0A'"), "png")
+        .when(
+            F.expr(
+                "substring(payload, 1, 4) = X'52494646'"
+                " AND substring(payload, 9, 4) = X'57415645'"
+            ),
+            "wav",
+        )
+        .when(F.expr("substring(payload, 1, 2) = X'424D'"), "bmp")
+        .otherwise("raw")
+    )
+    return (
+        t.select("lang", magic.alias("magic"), F.length("payload").cast("long").alias("nb"))
+        .groupBy("magic", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("nb").cast("long").alias("total_bytes"),
+        )
+    )

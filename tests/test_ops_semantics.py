@@ -3368,3 +3368,27 @@ def test_rapid_reorders_gap_and_having(spark):
     assert list(got) == [10]
     assert got[10].n_rapid == 1 and got[10].rapid_c == 20000
     assert got[10].min_gap_d == 3 and got[10].n_orders == 3
+
+
+def test_magic_census_detects_by_bytes_not_ids(spark):
+    """The classifier reads BYTES: a raw body that happens to start with
+    'BM' classifies as bmp (the honest collision), the wav check needs
+    BOTH 'RIFF' and 'WAVE' at the right offsets, and byte totals include
+    the synthesized headers."""
+    from kdb_spark.llm import multimodal as mm
+
+    docs = spark.createDataFrame(
+        [
+            (0, "hello", "en", "s", 5),      # BM header → bmp, 7 bytes
+            (1, "hello", "en", "s", 5),      # PNG sig → png, 13 bytes
+            (2, "hello", "en", "s", 5),      # RIFF/WAVE → wav, 17 bytes
+            (3, "BMx", "en", "s", 3),        # raw body starting BM → bmp
+            (7, "RIFFxxxxWONK", "en", "s", 12),  # RIFF but no WAVE → raw
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {r.magic: r for r in mm.mm_magic_census(docs).collect()}
+    assert got["bmp"].n == 2 and got["bmp"].total_bytes == 7 + 3
+    assert got["png"].n == 1 and got["png"].total_bytes == 13
+    assert got["wav"].n == 1 and got["wav"].total_bytes == 17
+    assert got["raw"].n == 1
