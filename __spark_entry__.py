@@ -8644,3 +8644,30 @@ _reg(
     FROM t GROUP BY 1, 2
     """,
 )
+
+
+# Per-source token-length order statistics (the packing-config numbers)
+_reg(
+    "token_length_profile",
+    lambda s, d: tx.token_length_profile(load(s, d, "documents")),
+    """
+    WITH t AS (
+      SELECT source, doc_id,
+             CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+               AS nt
+      FROM documents),
+    r AS (
+      SELECT source, nt,
+             row_number() OVER (PARTITION BY source ORDER BY nt, doc_id) AS rn,
+             CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+      FROM t)
+    SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+           CAST(sum(nt) AS BIGINT) AS total_tokens,
+           CAST(max(CASE WHEN rn = (50 * n + 99) // 100 THEN nt END) AS BIGINT)
+             AS p50_tokens,
+           CAST(max(CASE WHEN rn = (95 * n + 99) // 100 THEN nt END) AS BIGINT)
+             AS p95_tokens,
+           CAST(max(nt) AS BIGINT) AS max_tokens
+    FROM r GROUP BY 1
+    """,
+)

@@ -1172,3 +1172,45 @@ def text_char_classes(documents: DataFrame) -> DataFrame:
         share("n_space").alias("space_share"),
         share("n_other").alias("other_share"),
     )
+
+
+def token_length_profile(documents: DataFrame) -> DataFrame:
+    """Per-source token-length profile: exact p50 / p95 / max of the
+    token count plus totals — the numbers a packing configuration is
+    actually derived from (`pack_sequences` needs a budget ≥ the p95 of
+    what it packs; `token_histogram` shows the corpus-wide shape, this
+    gives the per-source order statistics the mix planner reads).
+
+    EXACT cross-engine: token counts are exact integers (the shared
+    tokenizer), p50/p95 are ⌈n/2⌉ / ⌈19n/20⌉-th order statistics via the
+    rank device within source, totals are bigint sums.
+
+    Scale shape: map-only token count, then the agg_var_es single-sort
+    posture per source (rank + partition count + conditional agg) —
+    ≤|sources| output rows.
+    """
+    from pyspark.sql import Window
+
+    from kdb_spark.llm.dedup import tokens
+
+    t = documents.select(
+        "source", "doc_id", F.size(tokens("text")).cast("long").alias("nt")
+    )
+    wo = Window.partitionBy("source").orderBy("nt", "doc_id")
+    wp = Window.partitionBy("source")
+    r = t.select(
+        "source",
+        "nt",
+        F.row_number().over(wo).alias("rn"),
+        F.count(F.lit(1)).over(wp).cast("long").alias("n"),
+    )
+    r = r.withColumn("k50", F.expr("(50 * n + 99) div 100")).withColumn(
+        "k95", F.expr("(95 * n + 99) div 100")
+    )
+    return r.groupBy("source").agg(
+        F.max("n").alias("n_docs"),
+        F.sum("nt").cast("long").alias("total_tokens"),
+        F.max(F.when(F.col("rn") == F.col("k50"), F.col("nt"))).cast("long").alias("p50_tokens"),
+        F.max(F.when(F.col("rn") == F.col("k95"), F.col("nt"))).cast("long").alias("p95_tokens"),
+        F.max("nt").cast("long").alias("max_tokens"),
+    )
