@@ -8671,3 +8671,18 @@ _reg(
     FROM r GROUP BY 1
     """,
 )
+
+
+# DESCRIBE HISTORY for the versioned table: the commit sequence fully
+# determines the history rows, so the oracle is the expected literals
+_reg(
+    "scan_history",
+    src.q_scan_history,
+    """
+    SELECT * FROM (VALUES
+      (CAST(0 AS BIGINT), 'overwrite', CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+      (CAST(1 AS BIGINT), 'append',    CAST(2 AS BIGINT), CAST(0 AS BIGINT)),
+      (CAST(2 AS BIGINT), 'merge',     CAST(20 AS BIGINT), CAST(20 AS BIGINT))
+    ) AS t(version, mode, n_dirs, n_mapped)
+    """,
+)

@@ -1304,3 +1304,63 @@ def q_sink_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.expr(f"ts_us div {DAY_US}")).cast("long").alias("min_day"),
         )
     )
+
+
+def scan_history(spark: SparkSession, path: str) -> DataFrame:
+    """Table history of a `sink_versioned` table (DESCRIBE HISTORY):
+    one row per committed version with its commit mode, visible-dir
+    count, and how many dirs carry a partition mapping — the audit
+    surface operators read before a rollback or a vacuum (version
+    numbers + modes tell you WHAT each commit was; dir counts tell you
+    what it would cost to time-travel or GC).
+
+    Manifest-only: the log is read driver-side (it is log-bound — one
+    small JSON per commit, the same scaling as Delta's history) and
+    surfaced as a DataFrame; zero data IO.
+    """
+    import json
+    import os
+
+    log_dir = os.path.join(path, "_log")
+    if not os.path.isdir(log_dir):
+        raise ValueError(f"no versioned table at {path} (missing _log)")
+    rows = []
+    for f in sorted(os.listdir(log_dir)):
+        if not f.endswith(".json") or f.startswith("."):
+            continue
+        with open(os.path.join(log_dir, f)) as fh:
+            m = json.load(fh)
+        rows.append(
+            (int(m["version"]), m["mode"], len(m["dirs"]), len(m.get("parts", {})))
+        )
+    rows.sort()
+    return spark.createDataFrame(
+        rows, "version long, mode string, n_dirs long, n_mapped long"
+    )
+
+
+def q_scan_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic three-commit history: overwrite seed (1 dir) →
+    append (2 visible) → partition-scoped MERGE over days 5..14 (legacy
+    dirs split into the 20 per-day dirs, all mapped) — the history table
+    is fully determined by the commit sequence, so the oracle is the
+    expected literal rows."""
+    from kdb_spark.tables import DAY_US, cents, events_us
+
+    path = _tmp("history")
+    day0 = 19723
+    ev = events_us(spark, sf_dir).select(
+        "event_id",
+        "event_type",
+        cents("value").alias("c"),
+        (F.expr(f"ts_us div {DAY_US}") - F.lit(day0)).alias("day"),
+    )
+    sink_versioned(ev.filter(F.col("day") < 10), path, mode="overwrite")
+    sink_versioned(
+        ev.filter((F.col("day") >= 10) & (F.col("day") < 20)), path, mode="append"
+    )
+    inc = ev.filter((F.col("day") >= 5) & (F.col("day") < 15)).withColumn(
+        "c", F.col("c") + F.lit(1)
+    )
+    sink_upsert(inc, path, key="event_id", part_col="day")
+    return scan_history(spark, path)
