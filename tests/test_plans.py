@@ -610,3 +610,32 @@ def test_round13_ops_plan_shapes(spark):
     assert "Exchange" not in plan, plan
     plan = plan_of(agg.agg_flow_imbalance(ev))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_round13_wave2plus_plan_shapes(spark):
+    """win_seasonal_naive: ONE Exchange (the explicit repartition serves
+    slot-day collapse + slot lag). agg_volume_profile: the first
+    Exchange carries the (type, level) grain, not ticks — i.e. a
+    partial_count HashAggregate sits below it. scalar_regex and
+    mm_magic_census: map-only."""
+    import re
+
+    from kdb_spark.analytics import aggregations as agg
+    from kdb_spark.analytics import windows as wn
+    from kdb_spark.llm import multimodal as mm
+    from kdb_spark.analytics import scalars as sc
+
+    ev = events_us(spark, SF_DIR)
+    plan = plan_of(wn.win_seasonal_naive(ev))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+    plan = plan_of(agg.agg_volume_profile(ev))
+    # map-side combine on the (type, level) grain BEFORE any exchange —
+    # the shuffle carries distinct levels, not ticks
+    assert "partial_count" in plan, plan
+
+    docs = load(spark, SF_DIR, "documents")
+    for df in (sc.scalar_regex(docs), mm.mm_magic_census(docs).limit(0)):
+        pass
+    plan = plan_of(sc.scalar_regex(docs))
+    assert "Exchange" not in plan and "EvalPython" not in plan, plan
