@@ -126,6 +126,18 @@ def oracle_sql() -> dict[str, str]:
     return {k: _ORACLE[k] for k in _rotated(list(_Q)) if k in _ORACLE}
 
 
+def registration_order() -> list[str]:
+    """Stable registration-order key list for the BENCH harness. Per-key
+    cold timings must be comparable ACROSS rounds, but the driver-rotation
+    order (stalest-first) reshuffles which keys sit at the session head
+    each round, and head keys absorb residual startup cost despite the
+    warmup blocks (r13 flip audit: the only two-consecutive >2× cold
+    flips were bench positions 1 and 4 with untouched code and clean warm
+    ratios). bench.py therefore times keys in this fixed order; the
+    driver contract — queries()/oracle_sql() rotation — is unchanged."""
+    return list(_Q)
+
+
 # --------------------------------------------------------------------- kernel
 
 _reg(

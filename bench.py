@@ -118,6 +118,11 @@ def main() -> int:
     )
 
     qs = entry.queries()
+    if hasattr(entry, "registration_order"):
+        # fixed cross-round timing order — the driver-rotation order moves
+        # different keys to the session head each round, and head keys
+        # absorb residual startup cost (r13 flip audit)
+        qs = {k: qs[k] for k in entry.registration_order()}
     if len(sys.argv) > 1:  # iterate on a subset: python bench.py name1 name2
         qs = {k: qs[k] for k in sys.argv[1:]}
     # Each query runs twice: the first (cold) execution includes its
