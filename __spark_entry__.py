@@ -8698,3 +8698,139 @@ _reg(
     ) AS t(version, mode, n_dirs, n_mapped)
     """,
 )
+
+
+# Label-affinity cosine matrix over micro-unit integer centroids: the
+# confusion-risk map (one sqrt of an exact product per pair)
+_reg(
+    "emb_label_affinity",
+    lambda s, d: sim.emb_label_affinity(load(s, d, "embeddings")),
+    """
+    WITH flat AS (
+      SELECT label, unnest(range(len(embedding))) AS pos,
+             unnest(embedding) AS v
+      FROM embeddings),
+    g AS (
+      SELECT label, pos, count(*) AS n,
+             sum(CAST(round(v * 1e6) AS BIGINT)) AS s
+      FROM flat GROUP BY 1, 2),
+    m AS (
+      SELECT label, pos,
+             (CASE WHEN s < 0 THEN -1 ELSE 1 END)
+             * ((2 * abs(CAST(s AS HUGEINT)) + n) // (2 * CAST(n AS HUGEINT)))
+               AS m6
+      FROM g),
+    p AS (
+      SELECT a.label AS la, b.label AS lb,
+             sum(a.m6 * b.m6) AS dot,
+             sum(a.m6 * a.m6) AS na2,
+             sum(b.m6 * b.m6) AS nb2
+      FROM m a JOIN m b ON a.pos = b.pos AND a.label < b.label
+      GROUP BY 1, 2)
+    SELECT CAST(la AS BIGINT) AS label_a, CAST(lb AS BIGINT) AS label_b,
+           CASE WHEN na2 > 0 AND nb2 > 0 THEN
+             round(CAST(dot AS DOUBLE) / sqrt(CAST(na2 * nb2 AS DOUBLE)), 6)
+           END AS cosine
+    FROM p
+    """,
+)
+
+
+# Source-vocabulary overlap matrix: exact shingle-set Jaccard per source
+# pair (the corpus-design contamination map)
+_reg(
+    "text_source_overlap",
+    lambda s, d: tx.text_source_overlap(load(s, d, "documents")),
+    """
+    WITH d AS (
+      SELECT source,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            FOR i IN range(1, len(toks) - 1)]) AS sh
+      FROM (SELECT source, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+            FROM documents)
+      WHERE len(toks) >= 3),
+    flat AS (SELECT DISTINCT source, unnest(sh) AS s FROM d),
+    sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n_sh
+              FROM flat GROUP BY 1),
+    inter AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(count(*) AS BIGINT) AS n_inter
+      FROM flat a JOIN flat b ON a.s = b.s AND a.source < b.source
+      GROUP BY 1, 2)
+    SELECT source_a, source_b, n_inter,
+           sa.n_sh AS na, sb.n_sh AS nb,
+           CAST((2000000 * CAST(n_inter AS HUGEINT)
+                 + (sa.n_sh + sb.n_sh - n_inter))
+                // (2 * CAST(sa.n_sh + sb.n_sh - n_inter AS HUGEINT))
+                AS DOUBLE) / 1e6 AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.source = source_a
+    JOIN sizes sb ON sb.source = source_b
+    """,
+)
+
+
+# Event-study impact curve: +1..+5-tick mean signed move after shocks
+_reg(
+    "agg_event_study",
+    lambda s, d: agg.agg_event_study(events_us(s, d)),
+    """
+    WITH t AS (
+      SELECT user_id, event_type, epoch_us(ts) AS tu, event_id,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events),
+    l AS (
+      SELECT event_type,
+             lead(c, 1) OVER w - c AS d1,
+             lead(c, 2) OVER w - c AS d2,
+             lead(c, 3) OVER w - c AS d3,
+             lead(c, 4) OVER w - c AS d4,
+             lead(c, 5) OVER w - c AS d5
+      FROM t
+      WINDOW w AS (PARTITION BY user_id, event_type ORDER BY tu, event_id)),
+    f AS (
+      SELECT 1 AS h, d1 AS d FROM l WHERE event_type = 'error' AND d1 IS NOT NULL
+      UNION ALL
+      SELECT 2, d2 FROM l WHERE event_type = 'error' AND d2 IS NOT NULL
+      UNION ALL
+      SELECT 3, d3 FROM l WHERE event_type = 'error' AND d3 IS NOT NULL
+      UNION ALL
+      SELECT 4, d4 FROM l WHERE event_type = 'error' AND d4 IS NOT NULL
+      UNION ALL
+      SELECT 5, d5 FROM l WHERE event_type = 'error' AND d5 IS NOT NULL),
+    g AS (
+      SELECT CAST(h AS BIGINT) AS horizon,
+             CAST(count(*) AS BIGINT) AS n_obs,
+             CAST(sum(d) AS BIGINT) AS sum_d_c
+      FROM f GROUP BY 1)
+    SELECT horizon, n_obs, sum_d_c,
+           (CASE WHEN sum_d_c < 0 THEN -1 ELSE 1 END)
+           * CAST((20000 * abs(CAST(sum_d_c AS HUGEINT))
+                   + 100 * CAST(n_obs AS HUGEINT))
+                  // (200 * CAST(n_obs AS HUGEINT)) AS DOUBLE) / 1e4
+             AS mean_move
+    FROM g
+    """,
+)
+
+
+# Open-order aging bands vs an explicit as-of day
+_reg(
+    "sql_open_order_aging",
+    lambda s, d: agg.sql_open_order_aging(load(s, d, "orders")),
+    f"""
+    WITH o AS (
+      SELECT CAST(11536 - epoch_us(o_orderdate) // 86400000000
+                  AS BIGINT) AS age_d,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+      FROM orders WHERE o_orderstatus = 'O'),
+    b AS (
+      SELECT CAST(LEAST(age_d // 90, 8) AS BIGINT) AS band, age_d, price_c
+      FROM o)
+    SELECT band, CAST(band * 90 AS BIGINT) AS min_age_d,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(price_c) AS BIGINT) AS total_c,
+           CAST(max(age_d) AS BIGINT) AS oldest_d
+    FROM b GROUP BY 1
+    """,
+)

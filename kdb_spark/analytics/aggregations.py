@@ -4957,3 +4957,81 @@ def sql_rapid_reorders(orders: DataFrame, within_days: int = 7) -> DataFrame:
         """,
         orders_v=orders,
     )
+
+
+def agg_event_study(events: DataFrame, horizons: int = 5) -> DataFrame:
+    """Event-study impact curve: after every 'error' event, the average
+    signed cent move of the SAME series at +1..+``horizons`` ticks ahead
+    — does the shock decay, persist, or build (the classic announcement-
+    impact table; agg_flow_imbalance censuses instantaneous pressure,
+    this traces the response path).
+
+    EXACT cross-engine: the k-tick-ahead values are window leads on the
+    deterministic (ts_us, event_id) series order, deltas are bigint
+    cents, per-horizon means ride the SIGNED device at 4 dp; shocks too
+    close to the series end contribute only the horizons that exist
+    (n_obs per horizon surfaces the attrition).
+
+    Scale shape: ONE series Exchange carrying all ``horizons`` leads in
+    one window buffer, then an unpivot to a ≤horizons-row aggregate.
+    """
+    wo = Window.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+    c = cents("value")
+    t = events.select(
+        "user_id", "event_type", "ts_us", "event_id", c.alias("c")
+    )
+    for k in range(1, horizons + 1):
+        t = t.withColumn(f"d{k}", F.lead("c", k).over(wo) - F.col("c"))
+    shocks = t.filter(F.col("event_type") == "error")
+    pairs = F.array(
+        *[
+            F.struct(F.lit(k).alias("h"), F.col(f"d{k}").alias("d"))
+            for k in range(1, horizons + 1)
+        ]
+    )
+    flat = shocks.select(F.explode(pairs).alias("p")).select(
+        F.col("p.h").cast("long").alias("horizon"), F.col("p.d").alias("d")
+    ).filter(F.col("d").isNotNull())
+    g = flat.groupBy("horizon").agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        F.sum("d").cast("long").alias("sum_d_c"),
+    )
+    m4 = iround_col(
+        "CAST(sum_d_c AS DECIMAL(38,0))",
+        "100 * CAST(n_obs AS DECIMAL(38,0))",
+        4,
+        signed=True,
+    )
+    return g.select("horizon", "n_obs", "sum_d_c", m4.alias("mean_move"))
+
+
+def sql_open_order_aging(orders: DataFrame, now_day: int = 11536) -> DataFrame:
+    """Open-order aging census as SQL text: orders still OPEN (status
+    'O') bucketed by age in 90-day bands against an explicit as-of day
+    (default: epoch day 11536 = 2001-08-02, the day after the synthetic
+    order book's last date — every open order has age ≥ 1) —
+    the AR/backlog aging report every ops review starts with (the
+    order-table sibling of table_freshness's feed ages; the as-of clock
+    is a parameter, never wall time).
+
+    EXACT: integer epoch-day ages, fixed integer band edges, exact cent
+    totals; one filtered scan + hash agg.
+    """
+    return orders.sparkSession.sql(
+        f"""
+        WITH o AS (
+          SELECT CAST(({now_day} - unix_micros(CAST(o_orderdate AS TIMESTAMP))
+                       DIV 86400000000) AS BIGINT) AS age_d,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+          FROM {{orders_v}} WHERE o_orderstatus = 'O'),
+        b AS (
+          SELECT CAST(LEAST(age_d DIV 90, 8) AS BIGINT) AS band, age_d, price_c
+          FROM o)
+        SELECT band, CAST(band * 90 AS BIGINT) AS min_age_d,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(price_c) AS BIGINT) AS total_c,
+               CAST(max(age_d) AS BIGINT) AS oldest_d
+        FROM b GROUP BY 1
+        """,
+        orders_v=orders,
+    )

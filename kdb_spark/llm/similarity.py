@@ -1530,3 +1530,57 @@ def emb_label_spread(embeddings: DataFrame) -> DataFrame:
             F.sqrt(F.col("trace_e12").cast("double") / F.lit(1e12)), 6
         ).alias("rms_spread"),
     )
+
+
+def emb_label_affinity(embeddings: DataFrame) -> DataFrame:
+    """Label-affinity matrix: cosine similarity between every pair of
+    class centroids — the confusion-risk map (two labels whose centroids
+    point the same way are the ones a linear probe will mix up;
+    emb_label_drift/spread watch one class over time, this ranks class
+    PAIRS against each other).
+
+    EXACT cross-engine: centroid coordinates are the micro-unit
+    integer-rounded means (the emb_label_drift device), the dot product
+    and both squared norms fold those integers exactly in decimal, and
+    cos = dot / sqrt(na2·nb2) is ONE IEEE sqrt of an exact product and
+    one divide — identical doubles both engines — rounded 6.
+
+    Scale shape: posexplode → |labels|·d combine; the pair matrix is a
+    |labels|²-sized join of a |labels|·d table with itself on dim —
+    dimension-bounded, never corpus-sized.
+    """
+    from kdb_spark.analytics.exact import iround_grid_sql
+
+    v6 = F.round(F.col("v") * F.lit(1.0e6)).cast("long")
+    flat = embeddings.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    ).select("label", "pos", v6.alias("v6"))
+    m = flat.groupBy("label", "pos").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("v6").cast("decimal(38,0)")).alias("s"),
+    ).select(
+        "label",
+        "pos",
+        F.expr(iround_grid_sql("s", "CAST(n AS DECIMAL(38,0))", 0, signed=True))
+        .alias("m6"),
+    )
+    a, b = m.alias("a"), m.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.pos") == F.col("b.pos")) & (F.col("a.label") < F.col("b.label")))
+        .groupBy(F.col("a.label").alias("label_a"), F.col("b.label").alias("label_b"))
+        .agg(
+            F.sum(F.col("a.m6") * F.col("b.m6")).alias("dot"),
+            F.sum(F.col("a.m6") * F.col("a.m6")).alias("na2"),
+            F.sum(F.col("b.m6") * F.col("b.m6")).alias("nb2"),
+        )
+    )
+    cos = F.col("dot").cast("double") / F.sqrt(
+        (F.col("na2") * F.col("nb2")).cast("double")
+    )
+    return pairs.select(
+        F.col("label_a").cast("long").alias("label_a"),
+        F.col("label_b").cast("long").alias("label_b"),
+        F.when((F.col("na2") > 0) & (F.col("nb2") > 0), F.round(cos, 6)).alias(
+            "cosine"
+        ),
+    )

@@ -1214,3 +1214,64 @@ def token_length_profile(documents: DataFrame) -> DataFrame:
         F.max(F.when(F.col("rn") == F.col("k95"), F.col("nt"))).cast("long").alias("p95_tokens"),
         F.max("nt").cast("long").alias("max_tokens"),
     )
+
+
+def text_source_overlap(documents: DataFrame, n: int = 3) -> DataFrame:
+    """Source-level n-gram overlap matrix: for every source pair, the
+    exact Jaccard of their distinct 3-gram shingle VOCABULARIES — the
+    corpus-design contamination map (two "independent" sources sharing
+    half their shingle vocabulary are one source for mixing purposes;
+    `decontaminate` screens DOCUMENTS against a benchmark, this screens
+    SOURCES against each other before mix_weights trusts them as
+    distinct).
+
+    EXACT cross-engine: shingle sets are the shared tokenizer's distinct
+    3-token joins, intersections/counts are bigints off one shingle-keyed
+    equi-join, J = inter/(na+nb−inter) rides the unsigned device at 6 dp.
+
+    Scale shape: one (source, shingle) distinct (map-side combined), one
+    shingle-keyed self-join whose fan-out per shingle is (sources that
+    contain it)² ≤ |sources|² — vocabulary-sized, never corpus-sized; per-
+    source set sizes broadcast back onto the ≤|sources|² pair table.
+    """
+    from kdb_spark.analytics.exact import iround_col
+    from kdb_spark.llm.dedup import shingles, tokens
+
+    # materialize the token array BEFORE shingling (dedup.shingles
+    # contract: an inline tokenizer re-runs per shingle position)
+    sh = (
+        documents.select("source", tokens("text").alias("toks"))
+        .select("source", F.explode(shingles(F.col("toks"), n)).alias("s"))
+        .distinct()
+    )
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    j = (
+        inter.join(
+            F.broadcast(sizes.select(F.col("source").alias("source_a"), F.col("n_sh").alias("na"))),
+            "source_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("source").alias("source_b"), F.col("n_sh").alias("nb"))),
+            "source_b",
+        )
+    )
+    jac = iround_col(
+        "CAST(n_inter AS DECIMAL(38,0))",
+        "CAST(na + nb - n_inter AS DECIMAL(38,0))",
+        6,
+        signed=False,
+    )
+    return j.select(
+        "source_a",
+        "source_b",
+        "n_inter",
+        "na",
+        "nb",
+        jac.alias("jaccard"),
+    )

@@ -3392,3 +3392,82 @@ def test_magic_census_detects_by_bytes_not_ids(spark):
     assert got["png"].n == 1 and got["png"].total_bytes == 13
     assert got["wav"].n == 1 and got["wav"].total_bytes == 17
     assert got["raw"].n == 1
+
+
+def test_event_study_horizons_and_attrition(spark):
+    """Leads stay inside the (user, type) series; shocks near the series
+    end contribute only existing horizons; means are exact devices."""
+    rows = [
+        (1, 1, "error", 10.0, 100),
+        (2, 1, "error", 11.0, 200),   # d1 for shock 1 = +100c
+        (3, 1, "error", 9.0, 300),    # d2 shock1 = -100c, d1 shock2 = -200c
+    ]
+    got = {r.horizon: r for r in agg.agg_event_study(_events(spark, rows)).collect()}
+    # horizon 1: shocks 1 and 2 have a next tick → n=2, sum = 100 - 200
+    assert got[1].n_obs == 2 and got[1].sum_d_c == -100
+    assert got[1].mean_move == -0.5
+    # horizon 2: only shock 1 → -100c
+    assert got[2].n_obs == 1 and got[2].mean_move == -1.0
+    assert 3 not in got
+
+
+def test_label_affinity_hand_cosine(spark):
+    """Orthogonal centroids → 0; identical direction → 1; pairs emitted
+    once with label_a < label_b."""
+    from kdb_spark.llm import similarity as sim
+
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.0, 1.0], 1),
+        (2, [2.0, 0.0], 2),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = {(r.label_a, r.label_b): r.cosine
+           for r in sim.emb_label_affinity(emb).collect()}
+    assert got[(0, 1)] == 0.0 and got[(1, 2)] == 0.0
+    assert got[(0, 2)] == 1.0
+
+
+def test_source_overlap_hand_jaccard(spark):
+    """Shared 3-grams count once per source; Jaccard is the exact device;
+    sources with <3 tokens don't appear."""
+    from kdb_spark.llm import textstats as tx
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d", "en", "s1", 7),     # shingles: {a b c, b c d}
+            (2, "a b c", "en", "s2", 5),       # {a b c}
+            (3, "x y", "en", "s3", 3),         # too short
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {(r.source_a, r.source_b): r for r in tx.text_source_overlap(docs).collect()}
+    r = got[("s1", "s2")]
+    assert (r.n_inter, r.na, r.nb) == (1, 2, 1)
+    assert r.jaccard == 0.5
+    assert all("s3" not in k for k in got)
+
+
+def test_open_order_aging_bands(spark):
+    """Only status-O orders census; band = min(age//90, 8); oldest ages
+    cap into the 8 band."""
+    import datetime
+
+    def d(day):
+        return datetime.datetime(1970, 1, 1) + datetime.timedelta(days=day)
+
+    orders = spark.createDataFrame(
+        [
+            (1, 1, 100.0, d(11536 - 10), "O"),    # age 10 → band 0
+            (2, 1, 100.0, d(11536 - 100), "O"),   # age 100 → band 1
+            (3, 1, 100.0, d(11536 - 2000), "O"),  # age 2000 → band 8 (cap)
+            (4, 1, 100.0, d(11536 - 10), "F"),    # closed: excluded
+        ],
+        "o_orderkey long, o_custkey long, o_totalprice double,"
+        "o_orderdate timestamp, o_orderstatus string",
+    )
+    got = {r.band: r for r in agg.sql_open_order_aging(orders).collect()}
+    assert got[0].n_orders == 1 and got[0].min_age_d == 0
+    assert got[1].n_orders == 1
+    assert got[8].n_orders == 1 and got[8].oldest_d == 2000
+    assert len(got) == 3
