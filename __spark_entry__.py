@@ -8834,3 +8834,57 @@ _reg(
     FROM b GROUP BY 1
     """,
 )
+
+
+# Hard-negative mining: brute cosine top-k constrained to label mismatch
+_reg(
+    "emb_hard_negatives",
+    lambda s, d: sim.emb_hard_negatives(load(s, d, "embeddings")),
+    """
+    WITH e AS (SELECT vec_id, label,
+                      [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+               FROM embeddings),
+    n AS (SELECT vec_id, label, v,
+                 sqrt(list_sum([x * x FOR x IN v])) AS nrm FROM e),
+    q AS (SELECT vec_id AS query_id, label AS q_label, v AS qv, nrm AS qn
+          FROM n WHERE vec_id < 5),
+    s AS (SELECT q.query_id, n.vec_id AS negative_id,
+                 CAST(n.label AS BIGINT) AS negative_label,
+                 list_sum([qv[i] * v[i] FOR i IN range(1, len(v) + 1)])
+                   / (qn * nrm) AS raw
+          FROM n CROSS JOIN q WHERE n.label != q.q_label)
+    SELECT query_id, negative_id, negative_label, round(raw, 6) AS cos,
+           CAST(rn AS BIGINT) AS rn
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY raw DESC, negative_id) AS rn
+          FROM s) WHERE rn <= 3
+    """,
+)
+
+
+# Dense-grid completeness: how much of the reference's slot grid is real
+# data vs would-be zero-fill
+_reg(
+    "agg_grid_completeness",
+    lambda s, d: agg.agg_grid_completeness(events_us(s, d)),
+    f"""
+    WITH ps AS (
+      SELECT user_id, event_type, epoch_us(ts) // {HOUR_US} AS slot
+      FROM events GROUP BY 1, 2, 3),
+    srs AS (
+      SELECT user_id, event_type,
+             CAST(count(*) AS BIGINT) AS present,
+             CAST(max(slot) - min(slot) + 1 AS BIGINT) AS expected
+      FROM ps GROUP BY 1, 2),
+    g AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_series,
+             CAST(sum(present) AS BIGINT) AS present_slots,
+             CAST(sum(expected) AS BIGINT) AS expected_slots
+      FROM srs GROUP BY 1)
+    SELECT event_type, n_series, present_slots, expected_slots,
+           CAST((2000000 * CAST(present_slots AS HUGEINT) + expected_slots)
+                // (2 * CAST(expected_slots AS HUGEINT)) AS DOUBLE) / 1e6
+             AS completeness
+    FROM g
+    """,
+)

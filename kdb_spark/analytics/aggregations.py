@@ -5035,3 +5035,53 @@ def sql_open_order_aging(orders: DataFrame, now_day: int = 11536) -> DataFrame:
         """,
         orders_v=orders,
     )
+
+
+def agg_grid_completeness(
+    events: DataFrame, resolution_us: int = HOUR_US
+) -> DataFrame:
+    """Dense-grid completeness census per series: how many of the
+    resolution slots between a series' first and last tick actually hold
+    data — the reference's core data model turned into a health metric
+    (its Get() materializes the dense slot grid and ZERO-FILLS the holes,
+    /root/reference/dbase/dbase.go:75-81; this measures how much of the
+    grid those zero-fills would fabricate, which is the first question
+    before trusting any dense read), pooled per event_type.
+
+    EXACT cross-engine, all integers: slots are µs `div` buckets, present
+    slots a per-(series, slot) distinct collapse, expected = last−first
+    slot span + 1, completeness the unsigned device over the per-type
+    totals.
+
+    Scale shape: one (series, slot) pre-aggregate (map-side combined —
+    the shuffle carries occupied slots, not ticks), one series collapse
+    on the same partitioning (superset clustering), a ≤|types| reduce.
+    """
+    slot = F.expr(f"ts_us div {resolution_us}")
+    per_slot = (
+        events.select("user_id", "event_type", slot.alias("slot"))
+        .groupBy("user_id", "event_type", "slot")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    per_series = per_slot.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("present"),
+        (F.max("slot") - F.min("slot") + 1).cast("long").alias("expected"),
+    )
+    g = per_series.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_series"),
+        F.sum("present").cast("long").alias("present_slots"),
+        F.sum("expected").cast("long").alias("expected_slots"),
+    )
+    c6 = F.expr(
+        floor_div_sql(
+            "2000000 * CAST(present_slots AS DECIMAL(38,0)) + expected_slots",
+            "2 * CAST(expected_slots AS DECIMAL(38,0))",
+        )
+    )
+    return g.select(
+        "event_type",
+        "n_series",
+        "present_slots",
+        "expected_slots",
+        (c6.cast("double") / F.lit(1e6)).alias("completeness"),
+    )

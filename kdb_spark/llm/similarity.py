@@ -1584,3 +1584,47 @@ def emb_label_affinity(embeddings: DataFrame) -> DataFrame:
             "cosine"
         ),
     )
+
+
+def emb_hard_negatives(
+    embeddings: DataFrame, n_queries: int = 5, k: int = 3
+) -> DataFrame:
+    """Hard-negative mining: for each query vector, the top-k most
+    cosine-similar vectors with a DIFFERENT label — the contrastive-
+    training staple (easy negatives teach nothing; the highest-similarity
+    wrong-label items are the batch a retrieval/embedding trainer wants;
+    `sim_search_topk` is the unconstrained form of the same scan).
+
+    Same exact-baseline plan: query side broadcast, ONE corpus pass, the
+    label-mismatch filter applied before ranking, per-query top-k via
+    window row_number with the vec_id tiebreak; cosine rounded 6 (same
+    doubles both engines — same dot/norm/divide).
+    """
+    q = with_norm(embeddings.filter(F.col("vec_id") < n_queries)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        F.col("label").alias("q_label"),
+    )
+    c = with_norm(embeddings).select("vec_id", "embedding", "nrm", "label")
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("label") != F.col("q_label"))
+        .withColumn(
+            "cos",
+            _dot(_vec_d("q_emb"), _vec_d("embedding"))
+            / (F.col("q_nrm") * F.col("nrm")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("negative_id"),
+            F.col("label").cast("long").alias("negative_label"),
+            F.round("cos", 6).alias("cos"),
+            "rn",
+        )
+    )

@@ -3471,3 +3471,36 @@ def test_open_order_aging_bands(spark):
     assert got[1].n_orders == 1
     assert got[8].n_orders == 1 and got[8].oldest_d == 2000
     assert len(got) == 3
+
+
+def test_hard_negatives_label_constraint(spark):
+    """Only different-label vectors rank; same-label lookalikes are
+    excluded no matter how similar."""
+    from kdb_spark.llm import similarity as sim
+
+    rows = [
+        (0, [1.0, 0.0], 0),       # query
+        (1, [1.0, 0.001], 0),     # same label, near-identical → excluded
+        (5, [1.0, 0.1], 1),       # different label → hardest negative
+        (6, [0.0, 1.0], 1),       # different label, orthogonal
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = sim.emb_hard_negatives(emb, n_queries=1, k=2).collect()
+    ids = [r.negative_id for r in sorted(got, key=lambda r: r.rn)]
+    assert ids == [5, 6]
+    assert all(r.negative_label == 1 for r in got)
+
+
+def test_grid_completeness_hand_slots(spark):
+    """present = distinct occupied slots; expected = span + 1; device
+    ratio pooled per type."""
+    H = 3_600_000_000
+    rows = [
+        (1, 1, "a", 1.0, 0),
+        (2, 1, "a", 1.0, 10),          # same slot as above
+        (3, 1, "a", 1.0, 4 * H),       # slots 0 and 4 → present 2, expected 5
+        (4, 2, "a", 1.0, 7 * H),       # single slot → 1/1
+    ]
+    r = agg.agg_grid_completeness(_events(spark, rows)).collect()[0]
+    assert (r.n_series, r.present_slots, r.expected_slots) == (2, 3, 6)
+    assert r.completeness == 0.5
