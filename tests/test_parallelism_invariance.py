@@ -84,6 +84,21 @@ EVENT_OPS = [
     agg.agg_poisson_dispersion,
     agg.agg_interarrival_stats,
     agg.agg_acf_table,
+    # round-13 additions: run-length window algebra, struct-max peak
+    # picks, rank-device quartiles/drift, integer sign censuses, the
+    # changepoint argmax, and the day-grain collapses
+    wn.win_plateau,
+    wn.win_peak_age,
+    wn.win_gap_open,
+    wn.win_seasonal_naive,
+    agg.agg_bowley_skew,
+    agg.agg_flow_imbalance,
+    agg.agg_changepoint,
+    agg.agg_volume_profile,
+    agg.agg_user_lifetime,
+    agg.agg_event_study,
+    agg.agg_grid_completeness,
+    bh.agg_attribution,
 ]
 
 DOC_OPS = [
@@ -98,6 +113,10 @@ DOC_OPS = [
     cu.curation_token_budget,  # level agg + md5 gate, no ordered cumsum
     tx.text_hapax_ratio,  # map-only sorted-neighbour scan — per-row exact
     tx.text_simpson_diversity,  # per-row run-length fold — placement-free
+    tx.text_char_classes,  # map-only regex census
+    cu.curation_filter_funnel,  # integer gates + one hash agg
+    tx.token_length_profile,  # rank device per source
+    tx.text_source_overlap,  # distinct shingle sets — placement-free
 ]
 
 
@@ -125,7 +144,7 @@ def test_doc_ops_parallelism_invariant(spark, op):
 
 from kdb_spark.llm import similarity as sim  # noqa: E402
 
-EMB_OPS = [sim.emb_outliers, sim.emb_centroid_classify, sim.emb_dim_stats, sim.emb_quantize_sq8, sim.emb_hamming_topk]
+EMB_OPS = [sim.emb_outliers, sim.emb_centroid_classify, sim.emb_dim_stats, sim.emb_quantize_sq8, sim.emb_hamming_topk, sim.emb_label_drift, sim.emb_label_spread, sim.emb_label_affinity, sim.emb_hard_negatives]
 
 
 @pytest.mark.parametrize("op", EMB_OPS, ids=lambda f: f.__name__)
