@@ -8888,3 +8888,61 @@ _reg(
     FROM g
     """,
 )
+
+
+# Live last-touch attribution: per-purchase credit, O(1) state per user
+# (oracle = the batch union-and-carry at the purchase grain)
+_reg(
+    "stream_attribution",
+    sm.stream_attribution,
+    f"""
+    WITH u AS (
+      SELECT user_id, epoch_us(ts) AS tu, epoch_us(ts) AS click_us,
+             0 AS side, event_id
+      FROM events WHERE event_type = 'click'
+      UNION ALL
+      SELECT user_id, epoch_us(ts), NULL, 1, event_id
+      FROM events WHERE event_type = 'purchase'),
+    c AS (
+      SELECT *, last_value(click_us IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY tu, side, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click
+      FROM u)
+    SELECT user_id, event_id, tu AS ts_us,
+           CAST(last_click AS BIGINT) AS last_click_us,
+           CAST(CASE WHEN last_click IS NOT NULL
+                      AND tu - last_click <= {7 * DAY_US}
+                     THEN 1 ELSE 0 END AS BIGINT) AS attributed
+    FROM c WHERE side = 1
+    """,
+)
+
+
+# Customer segment-migration matrix: spend quartiles H1 vs H2
+_reg(
+    "sql_segment_migration",
+    lambda s, d: agg.sql_segment_migration(load(s, d, "orders")),
+    """
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(sum(CASE WHEN epoch_us(o_orderdate) // 86400000000 < 10227
+                           THEN round(o_totalprice * 100) ELSE 0 END)
+                  AS BIGINT) AS h1_c,
+             CAST(sum(CASE WHEN epoch_us(o_orderdate) // 86400000000 >= 10227
+                           THEN round(o_totalprice * 100) ELSE 0 END)
+                  AS BIGINT) AS h2_c
+      FROM orders GROUP BY 1),
+    both_halves AS (SELECT * FROM spend WHERE h1_c > 0 AND h2_c > 0),
+    seg AS (
+      SELECT o_custkey, h1_c, h2_c,
+             ntile(4) OVER (ORDER BY h1_c, o_custkey) AS seg_h1,
+             ntile(4) OVER (ORDER BY h2_c, o_custkey) AS seg_h2
+      FROM both_halves)
+    SELECT CAST(seg_h1 AS BIGINT) AS seg_h1,
+           CAST(seg_h2 AS BIGINT) AS seg_h2,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(h1_c) AS BIGINT) AS h1_total_c,
+           CAST(sum(h2_c) AS BIGINT) AS h2_total_c
+    FROM seg GROUP BY 1, 2
+    """,
+)

@@ -5085,3 +5085,53 @@ def agg_grid_completeness(
         "expected_slots",
         (c6.cast("double") / F.lit(1e6)).alias("completeness"),
     )
+
+
+def sql_segment_migration(orders: DataFrame, split_day: int = 10227) -> DataFrame:
+    """Customer-value segment migration as SQL text: spend-quartile in
+    the first half of the book vs the second (split at an explicit epoch
+    day; default 1998-01-01), transition census with spend deltas — the
+    "who moved up, who churned down" matrix every CRM review opens with
+    (sql_rfm_segments is the point-in-time cut; this is its flow form).
+
+    EXACT: per-half spend is exact cents; quartiles come from ntile(4)
+    over the TOTAL order (spend, custkey — deterministic, engine-common
+    SQL-standard semantics); the census is an inner join on customer
+    (present-both-halves; entries/exits are a different report and are
+    deliberately out of frame), exact sums and counts.
+
+    Scale shape: two conditional half-aggregates off ONE fact scan, two
+    |customers|-sized ntile windows, one co-keyed join, a ≤16-cell
+    census.
+    """
+    return orders.sparkSession.sql(
+        f"""
+        WITH spend AS (
+          SELECT o_custkey,
+                 CAST(sum(CASE WHEN unix_micros(CAST(o_orderdate AS TIMESTAMP))
+                                    DIV 86400000000 < {split_day}
+                               THEN round(o_totalprice * 100) ELSE 0 END)
+                      AS BIGINT) AS h1_c,
+                 CAST(sum(CASE WHEN unix_micros(CAST(o_orderdate AS TIMESTAMP))
+                                    DIV 86400000000 >= {split_day}
+                               THEN round(o_totalprice * 100) ELSE 0 END)
+                      AS BIGINT) AS h2_c
+          FROM {{orders_v}}
+          GROUP BY 1),
+        both_halves AS (
+          SELECT * FROM spend WHERE h1_c > 0 AND h2_c > 0),
+        seg AS (
+          SELECT o_custkey, h1_c, h2_c,
+                 ntile(4) OVER (ORDER BY h1_c, o_custkey) AS seg_h1,
+                 ntile(4) OVER (ORDER BY h2_c, o_custkey) AS seg_h2
+          FROM both_halves)
+        SELECT CAST(seg_h1 AS BIGINT) AS seg_h1,
+               CAST(seg_h2 AS BIGINT) AS seg_h2,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(sum(h1_c) AS BIGINT) AS h1_total_c,
+               CAST(sum(h2_c) AS BIGINT) AS h2_total_c
+        FROM seg
+        GROUP BY 1, 2
+        """,
+        orders_v=orders,
+    )

@@ -2009,3 +2009,110 @@ def stream_peak_age(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _drain(out, "append", partitions=16)
+
+
+# -------------------------------------------------- live last-touch credit
+
+_AT_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts_us", T.LongType()),
+        T.StructField("last_click_us", T.LongType()),
+        T.StructField("attributed", T.LongType()),
+    ]
+)
+
+# (tail ts, tail side, tail eid, last click µs, late counter) — O(1)/user.
+_AT_STATE = T.StructType(
+    [
+        T.StructField("ts_us", T.LongType()),
+        T.StructField("side", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("last_click_us", T.LongType()),
+        T.StructField("n_late", T.LongType()),
+    ]
+)
+
+_AT_WINDOW_US = 7 * 86_400_000_000
+
+
+def _attrib_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Emit one row per on-time purchase with its last-touch credit —
+    the LIVE form of `agg_attribution`'s per-purchase core. Processing
+    order is (ts, side, eid) with clicks as side 0, replaying the batch
+    union-and-carry's same-microsecond rule (a click at the purchase's
+    exact timestamp DOES get the credit). Late rows drop-and-count."""
+    chunks = [c for c in pdfs if len(c)]
+    if not chunks:
+        return
+    pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+    ts = pdf["ts_us"].to_numpy()
+    eid = pdf["event_id"].to_numpy()
+    side = pdf["side"].to_numpy()
+    order = np.lexsort((eid, side, ts))
+    ts, eid, side = ts[order], eid[order], side[order]
+    prev = tuple(state.get) if state.exists else None
+    n_late = int(prev[4]) if prev is not None else 0
+    last_click = prev[3] if prev is not None else None
+    if prev is not None:
+        tail = (int(prev[0]), int(prev[1]), int(prev[2]))
+        lo = 0
+        while lo < len(ts) and (int(ts[lo]), int(side[lo]), int(eid[lo])) <= tail:
+            lo += 1
+        n_late += lo
+        if lo == len(ts):
+            state.update((tail[0], tail[1], tail[2], last_click, n_late))
+            return
+        ts, eid, side = ts[lo:], eid[lo:], side[lo:]
+    rows = {c: [] for c in ("event_id", "ts_us", "last_click_us", "attributed")}
+    for i in range(len(ts)):
+        t = int(ts[i])
+        if side[i] == 0:
+            last_click = t
+        else:
+            ok = last_click is not None and t - last_click <= _AT_WINDOW_US
+            rows["event_id"].append(int(eid[i]))
+            rows["ts_us"].append(t)
+            rows["last_click_us"].append(last_click)
+            rows["attributed"].append(1 if ok else 0)
+    state.update(
+        (int(ts[-1]), int(side[-1]), int(eid[-1]),
+         int(last_click) if last_click is not None else None, n_late)
+    )
+    if not rows["event_id"]:
+        return
+    (k_user,) = key
+    out = pd.DataFrame(rows)
+    out.insert(0, "user_id", int(k_user))
+    yield out[["user_id", "event_id", "ts_us", "last_click_us", "attributed"]]
+
+
+def stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live last-touch attribution per purchase (the batch twin is
+    `agg_attribution`'s pre-census grain): O(1) state per user (one
+    carried click timestamp), 7-day lookback, per-purchase emission so
+    the batch union-and-carry SQL replays it row for row."""
+    s = events_stream(spark, sf_dir)
+    out = (
+        s.filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            "user_id",
+            "ts_us",
+            "event_id",
+            F.when(F.col("event_type") == "click", 0).otherwise(1)
+            .cast("long")
+            .alias("side"),
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _attrib_fn,
+            outputStructType=_AT_OUT,
+            stateStructType=_AT_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return _drain(out, "append", partitions=16)

@@ -3504,3 +3504,27 @@ def test_grid_completeness_hand_slots(spark):
     r = agg.agg_grid_completeness(_events(spark, rows)).collect()[0]
     assert (r.n_series, r.present_slots, r.expected_slots) == (2, 3, 6)
     assert r.completeness == 0.5
+
+
+def test_segment_migration_quartiles_and_exclusions(spark):
+    """Only customers active in BOTH halves enter; quartile rank is the
+    deterministic (spend, custkey) ntile; totals are exact cents."""
+    import datetime
+
+    def d(day):
+        return datetime.datetime(1970, 1, 1) + datetime.timedelta(days=day)
+
+    rows = []
+    # 4 customers with h1 spends 100,200,300,400 and h2 reversed
+    for i, (a, b) in enumerate([(100, 400), (200, 300), (300, 200), (400, 100)], 1):
+        rows.append((i * 10, i, float(a), d(10227 - 50)))
+        rows.append((i * 10 + 1, i, float(b), d(10227 + 50)))
+    rows.append((99, 9, 500.0, d(10227 - 50)))   # h1 only → excluded
+    orders = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_totalprice double, o_orderdate timestamp",
+    )
+    got = {(r.seg_h1, r.seg_h2): r for r in agg.sql_segment_migration(orders).collect()}
+    # perfect reversal: (1,4),(2,3),(3,2),(4,1), one customer each
+    assert set(got) == {(1, 4), (2, 3), (3, 2), (4, 1)}
+    assert got[(1, 4)].n_customers == 1 and got[(1, 4)].h1_total_c == 10000
