@@ -877,3 +877,91 @@ def test_stream_drawdown_equals_batch_window(spark):
          for r in got.collect()}
     w = {tuple(r) for r in want.collect()}
     assert g == w and len(g) > 0
+
+
+def test_attrib_fn_carry_order_and_late_drop():
+    """_attrib_fn semantics without a cluster: a same-µs click credits
+    the purchase (side order), late rows behind the tail drop-and-count,
+    and the carried click survives across micro-batches."""
+    import pandas as pd
+
+    class _State:
+        exists = False
+
+        def update(self, v):
+            self.exists = True
+            self.get = v
+
+    st = _State()
+    b1 = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1],
+            "ts_us": [100, 100, 200],
+            "event_id": [3, 4, 5],
+            "side": [0, 1, 1],  # click and purchase at the SAME µs + later buy
+        }
+    )
+    out = list(sm._attrib_fn((1,), iter([b1]), st))
+    rows = out[0]
+    assert list(rows["event_id"]) == [4, 5]
+    assert list(rows["attributed"]) == [1, 1]
+    assert list(rows["last_click_us"]) == [100, 100]
+    # batch 2: a LATE purchase (behind the tail) is dropped; an on-time
+    # purchase beyond the 7-day window goes uncredited
+    late_then_far = pd.DataFrame(
+        {
+            "user_id": [1, 1],
+            "ts_us": [150, 100 + 8 * 86_400_000_000],
+            "event_id": [2, 9],
+            "side": [1, 1],
+        }
+    )
+    out2 = list(sm._attrib_fn((1,), iter([late_then_far]), st))
+    rows2 = out2[0]
+    assert list(rows2["event_id"]) == [9]
+    assert list(rows2["attributed"]) == [0]
+    assert st.get[4] == 1  # exactly one late row counted
+
+
+def test_day_roll_fn_publishes_only_closed_days():
+    """_day_roll_fn: a day publishes when the next day's first tick
+    arrives — gap vs the previous traded day's close, series-open day
+    withheld across batches."""
+    import pandas as pd
+
+    class _State:
+        exists = False
+
+        def update(self, v):
+            self.exists = True
+            self.get = v
+
+    DAY = 86_400_000_000
+    st = _State()
+    b1 = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1],
+            "ts_us": [10, 20, DAY + 5],
+            "event_id": [1, 2, 3],
+            "c": [100, 120, 90],
+            "day": [0, 0, 1],
+        }
+    )
+    out = list(sm._day_roll_fn((1, "a"), iter([b1]), st))
+    rows = out[0]
+    assert list(rows["day"]) == [0]
+    assert list(rows["open_c"]) == [100] and list(rows["close_c"]) == [120]
+    assert rows["gap_c"][0] is None or pd.isna(rows["gap_c"][0])
+    # day 1 still open; a day-3 tick closes it with the overnight gap
+    b2 = pd.DataFrame(
+        {
+            "user_id": [1],
+            "ts_us": [3 * DAY + 1],
+            "event_id": [4],
+            "c": [200],
+            "day": [3],
+        }
+    )
+    rows2 = list(sm._day_roll_fn((1, "a"), iter([b2]), st))[0]
+    assert list(rows2["day"]) == [1]
+    assert list(rows2["gap_c"]) == [90 - 120]
