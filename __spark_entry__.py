@@ -7355,7 +7355,9 @@ def _q_join_interval_overlap(s: SparkSession, d: str) -> DataFrame:
         F.min("ts_us").alias("a_start"),
         (F.max("ts_us") + 1).alias("a_end"),
     ).select(
-        (F.col("user_id") * 1000 + F.col("session_id")).alias("a_id"),
+        # 1e6 packing stride: a user would need >999,999 sessions to
+        # collide (the old *1000 stride collided past 999 sessions)
+        (F.col("user_id") * 1_000_000 + F.col("session_id")).alias("a_id"),
         "a_start",
         "a_end",
     )
@@ -7369,7 +7371,9 @@ def _q_join_interval_overlap(s: SparkSession, d: str) -> DataFrame:
         .cast("long")
         .alias("b_end"),
     )
-    return jn.join_interval_overlap(a, b)
+    # canonical output order: the final stage upstream is a distinct
+    # shuffle — the single most order-unstable output in the registry
+    return jn.join_interval_overlap(a, b).orderBy("a_id", "b_id")
 
 
 _reg(
@@ -7392,7 +7396,7 @@ _reg(
                AS session_id
       FROM m),
     iv AS (
-      SELECT user_id * 1000 + session_id AS a_id,
+      SELECT user_id * 1000000 + session_id AS a_id,
              CAST(min(tu) AS BIGINT) AS a_start,
              CAST(max(tu) + 1 AS BIGINT) AS a_end
       FROM sgrp GROUP BY user_id, session_id),

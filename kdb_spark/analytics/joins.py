@@ -508,8 +508,8 @@ def join_interval_overlap(
     Scale strategy: DAY-BUCKET BLOCKING — each interval explodes to the
     buckets it covers (executor-side `sequence`, bounded by interval
     length / bucket), candidates equi-join on the bucket, the exact
-    predicate (a.start < b.end AND b.start < a.end) filters, and
-    dropDuplicates on the id pair removes multi-bucket double-hits.
+    predicate (a.start < b.end AND b.start < a.end) filters, and a
+    distinct on the final projection removes multi-bucket double-hits.
     The join is bounded by co-bucket density instead of |A|·|B|; pick
     ``bucket_us`` ≈ typical interval length (too small → more replicas,
     too large → denser buckets — the standard blocking trade-off,
@@ -545,11 +545,14 @@ def join_interval_overlap(
             )
         ),
     )
-    j = (
-        ea.join(eb, "bucket")
-        .filter((F.col("a_start") < F.col("b_end")) & (F.col("b_start") < F.col("a_end")))
-        .dropDuplicates(["a_id", "b_id"])
+    j = ea.join(eb, "bucket").filter(
+        (F.col("a_start") < F.col("b_end")) & (F.col("b_start") < F.col("a_end"))
     )
+    # Dedup the multi-bucket double-hits on the FINAL projection, not on
+    # (a_id, b_id): a projection-level distinct is deterministic under any
+    # plan / partitioning / survivor choice, and if an id pair ever recurs
+    # with different intervals (non-injective a_id) both rows survive —
+    # matching the oracle's cartesian instead of keeping an arbitrary one.
     return j.select(
         "a_id",
         "b_id",
@@ -560,4 +563,4 @@ def join_interval_overlap(
         (
             F.least("a_end", "b_end") - F.greatest("a_start", "b_start")
         ).cast("long").alias("overlap_us"),
-    )
+    ).distinct()
