@@ -25,6 +25,7 @@ parquet/commit protocol replaces the append-log recovery
 from kdb_spark.config import StoreConfig
 from kdb_spark.errors import (
     ColdWriteError,
+    ConcurrentWriteError,
     FutureTimestampError,
     HotBucketRemoveError,
     KdbSparkError,
@@ -43,6 +44,7 @@ __all__ = [
     "ValidationError",
     "FutureTimestampError",
     "ColdWriteError",
+    "ConcurrentWriteError",
     "HotBucketRemoveError",
     "RangeError",
 ]

@@ -4837,9 +4837,12 @@ def agg_changepoint(events: DataFrame) -> DataFrame:
         "event_type",
         "ts_us",
         "event_id",
-        F.sum("c").over(wo).cast("decimal(38,0)").alias("sk"),
+        # widen INSIDE the fold (r12 rule): summing in long and casting
+        # after would wrap at extreme per-type row counts while the
+        # oracle's HUGEINT stays exact
+        F.sum(F.col("c").cast("decimal(38,0)")).over(wo).alias("sk"),
         F.count(F.lit(1)).over(wo).cast("long").alias("k"),
-        F.sum("c").over(wp).cast("decimal(38,0)").alias("s"),
+        F.sum(F.col("c").cast("decimal(38,0)")).over(wp).alias("s"),
         F.count(F.lit(1)).over(wp).cast("long").alias("n"),
     ).filter(F.col("k") < F.col("n"))
     num = F.abs(

@@ -42,3 +42,12 @@ class HotBucketRemoveError(KdbSparkError):
 
     Reference: `dbase/dbase.go:326-330`.
     """
+
+
+class ConcurrentWriteError(KdbSparkError):
+    """Optimistic-concurrency conflict on a versioned table: the commit
+    was planned against a snapshot that another writer superseded before
+    the claim. The merge must be re-planned against the new snapshot —
+    committing the stale plan would silently drop the concurrent commit
+    (lost update). Same contract as Delta's ConcurrentAppendException.
+    """

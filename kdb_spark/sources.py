@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from kdb_spark.analytics.exact import floor_div_sql
+from kdb_spark.errors import ConcurrentWriteError
 
 
 def scan_parquet(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
@@ -1005,11 +1006,23 @@ def sink_upsert(
         new_dirs.append(d)
         new_parts[d] = unquote(sub.split("=", 1)[1])
 
+    snapshot_version = versions[-1] if versions else None
+
     def make_manifest(n: int, _versions: list[int]) -> dict:
         # the dir list was planned against the snapshot read above; a
-        # concurrent commit landing in between would be silently merged
-        # over — same optimistic window Delta closes with conflict
-        # detection. Serialize concurrent merges to one table externally.
+        # concurrent commit landing in between would otherwise be
+        # silently merged over (lost update) — same optimistic window
+        # Delta closes with conflict detection. The claim loop re-invokes
+        # us with the CURRENT committed version list, so detect the stale
+        # plan and refuse to commit it rather than pretend the retry
+        # resolved the conflict.
+        latest = _versions[-1] if _versions else None
+        if latest != snapshot_version:
+            raise ConcurrentWriteError(
+                f"sink_upsert at {path}: planned against version "
+                f"{snapshot_version}, but version {latest} committed "
+                "concurrently; re-run the merge against the new snapshot"
+            )
         return {"version": n, "mode": "merge", "dirs": new_dirs, "parts": new_parts}
 
     return _claim_version(path, make_manifest)
@@ -1230,6 +1243,10 @@ def sink_vacuum(path: str, keep_last: int = 2) -> dict:
     then delete unreferenced data dirs. A crash between (2) and (3)
     leaks dirs (re-vacuum reclaims them), never breaks a readable
     version. Time travel keeps working for every surviving version.
+    The sweep is two-level: whole unreferenced `data/<hex>` roots go
+    first, and inside PARTIALLY-referenced roots (a partition-scoped
+    merge pins only some `__pc=` leaf dirs) the superseded sibling
+    leaf dirs are reclaimed individually.
 
     Returns {"versions_removed", "dirs_removed", "versions_kept"}.
     Reference tie: this is the table-format form of the reference's
@@ -1262,7 +1279,24 @@ def sink_vacuum(path: str, keep_last: int = 2) -> dict:
         live_roots = {d.split(os.sep)[1] for d in referenced}
         for sub in sorted(os.listdir(data_root)):
             rel = os.path.join("data", sub)
-            if sub in live_roots or rel in referenced:
+            if rel in referenced:
+                continue  # whole root is live
+            if sub in live_roots:
+                # PARTIALLY-referenced root: some __pc= leaf subdirs are
+                # pinned by a surviving manifest but the root itself is
+                # not — sweep the superseded sibling subdirs too, or a
+                # long-lived partition-scoped table leaks every rewritten
+                # partition's old files forever (second leak class).
+                root_abs = os.path.join(data_root, sub)
+                for leaf in sorted(os.listdir(root_abs)):
+                    if not leaf.startswith("__pc="):
+                        continue
+                    if os.path.join(rel, leaf) in referenced:
+                        continue
+                    shutil.rmtree(
+                        os.path.join(root_abs, leaf), ignore_errors=True
+                    )
+                    removed_dirs += 1
                 continue
             shutil.rmtree(os.path.join(data_root, sub), ignore_errors=True)
             removed_dirs += 1

@@ -671,3 +671,83 @@ def test_sink_scd2_full_lifecycle(spark, tmp_path):
     assert hist[(2, 200)].valid_to is None and hist[(2, 200)].seg == "C"
     assert hist[(3, 100)].valid_to == 200
     assert hist[(4, 200)].valid_to is None and hist[(4, 200)].bal == 40
+
+
+def test_vacuum_sweeps_superseded_leafs_in_partial_roots(spark, tmp_path):
+    """A partition-scoped merge pins only SOME __pc= leaf dirs of the
+    parent's data root; once the parent version expires, the superseded
+    sibling leaf dirs inside that partially-referenced root must be
+    reclaimed too — the second storage-leak class on long-lived
+    partition-scoped tables (the first is whole unreferenced roots)."""
+    import json
+    import os
+
+    from kdb_spark.sources import scan_version, sink_upsert, sink_vacuum
+
+    path = str(tmp_path / "partial")
+    base = spark.createDataFrame(
+        [(1, 0, "old"), (2, 1, "old"), (3, 2, "old")],
+        "id long, day int, v string",
+    )
+    v0 = sink_upsert(base, path, key="id", part_col="day")
+    inc = spark.createDataFrame([(2, 1, "new")], "id long, day int, v string")
+    v1 = sink_upsert(inc, path, key="id", part_col="day")
+    with open(os.path.join(path, "_log", f"{v0}.json")) as fh:
+        m0 = json.load(fh)
+    superseded = next(d for d, p in m0["parts"].items() if p == "1")
+    kept = sorted(d for d, p in m0["parts"].items() if p != "1")
+    stats = sink_vacuum(path, keep_last=1)
+    # v0 expired; its day=1 leaf is superseded by v1's — reclaimed even
+    # though the day=0/2 siblings in the same root stay live
+    assert stats["versions_removed"] == 1 and stats["dirs_removed"] == 1
+    assert not os.path.exists(os.path.join(path, superseded))
+    for d in kept:
+        assert os.path.isdir(os.path.join(path, d))
+    got = {r.id: r.v for r in scan_version(spark, path, v1).collect()}
+    assert got == {1: "old", 2: "new", 3: "old"}
+    # idempotent
+    assert sink_vacuum(path, keep_last=1)["dirs_removed"] == 0
+
+
+def test_upsert_conflict_on_concurrent_commit(spark, tmp_path, monkeypatch):
+    """Optimistic-concurrency: a commit landing between sink_upsert's
+    snapshot read and its version claim must raise ConcurrentWriteError,
+    never silently commit a manifest planned against the stale snapshot
+    (the concurrent commit's dirs would vanish from the dir list — a
+    lost update)."""
+    import json
+    import os
+
+    import pytest as _pt
+
+    from kdb_spark import sources as srcmod
+    from kdb_spark.errors import ConcurrentWriteError
+
+    path = str(tmp_path / "conflict")
+    base = spark.createDataFrame(
+        [(1, 0, "old"), (2, 1, "old")], "id long, day int, v string"
+    )
+    sink_upsert = srcmod.sink_upsert
+    sink_upsert(base, path, key="id", part_col="day")
+
+    real_claim = srcmod._claim_version
+
+    def racing_claim(p, make_manifest):
+        # simulate another writer winning the race: append a commit to
+        # the log AFTER this merge planned its dir list but BEFORE it
+        # claims a version
+        log_dir = os.path.join(p, "_log")
+        versions = sorted(
+            int(f.split(".")[0])
+            for f in os.listdir(log_dir)
+            if f.endswith(".json") and not f.startswith(".")
+        )
+        n = versions[-1] + 1
+        with open(os.path.join(log_dir, f"{n}.json"), "w") as fh:
+            json.dump({"version": n, "mode": "append", "dirs": [], "parts": {}}, fh)
+        return real_claim(p, make_manifest)
+
+    monkeypatch.setattr(srcmod, "_claim_version", racing_claim)
+    inc = spark.createDataFrame([(2, 1, "new")], "id long, day int, v string")
+    with _pt.raises(ConcurrentWriteError, match="committed\n?.*concurrently"):
+        srcmod.sink_upsert(inc, path, key="id", part_col="day")
