@@ -1,0 +1,245 @@
+"""Oracle registry — LLM pipeline: multimodal binary columns, decode, phash.
+
+Cut verbatim from the monolithic __spark_entry__.py (r14); every key
+registers a Spark query and its DuckDB oracle SQL into this module's
+local dicts, merged in frozen order by kdb_spark/oracles/__init__.py.
+"""
+
+from __future__ import annotations
+
+from kdb_spark.oracles._shared import *  # noqa: F401,F403
+
+QUERIES, ORACLES, _reg = make_registry()
+
+
+def _mm_summary(s: SparkSession, d: str) -> DataFrame:
+    """multimodal_table projected to its oracle-comparable summary (the
+    binary payload itself is checked via byte length)."""
+    from pyspark.sql import functions as F
+
+    t = mm.multimodal_table(load(s, d, "documents"), load(s, d, "embeddings"))
+    return t.select(
+        "doc_id",
+        F.length("payload").cast("long").alias("byte_len"),
+        F.col("meta.lang").alias("lang"),
+        F.size("embedding").cast("long").alias("dim"),
+        F.col("meta.label").alias("label"),
+    )
+
+
+_reg(
+    "multimodal_table",
+    _mm_summary,
+    """
+    SELECT d.doc_id,
+           CAST(octet_length(encode(d.text)) AS BIGINT) AS byte_len,
+           d.lang,
+           CAST(len(e.embedding) AS BIGINT) AS dim,
+           CAST(e.label AS BIGINT) AS label
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    """,
+)
+
+
+_reg(
+    "mm_frame_sample",
+    lambda s, d: mm.mm_frame_sample(
+        mm.multimodal_table(load(s, d, "documents"), load(s, d, "embeddings"))
+    ),
+    """
+    WITH b AS (
+      SELECT d.doc_id, CAST(octet_length(encode(d.text)) AS BIGINT) AS blen
+      FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+    f AS (
+      SELECT doc_id, blen,
+             unnest(range(0, CAST(ceil(blen / 64.0) AS BIGINT), 4)) AS frame_idx
+      FROM b)
+    SELECT doc_id,
+           CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST(frame_idx * 64 AS BIGINT) AS off_bytes,
+           CAST(least(64, blen - frame_idx * 64) AS BIGINT) AS frame_len
+    FROM f
+    """,
+)
+
+
+# The payload is deterministic utf-8 bytes (ASCII corpus), so the oracle
+# recomputes the byte-block signature from character codes — the one case
+# where a binary-column op gets an exact SQL mirror.
+_reg(
+    "mm_phash_dedup",
+    lambda s, d: mm.mm_phash_dedup(
+        mm.multimodal_table(load(s, d, "documents"), load(s, d, "embeddings"))
+    ),
+    """
+    WITH ch AS (
+      SELECT d.doc_id, [unicode(x) FOR x IN string_split(d.text, '')] AS codes
+      FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+      WHERE length(d.text) > 0),
+    pos AS (
+      SELECT doc_id, unnest(codes) AS code,
+             generate_subscripts(codes, 1) AS pos, len(codes) AS n
+      FROM ch),
+    blk AS (
+      SELECT doc_id, ((pos - 1) * 32) // n AS block, n,
+             sum(code) AS bsum, count(*) AS cnt
+      FROM pos GROUP BY 1, 2, 3),
+    tot AS (SELECT doc_id, sum(bsum) AS total FROM blk GROUP BY 1),
+    sig AS (
+      SELECT b.doc_id,
+             sum(CASE WHEN b.bsum * b.n > t.total * b.cnt
+                      THEN (CAST(1 AS BIGINT) << b.block) ELSE 0 END) AS phash
+      FROM blk b JOIN tot t USING (doc_id) GROUP BY 1),
+    bands AS (
+      SELECT doc_id, phash, t.b AS band, (phash >> (t.b * 8)) & 255 AS bits
+      FROM sig CROSS JOIN range(0, 4) t(b)),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             bit_count(xor(a.phash, b.phash)) AS hamming
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bits = b.bits AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+    FROM pairs WHERE hamming <= 6
+    """,
+)
+
+
+_reg(
+    "mm_features",
+    lambda s, d: mm.mm_features(
+        mm.multimodal_table(load(s, d, "documents"), load(s, d, "embeddings"))
+    ),
+    """
+    SELECT d.doc_id,
+           CAST(octet_length(encode(d.text)) AS BIGINT) AS byte_len,
+           CAST(ascii(substr(d.text, 1, 1)) AS BIGINT) AS first_byte,
+           d.lang
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    """,
+)
+
+
+_reg(
+    "mm_decode_features",
+    lambda s, d: mm.mm_decode_features(mm.mm_bmp_table(load(s, d, "documents"))),
+    # the decoded channel sums have closed forms in (doc_id, n_chars, w, h):
+    # B=(doc_id%200)+x, G=(n_chars%200)+y, R=x+y over the w×h pixel grid —
+    # so the oracle adjudicates the REAL encode→parse→sum round-trip
+    """
+    WITH g AS (
+      SELECT doc_id, n_chars,
+             5 + doc_id % 3 AS w, 5 + doc_id % 4 AS h
+      FROM documents)
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(h * w * (doc_id % 200) + h * (w * (w - 1) // 2) AS BIGINT) AS sum_b,
+           CAST(w * h * (n_chars % 200) + w * (h * (h - 1) // 2) AS BIGINT) AS sum_g,
+           CAST(h * (w * (w - 1) // 2) + w * (h * (h - 1) // 2) AS BIGINT) AS sum_r
+    FROM g
+    """,
+)
+
+
+_reg(
+    "mm_audio_features",
+    lambda s, d: mm.mm_audio_features(mm.mm_wav_table(load(s, d, "documents"))),
+    # sample i of doc d is (d*7 + i) mod 255; per-frame energy/peak are sums
+    # over generate_series — the oracle replays the REAL WAV encode→parse→
+    # frame round-trip sample by sample
+    """
+    WITH s AS (
+      SELECT d.doc_id, f.range AS frame_idx, i.range AS i,
+             (d.doc_id * 7 + f.range * 256 + i.range) % 255 - 128 AS dev
+      FROM documents d, range(0, 4) f, range(0, 256) i)
+    SELECT doc_id, frame_idx,
+           CAST(256 AS BIGINT) AS n_samples,
+           CAST(sum(dev * dev) AS BIGINT) AS energy,
+           CAST(max(abs(dev)) AS BIGINT) AS peak
+    FROM s GROUP BY 1, 2
+    """,
+)
+
+
+_reg(
+    "mm_segment_bounds",
+    lambda s, d: mm.mm_segment_bounds(mm.mm_wav_table(load(s, d, "documents"))),
+    """
+    WITH s AS (
+      SELECT d.doc_id, f.range AS frame_idx, i.range AS i,
+             (d.doc_id * 7 + f.range * 256 + i.range) % 255 - 128 AS dev
+      FROM documents d, range(0, 4) f, range(0, 256) i),
+    e AS (
+      SELECT doc_id, frame_idx, CAST(sum(dev * dev) AS BIGINT) AS energy
+      FROM s GROUP BY 1, 2),
+    l AS (
+      SELECT doc_id, frame_idx, energy,
+             lag(energy) OVER w AS prev_energy,
+             CASE WHEN lag(energy) OVER w IS NULL THEN TRUE
+                  ELSE abs(energy - lag(energy) OVER w) * 10
+                       > lag(energy) OVER w * 3 END AS is_boundary
+      FROM e WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx))
+    SELECT doc_id, frame_idx, energy, prev_energy, is_boundary,
+           CAST(sum(CASE WHEN is_boundary THEN 1 ELSE 0 END) OVER (
+             PARTITION BY doc_id ORDER BY frame_idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS segment_id
+    FROM l
+    """,
+)
+
+
+# Mixed-modal storage census: exact byte/label/dim profile per (lang, source)
+_reg(
+    "mm_modality_census",
+    lambda s, d: mm.mm_modality_census(
+        load(s, d, "documents"), load(s, d, "embeddings")
+    ),
+    """
+    WITH t AS (
+      SELECT d.lang, d.source,
+             CAST(octet_length(encode(d.text)) AS BIGINT) AS nbytes,
+             CAST(len(e.embedding) AS BIGINT) AS dim,
+             CAST(e.label AS BIGINT) AS label
+      FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id)
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(nbytes) AS BIGINT) AS total_bytes,
+           CAST(count(DISTINCT label) AS BIGINT) AS n_labels,
+           CAST(min(dim) AS BIGINT) AS min_dim,
+           CAST(max(dim) AS BIGINT) AS max_dim,
+           CAST((2000000 * CAST(sum(nbytes) AS HUGEINT) + count(*))
+                // (2 * CAST(count(*) AS HUGEINT)) AS DOUBLE) / 1e6
+             AS mean_bytes
+    FROM t GROUP BY 1, 2
+    """,
+)
+
+
+# Magic-byte container census: the oracle PREDICTS each class from the
+# id rotation (+ the honest raw-body collision cases) without parsing —
+# a classifier offset/literal bug breaks the round-trip
+_reg(
+    "mm_magic_census",
+    lambda s, d: mm.mm_magic_census(load(s, d, "documents")),
+    """
+    WITH t AS (
+      SELECT lang,
+             CASE
+               WHEN doc_id % 4 = 1 THEN 'png'
+               WHEN doc_id % 4 = 2 THEN 'wav'
+               WHEN doc_id % 4 = 0 THEN 'bmp'
+               WHEN text LIKE 'BM%' THEN 'bmp'
+               WHEN substr(text, 1, 4) = 'RIFF' AND substr(text, 9, 4) = 'WAVE'
+                 THEN 'wav'
+               ELSE 'raw'
+             END AS magic,
+             octet_length(encode(text))
+               + CASE doc_id % 4 WHEN 0 THEN 2 WHEN 1 THEN 8
+                                 WHEN 2 THEN 12 ELSE 0 END AS nb
+      FROM documents)
+    SELECT magic, lang, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(nb) AS BIGINT) AS total_bytes
+    FROM t GROUP BY 1, 2
+    """,
+)

@@ -3528,3 +3528,33 @@ def test_segment_migration_quartiles_and_exclusions(spark):
     # perfect reversal: (1,4),(2,3),(3,2),(4,1), one customer each
     assert set(got) == {(1, 4), (2, 3), (3, 2), (4, 1)}
     assert got[(1, 4)].n_customers == 1 and got[(1, 4)].h1_total_c == 10000
+
+
+def test_ewma_array_fold_matches_lag_chain_with_nulls(spark):
+    """The r14 array fold must reproduce the lag chain EXACTLY, including
+    the null-sample contract (null contributes 0 to the numerator and is
+    EXCLUDED from the weight denominator — it must not shift lag slots,
+    which bare collect_list would do by dropping nulls)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from kdb_spark.analytics import windows as wn
+
+    rows = [
+        (1, 1, "a", 100, 1_000),
+        (2, 1, "a", None, 2_000),   # null mid-series: slot must be kept
+        (3, 1, "a", 300, 3_000),
+        (4, 1, "a", None, 4_000),
+        (5, 1, "a", 500, 5_000),
+        (6, 2, "a", 700, 1_000),    # short series head
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, xc long, ts_us long"
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+    n_old, d_old = wn._ewma_terms(F.col("xc"), wn.EWMA_ALPHA, w)
+    n_new, d_new = wn._ewma_terms_array(F.col("xc"), wn.EWMA_ALPHA, w)
+    got = df.select("event_id", n_old.alias("no"), d_old.alias("do"),
+                    n_new.alias("nn"), d_new.alias("dn")).collect()
+    for r in got:
+        assert (r.no, r.do) == (r.nn, r.dn), r

@@ -259,8 +259,9 @@ def test_skew_salted_two_path(spark):
 
 
 def test_ewma_is_single_window_pass(spark):
-    """16 lag() calls over one window spec compile into ONE Window node and
-    ONE Exchange — the lag chain never re-shuffles."""
+    """The trailing-frame collect_list fold compiles into ONE Window node
+    and ONE Exchange — the EWMA never re-shuffles (r14: array fold
+    replaced the 16-lag chain; plan shape unchanged)."""
     import re
 
     from kdb_spark.analytics import windows as wn

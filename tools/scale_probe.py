@@ -172,19 +172,15 @@ def gen_scaled(k: int) -> str:
     return final
 
 
-def main() -> int:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--scales", default="1,8,32")
-    ap.add_argument("--keep", action="store_true", help="keep generated dirs")
-    ap.add_argument("ops", nargs="*", default=None)
-    args = ap.parse_args()
-    scales = [int(x) for x in args.scales.split(",")]
-    ops = args.ops or DEFAULT_OPS
+def run_probe(
+    spark, scales: list[int], ops: list[str], *, keep: bool = False, echo=print
+) -> tuple[dict[str, dict[int, float]], list[str]]:
+    """Run the growth audit and return (per-op timings, super-linear ops).
 
+    Shared by the CLI below and tests/test_scale.py (`pytest -m scale`),
+    so super-linear growth is a failing TEST, not just a doc audit."""
     import __spark_entry__ as entry
-    from kdb_spark.session import get_spark
 
-    spark = get_spark("scale_probe")
     qs = entry.queries()
     dirs = {k: gen_scaled(k) for k in scales}
 
@@ -192,9 +188,10 @@ def main() -> int:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
     k0, kmax = scales[0], scales[-1]
-    print(f"{'op':26s} " + " ".join(f"K={k:<3d}s" for k in scales)
-          + f"  growth(K={kmax}/K={k0})  verdict", flush=True)
+    echo(f"{'op':26s} " + " ".join(f"K={k:<3d}s" for k in scales)
+         + f"  growth(K={kmax}/K={k0})  verdict")
     flagged = []
+    results: dict[str, dict[int, float]] = {}
     for name in ops:
         fn = EXTRA_OPS.get(name) or qs.get(name)
         if fn is None:
@@ -205,6 +202,7 @@ def main() -> int:
             t0 = time.time()
             fn(spark, dirs[k]).write.format("noop").mode("overwrite").save()
             ts[k] = time.time() - t0
+        results[name] = ts
         ratio = ts[kmax] / max(ts[k0], 1e-9)
         verdict = "OK"
         if ratio > 1.5 * (kmax / k0):
@@ -213,10 +211,26 @@ def main() -> int:
         elif ratio < 0.6 * (kmax / k0):
             verdict = "sub-linear"
         cols = " ".join(f"{ts[k]:6.2f}" for k in scales)
-        print(f"{name:26s} {cols}  {ratio:6.2f}x            {verdict}", flush=True)
-    if not args.keep:
+        echo(f"{name:26s} {cols}  {ratio:6.2f}x            {verdict}")
+    if not keep:
         for d in dirs.values():
             shutil.rmtree(d, ignore_errors=True)
+    return results, flagged
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scales", default="1,8,32")
+    ap.add_argument("--keep", action="store_true", help="keep generated dirs")
+    ap.add_argument("ops", nargs="*", default=None)
+    args = ap.parse_args()
+    scales = [int(x) for x in args.scales.split(",")]
+    ops = args.ops or DEFAULT_OPS
+
+    from kdb_spark.session import get_spark
+
+    spark = get_spark("scale_probe")
+    _, flagged = run_probe(spark, scales, ops, keep=args.keep)
     print(f"\nflagged super-linear: {flagged or 'none'}")
     return 1 if flagged else 0
 
