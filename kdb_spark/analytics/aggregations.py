@@ -5138,3 +5138,49 @@ def sql_segment_migration(orders: DataFrame, split_day: int = 10227) -> DataFram
         """,
         orders_v=orders,
     )
+
+
+def sql_nation_product_profit(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    part: DataFrame,
+    token: str = "bolt",
+) -> DataFrame:
+    """TPC-H-Q9-shaped product-line profit by supplier nation and order
+    year as SQL TEXT, adapted to this schema: the synthetic tables carry
+    no partsupp, so profit is the discounted revenue Σ extprice·(1−disc)
+    (Q9's ps_supplycost·quantity subtrahend has no source column —
+    documented adaptation, not an approximation of available data).
+    Parts are selected by name token, Q9's `p_name like '%green%'`
+    device (`%bolt%` here — the synthetic vocabulary's frequent token).
+
+    Scale shape: lineitem is the only fact; orders joins fact-sized (AQE
+    picks SMJ), part/supplier/nation broadcast, and the p_name filter
+    prunes the fact rows at the broadcast-hash-join probe before any
+    shuffle. Exact bigint cents; the final aggregate is
+    |nations × years| rows.
+    """
+    return lineitem.sparkSession.sql(
+        """
+        SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+               CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                   * 100) AS BIGINT)) AS BIGINT) AS profit_c,
+               CAST(count(*) AS BIGINT) AS n_items
+        FROM {lineitem_v} l
+        JOIN {orders_v} o ON l.l_orderkey = o.o_orderkey
+        JOIN {part_v} p ON l.l_partkey = p.p_partkey
+        JOIN {supplier_v} s ON l.l_suppkey = s.s_suppkey
+        JOIN {nation_v} n ON s.s_nationkey = n.n_nationkey
+        WHERE p.p_name LIKE '%"""
+        + token
+        + """%'
+        GROUP BY n.n_name, year(o.o_orderdate)
+        """,
+        lineitem_v=lineitem,
+        orders_v=orders,
+        part_v=part,
+        supplier_v=supplier,
+        nation_v=nation,
+    )

@@ -1964,6 +1964,143 @@ def win_atr(events: DataFrame, period: int = 14) -> DataFrame:
     )
 
 
+def win_vortex(events: DataFrame, period: int = 14) -> DataFrame:
+    """Vortex Indicator (VI+/VI−) over the hourly candle series per
+    event_type — the trend-reversal oscillator built from directional
+    range movement (uptrend pressure |h−prev_l| vs downtrend pressure
+    |l−prev_h|, each normalized by true range). Complements win_atr
+    (same candle spine, same TR) and win_aroon (argmax-based trend).
+
+    Exact cross-engine: candles are exact cent picks (agg_ohlc rollup),
+    VM+/VM−/TR are integer cents arithmetic, the trailing ``period``
+    sums fold in decimal(38,0), and VI = ΣVM/ΣTR is ONE unsigned integer
+    device round at 6 dp. First candle of a series has no prev and is
+    EXCLUDED from all three sums (the standard vortex seed — unlike
+    ATR's Wilder h−l seed); an all-flat frame (ΣTR = 0) yields null.
+
+    Scale shape: identical to win_atr — one fact-sized (type, hour) hash
+    agg to candles, then ONE type-key window Exchange over the
+    dimension-sized candle table; lag and both frame sums share the sort.
+    """
+    candles = (
+        events.groupBy(
+            "event_type",
+            (F.col("ts_us") - F.col("ts_us") % F.lit(HOUR_US)).alias("hour_us"),
+        )
+        .agg(
+            F.max(cents("value")).alias("h"),
+            F.min(cents("value")).alias("l"),
+            F.max_by(cents("value"), F.struct("ts_us", "event_id")).alias("c"),
+        )
+    )
+    wo = Window.partitionBy("event_type").orderBy("hour_us")
+    wf = wo.rowsBetween(-(period - 1), 0)
+    t = candles.select(
+        "event_type",
+        "hour_us",
+        "h",
+        "l",
+        F.lag("h").over(wo).alias("ph"),
+        F.lag("l").over(wo).alias("pl"),
+        F.lag("c").over(wo).alias("pc"),
+    ).select(
+        "event_type",
+        "hour_us",
+        F.abs(F.col("h") - F.col("pl")).cast("long").alias("vmp_c"),
+        F.abs(F.col("l") - F.col("ph")).cast("long").alias("vmm_c"),
+        F.when(
+            F.col("pc").isNotNull(),
+            F.greatest(
+                F.col("h") - F.col("l"),
+                F.abs(F.col("h") - F.col("pc")),
+                F.abs(F.col("l") - F.col("pc")),
+            ),
+        ).cast("long").alias("tr_c"),
+    )
+    s = t.select(
+        "event_type",
+        "hour_us",
+        F.sum(F.col("vmp_c").cast("decimal(38,0)")).over(wf).alias("svmp"),
+        F.sum(F.col("vmm_c").cast("decimal(38,0)")).over(wf).alias("svmm"),
+        F.sum(F.col("tr_c").cast("decimal(38,0)")).over(wf).alias("strc"),
+    )
+    vip = iround_col("svmp", "strc", 6, signed=False)
+    vim = iround_col("svmm", "strc", 6, signed=False)
+    return s.select(
+        "event_type",
+        "hour_us",
+        F.when(F.col("strc") > 0, vip).alias("vi_plus"),
+        F.when(F.col("strc") > 0, vim).alias("vi_minus"),
+    )
+
+
+def win_tsi(
+    events: DataFrame, slow: float = 0.15, fast: float = 0.4
+) -> DataFrame:
+    """True Strength Index per (user, event_type) series: 100 × double-
+    smoothed momentum / double-smoothed |momentum| — the zero-centered
+    momentum oscillator (win_rsi ratios gains vs losses; TSI double-
+    smooths the raw delta, so it leads RSI at turns).
+
+    Same finite-horizon quantized-EWMA composition as win_macd: stage-1
+    folds momentum and |momentum| in exact bigint cents with the integer
+    weights of ewma_weights_int(slow); the two rationals are quantized
+    ONCE to the 10^-4 grid by sign-aware integer floor-division (e4, not
+    macd's e6 — the second fold multiplies by the 10^6 weight grid, and
+    e4 keeps |fold| ≤ ~1e17, inside int64 for |momentum| up to ~$10M);
+    stage-2 folds those exact grid integers with ewma_weights_int(fast).
+    tsi = 100·n2/a2 is one signed integer device round at 4 dp. The
+    series head (no lag → null momentum) is excluded from both folds by
+    the lag chain's null contract; an all-flat horizon (a2 = 0) is null.
+
+    Scale shape: two Window nodes over ONE (user, type) Exchange —
+    stage-1 must materialize before stage-2 can lag over it, exactly the
+    win_macd signal-line plan.
+    """
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+    xc = cents("value")
+    mom = (xc - F.lag(xc).over(w)).cast("long")
+    m = events.select(
+        "event_id", "user_id", "event_type", "ts_us", mom.alias("mom_c")
+    )
+    n1, d1 = _ewma_terms(F.col("mom_c"), slow, w)
+    a1, _ = _ewma_terms(F.abs("mom_c"), slow, w)
+    g = m.select(
+        "event_id", "user_id", "event_type", "ts_us",
+        n1.alias("n1"), a1.alias("a1"), d1.alias("d1"),
+    ).select(
+        "event_id", "user_id", "event_type", "ts_us",
+        F.when(
+            F.col("d1") > 0,
+            F.expr(
+                "(CASE WHEN n1 < 0 THEN -1 ELSE 1 END) * "
+                + floor_div_sql(
+                    "20000 * CAST(abs(n1) AS DECIMAL(38,0)) + d1", "2 * d1"
+                )
+            ),
+        ).cast("long").alias("s1_e4"),
+        F.when(
+            F.col("d1") > 0,
+            F.expr(
+                floor_div_sql("20000 * CAST(a1 AS DECIMAL(38,0)) + d1", "2 * d1")
+            ),
+        ).cast("long").alias("a1_e4"),
+    )
+    n2, d2 = _ewma_terms(F.col("s1_e4"), fast, w)
+    a2, _ = _ewma_terms(F.col("a1_e4"), fast, w)
+    t = g.select(
+        "event_id", "user_id", "event_type",
+        n2.alias("n2"), a2.alias("a2"),
+    )
+    tsi4 = iround_col("100 * CAST(n2 AS DECIMAL(38,0))", "CAST(a2 AS DECIMAL(38,0))", 4)
+    return t.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.when(F.col("a2") > 0, tsi4).alias("tsi"),
+    )
+
+
 def win_swing_points(events: DataFrame, k: int = 2) -> DataFrame:
     """Swing-point (Williams fractal) detection per series: a row is a
     swing HIGH when its price equals the maximum of the CENTERED

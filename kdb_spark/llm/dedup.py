@@ -874,3 +874,30 @@ def dedup_keep_best(
             "n_members",
         )
     )
+
+
+def dedup_prefix(documents: DataFrame, k: int = 64) -> DataFrame:
+    """Prefix-duplicate detection: documents sharing the same normalized
+    ``k``-character prefix — the crawl-dedup screen for truncation
+    variants and boilerplate-stamped rewraps that exact hashing misses
+    (same head, diverging tails) and shingle Jaccard over-pays for.
+
+    Normalization = lowercase + whitespace runs collapsed to one space,
+    so re-wrapped copies block together. Keep-lowest-doc_id survivor and
+    group size, exactly dedup_exact's contract, keyed on sha2 of the
+    prefix instead of the body.
+
+    Scale: the shuffle carries a 32-byte hash regardless of document
+    size (the dedup_exact posture); docs shorter than ``k`` normalized
+    chars block on their full text — a short exact-duplicate is still a
+    prefix-duplicate.
+    """
+    norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    return (
+        documents.select(
+            F.sha2(F.substring(norm, 1, k), 256).alias("h"), "doc_id"
+        )
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("doc_id", "n_copies")
+    )

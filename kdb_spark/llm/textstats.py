@@ -1275,3 +1275,105 @@ def text_source_overlap(documents: DataFrame, n: int = 3) -> DataFrame:
         "nb",
         jac.alias("jaccard"),
     )
+
+
+def text_stopword_profile(documents: DataFrame) -> DataFrame:
+    """Corpus stopword profile per language: for each (lang, stopword),
+    how many documents contain it, total occurrences, and document
+    coverage — the function-word fingerprint language-ID models and
+    quality filters calibrate against (text_stats carries the per-doc
+    stop COUNT; this is the pooled per-word view).
+
+    Scale shape: one token explode filtered to the fixed stopword list
+    BEFORE the shuffle (the exploded stream is |matches|, not |tokens|),
+    then a (lang, word) hash agg with map-side combine, joined to the
+    dimension-sized per-lang doc counts (broadcast). Coverage is the
+    unsigned integer device at 4 dp.
+    """
+    stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    toks = documents.select(
+        "lang", "doc_id", F.explode(F.array(tokens("text"))).alias("toks")
+    )
+    hits = toks.select(
+        "lang",
+        "doc_id",
+        F.explode(F.filter("toks", lambda t: F.array_contains(stop_arr, t))).alias("w"),
+    )
+    per_word = hits.groupBy("lang", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+    )
+    lang_totals = documents.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lang_docs")
+    )
+    j = per_word.join(F.broadcast(lang_totals), "lang")
+    cov4 = iround_col(
+        "10000 * CAST(n_docs AS DECIMAL(38,0))",
+        "10000 * CAST(n_lang_docs AS DECIMAL(38,0))",
+        4,
+        signed=False,
+    )
+    return j.select(
+        "lang",
+        F.col("w").alias("stopword"),
+        "n_docs",
+        "n_occurrences",
+        cov4.alias("doc_coverage"),
+    )
+
+
+def text_ngram_novelty(documents: DataFrame, n: int = 3) -> DataFrame:
+    """Per-document n-gram novelty: the share of a document's DISTINCT
+    word n-grams whose first corpus appearance (lowest doc_id) is this
+    document — the marginal-information score a crawl-ordered ingest
+    uses to cut late near-boilerplate (dedup asks "is this a copy?";
+    novelty asks "how much of it is new?").
+
+    Deterministic "earlier" = doc_id order (ingest order in this corpus),
+    so the score is a pure function of the data, not of partitioning.
+
+    Scale shape: docs explode to distinct shingles once (the shared
+    `shingles` device), a (gram) hash agg computes min(doc_id) — the
+    gram table is vocabulary-Zipf-bounded, never |docs|² — and one
+    equi-join back on the gram key scores each doc. Ratio is the
+    unsigned integer device at 4 dp; docs with < n tokens have no grams
+    and surface novelty = null with n_grams = 0.
+    """
+    from kdb_spark.llm.dedup import _doc_shingles
+
+    sh = _doc_shingles(documents, n).select(
+        "doc_id", F.explode("sh").alias("g")
+    )
+    first_seen = sh.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    scored = (
+        sh.join(first_seen, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).cast("long").alias("n_novel"),
+        )
+    )
+    # docs with no grams (< n tokens) never reach the join; restore them
+    base = documents.select("doc_id")
+    nov4 = iround_col(
+        "10000 * CAST(n_novel AS DECIMAL(38,0))",
+        "10000 * CAST(n_grams AS DECIMAL(38,0))",
+        4,
+        signed=False,
+    )
+    return (
+        base.join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.when(F.col("n_grams") > 0, nov4).alias("novelty"),
+        )
+    )

@@ -319,3 +319,19 @@ _reg(
     FROM r WHERE rn = 1
     """,
 )
+
+
+# Prefix dedup: normalized 64-char head blocking — truncation variants and
+# boilerplate-stamped rewraps that exact hashing misses
+_reg(
+    "dedup_prefix",
+    lambda s, d: dd.dedup_prefix(load(s, d, "documents")),
+    r"""
+    SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+    FROM (SELECT doc_id,
+                 substring(regexp_replace(lower(text), '\s+', ' ', 'g'),
+                           1, 64) AS p
+          FROM documents)
+    GROUP BY p
+    """,
+)

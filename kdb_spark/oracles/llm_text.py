@@ -759,3 +759,68 @@ _reg(
     JOIN sizes sb ON sb.source = source_b
     """,
 )
+
+
+# Pooled per-(lang, stopword) profile: doc coverage on the unsigned device
+_reg(
+    "text_stopword_profile",
+    lambda s, d: tx.text_stopword_profile(load(s, d, "documents")),
+    """
+    WITH toks AS (
+      SELECT lang, doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+      FROM documents),
+    hits AS (
+      SELECT lang, doc_id, w FROM toks
+      WHERE w IN ('the', 'a', 'of', 'and', 'to', 'in', 'is')),
+    pw AS (
+      SELECT lang, w AS stopword,
+             CAST(count(*) AS BIGINT) AS n_occurrences,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM hits GROUP BY 1, 2),
+    lt AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_lang_docs
+           FROM documents GROUP BY 1)
+    SELECT pw.lang, pw.stopword, pw.n_docs, pw.n_occurrences,
+           CAST((20000 * (10000 * CAST(pw.n_docs AS HUGEINT))
+                 + (10000 * CAST(lt.n_lang_docs AS HUGEINT)))
+                // (2 * (10000 * CAST(lt.n_lang_docs AS HUGEINT)))
+                AS DOUBLE) / 1e4 AS doc_coverage
+    FROM pw JOIN lt ON pw.lang = lt.lang
+    """,
+)
+
+
+# Per-doc 3-gram novelty vs corpus ingest order (first appearance = lowest
+# doc_id); short docs surface n_grams = 0, novelty null
+_reg(
+    "text_ngram_novelty",
+    lambda s, d: tx.text_ngram_novelty(load(s, d, "documents")),
+    """
+    WITH d AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            FOR i IN range(1, len(toks) - 1)]) AS sh
+      FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+            FROM documents)),
+    flat AS (SELECT doc_id, unnest(sh) AS g FROM d),
+    fs AS (SELECT g, min(doc_id) AS first_doc FROM flat GROUP BY g),
+    scored AS (
+      SELECT flat.doc_id,
+             CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(sum(CASE WHEN fs.first_doc = flat.doc_id THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_novel
+      FROM flat JOIN fs ON flat.g = fs.g
+      GROUP BY flat.doc_id)
+    SELECT b.doc_id,
+           CAST(coalesce(s.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(coalesce(s.n_novel, 0) AS BIGINT) AS n_novel,
+           CASE WHEN s.n_grams > 0 THEN
+             CAST((20000 * (10000 * CAST(s.n_novel AS HUGEINT))
+                   + (10000 * CAST(s.n_grams AS HUGEINT)))
+                  // (2 * (10000 * CAST(s.n_grams AS HUGEINT)))
+                  AS DOUBLE) / 1e4
+           END AS novelty
+    FROM (SELECT doc_id FROM documents) b
+    LEFT JOIN scored s ON b.doc_id = s.doc_id
+    """,
+)

@@ -801,3 +801,27 @@ _reg(
     FROM seg GROUP BY 1, 2
     """,
 )
+
+
+# Q9-shaped product-line profit (no partsupp in this schema: profit is the
+# discounted revenue, a documented adaptation — see the impl docstring)
+_reg(
+    "sql_nation_product_profit",
+    lambda s, d: agg.sql_nation_product_profit(
+        load(s, d, "lineitem"), load(s, d, "orders"), load(s, d, "supplier"),
+        load(s, d, "nation"), load(s, d, "part"),
+    ),
+    """
+    SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS profit_c,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_name LIKE '%bolt%'
+    GROUP BY n.n_name, year(o.o_orderdate)
+    """,
+)

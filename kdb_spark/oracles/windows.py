@@ -1554,3 +1554,105 @@ _reg(
     FROM p
     """,
 )
+
+
+# Vortex Indicator: directional range movement off the same hourly candle
+# spine as win_atr; first candle excluded (no prev), all-flat frame null
+_reg(
+    "win_vortex",
+    lambda s, d: wn.win_vortex(events_us(s, d)),
+    """
+    WITH c0 AS (
+      SELECT event_type, epoch_us(ts) AS tu, event_id,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events),
+    candles AS (
+      SELECT event_type, tu - tu % 3600000000 AS hour_us,
+             max(c) AS h, min(c) AS l,
+             last(c ORDER BY tu, event_id) AS cl
+      FROM c0 GROUP BY 1, 2),
+    v AS (
+      SELECT event_type, hour_us,
+             CAST(abs(h - pl) AS BIGINT) AS vmp_c,
+             CAST(abs(l - ph) AS BIGINT) AS vmm_c,
+             CAST(CASE WHEN pc IS NOT NULL
+                  THEN greatest(h - l, abs(h - pc), abs(l - pc)) END
+                  AS BIGINT) AS tr_c
+      FROM (SELECT *,
+                   lag(h) OVER wo AS ph, lag(l) OVER wo AS pl,
+                   lag(cl) OVER wo AS pc
+            FROM candles
+            WINDOW wo AS (PARTITION BY event_type ORDER BY hour_us))),
+    s AS (
+      SELECT event_type, hour_us,
+             sum(CAST(vmp_c AS HUGEINT)) OVER win AS svmp,
+             sum(CAST(vmm_c AS HUGEINT)) OVER win AS svmm,
+             sum(CAST(tr_c AS HUGEINT)) OVER win AS strc
+      FROM v
+      WINDOW win AS (PARTITION BY event_type ORDER BY hour_us
+                     ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+    SELECT event_type, hour_us,
+           CASE WHEN strc > 0 THEN
+             CAST((2000000 * svmp + strc) // (2 * strc) AS DOUBLE) / 1e6
+           END AS vi_plus,
+           CASE WHEN strc > 0 THEN
+             CAST((2000000 * svmm + strc) // (2 * strc) AS DOUBLE) / 1e6
+           END AS vi_minus
+    FROM s
+    """,
+)
+
+
+# True Strength Index: the win_macd nested quantized-EWMA composition —
+# stage-1 integer folds of momentum and |momentum| quantized once to the
+# 1e-4 grid, stage-2 folds of those exact grid integers, one device round
+_TSI_N1, _TSI_D1 = _ewma_int_sql("mom", 0.15)
+_TSI_A1, _ = _ewma_int_sql("am", 0.15)
+_TSI_N2, _TSI_D2 = _ewma_int_sql("s1_e4", 0.4)
+_TSI_A2, _ = _ewma_int_sql("a1_e4", 0.4)
+
+
+_reg(
+    "win_tsi",
+    lambda s, d: wn.win_tsi(events_us(s, d)),
+    f"""
+    WITH t AS (
+      SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+             CAST(round(value * 100) AS BIGINT) AS xc
+      FROM events),
+    m AS (
+      SELECT event_id, user_id, event_type, ts_us,
+             xc - lag(xc) OVER w AS mom,
+             abs(xc - lag(xc) OVER w) AS am
+      FROM t
+      WINDOW w AS (PARTITION BY user_id, event_type
+                   ORDER BY ts_us, event_id)),
+    e1 AS (
+      SELECT event_id, user_id, event_type, ts_us,
+             ({_TSI_N1}) AS n1, ({_TSI_A1}) AS a1, ({_TSI_D1}) AS d1
+      FROM m
+      WINDOW w AS (PARTITION BY user_id, event_type
+                   ORDER BY ts_us, event_id)),
+    q AS (
+      SELECT event_id, user_id, event_type, ts_us,
+             CASE WHEN d1 > 0 THEN
+               (CASE WHEN n1 < 0 THEN -1 ELSE 1 END)
+                 * ((20000 * abs(n1) + d1) // (2 * d1)) END AS s1_e4,
+             CASE WHEN d1 > 0 THEN
+               (20000 * a1 + d1) // (2 * d1) END AS a1_e4
+      FROM e1),
+    e2 AS (
+      SELECT event_id, user_id, event_type,
+             ({_TSI_N2}) AS n2, ({_TSI_A2}) AS a2
+      FROM q
+      WINDOW w AS (PARTITION BY user_id, event_type
+                   ORDER BY ts_us, event_id))
+    SELECT event_id, user_id, event_type,
+           CASE WHEN a2 > 0 THEN
+             CAST((CASE WHEN 100 * n2 < 0 THEN -1 ELSE 1 END)
+                  * ((20000 * abs(100 * n2) + a2) // (2 * a2))
+                  AS DOUBLE) / 1e4
+           END AS tsi
+    FROM e2
+    """,
+)

@@ -3558,3 +3558,50 @@ def test_ewma_array_fold_matches_lag_chain_with_nulls(spark):
                     n_new.alias("nn"), d_new.alias("dn")).collect()
     for r in got:
         assert (r.no, r.do) == (r.nn, r.dn), r
+
+
+def test_vortex_excludes_first_candle_and_flags_flat(spark):
+    """VI+/VI− on a hand-built two-candle series; the first candle (no
+    prev) contributes nothing, and an all-flat frame (ΣTR = 0) is null."""
+    HOUR = 3_600_000_000
+    rows = [
+        # type a: candle 0 h=l=c=10.00; candle 1 h=12.00 l=9.00 c=11.00
+        (1, 1, "a", 10.0, 0),
+        (2, 1, "a", 12.0, HOUR),
+        (3, 1, "a", 9.0, HOUR + 1),
+        (4, 1, "a", 11.0, HOUR + 2),
+        # type b: two identical flat candles -> TR = 0 -> null
+        (5, 1, "b", 5.0, 0),
+        (6, 1, "b", 5.0, HOUR),
+    ]
+    from kdb_spark.analytics import windows as wn
+
+    got = {
+        (r.event_type, r.hour_us): (r.vi_plus, r.vi_minus)
+        for r in wn.win_vortex(_events(spark, rows)).collect()
+    }
+    # candle 0 rows: no prev -> sums empty -> null
+    assert got[("a", 0)] == (None, None)
+    # candle 1: vm+ = |1200-1000| = 200, vm- = |900-1000| = 100,
+    # tr = max(300, 200, 100) = 300 -> 0.666667 / 0.333333
+    assert got[("a", HOUR)] == (0.666667, 0.333333)
+    assert got[("b", HOUR)] == (None, None)
+
+
+def test_tsi_constant_momentum_saturates(spark):
+    """A strictly increasing equal-step series has momentum ≡ +step, so
+    double-smoothed momentum equals double-smoothed |momentum| and TSI
+    saturates at exactly +100; a decreasing one at -100."""
+    rows = [(i, 1, "up", 10.0 + i, i * 1000) for i in range(1, 40)]
+    rows += [(100 + i, 1, "dn", 900.0 - i, i * 1000) for i in range(1, 40)]
+    from kdb_spark.analytics import windows as wn
+
+    out = {r.event_id: (r.event_type, r.tsi)
+           for r in wn.win_tsi(_events(spark, rows)).collect()}
+    for eid, (et, tsi) in out.items():
+        if eid in (1, 101):        # series head: no momentum yet
+            assert tsi is None, (eid, tsi)
+        elif et == "up":
+            assert tsi == 100.0, (eid, tsi)
+        else:
+            assert tsi == -100.0, (eid, tsi)
