@@ -5184,3 +5184,51 @@ def sql_nation_product_profit(
         supplier_v=supplier,
         nation_v=nation,
     )
+
+
+def agg_cov_matrix(events: DataFrame) -> DataFrame:
+    """Pairwise covariance matrix of the event types' hourly revenue
+    series — the cross-series dependence report (do 'purchase' hours
+    co-move with 'click' hours?) a risk/anomaly layer reads; agg_corr is
+    within-group value-vs-value, this is series-vs-series across the
+    bounded type alphabet.
+
+    Exact: hourly totals are bigint cent sums; for each unordered type
+    pair the population covariance over their COMMON hours is the exact
+    rational (n·Σxy − Σx·Σy) / n², carried in decimal(38,0) and rounded
+    once by the signed device at 4 dp (units: cents²). Pairs with no
+    common hours simply don't appear (surfaced by absence).
+
+    Scale shape: one fact-sized (type, hour) hash agg collapses the tape
+    to ≤ |types|·|hours| rows (dimension-sized), then a self-equi-join on
+    hour and a ≤ |types|² aggregate — the fact is never self-joined.
+    """
+    hourly = events.groupBy(
+        "event_type",
+        F.expr(f"ts_us div {HOUR_US}").alias("hour"),
+    ).agg(F.sum(cents("value")).alias("c"))
+    a = hourly.alias("a")
+    b = hourly.alias("b")
+    pairs = a.join(b, "hour").filter(
+        F.col("a.event_type") < F.col("b.event_type")
+    )
+    g = pairs.groupBy(
+        F.col("a.event_type").alias("type_a"),
+        F.col("b.event_type").alias("type_b"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.sum(F.col("a.c").cast("decimal(38,0)") * F.col("b.c")).alias("sxy"),
+        F.sum(F.col("a.c").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("b.c").cast("decimal(38,0)")).alias("sy"),
+    )
+    cov4 = iround_col(
+        "CAST(n_hours AS DECIMAL(38,0)) * sxy - sx * sy",
+        "CAST(n_hours AS DECIMAL(38,0)) * CAST(n_hours AS DECIMAL(38,0))",
+        4,
+    )
+    return g.select(
+        "type_a", "type_b", "n_hours",
+        F.col("sx").cast("long").alias("sum_a_c"),
+        F.col("sy").cast("long").alias("sum_b_c"),
+        cov4.alias("cov_c2"),
+    )

@@ -2063,8 +2063,11 @@ def win_tsi(
     m = events.select(
         "event_id", "user_id", "event_type", "ts_us", mom.alias("mom_c")
     )
-    n1, d1 = _ewma_terms(F.col("mom_c"), slow, w)
-    a1, _ = _ewma_terms(F.abs("mom_c"), slow, w)
+    # array folds (win_ewma's r14 device): 4 collect_list window
+    # expressions instead of 4 × 16 lag() calls — same exact semantics,
+    # a fraction of the codegen
+    n1, d1 = _ewma_terms_array(F.col("mom_c"), slow, w)
+    a1, _ = _ewma_terms_array(F.abs("mom_c"), slow, w)
     g = m.select(
         "event_id", "user_id", "event_type", "ts_us",
         n1.alias("n1"), a1.alias("a1"), d1.alias("d1"),
@@ -2086,8 +2089,8 @@ def win_tsi(
             ),
         ).cast("long").alias("a1_e4"),
     )
-    n2, d2 = _ewma_terms(F.col("s1_e4"), fast, w)
-    a2, _ = _ewma_terms(F.col("a1_e4"), fast, w)
+    n2, d2 = _ewma_terms_array(F.col("s1_e4"), fast, w)
+    a2, _ = _ewma_terms_array(F.col("a1_e4"), fast, w)
     t = g.select(
         "event_id", "user_id", "event_type",
         n2.alias("n2"), a2.alias("a2"),
@@ -2098,6 +2101,86 @@ def win_tsi(
         "user_id",
         "event_type",
         F.when(F.col("a2") > 0, tsi4).alias("tsi"),
+    )
+
+
+def win_adx(events: DataFrame, period: int = 14) -> DataFrame:
+    """Directional movement index (+DI / −DI / DX) over the hourly candle
+    series per event_type — the trend-STRENGTH gauge (win_vortex measures
+    reversal pressure off the same spine; classic ADX further smooths DX
+    with Wilder recursion, which is deliberately omitted: the frame-sum
+    form is the exact, stateless variant, documented like the finite-
+    horizon EWMA family).
+
+    +DM = h−prev_h when that up-move exceeds the down-move pl−l (else 0),
+    −DM symmetrically; both integer cents. Over the trailing ``period``
+    frame: +DI = Σ+DM/ΣTR, −DI = Σ−DM/ΣTR, and DX = |Σ+DM − Σ−DM| /
+    (Σ+DM + Σ−DM) — the common ΣTR denominator cancels, so DX is one
+    exact integer ratio. Three unsigned device rounds at 6 dp. First
+    candle (no prev) is excluded from every sum; ΣTR = 0 (flat frame) or
+    Σ+DM + Σ−DM = 0 (no directional movement) yield null.
+
+    Scale shape: the win_atr/win_vortex posture — one fact-sized
+    (type, hour) hash agg to candles, one type-key window Exchange over
+    the dimension-sized candle table.
+    """
+    candles = (
+        events.groupBy(
+            "event_type",
+            (F.col("ts_us") - F.col("ts_us") % F.lit(HOUR_US)).alias("hour_us"),
+        )
+        .agg(
+            F.max(cents("value")).alias("h"),
+            F.min(cents("value")).alias("l"),
+            F.max_by(cents("value"), F.struct("ts_us", "event_id")).alias("c"),
+        )
+    )
+    wo = Window.partitionBy("event_type").orderBy("hour_us")
+    wf = wo.rowsBetween(-(period - 1), 0)
+    up = F.col("h") - F.col("ph")
+    dn = F.col("pl") - F.col("l")
+    t = candles.select(
+        "event_type",
+        "hour_us",
+        "h",
+        "l",
+        F.lag("h").over(wo).alias("ph"),
+        F.lag("l").over(wo).alias("pl"),
+        F.lag("c").over(wo).alias("pc"),
+    ).select(
+        "event_type",
+        "hour_us",
+        F.when((up > dn) & (up > 0), up).otherwise(
+            F.when(F.col("ph").isNotNull(), F.lit(0))
+        ).cast("long").alias("pdm_c"),
+        F.when((dn > up) & (dn > 0), dn).otherwise(
+            F.when(F.col("pl").isNotNull(), F.lit(0))
+        ).cast("long").alias("mdm_c"),
+        F.when(
+            F.col("pc").isNotNull(),
+            F.greatest(
+                F.col("h") - F.col("l"),
+                F.abs(F.col("h") - F.col("pc")),
+                F.abs(F.col("l") - F.col("pc")),
+            ),
+        ).cast("long").alias("tr_c"),
+    )
+    s = t.select(
+        "event_type",
+        "hour_us",
+        F.sum(F.col("pdm_c").cast("decimal(38,0)")).over(wf).alias("spdm"),
+        F.sum(F.col("mdm_c").cast("decimal(38,0)")).over(wf).alias("smdm"),
+        F.sum(F.col("tr_c").cast("decimal(38,0)")).over(wf).alias("strc"),
+    )
+    pdi = iround_col("spdm", "strc", 6, signed=False)
+    mdi = iround_col("smdm", "strc", 6, signed=False)
+    dx = iround_col("abs(spdm - smdm)", "spdm + smdm", 6, signed=False)
+    return s.select(
+        "event_type",
+        "hour_us",
+        F.when(F.col("strc") > 0, pdi).alias("plus_di"),
+        F.when(F.col("strc") > 0, mdi).alias("minus_di"),
+        F.when(F.col("spdm") + F.col("smdm") > 0, dx).alias("dx"),
     )
 
 

@@ -1628,3 +1628,47 @@ def emb_hard_negatives(
             "rn",
         )
     )
+
+
+def emb_label_exemplars(embeddings: DataFrame, k: int = 3, dim: int = 64) -> DataFrame:
+    """Per-label exemplar mining: the ``k`` vectors closest (cosine) to
+    their OWN label's centroid — the canonical examples a labeling-QA or
+    few-shot-prompt pipeline pulls per class (emb_centroid_classify asks
+    "do centroids separate labels"; this surfaces WHICH rows define each
+    label, and emb_hard_negatives its boundary cases).
+
+    Same exactness contract as the classify op: centroids from `_qmean`
+    exact decimal sums (partition-order-invariant), the module's
+    sequential-fold dot so the doubles — and therefore the rank order —
+    replay identically cross-engine; ties break to the lowest vec_id.
+
+    Scale shape: one bounded-key aggregate (|labels|·dim doubles), a
+    broadcast join back, and a per-label top-k window over |labels|
+    partitions — no corpus shuffle, no pairwise work.
+    """
+    v = embeddings.select(
+        "vec_id", F.col("label").cast("long").alias("label"),
+        _vec_d("embedding").alias("v"),
+    )
+    nn = F.count(F.lit(1)).cast("double")
+    cents = v.groupBy("label").agg(
+        F.array(*[_qmean(F.col("v")[i], nn) for i in range(dim)]).alias("cv")
+    ).select("label", "cv", _norm(F.col("cv")).alias("cnrm"))
+    scored = (
+        v.withColumn("nrm", _norm(F.col("v")))
+        .join(F.broadcast(cents), "label")
+        .withColumn(
+            "cos", _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm"))
+        )
+    )
+    w = Window.partitionBy("label").orderBy(F.desc("cos"), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "label",
+            F.col("rank").cast("long").alias("rank"),
+            "vec_id",
+            F.round("cos", 6).alias("cos"),
+        )
+    )

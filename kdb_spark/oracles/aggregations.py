@@ -2448,3 +2448,30 @@ _reg(
     FROM g
     """,
 )
+
+
+# Pairwise type×type hourly-revenue covariance: dimension-sized self-join
+# on the hourly rollup, exact decimal co-moments, signed device at 4 dp
+_reg(
+    "agg_cov_matrix",
+    lambda s, d: agg.agg_cov_matrix(events_us(s, d)),
+    """
+    WITH h AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS HUGEINT) AS c
+      FROM events GROUP BY 1, 2),
+    p AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(count(*) AS HUGEINT) AS n_hours,
+             sum(a.c * b.c) AS sxy, sum(a.c) AS sx, sum(b.c) AS sy
+      FROM h a JOIN h b ON a.hour = b.hour AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+    SELECT type_a, type_b, CAST(n_hours AS BIGINT) AS n_hours,
+           CAST(sx AS BIGINT) AS sum_a_c, CAST(sy AS BIGINT) AS sum_b_c,
+           CAST((CASE WHEN n_hours * sxy - sx * sy < 0 THEN -1 ELSE 1 END)
+                * ((20000 * abs(n_hours * sxy - sx * sy)
+                    + n_hours * n_hours)
+                   // (2 * n_hours * n_hours)) AS DOUBLE) / 1e4 AS cov_c2
+    FROM p
+    """,
+)

@@ -947,3 +947,40 @@ _reg(
           FROM s) WHERE rn <= 3
     """,
 )
+
+
+def _label_exemplars_oracle(k: int = 3, dim: int = 64) -> str:
+    """SQL mirror of emb_label_exemplars: the classify oracle's exact
+    centroid CTEs, scored only against the OWN label's centroid."""
+    avgs = ", ".join(
+        f"{_qmean_sql(f'v[{i + 1}]')} AS c{i + 1}" for i in range(dim)
+    )
+    cv = "[" + ", ".join(f"c{i + 1}" for i in range(dim)) + "]"
+    dot_vc = _IVF_DOT.format(a="n.v", b="c.cv")
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                      [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+               FROM embeddings),
+    n AS (SELECT vec_id, label, v, sqrt(list_sum([x * x FOR x IN v])) AS nrm
+          FROM e),
+    craw AS (SELECT label AS clabel, {avgs} FROM e GROUP BY label),
+    c AS (SELECT clabel, {cv} AS cv,
+                 sqrt(list_sum([y * y FOR y IN {cv}])) AS cnrm
+          FROM craw),
+    scored AS (
+      SELECT n.label, n.vec_id,
+             {dot_vc} / (n.nrm * c.cnrm) AS cos
+      FROM n JOIN c ON n.label = c.clabel)
+    SELECT label, CAST(rank AS BIGINT) AS rank, vec_id, round(cos, 6) AS cos
+    FROM (SELECT *, row_number() OVER (PARTITION BY label
+                     ORDER BY cos DESC, vec_id) AS rank
+          FROM scored)
+    WHERE rank <= {k}
+    """
+
+
+_reg(
+    "emb_label_exemplars",
+    lambda s, d: sim.emb_label_exemplars(load(s, d, "embeddings")),
+    _label_exemplars_oracle(),
+)

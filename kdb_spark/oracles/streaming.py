@@ -428,3 +428,32 @@ _reg(
     FROM c WHERE side = 1
     """,
 )
+
+
+# Cumulative VWAP in its online form: O(1) state (two sums + tail), every
+# row emitted, so the batch cumulative-window SQL is the oracle verbatim
+_reg(
+    "stream_vwap",
+    sm.stream_vwap,
+    """
+    WITH t AS (
+      SELECT event_type, epoch_us(ts) AS ts_us, event_id,
+             CAST(round(value * 100) AS BIGINT) AS c,
+             coalesce(CAST(json_extract_string(props, '$.k') AS BIGINT), 0)
+               AS vol
+      FROM events),
+    s AS (
+      SELECT event_type, ts_us, event_id,
+             sum(CAST(c AS HUGEINT) * vol) OVER w AS spv,
+             sum(CAST(vol AS HUGEINT)) OVER w AS sv
+      FROM t
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT event_type, ts_us, event_id, CAST(sv AS BIGINT) AS cum_vol,
+           CASE WHEN sv > 0 THEN
+             CAST((2000000 * spv + 100 * sv) // (2 * (100 * sv))
+                  AS DOUBLE) / 1e6
+           END AS vwap
+    FROM s
+    """,
+)

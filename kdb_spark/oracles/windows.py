@@ -1656,3 +1656,57 @@ _reg(
     FROM e2
     """,
 )
+
+
+# Directional movement index: +DI/−DI/DX frame-sum form off the candle
+# spine (Wilder's recursive ADX smoothing deliberately omitted — stateless
+# exact variant, like the finite-horizon EWMA family)
+_reg(
+    "win_adx",
+    lambda s, d: wn.win_adx(events_us(s, d)),
+    """
+    WITH c0 AS (
+      SELECT event_type, epoch_us(ts) AS tu, event_id,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events),
+    candles AS (
+      SELECT event_type, tu - tu % 3600000000 AS hour_us,
+             max(c) AS h, min(c) AS l,
+             last(c ORDER BY tu, event_id) AS cl
+      FROM c0 GROUP BY 1, 2),
+    v AS (
+      SELECT event_type, hour_us,
+             CAST(CASE WHEN (h - ph) > (pl - l) AND (h - ph) > 0 THEN h - ph
+                       WHEN ph IS NOT NULL THEN 0 END AS BIGINT) AS pdm_c,
+             CAST(CASE WHEN (pl - l) > (h - ph) AND (pl - l) > 0 THEN pl - l
+                       WHEN pl IS NOT NULL THEN 0 END AS BIGINT) AS mdm_c,
+             CAST(CASE WHEN pc IS NOT NULL
+                  THEN greatest(h - l, abs(h - pc), abs(l - pc)) END
+                  AS BIGINT) AS tr_c
+      FROM (SELECT *,
+                   lag(h) OVER wo AS ph, lag(l) OVER wo AS pl,
+                   lag(cl) OVER wo AS pc
+            FROM candles
+            WINDOW wo AS (PARTITION BY event_type ORDER BY hour_us))),
+    s AS (
+      SELECT event_type, hour_us,
+             sum(CAST(pdm_c AS HUGEINT)) OVER win AS spdm,
+             sum(CAST(mdm_c AS HUGEINT)) OVER win AS smdm,
+             sum(CAST(tr_c AS HUGEINT)) OVER win AS strc
+      FROM v
+      WINDOW win AS (PARTITION BY event_type ORDER BY hour_us
+                     ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+    SELECT event_type, hour_us,
+           CASE WHEN strc > 0 THEN
+             CAST((2000000 * spdm + strc) // (2 * strc) AS DOUBLE) / 1e6
+           END AS plus_di,
+           CASE WHEN strc > 0 THEN
+             CAST((2000000 * smdm + strc) // (2 * strc) AS DOUBLE) / 1e6
+           END AS minus_di,
+           CASE WHEN spdm + smdm > 0 THEN
+             CAST((2000000 * abs(spdm - smdm) + (spdm + smdm))
+                  // (2 * (spdm + smdm)) AS DOUBLE) / 1e6
+           END AS dx
+    FROM s
+    """,
+)

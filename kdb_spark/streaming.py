@@ -2116,3 +2116,110 @@ def stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _drain(out, "append", partitions=16)
+
+
+# ------------------------------------------------------- cumulative VWAP
+
+_VW_OUT = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("ts_us", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("cum_vol", T.LongType()),
+        T.StructField("vwap", T.DoubleType()),
+    ]
+)
+
+# (tail ts, tail eid, Σ price·vol cents as a decimal-safe string, Σ vol,
+# late counter) — the running product sum can exceed int64 on a long
+# tape (1e7 cents × 1e2 vol × 1e9 rows), so it rides as a string of the
+# exact Python int, the same device stream_ewma uses for its guard.
+_VW_STATE = T.StructType(
+    [
+        T.StructField("ts_us", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("spv", T.StringType()),
+        T.StructField("sv", T.LongType()),
+        T.StructField("n_late", T.LongType()),
+    ]
+)
+
+
+def _vwap_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Emit every on-time row with the running volume and the device-exact
+    cumulative VWAP (Σ price·vol / Σ vol in unbounded Python ints — the
+    grid is bit-identical to the batch HUGEINT window form). Zero-volume
+    prefix (Σvol = 0) emits null. Late rows drop-and-count per the
+    `_delta_fn` contract.
+    """
+    chunks = [c for c in pdfs if len(c)]
+    if not chunks:
+        return
+    pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+    ts = pdf["ts_us"].to_numpy()
+    eid = pdf["event_id"].to_numpy()
+    cs = pdf["c"].to_numpy()
+    vol = pdf["vol"].to_numpy()
+    order = np.lexsort((eid, ts))
+    ts, eid, cs, vol = ts[order], eid[order], cs[order], vol[order]
+    prev = tuple(state.get) if state.exists else None
+    n_late = int(prev[4]) if prev is not None else 0
+    spv = int(prev[2]) if prev is not None else 0
+    sv = int(prev[3]) if prev is not None else 0
+    if prev is not None:
+        i0 = int(np.searchsorted(ts, prev[0], "left"))
+        i1 = int(np.searchsorted(ts, prev[0], "right"))
+        lo = i0 + int(np.searchsorted(eid[i0:i1], prev[1], "right"))
+        n_late += lo
+        if lo == len(ts):
+            state.update((prev[0], prev[1], str(spv), sv, n_late))
+            return
+        ts, eid, cs, vol = ts[lo:], eid[lo:], cs[lo:], vol[lo:]
+    rows = {c: [] for c in ("ts_us", "event_id", "cum_vol", "vwap")}
+    for i in range(len(ts)):
+        spv += int(cs[i]) * int(vol[i])
+        sv += int(vol[i])
+        rows["ts_us"].append(int(ts[i]))
+        rows["event_id"].append(int(eid[i]))
+        rows["cum_vol"].append(sv)
+        if sv > 0:
+            # round(spv / (100·sv), 6) half-up on the non-negative grid
+            den = 100 * sv
+            grid = (2_000_000 * spv + den) // (2 * den)
+            rows["vwap"].append(float(grid) / 1e6)
+        else:
+            rows["vwap"].append(None)
+    state.update((int(ts[-1]), int(eid[-1]), str(spv), sv, n_late))
+    out = pd.DataFrame(rows)
+    out.insert(0, "event_type", key[0])
+    yield out[["event_type", "ts_us", "event_id", "cum_vol", "vwap"]]
+
+
+def stream_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live cumulative VWAP per event_type: price = value cents, volume =
+    the props JSON `k` field — the execution benchmark in its online form
+    (batch twins: agg_vwap's grouped aggregate, win_anchored_vwap's
+    anchored window). O(1) state per series (two sums + tail position);
+    per-row emission, so the batch cumulative-window SQL is the oracle.
+    """
+    s = events_stream(spark, sf_dir)
+    out = (
+        s.select(
+            "event_type", "ts_us", "event_id",
+            cents("value").alias("c"),
+            F.coalesce(
+                F.get_json_object("props", "$.k").cast("long"), F.lit(0)
+            ).alias("vol"),
+        )
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _vwap_fn,
+            outputStructType=_VW_OUT,
+            stateStructType=_VW_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return _drain(out, "append", partitions=16)

@@ -3605,3 +3605,69 @@ def test_tsi_constant_momentum_saturates(spark):
             assert tsi == 100.0, (eid, tsi)
         else:
             assert tsi == -100.0, (eid, tsi)
+
+
+def test_adx_directional_movement(spark):
+    """+DM/−DM gating on a hand series: an up candle scores +DM only, an
+    inside candle (both moves ≤ 0) scores neither, and DX is the exact
+    ratio of the frame's directional sums."""
+    HOUR = 3_600_000_000
+    rows = [
+        # candle 0: h=10, l=9
+        (1, 1, "a", 10.0, 0), (2, 1, "a", 9.0, 1),
+        # candle 1: h=12, l=10 -> +DM = 200, -DM = 0 (down-move 9-10 < 0),
+        #           TR = max(200, |1200-900|=300, |1000-900|=100) = 300
+        (3, 1, "a", 12.0, HOUR), (4, 1, "a", 10.0, HOUR + 1),
+        # candle 2: h=11.5, l=10.5 (inside candle): up = 1150-1200 < 0,
+        #           dn = 1000-1050 < 0 -> both 0; close prev = 10.0
+        (5, 1, "a", 11.5, 2 * HOUR), (6, 1, "a", 10.5, 2 * HOUR + 1),
+    ]
+    from kdb_spark.analytics import windows as wn
+
+    got = {r.hour_us: (r.plus_di, r.minus_di, r.dx)
+           for r in wn.win_adx(_events(spark, rows)).collect()}
+    assert got[0] == (None, None, None)               # no prev candle
+    # frame at candle 1: S+ = 200, S- = 0, STR = 300
+    assert got[HOUR] == (0.666667, 0.0, 1.0)
+    # candle 2: TR = max(100, |1150-1000|=150, |1050-1000|=50) = 150
+    # frame: S+ = 200, S- = 0, STR = 450
+    assert got[2 * HOUR] == (0.444444, 0.0, 1.0)
+
+
+def test_cov_matrix_exact_small(spark):
+    """Hand-checked 3-hour covariance between two types: population
+    covariance over COMMON hours only, exact device at 4 dp (cents²)."""
+    HOUR = 3_600_000_000
+    rows = [
+        # type a hourly sums: h0=100c, h1=200c, h2=300c
+        (1, 1, "a", 1.0, 0), (2, 1, "a", 2.0, HOUR), (3, 1, "a", 3.0, 2 * HOUR),
+        # type b hourly sums: h0=300c, h1=100c (h2 absent)
+        (4, 1, "b", 3.0, 0), (5, 1, "b", 1.0, HOUR),
+    ]
+    from kdb_spark.analytics import aggregations as agg
+
+    got = {(r.type_a, r.type_b): r for r in
+           agg.agg_cov_matrix(_events(spark, rows)).collect()}
+    r = got[("a", "b")]
+    # common hours 0,1: x=(100,200), y=(300,100)
+    # n*Sxy - Sx*Sy = 2*(30000+20000) - 300*400 = 100000 - 120000 = -20000
+    # cov = -20000/4 = -5000.0 cents²
+    assert (r.n_hours, r.sum_a_c, r.sum_b_c, r.cov_c2) == (2, 300, 400, -5000.0)
+
+
+def test_label_exemplars_rank_and_ties(spark):
+    """Exemplars are the own-label vectors nearest the label centroid,
+    ties to the lowest vec_id; k caps the per-label output."""
+    from kdb_spark.llm.similarity import emb_label_exemplars
+
+    rows = [
+        (1, [1.0, 0.0], "0"), (2, [1.0, 0.1], "0"), (3, [0.0, 1.0], "0"),
+        (4, [0.0, 2.0], "1"), (5, [0.0, 3.0], "1"),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label string")
+    got = [(r.label, r.rank, r.vec_id)
+           for r in emb_label_exemplars(df, k=2, dim=2)
+           .orderBy("label", "rank").collect()]
+    # label 0 centroid ≈ (0.667, 0.367): vec 2 closest, then vec 1
+    # label 1 centroid = (0, 2.5): both vecs cos = 1.0, tie -> lower id first
+    assert got == [(0, 1, 2), (0, 2, 1), (1, 1, 4), (1, 2, 5)]

@@ -965,3 +965,45 @@ def test_day_roll_fn_publishes_only_closed_days():
     rows2 = list(sm._day_roll_fn((1, "a"), iter([b2]), st))[0]
     assert list(rows2["day"]) == [1]
     assert list(rows2["gap_c"]) == [90 - 120]
+
+
+def test_stream_vwap_equals_batch_cumulative(spark):
+    """Single-drain equivalence: the stateful cumulative VWAP must equal
+    the batch cumulative-window form exactly (Python-int grid == HUGEINT
+    grid), including the zero-volume prefix null."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from kdb_spark.tables import cents, events_us, load
+
+    got = sm.stream_vwap(spark, SF_DIR)
+    ev = events_us(spark, SF_DIR)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    vol = F.coalesce(
+        F.get_json_object("props", "$.k").cast("long"), F.lit(0)
+    )
+    t = ev.select(
+        "event_type", "ts_us", "event_id", cents("value").alias("c"),
+        vol.alias("vol"),
+    ).select(
+        "event_type", "ts_us", "event_id",
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("vol")).over(w).alias("spv"),
+        F.sum(F.col("vol").cast("decimal(38,0)")).over(w).alias("sv"),
+    )
+    from kdb_spark.analytics.exact import iround_col
+
+    want = t.select(
+        "event_type", "ts_us", "event_id",
+        F.col("sv").cast("long").alias("cum_vol"),
+        F.when(
+            F.col("sv") > 0,
+            iround_col("spv", "100 * sv", 6, signed=False),
+        ).alias("vwap"),
+    )
+    g = {(r.event_type, r.event_id): (r.cum_vol, r.vwap) for r in got.collect()}
+    x = {(r.event_type, r.event_id): (r.cum_vol, r.vwap) for r in want.collect()}
+    assert g == x

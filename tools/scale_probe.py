@@ -53,6 +53,11 @@ DEFAULT_OPS = [
     "join_skew_hot",
     "win_moving_avg",
     "sessionize",
+    # r14 wave: the shuffle-bearing additions (prefix blocking, gram
+    # first-seen join, candle rollup + window)
+    "dedup_prefix",
+    "text_ngram_novelty",
+    "win_vortex",
 ]
 
 
