@@ -21,9 +21,11 @@ pytestmark = pytest.mark.scale
 def test_no_super_linear_growth(spark):
     from tools.scale_probe import DEFAULT_OPS, run_probe
 
-    results, flagged = run_probe(spark, [1, 8], list(DEFAULT_OPS))
+    # 2.5x flag factor: see run_probe's docstring — the linear heavy
+    # ops sit at 10-12x on 8x data and ambient flips a 12x cut
+    results, flagged = run_probe(spark, [1, 8], list(DEFAULT_OPS), flag_factor=2.5)
     assert results, "probe ran no ops"
     assert not flagged, (
-        f"super-linear growth (>1.5x of K) in: {flagged}; "
+        f"super-linear growth (>2.5x of K) in: {flagged}; "
         f"timings: { {k: results[k] for k in flagged} }"
     )
