@@ -5232,3 +5232,126 @@ def agg_cov_matrix(events: DataFrame) -> DataFrame:
         F.col("sy").cast("long").alias("sum_b_c"),
         cov4.alias("cov_c2"),
     )
+
+
+def agg_robust_zscore(events: DataFrame, thresh_tenths: int = 35) -> DataFrame:
+    """Robust (median/MAD) outlier census per event_type: how many values
+    sit more than ``thresh_tenths``/10 MADs from the median — the
+    outlier rate win_zscore's mean/stddev flag UNDERcounts whenever the
+    outliers themselves inflate the stddev (masking). agg_mad reports
+    the spread; this flags and counts against it.
+
+    EXACT cross-engine, all integers: the median is the ⌈n/2⌉-th order
+    statistic in exact cents (the agg_bowley_skew rank device — the
+    documented order-statistic median, not the interpolated one), MAD is
+    the same statistic of |x − med|, and the flag 10·|x − med| >
+    thresh_tenths·MAD never leaves int64. A zero MAD (over half the
+    values identical) degenerates the rule — flagged rows are then
+    exactly the x ≠ med rows — which is the standard MAD caveat,
+    disclosed rather than patched. Outlier rate rides the unsigned
+    device at 6 dp.
+
+    Scale shape: two (type) sorts (value ranks, then deviation ranks)
+    and a broadcast of the ≤|types| medians between them — the
+    agg_var_es Exchange class, never a fact self-join.
+    """
+    x = cents("value")
+    wo = Window.partitionBy("event_type").orderBy("x", "event_id")
+    wp = Window.partitionBy("event_type")
+    r = events.select("event_type", x.alias("x"), "event_id").select(
+        "event_type",
+        "x",
+        "event_id",
+        F.row_number().over(wo).alias("rn"),
+        F.count(F.lit(1)).over(wp).cast("long").alias("n"),
+    )
+    med = (
+        r.filter(F.col("rn") == F.expr("(50 * n + 99) div 100"))
+        .select("event_type", F.col("x").cast("long").alias("med_c"))
+    )
+    d = r.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "event_id",
+        F.abs(F.col("x") - F.col("med_c")).alias("dev"),
+        "med_c",
+    )
+    wd = Window.partitionBy("event_type").orderBy("dev", "event_id")
+    dd = d.select(
+        "event_type",
+        "dev",
+        "med_c",
+        F.row_number().over(wd).alias("rn"),
+        F.count(F.lit(1)).over(wp).cast("long").alias("n"),
+    )
+    mad = (
+        dd.filter(F.col("rn") == F.expr("(50 * n + 99) div 100"))
+        .select("event_type", F.col("dev").cast("long").alias("mad_c"))
+    )
+    flagged = dd.join(F.broadcast(mad), "event_type").groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.max("med_c").cast("long").alias("med_c"),
+        F.max("mad_c").cast("long").alias("mad_c"),
+        F.sum(
+            F.when(
+                F.lit(10) * F.col("dev") > F.lit(thresh_tenths) * F.col("mad_c"), 1
+            ).otherwise(0)
+        ).cast("long").alias("n_outliers"),
+    )
+    rate6 = iround_col(
+        "CAST(n_outliers AS DECIMAL(38,0))", "CAST(n AS DECIMAL(38,0))", 6,
+        signed=False,
+    )
+    return flagged.select(
+        "event_type", "n", "med_c", "mad_c", "n_outliers", rate6.alias("outlier_rate")
+    )
+
+
+def sql_top_customer_share(
+    orders: DataFrame, customer: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """Per-nation revenue concentration as SQL TEXT: each nation's total
+    order revenue, its single largest customer, and that customer's
+    revenue share — the key-account concentration report (sql_market_share
+    tracks a NATION's share of a market; agg_top_share pools event types;
+    this is the argmax-per-group + share composition at the customer
+    grain).
+
+    Deterministic argmax: ties on revenue break to the LOWEST custkey via
+    the (revenue, -custkey) struct max. Exact bigint cents end to end;
+    the share is one unsigned device round at 4 dp on the aggregate rows.
+
+    Scale shape: one fact pass to per-customer totals (map-side combine),
+    customer/nation broadcast onto the ≤|customers| aggregate, then a
+    ≤|nations| argmax — the fact never shuffles twice.
+    """
+    return orders.sparkSession.sql(
+        """
+        WITH pc AS (
+          SELECT c.c_nationkey, o.o_custkey,
+                 CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                      AS BIGINT) AS rev_c
+          FROM {orders_v} o
+          JOIN {customer_v} c ON o.o_custkey = c.c_custkey
+          GROUP BY c.c_nationkey, o.o_custkey),
+        agg AS (
+          SELECT n.n_name AS nation,
+                 CAST(sum(rev_c) AS BIGINT) AS nation_rev_c,
+                 max(named_struct('r', rev_c, 'k', -o_custkey)) AS top
+          FROM pc
+          JOIN {nation_v} n ON pc.c_nationkey = n.n_nationkey
+          GROUP BY n.n_name)
+        SELECT nation, nation_rev_c,
+               CAST(-top.k AS BIGINT) AS top_custkey,
+               CAST(top.r AS BIGINT) AS top_rev_c,
+               CAST("""
+        + floor_div_sql(
+            "20000 * CAST(top.r AS DECIMAL(38,0)) + nation_rev_c",
+            "2 * CAST(nation_rev_c AS DECIMAL(38,0))",
+        )
+        + """ AS DOUBLE) / 1e4 AS top_share
+        FROM agg
+        """,
+        orders_v=orders,
+        customer_v=customer,
+        nation_v=nation,
+    )

@@ -585,3 +585,69 @@ def curation_filter_funnel(
         "n_pass",
         (rate6.cast("double") / F.lit(1e6)).alias("pass_rate"),
     )
+
+
+def curation_label_quality(
+    documents: DataFrame, embeddings: DataFrame
+) -> DataFrame:
+    """Per-label text-quality profile across modalities: join each
+    document to its embedding LABEL (doc_id = vec_id — the topic/cluster
+    assignment) and pool token counts, stopword density, and document
+    length per label — the table a mix designer reads before weighting
+    labels (mix_weights reweights SOURCES; this is the same census at
+    the semantic-label grain, and a label whose stopword density or
+    length profile is off is a labeling bug surfaced before training).
+
+    Exact: counts and sums are bigint; both ratios (mean tokens, pooled
+    stopword share) ride the integer device at 4 dp. Map-only per side
+    plus ONE hash join on the id and a ≤|labels| aggregate.
+    """
+    from kdb_spark.analytics.exact import iround_col
+    from kdb_spark.llm.textstats import EN_STOPWORDS
+
+    stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    t = documents.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_m"),
+        F.explode(F.array(tokens("text"))).alias("toks"),
+    ).select(
+        "doc_id",
+        "n_chars_m",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size(F.filter("toks", lambda x: F.array_contains(stop_arr, x)))
+        .cast("long")
+        .alias("n_stop"),
+    )
+    j = t.join(
+        embeddings.select(
+            F.col("vec_id").alias("doc_id"),
+            F.col("label").cast("long").alias("label"),
+        ),
+        "doc_id",
+    )
+    g = j.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        F.sum("n_stop").cast("long").alias("sum_stop"),
+        F.sum("n_chars_m").cast("long").alias("sum_chars"),
+    )
+    mean_tok4 = iround_col(
+        "10000 * CAST(sum_tokens AS DECIMAL(38,0))",
+        "10000 * CAST(n_docs AS DECIMAL(38,0))",
+        4,
+        signed=False,
+    )
+    stop4 = iround_col(
+        "10000 * CAST(sum_stop AS DECIMAL(38,0))",
+        "10000 * CAST(greatest(sum_tokens, 1) AS DECIMAL(38,0))",
+        4,
+        signed=False,
+    )
+    return g.select(
+        "label",
+        "n_docs",
+        "sum_tokens",
+        "sum_chars",
+        mean_tok4.alias("mean_tokens"),
+        stop4.alias("stop_share"),
+    )

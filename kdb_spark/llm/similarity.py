@@ -1672,3 +1672,47 @@ def emb_label_exemplars(embeddings: DataFrame, k: int = 3, dim: int = 64) -> Dat
             F.round("cos", 6).alias("cos"),
         )
     )
+
+
+def emb_text_agreement(
+    documents: DataFrame, embeddings: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """Text/embedding agreement audit: for every exact-Jaccard near-dup
+    TEXT pair (the dedup_ngram_jaccard device, jaccard ≥ ``threshold``),
+    the embedding cosine of the same ids — the cross-modal consistency
+    check a curation pipeline runs on its embedding supplier (texts that
+    are near-copies but embed far apart mean the embeddings, the ids, or
+    the pipeline are wrong). Ids join on doc_id = vec_id.
+
+    Exactness: jaccard is an int/int division and cosine the module's
+    sequential-fold dot — both bit-identical cross-engine; cos surfaces
+    through round(6) like every similarity op.
+
+    Scale shape: the pair list is dedup_ngram_jaccard's output (blocked,
+    df-capped — linear in shingles, never |docs|²) and is FAR smaller
+    than the corpus, so the two embedding joins hash on vec_id without a
+    corpus self-join.
+    """
+    from kdb_spark.llm.dedup import dedup_ngram_jaccard
+
+    pairs = dedup_ngram_jaccard(documents, threshold=threshold)
+    e = embeddings.select(
+        "vec_id", _vec_d("embedding").alias("v"),
+    ).withColumn("nrm", _norm(F.col("v")))
+    ea = e.select(
+        F.col("vec_id").alias("doc_a"), F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    eb = e.select(
+        F.col("vec_id").alias("doc_b"), F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    j = pairs.join(ea, "doc_a").join(eb, "doc_b")
+    return j.select(
+        "doc_a",
+        "doc_b",
+        F.round("jaccard", 6).alias("jaccard"),
+        F.round(
+            _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+        ).alias("cos"),
+    )

@@ -2475,3 +2475,78 @@ _reg(
     FROM p
     """,
 )
+
+
+# Robust median/MAD outlier census: order-statistic median in exact cents
+# (the bowley rank device), all-integer flag rule, unsigned device rate
+_reg(
+    "agg_robust_zscore",
+    lambda s, d: agg.agg_robust_zscore(events_us(s, d)),
+    """
+    WITH t AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS x, event_id
+      FROM events),
+    r AS (
+      SELECT event_type, x, event_id,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY x, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM t),
+    med AS (SELECT event_type, x AS med_c FROM r
+            WHERE rn = (50 * n + 99) // 100),
+    d AS (
+      SELECT r.event_type, abs(r.x - m.med_c) AS dev, m.med_c, r.event_id
+      FROM r JOIN med m USING (event_type)),
+    dd AS (
+      SELECT event_type, dev, med_c,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY dev, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM d),
+    mad AS (SELECT event_type, dev AS mad_c FROM dd
+            WHERE rn = (50 * n + 99) // 100),
+    g AS (
+      SELECT dd.event_type,
+             CAST(max(dd.n) AS BIGINT) AS n,
+             CAST(max(dd.med_c) AS BIGINT) AS med_c,
+             CAST(max(mad.mad_c) AS BIGINT) AS mad_c,
+             CAST(sum(CASE WHEN 10 * dd.dev > 35 * mad.mad_c
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      FROM dd JOIN mad USING (event_type)
+      GROUP BY dd.event_type)
+    SELECT event_type, n, med_c, mad_c, n_outliers,
+           CAST((2000000 * CAST(n_outliers AS HUGEINT) + n)
+                // (2 * CAST(n AS HUGEINT)) AS DOUBLE) / 1e6 AS outlier_rate
+    FROM g
+    """,
+)
+
+
+# Per-nation revenue concentration: argmax customer + share device
+_reg(
+    "sql_top_customer_share",
+    lambda s, d: agg.sql_top_customer_share(
+        load(s, d, "orders"), load(s, d, "customer"), load(s, d, "nation")
+    ),
+    """
+    WITH pc AS (
+      SELECT c.c_nationkey, o.o_custkey,
+             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev_c
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT n.n_name AS nation, pc.o_custkey, pc.rev_c,
+             sum(pc.rev_c) OVER (PARTITION BY n.n_name) AS nation_rev_c,
+             row_number() OVER (PARTITION BY n.n_name
+                                ORDER BY pc.rev_c DESC, pc.o_custkey) AS rk
+      FROM pc JOIN nation n ON pc.c_nationkey = n.n_nationkey)
+    SELECT nation, CAST(nation_rev_c AS BIGINT) AS nation_rev_c,
+           CAST(o_custkey AS BIGINT) AS top_custkey,
+           CAST(rev_c AS BIGINT) AS top_rev_c,
+           CAST((20000 * CAST(rev_c AS HUGEINT) + nation_rev_c)
+                // (2 * CAST(nation_rev_c AS HUGEINT)) AS DOUBLE) / 1e4
+             AS top_share
+    FROM ranked WHERE rk = 1
+    """,
+)

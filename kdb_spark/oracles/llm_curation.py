@@ -345,3 +345,43 @@ _reg(
     FROM g
     """,
 )
+
+
+# Per-label text-quality census across the documents⋈embeddings id join
+_reg(
+    "curation_label_quality",
+    lambda s, d: cu.curation_label_quality(
+        load(s, d, "documents"), load(s, d, "embeddings")
+    ),
+    """
+    WITH t AS (
+      SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_m,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      FROM documents),
+    s AS (
+      SELECT doc_id, n_chars_m, CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(toks,
+                  x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is')))
+                  AS BIGINT) AS n_stop
+      FROM t),
+    j AS (
+      SELECT s.*, CAST(e.label AS BIGINT) AS label
+      FROM s JOIN embeddings e ON e.vec_id = s.doc_id),
+    g AS (
+      SELECT label, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+             CAST(sum(n_stop) AS BIGINT) AS sum_stop,
+             CAST(sum(n_chars_m) AS BIGINT) AS sum_chars
+      FROM j GROUP BY label)
+    SELECT label, n_docs, sum_tokens, sum_chars,
+           CAST((20000 * (10000 * CAST(sum_tokens AS HUGEINT))
+                 + (10000 * CAST(n_docs AS HUGEINT)))
+                // (2 * (10000 * CAST(n_docs AS HUGEINT)))
+                AS DOUBLE) / 1e4 AS mean_tokens,
+           CAST((20000 * (10000 * CAST(sum_stop AS HUGEINT))
+                 + (10000 * CAST(greatest(sum_tokens, 1) AS HUGEINT)))
+                // (2 * (10000 * CAST(greatest(sum_tokens, 1) AS HUGEINT)))
+                AS DOUBLE) / 1e4 AS stop_share
+    FROM g
+    """,
+)

@@ -984,3 +984,28 @@ _reg(
     lambda s, d: sim.emb_label_exemplars(load(s, d, "embeddings")),
     _label_exemplars_oracle(),
 )
+
+
+# Cross-modal agreement: exact-Jaccard near-dup text pairs (the ngram
+# oracle verbatim as a CTE) joined to both embeddings, sequential-fold cos
+from kdb_spark.oracles.llm_dedup import _NGRAM_JACCARD_SQL as _NJ_SQL  # noqa: E402
+
+_reg(
+    "emb_text_agreement",
+    lambda s, d: sim.emb_text_agreement(
+        load(s, d, "documents"), load(s, d, "embeddings")
+    ),
+    f"""
+    WITH pairs AS ({_NJ_SQL}),
+    e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+          FROM embeddings),
+    nv AS (SELECT vec_id, v, sqrt(list_sum([x * x FOR x IN v])) AS nrm
+           FROM e)
+    SELECT p.doc_a, p.doc_b, round(p.jaccard, 6) AS jaccard,
+           round({_IVF_DOT.format(a="a.v", b="b.v")} / (a.nrm * b.nrm), 6)
+             AS cos
+    FROM pairs p
+    JOIN nv a ON a.vec_id = p.doc_a
+    JOIN nv b ON b.vec_id = p.doc_b
+    """,
+)

@@ -64,3 +64,45 @@ def test_stopword_profile_counts_and_coverage(spark):
     assert got[("en", "a")] == (1, 2, 0.3333)
     assert got[("xx", "the")] == (1, 3, 1.0)
     assert ("en", "no") not in got
+
+
+def test_emb_text_agreement_pairs_and_cos(spark):
+    """Near-dup text pairs carry their embedding cosine; disjoint texts
+    emit nothing even when their embeddings agree."""
+    from kdb_spark.llm.similarity import emb_text_agreement
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta zeta"),       # high 3-gram overlap
+            (3, "one two three four five"),            # disjoint
+        ],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = [(r.doc_a, r.doc_b, r.jaccard, r.cos)
+           for r in emb_text_agreement(docs, emb).collect()]
+    # docs 1,2 share 2 of 4 distinct 3-grams -> jaccard 0.5; cos orthogonal
+    assert got == [(1, 2, 0.5, 0.0)]
+
+
+def test_label_quality_profile(spark):
+    """Per-label pooled token/stopword census over the id join; device
+    ratios hand-checked."""
+    from kdb_spark.llm.curation import curation_label_quality
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "a dog"), (3, "pure content words")],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [(1, "0"), (2, "0"), (3, "1")], "vec_id long, label string"
+    )
+    got = {r.label: r for r in curation_label_quality(docs, emb).collect()}
+    # label 0: docs 1,2 -> tokens 3+2=5, stop 1+1=2, mean 2.5, share 0.4
+    assert (got[0].n_docs, got[0].sum_tokens, got[0].mean_tokens,
+            got[0].stop_share) == (2, 5, 2.5, 0.4)
+    assert (got[1].n_docs, got[1].sum_tokens, got[1].stop_share) == (1, 3, 0.0)

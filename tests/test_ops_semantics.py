@@ -3671,3 +3671,44 @@ def test_label_exemplars_rank_and_ties(spark):
     # label 0 centroid ≈ (0.667, 0.367): vec 2 closest, then vec 1
     # label 1 centroid = (0, 2.5): both vecs cos = 1.0, tie -> lower id first
     assert got == [(0, 1, 2), (0, 2, 1), (1, 1, 4), (1, 2, 5)]
+
+
+def test_robust_zscore_masks_nothing(spark):
+    """The textbook masking case: mean/stddev z-score misses a gross
+    outlier among small values, median/MAD flags it; order-statistic
+    median and the all-integer 3.5-MAD rule hand-checked."""
+    rows = [(i, 1, "a", v, i * 1000) for i, v in
+            enumerate([10.0, 10.1, 10.2, 10.3, 10.4, 10.5, 10.6, 1000.0], 1)]
+    from kdb_spark.analytics import aggregations as agg
+
+    got = {r.event_type: r for r in
+           agg.agg_robust_zscore(_events(spark, rows)).collect()}
+    r = got["a"]
+    # sorted cents: 1000..1060 step 10, then 100000; n=8 -> k = ceil(n/2) = 4
+    # median = 4th = 1030; deviations sorted: 0,10,10,20,20,30,30,98970
+    # MAD = 4th = 20; flag: 10*dev > 35*20 = 700 -> only the 98970 row
+    assert (r.n, r.med_c, r.mad_c, r.n_outliers) == (8, 1030, 20, 1)
+    assert r.outlier_rate == 0.125
+
+
+def test_top_customer_share_argmax_ties(spark):
+    """Per-nation top customer: revenue ties break to the LOWEST custkey;
+    the share is the exact device ratio."""
+    from kdb_spark.analytics import aggregations as agg
+
+    orders = spark.createDataFrame(
+        [(1, 10, 100.0), (2, 11, 100.0), (3, 10, 50.0), (4, 20, 30.0)],
+        "o_orderkey long, o_custkey long, o_totalprice double",
+    )
+    customer = spark.createDataFrame(
+        [(10, 0), (11, 0), (20, 1)], "c_custkey long, c_nationkey int"
+    )
+    nation = spark.createDataFrame(
+        [(0, "N0"), (1, "N1")], "n_nationkey int, n_name string"
+    )
+    got = {r.nation: r for r in
+           agg.sql_top_customer_share(orders, customer, nation).collect()}
+    # N0: cust 10 = 15000c, cust 11 = 10000c -> top 10, share 0.6
+    assert (got["N0"].top_custkey, got["N0"].nation_rev_c,
+            got["N0"].top_rev_c, got["N0"].top_share) == (10, 25000, 15000, 0.6)
+    assert (got["N1"].top_custkey, got["N1"].top_share) == (20, 1.0)
