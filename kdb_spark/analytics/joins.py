@@ -564,3 +564,33 @@ def join_interval_overlap(
             F.least("a_end", "b_end") - F.greatest("a_start", "b_start")
         ).cast("long").alias("overlap_us"),
     ).distinct()
+
+
+def join_band(a: DataFrame, b: DataFrame, tol_c: int = 50) -> DataFrame:
+    """Value-band join: every (a, b) pair whose integer values sit within
+    ``tol_c`` of each other — `join_nearest`'s value-space sibling (that
+    op matches in TIME; this matches in PRICE/measure: which purchases
+    are priced within 50¢ of a click's value), and naively a cartesian.
+
+    Scale strategy: TOL-BUCKET BLOCKING, the join_interval_overlap
+    device turned on values — a pair within tol spans at most adjacent
+    width-tol buckets, so exploding ONE side to {k−1, k, k+1} and
+    equi-joining on the bucket covers every qualifying pair EXACTLY ONCE
+    (the unexploded side sits in one bucket — no dedup pass needed), and
+    the join is bounded by per-bucket density instead of |A|·|B|.
+
+    Contract: ``a_c``/``b_c`` are NON-NEGATIVE integer grids (cents
+    here). Negative domains would need floor-consistent bucketing on
+    both engines (Spark `div` truncates toward zero, DuckDB `//`
+    floors) — documented rather than silently wrong.
+    """
+    ka = F.expr(f"a_c div {tol_c}")
+    ea = a.withColumn(
+        "bucket", F.explode(F.array(ka - 1, ka, ka + 1))
+    )
+    eb = b.withColumn("bucket", F.expr(f"b_c div {tol_c}"))
+    return (
+        ea.join(eb, "bucket")
+        .filter(F.abs(F.col("a_c") - F.col("b_c")) <= tol_c)
+        .drop("bucket")
+    )

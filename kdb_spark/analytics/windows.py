@@ -2184,6 +2184,47 @@ def win_adx(events: DataFrame, period: int = 14) -> DataFrame:
     )
 
 
+def win_ppo(
+    events: DataFrame, fast: float = 0.4, slow: float = 0.15
+) -> DataFrame:
+    """Percentage Price Oscillator per series: 100·(EWMA_fast −
+    EWMA_slow)/EWMA_slow — win_macd's spread NORMALIZED by the slow
+    line, so the oscillator is comparable across series of different
+    price levels (a $5 and a $500 series read on one scale; MACD's
+    absolute spread does not).
+
+    Exactness: the two finite-horizon integer-weight folds (the win_ewma
+    array device) make ppo = 100·(nf·sd − ns·fd)/(ns·fd) one exact
+    rational of decimal(38,0) products, rounded once by the signed
+    device at 4 dp. Guard: the slow line must be POSITIVE (ns > 0) — on
+    this schema values are non-negative so ns = 0 means an all-zero
+    horizon (ppo undefined, null); a hypothetical negative-price series
+    would need a magnitude-normalized variant, disclosed not guessed.
+
+    Scale shape: one (user, type) Exchange, ONE Window node (both folds
+    share the spec), map-only arithmetic after.
+    """
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+    xc = cents("value")
+    nf, fd = _ewma_terms_array(xc, fast, w)
+    ns, sd = _ewma_terms_array(xc, slow, w)
+    t = events.select(
+        "event_id", "user_id", "event_type",
+        nf.alias("nf"), fd.alias("fd"), ns.alias("ns"), sd.alias("sd"),
+    )
+    ppo4 = iround_col(
+        "100 * (CAST(nf AS DECIMAL(38,0)) * sd - CAST(ns AS DECIMAL(38,0)) * fd)",
+        "CAST(ns AS DECIMAL(38,0)) * fd",
+        4,
+    )
+    return t.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.when(F.col("ns") > 0, ppo4).alias("ppo"),
+    )
+
+
 def win_swing_points(events: DataFrame, k: int = 2) -> DataFrame:
     """Swing-point (Williams fractal) detection per series: a row is a
     swing HIGH when its price equals the maximum of the CENTERED

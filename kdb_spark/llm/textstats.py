@@ -1377,3 +1377,65 @@ def text_ngram_novelty(documents: DataFrame, n: int = 3) -> DataFrame:
             F.when(F.col("n_grams") > 0, nov4).alias("novelty"),
         )
     )
+
+
+def text_length_outliers(documents: DataFrame, thresh_tenths: int = 35) -> DataFrame:
+    """Per-source robust document-length outlier census: how many docs in
+    each source sit more than ``thresh_tenths``/10 MADs from the source's
+    median character length — truncated or concatenated crawl records
+    surface here before any token-level filter sees them (the
+    agg_robust_zscore rule at the documents-per-source grain).
+
+    EXACT: order-statistic median and MAD in integer chars (the rank
+    device), all-integer flag, unsigned device rate. Two per-source sorts
+    plus a broadcast of the ≤|sources| medians.
+    """
+    from pyspark.sql import Window
+
+    from kdb_spark.analytics.exact import iround_col
+
+    t = documents.select(
+        "source", "doc_id", F.length("text").cast("long").alias("x")
+    )
+    wo = Window.partitionBy("source").orderBy("x", "doc_id")
+    wp = Window.partitionBy("source")
+    r = t.select(
+        "source", "x", "doc_id",
+        F.row_number().over(wo).alias("rn"),
+        F.count(F.lit(1)).over(wp).cast("long").alias("n"),
+    )
+    med = r.filter(F.col("rn") == F.expr("(50 * n + 99) div 100")).select(
+        "source", F.col("x").cast("long").alias("med_chars")
+    )
+    d = r.join(F.broadcast(med), "source").select(
+        "source", "doc_id", F.abs(F.col("x") - F.col("med_chars")).alias("dev"),
+        "med_chars",
+    )
+    wd = Window.partitionBy("source").orderBy("dev", "doc_id")
+    dd = d.select(
+        "source", "dev", "med_chars",
+        F.row_number().over(wd).alias("rn"),
+        F.count(F.lit(1)).over(wp).cast("long").alias("n"),
+    )
+    mad = dd.filter(F.col("rn") == F.expr("(50 * n + 99) div 100")).select(
+        "source", F.col("dev").cast("long").alias("mad_chars")
+    )
+    g = dd.join(F.broadcast(mad), "source").groupBy("source").agg(
+        F.max("n").alias("n_docs"),
+        F.max("med_chars").cast("long").alias("med_chars"),
+        F.max("mad_chars").cast("long").alias("mad_chars"),
+        F.sum(
+            F.when(
+                F.lit(10) * F.col("dev") > F.lit(thresh_tenths) * F.col("mad_chars"),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("n_outliers"),
+    )
+    rate6 = iround_col(
+        "CAST(n_outliers AS DECIMAL(38,0))", "CAST(n_docs AS DECIMAL(38,0))", 6,
+        signed=False,
+    )
+    return g.select(
+        "source", "n_docs", "med_chars", "mad_chars", "n_outliers",
+        rate6.alias("outlier_rate"),
+    )

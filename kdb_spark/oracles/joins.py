@@ -345,3 +345,59 @@ _reg(
     WHERE iv.a_start < w.b_end AND w.b_start < iv.a_end
     """,
 )
+
+
+# Value-band join: clicks matched to purchases priced within 50¢ via
+# tol-bucket blocking; per-click match census with a deterministic closest
+def _q_join_band(s: SparkSession, d: str) -> DataFrame:
+    ev = events_us(s, d)
+    from kdb_spark.tables import cents as _cents
+
+    a = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("a_id"), _cents("value").alias("a_c")
+    )
+    b = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("b_id"), _cents("value").alias("b_c")
+    )
+    pairs = jn.join_band(a, b, tol_c=50)
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("a_id").orderBy(
+        F.abs(F.col("a_c") - F.col("b_c")), "b_id"
+    )
+    wp = _W.partitionBy("a_id")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_matches", F.count(F.lit(1)).over(wp).cast("long"))
+        .filter(F.col("rn") == 1)
+        .select(
+            "a_id",
+            "n_matches",
+            F.col("b_id").alias("closest_b_id"),
+            F.abs(F.col("a_c") - F.col("b_c")).cast("long").alias("min_diff_c"),
+        )
+    )
+
+
+_reg(
+    "join_band",
+    _q_join_band,
+    """
+    WITH a AS (
+      SELECT event_id AS a_id, CAST(round(value * 100) AS BIGINT) AS a_c
+      FROM events WHERE event_type = 'click'),
+    b AS (
+      SELECT event_id AS b_id, CAST(round(value * 100) AS BIGINT) AS b_c
+      FROM events WHERE event_type = 'purchase'),
+    p AS (
+      SELECT a_id, a_c, b_id, b_c,
+             row_number() OVER (PARTITION BY a_id
+                                ORDER BY abs(a_c - b_c), b_id) AS rn,
+             count(*) OVER (PARTITION BY a_id) AS n_matches
+      FROM a JOIN b ON abs(a_c - b_c) <= 50)
+    SELECT a_id, CAST(n_matches AS BIGINT) AS n_matches,
+           b_id AS closest_b_id,
+           CAST(abs(a_c - b_c) AS BIGINT) AS min_diff_c
+    FROM p WHERE rn = 1
+    """,
+)

@@ -824,3 +824,49 @@ _reg(
     LEFT JOIN scored s ON b.doc_id = s.doc_id
     """,
 )
+
+
+# Per-source robust length-outlier census (the agg_robust_zscore rule at
+# the documents-per-source grain)
+_reg(
+    "text_length_outliers",
+    lambda s, d: tx.text_length_outliers(load(s, d, "documents")),
+    """
+    WITH t AS (
+      SELECT source, doc_id, CAST(length(text) AS BIGINT) AS x
+      FROM documents),
+    r AS (
+      SELECT source, x, doc_id,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY x, doc_id) AS rn,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM t),
+    med AS (SELECT source, x AS med_chars FROM r
+            WHERE rn = (50 * n + 99) // 100),
+    d AS (
+      SELECT r.source, abs(r.x - m.med_chars) AS dev, m.med_chars, r.doc_id
+      FROM r JOIN med m USING (source)),
+    dd AS (
+      SELECT source, dev, med_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY dev, doc_id) AS rn,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM d),
+    mad AS (SELECT source, dev AS mad_chars FROM dd
+            WHERE rn = (50 * n + 99) // 100),
+    g AS (
+      SELECT dd.source,
+             CAST(max(dd.n) AS BIGINT) AS n_docs,
+             CAST(max(dd.med_chars) AS BIGINT) AS med_chars,
+             CAST(max(mad.mad_chars) AS BIGINT) AS mad_chars,
+             CAST(sum(CASE WHEN 10 * dd.dev > 35 * mad.mad_chars
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      FROM dd JOIN mad USING (source)
+      GROUP BY dd.source)
+    SELECT source, n_docs, med_chars, mad_chars, n_outliers,
+           CAST((2000000 * CAST(n_outliers AS HUGEINT) + n_docs)
+                // (2 * CAST(n_docs AS HUGEINT)) AS DOUBLE) / 1e6
+             AS outlier_rate
+    FROM g
+    """,
+)

@@ -400,3 +400,21 @@ _reg(
     ) AS t(version, mode, n_dirs, n_mapped)
     """,
 )
+
+
+# PERMISSIVE dirty-CSV census: deterministic fixture, so the oracle is the
+# literal expected row (type failures AND token-count anomalies quarantine
+# under the full-column parse the census deliberately forces — see the
+# impl docstring for the column-pruning trap it pins)
+_reg(
+    "scan_csv_malformed",
+    src.q_scan_csv_malformed,
+    """
+    SELECT CAST(9 AS BIGINT) AS n_rows,
+           CAST(4 AS BIGINT) AS n_corrupt,
+           CAST(19 AS BIGINT) AS sum_good_id,
+           CAST(3 AS BIGINT) AS n_good_types,
+           CAST(2250 AS BIGINT) AS sum_good_value_c,
+           CAST(62 AS BIGINT) AS corrupt_chars
+    """,
+)

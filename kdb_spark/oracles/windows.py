@@ -1710,3 +1710,31 @@ _reg(
     FROM s
     """,
 )
+
+
+# Percentage price oscillator: macd's stage-1 folds (same 0.4/0.15 integer
+# weight literals), spread normalized by the slow line, signed device 4 dp
+_reg(
+    "win_ppo",
+    lambda s, d: wn.win_ppo(events_us(s, d)),
+    f"""
+    WITH t AS (
+      SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+             CAST(round(value * 100) AS BIGINT) AS xc
+      FROM events),
+    e AS (
+      SELECT event_id, user_id, event_type,
+             ({_MACD_NF}) AS nf, ({_MACD_FD}) AS fd,
+             ({_MACD_NS}) AS ns, ({_MACD_SD}) AS sd
+      FROM t
+      WINDOW w AS (PARTITION BY user_id, event_type
+                   ORDER BY ts_us, event_id))
+    SELECT event_id, user_id, event_type,
+           CASE WHEN ns > 0 THEN
+             CAST((CASE WHEN 100 * (nf * sd - ns * fd) < 0 THEN -1 ELSE 1 END)
+                  * ((20000 * abs(100 * (nf * sd - ns * fd)) + ns * fd)
+                     // (2 * (ns * fd))) AS DOUBLE) / 1e4
+           END AS ppo
+    FROM e
+    """,
+)

@@ -1398,3 +1398,80 @@ def q_scan_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sink_upsert(inc, path, key="event_id", part_col="day")
     return scan_history(spark, path)
+
+
+def scan_csv_malformed(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> DataFrame:
+    """PERMISSIVE CSV scan that SURFACES malformed rows instead of
+    crashing (FAILFAST) or silently dropping them (DROPMALFORMED): rows
+    that don't parse land with nulls plus the raw line in a
+    `_corrupt_record` column — the dirty-ingest contract every
+    real feed needs (a 100 TB ingest with one bad line must neither die
+    nor lie about its row count). The caller gets the full partition of
+    good + quarantined rows in ONE pass.
+    """
+    full = T.StructType(
+        list(schema.fields) + [T.StructField("_corrupt_record", T.StringType())]
+    )
+    return (
+        spark.read.option("header", False)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema(full)
+        .csv(path)
+    )
+
+
+def q_scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dirty-feed fixture pinning PERMISSIVE's exact fine
+    print: 4 rows quarantine — two type-conversion failures (non-numeric
+    id / value), one SHORT row, one extra-column row — and quarantined
+    rows RETAIN their successfully-converted fields next to the raw line.
+    The census references EVERY schema column deliberately: with CSV
+    column pruning (the default) a projection that drops a column stops
+    the parser from seeing token-count anomalies, so a narrower census
+    would silently reclassify the short/extra rows as good — the exact
+    plan-dependence trap this query pins. Good rows aggregate exactly;
+    quarantined rows are counted with their raw text length summed, so a
+    silently-dropped line flips two columns, not one. The oracle is the
+    literal expected census (the fixture is deterministic)."""
+    import os
+
+    d = _tmp("csvmal")
+    lines = [
+        "1,click,5.25",
+        "2,view,1.00",
+        "oops,click,2.00",          # bad id -> quarantined
+        "3,purchase,10.50",
+        "4,click,not_a_number",     # bad value -> quarantined
+        "5,view,3.25",
+        "6,view",                    # short row -> quarantined (full parse)
+        "7,purchase,0.75,extra",     # extra column -> quarantined
+        "8,click,2.50",
+    ]
+    with open(os.path.join(d, "feed.csv"), "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("etype", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    df = scan_csv_malformed(spark, d, schema)
+    bad = F.col("_corrupt_record").isNotNull()
+    return df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(bad.cast("long")).cast("long").alias("n_corrupt"),
+        F.sum(F.when(~bad, F.col("id"))).cast("long").alias("sum_good_id"),
+        # etype referenced on purpose: every schema column must appear in
+        # the plan or column pruning re-classifies token-count anomalies
+        F.count_distinct(F.when(~bad, F.col("etype"))).cast("long")
+        .alias("n_good_types"),
+        F.sum(F.when(~bad, F.expr("CAST(round(value * 100) AS BIGINT)")))
+        .cast("long")
+        .alias("sum_good_value_c"),
+        F.sum(F.when(bad, F.length("_corrupt_record"))).cast("long")
+        .alias("corrupt_chars"),
+    )

@@ -106,3 +106,21 @@ def test_label_quality_profile(spark):
     assert (got[0].n_docs, got[0].sum_tokens, got[0].mean_tokens,
             got[0].stop_share) == (2, 5, 2.5, 0.4)
     assert (got[1].n_docs, got[1].sum_tokens, got[1].stop_share) == (1, 3, 0.0)
+
+
+def test_length_outliers_per_source(spark):
+    """Truncated/concatenated records flag against their OWN source's
+    median/MAD, not a global one."""
+    from kdb_spark.llm.textstats import text_length_outliers
+
+    docs = [(i, "s1", "x" * n) for i, n in
+            enumerate([100, 101, 102, 103, 104, 105, 106, 5000], 1)]
+    docs += [(100 + i, "s2", "y" * n) for i, n in
+             enumerate([5000, 5010, 5020, 5030], 1)]
+    df = spark.createDataFrame(docs, "doc_id long, source string, text string")
+    got = {r.source: r for r in text_length_outliers(df).collect()}
+    # s1: median=103, MAD=2 -> the 5000-char doc flags (dev 4897 > 7)
+    assert (got["s1"].n_docs, got["s1"].med_chars, got["s1"].mad_chars,
+            got["s1"].n_outliers) == (8, 103, 2, 1)
+    # s2: 5000-char docs are NORMAL here -> no flags
+    assert got["s2"].n_outliers == 0

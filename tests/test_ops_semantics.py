@@ -3712,3 +3712,34 @@ def test_top_customer_share_argmax_ties(spark):
     assert (got["N0"].top_custkey, got["N0"].nation_rev_c,
             got["N0"].top_rev_c, got["N0"].top_share) == (10, 25000, 15000, 0.6)
     assert (got["N1"].top_custkey, got["N1"].top_share) == (20, 1.0)
+
+
+def test_ppo_normalizes_across_price_levels(spark):
+    """The PPO point: two series with identical SHAPE at different price
+    levels get the SAME oscillator value (MACD's absolute spread would
+    differ 100×)."""
+    rows = [(i, 1, "lo", 1.0 + 0.1 * i, i * 1000) for i in range(1, 20)]
+    rows += [(100 + i, 1, "hi", 100.0 + 10.0 * i, i * 1000) for i in range(1, 20)]
+    from kdb_spark.analytics import windows as wn
+
+    out = {(r.event_type, r.event_id % 100): r.ppo
+           for r in wn.win_ppo(_events(spark, rows)).collect()}
+    for i in range(1, 20):
+        assert out[("lo", i)] == out[("hi", i)], i
+
+
+def test_join_band_blocking_covers_exactly_once(spark):
+    """Band pairs across bucket boundaries are found exactly once (no
+    dedup pass), the tolerance is inclusive, and out-of-band rows drop."""
+    from kdb_spark.analytics import joins as jn
+
+    a = spark.createDataFrame([(1, 100), (2, 149), (3, 400)], "a_id long, a_c long")
+    b = spark.createDataFrame(
+        [(10, 150), (11, 99), (12, 201), (13, 450)], "b_id long, b_c long"
+    )
+    got = sorted(
+        (r.a_id, r.b_id) for r in jn.join_band(a, b, tol_c=50).collect()
+    )
+    # |100-150|=50 ok (inclusive, crosses bucket 2->3), |100-99|=1 ok,
+    # |149-150|=1 ok, |149-99|=50 ok, |149-201|=52 no, |400-450|=50 ok
+    assert got == [(1, 10), (1, 11), (2, 10), (2, 11), (3, 13)]

@@ -751,3 +751,35 @@ def test_upsert_conflict_on_concurrent_commit(spark, tmp_path, monkeypatch):
     inc = spark.createDataFrame([(2, 1, "new")], "id long, day int, v string")
     with _pt.raises(ConcurrentWriteError, match="committed\n?.*concurrently"):
         srcmod.sink_upsert(inc, path, key="id", part_col="day")
+
+
+def test_scan_csv_malformed_quarantines_type_failures(spark, tmp_path):
+    """PERMISSIVE fine print pinned under a FULL-column read: type
+    failures, short rows, and extra-column rows all quarantine with the
+    raw line in _corrupt_record, retaining whatever fields converted
+    (a pruned projection would reclassify the token-count anomalies as
+    good — the plan-dependence q_scan_csv_malformed documents)."""
+    from pyspark.sql import types as T
+
+    from kdb_spark.sources import scan_csv_malformed
+
+    p = tmp_path / "feed"
+    p.mkdir()
+    (p / "f.csv").write_text(
+        "1,a,2.5\nbad,a,1.0\n2,b\n3,c,4.0,extra\n"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("etype", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    rows = {tuple(r) for r in scan_csv_malformed(spark, str(p), schema).collect()}
+    # quarantined rows RETAIN their successfully-converted fields
+    assert rows == {
+        (1, "a", 2.5, None),
+        (None, "a", 1.0, "bad,a,1.0"),
+        (2, "b", None, "2,b"),
+        (3, "c", 4.0, "3,c,4.0,extra"),
+    }

@@ -58,6 +58,7 @@ DEFAULT_OPS = [
     "dedup_prefix",
     "text_ngram_novelty",
     "win_vortex",
+    "join_band",
 ]
 
 
@@ -126,9 +127,12 @@ def gen_scaled(k: int) -> str:
     """)
     con.execute(f"""
       COPY (
+        -- value shifted +1000·replica: cross-replica rows must never
+        -- co-band, or a value-band join's TRUE pair count grows K²
+        -- (the same answer-growth trap the document salting avoids)
         SELECT e.event_id + r.i * 100000000 AS event_id, e.ts,
                e.user_id + r.i * 1000000 AS user_id,
-               e.event_type, e.value, e.props
+               e.event_type, e.value + 1000.0 * r.i AS value, e.props
         FROM read_parquet('{BASE}/events.parquet') e, range({k}) r(i)
       ) TO '{out}/events.parquet' (FORMAT PARQUET)
     """)
