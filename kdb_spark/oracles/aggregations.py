@@ -2550,3 +2550,37 @@ _reg(
     FROM ranked WHERE rk = 1
     """,
 )
+
+
+# PSI drift terms per bin: laplace-smoothed device shares, per-bin emission
+# (no cross-bin double sum — the reader folds ≤|types| rows)
+_reg(
+    "agg_psi",
+    lambda s, d: agg.agg_psi(events_us(s, d), T_JAN10),
+    f"""
+    WITH g AS (
+      SELECT event_type,
+             CAST(sum(CASE WHEN epoch_us(ts) < {T_JAN10} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c_before,
+             CAST(sum(CASE WHEN epoch_us(ts) >= {T_JAN10} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c_after
+      FROM events GROUP BY event_type),
+    t AS (
+      SELECT event_type, c_before, c_after,
+             CAST(sum(c_before + 1) OVER () AS HUGEINT) AS nb,
+             CAST(sum(c_after + 1) OVER () AS HUGEINT) AS na
+      FROM g),
+    dev AS (
+      SELECT event_type, c_before, c_after,
+             CAST((2000000 * (1000000 * CAST(c_before + 1 AS HUGEINT))
+                   + 1000000 * nb)
+                  // (2 * 1000000 * nb) AS DOUBLE) / 1e6 AS p,
+             CAST((2000000 * (1000000 * CAST(c_after + 1 AS HUGEINT))
+                   + 1000000 * na)
+                  // (2 * 1000000 * na) AS DOUBLE) / 1e6 AS q
+      FROM t)
+    SELECT event_type, c_before, c_after, p, q,
+           round((p - q) * ln(p / q), 6) AS psi_term
+    FROM dev
+    """,
+)

@@ -385,3 +385,16 @@ _reg(
     FROM g
     """,
 )
+
+
+# Deterministic k-fold census: md5 slot mod k, per-fold doc counts
+_reg(
+    "dataset_kfold",
+    lambda s, d: cu.dataset_kfold(load(s, d, "documents"), k=5),
+    """
+    SELECT (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+            % 1000000) % 5 AS fold,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY 1
+    """,
+)

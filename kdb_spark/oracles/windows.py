@@ -1738,3 +1738,28 @@ _reg(
     FROM e
     """,
 )
+
+
+# Rate of change: k-lag normalized momentum, signed device 4 dp
+_reg(
+    "win_roc",
+    lambda s, d: wn.win_roc(events_us(s, d)),
+    """
+    WITH t AS (
+      SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events),
+    l AS (
+      SELECT event_id, user_id, event_type, c,
+             lag(c, 10) OVER (PARTITION BY user_id, event_type
+                              ORDER BY ts_us, event_id) AS pc
+      FROM t)
+    SELECT event_id, user_id, event_type,
+           CASE WHEN pc > 0 THEN
+             CAST((CASE WHEN 100 * (c - pc) < 0 THEN -1 ELSE 1 END)
+                  * ((20000 * abs(100 * (c - pc)) + pc) // (2 * pc))
+                  AS DOUBLE) / 1e4
+           END AS roc
+    FROM l
+    """,
+)

@@ -124,3 +124,15 @@ def test_length_outliers_per_source(spark):
             got["s1"].n_outliers) == (8, 103, 2, 1)
     # s2: 5000-char docs are NORMAL here -> no flags
     assert got["s2"].n_outliers == 0
+
+
+def test_kfold_census_partitions_everything(spark):
+    """Every doc lands in exactly one fold; fold ids are 0..k-1; counts
+    sum to n and stay within sampling noise of n/k."""
+    from kdb_spark.llm.curation import dataset_kfold
+
+    docs = spark.createDataFrame([(i,) for i in range(1000)], "doc_id long")
+    got = {r.fold: r.n_docs for r in dataset_kfold(docs, k=4).collect()}
+    assert set(got) == {0, 1, 2, 3}
+    assert sum(got.values()) == 1000
+    assert all(150 < v < 350 for v in got.values()), got

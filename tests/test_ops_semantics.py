@@ -3743,3 +3743,37 @@ def test_join_band_blocking_covers_exactly_once(spark):
     # |100-150|=50 ok (inclusive, crosses bucket 2->3), |100-99|=1 ok,
     # |149-150|=1 ok, |149-99|=50 ok, |149-201|=52 no, |400-450|=50 ok
     assert got == [(1, 10), (1, 11), (2, 10), (2, 11), (3, 13)]
+
+
+def test_psi_terms_smoothed_and_signed(spark):
+    """Per-bin PSI terms on a hand distribution: a stable bin scores ~0,
+    a grown bin scores positive (sign follows (p−q)·ln(p/q) ≥ 0 always),
+    and a bin present on only one side survives via Laplace smoothing."""
+    rows = [(i, 1, "a", 1.0, 0) for i in range(1, 5)]          # 4 before
+    rows += [(10 + i, 1, "b", 1.0, 0) for i in range(1, 5)]    # 4 before
+    rows += [(20 + i, 1, "a", 1.0, 100) for i in range(1, 9)]  # 8 after
+    from kdb_spark.analytics import aggregations as agg
+
+    got = {r.event_type: r for r in
+           agg.agg_psi(_events(spark, rows), split_us=50).collect()}
+    a, b = got["a"], got["b"]
+    assert (a.c_before, a.c_after) == (4, 8)
+    assert (b.c_before, b.c_after) == (4, 0)
+    # smoothed shares: p_a = 5/10, q_a = 9/10; p_b = 5/10, q_b = 1/10
+    assert (a.p, a.q) == (0.5, 0.9)
+    assert (b.p, b.q) == (0.5, 0.1)
+    assert a.psi_term > 0 and b.psi_term > 0
+    import math
+    assert a.psi_term == round((0.5 - 0.9) * math.log(0.5 / 0.9), 6)
+
+
+def test_roc_normalizes_and_guards(spark):
+    """10-lag percentage change: exact device value, null at heads and on
+    a non-positive base."""
+    rows = [(i, 1, "a", float(i), i * 1000) for i in range(1, 25)]
+    from kdb_spark.analytics import windows as wn
+
+    got = {r.event_id: r.roc for r in wn.win_roc(_events(spark, rows)).collect()}
+    assert got[5] is None                       # head: no 10-lag yet
+    assert got[15] == 200.0                     # (15-5)/5 = 200%
+    assert got[24] == round(100 * (24 - 14) / 14, 4)
