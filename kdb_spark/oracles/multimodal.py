@@ -243,3 +243,37 @@ _reg(
     FROM t GROUP BY 1, 2
     """,
 )
+
+
+# Byte-entropy census over the payload: the corpus is ASCII so utf-8 byte
+# counts equal character counts and the SQL mirror is exact (log2 on the
+# same integers via libm both sides; round(6) = the agg_entropy contract)
+_reg(
+    "mm_payload_entropy",
+    lambda s, d: mm.mm_payload_entropy(
+        mm.multimodal_table(load(s, d, "documents"), load(s, d, "embeddings"))
+    ),
+    """
+    WITH t AS (
+      SELECT m.doc_id, m.text, length(m.text) AS n
+      FROM documents m JOIN embeddings e ON e.vec_id = m.doc_id),
+    ch AS (
+      SELECT doc_id, substring(text, i, 1) AS c
+      FROM t CROSS JOIN unnest(range(1, n + 1)) s(i)),
+    cnts AS (SELECT doc_id, c, CAST(count(*) AS BIGINT) AS cnt
+             FROM ch GROUP BY 1, 2),
+    g AS (
+      SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS byte_len,
+             CAST(count(*) AS BIGINT) AS n_distinct_bytes,
+             round(log2(CAST(sum(cnt) AS DOUBLE))
+                   - sum(cnt * log2(CAST(cnt AS DOUBLE)))
+                     / CAST(sum(cnt) AS DOUBLE), 6) AS entropy_bits
+      FROM cnts GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(coalesce(g.byte_len, 0) AS BIGINT) AS byte_len,
+           CAST(coalesce(g.n_distinct_bytes, 0) AS BIGINT)
+             AS n_distinct_bytes,
+           g.entropy_bits
+    FROM t LEFT JOIN g ON g.doc_id = t.doc_id
+    """,
+)

@@ -136,3 +136,24 @@ def test_kfold_census_partitions_everything(spark):
     assert set(got) == {0, 1, 2, 3}
     assert sum(got.values()) == 1000
     assert all(150 < v < 350 for v in got.values()), got
+
+
+def test_payload_entropy_separates_flat_from_mixed(spark):
+    """A single-byte payload has zero entropy; a uniform 4-symbol payload
+    exactly 2 bits; empty payloads surface null — the compressed/
+    encrypted detection signal in its exactly-checkable form."""
+    from kdb_spark.llm.multimodal import mm_payload_entropy
+
+    mm = spark.createDataFrame(
+        [
+            (1, bytearray(b"aaaaaaaa")),
+            (2, bytearray(b"abcdabcd")),
+            (3, bytearray(b"")),
+        ],
+        "doc_id long, payload binary",
+    )
+    got = {r.doc_id: (r.byte_len, r.n_distinct_bytes, r.entropy_bits)
+           for r in mm_payload_entropy(mm).collect()}
+    assert got[1] == (8, 1, 0.0)
+    assert got[2] == (8, 4, 2.0)
+    assert got[3] == (0, 0, None)
