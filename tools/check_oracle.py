@@ -136,6 +136,21 @@ def main() -> int:
             print(f"FAIL {name}: rows {len(spdf)} != {len(odf)}")
             n_fail += 1
             continue
+        # dtype-mismatch hazard (r15): pandas surfaces DuckDB HUGEINT (any
+        # window SUM of integers) and nullable-int columns as float64 while
+        # Spark emits int64; values_equal coerces int<->float so the key
+        # passes HERE but the driver hashes raw values and FAILS (the
+        # join_interval_overlap r13/r14 story). Flag it loudly.
+        dtype_warn = []
+        for c in scols:
+            sk, ok = spdf[c].dtype.kind, odf[c].dtype.kind
+            if {sk, ok} == {"i", "f"} and not (
+                odf[c].isna().any() or spdf[c].isna().any()
+            ):
+                dtype_warn.append(f"{c}: spark={spdf[c].dtype} duck={odf[c].dtype}")
+        if dtype_warn:
+            print(f"DTYPE-WARN {name}: int-vs-float column(s) — driver hash "
+                  f"hazard — {'; '.join(dtype_warn)}")
         srows = normalize(spdf, scols)
         orows = normalize(odf, ocols)
         bad = None
