@@ -358,6 +358,60 @@ def test_bmp_decode_rejects_corrupt_input():
         mm.decode_bmp(bytes(bad_bpp))
 
 
+def test_png_roundtrip_all_filters_and_dispatch():
+    """encode→decode is the identity across dimensions (heights ≥ 5 cycle
+    all five PNG filter types — None/Sub/Up/Average/Paeth), and
+    decode_image dispatches on the PNG signature."""
+    import numpy as np
+
+    from kdb_spark.llm import multimodal as mm
+
+    for h, w in ((1, 1), (5, 4), (6, 7), (8, 8), (13, 3)):
+        rng = np.random.RandomState(h * 10 + w)
+        px = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+        payload = mm.encode_png(px)
+        assert payload[:8] == mm.PNG_SIG
+        out = mm.decode_png(payload)
+        assert out.shape == (h, w, 3) and (out == px).all()
+        assert (mm.decode_image(payload) == px).all()
+    # top-left marker survives (row order + channel order)
+    px = np.zeros((2, 4, 3), dtype=np.uint8)
+    px[0, 0] = (255, 1, 2)
+    assert tuple(mm.decode_png(mm.encode_png(px))[0, 0]) == (255, 1, 2)
+
+
+def test_png_decode_rejects_corrupt_input():
+    import numpy as np
+    import pytest as pt
+
+    from kdb_spark.llm import multimodal as mm
+
+    good = mm.encode_png(np.zeros((3, 3, 3), dtype=np.uint8))
+    with pt.raises(ValueError, match="signature"):
+        mm.decode_png(b"BM" + good[2:])
+    corrupt = bytearray(good)
+    corrupt[20] ^= 0xFF  # inside IHDR data -> CRC mismatch
+    with pt.raises(ValueError, match="CRC"):
+        mm.decode_png(bytes(corrupt))
+    with pt.raises(ValueError, match="truncated|missing"):
+        mm.decode_png(good[:30])
+    # 16-bit depth is an unsupported variant: rebuild IHDR with valid CRC
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", 3, 3, 16, 2, 0, 0, 0)
+    bad = (
+        mm.PNG_SIG
+        + struct.pack(">I", len(ihdr))
+        + b"IHDR"
+        + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+        + good[8 + 12 + 13 :]
+    )
+    with pt.raises(ValueError, match="unsupported"):
+        mm.decode_png(bad)
+
+
 def test_mm_decode_features_matches_closed_form(spark):
     """The Spark round-trip (synthesize BMP → real parse → channel sums)
     must equal the closed forms the SQL oracle uses."""
@@ -389,9 +443,11 @@ def test_decode_image_routes_bmp_without_codecs():
 
     px = np.arange(2 * 4 * 3, dtype=np.uint8).reshape(2, 4, 3)
     assert (mm.decode_image(mm.encode_bmp(px)) == px).all()
+    # PNG now decodes in-tree (r15) — codec-free even where Pillow is absent
+    assert (mm.decode_image(mm.encode_png(px)) == px).all()
     if mm._pil() is None:
         with pt.raises(NotImplementedError):
-            mm.decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
+            mm.decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 64)  # JPEG magic
 
 
 @pytest.mark.codec
