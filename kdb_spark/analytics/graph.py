@@ -25,6 +25,7 @@ def pagerank(
     damping: float = 0.85,
     checkpoint_every: int | None = None,
     broadcast_ranks: bool = True,
+    tol: float | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list (`src`, `dst`).
 
@@ -71,6 +72,15 @@ def pagerank(
     the ≤1e-15-relative partial-sum reorder noise sits far below the
     final round(9) — the same argument the parallelism-invariance suite
     already pins for the broadcast path across partition counts.
+
+    ``tol`` (r15, the run-to-fixpoint ask): when set, ``iters`` becomes a
+    SAFETY CAP and the loop exits early once the L∞ rank delta of a round
+    drops below ``tol`` — the converged answer a production user wants,
+    with the same per-round body (the registered fixed-round key is the
+    oracle contract and is untouched at the default tol=None). Convergence
+    mode localCheckpoints every round: the delta check is an action, so
+    an unbounded unrolled lineage would re-execute all prior rounds per
+    check. One |V|-sized join + scalar agg per round is the whole cost.
     """
     from kdb_spark.llm.dedup import _reused
 
@@ -133,7 +143,20 @@ def pagerank(
                 (F.lit(1.0 - damping) / F.col("n") + damping * F.col("m")).alias("r"),
             )
         )
-        if (
+        if tol is not None:
+            prev = rsel  # previous round's ranks, as (src, r)
+            ranks = ranks.localCheckpoint(eager=True)
+            delta = (
+                ranks.join(
+                    prev.select(F.col("src").alias("v"), F.col("r").alias("r0")),
+                    "v",
+                )
+                .agg(F.max(F.abs(F.col("r") - F.col("r0"))).alias("d"))
+                .collect()[0]["d"]
+            )
+            if delta is not None and delta < tol:
+                break
+        elif (
             checkpoint_every
             and (i + 1) % checkpoint_every == 0
             and (i + 1) < iters
@@ -500,14 +523,54 @@ def bfs_levels(
     levels = levels.localCheckpoint(eager=True)
     frontier = levels.select("v")
     for depth in range(1, max_depth + 1):
-        nxt = (
-            frontier.join(edges, frontier.v == edges.src)
-            .select(F.col("dst").alias("v"))
-            .distinct()
-            .join(levels.select("v"), "v", "left_anti")
-            .select("v", F.lit(depth).cast("long").alias("lvl"))
-        )
-        nxt = nxt.localCheckpoint(eager=True)
+        nxt = _bfs_round(frontier, levels, edges, depth)
+        levels = levels.unionByName(nxt)
+        frontier = nxt.select("v")
+    return levels
+
+
+def _bfs_round(
+    frontier: DataFrame, levels: DataFrame, edges: DataFrame, depth: int
+) -> DataFrame:
+    """One BFS frontier expansion (the shared per-round body of
+    `bfs_levels` and `bfs_levels_fixpoint`): join the frontier against the
+    edge table, dedup successors, anti-join the visited set, stamp the
+    level, cut lineage."""
+    return (
+        frontier.join(edges, frontier.v == edges.src)
+        .select(F.col("dst").alias("v"))
+        .distinct()
+        .join(levels.select("v"), "v", "left_anti")
+        .select("v", F.lit(depth).cast("long").alias("lvl"))
+        .localCheckpoint(eager=True)
+    )
+
+
+def bfs_levels_fixpoint(
+    edges: DataFrame, seeds: DataFrame, max_depth: int = 10_000
+) -> DataFrame:
+    """`bfs_levels` run to its NATURAL fixpoint: expand until a round's
+    frontier is empty — every reachable vertex at its exact minimal
+    distance, however deep the graph (the r14 VERDICT run-to-fixpoint
+    ask). Same per-round body (`_bfs_round`); ``max_depth`` is only a
+    runaway-safety cap, set far above any real graph diameter. The
+    per-round emptiness probe is a count() on the (localCheckpointed,
+    frontier-sized) new-vertex table — a scalar to the driver per round,
+    nothing else. The registered fixed-depth key stays the oracle
+    contract; on any graph whose eccentricity from the seeds is ≤ the
+    fixed cap the two forms are equal by construction (pytest-pinned)."""
+    from kdb_spark.llm.dedup import _reused
+
+    edges = _reused("bfs_fix_edges", edges.select("src", "dst").distinct())
+    levels = seeds.select(F.col("v").cast("long").alias("v")).distinct().select(
+        "v", F.lit(0).cast("long").alias("lvl")
+    )
+    levels = levels.localCheckpoint(eager=True)
+    frontier = levels.select("v")
+    for depth in range(1, max_depth + 1):
+        nxt = _bfs_round(frontier, levels, edges, depth)
+        if nxt.limit(1).count() == 0:
+            break
         levels = levels.unionByName(nxt)
         frontier = nxt.select("v")
     return levels
@@ -546,17 +609,59 @@ def k_core(edges: DataFrame, k: int = 2, rounds: int = 12) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     for _ in range(rounds):
-        keep = (
-            cur.groupBy("src")
-            .agg(F.count(F.lit(1)).alias("deg"))
-            .filter(F.col("deg") >= k)
-            .select("src")
+        cur = _kcore_round(cur, k)
+    return (
+        cur.groupBy("src")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+        .select(F.col("src").cast("long").alias("v"), "degree")
+    )
+
+
+def _kcore_round(cur: DataFrame, k: int) -> DataFrame:
+    """One k-core peeling pass (the shared per-round body of `k_core` and
+    `k_core_fixpoint`): degree aggregate, keep deg ≥ k, semi-join both
+    endpoints against the survivor set, cut lineage."""
+    keep = (
+        cur.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .filter(F.col("deg") >= k)
+        .select("src")
+    )
+    return (
+        cur.join(keep, "src", "left_semi")
+        .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
+        .localCheckpoint(eager=True)
+    )
+
+
+def k_core_fixpoint(
+    edges: DataFrame, k: int = 2, max_rounds: int = 10_000
+) -> DataFrame:
+    """`k_core` run to its NATURAL fixpoint: peel until a round removes
+    nothing — the true k-core whatever the peel depth (the r14 VERDICT
+    run-to-fixpoint ask; the registered fixed-round key stays the oracle
+    contract). Same per-round body (`_kcore_round`); ``max_rounds`` is a
+    runaway-safety cap only — peeling strictly shrinks the edge set, so
+    it always terminates in ≤ |V| rounds. The convergence probe is one
+    count() on the (localCheckpointed, already-materialized) survivor
+    edge table per round — a scalar to the driver, no extra shuffle.
+    Equal to the fixed-round form whenever the graph converges within the
+    fixed cap (extra rounds past the fixpoint are exact no-ops;
+    pytest-pinned on the harness graph)."""
+    cur = (
+        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
         )
-        cur = (
-            cur.join(keep, "src", "left_semi")
-            .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
-            .localCheckpoint(eager=True)
-        )
+        .localCheckpoint(eager=True)
+    )
+    n_edges = cur.count()
+    for _ in range(max_rounds):
+        cur = _kcore_round(cur, k)
+        n_next = cur.count()
+        if n_next == n_edges:
+            break
+        n_edges = n_next
     return (
         cur.groupBy("src")
         .agg(F.count(F.lit(1)).cast("long").alias("degree"))

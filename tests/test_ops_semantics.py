@@ -3848,3 +3848,62 @@ def test_k_core_peels_tendrils_keeps_cycle(spark):
     )
     got = {r.v: r.degree for r in gr.k_core(edges, k=2, rounds=5).collect()}
     assert got == {1: 2, 2: 2, 3: 2, 4: 2}
+
+
+def test_graph_fixpoint_variants_match_fixed_round(spark):
+    """The r15 run-to-fixpoint wrappers equal their fixed-round registered
+    forms once the fixed cap covers convergence (extra rounds past the
+    fixpoint are exact no-ops) — and converge unaided on inputs where the
+    user would otherwise have to guess the depth."""
+    from kdb_spark.analytics import graph as gr
+    from kdb_spark.llm.dedup import _REUSE_CACHE
+
+    # k-core: cycle + two-hop pendant chain needs 2 peeling rounds
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1), (4, 5), (5, 6), (7, 8), (8, 9)],
+        "doc_a long, doc_b long",
+    )
+    fixed = {r.v: r.degree for r in gr.k_core(edges, k=2, rounds=5).collect()}
+    fix = {r.v: r.degree for r in gr.k_core_fixpoint(edges, k=2).collect()}
+    assert fix == fixed == {1: 2, 2: 2, 3: 2, 4: 2}
+
+    # BFS: a 6-chain is deeper than the registered max_depth=3 — the
+    # fixpoint form reaches the end without a cap guess
+    for key in ("bfs_edges", "bfs_fix_edges"):
+        _REUSE_CACHE.pop(key, None)
+    chain = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,)], "v long")
+    fixed3 = {r.v: r.lvl for r in gr.bfs_levels(chain, seeds, max_depth=3).collect()}
+    full = {r.v: r.lvl for r in gr.bfs_levels_fixpoint(chain, seeds).collect()}
+    assert full == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4, 6: 5}
+    assert {v: l for v, l in full.items() if l <= 3} == fixed3
+    for key in ("bfs_edges", "bfs_fix_edges"):
+        _REUSE_CACHE.pop(key, None)
+
+    # pagerank: tol mode converges to the same rounded ranks the deep
+    # fixed-iteration run reaches, in fewer driver-visible rounds
+    pr_edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2)], "src long, dst long"
+    )
+    for key in ("pagerank_edges", "pagerank_base", "pagerank_contrib"):
+        _REUSE_CACHE.pop(key, None)
+    # damping 0.5 for test speed: 0.5^n convergence puts the fixed-run
+    # error ~1e-24 at n=80, far below the round(9) grid; tol=1e-12 stops
+    # the tol run at ~n=40 (vs ~170 rounds at the 0.85 default)
+    deep = {
+        r.v: r.rank
+        for r in gr.pagerank(
+            pr_edges, iters=80, damping=0.5, checkpoint_every=10
+        ).collect()
+    }
+    for key in ("pagerank_edges", "pagerank_base", "pagerank_contrib"):
+        _REUSE_CACHE.pop(key, None)
+    conv = {
+        r.v: r.rank
+        for r in gr.pagerank(pr_edges, iters=300, damping=0.5, tol=1e-12).collect()
+    }
+    for key in ("pagerank_edges", "pagerank_base", "pagerank_contrib"):
+        _REUSE_CACHE.pop(key, None)
+    assert conv == deep
