@@ -5443,3 +5443,103 @@ def agg_psi(events: DataFrame, split_us: int) -> DataFrame:
         F.round((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q")), 6)
         .alias("psi_term"),
     )
+
+
+def agg_mann_kendall(events: DataFrame) -> DataFrame:
+    """Mann–Kendall trend test per (event_type, day): S = Σ_{i<j}
+    sign(x_j − x_i) over the day's prints in time order — the
+    distribution-free "is this series trending?" screen (monotone drift
+    in latency, spend, error rates) that pairs with `agg_runs_test`
+    (randomness) and `agg_spearman` (rank association with a second
+    variable; MK is rank association with TIME itself).
+
+    EXACT cross-engine: pairs are ordered by the deterministic
+    (ts_us, event_id) tiebreak, S and the tie-corrected variance
+    numerator var18 = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5) are pure bigint
+    arithmetic on cents, and the z-score (continuity-corrected:
+    (S∓1)/√(var18/18)) is a single float expression — int→double casts
+    are exact, and IEEE-754 division and sqrt are correctly rounded, so
+    both engines produce the same bits. z is NULL when var18 = 0 (n < 2
+    or all values tied — no variance to normalize by).
+
+    Scale shape: the pair set is generated by a SELF-JOIN ON THE GROUP
+    KEY (event_type, day) — the group is the blocking unit, so the
+    quadratic term is bounded by the densest single day, never |rows|²
+    (the gini/lorenz disclosed posture, one bucket tighter). The tie
+    term and n ride one hash-agg each and broadcast back onto the
+    day-sized pair aggregate. At 100 TB day-groups too dense to pair,
+    coarsen to per-hour pre-means first (MK on the hourly series) — the
+    standard seasonal-MK reduction; the exact form here IS the oracle
+    contract.
+    """
+    day = (F.col("ts_us") / F.lit(DAY_US)).cast("long")
+    base = events.select(
+        "event_type",
+        day.alias("day"),
+        "ts_us",
+        "event_id",
+        cents("value").alias("x"),
+    )
+    a = base.alias("a")
+    b = base.alias("b")
+    later = (F.col("a.ts_us") < F.col("b.ts_us")) | (
+        (F.col("a.ts_us") == F.col("b.ts_us"))
+        & (F.col("a.event_id") < F.col("b.event_id"))
+    )
+    s = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.day") == F.col("b.day"))
+            & later,
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"), F.col("a.day").alias("day"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.x") > F.col("a.x"), 1)
+                .when(F.col("b.x") < F.col("a.x"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s_stat")
+        )
+    )
+    n = base.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    ties = (
+        base.groupBy("event_type", "day", "x")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .groupBy("event_type", "day")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            )
+            .cast("long")
+            .alias("tie18")
+        )
+    )
+    g = (
+        n.join(ties, ["event_type", "day"])
+        .join(s, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            "n",
+            F.coalesce(F.col("s_stat"), F.lit(0)).cast("long").alias("s_stat"),
+            (
+                F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+                - F.col("tie18")
+            )
+            .cast("long")
+            .alias("var18"),
+        )
+    )
+    sd = F.sqrt(F.col("var18") / F.lit(18.0))
+    z = (
+        F.when(F.col("var18") <= 0, F.lit(None).cast("double"))
+        .when(F.col("s_stat") > 0, (F.col("s_stat") - 1).cast("double") / sd)
+        .when(F.col("s_stat") < 0, (F.col("s_stat") + 1).cast("double") / sd)
+        .otherwise(F.lit(0.0))
+    )
+    return g.select("event_type", "day", "n", "s_stat", "var18", z.alias("z"))

@@ -594,3 +594,38 @@ def join_band(a: DataFrame, b: DataFrame, tol_c: int = 50) -> DataFrame:
         .filter(F.abs(F.col("a_c") - F.col("b_c")) <= tol_c)
         .drop("bucket")
     )
+
+
+def join_band_topk(
+    a: DataFrame, b: DataFrame, tol_c: int = 50, k: int = 3
+) -> DataFrame:
+    """k-closest value matches: per ``a`` row, the ``k`` nearest ``b``
+    rows within ``tol_c`` of its integer value, ranked by |diff| — the
+    candidate SHORTLIST form of `join_band` (which keeps one winner).
+    Entity resolution and retrieval re-ranking both want the ranked
+    candidate set, not just the argmin: the downstream matcher scores
+    the shortlist with features the blocking key can't see.
+
+    Scale strategy: identical TOL-BUCKET BLOCKING to `join_band` (one
+    side explodes to {k−1, k, k+1} width-tol buckets; every qualifying
+    pair lands exactly once), then a per-a_id rank window over the
+    CANDIDATE set only — |candidates| ≤ per-bucket density × 3, so the
+    sort is bounded by local value density, never |A|·|B|. Deterministic
+    tie-break (|diff|, b_id) keeps the shortlist bit-stable cross-engine.
+
+    Same non-negative-grid contract as `join_band` (documented there).
+    """
+    pairs = join_band(a, b, tol_c=tol_c)
+    w = Window.partitionBy("a_id").orderBy(
+        F.abs(F.col("a_c") - F.col("b_c")), "b_id"
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "a_id",
+            "rank",
+            "b_id",
+            F.abs(F.col("a_c") - F.col("b_c")).cast("long").alias("diff_c"),
+        )
+    )

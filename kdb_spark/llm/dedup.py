@@ -901,3 +901,79 @@ def dedup_prefix(documents: DataFrame, k: int = 64) -> DataFrame:
         .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
         .select("doc_id", "n_copies")
     )
+
+
+def dedup_bloom_probe(
+    documents: DataFrame,
+    m_bits: int = 1 << 18,
+    pct_incoming: int = 20,
+) -> DataFrame:
+    """Bloom-filter pre-screen for incremental exact dedup: an INCOMING
+    batch probes a Bloom filter built over the EXISTING corpus's content
+    hashes, and every probe is adjudicated against ground truth — the
+    per-doc (bloom_maybe, exact_dup) table whose disagreements ARE the
+    filter's false positives. This is the cheap first gate in front of
+    `dedup_cross_corpus`: at 100 TB the Bloom bitmap (m = 2^18 bits here;
+    size it m ≈ −n·ln(fpr)/ln2² in production) broadcasts to every
+    executor, and only bloom-maybe survivors — a few percent of the
+    increment — pay the exact content join.
+
+    Determinism device: the k = 3 bit positions are non-overlapping
+    8-hex-char slices of md5(text) mod m — the repo's one portable hash
+    (md5_slot discipline); no RNG, no seeds, bit-identical cross-engine.
+    Ground truth is md5(text) equality (the dedup_exact contract).
+
+    Scale shape: base side → 3 positions/doc → ONE distinct on ≤ m
+    position values (the materialized "bitmap" as a long set, never
+    collected); incoming side explodes to 3 (doc, position) rows,
+    LEFT-semi-counts hits against the position set (broadcast — it is
+    ≤ m rows regardless of corpus size), maybe = all 3 present. The
+    exact-dup truth join blocks on the full md5 — equi-join on a hash,
+    never text. No quadratic term anywhere.
+    """
+    from kdb_spark.tables import md5_slot
+
+    docs = documents.select(
+        "doc_id", F.md5(F.col("text")).alias("h"),
+        md5_slot("doc_id", hex_chars=4, mod=100).alias("slot"),
+    )
+    base = docs.filter(F.col("slot") >= pct_incoming)
+    incoming = docs.filter(F.col("slot") < pct_incoming)
+
+    def positions(df: DataFrame) -> DataFrame:
+        pos = F.array(
+            *[
+                (
+                    F.conv(F.substring("h", 1 + 8 * t, 8), 16, 10).cast("long")
+                    % m_bits
+                )
+                for t in range(3)
+            ]
+        )
+        return df.withColumn("pos", F.explode(pos))
+
+    bitmap = positions(base).select("pos").distinct()
+    hits = (
+        positions(incoming)
+        .join(bitmap, "pos", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    truth = (
+        incoming.join(
+            base.select(F.col("h").alias("h_base")).distinct(),
+            incoming.h == F.col("h_base"),
+            "left",
+        )
+        .select("doc_id", F.col("h_base").isNotNull().alias("exact_dup"))
+    )
+    return (
+        incoming.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .join(truth, "doc_id")
+        .select(
+            "doc_id",
+            (F.coalesce(F.col("n_hits"), F.lit(0)) == 3).alias("bloom_maybe"),
+            "exact_dup",
+        )
+    )

@@ -1716,3 +1716,73 @@ def emb_text_agreement(
             _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
         ).alias("cos"),
     )
+
+
+def emb_random_projection(
+    embeddings: DataFrame, k: int = 8, grid: int = 1 << 20
+) -> DataFrame:
+    """Deterministic integer Johnson–Lindenstrauss sketch: project each
+    embedding onto ``k`` fixed ±1 sign vectors — the classic random-
+    projection compression (Achlioptas signs), done on an exact integer
+    grid so the sketch is bit-reproducible and oracle-checkable. This
+    completes the repo's compression ladder (sq8 = per-component
+    quantization, matryoshka = prefix truncation, hamming = 1-bit signs;
+    JL = dimension REDUCTION that preserves pairwise distances within
+    1±ε whp) — downstream, candidate generation runs on the k-dim
+    sketch and only survivors touch full vectors.
+
+    Determinism device: the sign matrix s[i][j] = +1 iff the first hex
+    char of md5("i:j") ≤ '7' — both engines evaluate the SAME md5 string
+    (pytest-pinned), so the "random" matrix is a pure function, not RNG
+    state. Components land on the integer grid floor(x·2^20 + 0.5)
+    first; projections and the norm diagnostics (q·q and p·p, the JL
+    distortion evidence: E[‖p‖²] = k·‖q‖²·E[s²] with exact ints) are
+    then pure bigint sums.
+
+    Scale shape: MAP-ONLY — the d×k sign matrix is driver-computed
+    (hashlib, 512 literals at d=64) and embedded in the plan as column
+    literals; every row folds its own array with zip_with + aggregate
+    inside whole-stage codegen. No shuffle, no UDF, no state: at 100 TB
+    this runs at scan speed. (The one-row schema probe below reads d —
+    bounded, like the audited centroid collects.)
+    """
+    import hashlib
+
+    d = embeddings.select(F.size("embedding")).limit(1).collect()[0][0]
+
+    def sign(i: int, j: int) -> int:
+        return 1 if hashlib.md5(f"{i}:{j}".encode()).hexdigest()[0] <= "7" else -1
+
+    q = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * F.lit(float(grid)) + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+    base = embeddings.select("vec_id", q.alias("q"))
+    projs = [
+        F.aggregate(
+            F.zip_with(
+                "q",
+                F.array(*[F.lit(sign(i, j)) for i in range(d)]),
+                lambda qi, s: qi * s.cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias(f"p{j}")
+        for j in range(k)
+    ]
+    qnorm = F.aggregate(
+        "q", F.lit(0).cast("long"), lambda acc, v: acc + v * v
+    ).alias("qnorm2")
+    wide = base.select("vec_id", qnorm, *projs)
+    pnorm = sum(
+        (F.col(f"p{j}") * F.col(f"p{j}") for j in range(k)),
+        F.lit(0).cast("long"),
+    )
+    return wide.select(
+        "vec_id",
+        F.array(*[F.col(f"p{j}") for j in range(k)]).alias("proj"),
+        "qnorm2",
+        pnorm.cast("long").alias("pnorm2"),
+    )

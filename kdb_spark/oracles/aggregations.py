@@ -2584,3 +2584,55 @@ _reg(
     FROM dev
     """,
 )
+
+
+_reg(
+    "agg_mann_kendall",
+    lambda s, d: agg.agg_mann_kendall(events_us(s, d)),
+    # S and var18 are pure bigint pair/tie arithmetic; z is one float
+    # expression of exact ints (IEEE / and sqrt are correctly rounded →
+    # bit-identical cross-engine). Pair generation blocks on the
+    # (event_type, day) group key in BOTH engines.
+    f"""
+    WITH base AS (
+      SELECT event_type, epoch_us(ts) // {DAY_US} AS day,
+             epoch_us(ts) AS ts_us, event_id,
+             CAST(round(value * 100) AS BIGINT) AS x
+      FROM events),
+    s AS (
+      SELECT a.event_type, a.day,
+             CAST(sum(CASE WHEN b.x > a.x THEN 1
+                           WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT)
+               AS s_stat
+      FROM base a JOIN base b
+        ON a.event_type = b.event_type AND a.day = b.day
+       AND (a.ts_us < b.ts_us
+            OR (a.ts_us = b.ts_us AND a.event_id < b.event_id))
+      GROUP BY 1, 2),
+    n AS (
+      SELECT event_type, day, CAST(count(*) AS BIGINT) AS n
+      FROM base GROUP BY 1, 2),
+    ties AS (
+      SELECT event_type, day,
+             CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie18
+      FROM (SELECT event_type, day, x, CAST(count(*) AS BIGINT) AS t
+            FROM base GROUP BY 1, 2, 3)
+      GROUP BY 1, 2),
+    g AS (
+      SELECT n.event_type, n.day, n.n,
+             CAST(coalesce(s.s_stat, 0) AS BIGINT) AS s_stat,
+             CAST(n.n * (n.n - 1) * (2 * n.n + 5) - ties.tie18 AS BIGINT)
+               AS var18
+      FROM n
+      JOIN ties ON n.event_type = ties.event_type AND n.day = ties.day
+      LEFT JOIN s ON n.event_type = s.event_type AND n.day = s.day)
+    SELECT event_type, day, n, s_stat, var18,
+           CASE WHEN var18 <= 0 THEN NULL
+                WHEN s_stat > 0
+                  THEN CAST(s_stat - 1 AS DOUBLE) / sqrt(var18 / 18.0)
+                WHEN s_stat < 0
+                  THEN CAST(s_stat + 1 AS DOUBLE) / sqrt(var18 / 18.0)
+                ELSE 0.0 END AS z
+    FROM g
+    """,
+)

@@ -406,3 +406,41 @@ _reg(
     FROM p WHERE rn = 1
     """,
 )
+
+
+# k-closest value matches: the top-3 nearest-priced purchases per click —
+# join_band's census kept one winner; retrieval/entity-resolution wants the
+# candidate SHORTLIST with ranks (the k-NN-in-value-space contract)
+def _q_join_band_topk(s: SparkSession, d: str) -> DataFrame:
+    ev = events_us(s, d)
+    from kdb_spark.tables import cents as _cents
+
+    a = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("a_id"), _cents("value").alias("a_c")
+    )
+    b = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("b_id"), _cents("value").alias("b_c")
+    )
+    return jn.join_band_topk(a, b, tol_c=50, k=3)
+
+
+_reg(
+    "join_band_topk",
+    _q_join_band_topk,
+    """
+    WITH a AS (
+      SELECT event_id AS a_id, CAST(round(value * 100) AS BIGINT) AS a_c
+      FROM events WHERE event_type = 'click'),
+    b AS (
+      SELECT event_id AS b_id, CAST(round(value * 100) AS BIGINT) AS b_c
+      FROM events WHERE event_type = 'purchase'),
+    p AS (
+      SELECT a_id, b_id,
+             CAST(abs(a_c - b_c) AS BIGINT) AS diff_c,
+             row_number() OVER (PARTITION BY a_id
+                                ORDER BY abs(a_c - b_c), b_id) AS rn
+      FROM a JOIN b ON abs(a_c - b_c) <= 50)
+    SELECT a_id, CAST(rn AS BIGINT) AS rank, b_id, diff_c
+    FROM p WHERE rn <= 3
+    """,
+)

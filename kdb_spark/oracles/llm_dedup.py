@@ -335,3 +335,37 @@ _reg(
     GROUP BY p
     """,
 )
+
+
+_reg(
+    "dedup_bloom_probe",
+    lambda s, d: dd.dedup_bloom_probe(load(s, d, "documents")),
+    # bit positions = three non-overlapping 8-hex slices of md5(text)
+    # mod 2^18 — the md5_slot discipline; truth = md5(text) equality.
+    # The oracle replays the same bitmap-as-set semantics relationally.
+    """
+    WITH docs AS (
+      SELECT doc_id, md5(text) AS h,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+               % 100 AS slot
+      FROM documents),
+    base AS (SELECT * FROM docs WHERE slot >= 20),
+    incoming AS (SELECT * FROM docs WHERE slot < 20),
+    bitmap AS (
+      SELECT DISTINCT ('0x' || substr(h, 1 + 8 * t.i, 8))::BIGINT % 262144
+               AS pos
+      FROM base, range(0, 3) t(i)),
+    probe AS (
+      SELECT doc_id,
+             ('0x' || substr(h, 1 + 8 * t.i, 8))::BIGINT % 262144 AS pos
+      FROM incoming, range(0, 3) t(i)),
+    hits AS (
+      SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+      FROM probe p WHERE EXISTS (SELECT 1 FROM bitmap b WHERE b.pos = p.pos)
+      GROUP BY 1)
+    SELECT i.doc_id,
+           coalesce(hits.n_hits, 0) = 3 AS bloom_maybe,
+           EXISTS (SELECT 1 FROM base b WHERE b.h = i.h) AS exact_dup
+    FROM incoming i LEFT JOIN hits ON i.doc_id = hits.doc_id
+    """,
+)

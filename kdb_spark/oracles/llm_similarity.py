@@ -1009,3 +1009,38 @@ _reg(
     JOIN nv b ON b.vec_id = p.doc_b
     """,
 )
+
+
+_reg(
+    "emb_random_projection",
+    lambda s, d: sim.emb_random_projection(load(s, d, "embeddings")),
+    # the sign matrix is the SAME md5 pure function in both engines
+    # (first hex char of md5("i:j") <= '7', i 0-based); grid components
+    # and all sums are exact bigints, so the sketch is bit-identical
+    """
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding, x ->
+               CAST(floor(CAST(x AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT))
+               AS q
+      FROM embeddings),
+    pj AS (
+      SELECT vec_id, t.j,
+             CAST(list_sum(list_transform(q.q, (x, i) ->
+               x * CASE WHEN substr(md5(CAST(i - 1 AS VARCHAR) || ':'
+                                        || CAST(t.j AS VARCHAR)), 1, 1)
+                             <= '7'
+                        THEN 1 ELSE -1 END)) AS BIGINT) AS p
+      FROM q, range(0, 8) t(j)),
+    agg AS (
+      SELECT vec_id,
+             array_agg(p ORDER BY j) AS proj,
+             CAST(sum(p * p) AS BIGINT) AS pnorm2
+      FROM pj GROUP BY 1)
+    SELECT a.vec_id, a.proj,
+           CAST(list_sum(list_transform(q.q, x -> x * x)) AS BIGINT)
+             AS qnorm2,
+           a.pnorm2
+    FROM agg a JOIN q ON a.vec_id = q.vec_id
+    """,
+)

@@ -3907,3 +3907,105 @@ def test_graph_fixpoint_variants_match_fixed_round(spark):
     for key in ("pagerank_edges", "pagerank_base", "pagerank_contrib"):
         _REUSE_CACHE.pop(key, None)
     assert conv == deep
+
+
+# ------------------------------------------------------------- r15 new keys
+
+
+def test_join_band_topk_shortlist_and_ties(spark):
+    """Top-k nearest-value matches: ranked by |diff| with b_id tiebreak,
+    capped at k, pairs beyond tol excluded entirely."""
+    from kdb_spark.analytics import joins as jn
+
+    a = spark.createDataFrame([(1, 100)], "a_id long, a_c long")
+    b = spark.createDataFrame(
+        [(10, 100), (11, 110), (12, 90), (13, 140), (14, 200)],
+        "b_id long, b_c long",
+    )
+    rows = jn.join_band_topk(a, b, tol_c=50, k=3).collect()
+    got = [(r.rank, r.b_id, r.diff_c) for r in sorted(rows, key=lambda r: r.rank)]
+    # diffs: b10=0, b11=10, b12=10 (tie -> lower b_id first), b13=40 (cut
+    # by k), b14=100 (cut by tol)
+    assert got == [(1, 10, 0), (2, 11, 10), (3, 12, 10)]
+
+
+def test_mann_kendall_hand_series(spark):
+    """Known S/var18/z on hand series: strictly rising day (S = C(n,2)),
+    strictly falling (negated), all-tied (var18 = 0 -> z NULL), and the
+    continuity correction (z uses S-1)."""
+    import math
+
+    from kdb_spark.analytics import aggregations as agg
+
+    day_us = 86_400_000_000
+    rows = []
+    # day 0, type 'a': values 1,2,3 rising -> S=3
+    for i, v in enumerate([1.0, 2.0, 3.0]):
+        rows.append((i, "a", i * 1_000_000, v))
+    # day 1, type 'a': values 3,2,1 falling -> S=-3
+    for i, v in enumerate([3.0, 2.0, 1.0]):
+        rows.append((10 + i, "a", day_us + i * 1_000_000, v))
+    # day 0, type 'b': all tied -> S=0, var18=0 -> z NULL
+    for i in range(3):
+        rows.append((20 + i, "b", i * 1_000_000, 5.0))
+    ev = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts_us long, value double"
+    )
+    got = {
+        (r.event_type, r.day): r
+        for r in agg.agg_mann_kendall(ev).collect()
+    }
+    up = got[("a", 0)]
+    assert (up.n, up.s_stat, up.var18) == (3, 3, 66)
+    assert up.z == (3 - 1) / math.sqrt(66 / 18.0)
+    dn = got[("a", 1)]
+    assert (dn.s_stat, dn.var18) == (-3, 66)
+    assert dn.z == (-3 + 1) / math.sqrt(66 / 18.0)
+    tied = got[("b", 0)]
+    # tie term: t=3 -> 3*2*11=66 -> var18 = 66-66 = 0
+    assert (tied.s_stat, tied.var18, tied.z) == (0, 0, None)
+
+
+def test_emb_random_projection_signs_and_norms(spark):
+    """The sketch equals a hand fold with hashlib signs, and pnorm2/qnorm2
+    are the exact integer diagnostics (one-hot input: ‖p‖² = k·‖q‖²)."""
+    import hashlib
+
+    from kdb_spark.llm import similarity as sim
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.5, -0.25, 2.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r.vec_id: r for r in sim.emb_random_projection(emb, k=4).collect()}
+
+    def sign(i, j):
+        return 1 if hashlib.md5(f"{i}:{j}".encode()).hexdigest()[0] <= "7" else -1
+
+    grid = 1 << 20
+    for vid, vals in ((0, [1.0, 0.0, 0.0]), (1, [0.5, -0.25, 2.0])):
+        import math
+
+        q = [math.floor(v * grid + 0.5) for v in vals]
+        exp = [sum(q[i] * sign(i, j) for i in range(3)) for j in range(4)]
+        assert list(got[vid].proj) == exp
+        assert got[vid].qnorm2 == sum(x * x for x in q)
+        assert got[vid].pnorm2 == sum(p * p for p in exp)
+    # one-hot: every |p_j| = |q_0|, so pnorm2 = k * qnorm2 exactly
+    assert got[0].pnorm2 == 4 * got[0].qnorm2
+
+
+def test_bloom_probe_no_false_negatives(spark):
+    """The Bloom guarantee: every exact duplicate MUST be bloom_maybe
+    (false negatives are impossible); false positives are allowed and
+    reported as bloom_maybe & ~exact_dup."""
+    from kdb_spark.llm import dedup as dd
+    from kdb_spark.tables import load
+
+    from tests.conftest import SF_DIR
+
+    rows = dd.dedup_bloom_probe(load(spark, SF_DIR, "documents")).collect()
+    assert rows, "incoming split must be non-empty"
+    for r in rows:
+        if r.exact_dup:
+            assert r.bloom_maybe, f"false negative at doc {r.doc_id}"
