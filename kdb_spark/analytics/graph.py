@@ -15,7 +15,7 @@ construction — its per-round Observation forces materialization anyway).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -666,4 +666,68 @@ def k_core_fixpoint(
         cur.groupBy("src")
         .agg(F.count(F.lit(1)).cast("long").alias("degree"))
         .select(F.col("src").cast("long").alias("v"), "degree")
+    )
+
+
+def label_propagation(edges: DataFrame, rounds: int = 4) -> DataFrame:
+    """Community detection by FIXED-ROUND synchronous label propagation
+    with a deterministic tie-break: every vertex starts as its own label;
+    each round it adopts the label most frequent among its neighbors,
+    ties broken by SMALLEST label. The min-tiebreak makes synchronous
+    LPA a pure function of the graph (classic LPA randomizes update
+    order and tie choices — useless under a bit-exact oracle), and the
+    fixed round count is the oracle contract, exactly the `k_core`
+    discipline (`graph.py k_core`): both engines run the same bounded
+    iteration, equal by construction, converged or not.
+
+    vs `connected_components`: components merge everything REACHABLE;
+    LPA splits a component along density — frequent-neighbor majorities
+    stop labels at sparse cuts, which is the community (fraud-ring /
+    topic-cluster) question components can't answer.
+
+    Scale shape: per round ONE message join (labels onto the dst side of
+    the symmetrized, persisted edge table — |E| messages), one
+    (vertex, label) count agg sharing the same Exchange as the argmin
+    window over it (vertex-sized), lineage cut per round
+    (localCheckpoint, the pagerank long-loop device). Label tables are
+    |V|-sized; at broadcast-budget vertex counts the message join is
+    map-side.
+
+    Input: undirected (doc_a, doc_b); output (v, label, n_members) where
+    n_members is the final community census decorated onto each vertex.
+    """
+    sym = (
+        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = sym.select(F.col("src").alias("v")).distinct().select(
+        "v", F.col("v").cast("long").alias("label")
+    )
+    w = Window.partitionBy("v").orderBy(F.col("c").desc(), F.col("label"))
+    for _ in range(rounds):
+        msgs = sym.join(
+            labels.withColumnRenamed("v", "dst"), "dst"
+        ).select(F.col("src").alias("v"), "label")
+        labels = (
+            msgs.groupBy("v", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("v", "label")
+            .localCheckpoint(eager=True)
+        )
+    census = labels.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    return (
+        labels.join(census, "label")
+        .select(
+            F.col("v").cast("long").alias("v"),
+            F.col("label").cast("long").alias("label"),
+            "n_members",
+        )
     )

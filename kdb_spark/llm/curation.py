@@ -670,3 +670,57 @@ def dataset_kfold(documents: DataFrame, k: int = 5, key: str = "doc_id") -> Data
         .groupBy("fold")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     )
+
+
+def curation_skyline(documents: DataFrame) -> DataFrame:
+    """Pareto frontier (skyline) of documents per source: maximize
+    vocabulary richness (distinct-token count) while minimizing length
+    (n_chars) — a doc survives iff NO other doc in its source is at
+    least as rich AND at least as short with one strict. This is the
+    multi-objective selection cut curation actually wants ("the densest
+    docs at every length budget") where a single quality score forces an
+    arbitrary trade-off weight; the frontier IS the menu of optimal
+    trade-offs.
+
+    Spark-first 2D skyline: sort-by-one-dimension + running-max-of-the-
+    other — a doc is dominated iff some STRICTLY shorter doc has ≥ its
+    type count (m1 = max over the strictly-smaller-n_chars range frame)
+    or some equal-length doc has strictly more (m2 = max over the
+    n_chars peer frame). One Exchange on source shared by both Window
+    frames; the naive skyline is an O(n²) self-join — this is the
+    O(n log n) form, and it stays exact (ties survive together:
+    identical (n_chars, n_types) pairs don't dominate each other).
+
+    EXACT cross-engine: the metric is the shared [a-z0-9]+ tokenizer's
+    distinct count (pure integers; array-lambda, map-only — no token
+    explode), and dominance is integer comparison. At 100 TB the
+    per-source sort is the cost — the global-sort disclosure class
+    (sql_ltv_deciles), but per-SOURCE partitioned, so it parallelizes
+    across the mixture.
+    """
+    from kdb_spark.llm.dedup import tokens
+
+    t = documents.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.size(F.array_distinct(tokens("text"))).cast("long").alias("n_types"),
+    )
+    w_lt = (
+        Window.partitionBy("source")
+        .orderBy("n_chars")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_eq = Window.partitionBy("source", "n_chars")
+    m = t.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        "n_types",
+        F.max("n_types").over(w_lt).alias("m1"),
+        F.max("n_types").over(w_eq).alias("m2"),
+    )
+    return m.filter(
+        (F.col("m1").isNull() | (F.col("n_types") > F.col("m1")))
+        & (F.col("n_types") == F.col("m2"))
+    ).select("source", "doc_id", "n_chars", "n_types")

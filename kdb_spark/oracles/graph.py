@@ -266,3 +266,53 @@ _reg(
     ),
     _k_core_oracle(),
 )
+
+
+def _lpa_oracle(rounds: int = 4) -> str:
+    """Unrolled fixed-round synchronous min-tiebreak label propagation
+    (the operator definition both engines share — graph.label_propagation):
+    lN(v) = the most frequent label among v's neighbors under l(N−1),
+    ties to the smallest label."""
+    ctes = [
+        """e0 AS MATERIALIZED (
+      SELECT DISTINCT a AS src, b AS dst FROM
+        (SELECT a, b FROM pr UNION ALL SELECT b, a FROM pr))""",
+        """l0 AS MATERIALIZED (
+      SELECT DISTINCT src AS v, CAST(src AS BIGINT) AS label FROM e0)""",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(f"""l{i} AS MATERIALIZED (
+      SELECT v, label FROM (
+        SELECT e.src AS v, l.label, count(*) AS c,
+               row_number() OVER (PARTITION BY e.src
+                                  ORDER BY count(*) DESC, l.label) AS rn
+        FROM e0 e JOIN l{i - 1} l ON l.v = e.dst
+        GROUP BY e.src, l.label)
+      WHERE rn = 1)""")
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH pr AS (
+      SELECT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+      FROM orders
+      JOIN (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) li
+        ON o_orderkey = l_orderkey
+      GROUP BY 1, 2 HAVING count(*) >= 3),
+    {body},
+    census AS (
+      SELECT label, CAST(count(*) AS BIGINT) AS n_members
+      FROM l{rounds} GROUP BY 1)
+    SELECT CAST(l.v AS BIGINT) AS v, CAST(l.label AS BIGINT) AS label,
+           c.n_members
+    FROM l{rounds} l JOIN census c ON l.label = c.label
+    """
+
+
+# communities of the repeat-trade graph: fixed-round deterministic LPA
+# (min tie-break), equal by construction on both engines
+_reg(
+    "graph_label_propagation",
+    lambda s, d: gr.label_propagation(
+        gr.repeat_trade_edges(load(s, d, "orders"), load(s, d, "lineitem"))
+    ),
+    _lpa_oracle(),
+)

@@ -398,3 +398,29 @@ _reg(
     FROM documents GROUP BY 1
     """,
 )
+
+
+_reg(
+    "curation_skyline",
+    lambda s, d: cu.curation_skyline(load(s, d, "documents")),
+    # same O(n log n) two-window dominance form: m1 = best type count at
+    # strictly smaller length, m2 = best among equal length; survive iff
+    # better than every shorter doc and not beaten at your own length
+    """
+    WITH t AS (
+      SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+             CAST(len(list_distinct(
+               regexp_extract_all(lower(text), '[a-z0-9]+')))
+               AS BIGINT) AS n_types
+      FROM documents),
+    m AS (
+      SELECT source, doc_id, n_chars, n_types,
+             max(n_types) OVER (PARTITION BY source ORDER BY n_chars
+               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m1,
+             max(n_types) OVER (PARTITION BY source, n_chars) AS m2
+      FROM t)
+    SELECT source, doc_id, n_chars, n_types
+    FROM m
+    WHERE (m1 IS NULL OR n_types > m1) AND n_types = m2
+    """,
+)

@@ -4009,3 +4009,45 @@ def test_bloom_probe_no_false_negatives(spark):
     for r in rows:
         if r.exact_dup:
             assert r.bloom_maybe, f"false negative at doc {r.doc_id}"
+
+
+def test_label_propagation_two_cliques_bridge(spark):
+    """Two triangles joined by one bridge edge: LPA labels each triangle
+    with its own minimum vertex id (the bridge's single vote loses to the
+    in-triangle majority) — the density cut components can't make."""
+    from kdb_spark.analytics import graph as gr
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        "doc_a long, doc_b long",
+    )
+    got = {r.v: (r.label, r.n_members) for r in gr.label_propagation(edges).collect()}
+    # left triangle keeps label 1; the bridge leaks v3's id into the right
+    # triangle where the min tie-break locks it in — the right community
+    # carries label 3 (hand-traced synchronous rounds), still two distinct
+    # 3-member communities within ONE connected component
+    assert got[1] == (1, 3) and got[2] == (1, 3) and got[3] == (1, 3)
+    assert got[4] == (3, 3) and got[5] == (3, 3) and got[6] == (3, 3)
+    assert {lbl for lbl, _ in got.values()} == {1, 3}
+
+
+def test_curation_skyline_hand_frontier(spark):
+    """Dominance semantics: strictly-better-on-both removed, equal pairs
+    co-survive, per-source frontiers independent."""
+    from kdb_spark.llm import curation as cu
+
+    rows = [
+        # source s1: (chars, text-with-n-distinct-tokens)
+        (0, "s1", 10, "aa bb cc"),        # 10 chars*, 3 types  — frontier
+        (1, "s1", 20, "aa bb cc dd"),     # 20 chars, 4 types  — frontier
+        (2, "s1", 20, "aa bb cc"),        # dominated by doc 0 (shorter, same types)
+        (3, "s1", 30, "aa bb"),           # dominated by doc 0
+        (4, "s1", 10, "aa bb cc"),        # ties doc 0 exactly — co-survives
+        (5, "s2", 99, "zz"),              # alone in its source — frontier
+    ]
+    docs = spark.createDataFrame(
+        [(i, s, t, n) for i, s, n, t in rows],
+        "doc_id long, source string, text string, n_chars long",
+    )
+    got = {r.doc_id for r in cu.curation_skyline(docs).collect()}
+    assert got == {0, 1, 4, 5}
