@@ -5543,3 +5543,93 @@ def agg_mann_kendall(events: DataFrame) -> DataFrame:
         .otherwise(F.lit(0.0))
     )
     return g.select("event_type", "day", "n", "s_stat", "var18", z.alias("z"))
+
+
+# Poisson(1) CDF on the md5_slot's 1e6 grid — floor(cum_k * 1e6). The
+# shared constant list BOTH engines' CASE chains are generated from, so
+# replicate weights are a pure function of (event_id, replicate).
+_POISSON1_CUM_1E6 = [
+    367879, 735758, 919698, 981011, 996340,
+    999405, 999916, 999989, 999998, 999999,
+]
+
+
+def agg_bootstrap_ci(events: DataFrame, reps: int = 32) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the mean value per
+    event_type: ``reps`` resampled means, CI = their 2nd and (reps−1)-th
+    order statistics (≈94% coverage at 32 reps) — the error bar every
+    per-group mean in this registry silently lacks.
+
+    POISSON BOOTSTRAP is the at-scale bootstrap (Chamandy et al.'s
+    production form): classic resampling draws n rows WITH replacement —
+    impossible without global coordination — but each row's multiplicity
+    in a replicate is ≈ Poisson(1), independent per row, so every row
+    computes its own 32 weights LOCALLY and the replicate means fall out
+    of one hash agg. No global n, no sort, no sampling pass.
+
+    Determinism device: weight w(row, b) inverts the Poisson(1) CDF at
+    the md5_slot of "event_id:b" (thresholds = the shared
+    `_POISSON1_CUM_1E6` grid constants) — resampling as a pure function,
+    bit-identical cross-engine, repartition-stable. Replicate means ride
+    the unsigned decimal device at 6 dp; the CI picks are exact order
+    statistics with (mean, b) tie-break.
+
+    Scale shape: the 32× explode happens MAP-SIDE and is absorbed by the
+    partial hash agg before the shuffle — what crosses the wire is
+    |types|·reps partial rows, not 32× the fact table. The CI pick is a
+    rank window over a |types|·reps table. Two tiny shuffles total.
+    """
+    from kdb_spark.analytics.exact import iround_col
+
+    x = cents("value")
+    base = events.select(
+        "event_type", F.col("event_id").cast("string").alias("eid"), x.alias("x")
+    ).withColumn("b", F.explode(F.sequence(F.lit(0), F.lit(reps - 1))))
+    slot = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("eid"), F.col("b").cast("string"))),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1_000_000
+    )
+    w = F.lit(len(_POISSON1_CUM_1E6))
+    for k in range(len(_POISSON1_CUM_1E6) - 1, -1, -1):
+        w = F.when(slot < _POISSON1_CUM_1E6[k], F.lit(k)).otherwise(w)
+    rep = (
+        base.withColumn("w", w.cast("long"))
+        .groupBy("event_type", "b")
+        .agg(
+            F.sum(F.col("w").cast("decimal(38,0)") * F.col("x")).alias("swx"),
+            F.sum("w").cast("long").alias("sw"),
+        )
+        .withColumn(
+            "mean_b",
+            F.when(
+                F.col("sw") > 0,
+                iround_col("swx", "100 * CAST(sw AS DECIMAL(38,0))", 6, signed=True),
+            ),
+        )
+    )
+    wr = Window.partitionBy("event_type").orderBy("mean_b", "b")
+    picks = (
+        rep.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn").isin(2, reps - 1))
+        .groupBy("event_type")
+        .agg(
+            F.min(F.when(F.col("rn") == 2, F.col("mean_b"))).alias("ci_lo"),
+            F.min(F.when(F.col("rn") == reps - 1, F.col("mean_b"))).alias("ci_hi"),
+        )
+    )
+    overall = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x.cast("decimal(38,0)")).alias("sx"),
+    )
+    mean6 = iround_col("sx", "100 * CAST(n AS DECIMAL(38,0))", 6, signed=True)
+    return overall.join(picks, "event_type").select(
+        "event_type", "n", mean6.alias("mean_usd"), "ci_lo", "ci_hi"
+    )

@@ -2636,3 +2636,69 @@ _reg(
     FROM g
     """,
 )
+
+
+_reg(
+    "agg_bootstrap_ci",
+    lambda s, d: agg.agg_bootstrap_ci(events_us(s, d)),
+    # Poisson-bootstrap: replicate weights invert the Poisson(1) CDF at
+    # the md5_slot of "event_id:b" — the same _POISSON1_CUM_1E6 grid
+    # constants the engine's CASE chain is generated from; replicate
+    # means ride the signed device at 6 dp and the CI picks are exact
+    # (mean, b) order statistics
+    """
+    WITH base AS (
+      SELECT event_type, event_id,
+             CAST(round(value * 100) AS BIGINT) AS x, t.b
+      FROM events, range(0, 32) t(b)),
+    wts AS (
+      SELECT event_type, b, x,
+             ('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':'
+                                 || CAST(b AS VARCHAR)), 1, 6))::BIGINT
+               % 1000000 AS slot
+      FROM base),
+    ww AS (
+      SELECT event_type, b, x,
+             CASE WHEN slot < 367879 THEN 0 WHEN slot < 735758 THEN 1
+                  WHEN slot < 919698 THEN 2 WHEN slot < 981011 THEN 3
+                  WHEN slot < 996340 THEN 4 WHEN slot < 999405 THEN 5
+                  WHEN slot < 999916 THEN 6 WHEN slot < 999989 THEN 7
+                  WHEN slot < 999998 THEN 8 WHEN slot < 999999 THEN 9
+                  ELSE 10 END AS w
+      FROM wts),
+    rep AS (
+      SELECT event_type, b,
+             sum(CAST(w AS HUGEINT) * x) AS swx,
+             CAST(sum(w) AS BIGINT) AS sw
+      FROM ww GROUP BY 1, 2),
+    rm AS (
+      SELECT event_type, b,
+             CASE WHEN sw > 0 THEN
+               (CASE WHEN swx < 0 THEN -1 ELSE 1 END)
+               * CAST((2000000 * abs(swx) + 100 * CAST(sw AS HUGEINT))
+                      // (2 * 100 * CAST(sw AS HUGEINT)) AS DOUBLE) / 1e6
+             END AS mean_b
+      FROM rep),
+    rk AS (
+      SELECT event_type, mean_b,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY mean_b, b) AS rn
+      FROM rm),
+    picks AS (
+      SELECT event_type,
+             min(CASE WHEN rn = 2 THEN mean_b END) AS ci_lo,
+             min(CASE WHEN rn = 31 THEN mean_b END) AS ci_hi
+      FROM rk GROUP BY 1),
+    overall AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT)) AS sx
+      FROM events GROUP BY 1)
+    SELECT o.event_type, o.n,
+           (CASE WHEN o.sx < 0 THEN -1 ELSE 1 END)
+           * CAST((2000000 * abs(o.sx) + 100 * CAST(o.n AS HUGEINT))
+                  // (2 * 100 * CAST(o.n AS HUGEINT)) AS DOUBLE) / 1e6
+             AS mean_usd,
+           p.ci_lo, p.ci_hi
+    FROM overall o JOIN picks p ON o.event_type = p.event_type
+    """,
+)

@@ -4051,3 +4051,23 @@ def test_curation_skyline_hand_frontier(spark):
     )
     got = {r.doc_id for r in cu.curation_skyline(docs).collect()}
     assert got == {0, 1, 4, 5}
+
+
+def test_bootstrap_ci_brackets_mean(spark):
+    """Poisson-bootstrap CI: lo < hi, the point estimate falls inside,
+    and the whole table is deterministic across two runs (md5 weights,
+    no RNG)."""
+    from kdb_spark.analytics import aggregations as agg
+    from kdb_spark.oracles._shared import events_us
+    from tests.conftest import SF_DIR
+
+    ev = events_us(spark, SF_DIR)
+    rows = {r.event_type: r for r in agg.agg_bootstrap_ci(ev).collect()}
+    assert rows
+    for r in rows.values():
+        assert r.ci_lo < r.ci_hi
+        assert r.ci_lo <= r.mean_usd <= r.ci_hi
+    again = {r.event_type: r for r in agg.agg_bootstrap_ci(ev).collect()}
+    assert {k: (v.ci_lo, v.ci_hi) for k, v in rows.items()} == {
+        k: (v.ci_lo, v.ci_hi) for k, v in again.items()
+    }
