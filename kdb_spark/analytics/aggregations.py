@@ -5633,3 +5633,205 @@ def agg_bootstrap_ci(events: DataFrame, reps: int = 32) -> DataFrame:
     return overall.join(picks, "event_type").select(
         "event_type", "n", mean6.alias("mean_usd"), "ci_lo", "ci_hi"
     )
+
+
+def agg_permutation_test(
+    events: DataFrame,
+    type_a: str = "click",
+    type_b: str = "purchase",
+    reps: int = 32,
+) -> DataFrame:
+    """Randomization test for the mean-value difference between two event
+    types: ``reps`` deterministic random relabelings of the pooled rows,
+    p-value = add-one share of relabeled |mean diffs| ≥ the observed —
+    the nonparametric significance gold standard beside the asymptotic
+    tests already in the registry (`agg_mann_whitney` ranks,
+    `agg_cohens_d` effect size; this one makes NO distributional
+    assumption at all).
+
+    Determinism device: relabel(row, b) = md5_slot("event_id:b") <
+    500000 (the agg_bootstrap_ci discipline — per-row LOCAL
+    randomization, no global permutation state, which is what makes the
+    test runnable at 100 TB; random relabeling is the standard Monte
+    Carlo null for exchangeability). EXACT: every comparison
+    |d'| ≥ |d_obs| is cross-multiplied integers —
+    pnum·obs_den ≥ obs_num·pden on decimal(38,0), no float mean ever
+    compared — and the p-value/diff surface through the devices.
+
+    Scale shape: one 32× map-side explode absorbed by the partial hash
+    agg (2·reps rows cross the wire), one broadcast of the 2-row
+    observed aggregate. Nothing driver-side.
+    """
+    from kdb_spark.analytics.exact import iround_col
+
+    x = cents("value")
+    two = events.filter(F.col("event_type").isin(type_a, type_b)).select(
+        "event_type", F.col("event_id").cast("string").alias("eid"), x.alias("x")
+    )
+    obs = (
+        two.groupBy()
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == type_a, F.col("x")).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("sxa"),
+            F.sum(
+                F.when(F.col("event_type") == type_a, 1).otherwise(0)
+            ).cast("long").alias("na"),
+            F.sum(
+                F.when(F.col("event_type") == type_b, F.col("x")).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("sxb"),
+            F.sum(
+                F.when(F.col("event_type") == type_b, 1).otherwise(0)
+            ).cast("long").alias("nb"),
+        )
+        .select(
+            "na",
+            "nb",
+            (
+                F.col("sxa") * F.col("nb") - F.col("sxb") * F.col("na")
+            ).alias("obs_num_signed"),
+            (F.col("na").cast("decimal(38,0)") * F.col("nb")).alias("obs_den"),
+            "sxa",
+        )
+    )
+    slot = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("eid"), F.col("b").cast("string"))),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1_000_000
+    )
+    rep = (
+        two.withColumn("b", F.explode(F.sequence(F.lit(0), F.lit(reps - 1))))
+        .withColumn("grp_a", slot < 500_000)
+        .groupBy("b")
+        .agg(
+            F.sum(F.when(F.col("grp_a"), F.col("x")).cast("decimal(38,0)")).alias(
+                "psxa"
+            ),
+            F.sum(F.when(F.col("grp_a"), 1).otherwise(0)).cast("long").alias("pna"),
+            F.sum(
+                F.when(~F.col("grp_a"), F.col("x")).cast("decimal(38,0)")
+            ).alias("psxb"),
+            F.sum(F.when(~F.col("grp_a"), 1).otherwise(0)).cast("long").alias("pnb"),
+        )
+        # a degenerate relabel (either side empty) carries no mean diff —
+        # counts as NOT exceeding (impossible beyond toy n; documented)
+        .filter((F.col("pna") > 0) & (F.col("pnb") > 0))
+    )
+    j = rep.crossJoin(F.broadcast(obs)).select(
+        "na",
+        "nb",
+        "obs_num_signed",
+        "obs_den",
+        "sxa",
+        (
+            F.abs(F.col("psxa") * F.col("pnb") - F.col("psxb") * F.col("pna"))
+            * F.col("obs_den")
+            >= F.abs(F.col("obs_num_signed"))
+            * (F.col("pna").cast("decimal(38,0)") * F.col("pnb"))
+        )
+        .cast("int")
+        .alias("exceeds"),
+    )
+    g = j.groupBy("na", "nb", "obs_num_signed", "obs_den", "sxa").agg(
+        F.sum("exceeds").cast("long").alias("n_exceed"),
+        F.count(F.lit(1)).cast("long").alias("n_reps"),
+    )
+    diff6 = iround_col(
+        "obs_num_signed", "100 * obs_den", 6, signed=True
+    )
+    p6 = iround_col(
+        "(1 + n_exceed)", "(1 + n_reps)", 6, signed=False
+    )
+    return g.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        diff6.alias("mean_diff_usd"),
+        F.col("n_exceed"),
+        p6.alias("p_value"),
+    )
+
+
+def agg_busy_spans(
+    events: DataFrame, gap_us: int = 30 * 60 * 1_000_000
+) -> DataFrame:
+    """Interval UNION (merge-overlapping) per event_type: sessionize each
+    user's activity, then flatten all users' session intervals into the
+    maximal busy spans — "when was at least one session of this type
+    open, and how many sessions does each busy window absorb". The
+    occupancy/coverage primitive (on-call load, market open stretches,
+    incident overlap) that `sessionize` (per-user) and
+    `join_interval_overlap` (pairwise) both stop short of.
+
+    Spark-first merge-intervals: sort spans by start within the type,
+    running max of PRIOR ends (cumulative-max window, rows frame to -1),
+    a span opens a new group iff its start exceeds every prior end, and
+    the running sum of that flag is the span id — the classic O(n log n)
+    sweep as two Window expressions over ONE event_type Exchange, no
+    self-join, no explode. All integer µs arithmetic.
+
+    Scale shape: the per-(type, user) sessionize agg shuffles fact rows
+    once (hash agg with partials); the sweep windows then run over
+    SESSION-count rows only. The per-type sort is the dimension-sized
+    disclosure class (sessions-per-type, not events). Half-open ends
+    ([min_ts, max_ts + 1)): back-to-back sessions sharing an instant
+    merge, matching interval-overlap semantics everywhere else in the
+    repo.
+    """
+    w_sess = Window.partitionBy("event_type", "user_id").orderBy(
+        "ts_us", "event_id"
+    )
+    new_s = F.when(
+        F.lag("ts_us").over(w_sess).isNull()
+        | (F.col("ts_us") - F.lag("ts_us").over(w_sess) >= gap_us),
+        1,
+    ).otherwise(0)
+    sess = (
+        events.select("event_type", "user_id", "ts_us", "event_id")
+        .select(
+            "event_type",
+            "user_id",
+            "ts_us",
+            F.sum(new_s)
+            .over(w_sess.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .alias("sid"),
+        )
+        .groupBy("event_type", "user_id", "sid")
+        .agg(
+            F.min("ts_us").alias("s_start"),
+            (F.max("ts_us") + 1).alias("s_end"),
+        )
+    )
+    w_sweep = Window.partitionBy("event_type").orderBy(
+        "s_start", "s_end", "user_id", "sid"
+    )
+    prior_max_end = F.max("s_end").over(
+        w_sweep.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    opens = F.when(
+        prior_max_end.isNull() | (F.col("s_start") > prior_max_end), 1
+    ).otherwise(0)
+    spans = sess.select(
+        "event_type",
+        "s_start",
+        "s_end",
+        F.sum(opens)
+        .over(w_sweep.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("span_id"),
+    )
+    return spans.groupBy("event_type", "span_id").agg(
+        F.min("s_start").cast("long").alias("span_start"),
+        F.max("s_end").cast("long").alias("span_end"),
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+    )

@@ -2702,3 +2702,120 @@ _reg(
     FROM overall o JOIN picks p ON o.event_type = p.event_type
     """,
 )
+
+
+_reg(
+    "agg_permutation_test",
+    lambda s, d: agg.agg_permutation_test(events_us(s, d)),
+    # same md5 relabel device, same cross-multiplied integer comparison —
+    # |d'| >= |d_obs| as pnum*obs_den >= obs_num*pden on HUGEINT, no
+    # float means anywhere
+    """
+    WITH two AS (
+      SELECT event_type, event_id,
+             CAST(round(value * 100) AS BIGINT) AS x
+      FROM events WHERE event_type IN ('click', 'purchase')),
+    obs AS (
+      SELECT
+        CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+        sum(CASE WHEN event_type = 'click' THEN CAST(x AS HUGEINT) ELSE 0 END) AS sxa,
+        sum(CASE WHEN event_type = 'purchase' THEN CAST(x AS HUGEINT) ELSE 0 END) AS sxb
+      FROM two),
+    obs2 AS (
+      SELECT na, nb, sxa,
+             sxa * nb - sxb * na AS obs_num_signed,
+             CAST(na AS HUGEINT) * nb AS obs_den
+      FROM obs),
+    rep AS (
+      SELECT q.b,
+             sum(CASE WHEN grp_a THEN CAST(x AS HUGEINT) ELSE 0 END) AS psxa,
+             CAST(sum(CASE WHEN grp_a THEN 1 ELSE 0 END) AS BIGINT) AS pna,
+             sum(CASE WHEN NOT grp_a THEN CAST(x AS HUGEINT) ELSE 0 END) AS psxb,
+             CAST(sum(CASE WHEN NOT grp_a THEN 1 ELSE 0 END) AS BIGINT) AS pnb
+      FROM (
+        SELECT two.x, t.b,
+               ('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':'
+                                   || CAST(t.b AS VARCHAR)), 1, 6))::BIGINT
+                 % 1000000 < 500000 AS grp_a
+        FROM two, range(0, 32) t(b)) q
+      GROUP BY 1
+      HAVING sum(CASE WHEN grp_a THEN 1 ELSE 0 END) > 0
+         AND sum(CASE WHEN NOT grp_a THEN 1 ELSE 0 END) > 0),
+    cmp AS (
+      SELECT o.na, o.nb, o.obs_num_signed, o.obs_den, o.sxa,
+             CASE WHEN abs(r.psxa * r.pnb - r.psxb * r.pna) * o.obs_den
+                       >= abs(o.obs_num_signed)
+                          * (CAST(r.pna AS HUGEINT) * r.pnb)
+                  THEN 1 ELSE 0 END AS exceeds
+      FROM rep r, obs2 o),
+    g AS (
+      SELECT na, nb, obs_num_signed, obs_den,
+             CAST(sum(exceeds) AS BIGINT) AS n_exceed,
+             CAST(count(*) AS BIGINT) AS n_reps
+      FROM cmp GROUP BY 1, 2, 3, 4)
+    SELECT na AS n_a, nb AS n_b,
+           (CASE WHEN obs_num_signed < 0 THEN -1 ELSE 1 END)
+           * CAST((2000000 * abs(obs_num_signed) + 100 * obs_den)
+                  // (2 * 100 * obs_den) AS DOUBLE) / 1e6 AS mean_diff_usd,
+           n_exceed,
+           CAST((2000000 * CAST(1 + n_exceed AS HUGEINT) + (1 + n_reps))
+                // (2 * CAST(1 + n_reps AS HUGEINT)) AS DOUBLE) / 1e6
+             AS p_value
+    FROM g
+    """,
+)
+
+
+_reg(
+    "agg_busy_spans",
+    lambda s, d: agg.agg_busy_spans(events_us(s, d)),
+    # same two-phase sweep: per-(type, user) sessionize, then the classic
+    # merge-intervals cumulative-max window per type — pure integer µs.
+    # Both window passes share ONE total order (start, end, user, sid) so
+    # tied spans group identically in both engines.
+    """
+    WITH t AS (
+      SELECT event_type, user_id, epoch_us(ts) AS tu, event_id FROM events),
+    m AS (
+      SELECT event_type, user_id, tu, event_id,
+             CASE WHEN lag(tu) OVER w IS NULL THEN 1
+                  WHEN tu - lag(tu) OVER w >= 1800000000 THEN 1
+                  ELSE 0 END AS ns
+      FROM t
+      WINDOW w AS (PARTITION BY event_type, user_id ORDER BY tu, event_id)),
+    sgrp AS (
+      SELECT event_type, user_id, tu,
+             sum(ns) OVER (PARTITION BY event_type, user_id
+                           ORDER BY tu, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sid
+      FROM m),
+    sess AS (
+      SELECT event_type, user_id, sid,
+             CAST(min(tu) AS BIGINT) AS s_start,
+             CAST(max(tu) + 1 AS BIGINT) AS s_end
+      FROM sgrp GROUP BY 1, 2, 3),
+    sweep AS (
+      SELECT event_type, user_id, sid, s_start, s_end,
+             CASE WHEN max(s_end) OVER wp IS NULL THEN 1
+                  WHEN s_start > max(s_end) OVER wp THEN 1
+                  ELSE 0 END AS opens
+      FROM sess
+      WINDOW wp AS (PARTITION BY event_type
+                    ORDER BY s_start, s_end, user_id, sid
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+    spans AS (
+      SELECT event_type, s_start, s_end,
+             CAST(sum(opens) OVER (PARTITION BY event_type
+               ORDER BY s_start, s_end, user_id, sid
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS span_id
+      FROM sweep)
+    SELECT event_type, span_id,
+           CAST(min(s_start) AS BIGINT) AS span_start,
+           CAST(max(s_end) AS BIGINT) AS span_end,
+           CAST(count(*) AS BIGINT) AS n_sessions
+    FROM spans GROUP BY 1, 2
+    """,
+)

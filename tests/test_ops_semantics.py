@@ -4071,3 +4071,58 @@ def test_bootstrap_ci_brackets_mean(spark):
     assert {k: (v.ci_lo, v.ci_hi) for k, v in rows.items()} == {
         k: (v.ci_lo, v.ci_hi) for k, v in again.items()
     }
+
+
+def test_busy_spans_merges_overlaps(spark):
+    """Interval union: overlapping sessions from different users merge
+    into one span (n_sessions counts them), disjoint stretches split,
+    back-to-back sessions sharing an instant merge (half-open ends)."""
+    from kdb_spark.analytics import aggregations as agg
+
+    m = 60_000_000  # one minute in µs
+    rows = []
+    # type 'a': user 1 active 0–10min (events every min), user 2 active
+    # 5–15min -> one merged span [0, 15min+1) with 2 sessions; then user 1
+    # again at 60–61min -> second span
+    rows += [(i, "a", 1, i * m) for i in range(11)]
+    rows += [(100 + i, "a", 2, (5 + i) * m) for i in range(11)]
+    rows += [(200, "a", 1, 60 * m), (201, "a", 1, 61 * m)]
+    ev = spark.createDataFrame(
+        [(e, t, u, ts, 1.0) for e, t, u, ts in rows],
+        "event_id long, event_type string, user_id long, ts_us long, value double",
+    )
+    got = sorted(
+        (r.span_start, r.span_end, r.n_sessions)
+        for r in agg.agg_busy_spans(ev).collect()
+    )
+    assert got == [(0, 15 * m + 1, 2), (60 * m, 61 * m + 1, 1)]
+
+
+def test_permutation_test_detects_separation(spark):
+    """Disjoint value ranges: every random relabel mixes the groups, so
+    no relabeled |diff| reaches the observed one -> minimal add-one p;
+    identical groups -> p near 1."""
+    from kdb_spark.analytics import aggregations as agg
+
+    far = [(i, "click", 1.0) for i in range(40)] + [
+        (100 + i, "purchase", 1000.0) for i in range(40)
+    ]
+    ev = spark.createDataFrame(
+        [(e, t, 0, v) for e, t, v in far],
+        "event_id long, event_type string, ts_us long, value double",
+    )
+    r = agg.agg_permutation_test(ev).collect()[0]
+    assert (r.n_a, r.n_b) == (40, 40)
+    assert r.mean_diff_usd == -999.0
+    assert r.n_exceed == 0 and r.p_value == round(1 / 33, 6)
+
+    same = [(i, "click", 5.0) for i in range(40)] + [
+        (100 + i, "purchase", 5.0) for i in range(40)
+    ]
+    ev2 = spark.createDataFrame(
+        [(e, t, 0, v) for e, t, v in same],
+        "event_id long, event_type string, ts_us long, value double",
+    )
+    r2 = agg.agg_permutation_test(ev2).collect()[0]
+    # zero observed diff: every relabel ties or exceeds -> p = 1
+    assert r2.mean_diff_usd == 0.0 and r2.p_value == 1.0
