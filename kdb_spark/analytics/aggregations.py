@@ -5835,3 +5835,72 @@ def agg_busy_spans(
         F.max("s_end").cast("long").alias("span_end"),
         F.count(F.lit(1)).cast("long").alias("n_sessions"),
     )
+
+
+def agg_survival_table(
+    events: DataFrame, gap_us: int = 30 * 60 * 1_000_000
+) -> DataFrame:
+    """Kaplan–Meier risk table over session durations per event_type: at
+    each observed duration t (minutes), how many sessions ENDED there
+    (n_event) out of how many survived AT LEAST that long (n_risk), and
+    the discrete hazard d/n — the life-table form of "how long do
+    sessions last" that a plain duration histogram (`agg_gap_histogram`)
+    can't answer, because hazard conditions on survival. (The survival
+    CURVE is the running product Π(1−dᵢ/nᵢ) — deliberately left to the
+    caller: a float product is a cross-engine trap, while this table is
+    exact integers + one device ratio.)
+
+    EXACT: durations are integer µs (session max−min ts), bucketed to
+    whole minutes by truncating div; n_event is a hash-agg count and
+    n_risk the suffix count via ONE descending cumulative window over
+    the |types|×|distinct durations| table (dimension-sized — the
+    windows never see session rows); hazard rides the unsigned device
+    at 6 dp.
+
+    Scale shape: the per-(type, user) sessionize agg is the one
+    fact-sized shuffle; everything after runs on the distinct-duration
+    census. The standard survival-at-scale reduction.
+    """
+    from kdb_spark.analytics.exact import iround_col
+
+    w_sess = Window.partitionBy("event_type", "user_id").orderBy(
+        "ts_us", "event_id"
+    )
+    new_s = F.when(
+        F.lag("ts_us").over(w_sess).isNull()
+        | (F.col("ts_us") - F.lag("ts_us").over(w_sess) >= gap_us),
+        1,
+    ).otherwise(0)
+    sess = (
+        events.select("event_type", "user_id", "ts_us", "event_id")
+        .select(
+            "event_type",
+            "user_id",
+            "ts_us",
+            F.sum(new_s)
+            .over(w_sess.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .alias("sid"),
+        )
+        .groupBy("event_type", "user_id", "sid")
+        .agg(
+            ((F.max("ts_us") - F.min("ts_us")) / F.lit(60_000_000))
+            .cast("long")
+            .alias("dur_min")
+        )
+    )
+    census = sess.groupBy("event_type", "dur_min").agg(
+        F.count(F.lit(1)).cast("long").alias("n_event")
+    )
+    w_risk = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("dur_min").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = census.select(
+        "event_type",
+        "dur_min",
+        "n_event",
+        F.sum("n_event").over(w_risk).cast("long").alias("n_risk"),
+    )
+    hz6 = iround_col("n_event", "CAST(n_risk AS DECIMAL(38,0))", 6, signed=False)
+    return t.select("event_type", "dur_min", "n_event", "n_risk", hz6.alias("hazard"))

@@ -2819,3 +2819,48 @@ _reg(
     FROM spans GROUP BY 1, 2
     """,
 )
+
+
+_reg(
+    "agg_survival_table",
+    lambda s, d: agg.agg_survival_table(events_us(s, d)),
+    # same reduction: sessionize -> integer minute durations -> duration
+    # census -> suffix counts by one descending cumulative window; the
+    # float survival product is deliberately excluded (cross-engine trap)
+    """
+    WITH t AS (
+      SELECT event_type, user_id, epoch_us(ts) AS tu, event_id FROM events),
+    m AS (
+      SELECT event_type, user_id, tu, event_id,
+             CASE WHEN lag(tu) OVER w IS NULL THEN 1
+                  WHEN tu - lag(tu) OVER w >= 1800000000 THEN 1
+                  ELSE 0 END AS ns
+      FROM t
+      WINDOW w AS (PARTITION BY event_type, user_id ORDER BY tu, event_id)),
+    sgrp AS (
+      SELECT event_type, user_id, tu,
+             sum(ns) OVER (PARTITION BY event_type, user_id
+                           ORDER BY tu, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sid
+      FROM m),
+    sess AS (
+      SELECT event_type, user_id, sid,
+             CAST((max(tu) - min(tu)) // 60000000 AS BIGINT) AS dur_min
+      FROM sgrp GROUP BY 1, 2, 3),
+    census AS (
+      SELECT event_type, dur_min, CAST(count(*) AS BIGINT) AS n_event
+      FROM sess GROUP BY 1, 2),
+    risk AS (
+      SELECT event_type, dur_min, n_event,
+             CAST(sum(n_event) OVER (PARTITION BY event_type
+               ORDER BY dur_min DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS n_risk
+      FROM census)
+    SELECT event_type, dur_min, n_event, n_risk,
+           CAST((2000000 * CAST(n_event AS HUGEINT) + n_risk)
+                // (2 * CAST(n_risk AS HUGEINT)) AS DOUBLE) / 1e6 AS hazard
+    FROM risk
+    """,
+)

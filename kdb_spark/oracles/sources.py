@@ -418,3 +418,10 @@ _reg(
            CAST(62 AS BIGINT) AS corrupt_chars
     """,
 )
+
+
+_reg(
+    "scan_csv_gzip",
+    src.q_scan_csv_gzip,
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)

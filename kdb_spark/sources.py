@@ -1475,3 +1475,34 @@ def q_scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(bad, F.length("_corrupt_record"))).cast("long")
         .alias("corrupt_chars"),
     )
+
+
+def sink_csv_gzip(df: DataFrame, path: str, header: bool = True) -> None:
+    """Gzip-compressed CSV sink: the line-oriented interchange format as
+    it actually arrives at 100 TB (raw web/text corpora ship as .csv.gz /
+    .tsv.gz shards). Spark's text sources are codec-transparent — the
+    same scan_csv reads back .gz parts by extension with no config; the
+    cost is that gzip is NOT splittable, so one .gz file = one task:
+    shard counts, not file sizes, set the read parallelism (write-side
+    partitioning is the knob, exactly as this sink leaves it)."""
+    df.write.mode("overwrite").option("header", header).option(
+        "compression", "gzip"
+    ).csv(path)
+
+
+def q_scan_csv_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nation → gzip CSV → scan_csv: same schema contract as q_scan_csv,
+    proving the codec-transparent read path end-to-end (the parts on disk
+    are real .csv.gz; DEFLATE round-trips the bytes losslessly so the
+    oracle compares exact values)."""
+    df = scan_parquet(spark, f"{sf_dir.rstrip('/')}/nation.parquet")
+    path = _tmp("csvgz")
+    sink_csv_gzip(df, path)
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    )
+    return scan_csv(spark, path, schema=schema)

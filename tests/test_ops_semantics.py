@@ -4126,3 +4126,27 @@ def test_permutation_test_detects_separation(spark):
     r2 = agg.agg_permutation_test(ev2).collect()[0]
     # zero observed diff: every relabel ties or exceeds -> p = 1
     assert r2.mean_diff_usd == 0.0 and r2.p_value == 1.0
+
+
+def test_survival_table_hand_durations(spark):
+    """Life-table semantics: n_risk is the suffix count (survived >= t),
+    n_event the deaths at t, hazard = d/n — hand-checked on durations
+    {0, 0, 2, 5} minutes."""
+    from kdb_spark.analytics import aggregations as agg
+
+    m = 60_000_000
+    rows = []
+    # user 1: single event -> duration 0; user 2: single event -> 0
+    rows += [(0, "a", 1, 0), (1, "a", 2, 10 * m)]
+    # user 3: 2-minute session; user 4: 5-minute session
+    rows += [(2, "a", 3, 0), (3, "a", 3, 2 * m)]
+    rows += [(4, "a", 4, 0), (5, "a", 4, 5 * m)]
+    ev = spark.createDataFrame(
+        [(e, t, u, ts, 1.0) for e, t, u, ts in rows],
+        "event_id long, event_type string, user_id long, ts_us long, value double",
+    )
+    got = {r.dur_min: r for r in agg.agg_survival_table(ev).collect()}
+    assert (got[0].n_event, got[0].n_risk) == (2, 4)
+    assert (got[2].n_event, got[2].n_risk) == (1, 2)
+    assert (got[5].n_event, got[5].n_risk) == (1, 1)
+    assert got[0].hazard == 0.5 and got[5].hazard == 1.0
