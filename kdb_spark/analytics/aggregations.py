@@ -5904,3 +5904,50 @@ def agg_survival_table(
     )
     hz6 = iround_col("n_event", "CAST(n_risk AS DECIMAL(38,0))", 6, signed=False)
     return t.select("event_type", "dur_min", "n_event", "n_risk", hz6.alias("hazard"))
+
+
+def table_fk_integrity(tables: dict) -> DataFrame:
+    """Referential-integrity census across the schema's foreign keys: for
+    each child→parent relation, the child row count and how many child
+    rows reference a parent key that DOES NOT EXIST — the first table a
+    data-quality sweep prints after any ingest/backfill (one orphan in
+    lineitem→orders means the join-based revenue numbers silently drop
+    rows). Complements `table_profile` (per-column shape) and
+    `scan_csv_malformed` (parse-level quarantine) with RELATIONSHIP-level
+    quality.
+
+    Implementation: one LEFT ANTI join per relation counts orphans —
+    Catalyst broadcasts the parent key set when dimension-sized and
+    falls back to shuffle for fact-fact (lineitem→orders), exactly the
+    strategy split the join family documents; the distinct parent-key
+    projection prunes to one column pre-join. Results union into one
+    |relations|-row table. All integers.
+
+    ``tables``: name → DataFrame for region/nation/customer/supplier/
+    orders/lineitem (the kernel schema's FK graph).
+    """
+    rels = [
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+    out = None
+    for child, ck, parent, pk in rels:
+        c = tables[child].select(F.col(ck).alias("k"))
+        p = tables[parent].select(F.col(pk).alias("k")).distinct()
+        row = (
+            c.join(p, "k", "left_anti")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_orphans"))
+            .crossJoin(
+                c.agg(F.count(F.lit(1)).cast("long").alias("n_child_rows"))
+            )
+            .select(
+                F.lit(f"{child}.{ck}->{parent}.{pk}").alias("relation"),
+                "n_child_rows",
+                "n_orphans",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

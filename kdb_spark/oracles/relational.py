@@ -224,3 +224,43 @@ _reg(
     FROM documents
     """,
 )
+
+
+def _q_table_fk_integrity(s: SparkSession, d: str) -> DataFrame:
+    from kdb_spark.analytics.aggregations import table_fk_integrity
+
+    names = ["region", "nation", "customer", "supplier", "orders", "lineitem"]
+    return table_fk_integrity({t: load(s, d, t) for t in names})
+
+
+_reg(
+    "table_fk_integrity",
+    _q_table_fk_integrity,
+    """
+    SELECT 'lineitem.l_orderkey->orders.o_orderkey' AS relation,
+           (SELECT count(*) FROM lineitem) AS n_child_rows,
+           (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+              (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+             AS n_orphans
+    UNION ALL
+    SELECT 'orders.o_custkey->customer.c_custkey',
+           (SELECT count(*) FROM orders),
+           (SELECT count(*) FROM orders r WHERE NOT EXISTS
+              (SELECT 1 FROM customer p WHERE p.c_custkey = r.o_custkey))
+    UNION ALL
+    SELECT 'customer.c_nationkey->nation.n_nationkey',
+           (SELECT count(*) FROM customer),
+           (SELECT count(*) FROM customer r WHERE NOT EXISTS
+              (SELECT 1 FROM nation p WHERE p.n_nationkey = r.c_nationkey))
+    UNION ALL
+    SELECT 'supplier.s_nationkey->nation.n_nationkey',
+           (SELECT count(*) FROM supplier),
+           (SELECT count(*) FROM supplier r WHERE NOT EXISTS
+              (SELECT 1 FROM nation p WHERE p.n_nationkey = r.s_nationkey))
+    UNION ALL
+    SELECT 'nation.n_regionkey->region.r_regionkey',
+           (SELECT count(*) FROM nation),
+           (SELECT count(*) FROM nation r WHERE NOT EXISTS
+              (SELECT 1 FROM region p WHERE p.r_regionkey = r.n_regionkey))
+    """,
+)
