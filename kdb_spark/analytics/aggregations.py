@@ -5951,3 +5951,41 @@ def table_fk_integrity(tables: dict) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def agg_uptime(
+    events: DataFrame, gap_us: int = 30 * 60 * 1_000_000
+) -> DataFrame:
+    """Coverage rollup of `agg_busy_spans`: per event_type, how much
+    wall-clock was covered by at least one open session (busy_us), over
+    how many disjoint spans, with the longest span and the covered share
+    of the observed [first, last) extent — the uptime / utilization
+    one-liner ops reviews ask for after the span table gets too long to
+    read. Pure integer µs; the share rides the device at 6 dp.
+
+    Scale shape: everything downstream of the busy-span sweep is a
+    |types|-sized aggregate; one extra broadcast joins the per-type
+    extent. Inherits the sweep's disclosed per-type session sort.
+    """
+    from kdb_spark.analytics.exact import iround_col
+
+    spans = agg_busy_spans(events, gap_us=gap_us)
+    g = spans.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum(F.col("span_end") - F.col("span_start")).cast("long").alias("busy_us"),
+        F.max(F.col("span_end") - F.col("span_start")).cast("long").alias(
+            "max_span_us"
+        ),
+        F.min("span_start").cast("long").alias("t0"),
+        F.max("span_end").cast("long").alias("t1"),
+    )
+    share6 = iround_col(
+        "busy_us", "CAST(t1 - t0 AS DECIMAL(38,0))", 6, signed=False
+    )
+    return g.select(
+        "event_type",
+        "n_spans",
+        "busy_us",
+        "max_span_us",
+        share6.alias("busy_share"),
+    )

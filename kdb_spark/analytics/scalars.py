@@ -167,3 +167,40 @@ def scalar_regex(documents: DataFrame) -> DataFrame:
         ),
         (F.regexp_instr("text", F.lit("[.!?]")) > 0).alias("has_sentence_end"),
     )
+
+
+def scalar_url(documents: DataFrame) -> DataFrame:
+    """URL parsing scalars over synthetic-but-realistic URLs built from
+    row data (scheme://host/path?query) — host, registrable suffix,
+    path, query-parameter pluck, and an https flag. All via RE2/Java-
+    common regexes (no parse_url: Spark has it, DuckDB does not — the
+    regex subset is the portable contract, as in scalar_regex). Map-only.
+    """
+    url = F.concat(
+        F.when(F.col("doc_id") % 3 == 0, F.lit("https://")).otherwise(
+            F.lit("http://")
+        ),
+        F.lit("cdn"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("."),
+        F.col("source"),
+        F.lit(".example.org/assets/"),
+        F.col("lang"),
+        F.lit("/doc-"),
+        F.col("doc_id").cast("string"),
+        F.lit("?rev="),
+        (F.col("n_chars") % 100).cast("string"),
+        F.lit("&lang="),
+        F.col("lang"),
+    )
+    u = documents.select("doc_id", url.alias("url"))
+    host = F.regexp_extract("url", "^[a-z]+://([^/]+)/", 1)
+    return u.select(
+        "doc_id",
+        "url",
+        host.alias("host"),
+        F.regexp_extract(host, "([a-z0-9-]+\\.[a-z]+)$", 1).alias("suffix"),
+        F.regexp_extract("url", "^[a-z]+://[^/]+(/[^?]*)", 1).alias("path"),
+        F.regexp_extract("url", "[?&]rev=([0-9]+)", 1).cast("long").alias("rev"),
+        F.col("url").startswith("https://").alias("is_https"),
+    )

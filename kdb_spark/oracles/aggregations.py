@@ -2864,3 +2864,67 @@ _reg(
     FROM risk
     """,
 )
+
+
+_reg(
+    "agg_uptime",
+    lambda s, d: agg.agg_uptime(events_us(s, d)),
+    # the busy-span sweep (agg_busy_spans oracle) rolled up per type;
+    # share = busy/(last-first) on the device
+    """
+    WITH t AS (
+      SELECT event_type, user_id, epoch_us(ts) AS tu, event_id FROM events),
+    m AS (
+      SELECT event_type, user_id, tu, event_id,
+             CASE WHEN lag(tu) OVER w IS NULL THEN 1
+                  WHEN tu - lag(tu) OVER w >= 1800000000 THEN 1
+                  ELSE 0 END AS ns
+      FROM t
+      WINDOW w AS (PARTITION BY event_type, user_id ORDER BY tu, event_id)),
+    sgrp AS (
+      SELECT event_type, user_id, tu,
+             sum(ns) OVER (PARTITION BY event_type, user_id
+                           ORDER BY tu, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sid
+      FROM m),
+    sess AS (
+      SELECT event_type, user_id, sid,
+             CAST(min(tu) AS BIGINT) AS s_start,
+             CAST(max(tu) + 1 AS BIGINT) AS s_end
+      FROM sgrp GROUP BY 1, 2, 3),
+    sweep AS (
+      SELECT event_type, user_id, sid, s_start, s_end,
+             CASE WHEN max(s_end) OVER wp IS NULL THEN 1
+                  WHEN s_start > max(s_end) OVER wp THEN 1
+                  ELSE 0 END AS opens
+      FROM sess
+      WINDOW wp AS (PARTITION BY event_type
+                    ORDER BY s_start, s_end, user_id, sid
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+    spans AS (
+      SELECT event_type, s_start, s_end,
+             CAST(sum(opens) OVER (PARTITION BY event_type
+               ORDER BY s_start, s_end, user_id, sid
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS span_id
+      FROM sweep),
+    sp AS (
+      SELECT event_type, span_id,
+             min(s_start) AS span_start, max(s_end) AS span_end
+      FROM spans GROUP BY 1, 2),
+    g AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_spans,
+             CAST(sum(span_end - span_start) AS BIGINT) AS busy_us,
+             CAST(max(span_end - span_start) AS BIGINT) AS max_span_us,
+             CAST(min(span_start) AS BIGINT) AS t0,
+             CAST(max(span_end) AS BIGINT) AS t1
+      FROM sp GROUP BY 1)
+    SELECT event_type, n_spans, busy_us, max_span_us,
+           CAST((2000000 * CAST(busy_us AS HUGEINT) + (t1 - t0))
+                // (2 * CAST(t1 - t0 AS HUGEINT)) AS DOUBLE) / 1e6
+             AS busy_share
+    FROM g
+    """,
+)

@@ -264,3 +264,29 @@ _reg(
               (SELECT 1 FROM region p WHERE p.r_regionkey = r.n_regionkey))
     """,
 )
+
+
+_reg(
+    "scalar_url",
+    lambda s, d: sc.scalar_url(load(s, d, "documents")),
+    # same synthetic URL, same RE2-subset regexes (DuckDB regexp_extract
+    # group syntax matches); rev is an exact integer pluck
+    """
+    WITH u AS (
+      SELECT doc_id,
+             (CASE WHEN doc_id % 3 = 0 THEN 'https://' ELSE 'http://' END)
+             || 'cdn' || CAST(doc_id % 7 AS VARCHAR) || '.' || source
+             || '.example.org/assets/' || lang || '/doc-'
+             || CAST(doc_id AS VARCHAR) || '?rev='
+             || CAST(n_chars % 100 AS VARCHAR) || '&lang=' || lang AS url
+      FROM documents)
+    SELECT doc_id, url,
+           regexp_extract(url, '^[a-z]+://([^/]+)/', 1) AS host,
+           regexp_extract(regexp_extract(url, '^[a-z]+://([^/]+)/', 1),
+                          '([a-z0-9-]+\\.[a-z]+)$', 1) AS suffix,
+           regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1) AS path,
+           CAST(regexp_extract(url, '[?&]rev=([0-9]+)', 1) AS BIGINT) AS rev,
+           url LIKE 'https://%' AS is_https
+    FROM u
+    """,
+)
