@@ -5585,6 +5585,11 @@ def agg_bootstrap_ci(events: DataFrame, reps: int = 32) -> DataFrame:
     base = events.select(
         "event_type", F.col("event_id").cast("string").alias("eid"), x.alias("x")
     ).withColumn("b", F.explode(F.sequence(F.lit(0), F.lit(reps - 1))))
+    # one digest per (row, replicate): an A/B against carving 5 slots out
+    # of each md5 (one digest per five replicates) showed NO win — the
+    # explode+partial-agg, not the hash, is the hot loop, and the
+    # column-position substr costs what the saved digests buy back. The
+    # simple form keeps the oracle SQL one line.
     slot = (
         F.conv(
             F.substring(
