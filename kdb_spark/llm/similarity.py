@@ -1786,3 +1786,67 @@ def emb_random_projection(
         "qnorm2",
         pnorm.cast("long").alias("pnorm2"),
     )
+
+
+def emb_dispersion(embeddings: DataFrame, grid: int = 1 << 20) -> DataFrame:
+    """Corpus/label embedding dispersion WITHOUT a pairwise join: the mean
+    pairwise dot product over all n(n−1) ordered pairs via the exact
+    identity  Σ_{i≠j} qᵢ·qⱼ = ‖Σq‖² − Σ‖q‖²  — per label, the cohesion
+    number behind "are this label's vectors collapsing?" (high mean dot =
+    tight cluster, near zero = dispersed). `emb_label_spread` measures
+    spread AROUND THE CENTROID; this is the pairwise view, and the
+    identity is what makes it computable at 100 TB — the naive form is
+    an n² self-join, this is ONE aggregate.
+
+    EXACT: components land on the integer grid (the emb_random_projection
+    device), the elementwise vector sum S and the norm sum ride
+    posexplode → (label, dim) hash agg (map-side partials; |labels|·d
+    rows shuffle), ‖S‖² and the final rational go through decimal(38,0)
+    and the signed device at 6 dp (scaled by grid² to stay readable).
+
+    Output per label: n, sum_norm2 (Σ‖q‖², grid² units), sumvec_norm2
+    (‖Σq‖²), mean_pair_dot (the identity ratio, 6 dp, grid²-normalized
+    to raw embedding units).
+    """
+    from kdb_spark.analytics.exact import iround_col
+
+    q = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * F.lit(float(grid)) + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+    base = embeddings.select("label", q.alias("q"))
+    norm = base.select(
+        "label",
+        F.aggregate(
+            "q",
+            F.lit(0).cast("decimal(38,0)"),
+            lambda acc, v: acc + v.cast("decimal(38,0)") * v,
+        ).alias("n2"),
+    ).groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("n2").alias("sum_norm2"),
+    )
+    dims = base.select("label", F.posexplode("q").alias("pos", "v"))
+    svec = (
+        dims.groupBy("label", "pos")
+        .agg(F.sum("v").cast("decimal(38,0)").alias("s"))
+        .groupBy("label")
+        .agg(F.sum(F.col("s") * F.col("s")).alias("sumvec_norm2"))
+    )
+    g = norm.join(svec, "label")
+    # mean pairwise dot in RAW units: (‖S‖²−Σ‖q‖²) / (n(n−1)·grid²)
+    mean6 = iround_col(
+        "(sumvec_norm2 - sum_norm2)",
+        f"CAST(n AS DECIMAL(38,0)) * (n - 1) * {grid}L * {grid}L",
+        6,
+        signed=True,
+    )
+    return g.filter(F.col("n") > 1).select(
+        F.col("label").cast("long").alias("label"),
+        "n",
+        F.col("sum_norm2").cast("decimal(38,0)").alias("sum_norm2"),
+        F.col("sumvec_norm2").cast("decimal(38,0)").alias("sumvec_norm2"),
+        mean6.alias("mean_pair_dot"),
+    )

@@ -444,3 +444,46 @@ _reg(
     FROM p WHERE rn <= 3
     """,
 )
+
+
+# spatial proximity census: users placed on a 10k×10k grid by the md5_slot
+# device, every pair within 150 units — 2D grid-cell blocking
+def _q_join_grid_neighbors(s: SparkSession, d: str) -> DataFrame:
+    from kdb_spark.tables import load, md5_slot
+
+    users = (
+        load(s, d, "events")
+        .select(F.col("user_id").cast("long").alias("pid"))
+        .distinct()
+    )
+    pts = users.select(
+        "pid",
+        md5_slot(F.concat(F.lit("x:"), F.col("pid").cast("string")), mod=10_000)
+        .alias("px"),
+        md5_slot(F.concat(F.lit("y:"), F.col("pid").cast("string")), mod=10_000)
+        .alias("py"),
+    )
+    return jn.join_grid_neighbors(pts, radius=150)
+
+
+_reg(
+    "join_grid_neighbors",
+    _q_join_grid_neighbors,
+    """
+    WITH users AS (SELECT DISTINCT CAST(user_id AS BIGINT) AS pid FROM events),
+    pts AS (
+      SELECT pid,
+             ('0x' || substr(md5('x:' || CAST(pid AS VARCHAR)), 1, 6))::BIGINT
+               % 10000 AS px,
+             ('0x' || substr(md5('y:' || CAST(pid AS VARCHAR)), 1, 6))::BIGINT
+               % 10000 AS py
+      FROM users)
+    SELECT a.pid AS pid_a, b.pid AS pid_b,
+           CAST((a.px - b.px) * (a.px - b.px)
+                + (a.py - b.py) * (a.py - b.py) AS BIGINT) AS dist2
+    FROM pts a JOIN pts b
+      ON a.pid < b.pid
+     AND (a.px - b.px) * (a.px - b.px)
+         + (a.py - b.py) * (a.py - b.py) <= 22500
+    """,
+)

@@ -1044,3 +1044,43 @@ _reg(
     FROM agg a JOIN q ON a.vec_id = q.vec_id
     """,
 )
+
+
+_reg(
+    "emb_dispersion",
+    lambda s, d: sim.emb_dispersion(load(s, d, "embeddings")),
+    # the same no-pairwise-join identity: Σ_{i≠j} qi·qj = ||Σq||² − Σ||q||²
+    # on the integer grid; per-dim sums via the fixture's range(1,65)
+    """
+    WITH base AS (
+      SELECT label,
+             list_transform(embedding, x ->
+               CAST(floor(CAST(x AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT))
+               AS q
+      FROM embeddings),
+    norm AS (
+      SELECT label, CAST(count(*) AS BIGINT) AS n,
+             sum(list_sum(list_transform(q, x -> CAST(x AS HUGEINT) * x)))
+               AS sum_norm2
+      FROM base GROUP BY 1),
+    dims AS (
+      SELECT label, t.i, sum(CAST(q[t.i] AS HUGEINT)) AS s
+      FROM base CROSS JOIN range(1, 65) t(i)
+      GROUP BY 1, 2),
+    svec AS (
+      SELECT label, sum(s * s) AS sumvec_norm2 FROM dims GROUP BY 1),
+    g AS (
+      SELECT n.label, n.n, n.sum_norm2, v.sumvec_norm2
+      FROM norm n JOIN svec v ON n.label = v.label
+      WHERE n.n > 1)
+    SELECT CAST(label AS BIGINT) AS label, n,
+           CAST(sum_norm2 AS DECIMAL(38,0)) AS sum_norm2,
+           CAST(sumvec_norm2 AS DECIMAL(38,0)) AS sumvec_norm2,
+           (CASE WHEN sumvec_norm2 - sum_norm2 < 0 THEN -1 ELSE 1 END)
+           * CAST((2000000 * abs(sumvec_norm2 - sum_norm2)
+                   + CAST(n AS HUGEINT) * (n - 1) * 1048576 * 1048576)
+                  // (2 * CAST(n AS HUGEINT) * (n - 1) * 1048576 * 1048576)
+                  AS DOUBLE) / 1e6 AS mean_pair_dot
+    FROM g
+    """,
+)

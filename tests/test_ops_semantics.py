@@ -4150,3 +4150,52 @@ def test_survival_table_hand_durations(spark):
     assert (got[2].n_event, got[2].n_risk) == (1, 2)
     assert (got[5].n_event, got[5].n_risk) == (1, 1)
     assert got[0].hazard == 0.5 and got[5].hazard == 1.0
+
+
+def test_emb_dispersion_identity_hand_vectors(spark):
+    """The no-pairwise-join identity: for hand vectors the mean pairwise
+    dot equals the brute-force average; a label with identical unit
+    vectors reports mean_pair_dot = 1."""
+    from kdb_spark.llm import similarity as sim
+
+    rows = [
+        (0, [1.0, 0.0], 7),
+        (1, [1.0, 0.0], 7),
+        (2, [1.0, 0.0], 7),
+        (3, [1.0, 0.0], 8),
+        (4, [0.0, 1.0], 8),  # orthogonal pair -> mean dot 0
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = {r.label: r for r in sim.emb_dispersion(emb).collect()}
+    assert got[7].n == 3 and got[7].mean_pair_dot == 1.0
+    assert got[8].n == 2 and got[8].mean_pair_dot == 0.0
+
+
+def test_grid_neighbors_blocking_is_exact(spark):
+    """Grid blocking finds exactly the within-radius pairs, including a
+    pair straddling a cell boundary, and each pair exactly once."""
+    from kdb_spark.analytics import joins as jn
+
+    pts = spark.createDataFrame(
+        [
+            (1, 100, 100),
+            (2, 160, 100),   # 60 from p1 — neighbor, straddles cell edge (r=150 cells: 0 vs 1)
+            (3, 100, 240),   # 140 from p1 — neighbor
+            (4, 100, 260),   # 160 from p1 — NOT a neighbor of p1; 20 from p3
+            (5, 5000, 5000), # far away
+        ],
+        "pid long, px long, py long",
+    )
+    got = {(r.pid_a, r.pid_b): r.dist2 for r in jn.join_grid_neighbors(pts, radius=150).collect()}
+    # exact expectation: enumerate brute force
+    import itertools
+
+    rows = [(1, 100, 100), (2, 160, 100), (3, 100, 240), (4, 100, 260), (5, 5000, 5000)]
+    brute = {}
+    for (p, x1, y1), (q, x2, y2) in itertools.combinations(rows, 2):
+        d2 = (x1 - x2) ** 2 + (y1 - y2) ** 2
+        if d2 <= 150 * 150:
+            brute[(p, q)] = d2
+    assert got == brute
