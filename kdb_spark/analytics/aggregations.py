@@ -5994,3 +5994,94 @@ def agg_uptime(
         "max_span_us",
         share6.alias("busy_share"),
     )
+
+
+def agg_seasonal_mk(events: DataFrame) -> DataFrame:
+    """Seasonal Mann–Kendall (Hirsch–Slack) trend test per event_type:
+    the MK statistic computed WITHIN each hour-of-day stratum (9am
+    compares only against other 9am's) and summed — the seasonal-series
+    form of `agg_mann_kendall`, immune to the diurnal cycle that makes
+    the plain test scream "trend!" at every sunrise. Same exactness
+    story: stratum S and tie-corrected var18 are pure bigint pair/tie
+    arithmetic, the totals add across strata (independent under the
+    null), and z is the one float expression of exact ints.
+
+    Scale shape: the pair join blocks on (event_type, hour-of-day) — 24
+    strata per type bound each quadratic block at n/24; the same
+    disclosed exact-pair posture as the parent op, one bucket finer.
+    """
+    hod = F.pmod((F.col("ts_us") / F.lit(HOUR_US)).cast("long"), F.lit(24))
+    base = events.select(
+        "event_type",
+        hod.alias("hod"),
+        "ts_us",
+        "event_id",
+        cents("value").alias("x"),
+    )
+    a = base.alias("a")
+    b = base.alias("b")
+    later = (F.col("a.ts_us") < F.col("b.ts_us")) | (
+        (F.col("a.ts_us") == F.col("b.ts_us"))
+        & (F.col("a.event_id") < F.col("b.event_id"))
+    )
+    s = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.hod") == F.col("b.hod"))
+            & later,
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.x") > F.col("a.x"), 1)
+                .when(F.col("b.x") < F.col("a.x"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s_stat")
+        )
+    )
+    per_stratum = base.groupBy("event_type", "hod").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    ties = (
+        base.groupBy("event_type", "hod", "x")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .groupBy("event_type", "hod")
+        .agg(
+            F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5))
+            .cast("long")
+            .alias("tie18")
+        )
+    )
+    var = (
+        per_stratum.join(ties, ["event_type", "hod"])
+        .select(
+            "event_type",
+            (
+                F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+                - F.col("tie18")
+            ).alias("v18"),
+            "n",
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("v18").cast("long").alias("var18"),
+            F.sum("n").cast("long").alias("n"),
+        )
+    )
+    g = var.join(s, "event_type", "left").select(
+        "event_type",
+        "n",
+        F.coalesce(F.col("s_stat"), F.lit(0)).cast("long").alias("s_stat"),
+        "var18",
+    )
+    sd = F.sqrt(F.col("var18") / F.lit(18.0))
+    z = (
+        F.when(F.col("var18") <= 0, F.lit(None).cast("double"))
+        .when(F.col("s_stat") > 0, (F.col("s_stat") - 1).cast("double") / sd)
+        .when(F.col("s_stat") < 0, (F.col("s_stat") + 1).cast("double") / sd)
+        .otherwise(F.lit(0.0))
+    )
+    return g.select("event_type", "n", "s_stat", "var18", z.alias("z"))

@@ -724,3 +724,33 @@ def curation_skyline(documents: DataFrame) -> DataFrame:
         (F.col("m1").isNull() | (F.col("n_types") > F.col("m1")))
         & (F.col("n_types") == F.col("m2"))
     ).select("source", "doc_id", "n_chars", "n_types")
+
+
+def dataset_balance(documents: DataFrame, key: str = "lang") -> DataFrame:
+    """Class-balanced subset: per ``key`` class, keep exactly
+    min(class-count) documents — the uniform-class training cut
+    (`stratified_sample` keeps PROPORTIONS; this equalizes them, the
+    standard fix when a 90/10 label skew makes the classifier trivial).
+
+    Deterministic selection: within each class, docs rank by the
+    md5_slot of doc_id (the repo's one portable sampling order) with
+    doc_id tie-break, and the first `floor` survive — repartition- and
+    insertion-order-stable, oracle-reproducible.
+
+    Scale shape: one |classes|-sized count agg broadcast back, one
+    per-class rank window (the Exchange on ``key`` is shared), one
+    filter. The rank sort is per-class, parallel across the mixture.
+    """
+    counts = documents.groupBy(key).agg(F.count(F.lit(1)).alias("_n"))
+    floor_n = counts.agg(F.min("_n").alias("_floor"))
+    w = Window.partitionBy(key).orderBy(md5_slot("doc_id"), "doc_id")
+    return (
+        documents.withColumn("_rk", F.row_number().over(w))
+        .crossJoin(F.broadcast(floor_n))
+        .filter(F.col("_rk") <= F.col("_floor"))
+        .select(
+            "doc_id",
+            F.col(key).alias("class_key"),
+            F.col("_rk").cast("long").alias("rank_in_class"),
+        )
+    )

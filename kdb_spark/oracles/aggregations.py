@@ -2928,3 +2928,58 @@ _reg(
     FROM g
     """,
 )
+
+
+_reg(
+    "agg_seasonal_mk",
+    lambda s, d: agg.agg_seasonal_mk(events_us(s, d)),
+    # stratified pair arithmetic, summed across hour-of-day strata; same
+    # exact-int S/var18 and one-float-expression z as agg_mann_kendall
+    f"""
+    WITH base AS (
+      SELECT event_type,
+             ((epoch_us(ts) // {HOUR_US}) % 24 + 24) % 24 AS hod,
+             epoch_us(ts) AS ts_us, event_id,
+             CAST(round(value * 100) AS BIGINT) AS x
+      FROM events),
+    s AS (
+      SELECT a.event_type,
+             CAST(sum(CASE WHEN b.x > a.x THEN 1
+                           WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT)
+               AS s_stat
+      FROM base a JOIN base b
+        ON a.event_type = b.event_type AND a.hod = b.hod
+       AND (a.ts_us < b.ts_us
+            OR (a.ts_us = b.ts_us AND a.event_id < b.event_id))
+      GROUP BY 1),
+    n AS (
+      SELECT event_type, hod, CAST(count(*) AS BIGINT) AS n
+      FROM base GROUP BY 1, 2),
+    ties AS (
+      SELECT event_type, hod,
+             CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie18
+      FROM (SELECT event_type, hod, x, CAST(count(*) AS BIGINT) AS t
+            FROM base GROUP BY 1, 2, 3)
+      GROUP BY 1, 2),
+    var AS (
+      SELECT n.event_type,
+             CAST(sum(n.n * (n.n - 1) * (2 * n.n + 5) - ties.tie18)
+                  AS BIGINT) AS var18,
+             CAST(sum(n.n) AS BIGINT) AS n
+      FROM n JOIN ties ON n.event_type = ties.event_type
+                      AND n.hod = ties.hod
+      GROUP BY 1),
+    g AS (
+      SELECT var.event_type, var.n,
+             CAST(coalesce(s.s_stat, 0) AS BIGINT) AS s_stat, var.var18
+      FROM var LEFT JOIN s ON var.event_type = s.event_type)
+    SELECT event_type, n, s_stat, var18,
+           CASE WHEN var18 <= 0 THEN NULL
+                WHEN s_stat > 0
+                  THEN CAST(s_stat - 1 AS DOUBLE) / sqrt(var18 / 18.0)
+                WHEN s_stat < 0
+                  THEN CAST(s_stat + 1 AS DOUBLE) / sqrt(var18 / 18.0)
+                ELSE 0.0 END AS z
+    FROM g
+    """,
+)

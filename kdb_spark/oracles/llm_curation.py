@@ -424,3 +424,25 @@ _reg(
     WHERE (m1 IS NULL OR n_types > m1) AND n_types = m2
     """,
 )
+
+
+_reg(
+    "dataset_balance",
+    lambda s, d: cu.dataset_balance(load(s, d, "documents")),
+    # same md5_slot rank order (hex_chars=6 mod 1e6 — the md5_slot
+    # default), same global floor = min class count
+    """
+    WITH ranked AS (
+      SELECT doc_id, lang AS class_key,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+                        % 1000000, doc_id) AS rk
+      FROM documents),
+    floor_n AS (
+      SELECT min(n) AS f FROM (
+        SELECT count(*) AS n FROM documents GROUP BY lang))
+    SELECT doc_id, class_key, CAST(rk AS BIGINT) AS rank_in_class
+    FROM ranked, floor_n WHERE rk <= f
+    """,
+)

@@ -4199,3 +4199,46 @@ def test_grid_neighbors_blocking_is_exact(spark):
         if d2 <= 150 * 150:
             brute[(p, q)] = d2
     assert got == brute
+
+
+def test_dataset_balance_equalizes_classes(spark):
+    """Every class keeps exactly min(class count) docs, ranks are 1..floor,
+    selection is deterministic across runs."""
+    from kdb_spark.llm import curation as cu
+
+    rows = [(i, "en") for i in range(10)] + [(100 + i, "fr") for i in range(3)] + [
+        (200 + i, "de") for i in range(5)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    got = cu.dataset_balance(docs).collect()
+    by = {}
+    for r in got:
+        by.setdefault(r.class_key, []).append(r.rank_in_class)
+    assert {k: sorted(v) for k, v in by.items()} == {
+        "en": [1, 2, 3], "fr": [1, 2, 3], "de": [1, 2, 3]
+    }
+    again = {(r.doc_id, r.rank_in_class) for r in cu.dataset_balance(docs).collect()}
+    assert again == {(r.doc_id, r.rank_in_class) for r in got}
+
+
+def test_seasonal_mk_removes_diurnal_false_trend(spark):
+    """A pure diurnal cycle (values rise within each day, no cross-day
+    drift) yields seasonal-MK S = 0 (each stratum is constant across
+    days) while plain MK sees a strong within-day 'trend'."""
+    from kdb_spark.analytics import aggregations as agg
+
+    h = 3_600_000_000
+    rows = []
+    eid = 0
+    for day in range(4):
+        for hod in range(6):
+            rows.append((eid, "a", day * 24 * h + hod * h, float(hod)))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts_us long, value double"
+    )
+    sk = agg.agg_seasonal_mk(ev).collect()[0]
+    # within a stratum all 4 days share the same value -> every pair ties
+    assert sk.s_stat == 0 and sk.var18 == 0 and sk.z is None
+    mk = {r.day: r.s_stat for r in agg.agg_mann_kendall(ev).collect()}
+    assert all(s == 15 for s in mk.values())  # 6 rising values: C(6,2) pairs
