@@ -693,3 +693,48 @@ def join_grid_neighbors(points: DataFrame, radius: int = 150) -> DataFrame:
             d2.cast("long").alias("dist2"),
         )
     )
+
+
+def join_window_anti(events: DataFrame, width_us: int = 10 * MIN_US) -> DataFrame:
+    """Negative-evidence window join: the 'error' probes with NO 'click'
+    by the same user inside [probe−w, probe+w) — `join_window`'s anti
+    form, and the shape alerting/causality checks actually need ("errors
+    with no user interaction nearby" is a different incident class than
+    errors amid activity). A naive NOT EXISTS over a range predicate is
+    a per-probe scan; this stays a blocked equi join.
+
+    Same bucketization as `join_window` (probe explodes into the ≤3
+    w-width buckets covering its 2w window, clicks sit in one bucket),
+    then the matched probe ids — distinct'd, they are a SUBSET of probes
+    — LEFT ANTI against the full probe set. Two shuffles, both bounded
+    by match density, probe set never scanned per row.
+    """
+    bkt = lambda c: (c - c % F.lit(width_us)).cast("long")  # noqa: E731
+    probes = events.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", F.col("ts_us").alias("err_us")
+    )
+    ep = probes.withColumn(
+        "bucket",
+        F.explode(
+            F.array(
+                bkt(F.col("err_us")) - F.lit(width_us),
+                bkt(F.col("err_us")),
+                bkt(F.col("err_us")) + F.lit(width_us),
+            )
+        ),
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts_us").alias("c_us")
+    ).withColumn("bucket", bkt(F.col("c_us")))
+    hit_ids = (
+        ep.join(clicks, ["user_id", "bucket"])
+        .filter(
+            (F.col("c_us") >= F.col("err_us") - F.lit(width_us))
+            & (F.col("c_us") < F.col("err_us") + F.lit(width_us))
+        )
+        .select("event_id")
+        .distinct()
+    )
+    return probes.join(hit_ids, "event_id", "left_anti").select(
+        "event_id", "user_id", "err_us"
+    )

@@ -487,3 +487,24 @@ _reg(
          + (a.py - b.py) * (a.py - b.py) <= 22500
     """,
 )
+
+
+_reg(
+    "join_window_anti",
+    lambda s, d: jn.join_window_anti(events_us(s, d)),
+    """
+    WITH err AS (
+      SELECT event_id, user_id, epoch_us(ts) AS err_us
+      FROM events WHERE event_type = 'error'),
+    clk AS (
+      SELECT user_id, epoch_us(ts) AS c_us
+      FROM events WHERE event_type = 'click')
+    SELECT e.event_id, e.user_id, e.err_us
+    FROM err e
+    WHERE NOT EXISTS (
+      SELECT 1 FROM clk c
+      WHERE c.user_id = e.user_id
+        AND c.c_us >= e.err_us - 600000000
+        AND c.c_us < e.err_us + 600000000)
+    """,
+)

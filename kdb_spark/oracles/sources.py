@@ -425,3 +425,30 @@ _reg(
     src.q_scan_csv_gzip,
     "SELECT n_nationkey, n_name, n_regionkey FROM nation",
 )
+
+
+_reg(
+    "sink_cdc_apply",
+    src.q_sink_cdc_apply,
+    # replay the same md5-derived change batch relationally: D drops,
+    # seq-2 U (+100) beats the seq-1 decoy (+999), I appends shifted keys
+    """
+    WITH snap AS (
+      SELECT o_orderkey AS k,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS payload,
+             ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4))::BIGINT
+               % 10 AS slot
+      FROM orders),
+    applied AS (
+      SELECT k, payload + 100 AS payload FROM snap WHERE slot IN (1, 2)
+      UNION ALL
+      SELECT k + 1000000000, 555 FROM snap WHERE slot = 3
+      UNION ALL
+      SELECT k, payload FROM snap WHERE slot NOT IN (0, 1, 2))
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(payload) AS DECIMAL(38,0)) AS sum_payload,
+           CAST(sum(CASE WHEN k >= 1000000000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_inserted
+    FROM applied
+    """,
+)

@@ -1506,3 +1506,77 @@ def q_scan_csv_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return scan_csv(spark, path, schema=schema)
+
+
+def cdc_apply(snapshot: DataFrame, changes: DataFrame, key: str) -> DataFrame:
+    """Apply a CDC change batch (op ∈ I/U/D, monotonically increasing
+    ``seq`` per change) to a snapshot — the debezium-shaped MERGE every
+    warehouse mirror runs: per key, the HIGHEST-seq change wins; a
+    winning D deletes the key, I/U upserts its row; keys untouched by the
+    batch carry over. `sink_upsert` is the storage-level LWW merge; this
+    is the log-driven form with explicit deletes and intra-batch
+    ordering (one batch can carry I→U→D for the same key and must apply
+    as if replayed in order — i.e. only the final state lands).
+
+    Spark shape: winner-per-key via max_by over the change batch (ONE
+    hash agg, no sort), then snapshot LEFT ANTI changed-keys (survivors)
+    UNION the non-delete winners. Two shuffles on the key, both
+    bounded by |changes| + |snapshot|; at 100 TB the change batch is
+    increment-sized and broadcast-joins under AQE.
+    """
+    winners = (
+        changes.groupBy(key)
+        .agg(
+            F.max_by("op", "seq").alias("op"),
+            F.max_by("payload", "seq").alias("payload"),
+        )
+    )
+    carried = snapshot.join(winners.select(key), key, "left_anti")
+    applied = winners.filter(F.col("op") != "D").select(key, "payload")
+    return carried.unionByName(applied)
+
+
+def q_sink_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic CDC fixture over orders: snapshot = orders with
+    cents payload; change batch derived from the md5_slot of the key —
+    slot%10==0 → D, slot%10 in {1,2} → U (payload+100, seq 2, after a
+    decoy seq-1 U of +999 that must LOSE), slot%10==3 → I of a fresh key
+    (orderkey+10^9). Read-back census per o_orderpriority-less: count +
+    exact payload sum prove deletes landed, the seq-2 update beat the
+    seq-1 decoy, inserts appended, and everything else carried."""
+    from kdb_spark.tables import cents, md5_slot
+
+    snap = scan_parquet(spark, f"{sf_dir.rstrip('/')}/orders.parquet").select(
+        F.col("o_orderkey").alias("k"), cents("o_totalprice").alias("payload")
+    )
+    slot = md5_slot("k", hex_chars=4, mod=10)
+    keyed = snap.withColumn("slot", slot)
+    deletes = keyed.filter(F.col("slot") == 0).select(
+        "k", F.lit("D").alias("op"), F.lit(None).cast("long").alias("payload"),
+        F.lit(1).alias("seq"),
+    )
+    upd_decoy = keyed.filter(F.col("slot").isin(1, 2)).select(
+        "k", F.lit("U").alias("op"),
+        (F.col("payload") + 999).alias("payload"), F.lit(1).alias("seq"),
+    )
+    upd_final = keyed.filter(F.col("slot").isin(1, 2)).select(
+        "k", F.lit("U").alias("op"),
+        (F.col("payload") + 100).alias("payload"), F.lit(2).alias("seq"),
+    )
+    inserts = keyed.filter(F.col("slot") == 3).select(
+        (F.col("k") + F.lit(1_000_000_000)).alias("k"),
+        F.lit("I").alias("op"),
+        F.lit(555).cast("long").alias("payload"),
+        F.lit(1).alias("seq"),
+    )
+    changes = deletes.unionByName(upd_decoy).unionByName(upd_final).unionByName(
+        inserts
+    )
+    out = cdc_apply(snap, changes, key="k")
+    return out.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("payload").cast("decimal(38,0)").alias("sum_payload"),
+        F.sum(F.when(F.col("k") >= 1_000_000_000, 1).otherwise(0))
+        .cast("long")
+        .alias("n_inserted"),
+    )

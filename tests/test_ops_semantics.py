@@ -4242,3 +4242,38 @@ def test_seasonal_mk_removes_diurnal_false_trend(spark):
     assert sk.s_stat == 0 and sk.var18 == 0 and sk.z is None
     mk = {r.day: r.s_stat for r in agg.agg_mann_kendall(ev).collect()}
     assert all(s == 15 for s in mk.values())  # 6 rising values: C(6,2) pairs
+
+
+def test_cdc_apply_merge_semantics(spark):
+    """Per key the highest-seq change wins: I→U→D nets to delete, U after
+    decoy-U applies the final payload, untouched keys carry, inserts
+    append."""
+    from kdb_spark.sources import cdc_apply
+
+    snap = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30), (4, 40)], "k long, payload long"
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "U", 99, 1), (1, "D", None, 2),        # delete wins
+            (2, "U", 999, 1), (2, "U", 25, 2),         # final U wins
+            (5, "I", 50, 1),                           # fresh insert
+            (3, "D", None, 1), (3, "I", 35, 2),        # re-insert after delete
+        ],
+        "k long, op string, payload long, seq long",
+    )
+    got = {r.k: r.payload for r in cdc_apply(snap, changes, key="k").collect()}
+    assert got == {2: 25, 3: 35, 4: 40, 5: 50}
+
+
+def test_join_window_anti_complement(spark):
+    """Anti-window probes are exactly the probes join_window reports with
+    zero in-window matches over the symmetric window."""
+    from kdb_spark.analytics import joins as jn
+    from kdb_spark.oracles._shared import events_us
+    from tests.conftest import SF_DIR
+
+    ev = events_us(spark, SF_DIR)
+    anti = {r.event_id for r in jn.join_window_anti(ev).collect()}
+    full = {r.event_id: r.n_in_win for r in jn.join_window(ev).collect()}
+    assert anti == {e for e, n in full.items() if n == 0}
