@@ -5445,6 +5445,84 @@ def agg_psi(events: DataFrame, split_us: int) -> DataFrame:
     )
 
 
+def _mk_inversions(vals) -> int:
+    """Strict inversion count (#pairs i<j with vals[i] > vals[j]) by
+    vectorized merge counting: divide, recurse, then for each right-half
+    element count left-half elements STRICTLY greater via searchsorted on
+    the sorted left half — O(n log² n), numpy-vectorized per level (no
+    Python-per-row loop). Pure integers in, an int out."""
+    import numpy as np
+
+    a = np.asarray(vals, dtype=np.int64)
+
+    def rec(x):
+        n = len(x)
+        if n < 2:
+            return 0, x
+        mid = n // 2
+        li, left = rec(x[:mid])
+        ri, right = rec(x[mid:])
+        # left elements strictly greater than each right element
+        cross = int(
+            (len(left) - np.searchsorted(left, right, side="right")).sum()
+        )
+        merged = np.concatenate([left, right])
+        merged.sort(kind="mergesort")
+        return li + ri + cross, merged
+
+    total, _ = rec(a)
+    return total
+
+
+def _mk_group_schema() -> str:
+    return (
+        "event_type string, grp long, n long, s_stat long, tie18 long"
+    )
+
+
+def _mk_group_stats(pdf: "pd.DataFrame") -> "pd.DataFrame":
+    """Per-group Mann–Kendall sufficient statistics, O(n log² n) exact:
+    rows sort by the deterministic (ts_us, event_id) tiebreak; with
+    tie_pairs = Σt(t−1)/2 over equal-value runs and inv = strict
+    inversions of the time-ordered value sequence,
+    S = C(n,2) − tie_pairs − 2·inv — the identity that replaces the
+    O(n²) pair join (pytest-pinned equal to the pairwise form). tie18 =
+    Σt(t−1)(2t+5) feeds the variance correction downstream."""
+    import pandas as pd
+
+    pdf = pdf.sort_values(["ts_us", "event_id"], kind="mergesort")
+    x = pdf["x"].to_numpy()
+    n = len(x)
+    t = pdf.groupby("x").size().to_numpy()
+    tie_pairs = int((t * (t - 1) // 2).sum())
+    tie18 = int((t * (t - 1) * (2 * t + 5)).sum())
+    inv = _mk_inversions(x)
+    s_stat = n * (n - 1) // 2 - tie_pairs - 2 * inv
+    return pd.DataFrame(
+        {
+            "event_type": [pdf["event_type"].iloc[0]],
+            "grp": [int(pdf["grp"].iloc[0])],
+            "n": [n],
+            "s_stat": [int(s_stat)],
+            "tie18": [tie18],
+        }
+    )
+
+
+def _mk_z(col_s: str = "s_stat", col_v: str = "var18") -> F.Column:
+    """The shared MK z-score expression: continuity-corrected
+    (S∓1)/√(var18/18) — one float expression of exact ints (int→double
+    casts exact, IEEE ÷ and √ correctly rounded → bit-identical
+    cross-engine); NULL when var18 ≤ 0."""
+    sd = F.sqrt(F.col(col_v) / F.lit(18.0))
+    return (
+        F.when(F.col(col_v) <= 0, F.lit(None).cast("double"))
+        .when(F.col(col_s) > 0, (F.col(col_s) - 1).cast("double") / sd)
+        .when(F.col(col_s) < 0, (F.col(col_s) + 1).cast("double") / sd)
+        .otherwise(F.lit(0.0))
+    )
+
+
 def agg_mann_kendall(events: DataFrame) -> DataFrame:
     """Mann–Kendall trend test per (event_type, day): S = Σ_{i<j}
     sign(x_j − x_i) over the day's prints in time order — the
@@ -5462,87 +5540,42 @@ def agg_mann_kendall(events: DataFrame) -> DataFrame:
     both engines produce the same bits. z is NULL when var18 = 0 (n < 2
     or all values tied — no variance to normalize by).
 
-    Scale shape: the pair set is generated by a SELF-JOIN ON THE GROUP
-    KEY (event_type, day) — the group is the blocking unit, so the
-    quadratic term is bounded by the densest single day, never |rows|²
-    (the gini/lorenz disclosed posture, one bucket tighter). The tie
-    term and n ride one hash-agg each and broadcast back onto the
-    day-sized pair aggregate. At 100 TB day-groups too dense to pair,
-    coarsen to per-hour pre-means first (MK on the hourly series) — the
-    standard seasonal-MK reduction; the exact form here IS the oracle
-    contract.
+    Scale shape (r15 rewrite — the pair join measured 36× at the K=8
+    scale probe, SCALE.md): S comes from the INVERSION-COUNT identity
+    S = C(n,2) − tie_pairs − 2·inv, computed per (event_type, day) group
+    in ONE Arrow `applyInPandas` pass with a vectorized merge count —
+    O(n log² n) per group instead of O(n²) pairs (K=8 probe: 35.8×
+    super-linear before, flat after — SCALE.md r15). The oracle keeps
+    the literal pairwise SQL
+    (fine at driver scale), and the identity is pytest-pinned against
+    the pairwise form on hand data. Tie/total counts ride one hash agg.
     """
     day = (F.col("ts_us") / F.lit(DAY_US)).cast("long")
     base = events.select(
         "event_type",
-        day.alias("day"),
+        day.alias("grp"),
         "ts_us",
         "event_id",
         cents("value").alias("x"),
     )
-    a = base.alias("a")
-    b = base.alias("b")
-    later = (F.col("a.ts_us") < F.col("b.ts_us")) | (
-        (F.col("a.ts_us") == F.col("b.ts_us"))
-        & (F.col("a.event_id") < F.col("b.event_id"))
+    stats = base.groupBy("event_type", "grp").applyInPandas(
+        _mk_group_stats, _mk_group_schema()
     )
-    s = (
-        a.join(
-            b,
-            (F.col("a.event_type") == F.col("b.event_type"))
-            & (F.col("a.day") == F.col("b.day"))
-            & later,
+    g = stats.select(
+        "event_type",
+        F.col("grp").alias("day"),
+        "n",
+        "s_stat",
+        (
+            F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+            - F.col("tie18")
         )
-        .groupBy(F.col("a.event_type").alias("event_type"), F.col("a.day").alias("day"))
-        .agg(
-            F.sum(
-                F.when(F.col("b.x") > F.col("a.x"), 1)
-                .when(F.col("b.x") < F.col("a.x"), -1)
-                .otherwise(0)
-            )
-            .cast("long")
-            .alias("s_stat")
-        )
+        .cast("long")
+        .alias("var18"),
     )
-    n = base.groupBy("event_type", "day").agg(
-        F.count(F.lit(1)).cast("long").alias("n")
+    return g.select(
+        "event_type", "day", "n", "s_stat", "var18", _mk_z().alias("z")
     )
-    ties = (
-        base.groupBy("event_type", "day", "x")
-        .agg(F.count(F.lit(1)).cast("long").alias("t"))
-        .groupBy("event_type", "day")
-        .agg(
-            F.sum(
-                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
-            )
-            .cast("long")
-            .alias("tie18")
-        )
-    )
-    g = (
-        n.join(ties, ["event_type", "day"])
-        .join(s, ["event_type", "day"], "left")
-        .select(
-            "event_type",
-            "day",
-            "n",
-            F.coalesce(F.col("s_stat"), F.lit(0)).cast("long").alias("s_stat"),
-            (
-                F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
-                - F.col("tie18")
-            )
-            .cast("long")
-            .alias("var18"),
-        )
-    )
-    sd = F.sqrt(F.col("var18") / F.lit(18.0))
-    z = (
-        F.when(F.col("var18") <= 0, F.lit(None).cast("double"))
-        .when(F.col("s_stat") > 0, (F.col("s_stat") - 1).cast("double") / sd)
-        .when(F.col("s_stat") < 0, (F.col("s_stat") + 1).cast("double") / sd)
-        .otherwise(F.lit(0.0))
-    )
-    return g.select("event_type", "day", "n", "s_stat", "var18", z.alias("z"))
 
 
 # Poisson(1) CDF on the md5_slot's 1e6 grid — floor(cum_k * 1e6). The
@@ -6002,86 +6035,38 @@ def agg_seasonal_mk(events: DataFrame) -> DataFrame:
     compares only against other 9am's) and summed — the seasonal-series
     form of `agg_mann_kendall`, immune to the diurnal cycle that makes
     the plain test scream "trend!" at every sunrise. Same exactness
-    story: stratum S and tie-corrected var18 are pure bigint pair/tie
-    arithmetic, the totals add across strata (independent under the
-    null), and z is the one float expression of exact ints.
+    story: stratum S and tie-corrected var18 are pure bigint arithmetic,
+    the totals add across strata (independent under the null), and z is
+    the one float expression of exact ints (`_mk_z`).
 
-    Scale shape: the pair join blocks on (event_type, hour-of-day) — 24
-    strata per type bound each quadratic block at n/24; the same
-    disclosed exact-pair posture as the parent op, one bucket finer.
+    Scale shape (r15 rewrite, with the parent op): per-stratum S via the
+    inversion-count identity in ONE Arrow `applyInPandas` pass —
+    O(n log² n) per (event_type, hour) stratum instead of O(n²) pairs
+    (the pair join measured 44× at the K=8 probe; see SCALE.md). The
+    oracle keeps the literal pairwise SQL.
     """
     hod = F.pmod((F.col("ts_us") / F.lit(HOUR_US)).cast("long"), F.lit(24))
     base = events.select(
         "event_type",
-        hod.alias("hod"),
+        hod.alias("grp"),
         "ts_us",
         "event_id",
         cents("value").alias("x"),
     )
-    a = base.alias("a")
-    b = base.alias("b")
-    later = (F.col("a.ts_us") < F.col("b.ts_us")) | (
-        (F.col("a.ts_us") == F.col("b.ts_us"))
-        & (F.col("a.event_id") < F.col("b.event_id"))
+    stats = base.groupBy("event_type", "grp").applyInPandas(
+        _mk_group_stats, _mk_group_schema()
     )
-    s = (
-        a.join(
-            b,
-            (F.col("a.event_type") == F.col("b.event_type"))
-            & (F.col("a.hod") == F.col("b.hod"))
-            & later,
+    g = stats.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("s_stat").cast("long").alias("s_stat"),
+        F.sum(
+            F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+            - F.col("tie18")
         )
-        .groupBy(F.col("a.event_type").alias("event_type"))
-        .agg(
-            F.sum(
-                F.when(F.col("b.x") > F.col("a.x"), 1)
-                .when(F.col("b.x") < F.col("a.x"), -1)
-                .otherwise(0)
-            )
-            .cast("long")
-            .alias("s_stat")
-        )
+        .cast("long")
+        .alias("var18"),
     )
-    per_stratum = base.groupBy("event_type", "hod").agg(
-        F.count(F.lit(1)).cast("long").alias("n")
+    return g.select(
+        "event_type", "n", "s_stat", "var18", _mk_z().alias("z")
     )
-    ties = (
-        base.groupBy("event_type", "hod", "x")
-        .agg(F.count(F.lit(1)).cast("long").alias("t"))
-        .groupBy("event_type", "hod")
-        .agg(
-            F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5))
-            .cast("long")
-            .alias("tie18")
-        )
-    )
-    var = (
-        per_stratum.join(ties, ["event_type", "hod"])
-        .select(
-            "event_type",
-            (
-                F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
-                - F.col("tie18")
-            ).alias("v18"),
-            "n",
-        )
-        .groupBy("event_type")
-        .agg(
-            F.sum("v18").cast("long").alias("var18"),
-            F.sum("n").cast("long").alias("n"),
-        )
-    )
-    g = var.join(s, "event_type", "left").select(
-        "event_type",
-        "n",
-        F.coalesce(F.col("s_stat"), F.lit(0)).cast("long").alias("s_stat"),
-        "var18",
-    )
-    sd = F.sqrt(F.col("var18") / F.lit(18.0))
-    z = (
-        F.when(F.col("var18") <= 0, F.lit(None).cast("double"))
-        .when(F.col("s_stat") > 0, (F.col("s_stat") - 1).cast("double") / sd)
-        .when(F.col("s_stat") < 0, (F.col("s_stat") + 1).cast("double") / sd)
-        .otherwise(F.lit(0.0))
-    )
-    return g.select("event_type", "n", "s_stat", "var18", z.alias("z"))
+

@@ -4277,3 +4277,27 @@ def test_join_window_anti_complement(spark):
     anti = {r.event_id for r in jn.join_window_anti(ev).collect()}
     full = {r.event_id: r.n_in_win for r in jn.join_window(ev).collect()}
     assert anti == {e for e, n in full.items() if n == 0}
+
+
+def test_mk_inversion_identity_matches_pairwise(spark):
+    """The O(n log n) inversion-count identity S = C(n,2) − ties − 2·inv
+    equals the literal pairwise sum on random tied data — the law the
+    r15 scale rewrite rests on."""
+    import itertools
+    import random
+
+    from kdb_spark.analytics.aggregations import _mk_inversions
+
+    rng = random.Random(42)
+    for trial in range(30):
+        n = rng.randint(1, 40)
+        xs = [rng.randint(0, 8) for _ in range(n)]  # heavy ties
+        pair_s = sum(
+            (1 if b > a else -1 if b < a else 0)
+            for a, b in itertools.combinations(xs, 2)
+        )
+        from collections import Counter
+
+        tie_pairs = sum(t * (t - 1) // 2 for t in Counter(xs).values())
+        ident = n * (n - 1) // 2 - tie_pairs - 2 * _mk_inversions(xs)
+        assert ident == pair_s, (xs, ident, pair_s)
