@@ -2813,3 +2813,57 @@ def win_peak_age(events: DataFrame) -> DataFrame:
         F.col("pk.ts_us").cast("long").alias("peak_ts_us"),
         (F.col("ts_us") - F.col("pk.ts_us")).cast("long").alias("peak_age_us"),
     )
+
+
+def win_candle_patterns(events: DataFrame) -> DataFrame:
+    """Candlestick pattern flags on the hourly candles: doji (body ≤ 10%
+    of range), hammer (lower wick ≥ 2× body, upper wick ≤ body), and
+    bullish/bearish engulfing vs the PREVIOUS candle — the chart-pattern
+    screens beside the indicator family (`win_atr`, `win_swing_points`);
+    a pattern is a pure integer predicate over OHLC cents, so unlike the
+    indicators there is no arithmetic to drift: every flag is exact by
+    construction.
+
+    All comparisons in cents with 10× scaling instead of division
+    (10·body ≤ range, wick ≥ 2·body — integer inequalities, no
+    rationals); engulfing reads the lagged candle over the one
+    (event_type)-keyed window the candle table already implies. Output
+    is candle-table-sized: one hash agg (the OHLC rollup) + one
+    dimension-sized window.
+    """
+    c = (
+        events.groupBy(
+            "event_type",
+            (F.col("ts_us") - F.col("ts_us") % F.lit(HOUR_US)).alias("hour_us"),
+        )
+        .agg(
+            F.min_by(cents("value"), F.struct("ts_us", "event_id")).alias("o"),
+            F.max(cents("value")).alias("h"),
+            F.min(cents("value")).alias("l"),
+            F.max_by(cents("value"), F.struct("ts_us", "event_id")).alias("cl"),
+        )
+    )
+    body = F.abs(F.col("cl") - F.col("o"))
+    rng = F.col("h") - F.col("l")
+    upper = F.col("h") - F.greatest("o", "cl")
+    lower = F.least("o", "cl") - F.col("l")
+    w = Window.partitionBy("event_type").orderBy("hour_us")
+    po, pc = F.lag("o").over(w), F.lag("cl").over(w)
+    return c.select(
+        "event_type",
+        "hour_us",
+        (10 * body <= rng).alias("is_doji"),
+        ((lower >= 2 * body) & (upper <= body) & (rng > 0)).alias("is_hammer"),
+        (
+            po.isNotNull()
+            & (pc < po)                       # previous bearish
+            & (F.col("cl") > F.col("o"))      # current bullish
+            & (F.col("o") <= pc) & (F.col("cl") >= po)
+        ).alias("engulf_bull"),
+        (
+            po.isNotNull()
+            & (pc > po)
+            & (F.col("cl") < F.col("o"))
+            & (F.col("o") >= pc) & (F.col("cl") <= po)
+        ).alias("engulf_bear"),
+    )

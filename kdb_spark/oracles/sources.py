@@ -452,3 +452,22 @@ _reg(
     FROM applied
     """,
 )
+
+
+_reg(
+    "scan_json_nested",
+    src.q_scan_json_nested,
+    # adjudicates the nested round-trip symbolically: the same per-
+    # priority census straight off the relational join
+    """
+    SELECT o.o_orderpriority,
+           CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+           CAST(count(l.l_linenumber) AS BIGINT) AS n_items,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                AS DECIMAL(38,0)) AS items_price_c,
+           CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS items_qty
+    FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY 1
+    """,
+)

@@ -1763,3 +1763,44 @@ _reg(
     FROM l
     """,
 )
+
+
+_reg(
+    "win_candle_patterns",
+    lambda s, d: wn.win_candle_patterns(events_us(s, d)),
+    # pure integer predicates over OHLC cents; 10x scaling instead of
+    # division so every flag is an exact inequality
+    f"""
+    WITH c AS (
+      SELECT event_type,
+             epoch_us(ts) - epoch_us(ts) % {HOUR_US} AS hour_us,
+             -- DuckDB 1.0 arg_min/max reject struct keys: pack the
+             -- (ts, event_id) tiebreak into one HUGEINT (1e9 stride
+             -- >> any per-µs event count at driver scale)
+             arg_min(CAST(round(value * 100) AS BIGINT),
+                     CAST(epoch_us(ts) AS HUGEINT) * 1000000000
+                     + event_id) AS o,
+             max(CAST(round(value * 100) AS BIGINT)) AS h,
+             min(CAST(round(value * 100) AS BIGINT)) AS l,
+             arg_max(CAST(round(value * 100) AS BIGINT),
+                     CAST(epoch_us(ts) AS HUGEINT) * 1000000000
+                     + event_id) AS cl
+      FROM events GROUP BY 1, 2),
+    x AS (
+      SELECT event_type, hour_us, o, h, l, cl,
+             abs(cl - o) AS body, h - l AS rng,
+             h - greatest(o, cl) AS upper_w,
+             least(o, cl) - l AS lower_w,
+             lag(o) OVER w AS po, lag(cl) OVER w AS pc
+      FROM c WINDOW w AS (PARTITION BY event_type ORDER BY hour_us))
+    SELECT event_type, CAST(hour_us AS BIGINT) AS hour_us,
+           10 * body <= rng AS is_doji,
+           (lower_w >= 2 * body AND upper_w <= body AND rng > 0)
+             AS is_hammer,
+           (po IS NOT NULL AND pc < po AND cl > o AND o <= pc AND cl >= po)
+             AS engulf_bull,
+           (po IS NOT NULL AND pc > po AND cl < o AND o >= pc AND cl <= po)
+             AS engulf_bear
+    FROM x
+    """,
+)

@@ -1580,3 +1580,78 @@ def q_sink_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_inserted"),
     )
+
+
+def q_scan_json_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NESTED JSON ingest — the shape event/API feeds actually arrive in
+    (an order document carrying its items as an array of objects), where
+    `scan_json` proves the flat case. Build order docs with a sorted
+    items array, round-trip through real JSON-lines files, read back
+    with an EXPLICIT nested schema (array<struct<...>> — never
+    sample-inferred at scale: inference costs a full extra pass and
+    nulls out late-appearing fields), explode_outer the array, and
+    aggregate. Money normalized to cents pre-write so JSON transit is
+    lossless and the oracle compares exact integers.
+
+    Scale shape: the explode is map-side (no shuffle until the final
+    dimension-keyed agg); JSON-lines split per line, so read parallelism
+    is file-granular — at 100 TB this path exists for INGEST-EDGE data
+    that then lands in parquet (scan_parquet), not as the resident
+    format.
+    """
+    from kdb_spark.tables import cents
+
+    orders = scan_parquet(spark, f"{sf_dir.rstrip('/')}/orders.parquet").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    li = scan_parquet(spark, f"{sf_dir.rstrip('/')}/lineitem.parquet").select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("int").alias("line_no"),
+        cents("l_extendedprice").alias("price_c"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    items = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list(F.struct("line_no", "price_c", "qty"))).alias(
+            "items"
+        )
+    )
+    nested = (
+        orders.select(
+            F.col("o_orderkey").alias("k"),
+            cents("o_totalprice").alias("total_c"),
+            "o_orderpriority",
+        )
+        .join(items, F.col("k") == F.col("l_orderkey"), "left")
+        .drop("l_orderkey")
+    )
+    path = _tmp("json_nested")
+    sink_json(nested, path)
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("total_c", T.LongType()),
+            T.StructField("o_orderpriority", T.StringType()),
+            T.StructField(
+                "items",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("line_no", T.IntegerType()),
+                            T.StructField("price_c", T.LongType()),
+                            T.StructField("qty", T.LongType()),
+                        ]
+                    )
+                ),
+            ),
+        ]
+    )
+    back = scan_json(spark, path, schema=schema)
+    ex = back.select(
+        "o_orderpriority", "k", "total_c", F.explode_outer("items").alias("it")
+    )
+    return ex.groupBy("o_orderpriority").agg(
+        F.countDistinct("k").cast("long").alias("n_orders"),
+        F.count("it.line_no").cast("long").alias("n_items"),
+        F.sum("it.price_c").cast("decimal(38,0)").alias("items_price_c"),
+        F.sum(F.col("it.qty")).cast("long").alias("items_qty"),
+    )

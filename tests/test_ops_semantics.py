@@ -4301,3 +4301,29 @@ def test_mk_inversion_identity_matches_pairwise(spark):
         tie_pairs = sum(t * (t - 1) // 2 for t in Counter(xs).values())
         ident = n * (n - 1) // 2 - tie_pairs - 2 * _mk_inversions(xs)
         assert ident == pair_s, (xs, ident, pair_s)
+
+
+def test_candle_patterns_hand_candles(spark):
+    """Hand OHLC: a doji (tiny body), a hammer (long lower wick), and a
+    bullish engulfing of the prior bearish candle."""
+    from kdb_spark.analytics import windows as wn
+
+    h = 3_600_000_000
+    rows = []
+    # hour 0: bearish candle open 10.00 close 9.00 (po/pc for engulfing)
+    rows += [(0, "a", 0, 10.00), (1, "a", 1, 10.50), (2, "a", 2, 8.90), (3, "a", 3, 9.00)]
+    # hour 1: bullish engulfing: open 8.80 (<= prev close 9.00), close 10.20 (>= prev open 10.00)
+    rows += [(10, "a", h, 8.80), (11, "a", h + 1, 8.70), (12, "a", h + 2, 10.30), (13, "a", h + 3, 10.20)]
+    # hour 2: doji: open == close, wide range
+    rows += [(20, "a", 2 * h, 5.00), (21, "a", 2 * h + 1, 6.00), (22, "a", 2 * h + 2, 4.00), (23, "a", 2 * h + 3, 5.00)]
+    # hour 3: hammer (not doji): open 5.00, low 3.00, high 5.02, close 4.40
+    # body 60c > 10% of 202c range; lower wick 140c >= 2*body 120c; upper 2c
+    rows += [(30, "a", 3 * h, 5.00), (31, "a", 3 * h + 1, 3.00), (32, "a", 3 * h + 2, 5.02), (33, "a", 3 * h + 3, 4.40)]
+    ev = spark.createDataFrame(
+        [(e, t, ts, v) for e, t, ts, v in rows],
+        "event_id long, event_type string, ts_us long, value double",
+    )
+    got = {r.hour_us // h: r for r in wn.win_candle_patterns(ev).collect()}
+    assert got[1].engulf_bull and not got[1].engulf_bear
+    assert got[2].is_doji
+    assert got[3].is_hammer and not got[3].is_doji
