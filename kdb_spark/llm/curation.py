@@ -754,3 +754,67 @@ def dataset_balance(documents: DataFrame, key: str = "lang") -> DataFrame:
             F.col("_rk").cast("long").alias("rank_in_class"),
         )
     )
+
+
+def curation_filter_overlap(documents: DataFrame) -> DataFrame:
+    """Pairwise overlap matrix of the standard curation filters — for
+    every filter pair, how many docs BOTH would remove vs each alone.
+    `curation_filter_funnel` shows sequential attrition (order-dependent
+    by design); this is the order-free complement that answers "is this
+    filter buying anything the others don't" before anyone re-orders the
+    funnel.
+
+    Filters (deterministic, the repo's exact devices): `short`
+    (n_chars < 200), `dup` (exact-dup non-keeper — doc_id ≠ min doc_id
+    of its text group), `rare_lang` (outside the corpus's top-2
+    languages by census), `low_alpha` (alpha-token count < 25 via the
+    shared tokenizer).
+
+    Shape: one doc pass computes all four flags (the dup flag joins the
+    min-per-text hash agg back — content-hash-keyed, broadcastable
+    increment-side; the lang top-2 is a |langs| census broadcast), then
+    the 4×4 matrix falls out of ONE aggregate of 16 conditional sums,
+    unpivoted via stack — no per-pair scans, no explode of the corpus.
+    """
+    from kdb_spark.llm.dedup import tokens
+
+    lang_top = (
+        documents.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .orderBy(F.col("_n").desc(), "lang")
+        .limit(2)
+        .select("lang", F.lit(True).alias("_top"))
+    )
+    keeper = documents.groupBy("text").agg(F.min("doc_id").alias("_keep_id"))
+    flagged = (
+        documents.join(F.broadcast(lang_top), "lang", "left")
+        .join(keeper, "text")
+        .select(
+            "doc_id",
+            (F.col("n_chars") < 200).alias("f_short"),
+            (F.col("doc_id") != F.col("_keep_id")).alias("f_dup"),
+            F.col("_top").isNull().alias("f_rare_lang"),
+            (F.size(tokens("text")) < 25).alias("f_low_alpha"),
+        )
+    )
+    names = ["short", "dup", "rare_lang", "low_alpha"]
+    cols = ["f_short", "f_dup", "f_rare_lang", "f_low_alpha"]
+    aggs = []
+    for i, (na, ca) in enumerate(zip(names, cols)):
+        for nb, cb in list(zip(names, cols))[i:]:
+            aggs.append(
+                F.sum((F.col(ca) & F.col(cb)).cast("int"))
+                .cast("long")
+                .alias(f"{na}__{nb}")
+            )
+    wide = flagged.agg(*aggs)
+    pairs = [f"{na}__{nb}" for i, na in enumerate(names) for nb in names[i:]]
+    stack = ", ".join(f"'{p}', {p}" for p in pairs)
+    long = wide.selectExpr(
+        f"stack({len(pairs)}, {stack}) as (pair, n_both)"
+    )
+    return long.select(
+        F.split("pair", "__")[0].alias("filter_a"),
+        F.split("pair", "__")[1].alias("filter_b"),
+        F.col("n_both").cast("long").alias("n_both"),
+    )

@@ -446,3 +446,41 @@ _reg(
     FROM ranked, floor_n WHERE rk <= f
     """,
 )
+
+
+_reg(
+    "curation_filter_overlap",
+    lambda s, d: cu.curation_filter_overlap(load(s, d, "documents")),
+    # same four deterministic filters, same upper-triangle census
+    """
+    WITH lang_top AS (
+      SELECT lang FROM (
+        SELECT lang, count(*) AS n FROM documents GROUP BY 1
+        ORDER BY n DESC, lang LIMIT 2)),
+    keeper AS (
+      SELECT text, min(doc_id) AS keep_id FROM documents GROUP BY 1),
+    flags AS (
+      SELECT d.doc_id,
+             d.n_chars < 200 AS f_short,
+             d.doc_id <> k.keep_id AS f_dup,
+             d.lang NOT IN (SELECT lang FROM lang_top) AS f_rare_lang,
+             len(regexp_extract_all(lower(d.text), '[a-z0-9]+')) < 25
+               AS f_low_alpha
+      FROM documents d JOIN keeper k ON d.text = k.text),
+    names(i, nm) AS (
+      VALUES (1, 'short'), (2, 'dup'), (3, 'rare_lang'), (4, 'low_alpha')),
+    vals AS (
+      SELECT doc_id, 1 AS i, f_short AS f FROM flags UNION ALL
+      SELECT doc_id, 2, f_dup FROM flags UNION ALL
+      SELECT doc_id, 3, f_rare_lang FROM flags UNION ALL
+      SELECT doc_id, 4, f_low_alpha FROM flags)
+    SELECT a_nm.nm AS filter_a, b_nm.nm AS filter_b,
+           CAST(sum(CASE WHEN a.f AND b.f THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_both
+    FROM vals a
+    JOIN vals b ON a.doc_id = b.doc_id AND a.i <= b.i
+    JOIN names a_nm ON a.i = a_nm.i
+    JOIN names b_nm ON b.i = b_nm.i
+    GROUP BY 1, 2
+    """,
+)

@@ -4327,3 +4327,28 @@ def test_candle_patterns_hand_candles(spark):
     assert got[1].engulf_bull and not got[1].engulf_bear
     assert got[2].is_doji
     assert got[3].is_hammer and not got[3].is_doji
+
+
+def test_filter_overlap_hand_docs(spark):
+    """Upper-triangle census: diagonal = per-filter removal counts,
+    off-diagonal = joint removals, on a fixture where every intersection
+    is hand-countable."""
+    from kdb_spark.llm import curation as cu
+
+    long_txt = " ".join(f"w{i}" for i in range(30))
+    rows = [
+        (0, "en", "a" * 10, 50),            # short + low_alpha
+        (1, "en", long_txt, 500),           # clean
+        (2, "en", long_txt, 500),           # dup of 1 (higher id loses)
+        (3, "fr", long_txt + " extra", 500),  # clean (fr is 2nd lang)
+        (4, "xx", "b c", 20),               # rare_lang + short + low_alpha
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string, n_chars long")
+    got = {(r.filter_a, r.filter_b): r.n_both for r in cu.curation_filter_overlap(docs).collect()}
+    assert got[("short", "short")] == 2
+    assert got[("dup", "dup")] == 1
+    assert got[("rare_lang", "rare_lang")] == 1
+    assert got[("low_alpha", "low_alpha")] == 2
+    assert got[("short", "low_alpha")] == 2
+    assert got[("short", "rare_lang")] == 1
+    assert got[("short", "dup")] == 0
