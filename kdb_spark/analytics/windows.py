@@ -2867,3 +2867,46 @@ def win_candle_patterns(events: DataFrame) -> DataFrame:
             & (F.col("o") >= pc) & (F.col("cl") <= po)
         ).alias("engulf_bear"),
     )
+
+
+def win_tick_bars(events: DataFrame, ticks: int = 100) -> DataFrame:
+    """Event-count bars ("volume clock"): per event_type, consecutive
+    runs of ``ticks`` prints form one bar with OHLC + value sum — the
+    activity-clock sampling quant desks use instead of wall-clock
+    candles (`agg_ohlc`): in a volume clock every bar carries the same
+    information content, so quiet hours don't emit empty bars and busy
+    minutes don't hide inside one.
+
+    EXACT: bar assignment is integer arithmetic on the deterministic
+    (ts_us, event_id) row_number ((rn−1) div ticks); O/C are min_by/
+    max_by picks on rn (exact stored cents, no accumulation), H/L
+    min/max, the value sum exact bigint. The final (possibly partial)
+    bar is emitted with its true n — the caller can drop it if they
+    want only full bars.
+
+    Scale shape: ONE event_type Exchange shared by the row_number
+    window and the bar hash agg. The per-type global sort is the
+    gini/lorenz disclosed posture — the op is DEFINED by a total print
+    order per type.
+    """
+    w = Window.partitionBy("event_type").orderBy("ts_us", "event_id")
+    c = cents("value")
+    r = events.select(
+        "event_type", "ts_us", "event_id", c.alias("x")
+    ).withColumn("rn", F.row_number().over(w))
+    # integer div, not float-divide-then-cast — the repo's div discipline
+    bar = F.expr(f"(rn - 1) div {ticks}").cast("long")
+    return (
+        r.withColumn("bar_id", bar)
+        .groupBy("event_type", "bar_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min_by("x", "rn").cast("long").alias("open_c"),
+            F.max("x").cast("long").alias("high_c"),
+            F.min("x").cast("long").alias("low_c"),
+            F.max_by("x", "rn").cast("long").alias("close_c"),
+            F.sum(F.col("x").cast("decimal(38,0)")).alias("sum_c"),
+            F.min("ts_us").cast("long").alias("bar_start_us"),
+            F.max("ts_us").cast("long").alias("bar_end_us"),
+        )
+    )

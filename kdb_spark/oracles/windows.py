@@ -1804,3 +1804,29 @@ _reg(
     FROM x
     """,
 )
+
+
+_reg(
+    "win_tick_bars",
+    lambda s, d: wn.win_tick_bars(events_us(s, d)),
+    # same deterministic print order -> integer bar ids -> exact picks;
+    # arg_min/max key on rn (plain BIGINT, no struct-key limitation)
+    """
+    WITH r AS (
+      SELECT event_type, epoch_us(ts) AS ts_us, event_id,
+             CAST(round(value * 100) AS BIGINT) AS x,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY epoch_us(ts), event_id) AS rn
+      FROM events)
+    SELECT event_type, CAST((rn - 1) // 100 AS BIGINT) AS bar_id,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(arg_min(x, rn) AS BIGINT) AS open_c,
+           CAST(max(x) AS BIGINT) AS high_c,
+           CAST(min(x) AS BIGINT) AS low_c,
+           CAST(arg_max(x, rn) AS BIGINT) AS close_c,
+           CAST(sum(CAST(x AS HUGEINT)) AS DECIMAL(38,0)) AS sum_c,
+           CAST(min(ts_us) AS BIGINT) AS bar_start_us,
+           CAST(max(ts_us) AS BIGINT) AS bar_end_us
+    FROM r GROUP BY 1, 2
+    """,
+)

@@ -4352,3 +4352,19 @@ def test_filter_overlap_hand_docs(spark):
     assert got[("short", "low_alpha")] == 2
     assert got[("short", "rare_lang")] == 1
     assert got[("short", "dup")] == 0
+
+
+def test_tick_bars_hand_prints(spark):
+    """250 prints at ticks=100: bars of 100/100/50, OHLC picks exact in
+    print order, partial last bar carries its true n."""
+    from kdb_spark.analytics import windows as wn
+
+    rows = [(i, "a", i * 1_000_000, float(i % 7)) for i in range(250)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts_us long, value double"
+    )
+    got = {r.bar_id: r for r in wn.win_tick_bars(ev, ticks=100).collect()}
+    assert [got[i].n for i in (0, 1, 2)] == [100, 100, 50]
+    assert got[0].open_c == 0 and got[0].close_c == ((99 % 7) * 100)
+    assert got[2].open_c == ((200 % 7) * 100) and got[2].n == 50
+    assert got[1].bar_start_us == 100 * 1_000_000
