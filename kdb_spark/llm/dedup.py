@@ -977,3 +977,114 @@ def dedup_bloom_probe(
             "exact_dup",
         )
     )
+
+
+def dedup_minhash_calibration(
+    documents: DataFrame, perms: int = 16, min_jaccard_pct: int = 30
+) -> DataFrame:
+    """MinHash estimator calibration table: for every candidate pair with
+    exact n-gram Jaccard ≥ ``min_jaccard_pct``/100, the number of
+    agreeing MinHash slots (of ``perms``) NEXT TO the exact intersection/
+    union counts — the empirical error census that justifies (or
+    indicts) the LSH banding thresholds `dedup_near_minhash` runs with.
+    E[m/perms] = J, so the m-vs-J scatter IS the estimator's calibration
+    curve; `emb_recall_eval` plays this role for ANN, this key plays it
+    for dedup.
+
+    Determinism device: the production minhash uses xxhash64 (JVM-only);
+    THIS op's signatures hash shingles with md5 (the one cross-engine
+    hash — md5_slot discipline), slot j = min over shingles of the first
+    8 hex chars of md5("j:" || shingle). Slower per byte, but the whole
+    point here is an oracle-checkable estimator census, not throughput;
+    the production op keeps xxhash64.
+
+    Scale shape: one shingle explode feeds BOTH the signature agg
+    (doc × perms rows after the map-side min partials) and the exact-
+    jaccard candidate join (the dedup_ngram_jaccard device, same
+    df-skew caveat); signatures rejoin the pair table as two 16-long
+    arrays and agreement is one zip_with fold. Everything after the
+    candidate join is pair-table-sized.
+    """
+    docs = _doc_shingles(documents, 3)
+    flat = docs.select(
+        "doc_id", F.explode(F.col("sh")).alias("s"), F.size("sh").alias("n_sh")
+    )
+    # 16 md5 slots per (doc, shingle) — explode perms, min per (doc, j)
+    mh = (
+        flat.select(
+            "doc_id",
+            "s",
+            F.explode(F.sequence(F.lit(0), F.lit(perms - 1))).alias("j"),
+        )
+        .select(
+            "doc_id",
+            "j",
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.col("j").cast("string"), F.col("s"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("h"),
+        )
+        .groupBy("doc_id", "j")
+        .agg(F.min("h").alias("mh"))
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "mh"))),
+                lambda x: x["mh"],
+            ).alias("sig")
+        )
+    )
+    sizes = flat.select("doc_id", "n_sh").distinct()
+    inter = (
+        flat.alias("a")
+        .join(
+            flat.alias("b"),
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    pairs = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")),
+            "doc_b",
+        )
+        .withColumn(
+            "n_union", (F.col("na") + F.col("nb") - F.col("n_inter")).cast("long")
+        )
+        .filter(100 * F.col("n_inter") >= min_jaccard_pct * F.col("n_union"))
+    )
+    out = (
+        pairs.join(mh.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")), "doc_a")
+        .join(mh.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            "n_union",
+            F.aggregate(
+                F.zip_with(
+                    "sig_a", "sig_b", lambda x, y: (x == y).cast("int")
+                ),
+                F.lit(0),
+                lambda acc, v: acc + v,
+            )
+            .cast("long")
+            .alias("m_agree"),
+        )
+    )
+    return out

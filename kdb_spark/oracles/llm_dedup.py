@@ -369,3 +369,49 @@ _reg(
     FROM incoming i LEFT JOIN hits ON i.doc_id = hits.doc_id
     """,
 )
+
+
+_reg(
+    "dedup_minhash_calibration",
+    lambda s, d: dd.dedup_minhash_calibration(load(s, d, "documents")),
+    # the same md5 minhash (slot j = min over shingles of the first 8 hex
+    # chars of md5("j:" || shingle)) and the same exact-jaccard candidate
+    # machinery; agreement is an element-wise signature compare
+    """
+    WITH d AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            FOR i IN range(1, len(toks) - 1)]) AS sh
+      FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+')
+                     AS toks
+            FROM documents)
+      WHERE len(toks) >= 3),
+    flat AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM d),
+    mh AS (
+      SELECT doc_id, t.j,
+             min(('0x' || substr(md5(CAST(t.j AS VARCHAR) || ':' || s),
+                                 1, 8))::BIGINT) AS mh
+      FROM flat, range(0, 16) t(j)
+      GROUP BY 1, 2),
+    sig AS (
+      SELECT doc_id, array_agg(mh ORDER BY j) AS sig FROM mh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS n_inter
+      FROM flat a JOIN flat b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT i.doc_a, i.doc_b, i.n_inter,
+             CAST(sa.n_sh + sb.n_sh - i.n_inter AS BIGINT) AS n_union
+      FROM inter i
+      JOIN (SELECT DISTINCT doc_id, n_sh FROM flat) sa ON sa.doc_id = i.doc_a
+      JOIN (SELECT DISTINCT doc_id, n_sh FROM flat) sb ON sb.doc_id = i.doc_b
+      WHERE 100 * i.n_inter >= 30 * (sa.n_sh + sb.n_sh - i.n_inter))
+    SELECT p.doc_a, p.doc_b, p.n_inter, p.n_union,
+           CAST(list_sum([CASE WHEN x.sig[i] = y.sig[i] THEN 1 ELSE 0 END
+                          FOR i IN range(1, 17)]) AS BIGINT) AS m_agree
+    FROM pairs p
+    JOIN sig x ON x.doc_id = p.doc_a
+    JOIN sig y ON y.doc_id = p.doc_b
+    """,
+)

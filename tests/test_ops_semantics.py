@@ -4368,3 +4368,25 @@ def test_tick_bars_hand_prints(spark):
     assert got[0].open_c == 0 and got[0].close_c == ((99 % 7) * 100)
     assert got[2].open_c == ((200 % 7) * 100) and got[2].n == 50
     assert got[1].bar_start_us == 100 * 1_000_000
+
+
+def test_minhash_calibration_identical_docs_saturate(spark):
+    """Identical docs agree on every MinHash slot (m = 16) with exact
+    jaccard 1; near-identical docs land strictly between."""
+    from kdb_spark.llm import dedup as dd
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),                      # identical -> J=1, m=16
+            (3, base + " zz yy xx ww vv"),  # superset -> 0.3<J<1
+        ],
+        "doc_id long, text string",
+    )
+    got = {(r.doc_a, r.doc_b): r for r in dd.dedup_minhash_calibration(docs).collect()}
+    ident = got[(1, 2)]
+    assert ident.n_inter == ident.n_union and ident.m_agree == 16
+    near = got[(1, 3)]
+    assert near.n_inter < near.n_union
+    assert 0 <= near.m_agree <= 16
