@@ -6070,3 +6070,69 @@ def agg_seasonal_mk(events: DataFrame) -> DataFrame:
         "event_type", "n", "s_stat", "var18", _mk_z().alias("z")
     )
 
+
+
+def agg_eta_squared(events: DataFrame) -> DataFrame:
+    """Seasonality strength per event_type: η² — the fraction of value
+    variance explained by the hour-of-day profile (between-group sum of
+    squares over total), the one number that says whether
+    `agg_seasonality`'s diurnal matrix actually MATTERS for this metric
+    (η² ≈ 0: the profile is flat noise; → 1: the hour determines the
+    value). The ANOVA companion to `agg_seasonal_mk` (which detrends BY
+    the strata this op scores).
+
+    Exactness: all sufficient statistics (n, Σx, Σx², per-stratum
+    S_g, n_g) are exact integers; η² = (n·ΣS_g²/n_g − S²)/(n·Σx²·n... 
+    algebraically (n·A − S²)/(n·T − S²) needs the rational A = ΣS_g²/n_g,
+    so the per-stratum terms are each ONE deterministic double from
+    exact ints (decimal square, cast, divide) folded in FIXED hod order
+    (array_sort + aggregate — the agg_chi2_drift discipline: the same
+    IEEE addition chain on both engines), and the final ratio is
+    floor-device rounded at 6 dp. Degenerate variance (all values equal)
+    → NULL.
+
+    Scale shape: one (type, hod) hash agg (≤ 24·|types| rows), one
+    |types| rollup; the fold runs over 24-element arrays. Fact rows are
+    touched once.
+    """
+    hod = F.pmod((F.col("ts_us") / F.lit(HOUR_US)).cast("long"), F.lit(24))
+    x = cents("value")
+    cells = (
+        events.select("event_type", hod.alias("hod"), x.alias("x"))
+        .groupBy("event_type", "hod")
+        .agg(
+            F.sum(F.col("x").cast("decimal(38,0)")).alias("s_g"),
+            F.count(F.lit(1)).cast("long").alias("n_g"),
+        )
+    )
+    tot = (
+        events.select("event_type", x.alias("x"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("x").cast("decimal(38,0)")).alias("s"),
+            F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("t"),
+        )
+    )
+    folded = cells.groupBy("event_type").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("hod", "s_g", "n_g"))),
+            F.lit(0.0),
+            lambda acc, r: acc
+            + (r["s_g"] * r["s_g"]).cast("double") / r["n_g"].cast("double"),
+        ).alias("a")
+    )
+    g = tot.join(folded, "event_type")
+    s2d = (F.col("s") * F.col("s")).cast("double")
+    td = F.col("t").cast("double")
+    nd = F.col("n").cast("double")
+    den = nd * td - s2d
+    eta = (nd * F.col("a") - s2d) / den
+    eta6 = F.floor(eta * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return g.select(
+        "event_type",
+        "n",
+        F.col("s").alias("sum_c"),
+        F.col("t").alias("sumsq_c"),
+        F.when(den > 0, eta6).alias("eta_sq"),
+    )

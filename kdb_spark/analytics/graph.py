@@ -731,3 +731,69 @@ def label_propagation(edges: DataFrame, rounds: int = 4) -> DataFrame:
             "n_members",
         )
     )
+
+
+def graph_modularity(edges: DataFrame, rounds: int = 4) -> DataFrame:
+    """Newman modularity of the `label_propagation` communities, exact:
+    per community c, Q_c = e_c/m − (d_c/2m)² where e_c = intra-community
+    edges, d_c = total degree, m = |edges| — the quality score that
+    adjudicates a community cut (Q ≈ 0: no better than random; the LPA
+    eval key, as `emb_recall_eval` adjudicates ANN and
+    `dedup_minhash_calibration` adjudicates LSH).
+
+    EXACT: e_c, d_c, m are integer censuses over the symmetrized
+    distinct edge table; Q_c = (4m·e_c − d_c²)/(4m²) is one rational on
+    the signed device at 6 dp (a community smaller than random's
+    expectation contributes negative). Σ Q_c = Q.
+
+    Scale shape: LPA's own cost dominates; after it, one broadcast of
+    the |V|-sized label table onto the edge list (both-endpoint join),
+    one |labels|-sized census agg, and the scalar m crossed in. No new
+    fact-sized shuffles.
+    """
+    from pyspark.sql import functions as F
+
+    from kdb_spark.analytics.exact import iround_col
+
+    labels = label_propagation(edges, rounds=rounds).select("v", "label")
+    sym = (
+        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # m = undirected edge count; sym holds each edge twice
+    m = sym.agg((F.count(F.lit(1)) / 2).cast("long").alias("m"))
+    lab = labels.withColumnRenamed("v", "src").withColumnRenamed("label", "la")
+    lab2 = labels.withColumnRenamed("v", "dst").withColumnRenamed("label", "lb")
+    tagged = sym.join(F.broadcast(lab), "src").join(F.broadcast(lab2), "dst")
+    census = tagged.groupBy("la").agg(
+        # intra edges counted twice in sym -> /2 exact (both directions present)
+        (F.sum(F.when(F.col("la") == F.col("lb"), 1).otherwise(0)) / 2)
+        .cast("long")
+        .alias("e_in"),
+        F.count(F.lit(1)).cast("long").alias("d_tot"),  # degree sum of c
+    )
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    g = (
+        census.withColumnRenamed("la", "label")
+        .join(sizes, "label")
+        .crossJoin(F.broadcast(m))
+    )
+    q6 = iround_col(
+        "(4 * CAST(m AS DECIMAL(38,0)) * e_in - CAST(d_tot AS DECIMAL(38,0)) * d_tot)",
+        "4 * CAST(m AS DECIMAL(38,0)) * m",
+        6,
+        signed=True,
+    )
+    return g.select(
+        F.col("label").cast("long").alias("label"),
+        "n_members",
+        "e_in",
+        "d_tot",
+        q6.alias("q_term"),
+    )

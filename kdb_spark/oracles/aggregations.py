@@ -2983,3 +2983,49 @@ _reg(
     FROM g
     """,
 )
+
+
+_reg(
+    "agg_eta_squared",
+    lambda s, d: agg.agg_eta_squared(events_us(s, d)),
+    # identical arithmetic shape: exact-int sufficient stats, per-stratum
+    # doubles folded in hod order (list(ORDER BY) + list_reduce = the same
+    # IEEE chain as array_sort + aggregate), floor device at 6 dp
+    f"""
+    WITH base AS (
+      SELECT event_type,
+             ((epoch_us(ts) // {HOUR_US}) % 24 + 24) % 24 AS hod,
+             CAST(round(value * 100) AS BIGINT) AS x
+      FROM events),
+    cells AS (
+      SELECT event_type, hod,
+             sum(CAST(x AS HUGEINT)) AS s_g,
+             CAST(count(*) AS BIGINT) AS n_g
+      FROM base GROUP BY 1, 2),
+    tot AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(x AS HUGEINT)) AS s,
+             sum(CAST(x AS HUGEINT) * x) AS t
+      FROM base GROUP BY 1),
+    folded AS (
+      SELECT event_type,
+             list_reduce(
+               list_prepend(0.0,
+                 list(CAST(s_g * s_g AS DOUBLE) / CAST(n_g AS DOUBLE)
+                      ORDER BY hod)),
+               (acc, v) -> acc + v) AS a
+      FROM cells GROUP BY 1)
+    SELECT tot.event_type, tot.n,
+           CAST(tot.s AS DECIMAL(38,0)) AS sum_c,
+           CAST(tot.t AS DECIMAL(38,0)) AS sumsq_c,
+           CASE WHEN CAST(tot.n AS DOUBLE) * CAST(tot.t AS DOUBLE)
+                     - CAST(tot.s * tot.s AS DOUBLE) > 0
+                THEN floor((CAST(tot.n AS DOUBLE) * folded.a
+                            - CAST(tot.s * tot.s AS DOUBLE))
+                           / (CAST(tot.n AS DOUBLE) * CAST(tot.t AS DOUBLE)
+                              - CAST(tot.s * tot.s AS DOUBLE))
+                           * 1e6 + 0.5) / 1e6
+           END AS eta_sq
+    FROM tot JOIN folded ON tot.event_type = folded.event_type
+    """,
+)

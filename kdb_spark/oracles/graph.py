@@ -316,3 +316,69 @@ _reg(
     ),
     _lpa_oracle(),
 )
+
+
+def _modularity_oracle(rounds: int = 4) -> str:
+    """LPA labels (the `_lpa_oracle` unrolled rounds) decorated with the
+    exact modularity census: e_c, d_c, m integer counts, q_term on the
+    signed device."""
+    ctes = [
+        """e0 AS MATERIALIZED (
+      SELECT DISTINCT a AS src, b AS dst FROM
+        (SELECT a, b FROM pr UNION ALL SELECT b, a FROM pr))""",
+        """l0 AS MATERIALIZED (
+      SELECT DISTINCT src AS v, CAST(src AS BIGINT) AS label FROM e0)""",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(f"""l{i} AS MATERIALIZED (
+      SELECT v, label FROM (
+        SELECT e.src AS v, l.label, count(*) AS c,
+               row_number() OVER (PARTITION BY e.src
+                                  ORDER BY count(*) DESC, l.label) AS rn
+        FROM e0 e JOIN l{i - 1} l ON l.v = e.dst
+        GROUP BY e.src, l.label)
+      WHERE rn = 1)""")
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH pr AS (
+      SELECT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+      FROM orders
+      JOIN (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) li
+        ON o_orderkey = l_orderkey
+      GROUP BY 1, 2 HAVING count(*) >= 3),
+    {body},
+    m AS (SELECT CAST(count(*) / 2 AS BIGINT) AS m FROM e0),
+    tagged AS (
+      SELECT la.label AS la, lb.label AS lb
+      FROM e0 e
+      JOIN l{rounds} la ON la.v = e.src
+      JOIN l{rounds} lb ON lb.v = e.dst),
+    census AS (
+      SELECT la AS label,
+             CAST(sum(CASE WHEN la = lb THEN 1 ELSE 0 END) / 2 AS BIGINT)
+               AS e_in,
+             CAST(count(*) AS BIGINT) AS d_tot
+      FROM tagged GROUP BY 1),
+    sizes AS (
+      SELECT label, CAST(count(*) AS BIGINT) AS n_members
+      FROM l{rounds} GROUP BY 1)
+    SELECT CAST(c.label AS BIGINT) AS label, s.n_members, c.e_in, c.d_tot,
+           (CASE WHEN 4 * CAST(m.m AS HUGEINT) * c.e_in
+                      - CAST(c.d_tot AS HUGEINT) * c.d_tot < 0
+                 THEN -1 ELSE 1 END)
+           * CAST((2000000 * abs(4 * CAST(m.m AS HUGEINT) * c.e_in
+                                 - CAST(c.d_tot AS HUGEINT) * c.d_tot)
+                   + 4 * CAST(m.m AS HUGEINT) * m.m)
+                  // (2 * 4 * CAST(m.m AS HUGEINT) * m.m) AS DOUBLE) / 1e6
+             AS q_term
+    FROM census c JOIN sizes s ON c.label = s.label, m
+    """
+
+
+_reg(
+    "graph_modularity",
+    lambda s, d: gr.graph_modularity(
+        gr.repeat_trade_edges(load(s, d, "orders"), load(s, d, "lineitem"))
+    ),
+    _modularity_oracle(),
+)

@@ -4390,3 +4390,41 @@ def test_minhash_calibration_identical_docs_saturate(spark):
     near = got[(1, 3)]
     assert near.n_inter < near.n_union
     assert 0 <= near.m_agree <= 16
+
+
+def test_modularity_two_cliques(spark):
+    """Two clean triangles (no bridge): LPA finds them, each community's
+    q_term = e/m − (d/2m)² = 3/6 − (6/12)² = 0.25, total Q = 0.5 — the
+    textbook two-clique modularity."""
+    from kdb_spark.analytics import graph as gr
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6)],
+        "doc_a long, doc_b long",
+    )
+    rows = gr.graph_modularity(edges).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert (r.n_members, r.e_in, r.d_tot) == (3, 3, 6)
+        assert r.q_term == 0.25
+
+
+def test_eta_squared_extremes(spark):
+    """Value fully determined by hour -> η² = 1; hour-independent values
+    -> η² = 0 (both exactly on the 6dp grid)."""
+    from kdb_spark.analytics import aggregations as agg
+
+    h = 3_600_000_000
+    det, flat = [], []
+    eid = 0
+    for day in range(3):
+        for hod in range(4):
+            det.append((eid, "det", day * 24 * h + hod * h, float(hod + 1)))
+            flat.append((1000 + eid, "flat", day * 24 * h + hod * h, float(day + 1)))
+            eid += 1
+    ev = spark.createDataFrame(
+        det + flat, "event_id long, event_type string, ts_us long, value double"
+    )
+    got = {r.event_type: r.eta_sq for r in agg.agg_eta_squared(ev).collect()}
+    assert got["det"] == 1.0
+    assert got["flat"] == 0.0
