@@ -6136,3 +6136,89 @@ def agg_eta_squared(events: DataFrame) -> DataFrame:
         F.col("t").alias("sumsq_c"),
         F.when(den > 0, eta6).alias("eta_sq"),
     )
+
+
+def agg_kruskal_wallis(events: DataFrame) -> DataFrame:
+    """Kruskal–Wallis H test across ALL event types at once — the
+    k-sample generalization of `agg_mann_whitney` (which compares two):
+    do the k value distributions share a location, judged on ranks, no
+    normality assumed. One row out: n, k, the tie-corrected H, and the
+    per-type mean ranks that show WHO deviates.
+
+    Exactness devices: global ranks come from the VALUE-COUNT table
+    (agg_var_es discipline — never a row sort): the average rank of a
+    tied value is cum_before + (c+1)/2, a rational in HALF units, so
+    rank sums R_g ride as exact bigints scaled ×2. H's two float terms
+    (Σ(2R_g)²/n_g folded in FIXED type order — the chi2/eta² chain
+    discipline — and the tie correction Σ(t³−t)) are each one
+    deterministic double from exact ints; H lands on the floor device
+    at 6 dp.
+
+    Scale shape: one (type, value) hash agg (distinct cents × types),
+    one value-spine window for cumulative counts, |types|-sized
+    everything after. Fact rows are touched once.
+    """
+    x = cents("value")
+    vc = (
+        events.select("event_type", x.alias("x"))
+        .groupBy("x", "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    per_val = vc.groupBy("x").agg(F.sum("c").cast("long").alias("t"))
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_val.select(
+        "x",
+        "t",
+        F.coalesce(F.sum("t").over(w), F.lit(0)).cast("long").alias("cum0"),
+    )
+    # avg rank of value x in half units: 2*cum0 + t + 1
+    joined = vc.join(ranked, "x").groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_values"),
+        F.sum("c").cast("long").alias("n_g"),
+        F.sum(
+            F.col("c").cast("decimal(38,0)")
+            * (2 * F.col("cum0") + F.col("t") + 1)
+        ).alias("r2_g"),  # 2 * rank sum, exact
+    )
+    ties = per_val.agg(
+        F.sum(
+            F.col("t").cast("decimal(38,0)") * F.col("t") * F.col("t")
+            - F.col("t")
+        ).alias("tie3"),
+        F.sum("t").cast("long").alias("n"),
+    )
+    folded = joined.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("event_type", "r2_g", "n_g"))),
+            F.lit(0.0),
+            lambda acc, r: acc
+            + (r["r2_g"] * r["r2_g"]).cast("double") / r["n_g"].cast("double"),
+        ).alias("s4"),  # Σ (2R_g)²/n_g  (4× the classic term)
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("event_type", "r2_g", "n_g"))),
+            lambda r: F.floor(
+                r["r2_g"].cast("double")
+                / (F.lit(2.0) * r["n_g"].cast("double"))
+                * F.lit(1e4)
+                + F.lit(0.5)
+            )
+            / F.lit(1e4),
+        ).alias("mean_ranks"),
+    )
+    g = folded.crossJoin(ties)
+    nd = F.col("n").cast("double")
+    # H = 12/(n(n+1)) · ΣR_g²/n_g − 3(n+1); ΣR_g²/n_g = s4/4
+    h_raw = F.lit(12.0) / (nd * (nd + 1)) * (F.col("s4") / F.lit(4.0)) - F.lit(
+        3.0
+    ) * (nd + 1)
+    corr = F.lit(1.0) - F.col("tie3").cast("double") / (nd * nd * nd - nd)
+    h = F.when(corr > 0, h_raw / corr)
+    h6 = F.floor(h * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return g.select(
+        "n",
+        "k",
+        F.col("tie3").cast("decimal(38,0)").alias("tie3"),
+        h6.alias("h_stat"),
+        "mean_ranks",
+    )

@@ -3029,3 +3029,60 @@ _reg(
     FROM tot JOIN folded ON tot.event_type = folded.event_type
     """,
 )
+
+
+_reg(
+    "agg_kruskal_wallis",
+    lambda s, d: agg.agg_kruskal_wallis(events_us(s, d)),
+    # same devices: half-unit exact rank sums off the value-count spine,
+    # per-type doubles folded in type order, floor device for H and the
+    # 4dp mean ranks
+    """
+    WITH vc AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS x, event_type,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+    pv AS (
+      SELECT x, CAST(sum(c) AS BIGINT) AS t FROM vc GROUP BY 1),
+    rk AS (
+      SELECT x, t,
+             CAST(coalesce(sum(t) OVER (ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum0
+      FROM pv),
+    per_g AS (
+      SELECT vc.event_type,
+             CAST(count(*) AS BIGINT) AS n_values,
+             CAST(sum(vc.c) AS BIGINT) AS n_g,
+             sum(CAST(vc.c AS HUGEINT) * (2 * rk.cum0 + rk.t + 1)) AS r2_g
+      FROM vc JOIN rk ON vc.x = rk.x
+      GROUP BY 1),
+    ties AS (
+      SELECT sum(CAST(t AS HUGEINT) * t * t - t) AS tie3,
+             CAST(sum(t) AS BIGINT) AS n
+      FROM pv),
+    folded AS (
+      SELECT
+        list_reduce(
+          list_prepend(0.0,
+            list(CAST(r2_g * r2_g AS DOUBLE) / CAST(n_g AS DOUBLE)
+                 ORDER BY event_type)),
+          (acc, v) -> acc + v) AS s4,
+        CAST(count(*) AS BIGINT) AS k,
+        list(floor(CAST(r2_g AS DOUBLE) / (2.0 * CAST(n_g AS DOUBLE))
+                   * 1e4 + 0.5) / 1e4 ORDER BY event_type) AS mean_ranks
+      FROM per_g)
+    SELECT t.n, f.k, CAST(t.tie3 AS DECIMAL(38,0)) AS tie3,
+           CASE WHEN 1.0 - CAST(t.tie3 AS DOUBLE)
+                      / (CAST(t.n AS DOUBLE) * t.n * t.n - t.n) > 0
+                THEN floor(
+                  (12.0 / (CAST(t.n AS DOUBLE) * (t.n + 1)) * (f.s4 / 4.0)
+                   - 3.0 * (t.n + 1))
+                  / (1.0 - CAST(t.tie3 AS DOUBLE)
+                     / (CAST(t.n AS DOUBLE) * t.n * t.n - t.n))
+                  * 1e6 + 0.5) / 1e6
+           END AS h_stat,
+           f.mean_ranks
+    FROM folded f, ties t
+    """,
+)

@@ -4428,3 +4428,24 @@ def test_eta_squared_extremes(spark):
     got = {r.event_type: r.eta_sq for r in agg.agg_eta_squared(ev).collect()}
     assert got["det"] == 1.0
     assert got["flat"] == 0.0
+
+
+def test_kruskal_wallis_hand_groups(spark):
+    """Textbook check: three disjoint groups of 3 with no ties ->
+    H = 12/(n(n+1))·ΣR_g²/n_g − 3(n+1) computed by hand; mean ranks in
+    type order."""
+    from kdb_spark.analytics import aggregations as agg
+
+    rows = (
+        [(i, "a", 0, float(v)) for i, v in enumerate([1, 2, 3])]
+        + [(10 + i, "b", 0, float(v)) for i, v in enumerate([4, 5, 6])]
+        + [(20 + i, "c", 0, float(v)) for i, v in enumerate([7, 8, 9])]
+    )
+    ev = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts_us long, value double"
+    )
+    r = agg.agg_kruskal_wallis(ev).collect()[0]
+    assert (r.n, r.k) == (9, 3) and int(r.tie3) == 0
+    # rank sums 6/15/24 -> H = 12/90*(36/3+225/3+576/3) - 30 = 7.2
+    assert r.h_stat == 7.2
+    assert list(r.mean_ranks) == [2.0, 5.0, 8.0]
