@@ -184,6 +184,8 @@ def main() -> int:
         "sql_ship_priority",
         # round-10 families: drift tests, quality-aware dedup, CDF reads
         "agg_chi2_drift", "dedup_keep_best", "scan_changes",
+        # round-15 families: trend tests, Bloom pre-screen, compressed decode
+        "agg_mann_kendall", "dedup_bloom_probe", "mm_decode_png",
     ]
     print(
         json.dumps(
