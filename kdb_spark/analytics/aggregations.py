@@ -6129,11 +6129,16 @@ def agg_eta_squared(events: DataFrame) -> DataFrame:
     den = nd * td - s2d
     eta = (nd * F.col("a") - s2d) / den
     eta6 = F.floor(eta * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    # BIGINT finals (driver hash contract — decimal(38,0) outputs hash
+    # as Decimal objects vs the oracle's float64, r15 FAIL class).
+    # Bound: Σx² in cents² ≈ n·(100·max|v|)² — fits int64 to ~1e5 rows
+    # per type at |v|≤1e4; at larger n the internal decimals still carry
+    # the exact stats, only these diagnostic casts would need rescaling.
     return g.select(
         "event_type",
         "n",
-        F.col("s").alias("sum_c"),
-        F.col("t").alias("sumsq_c"),
+        F.col("s").cast("long").alias("sum_c"),
+        F.col("t").cast("long").alias("sumsq_c"),
         F.when(den > 0, eta6).alias("eta_sq"),
     )
 
@@ -6142,8 +6147,10 @@ def agg_kruskal_wallis(events: DataFrame) -> DataFrame:
     """Kruskal–Wallis H test across ALL event types at once — the
     k-sample generalization of `agg_mann_whitney` (which compares two):
     do the k value distributions share a location, judged on ranks, no
-    normality assumed. One row out: n, k, the tie-corrected H, and the
-    per-type mean ranks that show WHO deviates.
+    normality assumed. LONG-FORMAT output: one row per event type with
+    its group size and mean rank (who deviates), the global n/k/tie3/H
+    repeated on every row — scalar columns only, because array-typed
+    final columns crash the driver's pandas canonicalization (r15).
 
     Exactness devices: global ranks come from the VALUE-COUNT table
     (agg_var_es discipline — never a row sort): the average rank of a
@@ -6195,16 +6202,6 @@ def agg_kruskal_wallis(events: DataFrame) -> DataFrame:
             + (r["r2_g"] * r["r2_g"]).cast("double") / r["n_g"].cast("double"),
         ).alias("s4"),  # Σ (2R_g)²/n_g  (4× the classic term)
         F.count(F.lit(1)).cast("long").alias("k"),
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("event_type", "r2_g", "n_g"))),
-            lambda r: F.floor(
-                r["r2_g"].cast("double")
-                / (F.lit(2.0) * r["n_g"].cast("double"))
-                * F.lit(1e4)
-                + F.lit(0.5)
-            )
-            / F.lit(1e4),
-        ).alias("mean_ranks"),
     )
     g = folded.crossJoin(ties)
     nd = F.col("n").cast("double")
@@ -6215,10 +6212,25 @@ def agg_kruskal_wallis(events: DataFrame) -> DataFrame:
     corr = F.lit(1.0) - F.col("tie3").cast("double") / (nd * nd * nd - nd)
     h = F.when(corr > 0, h_raw / corr)
     h6 = F.floor(h * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
-    return g.select(
+    # tie3 = Σ(t³−t) ≤ n³ only in the degenerate all-one-value case; on
+    # cents-diverse data it is tiny. BIGINT final (driver hash contract).
+    glob = g.select(
         "n",
         "k",
-        F.col("tie3").cast("decimal(38,0)").alias("tie3"),
+        F.col("tie3").cast("long").alias("tie3"),
         h6.alias("h_stat"),
-        "mean_ranks",
     )
+    per_type = joined.select(
+        "event_type",
+        "n_g",
+        (
+            F.floor(
+                F.col("r2_g").cast("double")
+                / (F.lit(2.0) * F.col("n_g").cast("double"))
+                * F.lit(1e4)
+                + F.lit(0.5)
+            )
+            / F.lit(1e4)
+        ).alias("mean_rank"),
+    )
+    return per_type.crossJoin(F.broadcast(glob))

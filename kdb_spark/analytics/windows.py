@@ -2905,7 +2905,9 @@ def win_tick_bars(events: DataFrame, ticks: int = 100) -> DataFrame:
             F.max("x").cast("long").alias("high_c"),
             F.min("x").cast("long").alias("low_c"),
             F.max_by("x", "rn").cast("long").alias("close_c"),
-            F.sum(F.col("x").cast("decimal(38,0)")).alias("sum_c"),
+            # BIGINT final: a 100-tick bar sum is ≤ 100·max cents —
+            # decimal(38,0) outputs break the driver hash (r15 FAIL)
+            F.sum(F.col("x").cast("decimal(38,0)")).cast("long").alias("sum_c"),
             F.min("ts_us").cast("long").alias("bar_start_us"),
             F.max("ts_us").cast("long").alias("bar_end_us"),
         )

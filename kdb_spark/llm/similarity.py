@@ -1780,9 +1780,11 @@ def emb_random_projection(
         (F.col(f"p{j}") * F.col(f"p{j}") for j in range(k)),
         F.lit(0).cast("long"),
     )
+    # scalar p0..p{k-1} columns (NOT an array) — the driver's pandas
+    # canonicalization cannot hash list cells (r15 harness FAIL)
     return wide.select(
         "vec_id",
-        F.array(*[F.col(f"p{j}") for j in range(k)]).alias("proj"),
+        *[F.col(f"p{j}") for j in range(k)],
         "qnorm2",
         pnorm.cast("long").alias("pnorm2"),
     )
@@ -1804,9 +1806,10 @@ def emb_dispersion(embeddings: DataFrame, grid: int = 1 << 20) -> DataFrame:
     rows shuffle), ‖S‖² and the final rational go through decimal(38,0)
     and the signed device at 6 dp (scaled by grid² to stay readable).
 
-    Output per label: n, sum_norm2 (Σ‖q‖², grid² units), sumvec_norm2
-    (‖Σq‖²), mean_pair_dot (the identity ratio, 6 dp, grid²-normalized
-    to raw embedding units).
+    Output per label: n and mean_pair_dot (the identity ratio, 6 dp,
+    grid²-normalized to raw embedding units). The grid²-scaled norm
+    sums stay internal — they exceed int64 for large labels and
+    decimal final columns break the cross-engine hash contract.
     """
     from kdb_spark.analytics.exact import iround_col
 
@@ -1843,10 +1846,12 @@ def emb_dispersion(embeddings: DataFrame, grid: int = 1 << 20) -> DataFrame:
         6,
         signed=True,
     )
+    # the grid²-scaled norms (≈2^40·Σx²) stay INTERNAL decimals; the
+    # output carries only n and the normalized ratio — decimal(38,0)
+    # final columns hash differently at the driver (r15 FAIL class) and
+    # can genuinely exceed int64 for n ≳ 3k vectors per label
     return g.filter(F.col("n") > 1).select(
         F.col("label").cast("long").alias("label"),
         "n",
-        F.col("sum_norm2").cast("decimal(38,0)").alias("sum_norm2"),
-        F.col("sumvec_norm2").cast("decimal(38,0)").alias("sumvec_norm2"),
         mean6.alias("mean_pair_dot"),
     )

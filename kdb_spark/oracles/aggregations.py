@@ -3016,8 +3016,8 @@ _reg(
                (acc, v) -> acc + v) AS a
       FROM cells GROUP BY 1)
     SELECT tot.event_type, tot.n,
-           CAST(tot.s AS DECIMAL(38,0)) AS sum_c,
-           CAST(tot.t AS DECIMAL(38,0)) AS sumsq_c,
+           CAST(tot.s AS BIGINT) AS sum_c,
+           CAST(tot.t AS BIGINT) AS sumsq_c,
            CASE WHEN CAST(tot.n AS DOUBLE) * CAST(tot.t AS DOUBLE)
                      - CAST(tot.s * tot.s AS DOUBLE) > 0
                 THEN floor((CAST(tot.n AS DOUBLE) * folded.a
@@ -3068,11 +3068,12 @@ _reg(
             list(CAST(r2_g * r2_g AS DOUBLE) / CAST(n_g AS DOUBLE)
                  ORDER BY event_type)),
           (acc, v) -> acc + v) AS s4,
-        CAST(count(*) AS BIGINT) AS k,
-        list(floor(CAST(r2_g AS DOUBLE) / (2.0 * CAST(n_g AS DOUBLE))
-                   * 1e4 + 0.5) / 1e4 ORDER BY event_type) AS mean_ranks
+        CAST(count(*) AS BIGINT) AS k
       FROM per_g)
-    SELECT t.n, f.k, CAST(t.tie3 AS DECIMAL(38,0)) AS tie3,
+    SELECT p.event_type, p.n_g,
+           floor(CAST(p.r2_g AS DOUBLE) / (2.0 * CAST(p.n_g AS DOUBLE))
+                 * 1e4 + 0.5) / 1e4 AS mean_rank,
+           t.n, f.k, CAST(t.tie3 AS BIGINT) AS tie3,
            CASE WHEN 1.0 - CAST(t.tie3 AS DOUBLE)
                       / (CAST(t.n AS DOUBLE) * t.n * t.n - t.n) > 0
                 THEN floor(
@@ -3081,8 +3082,7 @@ _reg(
                   / (1.0 - CAST(t.tie3 AS DOUBLE)
                      / (CAST(t.n AS DOUBLE) * t.n * t.n - t.n))
                   * 1e6 + 0.5) / 1e6
-           END AS h_stat,
-           f.mean_ranks
-    FROM folded f, ties t
+           END AS h_stat
+    FROM per_g p, folded f, ties t
     """,
 )

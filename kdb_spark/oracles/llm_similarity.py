@@ -1034,10 +1034,17 @@ _reg(
       FROM q, range(0, 8) t(j)),
     agg AS (
       SELECT vec_id,
-             array_agg(p ORDER BY j) AS proj,
+             CAST(sum(CASE WHEN j = 0 THEN p END) AS BIGINT) AS p0,
+             CAST(sum(CASE WHEN j = 1 THEN p END) AS BIGINT) AS p1,
+             CAST(sum(CASE WHEN j = 2 THEN p END) AS BIGINT) AS p2,
+             CAST(sum(CASE WHEN j = 3 THEN p END) AS BIGINT) AS p3,
+             CAST(sum(CASE WHEN j = 4 THEN p END) AS BIGINT) AS p4,
+             CAST(sum(CASE WHEN j = 5 THEN p END) AS BIGINT) AS p5,
+             CAST(sum(CASE WHEN j = 6 THEN p END) AS BIGINT) AS p6,
+             CAST(sum(CASE WHEN j = 7 THEN p END) AS BIGINT) AS p7,
              CAST(sum(p * p) AS BIGINT) AS pnorm2
       FROM pj GROUP BY 1)
-    SELECT a.vec_id, a.proj,
+    SELECT a.vec_id, a.p0, a.p1, a.p2, a.p3, a.p4, a.p5, a.p6, a.p7,
            CAST(list_sum(list_transform(q.q, x -> x * x)) AS BIGINT)
              AS qnorm2,
            a.pnorm2
@@ -1074,8 +1081,6 @@ _reg(
       FROM norm n JOIN svec v ON n.label = v.label
       WHERE n.n > 1)
     SELECT CAST(label AS BIGINT) AS label, n,
-           CAST(sum_norm2 AS DECIMAL(38,0)) AS sum_norm2,
-           CAST(sumvec_norm2 AS DECIMAL(38,0)) AS sumvec_norm2,
            (CASE WHEN sumvec_norm2 - sum_norm2 < 0 THEN -1 ELSE 1 END)
            * CAST((2000000 * abs(sumvec_norm2 - sum_norm2)
                    + CAST(n AS HUGEINT) * (n - 1) * 1048576 * 1048576)

@@ -446,7 +446,7 @@ _reg(
       UNION ALL
       SELECT k, payload FROM snap WHERE slot NOT IN (0, 1, 2))
     SELECT CAST(count(*) AS BIGINT) AS n_rows,
-           CAST(sum(payload) AS DECIMAL(38,0)) AS sum_payload,
+           CAST(sum(payload) AS BIGINT) AS sum_payload,
            CAST(sum(CASE WHEN k >= 1000000000 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_inserted
     FROM applied
@@ -464,7 +464,7 @@ _reg(
            CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
            CAST(count(l.l_linenumber) AS BIGINT) AS n_items,
            CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
-                AS DECIMAL(38,0)) AS items_price_c,
+                AS BIGINT) AS items_price_c,
            CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS items_qty
     FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     WHERE o.o_orderstatus = 'F'

@@ -1824,7 +1824,7 @@ _reg(
            CAST(max(x) AS BIGINT) AS high_c,
            CAST(min(x) AS BIGINT) AS low_c,
            CAST(arg_max(x, rn) AS BIGINT) AS close_c,
-           CAST(sum(CAST(x AS HUGEINT)) AS DECIMAL(38,0)) AS sum_c,
+           CAST(sum(CAST(x AS HUGEINT)) AS BIGINT) AS sum_c,
            CAST(min(ts_us) AS BIGINT) AS bar_start_us,
            CAST(max(ts_us) AS BIGINT) AS bar_end_us
     FROM r GROUP BY 1, 2

@@ -1575,7 +1575,7 @@ def q_sink_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = cdc_apply(snap, changes, key="k")
     return out.agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
-        F.sum("payload").cast("decimal(38,0)").alias("sum_payload"),
+        F.sum("payload").cast("long").alias("sum_payload"),
         F.sum(F.when(F.col("k") >= 1_000_000_000, 1).otherwise(0))
         .cast("long")
         .alias("n_inserted"),
@@ -1652,6 +1652,6 @@ def q_scan_json_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ex.groupBy("o_orderpriority").agg(
         F.countDistinct("k").cast("long").alias("n_orders"),
         F.count("it.line_no").cast("long").alias("n_items"),
-        F.sum("it.price_c").cast("decimal(38,0)").alias("items_price_c"),
+        F.sum("it.price_c").cast("long").alias("items_price_c"),
         F.sum(F.col("it.qty")).cast("long").alias("items_qty"),
     )

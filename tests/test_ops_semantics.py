@@ -3988,7 +3988,7 @@ def test_emb_random_projection_signs_and_norms(spark):
 
         q = [math.floor(v * grid + 0.5) for v in vals]
         exp = [sum(q[i] * sign(i, j) for i in range(3)) for j in range(4)]
-        assert list(got[vid].proj) == exp
+        assert [got[vid][f"p{j}"] for j in range(4)] == exp
         assert got[vid].qnorm2 == sum(x * x for x in q)
         assert got[vid].pnorm2 == sum(p * p for p in exp)
     # one-hot: every |p_j| = |q_0|, so pnorm2 = k * qnorm2 exactly
@@ -4444,8 +4444,11 @@ def test_kruskal_wallis_hand_groups(spark):
     ev = spark.createDataFrame(
         rows, "event_id long, event_type string, ts_us long, value double"
     )
-    r = agg.agg_kruskal_wallis(ev).collect()[0]
-    assert (r.n, r.k) == (9, 3) and int(r.tie3) == 0
-    # rank sums 6/15/24 -> H = 12/90*(36/3+225/3+576/3) - 30 = 7.2
-    assert r.h_stat == 7.2
-    assert list(r.mean_ranks) == [2.0, 5.0, 8.0]
+    out = {r.event_type: r for r in agg.agg_kruskal_wallis(ev).collect()}
+    assert len(out) == 3  # long format: one row per type, globals repeated
+    for r in out.values():
+        assert (r.n, r.k, r.tie3) == (9, 3, 0)
+        # rank sums 6/15/24 -> H = 12/90*(36/3+225/3+576/3) - 30 = 7.2
+        assert r.h_stat == 7.2
+    assert [out[t].mean_rank for t in "abc"] == [2.0, 5.0, 8.0]
+    assert [out[t].n_g for t in "abc"] == [3, 3, 3]

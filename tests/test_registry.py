@@ -92,3 +92,39 @@ def test_latest_driver_snapshot_rotates_to_back():
     # only when there are ≥50 staler keys is the window fully theirs
     if len(staler) >= 50:
         assert not fresh & set(ks[:50])
+
+
+def test_no_forbidden_types_in_final_schemas(spark):
+    """Registry-wide FINAL-SCHEMA gate (VERDICT r15 #2): the driver's
+    pandas canonicalization crashes on Array/Map/Struct cells
+    (`unhashable type: 'list'`) and hash-mismatches Spark Decimal
+    objects against the DuckDB oracle's HUGEINT→float64 — so those four
+    types are forbidden in every `queries()` output schema. Builds each
+    plan at sf0.001 (schema only — nothing is executed beyond whatever
+    bounded driver-side work the builder itself does) and fails with the
+    full offender list so one run shows every latent carrier."""
+    from pyspark.sql import types as T
+
+    from tests.conftest import SF_DIR
+
+    sf = SF_DIR
+
+    forbidden = (T.ArrayType, T.MapType, T.StructType, T.DecimalType)
+    offenders = []
+    for name, fn in entry.queries().items():
+        try:
+            schema = fn(spark, sf).schema
+        except Exception as e:  # build errors are their own failure
+            offenders.append(f"{name}: BUILD ERROR {type(e).__name__}: {e}")
+            continue
+        bad = [
+            f"{f.name}:{f.dataType.simpleString()}"
+            for f in schema.fields
+            if isinstance(f.dataType, forbidden)
+        ]
+        if bad:
+            offenders.append(f"{name}: {', '.join(bad)}")
+    assert not offenders, (
+        "forbidden final-schema types (driver contract):\n  "
+        + "\n  ".join(offenders)
+    )

@@ -80,6 +80,7 @@ def main() -> int:
 
     import duckdb
     from pyspark.sql import SparkSession
+    from pyspark.sql import types as T
 
     import __spark_entry__ as entry
 
@@ -109,6 +110,33 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = qs[name](spark, args.sf)
+        except Exception:
+            print(f"FAIL {name}: spark error")
+            traceback.print_exc()
+            n_fail += 1
+            continue
+        # HARD schema gate (r16, from the r15 driver FAILs): the driver's
+        # pandas canonicalization cannot hash list/dict cells (Array/Map/
+        # Struct final columns crash it) and hashes Spark Decimal objects
+        # differently from DuckDB's HUGEINT→float64 — so these types are
+        # FORBIDDEN in any final schema, full stop.
+        bad_types = [
+            f"{f.name}:{f.dataType.simpleString()}"
+            for f in sdf.schema.fields
+            if isinstance(
+                f.dataType,
+                (T.ArrayType, T.MapType, T.StructType, T.DecimalType),
+            )
+        ]
+        if bad_types:
+            print(
+                f"FAIL {name}: forbidden final-schema type(s) — the driver "
+                f"crashes on array/map/struct cells and hash-mismatches "
+                f"decimals — {'; '.join(bad_types)}"
+            )
+            n_fail += 1
+            continue
+        try:
             spdf = sdf.toPandas()
         except Exception:
             print(f"FAIL {name}: spark error")
@@ -144,13 +172,17 @@ def main() -> int:
         dtype_warn = []
         for c in scols:
             sk, ok = spdf[c].dtype.kind, odf[c].dtype.kind
-            if {sk, ok} == {"i", "f"} and not (
-                odf[c].isna().any() or spdf[c].isna().any()
-            ):
+            # int-vs-float (HUGEINT/nullable-int coercion) AND
+            # object-vs-numeric (Decimal objects — the r15 blind spot):
+            # values_equal coerces, the driver's raw-value hash does not
+            hazard = {sk, ok} == {"i", "f"} or (
+                "O" in {sk, ok} and {sk, ok} & {"i", "f"}
+            )
+            if hazard and not (odf[c].isna().any() or spdf[c].isna().any()):
                 dtype_warn.append(f"{c}: spark={spdf[c].dtype} duck={odf[c].dtype}")
         if dtype_warn:
-            print(f"DTYPE-WARN {name}: int-vs-float column(s) — driver hash "
-                  f"hazard — {'; '.join(dtype_warn)}")
+            print(f"DTYPE-WARN {name}: cross-engine dtype split — driver "
+                  f"hash hazard — {'; '.join(dtype_warn)}")
         srows = normalize(spdf, scols)
         orows = normalize(odf, ocols)
         bad = None
