@@ -5653,9 +5653,14 @@ def agg_bootstrap_ci(events: DataFrame, reps: int = 32) -> DataFrame:
             ),
         )
     )
+    # sw=0 replicates (all-Poisson-zero, P≈e^-n per replicate — only
+    # reachable on tiny groups) yield NULL mean_b; Spark's Window.orderBy
+    # sorts NULLS FIRST, DuckDB NULLS LAST, so they must not reach the
+    # rank (ADVICE r15) — drop them on BOTH engines
     wr = Window.partitionBy("event_type").orderBy("mean_b", "b")
     picks = (
-        rep.withColumn("rn", F.row_number().over(wr))
+        rep.filter(F.col("sw") > 0)
+        .withColumn("rn", F.row_number().over(wr))
         .filter(F.col("rn").isin(2, reps - 1))
         .groupBy("event_type")
         .agg(
@@ -5699,6 +5704,18 @@ def agg_permutation_test(
     Scale shape: one 32× map-side explode absorbed by the partial hash
     agg (2·reps rows cross the wire), one broadcast of the 2-row
     observed aggregate. Nothing driver-side.
+
+    DISCLOSED DECIMAL BOUND (the permutation-test analog of the cents-
+    grid bounds): the cross-multiplied comparison is a quadruple product
+    ≈ |Σx|·n³ ≈ mean_cents·n⁴, which exceeds decimal(38,0) around
+    n ≈ 5e8 rows in the two compared types (mean ~1e4 cents) — past
+    that, non-ANSI Spark NULLs the comparison and silently drops it
+    from n_exceed. Reducing by gcd-style common factors does not change
+    the asymptotics (every common-denominator form of the mean
+    comparison carries an n³ product), so the bound is documented
+    rather than papered over; beyond it, pre-aggregate to a coarser
+    unit (dollars: /100 → n ≈ 1.6e9) or subsample per the test's own
+    Monte Carlo contract.
     """
     from kdb_spark.analytics.exact import iround_col
 

@@ -1748,7 +1748,16 @@ def emb_random_projection(
     """
     import hashlib
 
-    d = embeddings.select(F.size("embedding")).limit(1).collect()[0][0]
+    probe = embeddings.select(F.size("embedding")).limit(1).collect()
+    if not probe:
+        raise ValueError(
+            "emb_random_projection: embeddings table is empty — cannot "
+            "probe dimensionality"
+        )
+    d = probe[0][0]
+    # uniform-dim contract: the sign matrix is d×k; a ragged row with a
+    # different dim would zip_with-pad to NULL projections silently, so
+    # fail loudly instead (one map-side reduction, no extra shuffle)
 
     def sign(i: int, j: int) -> int:
         return 1 if hashlib.md5(f"{i}:{j}".encode()).hexdigest()[0] <= "7" else -1
@@ -1759,7 +1768,16 @@ def emb_random_projection(
             "long"
         ),
     )
-    base = embeddings.select("vec_id", q.alias("q"))
+    guarded_q = F.when(F.size("embedding") == F.lit(d), q).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("emb_random_projection: ragged embedding dim "),
+                F.size("embedding").cast("string"),
+                F.lit(f" != probed {d}"),
+            )
+        )
+    )
+    base = embeddings.select("vec_id", guarded_q.alias("q"))
     projs = [
         F.aggregate(
             F.zip_with(

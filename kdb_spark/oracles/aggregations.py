@@ -2678,7 +2678,7 @@ _reg(
                * CAST((2000000 * abs(swx) + 100 * CAST(sw AS HUGEINT))
                       // (2 * 100 * CAST(sw AS HUGEINT)) AS DOUBLE) / 1e6
              END AS mean_b
-      FROM rep),
+      FROM rep WHERE sw > 0),
     rk AS (
       SELECT event_type, mean_b,
              row_number() OVER (PARTITION BY event_type

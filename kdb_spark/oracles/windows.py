@@ -1775,15 +1775,18 @@ _reg(
       SELECT event_type,
              epoch_us(ts) - epoch_us(ts) % {HOUR_US} AS hour_us,
              -- DuckDB 1.0 arg_min/max reject struct keys: pack the
-             -- (ts, event_id) tiebreak into one HUGEINT (1e9 stride
-             -- >> any per-µs event count at driver scale)
+             -- (ts, event_id) tiebreak into one HUGEINT. Stride 10^19
+             -- exceeds the whole non-negative BIGINT event_id domain
+             -- (max 9.2e18), so the packing is collision-free by TYPE,
+             -- not by fixture assumption (ADVICE r15); ts_us·10^19
+             -- ~ 1.7e34 stays inside HUGEINT
              arg_min(CAST(round(value * 100) AS BIGINT),
-                     CAST(epoch_us(ts) AS HUGEINT) * 1000000000
+                     CAST(epoch_us(ts) AS HUGEINT) * 10000000000000000000
                      + event_id) AS o,
              max(CAST(round(value * 100) AS BIGINT)) AS h,
              min(CAST(round(value * 100) AS BIGINT)) AS l,
              arg_max(CAST(round(value * 100) AS BIGINT),
-                     CAST(epoch_us(ts) AS HUGEINT) * 1000000000
+                     CAST(epoch_us(ts) AS HUGEINT) * 10000000000000000000
                      + event_id) AS cl
       FROM events GROUP BY 1, 2),
     x AS (
