@@ -51,3 +51,16 @@ class ConcurrentWriteError(KdbSparkError):
     committing the stale plan would silently drop the concurrent commit
     (lost update). Same contract as Delta's ConcurrentAppendException.
     """
+
+
+class CorruptManifestError(KdbSparkError):
+    """A versioned-table manifest is torn or garbled: truncated/invalid
+    JSON, wrong shape, or a version field that disagrees with its file
+    name. The read fails LOUDLY instead of silently serving a partial
+    file set — the engine analog of the reference's corrupt-index-load
+    detection (`mindex/mindex.go:198-210`: a truncated/overrun index
+    element errors the load; only the pre-allocated zero tail is
+    tolerated). Intact versions of the same table remain readable by
+    explicit version pin — corruption is per-manifest, never
+    table-poisoning.
+    """

@@ -15,7 +15,46 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from kdb_spark.analytics.exact import floor_div_sql
-from kdb_spark.errors import ConcurrentWriteError
+from kdb_spark.errors import ConcurrentWriteError, CorruptManifestError
+
+
+def _load_manifest(path: str, version: int) -> dict:
+    """Read + integrity-check one manifest of a versioned table.
+
+    Loud-failure contract (reference parity: `mindex/mindex.go:198-210`
+    errors a load on a truncated/overrun index element rather than
+    serving partial state): truncated or garbled JSON, a non-dict, a
+    missing/empty ``dirs`` list, or a ``version`` field disagreeing with
+    the file name all raise :class:`CorruptManifestError` naming the
+    file — never a silent partial read, never a fall-back to a different
+    snapshot than the one requested. Corruption is per-manifest: intact
+    versions of the same table stay readable by explicit pin.
+    """
+    import json
+    import os
+
+    f = os.path.join(path, "_log", f"{version}.json")
+    try:
+        with open(f) as fh:
+            m = json.load(fh)
+    except json.JSONDecodeError as e:
+        raise CorruptManifestError(
+            f"torn manifest {f}: invalid JSON ({e.msg} at pos {e.pos}) — "
+            f"refusing a partial read; other committed versions remain "
+            f"readable by explicit version pin"
+        ) from e
+    if (
+        not isinstance(m, dict)
+        or not isinstance(m.get("dirs"), list)
+        or not m["dirs"]
+        or not all(isinstance(d, str) for d in m["dirs"])
+        or m.get("version") != version
+    ):
+        raise CorruptManifestError(
+            f"garbled manifest {f}: expected {{version: {version}, dirs: "
+            f"[...]}}, got {str(m)[:200]!r}"
+        )
+    return m
 
 
 def scan_parquet(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
@@ -617,9 +656,9 @@ def sink_versioned(df: DataFrame, path: str, mode: str = "append") -> int:
     def make_manifest(n: int, versions: list[int]) -> dict:
         manifest = {"version": n, "mode": mode, "dirs": [rel]}
         if mode == "append" and versions:
-            log_dir = os.path.join(path, "_log")
-            with open(os.path.join(log_dir, f"{versions[-1]}.json")) as fh:
-                parent = json.load(fh)
+            # integrity-checked parent read: appending on top of a torn
+            # manifest would bake the corruption into every descendant
+            parent = _load_manifest(path, versions[-1])
             manifest["dirs"] = parent["dirs"] + [rel]
             # inherit the parent's partition map (established by a prior
             # partition-scoped sink_upsert) so a plain append doesn't
@@ -701,8 +740,7 @@ def scan_version(
         version = versions[-1]
     if version not in versions:
         raise ValueError(f"version {version} not in table log {versions}")
-    with open(os.path.join(log_dir, f"{version}.json")) as fh:
-        dirs = json.load(fh)["dirs"]
+    dirs = _load_manifest(path, version)["dirs"]
     return spark.read.parquet(*[os.path.join(path, d) for d in dirs])
 
 
@@ -738,8 +776,7 @@ def scan_changes(
         f = os.path.join(log_dir, f"{v}.json")
         if not os.path.isfile(f):
             raise ValueError(f"version {v} not committed at {path}")
-        with open(f) as fh:
-            return json.load(fh)["dirs"]
+        return _load_manifest(path, v)["dirs"]
 
     if to_version is None:
         versions = sorted(
@@ -958,8 +995,7 @@ def sink_upsert(
         else []
     )
     if versions:
-        with open(os.path.join(log_dir, f"{versions[-1]}.json")) as fh:
-            parent = json.load(fh)
+        parent = _load_manifest(path, versions[-1])
         dirs, parts = parent["dirs"], parent.get("parts", {})
     else:
         dirs, parts = [], {}  # bootstrap: first upsert creates the table
@@ -1269,8 +1305,10 @@ def sink_vacuum(path: str, keep_last: int = 2) -> dict:
     expire = [v for v in versions if v not in keep]
     referenced: set[str] = set()
     for v in keep:
-        with open(os.path.join(log_dir, f"{v}.json")) as fh:
-            referenced.update(json.load(fh)["dirs"])
+        # a torn surviving manifest must ABORT the vacuum before any
+        # unlink: its true file references are unknown, so deleting
+        # "unreferenced" data could destroy the rows it pins
+        referenced.update(_load_manifest(path, v)["dirs"])
     for v in expire:
         os.unlink(os.path.join(log_dir, f"{v}.json"))
     data_root = os.path.join(path, "data")
@@ -1362,10 +1400,10 @@ def scan_history(spark: SparkSession, path: str) -> DataFrame:
     for f in sorted(os.listdir(log_dir)):
         if not f.endswith(".json") or f.startswith("."):
             continue
-        with open(os.path.join(log_dir, f)) as fh:
-            m = json.load(fh)
+        m = _load_manifest(path, int(f.split(".")[0]))
         rows.append(
-            (int(m["version"]), m["mode"], len(m["dirs"]), len(m.get("parts", {})))
+            (int(m["version"]), m["mode"], len(m["dirs"]),
+             len(m.get("parts", {})))
         )
     rows.sort()
     return spark.createDataFrame(

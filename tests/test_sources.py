@@ -783,3 +783,81 @@ def test_scan_csv_malformed_quarantines_type_failures(spark, tmp_path):
         (2, "b", None, "2,b"),
         (3, "c", 4.0, "3,c,4.0,extra"),
     }
+
+
+def test_torn_manifest_fails_loudly_and_is_version_scoped(spark, tmp_path):
+    """Corrupt-manifest parity (VERDICT r15 #6; reference
+    `mindex/mindex.go:198-210` + `mindex_test.go:84-107`: a truncated/
+    overrun index element errors the load — corruption is detected, never
+    silently served). Engine analog: truncating or garbling one {n}.json
+    raises CorruptManifestError from EVERY reader (scan_version,
+    scan_changes, scan_history, append-on-top, vacuum), while intact
+    sibling versions stay readable by explicit pin — corruption is
+    per-manifest, never table-poisoning."""
+    import os
+
+    import pytest as _pt
+
+    from kdb_spark.errors import CorruptManifestError
+    from kdb_spark.sources import (
+        scan_changes,
+        scan_history,
+        scan_version,
+        sink_vacuum,
+        sink_versioned,
+    )
+
+    path = str(tmp_path / "vt")
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    df2 = spark.createDataFrame([(3, "c")], "id long, v string")
+    sink_versioned(df1, path, mode="overwrite")  # v0
+    sink_versioned(df2, path, mode="append")  # v1
+    sink_versioned(df2, path, mode="append")  # v2
+
+    m1 = os.path.join(path, "_log", "1.json")
+    intact = open(m1).read()
+
+    # --- truncated JSON (torn write / disk corruption)
+    with open(m1, "w") as fh:
+        fh.write(intact[: len(intact) // 2])
+    for reader in (
+        lambda: scan_version(spark, path, 1),
+        lambda: scan_changes(spark, path, 0, 1),
+        lambda: scan_history(spark, path),
+        lambda: sink_vacuum(path, keep_last=3),
+    ):
+        with _pt.raises(CorruptManifestError):
+            reader()
+    # version-scoped: intact snapshots stay readable by explicit pin
+    assert sorted(r.id for r in scan_version(spark, path, 0).collect()) == [1, 2]
+    assert scan_version(spark, path, 2).count() == 4
+
+    # --- valid JSON, garbled shape (dirs missing / version mismatch)
+    with open(m1, "w") as fh:
+        fh.write('{"version": 7, "mode": "append"}')
+    with _pt.raises(CorruptManifestError):
+        scan_version(spark, path, 1)
+
+    # --- appending on top of a torn LATEST manifest must refuse, not
+    # bake the corruption into the child manifest
+    m2 = os.path.join(path, "_log", "2.json")
+    with open(m2, "w") as fh:
+        fh.write("{not json")
+    with _pt.raises(CorruptManifestError):
+        sink_versioned(df2, path, mode="append")
+
+    # --- vacuum aborts BEFORE deleting anything it cannot prove dead:
+    # every committed manifest and every data dir survives the failure
+    logs_before = sorted(os.listdir(os.path.join(path, "_log")))
+    data_before = sorted(os.listdir(os.path.join(path, "data")))
+    with _pt.raises(CorruptManifestError):
+        sink_vacuum(path, keep_last=3)
+    assert sorted(os.listdir(os.path.join(path, "_log"))) == logs_before
+    assert sorted(os.listdir(os.path.join(path, "data"))) == data_before
+
+    # --- repair (restore the intact bytes) fully recovers both versions
+    with open(m1, "w") as fh:
+        fh.write(intact)
+    with open(m2, "w") as fh:
+        fh.write(intact.replace('"version": 1', '"version": 2'))
+    assert scan_version(spark, path, 1).count() == 3
