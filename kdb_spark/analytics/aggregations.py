@@ -6251,3 +6251,165 @@ def agg_kruskal_wallis(events: DataFrame) -> DataFrame:
         ).alias("mean_rank"),
     )
     return per_type.crossJoin(F.broadcast(glob))
+
+
+def agg_welch_t(
+    events: DataFrame, type_a: str = "click", type_b: str = "purchase"
+) -> DataFrame:
+    """Welch's unequal-variance two-sample t between two event types —
+    the parametric counterpart of `agg_permutation_test` (same A/B
+    question, normal-theory answer with the Welch–Satterthwaite df
+    instead of resampling) and the significance companion of
+    `agg_cohens_d` (which reports effect size with a POOLED variance;
+    Welch never pools, so unequal spread can't masquerade as a mean
+    shift).
+
+    EXACT: each side reduces to integer sufficient statistics (n, Σx,
+    Σx² on the cents grid in decimal(38,0)); mean/variance/t/df are then
+    a FIXED chain of IEEE doubles from those exact ints — identical on
+    both engines with no accumulation-order tolerance — and the surfaced
+    t/df go through the floor device at 6 dp. mean_diff is the exact
+    rational (Σa·n_b − Σb·n_a)/(100·n_a·n_b) via the signed device.
+    Degenerate sides (n < 2 or zero variance) emit NULL t/df.
+
+    Scale shape: ONE partial hash agg over the two filtered types (map-
+    side combine; 2 rows cross the wire), then scalar arithmetic. The
+    filter prunes at the scan. Nothing driver-side.
+    """
+    dec = "decimal(38,0)"
+    x = cents("value")
+    two = events.filter(F.col("event_type").isin(type_a, type_b))
+    g = two.groupBy().agg(
+        *[
+            f
+            for t, tag in ((type_a, "a"), (type_b, "b"))
+            for f in (
+                F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
+                .cast("long")
+                .alias(f"n_{tag}"),
+                F.sum(F.when(F.col("event_type") == t, x).cast(dec)).alias(
+                    f"s_{tag}"
+                ),
+                F.sum(
+                    F.when(F.col("event_type") == t, x * x).cast(dec)
+                ).alias(f"t_{tag}"),
+            )
+        ]
+    )
+
+    def var_over_n(tag: str) -> F.Column:
+        # (sample variance)/n in cents², one double from exact ints:
+        # (n·Σx² − (Σx)²) / (n²(n−1))
+        n = F.col(f"n_{tag}").cast(dec)
+        num = (n * F.col(f"t_{tag}") - F.col(f"s_{tag}") * F.col(f"s_{tag}")).cast(
+            "double"
+        )
+        den = (n * n * (n - 1)).cast("double")
+        return num / den
+
+    va_n, vb_n = var_over_n("a"), var_over_n("b")
+    se2 = va_n + vb_n
+    md = (
+        F.col("s_a").cast("double") / F.col("n_a").cast("double")
+        - F.col("s_b").cast("double") / F.col("n_b").cast("double")
+    )
+    t_raw = md / F.sqrt(se2)
+    df_raw = (se2 * se2) / (
+        va_n * va_n / (F.col("n_a") - 1).cast("double")
+        + vb_n * vb_n / (F.col("n_b") - 1).cast("double")
+    )
+    ok = (F.col("n_a") > 1) & (F.col("n_b") > 1) & (se2 > 0)
+    f6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    diff6 = iround_col(
+        "s_a * CAST(n_b AS DECIMAL(38,0)) - s_b * CAST(n_a AS DECIMAL(38,0))",
+        "100 * CAST(n_a AS DECIMAL(38,0)) * n_b",
+        6,
+        signed=True,
+    )
+    return g.select(
+        "n_a",
+        "n_b",
+        diff6.alias("mean_diff_usd"),
+        F.when(ok, f6(t_raw)).alias("t_stat"),
+        F.when(ok, f6(df_raw)).alias("df"),
+    )
+
+
+def agg_ljung_box(events: DataFrame, max_lag: int = 5) -> DataFrame:
+    """Ljung–Box portmanteau white-noise test per event_type: are the
+    first ``max_lag`` autocorrelations jointly zero? The SERIES-LEVEL
+    companion of `agg_autocorr` (which reports lag-1 per user-series):
+    Q ~ χ²(max_lag) under independence, so a large Q says the type's
+    value stream has structure — the pre-flight check before trusting
+    any iid-assuming statistic in this registry on that stream.
+
+    EXACT: the global print order is (ts_us, event_id); every rho_k is a
+    ratio of exact integers via the n²-scaled centering device —
+    Σ(x_t−x̄)(x_{t−k}−x̄) · n² = n²·Σx_t·x_{t−k} − n·S·(Σ_t x + Σ_{t−k} x)
+    + (n−k)·S² — all decimal(38,0) from cents, so rho_k is ONE double
+    per lag (num/(n·den)) and Q folds the five rho²/(n−k) terms in
+    WRITTEN order (a literal left-to-right sum — the same IEEE chain on
+    both engines). Surfaced rho_k and Q use the floor device at 6 dp.
+    DISCLOSED BOUND: n²·Σ(x·lag) caps decimal(38,0) near 1e8 rows per
+    type at ~1e6 max cents — the permutation-test class, documented.
+
+    Scale shape: one per-type window (the engine's standard series sort)
+    to lag 5 columns, then ONE partial hash agg — |types| rows cross the
+    wire. The per-type global sort is the gini/tick_bars disclosed
+    posture: the statistic is DEFINED by the type's total print order.
+    """
+    dec = "decimal(38,0)"
+    w = Window.partitionBy("event_type").orderBy("ts_us", "event_id")
+    x = cents("value")
+    r = events.select("event_type", "ts_us", "event_id", x.alias("x"))
+    for k in range(1, max_lag + 1):
+        r = r.withColumn(f"l{k}", F.lag("x", k).over(w))
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("s"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("t"),
+    ]
+    for k in range(1, max_lag + 1):
+        lk = F.col(f"l{k}")
+        aggs += [
+            F.sum((F.col("x") * lk).cast(dec)).alias(f"sxy{k}"),
+            F.sum(F.when(lk.isNotNull(), F.col("x")).cast(dec)).alias(f"sx{k}"),
+            F.sum(lk.cast(dec)).alias(f"sy{k}"),
+            F.count(lk).cast("long").alias(f"c{k}"),
+        ]
+    g = r.groupBy("event_type").agg(*aggs)
+    n = F.col("n").cast(dec)
+    den = (n * F.col("t") - F.col("s") * F.col("s")).alias("den")
+    g = g.withColumn("den", den)
+    rhos = []
+    for k in range(1, max_lag + 1):
+        num = (
+            n * n * F.col(f"sxy{k}")
+            - n * F.col("s") * (F.col(f"sx{k}") + F.col(f"sy{k}"))
+            + F.col(f"c{k}").cast(dec) * F.col("s") * F.col("s")
+        )
+        # den=0 (zero variance) must not reach the divide — ANSI mode
+        # (Spark 4 default) throws instead of yielding inf/NaN
+        rhos.append(
+            F.when(
+                F.col("den") > 0,
+                num.cast("double") / (n * F.col("den")).cast("double"),
+            ).alias(f"rho{k}_raw")
+        )
+    g = g.select("event_type", "n", "den", *rhos)
+    nd = F.col("n").cast("double")
+    # literal left-to-right sum — the written order IS the fold order
+    q_sum = F.lit(0.0)
+    for k in range(1, max_lag + 1):
+        q_sum = q_sum + F.col(f"rho{k}_raw") * F.col(f"rho{k}_raw") / (
+            nd - F.lit(float(k))
+        )
+    q_raw = nd * (nd + F.lit(2.0)) * q_sum
+    f6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    ok = (F.col("n") > max_lag) & (F.col("den") > 0)
+    return g.select(
+        "event_type",
+        "n",
+        *[F.when(ok, f6(F.col(f"rho{k}_raw"))).alias(f"rho{k}") for k in range(1, max_lag + 1)],
+        F.when(ok, f6(q_raw)).alias("q_stat"),
+    )

@@ -797,3 +797,35 @@ def graph_modularity(edges: DataFrame, rounds: int = 4) -> DataFrame:
         "d_tot",
         q6.alias("q_term"),
     )
+
+
+def clustering_coeff(edges: DataFrame) -> DataFrame:
+    """Local clustering coefficient per vertex: C(v) = 2·tri(v) /
+    (deg(v)·(deg(v)−1)) — how close each vertex's neighborhood is to a
+    clique, THE standard local-density companion of `triangle_count`
+    (Watts–Strogatz small-world statistic; the reference-free way to
+    find tightly-knit co-purchase pockets vs hub-and-spoke customers).
+
+    EXACT: triangles and degrees are exact integers from the skew-safe
+    degree-ordered enumeration (reused verbatim — ONE extra projection,
+    zero extra joins/shuffles on top of `triangle_count`); the
+    coefficient is the exact rational 2·tri/(deg·(deg−1)) through the
+    unsigned device at 6 dp. deg < 2 → NULL (undefined, not 0 — a
+    leaf's neighborhood has no possible edge to close).
+
+    Scale shape: inherits triangle_count's plan (two |E| joins +
+    broadcast degrees, hub-linear wedge enumeration); the division is a
+    map-side expression on the |V|-sized rollup.
+    """
+    from kdb_spark.analytics.exact import iround_col
+
+    t = triangle_count(edges)
+    coeff = iround_col(
+        "2 * n_tri", "CAST(deg AS DECIMAL(38,0)) * (deg - 1)", 6, signed=False
+    )
+    return t.select(
+        "v",
+        "deg",
+        "n_tri",
+        F.when(F.col("deg") >= 2, coeff).alias("coeff"),
+    )

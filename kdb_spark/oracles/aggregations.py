@@ -3086,3 +3086,125 @@ _reg(
     FROM per_g p, folded f, ties t
     """,
 )
+
+
+_reg(
+    "agg_welch_t",
+    lambda s, d: agg.agg_welch_t(events_us(s, d)),
+    # identical arithmetic: exact cents sufficient stats, the SAME fixed
+    # IEEE double chain for mean/var/t/df, floor device at 6 dp, signed
+    # device for the exact-rational mean diff
+    """
+    WITH g AS (
+      SELECT
+        CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        sum(CASE WHEN event_type = 'click'
+                 THEN CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT) END) AS s_a,
+        sum(CASE WHEN event_type = 'click'
+                 THEN CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT)
+                      * CAST(round(value * 100) AS BIGINT) END) AS t_a,
+        CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        sum(CASE WHEN event_type = 'purchase'
+                 THEN CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT) END) AS s_b,
+        sum(CASE WHEN event_type = 'purchase'
+                 THEN CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT)
+                      * CAST(round(value * 100) AS BIGINT) END) AS t_b
+      FROM events WHERE event_type IN ('click', 'purchase')),
+    v AS (
+      SELECT n_a, n_b, s_a, s_b,
+             CAST(n_a * t_a - s_a * s_a AS DOUBLE)
+               / CAST(CAST(n_a AS HUGEINT) * n_a * (n_a - 1) AS DOUBLE) AS va_n,
+             CAST(n_b * t_b - s_b * s_b AS DOUBLE)
+               / CAST(CAST(n_b AS HUGEINT) * n_b * (n_b - 1) AS DOUBLE) AS vb_n
+      FROM g)
+    SELECT n_a, n_b,
+           (CASE WHEN s_a * n_b - s_b * n_a < 0 THEN -1 ELSE 1 END)
+           * CAST((2000000 * abs(s_a * n_b - s_b * n_a)
+                   + 100 * CAST(n_a AS HUGEINT) * n_b)
+                  // (2 * 100 * CAST(n_a AS HUGEINT) * n_b) AS DOUBLE) / 1e6
+             AS mean_diff_usd,
+           CASE WHEN n_a > 1 AND n_b > 1 AND va_n + vb_n > 0 THEN
+             floor((CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                    - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                   / sqrt(va_n + vb_n) * 1e6 + 0.5) / 1e6
+           END AS t_stat,
+           CASE WHEN n_a > 1 AND n_b > 1 AND va_n + vb_n > 0 THEN
+             floor((va_n + vb_n) * (va_n + vb_n)
+                   / (va_n * va_n / CAST(n_a - 1 AS DOUBLE)
+                      + vb_n * vb_n / CAST(n_b - 1 AS DOUBLE)) * 1e6 + 0.5)
+               / 1e6
+           END AS df
+    FROM v
+    """,
+)
+
+
+def _ljung_box_oracle(max_lag: int = 5) -> str:
+    lag_cols = ",\n             ".join(
+        f"lag(x, {k}) OVER (PARTITION BY event_type "
+        f"ORDER BY ts_us, event_id) AS l{k}"
+        for k in range(1, max_lag + 1)
+    )
+    pair_aggs = ",\n             ".join(
+        f"sum(CAST(x AS HUGEINT) * l{k}) AS sxy{k},\n"
+        f"             sum(CASE WHEN l{k} IS NOT NULL "
+        f"THEN CAST(x AS HUGEINT) END) AS sx{k},\n"
+        f"             sum(CAST(l{k} AS HUGEINT)) AS sy{k},\n"
+        f"             CAST(count(l{k}) AS BIGINT) AS c{k}"
+        for k in range(1, max_lag + 1)
+    )
+    rho_cols = ",\n             ".join(
+        f"CAST(CAST(n AS HUGEINT) * n * sxy{k}"
+        f" - CAST(n AS HUGEINT) * s * (sx{k} + sy{k})"
+        f" + CAST(c{k} AS HUGEINT) * s * s AS DOUBLE)"
+        f" / CAST(CAST(n AS HUGEINT) * den AS DOUBLE) AS rho{k}_raw"
+        for k in range(1, max_lag + 1)
+    )
+    q_sum = " + ".join(
+        f"rho{k}_raw * rho{k}_raw / (CAST(n AS DOUBLE) - {k}.0)"
+        for k in range(1, max_lag + 1)
+    )
+    rho_out = ",\n           ".join(
+        f"CASE WHEN n > {max_lag} AND den > 0 THEN "
+        f"floor(rho{k}_raw * 1e6 + 0.5) / 1e6 END AS rho{k}"
+        for k in range(1, max_lag + 1)
+    )
+    return f"""
+    WITH r AS (
+      SELECT event_type, epoch_us(ts) AS ts_us, event_id,
+             CAST(round(value * 100) AS BIGINT) AS x
+      FROM events),
+    lagged AS (
+      SELECT event_type, x,
+             {lag_cols}
+      FROM r),
+    g AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(x AS HUGEINT)) AS s,
+             sum(CAST(x AS HUGEINT) * x) AS t,
+             {pair_aggs}
+      FROM lagged GROUP BY 1),
+    d AS (
+      SELECT *, CAST(n AS HUGEINT) * t - s * s AS den FROM g),
+    rho AS (
+      SELECT event_type, n, den,
+             {rho_cols}
+      FROM d)
+    SELECT event_type, n,
+           {rho_out},
+           CASE WHEN n > {max_lag} AND den > 0 THEN
+             floor(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0)
+                   * ({q_sum}) * 1e6 + 0.5) / 1e6
+           END AS q_stat
+    FROM rho
+    """
+
+
+_reg(
+    "agg_ljung_box",
+    lambda s, d: agg.agg_ljung_box(events_us(s, d)),
+    # the n²-scaled centering device: every rho_k is one double from
+    # exact HUGEINT sums, Q folds rho²/(n−k) in WRITTEN order
+    _ljung_box_oracle(),
+)

@@ -382,3 +382,40 @@ _reg(
     ),
     _modularity_oracle(),
 )
+
+
+# Local clustering coefficient: the triangle oracle's per-vertex census
+# plus the exact-rational 2·tri/(deg·(deg−1)) via the unsigned device
+_reg(
+    "graph_clustering_coeff",
+    lambda s, d: gr.clustering_coeff(
+        gr.co_purchase_edges(
+            load(s, d, "orders"), load(s, d, "lineitem"), max_per_part=500
+        )
+    ),
+    """
+    WITH cp AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    e AS (SELECT a.c AS a, b.c AS b FROM cp a JOIN cp b
+          ON a.p = b.p AND a.c < b.c
+          GROUP BY 1, 2 HAVING count(*) >= 3),
+    d AS (SELECT v, count(*) AS deg FROM
+            (SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+    tri AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w
+            FROM e e1 JOIN e e2 ON e2.a = e1.b
+                      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+    x AS (SELECT u AS v FROM tri UNION ALL SELECT v FROM tri
+          UNION ALL SELECT w FROM tri),
+    t AS (SELECT v, CAST(count(*) AS BIGINT) AS n_tri FROM x GROUP BY 1),
+    m AS (SELECT CAST(d.v AS BIGINT) AS v, CAST(d.deg AS BIGINT) AS deg,
+                 coalesce(t.n_tri, 0) AS n_tri
+          FROM d LEFT JOIN t USING (v))
+    SELECT v, deg, n_tri,
+           CASE WHEN deg >= 2 THEN
+             CAST((2000000 * CAST(2 * n_tri AS HUGEINT)
+                   + CAST(deg AS HUGEINT) * (deg - 1))
+                  // (2 * CAST(deg AS HUGEINT) * (deg - 1)) AS DOUBLE) / 1e6
+           END AS coeff
+    FROM m
+    """,
+)

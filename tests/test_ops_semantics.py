@@ -4452,3 +4452,104 @@ def test_kruskal_wallis_hand_groups(spark):
         assert r.h_stat == 7.2
     assert [out[t].mean_rank for t in "abc"] == [2.0, 5.0, 8.0]
     assert [out[t].n_g for t in "abc"] == [3, 3, 3]
+
+
+def test_welch_t_hand_groups(spark):
+    """Textbook Welch: a=[1..4], b=[2,4,..,10] USD — the t/df chain is
+    replicated in Python floats from the same exact integer stats, so the
+    assertion is bit-for-bit (floor device at 6 dp), not approximate."""
+    import math
+
+    from kdb_spark.analytics import aggregations as agg
+
+    a, b = [1.0, 2.0, 3.0, 4.0], [2.0, 4.0, 6.0, 8.0, 10.0]
+    rows = [(i, "click", 0, v) for i, v in enumerate(a)] + [
+        (10 + i, "purchase", 0, v) for i, v in enumerate(b)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts_us long, value double"
+    )
+    r = agg.agg_welch_t(ev).collect()[0]
+    xa, xb = [int(v * 100) for v in a], [int(v * 100) for v in b]
+    na, nb, sa, sb = len(xa), len(xb), sum(xa), sum(xb)
+    ta, tb = sum(v * v for v in xa), sum(v * v for v in xb)
+    va_n = (na * ta - sa * sa) / (na * na * (na - 1))
+    vb_n = (nb * tb - sb * sb) / (nb * nb * (nb - 1))
+    se2 = va_n + vb_n
+    t_exp = math.floor((sa / na - sb / nb) / math.sqrt(se2) * 1e6 + 0.5) / 1e6
+    df_exp = (
+        math.floor(
+            se2 * se2 / (va_n * va_n / (na - 1) + vb_n * vb_n / (nb - 1)) * 1e6
+            + 0.5
+        )
+        / 1e6
+    )
+    assert (r.n_a, r.n_b) == (4, 5)
+    assert r.mean_diff_usd == -3.5
+    assert r.t_stat == t_exp and r.df == df_exp
+    # and the classic sanity values
+    assert abs(r.t_stat - (-2.251436)) < 1e-5
+    assert abs(r.df - 5.520788) < 1e-3
+
+
+def test_ljung_box_hand_series(spark):
+    """rho_k and Q replicated in exact Python ints/floats for a small
+    alternating series (strong negative rho1), plus the white-noise
+    degenerate guards (constant series -> NULLs)."""
+    import math
+
+    from kdb_spark.analytics import aggregations as agg
+
+    vals = [1.0, 2.0, 1.0, 2.0, 1.0, 2.0, 1.0, 2.0, 1.0, 2.0]
+    rows = [(i, "alt", i * 1000, v) for i, v in enumerate(vals)] + [
+        (100 + i, "flat", i * 1000, 5.0) for i in range(8)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts_us long, value double"
+    )
+    got = {r.event_type: r for r in agg.agg_ljung_box(ev).collect()}
+
+    x = [int(v * 100) for v in vals]
+    n, s = len(x), sum(x)
+    den = n * sum(v * v for v in x) - s * s
+    rho_raw = []
+    for k in range(1, 6):
+        pairs = list(zip(x[k:], x[:-k]))
+        sxy = sum(a * b for a, b in pairs)
+        sx = sum(a for a, _ in pairs)
+        sy = sum(b for _, b in pairs)
+        num = n * n * sxy - n * s * (sx + sy) + len(pairs) * s * s
+        rho_raw.append(num / (n * den))
+    q = 0.0
+    for k, rho in enumerate(rho_raw, start=1):
+        q += rho * rho / (n - k)
+    q *= n * (n + 2)
+    alt = got["alt"]
+    for k, rho in enumerate(rho_raw, start=1):
+        assert alt[f"rho{k}"] == math.floor(rho * 1e6 + 0.5) / 1e6
+    assert alt.q_stat == math.floor(q * 1e6 + 0.5) / 1e6
+    # alternating series: rho1 near -1 (negative persistence)
+    assert alt.rho1 < -0.8
+    flat = got["flat"]
+    assert flat.q_stat is None and flat.rho1 is None  # zero variance
+
+
+def test_clustering_coeff_hand_graph(spark):
+    """K4 minus one edge: the two degree-3 hubs close 2 of 3 possible
+    neighbor pairs (C=2/3... actually 1 triangle pair of 3), the two
+    degree-2 vertices sit in 1 triangle each over 1 possible pair (C=1);
+    a pendant leaf gets NULL."""
+    from kdb_spark.analytics import graph as gr
+
+    # vertices 1-4: K4 minus edge (3,4); vertex 5 pendant off 1
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (1, 5)], "a long, b long"
+    )
+    got = {r.v: r for r in gr.clustering_coeff(edges).collect()}
+    # deg: 1->4, 2->3, 3->2, 4->2, 5->1; triangles: (1,2,3),(1,2,4)
+    assert (got[1].deg, got[1].n_tri) == (4, 2)
+    assert got[1].coeff == round(2 * 2 / (4 * 3), 6)  # 0.333333
+    assert (got[2].deg, got[2].n_tri) == (3, 2)
+    assert got[2].coeff == 0.666667  # device half-up of 2/3
+    assert got[3].coeff == 1.0 and got[4].coeff == 1.0
+    assert got[5].deg == 1 and got[5].coeff is None
