@@ -1439,3 +1439,144 @@ def text_length_outliers(documents: DataFrame, thresh_tenths: int = 35) -> DataF
         "source", "n_docs", "med_chars", "mad_chars", "n_outliers",
         rate6.alias("outlier_rate"),
     )
+
+
+def text_zipf_fit(documents: DataFrame, top_r: int = 100) -> DataFrame:
+    """Zipf's-law fit per source: OLS slope/intercept of ln(freq) on
+    ln(rank) over the top ``top_r`` token ranks — the rank-frequency
+    power law every natural-language corpus obeys (slope ≈ −1). The
+    corpus-health read: a source whose slope collapses toward 0 is
+    template/boilerplate-heavy (flat frequencies), one that steepens
+    far past −1 is low-diversity spam — the distributional companion of
+    `text_hapax_ratio`/`text_yule_k`, at SOURCE grain for mixture
+    decisions.
+
+    Determinism: ranks tie-break (freq DESC, token ASC); each ln() is a
+    libm log of an exact integer (the entropy/PSI precedent — both
+    engines agree bitwise on integer inputs), and all four OLS sums
+    fold over the rank-sorted array — the same IEEE chain cross-engine.
+    slope/intercept surface through the floor device at 6 dp; sources
+    with < 3 ranks emit NULL fit.
+
+    Scale shape: one token explode → (source, token) hash agg
+    (Zipf-bounded), one per-source top-R rank window over DISTINCT
+    tokens (the topk_per_group posture — |distinct tokens| per source,
+    never the token stream), then |sources|·R-element array folds.
+    """
+    from pyspark.sql import Window
+
+    tf = (
+        documents.select("source", F.explode(tokens("text")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("c"), F.asc("tok"))
+    ranked = tf.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= top_r
+    )
+    arr = ranked.groupBy("source").agg(
+        F.array_sort(F.collect_list(F.struct("rank", "c"))).alias("rc"),
+        F.count(F.lit(1)).cast("long").alias("n_ranks"),
+    )
+
+    def fold(expr):
+        return F.aggregate("rc", F.lit(0.0), lambda acc, r: acc + expr(r))
+
+    ln = F.log  # natural log
+    g = arr.select(
+        "source",
+        "n_ranks",
+        fold(lambda r: ln(r["rank"].cast("double"))).alias("sx"),
+        fold(lambda r: ln(r["c"].cast("double"))).alias("sy"),
+        fold(
+            lambda r: ln(r["rank"].cast("double")) * ln(r["c"].cast("double"))
+        ).alias("sxy"),
+        fold(
+            lambda r: ln(r["rank"].cast("double")) * ln(r["rank"].cast("double"))
+        ).alias("sxx"),
+    )
+    rn = F.col("n_ranks").cast("double")
+    den = rn * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (rn * F.col("sxy") - F.col("sx") * F.col("sy")) / den
+    intercept = (F.col("sy") - slope * F.col("sx")) / rn
+    f6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    ok = (F.col("n_ranks") >= 3) & (den > 0)
+    return g.select(
+        "source",
+        "n_ranks",
+        F.when(ok, f6(slope)).alias("zipf_slope"),
+        F.when(ok, f6(intercept)).alias("zipf_intercept"),
+    )
+
+
+def quality_unigram_logprob(documents: DataFrame) -> DataFrame:
+    """Per-document unigram cross-entropy against the corpus's own
+    add-one-smoothed token distribution — the classic cheap perplexity
+    proxy quality filters rank on (a doc whose tokens are corpus-typical
+    scores low; gibberish/OOV-dense docs score high): the model-free
+    stand-in for a KenLM pass in the Gopher/CCNet-style pipelines the
+    other quality_* keys mirror.
+
+    xent(d) = −(1/n_d) · Σ_t c_{d,t} · ln((c_t + 1)/(N + V))   [nats]
+
+    Determinism: every ln input is an exact integer-valued double
+    (corpus count + 1, and N + V), so libm agrees cross-engine (the
+    entropy/PSI precedent); each per-(doc, token) term is ONE double
+    c_{d,t}·(ln(c_t+1) − ln(N+V)), and the per-doc sum folds over the
+    TOKEN-SORTED array — same IEEE chain both engines. Surfaced via the
+    floor device at 6 dp. Empty docs emit NULL.
+
+    Scale shape: one token explode → per-(doc, token) counts (hash agg,
+    map-side combine), corpus counts joined ON TOKEN (Zipf-bounded
+    dimension — never the token stream), the (N, V) scalars broadcast
+    via a 1-row cross join. No sort wider than per-doc arrays.
+    """
+    dt = (
+        documents.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("cdt"))
+    )
+    corpus = dt.groupBy("tok").agg(F.sum("cdt").cast("long").alias("ct"))
+    nv = corpus.agg(
+        F.sum("ct").cast("long").alias("n_corpus"),
+        F.count(F.lit(1)).cast("long").alias("v_vocab"),
+    )
+    term = (
+        dt.join(corpus, "tok")
+        .crossJoin(F.broadcast(nv))
+        .select(
+            "doc_id",
+            "cdt",
+            "tok",
+            (
+                F.col("cdt").cast("double")
+                * (
+                    F.log((F.col("ct") + 1).cast("double"))
+                    - F.log((F.col("n_corpus") + F.col("v_vocab")).cast("double"))
+                )
+            ).alias("t"),
+        )
+    )
+    g = term.groupBy("doc_id").agg(
+        F.sum("cdt").cast("long").alias("n_tokens"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("tok", "t"))),
+            F.lit(0.0),
+            lambda acc, r: acc + r["t"],
+        ).alias("s"),
+    )
+    f6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    xent = -F.col("s") / F.col("n_tokens").cast("double")
+    out = g.select(
+        "doc_id",
+        "n_tokens",
+        F.when(F.col("n_tokens") > 0, f6(xent)).alias("xent_nats"),
+    )
+    # empty/no-token docs still get a row (NULL xent) — quality filters
+    # must SEE them, not silently drop them
+    all_docs = documents.select("doc_id")
+    return all_docs.join(out, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        "xent_nats",
+    )

@@ -870,3 +870,94 @@ _reg(
     FROM g
     """,
 )
+
+
+# Zipf rank-frequency fit: the same (freq DESC, token ASC) rank, the same
+# rank-ordered list_reduce folds (libm ln on exact integer inputs — the
+# entropy/PSI precedent), the same OLS closed form + floor device
+_reg(
+    "text_zipf_fit",
+    lambda s, d: tx.text_zipf_fit(load(s, d, "documents")),
+    """
+    WITH tf AS (
+      SELECT source, t.tok, CAST(count(*) AS BIGINT) AS c
+      FROM documents,
+           unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) t(tok)
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT source, c,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY c DESC, tok ASC) AS rank
+      FROM tf QUALIFY rank <= 100),
+    folds AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_ranks,
+             list_reduce(list_prepend(0.0,
+               list(ln(CAST(rank AS DOUBLE)) ORDER BY rank)),
+               (a, v) -> a + v) AS sx,
+             list_reduce(list_prepend(0.0,
+               list(ln(CAST(c AS DOUBLE)) ORDER BY rank)),
+               (a, v) -> a + v) AS sy,
+             list_reduce(list_prepend(0.0,
+               list(ln(CAST(rank AS DOUBLE)) * ln(CAST(c AS DOUBLE))
+                    ORDER BY rank)),
+               (a, v) -> a + v) AS sxy,
+             list_reduce(list_prepend(0.0,
+               list(ln(CAST(rank AS DOUBLE)) * ln(CAST(rank AS DOUBLE))
+                    ORDER BY rank)),
+               (a, v) -> a + v) AS sxx
+      FROM ranked GROUP BY 1),
+    fit AS (
+      SELECT source, n_ranks, sx, sy,
+             CAST(n_ranks AS DOUBLE) * sxx - sx * sx AS den,
+             CAST(n_ranks AS DOUBLE) * sxy - sx * sy AS num
+      FROM folds)
+    SELECT source, n_ranks,
+           CASE WHEN n_ranks >= 3 AND den > 0 THEN
+             floor(num / den * 1e6 + 0.5) / 1e6 END AS zipf_slope,
+           CASE WHEN n_ranks >= 3 AND den > 0 THEN
+             floor((sy - (num / den) * sx) / CAST(n_ranks AS DOUBLE)
+                   * 1e6 + 0.5) / 1e6 END AS zipf_intercept
+    FROM fit
+    """,
+)
+
+
+# Unigram cross-entropy quality proxy: the same add-one-smoothed corpus
+# distribution, the same one-double-per-(doc,token) term, the same
+# token-sorted list_reduce fold and floor device
+_reg(
+    "quality_unigram_logprob",
+    lambda s, d: tx.quality_unigram_logprob(load(s, d, "documents")),
+    """
+    WITH dt AS (
+      SELECT doc_id, t.tok, CAST(count(*) AS BIGINT) AS cdt
+      FROM documents,
+           unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) t(tok)
+      GROUP BY 1, 2),
+    corpus AS (
+      SELECT tok, CAST(sum(cdt) AS BIGINT) AS ct FROM dt GROUP BY 1),
+    nv AS (
+      SELECT CAST(sum(ct) AS BIGINT) AS n_corpus,
+             CAST(count(*) AS BIGINT) AS v_vocab
+      FROM corpus),
+    term AS (
+      SELECT dt.doc_id, dt.cdt, dt.tok,
+             CAST(dt.cdt AS DOUBLE)
+             * (ln(CAST(c.ct + 1 AS DOUBLE))
+                - ln(CAST(nv.n_corpus + nv.v_vocab AS DOUBLE))) AS t
+      FROM dt JOIN corpus c USING (tok) CROSS JOIN nv),
+    g AS (
+      SELECT doc_id,
+             CAST(sum(cdt) AS BIGINT) AS n_tokens,
+             list_reduce(list_prepend(0.0, list(t ORDER BY tok)),
+                         (a, v) -> a + v) AS s
+      FROM term GROUP BY 1)
+    SELECT d.doc_id,
+           coalesce(g.n_tokens, 0) AS n_tokens,
+           CASE WHEN g.n_tokens > 0 THEN
+             floor(-g.s / CAST(g.n_tokens AS DOUBLE) * 1e6 + 0.5) / 1e6
+           END AS xent_nats
+    FROM documents d LEFT JOIN g USING (doc_id)
+    """,
+)

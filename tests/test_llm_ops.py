@@ -157,3 +157,72 @@ def test_payload_entropy_separates_flat_from_mixed(spark):
     assert got[1] == (8, 1, 0.0)
     assert got[2] == (8, 4, 2.0)
     assert got[3] == (0, 0, None)
+
+
+def test_zipf_fit_hand_corpus(spark):
+    """Known rank-frequency shape: token freqs 8/4/2/1 at ranks 1-4 give
+    slope = OLS of ln(f) on ln(r), replicated in Python floats; a source
+    with < 3 distinct tokens emits NULL fit."""
+    import math
+
+    from kdb_spark.llm.textstats import text_zipf_fit
+
+    doc = " ".join(["aa"] * 8 + ["bb"] * 4 + ["cc"] * 2 + ["dd"])
+    rows = [(1, doc, "en", "s1", len(doc)), (2, "xx yy", "en", "s2", 5)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {r.source: r for r in text_zipf_fit(docs).collect()}
+    xs = [math.log(r) for r in (1, 2, 3, 4)]
+    ys = [math.log(c) for c in (8, 4, 2, 1)]
+    # replicate the engines' left-to-right fold explicitly
+    sx = 0.0
+    for v in xs:
+        sx += v
+    sy = 0.0
+    for v in ys:
+        sy += v
+    sxy = 0.0
+    for a, b in zip(xs, ys):
+        sxy += a * b
+    sxx = 0.0
+    for a in xs:
+        sxx += a * a
+    n = 4.0
+    den = n * sxx - sx * sx
+    slope = (n * sxy - sx * sy) / den
+    intercept = (sy - slope * sx) / n
+    assert got["s1"].n_ranks == 4
+    assert got["s1"].zipf_slope == math.floor(slope * 1e6 + 0.5) / 1e6
+    assert got["s1"].zipf_intercept == math.floor(intercept * 1e6 + 0.5) / 1e6
+    assert got["s1"].zipf_slope < -0.9  # near-Zipf decay
+    assert got["s2"].zipf_slope is None  # only 2 ranks
+
+
+def test_unigram_logprob_hand_corpus(spark):
+    """Two-doc corpus replicated exactly: corpus counts a=3, b=1 (N=4,
+    V=2); doc1 = 'a a b', doc2 = 'a'; xent folds in token-sorted order.
+    An empty doc keeps its row with NULL xent."""
+    import math
+
+    from kdb_spark.llm.textstats import quality_unigram_logprob
+
+    rows = [
+        (1, "a a b", "en", "s", 5),
+        (2, "a", "en", "s", 1),
+        (3, "...", "en", "s", 3),  # tokenizes to nothing
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {r.doc_id: r for r in quality_unigram_logprob(docs).collect()}
+    lp = lambda ct: math.log(ct + 1) - math.log(4 + 2)  # noqa: E731
+    s1 = 2.0 * lp(3) + 1.0 * lp(1)  # tokens sorted: a then b
+    x1 = math.floor(-s1 / 3.0 * 1e6 + 0.5) / 1e6
+    s2 = 1.0 * lp(3)
+    x2 = math.floor(-s2 / 1.0 * 1e6 + 0.5) / 1e6
+    assert (got[1].n_tokens, got[1].xent_nats) == (3, x1)
+    assert (got[2].n_tokens, got[2].xent_nats) == (1, x2)
+    assert got[3].n_tokens == 0 and got[3].xent_nats is None
+    # the common doc scores lower (more typical) than... doc2 is all-'a'
+    assert got[2].xent_nats < got[1].xent_nats
