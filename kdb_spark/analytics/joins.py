@@ -738,3 +738,61 @@ def join_window_anti(events: DataFrame, width_us: int = 10 * MIN_US) -> DataFram
     return probes.join(hit_ids, "event_id", "left_anti").select(
         "event_id", "user_id", "err_us"
     )
+
+
+def join_grid_knn(
+    points: DataFrame, radius: int = 150, k: int = 3
+) -> DataFrame:
+    """Spatial k-NN shortlist: for every point, its ``k`` nearest other
+    points within Euclidean ``radius``, ranked — the 2D counterpart of
+    `join_band_topk` (which ranks 1D value neighbors) and the ranked
+    form of `join_grid_neighbors` (which emits the full within-radius
+    pair set). This is the entity-resolution / geo-recommendation
+    contract: a bounded candidate SHORTLIST per query, not the whole
+    neighborhood.
+
+    The radius bound is what keeps the contract grid-complete: every
+    true neighbor within ``radius`` lives in the 3×3 cell block, so the
+    per-query top-k over grid candidates IS the exact top-k within the
+    radius (an unbounded k-NN could hide its nearest neighbor arbitrarily
+    many empty cells away — that shape needs the IVF path instead).
+
+    Determinism: ranked by (dist2, pid_b) — exact integer distance, id
+    tiebreak. Points with no in-radius neighbor emit no rows (their
+    shortlist is empty, matching join_band_topk).
+
+    Scale shape: one 9× map-side explode on the query side, ONE cell
+    equi-join bounded by per-cell density, then a per-query rank window
+    partitioned on pid_a — never |P|².
+    """
+    r = radius
+    ea = points.select(
+        F.col("pid").alias("pid_a"),
+        F.col("px").alias("xa"),
+        F.col("py").alias("ya"),
+    ).withColumn(
+        "gx", F.explode(F.array(*[F.expr(f"xa div {r}") + d for d in (-1, 0, 1)]))
+    ).withColumn(
+        "gy", F.explode(F.array(*[F.expr(f"ya div {r}") + d for d in (-1, 0, 1)]))
+    )
+    eb = points.select(
+        F.col("pid").alias("pid_b"),
+        F.col("px").alias("xb"),
+        F.col("py").alias("yb"),
+        F.expr(f"px div {r}").alias("gx"),
+        F.expr(f"py div {r}").alias("gy"),
+    )
+    d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    cand = (
+        ea.join(eb, ["gx", "gy"])
+        .filter((F.col("pid_a") != F.col("pid_b")) & (d2 <= r * r))
+        .select("pid_a", "pid_b", d2.cast("long").alias("dist2"))
+    )
+    w = Window.partitionBy("pid_a").orderBy("dist2", "pid_b")
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("pid_a", F.col("rank").cast("long").alias("rank"), "pid_b", "dist2")
+    )

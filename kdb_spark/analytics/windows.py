@@ -2912,3 +2912,68 @@ def win_tick_bars(events: DataFrame, ticks: int = 100) -> DataFrame:
             F.max("ts_us").cast("long").alias("bar_end_us"),
         )
     )
+
+
+def win_parkinson_vol(events: DataFrame) -> DataFrame:
+    """Parkinson range-based volatility per (event_type, day): σ_P =
+    sqrt( Σ ln(H_i/L_i)² / (4·n·ln2) ) over the day's hourly high/low
+    bars — the range estimator that extracts ~5× the information of
+    close-to-close vol from the same bars (Parkinson 1980), the daily
+    companion of `win_realized_vol` (which sums squared log returns) for
+    feeds where intrabar extremes are cheap and tick history isn't.
+
+    Determinism: H/L are exact cents integers off one (type, hour) hash
+    agg; each bar's term is ln(H)−ln(L) squared — libm ln on exact
+    integer inputs (the entropy/zipf precedent) — and the day's sum
+    folds in HOUR order (array_sort + aggregate, the fixed IEEE chain).
+    Bars with L ≤ 0 or H = L contribute nothing estimable and are
+    excluded from n (disclosed: Parkinson assumes positive prices);
+    days with no usable bar emit NULL. Surfaced via floor device, 6 dp.
+
+    Scale shape: one (type, hour) partial hash agg, one (type, day)
+    rollup over ≤24-element arrays. Fact rows are touched once.
+    """
+    x = cents("value")
+    # integer div, never double-divide-then-cast: a µs-off-boundary ts
+    # could round across the hour under IEEE division
+    hour = F.expr(f"ts_us div {HOUR_US}").cast("long")
+    bars = (
+        events.select("event_type", hour.alias("h"), x.alias("x"))
+        .groupBy("event_type", "h")
+        .agg(F.max("x").alias("hi"), F.min("x").alias("lo"))
+    )
+    usable = (F.col("lo") > 0) & (F.col("hi") > F.col("lo"))
+    term = F.when(
+        usable,
+        (F.log(F.col("hi").cast("double")) - F.log(F.col("lo").cast("double")))
+        * (F.log(F.col("hi").cast("double")) - F.log(F.col("lo").cast("double"))),
+    )
+    day = F.expr(f"h div {DAY_US // HOUR_US}").cast("long")
+    g = (
+        bars.select("event_type", day.alias("day"), "h", term.alias("t"))
+        .groupBy("event_type", "day")
+        .agg(
+            F.count("t").cast("long").alias("n_bars"),
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("t").isNotNull(), F.struct("h", "t"))
+                    )
+                ),
+                F.lit(0.0),
+                lambda acc, r: acc + r["t"],
+            ).alias("s"),
+        )
+    )
+    f6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    # 4·ln2 pinned as the SAME decimal literal in the oracle SQL — no
+    # cross-engine ln(2) evaluation to trust
+    vol = F.sqrt(
+        F.col("s") / (F.lit(2.772588722239781) * F.col("n_bars").cast("double"))
+    )
+    return g.select(
+        "event_type",
+        "day",
+        "n_bars",
+        F.when(F.col("n_bars") > 0, f6(vol)).alias("park_vol"),
+    )

@@ -1088,3 +1088,30 @@ def dedup_minhash_calibration(
         )
     )
     return out
+
+
+def dedup_suffix(documents: DataFrame, k: int = 64) -> DataFrame:
+    """Suffix-duplicate detection — the mirror of `dedup_prefix` for the
+    OTHER crawl pathology: pages whose heads differ (injected headers,
+    timestamps, navigation crumbs) but whose bodies end identically
+    (shared article tail, boilerplate footer + payload). Prefix blocking
+    is blind to these by construction; together the two screens bracket
+    the document.
+
+    Same contract as dedup_prefix: normalized (lowercase, whitespace
+    runs collapsed) last-``k``-chars block via `right()`, sha2 block
+    key, keep-lowest-doc_id survivor + group size. Docs shorter than
+    ``k`` normalized chars block on their full text.
+
+    Scale: 32-byte hash shuffle regardless of document size (the
+    dedup_exact posture); one hash agg, no sort.
+    """
+    norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    return (
+        documents.select(
+            F.sha2(F.right(norm, F.lit(k)), 256).alias("h"), "doc_id"
+        )
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("doc_id", "n_copies")
+    )

@@ -508,3 +508,53 @@ _reg(
         AND c.c_us < e.err_us + 600000000)
     """,
 )
+
+
+# Spatial k-NN shortlist: same md5-grid points, exact integer distances,
+# (dist2, pid_b) rank — the radius bound makes grid blocking COMPLETE,
+# so the oracle's brute-force within-radius rank matches exactly
+def _q_join_grid_knn(s: SparkSession, d: str) -> DataFrame:
+    from kdb_spark.tables import load, md5_slot
+
+    users = (
+        load(s, d, "events")
+        .select(F.col("user_id").cast("long").alias("pid"))
+        .distinct()
+    )
+    pts = users.select(
+        "pid",
+        md5_slot(F.concat(F.lit("x:"), F.col("pid").cast("string")), mod=10_000)
+        .alias("px"),
+        md5_slot(F.concat(F.lit("y:"), F.col("pid").cast("string")), mod=10_000)
+        .alias("py"),
+    )
+    return jn.join_grid_knn(pts, radius=150, k=3)
+
+
+_reg(
+    "join_grid_knn",
+    _q_join_grid_knn,
+    """
+    WITH users AS (SELECT DISTINCT CAST(user_id AS BIGINT) AS pid FROM events),
+    pts AS (
+      SELECT pid,
+             ('0x' || substr(md5('x:' || CAST(pid AS VARCHAR)), 1, 6))::BIGINT
+               % 10000 AS px,
+             ('0x' || substr(md5('y:' || CAST(pid AS VARCHAR)), 1, 6))::BIGINT
+               % 10000 AS py
+      FROM users),
+    cand AS (
+      SELECT a.pid AS pid_a, b.pid AS pid_b,
+             CAST((a.px - b.px) * (a.px - b.px)
+                  + (a.py - b.py) * (a.py - b.py) AS BIGINT) AS dist2
+      FROM pts a JOIN pts b
+        ON a.pid <> b.pid
+       AND (a.px - b.px) * (a.px - b.px)
+           + (a.py - b.py) * (a.py - b.py) <= 22500)
+    SELECT pid_a, CAST(rank AS BIGINT) AS rank, pid_b, dist2
+    FROM (SELECT *, row_number() OVER (PARTITION BY pid_a
+                     ORDER BY dist2, pid_b) AS rank
+          FROM cand)
+    WHERE rank <= 3
+    """,
+)

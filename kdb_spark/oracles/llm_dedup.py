@@ -415,3 +415,18 @@ _reg(
     JOIN sig y ON y.doc_id = p.doc_b
     """,
 )
+
+
+# Suffix dedup: the prefix screen's mirror — shared tails under differing
+# injected heads (headers/timestamps/crumbs)
+_reg(
+    "dedup_suffix",
+    lambda s, d: dd.dedup_suffix(load(s, d, "documents")),
+    r"""
+    SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+    FROM (SELECT doc_id,
+                 right(regexp_replace(lower(text), '\s+', ' ', 'g'), 64) AS p
+          FROM documents)
+    GROUP BY p
+    """,
+)

@@ -1833,3 +1833,38 @@ _reg(
     FROM r GROUP BY 1, 2
     """,
 )
+
+
+# Parkinson range volatility: hourly H/L cents bars, ln on exact integer
+# inputs, hour-ordered list_reduce fold, the pinned 4·ln2 literal
+_reg(
+    "win_parkinson_vol",
+    lambda s, d: wn.win_parkinson_vol(events_us(s, d)),
+    """
+    WITH bars AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+             max(CAST(round(value * 100) AS BIGINT)) AS hi,
+             min(CAST(round(value * 100) AS BIGINT)) AS lo
+      FROM events GROUP BY 1, 2),
+    terms AS (
+      SELECT event_type, CAST(h // 24 AS BIGINT) AS day, h,
+             CASE WHEN lo > 0 AND hi > lo THEN
+               (ln(CAST(hi AS DOUBLE)) - ln(CAST(lo AS DOUBLE)))
+               * (ln(CAST(hi AS DOUBLE)) - ln(CAST(lo AS DOUBLE)))
+             END AS t
+      FROM bars),
+    g AS (
+      SELECT event_type, day,
+             CAST(count(t) AS BIGINT) AS n_bars,
+             list_reduce(list_prepend(0.0,
+               list(t ORDER BY h) FILTER (t IS NOT NULL)),
+               (a, v) -> a + v) AS s
+      FROM terms GROUP BY 1, 2)
+    SELECT event_type, day, n_bars,
+           CASE WHEN n_bars > 0 THEN
+             floor(sqrt(s / (2.772588722239781 * CAST(n_bars AS DOUBLE)))
+                   * 1e6 + 0.5) / 1e6
+           END AS park_vol
+    FROM g
+    """,
+)

@@ -226,3 +226,23 @@ def test_unigram_logprob_hand_corpus(spark):
     assert got[3].n_tokens == 0 and got[3].xent_nats is None
     # the common doc scores lower (more typical) than... doc2 is all-'a'
     assert got[2].xent_nats < got[1].xent_nats
+
+
+def test_dedup_suffix_blocks_on_tail(spark):
+    """Docs with different injected heads but identical normalized tails
+    group; distinct tails do not; short docs block on full text."""
+    from kdb_spark.llm.dedup import dedup_suffix
+
+    tail = "x " * 80  # > 64 normalized chars
+    rows = [
+        (1, "HEADER A 2024\n" + tail, "en", "s", 10),
+        (2, "different crumb trail   " + tail, "en", "s", 10),
+        (3, "something else entirely " + "y " * 80, "en", "s", 10),
+        (4, "short doc", "en", "s", 9),
+        (5, "short   DOC", "en", "s", 11),  # normalizes equal to 4
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {r.doc_id: r.n_copies for r in dedup_suffix(docs).collect()}
+    assert got == {1: 2, 3: 1, 4: 2}

@@ -4553,3 +4553,71 @@ def test_clustering_coeff_hand_graph(spark):
     assert got[2].coeff == 0.666667  # device half-up of 2/3
     assert got[3].coeff == 1.0 and got[4].coeff == 1.0
     assert got[5].deg == 1 and got[5].coeff is None
+
+
+def test_grid_knn_exact_shortlist(spark):
+    """k-NN shortlist matches brute force, including the cell-straddling
+    neighbor and the (dist2, pid_b) tiebreak; out-of-radius points never
+    appear even if a cell neighbor."""
+    from kdb_spark.analytics import joins as jn
+
+    pts = spark.createDataFrame(
+        [
+            (1, 100, 100),
+            (2, 160, 100),   # d2=3600 from p1, straddles the r=150 cell edge
+            (3, 100, 240),   # d2=19600 from p1
+            (4, 200, 200),   # d2=20000 from p1
+            (5, 100, 340),   # d2=57600 from p1 — OUT of radius (r²=22500)
+            (9, 5000, 5000), # isolated: no rows
+        ],
+        "pid long, px long, py long",
+    )
+    got = [
+        (r.pid_a, r.rank, r.pid_b, r.dist2)
+        for r in jn.join_grid_knn(pts, radius=150, k=3)
+        .orderBy("pid_a", "rank")
+        .collect()
+    ]
+    assert [(a, rk, b) for a, rk, b, _ in got if a == 1] == [
+        (1, 1, 2),
+        (1, 2, 3),
+        (1, 3, 4),
+    ]
+    assert all(a != 5 or b != 1 for a, _, b, _ in got) is True
+    assert 9 not in {a for a, _, _, _ in got}
+    # symmetric view: p5's nearest is p3 (d2=10000)
+    p5 = [(rk, b, d) for a, rk, b, d in got if a == 5]
+    assert p5[0] == (1, 3, 10000)
+
+
+def test_parkinson_vol_hand_bars(spark):
+    """One day, two usable hourly bars with known H/L ratios; an H=L bar
+    and an L<=0 bar are excluded from n_bars; σ_P replicated in floats."""
+    import math
+
+    from kdb_spark.analytics import windows as wn
+
+    H = 3_600_000_000
+    rows = [
+        # hour 0: hi 200 lo 100 cents
+        (1, "t", 0 * H, 1.0),
+        (2, "t", 0 * H + 1000, 2.0),
+        # hour 1: hi 400 lo 100
+        (3, "t", 1 * H, 4.0),
+        (4, "t", 1 * H + 1000, 1.0),
+        # hour 2: flat (excluded)
+        (5, "t", 2 * H, 3.0),
+        # hour 3: includes a non-positive low (excluded)
+        (6, "t", 3 * H, -1.0),
+        (7, "t", 3 * H + 1000, 2.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts_us long, value double"
+    )
+    r = wn.win_parkinson_vol(ev).collect()[0]
+    t0 = (math.log(200.0) - math.log(100.0)) ** 2
+    t1 = (math.log(400.0) - math.log(100.0)) ** 2
+    s = 0.0 + t0 + t1
+    vol = math.sqrt(s / (2.772588722239781 * 2))
+    assert (r.event_type, r.day, r.n_bars) == ("t", 0, 2)
+    assert r.park_vol == math.floor(vol * 1e6 + 0.5) / 1e6
