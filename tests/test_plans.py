@@ -640,3 +640,57 @@ def test_round13_wave2plus_plan_shapes(spark):
         pass
     plan = plan_of(sc.scalar_regex(docs))
     assert "Exchange" not in plan and "EvalPython" not in plan, plan
+
+
+def test_r16_keys_never_cartesian_and_stay_jvm_side(spark):
+    """r16 family additions keep the two 100 TB contracts: no cartesian /
+    nested-loop join anywhere (grid-knn must block on cells, suffix dedup
+    on hashes, clustering coeff on the oriented-edge equi-joins; the
+    welch/kruskal broadcast of a 1-row global is the ONE allowed
+    nested-loop shape — a broadcast of a scalar aggregate), and no
+    Python eval in any plan (all of them are pure JVM expressions)."""
+    from kdb_spark.analytics import aggregations as agg
+    from kdb_spark.analytics import graph as gr
+    from kdb_spark.analytics import joins as jn
+    from kdb_spark.analytics import windows as wn
+    from pyspark.sql import functions as F
+
+    from kdb_spark.llm import dedup as dd
+    from kdb_spark.llm import textstats as tx
+
+    docs = load(spark, SF_DIR, "documents")
+    ev = events_us(spark, SF_DIR)
+    pts = ev.select(F.col("user_id").alias("pid"),
+                    (F.col("user_id") % 100).alias("px"),
+                    (F.col("user_id") % 97).alias("py")).distinct()
+    edges = gr.co_purchase_edges(
+        load(spark, SF_DIR, "orders"), load(spark, SF_DIR, "lineitem")
+    )
+    strict = {
+        "ljung": agg.agg_ljung_box(ev),
+        "coeff": gr.clustering_coeff(edges),
+        "zipf": tx.text_zipf_fit(docs),
+        "suffix": dd.dedup_suffix(docs),
+        "knn": jn.join_grid_knn(pts),
+        "parkinson": wn.win_parkinson_vol(ev),
+    }
+    for name, df in strict.items():
+        plan = plan_of(df)
+        assert "CartesianProduct" not in plan, (name, plan)
+        assert "BroadcastNestedLoopJoin" not in plan, (name, plan)
+        assert "EvalPython" not in plan, (name, plan)
+    # logprob's ONE BroadcastNestedLoopJoin is the sanctioned scalar
+    # shape: the 1-row (N, V) corpus aggregate cross-joined broadcast —
+    # never a data-sized side
+    import re
+
+    lplan = plan_of(tx.quality_unigram_logprob(docs))
+    assert "CartesianProduct" not in lplan, lplan
+    # formatted plans print each node twice (tree + detail): count details
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", lplan)) <= 1, lplan
+    assert "EvalPython" not in lplan, lplan
+    # welch_t's only join-like node is the implicit single-row aggregate —
+    # no join at all in its plan, and certainly no shuffle join
+    wplan = plan_of(agg.agg_welch_t(ev))
+    assert "Join" not in wplan, wplan
+    assert "EvalPython" not in wplan, wplan
