@@ -186,6 +186,8 @@ def main() -> int:
         "agg_chi2_drift", "dedup_keep_best", "scan_changes",
         # round-15 families: trend tests, Bloom pre-screen, compressed decode
         "agg_mann_kendall", "dedup_bloom_probe", "mm_decode_png",
+        # round-16 families: classical tests, perplexity proxy, spatial kNN
+        "agg_welch_t", "quality_unigram_logprob", "join_grid_knn",
     ]
     print(
         json.dumps(
