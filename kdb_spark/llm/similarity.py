@@ -1873,3 +1873,120 @@ def emb_dispersion(embeddings: DataFrame, grid: int = 1 << 20) -> DataFrame:
         "n",
         mean6.alias("mean_pair_dot"),
     )
+
+
+def emb_triplet_eval(embeddings: DataFrame, margin: float = 0.1) -> DataFrame:
+    """Triplet-margin evaluation of the embedding space per label: for
+    every anchor, a deterministic positive (same label) and negative
+    (next label ring) are picked, and the label's violation rate counts
+    triplets where cos(a,pos) − cos(a,neg) < ``margin`` — the retrieval
+    contract a metric-learning embedding is supposed to satisfy, as a
+    label-level scoreboard (`emb_label_affinity` measures centroid
+    separation; this measures the INSTANCE-level ranking the training
+    loss actually optimizes).
+
+    Deterministic triplet device (no RNG, repartition-stable): pos =
+    the anchor's cyclic successor within its label (lead by vec_id,
+    wrap to the label's min); neg = the first vec_id after the anchor
+    in the NEXT label ring (cyclic over distinct labels; as-of-forward
+    pick with wrap to the ring's min). Labels with one vector emit no
+    triplets. Violation is a per-row comparison of two fixed
+    double chains (the zip_with dot device both engines share) — no
+    accumulation across rows ever compares to the margin.
+
+    Scale shape: pos is one per-label window; neg is the union-and-
+    carry as-of device (one window over anchors+candidates interleaved
+    on the ring key) plus a |labels|-row broadcast fallback — never a
+    per-anchor scan; then three id-equi joins to fetch vectors and one
+    label rollup. All shuffles key on vec_id/label.
+    """
+    e = embeddings.select("vec_id", F.col("label").cast("long").alias("label"),
+                          _vec_d("embedding").alias("v"))
+    labels = e.select("label").distinct()
+    wl = Window.orderBy("label")
+    wl_all = wl.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ring = labels.select(
+        "label",
+        F.coalesce(F.lead("label").over(wl), F.first("label").over(wl_all)).alias(
+            "target"
+        ),
+    )
+    wp = Window.partitionBy("label").orderBy("vec_id")
+    wp_all = wp.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    anchors = (
+        e.select("vec_id", "label")
+        .withColumn(
+            "pos_id",
+            F.coalesce(
+                F.lead("vec_id").over(wp), F.first("vec_id").over(wp_all)
+            ),
+        )
+        .filter(F.col("pos_id") != F.col("vec_id"))
+        .join(F.broadcast(ring), "label")
+    )
+    # as-of-forward pick of the negative: anchors and candidates
+    # interleave on (ring, id); each anchor takes the first candidate id
+    # at-or-after its own (ids are globally unique, so ties are impossible
+    # and at-or-after IS strictly-after)
+    cand = e.select(
+        F.col("label").alias("ring"),
+        F.col("vec_id").alias("pos_key"),
+        F.col("vec_id").alias("cid"),
+        F.lit(None).cast("long").alias("vec_id"),
+        F.lit(None).cast("long").alias("label"),
+        F.lit(None).cast("long").alias("pos_id"),
+    )
+    anch = anchors.select(
+        F.col("target").alias("ring"),
+        F.col("vec_id").alias("pos_key"),
+        F.lit(None).cast("long").alias("cid"),
+        "vec_id",
+        "label",
+        "pos_id",
+    )
+    wr = Window.partitionBy("ring").orderBy("pos_key").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    carried = (
+        anch.unionByName(cand)
+        .withColumn("nxt", F.first("cid", ignorenulls=True).over(wr))
+        .filter(F.col("vec_id").isNotNull())
+    )
+    ring_min = e.groupBy(F.col("label").alias("ring")).agg(
+        F.min("vec_id").alias("ring_min")
+    )
+    trip = (
+        carried.join(F.broadcast(ring_min), "ring")
+        .select(
+            "label",
+            "vec_id",
+            "pos_id",
+            F.coalesce("nxt", "ring_min").alias("neg_id"),
+        )
+        .filter(F.col("neg_id") != F.col("vec_id"))
+    )
+    ea = e.select(F.col("vec_id").alias("a_id"), F.col("v").alias("va"))
+    ep = e.select(F.col("vec_id").alias("p_id"), F.col("v").alias("vp"))
+    en = e.select(F.col("vec_id").alias("n_id"), F.col("v").alias("vn"))
+    j = (
+        trip.join(ea, trip.vec_id == ea.a_id)
+        .join(ep, trip.pos_id == ep.p_id)
+        .join(en, trip.neg_id == en.n_id)
+    )
+    cosp = _dot(F.col("va"), F.col("vp")) / (
+        _norm(F.col("va")) * _norm(F.col("vp"))
+    )
+    cosn = _dot(F.col("va"), F.col("vn")) / (
+        _norm(F.col("va")) * _norm(F.col("vn"))
+    )
+    viol = (cosp - cosn < F.lit(margin)).cast("int")
+    g = j.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triplets"),
+        F.sum(viol).cast("long").alias("n_violations"),
+    )
+    from kdb_spark.analytics.exact import iround_col
+
+    rate = iround_col(
+        "n_violations", "CAST(n_triplets AS DECIMAL(38,0))", 6, signed=False
+    )
+    return g.select("label", "n_triplets", "n_violations", rate.alias("viol_rate"))

@@ -1089,3 +1089,61 @@ _reg(
     FROM g
     """,
 )
+
+
+# Triplet-margin eval: same deterministic pos/neg picks (cyclic label
+# successor; as-of-forward next-ring id with wrap), same zip_with dot
+# chain; violation is a per-row comparison, counts exact
+_reg(
+    "emb_triplet_eval",
+    lambda s, d: sim.emb_triplet_eval(load(s, d, "embeddings")),
+    f"""
+    WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                      [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+               FROM embeddings),
+    labs AS (SELECT DISTINCT label FROM e),
+    ring AS (SELECT label,
+                    coalesce(lead(label) OVER (ORDER BY label),
+                             min(label) OVER ()) AS target
+             FROM labs),
+    anch AS (
+      SELECT a.vec_id, a.label, r.target,
+             coalesce(lead(a.vec_id) OVER (PARTITION BY a.label
+                                           ORDER BY a.vec_id),
+                      min(a.vec_id) OVER (PARTITION BY a.label)) AS pos_id
+      FROM e a JOIN ring r ON a.label = r.label
+      QUALIFY pos_id <> a.vec_id),
+    neg AS (
+      SELECT a.vec_id,
+             min(CASE WHEN c.vec_id > a.vec_id THEN c.vec_id END) AS nxt,
+             min(c.vec_id) AS mn
+      FROM anch a JOIN e c ON c.label = a.target
+      GROUP BY 1),
+    trip AS (
+      SELECT a.label, a.vec_id, a.pos_id,
+             coalesce(n.nxt, n.mn) AS neg_id
+      FROM anch a JOIN neg n ON a.vec_id = n.vec_id
+      WHERE coalesce(n.nxt, n.mn) <> a.vec_id),
+    scored AS (
+      SELECT t.label,
+             CASE WHEN
+               {_IVF_DOT.format(a='pa.v', b='pp.v')}
+                 / (sqrt(list_sum([x * x FOR x IN pa.v]))
+                    * sqrt(list_sum([x * x FOR x IN pp.v])))
+               - {_IVF_DOT.format(a='pa.v', b='pn.v')}
+                 / (sqrt(list_sum([x * x FOR x IN pa.v]))
+                    * sqrt(list_sum([x * x FOR x IN pn.v])))
+               < 0.1 THEN 1 ELSE 0 END AS viol
+      FROM trip t
+      JOIN e pa ON pa.vec_id = t.vec_id
+      JOIN e pp ON pp.vec_id = t.pos_id
+      JOIN e pn ON pn.vec_id = t.neg_id)
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_triplets,
+           CAST(sum(viol) AS BIGINT) AS n_violations,
+           CAST((2000000 * CAST(sum(viol) AS HUGEINT) + count(*))
+                // (2 * CAST(count(*) AS HUGEINT)) AS DOUBLE) / 1e6
+             AS viol_rate
+    FROM scored GROUP BY 1
+    """,
+)

@@ -1868,3 +1868,47 @@ _reg(
     FROM g
     """,
 )
+
+
+# Garman–Klass OHLC volatility: exact O/C picks via the 10^19-stride
+# packed tiebreak (candle device), ln on exact integer inputs, hour-
+# ordered folds, both constants pinned as identical literals
+_reg(
+    "win_garman_klass",
+    lambda s, d: wn.win_garman_klass(events_us(s, d)),
+    """
+    WITH bars AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+             arg_min(CAST(round(value * 100) AS BIGINT),
+                     CAST(epoch_us(ts) AS HUGEINT) * 10000000000000000000
+                     + event_id) AS o,
+             max(CAST(round(value * 100) AS BIGINT)) AS hi,
+             min(CAST(round(value * 100) AS BIGINT)) AS lo,
+             arg_max(CAST(round(value * 100) AS BIGINT),
+                     CAST(epoch_us(ts) AS HUGEINT) * 10000000000000000000
+                     + event_id) AS cl
+      FROM events GROUP BY 1, 2),
+    terms AS (
+      SELECT event_type, CAST(h // 24 AS BIGINT) AS day, h,
+             CASE WHEN lo > 0 AND o > 0 AND hi > lo THEN
+               0.5 * (ln(CAST(hi AS DOUBLE)) - ln(CAST(lo AS DOUBLE)))
+                   * (ln(CAST(hi AS DOUBLE)) - ln(CAST(lo AS DOUBLE)))
+               - 0.386294361119890
+                 * (ln(CAST(cl AS DOUBLE)) - ln(CAST(o AS DOUBLE)))
+                 * (ln(CAST(cl AS DOUBLE)) - ln(CAST(o AS DOUBLE)))
+             END AS t
+      FROM bars),
+    g AS (
+      SELECT event_type, day,
+             CAST(count(t) AS BIGINT) AS n_bars,
+             list_reduce(list_prepend(0.0,
+               list(t ORDER BY h) FILTER (t IS NOT NULL)),
+               (a, v) -> a + v) AS s
+      FROM terms GROUP BY 1, 2)
+    SELECT event_type, day, n_bars,
+           CASE WHEN n_bars > 0 THEN
+             floor(s / CAST(n_bars AS DOUBLE) * 1e6 + 0.5) / 1e6
+           END AS gk_var
+    FROM g
+    """,
+)

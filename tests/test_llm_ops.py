@@ -246,3 +246,31 @@ def test_dedup_suffix_blocks_on_tail(spark):
     )
     got = {r.doc_id: r.n_copies for r in dedup_suffix(docs).collect()}
     assert got == {1: 2, 3: 1, 4: 2}
+
+
+def test_triplet_eval_deterministic_picks(spark):
+    """Hand 2-label corpus: picks are the cyclic label successor (pos)
+    and the next-ring as-of id with wrap (neg); violations counted
+    against margin 0.1. Label 0 vectors all identical (cos(a,p)=1) and
+    orthogonal to label 1 (cos(a,n)=0) -> zero violations; label 1's
+    two orthogonal members violate (cos(a,p)=0 < cos(a,n)+0.1)."""
+    from kdb_spark.llm.similarity import emb_triplet_eval
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0], 0),
+            (2, [1.0, 0.0, 0.0], 0),
+            (3, [1.0, 0.0, 0.0], 0),
+            (4, [0.0, 1.0, 0.0], 1),
+            (5, [0.0, 0.0, 1.0], 1),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = {r.label: r for r in emb_triplet_eval(emb).collect()}
+    # label 0: anchors 1,2,3 (pos 2,3,1; neg = next id in ring 1:
+    # 4,4,4) — cos(a,p)=1, cos(a,n)=0 -> margin 1.0, no violations
+    assert (got[0].n_triplets, got[0].n_violations, got[0].viol_rate) == (3, 0, 0.0)
+    # label 1: anchors 4,5 (pos 5,4; neg from ring 0 wraps: 5->none>5 so
+    # min=1, 4->... next id >4 in label 0? none, wrap to 1) — cos(a,p)=0,
+    # cos(a,n)=0 -> 0 - 0 < 0.1 violates for both
+    assert (got[1].n_triplets, got[1].n_violations, got[1].viol_rate) == (2, 2, 1.0)

@@ -4621,3 +4621,42 @@ def test_parkinson_vol_hand_bars(spark):
     vol = math.sqrt(s / (2.772588722239781 * 2))
     assert (r.event_type, r.day, r.n_bars) == ("t", 0, 2)
     assert r.park_vol == math.floor(vol * 1e6 + 0.5) / 1e6
+
+
+def test_garman_klass_hand_bars(spark):
+    """Two usable hourly bars with known OHLC; the flat bar and the
+    non-positive-open bar are excluded; σ²_GK replicated in floats,
+    including the O/C picks by (ts, event_id) order."""
+    import math
+
+    from kdb_spark.analytics import windows as wn
+
+    H = 3_600_000_000
+    rows = [
+        # hour 0: prints 1.0 → 2.5 → 2.0  (O=100, H=250, L=100, C=200)
+        (1, "t", 0 * H, 1.0),
+        (2, "t", 0 * H + 1000, 2.5),
+        (3, "t", 0 * H + 2000, 2.0),
+        # hour 1: prints 4.0 → 1.0  (O=400, H=400, L=100, C=100)
+        (4, "t", 1 * H, 4.0),
+        (5, "t", 1 * H + 1000, 1.0),
+        # hour 2: flat
+        (6, "t", 2 * H, 3.0),
+        # hour 3: negative open excluded
+        (7, "t", 3 * H, -1.0),
+        (8, "t", 3 * H + 1000, 2.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts_us long, value double"
+    )
+    r = wn.win_garman_klass(ev).collect()[0]
+
+    def term(o, h, l, c):
+        lr = math.log(float(h)) - math.log(float(l))
+        lc = math.log(float(c)) - math.log(float(o))
+        return 0.5 * lr * lr - 0.386294361119890 * lc * lc
+
+    s = 0.0 + term(100, 250, 100, 200) + term(400, 400, 100, 100)
+    var = s / 2.0
+    assert (r.event_type, r.day, r.n_bars) == ("t", 0, 2)
+    assert r.gk_var == math.floor(var * 1e6 + 0.5) / 1e6
