@@ -666,6 +666,9 @@ def test_r16_keys_never_cartesian_and_stay_jvm_side(spark):
     edges = gr.co_purchase_edges(
         load(spark, SF_DIR, "orders"), load(spark, SF_DIR, "lineitem")
     )
+    from kdb_spark.llm import similarity as sim
+
+    emb = load(spark, SF_DIR, "embeddings")
     strict = {
         "ljung": agg.agg_ljung_box(ev),
         "coeff": gr.clustering_coeff(edges),
@@ -673,6 +676,8 @@ def test_r16_keys_never_cartesian_and_stay_jvm_side(spark):
         "suffix": dd.dedup_suffix(docs),
         "knn": jn.join_grid_knn(pts),
         "parkinson": wn.win_parkinson_vol(ev),
+        "garman": wn.win_garman_klass(ev),
+        "triplet": sim.emb_triplet_eval(emb),
     }
     for name, df in strict.items():
         plan = plan_of(df)
