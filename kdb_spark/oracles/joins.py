@@ -365,21 +365,42 @@ def _q_join_band(s: SparkSession, d: str) -> DataFrame:
         F.col("event_id").alias("b_id"), _cents("value").alias("b_c")
     )
     pairs = jn.join_band(a, b, tol_c=50)
-    from pyspark.sql import Window as _W
-
-    w = _W.partitionBy("a_id").orderBy(
-        F.abs(F.col("a_c") - F.col("b_c")), "b_id"
+    # HASH-AGG census, not a rank window (r16, guide §2.3 "aggregate before
+    # you shuffle"): min(struct(diff, b_id)) is the rn=1 row of the
+    # (abs diff, b_id) order bit-for-bit (diff/b_id are longs; struct
+    # comparison is lexicographic), count(*) the per-key window count. The
+    # window shape shuffled and SORTED every candidate pair (4M rows at
+    # sf0.1); the agg's map-side partials shuffle ≤1 row per (a_id, map
+    # partition) and nothing sorts. Oracle unchanged — same rows.
+    # (diff, b_id) packed into ONE long — min(struct) plans a SortAggregate
+    # (struct buffers aren't hash-able), which re-sorts every map partition;
+    # the packed long keeps the whole census a true two-phase HASH aggregate.
+    # diff ≤ tol=50 < 64 lives in the top 6 bits, b_id in the low 57 — the
+    # range guard raises (never wraps) on an id outside the pack domain,
+    # same discipline as dedup_ngram_jaccard's 32-bit doc pack.
+    diff = F.abs(F.col("a_c") - F.col("b_c"))
+    b_ok = F.when(
+        F.col("b_id").between(0, (1 << 57) - 1), F.col("b_id")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("join_band: b_id outside 57-bit pack range: "),
+                F.col("b_id").cast("string"),
+            )
+        )
     )
-    wp = _W.partitionBy("a_id")
+    packed = F.shiftleft(diff.cast("long"), 57) + b_ok
     return (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .withColumn("n_matches", F.count(F.lit(1)).over(wp).cast("long"))
-        .filter(F.col("rn") == 1)
+        pairs.groupBy("a_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_matches"),
+            F.min(packed).alias("m"),
+        )
         .select(
             "a_id",
             "n_matches",
-            F.col("b_id").alias("closest_b_id"),
-            F.abs(F.col("a_c") - F.col("b_c")).cast("long").alias("min_diff_c"),
+            F.col("m").bitwiseAND(F.lit((1 << 57) - 1)).alias("closest_b_id"),
+            F.shiftrightunsigned("m", 57).cast("long").alias("min_diff_c"),
         )
     )
 
