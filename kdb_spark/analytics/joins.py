@@ -616,22 +616,39 @@ def join_band_topk(
     Same non-negative-grid contract as `join_band` (documented there).
     """
     pairs = join_band(a, b, tol_c=tol_c)
-    # HASH-AGG top-k, not a rank window: collect each a_id's candidate
-    # structs, array_sort (lexicographic = the (|diff|, b_id) order), slice
-    # k — same rows as row_number()<=k bit-for-bit (verified), but the
-    # shuffle is a hash aggregate instead of a full per-partition SORT of
-    # the candidate table (measured 1.45× faster at sf0.1's 4M candidates;
-    # at 100 TB the sort's spill behavior is the difference that matters).
-    # Per-key state is bounded by that key's candidate count — the same
-    # band-density bound the join itself carries.
-    top = (
-        pairs.select(
-            "a_id",
-            F.struct(
-                F.abs(F.col("a_c") - F.col("b_c")).cast("long").alias("diff_c"),
-                "b_id",
-            ).alias("p"),
+    # HASH-AGG top-k, not a rank window: collect each a_id's candidates,
+    # array_sort, slice k — same rows as row_number()<=k bit-for-bit
+    # (verified), but the shuffle is a hash aggregate instead of a full
+    # per-partition SORT of the candidate table (struct device measured
+    # 1.45× faster at sf0.1's 4M candidates; at 100 TB the sort's spill
+    # behavior is the difference that matters). Per-key state is bounded by
+    # that key's candidate count — the same band-density bound the join
+    # itself carries.
+    # r16: candidates are PACKED LONGS (diff<<57 | b_id), not structs —
+    # numeric order on the pack IS the (|diff|, b_id) lexicographic order
+    # (diff ≤ tol < 64 in the top 6 bits), and a primitive-long
+    # collect_list/array_sort skips per-element struct boxing (the same
+    # device dedup_ngram_jaccard measured ~4× on). The range guard raises
+    # (never wraps) on a b_id outside the 57-bit pack domain.
+    if not 0 < tol_c < 64:
+        raise ValueError(
+            f"join_band_topk: tol_c={tol_c} outside the 6-bit pack domain"
         )
+    b_ok = F.when(
+        F.col("b_id").between(0, (1 << 57) - 1), F.col("b_id")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("join_band_topk: b_id outside 57-bit pack range: "),
+                F.col("b_id").cast("string"),
+            )
+        )
+    )
+    packed = (
+        F.shiftleft(F.abs(F.col("a_c") - F.col("b_c")).cast("long"), 57) + b_ok
+    )
+    top = (
+        pairs.select("a_id", packed.alias("p"))
         .groupBy("a_id")
         .agg(F.slice(F.array_sort(F.collect_list("p")), 1, k).alias("top"))
     )
@@ -640,8 +657,8 @@ def join_band_topk(
     ).select(
         "a_id",
         (F.col("pos") + 1).cast("long").alias("rank"),
-        F.col("p.b_id").alias("b_id"),
-        F.col("p.diff_c").alias("diff_c"),
+        F.col("p").bitwiseAND(F.lit((1 << 57) - 1)).alias("b_id"),
+        F.shiftrightunsigned("p", 57).cast("long").alias("diff_c"),
     )
 
 
