@@ -1022,8 +1022,14 @@ def emb_mmr_rerank(
         "query_id", F.col("vec_id").alias("b"),
         F.col("embedding").alias("eb"), F.col("nrm").alias("nb"),
     )
+    # r16: every per-round join side below is bounded by n_queries*m (or
+    # n_queries*k_sel) rows — broadcast them explicitly so the unrolled
+    # rounds plan as BroadcastHashJoins instead of 10 sort-merge joins
+    # (each SMJ = 2 exchanges + sorts of ~50-row tables, pure scheduling
+    # overhead; guide §3.1 — estimates are wrong after windows/unions, so
+    # the planner missed these on its own).
     pair = (
-        a.join(b, "query_id")
+        a.join(F.broadcast(b), "query_id")
         .filter(F.col("a") != F.col("b"))
         .select(
             "query_id", "a", "b",
@@ -1036,11 +1042,13 @@ def emb_mmr_rerank(
     wp = Window.partitionBy("query_id").orderBy(F.desc("score"), "vec_id")
     for rnd in range(1, k_sel + 1):
         max_prev = (
-            pair.join(sel, ["query_id", "b"])
+            pair.join(F.broadcast(sel), ["query_id", "b"])
             .groupBy("query_id", F.col("a").alias("vec_id"))
             .agg(F.max("sim").alias("mp"))
         )
-        scored = remaining.join(max_prev, ["query_id", "vec_id"], "left").select(
+        scored = remaining.join(
+            F.broadcast(max_prev), ["query_id", "vec_id"], "left"
+        ).select(
             "query_id", "vec_id", "rel",
             (F.lit(lam) * F.col("rel")
              - F.lit(1.0 - lam) * F.coalesce(F.col("mp"), F.lit(0.0))).alias("score"),
@@ -1053,7 +1061,9 @@ def emb_mmr_rerank(
         picks.append(pick)
         sel = sel.unionByName(pick.select("query_id", F.col("vec_id").alias("b")))
         remaining = remaining.join(
-            pick.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_anti"
+            F.broadcast(pick.select("query_id", "vec_id")),
+            ["query_id", "vec_id"],
+            "left_anti",
         )
     out = picks[0]
     for p in picks[1:]:
