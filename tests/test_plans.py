@@ -299,19 +299,29 @@ def test_count_min_probe_side_broadcasts(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_table_profile_is_one_aggregate_pass(spark):
-    """All six columns profile in ONE scan: a single Expand feeds the
-    multi-countDistinct two-phase agg; no joins, no repeated scans."""
+def test_table_profile_expand_pass_is_hash_aggregate(spark):
+    """r16 shape: the multi-countDistinct Expand pass must plan as a pure
+    two-phase HASH aggregate — folding lexical string min/max into it
+    demoted the whole expand chain to SortAggregate (a full sort of
+    (n_cols+1)·|rows| expanded rows). String min/max run as a second,
+    grouping-free pass whose 1-row result cross-joins back via broadcast:
+    exactly 2 scans, exactly 1 Expand, no Sort anywhere, and every
+    SortAggregate is on the (sort-free, grouping-less) string branch."""
     from kdb_spark.analytics import aggregations as agg
 
     import re
 
     plan = plan_of(agg.table_profile(load(spark, SF_DIR, "orders")))
-    assert "Join" not in plan, plan
     # formatted explain prints each node in the tree AND as a detail header;
-    # count the numbered detail headers to count physical scan nodes
-    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    # count the numbered detail headers to count physical nodes
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2, plan
     assert len(re.findall(r"\(\d+\) Expand", plan)) == 1, plan
+    # the expand pass is hash-aggregated and NOTHING in the plan sorts
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) >= 2, plan
+    assert len(re.findall(r"\(\d+\) Sort\b", plan)) == 0, plan
+    # the only join is the broadcast cross of the two 1-row aggregates
+    assert len(re.findall(r"\(\d+\) \w*Join", plan)) == 1, plan
+    assert "BroadcastNestedLoopJoin Cross" in plan, plan
 
 
 def test_text_repetition_is_map_only(spark):
