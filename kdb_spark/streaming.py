@@ -24,6 +24,7 @@ is bounded by the watermark instead of the test corpus size.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 import uuid
 from collections.abc import Iterator
@@ -116,24 +117,66 @@ def _stream_shuffle(spark: SparkSession, partitions: int | None = None):
                 spark.conf.set(k, v)
 
 
+_DRAINED: list[tuple[str, str]] = []  # (memory-sink view, checkpoint dir)
+
+
+def _release_drains(spark: SparkSession) -> None:
+    """Release the residue of PREVIOUS drains before starting a new one.
+
+    Each finished drain otherwise leaks three things into the session:
+    the memory-sink temp view pins every drained row in the JVM catalog
+    (a DataFrame already returned by `_drain` keeps working after the
+    drop — `spark.table` analyzed eagerly, so its plan holds the sink
+    directly, not the catalog name); the query's HDFSBacked state-store
+    providers stay loaded until the next maintenance tick (drain-scoped
+    600s — effectively never inside a bench session); and the checkpoint
+    dir stays on disk. A full bench session runs ~50 drains, and the
+    accumulated heap measurably taxes every LATER query via GC pressure
+    (r15 `stream_zscore` warm 7.45s in-session vs ~3s fresh-session was
+    this, not the operator). Generation-scoped cleanup keeps the session
+    O(1) in drained state instead of O(#drains)."""
+    while _DRAINED:
+        name, ck = _DRAINED.pop()
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:
+            pass
+        shutil.rmtree(ck, ignore_errors=True)
+    try:
+        # unload the finished queries' state-store providers now instead of
+        # waiting out the maintenance interval (Scala `object StateStore`;
+        # idempotent, restarts lazily on the next stateful query)
+        jvm = spark.sparkContext._jvm
+        ss_obj = getattr(
+            jvm.org.apache.spark.sql.execution.streaming.state, "StateStore$"
+        )
+        getattr(ss_obj, "MODULE$").stop()
+    except Exception:
+        pass
+
+
 def _drain(
     df: DataFrame, output_mode: str, partitions: int | None = None
 ) -> DataFrame:
     """Run a streaming DataFrame to completion (AvailableNow) into a memory
     sink; return the final in-memory table. Batch-equivalence harness only —
     production sinks are parquet/Kafka with the same checkpoint contract."""
+    spark = df.sparkSession
+    _release_drains(spark)
     name = "strm_" + uuid.uuid4().hex[:12]
-    with _stream_shuffle(df.sparkSession, partitions):
+    ck = tempfile.mkdtemp(prefix="kdbs_ck_")
+    with _stream_shuffle(spark, partitions):
         q = (
             df.writeStream.format("memory")
             .queryName(name)
             .outputMode(output_mode)
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="kdbs_ck_"))
+            .option("checkpointLocation", ck)
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
-    return df.sparkSession.table(name)
+    _DRAINED.append((name, ck))
+    return spark.table(name)
 
 
 # --------------------------------------------------------------------- ingest
