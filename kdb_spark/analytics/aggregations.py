@@ -2382,21 +2382,28 @@ def sql_waiting_supplier(supplier: DataFrame, lineitem: DataFrame) -> DataFrame:
           SELECT l_orderkey, l_suppkey, max(l_shipdate) AS m
           FROM {lineitem_v}
           GROUP BY l_orderkey, l_suppkey),
-        multi AS (
-          SELECT l_orderkey FROM sm GROUP BY l_orderkey HAVING count(*) >= 2),
-        mx AS (
-          SELECT sm.l_orderkey, max(sm.m) AS mx
-          FROM sm JOIN multi USING (l_orderkey)
-          GROUP BY sm.l_orderkey),
-        at_mx AS (
-          SELECT sm.l_orderkey, CAST(count(*) AS BIGINT) AS n_at
-          FROM sm JOIN mx ON mx.l_orderkey = sm.l_orderkey AND sm.m = mx.mx
-          GROUP BY sm.l_orderkey),
+        po AS (
+          -- one hash agg replaces the multi/mx/at_mx join tree: the max
+          -- shipdate is held by a UNIQUE supplier iff the argmax under
+          -- suppkey-ASC and suppkey-DESC tiebreaks agree. The (date, supp)
+          -- key is packed into ONE BIGINT (days<<32 | suppkey — the repo's
+          -- packed-long device, cf. join_band_topk) because max(LONG) stays
+          -- a partial-aggregated HashAggregate while max(STRUCT) planned as
+          -- SortAggregate and re-sorted the order-grain table (r16 — the
+          -- prior CTE tree also re-expanded sm per reference, shuffling
+          -- the fact-sized agg 4x). Key = exact epoch seconds (the NTZ
+          -- shipdates are day-grain; UTC session) << 31 | suppkey; suppkey
+          -- < 2^31 holds to TPC-H SF ~2e5 and the packed key fits BIGINT
+          -- through year 2106.
+          SELECT l_orderkey,
+                 count(*) AS n_supp,
+                 max(unix_seconds(CAST(m AS TIMESTAMP)) * 2147483648 + l_suppkey) AS hi,
+                 max(unix_seconds(CAST(m AS TIMESTAMP)) * 2147483648 + (2147483647 - l_suppkey)) AS lo
+          FROM sm GROUP BY l_orderkey),
         blamed AS (
-          SELECT sm.l_suppkey
-          FROM sm
-          JOIN mx ON mx.l_orderkey = sm.l_orderkey AND sm.m = mx.mx
-          JOIN at_mx ON at_mx.l_orderkey = sm.l_orderkey AND at_mx.n_at = 1)
+          SELECT hi % 2147483648 AS l_suppkey FROM po
+          WHERE n_supp >= 2
+            AND hi % 2147483648 = 2147483647 - lo % 2147483648)
         SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
         FROM blamed b JOIN {supplier_v} s ON s.s_suppkey = b.l_suppkey
         GROUP BY s.s_name
