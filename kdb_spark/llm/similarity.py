@@ -1111,11 +1111,22 @@ def emb_centroid_classify(embeddings: DataFrame, dim: int = 64) -> DataFrame:
         .join(F.broadcast(cents))
         .withColumn("cos", _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm")))
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), "clabel")
+    # argmax as an aggregate, not a window: max(struct(cos, -clabel)) picks
+    # highest cos then LOWEST clabel (the window's tiebreak), and the
+    # map-side partial absorbs the |labels| fanout before the shuffle —
+    # the n·|labels| scored table never crosses an Exchange (r16; the
+    # row_number window shuffled+sorted all of it on vec_id). Struct max
+    # plans as SortAggregate (not hash), but the sort is map-side over the
+    # join product and only n rows reach the Exchange. max is
+    # order-independent, so the partition-invariance contract holds.
+    best = scored.groupBy("vec_id", "label").agg(
+        F.max(F.struct(F.col("cos"), (-F.col("clabel")).alias("negl"))).alias("b")
+    )
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .groupBy(F.col("label").alias("true_label"), F.col("clabel").alias("pred_label"))
+        best.groupBy(
+            F.col("label").alias("true_label"),
+            (-F.col("b.negl")).alias("pred_label"),
+        )
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
 
