@@ -497,6 +497,13 @@ def _cc_iterate(edges: DataFrame) -> DataFrame:
         .persist()
     )
     converged = False
+    # r16 probe note: two variants were measured and REJECTED — (a) an
+    # eager repartition+persist of edges on doc_b (kills the per-round
+    # edge Exchange; 3x slower at sf0.1, the extra materialization job
+    # dominates the few rounds LSH graphs need) and (b) shuffle_hash
+    # hints on every per-round join (2x slower cold: the hint blocks
+    # AQE's runtime broadcast conversion of the small label tables).
+    # Unhinted joins + AQE remain the measured optimum.
     for _ in range(64):  # generous bound; non-convergence RAISES below
         neigh = (
             edges.join(labels, edges.doc_b == labels.doc_id)
@@ -641,8 +648,11 @@ def dedup_simhash(documents: DataFrame, max_hamming: int = 8) -> DataFrame:
                 F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
             ).cast("long").alias("hamming"),
         )
-        .distinct()
+        # filter BEFORE the dedup shuffle: hamming is a pure function of the
+        # pair, so far-pairs (the vast majority of band collisions) drop
+        # map-side instead of crossing the distinct's Exchange (r16)
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
