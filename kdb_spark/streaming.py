@@ -1512,35 +1512,42 @@ def _gap_fn(
             state.update((prev[0], prev[1], prev[2], prev[3], prev[4], n_late))
             return
         ts, eid = ts[lo:], eid[lo:]
+    # vectorized replay of the former per-row loop (guide §4.2): gaps are
+    # diffs against the carried tail, the running stats are cumsum /
+    # maximum.accumulate, and the rounding device reduces EXACTLY —
+    # (2e6·s1 + n·1e6) // (2n·1e6) == (2·s1 + n) // (2n) (common factor 1e6
+    # cancels under floor division), so 2·s1 ≤ 6e17 never wraps int64 for
+    # physical µs timestamps and no arbitrary-precision loop is needed.
     if prev is not None:
-        last_ts, n, s1, mx = int(prev[0]), int(prev[2]), int(prev[3]), int(prev[4])
-        start = 0
+        n0, s10, mx0 = int(prev[2]), int(prev[3]), int(prev[4])
+        g = np.diff(ts, prepend=np.int64(prev[0]))
+        out_ts, out_eid = ts, eid
     else:
-        last_ts, n, s1, mx = int(ts[0]), 0, 0, 0
-        start = 1
-    rows = {c: [] for c in ("ts_us", "event_id", "gap_s", "max_gap_s", "mean_gap_s")}
-    for i in range(start, len(ts)):
-        g = int(ts[i]) - last_ts
-        n += 1
-        s1 += g
-        if g > mx:
-            mx = g
-        grid = (2_000_000 * s1 + n * 1_000_000) // (2 * n * 1_000_000)
-        rows["ts_us"].append(int(ts[i]))
-        rows["event_id"].append(int(eid[i]))
-        rows["gap_s"].append(float(g) / 1e6)
-        rows["max_gap_s"].append(float(mx) / 1e6)
-        rows["mean_gap_s"].append(float(grid) / 1e6)
-        last_ts = int(ts[i])
-    state.update((int(ts[-1]), int(eid[-1]), n, s1, mx, n_late))
-    if not rows["ts_us"]:
+        n0, s10, mx0 = 0, 0, 0
+        g = np.diff(ts)
+        out_ts, out_eid = ts[1:], eid[1:]
+    m = len(g)
+    if m:
+        n_arr = n0 + np.arange(1, m + 1, dtype=np.int64)
+        s1_arr = s10 + np.cumsum(g)
+        mx_arr = np.maximum.accumulate(np.maximum(g, mx0))
+        grid = (2 * s1_arr + n_arr) // (2 * n_arr)
+        n_f, s1_f, mx_f = int(n_arr[-1]), int(s1_arr[-1]), int(mx_arr[-1])
+    else:
+        n_f, s1_f, mx_f = n0, s10, mx0
+    state.update((int(ts[-1]), int(eid[-1]), n_f, s1_f, mx_f, n_late))
+    if not m:
         return
     k_user, k_type = key
     yield pd.DataFrame(
         {
-            "user_id": np.full(len(rows["ts_us"]), k_user, dtype=np.int64),
-            "event_type": [k_type] * len(rows["ts_us"]),
-            **rows,
+            "user_id": np.full(m, k_user, dtype=np.int64),
+            "event_type": [k_type] * m,
+            "ts_us": out_ts,
+            "event_id": out_eid,
+            "gap_s": g.astype(np.float64) / 1e6,
+            "max_gap_s": mx_arr.astype(np.float64) / 1e6,
+            "mean_gap_s": grid.astype(np.float64) / 1e6,
         }
     )
 
@@ -1637,22 +1644,30 @@ def _since_fn(
         last_t, n_t = int(prev[2]), int(prev[3])
     else:
         last_t, n_t = -1, 0
-    rows = {c: [] for c in ("event_id", "ts_us", "since_us", "n_target_so_far")}
-    for i in range(len(ts)):
-        if etype[i] == _SINCE_TARGET:
-            last_t = int(ts[i])
-            n_t += 1
-        rows["event_id"].append(int(eid[i]))
-        rows["ts_us"].append(int(ts[i]))
-        rows["since_us"].append(int(ts[i]) - last_t if last_t >= 0 else None)
-        rows["n_target_so_far"].append(n_t)
-    state.update((int(ts[-1]), int(eid[-1]), last_t, n_t, n_late))
+    # vectorized replay (guide §4.2): the running purchase count is a
+    # cumsum over the target mask, and the carried last-target timestamp
+    # is a forward-fill — indices of target rows, maximum.accumulate, then
+    # gather (ts is sorted, so the latest index IS the latest timestamp).
+    m = len(ts)
+    is_t = etype == _SINCE_TARGET
+    n_t_arr = n_t + np.cumsum(is_t, dtype=np.int64)
+    idx = np.maximum.accumulate(np.where(is_t, np.arange(m), -1))
+    last_t_arr = np.where(idx >= 0, ts[idx], np.int64(last_t))
+    since = (ts - last_t_arr).astype(object)
+    since[last_t_arr < 0] = None
+    state.update((int(ts[-1]), int(eid[-1]), int(last_t_arr[-1]),
+                  int(n_t_arr[-1]), n_late))
     (k_user,) = key
-    out = pd.DataFrame(rows)
-    out.insert(1, "user_id", int(k_user))
-    out.insert(2, "event_type", etype)
-    yield out[["event_id", "user_id", "event_type", "ts_us", "since_us",
-               "n_target_so_far"]]
+    yield pd.DataFrame(
+        {
+            "event_id": eid,
+            "user_id": np.full(m, k_user, dtype=np.int64),
+            "event_type": etype,
+            "ts_us": ts,
+            "since_us": since,
+            "n_target_so_far": n_t_arr,
+        }
+    )
 
 
 def stream_since_event(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1779,24 +1794,31 @@ def _dd_fn(
             state.update((prev[0], prev[1], peak, n_late))
             return
         ts, eid, cs = ts[lo:], eid[lo:], cs[lo:]
-    rows = {c: [] for c in ("ts_us", "event_id", "peak_c", "dd_frac")}
-    for i in range(len(ts)):
-        c = int(cs[i])
-        peak = c if peak is None or c > peak else peak
-        rows["ts_us"].append(int(ts[i]))
-        rows["event_id"].append(int(eid[i]))
-        rows["peak_c"].append(peak)
-        if peak > 0:
-            grid = (2_000_000 * (peak - c) + peak) // (2 * peak)
-            rows["dd_frac"].append(float(grid) / 1e6)
-        else:
-            rows["dd_frac"].append(None)
-    state.update((int(ts[-1]), int(eid[-1]), int(peak), n_late))
+    # vectorized replay (guide §4.2): running peak is maximum.accumulate
+    # (seeded with the carried peak), and the integer DIV device runs
+    # elementwise in int64 — 2e6·(peak−c) is bounded by 2e6·|cents|,
+    # nowhere near the int64 edge at any physical price.
+    m = len(ts)
+    peak_arr = np.maximum.accumulate(cs)
+    if peak is not None:
+        peak_arr = np.maximum(peak_arr, np.int64(peak))
+    pos = peak_arr > 0
+    den = np.where(pos, peak_arr, np.int64(1))
+    grid = (2_000_000 * (peak_arr - cs) + den) // (2 * den)
+    frac = (grid.astype(np.float64) / 1e6).astype(object)
+    frac[~pos] = None
+    state.update((int(ts[-1]), int(eid[-1]), int(peak_arr[-1]), n_late))
     k_user, k_type = key
-    out = pd.DataFrame(rows)
-    out.insert(0, "user_id", int(k_user))
-    out.insert(1, "event_type", k_type)
-    yield out[["user_id", "event_type", "ts_us", "event_id", "peak_c", "dd_frac"]]
+    yield pd.DataFrame(
+        {
+            "user_id": np.full(m, k_user, dtype=np.int64),
+            "event_type": [k_type] * m,
+            "ts_us": ts,
+            "event_id": eid,
+            "peak_c": peak_arr,
+            "dd_frac": frac,
+        }
+    )
 
 
 def stream_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1890,39 +1912,54 @@ def _day_roll_fn(
         )
     else:
         cur_day, open_c, close_c, n, prev_close = None, None, None, 0, None
-    rows = {c: [] for c in ("day", "open_c", "close_c", "n", "gap_c")}
-    for i in range(len(ts)):
-        d, c = int(dy[i]), int(cs[i])
-        if cur_day is None:
-            cur_day, open_c, close_c, n = d, c, c, 1
-        elif d == cur_day:
-            close_c = c
-            n += 1
-        else:
-            rows["day"].append(cur_day)
-            rows["open_c"].append(open_c)
-            rows["close_c"].append(close_c)
-            rows["n"].append(n)
-            rows["gap_c"].append(
-                open_c - prev_close if prev_close is not None else None
-            )
-            prev_close = close_c
-            cur_day, open_c, close_c, n = d, c, c, 1
+    # vectorized replay (guide §4.2): day segments are boundary-detected in
+    # one pass (dy is sorted by ts within the series); the carried open day
+    # either extends segment 0 (same day) or is prepended as its own
+    # closed segment; every segment but the last is published, the last
+    # stays open in state — byte-identical to the former per-row loop.
+    m = len(ts)
+    starts = np.flatnonzero(np.concatenate(([True], dy[1:] != dy[:-1])))
+    ends = np.concatenate((starts[1:] - 1, [m - 1]))
+    seg_day = dy[starts].astype(np.int64)
+    seg_open = cs[starts].astype(np.int64)
+    seg_close = cs[ends].astype(np.int64)
+    seg_n = (ends - starts + 1).astype(np.int64)
+    if cur_day is not None and int(seg_day[0]) == int(cur_day):
+        seg_open[0] = open_c
+        seg_n[0] += n
+    elif cur_day is not None:
+        seg_day = np.concatenate(([cur_day], seg_day))
+        seg_open = np.concatenate(([open_c], seg_open))
+        seg_close = np.concatenate(([close_c], seg_close))
+        seg_n = np.concatenate(([n], seg_n))
+    k = len(seg_day) - 1  # all but the still-open last segment publish
     state.update(
         (
-            int(ts[-1]), int(eid[-1]), int(cur_day), int(open_c),
-            int(close_c), int(n),
-            int(prev_close) if prev_close is not None else None,
+            int(ts[-1]), int(eid[-1]), int(seg_day[-1]), int(seg_open[-1]),
+            int(seg_close[-1]), int(seg_n[-1]),
+            int(seg_close[k - 1]) if k > 0 else (
+                int(prev_close) if prev_close is not None else None
+            ),
             n_late,
         )
     )
-    if not rows["day"]:
+    if not k:
         return
+    gap = np.empty(k, dtype=object)
+    gap[1:] = (seg_open[1:k] - seg_close[: k - 1]).astype(object)
+    gap[0] = (int(seg_open[0]) - int(prev_close)) if prev_close is not None else None
     k_user, k_type = key
-    out = pd.DataFrame(rows)
-    out.insert(0, "user_id", int(k_user))
-    out.insert(1, "event_type", k_type)
-    yield out[["user_id", "event_type", "day", "open_c", "close_c", "n", "gap_c"]]
+    yield pd.DataFrame(
+        {
+            "user_id": np.full(k, k_user, dtype=np.int64),
+            "event_type": [k_type] * k,
+            "day": seg_day[:k],
+            "open_c": seg_open[:k],
+            "close_c": seg_close[:k],
+            "n": seg_n[:k],
+            "gap_c": gap,
+        }
+    )
 
 
 def stream_day_roll(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2011,24 +2048,33 @@ def _peak_age_fn(
             state.update((prev[0], prev[1], peak_c, peak_ts, n_late))
             return
         ts, eid, cs = ts[lo:], eid[lo:], cs[lo:]
-    rows = {c: [] for c in ("ts_us", "event_id", "peak_c", "peak_ts_us", "peak_age_us")}
-    for i in range(len(ts)):
-        c = int(cs[i])
-        t = int(ts[i])
-        if peak_c is None or c >= peak_c:
-            peak_c, peak_ts = c, t
-        rows["ts_us"].append(t)
-        rows["event_id"].append(int(eid[i]))
-        rows["peak_c"].append(peak_c)
-        rows["peak_ts_us"].append(peak_ts)
-        rows["peak_age_us"].append(t - peak_ts)
-    state.update((int(ts[-1]), int(eid[-1]), int(peak_c), int(peak_ts), n_late))
+    # vectorized replay (guide §4.2): the running peak is
+    # maximum.accumulate; a row re-touches the clock iff its cents reach
+    # the peak BEFORE it (c >= prev running peak, the latest-wins rule),
+    # and the touch timestamps forward-fill via the index-gather device.
+    m = len(ts)
+    run = np.maximum.accumulate(cs)
+    if peak_c is not None:
+        run = np.maximum(run, np.int64(peak_c))
+        prev_run = np.concatenate(([peak_c], run[:-1]))
+        touch = cs >= prev_run
+    else:
+        touch = np.concatenate(([True], cs[1:] >= run[:-1]))
+    idx = np.maximum.accumulate(np.where(touch, np.arange(m), -1))
+    pts = np.where(idx >= 0, ts[idx], np.int64(peak_ts if peak_ts is not None else 0))
+    state.update((int(ts[-1]), int(eid[-1]), int(run[-1]), int(pts[-1]), n_late))
     k_user, k_type = key
-    out = pd.DataFrame(rows)
-    out.insert(0, "user_id", int(k_user))
-    out.insert(1, "event_type", k_type)
-    yield out[["user_id", "event_type", "ts_us", "event_id",
-               "peak_c", "peak_ts_us", "peak_age_us"]]
+    yield pd.DataFrame(
+        {
+            "user_id": np.full(m, k_user, dtype=np.int64),
+            "event_type": [k_type] * m,
+            "ts_us": ts,
+            "event_id": eid,
+            "peak_c": run,
+            "peak_ts_us": pts,
+            "peak_age_us": ts - pts,
+        }
+    )
 
 
 def stream_peak_age(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2101,36 +2147,58 @@ def _attrib_fn(
     n_late = int(prev[4]) if prev is not None else 0
     last_click = prev[3] if prev is not None else None
     if prev is not None:
-        tail = (int(prev[0]), int(prev[1]), int(prev[2]))
-        lo = 0
-        while lo < len(ts) and (int(ts[lo]), int(side[lo]), int(eid[lo])) <= tail:
-            lo += 1
+        # three-level searchsorted on the (ts, side, eid) lex order — the
+        # former tuple-compare scan walked every late row in Python
+        t0, s0, e0 = int(prev[0]), int(prev[1]), int(prev[2])
+        i0 = int(np.searchsorted(ts, t0, "left"))
+        i1 = int(np.searchsorted(ts, t0, "right"))
+        j0 = i0 + int(np.searchsorted(side[i0:i1], s0, "left"))
+        j1 = i0 + int(np.searchsorted(side[i0:i1], s0, "right"))
+        lo = j0 + int(np.searchsorted(eid[j0:j1], e0, "right"))
         n_late += lo
         if lo == len(ts):
-            state.update((tail[0], tail[1], tail[2], last_click, n_late))
+            state.update((t0, s0, e0, last_click, n_late))
             return
         ts, eid, side = ts[lo:], eid[lo:], side[lo:]
-    rows = {c: [] for c in ("event_id", "ts_us", "last_click_us", "attributed")}
-    for i in range(len(ts)):
-        t = int(ts[i])
-        if side[i] == 0:
-            last_click = t
-        else:
-            ok = last_click is not None and t - last_click <= _AT_WINDOW_US
-            rows["event_id"].append(int(eid[i]))
-            rows["ts_us"].append(t)
-            rows["last_click_us"].append(last_click)
-            rows["attributed"].append(1 if ok else 0)
+    # vectorized replay (guide §4.2): the carried click timestamp is a
+    # forward-fill over click rows (index-gather device); only purchase
+    # rows publish, with the 7-day window test done elementwise.
+    m = len(ts)
+    is_c = side == 0
+    idx = np.maximum.accumulate(np.where(is_c, np.arange(m), -1))
+    has = idx >= 0
+    lc = np.where(has, ts[idx], np.int64(0))
+    if last_click is None:
+        lc_val = lc
+        lc_has = has
+    else:
+        lc_val = np.where(has, lc, np.int64(last_click))
+        lc_has = np.ones(m, dtype=bool)
+    p = ~is_c
+    if not p.any():
+        state.update(
+            (int(ts[-1]), int(side[-1]), int(eid[-1]),
+             int(lc_val[-1]) if bool(lc_has[-1]) else None, n_late)
+        )
+        return
+    ok = lc_has[p] & (ts[p] - lc_val[p] <= _AT_WINDOW_US)
+    lc_out = lc_val[p].astype(object)
+    lc_out[~lc_has[p]] = None
     state.update(
         (int(ts[-1]), int(side[-1]), int(eid[-1]),
-         int(last_click) if last_click is not None else None, n_late)
+         int(lc_val[-1]) if bool(lc_has[-1]) else None, n_late)
     )
-    if not rows["event_id"]:
-        return
     (k_user,) = key
-    out = pd.DataFrame(rows)
-    out.insert(0, "user_id", int(k_user))
-    yield out[["user_id", "event_id", "ts_us", "last_click_us", "attributed"]]
+    np_p = int(p.sum())
+    yield pd.DataFrame(
+        {
+            "user_id": np.full(np_p, k_user, dtype=np.int64),
+            "event_id": eid[p],
+            "ts_us": ts[p],
+            "last_click_us": lc_out,
+            "attributed": ok.astype(np.int64),
+        }
+    )
 
 
 def stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2220,24 +2288,59 @@ def _vwap_fn(
             state.update((prev[0], prev[1], str(spv), sv, n_late))
             return
         ts, eid, cs, vol = ts[lo:], eid[lo:], cs[lo:], vol[lo:]
-    rows = {c: [] for c in ("ts_us", "event_id", "cum_vol", "vwap")}
-    for i in range(len(ts)):
-        spv += int(cs[i]) * int(vol[i])
-        sv += int(vol[i])
-        rows["ts_us"].append(int(ts[i]))
-        rows["event_id"].append(int(eid[i]))
-        rows["cum_vol"].append(sv)
-        if sv > 0:
-            # round(spv / (100·sv), 6) half-up on the non-negative grid
-            den = 100 * sv
-            grid = (2_000_000 * spv + den) // (2 * den)
-            rows["vwap"].append(float(grid) / 1e6)
-        else:
-            rows["vwap"].append(None)
+    # Vectorized replay (guide §4.2). The running sums are int64 cumsums;
+    # the rounding device would overflow int64 as written (2e6·Σpv), so it
+    # runs in the divmod-decomposed form
+    #   grid = 1e6·q + (2e6·r + den) // (2·den),  q = Σpv div den, r = Σpv mod den
+    # which is EXACTLY equal (the q·den part divides out with no remainder)
+    # and whose largest intermediate is 2e8·Σvol — int64-safe while
+    # Σvol < 4.6e10. Past those bounds (the 1e9-row tape the state's
+    # string Σ exists for) the exact Python-int loop below takes over.
+    m = len(ts)
+    mx_c = int(np.abs(cs).max()) if m else 0
+    mx_v = int(np.abs(vol).max()) if m else 0
+    sv_end = sv + int(np.sum(vol, dtype=object))
+    safe = (
+        abs(spv) + m * mx_c * mx_v < 2**62
+        and abs(sv_end) < 4_600_000_000
+        and cs.min() >= 0
+        and vol.min() >= 0
+    )
+    if safe:
+        spv_arr = spv + np.cumsum(cs * vol)
+        sv_arr = sv + np.cumsum(vol)
+        pos = sv_arr > 0
+        den = np.where(pos, 100 * sv_arr, np.int64(1))
+        q = spv_arr // den
+        r = spv_arr - q * den
+        grid = 1_000_000 * q + (2_000_000 * r + den) // (2 * den)
+        vwap = (grid.astype(np.float64) / 1e6).astype(object)
+        vwap[~pos] = None
+        spv, sv = int(spv_arr[-1]), int(sv_arr[-1])
+    else:
+        cum_vol = np.empty(m, dtype=np.int64)
+        vwap = np.empty(m, dtype=object)
+        for i in range(m):
+            spv += int(cs[i]) * int(vol[i])
+            sv += int(vol[i])
+            cum_vol[i] = sv
+            if sv > 0:
+                # round(spv / (100·sv), 6) half-up on the non-negative grid
+                d = 100 * sv
+                vwap[i] = float((2_000_000 * spv + d) // (2 * d)) / 1e6
+            else:
+                vwap[i] = None
+        sv_arr = cum_vol
     state.update((int(ts[-1]), int(eid[-1]), str(spv), sv, n_late))
-    out = pd.DataFrame(rows)
-    out.insert(0, "event_type", key[0])
-    yield out[["event_type", "ts_us", "event_id", "cum_vol", "vwap"]]
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]] * m,
+            "ts_us": ts,
+            "event_id": eid,
+            "cum_vol": sv_arr,
+            "vwap": vwap,
+        }
+    )
 
 
 def stream_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1007,3 +1007,117 @@ def test_stream_vwap_equals_batch_cumulative(spark):
     g = {(r.event_type, r.event_id): (r.cum_vol, r.vwap) for r in got.collect()}
     x = {(r.event_type, r.event_id): (r.cum_vol, r.vwap) for r in want.collect()}
     assert g == x
+
+
+class _FnState:
+    """Bare GroupState stand-in for fn-level tests (no cluster)."""
+
+    exists = False
+
+    def update(self, v):
+        self.exists = True
+        self.get = v
+
+
+def test_since_fn_carries_target_across_batches():
+    """_since_fn: the carried last-purchase timestamp and running count
+    chain across micro-batches; NULL head before the first target; a late
+    row behind the tail drops-and-counts."""
+    import pandas as pd
+
+    st = _FnState()
+    b1 = pd.DataFrame(
+        {
+            "event_id": [1, 2],
+            "user_id": [7, 7],
+            "event_type": ["view", "purchase"],
+            "ts_us": [100, 200],
+        }
+    )
+    r1 = list(sm._since_fn((7,), iter([b1]), st))[0]
+    assert list(r1["since_us"]) == [None, 0]
+    assert list(r1["n_target_so_far"]) == [0, 1]
+    b2 = pd.DataFrame(
+        {
+            "event_id": [0, 3],
+            "user_id": [7, 7],
+            "event_type": ["view", "view"],
+            "ts_us": [150, 500],  # 150 is late (tail 200)
+        }
+    )
+    r2 = list(sm._since_fn((7,), iter([b2]), st))[0]
+    assert list(r2["event_id"]) == [3]
+    assert list(r2["since_us"]) == [300]  # gaps off batch-1's purchase
+    assert list(r2["n_target_so_far"]) == [1]
+    assert st.get[4] == 1  # one late row counted
+
+
+def test_dd_fn_carries_peak_across_batches():
+    """_dd_fn: batch-2 drawdowns measure against batch-1's peak; the
+    device fraction matches the integer DIV grid exactly."""
+    import pandas as pd
+
+    st = _FnState()
+    b1 = pd.DataFrame(
+        {"ts_us": [10, 20], "event_id": [1, 2], "c": [1000, 800]}
+    )
+    r1 = list(sm._dd_fn((1, "a"), iter([b1]), st))[0]
+    assert list(r1["peak_c"]) == [1000, 1000]
+    assert r1["dd_frac"][0] == 0.0 and r1["dd_frac"][1] == 0.2
+    b2 = pd.DataFrame({"ts_us": [30], "event_id": [3], "c": [900]})
+    r2 = list(sm._dd_fn((1, "a"), iter([b2]), st))[0]
+    assert list(r2["peak_c"]) == [1000]
+    assert r2["dd_frac"][0] == 0.1
+
+
+def test_peak_age_fn_retouch_and_carry():
+    """_peak_age_fn: an equal-cents re-touch moves the clock (>= rule);
+    the carried peak survives into the next batch."""
+    import pandas as pd
+
+    st = _FnState()
+    b1 = pd.DataFrame(
+        {"ts_us": [100, 200, 300], "event_id": [1, 2, 3], "c": [50, 40, 50]}
+    )
+    r1 = list(sm._peak_age_fn((1, "a"), iter([b1]), st))[0]
+    assert list(r1["peak_ts_us"]) == [100, 100, 300]  # eid=3 re-touches
+    assert list(r1["peak_age_us"]) == [0, 100, 0]
+    b2 = pd.DataFrame({"ts_us": [450], "event_id": [4], "c": [10]})
+    r2 = list(sm._peak_age_fn((1, "a"), iter([b2]), st))[0]
+    assert list(r2["peak_c"]) == [50]
+    assert list(r2["peak_ts_us"]) == [300]
+    assert list(r2["peak_age_us"]) == [150]
+
+
+def test_vwap_fn_vector_and_bigint_paths_agree():
+    """_vwap_fn: the int64 vectorized grid and the arbitrary-precision
+    fallback loop produce identical rows; a huge carried Σpv (the 1e9-row
+    tape) routes to the fallback and stays exact."""
+    import pandas as pd
+
+    st = _FnState()
+    b1 = pd.DataFrame(
+        {
+            "ts_us": [10, 20, 30],
+            "event_id": [1, 2, 3],
+            "c": [0, 12345, 99999],
+            "vol": [0, 3, 7],
+        }
+    )
+    r1 = list(sm._vwap_fn(("a",), iter([b1]), st))[0]
+    assert list(r1["cum_vol"]) == [0, 3, 10]
+    assert r1["vwap"][0] is None
+    assert r1["vwap"][1] == round((12345 * 3) / (100 * 3), 6)
+    # seed a Σpv far beyond int64: must take the fallback loop, still exact
+    st2 = _FnState()
+    st2.exists = True
+    st2.get = (5, 0, str(10**25), 10**7, 0)
+    b2 = pd.DataFrame(
+        {"ts_us": [50], "event_id": [9], "c": [200], "vol": [5]}
+    )
+    r2 = list(sm._vwap_fn(("a",), iter([b2]), st2))[0]
+    spv = 10**25 + 200 * 5
+    sv = 10**7 + 5
+    d = 100 * sv
+    assert r2["vwap"][0] == float((2_000_000 * spv + d) // (2 * d)) / 1e6
+    assert st2.get[2] == str(spv) and st2.get[3] == sv
