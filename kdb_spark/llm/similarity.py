@@ -492,14 +492,22 @@ def ann_search_topk(
         "tbl",
         "bkt",
     )
-    cand = (
-        b.join(F.broadcast(q), ["tbl", "bkt"])
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .dropDuplicates(["query_id", "vec_id"])
+    cand = b.join(F.broadcast(q), ["tbl", "bkt"]).filter(
+        F.col("vec_id") != F.col("query_id")
     )
+    # Score BEFORE the cross-table dedup: the cos of a (query, vec) pair is
+    # the same expression over the same two vectors in every table it
+    # collides in, so max(cos) over the pair group IS the pair's score and
+    # the dedup becomes a fixed-width two-phase HashAggregate. The naive
+    # dropDuplicates here kept both 64-dim arrays through first() buffers —
+    # a SortAggregate (variable-width buffers don't hash-agg) whose Exchange
+    # carried ~1 KB/row of embedding payload instead of 24 B of
+    # (query_id, vec_id, cos); a duplicate collision re-computes one dot
+    # map-side, far cheaper than shuffling its vectors (≤ n_tables-1 extra
+    # dots per pair).
     scored = cand.withColumn(
         "cos", _dot(_vec_d("q_emb"), _vec_d("embedding")) / (F.col("q_nrm") * F.col("nrm"))
-    )
+    ).groupBy("query_id", "vec_id").agg(F.max("cos").alias("cos"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "vec_id")
     return (
         scored.withColumn("rn", F.row_number().over(w).cast("long"))
