@@ -864,23 +864,42 @@ def dedup_keep_best(
         quality_score_expr(F.col("toks")).cast("long").alias("score"),
     )
     j = labels.join(scored, "doc_id")
-    pick = F.max_by(
-        F.struct(
-            F.col("doc_id").alias("kept_doc_id"),
-            F.col("score").alias("kept_score"),
-        ),
-        F.struct("score", "n_tokens", (-F.col("doc_id")).alias("nd")),
+    # Packed-long argmax (the join_band / sql_waiting_supplier device):
+    # max_by(struct, struct) carries variable-width buffers, which demotes
+    # the per-component aggregate to SortAggregate + Sort on BOTH sides of
+    # the exchange. One BIGINT whose numeric order equals the (score,
+    # n_tokens, -doc_id) pick order keeps it a two-phase HashAggregate with
+    # map-side partials: score is 0..4 by construction (3 bits at 60),
+    # n_tokens in 20 bits at 40, doc_id bitwise-complemented in the low 40
+    # so the max prefers the LOWEST id on ties. Inputs outside the pack
+    # domain raise before the multiply can alias two picks.
+    id_max = (1 << 40) - 1
+    ok = (F.col("doc_id").between(0, id_max)) & (F.col("n_tokens") < (1 << 20))
+    packed = F.when(
+        ok,
+        F.shiftleft(F.col("score"), 60)
+        + F.shiftleft(F.col("n_tokens"), 40)
+        + (F.lit(id_max) - F.col("doc_id")),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("dedup_keep_best: doc_id/n_tokens outside pack domain: "),
+                F.col("doc_id").cast("string"),
+            )
+        )
     )
     return (
         j.groupBy("canonical_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_members"),
-            pick.alias("p"),
+            F.max(packed).alias("pk"),
         )
         .select(
             "canonical_id",
-            F.col("p.kept_doc_id").alias("kept_doc_id"),
-            F.col("p.kept_score").alias("kept_score"),
+            (F.lit(id_max) - F.col("pk").bitwiseAND(F.lit(id_max))).alias(
+                "kept_doc_id"
+            ),
+            F.shiftrightunsigned("pk", 60).alias("kept_score"),
             "n_members",
         )
     )
