@@ -280,12 +280,15 @@ def agg_mode(events: DataFrame) -> DataFrame:
 def agg_ohlc(events: DataFrame) -> DataFrame:
     """Candlestick rollup: open/high/low/close per (event_type, hour).
 
-    open/close are min_by/max_by on the (ts, event_id) struct — exact picks
-    of stored values (no accumulation), deterministic under ties by the
-    unique event_id. One partial+final hash agg, same shape as
-    `agg_resample`.
+    open/close are min_by/max_by picks keyed by the packed in-hour
+    (ts, event_id) long (`tables.pick_key` — a struct key would demote the
+    whole fact rollup to SortAggregate) — exact picks of stored values (no
+    accumulation), deterministic under ties by the unique event_id. One
+    partial+final hash agg, same shape as `agg_resample`.
     """
-    key = F.struct("ts_us", "event_id")
+    from kdb_spark.tables import pick_key
+
+    key = pick_key(3_600_000_000)
     return (
         events.groupBy(
             "event_type",

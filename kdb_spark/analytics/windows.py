@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from kdb_spark.analytics.exact import floor_div_sql, iround_col
-from kdb_spark.tables import DAY_US, HOUR_US, cents
+from kdb_spark.tables import DAY_US, HOUR_US, cents, pick_key
 
 
 def win_moving_avg(events: DataFrame, k: int = 5) -> DataFrame:
@@ -1046,7 +1046,7 @@ def win_keltner(
     engine-exact — the same r10 parity contract as win_ewma/win_macd.
     ``mult`` participates as the integer round(mult·1000).
     """
-    key = F.struct("ts_us", "event_id")
+    key = pick_key(3_600_000_000)
     bars = events.groupBy(
         "event_type",
         (F.col("ts_us") - F.col("ts_us") % F.lit(3_600_000_000)).alias("hour_us"),
@@ -1236,7 +1236,7 @@ def win_pivot_points(events: DataFrame) -> DataFrame:
     daily = events.groupBy("user_id", "event_type", day).agg(
         F.max(c).alias("h"),
         F.min(c).alias("l"),
-        F.max_by(c, F.struct("ts_us", "event_id")).alias("cl"),
+        F.max_by(c, pick_key(DAY_US)).alias("cl"),
         F.count(F.lit(1)).cast("long").alias("n"),
     )
     w = Window.partitionBy("user_id", "event_type").orderBy("day_us")
@@ -1921,7 +1921,7 @@ def win_atr(events: DataFrame, period: int = 14) -> DataFrame:
         .agg(
             F.max(cents("value")).alias("h"),
             F.min(cents("value")).alias("l"),
-            F.max_by(cents("value"), F.struct("ts_us", "event_id")).alias("c"),
+            F.max_by(cents("value"), pick_key(HOUR_US)).alias("c"),
         )
     )
     wo = Window.partitionBy("event_type").orderBy("hour_us")
@@ -1990,7 +1990,7 @@ def win_vortex(events: DataFrame, period: int = 14) -> DataFrame:
         .agg(
             F.max(cents("value")).alias("h"),
             F.min(cents("value")).alias("l"),
-            F.max_by(cents("value"), F.struct("ts_us", "event_id")).alias("c"),
+            F.max_by(cents("value"), pick_key(HOUR_US)).alias("c"),
         )
     )
     wo = Window.partitionBy("event_type").orderBy("hour_us")
@@ -2132,7 +2132,7 @@ def win_adx(events: DataFrame, period: int = 14) -> DataFrame:
         .agg(
             F.max(cents("value")).alias("h"),
             F.min(cents("value")).alias("l"),
-            F.max_by(cents("value"), F.struct("ts_us", "event_id")).alias("c"),
+            F.max_by(cents("value"), pick_key(HOUR_US)).alias("c"),
         )
     )
     wo = Window.partitionBy("event_type").orderBy("hour_us")
@@ -2641,7 +2641,7 @@ def win_gap_open(events: DataFrame) -> DataFrame:
     (user, type) — so the fact is shuffled once; the window then runs
     over day-count-sized rows, not tick-sized.
     """
-    key = F.struct(F.col("ts_us"), F.col("event_id"))
+    key = pick_key(DAY_US)
     t = (
         events.repartition("user_id", "event_type")
         .select(
@@ -2740,7 +2740,7 @@ def win_seasonal_naive(events: DataFrame) -> DataFrame:
     collapse (superset clustering) AND the per-slot day lag — the same
     one-Exchange discipline as win_gap_open.
     """
-    key = F.struct(F.col("ts_us"), F.col("event_id"))
+    key = pick_key(HOUR_US)
     t = (
         events.repartition("user_id", "event_type")
         .select(
@@ -2837,10 +2837,10 @@ def win_candle_patterns(events: DataFrame) -> DataFrame:
             (F.col("ts_us") - F.col("ts_us") % F.lit(HOUR_US)).alias("hour_us"),
         )
         .agg(
-            F.min_by(cents("value"), F.struct("ts_us", "event_id")).alias("o"),
+            F.min_by(cents("value"), pick_key(HOUR_US)).alias("o"),
             F.max(cents("value")).alias("h"),
             F.min(cents("value")).alias("l"),
-            F.max_by(cents("value"), F.struct("ts_us", "event_id")).alias("cl"),
+            F.max_by(cents("value"), pick_key(HOUR_US)).alias("cl"),
         )
     )
     body = F.abs(F.col("cl") - F.col("o"))
@@ -3006,7 +3006,7 @@ def win_garman_klass(events: DataFrame) -> DataFrame:
         events.select(
             "event_type", hour.alias("h"), "ts_us", "event_id", x.alias("x")
         )
-        .withColumn("rk", F.struct("ts_us", "event_id"))
+        .withColumn("rk", pick_key(HOUR_US))
         .groupBy("event_type", "h")
         .agg(
             F.min_by("x", "rk").alias("o"),

@@ -1562,15 +1562,20 @@ def cdc_apply(snapshot: DataFrame, changes: DataFrame, key: str) -> DataFrame:
     bounded by |changes| + |snapshot|; at 100 TB the change batch is
     increment-sized and broadcast-joins under AQE.
     """
+    # The winner's op only matters as delete-vs-not, so reduce it to an
+    # int BEFORE the argmax: max_by over the STRING op carries a
+    # variable-width buffer, which demotes the winner agg (this op's one
+    # fact-sized pass) to SortAggregate; the (int, long) pair keeps it
+    # the advertised two-phase hash agg with map-side partials.
     winners = (
         changes.groupBy(key)
         .agg(
-            F.max_by("op", "seq").alias("op"),
+            F.max_by((F.col("op") == "D").cast("int"), "seq").alias("is_del"),
             F.max_by("payload", "seq").alias("payload"),
         )
     )
     carried = snapshot.join(winners.select(key), key, "left_anti")
-    applied = winners.filter(F.col("op") != "D").select(key, "payload")
+    applied = winners.filter(F.col("is_del") == 0).select(key, "payload")
     return carried.unionByName(applied)
 
 

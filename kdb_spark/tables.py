@@ -158,6 +158,39 @@ def cents(col: str | F.Column) -> F.Column:
     return F.round(c * 100).cast("long")
 
 
+def pick_key(width_us: int) -> F.Column:
+    """Packed BIGINT pick key replacing ``struct(ts_us, event_id)`` in the
+    bar-family ``min_by``/``max_by`` open/close picks.
+
+    Within any bucket of width ``width_us`` whose start is an aligned
+    multiple (``ts div width`` / ``ts − ts % width`` groupings), numeric
+    order of ``(ts_us % width) << shift | event_id`` equals the lexical
+    order of ``struct(ts_us, event_id)`` — identical picks, identical
+    ties (event_id is unique). The point is the aggregate BUFFER: a
+    struct ordering key demotes the whole fact-sized bar rollup to
+    SortAggregate (a full sort of the fact table per bucket), while the
+    single long keeps every slot fixed-width, so it plans as a two-phase
+    HashAggregate with map-side partials.
+
+    ``shift = 63 − bits(width−1)`` spends the long's bits on the in-bucket
+    offset first and range-guards event_id into the remainder (2^31 for
+    hourly bars, 2^26 for daily) — an out-of-range id raises a labeled
+    error BEFORE the pack could alias two rows, the join_band discipline.
+    """
+    shift = 63 - (width_us - 1).bit_length()
+    eid = F.when(
+        F.col("event_id").between(0, (1 << shift) - 1), F.col("event_id")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"pick_key: event_id outside {shift}-bit pack range: "),
+                F.col("event_id").cast("string"),
+            )
+        )
+    )
+    return F.shiftleft(F.col("ts_us") % F.lit(width_us), shift) + eid
+
+
 def md5_slot(
     col: str | F.Column, hex_chars: int = 6, mod: int = 1_000_000
 ) -> F.Column:
