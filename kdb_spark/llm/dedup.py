@@ -184,15 +184,22 @@ def dedup_ngram_jaccard(
             ),
         )
     )
+    # Group on the two packed longs and unpack AFTER the count: doc/size
+    # fields are bijective with the pack, so the groups are identical, but
+    # the exchange key is 16 B (a, b) instead of the 32 B of the four
+    # pre-derived columns — the pair shuffle IS this op's only big
+    # exchange, so key width is shuffle width.
     return (
         grouped.select(F.explode(combos).alias("p"))
-        .groupBy(
-            F.shiftrightunsigned("p.a", 32).alias("doc_a"),
-            F.shiftrightunsigned("p.b", 32).alias("doc_b"),
-            F.col("p.a").bitwiseAND(F.lit(0xFFFFFFFF)).alias("na"),
-            F.col("p.b").bitwiseAND(F.lit(0xFFFFFFFF)).alias("nb"),
-        )
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .agg(F.count(F.lit(1)).alias("n_inter"))
+        .select(
+            F.shiftrightunsigned("a", 32).alias("doc_a"),
+            F.shiftrightunsigned("b", 32).alias("doc_b"),
+            F.col("a").bitwiseAND(F.lit(0xFFFFFFFF)).alias("na"),
+            F.col("b").bitwiseAND(F.lit(0xFFFFFFFF)).alias("nb"),
+            "n_inter",
+        )
         .withColumn(
             "jaccard",
             F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")),
