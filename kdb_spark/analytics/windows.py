@@ -1599,14 +1599,19 @@ def win_mfi(lineitem: DataFrame, period: int = 14) -> DataFrame:
     trailing ``period`` rows. Completes the volume-indicator pair begun by
     win_obv (direction-signed volume) with magnitude-weighted flow.
 
-    EXACT cross-engine: pc·q is widened to decimal BEFORE the multiply
-    (tick-scale cents × bulk quantities overflow int64 long before
-    100 TB); frame sums of those exact integers are order-independent;
-    the index is the exact rational 100·pmf/(pmf+nmf) through the
-    unsigned decimal device at 6 dp. All-flat frames (pmf+nmf = 0) emit
-    NULL. pmf/nmf surface as BIGINT cent·unit flows — per-frame bounded
-    (``period`` rows), so the cast is safe at any corpus size even though
-    the corpus-wide sum would not be.
+    EXACT cross-engine: flows stay in BIGINT end to end — the frame sum
+    is bounded by ``period`` rows (never corpus-sized), so pc·q only has
+    to fit int64/(100·period) per row (the device's 100·pmf numerator is
+    the tightest long), and the inputs are range-guarded with a labeled
+    raise (pc < 2^33 ≈ $86M/line, q < 2^16 units) BEFORE the multiply
+    so an out-of-domain feed fails loudly instead of wrapping (r16: the
+    former decimal(38,0) flow demoted both frame sums to per-row
+    BigDecimal accumulation — the window stage ran ~4× slower for a
+    width no bounded frame can need). Long sums of exact integers are
+    order-independent; the index is the exact rational 100·pmf/(pmf+nmf)
+    through the unsigned decimal device at 6 dp (the device widens its
+    numerator itself). All-flat frames (pmf+nmf = 0) emit NULL. pmf/nmf
+    surface as BIGINT cent·unit flows.
 
     Scale shape: ONE supplier-key Exchange; the lag and the two frame
     sums share the sort (consecutive Window nodes, no second shuffle).
@@ -1626,8 +1631,16 @@ def win_mfi(lineitem: DataFrame, period: int = 14) -> DataFrame:
         q.alias("q"),
         (pc - F.lag(pc).over(wo)).alias("dp"),
     )
-    zero = F.lit(0).cast("decimal(38,0)")
-    flow = F.expr("CAST(pc AS DECIMAL(38,0)) * q")
+    zero = F.lit(0).cast("long")
+    # per-row flow < 2^49, so 100 × a `period`-row frame sum (the widest
+    # long the device computes) stays under 2^60; the guard raises before
+    # the long multiply could ever wrap
+    flow = F.expr(
+        "CASE WHEN pc < 8589934592 AND q < 65536 THEN pc * q "
+        "ELSE raise_error(concat('win_mfi: flow operands outside the "
+        "int64 pack domain: pc=', CAST(pc AS STRING), ' q=', "
+        "CAST(q AS STRING))) END"
+    )
     t2 = t.select(
         "l_orderkey",
         "l_linenumber",

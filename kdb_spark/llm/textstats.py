@@ -1127,28 +1127,32 @@ def text_char_classes(documents: DataFrame) -> DataFrame:
     feeds the same routing decisions text_code_ratio makes for code).
 
     EXACT cross-engine: every count is length(text) minus the length
-    after deleting the class (regexp_replace with an explicit ASCII
-    class — the same RE2/Java-regex-safe subset both engines implement
-    identically; no \\s shorthand, whose Unicode scope differs between
-    engines), `other` is the integer remainder, and the four shares ride
-    the unsigned device at 6 dp. Empty documents surface null shares.
+    after deleting the class — via ``translate`` with the class spelled
+    out as an explicit char list (r16: translate is a per-char table
+    lookup, where the former regexp_replace paid the regex engine four
+    times per row for character-set matches a table serves identically;
+    both engines define translate by the same char-for-char deletion, so
+    the counts are bit-identical). `other` is the integer remainder, and
+    the four shares ride the unsigned device at 6 dp. Empty documents
+    surface null shares.
 
-    Scale shape: map-only — four regexp_replace + length per row, no
-    shuffle, scan-bound at any corpus size.
+    Scale shape: map-only — four translate + length per row, no shuffle,
+    scan-bound at any corpus size.
     """
     n = F.length("text").cast("long")
-    def cls(pat: str) -> F.Column:
+    def cls(chars: str) -> F.Column:
         return (
             F.length("text")
-            - F.length(F.regexp_replace("text", pat, ""))
+            - F.length(F.translate("text", chars, ""))
         ).cast("long")
 
+    _ALPHA = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
     t = documents.select(
         "doc_id",
         n.alias("n_chars"),
-        cls("[A-Za-z]").alias("n_alpha"),
-        cls("[0-9]").alias("n_digit"),
-        cls("[ \\t\\n\\r]").alias("n_space"),
+        cls(_ALPHA).alias("n_alpha"),
+        cls("0123456789").alias("n_digit"),
+        cls(" \t\n\r").alias("n_space"),
     ).withColumn(
         "n_other",
         (F.col("n_chars") - F.col("n_alpha") - F.col("n_digit") - F.col("n_space"))
