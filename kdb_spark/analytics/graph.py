@@ -89,24 +89,26 @@ def pagerank(
     # (e.g. trade_graph's orders⋈lineitem+distinct) re-executes per consumer
     edges = _reused("pagerank_edges", edges.select("src", "dst").distinct())
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    verts = edges.select(F.col("src").alias("v")).distinct()
-    n = verts.agg(F.count(F.lit(1)).cast("long").alias("n"))
-    # (v, n) base table — persisted once: zero_msgs (and the initial rank
+    # vertex base table — persisted once: zero_msgs (and the initial rank
     # table) re-reads it every unrolled round, and without the persist the
     # plan would re-run the vertex distinct per round.
-    base = _reused("pagerank_base", verts.crossJoin(F.broadcast(n)))
-    # per-round scalar n is re-read from the PERSISTED base, not from the
-    # unpersisted verts-distinct+count lineage — otherwise every unrolled
-    # round embeds that subplan and the one-shuffle-per-round cost claim
-    # rests on ReuseExchange instead of being structural
-    n = base.select("n").limit(1)
+    base = _reused("pagerank_base", edges.select(F.col("src").alias("v")).distinct())
+    # N is ONE bounded scalar (the vertex count) and every unrolled round
+    # needs it — collect it once and fold it into each round as a LITERAL.
+    # The r15 shape instead cross-joined a broadcast 1-row table per round,
+    # which cost one broadcast build + one job per round and deepened the
+    # unrolled plan (slower codegen on the cold run) for the same double
+    # arithmetic: lit(1.0)/lit(n) and 1.0/col(n) are the identical IEEE op
+    # on the identical long, so ranks are bit-for-bit unchanged (pinned by
+    # test_pagerank_paths_agree_exactly / the property suite).
+    n = float(base.agg(F.count(F.lit(1)).cast("long").alias("n")).collect()[0]["n"])
     # per-round shape: edges stream from cache, the |V|-sized rank table is
     # explicitly broadcast — each iteration is one map-side join, then the
     # zero-message union feeds ONE |E|+|V| aggregate shuffle (no fill join
     # exists; the union IS the fill). At a vertex scale where |V| no longer
     # broadcasts, swap the hint for edges pre-hashed on src — the cached
     # table's partitioning then absorbs the message join.
-    ranks = base.select("v", (F.lit(1.0) / F.col("n")).alias("r"))
+    ranks = base.select("v", (F.lit(1.0) / F.lit(n)).alias("r"))
     zero_msgs = base.select(F.col("v").alias("dst"), F.lit(0.0).alias("msg"))
     if broadcast_ranks:
         contrib_edges = _reused(
@@ -137,10 +139,9 @@ def pagerank(
             msgs.unionByName(zero_msgs)
             .groupBy(F.col("dst").alias("v"))
             .agg(F.sum("msg").alias("m"))
-            .crossJoin(F.broadcast(n))
             .select(
                 "v",
-                (F.lit(1.0 - damping) / F.col("n") + damping * F.col("m")).alias("r"),
+                (F.lit(1.0 - damping) / F.lit(n) + damping * F.col("m")).alias("r"),
             )
         )
         if tol is not None:

@@ -546,10 +546,9 @@ def test_sql_q12_q13_q21_shapes(spark):
 def test_pagerank_no_broadcast_path_shape(spark):
     """broadcast_ranks=False is the |V|-beyond-broadcast posture: the
     per-round message joins and the final out-degree decoration must plan
-    as shuffle-hash joins with ZERO BroadcastHashJoin anywhere (the only
-    broadcast left is the 1-row scalar N, a BroadcastNestedLoopJoin —
-    byte-sized at any graph scale). The default path keeps its broadcast
-    message join."""
+    as shuffle-hash joins with ZERO BroadcastHashJoin anywhere (the scalar
+    N is a driver-collected literal — bounded at any graph scale). The
+    default path keeps its broadcast message join."""
     from kdb_spark.analytics import graph as gr
     from kdb_spark.llm.dedup import _REUSE_CACHE
 
