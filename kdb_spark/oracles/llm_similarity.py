@@ -415,11 +415,11 @@ _reg(
 
 
 def _q_ivf_index_search(s: SparkSession, d: str) -> DataFrame:
-    import tempfile
+    # sources._tmp: memory-backed ephemeral sink scratch (the IVF layout
+    # lives exactly one query; see the _tmp docstring for the contract)
+    from kdb_spark.sources import _tmp
 
-    return sim.ivf_index_search(
-        load(s, d, "embeddings"), tempfile.mkdtemp(prefix="kdbs_ivfidx_")
-    )
+    return sim.ivf_index_search(load(s, d, "embeddings"), _tmp("ivfidx"))
 
 
 _reg("ivf_index_search", _q_ivf_index_search, _ivf_oracle())

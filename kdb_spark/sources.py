@@ -254,10 +254,23 @@ def sink_bucketed(
 # temp dir stands in for that.
 
 
+# Ephemeral sink scratch: every q_* round-trip key (sink_* writers,
+# scan_csv/orc/binary interchange, versioned-table commits) writes a
+# per-invocation table here and re-reads it inside the same query — the
+# dirs carry no state across invocations, so their fsyncs buy no
+# durability, only latency (the same argument as the streaming drain
+# scratch in kdb_spark/streaming.py). Default to memory-backed storage
+# when the host has it; point SPARK_GRAFT_SINK_SCRATCH at a disk path to
+# measure the durable-write cost instead. A production sink writes to
+# real shared storage — nothing that outlives one query lands here.
 def _tmp(prefix: str) -> str:
+    import os
     import tempfile
 
-    return tempfile.mkdtemp(prefix=f"kdbs_{prefix}_")
+    base = os.environ.get("SPARK_GRAFT_SINK_SCRATCH") or (
+        "/dev/shm" if os.path.isdir("/dev/shm") else None
+    )
+    return tempfile.mkdtemp(prefix=f"kdbs_{prefix}_", dir=base)
 
 
 def q_scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
