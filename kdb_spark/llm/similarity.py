@@ -1426,7 +1426,13 @@ def emb_recall_eval(embeddings: DataFrame) -> DataFrame:
     ann = ann_search_topk(embeddings).select(
         "query_id", "match_id", F.lit(1).alias("hit")
     )
-    j = brute.join(ann, ["query_id", "match_id"], "left")
+    # both sides are n_queries·k by construction — pin the broadcast so
+    # the planner (blind to post-operator sizes) can't fall back to a
+    # sort-merge join of two shortlist tables (r16: the static plan showed
+    # exactly that SMJ; AQE usually rescued it at runtime, but the pin
+    # costs nothing and holds at any corpus scale because the shortlists
+    # are parameter-bounded, not data-bounded)
+    j = brute.join(F.broadcast(ann), ["query_id", "match_id"], "left")
     g = j.groupBy("query_id").agg(
         F.count(F.lit(1)).cast("long").alias("k"),
         F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hit"),
