@@ -79,10 +79,16 @@ def _staged_dir(path: str) -> str:
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming view of the events table: file source, explicit schema
-    (streaming sources never infer), µs epoch + event-time timestamp cols."""
+    taken from the memoized batch handle (`tables.load` — METADATA reuse
+    only, never data: the footer read cost a driver round-trip per drain
+    and a read-only table's schema cannot change within a session; a
+    production landing dir pins its schema in the stream definition).
+    µs epoch + event-time timestamp cols. Streaming sources never infer."""
+    from kdb_spark.tables import load
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = f"{sf_dir.rstrip('/')}/events.parquet"
-    schema = spark.read.parquet(path).schema
+    schema = load(spark, sf_dir, "events").schema
     sdf = spark.readStream.schema(schema).parquet(_staged_dir(path))
     return sdf.withColumn("ts_us", ts_us_expr(sdf)).withColumn(
         "ets", F.timestamp_micros(F.col("ts_us"))
@@ -1437,10 +1443,12 @@ def stream_mau_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     range report (trailing windows around the corpus edges are partial by
     construction — the oracle applies the same bound).
     """
+    from kdb_spark.tables import load
+
     s = events_stream(spark, sf_dir)
-    bounds = s.sparkSession.read.parquet(
-        f"{sf_dir.rstrip('/')}/events.parquet"
-    )
+    # memoized handle (metadata reuse); the min/max bounds themselves are
+    # still computed from the parquet input on every invocation
+    bounds = load(spark, sf_dir, "events")
     ts = ts_us_expr(bounds)
     lohi = bounds.select(
         F.min(ts).alias("lo"), F.max(ts).alias("hi")
