@@ -1114,35 +1114,36 @@ def emb_centroid_classify(embeddings: DataFrame, dim: int = 64) -> DataFrame:
         F.col("label").alias("clabel"), "cv",
         _norm(F.col("cv")).alias("cnrm"),
     )
-    # argmax as a MAP-ONLY row expression (r16): the |labels|-sized centroid
-    # table collapses into one array row, and each vector picks
-    # array_max(transform(...)) over struct(cos, -clabel) — highest cos,
-    # then LOWEST clabel, the same struct ordering max(struct(...)) used.
-    # Per (v, centroid) the cos arithmetic is unchanged (same sequential
-    # _dot fold, same division), so the doubles — and therefore the argmax
-    # — are bit-identical; what changed is the plan: the n·|labels| join
-    # expansion and its SortAggregate pair (struct-max demotes hash agg)
-    # are gone, leaving scan → 1-row broadcast → project → ONE hash agg
-    # on the bounded (true, pred) key.
-    cents_row = cents.agg(
-        F.collect_list(F.struct("clabel", "cv", "cnrm")).alias("cs")
+    # argmax as an aggregate, not a window: max(struct(cos, -clabel)) picks
+    # highest cos then LOWEST clabel (the window's tiebreak), and the
+    # map-side partial absorbs the |labels| fanout before the shuffle —
+    # the n·|labels| scored table never crosses an Exchange (r16; the
+    # row_number window shuffled+sorted all of it on vec_id). Struct max
+    # plans as SortAggregate (not hash), but the sort is map-side over the
+    # join product and only n rows reach the Exchange. max is
+    # order-independent, so the partition-invariance contract holds.
+    #
+    # Two r16 rewrites of this tail were MEASURED AND REJECTED (isolated
+    # sf0.1 A/B, warm medians): (a) map-only array_max(transform(...)) over
+    # a collected-to-one-row centroid array — 1.9–2.4 s vs 1.6–1.9 s here:
+    # higher-order lambdas never enter whole-stage codegen, so the per-row
+    # interpreted fold costs more than this shape's map-side sort at any
+    # |labels| that broadcasts; (b) collecting the bounded centroids and
+    # inlining each cos as an 800-node literal expression with
+    # greatest(struct…) — 7–8 s: the tree exceeds the codegen method
+    # budget and the whole projection falls back to interpreted eval.
+    # This aggregate form stays the fastest measured AND shuffles only n
+    # rows; both rejects are recorded in OPTIMIZATION_r16.md.
+    scored = (
+        v.withColumn("nrm", _norm(F.col("v")))
+        .join(F.broadcast(cents))
+        .withColumn("cos", _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm")))
     )
-    best = F.array_max(
-        F.transform(
-            F.col("cs"),
-            lambda c: F.struct(
-                (
-                    _dot(F.col("v"), c["cv"]) / (F.col("nrm") * c["cnrm"])
-                ).alias("cos"),
-                (-c["clabel"]).alias("negl"),
-            ),
-        )
+    best = scored.groupBy("vec_id", "label").agg(
+        F.max(F.struct(F.col("cos"), (-F.col("clabel")).alias("negl"))).alias("b")
     )
     return (
-        v.withColumn("nrm", _norm(F.col("v")))
-        .join(F.broadcast(cents_row))
-        .select("label", best.alias("b"))
-        .groupBy(
+        best.groupBy(
             F.col("label").alias("true_label"),
             (-F.col("b.negl")).alias("pred_label"),
         )
