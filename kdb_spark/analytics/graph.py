@@ -273,14 +273,45 @@ def co_purchase_edges(
 
         incidence = cap_per_group(incidence, "p", "c", max_per_part)
     cp = _reused("co_purchase_incidence", incidence)
+    # r17: pair generation via the dedup_ngram_jaccard packed-census device
+    # instead of the part-keyed self-join — the groupBy(p) reads the cached
+    # hashpartitioning(p) with ZERO extra exchange (the self-join read the
+    # cache twice and built a join per partition), and the (a < b) combos
+    # are emitted map-side with array lambdas straight into the census
+    # aggregate. Group sizes are bounded by the max_per_part hub guard.
     return (
-        cp.select(F.col("c").alias("a"), "p")
-        .join(cp.select(F.col("c").alias("b"), "p"), "p")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("n"))
+        _part_pair_census(cp, F.col("c"))
         .filter(F.col("n") >= min_shared)
         .select("a", "b")
+    )
+
+
+def _part_pair_census(cp: DataFrame, member: F.Column) -> DataFrame:
+    """Shared (a < b) co-membership census over the part-partitioned
+    incidence: per part, collect the SORTED member list, emit each (a, b)
+    combination map-side, and count pairs in one two-phase hash aggregate —
+    (a, b, n) where n = number of shared parts. ``member`` is a packed
+    BIGINT whose numeric order must equal the member order (plain c, or
+    c⧺payload with c in the high bits); the census groups on the two packed
+    longs so the only Exchange carries 16 B/row."""
+    grouped = (
+        cp.groupBy("p")
+        .agg(F.sort_array(F.collect_list(member)).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    combos = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    return (
+        grouped.select(F.explode(combos).alias("pr"))
+        .groupBy(F.col("pr.a").alias("a"), F.col("pr.b").alias("b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
 
 
@@ -461,19 +492,46 @@ def co_purchase_jaccard(
         incidence = cap_per_group(incidence, "p", "c", max_per_part)
     cp = _reused("co_purchase_incidence", incidence)
     deg = cp.groupBy("c").agg(F.count(F.lit(1)).cast("long").alias("deg"))
-    pairs = (
-        cp.select(F.col("c").alias("a"), "p")
-        .join(cp.select(F.col("c").alias("b"), "p"), "p")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).cast("long").alias("common"))
-        .filter(F.col("common") >= min_shared)
+    # r17: the packed census (see _part_pair_census) replaces the part-keyed
+    # self-join AND both post-census degree joins — each member carries its
+    # degree in the packed long's low 32 bits (the dedup_ngram_jaccard
+    # device: c in the high bits so the pack's numeric order IS the member
+    # order), attached to the |incidence|-sized table by ONE broadcast join
+    # instead of two joins against the much larger pair table. Pack inputs
+    # are range-guarded: an out-of-domain key raises a labeled error before
+    # the shift could alias two members.
+    c_ok = F.when(
+        F.col("c").between(0, (1 << 31) - 1), F.col("c")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("co_purchase_jaccard: customer key outside 31-bit pack range: "),
+                F.col("c").cast("string"),
+            )
+        )
     )
+    d_ok = F.when(
+        F.col("deg").between(0, (1 << 32) - 1), F.col("deg")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("co_purchase_jaccard: degree outside 32-bit pack range: "),
+                F.col("deg").cast("string"),
+            )
+        )
+    )
+    packed = (c_ok.cast("long") * F.lit(1 << 32)) + d_ok
+    pairs = _part_pair_census(
+        cp.join(F.broadcast(deg), "c"), packed
+    ).filter(F.col("n") >= min_shared)
     from kdb_spark.analytics.exact import floor_div_sql
 
-    j = (
-        pairs.join(deg.select(F.col("c").alias("a"), F.col("deg").alias("deg_a")), "a")
-        .join(deg.select(F.col("c").alias("b"), F.col("deg").alias("deg_b")), "b")
+    j = pairs.select(
+        F.shiftrightunsigned("a", 32).alias("a"),
+        F.shiftrightunsigned("b", 32).alias("b"),
+        F.col("n").alias("common"),
+        F.col("a").bitwiseAND(F.lit(0xFFFFFFFF)).alias("deg_a"),
+        F.col("b").bitwiseAND(F.lit(0xFFFFFFFF)).alias("deg_b"),
     )
     jac6 = F.expr(
         floor_div_sql(

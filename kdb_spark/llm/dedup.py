@@ -105,7 +105,14 @@ def _doc_shingles(documents: DataFrame, n: int = 3) -> DataFrame:
     which the optimizer does not collapse through: its output is an
     attribute, so any number of downstream references cost zero recompute.
     """
-    tok = documents.select(
+    from kdb_spark.tables import fanout
+
+    # fanout BEFORE tokenize: regexp tokenization + shingle assembly is the
+    # dominant map cost of every shingle consumer and otherwise rides the
+    # scan's task count (single-row-group input → one task; guide §2.2 —
+    # r17 probes: minhash calibration 5.9→2.2 s warm, text_agreement and
+    # the ngram census shift similarly). No-op on multi-split layouts.
+    tok = fanout(documents, "doc_id").select(
         "doc_id", F.explode(F.array(tokens("text"))).alias("toks")
     )
     return tok.select(
@@ -588,8 +595,13 @@ def simhash64(documents: DataFrame) -> DataFrame:
     lets the DuckDB oracle value-check the signatures — xxhash64 exists
     only in Spark. Still one JVM expression per token, no UDF.
     """
+    from kdb_spark.tables import fanout
+
+    # fanout before tokenize: one md5 per token occurrence is this op's
+    # dominant map cost and must not ride a single scan task (guide §2.2)
     tok = (
-        documents.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
+        fanout(documents, "doc_id")
+        .select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
         .withColumn("m", F.md5("t"))
         .withColumn("h1", F.conv(F.substring("m", 1, 8), 16, 10).cast("long"))
         .withColumn("h2", F.conv(F.substring("m", 9, 8), 16, 10).cast("long"))
@@ -863,7 +875,11 @@ def dedup_keep_best(
     from kdb_spark.llm.textstats import quality_score_expr
 
     labels = dedup_cluster(documents, threshold, n, df_cap)
-    scored = documents.select(
+    from kdb_spark.tables import fanout
+
+    # fanout the quality pass: tokenize + quality_score_expr per doc is
+    # heavy map work on top of the cluster pipeline's own (fanned) census
+    scored = fanout(documents, "doc_id").select(
         "doc_id", "text", tokens("text").alias("toks")
     ).select(
         "doc_id",
@@ -1039,7 +1055,10 @@ def dedup_minhash_calibration(
     jaccard candidate join (the dedup_ngram_jaccard device, same
     df-skew caveat); signatures rejoin the pair table as two 16-long
     arrays and agreement is one zip_with fold. Everything after the
-    candidate join is pair-table-sized.
+    candidate join is pair-table-sized. The doc table is fanned out
+    before the shingle explode (tables.fanout inside _doc_shingles): the
+    |docs|·|shingles|·perms md5 evaluations are this op's dominant cost
+    and must not ride a single scan task (r17 probe: 5.9 s → 2.2 s warm).
     """
     docs = _doc_shingles(documents, 3)
     flat = docs.select(

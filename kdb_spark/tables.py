@@ -146,6 +146,34 @@ def events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def fanout(df: DataFrame, *keys: str) -> DataFrame:
+    """Scan-parallelism floor for compute-heavy map stages (guide §2.2/§2.5).
+
+    Parquet scans parallelize by row group; a table written as one row
+    group (the driver's test tables, any small-file ingest) plans as ONE
+    scan task no matter how many cores the session has, so expensive
+    per-row map work downstream (md5 storms, shingle explodes, per-row
+    trig) runs single-threaded. When the plan's current parallelism is
+    below the session's cores, hash-repartition on the given deterministic
+    high-cardinality key(s) — never rand()-derived (SPARK-38388) — so the
+    heavy map stage uses every core. On a production layout the scan
+    already has ≥ cores splits and this returns the input unchanged (no
+    exchange, no plan growth). Cost when it fires: one exchange of the
+    *projected* input (callers project first), bytes proportional to the
+    data that was about to be map-exploded anyway.
+
+    Value-safe by construction for this registry: every declared op is
+    partition-count invariant (integer/decimal sums, sorted folds — the
+    bench already runs the same queries at 8 and 32 cores against one
+    oracle hash), and a keyed repartition only changes row placement.
+    """
+    sc = df.sparkSession.sparkContext
+    cores = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= cores:
+        return df
+    return df.repartition(cores, *keys)
+
+
 def cents(col: str | F.Column) -> F.Column:
     """Exact money arithmetic for oracle-checked sums.
 
